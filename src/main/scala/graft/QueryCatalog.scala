@@ -1,0 +1,812 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import graft.operators._
+import graft.sources.LedgerFixtures
+
+/** The operator inventory of SURVEY.md §2, expressed as oracle-checkable
+  * queries over the driver's synthetic tables (`TESTDATA.md`).
+  *
+  * Every entry couples the Spark implementation (delegating to the real
+  * operators in `graft.operators`) with equivalent DuckDB SQL. Both sides
+  * ORDER BY a deterministic key and emit only exactly-reproducible types
+  * (BIGINT / DOUBLE via single correctly-rounded ops / VARCHAR / BOOLEAN /
+  * arrays thereof) so value hashes match bit-for-bit.
+  *
+  * Floating-point policy: double sums go through exact DECIMAL accumulation
+  * and one final cast; per-row double arithmetic (one correctly-rounded op
+  * chain) is emitted directly; everything else is integer/string.
+  */
+object QueryCatalog {
+
+  final case class Q(
+      name: String,
+      oracle: Option[String],
+      fn: (SparkSession, String) => DataFrame)
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    LedgerFixtures.table(s, dir, name)
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    LedgerFixtures.events(s, dir)
+
+  private val txBase = LedgerFixtures.txBaseSql
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // ---------------------------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+
+    // ===== 2.1 sources / scans ==============================================
+
+    Q("s1_range_scan",
+      Some("""SELECT o_orderkey AS ledger_sequence, o_orderstatus AS status,
+             |       o_totalprice AS total
+             |FROM orders WHERE o_orderkey BETWEEN 100 AND 1200
+             |ORDER BY ledger_sequence""".stripMargin),
+      (s, dir) =>
+        HistoryOps.scanRange(
+            T(s, dir, "orders").select(
+              col("o_orderkey").as("ledger_sequence"),
+              col("o_orderstatus").as("status"),
+              col("o_totalprice").as("total")),
+            100, 1200)
+          .orderBy("ledger_sequence")),
+
+    Q("s2_explode_transactions",
+      Some(s"""$txBase
+             |SELECT (ledger_sequence << 32) | (tx_order << 12) AS transaction_id,
+             |       ledger_sequence, tx_order AS application_order,
+             |       fee_charged, successful, op_type, amount, source_account_key
+             |FROM tx ORDER BY transaction_id""".stripMargin),
+      (s, dir) =>
+        HistoryOps.historyTransactions(LedgerFixtures.ledgers(s, dir))
+          .select("transaction_id", "ledger_sequence", "application_order",
+            "fee_charged", "successful", "op_type", "amount", "source_account_key")
+          .orderBy("transaction_id")),
+
+    Q("s3_posexplode_operations",
+      Some(s"""$txBase
+             |SELECT ((ledger_sequence << 32) | (tx_order << 12)) | 1 AS operation_id,
+             |       (ledger_sequence << 32) | (tx_order << 12) AS transaction_id,
+             |       ledger_sequence, tx_order AS application_order, op_type, amount,
+             |       source_account_key AS source_account,
+             |       successful AS transaction_successful
+             |FROM tx ORDER BY operation_id""".stripMargin),
+      (s, dir) =>
+        HistoryOps.historyOperations(
+            HistoryOps.historyTransactions(LedgerFixtures.ledgers(s, dir)))
+          .orderBy("operation_id")),
+
+    Q("s4_trade_ops_filter",
+      Some(s"""$txBase
+             |SELECT ((ledger_sequence << 32) | (tx_order << 12)) | 1 AS operation_id,
+             |       op_type, amount
+             |FROM tx WHERE op_type IN (3,4,5) AND successful
+             |ORDER BY operation_id""".stripMargin),
+      (s, dir) =>
+        HistoryOps.tradeOps(
+            HistoryOps.historyOperations(
+              HistoryOps.historyTransactions(LedgerFixtures.ledgers(s, dir))))
+          .select("operation_id", "op_type", "amount")
+          .orderBy("operation_id")),
+
+    Q("s5_payment_ops_filter",
+      Some(s"""$txBase
+             |SELECT ((ledger_sequence << 32) | (tx_order << 12)) | 1 AS operation_id,
+             |       op_type, amount
+             |FROM tx WHERE op_type IN (1,3)
+             |ORDER BY operation_id""".stripMargin),
+      (s, dir) =>
+        HistoryOps.paymentOps(
+            HistoryOps.historyOperations(
+              HistoryOps.historyTransactions(LedgerFixtures.ledgers(s, dir))))
+          .select("operation_id", "op_type", "amount")
+          .orderBy("operation_id")),
+
+    Q("s6_change_compaction",
+      Some("""SELECT user_id, event_id, ts_us, event_type, value FROM (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1
+             |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val changes = ev(s, dir).select(
+          col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"),
+          col("event_type"), col("value"))
+        ChangeCompaction.latestByKey(changes,
+            keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"))
+          .select("user_id", "event_id", "ts_us", "event_type", "value")
+          .orderBy("user_id")
+      }),
+
+    Q("s8_orderbook_snapshot",
+      Some("""SELECT offer_id, ledger_sequence, change_order, amount FROM (
+             |  SELECT user_id AS offer_id, event_id // 10 AS ledger_sequence,
+             |         event_id % 10 AS change_order,
+             |         event_type = 'error' AS deleted, value AS amount,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY (event_id // 10) DESC, (event_id % 10) DESC) AS rn
+             |  FROM events WHERE event_id // 10 <= 80)
+             |WHERE rn = 1 AND NOT deleted
+             |ORDER BY offer_id""".stripMargin),
+      (s, dir) => {
+        val offerChanges = ev(s, dir).select(
+          col("user_id").as("offer_id"),
+          expr("event_id div 10").as("ledger_sequence"),
+          expr("event_id % 10").as("change_order"),
+          (col("event_type") === "error").as("deleted"),
+          col("value").as("amount"))
+        OrderbookStar.snapshotAsOf(offerChanges, 80)
+          .select("offer_id", "ledger_sequence", "change_order", "amount")
+          .orderBy("offer_id")
+      }),
+
+    Q("s9_all_history_fanout",
+      Some(s"""$txBase
+             |SELECT 'tx' AS grain, count(*) AS n FROM tx
+             |UNION ALL SELECT 'op', count(*) FROM tx
+             |UNION ALL SELECT 'trade', count(*) FROM tx
+             |  WHERE op_type IN (3,4,5) AND successful
+             |ORDER BY grain""".stripMargin),
+      (s, dir) => {
+        val txs = HistoryOps.historyTransactions(LedgerFixtures.ledgers(s, dir)).cache()
+        val ops = HistoryOps.historyOperations(txs)
+        txs.agg(count(lit(1)).as("n")).select(lit("tx").as("grain"), col("n"))
+          .unionAll(ops.agg(count(lit(1)).as("n")).select(lit("op").as("grain"), col("n")))
+          .unionAll(HistoryOps.tradeOps(ops).agg(count(lit(1)).as("n"))
+            .select(lit("trade").as("grain"), col("n")))
+          .orderBy("grain")
+      }),
+
+    // ===== 2.2 sinks =========================================================
+
+    Q("k1_extra_fields",
+      Some("""SELECT o_orderkey, o_orderstatus, 'testnet' AS extra_network,
+             |       CAST(2 AS BIGINT) AS extra_version
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, dir) =>
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+          .withColumn("extra_network", lit("testnet"))
+          .withColumn("extra_version", lit(2L))
+          .orderBy("o_orderkey")),
+
+    Q("k4_batch_partitioning",
+      Some("""SELECT event_id // 64 AS batch_id, count(*) AS n_records,
+             |       min(event_id) AS start_id, max(event_id) AS end_id
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        ev(s, dir)
+          .groupBy(GraftFunctions.batchId(col("event_id")).as("batch_id"))
+          .agg(count(lit(1)).as("n_records"),
+            min("event_id").as("start_id"), max("event_id").as("end_id"))
+          .orderBy("batch_id")),
+
+    Q("k5_transform_stats",
+      Some("""SELECT count(*) AS attempted,
+             |       count(*) FILTER (WHERE l_returnflag <> 'R') AS successful,
+             |       count(*) FILTER (WHERE l_returnflag = 'R') AS failed
+             |FROM lineitem""".stripMargin),
+      (s, dir) =>
+        T(s, dir, "lineitem").agg(
+          count(lit(1)).as("attempted"),
+          count_if(col("l_returnflag") =!= "R").as("successful"),
+          count_if(col("l_returnflag") === "R").as("failed"))),
+
+    // ===== 2.3 projections ===================================================
+
+    Q("p1_history_ledgers",
+      Some("""SELECT l_orderkey AS ledger_sequence,
+             |       (l_orderkey << 32) AS ledger_id,
+             |       count(*) AS transaction_count,
+             |       count(*) FILTER (WHERE l_returnflag <> 'R') AS successful_transaction_count,
+             |       count(*) FILTER (WHERE l_returnflag = 'R') AS failed_transaction_count,
+             |       count(*) FILTER (WHERE l_returnflag <> 'R') AS operation_count,
+             |       CAST(count(*) AS VARCHAR) AS tx_set_operation_count,
+             |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS total_fee_charged
+             |FROM lineitem GROUP BY l_orderkey
+             |ORDER BY ledger_sequence""".stripMargin),
+      (s, dir) =>
+        HistoryOps.historyLedgers(LedgerFixtures.ledgers(s, dir))
+          .drop("closed_at")
+          .orderBy("ledger_sequence")),
+
+    Q("p2_history_transactions",
+      Some(s"""$txBase
+             |SELECT (ledger_sequence << 32) | (tx_order << 12) AS transaction_id,
+             |       ledger_sequence, tx_order AS application_order, fee_charged,
+             |       fee_charged / 10000000.0 AS fee_xlm, successful,
+             |       '[' || CAST(tx_order AS VARCHAR) || ',' ||
+             |         CAST(fee_charged AS VARCHAR) || ')' AS time_bounds
+             |FROM tx ORDER BY transaction_id""".stripMargin),
+      (s, dir) =>
+        HistoryOps.historyTransactions(LedgerFixtures.ledgers(s, dir))
+          .select(
+            col("transaction_id"), col("ledger_sequence"), col("application_order"),
+            col("fee_charged"),
+            GraftFunctions.stroopsToXlm(col("fee_charged")).as("fee_xlm"),
+            col("successful"),
+            GraftFunctions.intervalString(col("application_order"), col("fee_charged"))
+              .as("time_bounds"))
+          .orderBy("transaction_id")),
+
+    Q("p6_assets_dedup",
+      Some("""SELECT p_brand || ':' || p_type AS asset_key,
+             |       min(p_partkey) AS p_partkey,
+             |       arg_min(p_retailprice, p_partkey) AS p_retailprice
+             |FROM part GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        HistoryOps.dedupFirstSeen(
+            T(s, dir, "part").select(
+              concat(col("p_brand"), lit(":"), col("p_type")).as("asset_key"),
+              col("p_partkey"), col("p_retailprice")),
+            idCol = "asset_key", orderCol = "p_partkey")
+          .orderBy("asset_key")),
+
+    Q("p7_account_flags",
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no, l_partkey,
+             |       l_partkey % 16 AS flags,
+             |       ((l_partkey % 16) & 1) <> 0 AS auth_required,
+             |       ((l_partkey % 16) & 2) <> 0 AS auth_revocable,
+             |       ((l_partkey % 16) & 4) <> 0 AS auth_immutable,
+             |       ((l_partkey % 16) & 8) <> 0 AS auth_clawback_enabled
+             |FROM lineitem ORDER BY l_orderkey, line_no, l_partkey""".stripMargin),
+      (s, dir) => {
+        val flags = expr("l_partkey % 16")
+        T(s, dir, "lineitem").select(
+            col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+            col("l_partkey"), flags.as("flags"),
+            GraftFunctions.flagSet(flags, 1).as("auth_required"),
+            GraftFunctions.flagSet(flags, 2).as("auth_revocable"),
+            GraftFunctions.flagSet(flags, 4).as("auth_immutable"),
+            GraftFunctions.flagSet(flags, 8).as("auth_clawback_enabled"))
+          .orderBy("l_orderkey", "line_no", "l_partkey")
+      }),
+
+    Q("p9_offers_pricing",
+      Some(s"""$txBase
+             |SELECT (ledger_sequence << 32) | (tx_order << 12) AS offer_id,
+             |       part_key % 1000 + 1 AS price_n, source_account_key + 1 AS price_d,
+             |       (part_key % 1000 + 1) / (source_account_key + 1) AS price,
+             |       amount
+             |FROM tx WHERE amount > 0 AND part_key % 1000 + 1 > 0
+             |ORDER BY offer_id""".stripMargin),
+      (s, dir) => {
+        val txs = HistoryOps.historyTransactions(LedgerFixtures.ledgers(s, dir))
+        txs.select(
+            col("transaction_id").as("offer_id"),
+            (expr("part_key % 1000") + 1).as("price_n"),
+            (col("source_account_key") + 1).as("price_d"),
+            GraftFunctions.priceRatio(expr("part_key % 1000") + 1,
+              col("source_account_key") + 1).as("price"),
+            col("amount"))
+          .where(col("amount") > 0 && col("price_n") > 0)
+          .orderBy("offer_id")
+      }),
+
+    Q("p19_token_transfers",
+      Some("""SELECT event_id AS transfer_id, 'transfer' AS kind,
+             |       'credit_alphanum4:' || event_type || ':' || CAST(user_id AS VARCHAR) AS asset,
+             |       value AS amount
+             |FROM events WHERE event_type = 'purchase'
+             |UNION ALL
+             |SELECT event_id, 'mint',
+             |       'credit_alphanum4:' || event_type || ':' || CAST(user_id AS VARCHAR), value
+             |FROM events WHERE event_type = 'signup'
+             |UNION ALL
+             |SELECT event_id, 'burn',
+             |       'credit_alphanum4:' || event_type || ':' || CAST(user_id AS VARCHAR), value
+             |FROM events WHERE event_type = 'error'
+             |ORDER BY transfer_id""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir)
+        def typed(t: String, kind: String): DataFrame =
+          e.where(col("event_type") === t).select(
+            col("event_id").as("transfer_id"), lit(kind).as("kind"),
+            GraftFunctions.assetCanonical(lit("credit_alphanum4"),
+              col("event_type"), col("user_id").cast("string")).as("asset"),
+            col("value").as("amount"))
+        typed("purchase", "transfer")
+          .unionAll(typed("signup", "mint"))
+          .unionAll(typed("error", "burn"))
+          .orderBy("transfer_id")
+      }),
+
+    Q("p20_orderbook_star",
+      Some("""SELECT DISTINCT
+             |  least('AST' || CAST(l_partkey % 5 AS VARCHAR),
+             |        'AST' || CAST(l_suppkey % 7 AS VARCHAR)) AS base_asset,
+             |  greatest('AST' || CAST(l_partkey % 5 AS VARCHAR),
+             |           'AST' || CAST(l_suppkey % 7 AS VARCHAR)) AS counter_asset
+             |FROM lineitem WHERE l_returnflag <> 'R'
+             |ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val offers = T(s, dir, "lineitem").select(
+          concat(lit("AST"), expr("l_partkey % 5").cast("string")).as("selling_asset"),
+          concat(lit("AST"), expr("l_suppkey % 7").cast("string")).as("buying_asset"),
+          (col("l_returnflag") === "R").as("deleted"))
+        OrderbookStar.dimMarket(offers)
+          .select("base_asset", "counter_asset")
+          .orderBy("base_asset", "counter_asset")
+      }),
+
+    // ===== 2.5 limits / sort =================================================
+
+    Q("l1_limit_topk",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+      (s, dir) =>
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)),
+
+    Q("l2_sorted_arrays",
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+             |       list(c_acctbal ORDER BY c_acctbal DESC, c_custkey DESC) AS balances
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        T(s, dir, "customer")
+          .groupBy(col("c_nationkey").cast("long").as("nation_key"))
+          .agg(transform(
+            reverse(sort_array(collect_list(struct(col("c_acctbal"), col("c_custkey"))))),
+            x => x("c_acctbal")).as("balances"))
+          .orderBy("nation_key")),
+
+    // ===== 2.6 aggregations ==================================================
+
+    Q("a1_tpch_q1",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       sum(l_quantity) AS sum_qty,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+             |       count(*) AS count_order
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_base_price"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(24,8)")).cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")),
+
+    Q("a6_state_delta",
+      Some("""SELECT user_id, max(value) - min(value) AS value_delta,
+             |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+             |       count(*) AS n_events
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        ev(s, dir).groupBy("user_id")
+          .agg(
+            (max("value") - min("value")).as("value_delta"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")),
+
+    // ===== 2.7 joins / lookups ===============================================
+
+    Q("j1_prestate_lookup",
+      Some(s"""$txBase
+             |SELECT ledger_sequence, tx_order, amount,
+             |       lag(amount) OVER (PARTITION BY ledger_sequence
+             |         ORDER BY tx_order) AS prev_amount
+             |FROM tx ORDER BY ledger_sequence, tx_order""".stripMargin),
+      (s, dir) =>
+        // intra-row pre-state lookup: previous element of the sorted tx array
+        LedgerFixtures.ledgers(s, dir)
+          .select(col("ledger_sequence"),
+            col("transactions"),
+            posexplode(col("transactions")).as(Seq("pos", "tx")))
+          .select(
+            col("ledger_sequence"),
+            (col("pos") + 1).cast("long").as("tx_order"),
+            col("tx.amount").as("amount"),
+            when(col("pos") > 0, expr("transactions[pos - 1].amount")).as("prev_amount"))
+          .orderBy("ledger_sequence", "tx_order")),
+
+    Q("j2_initiating_op",
+      Some(s"""$txBase
+             |SELECT ledger_sequence, tx_order,
+             |       first_value(part_key) OVER (PARTITION BY ledger_sequence
+             |         ORDER BY tx_order) AS initiator_part
+             |FROM tx ORDER BY ledger_sequence, tx_order""".stripMargin),
+      (s, dir) =>
+        // intra-tx scan for the initiating (first) op: element_at(arr, 1)
+        LedgerFixtures.ledgers(s, dir)
+          .select(col("ledger_sequence"),
+            element_at(col("transactions"), 1)("part_key").as("initiator_part"),
+            posexplode(col("transactions")).as(Seq("pos", "tx")))
+          .select(col("ledger_sequence"), (col("pos") + 1).cast("long").as("tx_order"),
+            col("initiator_part"))
+          .orderBy("ledger_sequence", "tx_order")),
+
+    Q("j5_equi_join_revenue",
+      Some("""SELECT n_name,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+             |       count(*) AS n_orders
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        T(s, dir, "orders")
+          .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("n_name")),
+
+    Q("j6_star_join",
+      Some("""SELECT p_brand, s_name, sum(l_quantity) AS sum_qty, count(*) AS n
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .join(broadcast(T(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(T(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("p_brand", "s_name")
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy("p_brand", "s_name")),
+
+    // ===== 2.8 set ops =======================================================
+
+    Q("set_union_batches",
+      Some("""SELECT o_orderstatus, count(*) AS n FROM (
+             |  SELECT * FROM orders WHERE o_orderkey < 300
+             |  UNION ALL SELECT * FROM orders WHERE o_orderkey >= 1200)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val o = T(s, dir, "orders")
+        o.where(col("o_orderkey") < 300)
+          .unionAll(o.where(col("o_orderkey") >= 1200))
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+      }),
+
+    // ===== 2.9 scalar functions ==============================================
+
+    Q("fn_toid_roundtrip",
+      Some("""SELECT (user_id << 32) | (event_id << 12) | (event_id % 4096) AS toid,
+             |       ((user_id << 32) | (event_id << 12) | (event_id % 4096)) |
+             |         (CAST(1 AS BIGINT) << 62) AS synthetic_offer_id,
+             |       ((user_id << 32) | (event_id << 12) | (event_id % 4096)) >> 32 AS ledger_part,
+             |       (((user_id << 32) | (event_id << 12) | (event_id % 4096)) >> 12)
+             |         & 1048575 AS tx_part,
+             |       ((user_id << 32) | (event_id << 12) | (event_id % 4096))
+             |         & 4095 AS op_part
+             |FROM events ORDER BY toid, op_part""".stripMargin),
+      (s, dir) => {
+        val t = GraftFunctions.toid(col("user_id"), col("event_id"), expr("event_id % 4096"))
+        ev(s, dir).select(
+            t.as("toid"),
+            t.bitwiseOR(lit(1L << 62)).as("synthetic_offer_id"),
+            GraftFunctions.toidLedger(t).as("ledger_part"),
+            GraftFunctions.toidTxOrder(t).as("tx_part"),
+            GraftFunctions.toidOpIndex(t).as("op_part"))
+          .orderBy("toid", "op_part")
+      }),
+
+    Q("fn_checkpoint_math",
+      Some("""SELECT event_id, (event_id + 1) % 64 = 0 AS is_checkpoint,
+             |       (event_id + 1) - ((event_id + 1) % 64) - 1 AS latest_checkpoint,
+             |       event_id // 64 AS batch_id
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) =>
+        ev(s, dir).select(
+            col("event_id"),
+            GraftFunctions.isCheckpoint(col("event_id")).as("is_checkpoint"),
+            GraftFunctions.latestCheckpoint(col("event_id")).as("latest_checkpoint"),
+            GraftFunctions.batchId(col("event_id")).as("batch_id"))
+          .orderBy("event_id")),
+
+    Q("fn_interval_asset_strings",
+      Some("""SELECT p_partkey,
+             |       CASE WHEN p_size < 5 THEN 'native'
+             |            ELSE 'credit_alphanum4:' || p_brand || ':' || CAST(p_partkey AS VARCHAR)
+             |       END AS asset_canonical,
+             |       '[' || CAST(p_size AS VARCHAR) || ',' ||
+             |         CAST(p_size + 10 AS VARCHAR) || ')' AS validity
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      (s, dir) =>
+        T(s, dir, "part").select(
+            col("p_partkey"),
+            GraftFunctions.assetCanonical(
+              when(col("p_size") < 5, "native").otherwise("credit_alphanum4"),
+              col("p_brand"), col("p_partkey").cast("string")).as("asset_canonical"),
+            GraftFunctions.intervalString(col("p_size"), col("p_size") + 10).as("validity"))
+          .orderBy("p_partkey")),
+
+    Q("fn_sha256_hex",
+      Some("""SELECT doc_id, sha256(text) AS text_sha256 FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"), sha2(col("text"), 256).as("text_sha256"))
+          .orderBy("doc_id")),
+
+    Q("fn_stroops_conversion",
+      Some(s"""$txBase
+             |SELECT (ledger_sequence << 32) | (tx_order << 12) AS transaction_id,
+             |       fee_charged, fee_charged / 10000000.0 AS fee_xlm,
+             |       part_key / (source_account_key + 1) AS ratio
+             |FROM tx ORDER BY transaction_id""".stripMargin),
+      (s, dir) =>
+        HistoryOps.historyTransactions(LedgerFixtures.ledgers(s, dir))
+          .select(
+            col("transaction_id"), col("fee_charged"),
+            GraftFunctions.stroopsToXlm(col("fee_charged")).as("fee_xlm"),
+            GraftFunctions.priceRatio(col("part_key"),
+              col("source_account_key") + 1).as("ratio"))
+          .orderBy("transaction_id")),
+
+    // ===== 2.10 streaming (batch-equivalent windowed agg) ====================
+
+    Q("st_window_hourly",
+      Some("""SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        ev(s, dir)
+          .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+          .orderBy("hour_bucket", "event_type")),
+
+    // ===== extensions: dedup =================================================
+
+    Q("x_dedup_exact",
+      Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id,
+             |       count(*) AS duplicate_count
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        Dedup.exact(T(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+          .select("content_hash", "doc_id", "duplicate_count")
+          .orderBy("content_hash")),
+
+    Q("x_jaccard_pairs",
+      Some(s"""WITH w AS (
+             |  SELECT doc_id,
+             |         list_distinct(string_split_regex(
+             |           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+             |  FROM documents WHERE doc_id < 300),
+             |g AS (SELECT doc_id, unnest(toks) AS gram FROM w),
+             |sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       inter / (sa.n_grams + sb.n_grams - inter) AS jaccard
+             |FROM p JOIN sz sa ON p.id_a = sa.doc_id
+             |       JOIN sz sb ON p.id_b = sb.doc_id
+             |WHERE inter / (sa.n_grams + sb.n_grams - inter) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(
+            T(s, dir, "documents").where(col("doc_id") < 300),
+            "text", "doc_id", n = 1, threshold = 0.5)
+          .orderBy("id_a", "id_b")),
+
+    Q("x_minhash_lsh", None, // 64-bit xxhash has no DuckDB twin: rows-only check
+      (s, dir) =>
+        Dedup.minHashLsh(T(s, dir, "documents").where(col("doc_id") < 500),
+            "text", "doc_id", shingleSize = 3, bands = 8, rowsPerBand = 2,
+            threshold = 0.5)
+          .orderBy("id_a", "id_b")),
+
+    Q("x_simhash", None,
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"), Dedup.simHash64(col("text")).as("simhash"))
+          .withColumn("hamming_to_zero", Dedup.hamming64(col("simhash"), lit(0L)))
+          .orderBy("doc_id")),
+
+    // ===== extensions: similarity search =====================================
+
+    Q("x_sim_dot_topk",
+      Some("""WITH q AS (SELECT vec_id,
+             |            list_transform(embedding,
+             |              x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+             |           FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id,
+             |        list_transform(embedding,
+             |          x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+             |      FROM embeddings),
+             |d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |        CAST(list_sum(list_transform(range(1, len(q.v)+1),
+             |          i -> q.v[i]*c.v[i])) AS BIGINT) AS dot
+             |      FROM q, c WHERE q.vec_id <> c.vec_id)
+             |SELECT query_id, neighbor_id, dot,
+             |       CAST(row_number() OVER (PARTITION BY query_id
+             |         ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rank
+             |FROM d QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val quant = (c: Column) =>
+          transform(c, x => round(x.cast("double") * 10000).cast("long"))
+        val emb = T(s, dir, "embeddings").select(col("vec_id"), quant(col("embedding")).as("v"))
+        val q = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val scored = emb.crossJoin(broadcast(q))
+          .where(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).as("dot"))
+        val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3)
+          .orderBy("query_id", "rank")
+      }),
+
+    Q("x_sim_cosine_bruteforce", None, // float cosine: rows-only (FP sum order)
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+            emb, "vec_id", "embedding",
+            emb.where(col("vec_id") < 5).select(col("vec_id").as("qid"),
+              col("embedding").as("qvec")),
+            "qid", "qvec", k = 5)
+          .orderBy("query_id", "rank")
+      }),
+
+    Q("x_sim_lsh_topk", None,
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.lshTopK(
+            emb, "vec_id", "embedding",
+            emb.where(col("vec_id") < 5).select(col("vec_id").as("qid"),
+              col("embedding").as("qvec")),
+            "qid", "qvec", k = 5, bits = 6)
+          .orderBy("query_id", "rank")
+      }),
+
+    // ===== extensions: text analysis =========================================
+
+    Q("x_text_quality",
+      Some(s"""SELECT doc_id, length(text) AS n_chars,
+             |       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+             |       length(text) / greatest(len(list_filter(string_split_regex(text, '\\s+'),
+             |         x -> x <> '')), 1) AS mean_token_len,
+             |       (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+             |         / length(text) AS punct_ratio,
+             |       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             |         / length(text) AS digit_ratio,
+             |       len(list_filter(string_split_regex(text, '\\s+'),
+             |         x -> list_contains(${sqlList(Stopwords.en)}, lower(x))))
+             |         / greatest(len(list_filter(string_split_regex(text, '\\s+'),
+             |             x -> x <> '')), 1) AS stopword_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val t = col("text")
+        val toks = TextAnalysis.tokens(t)
+        val nChars = length(t).cast("double")
+        T(s, dir, "documents").select(
+            col("doc_id"),
+            length(t).cast("long").as("n_chars"),
+            size(toks).cast("long").as("n_tokens"),
+            (nChars / greatest(size(toks), lit(1))).as("mean_token_len"),
+            ((nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))) / nChars)
+              .as("punct_ratio"),
+            ((nChars - length(regexp_replace(t, "[0-9]", ""))) / nChars)
+              .as("digit_ratio"),
+            (size(filter(toks, w => lower(w).isin(Stopwords.en.map(lit(_)): _*)))
+              .cast("double") / greatest(size(toks), lit(1))).as("stopword_ratio"))
+          .orderBy("doc_id")
+      }),
+
+    Q("x_text_langid", {
+      val langScores = Stopwords.all.toSeq.sortBy(_._1).map { case (lang, words) =>
+        s"""SELECT doc_id, '$lang' AS lang,
+           |  len(list_filter(w, x -> list_contains(${sqlList(words)}, x)))
+           |    / greatest(len(w), 1) AS score
+           |FROM toks""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_transform(list_filter(string_split_regex(text, '\\s+'),
+             |           x -> x <> ''), x -> lower(x)) AS w
+             |  FROM documents),
+             |sc AS (
+             |$langScores)
+             |SELECT doc_id, lang AS predicted_lang FROM (
+             |  SELECT doc_id, lang,
+             |         row_number() OVER (PARTITION BY doc_id
+             |           ORDER BY score DESC, lang) AS rn
+             |  FROM sc) WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) =>
+        TextAnalysis.langId(T(s, dir, "documents").select("doc_id", "text"), "text")
+          .select("doc_id", "predicted_lang")
+          .orderBy("doc_id")),
+
+    Q("x_text_fingerprint",
+      Some("""SELECT doc_id,
+             |       substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+             |         1, 16) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+          .orderBy("doc_id")),
+
+    Q("x_token_count",
+      Some("""SELECT doc_id,
+             |       len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+             |         AS n_tokens,
+             |       length(text) AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        T(s, dir, "documents").select(
+            col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id")),
+
+    // ===== extensions: multimodal ============================================
+
+    Q("x_multimodal_meta",
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+             |       sha256(text) AS content_sha256,
+             |       'application/octet-stream' AS sniffed_mime
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Multimodal.binaryMetadata(
+            T(s, dir, "documents")
+              .select(col("doc_id"), col("text").cast("binary").as("payload")),
+            "payload")
+          .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
+            col("content_sha256"), col("sniffed_mime"))
+          .orderBy("doc_id")),
+
+    Q("x_multimodal_decode", None, // stubbed codec: rows-only (mapPartitions path)
+      (s, dir) => {
+        import s.implicits._
+        val media = T(s, dir, "documents").select(
+            col("doc_id").as("media_id"),
+            when(expr("doc_id % 3 = 0"), "image/jpeg")
+              .when(expr("doc_id % 3 = 1"), "audio/wav")
+              .otherwise("video/mp4").as("mime"),
+            col("text").cast("binary").as("bytes"))
+          .as[Multimodal.MediaRow]
+        Multimodal.decode(media).toDF().orderBy("media_id")
+      }),
+
+    // ===== opaque codecs (rows-only: no SQL twin by design) ==================
+
+    Q("fn_opaque_codecs", None,
+      (s, dir) =>
+        T(s, dir, "part").select(
+            col("p_partkey"),
+            GraftFunctions.farmHash64(col("p_name")).as("farmhash64"),
+            GraftFunctions.fnv64a(col("p_name")).as("fnv64a"),
+            GraftFunctions.farmHashAssetId(col("p_brand"), col("p_name"),
+              lit("credit_alphanum4")).as("asset_id"),
+            GraftFunctions.strkeyAccount(unhex(sha2(col("p_name"), 256))).as("strkey_like"),
+            GraftFunctions.int128String(col("p_partkey"), col("p_size").cast("long"))
+              .as("i128"),
+            TextAnalysis.rollingHash(col("p_name")).as("rolling_hash"),
+            TextAnalysis.subwordCountEstimate(col("p_name")).cast("long").as("n_subwords"))
+          .orderBy("p_partkey"))
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

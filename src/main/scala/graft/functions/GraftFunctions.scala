@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.codec.{Amounts, Hashes, Strkey, Toid}
+
+/** Column-level function library.
+  *
+  * Everything that can be a pure Catalyst expression IS one (bit ops, modular
+  * arithmetic, string formatting) so it stays inside whole-stage codegen and
+  * remains pushdown-safe. Only the genuinely opaque codecs (strkey base32+CRC16,
+  * FarmHash64, FNV-64a) are Scala UDFs — all deterministic, so Catalyst may
+  * still reorder/pushdown around them.
+  *
+  * Reference semantics: `/root/reference/internal/toid/main.go`,
+  * `internal/utils/main.go:33-87,809-854`, `internal/transform/asset.go:72-77`,
+  * `offer_normalized.go:102-183`.
+  */
+object GraftFunctions {
+
+  // ---- TOID (pure bit expressions; codegen'd) -------------------------------
+
+  /** `(ledger:32 ‖ txOrder:20 ‖ opIndex:12)` total-order id. */
+  def toid(ledgerSeq: Column, txOrder: Column, opIndex: Column): Column =
+    shiftleft(ledgerSeq.cast("long"), Toid.LedgerShift)
+      .bitwiseOR(shiftleft(txOrder.cast("long"), Toid.TransactionShift))
+      .bitwiseOR(opIndex.cast("long"))
+
+  def ledgerToid(ledgerSeq: Column): Column = shiftleft(ledgerSeq.cast("long"), 32)
+
+  def transactionToid(ledgerSeq: Column, txOrder: Column): Column =
+    toid(ledgerSeq, txOrder, lit(0L))
+
+  /** Operation TOID uses op-index+1 (reference `operation.go:32`). */
+  def operationToid(ledgerSeq: Column, txOrder: Column, opIndex0: Column): Column =
+    toid(ledgerSeq, txOrder, opIndex0 + lit(1L))
+
+  def toidLedger(t: Column): Column = shiftright(t, 32).bitwiseAND(lit(Toid.LedgerMask))
+  def toidTxOrder(t: Column): Column = shiftright(t, 12).bitwiseAND(lit(Toid.TransactionMask))
+  def toidOpIndex(t: Column): Column = t.bitwiseAND(lit(Toid.OperationMask))
+
+  /** Synthetic offer id (bit 62 set), `toid/synt_offer_id.go:28-34`. */
+  def syntheticOfferId(ledgerSeq: Column, txOrder: Column, opIndex0: Column): Column =
+    operationToid(ledgerSeq, txOrder, opIndex0).bitwiseOR(lit(Toid.SyntheticOfferBit))
+
+  // ---- checkpoint math (`utils/main.go:809-854`) ----------------------------
+
+  /** True on checkpoint ledgers: seq ≡ 63 (mod 64). */
+  def isCheckpoint(seq: Column): Column = (seq + 1) % 64 === 0
+
+  /** Most recent checkpoint sequence at-or-before seq. */
+  def latestCheckpoint(seq: Column): Column = (seq + 1) - ((seq + 1) % 64) - 1
+
+  /** 64-ledger batch id (change-export batching, `changes.go:85-160`). */
+  def batchId(seq: Column, batchSize: Int = 64): Column = floor(seq / batchSize)
+
+  // ---- amounts --------------------------------------------------------------
+
+  /** stroops → XLM float64 with correct rounding across the full int64 range
+    * (matches Go big.Rat→Float64, `utils/main.go:84-87`): decimal(27,0) /
+    * decimal(8,0) yields an exact decimal(36,9) quotient (10^7 divides 10^9),
+    * and the single decimal→double cast rounds correctly. A plain
+    * `cast(double)/1e7` would pre-round inputs above 2^53. */
+  def stroopsToXlm(stroops: Column): Column =
+    (stroops.cast("decimal(27,0)") / lit(Amounts.StroopsPerLumen).cast("decimal(8,0)"))
+      .cast("double")
+
+  /** Offer price ratio n/d as float64. */
+  def priceRatio(n: Column, d: Column): Column = n.cast("double") / d.cast("double")
+
+  // ---- flag decoding (`operation.go:555-582`) -------------------------------
+
+  def flagSet(flags: Column, bit: Long): Column = flags.bitwiseAND(lit(bit)) =!= 0
+
+  // ---- string formats -------------------------------------------------------
+
+  /** Interval string `"[min,max)"`, `"[min,)"` when max missing
+    * (`transaction.go:92-111`). */
+  def intervalString(min: Column, max: Column): Column =
+    concat(lit("["), coalesce(min.cast("string"), lit("")), lit(","),
+      coalesce(max.cast("string"), lit("")), lit(")"))
+
+  /** Canonical asset string `type:code:issuer`, `"native"` bare
+    * (`token_transfer.go:132-151`). */
+  def assetCanonical(assetType: Column, code: Column, issuer: Column): Column =
+    when(assetType === "native", lit("native"))
+      .otherwise(concat_ws(":", assetType, code, issuer))
+
+  /** Asset code NUL/space stripping (`contract_data.go:90`). */
+  def cleanAssetCode(code: Column): Column =
+    regexp_replace(code, "[\u0000 ]+$", "")
+
+  // ---- opaque codecs (deterministic Scala UDFs) -----------------------------
+
+  val farmHash64 = udf((s: String) => Hashes.farmHash64(s))
+  val fnv64a = udf((s: String) => Hashes.fnv64a(s))
+  val strkeyAccount = udf((b: Array[Byte]) => Strkey.encodeAccountId(b))
+  val strkeyContract = udf((b: Array[Byte]) => Strkey.encodeContract(b))
+  val strkeyPool = udf((b: Array[Byte]) => Strkey.encodeLiquidityPool(b))
+  val strkeyBalance = udf((b: Array[Byte]) => Strkey.encodeClaimableBalance(b))
+  val strkeyMuxed = udf((b: Array[Byte], id: Long) => Strkey.encodeMuxed(b, id))
+  val int128String = udf((hi: Long, lo: Long) => Amounts.int128String(hi, lo))
+
+  /** FarmHash asset id (`asset.go:72-77`): farmhash64(code ‖ issuer ‖ type). */
+  def farmHashAssetId(code: Column, issuer: Column, assetType: Column): Column =
+    farmHash64(concat(coalesce(code, lit("")), coalesce(issuer, lit("")), assetType))
+
+  /** Register SQL-callable names on a session (for spark.sql users). */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("farm_hash64", (s: String) => Hashes.farmHash64(s))
+    spark.udf.register("fnv64a", (s: String) => Hashes.fnv64a(s))
+    spark.udf.register("strkey_account", (b: Array[Byte]) => Strkey.encodeAccountId(b))
+    spark.udf.register("int128_string", (hi: Long, lo: Long) => Amounts.int128String(hi, lo))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard. Designed for the 100 TB training-data path:
+  *
+  *   - exact dedup is one hash-aggregate (map-side combinable, spillable);
+  *   - MinHash signatures are computed per-row with codegen'd `xxhash64` +
+  *     higher-order `transform`/`aggregate` — no explode, no shuffle, until
+  *     the single band-bucket self-join that LSH exists to make tractable;
+  *   - candidate verification is exact Jaccard on the candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact dedup on a content hash; deterministic winner = lowest `idCol`.
+    * sha2-256 over the normalized text — collision-safe at any corpus size
+    * (vs 64-bit hashes which collide at ~billions of docs). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val payload = struct(df.columns.filterNot(_ == "__h").map(col): _*)
+    df.withColumn("__h", sha2(col(textCol), 256))
+      .groupBy(col("__h").as("content_hash"))
+      .agg(
+        min_by(payload, col(idCol)).as("__keep"),
+        count(lit(1)).as("duplicate_count"))
+      .select(col("content_hash"), col("__keep.*"), col("duplicate_count"))
+  }
+
+  /** Normalize → lowercase, collapse whitespace (dedup should ignore trivia). */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Word-level shingles of size n as an array column (per-row, no shuffle). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(normalized(text), " ")
+    // sliding windows: index i -> words[i..i+n-1] joined
+    val idxs = sequence(lit(0), greatest(size(words) - n, lit(0)))
+    array_distinct(transform(idxs, i => concat_ws(" ",
+      slice(words, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: for seed s in 0..numHashes-1, min over shingles of
+    * xxhash64(shingle, s). Entirely intra-row (transform + array_min over the
+    * shingle array) — codegen'd, shuffle-free. */
+  def minHashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
+    val sh = shingles(text, shingleSize)
+    val seeds = sequence(lit(0), lit(numHashes - 1))
+    transform(seeds, s => array_min(transform(sh, x => xxhash64(x, s))))
+  }
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * bands × rowsPerBand = numHashes. Docs sharing any band bucket become
+    * candidates (one shuffle on the band key — the only shuffle in the
+    * pipeline); candidates are verified with exact shingle-set Jaccard.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def minHashLsh(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = df.select(
+      col(idCol).as("doc_id"),
+      shingles(col(textCol), shingleSize).as("sh"),
+      minHashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+
+    // band key = hash of the signature slice; explode to (band_idx, band_hash)
+    val banded = sigs.select(
+      col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))), b)))
+        .as(Seq("band_idx", "band_hash")))
+
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") === 0, lit(1.0)).otherwise(col("inter") / col("uni")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash-64: per token, hash to 64 bits; per bit, +w if set else -w;
+    * sign of each bit-sum forms the fingerprint. Intra-row via higher-order
+    * aggregate over tokens — shuffle-free. */
+  def simHash64(text: Column): Column = {
+    val tokens = split(normalized(text), " ")
+    val hashes = transform(tokens, t => xxhash64(t))
+    // bit i of fingerprint = 1 iff sum over tokens of (bit i set ? 1 : -1) > 0
+    val bitIdx = sequence(lit(0), lit(63))
+    val bitSums = transform(bitIdx, i =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitIdx, bitSums, (i, s) =>
+        when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints (popcount via bit_count). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** n-gram (word) Jaccard similarity between all pairs sharing a token —
+    * fully relational formulation: explode distinct tokens, equi-join on
+    * token, count common, derive |A∪B|. Suits medium corpora / oracle checks;
+    * the LSH path above is the 100 TB variant. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 2,
+      threshold: Double = 0.3): DataFrame = {
+    val docGrams = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val sizes = docGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+
+    val pairs = docGrams.as("x").join(docGrams.as("y"), Seq("gram"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

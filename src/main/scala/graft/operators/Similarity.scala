@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * score per-row with codegen'd higher-order functions (`zip_with` +
+  * `aggregate`), take top-k per query via `row_number` (Spark ≥3.5 rewrites
+  * `rank <= k` filters into WindowGroupLimit: partial per-partition top-k
+  * before the shuffle, so the full score matrix never moves).
+  *
+  * Scale path: hyperplane-LSH bucketing — deterministic pseudo-random
+  * hyperplanes derived from a seed, each vector mapped to a b-bit bucket
+  * intra-row; candidates = bucket collisions (equi-join), scored exactly.
+  * At 100 TB this turns the O(N·Q) scan into a bucket-pruned join.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns — intra-row, codegen'd. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k: for each query vector, the k nearest corpus vectors
+    * by cosine. `queries` should be small (broadcast). Deterministic
+    * tie-break on corpus id. */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(
+        col(queryId).as("query_id"),
+        col(corpusId).as("neighbor_id"),
+        cosine(col(queryVec), col(corpusVec)).as("cosine"))
+      .where(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * a fixed hash mapped to [-1, 1]. Same formula is reproducible anywhere. */
+  private def planeComponent(p: Column, d: Column): Column =
+    (pmod(xxhash64(p, d), lit(2000001L)) - 1000000L).cast("double") / 1000000.0d
+
+  /** b-bit hyperplane LSH bucket of a vector — intra-row, no shuffle.
+    * Bit p = sign of <v, plane_p>. */
+  def lshBucket(vec: Column, bits: Int): Column = {
+    val planes = sequence(lit(0), lit(bits - 1))
+    aggregate(
+      transform(planes, p => {
+        val proj = aggregate(
+          zip_with(vec, transform(sequence(lit(0), size(vec) - 1), d => planeComponent(p, d)),
+            (x, w) => x * w),
+          lit(0.0d), (acc, v) => acc + v)
+        when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** LSH-bucketed ANN: score only bucket-colliding (query, corpus) pairs.
+    * Recall/cost traded via `bits`. */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, bits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("cvec"), lshBucket(col(corpusVec), bits).as("bucket"))
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qvec"), lshBucket(col(queryVec), bits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis for training-data pipelines: token counting, quality
+  * scoring, language ID, fingerprinting. All intra-row column expressions
+  * (codegen'd, shuffle-free) so they compose with any scan at any scale. */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: word-boundary pieces + digits + punct
+    * split out, ~4 chars per piece cap. */
+  def subwordCountEstimate(text: Column): Column =
+    size(filter(split(text, "(?=[A-Z])|[\\s]+|(?<=[a-z])(?=[0-9])|(?=[^A-Za-z0-9\\s])"),
+      t => t =!= ""))
+
+  /** Quality features: length, token stats, punctuation/digit/upper ratios,
+    * stopword ratio — the usual heuristic pre-filters. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t).cast("double")
+    df
+      .withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("mean_token_len",
+        when(size(toks) > 0, nChars / size(toks)).otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(nChars > 0,
+          (nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))) / nChars)
+          .otherwise(lit(0.0)))
+      .withColumn("digit_ratio",
+        when(nChars > 0,
+          (nChars - length(regexp_replace(t, "[0-9]", ""))) / nChars)
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(size(toks) > 0,
+          size(filter(toks, w => lower(w).isin(Stopwords.en.map(lit(_)): _*)))
+            .cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Composite quality score in [0,1]: penalize extreme length, high punct /
+    * digit density, low stopword incidence. Deterministic, documented weights. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityFeatures(df, textCol).withColumn("quality_score",
+      greatest(lit(0.0), least(lit(1.0),
+        lit(1.0)
+          - when(col("n_tokens") < 5, 0.5).otherwise(0.0)
+          - col("punct_ratio") * 0.5
+          - col("digit_ratio") * 0.5
+          + col("stopword_ratio") * 0.2)))
+
+  /** Stopword-lexicon language ID: score = share of tokens in each language's
+    * stopword list; argmax with deterministic tie-break by language code.
+    * N-gram-free heuristic that is pure column algebra (no UDF, no shuffle). */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = transform(tokens(col(textCol)), w => lower(w))
+    val scores = Stopwords.all.map { case (lang, words) =>
+      struct(
+        (size(filter(toks, w => w.isin(words.map(lit(_)): _*))).cast("double") /
+          greatest(size(toks), lit(1))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // max over (score, lang-desc) with deterministic tie-break: highest score,
+    // then lexicographically smallest lang
+    val best = array(scores.toSeq: _*)
+    df.withColumn("lang_scores", best)
+      .withColumn("predicted_lang",
+        aggregate(best, best.getItem(0),
+          (acc, s) => when(
+            s("score") > acc("score") ||
+              (s("score") === acc("score") && s("lang") < acc("lang")), s)
+            .otherwise(acc))("lang"))
+      .drop("lang_scores")
+  }
+
+  /** Content fingerprint: first 16 hex chars of md5 over the normalized text
+    * (stable, partition-friendly surrogate key). */
+  def fingerprint(text: Column): Column =
+    substring(md5(Dedup.normalized(text)), 1, 16)
+
+  /** Rolling polynomial hash (base 31, mod 2^64) over normalized chars —
+    * intra-row higher-order aggregate; the primitive under rolling-window
+    * near-dup detection. */
+  def rollingHash(text: Column): Column =
+    aggregate(split(Dedup.normalized(text), ""),
+      lit(0L), (acc, c) => acc * 31L + coalesce(ascii(c).cast("long"), lit(0L)))
+}
+
+/** Minimal public stopword lexicons (top function words per language). */
+object Stopwords {
+  val en: Seq[String] = Seq("the", "of", "and", "to", "a", "in", "is", "it",
+    "you", "that", "he", "was", "for", "on", "are", "with", "as", "his",
+    "they", "at", "be", "this", "have", "from")
+  val es: Seq[String] = Seq("el", "la", "de", "que", "y", "a", "en", "un",
+    "ser", "se", "no", "haber", "por", "con", "su", "para", "como", "estar")
+  val fr: Seq[String] = Seq("le", "la", "de", "et", "les", "des", "est", "un",
+    "une", "du", "que", "pas", "pour", "sur", "avec", "au", "ce", "il")
+  val de: Seq[String] = Seq("der", "die", "und", "das", "ist", "von", "mit",
+    "den", "im", "für", "auf", "des", "ein", "eine", "nicht", "auch", "es")
+  val all: Map[String, Seq[String]] =
+    Map("en" -> en, "es" -> es, "fr" -> fr, "de" -> de)
+}

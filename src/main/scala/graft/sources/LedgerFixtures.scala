@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic nested-ledger fixture built from the driver's synthetic
+  * TPC-H-ish tables. Models the reference's source grain — one row per ledger
+  * holding the header plus a nested array of transactions — so the history
+  * operators (explode → project) can be exercised and oracle-checked without
+  * real XDR data.
+  *
+  * Mapping (stable; oracle SQL re-derives it relationally):
+  *   - ledger_sequence = o_orderkey (orders)
+  *   - closed_at       = o_orderdate
+  *   - transactions[]  = that order's lineitems, sorted by
+  *     (line_no, part_key, supp_key, amount, fee_charged) — full lineitem rows
+  *     are unique, so this is a total order; transaction application order
+  *     (1-based) = position in the sorted array (assigned at explode time).
+  *   - fee_charged = round(l_extendedprice * 100) as long (stroop-ish)
+  *   - successful  = l_returnflag != 'R'
+  *   - op_type     = l_partkey % 8 (one operation per transaction)
+  */
+object LedgerFixtures {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Events with the nanosecond timestamp exposed as epoch-nanos long `ts`
+    * (Spark has no nanos timestamp type). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+  }
+
+  /** Nested ledgers: (ledger_sequence, closed_at, ledger_status, transactions[]). */
+  def ledgers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val orders = table(spark, sfDir, "orders")
+
+    val txs = li.select(
+      col("l_orderkey").as("ledger_sequence"),
+      struct(
+        col("l_linenumber").cast("long").as("line_no"),
+        col("l_partkey").as("part_key"),
+        col("l_suppkey").as("supp_key"),
+        col("l_quantity").as("amount"),
+        round(col("l_extendedprice") * 100).cast("long").as("fee_charged"),
+        (col("l_returnflag") =!= "R").as("successful"),
+        pmod(col("l_partkey"), lit(8)).cast("int").as("op_type")
+      ).as("tx"))
+
+    val nested = txs
+      .groupBy("ledger_sequence")
+      .agg(sort_array(collect_list(col("tx"))).as("transactions"))
+
+    nested.join(
+      orders.select(
+        col("o_orderkey").as("ledger_sequence"),
+        col("o_orderdate").as("closed_at"),
+        col("o_orderstatus").as("ledger_status")),
+      Seq("ledger_sequence"))
+  }
+
+  /** The shared oracle-SQL prefix reconstructing the tx grain relationally —
+    * MUST stay in lockstep with `ledgers` above. */
+  val txBaseSql: String =
+    """WITH tx AS (
+      |  SELECT l_orderkey AS ledger_sequence,
+      |         row_number() OVER (PARTITION BY l_orderkey
+      |           ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+      |                    CAST(round(l_extendedprice*100) AS BIGINT)) AS tx_order,
+      |         CAST(round(l_extendedprice*100) AS BIGINT) AS fee_charged,
+      |         l_returnflag <> 'R' AS successful,
+      |         CAST(l_partkey % 8 AS INT) AS op_type,
+      |         l_quantity AS amount,
+      |         l_suppkey AS source_account_key,
+      |         l_partkey AS part_key,
+      |         CAST(l_linenumber AS BIGINT) AS line_no
+      |  FROM lineitem)""".stripMargin
+}

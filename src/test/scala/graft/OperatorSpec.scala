@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators._
+import graft.functions.GraftFunctions
+
+/** Operator-level behavior tests over small in-memory fixtures. */
+class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.jdk.CollectionConverters._
+
+  // ---- change compaction ---------------------------------------------------
+
+  test("latestByKey keeps exactly the max-ordered row per key") {
+    import spark.implicits._
+    val changes = Seq(
+      ("acct1", 10L, 1L, "v1"), ("acct1", 10L, 2L, "v2"), ("acct1", 11L, 1L, "v3"),
+      ("acct2", 9L, 1L, "w1")).toDF("key", "seq", "ord", "state")
+    val out = ChangeCompaction.latestByKey(changes, Seq("key"), Seq("seq", "ord"))
+      .orderBy("key").collect()
+    assert(out.map(r => (r.getString(0), r.getString(3))).toSeq ==
+      Seq(("acct1", "v3"), ("acct2", "w1")))
+  }
+
+  test("compactBatches compacts within each batch independently") {
+    import spark.implicits._
+    val changes = Seq(
+      ("k", 1L, "a"), ("k", 63L, "b"),   // batch 0
+      ("k", 64L, "c"), ("k", 100L, "d")  // batch 1
+    ).toDF("key", "seq", "state")
+    val out = ChangeCompaction.compactBatches(changes, Seq("key"), "seq", Seq("seq"))
+      .orderBy("batch_id").collect()
+    assert(out.map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("state"))).toSeq ==
+      Seq((0L, "b"), (1L, "d")))
+  }
+
+  test("snapshot drops keys whose final state is deleted") {
+    import spark.implicits._
+    val changes = Seq(
+      ("k1", 1L, false), ("k1", 2L, true),  // ends deleted
+      ("k2", 1L, true), ("k2", 2L, false)   // resurrected
+    ).toDF("key", "seq", "deleted")
+    val out = ChangeCompaction.snapshot(changes, Seq("key"), Seq("seq")).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("k2"))
+  }
+
+  // ---- dedup ---------------------------------------------------------------
+
+  test("exact dedup groups identical text, keeps lowest id") {
+    import spark.implicits._
+    val docs = Seq((3L, "hello world"), (1L, "hello world"), (2L, "unique"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val kept = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("duplicate_count")))
+    assert(kept.toSet == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds near-duplicates but not unrelated docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val near = base.replace("today", "tonight")
+    val far = "completely different content about spark catalyst optimizer internals and codegen"
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+      shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: similar texts have small hamming distance, dissimilar large") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "totally unrelated words about query optimization engines")
+    ).toDF("id", "text").select(col("id"), Dedup.simHash64(col("text")).as("h"))
+    val h = df.orderBy("id").collect().map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0), h(1)) < ham(h(0), h(2)))
+  }
+
+  test("ngram jaccard pairs: identical docs score 1.0") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.9)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 1.0)))
+  }
+
+  // ---- similarity ----------------------------------------------------------
+
+  test("brute-force cosine top-k ranks an identical vector first") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.9f, 0.1f, 0.0f)),
+      (12L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val out = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 2).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(10L, 11L))
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("lsh bucket is deterministic and identical vectors collide") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, -0.25f, 0.75f)), (2L, Array(0.5f, -0.25f, 0.75f)))
+      .toDF("id", "v").select(Similarity.lshBucket(col("v"), 8).as("b"))
+    val buckets = df.collect().map(_.getLong(0))
+    assert(buckets(0) == buckets(1))
+  }
+
+  // ---- text analysis -------------------------------------------------------
+
+  test("langId picks the dominant stopword language") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "der Hund ist mit der Katze im Garten und das ist gut"),
+      (3L, "le chat est sur le tapis et il est content")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs, "text").orderBy("doc_id")
+      .select("predicted_lang").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "fr"))
+  }
+
+  test("quality score penalizes junk, rewards clean prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "This is a perfectly normal sentence with the usual words in it."),
+      (2L, "@@@@!!!! ### $$$ %%% 12345 67890 !!!")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityScore(docs, "text").orderBy("doc_id")
+      .select("quality_score").collect().map(_.getDouble(0))
+    assert(out(0) > out(1))
+  }
+
+  test("token counting") {
+    import spark.implicits._
+    val df = Seq((1L, "one two  three\tfour\nfive")).toDF("id", "text")
+    assert(df.select(TextAnalysis.tokenCount(col("text"))).head.getInt(0) == 5)
+  }
+
+  // ---- history ops over an in-memory nested fixture ------------------------
+
+  test("historyLedgers counts from nested arrays without shuffle") {
+    import spark.implicits._
+    val ledgers = Seq(
+      (100L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Seq(
+        (1L, 10L, 20L, 5.0, 100L, true, 1),
+        (2L, 11L, 21L, 6.0, 200L, false, 2)))
+    ).toDF("ledger_sequence", "closed_at", "txs")
+      .select(col("ledger_sequence"), col("closed_at"),
+        transform(col("txs"), t => struct(
+          t.getField("_1").as("line_no"), t.getField("_2").as("part_key"),
+          t.getField("_3").as("supp_key"), t.getField("_4").as("amount"),
+          t.getField("_5").as("fee_charged"), t.getField("_6").as("successful"),
+          t.getField("_7").as("op_type"))).as("transactions"))
+    val out = HistoryOps.historyLedgers(ledgers).head()
+    assert(out.getAs[Long]("transaction_count") == 2L)
+    assert(out.getAs[Long]("successful_transaction_count") == 1L)
+    assert(out.getAs[Long]("failed_transaction_count") == 1L)
+    assert(out.getAs[String]("tx_set_operation_count") == "2")
+    assert(out.getAs[Long]("total_fee_charged") == 300L)
+    assert(out.getAs[Long]("ledger_id") == (100L << 32))
+    // plan must contain no exchange: counts are intra-row
+    val plan = HistoryOps.historyLedgers(ledgers).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("orderbook star dims: both asset orderings map to one market") {
+    import spark.implicits._
+    val offers = Seq(
+      (1L, "acct1", "AST1", "AST2", 10.0, 1L, 2L, 5L, false),
+      (2L, "acct2", "AST2", "AST1", 20.0, 2L, 3L, 6L, false),
+      (3L, "acct3", "AST3", "AST4", 30.0, 1L, 1L, 7L, true) // deleted: excluded
+    ).toDF("offer_id", "seller_id", "selling_asset", "buying_asset",
+      "amount", "price_n", "price_d", "ledger_sequence", "deleted")
+    val markets = OrderbookStar.dimMarket(offers).collect()
+    assert(markets.length == 1)
+    assert(markets.head.getAs[String]("base_asset") == "AST1")
+    assert(markets.head.getAs[String]("counter_asset") == "AST2")
+    assert(OrderbookStar.dimAccount(offers).count() == 2)
+  }
+
+  // ---- multimodal ----------------------------------------------------------
+
+  test("multimodal decode stub: deterministic metadata, error channel works") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/jpeg", "fake-jpeg-bytes".getBytes),
+      Multimodal.MediaRow(2L, "video/mp4", "fake-video-bytes".getBytes),
+      Multimodal.MediaRow(3L, "image/png", Array.emptyByteArray)
+    ).toDS()
+    val out = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(out(0).decode_ok && out(0).width > 0 && out(0).n_frames == 1)
+    assert(out(1).decode_ok && out(1).n_frames >= 1)
+    assert(!out(2).decode_ok && out(2).error == "empty payload")
+    // determinism
+    val again = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("binary metadata sniffs magic bytes") {
+    import spark.implicits._
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0x00)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    val df = Seq((1L, jpeg), (2L, png)).toDF("id", "payload")
+    val out = Multimodal.binaryMetadata(df, "payload").orderBy("id")
+      .select("sniffed_mime").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("image/jpeg", "image/png"))
+  }
+
+  // ---- functions -----------------------------------------------------------
+
+  test("toid column expressions match scalar codec") {
+    import spark.implicits._
+    val df = Seq((7L, 3L, 2L)).toDF("l", "t", "o")
+      .select(GraftFunctions.toid(col("l"), col("t"), col("o")).as("toid"))
+    assert(df.head.getLong(0) == graft.codec.Toid.pack(7, 3, 2))
+  }
+
+  test("farmhash/fnv UDFs match scalar codecs") {
+    import spark.implicits._
+    val df = Seq("some-asset-string").toDF("s").select(
+      GraftFunctions.farmHash64(col("s")).as("f"),
+      GraftFunctions.fnv64a(col("s")).as("v"))
+    val r = df.head
+    assert(r.getLong(0) == graft.codec.Hashes.farmHash64("some-asset-string"))
+    assert(r.getLong(1) == graft.codec.Hashes.fnv64a("some-asset-string"))
+  }
+}
