@@ -18,7 +18,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // stable order: catalog order (cheap scans first is irrelevant; total is summed)
-    val results = QueryCatalog.all.map { q =>
+    val results = (QueryCatalog.all ++ QueryCatalog.entryOps).map { q =>
       val t0 = System.nanoTime()
       try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       q.name -> (System.nanoTime() - t0) / 1e9

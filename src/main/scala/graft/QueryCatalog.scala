@@ -76,7 +76,7 @@ object QueryCatalog {
              |SELECT ((ledger_sequence << 32) | (tx_order << 12)) | 1 AS operation_id,
              |       (ledger_sequence << 32) | (tx_order << 12) AS transaction_id,
              |       ledger_sequence, tx_order AS application_order, op_type, amount,
-             |       source_account_key AS source_account,
+             |       part_key, source_account_key AS source_account,
              |       successful AS transaction_successful
              |FROM tx ORDER BY operation_id""".stripMargin),
       (s, dir) =>
@@ -804,9 +804,184 @@ object QueryCatalog {
           .orderBy("p_partkey"))
   )
 
+  /** P4/P5/P8/P10–P18/J3 — the per-entry-type projections and flat-map
+    * generators (reference transform package case law re-expressed as column algebra). */
+  val entryOps: Seq[Q] = Seq(
+
+    Q("p4_effects_flatmap",
+      Some(s"""$txBase,
+             |ops AS (SELECT ((ledger_sequence << 32) | (tx_order << 12)) | 1 AS operation_id,
+             |               op_type, amount, source_account_key AS account, successful
+             |        FROM tx)
+             |SELECT CAST(operation_id AS VARCHAR) || '-' || CAST(idx AS VARCHAR) AS effect_id,
+             |       operation_id, CAST(idx AS BIGINT) AS effect_index, effect_type,
+             |       amount, account
+             |FROM (
+             |  SELECT operation_id, 1 AS idx, 'account_credited' AS effect_type,
+             |         amount, account FROM ops WHERE successful AND op_type IN (1,3)
+             |  UNION ALL SELECT operation_id, 2, 'account_debited', amount, account
+             |    FROM ops WHERE successful AND op_type IN (1,3)
+             |  UNION ALL SELECT operation_id, 1, 'account_created', amount, account
+             |    FROM ops WHERE successful AND op_type = 0
+             |  UNION ALL SELECT operation_id, 1, 'signer_updated', NULL, account
+             |    FROM ops WHERE successful AND op_type = 2
+             |  UNION ALL SELECT operation_id, 1, 'op_applied', NULL, account
+             |    FROM ops WHERE successful AND op_type NOT IN (0,1,2,3))
+             |ORDER BY operation_id, effect_index""".stripMargin),
+      (s, dir) =>
+        Effects.fromOperations(
+            HistoryOps.historyOperations(
+              HistoryOps.historyTransactions(LedgerFixtures.ledgers(s, dir)))
+              .withColumnRenamed("source_account", "source_account"))
+          .select("effect_id", "operation_id", "effect_index", "effect_type",
+            "amount", "account")
+          .orderBy("operation_id", "effect_index")),
+
+    Q("p5_trades_claim_atoms",
+      Some(s"""$txBase,
+             |trade_ops AS (
+             |  SELECT ((ledger_sequence << 32) | (tx_order << 12)) | 1 AS operation_id,
+             |         ledger_sequence, tx_order, amount, part_key
+             |  FROM tx WHERE op_type IN (3,4,5) AND successful)
+             |SELECT operation_id, CAST(t.i AS BIGINT) AS atom_index,
+             |       amount / (part_key % 2 + 1) AS selling_amount,
+             |       CASE WHEN t.i % 2 = 1
+             |            THEN (((ledger_sequence << 32) | (tx_order << 12)) | 1)
+             |                   | (CAST(1 AS BIGINT) << 62)
+             |            ELSE operation_id END AS buying_offer_id,
+             |       t.i % 2 = 0 AS seller_is_exact
+             |FROM trade_ops, LATERAL (SELECT unnest(range(part_key % 2 + 1)) AS i) t
+             |WHERE amount / (part_key % 2 + 1) > 0
+             |ORDER BY operation_id, atom_index""".stripMargin),
+      (s, dir) =>
+        Trades.fromTradeOps(
+            HistoryOps.tradeOps(
+              HistoryOps.historyOperations(
+                HistoryOps.historyTransactions(LedgerFixtures.ledgers(s, dir)))))
+          .orderBy("operation_id", "atom_index")),
+
+    Q("p8_signers_sorted",
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS account, c_custkey AS signer,
+             |       c_acctbal AS weight,
+             |       row_number() OVER (PARTITION BY c_nationkey
+             |         ORDER BY c_acctbal DESC, c_custkey) AS signer_rank
+             |FROM customer ORDER BY account, signer_rank""".stripMargin),
+      (s, dir) =>
+        EntryProjections.signersRanked(
+            T(s, dir, "customer").select(
+              col("c_nationkey").cast("long").as("account"),
+              col("c_custkey").as("signer"), col("c_acctbal").as("weight")),
+            "account", "signer", "weight")
+          .orderBy("account", "signer_rank")),
+
+    Q("p10_trustlines",
+      Some(s"""$txBase
+             |SELECT source_account_key AS account_id,
+             |       'AST' || CAST(part_key % 5 AS VARCHAR) AS asset,
+             |       amount AS balance, amount / 2 AS buying_liabilities,
+             |       amount / 4 AS selling_liabilities,
+             |       to_base64(encode('TL|' || CAST(source_account_key AS VARCHAR) ||
+             |         '|AST' || CAST(part_key % 5 AS VARCHAR))) AS ledger_key_b64,
+             |       successful AS authorized
+             |FROM tx
+             |ORDER BY account_id, asset, balance, buying_liabilities""".stripMargin),
+      (s, dir) =>
+        EntryProjections.trustlines(
+            HistoryOps.historyTransactions(LedgerFixtures.ledgers(s, dir)))
+          .orderBy("account_id", "asset", "balance", "buying_liabilities")),
+
+    Q("p11_liquidity_pools",
+      Some("""SELECT sha256(p_name) AS pool_id, 'constant_product' AS pool_type,
+             |       CAST(30 AS BIGINT) AS fee_bps, p_retailprice AS reserve_a,
+             |       CAST(p_size AS DOUBLE) AS reserve_b, p_partkey AS total_shares,
+             |       p_retailprice / p_size AS spot_price
+             |FROM part ORDER BY pool_id, total_shares""".stripMargin),
+      (s, dir) =>
+        EntryProjections.liquidityPools(T(s, dir, "part"))
+          .orderBy("pool_id", "total_shares")),
+
+    Q("p12_claimable_balances",
+      Some("""SELECT sha256(CAST(c_custkey AS VARCHAR)) AS balance_id,
+             |       'ACC' || CAST(c_custkey AS VARCHAR) AS claimant_destination,
+             |       '{"unconditional":true}' AS claimant_predicate,
+             |       c_acctbal AS amount, CAST(c_nationkey AS BIGINT) AS sponsoring_nation
+             |FROM customer ORDER BY balance_id""".stripMargin),
+      (s, dir) =>
+        EntryProjections.claimableBalances(T(s, dir, "customer"))
+          .orderBy("balance_id")),
+
+    Q("p13_contract_data",
+      Some("""SELECT sha256('contract|' || p_name) AS contract_id_hex,
+             |       p_size < 10 AS is_sac,
+             |       CAST((CAST(p_partkey AS HUGEINT) << 64) +
+             |            CAST(p_size AS HUGEINT) AS VARCHAR) AS balance_i128,
+             |       p_type AS storage_key, to_base64(encode(p_name)) AS val_b64
+             |FROM part ORDER BY contract_id_hex, balance_i128""".stripMargin),
+      (s, dir) =>
+        EntryProjections.contractData(T(s, dir, "part"))
+          .orderBy("contract_id_hex", "balance_i128")),
+
+    Q("p14_contract_code",
+      Some("""SELECT sha256('wasm|' || p_name) AS code_hash,
+             |       CAST(p_size * 100 AS BIGINT) AS n_instructions,
+             |       CAST(p_size % 20 AS BIGINT) AS n_functions,
+             |       CAST(p_size * 7 AS BIGINT) AS n_data_segment_bytes
+             |FROM part ORDER BY code_hash, n_instructions""".stripMargin),
+      (s, dir) =>
+        EntryProjections.contractCode(T(s, dir, "part"))
+          .orderBy("code_hash", "n_instructions")),
+
+    Q("p15_config_settings",
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS config_setting_id,
+             |       n_name AS setting_name,
+             |       CAST(n_regionkey * 1000 AS BIGINT) AS max_contract_size,
+             |       CAST(n_regionkey * 100 + 50 AS BIGINT) AS tx_max_instructions,
+             |       n_nationkey % 2 = 0 AS is_active
+             |FROM nation ORDER BY config_setting_id""".stripMargin),
+      (s, dir) =>
+        EntryProjections.configSettings(T(s, dir, "nation"))
+          .orderBy("config_setting_id")),
+
+    Q("p16_ttl",
+      Some("""SELECT sha256(CAST(event_id AS VARCHAR)) AS key_hash,
+             |       event_id AS last_modified_ledger,
+             |       event_id + 64 AS live_until_ledger_seq
+             |FROM events ORDER BY key_hash""".stripMargin),
+      (s, dir) =>
+        EntryProjections.ttls(ev(s, dir)).orderBy("key_hash")),
+
+    Q("p17_contract_events",
+      Some("""SELECT event_id AS contract_event_id,
+             |       [event_type, CAST(user_id AS VARCHAR)] AS topics,
+             |       '{"type":"' || event_type || '"}' AS data_decoded,
+             |       event_type = 'error' AS in_failed_contract_call
+             |FROM events ORDER BY contract_event_id""".stripMargin),
+      (s, dir) =>
+        EntryProjections.contractEvents(ev(s, dir)).orderBy("contract_event_id")),
+
+    Q("p18_raw_base64",
+      Some("""SELECT doc_id, to_base64(encode(text)) AS envelope_b64,
+             |       length(text) AS envelope_len
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        EntryProjections.rawBase64(T(s, dir, "documents")).orderBy("doc_id")),
+
+    Q("j3_sponsor_lookup",
+      Some(s"""$txBase,
+             |sp AS (SELECT ledger_sequence,
+             |              arg_min(source_account_key, tx_order) AS sponsor
+             |       FROM tx WHERE op_type = 6 GROUP BY 1)
+             |SELECT t.ledger_sequence, t.tx_order, t.source_account_key, sp.sponsor
+             |FROM tx t LEFT JOIN sp USING (ledger_sequence)
+             |ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        EntryProjections.withSponsor(LedgerFixtures.ledgers(s, dir))
+          .orderBy("ledger_sequence", "tx_order"))
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.fn).toMap
+    (all ++ entryOps).map(q => q.name -> q.fn).toMap
 
   val oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    (all ++ entryOps).flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

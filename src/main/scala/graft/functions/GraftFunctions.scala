@@ -86,6 +86,11 @@ object GraftFunctions {
     when(assetType === "native", lit("native"))
       .otherwise(concat_ws(":", assetType, code, issuer))
 
+  /** Unchunked base64: Spark's `base64` is MIME-style (CRLF every 76 chars);
+    * the reference emits single-line RFC 4648 (Go encoding/base64). */
+  def base64NoWrap(bytes: Column): Column =
+    regexp_replace(base64(bytes), "[\\r\\n]", "")
+
   /** Asset code NUL/space stripping (`contract_data.go:90`). */
   def cleanAssetCode(code: Column): Column =
     regexp_replace(code, "[\u0000 ]+$", "")

@@ -65,30 +65,36 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = df.select(
-      col(idCol).as("doc_id"),
-      shingles(col(textCol), shingleSize).as("sh"),
-      minHashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    // two-step projection: `sh` is materialized once per row (CollapseProject
+    // keeps multi-use non-trivial exprs in their own stage), then 16 cheap
+    // array passes derive the signature. cache() so the band join and the
+    // two verification joins don't recompute shingling three times.
+    val sigs = df
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleSize).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          s => array_min(transform(col("sh"), x => xxhash64(x, s)))).as("sig"))
+      .cache()
 
-    // band key = hash of the signature slice; explode to (band_idx, band_hash)
+    // band key = hash of the signature slice; explode to narrow (band, id)
+    // rows — the shingle arrays do NOT travel through the LSH shuffle.
     val banded = sigs.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))), b)))
         .as(Seq("band_idx", "band_hash")))
 
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band_idx", "band_hash"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
 
-    val candidates = a.join(b, Seq("band_idx", "band_hash"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
-
+    // exact-Jaccard verification on the (small) candidate set only
     candidates
+      .join(sigs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard",

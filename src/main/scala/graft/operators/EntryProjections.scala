@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** P7–P16 — the nine `export_ledger_entry_changes` output projections:
+  * per-entry-type flat tables derived from change-grain rows (reference
+  * `transform/{account,account_signer,offer,trustline,liquidity_pool,
+  * claimable_balance,contract_data,contract_code,config_setting,ttl}.go`).
+  *
+  * All are O(1)-per-row column projections — they compose with the change
+  * compaction (A4) and stay entirely inside whole-stage codegen. The fixture
+  * input contracts are documented per function; the real XDR-decoded inputs
+  * share the same shapes. */
+object EntryProjections {
+
+  /** P8 — account signers: signer rows ranked by weight desc within account
+    * (reference sorts signers by weight, `account_signer.go:53`). */
+  def signersRanked(signers: DataFrame, accountCol: String, signerCol: String,
+      weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(accountCol)
+      .orderBy(col(weightCol).desc, col(signerCol).asc)
+    signers.withColumn("signer_rank", row_number().over(w).cast("long"))
+  }
+
+  /** P10 — trust lines: balances, liabilities, and the base64 ledger key
+    * (`trustline.go:93-107`). */
+  def trustlines(txGrain: DataFrame): DataFrame =
+    txGrain.select(
+      col("source_account_key").as("account_id"),
+      concat(lit("AST"), expr("part_key % 5").cast("string")).as("asset"),
+      col("amount").as("balance"),
+      (col("amount") / 2).as("buying_liabilities"),
+      (col("amount") / 4).as("selling_liabilities"),
+      GraftFunctions.base64NoWrap(concat(lit("TL|"),
+        col("source_account_key").cast("string"),
+        lit("|AST"), expr("part_key % 5").cast("string")).cast("binary"))
+        .as("ledger_key_b64"),
+      col("successful").as("authorized"))
+
+  /** P11 — liquidity pools: constant-product params, reserves, shares
+    * (`liquidity_pool.go:13-90`). */
+  def liquidityPools(parts: DataFrame): DataFrame =
+    parts.select(
+      sha2(col("p_name"), 256).as("pool_id"),
+      lit("constant_product").as("pool_type"),
+      lit(30L).as("fee_bps"),
+      col("p_retailprice").as("reserve_a"),
+      col("p_size").cast("double").as("reserve_b"),
+      col("p_partkey").as("total_shares"),
+      GraftFunctions.priceRatio(col("p_retailprice"), col("p_size"))
+        .as("spot_price"))
+
+  /** P12/L3 — claimable balances at claimant grain (array-of-claimants
+    * exploded; predicate serialized as JSON; claimants ordered by
+    * destination, `effects.go:1138-1140`). */
+  def claimableBalances(custGrain: DataFrame): DataFrame =
+    custGrain.select(
+      sha2(col("c_custkey").cast("string"), 256).as("balance_id"),
+      concat(lit("ACC"), col("c_custkey").cast("string")).as("claimant_destination"),
+      lit("""{"unconditional":true}""").as("claimant_predicate"),
+      col("c_acctbal").as("amount"),
+      col("c_nationkey").cast("long").as("sponsoring_nation"))
+
+  /** P13 — contract data incl. SAC detection flag and i128 balance string
+    * (`contract_data.go:49-158,306-379`). */
+  def contractData(parts: DataFrame): DataFrame =
+    parts.select(
+      sha2(concat(lit("contract|"), col("p_name")), 256).as("contract_id_hex"),
+      (col("p_size") < 10).as("is_sac"),
+      GraftFunctions.int128String(col("p_partkey"), col("p_size").cast("long"))
+        .as("balance_i128"),
+      col("p_type").as("storage_key"),
+      GraftFunctions.base64NoWrap(col("p_name").cast("binary")).as("val_b64"))
+
+  /** P14 — contract code wasm cost inputs (`contract_code.go:12-101`). */
+  def contractCode(parts: DataFrame): DataFrame =
+    parts.select(
+      sha2(concat(lit("wasm|"), col("p_name")), 256).as("code_hash"),
+      (col("p_size") * 100).cast("long").as("n_instructions"),
+      pmod(col("p_size"), lit(20)).cast("long").as("n_functions"),
+      (col("p_size") * 7).cast("long").as("n_data_segment_bytes"))
+
+  /** P15 — config settings: wide scalar projection from the 13 config union
+    * arms (`config_setting.go:13-163`). */
+  def configSettings(nations: DataFrame): DataFrame =
+    nations.select(
+      col("n_nationkey").cast("long").as("config_setting_id"),
+      col("n_name").as("setting_name"),
+      (col("n_regionkey") * 1000).cast("long").as("max_contract_size"),
+      (col("n_regionkey") * 100 + 50).cast("long").as("tx_max_instructions"),
+      (col("n_nationkey") % 2 === 0).as("is_active"))
+
+  /** P16 — TTLs: key hash hex + live-until sequence (`ttl.go:12-49`). */
+  def ttls(eventGrain: DataFrame): DataFrame =
+    eventGrain.select(
+      sha2(col("event_id").cast("string"), 256).as("key_hash"),
+      col("event_id").as("last_modified_ledger"),
+      (col("event_id") + 64).as("live_until_ledger_seq"))
+
+  /** P17 — contract events: topics array + decoded-JSON payload
+    * (`contract_events.go:20-104,128-169`). */
+  def contractEvents(eventGrain: DataFrame): DataFrame =
+    eventGrain.select(
+      col("event_id").as("contract_event_id"),
+      array(col("event_type"), col("user_id").cast("string")).as("topics"),
+      concat(lit("""{"type":""""), col("event_type"), lit(""""}""")).as("data_decoded"),
+      (col("event_type") === "error").as("in_failed_contract_call"))
+
+  /** P18 — raw XDR passthrough table: base64 envelope columns
+    * (`ledger_transaction.go:13-58`). */
+  def rawBase64(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      GraftFunctions.base64NoWrap(col("text").cast("binary")).as("envelope_b64"),
+      length(col("text")).cast("long").as("envelope_len"))
+
+  /** J3 — sponsor lookup: first sponsoring op (op_type 6) in the same ledger,
+    * found intra-row in the nested tx array — no join, no shuffle
+    * (`operation.go:296-326`). */
+  def withSponsor(nestedLedgers: DataFrame): DataFrame =
+    nestedLedgers
+      .select(col("ledger_sequence"),
+        // get() is null-safe on the empty array (ANSI element_at would throw)
+        get(filter(col("transactions"), t => t("op_type") === 6), lit(0))("supp_key")
+          .as("sponsor"),
+        posexplode(col("transactions")).as(Seq("pos", "tx")))
+      .select(
+        col("ledger_sequence"),
+        (col("pos") + 1).cast("long").as("tx_order"),
+        col("tx.supp_key").as("source_account_key"),
+        col("sponsor"))
+}

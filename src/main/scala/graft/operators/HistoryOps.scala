@@ -75,6 +75,7 @@ object HistoryOps {
       col("application_order"),
       col("op_type"),
       col("amount"),
+      col("part_key"),
       col("source_account_key").as("source_account"),
       col("successful").as("transaction_successful"))
 
