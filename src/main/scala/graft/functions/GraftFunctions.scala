@@ -8,9 +8,9 @@ import graft.codec.{Amounts, Hashes, Strkey, Toid}
   *
   * Everything that can be a pure Catalyst expression IS one (bit ops, modular
   * arithmetic, string formatting) so it stays inside whole-stage codegen and
-  * remains pushdown-safe. Only the genuinely opaque codecs (strkey base32+CRC16,
-  * FarmHash64, FNV-64a) are Scala UDFs — all deterministic, so Catalyst may
-  * still reorder/pushdown around them.
+  * remains pushdown-safe. The hot opaque codecs (FarmHash64, FNV-64a, strkey)
+  * are native codegen expressions ([[graft.plans.CodecExpressions]]); the cold
+  * ones are deterministic Scala UDFs Catalyst may still reorder around.
   *
   * Reference semantics: `/root/reference/internal/toid/main.go`,
   * `internal/utils/main.go:33-87,809-854`, `internal/transform/asset.go:72-77`,
@@ -95,11 +95,21 @@ object GraftFunctions {
   def cleanAssetCode(code: Column): Column =
     regexp_replace(code, "[\u0000 ]+$", "")
 
-  // ---- opaque codecs (deterministic Scala UDFs) -----------------------------
+  // ---- opaque codecs --------------------------------------------------------
+  // Hot ones are native Catalyst expressions (graft.plans.CodecExpressions):
+  // codegen'd static calls, no UDF serialization fence. Cold ones stay UDFs.
 
-  val farmHash64 = udf((s: String) => Hashes.farmHash64(s))
-  val fnv64a = udf((s: String) => Hashes.fnv64a(s))
-  val strkeyAccount = udf((b: Array[Byte]) => Strkey.encodeAccountId(b))
+  private def nativeCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+
+  def farmHash64(c: Column): Column =
+    nativeCol(graft.plans.FarmHash64Expression(exprOf(c)))
+  def fnv64a(c: Column): Column =
+    nativeCol(graft.plans.Fnv64aExpression(exprOf(c)))
+  def strkeyAccount(c: Column): Column =
+    nativeCol(graft.plans.StrkeyAccountExpression(exprOf(c)))
   val strkeyContract = udf((b: Array[Byte]) => Strkey.encodeContract(b))
   val strkeyPool = udf((b: Array[Byte]) => Strkey.encodeLiquidityPool(b))
   val strkeyBalance = udf((b: Array[Byte]) => Strkey.encodeClaimableBalance(b))

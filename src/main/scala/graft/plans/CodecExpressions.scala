@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, BinaryType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot opaque codecs.
+  *
+  * A Scala UDF forces (1) a serialization fence in the plan and (2) an
+  * InternalRow→Row conversion per call; a native `Expression` with
+  * `doGenCode` emitting a static call stays inside whole-stage codegen and
+  * remains pushdown/reorder-safe (deterministic, null-intolerant). These are
+  * the per-row-hot functions: asset ids (FarmHash64, P6 — executed once per
+  * operation row) and orderbook dim keys (FNV-64a, P20). */
+abstract class CodecUnaryExpression extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  protected def expectedInputType: DataType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == expectedInputType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects $expectedInputType, got " + child.dataType)
+}
+
+/** FarmHash Fingerprint64 over UTF-8 bytes (`asset.go:72-77`). */
+case class FarmHash64Expression(child: Expression) extends CodecUnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.Hashes.farmHash64(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.Hashes$$.MODULE$$.farmHash64($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): FarmHash64Expression =
+    copy(child = newChild)
+  override def prettyName: String = "farm_hash64"
+}
+
+/** FNV-1a 64-bit over UTF-8 bytes (`offer_normalized.go:108-178`). */
+case class Fnv64aExpression(child: Expression) extends CodecUnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.Hashes.fnv64a(input.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.Hashes$$.MODULE$$.fnv64a($c.getBytes())")
+  override protected def withNewChildInternal(newChild: Expression): Fnv64aExpression =
+    copy(child = newChild)
+  override def prettyName: String = "fnv64a"
+}
+
+/** Strkey account-id encoding of a 32-byte ed25519 key (G… address). */
+case class StrkeyAccountExpression(child: Expression) extends CodecUnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def expectedInputType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.codec.Strkey.encodeAccountId(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.codec.Strkey$$.MODULE$$.encodeAccountId($c))")
+  override protected def withNewChildInternal(newChild: Expression): StrkeyAccountExpression =
+    copy(child = newChild)
+  override def prettyName: String = "strkey_account"
+}

@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.QueryCatalog
+
+/** Prints formatted physical plans for the load-bearing queries plus
+  * automated plan-property checks (pushdown reached the scan, dims were
+  * broadcast, aggregates are partial+final, intra-row ops have no exchange).
+  * Run: sbt "runMain graft.tools.ExplainAudit [sfDir]" */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "false") // print final (non-AQE) plans
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val interesting = Seq(
+      "s1_range_scan" -> Seq("PushedFilters: [IsNotNull(o_orderkey), GreaterThanOrEqual(o_orderkey", "*(1)"),
+      "a1_tpch_q1" -> Seq("partial_sum", "*(1)"),
+      "j5_equi_join_revenue" -> Seq("BroadcastHashJoin", "partial_sum"),
+      "s6_change_compaction" -> Seq("partial_max_by", "*(1)"),
+      "p1_history_ledgers" -> Seq("*(1)"),
+      "x_dedup_exact" -> Seq("partial_min_by"),
+      "x_sim_dot_topk" -> Seq("BroadcastNestedLoopJoin", "WindowGroupLimit"),
+      "p4_effects_flatmap" -> Seq("Generate posexplode")
+    )
+    val byName = (QueryCatalog.all ++ QueryCatalog.entryOps).map(q => q.name -> q).toMap
+    var bad = 0
+    interesting.foreach { case (name, expects) =>
+      val df = byName(name).fn(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"\n======== $name ========")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode).take(4000))
+      expects.foreach { e =>
+        val ok = plan.contains(e)
+        if (!ok) bad += 1
+        println(s"  CHECK ${if (ok) "PASS" else "MISS"}: $e")
+      }
+    }
+    println(s"\nplan-property misses: $bad")
+    spark.stop()
+  }
+}

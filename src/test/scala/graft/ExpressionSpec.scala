@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.GraftFunctions
+import graft.plans.GraftExtensions
+
+/** Native codec expressions: value parity with the scalar codecs, codegen
+  * path exercised, SQL registration via extensions. */
+class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-expr-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("native expressions match scalar codecs over many rows (codegen path)") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => s"payload-$i").toDF("s")
+      .select(col("s"),
+        GraftFunctions.farmHash64(col("s")).as("fh"),
+        GraftFunctions.fnv64a(col("s")).as("fnv"),
+        GraftFunctions.strkeyAccount(unhex(sha2(col("s"), 256))).as("sk"))
+    df.collect().foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(1) == graft.codec.Hashes.farmHash64(s))
+      assert(r.getLong(2) == graft.codec.Hashes.fnv64a(s))
+      assert(r.getString(3) ==
+        graft.codec.Strkey.encodeAccountId(
+          graft.codec.Hashes.sha256(s.getBytes("UTF-8"))))
+    }
+  }
+
+  test("expressions stay inside whole-stage codegen (no UDF fence)") {
+    import spark.implicits._
+    val df = Seq("x").toDF("s").select(GraftFunctions.farmHash64(col("s")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+    assert(!plan.contains("BatchEvalPython"))
+  }
+
+  test("nulls propagate (null-intolerant)") {
+    import spark.implicits._
+    val df = Seq(Some("a"), None).toDF("s")
+      .select(GraftFunctions.fnv64a(col("s")).as("h"))
+    val rows = df.collect()
+    assert(!rows(0).isNullAt(0))
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("SQL users can call the functions after extension registration") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT farm_hash64('abc') AS a, fnv64a('abc') AS b").head()
+    assert(out.getLong(0) == graft.codec.Hashes.farmHash64("abc"))
+    assert(out.getLong(1) == graft.codec.Hashes.fnv64a("abc"))
+  }
+
+  test("type mismatch is rejected at analysis time") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("n")
+    intercept[Exception] {
+      df.select(GraftFunctions.farmHash64(col("n"))).collect()
+    }
+  }
+}
