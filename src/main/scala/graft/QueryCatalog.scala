@@ -966,6 +966,19 @@ object QueryCatalog {
       (s, dir) =>
         EntryProjections.rawBase64(T(s, dir, "documents")).orderBy("doc_id")),
 
+    Q("stellar_history_pipeline", None, // strkey/base64 model: rows-only check
+      (s, dir) => {
+        // the REAL P1+P2+P3 transforms over the decoded ledger model
+        val ledgers = graft.sources.StellarFixture.ledgers(s, 1000, 1099)
+        val l = StellarTransforms.historyLedgers(ledgers)
+          .select(col("id"), lit("ledger").as("grain"))
+        val t = StellarTransforms.historyTransactions(ledgers)
+          .select(col("id"), lit("tx").as("grain"))
+        val o = StellarTransforms.historyOperations(ledgers)
+          .select(col("id"), lit("op").as("grain"))
+        l.unionAll(t).unionAll(o).orderBy("id", "grain")
+      }),
+
     Q("j3_sponsor_lookup",
       Some(s"""$txBase,
              |sp AS (SELECT ledger_sequence,

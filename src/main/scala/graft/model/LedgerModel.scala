@@ -1,0 +1,68 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** The decoded source grain: one row per ledger with nested transactions and
+  * operations — what the XDR decode layer emits at the source boundary
+  * (SURVEY §7.1: decode ONCE into nested columnar structs, then stay
+  * declarative). Mirrors the information content of `LedgerCloseMeta` that the
+  * reference's transforms consume (`internal/input/ledgers.go:25`,
+  * `transactions.go:16-20`).
+  *
+  * Byte-typed fields hold raw key material (ed25519 keys, hashes); strkey /
+  * hex / base64 rendering happens in the transforms, not the decoder. */
+object LedgerModel {
+
+  /** One operation inside a transaction envelope. `details_json` carries the
+    * per-type sparse union pre-serialized (SURVEY §1.2 option (b) at the
+    * model boundary; the transform emits both `details` struct-JSON and the
+    * passthrough string). */
+  case class OpModel(
+      op_type: Int,
+      source_key: Option[Array[Byte]], // None → falls back to tx source
+      source_muxed_id: Option[Long],
+      amount_stroops: Long,
+      details_json: String,
+      result_code: String,
+      trace_code: String)
+
+  /** One transaction: envelope + result + meta essentials. */
+  case class TxModel(
+      hash_hex: String,
+      source_key: Array[Byte],
+      source_muxed_id: Option[Long], // Some → account_muxed M-address emitted
+      account_sequence: Long,
+      max_fee: Long,
+      fee_charged: Long,
+      successful: Boolean,
+      result_code: String,
+      memo_type: String, // none | text | id | hash | return
+      memo_text: Option[String],
+      memo_id: Option[Long],
+      memo_hash: Option[Array[Byte]],
+      time_min: Option[Long], time_max: Option[Long],
+      ledger_min: Option[Long], ledger_max: Option[Long],
+      envelope_b64: String, result_b64: String, meta_b64: String,
+      fee_meta_b64: String,
+      signers: Seq[Array[Byte]],
+      operations: Seq[OpModel])
+
+  /** One closed ledger. */
+  case class LedgerRow(
+      sequence: Long,
+      ledger_hash: Array[Byte],
+      previous_ledger_hash: Array[Byte],
+      header_b64: String,
+      closed_at: Timestamp,
+      total_coins: Long,
+      fee_pool: Long,
+      base_fee: Long,
+      base_reserve: Long,
+      max_tx_set_size: Long,
+      protocol_version: Long,
+      soroban_fee_write_1kb: Long,
+      node_id_key: Array[Byte],
+      signature: Array[Byte],
+      bucket_list_size: Long,
+      transactions: Seq[TxModel])
+}
