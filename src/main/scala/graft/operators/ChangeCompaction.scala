@@ -28,11 +28,13 @@ object ChangeCompaction {
     *                  must be non-null and totally ordered within a key
     */
   def latestByKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    // nested key paths (e.g. "offer.offer_id") surface as dot-free columns
+    val keyNames = keyCols.map(_.replace('.', '_'))
     val ord = struct(orderCols.map(col): _*)
     val payload = struct(df.columns.filterNot(keyCols.contains).map(col): _*)
-    df.groupBy(keyCols.map(col): _*)
+    df.groupBy(keyCols.zip(keyNames).map { case (k, n) => col(k).as(n) }: _*)
       .agg(max_by(payload, ord).as("__latest"))
-      .select(keyCols.map(col) :+ col("__latest.*"): _*)
+      .select(keyNames.map(col) :+ col("__latest.*"): _*)
   }
 
   /** Per-batch compaction: latest state per key within each `batchSize`-ledger

@@ -71,4 +71,68 @@ object StellarFixture {
     import spark.implicits._
     spark.createDataset((start to end).map(ledger))
   }
+
+  // ---- change-grain fixture -------------------------------------------------
+
+  import graft.model.ChangeModel._
+
+  def accountChange(seq: Long, i: Int): ChangeRow = {
+    val deleted = i % 7 == 6
+    ChangeRow(
+      ledger_sequence = seq,
+      closed_at = new Timestamp(1700000000000L + seq * 5000L),
+      change_order = i.toLong,
+      ledger_entry_change = if (deleted) 2L else if (i % 3 == 0) 0L else 1L,
+      entry_type = "account",
+      deleted = deleted,
+      last_modified_ledger = seq,
+      account = Some(AccountState(
+        account_key = keyOf(s"acct-${i % 9}"),
+        balance_stroops = 10000000L * (i + 1) + seq,
+        buying_liabilities_stroops = 500000L * i,
+        selling_liabilities_stroops = 300000L * i,
+        sequence_number = seq * 4096 + i,
+        sequence_ledger = if (i % 2 == 0) Some(seq) else None,
+        sequence_time = None,
+        num_subentries = i % 5,
+        inflation_destination_key = None,
+        flags = i % 16, home_domain = s"home$i.example",
+        master_weight = 1 + i % 3, threshold_low = 1, threshold_medium = 2,
+        threshold_high = 3,
+        sponsor_key = if (i % 4 == 0) Some(keyOf(s"sponsor-$i")) else None,
+        num_sponsored = 0, num_sponsoring = 0,
+        signers = (0 to i % 3).map(k =>
+          SignerState(keyOf(s"sig-$i-$k"), 10 - k, None)))),
+      offer = None, trustline = None)
+  }
+
+  def offerChange(seq: Long, i: Int): ChangeRow =
+    ChangeRow(
+      ledger_sequence = seq,
+      closed_at = new Timestamp(1700000000000L + seq * 5000L),
+      change_order = 100L + i,
+      ledger_entry_change = 1L,
+      entry_type = "offer",
+      deleted = i % 5 == 4,
+      last_modified_ledger = seq,
+      account = None,
+      offer = Some(OfferState(
+        seller_key = keyOf(s"seller-${i % 6}"),
+        offer_id = 9000L + i,
+        selling_asset = AssetRef("credit_alphanum4", s"AS${i % 4}", s"ISS${i % 3}"),
+        buying_asset = AssetRef("native", "", ""),
+        amount_stroops = 25000000L + i,
+        price_n = 1 + i % 9, price_d = 1 + i % 7, flags = i % 4,
+        sponsor_key = None)),
+      trustline = None)
+
+  def changes(spark: SparkSession, start: Long, end: Long,
+      perLedger: Int = 8): Dataset[ChangeRow] = {
+    import spark.implicits._
+    spark.createDataset(for {
+      seq <- start to end
+      i <- 0 until perLedger
+      row <- Seq(accountChange(seq, i), offerChange(seq, i))
+    } yield row)
+  }
 }
