@@ -1,0 +1,153 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.StellarFixture
+
+/** Thin command layer mirroring the reference CLI (`cmd/export_*.go`): same
+  * command names and flag vocabulary, Spark underneath.
+  *
+  *   runMain graft.cli.Export export_transactions \
+  *     --start 1000 --end 1099 --output /tmp/out \
+  *     [--format ndjson|parquet] [--limit N] [--extra-fields k=v,k2=v2]
+  *     [--input <parquet dir of decoded LedgerRow>]  (default: fixture)
+  *
+  * Commands: export_ledgers, export_transactions, export_operations,
+  * export_ledger_entry_changes (--export-type account|signer|offer|trustline),
+  * get_ledger_range_from_times (--start-time/--end-time ISO).
+  *
+  * The reference accumulates the whole range in RAM then loops row-by-row
+  * (`input/transactions.go:31-70`); here every command is one lazy plan:
+  * scan → explode/project → sink, partition-parallel, spillable. */
+object Export {
+
+  case class Args(
+      command: String = "",
+      start: Long = 0, end: Long = 0,
+      output: String = "", input: Option[String] = None,
+      format: String = "ndjson",
+      limit: Long = -1,
+      extraFields: Map[String, String] = Map.empty,
+      exportType: String = "account",
+      startTime: String = "", endTime: String = "",
+      strict: Boolean = false)
+
+  def parse(argv: Array[String]): Args = {
+    def loop(a: Args, rest: List[String]): Args = rest match {
+      case Nil => a
+      case "--start" :: v :: t => loop(a.copy(start = v.toLong), t)
+      case "--end" :: v :: t => loop(a.copy(end = v.toLong), t)
+      case ("--output" | "-o") :: v :: t => loop(a.copy(output = v), t)
+      case "--input" :: v :: t => loop(a.copy(input = Some(v)), t)
+      case "--format" :: v :: t => loop(a.copy(format = v), t)
+      case ("--limit" | "-l") :: v :: t => loop(a.copy(limit = v.toLong), t)
+      case "--export-type" :: v :: t => loop(a.copy(exportType = v), t)
+      case "--start-time" :: v :: t => loop(a.copy(startTime = v), t)
+      case "--end-time" :: v :: t => loop(a.copy(endTime = v), t)
+      case "--strict-export" :: t => loop(a.copy(strict = true), t)
+      case "--extra-fields" :: v :: t =>
+        loop(a.copy(extraFields = v.split(',').filter(_.contains("="))
+          .map { kv => val Array(k, x) = kv.split("=", 2); k -> x }.toMap), t)
+      case cmd :: t if a.command.isEmpty => loop(a.copy(command = cmd), t)
+      case other :: _ => sys.error(s"unknown flag: $other")
+    }
+    loop(Args(), argv.toList)
+  }
+
+  def session(): SparkSession = SparkSession.builder()
+    .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+    .appName("graft-export")
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** K1 extra fields: constant columns appended to every record
+    * (`cmd/command_utils.go:69-71`). */
+  private def withExtras(df: DataFrame, extras: Map[String, String]): DataFrame =
+    extras.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+
+  /** K1/K2 sinks + K5 stats line. */
+  private def sink(df0: DataFrame, a: Args): Unit = {
+    val limited = if (a.limit >= 0) df0.limit(a.limit.toInt) else df0
+    val df = withExtras(limited, a.extraFields)
+    a.format match {
+      case "ndjson" => df.write.mode("overwrite").json(a.output)
+      case "parquet" => df.write.mode("overwrite").parquet(a.output)
+      case other => sys.error(s"unknown format: $other")
+    }
+    val n = df.sparkSession.read.format(a.format match {
+      case "ndjson" => "json"; case f => f
+    }).load(a.output).count()
+    // PrintTransformStats parity (`cmd/command_utils.go:90-103`)
+    println(s"""{"attempted":$n,"failed":0,"successful":$n}""")
+  }
+
+  private def ledgerSource(spark: SparkSession, a: Args) = {
+    import spark.implicits._
+    a.input match {
+      case Some(path) =>
+        spark.read.parquet(path).as[graft.model.LedgerModel.LedgerRow]
+      case None => StellarFixture.ledgers(spark, a.start, a.end)
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv)
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    a.command match {
+      case "export_ledgers" =>
+        sink(StellarTransforms.historyLedgers(
+          ledgerSource(spark, a).where(col("sequence").between(a.start, a.end))), a)
+
+      case "export_transactions" =>
+        sink(StellarTransforms.historyTransactions(
+          ledgerSource(spark, a).where(col("sequence").between(a.start, a.end))), a)
+
+      case "export_operations" =>
+        sink(StellarTransforms.historyOperations(
+          ledgerSource(spark, a).where(col("sequence").between(a.start, a.end))), a)
+
+      case "export_ledger_entry_changes" =>
+        val changes = StellarFixture.changes(spark, a.start, a.end)
+          .where(col("ledger_sequence").between(a.start, a.end))
+        val projected = a.exportType match {
+          case "account" => ChangeTransforms.accounts(changes)
+          case "signer" => ChangeTransforms.accountSigners(changes)
+          case "offer" =>
+            val o = ChangeTransforms.offers(changes)
+            if (a.strict && ChangeTransforms.invalidOffers(o).limit(1).count() > 0)
+              sys.error("strict-export: offer invariant violation")
+            o
+          case "trustline" => ChangeTransforms.trustlines(changes)
+          case other => sys.error(s"unknown export type: $other")
+        }
+        sink(projected, a)
+
+      case "get_ledger_range_from_times" =>
+        // SURVEY §3.3: once ledgers are a table this is a min/max scan, not
+        // an archive binary search
+        val ledgers = StellarTransforms.historyLedgers(
+          ledgerSource(spark, a.copy(start = 0, end = 5000)))
+        val r = ledgers
+          .where(col("closed_at").between(
+            to_timestamp(lit(a.startTime)), to_timestamp(lit(a.endTime))))
+          .agg(min("sequence").as("start"), max("sequence").as("end"))
+          .head()
+        println(s"""{"start":${r.get(0)},"end":${r.get(1)}}""")
+
+      case "" | "help" =>
+        println("commands: export_ledgers export_transactions export_operations " +
+          "export_ledger_entry_changes get_ledger_range_from_times")
+
+      case other => sys.error(s"unknown command: $other")
+    }
+    spark.stop()
+  }
+}
