@@ -13,6 +13,12 @@ package graft.codec
   * these scalar versions exist for typed code and property tests.
   */
 object Toid {
+  /** The reference packs an int32 ledger (`toid/main.go` New takes int32), so
+    * valid ledgers are < 2^31 — which also keeps the packed TOID positive and
+    * makes signed-long ordering isomorphic to (ledger, tx, op) ordering.
+    * (Above 2^30 the synthetic-offer bit 62 would collide with ledger bits —
+    * a latent property shared with the reference; ~170 years of ledgers.) */
+  val MaxLedger: Long = Int.MaxValue
   val LedgerMask: Long = (1L << 32) - 1
   val TransactionMask: Long = (1L << 20) - 1
   val OperationMask: Long = (1L << 12) - 1
@@ -25,7 +31,7 @@ object Toid {
   val MaxOpIndex: Long = OperationMask
 
   def pack(ledgerSeq: Long, txOrder: Long, opIndex: Long): Long = {
-    require(ledgerSeq >= 0 && ledgerSeq <= LedgerMask, s"ledger out of range: $ledgerSeq")
+    require(ledgerSeq >= 0 && ledgerSeq <= MaxLedger, s"ledger out of range: $ledgerSeq")
     require(txOrder >= 0 && txOrder <= TransactionMask, s"txOrder out of range: $txOrder")
     require(opIndex >= 0 && opIndex <= OperationMask, s"opIndex out of range: $opIndex")
     (ledgerSeq << LedgerShift) | (txOrder << TransactionShift) | opIndex

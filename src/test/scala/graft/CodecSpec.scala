@@ -12,7 +12,7 @@ class CodecSpec extends AnyFunSuite {
   test("toid pack/unpack roundtrip (property)") {
     val r = rnd
     for (_ <- 1 to 500) {
-      val l = r.nextLong(Toid.LedgerMask + 1)
+      val l = r.nextLong(Toid.MaxLedger + 1)
       val t = r.nextLong(Toid.MaxTxOrder + 1)
       val o = r.nextLong(Toid.MaxOpIndex + 1)
       assert(Toid.unpack(Toid.pack(l, t, o)) == ((l, t, o)))
