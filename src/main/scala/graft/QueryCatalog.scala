@@ -979,6 +979,20 @@ object QueryCatalog {
         l.unionAll(t).unionAll(o).orderBy("id", "grain")
       }),
 
+    Q("stellar_trades_effects", None, // strkey/farmhash model: rows-only check
+      (s, dir) => {
+        // REAL P4+P5 over the decoded model: pre-state price reverse scan,
+        // synthetic ids, LP pool fees, effect fan-out
+        val ledgers = graft.sources.StellarFixture.ledgers(s, 2000, 2099)
+        val t = StellarTradesEffects.historyTrades(ledgers)
+          .select(col("history_operation_id").as("id"),
+            lit("trade").as("grain"), col("price_n").as("n"))
+        val e = StellarTradesEffects.historyEffects(ledgers)
+          .select(col("operation_id").as("id"), lit("effect").as("grain"),
+            col("index").as("n"))
+        t.unionAll(e).orderBy("id", "grain", "n")
+      }),
+
     Q("j3_sponsor_lookup",
       Some(s"""$txBase,
              |sp AS (SELECT ledger_sequence,

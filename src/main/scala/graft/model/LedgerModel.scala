@@ -13,6 +13,32 @@ import java.sql.Timestamp
   * hex / base64 rendering happens in the transforms, not the decoder. */
 object LedgerModel {
 
+  /** An asset reference inside envelopes/results. */
+  case class AssetRef(asset_type: String, asset_code: String, asset_issuer: String)
+
+  /** One claimed offer (claim atom) from a trade-producing op's result
+    * (`trade.go:164-262`). `offer_id` None ⇔ the offer never existed
+    * on-chain (path payments) → synthetic bit-62 id downstream. */
+  case class ClaimAtom(
+      atom_type: String, // "offer" | "liquidity_pool"
+      seller_key: Option[Array[Byte]],
+      offer_id: Option[Long],
+      pool_id: Option[Array[Byte]],
+      amount_sold_stroops: Long,
+      amount_bought_stroops: Long,
+      asset_sold: AssetRef,
+      asset_bought: AssetRef)
+
+  /** One entry-change recorded under the op (application order preserved) —
+    * the pre-state source for trade prices / pool fees (`trade.go:264-317`). */
+  case class OpChange(
+      entry_type: String, // "offer" | "liquidity_pool" | ...
+      seller_key: Option[Array[Byte]],
+      offer_id: Option[Long],
+      pool_id: Option[Array[Byte]],
+      pre_price_n: Option[Int], pre_price_d: Option[Int],
+      pre_pool_fee: Option[Long])
+
   /** One operation inside a transaction envelope. `details_json` carries the
     * per-type sparse union pre-serialized (SURVEY §1.2 option (b) at the
     * model boundary; the transform emits both `details` struct-JSON and the
@@ -24,7 +50,9 @@ object LedgerModel {
       amount_stroops: Long,
       details_json: String,
       result_code: String,
-      trace_code: String)
+      trace_code: String,
+      claim_atoms: Seq[ClaimAtom] = Seq.empty,
+      changes: Seq[OpChange] = Seq.empty)
 
   /** One transaction: envelope + result + meta essentials. */
   case class TxModel(

@@ -14,6 +14,32 @@ object StellarFixture {
 
   def op(l: Long, t: Int, o: Int): OpModel = {
     val ty = (l.toInt + t + o) % 27
+    val isTrade = Seq(2, 3, 4, 12, 13).contains(ty)
+    val nAtoms = if (isTrade) (o % 2) + 1 else 0
+    val atoms = (0 until nAtoms).map { a =>
+      val lp = ty == 2 && a == 0 // some path-payment atoms cross an LP
+      ClaimAtom(
+        atom_type = if (lp) "liquidity_pool" else "offer",
+        seller_key = if (lp) None else Some(keyOf(s"seller-$l-$t-$o-$a")),
+        offer_id = if (lp || ty == 13) None else Some(5000L + a),
+        pool_id = if (lp) Some(keyOf(s"pool-$l")) else None,
+        amount_sold_stroops = 2000000L * (a + 1),
+        amount_bought_stroops = 1500000L * (a + 1),
+        asset_sold = AssetRef("credit_alphanum4", s"SL$a", s"IS${a % 2}"),
+        asset_bought = AssetRef("native", "", ""))
+    }
+    // change list: a decoy early change + the authoritative last pre-state
+    val changes = atoms.flatMap { a =>
+      if (a.atom_type == "offer" && a.offer_id.isDefined) Seq(
+        OpChange("offer", a.seller_key, a.offer_id, None,
+          Some(1), Some(99), None), // stale state: must NOT win
+        OpChange("offer", a.seller_key, a.offer_id, None,
+          Some(7), Some(2), None)) // pre-state: reverse scan finds this
+      else if (a.atom_type == "liquidity_pool") Seq(
+        OpChange("liquidity_pool", None, None, a.pool_id,
+          None, None, Some(30L)))
+      else Seq.empty
+    }
     OpModel(
       op_type = ty,
       source_key = if (o % 3 == 0) None else Some(keyOf(s"op-$l-$t-$o")),
@@ -21,7 +47,9 @@ object StellarFixture {
       amount_stroops = 1000000L * (o + 1) + t,
       details_json = s"""{"amount":"${(o + 1).toDouble}","op":"$ty"}""",
       result_code = "OperationResultCodeOpInner",
-      trace_code = "success")
+      trace_code = "success",
+      claim_atoms = atoms,
+      changes = changes)
   }
 
   def tx(l: Long, t: Int): TxModel = {
