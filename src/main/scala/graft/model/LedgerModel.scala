@@ -54,6 +54,17 @@ object LedgerModel {
       claim_atoms: Seq[ClaimAtom] = Seq.empty,
       changes: Seq[OpChange] = Seq.empty)
 
+  /** Fee-account balance change from fee meta / TxChangesAfter — the J4
+    * lookup source (`transaction.go:277-305`). */
+  case class BalanceChange(
+      account_key: Array[Byte], balance_before: Long, balance_after: Long)
+
+  /** Soroban transaction data (envelope ext + SorobanMeta ext V1). */
+  case class SorobanModel(
+      resource_fee: Long, instructions: Long, read_bytes: Long,
+      write_bytes: Long, non_refundable_fee: Long, refundable_fee: Long,
+      rent_fee: Long)
+
   /** One transaction: envelope + result + meta essentials. */
   case class TxModel(
       hash_hex: String,
@@ -73,7 +84,14 @@ object LedgerModel {
       envelope_b64: String, result_b64: String, meta_b64: String,
       fee_meta_b64: String,
       signers: Seq[Array[Byte]],
-      operations: Seq[OpModel])
+      operations: Seq[OpModel],
+      soroban: Option[SorobanModel] = None,
+      fee_changes: Seq[BalanceChange] = Seq.empty,
+      changes_after: Seq[BalanceChange] = Seq.empty,
+      is_fee_bump: Boolean = false,
+      fee_bump_account_key: Option[Array[Byte]] = None,
+      inner_hash_hex: Option[String] = None,
+      new_max_fee: Option[Long] = None)
 
   /** One closed ledger. */
   case class LedgerRow(

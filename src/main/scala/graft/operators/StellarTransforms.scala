@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
@@ -62,10 +62,15 @@ object StellarTransforms {
       col("bucket_list_size").as("total_byte_size_of_bucket_list"))
 
   /** P2 — `history_transactions`: explode + memo demux, bounds intervals,
-    * muxed addresses, TOID ids. */
+    * muxed addresses, TOID ids, and the Soroban fee decomposition
+    * (`transaction.go:131-191`): inclusion fee bid = envelope fee − resource
+    * fee; inclusion fee charged from the fee-account balance diff in fee meta
+    * (J4, intra-row lookup); refund from TxChangesAfter; rent/refundable
+    * split from SorobanMeta; P20 fee-bump bug workaround for protocol < 21
+    * (`transaction.go:186-190`). */
   def historyTransactions(ledgers: Dataset[LedgerRow]): DataFrame = {
     val exploded = ledgers.select(
-      col("sequence"), col("closed_at"),
+      col("sequence"), col("closed_at"), col("protocol_version"),
       posexplode(col("transactions")).as(Seq("pos", "tx")))
 
     def bounds(minC: String, maxC: String): org.apache.spark.sql.Column =
@@ -73,6 +78,23 @@ object StellarTransforms {
         .otherwise(GraftFunctions.intervalString(
           col(minC),
           when(col(maxC) === 0L, lit(null).cast("long")).otherwise(col(maxC))))
+
+    // J4: first fee-meta balance change of the fee account (intra-row)
+    val feeKey = coalesce(col("tx.fee_bump_account_key"), col("tx.source_key"))
+    def balanceOf(changesCol: String): Column =
+      get(filter(col(changesCol), c => c("account_key") === feeKey), lit(0))
+    val feeChange = balanceOf("tx.fee_changes")
+    val afterChange = balanceOf("tx.changes_after")
+    val resourceFee = coalesce(col("tx.soroban.resource_fee"), lit(0L))
+    val initialFeeCharged =
+      coalesce(feeChange("balance_before") - feeChange("balance_after"), lit(0L))
+    val refund = coalesce(
+      afterChange("balance_after") - afterChange("balance_before"), lit(0L))
+    // P20 fee-bump bug (core#4188): recompute feeCharged for pre-21 bumps
+    val feeCharged =
+      when(col("protocol_version") < 21 && col("tx.is_fee_bump") &&
+        col("tx.soroban").isNotNull, resourceFee - refund)
+        .otherwise(col("tx.fee_charged"))
 
     exploded.select(
       col("tx.hash_hex").as("transaction_hash"),
@@ -83,7 +105,7 @@ object StellarTransforms {
         .as("account_muxed"),
       col("tx.account_sequence").as("account_sequence"),
       col("tx.max_fee").as("max_fee"),
-      col("tx.fee_charged").as("fee_charged"),
+      feeCharged.as("fee_charged"),
       size(col("tx.operations")).as("operation_count"),
       col("tx.envelope_b64").as("tx_envelope"),
       col("tx.result_b64").as("tx_result"),
@@ -99,10 +121,31 @@ object StellarTransforms {
       bounds("tx.time_min", "tx.time_max").as("time_bounds"),
       col("tx.successful").as("successful"),
       transactionToid(col("sequence"), col("pos") + 1).as("id"),
+      when(col("tx.is_fee_bump"), strkeyAccount(feeKey)).as("fee_account"),
+      col("tx.inner_hash_hex").as("inner_transaction_hash"),
+      col("tx.new_max_fee").as("new_max_fee"),
       bounds("tx.ledger_min", "tx.ledger_max").as("ledger_bounds"),
+      col("closed_at"),
+      resourceFee.as("resource_fee"),
+      coalesce(col("tx.soroban.instructions"), lit(0L))
+        .as("soroban_resources_instructions"),
+      coalesce(col("tx.soroban.read_bytes"), lit(0L))
+        .as("soroban_resources_read_bytes"),
+      coalesce(col("tx.soroban.write_bytes"), lit(0L))
+        .as("soroban_resources_write_bytes"),
       col("tx.result_code").as("transaction_result_code"),
-      transform(col("tx.signers"), k => strkeyAccount(k)).as("tx_signers"),
-      col("closed_at"))
+      when(col("tx.soroban").isNotNull, col("tx.max_fee") - resourceFee)
+        .otherwise(lit(0L)).as("inclusion_fee_bid"),
+      when(col("tx.soroban").isNotNull, initialFeeCharged - resourceFee)
+        .otherwise(lit(0L)).as("inclusion_fee_charged"),
+      when(col("tx.soroban").isNotNull, refund).otherwise(lit(0L))
+        .as("resource_fee_refund"),
+      coalesce(col("tx.soroban.non_refundable_fee"), lit(0L))
+        .as("non_refundable_resource_fee_charged"),
+      coalesce(col("tx.soroban.refundable_fee"), lit(0L))
+        .as("refundable_resource_fee_charged"),
+      coalesce(col("tx.soroban.rent_fee"), lit(0L)).as("rent_fee_charged"),
+      transform(col("tx.signers"), k => strkeyAccount(k)).as("tx_signers"))
   }
 
   /** P3 — `history_operations`: op grain with source fallback, type names,

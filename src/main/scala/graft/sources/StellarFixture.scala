@@ -75,7 +75,26 @@ object StellarFixture {
       envelope_b64 = s"ENV-$l-$t", result_b64 = s"RES-$l-$t",
       meta_b64 = s"META-$l-$t", fee_meta_b64 = s"FEE-$l-$t",
       signers = (0 to t % 3).map(i => keyOf(s"signer-$l-$t-$i")),
-      operations = (0 until (t % 4) + 1).map(o => op(l, t, o)))
+      operations = (0 until (t % 4) + 1).map(o => op(l, t, o)),
+      soroban = if (t % 5 == 2 || t % 5 == 4) Some(SorobanModel(
+        resource_fee = 40000L + t, instructions = 1000000L + t,
+        read_bytes = 5000, write_bytes = 2000,
+        non_refundable_fee = 30000L + t, refundable_fee = 8000L,
+        rent_fee = 1200L)) else None,
+      fee_changes =
+        if (t % 5 == 2) Seq(BalanceChange(keyOf(s"acct-$l-$t"), 900000000L, 900000000L - (45000L + t)))
+        else if (t % 5 == 4) Seq(BalanceChange(keyOf(s"bump-$l-$t"), 700000000L, 700000000L - (52000L + t)))
+        else Seq.empty,
+      changes_after =
+        if (t % 5 == 2 || t % 5 == 4)
+          Seq(BalanceChange(keyOf(if (t % 5 == 4) s"bump-$l-$t" else s"acct-$l-$t"),
+            100L, 100L + 6000L))
+        else Seq.empty,
+      is_fee_bump = t % 5 == 4,
+      fee_bump_account_key = if (t % 5 == 4) Some(keyOf(s"bump-$l-$t")) else None,
+      inner_hash_hex = if (t % 5 == 4)
+        Some(graft.codec.Hashes.sha256Hex(s"inner-$l-$t".getBytes("UTF-8"))) else None,
+      new_max_fee = if (t % 5 == 4) Some(10000L + t) else None)
   }
 
   def ledger(seq: Long): LedgerRow =
@@ -88,7 +107,7 @@ object StellarFixture {
       total_coins = 105443902087310000L,
       fee_pool = 18244660537L + seq,
       base_fee = 100, base_reserve = 5000000, max_tx_set_size = 1000,
-      protocol_version = 21,
+      protocol_version = if (seq % 3 == 0) 20 else 21,
       soroban_fee_write_1kb = 11800L,
       node_id_key = keyOf(s"node-${seq % 5}"),
       signature = keyOf(s"sig-$seq").take(16),
