@@ -993,6 +993,21 @@ object QueryCatalog {
         t.unionAll(e).orderBy("id", "grain", "n")
       }),
 
+    Q("stellar_token_transfers", None, // strkey model: rows-only check
+      (s, dir) => {
+        val ledgers = graft.sources.StellarFixture.ledgers(s, 3000, 3099)
+        val events = TokenTransfers.fromLedgers(ledgers)
+        // the VerifyEvents consistency check runs inside the gate: the union
+        // is empty unless fee events stop reconciling
+        events.select(col("transaction_id"), col("event_topic"),
+            col("amount"), col("ledger_sequence"))
+          .unionAll(TokenTransfers.verify(events, ledgers)
+            .select(col("transaction_id"), lit("INCONSISTENT").as("event_topic"),
+              col("fee_total").cast("string").as("amount"),
+              lit(-1L).as("ledger_sequence")))
+          .orderBy("transaction_id", "event_topic", "amount")
+      }),
+
     Q("j3_sponsor_lookup",
       Some(s"""$txBase,
              |sp AS (SELECT ledger_sequence,

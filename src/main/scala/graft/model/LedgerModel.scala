@@ -52,7 +52,10 @@ object LedgerModel {
       result_code: String,
       trace_code: String,
       claim_atoms: Seq[ClaimAtom] = Seq.empty,
-      changes: Seq[OpChange] = Seq.empty)
+      changes: Seq[OpChange] = Seq.empty,
+      destination_key: Option[Array[Byte]] = None,
+      destination_muxed_id: Option[Long] = None,
+      asset: Option[AssetRef] = None)
 
   /** Fee-account balance change from fee meta / TxChangesAfter — the J4
     * lookup source (`transaction.go:277-305`). */

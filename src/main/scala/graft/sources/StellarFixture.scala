@@ -49,7 +49,17 @@ object StellarFixture {
       result_code = "OperationResultCodeOpInner",
       trace_code = "success",
       claim_atoms = atoms,
-      changes = changes)
+      changes = changes,
+      destination_key =
+        // non-native payments (o odd) on even ledgers pay the issuer → burn
+        if (ty == 1 && o % 2 == 1 && l % 2 == 0) Some(keyOf(s"issuer-ISS${o % 3}"))
+        else if (ty == 1 || ty == 8 || ty == 19) Some(keyOf(s"dest-$l-$t-$o"))
+        else None,
+      destination_muxed_id = if (ty == 1 && o % 2 == 1) Some(4200L + o) else None,
+      asset = if (ty == 1 || ty == 19)
+        Some(AssetRef(if (o % 2 == 0) "native" else "credit_alphanum4",
+          if (o % 2 == 0) "" else s"TK$o",
+          if (o % 2 == 0) "" else s"ISS${o % 3}")) else None)
   }
 
   def tx(l: Long, t: Int): TxModel = {
