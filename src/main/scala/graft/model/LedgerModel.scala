@@ -37,7 +37,9 @@ object LedgerModel {
       offer_id: Option[Long],
       pool_id: Option[Array[Byte]],
       pre_price_n: Option[Int], pre_price_d: Option[Int],
-      pre_pool_fee: Option[Long])
+      pre_pool_fee: Option[Long],
+      pre_reserves_deposited: Option[Long] = None,
+      pre_reserves_disbursed: Option[Long] = None)
 
   /** One operation inside a transaction envelope. `details_json` carries the
     * per-type sparse union pre-serialized (SURVEY §1.2 option (b) at the

@@ -25,6 +25,14 @@ object StellarTradesEffects {
   val TradeOpTypes: Seq[Int] = Seq(2, 3, 4, 12, 13)
   private val PathPaymentTypes: Seq[Int] = Seq(2, 13)
 
+  /** Exact-rational slippage recompute (`graft.codec.AmmMath`); nullable
+    * Option result → null when the pool cannot pay out. */
+  private val roundingSlippageUdf =
+    udf((dep: java.lang.Long, dis: java.lang.Long, amount: java.lang.Long,
+        fee: java.lang.Long) =>
+      if (dep == null || dis == null || amount == null || fee == null) None
+      else graft.codec.AmmMath.roundingSlippageBips(dep, dis, amount, fee))
+
   private def opGrain(ledgers: Dataset[LedgerRow]): DataFrame =
     ledgers
       .select(col("sequence"), col("closed_at"),
@@ -102,6 +110,17 @@ object StellarTradesEffects {
         .as("history_operation_id"),
       when(col("atom.atom_type") === "liquidity_pool", 2).otherwise(1)
         .as("trade_type"),
+      // rounding slippage (trade.go:350-399): recompute the constant-product
+      // payout exactly from the PRE-state reserves; strict-receive uses the
+      // disbursed amount, strict-send the deposited amount
+      when(col("atom.atom_type") === "liquidity_pool" &&
+          col("op_type").isin(PathPaymentTypes: _*),
+        roundingSlippageUdf(
+          lastPoolChange("pre_reserves_deposited"),
+          lastPoolChange("pre_reserves_disbursed"),
+          when(col("op_type") === 2, col("atom.amount_sold_stroops"))
+            .otherwise(col("atom.amount_bought_stroops")),
+          lastPoolChange("pre_pool_fee"))).as("rounding_slippage"),
       when(col("op_type").isin(PathPaymentTypes: _*),
         col("op_type") === 13).as("seller_is_exact"),
       when(col("atom.atom_type") === "liquidity_pool",

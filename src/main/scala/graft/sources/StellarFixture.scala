@@ -37,7 +37,9 @@ object StellarFixture {
           Some(7), Some(2), None)) // pre-state: reverse scan finds this
       else if (a.atom_type == "liquidity_pool") Seq(
         OpChange("liquidity_pool", None, None, a.pool_id,
-          None, None, Some(30L)))
+          None, None, Some(30L),
+          pre_reserves_deposited = Some(5000000000L),
+          pre_reserves_disbursed = Some(3000000000L)))
       else Seq.empty
     }
     OpModel(

@@ -77,6 +77,23 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
       StellarTradesEffects.historyEffects(fixture).count())
   }
 
+  test("LP path-payment trades carry exact-rational rounding slippage") {
+    val lp = StellarTradesEffects.historyTrades(fixture)
+      .where(col("trade_type") === 2).collect()
+    assert(lp.nonEmpty)
+    lp.foreach { r =>
+      val slippage = r.getAs[Long]("rounding_slippage")
+      val amount = (r.getAs[Double]("selling_amount") * 1e7).round
+      val expect = graft.codec.AmmMath
+        .roundingSlippageBips(5000000000L, 3000000000L, amount, 30L)
+      assert(expect.contains(slippage))
+      assert(slippage >= 0 && slippage < 10000)
+    }
+    // scalar math sanity: floor-loss of a tiny payout is large in bips
+    val (payout, slip) = graft.codec.AmmMath.poolPayout(1000000L, 7L, 500000L, 30L).get
+    assert(payout >= 1 && slip >= 0)
+  }
+
   test("plan stays shuffle-free up to the explode (intra-row pre-state)") {
     val plan = StellarTradesEffects.historyTrades(fixture)
       .queryExecution.executedPlan.toString
