@@ -149,8 +149,31 @@ object StellarTransforms {
   }
 
   /** P3 — `history_operations`: op grain with source fallback, type names,
-    * op-index+1 TOIDs, details passthrough. */
-  def historyOperations(ledgers: Dataset[LedgerRow]): DataFrame =
+    * op-index+1 TOIDs. The `details` union is a WIDE NULLABLE STRUCT
+    * (SURVEY §1.2 option (a), BigQuery's own shape) — queryable columns,
+    * prunable by Parquet, with `details` additionally rendered to JSON for
+    * parity with the reference's map-typed field; the decoder's raw
+    * passthrough stays as `details_json`. */
+  def historyOperations(ledgers: Dataset[LedgerRow]): DataFrame = {
+    val paymentish = col("op.op_type").isin(0, 1, 2, 8, 13, 19)
+    val detailsStruct = struct(
+      when(paymentish, stroopsToXlm(col("op.amount_stroops"))).as("amount"),
+      when(col("op.destination_key").isNotNull,
+        strkeyAccount(col("op.destination_key"))).as("destination"),
+      when(col("op.destination_muxed_id").isNotNull,
+        strkeyMuxed(col("op.destination_key"), col("op.destination_muxed_id")))
+        .as("destination_muxed"),
+      col("op.asset.asset_type").as("asset_type"),
+      when(col("op.asset.asset_type") =!= "native", col("op.asset.asset_code"))
+        .as("asset_code"),
+      when(col("op.asset.asset_type") =!= "native", col("op.asset.asset_issuer"))
+        .as("asset_issuer"),
+      when(size(col("op.claim_atoms")) > 0, size(col("op.claim_atoms")))
+        .as("n_claim_atoms"),
+      when(size(col("op.claim_atoms")) > 0,
+        aggregate(col("op.claim_atoms"), lit(0L),
+          (acc, a) => acc + a("amount_sold_stroops"))).as("total_sold_stroops"))
+
     ledgers
       .select(col("sequence"), col("closed_at"),
         posexplode(col("transactions")).as(Seq("tx_pos", "tx")))
@@ -164,7 +187,8 @@ object StellarTransforms {
           .as("source_account_muxed"),
         col("op.op_type").as("type"),
         element_at(opTypeNameCol, col("op.op_type")).as("type_string"),
-        col("op.details_json").as("details"),
+        detailsStruct.as("details_struct"),
+        to_json(detailsStruct, Map("ignoreNullFields" -> "true")).as("details"),
         transactionToid(col("sequence"), col("tx_pos") + 1).as("transaction_id"),
         operationToid(col("sequence"), col("tx_pos") + 1, col("op_pos")).as("id"),
         col("closed_at"),
@@ -172,4 +196,5 @@ object StellarTransforms {
         col("op.trace_code").as("operation_trace_code"),
         col("sequence").as("ledger_sequence"),
         col("op.details_json").as("details_json"))
+  }
 }
