@@ -663,6 +663,17 @@ object QueryCatalog {
           .orderBy("query_id", "rank")
       }),
 
+    Q("x_sim_ivf_topk", None, // cell assignment + probe pruning: rows-only
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.ivfTopK(
+            emb, "vec_id", "embedding",
+            emb.where(col("vec_id") < 5).select(col("vec_id").as("qid"),
+              col("embedding").as("qvec")),
+            "qid", "qvec", k = 5, nCells = 16, nprobe = 4)
+          .orderBy("query_id", "rank")
+      }),
+
     Q("x_sim_lsh_topk", None,
       (s, dir) => {
         val emb = T(s, dir, "embeddings")

@@ -68,6 +68,71 @@ object Similarity {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus against a small
+    * deterministic centroid set, search only the `nprobe` nearest cells.
+    *
+    * Centroids here are a deterministic corpus sample (lowest ids) — on a
+    * real deployment swap in k-means centroids; the plan shape is identical:
+    * assignment is an intra-row argmin over the broadcast centroid array
+    * (no shuffle), the probe filter turns the O(N·Q) scan into a cell-pruned
+    * scan, and the final exact top-k reuses WindowGroupLimit. */
+  def ivfAssign(vec: Column, centroids: Seq[(Long, Seq[Float])]): Column = {
+    // argmin over centroid distances, computed intra-row
+    val scored = centroids.map { case (cid, cvec) =>
+      val carr = array(cvec.map(v => lit(v)): _*)
+      struct(
+        aggregate(zip_with(vec, carr, (x, c) => (x - c) * (x - c)),
+          lit(0.0d), (acc, v) => acc + v).as("dist"),
+        lit(cid).as("cell"))
+    }
+    aggregate(array(scored: _*), scored.head,
+      (best, s) => when(s("dist") < best("dist"), s).otherwise(best))("cell")
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic centroids: the nCells lowest-id corpus vectors
+    val centroids = corpus.select(col(corpusId).cast("long"), col(corpusVec))
+      .orderBy(col(corpusId)).limit(nCells).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+
+    val assigned = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("cvec"),
+      ivfAssign(col(corpusVec), centroids).as("cell"))
+
+    // each query probes its nprobe nearest cells
+    val qCells = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
+      .withColumn("cells", ivfProbeCells(col(queryVec), centroids, nprobe))
+      .select(col("query_id"), col("qvec"), explode(col("cells")).as("cell"))
+
+    val scored = assigned.join(broadcast(qCells), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** The nprobe nearest centroid cells for a query vector, intra-row:
+    * sort the (dist, cell) structs and slice. */
+  def ivfProbeCells(vec: Column, centroids: Seq[(Long, Seq[Float])],
+      nprobe: Int): Column = {
+    val scored = centroids.map { case (cid, cvec) =>
+      val carr = array(cvec.map(v => lit(v)): _*)
+      struct(
+        aggregate(zip_with(vec, carr, (x, c) => (x - c) * (x - c)),
+          lit(0.0d), (acc, v) => acc + v).as("dist"),
+        lit(cid).as("cell"))
+    }
+    transform(slice(sort_array(array(scored: _*)), 1, nprobe), s => s("cell"))
+  }
+
   /** LSH-bucketed ANN: score only bucket-colliding (query, corpus) pairs.
     * Recall/cost traded via `bits`. */
   def lshTopK(

@@ -117,6 +117,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+
+  test("IVF top-k: probing more cells recovers the brute-force top-1") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfAll = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 1, nCells = 8, nprobe = 8) // probe all cells
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivfAll == exact) // full probe == exhaustive search
+    val ivfPruned = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 1, nCells = 8, nprobe = 2)
+    assert(ivfPruned.count() > 0) // pruned search still returns hits
+  }
+
   test("lsh bucket is deterministic and identical vectors collide") {
     import spark.implicits._
     val df = Seq((1L, Array(0.5f, -0.25f, 0.75f)), (2L, Array(0.5f, -0.25f, 0.75f)))
