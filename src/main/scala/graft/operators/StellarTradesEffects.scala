@@ -133,7 +133,53 @@ object StellarTradesEffects {
     * generated by this model. */
   val EffectNames: Map[Int, String] = Map(
     0 -> "account_created", 2 -> "account_credited", 3 -> "account_debited",
-    12 -> "signer_updated", 33 -> "trade", 43 -> "sequence_bumped")
+    12 -> "signer_updated", 33 -> "trade", 43 -> "sequence_bumped",
+    20 -> "trustline_created", 21 -> "trustline_removed",
+    22 -> "trustline_updated", 30 -> "offer_created", 31 -> "offer_removed",
+    32 -> "offer_updated", 60 -> "account_sponsorship_created",
+    62 -> "account_sponsorship_removed")
+
+  /** Change-derived effects (`effects.go:287-368` sponsorship scan plus the
+    * entry-CRUD families): effect type = f(entry_type, ledger_entry_change);
+    * a created entry carrying a sponsor additionally emits the sponsorship
+    * effect. One narrow projection + explode over a per-row effect array. */
+  def changeEffects(changes: Dataset[graft.model.ChangeModel.ChangeRow]): DataFrame = {
+    val crud = typedLit(Map(
+      "trustline:0" -> 20, "trustline:2" -> 21, "trustline:1" -> 22,
+      "offer:0" -> 30, "offer:2" -> 31, "offer:1" -> 32))
+    val names = typedLit(EffectNames)
+    val crudType = element_at(crud,
+      concat(col("entry_type"), lit(":"), col("ledger_entry_change").cast("string")))
+    val sponsorKey = coalesce(col("account.sponsor_key"), col("offer.sponsor_key"),
+      col("trustline.sponsor_key"))
+    val addressKey = coalesce(col("account.account_key"), col("offer.seller_key"),
+      col("trustline.account_key"))
+
+    val effectsArr = filter(array(
+      when(crudType.isNotNull, struct(crudType.as("type"),
+        element_at(names, crudType).as("type_string"))),
+      when(sponsorKey.isNotNull && col("ledger_entry_change") === 0,
+        struct(lit(60).as("type"), lit(EffectNames(60)).as("type_string"))),
+      when(sponsorKey.isNotNull && col("ledger_entry_change") === 2,
+        struct(lit(62).as("type"), lit(EffectNames(62)).as("type_string")))),
+      e => e.isNotNull)
+
+    changes.toDF()
+      .where(addressKey.isNotNull)
+      .select(
+        strkeyAccount(addressKey).as("address"),
+        col("ledger_sequence"), col("closed_at"), col("change_order"),
+        posexplode(effectsArr).as(Seq("eff_pos", "e")))
+      .select(
+        col("address"),
+        col("e.type").as("type"),
+        col("e.type_string").as("type_string"),
+        col("ledger_sequence"),
+        col("closed_at"),
+        concat(col("ledger_sequence").cast("string"), lit("-"),
+          col("change_order").cast("string"), lit("-"),
+          (col("eff_pos") + 1).cast("string")).as("id"))
+  }
 
   /** P4 — `history_effects` over the model: per-op effect array built from
     * op type + claim atoms, exploded; id = "{opID}-{index}" (1-based). */

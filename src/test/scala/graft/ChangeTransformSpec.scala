@@ -65,6 +65,19 @@ class ChangeTransformSpec extends AnyFunSuite with BeforeAndAfterAll {
     ids.foreach { case (_, v) => assert(v.length == 1) }
   }
 
+  test("change-derived effects: CRUD families + sponsorship lifecycle") {
+    val effects = graft.operators.StellarTradesEffects.changeEffects(changes)
+    val byType = effects.groupBy("type_string").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fixture: offers are all ledger_entry_change=1 → offer_updated;
+    // accounts split across created/updated/removed
+    assert(byType.contains("offer_updated"))
+    assert(byType.contains("account_sponsorship_created"))
+    assert(!byType.contains("trustline_created")) // no trustline changes in fixture
+    // ids are unique (ledger-order-index triple)
+    assert(effects.select("id").distinct().count() == effects.count())
+  }
+
   test("export snapshot pipeline batches by 64 ledgers") {
     val wide = StellarFixture.changes(spark, 60, 70) // spans the 63/64 boundary
     val out = ChangeTransforms.exportSnapshot(wide, "offer", Seq("offer.offer_id"))
