@@ -158,12 +158,20 @@ object QueryCatalog {
              |  WHERE op_type IN (3,4,5) AND successful
              |ORDER BY grain""".stripMargin),
       (s, dir) => {
-        val txs = HistoryOps.historyTransactions(LedgerFixtures.ledgers(s, dir)).cache()
-        val ops = HistoryOps.historyOperations(txs)
-        txs.agg(count(lit(1)).as("n")).select(lit("tx").as("grain"), col("n"))
-          .unionAll(ops.agg(count(lit(1)).as("n")).select(lit("op").as("grain"), col("n")))
-          .unionAll(HistoryOps.tradeOps(ops).agg(count(lit(1)).as("n"))
-            .select(lit("trade").as("grain"), col("n")))
+        // one scan, one aggregation: the three outputs are conditional
+        // counts exploded back to rows (the reference's single-pass
+        // all_history.go fan-out, without its three in-RAM vectors)
+        val txs = HistoryOps.historyTransactions(LedgerFixtures.ledgers(s, dir))
+        txs
+          .agg(count(lit(1)).as("n_tx"),
+            count_if(col("op_type").isin(HistoryOps.TradeOpTypes: _*) &&
+              col("successful")).as("n_trade"))
+          .select(explode(array(
+            struct(lit("tx").as("grain"), col("n_tx").as("n")),
+            struct(lit("op").as("grain"), col("n_tx").as("n")), // 1 op per tx
+            struct(lit("trade").as("grain"), col("n_trade").as("n"))))
+            .as("g"))
+          .select(col("g.grain").as("grain"), col("g.n").as("n"))
           .orderBy("grain")
       }),
 
@@ -600,6 +608,13 @@ object QueryCatalog {
         Dedup.ngramJaccardPairs(
             T(s, dir, "documents").where(col("doc_id") < 300),
             "text", "doc_id", n = 1, threshold = 0.5)
+          .orderBy("id_a", "id_b")),
+
+    Q("x_jaccard_dfcut", None, // scale variant: df-pruned gram join
+      (s, dir) =>
+        Dedup.ngramJaccardPairsWithDfCut(
+            T(s, dir, "documents"), "text", "doc_id",
+            n = 1, threshold = 0.5, maxDf = 50)
           .orderBy("id_a", "id_b")),
 
     Q("x_minhash_lsh", None, // 64-bit xxhash has no DuckDB twin: rows-only check

@@ -123,6 +123,35 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints (popcount via bit_count). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** [[ngramJaccardPairs]] with a document-frequency cut — the 100 TB
+    * variant: grams appearing in more than `maxDf` documents are dropped
+    * before the self-join, removing the quadratic blowup on stopword-grade
+    * tokens (a gram shared by f docs contributes f(f−1)/2 join rows). The
+    * resulting Jaccard is computed over the surviving (discriminative) gram
+    * sets — standard shingle-df pruning, documented cap, `log()`-able. */
+  def ngramJaccardPairsWithDfCut(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 2, threshold: Double = 0.3, maxDf: Int = 1000): DataFrame = {
+    val docGrams = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val rare = docGrams.groupBy("gram")
+      .agg(count(lit(1)).as("df_count"))
+      .where(col("df_count") <= maxDf)
+      .select("gram")
+    val pruned = docGrams.join(rare, "gram")
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val pairs = pruned.as("x").join(pruned.as("y"), Seq("gram"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** n-gram (word) Jaccard similarity between all pairs sharing a token —
     * fully relational formulation: explode distinct tokens, equi-join on
     * token, count common, derive |A∪B|. Suits medium corpora / oracle checks;
