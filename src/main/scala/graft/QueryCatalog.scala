@@ -357,15 +357,19 @@ object QueryCatalog {
           .limit(100)),
 
     Q("l2_sorted_arrays",
+      // array rendered to CSV: the driver's pandas compare can't sort/hash
+      // raw array cells, and stringified output is engine-portable anyway
       Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
-             |       list(c_acctbal ORDER BY c_acctbal DESC, c_custkey DESC) AS balances
+             |       array_to_string(
+             |         list(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC),
+             |         ',') AS custkeys_by_balance
              |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) =>
         T(s, dir, "customer")
           .groupBy(col("c_nationkey").cast("long").as("nation_key"))
-          .agg(transform(
+          .agg(array_join(transform(
             reverse(sort_array(collect_list(struct(col("c_acctbal"), col("c_custkey"))))),
-            x => x("c_acctbal")).as("balances"))
+            x => x("c_custkey").cast("string")), ",").as("custkeys_by_balance"))
           .orderBy("nation_key")),
 
     // ===== 2.6 aggregations ==================================================
@@ -872,7 +876,7 @@ object QueryCatalog {
              |SELECT operation_id, CAST(t.i AS BIGINT) AS atom_index,
              |       amount / (part_key % 2 + 1) AS selling_amount,
              |       CASE WHEN t.i % 2 = 1
-             |            THEN (((ledger_sequence << 32) | (tx_order << 12)) | 1)
+             |            THEN ((((ledger_sequence << 32) | (tx_order << 12)) | 1) + 1)
              |                   | (CAST(1 AS BIGINT) << 62)
              |            ELSE operation_id END AS buying_offer_id,
              |       t.i % 2 = 0 AS seller_is_exact
@@ -977,13 +981,19 @@ object QueryCatalog {
         EntryProjections.ttls(ev(s, dir)).orderBy("key_hash")),
 
     Q("p17_contract_events",
+      // topics joined to one string: raw array cells break the driver's
+      // pandas sort/hash; the operator itself still emits the typed array
       Some("""SELECT event_id AS contract_event_id,
-             |       [event_type, CAST(user_id AS VARCHAR)] AS topics,
+             |       array_to_string([event_type, CAST(user_id AS VARCHAR)], '|')
+             |         AS topics_joined,
              |       '{"type":"' || event_type || '"}' AS data_decoded,
              |       event_type = 'error' AS in_failed_contract_call
              |FROM events ORDER BY contract_event_id""".stripMargin),
       (s, dir) =>
-        EntryProjections.contractEvents(ev(s, dir)).orderBy("contract_event_id")),
+        EntryProjections.contractEvents(ev(s, dir))
+          .withColumn("topics_joined", array_join(col("topics"), "|"))
+          .drop("topics")
+          .orderBy("contract_event_id")),
 
     Q("p18_raw_base64",
       Some("""SELECT doc_id, to_base64(encode(text)) AS envelope_b64,

@@ -33,4 +33,13 @@ object AmmMath {
   def roundingSlippageBips(reservesDeposited: Long, reservesDisbursed: Long,
       amount: Long, feeBips: Long): Option[Long] =
     poolPayout(reservesDeposited, reservesDisbursed, amount, feeBips).map(_._2)
+
+  /** Slippage with the reference's sentinel workaround for stellar/go#4203
+    * (`trade.go:373-393`): when the payout is not computable, strict-receive
+    * emits MaxInt64 (so the trade is excluded as max slippage) and strict-send
+    * emits MinInt64. */
+  def roundingSlippageOrSentinel(reservesDeposited: Long, reservesDisbursed: Long,
+      amount: Long, feeBips: Long, strictReceive: Boolean): Long =
+    roundingSlippageBips(reservesDeposited, reservesDisbursed, amount, feeBips)
+      .getOrElse(if (strictReceive) Long.MaxValue else Long.MinValue)
 }

@@ -49,10 +49,12 @@ object Toid {
   def unpack(toid: Long): (Long, Long, Long) =
     (ledgerOf(toid), txOrderOf(toid), opIndexOf(toid))
 
-  /** Synthetic offer id: operation TOID with bit 62 set, tagging ids minted for
-    * path-payment trades against offers that never had a real on-chain offer id. */
+  /** Synthetic offer id: (operation TOID + 1) with bit 62 set, tagging ids
+    * minted for trades whose buying side never had a real on-chain offer id.
+    * The +1 mirrors the reference's only mint site
+    * (`transform/trade.go:119`: `EncodeOfferId(operationID+1, TOIDType)`). */
   val SyntheticOfferBit: Long = 1L << 62
   def syntheticOfferId(ledgerSeq: Long, txOrder: Long, opIndex: Long): Long =
-    pack(ledgerSeq, txOrder, opIndex) | SyntheticOfferBit
+    (pack(ledgerSeq, txOrder, opIndex) + 1) | SyntheticOfferBit
   def isSynthetic(offerId: Long): Boolean = (offerId & SyntheticOfferBit) != 0
 }

@@ -39,9 +39,12 @@ object GraftFunctions {
   def toidTxOrder(t: Column): Column = shiftright(t, 12).bitwiseAND(lit(Toid.TransactionMask))
   def toidOpIndex(t: Column): Column = t.bitwiseAND(lit(Toid.OperationMask))
 
-  /** Synthetic offer id (bit 62 set), `toid/synt_offer_id.go:28-34`. */
+  /** Synthetic offer id: (operation TOID + 1) with bit 62 set — the +1 matches
+    * the reference's mint site (`transform/trade.go:119`,
+    * `toid/synt_offer_id.go:28-34`). */
   def syntheticOfferId(ledgerSeq: Column, txOrder: Column, opIndex0: Column): Column =
-    operationToid(ledgerSeq, txOrder, opIndex0).bitwiseOR(lit(Toid.SyntheticOfferBit))
+    (operationToid(ledgerSeq, txOrder, opIndex0) + lit(1L))
+      .bitwiseOR(lit(Toid.SyntheticOfferBit))
 
   // ---- checkpoint math (`utils/main.go:809-854`) ----------------------------
 

@@ -17,8 +17,9 @@ object LedgerModel {
   case class AssetRef(asset_type: String, asset_code: String, asset_issuer: String)
 
   /** One claimed offer (claim atom) from a trade-producing op's result
-    * (`trade.go:164-262`). `offer_id` None ⇔ the offer never existed
-    * on-chain (path payments) → synthetic bit-62 id downstream. */
+    * (`trade.go:164-262`). Offer-type atoms always carry the claimed offer's
+    * real on-chain `offer_id` (`trade.go:111` reads `claimOffer.OfferId()`
+    * unconditionally); only LP atoms leave it None. */
   case class ClaimAtom(
       atom_type: String, // "offer" | "liquidity_pool"
       seller_key: Option[Array[Byte]],
@@ -55,6 +56,10 @@ object LedgerModel {
       trace_code: String,
       claim_atoms: Seq[ClaimAtom] = Seq.empty,
       changes: Seq[OpChange] = Seq.empty,
+      /** The taker's own offer id from this op's ManageOfferSuccess result
+        * (`trade.go:188-224` BuyingOffer); None ⇔ no result offer survived
+        * (fully-consumed offer, or a path payment) → synthetic id downstream. */
+      result_offer_id: Option[Long] = None,
       destination_key: Option[Array[Byte]] = None,
       destination_muxed_id: Option[Long] = None,
       asset: Option[AssetRef] = None)

@@ -25,13 +25,16 @@ object StellarTradesEffects {
   val TradeOpTypes: Seq[Int] = Seq(2, 3, 4, 12, 13)
   private val PathPaymentTypes: Seq[Int] = Seq(2, 13)
 
-  /** Exact-rational slippage recompute (`graft.codec.AmmMath`); nullable
-    * Option result → null when the pool cannot pay out. */
+  /** Exact-rational slippage recompute (`graft.codec.AmmMath`); null only when
+    * the pre-state pool change carried no reserves. An uncomputable payout
+    * emits the reference's sentinel (MaxInt64 strict-receive / MinInt64
+    * strict-send, `trade.go:373-393` workaround for stellar/go#4203). */
   private val roundingSlippageUdf =
     udf((dep: java.lang.Long, dis: java.lang.Long, amount: java.lang.Long,
-        fee: java.lang.Long) =>
+        fee: java.lang.Long, strictReceive: java.lang.Boolean) =>
       if (dep == null || dis == null || amount == null || fee == null) None
-      else graft.codec.AmmMath.roundingSlippageBips(dep, dis, amount, fee))
+      else Some(graft.codec.AmmMath.roundingSlippageOrSentinel(
+        dep, dis, amount, fee, strictReceive)))
 
   private def opGrain(ledgers: Dataset[LedgerRow]): DataFrame =
     ledgers
@@ -51,7 +54,9 @@ object StellarTradesEffects {
       col("sequence"), col("closed_at"), col("tx_pos"), col("op_pos"),
       col("op.op_type").as("op_type"),
       col("op.changes").as("changes"),
-      col("tx.source_key").as("taker_key"),
+      // taker = op source when set, else tx source (`trade.go:123-129`)
+      coalesce(col("op.source_key"), col("tx.source_key")).as("taker_key"),
+      col("op.result_offer_id").as("result_offer_id"),
       posexplode(col("op.claim_atoms")).as(Seq("atom_pos", "atom")))
 
     // reverse scan of the op's changes for the claimed offer's pre-state:
@@ -98,8 +103,10 @@ object StellarTradesEffects {
         col("atom.amount_sold_stroops")).as("price_d"),
       when(col("atom.atom_type") === "offer", col("atom.offer_id"))
         .as("selling_offer_id"),
-      // buying side: real offer id if the atom has one, else synthetic
-      coalesce(col("atom.offer_id"),
+      // buying side: the TAKER's offer from the op's ManageOfferSuccess result
+      // (`trade.go:116-120`), never the claim atom; fully-consumed offers and
+      // path payments fall back to the synthetic (opToid+1)|bit62 id
+      coalesce(col("result_offer_id"),
         syntheticOfferId(col("sequence"), col("tx_pos") + 1, col("op_pos")))
         .as("buying_offer_id"),
       when(col("atom.atom_type") === "liquidity_pool",
@@ -120,9 +127,12 @@ object StellarTradesEffects {
           lastPoolChange("pre_reserves_disbursed"),
           when(col("op_type") === 2, col("atom.amount_sold_stroops"))
             .otherwise(col("atom.amount_bought_stroops")),
-          lastPoolChange("pre_pool_fee"))).as("rounding_slippage"),
+          lastPoolChange("pre_pool_fee"),
+          col("op_type") === 2)).as("rounding_slippage"),
+      // strict-receive (2) → true, strict-send (13) → false
+      // (`trade.go:225-255` sets sellerIsExact per result arm)
       when(col("op_type").isin(PathPaymentTypes: _*),
-        col("op_type") === 13).as("seller_is_exact"),
+        col("op_type") === 2).as("seller_is_exact"),
       when(col("atom.atom_type") === "liquidity_pool",
         strkeyPool(col("atom.pool_id"))).as("selling_liquidity_pool_id_strkey"))
       // F7: zero-amount trades dropped (`trade.go:69-72`)

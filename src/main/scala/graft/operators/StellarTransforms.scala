@@ -73,11 +73,15 @@ object StellarTransforms {
       col("sequence"), col("closed_at"), col("protocol_version"),
       posexplode(col("transactions")).as(Seq("pos", "tx")))
 
-    def bounds(minC: String, maxC: String): org.apache.spark.sql.Column =
+    // max==0 → open interval applies ONLY to time bounds (`transaction.go`
+    // blanks MaxTime==0); ledger bounds render "[n,0)" verbatim
+    def bounds(minC: String, maxC: String, blankZeroMax: Boolean): org.apache.spark.sql.Column =
       when(col(minC).isNull && col(maxC).isNull, lit(""))
         .otherwise(GraftFunctions.intervalString(
           col(minC),
-          when(col(maxC) === 0L, lit(null).cast("long")).otherwise(col(maxC))))
+          if (blankZeroMax)
+            when(col(maxC) === 0L, lit(null).cast("long")).otherwise(col(maxC))
+          else col(maxC)))
 
     // J4: first fee-meta balance change of the fee account (intra-row)
     val feeKey = coalesce(col("tx.fee_bump_account_key"), col("tx.source_key"))
@@ -118,13 +122,14 @@ object StellarTransforms {
         col("tx.memo_id").cast("string"),
         base64NoWrap(col("tx.memo_hash")),
         lit("")).as("memo"),
-      bounds("tx.time_min", "tx.time_max").as("time_bounds"),
+      bounds("tx.time_min", "tx.time_max", blankZeroMax = true).as("time_bounds"),
       col("tx.successful").as("successful"),
       transactionToid(col("sequence"), col("pos") + 1).as("id"),
       when(col("tx.is_fee_bump"), strkeyAccount(feeKey)).as("fee_account"),
       col("tx.inner_hash_hex").as("inner_transaction_hash"),
       col("tx.new_max_fee").as("new_max_fee"),
-      bounds("tx.ledger_min", "tx.ledger_max").as("ledger_bounds"),
+      bounds("tx.ledger_min", "tx.ledger_max", blankZeroMax = false)
+        .as("ledger_bounds"),
       col("closed_at"),
       resourceFee.as("resource_fee"),
       coalesce(col("tx.soroban.instructions"), lit(0L))

@@ -21,7 +21,7 @@ object StellarFixture {
       ClaimAtom(
         atom_type = if (lp) "liquidity_pool" else "offer",
         seller_key = if (lp) None else Some(keyOf(s"seller-$l-$t-$o-$a")),
-        offer_id = if (lp || ty == 13) None else Some(5000L + a),
+        offer_id = if (lp) None else Some(5000L + a),
         pool_id = if (lp) Some(keyOf(s"pool-$l")) else None,
         amount_sold_stroops = 2000000L * (a + 1),
         amount_bought_stroops = 1500000L * (a + 1),
@@ -52,6 +52,10 @@ object StellarFixture {
       trace_code = "success",
       claim_atoms = atoms,
       changes = changes,
+      // manage-offer ops keep a result offer when not fully consumed (o even);
+      // path payments never carry one → synthetic buying id downstream
+      result_offer_id =
+        if (Seq(3, 4, 12).contains(ty) && o % 2 == 0) Some(7000L + o) else None,
       destination_key =
         // non-native payments (o odd) on even ledgers pay the issuer → burn
         if (ty == 1 && o % 2 == 1 && l % 2 == 0) Some(keyOf(s"issuer-ISS${o % 3}"))

@@ -33,7 +33,7 @@ object CodecProps extends Properties("codec") {
   property("toid.synthetic-bit-reversible") = forAll(synToidGen) { case (l, t, o) =>
     val s = Toid.syntheticOfferId(l, t, o)
     Toid.isSynthetic(s) &&
-      (s & ~Toid.SyntheticOfferBit) == Toid.pack(l, t, o)
+      (s & ~Toid.SyntheticOfferBit) == Toid.pack(l, t, o) + 1 // trade.go:119
   }
 
   val bytes32: Gen[Array[Byte]] =

@@ -25,10 +25,11 @@ class CodecSpec extends AnyFunSuite {
     assert(Toid.pack(5, 2, 2) > Toid.pack(5, 2, 1))
   }
 
-  test("synthetic offer id sets bit 62 and is recognizable") {
+  test("synthetic offer id sets bit 62 on (toid+1) and is recognizable") {
     val id = Toid.syntheticOfferId(123, 45, 6)
     assert(Toid.isSynthetic(id))
     assert(!Toid.isSynthetic(Toid.pack(123, 45, 6)))
+    assert((id & ~Toid.SyntheticOfferBit) == Toid.pack(123, 45, 6) + 1)
     assert(Toid.ledgerOf(id & ~Toid.SyntheticOfferBit) == 123)
   }
 

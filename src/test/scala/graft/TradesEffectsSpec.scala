@@ -48,16 +48,63 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("trades: path-payment strict-send atoms get synthetic ids and seller_is_exact") {
-    val pp = StellarTradesEffects.historyTrades(fixture)
-      .where(col("seller_is_exact").isNotNull).collect()
-    assert(pp.nonEmpty)
-    pp.foreach { r =>
-      val exact = r.getAs[Boolean]("seller_is_exact")
-      // strict-send (13) → true; strict-receive (2) → false
-      assert(exact == ((r.getAs[Long]("buying_offer_id") & (1L << 62)) != 0) ||
-        !exact)
+  // fixture law: op_type = (ledger + txIdx + opIdx) % 27; recover the
+  // producing op from the TOID to assert exact per-type expectations
+  private def opTypeOf(operationId: Long): Int = {
+    val (l, t1, o1) = graft.codec.Toid.unpack(operationId)
+    ((l + (t1 - 1) + (o1 - 1)) % 27).toInt
+  }
+
+  test("trades: seller_is_exact is exactly receive→true / send→false / else null") {
+    val rows = StellarTradesEffects.historyTrades(fixture).collect()
+    assert(rows.nonEmpty)
+    var sawReceive, sawSend, sawOffer = false
+    rows.foreach { r =>
+      val ty = opTypeOf(r.getAs[Long]("history_operation_id"))
+      val i = r.fieldIndex("seller_is_exact")
+      ty match {
+        case 2  => assert(!r.isNullAt(i) && r.getBoolean(i)); sawReceive = true
+        case 13 => assert(!r.isNullAt(i) && !r.getBoolean(i)); sawSend = true
+        case _  => assert(r.isNullAt(i)); sawOffer = true
+      }
     }
+    assert(sawReceive && sawSend && sawOffer)
+  }
+
+  test("trades: buying_offer_id is the result offer when present, else (toid+1)|bit62") {
+    val rows = StellarTradesEffects.historyTrades(fixture).collect()
+    rows.foreach { r =>
+      val opId = r.getAs[Long]("history_operation_id")
+      val ty = opTypeOf(opId)
+      val o = graft.codec.Toid.opIndexOf(opId) - 1 // 0-based fixture op index
+      val buying = r.getAs[Long]("buying_offer_id")
+      if (Seq(3, 4, 12).contains(ty) && o % 2 == 0)
+        assert(buying == 7000L + o) // ManageOfferSuccess result offer
+      else
+        assert(buying == ((opId + 1) | (1L << 62))) // trade.go:119
+      // offer-type atoms always carry the CLAIMED offer id (trade.go:111),
+      // including path payments; never the taker's
+      if (r.getAs[Int]("trade_type") == 1)
+        assert(r.getAs[Long]("selling_offer_id") >= 5000L &&
+          r.getAs[Long]("selling_offer_id") < 7000L)
+    }
+  }
+
+  test("trades: buyer address prefers the op source account over the tx source") {
+    val rows = StellarTradesEffects.historyTrades(fixture).collect()
+    // fixture: op source set unless opIdx%3==0 → both branches must occur,
+    // and every address must be a valid strkey G-address
+    val addrs = rows.map { r =>
+      val opId = r.getAs[Long]("history_operation_id")
+      val (l, t1, o1) = graft.codec.Toid.unpack(opId)
+      val expectedKey =
+        if ((o1 - 1) % 3 == 0) graft.codec.Hashes.sha256(s"acct-$l-${t1 - 1}".getBytes("UTF-8"))
+        else graft.codec.Hashes.sha256(s"op-$l-${t1 - 1}-${o1 - 1}".getBytes("UTF-8"))
+      (r.getAs[String]("buying_account_address"),
+        graft.codec.Strkey.encodeAccountId(expectedKey))
+    }
+    assert(addrs.nonEmpty)
+    addrs.foreach { case (actual, expected) => assert(actual == expected) }
   }
 
   test("effects: ids are {opId}-{index}, payments fan out, trades from atoms") {
