@@ -615,11 +615,15 @@ object QueryCatalog {
           .orderBy("id_a", "id_b")),
 
     Q("x_jaccard_dfcut", None, // scale variant: df-pruned gram join
-      (s, dir) =>
-        Dedup.ngramJaccardPairsWithDfCut(
-            T(s, dir, "documents"), "text", "doc_id",
-            n = 1, threshold = 0.5, maxDf = 50)
-          .orderBy("id_a", "id_b")),
+      (s, dir) => {
+        // stopword-grade is relative: prune grams in >10% of the corpus
+        // (absolute cuts go degenerate as the corpus grows)
+        val docs = T(s, dir, "documents")
+        val cut = math.max(1L, docs.count() / 10).toInt
+        Dedup.ngramJaccardPairsWithDfCut(docs, "text", "doc_id",
+            n = 1, threshold = 0.5, maxDf = cut)
+          .orderBy("id_a", "id_b")
+      }),
 
     Q("x_minhash_lsh", None, // 64-bit xxhash has no DuckDB twin: rows-only check
       (s, dir) =>

@@ -132,13 +132,17 @@ object Dedup {
   def ngramJaccardPairsWithDfCut(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 2, threshold: Double = 0.3, maxDf: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docGrams = df.select(col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol), n))).as("gram"))
-    val rare = docGrams.groupBy("gram")
-      .agg(count(lit(1)).as("df_count"))
+    // df count as a window over the SAME key the self-join shuffles on: one
+    // exchange on `gram` total — the window's hash partitioning is reused by
+    // both join sides (vs the old rare-set aggregate + rejoin = 2 extra
+    // shuffles of the full gram table)
+    val pruned = docGrams
+      .withColumn("df_count", count(lit(1)).over(Window.partitionBy("gram")))
       .where(col("df_count") <= maxDf)
-      .select("gram")
-    val pruned = docGrams.join(rare, "gram")
+      .drop("df_count")
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val pairs = pruned.as("x").join(pruned.as("y"), Seq("gram"))
       .where(col("x.doc_id") < col("y.doc_id"))
@@ -162,9 +166,12 @@ object Dedup {
       idCol: String,
       n: Int = 2,
       threshold: Double = 0.3): DataFrame = {
-    val docGrams = df.select(col(idCol).as("doc_id"),
-      explode(array_distinct(shingles(col(textCol), n))).as("gram"))
-    val sizes = docGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val base = df.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(col(textCol), n)).as("grams"))
+    // |A| intra-row from the gram array — no groupBy shuffle; the sizes dim
+    // stays one row per doc and AQE broadcast-joins it when small
+    val sizes = base.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+    val docGrams = base.select(col("doc_id"), explode(col("grams")).as("gram"))
 
     val pairs = docGrams.as("x").join(docGrams.as("y"), Seq("gram"))
       .where(col("x.doc_id") < col("y.doc_id"))

@@ -32,8 +32,25 @@ object LedgerFixtures {
     table(spark, sfDir, "events")
   }
 
+  /** Session-scoped decode-once memo. The nested-ledger build is the shared
+    * upstream of every history query (a shuffle for the per-ledger
+    * `collect_list` plus the orders join); recomputing it per export is
+    * wasted work. This mirrors the production architecture at 100 TB — the
+    * XDR decode runs ONCE into a materialized nested table and every export
+    * reads that — so the fixture does the same: first caller persists
+    * (memory-then-disk), later queries reuse the exchange-free cached scan.
+    * Keyed by (session, dir) so test sessions never see a stopped session's
+    * blocks. */
+  private val ledgerCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Nested ledgers: (ledger_sequence, closed_at, ledger_status, transactions[]). */
-  def ledgers(spark: SparkSession, sfDir: String): DataFrame = {
+  def ledgers(spark: SparkSession, sfDir: String): DataFrame =
+    ledgerCache.computeIfAbsent((spark, sfDir), _ =>
+      buildLedgers(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def buildLedgers(spark: SparkSession, sfDir: String): DataFrame = {
     val li = table(spark, sfDir, "lineitem")
     val orders = table(spark, sfDir, "orders")
 
