@@ -822,6 +822,65 @@ object QueryCatalog {
 
     // ===== opaque codecs (rows-only: no SQL twin by design) ==================
 
+    Q("fn_sac_contract_id",
+      // golden oracle: expected rows derived by an INDEPENDENT implementation
+      // of the public preimage layout (sha256 over XDR HashIDPreimage,
+      // `contract_data.go:191-297`); DuckDB 1.0 sha256 is VARCHAR-only so the
+      // binary preimage cannot be re-derived in SQL. nation is 25 fixed rows
+      // at every SF, so the literals are scale-invariant. The native-asset id
+      // is the publicly documented XLM SAC address.
+      Some("""SELECT CAST(k AS BIGINT) AS asset_key, t AS asset_type,
+             |       c AS asset_code, h AS contract_id_hex, a AS contract_address
+             |FROM (VALUES
+             |  (0, 'native', '', '25b4fcd859aec2fa6348438c489b3c3c10c98b6d21be4fd3cb30cb68953ef977', 'CAS3J7GYLGXMF6TDJBBYYSE3HQ6BBSMLNUQ34T6TZMYMW2EVH34XOWMA'),
+             |  (1, 'credit_alphanum4', 'TK01', '244b28087b7806e573e3b8685cfec3eb8df159f57759efe5382678ade17f56a4', 'CASEWKAIPN4ANZLT4O4GQXH6YPVY34KZ6V3VT37FHATHRLPBP5LKJGTO'),
+             |  (2, 'credit_alphanum12', 'TOKEN0000002', '0a84e1141cfa61bb92e3c0b9dda6b3b90d5870d128f8e88b8b83f191766a730c', 'CAFIJYIUDT5GDO4S4PALTXNGWO4Q2WDQ2EUPR2ELROB7DELWNJZQYLCH'),
+             |  (3, 'native', '', '25b4fcd859aec2fa6348438c489b3c3c10c98b6d21be4fd3cb30cb68953ef977', 'CAS3J7GYLGXMF6TDJBBYYSE3HQ6BBSMLNUQ34T6TZMYMW2EVH34XOWMA'),
+             |  (4, 'credit_alphanum4', 'TK04', 'a414523cb2671e748714136853b170be2cfd62462f3b62027cbd059475fdcb28', 'CCSBIUR4WJTR45EHCQJWQU5ROC7CZ7LCIYXTWYQCPS6QLFDV7XFSQU65'),
+             |  (5, 'credit_alphanum12', 'TOKEN0000005', '662e4a0b3862ab1289b792380afde8464a6fdb05e556d345865efcb46d887bf7', 'CBTC4SQLHBRKWEUJW6JDQCX55BDEU363AXSVNU2FQZPPZNDNRB57OAC3'),
+             |  (6, 'native', '', '25b4fcd859aec2fa6348438c489b3c3c10c98b6d21be4fd3cb30cb68953ef977', 'CAS3J7GYLGXMF6TDJBBYYSE3HQ6BBSMLNUQ34T6TZMYMW2EVH34XOWMA'),
+             |  (7, 'credit_alphanum4', 'TK07', '102b6eec367cb9b738387223a244826cb364a5a07c3487b96b64f80ef7c01a9c', 'CAICW3XMGZ6LTNZYHBZCHISEQJWLGZFFUB6DJB5ZNNSPQDXXYANJZRTL'),
+             |  (8, 'credit_alphanum12', 'TOKEN0000008', '552edc0ccc2c6543767e7136a82796979c5e6b3ee1dda4945658e33e48071b23', 'CBKS5XAMZQWGKQ3WPZYTNKBHS2LZYXTLH3Q53JEUKZMOGPSIA4NSGP25'),
+             |  (9, 'native', '', '25b4fcd859aec2fa6348438c489b3c3c10c98b6d21be4fd3cb30cb68953ef977', 'CAS3J7GYLGXMF6TDJBBYYSE3HQ6BBSMLNUQ34T6TZMYMW2EVH34XOWMA'),
+             |  (10, 'credit_alphanum4', 'TK10', 'b96436476016565f492a104481b36b04c04d241ff725a90aae18e1405f4fa185', 'CC4WINSHMALFMX2JFIIEJANTNMCMATJED73SLKIKVYMOCQC7J6QYKL3L'),
+             |  (11, 'credit_alphanum12', 'TOKEN0000011', 'c125e5148956c4cc74ffe1d748d7e4a9cd1e651a615f06a84543615f502f1c4f', 'CDASLZIURFLMJTDU77Q5OSGX4SU42HTFDJQV6BVIIVBWCX2QF4OE6A5G'),
+             |  (12, 'native', '', '25b4fcd859aec2fa6348438c489b3c3c10c98b6d21be4fd3cb30cb68953ef977', 'CAS3J7GYLGXMF6TDJBBYYSE3HQ6BBSMLNUQ34T6TZMYMW2EVH34XOWMA'),
+             |  (13, 'credit_alphanum4', 'TK13', 'f933214115c4523092b6423303107976dea7068f41ee27cc5e065be7d2a1a757', 'CD4TGIKBCXCFEMESWZBDGAYQPF3N5JYGR5A64J6MLYDFXZ6SUGTVOJD3'),
+             |  (14, 'credit_alphanum12', 'TOKEN0000014', '9f7d10cf21dbb46e03b674e880790a7949b8715ee511ce4938184eadce9c858e', 'CCPX2EGPEHN3I3QDWZ2ORADZBJ4UTODRL3SRDTSJHAME5LOOTSCY5KNY'),
+             |  (15, 'native', '', '25b4fcd859aec2fa6348438c489b3c3c10c98b6d21be4fd3cb30cb68953ef977', 'CAS3J7GYLGXMF6TDJBBYYSE3HQ6BBSMLNUQ34T6TZMYMW2EVH34XOWMA'),
+             |  (16, 'credit_alphanum4', 'TK16', '22388fb83216d20960b39d800e5f3e075326898a5003a740579b454221880752', 'CARDRD5YGILNECLAWOOYADS7HYDVGJUJRJIAHJ2AK6NUKQRBRADVFGHZ'),
+             |  (17, 'credit_alphanum12', 'TOKEN0000017', '4146ac392be2555ccb9ac9ec1e0c69e5a43150bd3b3925eed3bc118970487d62', 'CBAUNLBZFPRFKXGLTLE6YHQMNHS2IMKQXU5TSJPO2O6BDCLQJB6WFNCQ'),
+             |  (18, 'native', '', '25b4fcd859aec2fa6348438c489b3c3c10c98b6d21be4fd3cb30cb68953ef977', 'CAS3J7GYLGXMF6TDJBBYYSE3HQ6BBSMLNUQ34T6TZMYMW2EVH34XOWMA'),
+             |  (19, 'credit_alphanum4', 'TK19', 'dcbc9e061b4c75b6df4296a217d2d7f7132572ee9b69922499516f4357dfb97c', 'CDOLZHQGDNGHLNW7IKLKEF6S273RGJLS52NWTERETFIW6Q2X364XYT75'),
+             |  (20, 'credit_alphanum12', 'TOKEN0000020', '17048a2fa62ed8673486da637f6df4fe09f02111d6dccd7de0df27ce0dd7feaf', 'CALQJCRPUYXNQZZUQ3NGG73N6T7AT4BBCHLNZTL54DPSPTQN277K6GVO'),
+             |  (21, 'native', '', '25b4fcd859aec2fa6348438c489b3c3c10c98b6d21be4fd3cb30cb68953ef977', 'CAS3J7GYLGXMF6TDJBBYYSE3HQ6BBSMLNUQ34T6TZMYMW2EVH34XOWMA'),
+             |  (22, 'credit_alphanum4', 'TK22', 'f6612c68219ee79bb54a76cc771b86476ee24a6ff80cacfaa20df21db587a6c0', 'CD3GCLDIEGPOPG5VJJ3MY5Y3QZDW5YSKN74AZLH2UIG7EHNVQ6TMBQ4U'),
+             |  (23, 'credit_alphanum12', 'TOKEN0000023', '6c26a957face57bef8349303e10a4a6c475dbcacc969685da6bbdae661747630', 'CBWCNKKX7LHFPPXYGSJQHYIKJJWEOXN4VTEWS2C5U255VZTBOR3DA5N4'),
+             |  (24, 'native', '', '25b4fcd859aec2fa6348438c489b3c3c10c98b6d21be4fd3cb30cb68953ef977', 'CAS3J7GYLGXMF6TDJBBYYSE3HQ6BBSMLNUQ34T6TZMYMW2EVH34XOWMA')
+             |) AS v(k, t, c, h, a)
+             |ORDER BY asset_key""".stripMargin),
+      (s, dir) => {
+        val key = col("n_nationkey")
+        val assetType = when(pmod(key, lit(3)) === 0, lit("native"))
+          .when(pmod(key, lit(3)) === 1, lit("credit_alphanum4"))
+          .otherwise(lit("credit_alphanum12"))
+        val code = when(pmod(key, lit(3)) === 0, lit(""))
+          .when(pmod(key, lit(3)) === 1,
+            concat(lit("TK"), lpad(key.cast("string"), 2, "0")))
+          .otherwise(concat(lit("TOKEN"), lpad(key.cast("string"), 7, "0")))
+        val issuerKey = when(pmod(key, lit(3)) === 0, lit(null).cast("binary"))
+          .otherwise(unhex(sha2(concat(lit("issuer-"), col("n_name")), 256)))
+        T(s, dir, "nation").select(
+            key.cast("long").as("asset_key"),
+            assetType.as("asset_type"),
+            code.as("asset_code"),
+            GraftFunctions.sacContractIdHex(assetType, code, issuerKey)
+              .as("contract_id_hex"),
+            GraftFunctions.sacContractAddress(assetType, code, issuerKey)
+              .as("contract_address"))
+          .orderBy("asset_key")
+      }),
+
     Q("fn_opaque_codecs", None,
       (s, dir) =>
         T(s, dir, "part").select(

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.codec.{Amounts, Hashes, Strkey, Toid}
+import graft.codec.{Amounts, Hashes, SacContractId, Strkey, Toid}
 
 /** Column-level function library.
   *
@@ -122,6 +122,23 @@ object GraftFunctions {
   /** FarmHash asset id (`asset.go:72-77`): farmhash64(code ‖ issuer ‖ type). */
   def farmHashAssetId(code: Column, issuer: Column, assetType: Column): Column =
     farmHash64(concat(coalesce(code, lit("")), coalesce(issuer, lit("")), assetType))
+
+  /** SAC contract id as lowercase hex (`contract_data.go:191-297`,
+    * `graft.codec.SacContractId`): sha256 of the CONTRACT_ID HashIDPreimage. */
+  val sacContractIdHex = udf(
+    (assetType: String, code: String, issuerKey: Array[Byte]) =>
+      if (assetType == null) null
+      else Hashes.hex(SacContractId.contractId(assetType,
+        Option(code).getOrElse(""),
+        Option(issuerKey).getOrElse(Array.emptyByteArray))))
+
+  /** SAC `C…` strkey address for an asset (public network). */
+  val sacContractAddress = udf(
+    (assetType: String, code: String, issuerKey: Array[Byte]) =>
+      if (assetType == null) null
+      else SacContractId.contractAddress(assetType,
+        Option(code).getOrElse(""),
+        Option(issuerKey).getOrElse(Array.emptyByteArray)))
 
   /** Register SQL-callable names on a session (for spark.sql users). */
   def register(spark: SparkSession): Unit = {

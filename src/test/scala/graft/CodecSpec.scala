@@ -19,6 +19,30 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  // ---- SAC contract id -----------------------------------------------------
+
+  test("SAC contract id: native XLM on pubnet is the documented C-address") {
+    // external vector: the Stellar Asset Contract for native XLM on the
+    // public network, as published in Stellar's asset documentation
+    assert(SacContractId.contractAddress("native", "", Array.emptyByteArray) ==
+      "CAS3J7GYLGXMF6TDJBBYYSE3HQ6BBSMLNUQ34T6TZMYMW2EVH34XOWMA")
+  }
+
+  test("SAC contract id: sensitive to code, issuer, network, and type") {
+    val issuerA = Hashes.sha256("issuer-a".getBytes("UTF-8"))
+    val issuerB = Hashes.sha256("issuer-b".getBytes("UTF-8"))
+    val base = SacContractId.contractId("credit_alphanum4", "USDC", issuerA)
+    assert(!base.sameElements(SacContractId.contractId("credit_alphanum4", "USDX", issuerA)))
+    assert(!base.sameElements(SacContractId.contractId("credit_alphanum4", "USDC", issuerB)))
+    assert(!base.sameElements(SacContractId.contractId("credit_alphanum4", "USDC", issuerA,
+      SacContractId.TestnetPassphrase)))
+    // a 4-char code in the alphanum12 arm pads differently -> different id
+    assert(!base.sameElements(SacContractId.contractId("credit_alphanum12", "USDC", issuerA)))
+    // deterministic
+    assert(base.sameElements(SacContractId.contractId("credit_alphanum4", "USDC", issuerA)))
+    assert(SacContractId.contractAddress("credit_alphanum4", "USDC", issuerA).startsWith("C"))
+  }
+
   test("toid ordering matches (ledger, tx, op) lexicographic order") {
     assert(Toid.pack(5, 0, 0) > Toid.pack(4, Toid.MaxTxOrder, Toid.MaxOpIndex))
     assert(Toid.pack(5, 2, 0) > Toid.pack(5, 1, Toid.MaxOpIndex))
