@@ -36,6 +36,15 @@ object QueryCatalog {
 
   private val txBase = LedgerFixtures.txBaseSql
 
+  /** One-time deterministic `.lcmb` fixture export for the DSv2 source
+    * query (8 × 64-ledger batch files under the JVM temp dir). */
+  private lazy val lcmFixtureDir: String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-lcm-${ProcessHandle.current().pid()}")
+    graft.sources.LcmWriter.writeFixture(d.getAbsolutePath, 2048, 2559)
+    d.getAbsolutePath
+  }
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -821,6 +830,24 @@ object QueryCatalog {
       }),
 
     // ===== opaque codecs (rows-only: no SQL twin by design) ==================
+
+    Q("src_lcm_range_scan",
+      // the DSv2 binary source end-to-end: write 8 batch files once, range
+      // scan (file-level pruning via the {start}-{end}.lcmb name), decode
+      // frames, aggregate the nested tx array. The fixture is formula-
+      // deterministic, so DuckDB re-derives it from generate_series.
+      Some("""SELECT seq AS sequence, CAST((seq % 5) + 1 AS INT) AS n_tx,
+             |       CAST(50 * ((seq % 5) + 1) * ((seq % 5) + 2) AS BIGINT) AS total_fee
+             |FROM generate_series(2100, 2299) t(seq) ORDER BY sequence""".stripMargin),
+      (s, dir) => {
+        s.read.format("graft-lcm").load(lcmFixtureDir)
+          .where(col("sequence").between(2100, 2299))
+          .select(col("sequence"),
+            size(col("transactions")).as("n_tx"),
+            aggregate(col("transactions"), lit(0L),
+              (acc, t) => acc + t("fee_charged")).as("total_fee"))
+          .orderBy("sequence")
+      }),
 
     Q("fn_sac_contract_id",
       // golden oracle: expected rows derived by an INDEPENDENT implementation
