@@ -623,16 +623,35 @@ object QueryCatalog {
             "text", "doc_id", n = 1, threshold = 0.5)
           .orderBy("id_a", "id_b")),
 
-    Q("x_jaccard_dfcut", None, // scale variant: df-pruned gram join
-      (s, dir) => {
+    Q("x_jaccard_dfcut", // scale variant: hot grams (>10% of corpus) blacklisted
+      Some(s"""WITH w AS (
+             |  SELECT doc_id,
+             |         list_distinct(string_split_regex(
+             |           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+             |  FROM documents),
+             |g0 AS (SELECT doc_id, unnest(toks) AS gram FROM w),
+             |hot AS (SELECT gram FROM g0 GROUP BY 1
+             |        HAVING count(*) > greatest(1, CAST(floor(
+             |          (SELECT count(*) FROM documents) * 0.1) AS BIGINT))),
+             |g AS (SELECT g0.doc_id, g0.gram FROM g0 ANTI JOIN hot USING (gram)),
+             |sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       inter / (sa.n_grams + sb.n_grams - inter) AS jaccard
+             |FROM p JOIN sz sa ON p.id_a = sa.doc_id
+             |       JOIN sz sb ON p.id_b = sb.doc_id
+             |WHERE inter / (sa.n_grams + sb.n_grams - inter) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) =>
         // stopword-grade is relative: prune grams in >10% of the corpus
-        // (absolute cuts go degenerate as the corpus grows)
-        val docs = T(s, dir, "documents")
-        val cut = math.max(1L, docs.count() / 10).toInt
-        Dedup.ngramJaccardPairsWithDfCut(docs, "text", "doc_id",
-            n = 1, threshold = 0.5, maxDf = cut)
-          .orderBy("id_a", "id_b")
-      }),
+        // (absolute cuts go degenerate as the corpus grows); the threshold is
+        // computed in-plan — no driver-side count at plan-build time
+        Dedup.ngramJaccardPairsWithDfCut(T(s, dir, "documents"),
+            "text", "doc_id", n = 1, threshold = 0.5,
+            maxDfFraction = Some(0.1))
+          .orderBy("id_a", "id_b")),
 
     Q("x_minhash_lsh", None, // 64-bit xxhash has no DuckDB twin: rows-only check
       (s, dir) =>

@@ -31,13 +31,26 @@ object Dedup {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Word-level shingles of size n as an array column (per-row, no shuffle). */
+  /** Word-level shingles of size n as an array column (per-row, no shuffle).
+    *
+    * n=1 is a plain token split; n>1 chains n−1 shifted `zip_with`s, so each
+    * doc pays n−1 O(L) slices instead of L O(n) slices+joins — the naive
+    * per-index `slice` formulation measured ~16× slower on the sf0.1 corpus
+    * because higher-order lambdas run interpreted, per element. `concat`'s
+    * null propagation trims the ragged tail. Docs shorter than n keep their
+    * single whole-doc shingle (the windowed definition's i=0 window). */
   def shingles(text: Column, n: Int): Column = {
     val words = split(normalized(text), " ")
-    // sliding windows: index i -> words[i..i+n-1] joined
-    val idxs = sequence(lit(0), greatest(size(words) - n, lit(0)))
-    array_distinct(transform(idxs, i => concat_ws(" ",
-      slice(words, i + 1, lit(n)))))
+    if (n == 1) array_distinct(words)
+    else {
+      val chained = (1 until n).foldLeft(words) { (acc, k) =>
+        zip_with(acc, slice(words, lit(k + 1), size(words)), (a, b) =>
+          concat(a, lit(" "), b))
+      }
+      array_distinct(
+        when(size(words) < n, array(array_join(words, " ")))
+          .otherwise(filter(chained, x => x.isNotNull)))
+    }
   }
 
   /** MinHash signature: for seed s in 0..numHashes-1, min over shingles of
@@ -131,19 +144,41 @@ object Dedup {
     * sets — standard shingle-df pruning, documented cap, `log()`-able. */
   def ngramJaccardPairsWithDfCut(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 2, threshold: Double = 0.3, maxDf: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docGrams = df.select(col(idCol).as("doc_id"),
-      explode(array_distinct(shingles(col(textCol), n))).as("gram"))
-    // df count as a window over the SAME key the self-join shuffles on: one
-    // exchange on `gram` total — the window's hash partitioning is reused by
-    // both join sides (vs the old rare-set aggregate + rejoin = 2 extra
-    // shuffles of the full gram table)
-    val pruned = docGrams
-      .withColumn("df_count", count(lit(1)).over(Window.partitionBy("gram")))
-      .where(col("df_count") <= maxDf)
-      .drop("df_count")
-    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      n: Int = 2, threshold: Double = 0.3, maxDf: Int = 1000,
+      maxDfFraction: Option[Double] = None): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(col(textCol), n)).as("grams"))
+    val docGrams = base.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // Hot-gram blacklist via hash-aggregate: partial (map-side) aggregation
+    // collapses each gram to one row per input partition BEFORE the shuffle,
+    // so a stopword-grade gram costs O(partitions) exchange rows — unlike a
+    // `count over (partition by gram)` window, which must materialize and
+    // sort every occurrence of the hottest gram in a single task before the
+    // cut can drop it. Grams over the cut are few by construction (at most
+    // totalGramRows / maxDf of them — stopword-grade tokens), so they fit a
+    // single broadcast row; a corpus with a pathologically flat-but-hot
+    // vocabulary would swap this for a shuffled anti-join.
+    val gramCounts = docGrams.groupBy("gram").agg(count(lit(1)).as("df_count"))
+    val hotGrams = maxDfFraction match {
+      case Some(frac) =>
+        // relative cut ("gram in > frac of corpus") computed in-plan: the
+        // corpus size is a 1-row aggregate broadcast into the filter — no
+        // driver-side action at plan-build time
+        val nDocs = df.select(count(lit(1)).as("n_docs"))
+        gramCounts.crossJoin(broadcast(nDocs))
+          .where(col("df_count") > greatest(lit(1L),
+            floor(col("n_docs") * frac)))
+      case None => gramCounts.where(col("df_count") > maxDf)
+    }
+    // intra-row pruning: the hot set rides in as a broadcast 1-row array and
+    // `array_except` drops it per document — no anti-join shuffle, and the
+    // post-cut gram count (`sizes`) falls out of the array length for free
+    val hotArr = hotGrams.agg(collect_list(col("gram")).as("hot"))
+    val prunedBase = base.crossJoin(broadcast(hotArr))
+      .select(col("doc_id"), array_except(col("grams"), col("hot")).as("grams"))
+    val sizes = prunedBase.select(col("doc_id"),
+      size(col("grams")).cast("long").as("n_grams"))
+    val pruned = prunedBase.select(col("doc_id"), explode(col("grams")).as("gram"))
     val pairs = pruned.as("x").join(pruned.as("y"), Seq("gram"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))

@@ -31,7 +31,7 @@ object ProfileJaccard {
       }
       time(s"dfcut r$round") {
         Dedup.ngramJaccardPairsWithDfCut(docs, "text", "doc_id",
-          n = 1, threshold = 0.5, maxDf = 50).count()
+          n = 1, threshold = 0.5, maxDfFraction = Some(0.1)).count()
       }
     }
     spark.stop()

@@ -102,6 +102,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, 2L, 1.0)))
   }
 
+  test("df-cut jaccard: planted stopword gram is blacklisted, rest matches uncut") {
+    import spark.implicits._
+    // "zz" appears in every doc (a stopword-grade gram); the discriminative
+    // grams are untouched. With the stopword present the UNCUT variant links
+    // docs 1-3 to doc 4 spuriously; the cut must remove exactly that.
+    val docs = Seq(
+      (1L, "zz alpha beta gamma"), (2L, "zz alpha beta gamma"),
+      (3L, "zz alpha beta delta"), (4L, "zz unrelated words here"))
+      .toDF("doc_id", "text")
+    // absolute cut: df > 3 kills "zz" (df=4) only
+    val cut = Dedup.ngramJaccardPairsWithDfCut(docs, "text", "doc_id",
+        n = 1, threshold = 0.5, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // uncut over the same corpus with "zz" stripped must agree exactly
+    val stripped = docs.withColumn("text", regexp_replace(col("text"), "zz ", ""))
+    val uncut = Dedup.ngramJaccardPairs(stripped, "text", "doc_id",
+        n = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cut == uncut)
+    assert(cut.map(t => (t._1, t._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // relative cut (>25% of 4 docs = df>1) blacklists every gram shared by
+    // two or more docs, so no candidate pair can survive at all
+    val rel = Dedup.ngramJaccardPairsWithDfCut(docs, "text", "doc_id",
+        n = 1, threshold = 0.5, maxDfFraction = Some(0.25))
+      .collect()
+    assert(rel.isEmpty)
+  }
+
   // ---- similarity ----------------------------------------------------------
 
   test("brute-force cosine top-k ranks an identical vector first") {
