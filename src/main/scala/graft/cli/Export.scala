@@ -132,9 +132,15 @@ object Export {
 
       case "get_ledger_range_from_times" =>
         // SURVEY §3.3: once ledgers are a table this is a min/max scan, not
-        // an archive binary search
-        val ledgers = StellarTransforms.historyLedgers(
-          ledgerSource(spark, a.copy(start = 0, end = 5000)))
+        // an archive binary search. With --input the scan covers the table's
+        // own extent; the generated fallback honors --start/--end and only
+        // defaults to a 5000-ledger window when no bounds were given.
+        val src = a.input match {
+          case Some(_) => ledgerSource(spark, a)
+          case None => ledgerSource(spark,
+            a.copy(end = if (a.end > 0) a.end else 5000L))
+        }
+        val ledgers = StellarTransforms.historyLedgers(src)
         val r = ledgers
           .where(col("closed_at").between(
             to_timestamp(lit(a.startTime)), to_timestamp(lit(a.endTime))))

@@ -153,7 +153,6 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
     lo: Long, hi: Long) extends PartitionReader[InternalRow] {
   private val in = new java.io.DataInputStream(
     new java.io.BufferedInputStream(new java.io.FileInputStream(file), 1 << 16))
-  private val wantTxs = requiredSchema.fieldNames.contains("transactions")
   private var current: InternalRow = _
 
   override def next(): Boolean = {
