@@ -1050,11 +1050,29 @@ object QueryCatalog {
           .orderBy("balance_id")),
 
     Q("p13_contract_data",
+      // val_b64/val_decoded: DuckDB re-derives the ScVal XDR bytes (RFC 4506
+      // layout: BE discriminants/lengths, 4-byte padding) and the tagged JSON
+      // independently — an external check of the whole codec, not an echo
       Some("""SELECT sha256('contract|' || p_name) AS contract_id_hex,
              |       p_size < 10 AS is_sac,
              |       CAST((CAST(p_partkey AS HUGEINT) << 64) +
              |            CAST(p_size AS HUGEINT) AS VARCHAR) AS balance_i128,
-             |       p_type AS storage_key, to_base64(encode(p_name)) AS val_b64
+             |       p_type AS storage_key,
+             |       to_base64(from_hex(
+             |         '000000110000000100000002' ||
+             |         '0000000f0000000762616c616e636500' ||
+             |         '0000000a' || format('{:016x}', p_partkey)
+             |                    || format('{:016x}', p_size) ||
+             |         '0000000f000000036b657900' ||
+             |         '0000000e' || format('{:08x}', length(p_type))
+             |                    || hex(encode(p_type))
+             |                    || repeat('00', (4 - length(p_type) % 4) % 4)
+             |       )) AS val_b64,
+             |       '{"map":[{"key":{"symbol":"balance"},"val":{"i128":"' ||
+             |         CAST((CAST(p_partkey AS HUGEINT) << 64) +
+             |              CAST(p_size AS HUGEINT) AS VARCHAR) ||
+             |         '"}},{"key":{"symbol":"key"},"val":{"string":"' ||
+             |         p_type || '"}}]}' AS val_decoded
              |FROM part ORDER BY contract_id_hex, balance_i128""".stripMargin),
       (s, dir) =>
         EntryProjections.contractData(T(s, dir, "part"))
@@ -1091,13 +1109,33 @@ object QueryCatalog {
 
     Q("p17_contract_events",
       // topics joined to one string: raw array cells break the driver's
-      // pandas sort/hash; the operator itself still emits the typed array
-      Some("""SELECT event_id AS contract_event_id,
+      // pandas sort/hash; the operator itself still emits the typed array.
+      // data/data_decoded: DuckDB re-derives the ScVal XDR map bytes and the
+      // tagged JSON independently (see p13) — external codec check
+      Some("""WITH e AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents
+             |           FROM events)
+             |SELECT event_id AS contract_event_id,
              |       array_to_string([event_type, CAST(user_id AS VARCHAR)], '|')
              |         AS topics_joined,
-             |       '{"type":"' || event_type || '"}' AS data_decoded,
+             |       to_base64(from_hex(
+             |         '000000110000000100000003' ||
+             |         '0000000f00000006616d6f756e740000' ||
+             |         '0000000a0000000000000000' || format('{:016x}', cents) ||
+             |         '0000000f000000056576656e74000000' ||
+             |         '0000000f' || format('{:08x}', length(event_type))
+             |                    || hex(encode(event_type))
+             |                    || repeat('00', (4 - length(event_type) % 4) % 4) ||
+             |         '0000000f0000000475736572' ||
+             |         '00000005' || format('{:016x}', user_id)
+             |       )) AS data,
+             |       '{"map":[{"key":{"symbol":"amount"},"val":{"i128":"' ||
+             |         cents ||
+             |         '"}},{"key":{"symbol":"event"},"val":{"symbol":"' ||
+             |         event_type ||
+             |         '"}},{"key":{"symbol":"user"},"val":{"u64":"' ||
+             |         user_id || '"}}]}' AS data_decoded,
              |       event_type = 'error' AS in_failed_contract_call
-             |FROM events ORDER BY contract_event_id""".stripMargin),
+             |FROM e ORDER BY contract_event_id""".stripMargin),
       (s, dir) =>
         EntryProjections.contractEvents(ev(s, dir))
           .withColumn("topics_joined", array_join(col("topics"), "|"))

@@ -1,0 +1,186 @@
+package graft.codec
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+
+/** Typed Soroban `ScVal` model with XDR binary encode/decode and a recursive
+  * JSON renderer — the analog of the reference's `serializeScVal`
+  * (`/root/reference/internal/transform/contract_events.go:128-169`), which
+  * emits base64(XDR) alongside `xdrjson.Decode` output for every contract
+  * value. The wire layout follows the public XDR rules (RFC 4506: 4-byte
+  * big-endian discriminants/lengths, payloads zero-padded to 4 bytes) over
+  * the public Stellar contract-value union (`Stellar-contract.x`).
+  *
+  * JSON rendering is tagged single-key objects, the shape of the public
+  * stellar-xdr serde representation: `{"u64":"7"}`, `{"symbol":"transfer"}`,
+  * `{"map":[{"key":…,"val":…}]}`, `{"address":"G…"}`. 64/128-bit integers
+  * render as decimal strings (JSON number precision stops at 2^53); u32/i32
+  * render as numbers.
+  */
+object ScVal {
+
+  sealed trait V
+  case class B(v: Boolean) extends V
+  case object Void extends V
+  case class U32(v: Int) extends V
+  case class I32(v: Int) extends V
+  case class U64(v: Long) extends V
+  case class I64(v: Long) extends V
+  case class Timepoint(v: Long) extends V
+  case class Duration(v: Long) extends V
+  case class U128(hi: Long, lo: Long) extends V
+  case class I128(hi: Long, lo: Long) extends V
+  case class Bytes(v: Array[Byte]) extends V
+  case class Str(v: String) extends V
+  case class Sym(v: String) extends V
+  case class Vec(v: Seq[V]) extends V
+  case class M(v: Seq[(V, V)]) extends V
+  /** SCAddress: account (G…) or contract (C…), 32-byte payload. */
+  case class AddrAccount(key: Array[Byte]) extends V
+  case class AddrContract(id: Array[Byte]) extends V
+
+  // SCValType discriminants (`Stellar-contract.x` enum SCValType)
+  private val TBool = 0; private val TVoid = 1; private val TU32 = 3
+  private val TI32 = 4; private val TU64 = 5; private val TI64 = 6
+  private val TTimepoint = 7; private val TDuration = 8
+  private val TU128 = 9; private val TI128 = 10
+  private val TBytes = 13; private val TString = 14; private val TSymbol = 15
+  private val TVec = 16; private val TMap = 17; private val TAddress = 18
+
+  // ---- XDR encode ----------------------------------------------------------
+
+  def encode(v: V): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    write(out, v)
+    out.flush()
+    bos.toByteArray
+  }
+
+  private def writeOpaque(out: DataOutputStream, b: Array[Byte]): Unit = {
+    out.writeInt(b.length)
+    out.write(b)
+    val pad = (4 - b.length % 4) % 4
+    (0 until pad).foreach(_ => out.writeByte(0))
+  }
+
+  private def write(out: DataOutputStream, v: V): Unit = v match {
+    case B(b) => out.writeInt(TBool); out.writeInt(if (b) 1 else 0)
+    case Void => out.writeInt(TVoid)
+    case U32(x) => out.writeInt(TU32); out.writeInt(x)
+    case I32(x) => out.writeInt(TI32); out.writeInt(x)
+    case U64(x) => out.writeInt(TU64); out.writeLong(x)
+    case I64(x) => out.writeInt(TI64); out.writeLong(x)
+    case Timepoint(x) => out.writeInt(TTimepoint); out.writeLong(x)
+    case Duration(x) => out.writeInt(TDuration); out.writeLong(x)
+    case U128(hi, lo) => out.writeInt(TU128); out.writeLong(hi); out.writeLong(lo)
+    case I128(hi, lo) => out.writeInt(TI128); out.writeLong(hi); out.writeLong(lo)
+    case Bytes(b) => out.writeInt(TBytes); writeOpaque(out, b)
+    case Str(s) => out.writeInt(TString); writeOpaque(out, s.getBytes("UTF-8"))
+    case Sym(s) => out.writeInt(TSymbol); writeOpaque(out, s.getBytes("UTF-8"))
+    case Vec(xs) =>
+      out.writeInt(TVec); out.writeInt(1) // SCVec* optional: present
+      out.writeInt(xs.length); xs.foreach(write(out, _))
+    case M(kvs) =>
+      out.writeInt(TMap); out.writeInt(1) // SCMap* optional: present
+      out.writeInt(kvs.length)
+      kvs.foreach { case (k, x) => write(out, k); write(out, x) }
+    case AddrAccount(key) =>
+      out.writeInt(TAddress); out.writeInt(0) // SC_ADDRESS_TYPE_ACCOUNT
+      out.writeInt(0) // PublicKey: PUBLIC_KEY_TYPE_ED25519
+      out.write(key)
+    case AddrContract(id) =>
+      out.writeInt(TAddress); out.writeInt(1) // SC_ADDRESS_TYPE_CONTRACT
+      out.write(id)
+  }
+
+  // ---- XDR decode ----------------------------------------------------------
+
+  def decode(bytes: Array[Byte]): V = {
+    val buf = ByteBuffer.wrap(bytes) // big-endian by default
+    val v = read(buf)
+    require(!buf.hasRemaining, s"trailing ${buf.remaining()} bytes after ScVal")
+    v
+  }
+
+  private def readOpaque(buf: ByteBuffer): Array[Byte] = {
+    val len = buf.getInt
+    require(len >= 0 && len <= buf.remaining(), s"bad opaque length $len")
+    val b = new Array[Byte](len)
+    buf.get(b)
+    buf.position(buf.position() + (4 - len % 4) % 4)
+    b
+  }
+
+  private def read(buf: ByteBuffer): V = buf.getInt match {
+    case TBool => B(buf.getInt != 0)
+    case TVoid => Void
+    case TU32 => U32(buf.getInt)
+    case TI32 => I32(buf.getInt)
+    case TU64 => U64(buf.getLong)
+    case TI64 => I64(buf.getLong)
+    case TTimepoint => Timepoint(buf.getLong)
+    case TDuration => Duration(buf.getLong)
+    case TU128 => { val hi = buf.getLong; U128(hi, buf.getLong) }
+    case TI128 => { val hi = buf.getLong; I128(hi, buf.getLong) }
+    case TBytes => Bytes(readOpaque(buf))
+    case TString => Str(new String(readOpaque(buf), "UTF-8"))
+    case TSymbol => Sym(new String(readOpaque(buf), "UTF-8"))
+    case TVec =>
+      if (buf.getInt == 0) Vec(Seq.empty)
+      else Vec(Seq.fill(buf.getInt)(read(buf)))
+    case TMap =>
+      if (buf.getInt == 0) M(Seq.empty)
+      else M(Seq.fill(buf.getInt) { val k = read(buf); (k, read(buf)) })
+    case TAddress => buf.getInt match {
+      case 0 =>
+        require(buf.getInt == 0, "unsupported PublicKey type")
+        val k = new Array[Byte](32); buf.get(k); AddrAccount(k)
+      case 1 =>
+        val id = new Array[Byte](32); buf.get(id); AddrContract(id)
+      case other => throw new IllegalArgumentException(s"SCAddress type $other")
+    }
+    case other => throw new IllegalArgumentException(s"SCValType $other unsupported")
+  }
+
+  // ---- JSON render ---------------------------------------------------------
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def toJson(v: V): String = v match {
+    case B(b) => s"""{"bool":$b}"""
+    case Void => """{"void":null}"""
+    case U32(x) => s"""{"u32":${java.lang.Integer.toUnsignedLong(x)}}"""
+    case I32(x) => s"""{"i32":$x}"""
+    case U64(x) => s"""{"u64":"${java.lang.Long.toUnsignedString(x)}"}"""
+    case I64(x) => s"""{"i64":"$x"}"""
+    case Timepoint(x) => s"""{"timepoint":"${java.lang.Long.toUnsignedString(x)}"}"""
+    case Duration(x) => s"""{"duration":"${java.lang.Long.toUnsignedString(x)}"}"""
+    case U128(hi, lo) =>
+      val u = ((BigInt(hi) & ((BigInt(1) << 64) - 1)) << 64) |
+        (BigInt(lo) & ((BigInt(1) << 64) - 1))
+      s"""{"u128":"$u"}"""
+    case I128(hi, lo) => s"""{"i128":"${Amounts.int128String(hi, lo)}"}"""
+    case Bytes(b) => s"""{"bytes":"${Hashes.hex(b)}"}"""
+    case Str(s) => s"""{"string":"${esc(s)}"}"""
+    case Sym(s) => s"""{"symbol":"${esc(s)}"}"""
+    case Vec(xs) => xs.map(toJson).mkString("""{"vec":[""", ",", "]}")
+    case M(kvs) => kvs.map { case (k, x) =>
+        s"""{"key":${toJson(k)},"val":${toJson(x)}}"""
+      }.mkString("""{"map":[""", ",", "]}")
+    case AddrAccount(key) => s"""{"address":"${Strkey.encodeAccountId(key)}"}"""
+    case AddrContract(id) => s"""{"address":"${Strkey.encodeContract(id)}"}"""
+  }
+
+  /** base64(XDR) + decoded JSON from raw ScVal bytes — the two columns the
+    * reference emits for every Soroban value (`contract_events.go:137-148`). */
+  def jsonFromBinary(bytes: Array[Byte]): String = toJson(decode(bytes))
+}

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.codec.{Amounts, Hashes, SacContractId, Strkey, Toid}
+import graft.codec.{Amounts, Hashes, SacContractId, ScVal, Strkey, Toid}
 
 /** Column-level function library.
   *
@@ -118,6 +118,26 @@ object GraftFunctions {
   val strkeyBalance = udf((b: Array[Byte]) => Strkey.encodeClaimableBalance(b))
   val strkeyMuxed = udf((b: Array[Byte], id: Long) => Strkey.encodeMuxed(b, id))
   val int128String = udf((hi: Long, lo: Long) => Amounts.int128String(hi, lo))
+
+  /** ScVal XDR binary → tagged JSON (native, codegen'd). */
+  def scvalJson(c: Column): Column =
+    nativeCol(graft.plans.ScValJsonExpression(exprOf(c)))
+
+  /** Fixture ScVal builders (encode side; cold path, plain UDFs). The event
+    * map mirrors what a SAC-style contract event carries: amount / symbol /
+    * counterparty — deterministic from the synthetic event columns so the
+    * DuckDB oracle can re-derive the exact XDR bytes independently. */
+  val scvalEventBytes = udf((eventType: String, userId: Long, cents: Long) =>
+    ScVal.encode(ScVal.M(Seq(
+      ScVal.Sym("amount") -> ScVal.I128(0L, cents),
+      ScVal.Sym("event") -> ScVal.Sym(eventType),
+      ScVal.Sym("user") -> ScVal.U64(userId)))))
+
+  /** Fixture ScVal for a contract-data entry: balance i128 + storage key. */
+  val scvalContractValBytes = udf((hi: Long, lo: Long, key: String) =>
+    ScVal.encode(ScVal.M(Seq(
+      ScVal.Sym("balance") -> ScVal.I128(hi, lo),
+      ScVal.Sym("key") -> ScVal.Str(key)))))
 
   /** FarmHash asset id (`asset.go:72-77`): farmhash64(code ‖ issuer ‖ type). */
   def farmHashAssetId(code: Column, issuer: Column, assetType: Column): Column =

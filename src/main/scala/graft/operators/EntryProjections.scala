@@ -66,14 +66,21 @@ object EntryProjections {
 
   /** P13 — contract data incl. SAC detection flag and i128 balance string
     * (`contract_data.go:49-158,306-379`). */
-  def contractData(parts: DataFrame): DataFrame =
+  def contractData(parts: DataFrame): DataFrame = {
+    // the entry value as a real ScVal: XDR-encoded map {balance:i128, key:str}
+    // serialized base64 + decoded JSON, the reference's two-column contract
+    // (`contract_events.go:128-148` serializeScVal; `contract_data.go:306-379`)
+    val scval = GraftFunctions.scvalContractValBytes(
+      col("p_partkey"), col("p_size").cast("long"), col("p_type"))
     parts.select(
       sha2(concat(lit("contract|"), col("p_name")), 256).as("contract_id_hex"),
       (col("p_size") < 10).as("is_sac"),
       GraftFunctions.int128String(col("p_partkey"), col("p_size").cast("long"))
         .as("balance_i128"),
       col("p_type").as("storage_key"),
-      GraftFunctions.base64NoWrap(col("p_name").cast("binary")).as("val_b64"))
+      GraftFunctions.base64NoWrap(scval).as("val_b64"),
+      GraftFunctions.scvalJson(scval).as("val_decoded"))
+  }
 
   /** P14 — contract code wasm cost inputs (`contract_code.go:12-101`). */
   def contractCode(parts: DataFrame): DataFrame =
@@ -102,12 +109,19 @@ object EntryProjections {
 
   /** P17 — contract events: topics array + decoded-JSON payload
     * (`contract_events.go:20-104,128-169`). */
-  def contractEvents(eventGrain: DataFrame): DataFrame =
+  def contractEvents(eventGrain: DataFrame): DataFrame = {
+    // event payload as a real ScVal map {amount:i128, event:sym, user:u64}:
+    // `data` = base64(XDR), `data_decoded` = recursive JSON — the exact
+    // column pair `serializeScVal` emits (`contract_events.go:128-169`)
+    val scval = GraftFunctions.scvalEventBytes(col("event_type"),
+      col("user_id"), round(col("value") * 100).cast("long"))
     eventGrain.select(
       col("event_id").as("contract_event_id"),
       array(col("event_type"), col("user_id").cast("string")).as("topics"),
-      concat(lit("""{"type":""""), col("event_type"), lit(""""}""")).as("data_decoded"),
+      GraftFunctions.base64NoWrap(scval).as("data"),
+      GraftFunctions.scvalJson(scval).as("data_decoded"),
       (col("event_type") === "error").as("in_failed_contract_call"))
+  }
 
   /** P18 — raw XDR passthrough table: base64 envelope columns
     * (`ledger_transaction.go:13-58`). */

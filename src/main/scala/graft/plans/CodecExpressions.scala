@@ -66,3 +66,20 @@ case class StrkeyAccountExpression(child: Expression) extends CodecUnaryExpressi
     copy(child = newChild)
   override def prettyName: String = "strkey_account"
 }
+
+/** ScVal XDR → tagged JSON (`contract_events.go:128-169` serializeScVal's
+  * decoded half). Per-row hot on the Soroban tables, so codegen'd. */
+case class ScValJsonExpression(child: Expression) extends CodecUnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def expectedInputType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.codec.ScVal.jsonFromBinary(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.codec.ScVal$$.MODULE$$.jsonFromBinary($c))")
+  override protected def withNewChildInternal(newChild: Expression): ScValJsonExpression =
+    copy(child = newChild)
+  override def prettyName: String = "scval_json"
+}
