@@ -123,6 +123,10 @@ object GraftFunctions {
   def scvalJson(c: Column): Column =
     nativeCol(graft.plans.ScValJsonExpression(exprOf(c)))
 
+  /** ClaimPredicate XDR binary → recursive JSON (native, codegen'd). */
+  def claimPredicateJson(c: Column): Column =
+    nativeCol(graft.plans.ClaimPredicateJsonExpression(exprOf(c)))
+
   /** Fixture ScVal builders (encode side; cold path, plain UDFs). The event
     * map mirrors what a SAC-style contract event carries: amount / symbol /
     * counterparty — deterministic from the synthetic event columns so the

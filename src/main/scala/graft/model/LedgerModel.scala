@@ -31,7 +31,9 @@ object LedgerModel {
       asset_bought: AssetRef)
 
   /** One entry-change recorded under the op (application order preserved) —
-    * the pre-state source for trade prices / pool fees (`trade.go:264-317`). */
+    * the pre-state source for trade prices / pool fees (`trade.go:264-317`)
+    * and the pre/post delta source for LP deposit/withdraw details
+    * (`operation.go:238-285` getLiquidityPoolAndProductDelta). */
   case class OpChange(
       entry_type: String, // "offer" | "liquidity_pool" | ...
       seller_key: Option[Array[Byte]],
@@ -40,7 +42,17 @@ object LedgerModel {
       pre_price_n: Option[Int], pre_price_d: Option[Int],
       pre_pool_fee: Option[Long],
       pre_reserves_deposited: Option[Long] = None,
-      pre_reserves_disbursed: Option[Long] = None)
+      pre_reserves_disbursed: Option[Long] = None,
+      // LP pre/post product state (reserves A/B + shares) and pool assets
+      pre_reserve_a: Option[Long] = None, pre_reserve_b: Option[Long] = None,
+      post_reserve_a: Option[Long] = None, post_reserve_b: Option[Long] = None,
+      pre_total_shares: Option[Long] = None, post_total_shares: Option[Long] = None,
+      pool_asset_a: Option[AssetRef] = None, pool_asset_b: Option[AssetRef] = None)
+
+  /** One claimable-balance claimant; the recursive predicate travels as XDR
+    * bytes (Spark encoders cannot hold a recursive case class) and is
+    * rendered by `graft.codec.ClaimPredicate` (`schema.go:166-170`). */
+  case class Claimant(destination_key: Array[Byte], predicate_xdr: Array[Byte])
 
   /** One operation inside a transaction envelope. `details_json` carries the
     * per-type sparse union pre-serialized (SURVEY §1.2 option (b) at the
@@ -62,7 +74,60 @@ object LedgerModel {
       result_offer_id: Option[Long] = None,
       destination_key: Option[Array[Byte]] = None,
       destination_muxed_id: Option[Long] = None,
-      asset: Option[AssetRef] = None)
+      asset: Option[AssetRef] = None,
+      // ---- per-type envelope/result payloads for the details case law
+      // (`operation.go:584-1173`); sparse — only the owning op type fills them
+      starting_balance_stroops: Option[Long] = None, // create_account
+      path: Seq[AssetRef] = Seq.empty, // path payments: intermediate hops
+      source_asset: Option[AssetRef] = None,
+      source_amount_stroops: Option[Long] = None, // actual from result
+      source_max_stroops: Option[Long] = None, // strict-receive SendMax
+      destination_min_stroops: Option[Long] = None, // strict-send DestMin
+      offer_id: Option[Long] = None, // manage offers: op body offer id
+      buying_asset: Option[AssetRef] = None,
+      selling_asset: Option[AssetRef] = None,
+      price_n: Option[Int] = None, price_d: Option[Int] = None,
+      // set_options
+      inflation_dest_key: Option[Array[Byte]] = None,
+      set_flags: Option[Int] = None, clear_flags: Option[Int] = None,
+      master_weight: Option[Int] = None,
+      low_threshold: Option[Int] = None, med_threshold: Option[Int] = None,
+      high_threshold: Option[Int] = None,
+      home_domain: Option[String] = None,
+      signer_key: Option[Array[Byte]] = None, signer_weight: Option[Int] = None,
+      // change_trust / allow_trust / set_trust_line_flags
+      trust_asset: Option[AssetRef] = None,
+      trust_pool_id: Option[Array[Byte]] = None, // pool-share trust line
+      trust_limit_stroops: Option[Long] = None,
+      trustor_key: Option[Array[Byte]] = None,
+      authorize_flags: Option[Int] = None, // allow_trust Authorize value
+      tl_set_flags: Option[Int] = None, tl_clear_flags: Option[Int] = None,
+      // manage_data / bump_sequence
+      data_name: Option[String] = None, data_value: Option[Array[Byte]] = None,
+      bump_to: Option[Long] = None,
+      // claimable balances
+      cb_asset: Option[AssetRef] = None,
+      cb_amount_stroops: Option[Long] = None,
+      claimants: Seq[Claimant] = Seq.empty,
+      balance_id: Option[Array[Byte]] = None, // 32-byte v0 hash
+      // sponsorship
+      sponsored_id_key: Option[Array[Byte]] = None,
+      revoke_signer_account_key: Option[Array[Byte]] = None,
+      revoke_signer_key: Option[Array[Byte]] = None,
+      revoke_account_id_key: Option[Array[Byte]] = None, // ledger-key revokes
+      revoke_offer_id: Option[Long] = None,
+      // liquidity pools
+      pool_id: Option[Array[Byte]] = None,
+      max_amount_a: Option[Long] = None, max_amount_b: Option[Long] = None,
+      min_amount_a: Option[Long] = None, min_amount_b: Option[Long] = None,
+      min_price_n: Option[Int] = None, min_price_d: Option[Int] = None,
+      max_price_n: Option[Int] = None, max_price_d: Option[Int] = None,
+      lp_shares_stroops: Option[Long] = None, // withdraw op.Amount
+      // soroban
+      host_fn_type: Option[String] = None,
+      soroban_contract_id: Option[Array[Byte]] = None,
+      parameters_xdr: Seq[Array[Byte]] = Seq.empty, // ScVal binaries
+      extend_to: Option[Long] = None)
 
   /** Fee-account balance change from fee meta / TxChangesAfter — the J4
     * lookup source (`transaction.go:277-305`). */

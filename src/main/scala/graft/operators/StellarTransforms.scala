@@ -153,26 +153,298 @@ object StellarTransforms {
       transform(col("tx.signers"), k => strkeyAccount(k)).as("tx_signers"))
   }
 
+  /** Account-flag ints present in `v`, with the reference's names
+    * (`operation.go:555-582`). */
+  private def accountFlagArrays(v: Column): (Column, Column) = {
+    val names = typedLit(Map(1 -> "auth_required", 2 -> "auth_revocable",
+      4 -> "auth_immutable", 8 -> "auth_clawback_enabled"))
+    val ints = filter(typedLit(Seq(1, 2, 4, 8)), b => v.bitwiseAND(b) =!= 0)
+    (ints, transform(ints, i => element_at(names, i)))
+  }
+
+  /** Trustline-flag ints/names (`operation.go:442-466`). */
+  private def trustlineFlagArrays(v: Column): (Column, Column) = {
+    val names = typedLit(Map(1 -> "authorized",
+      2 -> "authorized_to_maintain_liabilities", 4 -> "clawback_enabled"))
+    val ints = filter(typedLit(Seq(1, 2, 4)), b => v.bitwiseAND(b) =!= 0)
+    (ints, transform(ints, i => element_at(names, i)))
+  }
+
   /** P3 — `history_operations`: op grain with source fallback, type names,
     * op-index+1 TOIDs. The `details` union is a WIDE NULLABLE STRUCT
     * (SURVEY §1.2 option (a), BigQuery's own shape) — queryable columns,
     * prunable by Parquet, with `details` additionally rendered to JSON for
     * parity with the reference's map-typed field; the decoder's raw
-    * passthrough stays as `details_json`. */
+    * passthrough stays as `details_json`.
+    *
+    * The per-type case law follows `operation.go:584-1173`: 25 op types
+    * populate their own sparse slice of the struct; everything below is
+    * intra-row column algebra (no joins, no UDF in the per-row path except
+    * the cold strkey variants). Divergences from the reference, by
+    * environment necessity: claimant predicates are JSON strings inside the
+    * claimants array (the reference nests raw JSON); `ledger_key_hash` /
+    * `contract_code_hash` need envelope internals the decoded model does not
+    * carry. */
   def historyOperations(ledgers: Dataset[LedgerRow]): DataFrame = {
-    val paymentish = col("op.op_type").isin(0, 1, 2, 8, 13, 19)
+    val ty = col("op.op_type")
+    val successful = col("tx.successful")
+    val sourceKey = coalesce(col("op.source_key"), col("tx.source_key"))
+    val sourceAddr = strkeyAccount(sourceKey)
+    val destAddr = when(col("op.destination_key").isNotNull,
+      strkeyAccount(col("op.destination_key")))
+
+    def assetFields(a: Column, prefix: String): Seq[Column] = {
+      val p = if (prefix.isEmpty) "" else prefix + "_"
+      Seq(
+        a("asset_type").as(s"${p}asset_type"),
+        when(a("asset_type") =!= "native", a("asset_code")).as(s"${p}asset_code"),
+        when(a("asset_type") =!= "native", a("asset_issuer")).as(s"${p}asset_issuer"))
+    }
+    // canonical "code:issuer" / "native" string (`asset.StringCanonical`)
+    def assetCanon(a: Column): Column =
+      when(a("asset_type") === "native", lit("native"))
+        .otherwise(concat(a("asset_code"), lit(":"), a("asset_issuer")))
+
+    val (setFlagsI, setFlagsS) = accountFlagArrays(col("op.set_flags"))
+    val (clearFlagsI, clearFlagsS) = accountFlagArrays(col("op.clear_flags"))
+    val (tlSetI, tlSetS) = trustlineFlagArrays(col("op.tl_set_flags"))
+    val (tlClearI, tlClearS) = trustlineFlagArrays(col("op.tl_clear_flags"))
+
+    // last LP change for this op's pool: pre/post product delta source
+    // (`getLiquidityPoolAndProductDelta`, operation.go:238-285)
+    val lpMatches = filter(col("op.changes"), c =>
+      c("entry_type") === "liquidity_pool" && c("pool_id") === col("op.pool_id"))
+    val lpChange = get(lpMatches, size(lpMatches) - 1)
+    def lpDelta(pre: String, post: String): Column =
+      when(successful && lpChange.isNotNull,
+        lpChange(post) - lpChange(pre)).otherwise(lit(0L))
+
+    // end_sponsoring: reverse scan for the initiating begin op whose
+    // sponsored id is this op's source (`findInitatingBeginSponsoringOp`)
+    val beginOps = filter(
+      zip_with(col("tx.operations"),
+        sequence(lit(0), size(col("tx.operations")) - 1),
+        (op, i) => struct(op.as("op"), i.as("i"))),
+      x => x("i") < col("op_pos") && x("op")("op_type") === 16 &&
+        x("op")("sponsored_id_key") === sourceKey)
+    val beginOp = get(beginOps, size(beginOps) - 1)("op")
+    val beginSponsorKey =
+      coalesce(beginOp("source_key"), col("tx.source_key"))
+
+    // CB balance id: xdr.MarshalHex(BalanceId) = v0 discriminant + hash;
+    // strkey B-address over the 33-byte (type ‖ hash) payload
+    val balanceIdHex = when(col("op.balance_id").isNotNull,
+      concat(lit("00000000"), lower(hex(col("op.balance_id")))))
+    val balanceIdStrkey = when(col("op.balance_id").isNotNull,
+      strkeyBalance(col("op.balance_id")))
+
+    val isPayment = ty.isin(1, 2, 13)
     val detailsStruct = struct(
-      when(paymentish, stroopsToXlm(col("op.amount_stroops"))).as("amount"),
-      when(col("op.destination_key").isNotNull,
-        strkeyAccount(col("op.destination_key"))).as("destination"),
+      // ---- accounts & amounts (create_account / payments / merge / clawback)
+      when(ty === 0, sourceAddr).as("funder"),
+      when(ty === 0, destAddr).as("account"),
+      when(ty === 0, stroopsToXlm(col("op.starting_balance_stroops")))
+        .as("starting_balance"),
+      when(isPayment, sourceAddr)
+        .when(ty === 19, destAddr).as("from"), // clawback: From account
+      when(isPayment, destAddr).as("to"),
+      when(isPayment && col("op.source_key").isNull &&
+          col("tx.source_muxed_id").isNotNull,
+        strkeyMuxed(col("tx.source_key"), col("tx.source_muxed_id")))
+        .as("from_muxed"),
+      when(isPayment && col("op.source_key").isNull, col("tx.source_muxed_id"))
+        .as("from_muxed_id"),
       when(col("op.destination_muxed_id").isNotNull,
         strkeyMuxed(col("op.destination_key"), col("op.destination_muxed_id")))
-        .as("destination_muxed"),
-      col("op.asset.asset_type").as("asset_type"),
-      when(col("op.asset.asset_type") =!= "native", col("op.asset.asset_code"))
-        .as("asset_code"),
-      when(col("op.asset.asset_type") =!= "native", col("op.asset.asset_issuer"))
+        .as("to_muxed"),
+      col("op.destination_muxed_id").as("to_muxed_id"),
+      // amount: payments/offers/clawback op body; strict-send actual from
+      // result when successful, 0 otherwise (`operation.go:687-696`)
+      when(ty === 13,
+          when(successful, stroopsToXlm(col("op.amount_stroops")))
+            .otherwise(lit(0.0)))
+        .when(ty.isin(1, 2, 3, 4, 12, 19), stroopsToXlm(col("op.amount_stroops")))
+        .when(ty === 14, stroopsToXlm(col("op.cb_amount_stroops")))
+        .as("amount"),
+      // ---- path payments (2 strict-receive / 13 strict-send)
+      when(ty === 2,
+          when(successful, stroopsToXlm(col("op.source_amount_stroops")))
+            .otherwise(lit(0.0)))
+        .when(ty === 13, stroopsToXlm(col("op.source_amount_stroops")))
+        .as("source_amount"),
+      when(ty === 2, stroopsToXlm(col("op.source_max_stroops"))).as("source_max"),
+      when(ty === 13, stroopsToXlm(col("op.destination_min_stroops")))
+        .as("destination_min"),
+      when(ty.isin(2, 13) && size(col("op.path")) > 0, col("op.path")).as("path"),
+      // ---- asset triple: payment/path dest asset, trust-line ops' line,
+      // clawback asset (`addAssetDetailsToOperationDetails` with "" prefix)
+      when(ty.isin(1, 2, 13, 19), col("op.asset.asset_type"))
+        .when(ty.isin(6, 7, 21),
+          coalesce(col("op.trust_asset.asset_type"), lit("liquidity_pool_shares")))
+        .as("asset_type"),
+      when(ty.isin(1, 2, 13, 19) && col("op.asset.asset_type") =!= "native",
+          col("op.asset.asset_code"))
+        .when(ty.isin(6, 7, 21), col("op.trust_asset.asset_code")).as("asset_code"),
+      when(ty.isin(1, 2, 13, 19) && col("op.asset.asset_type") =!= "native",
+          col("op.asset.asset_issuer"))
+        .when(ty.isin(6, 7, 21), col("op.trust_asset.asset_issuer"))
         .as("asset_issuer"),
+      when(ty.isin(2, 13), col("op.source_asset.asset_type"))
+        .as("source_asset_type"),
+      when(ty.isin(2, 13) && col("op.source_asset.asset_type") =!= "native",
+        col("op.source_asset.asset_code")).as("source_asset_code"),
+      when(ty.isin(2, 13) && col("op.source_asset.asset_type") =!= "native",
+        col("op.source_asset.asset_issuer")).as("source_asset_issuer"),
+      // ---- offers (3 manage_sell / 4 passive_sell / 12 manage_buy)
+      when(ty.isin(3, 12), col("op.offer_id")).as("offer_id"),
+      when(ty.isin(3, 4, 12),
+        priceRatio(col("op.price_n"), col("op.price_d"))).as("price"),
+      when(ty.isin(3, 4, 12), struct(col("op.price_n").as("n"),
+        col("op.price_d").as("d"))).as("price_r"),
+      when(ty.isin(3, 4, 12), col("op.buying_asset.asset_type"))
+        .as("buying_asset_type"),
+      when(ty.isin(3, 4, 12) && col("op.buying_asset.asset_type") =!= "native",
+        col("op.buying_asset.asset_code")).as("buying_asset_code"),
+      when(ty.isin(3, 4, 12) && col("op.buying_asset.asset_type") =!= "native",
+        col("op.buying_asset.asset_issuer")).as("buying_asset_issuer"),
+      when(ty.isin(3, 4, 12), col("op.selling_asset.asset_type"))
+        .as("selling_asset_type"),
+      when(ty.isin(3, 4, 12) && col("op.selling_asset.asset_type") =!= "native",
+        col("op.selling_asset.asset_code")).as("selling_asset_code"),
+      when(ty.isin(3, 4, 12) && col("op.selling_asset.asset_type") =!= "native",
+        col("op.selling_asset.asset_issuer")).as("selling_asset_issuer"),
+      // ---- set_options (5)
+      when(ty === 5 && col("op.inflation_dest_key").isNotNull,
+        strkeyAccount(col("op.inflation_dest_key"))).as("inflation_dest"),
+      when(ty === 5 && col("op.set_flags").isNotNull, setFlagsI).as("set_flags"),
+      when(ty === 5 && col("op.set_flags").isNotNull, setFlagsS).as("set_flags_s"),
+      when(ty === 5 && col("op.clear_flags").isNotNull, clearFlagsI)
+        .as("clear_flags"),
+      when(ty === 5 && col("op.clear_flags").isNotNull, clearFlagsS)
+        .as("clear_flags_s"),
+      when(ty === 5, col("op.master_weight")).as("master_key_weight"),
+      when(ty === 5, col("op.low_threshold")).as("low_threshold"),
+      when(ty === 5, col("op.med_threshold")).as("med_threshold"),
+      when(ty === 5, col("op.high_threshold")).as("high_threshold"),
+      when(ty === 5, col("op.home_domain")).as("home_domain"),
+      when(ty === 5 && col("op.signer_key").isNotNull,
+          strkeyAccount(col("op.signer_key")))
+        .when(ty === 18, strkeyAccount(col("op.revoke_signer_key")))
+        .as("signer_key"),
+      when(ty === 5, col("op.signer_weight")).as("signer_weight"),
+      // ---- trust lines (6 change_trust / 7 allow_trust / 21 set_tl_flags)
+      when(ty === 6 && col("op.trust_pool_id").isNotNull,
+        lower(hex(col("op.trust_pool_id")))).as("liquidity_pool_id"),
+      when(ty === 6, stroopsToXlm(col("op.trust_limit_stroops"))).as("limit"),
+      when(ty === 6, col("op.trust_asset.asset_issuer"))
+        .when(ty === 7, sourceAddr).as("trustee"),
+      when(ty === 6, sourceAddr)
+        .when(ty.isin(7, 21), strkeyAccount(col("op.trustor_key"))).as("trustor"),
+      when(ty === 7, col("op.authorize_flags").bitwiseAND(1) =!= 0)
+        .as("authorize"),
+      when(ty === 7 && col("op.authorize_flags").bitwiseAND(2) =!= 0, lit(true))
+        .as("authorize_to_maintain_liabilities"),
+      when(ty === 7 && col("op.authorize_flags").bitwiseAND(4) =!= 0, lit(true))
+        .as("clawback_enabled"),
+      when(ty === 21 && col("op.tl_set_flags").isNotNull, tlSetI)
+        .as("tl_set_flags"),
+      when(ty === 21 && col("op.tl_set_flags").isNotNull, tlSetS)
+        .as("tl_set_flags_s"),
+      when(ty === 21 && col("op.tl_clear_flags").isNotNull, tlClearI)
+        .as("tl_clear_flags"),
+      when(ty === 21 && col("op.tl_clear_flags").isNotNull, tlClearS)
+        .as("tl_clear_flags_s"),
+      // ---- account_merge (8)
+      when(ty === 8, sourceAddr).as("merge_account"),
+      when(ty === 8, destAddr).as("into"),
+      // ---- manage_data (10) / bump_sequence (11)
+      when(ty === 10, col("op.data_name")).as("name"),
+      when(ty === 10 && col("op.data_value").isNotNull,
+        base64NoWrap(col("op.data_value"))).as("value"),
+      when(ty === 11, col("op.bump_to").cast("string")).as("bump_to"),
+      // ---- claimable balances (14 create / 15 claim / 20 clawback)
+      when(ty === 14, assetCanon(col("op.cb_asset"))).as("asset"),
+      when(ty === 14, transform(col("op.claimants"), c => struct(
+        strkeyAccount(c("destination_key")).as("destination"),
+        claimPredicateJson(c("predicate_xdr")).as("predicate")))).as("claimants"),
+      when(ty.isin(15, 20), balanceIdHex).as("balance_id"),
+      when(ty.isin(15, 20), balanceIdStrkey).as("balance_id_strkey"),
+      when(ty === 15, sourceAddr).as("claimant"),
+      // ---- sponsorship (16 begin / 17 end / 18 revoke)
+      when(ty === 16, strkeyAccount(col("op.sponsored_id_key")))
+        .as("sponsored_id"),
+      when(ty === 17 && successful && beginOp.isNotNull,
+        strkeyAccount(beginSponsorKey)).as("begin_sponsor"),
+      when(ty === 18 && col("op.revoke_signer_account_key").isNotNull,
+        strkeyAccount(col("op.revoke_signer_account_key")))
+        .as("signer_account_id"),
+      when(ty === 18 && col("op.revoke_account_id_key").isNotNull,
+        strkeyAccount(col("op.revoke_account_id_key"))).as("account_id"),
+      when(ty === 18, col("op.revoke_offer_id")).as("revoke_offer_id"),
+      // ---- liquidity pools (22 deposit / 23 withdraw)
+      when(ty.isin(22, 23), lower(hex(col("op.pool_id"))))
+        .as("lp_liquidity_pool_id"),
+      when(ty.isin(22, 23), strkeyPool(col("op.pool_id")))
+        .as("liquidity_pool_id_strkey"),
+      when(ty.isin(22, 23) && successful && lpChange.isNotNull,
+        lpChange("pool_asset_a")("asset_type")).as("reserve_a_asset_type"),
+      when(ty.isin(22, 23) && successful && lpChange.isNotNull &&
+          lpChange("pool_asset_a")("asset_type") =!= "native",
+        lpChange("pool_asset_a")("asset_code")).as("reserve_a_asset_code"),
+      when(ty.isin(22, 23) && successful && lpChange.isNotNull,
+        lpChange("pool_asset_b")("asset_type")).as("reserve_b_asset_type"),
+      when(ty.isin(22, 23) && successful && lpChange.isNotNull &&
+          lpChange("pool_asset_b")("asset_type") =!= "native",
+        lpChange("pool_asset_b")("asset_code")).as("reserve_b_asset_code"),
+      when(ty === 22, stroopsToXlm(col("op.max_amount_a")))
+        .as("reserve_a_max_amount"),
+      when(ty === 22, stroopsToXlm(col("op.max_amount_b")))
+        .as("reserve_b_max_amount"),
+      when(ty === 22, stroopsToXlm(lpDelta("pre_reserve_a", "post_reserve_a")))
+        .as("reserve_a_deposit_amount"),
+      when(ty === 22, stroopsToXlm(lpDelta("pre_reserve_b", "post_reserve_b")))
+        .as("reserve_b_deposit_amount"),
+      when(ty === 22, priceRatio(col("op.min_price_n"), col("op.min_price_d")))
+        .as("min_price"),
+      when(ty === 22, struct(col("op.min_price_n").as("n"),
+        col("op.min_price_d").as("d"))).as("min_price_r"),
+      when(ty === 22, priceRatio(col("op.max_price_n"), col("op.max_price_d")))
+        .as("max_price"),
+      when(ty === 22, struct(col("op.max_price_n").as("n"),
+        col("op.max_price_d").as("d"))).as("max_price_r"),
+      when(ty === 22,
+        stroopsToXlm(lpDelta("pre_total_shares", "post_total_shares")))
+        .as("shares_received"),
+      when(ty === 23, stroopsToXlm(col("op.min_amount_a")))
+        .as("reserve_a_min_amount"),
+      when(ty === 23, stroopsToXlm(col("op.min_amount_b")))
+        .as("reserve_b_min_amount"),
+      when(ty === 23, stroopsToXlm(-lpDelta("pre_reserve_a", "post_reserve_a")))
+        .as("reserve_a_withdraw_amount"),
+      when(ty === 23, stroopsToXlm(-lpDelta("pre_reserve_b", "post_reserve_b")))
+        .as("reserve_b_withdraw_amount"),
+      when(ty === 23, stroopsToXlm(col("op.lp_shares_stroops"))).as("shares"),
+      // ---- soroban (24 invoke / 25 extend_ttl / 26 restore)
+      when(ty === 24, concat(lit("HostFunctionTypeHostFunctionType"),
+          element_at(typedLit(Map("invoke_contract" -> "InvokeContract",
+            "create_contract" -> "CreateContract",
+            "upload_wasm" -> "UploadContractWasm",
+            "create_contract_v2" -> "CreateContractV2")),
+            col("op.host_fn_type"))))
+        .as("function"),
+      when(ty === 24, col("op.host_fn_type"))
+        .when(ty === 25, lit("extend_footprint_ttl"))
+        .when(ty === 26, lit("restore_footprint")).as("type"),
+      when(ty.isin(24, 25) && col("op.soroban_contract_id").isNotNull,
+        strkeyContract(col("op.soroban_contract_id"))).as("contract_id"),
+      when(ty === 24 && size(col("op.parameters_xdr")) > 0,
+        transform(col("op.parameters_xdr"), p => base64NoWrap(p)))
+        .as("parameters"),
+      when(ty === 24 && size(col("op.parameters_xdr")) > 0,
+        transform(col("op.parameters_xdr"), p => scvalJson(p)))
+        .as("parameters_decoded"),
+      when(ty === 25, col("op.extend_to")).as("extend_to"),
+      // ---- trade summary (kept from the narrow struct)
       when(size(col("op.claim_atoms")) > 0, size(col("op.claim_atoms")))
         .as("n_claim_atoms"),
       when(size(col("op.claim_atoms")) > 0,

@@ -83,3 +83,19 @@ case class ScValJsonExpression(child: Expression) extends CodecUnaryExpression {
     copy(child = newChild)
   override def prettyName: String = "scval_json"
 }
+
+/** ClaimPredicate XDR → JSON (`claimable_balance.go:11-21`, recursive tree). */
+case class ClaimPredicateJsonExpression(child: Expression) extends CodecUnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def expectedInputType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.codec.ClaimPredicate.jsonFromBinary(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.codec.ClaimPredicate$$.MODULE$$.jsonFromBinary($c))")
+  override protected def withNewChildInternal(newChild: Expression): ClaimPredicateJsonExpression =
+    copy(child = newChild)
+  override def prettyName: String = "claim_predicate_json"
+}

@@ -42,7 +42,7 @@ object StellarFixture {
           pre_reserves_disbursed = Some(3000000000L)))
       else Seq.empty
     }
-    OpModel(
+    val base = OpModel(
       op_type = ty,
       source_key = if (o % 3 == 0) None else Some(keyOf(s"op-$l-$t-$o")),
       source_muxed_id = None,
@@ -66,6 +66,130 @@ object StellarFixture {
         Some(AssetRef(if (o % 2 == 0) "native" else "credit_alphanum4",
           if (o % 2 == 0) "" else s"TK$o",
           if (o % 2 == 0) "" else s"ISS${o % 3}")) else None)
+    withTypePayload(base, l, t, o)
+  }
+
+  /** Per-type envelope/result payloads mirroring the reference's details
+    * inputs (`operation.go:584-1173`) — deterministic from (l, t, o). */
+  private def withTypePayload(base: OpModel, l: Long, t: Int, o: Int): OpModel = {
+    val ty = base.op_type
+    def cred(code: String, iss: Int) =
+      AssetRef("credit_alphanum4", code, s"ISS$iss")
+    ty match {
+      case 0 => base.copy(
+        starting_balance_stroops = Some(25000000L + o * 10000000L),
+        destination_key = Some(keyOf(s"dest-$l-$t-$o")))
+      case 2 | 13 => base.copy(
+        destination_key = Some(keyOf(s"dest-$l-$t-$o")),
+        asset = Some(if (o % 2 == 0) AssetRef("native", "", "")
+          else cred(s"DST$o", o % 3)),
+        source_asset = Some(cred(s"SRC$o", (o + 1) % 3)),
+        path = if (o % 2 == 0) Seq(cred(s"HOP$o", o % 3), AssetRef("native", "", ""))
+          else Seq.empty,
+        source_amount_stroops = Some(900000L * (o + 1)),
+        source_max_stroops = if (ty == 2) Some(1200000L * (o + 1)) else None,
+        destination_min_stroops = if (ty == 13) Some(800000L * (o + 1)) else None)
+      case 3 | 4 | 12 => base.copy(
+        offer_id = if (ty == 4) None else Some(if (o % 3 == 0) 0L else 6000L + o),
+        selling_asset = Some(cred(s"SL$o", o % 3)),
+        buying_asset = Some(AssetRef("native", "", "")),
+        price_n = Some(1 + o), price_d = Some(7 + t % 3))
+      case 5 => base.copy(
+        inflation_dest_key = if (o % 2 == 0) Some(keyOf(s"infl-$l-$t")) else None,
+        set_flags = if (o % 2 == 0) Some(5) else None, // required|immutable
+        clear_flags = if (o % 2 == 1) Some(2) else None, // revocable
+        master_weight = Some(o % 256),
+        low_threshold = Some(1), med_threshold = Some(2 + o % 3),
+        high_threshold = Some(3 + o % 3),
+        home_domain = if (o % 3 != 2) Some(s"dom$o.example") else None,
+        signer_key = if (o % 2 == 0) Some(keyOf(s"signer-$l-$t-$o")) else None,
+        signer_weight = if (o % 2 == 0) Some(10 - o % 5) else None)
+      case 6 => base.copy(
+        trust_asset = if (o % 3 != 2) Some(cred(s"TR$o", o % 3)) else None,
+        trust_pool_id = if (o % 3 == 2) Some(keyOf(s"pool-$l")) else None,
+        trust_limit_stroops = Some(500000000L * (o + 1)))
+      case 7 => base.copy(
+        trust_asset = Some(cred(s"AL$o", o % 3)),
+        trustor_key = Some(keyOf(s"trustor-$l-$t-$o")),
+        authorize_flags = Some(Seq(1, 2, 4)(o % 3)))
+      case 8 => base.copy(destination_key = Some(keyOf(s"dest-$l-$t-$o")))
+      case 10 => base.copy(
+        data_name = Some(s"cfg-$o"),
+        data_value = if (o % 2 == 0) Some(keyOf(s"val-$l-$t-$o").take(8)) else None)
+      case 11 => base.copy(bump_to = Some(l * 1000000L + t * 100L + o))
+      case 14 => base.copy(
+        cb_asset = Some(if (o % 2 == 0) AssetRef("native", "", "")
+          else cred(s"CB$o", o % 3)),
+        cb_amount_stroops = Some(30000000L * (o + 1)),
+        claimants = Seq(
+          Claimant(keyOf(s"claimant-$l-$t-$o-0"),
+            graft.codec.ClaimPredicate.encode(
+              graft.codec.ClaimPredicate.Unconditional)),
+          Claimant(keyOf(s"claimant-$l-$t-$o-1"),
+            graft.codec.ClaimPredicate.encode(
+              graft.codec.ClaimPredicate.And(Seq(
+                graft.codec.ClaimPredicate.AbsBefore(1700000000L + o),
+                graft.codec.ClaimPredicate.Not(Some(
+                  graft.codec.ClaimPredicate.RelBefore(3600L + o)))))))))
+      case 15 | 20 => base.copy(balance_id = Some(keyOf(s"cb-$l-$t-$o")))
+      case 16 => base.copy(sponsored_id_key = Some(keyOf(s"sponsoree-$l-$t-$o")))
+      case 18 =>
+        if (o % 2 == 0) base.copy(
+          revoke_signer_account_key = Some(keyOf(s"racct-$l-$t-$o")),
+          revoke_signer_key = Some(keyOf(s"rsigner-$l-$t-$o")))
+        else if (o % 4 == 1) base.copy(
+          revoke_account_id_key = Some(keyOf(s"racct-$l-$t-$o")))
+        else base.copy(revoke_offer_id = Some(8000L + o))
+      case 21 => base.copy(
+        trust_asset = Some(cred(s"TF$o", o % 3)),
+        trustor_key = Some(keyOf(s"trustor-$l-$t-$o")),
+        tl_set_flags = if (o % 2 == 0) Some(1) else None, // authorized
+        tl_clear_flags = if (o % 2 == 1) Some(6) else None) // maintain|clawback
+      case 22 => base.copy(
+        pool_id = Some(keyOf(s"pool-$l")),
+        max_amount_a = Some(40000000L + o), max_amount_b = Some(50000000L + o),
+        min_price_n = Some(1), min_price_d = Some(2),
+        max_price_n = Some(3), max_price_d = Some(1),
+        changes = base.changes :+ lpDepositChange(l, deposit = true, o))
+      case 23 => base.copy(
+        pool_id = Some(keyOf(s"pool-$l")),
+        min_amount_a = Some(1000000L + o), min_amount_b = Some(2000000L + o),
+        lp_shares_stroops = Some(7000000L + o),
+        changes = base.changes :+ lpDepositChange(l, deposit = false, o))
+      case 24 =>
+        val fn = Seq("invoke_contract", "create_contract", "upload_wasm",
+          "create_contract_v2")(o % 4)
+        base.copy(
+          host_fn_type = Some(fn),
+          soroban_contract_id =
+            if (fn != "upload_wasm") Some(keyOf(s"contract-$l-$t-$o")) else None,
+          parameters_xdr = if (fn == "invoke_contract") Seq(
+            graft.codec.ScVal.encode(graft.codec.ScVal.AddrContract(
+              keyOf(s"contract-$l-$t-$o"))),
+            graft.codec.ScVal.encode(graft.codec.ScVal.Sym("transfer")),
+            graft.codec.ScVal.encode(graft.codec.ScVal.U64(100L + o)))
+          else Seq.empty)
+      case 25 => base.copy(extend_to = Some(10000L + o))
+      case _ => base // 1/9/17/19/26 carry no extra envelope payload here
+    }
+  }
+
+  /** LP pre/post product state for deposit (reserves grow) or withdraw
+    * (reserves shrink), with pool assets — the
+    * `getLiquidityPoolAndProductDelta` input (`operation.go:238-285`). */
+  private def lpDepositChange(l: Long, deposit: Boolean, o: Int): OpChange = {
+    val (preA, preB, preS) = (9000000000L + l, 4000000000L + l, 1000000000L)
+    val dA = 30000000L + o; val dB = 15000000L + o; val dS = 5000000L + o
+    OpChange("liquidity_pool", None, None, Some(keyOf(s"pool-$l")),
+      None, None, Some(30L),
+      pre_reserve_a = Some(preA), pre_reserve_b = Some(preB),
+      post_reserve_a = Some(if (deposit) preA + dA else preA - dA),
+      post_reserve_b = Some(if (deposit) preB + dB else preB - dB),
+      pre_total_shares = Some(preS),
+      post_total_shares = Some(if (deposit) preS + dS else preS - dS),
+      pool_asset_a = Some(AssetRef("native", "", "")),
+      pool_asset_b = Some(AssetRef("credit_alphanum4", s"PL${l % 4}",
+        s"ISS${l % 3}")))
   }
 
   def tx(l: Long, t: Int): TxModel = {

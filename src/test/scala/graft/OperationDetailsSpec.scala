@@ -1,0 +1,301 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.codec.{ClaimPredicate, Hashes, ScVal, Strkey}
+import graft.operators.StellarTransforms
+import graft.sources.StellarFixture
+
+/** Golden-row assertions for the per-type `history_operations.details` case
+  * law (`operation.go:584-1173`): for each op type, pick a fixture
+  * coordinate (l, t=1, o=1) — successful tx, op source set — and assert the
+  * rendered JSON verbatim. Values are hand-derived from the fixture
+  * formulas; addresses via the codecs (golden-tested in CodecSpec). */
+class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-opdetails")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def keyOf(label: String): Array[Byte] =
+    Hashes.sha256(label.getBytes("UTF-8"))
+  private def g(label: String): String = Strkey.encodeAccountId(keyOf(label))
+
+  /** Fixture coordinate with t=1, o=1 whose op type is `ty` and whose ledger
+    * has ≥2 txs (l%5 ≥ 1): ty = (l + 2) % 27. */
+  private def ledgerFor(ty: Int): Long =
+    (2700L to 2840L).find(l => (l + 2) % 27 == ty && l % 5 >= 1).get
+
+  private def detailsAt(l: Long, t: Int, o: Int): String = {
+    val df = StellarTransforms.historyOperations(
+      StellarFixture.ledgers(spark, l, l))
+    val opId = graft.codec.Toid.pack(l, t + 1, o + 1)
+    df.where(col("id") === opId).select("details").head().getString(0)
+  }
+
+  private def check(ty: Int)(expected: (Long, String, String) => String): Unit = {
+    val l = ledgerFor(ty)
+    val src = g(s"op-$l-1-1") // o=1 → op source key set
+    assert(detailsAt(l, 1, 1) == expected(l, src, g(s"dest-$l-1-1")),
+      s"details mismatch for op type $ty at ledger $l")
+  }
+
+  test("create_account (0)") {
+    check(0)((l, src, dest) =>
+      s"""{"funder":"$src","account":"$dest","starting_balance":3.5}""")
+  }
+
+  test("payment (1)") {
+    val l = ledgerFor(1)
+    val src = g(s"op-$l-1-1")
+    // o=1 odd: non-native TK1/ISS1; dest = issuer key on even ledgers
+    val destLabel = if (l % 2 == 0) "issuer-ISS1" else s"dest-$l-1-1"
+    val dest = g(destLabel)
+    val destMuxed = Strkey.encodeMuxed(keyOf(destLabel), 4201L)
+    assert(detailsAt(l, 1, 1) ==
+      s"""{"from":"$src","to":"$dest","to_muxed":"$destMuxed","to_muxed_id":4201,""" +
+      s""""amount":0.2000001,"asset_type":"credit_alphanum4","asset_code":"TK1",""" +
+      s""""asset_issuer":"ISS1"}""")
+  }
+
+  test("path_payment_strict_receive (2) carries result source_amount and path") {
+    val l = ledgerFor(2)
+    val src = g(s"op-$l-1-1")
+    val dest = g(s"dest-$l-1-1")
+    // o=1: dest asset credit DST1, no path (o odd), atoms exist (trade type)
+    val d = detailsAt(l, 1, 1)
+    assert(d.startsWith(
+      s"""{"from":"$src","to":"$dest","amount":0.2000001,""" +
+      s""""source_amount":0.18,"source_max":0.24,""" +
+      s""""asset_type":"credit_alphanum4","asset_code":"DST1","asset_issuer":"ISS1",""" +
+      s""""source_asset_type":"credit_alphanum4","source_asset_code":"SRC1",""" +
+      s""""source_asset_issuer":"ISS2""""), d)
+  }
+
+  test("manage_sell_offer (3)") {
+    check(3)((l, src, dest) =>
+      s"""{"amount":0.2000001,"offer_id":6001,"price":0.25,""" +
+      s""""price_r":{"n":2,"d":8},"buying_asset_type":"native",""" +
+      s""""selling_asset_type":"credit_alphanum4","selling_asset_code":"SL1",""" +
+      s""""selling_asset_issuer":"ISS1","n_claim_atoms":2,""" +
+      s""""total_sold_stroops":6000000}""")
+  }
+
+  test("create_passive_sell_offer (4) has no offer_id") {
+    check(4)((l, src, dest) =>
+      s"""{"amount":0.2000001,"price":0.25,"price_r":{"n":2,"d":8},""" +
+      s""""buying_asset_type":"native","selling_asset_type":"credit_alphanum4",""" +
+      s""""selling_asset_code":"SL1","selling_asset_issuer":"ISS1",""" +
+      s""""n_claim_atoms":2,"total_sold_stroops":6000000}""")
+  }
+
+  test("set_options (5): clear flags, thresholds, home domain") {
+    check(5)((l, src, dest) =>
+      s"""{"clear_flags":[2],"clear_flags_s":["auth_revocable"],""" +
+      s""""master_key_weight":1,"low_threshold":1,"med_threshold":3,""" +
+      s""""high_threshold":4,"home_domain":"dom1.example"}""")
+  }
+
+  test("change_trust (6)") {
+    check(6)((l, src, dest) =>
+      s"""{"asset_type":"credit_alphanum4","asset_code":"TR1",""" +
+      s""""asset_issuer":"ISS1","limit":100.0,"trustee":"ISS1","trustor":"$src"}""")
+  }
+
+  test("allow_trust (7): authorize-to-maintain-liabilities arm") {
+    val l = ledgerFor(7)
+    val src = g(s"op-$l-1-1")
+    val trustor = g(s"trustor-$l-1-1")
+    // o=1 → authorize_flags = 2: authorize=false, maintain-liabilities=true
+    assert(detailsAt(l, 1, 1) ==
+      s"""{"asset_type":"credit_alphanum4","asset_code":"AL1",""" +
+      s""""asset_issuer":"ISS1","trustee":"$src","trustor":"$trustor",""" +
+      s""""authorize":false,"authorize_to_maintain_liabilities":true}""")
+  }
+
+  test("account_merge (8)") {
+    check(8)((l, src, dest) =>
+      s"""{"merge_account":"$src","into":"$dest"}""")
+  }
+
+  test("manage_data (10): odd o has no value") {
+    check(10)((l, src, dest) => s"""{"name":"cfg-1"}""")
+  }
+
+  test("bump_sequence (11)") {
+    check(11)((l, src, dest) =>
+      s"""{"bump_to":"${l * 1000000L + 101L}"}""")
+  }
+
+  test("create_claimable_balance (14): claimants with recursive predicates") {
+    val l = ledgerFor(14)
+    val c0 = g(s"claimant-$l-1-1-0")
+    val c1 = g(s"claimant-$l-1-1-1")
+    val pred1 = ClaimPredicate.toJson(ClaimPredicate.And(Seq(
+      ClaimPredicate.AbsBefore(1700000001L),
+      ClaimPredicate.Not(Some(ClaimPredicate.RelBefore(3601L))))))
+    assert(detailsAt(l, 1, 1) ==
+      s"""{"amount":6.0,"asset":"CB1:ISS1","claimants":[""" +
+      s"""{"destination":"$c0","predicate":"{\\"unconditional\\":true}"},""" +
+      s"""{"destination":"$c1","predicate":"${pred1.replace("\"", "\\\"")}"}]}""")
+  }
+
+  test("claim_claimable_balance (15): hex + strkey balance id") {
+    val l = ledgerFor(15)
+    val src = g(s"op-$l-1-1")
+    val cb = keyOf(s"cb-$l-1-1")
+    assert(detailsAt(l, 1, 1) ==
+      s"""{"balance_id":"00000000${Hashes.hex(cb)}",""" +
+      s""""balance_id_strkey":"${Strkey.encodeClaimableBalance(cb)}",""" +
+      s""""claimant":"$src"}""")
+  }
+
+  test("begin_sponsoring_future_reserves (16)") {
+    val l = ledgerFor(16)
+    assert(detailsAt(l, 1, 1) ==
+      s"""{"sponsored_id":"${g(s"sponsoree-$l-1-1")}"}""")
+  }
+
+  test("revoke_sponsorship (18): signer arm at even o, account arm at odd") {
+    val l = ledgerFor(18)
+    // o=1 → revoke_account_id arm
+    assert(detailsAt(l, 1, 1) ==
+      s"""{"account_id":"${g(s"racct-$l-1-1")}"}""")
+  }
+
+  test("clawback (19)") {
+    val l = ledgerFor(19)
+    val from = g(s"dest-$l-1-1")
+    assert(detailsAt(l, 1, 1) ==
+      s"""{"from":"$from","amount":0.2000001,"asset_type":"credit_alphanum4",""" +
+      s""""asset_code":"TK1","asset_issuer":"ISS1"}""")
+  }
+
+  test("clawback_claimable_balance (20)") {
+    val l = ledgerFor(20)
+    val cb = keyOf(s"cb-$l-1-1")
+    assert(detailsAt(l, 1, 1) ==
+      s"""{"balance_id":"00000000${Hashes.hex(cb)}",""" +
+      s""""balance_id_strkey":"${Strkey.encodeClaimableBalance(cb)}"}""")
+  }
+
+  test("set_trust_line_flags (21): clear arm at odd o") {
+    val l = ledgerFor(21)
+    val trustor = g(s"trustor-$l-1-1")
+    assert(detailsAt(l, 1, 1) ==
+      s"""{"asset_type":"credit_alphanum4","asset_code":"TF1",""" +
+      s""""asset_issuer":"ISS1","trustor":"$trustor",""" +
+      s""""tl_clear_flags":[2,4],""" +
+      s""""tl_clear_flags_s":["authorized_to_maintain_liabilities","clawback_enabled"]}""")
+  }
+
+  test("liquidity_pool_deposit (22): deltas from pre/post pool state") {
+    val l = ledgerFor(22)
+    val pool = keyOf(s"pool-$l")
+    assert(detailsAt(l, 1, 1) ==
+      s"""{"lp_liquidity_pool_id":"${Hashes.hex(pool)}",""" +
+      s""""liquidity_pool_id_strkey":"${Strkey.encodeLiquidityPool(pool)}",""" +
+      s""""reserve_a_asset_type":"native",""" +
+      s""""reserve_b_asset_type":"credit_alphanum4",""" +
+      s""""reserve_b_asset_code":"PL${l % 4}",""" +
+      s""""reserve_a_max_amount":4.0000001,"reserve_b_max_amount":5.0000001,""" +
+      s""""reserve_a_deposit_amount":3.0000001,""" +
+      s""""reserve_b_deposit_amount":1.5000001,""" +
+      s""""min_price":0.5,"min_price_r":{"n":1,"d":2},""" +
+      s""""max_price":3.0,"max_price_r":{"n":3,"d":1},""" +
+      s""""shares_received":0.5000001}""")
+  }
+
+  test("liquidity_pool_withdraw (23): negated deltas") {
+    val l = ledgerFor(23)
+    val pool = keyOf(s"pool-$l")
+    assert(detailsAt(l, 1, 1) ==
+      s"""{"lp_liquidity_pool_id":"${Hashes.hex(pool)}",""" +
+      s""""liquidity_pool_id_strkey":"${Strkey.encodeLiquidityPool(pool)}",""" +
+      s""""reserve_a_asset_type":"native",""" +
+      s""""reserve_b_asset_type":"credit_alphanum4",""" +
+      s""""reserve_b_asset_code":"PL${l % 4}",""" +
+      s""""reserve_a_min_amount":0.1000001,"reserve_b_min_amount":0.2000001,""" +
+      s""""reserve_a_withdraw_amount":3.0000001,""" +
+      s""""reserve_b_withdraw_amount":1.5000001,""" +
+      s""""shares":0.7000001}""")
+  }
+
+  test("invoke_host_function (24): create_contract arm at o=1") {
+    val l = ledgerFor(24)
+    // o=1 → fn = create_contract: contract id, no parameters
+    val cid = Strkey.encodeContract(keyOf(s"contract-$l-1-1"))
+    assert(detailsAt(l, 1, 1) ==
+      s"""{"function":"HostFunctionTypeHostFunctionTypeCreateContract",""" +
+      s""""type":"create_contract","contract_id":"$cid"}""")
+  }
+
+  test("invoke_host_function (24): invoke arm carries ScVal parameters") {
+    // need the invoke_contract arm (o % 4 == 0) on a successful tx: use
+    // (t=2, o=0), which requires (l+2) % 27 == 24 and a ledger with ≥3 txs
+    val l = (2700L to 2900L).find(x => (x + 2) % 27 == 24 && x % 5 >= 2).get
+    val d = StellarTransforms.historyOperations(
+      StellarFixture.ledgers(spark, l, l))
+      .where(col("id") === graft.codec.Toid.pack(l, 3, 1))
+      .select("details").head().getString(0)
+    val cidKey = keyOf(s"contract-$l-2-0")
+    val cid = Strkey.encodeContract(cidKey)
+    val p0 = GraftTestB64.b64(ScVal.encode(ScVal.AddrContract(cidKey)))
+    val p1 = GraftTestB64.b64(ScVal.encode(ScVal.Sym("transfer")))
+    val p2 = GraftTestB64.b64(ScVal.encode(ScVal.U64(100L)))
+    assert(d ==
+      s"""{"function":"HostFunctionTypeHostFunctionTypeInvokeContract",""" +
+      s""""type":"invoke_contract","contract_id":"$cid",""" +
+      s""""parameters":["$p0","$p1","$p2"],""" +
+      s""""parameters_decoded":["{\\"address\\":\\"$cid\\"}",""" +
+      s""""{\\"symbol\\":\\"transfer\\"}","{\\"u64\\":\\"100\\"}"]}""")
+  }
+
+  test("extend_footprint_ttl (25)") {
+    val l = ledgerFor(25)
+    val cid = Strkey.encodeContract(keyOf(s"contract-$l-1-1"))
+    assert(detailsAt(l, 1, 1) ==
+      s"""{"type":"extend_footprint_ttl","extend_to":10001}""")
+  }
+
+  test("end_sponsoring_future_reserves (17): empty without matching begin") {
+    val l = ledgerFor(17)
+    assert(detailsAt(l, 1, 1) == "{}")
+  }
+
+  test("end_sponsoring (17): begin_sponsor found by reverse sandwich scan") {
+    import graft.model.LedgerModel._
+    import spark.implicits._
+    val sponsoree = keyOf("ward")
+    val sponsorTx = keyOf("sponsor-tx")
+    // begin(sponsored=ward) … decoy begin(other) … end(source=ward):
+    // the scan must take the LAST begin before the end that names ward
+    val blank = StellarFixture.op(1, 1, 0)
+      .copy(claim_atoms = Seq.empty, changes = Seq.empty)
+    val ops = Seq(
+      blank.copy(op_type = 16, source_key = Some(keyOf("sponsor-op")),
+        sponsored_id_key = Some(sponsoree)),
+      blank.copy(op_type = 16, source_key = None,
+        sponsored_id_key = Some(keyOf("other"))),
+      blank.copy(op_type = 17, source_key = Some(sponsoree),
+        sponsored_id_key = None))
+    val tx = StellarFixture.tx(1, 1).copy(source_key = sponsorTx, operations = ops)
+    val ledger = StellarFixture.ledger(1).copy(transactions = Seq(tx))
+    val d = StellarTransforms.historyOperations(spark.createDataset(Seq(ledger)))
+      .where(col("type") === 17).select("details").head().getString(0)
+    assert(d == s"""{"begin_sponsor":"${Strkey.encodeAccountId(keyOf("sponsor-op"))}"}""")
+  }
+}
+
+private object GraftTestB64 {
+  def b64(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+}
