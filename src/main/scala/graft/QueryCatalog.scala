@@ -1040,11 +1040,27 @@ object QueryCatalog {
           .orderBy("pool_id", "total_shares")),
 
     Q("p12_claimable_balances",
-      Some("""SELECT sha256(CAST(c_custkey AS VARCHAR)) AS balance_id,
+      // the recursive predicate JSON is re-derived in SQL per shape — an
+      // independent check of the XDR predicate codec's render
+      Some("""WITH c AS (SELECT *, CAST(c_custkey AS BIGINT) AS k FROM customer)
+             |SELECT sha256(CAST(c_custkey AS VARCHAR)) AS balance_id,
              |       'ACC' || CAST(c_custkey AS VARCHAR) AS claimant_destination,
-             |       '{"unconditional":true}' AS claimant_predicate,
+             |       CASE k % 4
+             |       WHEN 0 THEN '{"unconditional":true}'
+             |       WHEN 1 THEN '{"abs_before":"' ||
+             |         strftime(make_timestamp((1700000000 + k) * 1000000),
+             |                  '%Y-%m-%dT%H:%M:%SZ') ||
+             |         '","abs_before_epoch":"' || (1700000000 + k) || '"}'
+             |       WHEN 2 THEN '{"or":[{"abs_before":"' ||
+             |         strftime(make_timestamp((1700000000 + k) * 1000000),
+             |                  '%Y-%m-%dT%H:%M:%SZ') ||
+             |         '","abs_before_epoch":"' || (1700000000 + k) ||
+             |         '"},{"rel_before":"' || k || '"}]}'
+             |       ELSE '{"and":[{"not":{"rel_before":"' || (86400 + k) ||
+             |         '"}},{"unconditional":true}]}'
+             |       END AS claimant_predicate,
              |       c_acctbal AS amount, CAST(c_nationkey AS BIGINT) AS sponsoring_nation
-             |FROM customer ORDER BY balance_id""".stripMargin),
+             |FROM c ORDER BY balance_id""".stripMargin),
       (s, dir) =>
         EntryProjections.claimableBalances(T(s, dir, "customer"))
           .orderBy("balance_id")),

@@ -127,6 +127,20 @@ object GraftFunctions {
   def claimPredicateJson(c: Column): Column =
     nativeCol(graft.plans.ClaimPredicateJsonExpression(exprOf(c)))
 
+  /** Fixture predicate builder: four deterministic shapes (unconditional /
+    * abs-before / or / and-not) keyed by id — exercises every recursive arm
+    * of the codec with a DuckDB-reconstructible JSON. */
+  val claimPredicateFixture = udf((k: Long) => {
+    import graft.codec.ClaimPredicate._
+    val p = (k % 4) match {
+      case 0 => Unconditional
+      case 1 => AbsBefore(1700000000L + k)
+      case 2 => Or(Seq(AbsBefore(1700000000L + k), RelBefore(k)))
+      case _ => And(Seq(Not(Some(RelBefore(86400L + k))), Unconditional))
+    }
+    encode(p)
+  })
+
   /** Fixture ScVal builders (encode side; cold path, plain UDFs). The event
     * map mirrors what a SAC-style contract event carries: amount / symbol /
     * counterparty — deterministic from the synthetic event columns so the

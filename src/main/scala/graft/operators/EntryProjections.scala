@@ -60,7 +60,12 @@ object EntryProjections {
     custGrain.select(
       sha2(col("c_custkey").cast("string"), 256).as("balance_id"),
       concat(lit("ACC"), col("c_custkey").cast("string")).as("claimant_destination"),
-      lit("""{"unconditional":true}""").as("claimant_predicate"),
+      // real recursive predicate tree: encoded to XDR by the fixture builder,
+      // decoded + rendered by the codec (`claimable_balance.go:11-21`,
+      // `schema.go:166-170`) — and re-derived independently by the oracle
+      GraftFunctions.claimPredicateJson(
+        GraftFunctions.claimPredicateFixture(col("c_custkey").cast("long")))
+        .as("claimant_predicate"),
       col("c_acctbal").as("amount"),
       col("c_nationkey").cast("long").as("sponsoring_nation"))
 
