@@ -139,15 +139,32 @@ object StellarTradesEffects {
       .where(col("selling_amount") > 0 || col("buying_amount") > 0)
   }
 
-  /** The reference's effect type ids/names (`schema.go:372-481`), subset
-    * generated by this model. */
+  /** The reference's effect type ids/names (`schema.go:372-481`). */
   val EffectNames: Map[Int, String] = Map(
-    0 -> "account_created", 2 -> "account_credited", 3 -> "account_debited",
-    12 -> "signer_updated", 33 -> "trade", 43 -> "sequence_bumped",
+    0 -> "account_created", 1 -> "account_removed", 2 -> "account_credited",
+    3 -> "account_debited", 4 -> "account_thresholds_updated",
+    5 -> "account_home_domain_updated", 6 -> "account_flags_updated",
+    7 -> "account_inflation_destination_updated",
+    10 -> "signer_created", 11 -> "signer_removed", 12 -> "signer_updated",
     20 -> "trustline_created", 21 -> "trustline_removed",
-    22 -> "trustline_updated", 30 -> "offer_created", 31 -> "offer_removed",
-    32 -> "offer_updated", 60 -> "account_sponsorship_created",
-    62 -> "account_sponsorship_removed")
+    22 -> "trustline_updated", 26 -> "trustline_flags_updated",
+    30 -> "offer_created", 31 -> "offer_removed", 32 -> "offer_updated",
+    33 -> "trade", 40 -> "data_created", 41 -> "data_removed",
+    42 -> "data_updated", 43 -> "sequence_bumped",
+    50 -> "claimable_balance_created",
+    51 -> "claimable_balance_claimant_created",
+    52 -> "claimable_balance_claimed",
+    60 -> "account_sponsorship_created", 61 -> "account_sponsorship_updated",
+    62 -> "account_sponsorship_removed",
+    63 -> "trustline_sponsorship_created",
+    64 -> "trustline_sponsorship_updated",
+    65 -> "trustline_sponsorship_removed",
+    80 -> "claimable_balance_clawed_back",
+    90 -> "liquidity_pool_deposited", 91 -> "liquidity_pool_withdrew",
+    92 -> "liquidity_pool_trade", 93 -> "liquidity_pool_created",
+    94 -> "liquidity_pool_removed", 95 -> "liquidity_pool_revoked",
+    96 -> "contract_credited", 97 -> "contract_debited",
+    98 -> "extend_footprint_ttl", 99 -> "restore_footprint")
 
   /** Change-derived effects (`effects.go:287-368` sponsorship scan plus the
     * entry-CRUD families): effect type = f(entry_type, ledger_entry_change);
@@ -164,14 +181,22 @@ object StellarTradesEffects {
       col("trustline.sponsor_key"))
     val addressKey = coalesce(col("account.account_key"), col("offer.seller_key"),
       col("trustline.account_key"))
+    // sponsorship effect family is per entry type (`effects.go:287-368`):
+    // account 60/62, trustline 63/65; offer sponsorships emit no effect
+    val sponsorBase = when(col("entry_type") === "account", 60)
+      .when(col("entry_type") === "trustline", 63)
 
     val effectsArr = filter(array(
       when(crudType.isNotNull, struct(crudType.as("type"),
         element_at(names, crudType).as("type_string"))),
-      when(sponsorKey.isNotNull && col("ledger_entry_change") === 0,
-        struct(lit(60).as("type"), lit(EffectNames(60)).as("type_string"))),
-      when(sponsorKey.isNotNull && col("ledger_entry_change") === 2,
-        struct(lit(62).as("type"), lit(EffectNames(62)).as("type_string")))),
+      when(sponsorKey.isNotNull && sponsorBase.isNotNull &&
+          col("ledger_entry_change") === 0,
+        struct(sponsorBase.as("type"),
+          element_at(names, sponsorBase).as("type_string"))),
+      when(sponsorKey.isNotNull && sponsorBase.isNotNull &&
+          col("ledger_entry_change") === 2,
+        struct((sponsorBase + 2).as("type"),
+          element_at(names, sponsorBase + 2).as("type_string")))),
       e => e.isNotNull)
 
     changes.toDF()
@@ -192,43 +217,258 @@ object StellarTradesEffects {
   }
 
   /** P4 — `history_effects` over the model: per-op effect array built from
-    * op type + claim atoms, exploded; id = "{opID}-{index}" (1-based). */
+    * the op-type case law (`effects.go:74-135`), exploded;
+    * id = "{opID}-{index}" (1-based). Each element carries its own subject
+    * address (`addMuxed`/`addUnmuxed` target differs per effect). All
+    * intra-row column algebra: the per-type arrays concat, nulls filter out,
+    * one posexplode. Missing vs the reference, by environment necessity:
+    * Soroban contract_credited/debited (needs SAC contract events the model
+    * does not carry) and change-scan sponsorship transfers (covered at
+    * change grain by [[changeEffects]]). */
   def historyEffects(ledgers: Dataset[LedgerRow]): DataFrame = {
     val ops = opGrain(ledgers)
+    val ty = col("op.op_type")
+    val sourceAddr = strkeyAccount(coalesce(col("op.source_key"), col("tx.source_key")))
+    val destAddr = when(col("op.destination_key").isNotNull,
+      strkeyAccount(col("op.destination_key")))
 
-    def eff(t: Int, details: Column): Column =
-      struct(lit(t).as("type"),
-        lit(EffectNames(t)).as("type_string"),
-        details.as("details"))
+    val effType = "struct<address:string,type:int,type_string:string,details:string>"
+    val noEff = array().cast(s"array<$effType>")
 
-    val paymentDetails = concat(lit("""{"amount":""""),
-      stroopsToXlm(col("op.amount_stroops")).cast("string"), lit(""""}"""))
-    val tradeEffects = transform(col("op.claim_atoms"), a =>
-      struct(lit(33).as("type"), lit("trade").as("type_string"),
-        concat(lit("""{"sold":""""),
-          a("amount_sold_stroops").cast("string"),
-          lit("""","bought":""""),
-          a("amount_bought_stroops").cast("string"), lit(""""}"""))
-          .as("details")))
+    def eff(t: Int, addr: Column, details: Column): Column =
+      struct(addr.as("address"), lit(t).as("type"),
+        lit(EffectNames(t)).as("type_string"), details.as("details"))
+
+    // details builders: conditional keys drop out via concat_ws null-skip
+    def obj(parts: Column*): Column =
+      concat(lit("{"), concat_ws(",", parts: _*), lit("}"))
+    def kv(k: String, v: Column): Column =
+      when(v.isNotNull, concat(lit("\"" + k + "\":\""), v, lit("\"")))
+    def kvRaw(k: String, v: Column): Column =
+      when(v.isNotNull, concat(lit("\"" + k + "\":"), v))
+    // `amount.String`: 7-decimal fixed-point rendering of stroops
+    def amt(c: Column): Column = format_string("%.7f", stroopsToXlm(c))
+    def canon(a: Column): Column =
+      when(a.isNull, lit(null)).otherwise(
+        when(a("asset_type") === "native", lit("native"))
+          .otherwise(concat(a("asset_code"), lit(":"), a("asset_issuer"))))
+    def assetKvs(a: Column): Seq[Column] = Seq(
+      kv("asset_type", a("asset_type")),
+      kv("asset_code", when(a("asset_type") =!= "native", a("asset_code"))),
+      kv("asset_issuer", when(a("asset_type") =!= "native", a("asset_issuer"))))
+
+    val amount = amt(col("op.amount_stroops"))
+    val opAsset = col("op.asset")
+    val cbId = concat(lit("00000000"), lower(hex(col("op.balance_id"))))
+    val cbAmt = amt(col("op.cb_amount_stroops"))
+    val cbAsset = canon(col("op.cb_asset"))
+
+    // account family -------------------------------------------------------
+    val createAccount = array(
+      eff(0, destAddr, obj(kv("starting_balance",
+        amt(col("op.starting_balance_stroops"))))),
+      eff(3, sourceAddr, obj(
+        kv("amount", amt(col("op.starting_balance_stroops"))),
+        kv("asset_type", lit("native")))),
+      eff(10, destAddr, obj(kv("public_key", destAddr),
+        kvRaw("weight", lit(1)))))
+    val payment = array(
+      eff(2, destAddr, obj(kv("amount", amount) +: assetKvs(opAsset): _*)),
+      eff(3, sourceAddr, obj(kv("amount", amount) +: assetKvs(opAsset): _*)))
+    val pathPayment = array(
+      eff(2, destAddr, obj(kv("amount", amount) +: assetKvs(opAsset): _*)),
+      eff(3, sourceAddr, obj(
+        kv("amount", amt(col("op.source_amount_stroops"))) +:
+          assetKvs(col("op.source_asset")): _*)))
+    val accountMerge = array(
+      eff(3, sourceAddr, obj(kv("amount", amount), kv("asset_type", lit("native")))),
+      eff(2, destAddr, obj(kv("amount", amount), kv("asset_type", lit("native")))),
+      eff(1, sourceAddr, lit("{}")))
+
+    // set_options: one effect per touched option (`effects.go:498-588`)
+    val setOptions = filter(array(
+      when(col("op.low_threshold").isNotNull ||
+          col("op.med_threshold").isNotNull || col("op.high_threshold").isNotNull,
+        eff(4, sourceAddr, obj(
+          kvRaw("low_threshold", col("op.low_threshold")),
+          kvRaw("med_threshold", col("op.med_threshold")),
+          kvRaw("high_threshold", col("op.high_threshold"))))),
+      when(col("op.home_domain").isNotNull,
+        eff(5, sourceAddr, obj(kv("home_domain", col("op.home_domain"))))),
+      when(col("op.set_flags").isNotNull || col("op.clear_flags").isNotNull,
+        eff(6, sourceAddr, obj(
+          kvRaw("auth_required_flag",
+            when(col("op.set_flags").bitwiseAND(1) =!= 0, lit("true"))
+              .when(col("op.clear_flags").bitwiseAND(1) =!= 0, lit("false"))),
+          kvRaw("auth_revocable_flag",
+            when(col("op.set_flags").bitwiseAND(2) =!= 0, lit("true"))
+              .when(col("op.clear_flags").bitwiseAND(2) =!= 0, lit("false")))))),
+      when(col("op.inflation_dest_key").isNotNull,
+        eff(7, sourceAddr, obj(kv("inflation_destination",
+          strkeyAccount(col("op.inflation_dest_key")))))),
+      when(col("op.signer_key").isNotNull,
+        when(col("op.signer_weight") === 0,
+          eff(11, sourceAddr, obj(kv("public_key",
+            strkeyAccount(col("op.signer_key"))))))
+          .otherwise(eff(10, sourceAddr, obj(
+            kv("public_key", strkeyAccount(col("op.signer_key"))),
+            kvRaw("weight", col("op.signer_weight")))))))
+      , e => e.isNotNull)
+
+    // trust lines ----------------------------------------------------------
+    val trustAssetKvs = assetKvs(col("op.trust_asset")) :+
+      kv("liquidity_pool_id", when(col("op.trust_pool_id").isNotNull,
+        lower(hex(col("op.trust_pool_id")))))
+    val changeTrust = array(
+      when(col("op.trust_limit_stroops") > 0,
+        eff(20, sourceAddr, obj(
+          kv("limit", amt(col("op.trust_limit_stroops"))) +: trustAssetKvs: _*)))
+        .otherwise(eff(21, sourceAddr, obj(
+          kv("limit", lit("0.0000000")) +: trustAssetKvs: _*))))
+    val tlFlagsUpdated = array(
+      eff(26, sourceAddr, obj(Seq(
+        kv("trustor", strkeyAccount(col("op.trustor_key")))) ++
+          assetKvs(col("op.trust_asset")) ++ Seq(
+          kvRaw("authorized_flag",
+            when(coalesce(col("op.authorize_flags"), col("op.tl_set_flags"))
+              .bitwiseAND(1) =!= 0, lit("true"))),
+          kvRaw("authorized_to_maintain_liabilites", // sic, `effects.go:1129`
+            when(coalesce(col("op.authorize_flags"), col("op.tl_set_flags"))
+              .bitwiseAND(2) =!= 0, lit("true"))),
+          kvRaw("clawback_enabled_flag",
+            when(col("op.tl_clear_flags").bitwiseAND(4) =!= 0, lit("false")))): _*)))
+
+    // data / sequence ------------------------------------------------------
+    val manageData = array(
+      when(col("op.data_value").isNotNull,
+        eff(40, sourceAddr, obj(kv("name", col("op.data_name")),
+          kv("value", base64NoWrap(col("op.data_value"))))))
+        .otherwise(eff(41, sourceAddr, obj(kv("name", col("op.data_name"))))))
+    val bumpSequence = array(
+      eff(43, sourceAddr, obj(kv("new_seq", col("op.bump_to").cast("string")))))
+
+    // claimable balances ---------------------------------------------------
+    val createCb = concat(
+      array(eff(50, sourceAddr, obj(
+        kv("balance_id", cbId), kv("amount", cbAmt), kv("asset", cbAsset)))),
+      transform(col("op.claimants"), c =>
+        eff(51, strkeyAccount(c("destination_key")), obj(
+          kv("balance_id", cbId), kv("amount", cbAmt),
+          kvRaw("predicate", claimPredicateJson(c("predicate_xdr"))),
+          kv("asset", cbAsset)))),
+      array(eff(3, sourceAddr,
+        obj(kv("amount", cbAmt) +: assetKvs(col("op.cb_asset")): _*))))
+    val claimCb = array(
+      eff(52, sourceAddr, obj(
+        kv("amount", cbAmt), kv("balance_id", cbId), kv("asset", cbAsset))),
+      eff(2, sourceAddr,
+        obj(kv("amount", cbAmt) +: assetKvs(col("op.cb_asset")): _*)))
+    val clawback = array(
+      eff(2, sourceAddr, obj(kv("amount", amount) +: assetKvs(opAsset): _*)),
+      eff(3, destAddr, obj(kv("amount", amount) +: assetKvs(opAsset): _*)))
+    val clawbackCb = array(
+      eff(80, sourceAddr, obj(kv("balance_id", cbId))),
+      eff(2, sourceAddr,
+        obj(kv("amount", cbAmt) +: assetKvs(col("op.cb_asset")): _*)))
+
+    // trades ---------------------------------------------------------------
+    // offer atoms: buyer + seller trade effects (`addClaimTradeEffects`);
+    // LP atoms: liquidity_pool_trade addressed to the op source
+    def tradeDetails(a: Column, mine: String, theirs: String,
+        counterparty: Column): Column =
+      obj(
+        kv("seller", counterparty),
+        kvRaw("offer_id", a("offer_id")),
+        kv(s"sold_amount", amt(a(s"amount_${mine}_stroops"))),
+        kv("sold_asset", canon(a(if (mine == "sold") "asset_sold" else "asset_bought"))),
+        kv(s"bought_amount", amt(a(s"amount_${theirs}_stroops"))),
+        kv("bought_asset", canon(a(if (theirs == "sold") "asset_sold" else "asset_bought"))))
+    val tradeEffects = flatten(transform(col("op.claim_atoms"), a =>
+      when(a("atom_type") === "liquidity_pool",
+        array(eff(92, sourceAddr, obj(
+          kv("liquidity_pool_id", lower(hex(a("pool_id")))),
+          kvRaw("sold", concat(lit("""{"asset":""""), canon(a("asset_sold")),
+            lit("""","amount":""""), amt(a("amount_sold_stroops")), lit(""""}"""))),
+          kvRaw("bought", concat(lit("""{"asset":""""), canon(a("asset_bought")),
+            lit("""","amount":""""), amt(a("amount_bought_stroops")), lit(""""}""")))))))
+        .otherwise(array(
+          // buyer view: bought what the atom sold
+          eff(33, sourceAddr, tradeDetails(a, "bought", "sold",
+            when(a("seller_key").isNotNull, strkeyAccount(a("seller_key"))))),
+          // seller view: sold what the atom sold
+          eff(33, when(a("seller_key").isNotNull, strkeyAccount(a("seller_key"))),
+            tradeDetails(a, "sold", "bought", sourceAddr))))))
+    val pathPaymentTrades = concat(pathPayment, tradeEffects)
+
+    // liquidity pools ------------------------------------------------------
+    val lpMatches = filter(col("op.changes"), c =>
+      c("entry_type") === "liquidity_pool" && c("pool_id") === col("op.pool_id"))
+    val lpChange = get(lpMatches, size(lpMatches) - 1)
+    def lpPoolDetails: Column = obj(
+      kv("id", lower(hex(col("op.pool_id")))),
+      kvRaw("fee_bp", lpChange("pre_pool_fee")),
+      kv("type", lit("constant_product")),
+      kv("total_shares", amt(lpChange("post_total_shares"))),
+      kvRaw("reserves", concat(
+        lit("""[{"asset":""""), canon(lpChange("pool_asset_a")),
+        lit("""","amount":""""), amt(lpChange("post_reserve_a")),
+        lit(""""},{"asset":""""), canon(lpChange("pool_asset_b")),
+        lit("""","amount":""""), amt(lpChange("post_reserve_b")), lit(""""}]"""))))
+    def lpReserves(negate: Boolean): Column = {
+      def delta(pre: String, post: String): Column =
+        if (negate) lpChange(pre) - lpChange(post)
+        else lpChange(post) - lpChange(pre)
+      concat(
+        lit("""[{"asset":""""), canon(lpChange("pool_asset_a")),
+        lit("""","amount":""""), amt(delta("pre_reserve_a", "post_reserve_a")),
+        lit(""""},{"asset":""""), canon(lpChange("pool_asset_b")),
+        lit("""","amount":""""), amt(delta("pre_reserve_b", "post_reserve_b")),
+        lit(""""}]"""))
+    }
+    val lpDeposit = array(eff(90, sourceAddr, obj(
+      kvRaw("liquidity_pool", lpPoolDetails),
+      kvRaw("reserves_deposited", lpReserves(negate = false)),
+      kv("shares_received",
+        amt(lpChange("post_total_shares") - lpChange("pre_total_shares"))))))
+    val lpWithdraw = array(eff(91, sourceAddr, obj(
+      kvRaw("liquidity_pool", lpPoolDetails),
+      kvRaw("reserves_received", lpReserves(negate = true)),
+      kv("shares_redeemed",
+        amt(lpChange("pre_total_shares") - lpChange("post_total_shares"))))))
+
+    // soroban footprint ----------------------------------------------------
+    val extendTtl = array(eff(98, sourceAddr,
+      obj(kvRaw("extend_to", col("op.extend_to")))))
+    val restoreFootprint = array(eff(99, sourceAddr, lit("{}")))
 
     val effectsArr =
-      when(col("op.op_type") === 0, array(eff(0, paymentDetails)))
-        .when(col("op.op_type") === 1,
-          array(eff(2, paymentDetails), eff(3, paymentDetails)))
-        .when(col("op.op_type") === 5, array(eff(12, lit("{}"))))
-        .when(col("op.op_type") === 11, array(eff(43, lit("{}"))))
-        .when(col("op.op_type").isin(TradeOpTypes: _*), tradeEffects)
-        .otherwise(array().cast("array<struct<type:int,type_string:string,details:string>>"))
+      when(ty === 0, createAccount)
+        .when(ty === 1, payment)
+        .when(ty.isin(2, 13), pathPaymentTrades)
+        .when(ty.isin(3, 4, 12), tradeEffects)
+        .when(ty === 5, setOptions)
+        .when(ty === 6, changeTrust)
+        .when(ty.isin(7, 21), tlFlagsUpdated)
+        .when(ty === 8, accountMerge)
+        .when(ty === 10, manageData)
+        .when(ty === 11, bumpSequence)
+        .when(ty === 14, createCb)
+        .when(ty === 15, claimCb)
+        .when(ty === 19, clawback)
+        .when(ty === 20, clawbackCb)
+        .when(ty === 22, lpDeposit)
+        .when(ty === 23, lpWithdraw)
+        .when(ty === 25, extendTtl)
+        .when(ty === 26, restoreFootprint)
+        .otherwise(noEff)
 
     ops
       .select(col("sequence"), col("closed_at"), col("tx_pos"),
-        strkeyAccount(coalesce(col("op.source_key"), col("tx.source_key")))
-          .as("address"),
         operationToid(col("sequence"), col("tx_pos") + 1, col("op_pos"))
           .as("operation_id"),
         posexplode(effectsArr).as(Seq("eff_pos", "e")))
       .select(
-        col("address"),
+        col("e.address").as("address"),
         col("operation_id"),
         col("e.details").as("details"),
         col("e.type").as("type"),

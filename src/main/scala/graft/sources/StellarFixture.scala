@@ -121,6 +121,7 @@ object StellarFixture {
         cb_asset = Some(if (o % 2 == 0) AssetRef("native", "", "")
           else cred(s"CB$o", o % 3)),
         cb_amount_stroops = Some(30000000L * (o + 1)),
+        balance_id = Some(keyOf(s"cb-$l-$t-$o")),
         claimants = Seq(
           Claimant(keyOf(s"claimant-$l-$t-$o-0"),
             graft.codec.ClaimPredicate.encode(
@@ -131,7 +132,11 @@ object StellarFixture {
                 graft.codec.ClaimPredicate.AbsBefore(1700000000L + o),
                 graft.codec.ClaimPredicate.Not(Some(
                   graft.codec.ClaimPredicate.RelBefore(3600L + o)))))))))
-      case 15 | 20 => base.copy(balance_id = Some(keyOf(s"cb-$l-$t-$o")))
+      case 15 | 20 => base.copy(
+        balance_id = Some(keyOf(s"cb-$l-$t-$o")),
+        // claimed/clawed balance entry pre-state (amount + asset)
+        cb_asset = Some(cred(s"CB$o", o % 3)),
+        cb_amount_stroops = Some(20000000L * (o + 1)))
       case 16 => base.copy(sponsored_id_key = Some(keyOf(s"sponsoree-$l-$t-$o")))
       case 18 =>
         if (o % 2 == 0) base.copy(

@@ -107,21 +107,92 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
     addrs.foreach { case (actual, expected) => assert(actual == expected) }
   }
 
-  test("effects: ids are {opId}-{index}, payments fan out, trades from atoms") {
-    val effects = StellarTradesEffects.historyEffects(fixture)
-    val pay = effects.where(col("type").isin(2, 3)).collect()
-    assert(pay.nonEmpty)
-    val grouped = pay.groupBy(_.getAs[Long]("operation_id"))
-    grouped.values.foreach { rows =>
-      assert(rows.map(_.getAs[Int]("type")).sorted.toSeq == Seq(2, 3))
-      assert(rows.map(_.getAs[String]("id")).forall(id =>
-        id.matches("\\d+-\\d")))
+  test("effects: per-op-type effect sets match the case law exactly") {
+    val effects = StellarTradesEffects.historyEffects(fixture).cache()
+    // join effect rows back to their op type via the TOID
+    val ops = graft.operators.StellarTransforms.historyOperations(fixture)
+      .where(col("operation_result_code").isNotNull) // all rows
+      .select(col("id").as("operation_id"), col("type").as("op_type"),
+        col("details"))
+    val byOp = effects.join(ops, "operation_id")
+      .groupBy("operation_id", "op_type")
+      .agg(sort_array(collect_list(col("type"))).as("types"))
+      .collect()
+      .map(r => (r.getAs[Int]("op_type"),
+        r.getAs[scala.collection.Seq[Int]]("types").toSeq))
+
+    // exact expected multiset of effect types per op type (fixture-specific:
+    // atoms per trade op = 1 or 2 → trades are 2 or 4 offer-side effects,
+    // or 1 LP-trade + 2 for the lp atom variant)
+    byOp.foreach { case (opTy, types) =>
+      opTy match {
+        case 0 => assert(types == Seq(0, 3, 10), s"create_account: $types")
+        case 1 => assert(types == Seq(2, 3), s"payment: $types")
+        case 2 | 13 => // path payment: credited+debited + per-atom trades
+          assert(types.take(2) == Seq(2, 3), s"path: $types")
+          assert(types.drop(2).forall(t => t == 33 || t == 92), s"path: $types")
+          assert(types.size >= 3, s"path: $types")
+        case 3 | 4 | 12 =>
+          assert(types.nonEmpty && types.forall(_ == 33), s"offer: $types")
+        case 5 => assert(types.nonEmpty &&
+          types.forall(Seq(4, 5, 6, 7, 10, 11).contains(_)), s"setopts: $types")
+        case 6 => assert(types == Seq(20), s"change_trust: $types")
+        case 7 | 21 => assert(types == Seq(26), s"tl_flags: $types")
+        case 8 => assert(types == Seq(1, 2, 3), s"merge: $types")
+        case 10 => assert(types == Seq(40) || types == Seq(41), s"data: $types")
+        case 11 => assert(types == Seq(43), s"bump: $types")
+        case 14 => assert(types == Seq(3, 50, 51, 51), s"create_cb: $types")
+        case 15 => assert(types == Seq(2, 52), s"claim_cb: $types")
+        case 19 => assert(types == Seq(2, 3), s"clawback: $types")
+        case 20 => assert(types == Seq(2, 80), s"clawback_cb: $types")
+        case 22 => assert(types == Seq(90), s"lp_deposit: $types")
+        case 23 => assert(types == Seq(91), s"lp_withdraw: $types")
+        case 25 => assert(types == Seq(98), s"extend_ttl: $types")
+        case 26 => assert(types == Seq(99), s"restore: $types")
+        case other => fail(s"unexpected effects $types for op type $other")
+      }
     }
-    val trades = effects.where(col("type") === 33)
-    assert(trades.count() > 0)
-    // effects only from successful txs
-    assert(effects.count() ==
-      StellarTradesEffects.historyEffects(fixture).count())
+    // coverage: the fixture must have produced ≥20 distinct op types and
+    // ≥25 distinct effect types end-to-end
+    assert(byOp.map(_._1).distinct.size >= 20)
+    val distinctEffects = effects.select("type").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(distinctEffects.size >= 24, s"only ${distinctEffects.size} effect types")
+    // ids are {opId}-{1-based index}
+    val ids = effects.select("operation_id", "index", "id").collect()
+    ids.foreach { r =>
+      assert(r.getAs[String]("id") ==
+        s"${r.getAs[Long]("operation_id")}-${r.getAs[Long]("index")}")
+    }
+    // every effect row names a subject address except none (all present here)
+    assert(effects.where(col("address").isNull).count() == 0)
+    effects.unpersist()
+  }
+
+  test("effects: detail payloads are valid JSON with expected keys") {
+    val effects = StellarTradesEffects.historyEffects(fixture)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val byType = effects.select("type", "details").collect()
+      .groupBy(_.getInt(0)).map { case (t, rows) => t -> rows.head.getString(1) }
+    byType.foreach { case (t, d) =>
+      val node = om.readTree(d) // throws on malformed JSON
+      t match {
+        case 0 => assert(node.has("starting_balance"))
+        case 10 => assert(node.has("public_key"))
+        case 26 => assert(node.has("trustor"))
+        case 33 => assert(node.has("sold_amount") && node.has("bought_amount"))
+        case 50 | 52 | 80 => assert(node.has("balance_id"))
+        case 51 => assert(node.has("predicate") &&
+          !node.get("predicate").isTextual) // nested JSON, not a string
+        case 90 => assert(node.has("liquidity_pool") &&
+          node.get("liquidity_pool").has("reserves") &&
+          node.has("reserves_deposited") && node.has("shares_received"))
+        case 91 => assert(node.has("reserves_received") && node.has("shares_redeemed"))
+        case 92 => assert(node.has("sold") && node.has("bought"))
+        case 43 => assert(node.has("new_seq"))
+        case _ => ()
+      }
+    }
   }
 
   test("LP path-payment trades carry exact-rational rounding slippage") {
