@@ -1202,7 +1202,7 @@ object QueryCatalog {
             col("amount"), col("ledger_sequence"))
           .unionAll(TokenTransfers.verify(events, ledgers)
             .select(col("transaction_id"), lit("INCONSISTENT").as("event_topic"),
-              col("fee_total").cast("string").as("amount"),
+              col("actual").cast("string").as("amount"),
               lit(-1L).as("ledger_sequence")))
           .orderBy("transaction_id", "event_topic", "amount")
       }),

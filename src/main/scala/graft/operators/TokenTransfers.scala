@@ -1,25 +1,36 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 import graft.model.LedgerModel.LedgerRow
 
 /** P19 — `token_transfers`: the unified transfer/mint/burn/clawback/fee event
-  * stream (`transform/token_transfer.go:14-151`), derived per ledger:
+  * stream (`transform/token_transfer.go:14-151` + the stellar/go
+  * EventsProcessor semantics), derived per ledger for every value-moving op:
   *
   *   - one `fee` event per transaction (fee account pays the network);
-  *   - `transfer` events from payment ops (muxed destination id preserved,
-  *     `token_transfer.go:95-106`);
-  *   - `mint`/`burn` when the payment counterparty is the asset issuer
-  *     (issuer pays out = mint, issuer receives = burn — the reference's
-  *     issuer-aware classification);
-  *   - `clawback` from clawback ops (type 19).
+  *   - `transfer` from create_account (funder → new account, native),
+  *     payments, account merges, path payments (final leg source→dest);
+  *   - two swap legs per claim atom of trades and path payments — taker
+  *     pays the bought asset to the atom seller, seller pays the sold asset
+  *     to the taker; LP atoms use the pool's L-address as counterparty;
+  *   - claimable balances move value to/from the balance's B-address
+  *     (create = deposit into the CB, claim = withdrawal from it);
+  *   - LP deposit/withdraw move both reserve assets between the op source
+  *     and the pool's L-address, amounts from the pre/post product delta;
+  *   - `mint`/`burn` when a payment-leg counterparty is the asset issuer
+  *     (issuer pays out = mint, issuer receives = burn);
+  *   - `clawback` from clawback ops (from = clawed account, value burned)
+  *     and CB clawbacks (from = the B-address).
   *
   * Asset rendered canonically `type:code:issuer` / `"native"`
   * (`token_transfer.go:132-151`); amounts emitted both as raw stroop strings
   * and XLM floats. [[verify]] is the `VerifyEvents` consistency check. */
 object TokenTransfers {
+
+  private val evType = "struct<event_topic:string,from:string,to:string," +
+    "asset:string,amount_stroops:bigint,to_muxed_id:string>"
 
   def fromLedgers(ledgers: Dataset[LedgerRow]): DataFrame = {
     val txGrain = ledgers.select(
@@ -42,58 +53,173 @@ object TokenTransfers {
       col("closed_at"),
       lit(null).cast("string").as("to_muxed_id"))
 
-    // payment-shaped ops of successful txs
     val ops = txGrain
       .where(col("tx.successful"))
       .select(col("sequence"), col("closed_at"), col("tx_pos"), col("tx"),
         posexplode(col("tx.operations")).as(Seq("op_pos", "op")))
-      .where(col("op.op_type").isin(1, 19) && col("op.destination_key").isNotNull)
 
-    // issuer account key convention: sha256("issuer-" ‖ issuer name) — payments
-    // FROM the issuer mint the asset, payments TO the issuer burn it
-    val issuerAccountKey = when(col("op.asset.asset_type") =!= "native",
-      unhex(sha2(concat(lit("issuer-"), col("op.asset.asset_issuer")), 256)))
+    val ty = col("op.op_type")
     val fromKey = coalesce(col("op.source_key"), col("tx.source_key"))
     val fromAddr = strkeyAccount(fromKey)
-    val toAddr = strkeyAccount(col("op.destination_key"))
+    val toAddr = when(col("op.destination_key").isNotNull,
+      strkeyAccount(col("op.destination_key")))
+    val cbAddr = when(col("op.balance_id").isNotNull,
+      strkeyBalance(col("op.balance_id")))
+    val poolAddr = when(col("op.pool_id").isNotNull,
+      strkeyPool(col("op.pool_id")))
 
-    val transfers = ops.select(
-      col("tx.hash_hex").as("transaction_hash"),
-      transactionToid(col("sequence"), col("tx_pos") + 1).as("transaction_id"),
-      operationToid(col("sequence"), col("tx_pos") + 1, col("op_pos"))
-        .as("operation_id"),
-      when(col("op.op_type") === 19, "clawback")
-        .when(issuerAccountKey.isNotNull && fromKey === issuerAccountKey, "mint")
-        .when(issuerAccountKey.isNotNull &&
-          col("op.destination_key") === issuerAccountKey, "burn")
-        .otherwise("transfer").as("event_topic"),
-      fromAddr.as("from"),
-      toAddr.as("to"),
-      assetCanonical(coalesce(col("op.asset.asset_type"), lit("native")),
-        col("op.asset.asset_code"), col("op.asset.asset_issuer")).as("asset"),
-      col("op.amount_stroops").cast("string").as("amount"),
-      stroopsToXlm(col("op.amount_stroops")).as("amount_float"),
-      col("sequence").as("ledger_sequence"),
-      col("closed_at"),
-      col("op.destination_muxed_id").cast("string").as("to_muxed_id"))
+    def ev(topic: Column, from: Column, to: Column, asset: Column,
+        amount: Column, toMuxed: Column = lit(null).cast("string")): Column =
+      struct(topic.as("event_topic"), from.as("from"), to.as("to"),
+        asset.as("asset"), amount.cast("long").as("amount_stroops"),
+        toMuxed.as("to_muxed_id"))
+
+    def canonOf(a: Column): Column =
+      assetCanonical(coalesce(a("asset_type"), lit("native")),
+        a("asset_code"), a("asset_issuer"))
+
+    // issuer account key convention: sha256("issuer-" ‖ issuer name) — a leg
+    // FROM the issuer mints the asset, a leg TO the issuer burns it
+    def issuerKeyOf(a: Column): Column = when(a("asset_type") =!= "native",
+      unhex(sha2(concat(lit("issuer-"), a("asset_issuer")), 256)))
+    def payTopic(a: Column, from: Column, to: Column): Column = {
+      val issuer = issuerKeyOf(a)
+      when(issuer.isNotNull && from === issuer, "mint")
+        .when(issuer.isNotNull && to === issuer, "burn")
+        .otherwise("transfer")
+    }
+
+    val noEv = array().cast(s"array<$evType>")
+    val opAsset = col("op.asset")
+
+    val createAccount = array(ev(lit("transfer"), fromAddr, toAddr,
+      lit("native"), col("op.starting_balance_stroops")))
+    val payment = array(ev(
+      payTopic(opAsset, fromKey, col("op.destination_key")),
+      fromAddr, toAddr, canonOf(opAsset), col("op.amount_stroops"),
+      col("op.destination_muxed_id").cast("string")))
+    val accountMerge = array(ev(lit("transfer"), fromAddr, toAddr,
+      lit("native"), col("op.amount_stroops")))
+    val clawback = array(ev(lit("clawback"), toAddr,
+      lit(null).cast("string"), canonOf(opAsset), col("op.amount_stroops")))
+    val clawbackCb = array(ev(lit("clawback"), cbAddr,
+      lit(null).cast("string"), canonOf(col("op.cb_asset")),
+      col("op.cb_amount_stroops")))
+    val createCb = array(ev(lit("transfer"), fromAddr, cbAddr,
+      canonOf(col("op.cb_asset")), col("op.cb_amount_stroops")))
+    val claimCb = array(ev(lit("transfer"), cbAddr, fromAddr,
+      canonOf(col("op.cb_asset")), col("op.cb_amount_stroops")))
+
+    // swap legs per claim atom (both directions); LP atoms trade against the
+    // pool's L-address
+    val tradeLegs = flatten(transform(col("op.claim_atoms"), a => {
+      val seller = when(a("atom_type") === "liquidity_pool",
+        strkeyPool(a("pool_id"))).otherwise(strkeyAccount(a("seller_key")))
+      array(
+        ev(lit("transfer"), seller, fromAddr, canonOf(a("asset_sold")),
+          a("amount_sold_stroops")),
+        ev(lit("transfer"), fromAddr, seller, canonOf(a("asset_bought")),
+          a("amount_bought_stroops")))
+    }))
+    // path payments append the final delivery leg source→destination
+    val pathPayment = concat(tradeLegs, array(ev(
+      payTopic(opAsset, fromKey, col("op.destination_key")),
+      fromAddr, toAddr, canonOf(opAsset), col("op.amount_stroops"))))
+
+    // LP deposit/withdraw: both reserve assets move between source and pool,
+    // amounts from the product delta (`getLiquidityPoolAndProductDelta`)
+    val lpMatches = filter(col("op.changes"), c =>
+      c("entry_type") === "liquidity_pool" && c("pool_id") === col("op.pool_id"))
+    val lpChange = get(lpMatches, size(lpMatches) - 1)
+    def lpLegs(deposit: Boolean): Column = {
+      def delta(pre: String, post: String): Column =
+        if (deposit) lpChange(post) - lpChange(pre)
+        else lpChange(pre) - lpChange(post)
+      val (legFrom, legTo) =
+        if (deposit) (fromAddr, poolAddr) else (poolAddr, fromAddr)
+      when(lpChange.isNotNull, array(
+        ev(lit("transfer"), legFrom, legTo, canonOf(lpChange("pool_asset_a")),
+          delta("pre_reserve_a", "post_reserve_a")),
+        ev(lit("transfer"), legFrom, legTo, canonOf(lpChange("pool_asset_b")),
+          delta("pre_reserve_b", "post_reserve_b")))).otherwise(noEv)
+    }
+
+    val eventsArr =
+      when(ty === 0, createAccount)
+        .when(ty === 1, payment)
+        .when(ty.isin(2, 13), pathPayment)
+        .when(ty.isin(3, 4, 12), tradeLegs)
+        .when(ty === 8, accountMerge)
+        .when(ty === 14, createCb)
+        .when(ty === 15, claimCb)
+        .when(ty === 19, clawback)
+        .when(ty === 20, clawbackCb)
+        .when(ty === 22, lpLegs(deposit = true))
+        .when(ty === 23, lpLegs(deposit = false))
+        .otherwise(noEv)
+
+    val transfers = ops
+      .select(col("sequence"), col("closed_at"), col("tx_pos"), col("op_pos"),
+        col("tx.hash_hex").as("transaction_hash"),
+        posexplode(eventsArr).as(Seq("ev_pos", "e")))
+      .select(
+        col("transaction_hash"),
+        transactionToid(col("sequence"), col("tx_pos") + 1).as("transaction_id"),
+        operationToid(col("sequence"), col("tx_pos") + 1, col("op_pos"))
+          .as("operation_id"),
+        col("e.event_topic").as("event_topic"),
+        col("e.from").as("from"),
+        col("e.to").as("to"),
+        col("e.asset").as("asset"),
+        col("e.amount_stroops").cast("string").as("amount"),
+        stroopsToXlm(col("e.amount_stroops")).as("amount_float"),
+        col("sequence").as("ledger_sequence"),
+        col("closed_at"),
+        col("e.to_muxed_id").as("to_muxed_id"))
 
     fees.unionAll(transfers)
   }
 
   /** `VerifyEvents` analog (`token_transfer.go:15-24`): per transaction the
-    * fee event total and per-op transfer totals must reconcile with the tx
-    * envelope amounts. Returns violating transaction_ids (empty = consistent). */
+    * fee event total must reconcile with the charged fee, and per value-
+    * moving op the emitted leg count must match the model (2 per claim atom,
+    * +1 delivery leg for path payments, 2 for LP ops, 1 otherwise). Returns
+    * violating transaction/operation ids (empty = consistent). */
   def verify(events: DataFrame, ledgers: Dataset[LedgerRow]): DataFrame = {
-    val expected = ledgers
+    val txGrain = ledgers
       .select(col("sequence"), posexplode(col("transactions")).as(Seq("tx_pos", "tx")))
-      .select(
-        transactionToid(col("sequence"), col("tx_pos") + 1).as("transaction_id"),
-        col("tx.fee_charged").as("expected_fee"))
-    events.where(col("event_topic") === "fee")
+    val feeExpected = txGrain.select(
+      transactionToid(col("sequence"), col("tx_pos") + 1).as("transaction_id"),
+      col("tx.fee_charged").as("expected_fee"))
+    val feeViolations = events.where(col("event_topic") === "fee")
       .groupBy("transaction_id")
       .agg(sum(col("amount").cast("long")).as("fee_total"))
-      .join(expected, Seq("transaction_id"))
+      .join(feeExpected, Seq("transaction_id"))
       .where(col("fee_total") =!= col("expected_fee"))
-      .select("transaction_id", "fee_total", "expected_fee")
+      .select(col("transaction_id"), col("fee_total").as("actual"),
+        col("expected_fee").as("expected"))
+
+    val legExpected = txGrain
+      .where(col("tx.successful"))
+      .select(col("sequence"), col("tx_pos"),
+        posexplode(col("tx.operations")).as(Seq("op_pos", "op")))
+      .select(
+        operationToid(col("sequence"), col("tx_pos") + 1, col("op_pos"))
+          .as("transaction_id"), // op-grain id, reusing the column name
+        when(col("op.op_type").isin(2, 13),
+            size(col("op.claim_atoms")) * 2 + 1)
+          .when(col("op.op_type").isin(3, 4, 12), size(col("op.claim_atoms")) * 2)
+          .when(col("op.op_type").isin(22, 23), lit(2))
+          .when(col("op.op_type").isin(0, 1, 8, 14, 15, 19, 20), lit(1))
+          .otherwise(lit(0)).cast("long").as("expected"))
+      .where(col("expected") > 0)
+    val legViolations = events.where(col("operation_id").isNotNull)
+      .groupBy(col("operation_id").as("transaction_id"))
+      .agg(count(lit(1)).as("actual"))
+      .join(legExpected, Seq("transaction_id"), "full_outer")
+      .where(coalesce(col("actual"), lit(0L)) =!= coalesce(col("expected"), lit(0L)))
+      .select("transaction_id", "actual", "expected")
+
+    feeViolations.unionAll(legViolations)
   }
 }

@@ -35,10 +35,43 @@ class TokenTransferSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(transfers.nonEmpty)
     transfers.foreach { r =>
       val asset = r.getAs[String]("asset")
-      assert(asset == "native" || asset.matches("credit_alphanum4:TK\\d+:ISS\\d+"))
-      assert(r.getAs[String]("to").startsWith("G"))
+      assert(asset == "native" || asset.matches("credit_alphanum4:[A-Z]+\\d+:ISS?\\d+"),
+        asset)
+      // counterparties are accounts (G), pools (L) or claimable balances (B)
+      assert(r.getAs[String]("to").matches("[GLB].*"), r.getAs[String]("to"))
+      assert(r.getAs[String]("from").matches("[GLB].*"), r.getAs[String]("from"))
     }
     assert(transfers.exists(_.getAs[String]("to_muxed_id") != null))
+  }
+
+  test("value-moving breadth: events from ≥10 op types with exact leg counts") {
+    val ops = graft.operators.StellarTransforms.historyOperations(fixture)
+      .select(col("id").as("operation_id"), col("type").as("op_type"))
+    val legs = events.where(col("operation_id").isNotNull)
+      .join(ops, "operation_id")
+    val byType = legs.groupBy("op_type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Int]("op_type") -> r.getAs[Long]("n")).toMap
+    // all value-moving op families present
+    assert(Set(0, 1, 2, 3, 4, 8, 12, 13, 14, 15, 19, 20, 22, 23)
+      .subsetOf(byType.keySet), byType.keySet.toString)
+    // trades: 2 legs per claim atom; path payments: +1 delivery leg
+    val perOp = legs.groupBy("operation_id", "op_type")
+      .agg(count(lit(1)).as("n")).collect()
+    perOp.foreach { r =>
+      val (t, n) = (r.getAs[Int]("op_type"), r.getAs[Long]("n"))
+      t match {
+        case 3 | 4 | 12 => assert(n == 2 || n == 4, s"op $t: $n legs")
+        case 2 | 13 => assert(n == 3 || n == 5, s"op $t: $n legs")
+        case 22 | 23 => assert(n == 2, s"op $t: $n legs")
+        case _ => assert(n == 1, s"op $t: $n legs")
+      }
+    }
+    // LP + CB counterparties use typed strkey addresses
+    assert(legs.where(col("op_type").isin(22, 23) &&
+      !(col("from").startsWith("L") || col("to").startsWith("L"))).count() == 0)
+    assert(legs.where(col("op_type").isin(14, 15) &&
+      !(col("from").startsWith("B") || col("to").startsWith("B"))).count() == 0)
   }
 
   test("payments to the issuer classify as burns; clawbacks as clawback") {
