@@ -1105,14 +1105,73 @@ object QueryCatalog {
           .orderBy("code_hash", "n_instructions")),
 
     Q("p15_config_settings",
-      Some("""SELECT CAST(n_nationkey AS BIGINT) AS config_setting_id,
-             |       n_name AS setting_name,
-             |       CAST(n_regionkey * 1000 AS BIGINT) AS max_contract_size,
-             |       CAST(n_regionkey * 100 + 50 AS BIGINT) AS tx_max_instructions,
-             |       n_nationkey % 2 = 0 AS is_active
-             |FROM nation ORDER BY config_setting_id""".stripMargin),
+      // arrays (cost params, size window) compare as their JSON rendering;
+      // DuckDB rebuilds the exact strings
+      Some("""WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+             |                  CAST(n_regionkey AS BIGINT) AS r, n_name
+             |           FROM nation)
+             |SELECT k AS config_setting_id,
+             |       r * 1000 AS contract_max_size_bytes,
+             |       k * 1000000 + 1000 AS ledger_max_instructions,
+             |       r * 100 + 50 AS tx_max_instructions,
+             |       k * 25 AS fee_rate_per_instructions_increment,
+             |       r * 512 + 64 AS tx_memory_limit,
+             |       k % 10 + 1 AS ledger_max_read_ledger_entries,
+             |       k * 2048 AS ledger_max_read_bytes,
+             |       k % 5 + 1 AS ledger_max_write_ledger_entries,
+             |       k * 1024 AS ledger_max_write_bytes,
+             |       k % 8 + 1 AS tx_max_read_ledger_entries,
+             |       k * 512 AS tx_max_read_bytes,
+             |       k % 4 + 1 AS tx_max_write_ledger_entries,
+             |       k * 256 AS tx_max_write_bytes,
+             |       k * 3 + 1 AS fee_read_ledger_entry,
+             |       k * 5 + 2 AS fee_write_ledger_entry,
+             |       k * 7 + 3 AS fee_read_1kb,
+             |       k * 1000000 AS bucket_list_target_size_bytes,
+             |       r * 11 AS write_fee_1kb_bucket_list_low,
+             |       r * 211 AS write_fee_1kb_bucket_list_high,
+             |       k % 3 + 1 AS bucket_list_write_fee_growth_factor,
+             |       k * 13 AS fee_historical_1kb,
+             |       r * 4096 AS tx_max_contract_events_size_bytes,
+             |       k * 17 AS fee_contract_events_1kb,
+             |       k * 8192 AS ledger_max_txs_size_bytes,
+             |       r * 2048 + 512 AS tx_max_size_bytes,
+             |       k * 19 AS fee_tx_size_1kb,
+             |       '[{"ExtV":"0","ConstTerm":"' || k * 10 ||
+             |         '","LinearTerm":"' || r ||
+             |         '"},{"ExtV":"0","ConstTerm":"' || k * 20 ||
+             |         '","LinearTerm":"' || r + 1 || '"}]'
+             |         AS contract_cost_params_cpu_insns,
+             |       '[{"ExtV":"0","ConstTerm":"' || k * 30 ||
+             |         '","LinearTerm":"' || r + 2 || '"}]'
+             |         AS contract_cost_params_mem_bytes,
+             |       r * 64 + 16 AS contract_data_key_size_bytes,
+             |       r * 128 + 32 AS contract_data_entry_size_bytes,
+             |       k * 100000 + 10000 AS max_entry_ttl,
+             |       16 AS min_temporary_ttl,
+             |       4096 AS min_persistent_ttl,
+             |       k * 1000 + 1 AS persistent_rent_rate_denominator,
+             |       k * 100 + 1 AS temp_rent_rate_denominator,
+             |       k % 7 + 1 AS max_entries_to_archive,
+             |       30 AS bucket_list_size_window_sample_size,
+             |       k * 50000 AS eviction_scan_size,
+             |       k % 6 + 1 AS starting_eviction_scan_level,
+             |       r * 100 + 10 AS ledger_max_tx_count,
+             |       '[' || k * 1000 || ',' || k * 1000 + 1 || ',' ||
+             |         k * 1000 + 2 || ']' AS bucket_list_size_window,
+             |       k AS last_modified_ledger,
+             |       k % 3 AS ledger_entry_change,
+             |       k % 7 = 6 AS deleted,
+             |       n_name AS setting_name
+             |FROM n ORDER BY config_setting_id""".stripMargin),
       (s, dir) =>
         EntryProjections.configSettings(T(s, dir, "nation"))
+          .withColumn("contract_cost_params_cpu_insns",
+            to_json(col("contract_cost_params_cpu_insns")))
+          .withColumn("contract_cost_params_mem_bytes",
+            to_json(col("contract_cost_params_mem_bytes")))
+          .withColumn("bucket_list_size_window",
+            to_json(col("bucket_list_size_window")))
           .orderBy("config_setting_id")),
 
     Q("p16_ttl",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
@@ -95,15 +95,69 @@ object EntryProjections {
       pmod(col("p_size"), lit(20)).cast("long").as("n_functions"),
       (col("p_size") * 7).cast("long").as("n_data_segment_bytes"))
 
-  /** P15 — config settings: wide scalar projection from the 13 config union
-    * arms (`config_setting.go:13-163`). */
-  def configSettings(nations: DataFrame): DataFrame =
+  /** P15 — config settings: the full ~45-scalar projection across the 13
+    * config union arms (`config_setting.go:13-163`): contract size, compute,
+    * ledger cost, historical data, events, bandwidth, cost params (as
+    * `array<map<string,string>>`, `serializeParams` at :152-163), data
+    * key/entry sizes, state archival, execution lanes, bucket-list window.
+    * Values derive deterministically from the nation fixture columns. */
+  def configSettings(nations: DataFrame): DataFrame = {
+    val k = col("n_nationkey").cast("long")
+    val r = col("n_regionkey").cast("long")
+    def costParam(const: Column, linear: Column): Column =
+      map(lit("ExtV"), lit("0"),
+        lit("ConstTerm"), const.cast("string"),
+        lit("LinearTerm"), linear.cast("string"))
     nations.select(
-      col("n_nationkey").cast("long").as("config_setting_id"),
-      col("n_name").as("setting_name"),
-      (col("n_regionkey") * 1000).cast("long").as("max_contract_size"),
-      (col("n_regionkey") * 100 + 50).cast("long").as("tx_max_instructions"),
-      (col("n_nationkey") % 2 === 0).as("is_active"))
+      k.as("config_setting_id"),
+      (r * 1000).as("contract_max_size_bytes"),
+      (k * 1000000 + 1000).as("ledger_max_instructions"),
+      (r * 100 + 50).as("tx_max_instructions"),
+      (k * 25).as("fee_rate_per_instructions_increment"),
+      (r * 512 + 64).as("tx_memory_limit"),
+      (k % 10 + 1).as("ledger_max_read_ledger_entries"),
+      (k * 2048).as("ledger_max_read_bytes"),
+      (k % 5 + 1).as("ledger_max_write_ledger_entries"),
+      (k * 1024).as("ledger_max_write_bytes"),
+      (k % 8 + 1).as("tx_max_read_ledger_entries"),
+      (k * 512).as("tx_max_read_bytes"),
+      (k % 4 + 1).as("tx_max_write_ledger_entries"),
+      (k * 256).as("tx_max_write_bytes"),
+      (k * 3 + 1).as("fee_read_ledger_entry"),
+      (k * 5 + 2).as("fee_write_ledger_entry"),
+      (k * 7 + 3).as("fee_read_1kb"),
+      (k * 1000000).as("bucket_list_target_size_bytes"),
+      (r * 11).as("write_fee_1kb_bucket_list_low"),
+      (r * 211).as("write_fee_1kb_bucket_list_high"),
+      (k % 3 + 1).as("bucket_list_write_fee_growth_factor"),
+      (k * 13).as("fee_historical_1kb"),
+      (r * 4096).as("tx_max_contract_events_size_bytes"),
+      (k * 17).as("fee_contract_events_1kb"),
+      (k * 8192).as("ledger_max_txs_size_bytes"),
+      (r * 2048 + 512).as("tx_max_size_bytes"),
+      (k * 19).as("fee_tx_size_1kb"),
+      array(costParam(k * 10, r), costParam(k * 20, r + 1))
+        .as("contract_cost_params_cpu_insns"),
+      array(costParam(k * 30, r + 2)).as("contract_cost_params_mem_bytes"),
+      (r * 64 + 16).as("contract_data_key_size_bytes"),
+      (r * 128 + 32).as("contract_data_entry_size_bytes"),
+      (k * 100000 + 10000).as("max_entry_ttl"),
+      lit(16L).as("min_temporary_ttl"),
+      lit(4096L).as("min_persistent_ttl"),
+      (k * 1000 + 1).as("persistent_rent_rate_denominator"),
+      (k * 100 + 1).as("temp_rent_rate_denominator"),
+      (k % 7 + 1).as("max_entries_to_archive"),
+      lit(30L).as("bucket_list_size_window_sample_size"),
+      (k * 50000).as("eviction_scan_size"),
+      (k % 6 + 1).as("starting_eviction_scan_level"),
+      (r * 100 + 10).as("ledger_max_tx_count"),
+      array(k * 1000, k * 1000 + 1, k * 1000 + 2)
+        .as("bucket_list_size_window"),
+      k.as("last_modified_ledger"),
+      (k % 3).as("ledger_entry_change"),
+      (k % 7 === 6).as("deleted"),
+      col("n_name").as("setting_name"))
+  }
 
   /** P16 — TTLs: key hash hex + live-until sequence (`ttl.go:12-49`). */
   def ttls(eventGrain: DataFrame): DataFrame =
