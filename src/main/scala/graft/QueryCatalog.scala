@@ -1237,6 +1237,115 @@ object QueryCatalog {
         l.unionAll(t).unionAll(o).orderBy("id", "grain")
       }),
 
+    Q("stellar_golden_rows",
+      // the real-model P1+P2+P3 columns DuckDB can re-derive independently:
+      // the oracle reconstructs the fixture's (l, t, o) lattice with
+      // generate_series and recomputes TOIDs (bit algebra), sha-256 hashes,
+      // tx/op counts, the P20 fee-bump recompute, the Soroban inclusion-fee
+      // decomposition from fee-meta diffs, and op type names — everything
+      // except strkey rendering (no base32/crc16 in SQL), which CodecSpec
+      // golden vectors pin instead
+      Some("""WITH ls AS (SELECT unnest(generate_series(1000, 1019)) AS l),
+             |txs AS (SELECT l, unnest(generate_series(0, l % 5)) AS t FROM ls),
+             |ops AS (SELECT l, t, unnest(generate_series(0, t % 4)) AS o FROM txs),
+             |tnames(ty, name) AS (VALUES
+             |  (0,'create_account'),(1,'payment'),(2,'path_payment_strict_receive'),
+             |  (3,'manage_sell_offer'),(4,'create_passive_sell_offer'),
+             |  (5,'set_options'),(6,'change_trust'),(7,'allow_trust'),
+             |  (8,'account_merge'),(9,'inflation'),(10,'manage_data'),
+             |  (11,'bump_sequence'),(12,'manage_buy_offer'),
+             |  (13,'path_payment_strict_send'),(14,'create_claimable_balance'),
+             |  (15,'claim_claimable_balance'),(16,'begin_sponsoring_future_reserves'),
+             |  (17,'end_sponsoring_future_reserves'),(18,'revoke_sponsorship'),
+             |  (19,'clawback'),(20,'clawback_claimable_balance'),
+             |  (21,'set_trust_line_flags'),(22,'liquidity_pool_deposit'),
+             |  (23,'liquidity_pool_withdraw'),(24,'invoke_host_function'),
+             |  (25,'extend_footprint_ttl'),(26,'restore_footprint'))
+             |SELECT 'ledger' AS grain, CAST(l AS BIGINT) << 32 AS id,
+             |       sha256('ledger-' || l) AS s1,
+             |       CAST(l % 5 + 1 AS BIGINT) AS n1,
+             |       (SELECT CAST(coalesce(sum(t % 4 + 1), 0) AS BIGINT)
+             |        FROM txs x WHERE x.l = ls.l AND x.t % 3 != 0) AS n2
+             |FROM ls
+             |UNION ALL
+             |SELECT 'tx', (CAST(l AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12),
+             |       sha256('tx-' || l || '-' || t),
+             |       -- P20 recompute: pre-21 protocol (l%3=0) fee-bump soroban
+             |       -- txs charge resource_fee - refund instead of the envelope
+             |       CASE WHEN l % 3 = 0 AND t % 5 = 4
+             |            THEN (40000 + t) - 6000 ELSE 100 * (t + 1) END,
+             |       -- inclusion fee charged = fee-meta balance diff - resource
+             |       CASE WHEN t % 5 = 2 THEN 5000
+             |            WHEN t % 5 = 4 THEN 12000 ELSE 0 END
+             |FROM txs
+             |UNION ALL
+             |SELECT 'op', (CAST(l AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12)
+             |         | CAST(o + 1 AS BIGINT),
+             |       (SELECT name FROM tnames WHERE ty = (l + t + o) % 27),
+             |       CAST((l + t + o) % 27 AS BIGINT),
+             |       (CAST(l AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12)
+             |FROM ops
+             |ORDER BY grain, id""".stripMargin),
+      (s, dir) => {
+        val ledgers = graft.sources.StellarFixture.ledgers(s, 1000, 1019)
+        val l = StellarTransforms.historyLedgers(ledgers).select(
+          lit("ledger").as("grain"), col("id"),
+          col("ledger_hash").as("s1"),
+          col("transaction_count").cast("long").as("n1"),
+          col("operation_count").cast("long").as("n2"))
+        val t = StellarTransforms.historyTransactions(ledgers).select(
+          lit("tx").as("grain"), col("id"),
+          col("transaction_hash").as("s1"),
+          col("fee_charged").as("n1"),
+          col("inclusion_fee_charged").as("n2"))
+        val o = StellarTransforms.historyOperations(ledgers).select(
+          lit("op").as("grain"), col("id"),
+          col("type_string").as("s1"),
+          col("type").cast("long").as("n1"),
+          col("transaction_id").as("n2"))
+        l.unionAll(t).unionAll(o).orderBy("grain", "id")
+      }),
+
+    Q("stellar_trades_golden",
+      // the non-strkey trade columns re-derived in SQL: TOID algebra, the
+      // authoritative pre-state price (7/2, proving the reverse change scan
+      // beat the planted stale 1/99), LP fallback prices from amount ratios,
+      // synthetic bit-62 buying offer ids, and exact stroop→XLM doubles
+      Some("""WITH ls AS (SELECT unnest(generate_series(2000, 2059)) AS l),
+             |txs AS (SELECT l, unnest(generate_series(0, l % 5)) AS t FROM ls
+             |        WHERE true),
+             |ops AS (SELECT l, t, unnest(generate_series(0, t % 4)) AS o
+             |        FROM txs WHERE t % 3 != 0),
+             |tr AS (SELECT *, (l + t + o) % 27 AS ty FROM ops
+             |       WHERE (l + t + o) % 27 IN (2, 3, 4, 12, 13)),
+             |atoms AS (SELECT *, unnest(generate_series(0, o % 2)) AS a FROM tr),
+             |x AS (SELECT *,
+             |        (ty = 2 AND a = 0) AS lp,
+             |        (CAST(l AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12)
+             |          | CAST(o + 1 AS BIGINT) AS op_id
+             |      FROM atoms)
+             |SELECT op_id AS history_operation_id,
+             |       a AS "order",
+             |       CASE WHEN lp THEN 1500000 * (a + 1) ELSE 7 END AS price_n,
+             |       CASE WHEN lp THEN 2000000 * (a + 1) ELSE 2 END AS price_d,
+             |       CASE WHEN lp THEN 2 ELSE 1 END AS trade_type,
+             |       CASE WHEN NOT lp THEN 5000 + a END AS selling_offer_id,
+             |       CASE WHEN ty IN (3, 4, 12) AND o % 2 = 0 THEN 7000 + o
+             |            ELSE (op_id + 1) | (CAST(1 AS BIGINT) << 62)
+             |       END AS buying_offer_id,
+             |       CAST(2000000 * (a + 1) AS DOUBLE) / 10000000 AS selling_amount,
+             |       CAST(1500000 * (a + 1) AS DOUBLE) / 10000000 AS buying_amount
+             |FROM x ORDER BY history_operation_id, "order"""".stripMargin),
+      (s, dir) =>
+        StellarTradesEffects.historyTrades(
+            graft.sources.StellarFixture.ledgers(s, 2000, 2059))
+          .select(col("history_operation_id"), col("order").cast("long"),
+            col("price_n"), col("price_d"),
+            col("trade_type").cast("long").as("trade_type"),
+            col("selling_offer_id"), col("buying_offer_id"),
+            col("selling_amount"), col("buying_amount"))
+          .orderBy("history_operation_id", "order")),
+
     Q("stellar_trades_effects", None, // strkey/farmhash model: rows-only check
       (s, dir) => {
         // REAL P4+P5 over the decoded model: pre-state price reverse scan,
