@@ -89,15 +89,49 @@ object Similarity {
       (best, s) => when(s("dist") < best("dist"), s).otherwise(best))("cell")
   }
 
+  /** Lloyd's k-means over the corpus, DataFrame-only: assignment is the
+    * intra-row [[ivfAssign]] argmin against the broadcast current centroids;
+    * the update step is a positional explode + (cell, dim) average — one
+    * shuffle per iteration whose output is nCells×dim rows, so the per-iter
+    * driver collect is bounded by the centroid table, never the corpus.
+    * Seeded from the deterministic lowest-id sample; empty cells keep their
+    * previous centroid. */
+  def kMeansCentroids(corpus: DataFrame, vecCol: String,
+      seed: Seq[(Long, Seq[Float])], iters: Int): Seq[(Long, Seq[Float])] = {
+    var centroids = seed
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .select(col(vecCol).as("v"),
+          ivfAssign(col(vecCol), centroids).as("cell"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1).toFloat).toSeq)
+        .toMap
+      centroids = centroids.map { case (cid, old) =>
+        (cid, means.getOrElse(cid, old))
+      }
+    }
+    centroids
+  }
+
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int, nCells: Int = 16, nprobe: Int = 4,
+      kMeansIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // deterministic centroids: the nCells lowest-id corpus vectors
-    val centroids = corpus.select(col(corpusId).cast("long"), col(corpusVec))
+    // deterministic seed centroids: the nCells lowest-id corpus vectors;
+    // kMeansIters > 0 refines them with Lloyd iterations
+    val seed = corpus.select(col(corpusId).cast("long"), col(corpusVec))
       .orderBy(col(corpusId)).limit(nCells).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val centroids =
+      if (kMeansIters <= 0) seed
+      else kMeansCentroids(corpus, corpusVec, seed, kMeansIters)
 
     val assigned = corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).as("cvec"),

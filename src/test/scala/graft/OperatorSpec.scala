@@ -165,6 +165,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivfPruned.count() > 0) // pruned search still returns hits
   }
 
+  test("IVF k-means centroids: recall at least matches the sampled seed") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recall(iters: Int): Double = {
+      val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 1, nCells = 8, nprobe = 2,
+          kMeansIters = iters)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.count { case (q, n) => got.get(q).contains(n) }.toDouble / exact.size
+    }
+    val sampled = recall(0)
+    val kmeans = recall(2)
+    assert(kmeans >= sampled, s"k-means recall $kmeans < sampled $sampled")
+    // the Lloyd update must actually move the centroids off the seed sample
+    val seed = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy("vec_id").limit(8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val refined = Similarity.kMeansCentroids(emb, "embedding", seed, 1)
+    assert(refined.map(_._1) == seed.map(_._1)) // stable cell ids
+    assert(refined.exists { case (cid, v) =>
+      v != seed.find(_._1 == cid).get._2 })
+  }
+
   test("lsh bucket is deterministic and identical vectors collide") {
     import spark.implicits._
     val df = Seq((1L, Array(0.5f, -0.25f, 0.75f)), (2L, Array(0.5f, -0.25f, 0.75f)))
