@@ -1094,6 +1094,55 @@ object QueryCatalog {
         EntryProjections.contractData(T(s, dir, "part"))
           .orderBy("contract_id_hex", "balance_i128")),
 
+    Q("p13_sac_storage",
+      // SAC storage walk over real ScVal XDR: arm 0 plants an instance entry
+      // with AssetInfo storage (k%9==0 gets a WRONG contract id — the walk's
+      // self-check must reject it), arm 1 a Balance entry, arm 2 junk. The
+      // oracle re-derives the expected recoveries per arm
+      Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part)
+             |SELECT k, k % 3 AS arm,
+             |  CASE WHEN k % 3 = 0 AND k % 9 != 0
+             |       THEN 'credit_alphanum4' END AS asset_type,
+             |  CASE WHEN k % 3 = 0 AND k % 9 != 0
+             |       THEN 'TK' || (k % 100) END AS asset_code,
+             |  CASE WHEN k % 3 = 0 AND k % 9 != 0
+             |       THEN sha256('issuer-' || (k % 5)) END AS issuer_hex,
+             |  CASE WHEN k % 3 = 1 THEN sha256('holder-' || k) END AS holder_hex,
+             |  CASE WHEN k % 3 = 1 THEN CAST(k * 1000 + 7 AS VARCHAR) END AS amount,
+             |  CASE WHEN k % 3 = 1 THEN k % 2 = 0 END AS authorized,
+             |  CASE WHEN k % 3 = 1 THEN k % 5 = 0 END AS clawback
+             |FROM p ORDER BY k""".stripMargin),
+      (s, dir) => {
+        import graft.functions.{GraftFunctions => G}
+        val k = col("p_partkey").cast("long")
+        val arm = k % 3
+        val code = concat(lit("TK"), (k % 100).cast("string"))
+        val issuer = unhex(sha2(concat(lit("issuer-"), (k % 5).cast("string")), 256))
+        val holder = unhex(sha2(concat(lit("holder-"), k.cast("string")), 256))
+        val junk = lit(graft.codec.ScVal.encode(graft.codec.ScVal.Sym("junk")))
+        val keyCol = when(arm === 0, lit(G.sacInstanceKeyBytes))
+          .when(arm === 1, G.sacBalanceKeyBytes(holder))
+          .otherwise(junk)
+        val valCol = when(arm === 0, G.sacInstanceValBytes(code, issuer))
+          .when(arm === 1, G.sacBalanceValBytes(k * 1000 + 7, k % 2 === 0, k % 5 === 0))
+          .otherwise(junk)
+        val cid = when(k % 9 === 0, unhex(sha2(lit("wrong"), 256)))
+          .otherwise(G.sacContractIdBytes(lit("credit_alphanum4"), code, issuer))
+        T(s, dir, "part")
+          .select(k.as("k"), arm.as("arm"),
+            G.sacAssetFromContractData(keyCol, valCol, cid).as("a"),
+            G.sacBalanceFromContractData(keyCol, valCol).as("b"))
+          .select(col("k"), col("arm"),
+            col("a.asset_type").as("asset_type"),
+            col("a.asset_code").as("asset_code"),
+            col("a.issuer_hex").as("issuer_hex"),
+            col("b.holder_hex").as("holder_hex"),
+            col("b.amount").as("amount"),
+            col("b.authorized").as("authorized"),
+            col("b.clawback").as("clawback"))
+          .orderBy("k")
+      }),
+
     Q("p14_contract_code",
       Some("""SELECT sha256('wasm|' || p_name) AS code_hash,
              |       CAST(p_size * 100 AS BIGINT) AS n_instructions,

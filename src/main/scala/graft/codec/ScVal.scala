@@ -38,6 +38,12 @@ object ScVal {
   /** SCAddress: account (G…) or contract (C…), 32-byte payload. */
   case class AddrAccount(key: Array[Byte]) extends V
   case class AddrContract(id: Array[Byte]) extends V
+  /** SCV_CONTRACT_INSTANCE: executable + optional instance-storage map —
+    * what the SAC storage walk reads (`contract_data.go:191-297`). */
+  case class ContractInstance(wasmHash: Option[Array[Byte]],
+      storage: Seq[(V, V)]) extends V
+  /** SCV_LEDGER_KEY_CONTRACT_INSTANCE (key singleton, no payload). */
+  case object LedgerKeyContractInstance extends V
 
   // SCValType discriminants (`Stellar-contract.x` enum SCValType)
   private val TBool = 0; private val TVoid = 1; private val TU32 = 3
@@ -46,6 +52,7 @@ object ScVal {
   private val TU128 = 9; private val TI128 = 10
   private val TBytes = 13; private val TString = 14; private val TSymbol = 15
   private val TVec = 16; private val TMap = 17; private val TAddress = 18
+  private val TContractInstance = 19; private val TLedgerKeyInstance = 20
 
   // ---- XDR encode ----------------------------------------------------------
 
@@ -92,6 +99,16 @@ object ScVal {
     case AddrContract(id) =>
       out.writeInt(TAddress); out.writeInt(1) // SC_ADDRESS_TYPE_CONTRACT
       out.write(id)
+    case ContractInstance(wasmHash, storage) =>
+      out.writeInt(TContractInstance)
+      wasmHash match { // ContractExecutable: 0 WASM(hash) | 1 STELLAR_ASSET
+        case Some(h) => out.writeInt(0); out.write(h)
+        case None => out.writeInt(1)
+      }
+      out.writeInt(1) // SCMap* storage: present
+      out.writeInt(storage.length)
+      storage.foreach { case (k, v2) => write(out, k); write(out, v2) }
+    case LedgerKeyContractInstance => out.writeInt(TLedgerKeyInstance)
   }
 
   // ---- XDR decode ----------------------------------------------------------
@@ -140,6 +157,16 @@ object ScVal {
         val id = new Array[Byte](32); buf.get(id); AddrContract(id)
       case other => throw new IllegalArgumentException(s"SCAddress type $other")
     }
+    case TContractInstance =>
+      val wasmHash = buf.getInt match {
+        case 0 => val h = new Array[Byte](32); buf.get(h); Some(h)
+        case 1 => None
+        case other => throw new IllegalArgumentException(s"executable $other")
+      }
+      val storage = if (buf.getInt == 0) Seq.empty[(V, V)]
+        else Seq.fill(buf.getInt) { val k = read(buf); (k, read(buf)) }
+      ContractInstance(wasmHash, storage)
+    case TLedgerKeyInstance => LedgerKeyContractInstance
     case other => throw new IllegalArgumentException(s"SCValType $other unsupported")
   }
 
@@ -178,6 +205,16 @@ object ScVal {
       }.mkString("""{"map":[""", ",", "]}")
     case AddrAccount(key) => s"""{"address":"${Strkey.encodeAccountId(key)}"}"""
     case AddrContract(id) => s"""{"address":"${Strkey.encodeContract(id)}"}"""
+    case ContractInstance(wasmHash, storage) =>
+      val exec = wasmHash match {
+        case Some(h) => s"""{"wasm":"${Hashes.hex(h)}"}"""
+        case None => """"stellar_asset""""
+      }
+      val st = storage.map { case (k, x) =>
+        s"""{"key":${toJson(k)},"val":${toJson(x)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"instance":{"executable":$exec,"storage":$st}}"""
+    case LedgerKeyContractInstance => """{"ledger_key_contract_instance":null}"""
   }
 
   /** base64(XDR) + decoded JSON from raw ScVal bytes — the two columns the

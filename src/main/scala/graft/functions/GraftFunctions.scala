@@ -157,6 +157,47 @@ object GraftFunctions {
       ScVal.Sym("balance") -> ScVal.I128(hi, lo),
       ScVal.Sym("key") -> ScVal.Str(key)))))
 
+  // ---- SAC storage walk (`contract_data.go:191-379`) -----------------------
+
+  case class SacAssetOut(asset_type: String, asset_code: String,
+      issuer_hex: String, asset_issuer: String)
+  case class SacBalanceOut(holder_hex: String, amount: String,
+      authorized: Boolean, clawback: Boolean)
+
+  /** `AssetFromContractData`: nullable struct of the recovered asset. */
+  val sacAssetFromContractData =
+    udf((key: Array[Byte], value: Array[Byte], contractId: Array[Byte]) =>
+      graft.codec.SacStorage.assetFromContractData(key, value, contractId)
+        .map(a => SacAssetOut(a.assetType, a.code, Hashes.hex(a.issuerKey),
+          if (a.issuerKey.isEmpty) "" else Strkey.encodeAccountId(a.issuerKey))))
+
+  /** `ContractBalanceFromContractData`: nullable struct of the balance. */
+  val sacBalanceFromContractData =
+    udf((key: Array[Byte], value: Array[Byte]) =>
+      graft.codec.SacStorage.contractBalanceFromContractData(key, value)
+        .map(b => SacBalanceOut(Hashes.hex(b.holder), b.amountString,
+          b.authorized, b.clawback)))
+
+  /** Fixture encoders for SAC-shaped contract-data entries. */
+  val sacInstanceKeyBytes: Array[Byte] =
+    ScVal.encode(ScVal.LedgerKeyContractInstance)
+  val sacInstanceValBytes = udf((code: String, issuer: Array[Byte]) =>
+    ScVal.encode(ScVal.ContractInstance(None, Seq(
+      ScVal.Vec(Seq(ScVal.Sym("AssetInfo"))) ->
+        ScVal.Vec(Seq(ScVal.Sym("AlphaNum4"), ScVal.M(Seq(
+          ScVal.Sym("asset_code") -> ScVal.Str(code),
+          ScVal.Sym("issuer") -> ScVal.Bytes(issuer)))))))))
+  val sacBalanceKeyBytes = udf((holder: Array[Byte]) =>
+    ScVal.encode(ScVal.Vec(Seq(ScVal.Sym("Balance"),
+      ScVal.AddrContract(holder)))))
+  val sacBalanceValBytes = udf((lo: Long, auth: Boolean, claw: Boolean) =>
+    ScVal.encode(ScVal.M(Seq(
+      ScVal.Sym("amount") -> ScVal.I128(0L, lo),
+      ScVal.Sym("authorized") -> ScVal.B(auth),
+      ScVal.Sym("clawback") -> ScVal.B(claw)))))
+  val sacContractIdBytes = udf((t: String, code: String, issuer: Array[Byte]) =>
+    SacContractId.contractId(t, code, issuer))
+
   /** FarmHash asset id (`asset.go:72-77`): farmhash64(code ‖ issuer ‖ type). */
   def farmHashAssetId(code: Column, issuer: Column, assetType: Column): Column =
     farmHash64(concat(coalesce(code, lit("")), coalesce(issuer, lit("")), assetType))

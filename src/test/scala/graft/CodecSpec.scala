@@ -211,4 +211,49 @@ class CodecSpec extends AnyFunSuite {
     assert(ScVal.jsonFromBinary(encode(Sym("transfer"))) ==
       """{"symbol":"transfer"}""")
   }
+
+  // ---- SAC storage walk ----------------------------------------------------
+
+  test("sac storage walk: asset recovery with contract-id self-check") {
+    import ScVal._
+    val issuer = Hashes.sha256("iss".getBytes("UTF-8"))
+    val key = encode(LedgerKeyContractInstance)
+    val value = encode(ContractInstance(None, Seq(
+      Vec(Seq(Sym("AssetInfo"))) -> Vec(Seq(Sym("AlphaNum4"), M(Seq(
+        Sym("asset_code") -> Str("USDX"),
+        Sym("issuer") -> Bytes(issuer))))))))
+    val rightId = SacContractId.contractId("credit_alphanum4", "USDX", issuer)
+    val got = SacStorage.assetFromContractData(key, value, rightId)
+    assert(got.exists(a => a.assetType == "credit_alphanum4" &&
+      a.code == "USDX" && java.util.Arrays.equals(a.issuerKey, issuer)))
+    // wrong contract id → rejected by the self-check
+    assert(SacStorage.assetFromContractData(key, value,
+      Hashes.sha256("other".getBytes("UTF-8"))).isEmpty)
+    // instance roundtrips through decode and renders as tagged JSON
+    assert(decode(value).isInstanceOf[ContractInstance])
+    assert(toJson(decode(value)).startsWith("""{"instance":{"executable":"stellar_asset""""))
+    // non-instance key → no asset
+    assert(SacStorage.assetFromContractData(encode(Sym("junk")), value, rightId).isEmpty)
+  }
+
+  test("sac storage walk: balance entry shape") {
+    import ScVal._
+    val holder = Hashes.sha256("holder".getBytes("UTF-8"))
+    val key = encode(Vec(Seq(Sym("Balance"), AddrContract(holder))))
+    val value = encode(M(Seq(
+      Sym("amount") -> I128(0L, 123456L),
+      Sym("authorized") -> B(true),
+      Sym("clawback") -> B(false))))
+    val got = SacStorage.contractBalanceFromContractData(key, value)
+    assert(got.exists(b => java.util.Arrays.equals(b.holder, holder) &&
+      b.amountString == "123456" && b.authorized && !b.clawback))
+    // negative amount hi → rejected (balance invariant)
+    val neg = encode(M(Seq(
+      Sym("amount") -> I128(-1L, 0L),
+      Sym("authorized") -> B(true),
+      Sym("clawback") -> B(false))))
+    assert(SacStorage.contractBalanceFromContractData(key, neg).isEmpty)
+    // malformed bytes never throw
+    assert(SacStorage.contractBalanceFromContractData(Array[Byte](1, 2), value).isEmpty)
+  }
 }
