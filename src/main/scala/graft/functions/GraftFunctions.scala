@@ -198,6 +198,23 @@ object GraftFunctions {
   val sacContractIdBytes = udf((t: String, code: String, issuer: Array[Byte]) =>
     SacContractId.contractId(t, code, issuer))
 
+  /** Parsed SAC event row (nullable per-field: mint has no from, burn no to). */
+  case class SacEventOut(event_type: String, from: String, to: String,
+      asset_type: String, asset_code: String, asset_issuer: String,
+      amount: String)
+
+  /** Parse an op's raw contract events into the SAC model; unrecognized
+    * events drop out (`NewStellarAssetContractEvent` err branch). One UDF
+    * call per op row over the whole array — no per-event lambda UDF. */
+  val sacEventsParse =
+    udf((events: Seq[graft.model.LedgerModel.SacEventRaw]) =>
+      events.flatMap(e => graft.codec.SacEvents.parse(e.topics_xdr, e.data_xdr))
+        .map(e => SacEventOut(e.eventType, e.from.orNull, e.to.orNull,
+          e.assetType,
+          if (e.assetType == "native") null else e.code,
+          if (e.assetType == "native") null else e.issuer,
+          e.amountString)))
+
   /** FarmHash asset id (`asset.go:72-77`): farmhash64(code ‖ issuer ‖ type). */
   def farmHashAssetId(code: Column, issuer: Column, assetType: Column): Column =
     farmHash64(concat(coalesce(code, lit("")), coalesce(issuer, lit("")), assetType))

@@ -54,6 +54,12 @@ object LedgerModel {
     * rendered by `graft.codec.ClaimPredicate` (`schema.go:166-170`). */
   case class Claimant(destination_key: Array[Byte], predicate_xdr: Array[Byte])
 
+  /** One Soroban contract event as emitted in tx meta: topics + data ride as
+    * raw ScVal XDR; `graft.codec.SacEvents` recognizes the SAC shapes
+    * (`operation.go:1942-1975`, `effects.go:1319-1430`). */
+  case class SacEventRaw(contract_id: Array[Byte],
+      topics_xdr: Seq[Array[Byte]], data_xdr: Array[Byte])
+
   /** One operation inside a transaction envelope. `details_json` carries the
     * per-type sparse union pre-serialized (SURVEY §1.2 option (b) at the
     * model boundary; the transform emits both `details` struct-JSON and the
@@ -127,7 +133,8 @@ object LedgerModel {
       host_fn_type: Option[String] = None,
       soroban_contract_id: Option[Array[Byte]] = None,
       parameters_xdr: Seq[Array[Byte]] = Seq.empty, // ScVal binaries
-      extend_to: Option[Long] = None)
+      extend_to: Option[Long] = None,
+      sac_events: Seq[SacEventRaw] = Seq.empty)
 
   /** Fee-account balance change from fee meta / TxChangesAfter — the J4
     * lookup source (`transaction.go:277-305`). */

@@ -436,10 +436,34 @@ object StellarTradesEffects {
       kv("shares_redeemed",
         amt(lpChange("pre_total_shares") - lpChange("post_total_shares"))))))
 
-    // soroban footprint ----------------------------------------------------
+    // soroban --------------------------------------------------------------
     val extendTtl = array(eff(98, sourceAddr,
       obj(kvRaw("extend_to", col("op.extend_to")))))
     val restoreFootprint = array(eff(99, sourceAddr, lit("{}")))
+
+    // invoke-host-function: credit/debit effects from SAC events
+    // (`addInvokeHostFunctionEffects`, effects.go:1319-1430) — contract
+    // addresses (C…) get contract_credited/debited, accounts (G…) the
+    // account variants; mint credits only, burn/clawback debit only
+    val names = typedLit(EffectNames)
+    def sacEff(typeCol: Column, addr: Column, details: Column): Column =
+      struct(addr.as("address"), typeCol.as("type"),
+        element_at(names, typeCol).as("type_string"), details.as("details"))
+    val invokeEffects = flatten(transform(
+      sacEventsParse(col("op.sac_events")), e => {
+        val assetKvsE = Seq(
+          kv("asset_type", e("asset_type")),
+          kv("asset_code", e("asset_code")),
+          kv("asset_issuer", e("asset_issuer")))
+        val details = obj(kv("amount", e("amount")) +: assetKvsE: _*)
+        filter(array(
+          when(e("from").isNotNull,
+            sacEff(when(e("from").startsWith("C"), 97).otherwise(lit(3)),
+              e("from"), details)),
+          when(e("to").isNotNull,
+            sacEff(when(e("to").startsWith("C"), 96).otherwise(lit(2)),
+              e("to"), details))), x => x.isNotNull)
+      }))
 
     val effectsArr =
       when(ty === 0, createAccount)
@@ -458,6 +482,7 @@ object StellarTradesEffects {
         .when(ty === 20, clawbackCb)
         .when(ty === 22, lpDeposit)
         .when(ty === 23, lpWithdraw)
+        .when(ty === 24, invokeEffects)
         .when(ty === 25, extendTtl)
         .when(ty === 26, restoreFootprint)
         .otherwise(noEff)

@@ -443,6 +443,16 @@ object StellarTransforms {
       when(ty === 24 && size(col("op.parameters_xdr")) > 0,
         transform(col("op.parameters_xdr"), p => scvalJson(p)))
         .as("parameters_decoded"),
+      // SAC balance changes from the op's contract events
+      // (`parseAssetBalanceChangesFromContractEvents`, operation.go:1942-1998);
+      // unrecognized events drop in the parser
+      when(ty === 24 && size(col("op.sac_events")) > 0,
+        transform(sacEventsParse(col("op.sac_events")), e => struct(
+          e("from").as("from"), e("to").as("to"),
+          e("event_type").as("type"), e("amount").as("amount"),
+          e("asset_type").as("asset_type"), e("asset_code").as("asset_code"),
+          e("asset_issuer").as("asset_issuer"))))
+        .as("asset_balance_changes"),
       when(ty === 25, col("op.extend_to")).as("extend_to"),
       // ---- trade summary (kept from the narrow struct)
       when(size(col("op.claim_atoms")) > 0, size(col("op.claim_atoms")))

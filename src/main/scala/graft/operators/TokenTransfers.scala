@@ -144,6 +144,16 @@ object TokenTransfers {
           delta("pre_reserve_b", "post_reserve_b")))).otherwise(noEv)
     }
 
+    // SAC events from invoke-host-function ops become first-class legs with
+    // their own topics (transfer/mint/burn/clawback) — the processor's SAC
+    // branch (`token_transfer.go` + stellar/go EventsProcessor)
+    val sacLegs = transform(sacEventsParse(col("op.sac_events")), e =>
+      ev(e("event_type"), e("from"), e("to"),
+        when(e("asset_type") === "native", lit("native"))
+          .otherwise(concat_ws(":", e("asset_type"), e("asset_code"),
+            e("asset_issuer"))),
+        e("amount").cast("long")))
+
     val eventsArr =
       when(ty === 0, createAccount)
         .when(ty === 1, payment)
@@ -156,6 +166,7 @@ object TokenTransfers {
         .when(ty === 20, clawbackCb)
         .when(ty === 22, lpLegs(deposit = true))
         .when(ty === 23, lpLegs(deposit = false))
+        .when(ty === 24, sacLegs)
         .otherwise(noEv)
 
     val transfers = ops
@@ -210,6 +221,8 @@ object TokenTransfers {
             size(col("op.claim_atoms")) * 2 + 1)
           .when(col("op.op_type").isin(3, 4, 12), size(col("op.claim_atoms")) * 2)
           .when(col("op.op_type").isin(22, 23), lit(2))
+          .when(col("op.op_type") === 24,
+            size(sacEventsParse(col("op.sac_events"))))
           .when(col("op.op_type").isin(0, 1, 8, 14, 15, 19, 20), lit(1))
           .otherwise(lit(0)).cast("long").as("expected"))
       .where(col("expected") > 0)

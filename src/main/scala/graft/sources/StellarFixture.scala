@@ -173,7 +173,28 @@ object StellarFixture {
               keyOf(s"contract-$l-$t-$o"))),
             graft.codec.ScVal.encode(graft.codec.ScVal.Sym("transfer")),
             graft.codec.ScVal.encode(graft.codec.ScVal.U64(100L + o)))
-          else Seq.empty)
+          else Seq.empty,
+          // SAC events in the meta: a transfer + a burn, plus one junk event
+          // the parser must skip (`NewStellarAssetContractEvent` err branch)
+          sac_events = if (fn == "invoke_contract") {
+            import graft.codec.ScVal._
+            val cid = keyOf(s"contract-$l-$t-$o")
+            Seq(
+              SacEventRaw(cid,
+                Seq(encode(Sym("transfer")),
+                  encode(AddrAccount(keyOf(s"acct-$l-$t"))),
+                  encode(AddrContract(cid)),
+                  encode(Str(s"TK$o:ISS${o % 3}"))),
+                encode(I128(0L, 5000000L + o))),
+              SacEventRaw(cid,
+                Seq(encode(Sym("burn")),
+                  encode(AddrAccount(keyOf(s"acct-$l-$t"))),
+                  encode(Str("native"))),
+                encode(I128(0L, 700000L + o))),
+              SacEventRaw(cid,
+                Seq(encode(Sym("custom_event")), encode(U32(1))),
+                encode(Sym("not_an_amount"))))
+          } else Seq.empty)
       case 25 => base.copy(extend_to = Some(10000L + o))
       case _ => base // 1/9/17/19/26 carry no extra envelope payload here
     }

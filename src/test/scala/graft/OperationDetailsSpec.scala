@@ -251,12 +251,19 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p0 = GraftTestB64.b64(ScVal.encode(ScVal.AddrContract(cidKey)))
     val p1 = GraftTestB64.b64(ScVal.encode(ScVal.Sym("transfer")))
     val p2 = GraftTestB64.b64(ScVal.encode(ScVal.U64(100L)))
+    val acct = Strkey.encodeAccountId(keyOf(s"acct-$l-2"))
     assert(d ==
       s"""{"function":"HostFunctionTypeHostFunctionTypeInvokeContract",""" +
       s""""type":"invoke_contract","contract_id":"$cid",""" +
       s""""parameters":["$p0","$p1","$p2"],""" +
       s""""parameters_decoded":["{\\"address\\":\\"$cid\\"}",""" +
-      s""""{\\"symbol\\":\\"transfer\\"}","{\\"u64\\":\\"100\\"}"]}""")
+      s""""{\\"symbol\\":\\"transfer\\"}","{\\"u64\\":\\"100\\"}"],""" +
+      // SAC balance changes: the junk third event is dropped by the parser
+      s""""asset_balance_changes":[{"from":"$acct","to":"$cid",""" +
+      s""""type":"transfer","amount":"5000000","asset_type":"credit_alphanum4",""" +
+      s""""asset_code":"TK0","asset_issuer":"ISS0"},""" +
+      s"""{"from":"$acct","type":"burn","amount":"700000",""" +
+      s""""asset_type":"native"}]}""")
   }
 
   test("extend_footprint_ttl (25)") {

@@ -37,9 +37,10 @@ class TokenTransferSpec extends AnyFunSuite with BeforeAndAfterAll {
       val asset = r.getAs[String]("asset")
       assert(asset == "native" || asset.matches("credit_alphanum4:[A-Z]+\\d+:ISS?\\d+"),
         asset)
-      // counterparties are accounts (G), pools (L) or claimable balances (B)
-      assert(r.getAs[String]("to").matches("[GLB].*"), r.getAs[String]("to"))
-      assert(r.getAs[String]("from").matches("[GLB].*"), r.getAs[String]("from"))
+      // counterparties: accounts (G), pools (L), claimable balances (B),
+      // or contracts (C) for SAC event legs
+      assert(r.getAs[String]("to").matches("[GLBC].*"), r.getAs[String]("to"))
+      assert(r.getAs[String]("from").matches("[GLBC].*"), r.getAs[String]("from"))
     }
     assert(transfers.exists(_.getAs[String]("to_muxed_id") != null))
   }
@@ -64,6 +65,7 @@ class TokenTransferSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 3 | 4 | 12 => assert(n == 2 || n == 4, s"op $t: $n legs")
         case 2 | 13 => assert(n == 3 || n == 5, s"op $t: $n legs")
         case 22 | 23 => assert(n == 2, s"op $t: $n legs")
+        case 24 => assert(n == 2, s"op $t: $n legs") // junk event dropped
         case _ => assert(n == 1, s"op $t: $n legs")
       }
     }
@@ -77,9 +79,14 @@ class TokenTransferSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("payments to the issuer classify as burns; clawbacks as clawback") {
     assert(events.where(col("event_topic") === "burn").count() > 0)
     assert(events.where(col("event_topic") === "clawback").count() > 0)
-    // burns are never native (issuer key only defined for credit assets)
+    // payment-derived burns are never native (issuer keys only exist for
+    // credit assets); SAC event legs may burn native
+    val ops = graft.operators.StellarTransforms.historyOperations(fixture)
+      .select(col("id").as("operation_id"), col("type").as("op_type"))
     assert(events.where(col("event_topic") === "burn" &&
-      col("asset") === "native").count() == 0)
+        col("asset") === "native")
+      .join(ops, "operation_id")
+      .where(col("op_type") =!= 24).count() == 0)
   }
 
   test("VerifyEvents: fee events reconcile with envelope fees") {

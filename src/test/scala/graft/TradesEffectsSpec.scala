@@ -147,6 +147,8 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 20 => assert(types == Seq(2, 80), s"clawback_cb: $types")
         case 22 => assert(types == Seq(90), s"lp_deposit: $types")
         case 23 => assert(types == Seq(91), s"lp_withdraw: $types")
+        case 24 => // invoke: transfer → debited(G)+credited(C); burn → debited(G)
+          assert(types == Seq(3, 3, 96), s"invoke: $types")
         case 25 => assert(types == Seq(98), s"extend_ttl: $types")
         case 26 => assert(types == Seq(99), s"restore: $types")
         case other => fail(s"unexpected effects $types for op type $other")
@@ -184,6 +186,7 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 50 | 52 | 80 => assert(node.has("balance_id"))
         case 51 => assert(node.has("predicate") &&
           !node.get("predicate").isTextual) // nested JSON, not a string
+        case 96 | 97 => assert(node.has("amount") && node.has("asset_type"))
         case 90 => assert(node.has("liquidity_pool") &&
           node.get("liquidity_pool").has("reserves") &&
           node.has("reserves_deposited") && node.has("shares_received"))
