@@ -1030,14 +1030,29 @@ object QueryCatalog {
           .orderBy("account_id", "asset", "balance", "buying_liabilities")),
 
     Q("p11_liquidity_pools",
-      Some("""SELECT sha256(p_name) AS pool_id, 'constant_product' AS pool_type,
-             |       CAST(30 AS BIGINT) AS fee_bps, p_retailprice AS reserve_a,
-             |       CAST(p_size AS DOUBLE) AS reserve_b, p_partkey AS total_shares,
-             |       p_retailprice / p_size AS spot_price
-             |FROM part ORDER BY pool_id, total_shares""".stripMargin),
+      // farmhash asset ids and the strkey L-address have no SQL analog —
+      // dropped from the compare (CodecSpec pins those codecs); everything
+      // else at PoolOutput width is re-derived
+      Some("""WITH p AS (SELECT *, CAST(p_partkey AS BIGINT) AS k FROM part)
+             |SELECT sha256(p_name) AS liquidity_pool_id,
+             |       'constant_product' AS type, CAST(30 AS BIGINT) AS fee,
+             |       k % 50 + 1 AS trustline_count,
+             |       CAST(k * 10000001 AS DOUBLE) / 10000000 AS pool_share_count,
+             |       'native' AS asset_a_type,
+             |       CAST(NULL AS VARCHAR) AS asset_a_code,
+             |       CAST(NULL AS VARCHAR) AS asset_a_issuer,
+             |       CAST(5000000000 + k AS DOUBLE) / 10000000 AS asset_a_amount,
+             |       'credit_alphanum4' AS asset_b_type,
+             |       'TK' || (k % 50) AS asset_b_code,
+             |       'ISS' || (k % 3) AS asset_b_issuer,
+             |       CAST(2500000000 + k AS DOUBLE) / 10000000 AS asset_b_amount,
+             |       k AS last_modified_ledger, k % 3 AS ledger_entry_change,
+             |       k % 7 = 6 AS deleted, k + 100 AS ledger_sequence
+             |FROM p ORDER BY liquidity_pool_id""".stripMargin),
       (s, dir) =>
         EntryProjections.liquidityPools(T(s, dir, "part"))
-          .orderBy("pool_id", "total_shares")),
+          .drop("asset_a_id", "asset_b_id", "liquidity_pool_id_strkey")
+          .orderBy("liquidity_pool_id")),
 
     Q("p12_claimable_balances",
       // the recursive predicate JSON is re-derived in SQL per shape — an
@@ -1144,14 +1159,24 @@ object QueryCatalog {
       }),
 
     Q("p14_contract_code",
-      Some("""SELECT sha256('wasm|' || p_name) AS code_hash,
-             |       CAST(p_size * 100 AS BIGINT) AS n_instructions,
-             |       CAST(p_size % 20 AS BIGINT) AS n_functions,
-             |       CAST(p_size * 7 AS BIGINT) AS n_data_segment_bytes
-             |FROM part ORDER BY code_hash, n_instructions""".stripMargin),
+      Some("""WITH p AS (SELECT *, CAST(p_partkey AS BIGINT) AS k,
+             |                  CAST(p_size AS BIGINT) AS s FROM part)
+             |SELECT sha256('wasm|' || p_name) AS contract_code_hash,
+             |       k % 2 AS contract_code_ext_v,
+             |       k AS last_modified_ledger, k % 3 AS ledger_entry_change,
+             |       k % 7 = 6 AS deleted, k + 100 AS ledger_sequence,
+             |       sha256('ck|' || p_name) AS ledger_key_hash,
+             |       s * 100 AS n_instructions, s % 20 AS n_functions,
+             |       s % 9 AS n_globals, s % 5 AS n_table_entries,
+             |       s % 11 + 1 AS n_types, s % 4 AS n_data_segments,
+             |       s % 3 AS n_elem_segments, s % 13 AS n_imports,
+             |       s % 17 + 1 AS n_exports, s * 7 AS n_data_segment_bytes,
+             |       to_base64(from_hex(sha256('ck|' || p_name)))
+             |         AS ledger_key_hash_base_64
+             |FROM p ORDER BY contract_code_hash""".stripMargin),
       (s, dir) =>
         EntryProjections.contractCode(T(s, dir, "part"))
-          .orderBy("code_hash", "n_instructions")),
+          .orderBy("contract_code_hash")),
 
     Q("p15_config_settings",
       // arrays (cost params, size window) compare as their JSON rendering;

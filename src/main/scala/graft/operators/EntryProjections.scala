@@ -40,18 +40,40 @@ object EntryProjections {
         .as("ledger_key_b64"),
       col("successful").as("authorized"))
 
-  /** P11 — liquidity pools: constant-product params, reserves, shares
-    * (`liquidity_pool.go:13-90`). */
-  def liquidityPools(parts: DataFrame): DataFrame =
+  /** P11 — liquidity pools at the reference's full `PoolOutput` width
+    * (`schema.go:198-220`, `liquidity_pool.go:13-90`): constant-product
+    * params, per-asset type/code/issuer/amount/farmhash-id, trustline and
+    * share counts, change metadata, strkey L-address. */
+  def liquidityPools(parts: DataFrame): DataFrame = {
+    val k = col("p_partkey").cast("long")
+    val poolIdHex = sha2(col("p_name"), 256)
+    val bCode = concat(lit("TK"), (k % 50).cast("string"))
+    val bIssuer = concat(lit("ISS"), (k % 3).cast("string"))
     parts.select(
-      sha2(col("p_name"), 256).as("pool_id"),
-      lit("constant_product").as("pool_type"),
-      lit(30L).as("fee_bps"),
-      col("p_retailprice").as("reserve_a"),
-      col("p_size").cast("double").as("reserve_b"),
-      col("p_partkey").as("total_shares"),
-      GraftFunctions.priceRatio(col("p_retailprice"), col("p_size"))
-        .as("spot_price"))
+      poolIdHex.as("liquidity_pool_id"),
+      lit("constant_product").as("type"),
+      lit(30L).as("fee"),
+      (k % 50 + 1).as("trustline_count"),
+      GraftFunctions.stroopsToXlm(k * 10000001).as("pool_share_count"),
+      lit("native").as("asset_a_type"),
+      lit(null).cast("string").as("asset_a_code"),
+      lit(null).cast("string").as("asset_a_issuer"),
+      GraftFunctions.stroopsToXlm(lit(5000000000L) + k).as("asset_a_amount"),
+      GraftFunctions.farmHashAssetId(lit(""), lit(""), lit("native"))
+        .as("asset_a_id"),
+      lit("credit_alphanum4").as("asset_b_type"),
+      bCode.as("asset_b_code"),
+      bIssuer.as("asset_b_issuer"),
+      GraftFunctions.stroopsToXlm(lit(2500000000L) + k).as("asset_b_amount"),
+      GraftFunctions.farmHashAssetId(bCode, bIssuer, lit("credit_alphanum4"))
+        .as("asset_b_id"),
+      k.as("last_modified_ledger"),
+      (k % 3).as("ledger_entry_change"),
+      (k % 7 === 6).as("deleted"),
+      (k + 100).as("ledger_sequence"),
+      GraftFunctions.strkeyPool(unhex(poolIdHex))
+        .as("liquidity_pool_id_strkey"))
+  }
 
   /** P12/L3 — claimable balances at claimant grain (array-of-claimants
     * exploded; predicate serialized as JSON; claimants ordered by
@@ -87,13 +109,34 @@ object EntryProjections {
       GraftFunctions.scvalJson(scval).as("val_decoded"))
   }
 
-  /** P14 — contract code wasm cost inputs (`contract_code.go:12-101`). */
-  def contractCode(parts: DataFrame): DataFrame =
+  /** P14 — contract code at the reference's `ContractCodeOutput` width
+    * (`schema.go:534-556`, `contract_code.go:12-101`): hash, ext version,
+    * the ten wasm cost stats, change metadata, ledger key hash hex+base64. */
+  def contractCode(parts: DataFrame): DataFrame = {
+    val k = col("p_partkey").cast("long")
+    val s = col("p_size").cast("long")
+    val keyHashHex = sha2(concat(lit("ck|"), col("p_name")), 256)
     parts.select(
-      sha2(concat(lit("wasm|"), col("p_name")), 256).as("code_hash"),
-      (col("p_size") * 100).cast("long").as("n_instructions"),
-      pmod(col("p_size"), lit(20)).cast("long").as("n_functions"),
-      (col("p_size") * 7).cast("long").as("n_data_segment_bytes"))
+      sha2(concat(lit("wasm|"), col("p_name")), 256).as("contract_code_hash"),
+      (k % 2).as("contract_code_ext_v"),
+      k.as("last_modified_ledger"),
+      (k % 3).as("ledger_entry_change"),
+      (k % 7 === 6).as("deleted"),
+      (k + 100).as("ledger_sequence"),
+      keyHashHex.as("ledger_key_hash"),
+      (s * 100).as("n_instructions"),
+      pmod(s, lit(20)).as("n_functions"),
+      (s % 9).as("n_globals"),
+      (s % 5).as("n_table_entries"),
+      (s % 11 + 1).as("n_types"),
+      (s % 4).as("n_data_segments"),
+      (s % 3).as("n_elem_segments"),
+      (s % 13).as("n_imports"),
+      (s % 17 + 1).as("n_exports"),
+      (s * 7).as("n_data_segment_bytes"),
+      GraftFunctions.base64NoWrap(unhex(keyHashHex))
+        .as("ledger_key_hash_base_64"))
+  }
 
   /** P15 — config settings: the full ~45-scalar projection across the 13
     * config union arms (`config_setting.go:13-163`): contract size, compute,
