@@ -134,7 +134,10 @@ object LedgerModel {
       soroban_contract_id: Option[Array[Byte]] = None,
       parameters_xdr: Seq[Array[Byte]] = Seq.empty, // ScVal binaries
       extend_to: Option[Long] = None,
-      sac_events: Seq[SacEventRaw] = Seq.empty)
+      sac_events: Seq[SacEventRaw] = Seq.empty,
+      // create-contract id preimage (`operation.go:2275-2295`)
+      preimage_from_address_key: Option[Array[Byte]] = None,
+      preimage_from_asset: Option[AssetRef] = None)
 
   /** Fee-account balance change from fee meta / TxChangesAfter — the J4
     * lookup source (`transaction.go:277-305`). */

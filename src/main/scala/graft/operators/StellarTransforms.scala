@@ -246,7 +246,13 @@ object StellarTransforms {
       when(ty === 0, stroopsToXlm(col("op.starting_balance_stroops")))
         .as("starting_balance"),
       when(isPayment, sourceAddr)
-        .when(ty === 19, destAddr).as("from"), // clawback: From account
+        .when(ty === 19, destAddr) // clawback: From account
+        // create-contract preimage tag (`operation.go:2285,2288`)
+        .when(ty === 24 && col("op.preimage_from_address_key").isNotNull,
+          lit("address"))
+        .when(ty === 24 && col("op.preimage_from_asset").isNotNull,
+          lit("asset"))
+        .as("from"),
       when(isPayment, destAddr).as("to"),
       when(isPayment && col("op.source_key").isNull &&
           col("tx.source_muxed_id").isNotNull,
@@ -363,7 +369,9 @@ object StellarTransforms {
         base64NoWrap(col("op.data_value"))).as("value"),
       when(ty === 11, col("op.bump_to").cast("string")).as("bump_to"),
       // ---- claimable balances (14 create / 15 claim / 20 clawback)
-      when(ty === 14, assetCanon(col("op.cb_asset"))).as("asset"),
+      when(ty === 14, assetCanon(col("op.cb_asset")))
+        .when(ty === 24 && col("op.preimage_from_asset").isNotNull,
+          assetCanon(col("op.preimage_from_asset"))).as("asset"),
       when(ty === 14, transform(col("op.claimants"), c => struct(
         strkeyAccount(c("destination_key")).as("destination"),
         claimPredicateJson(c("predicate_xdr")).as("predicate")))).as("claimants"),
@@ -454,6 +462,12 @@ object StellarTransforms {
           e("asset_issuer").as("asset_issuer"))))
         .as("asset_balance_changes"),
       when(ty === 25, col("op.extend_to")).as("extend_to"),
+      // create-contract id preimage payload (`switchContractIdPreimageType`,
+      // operation.go:2275-2295); the "from" tag rides in the shared `from`
+      // field and the asset in the shared `asset` field, as in the
+      // reference's per-type map
+      when(ty === 24 && col("op.preimage_from_address_key").isNotNull,
+        strkeyAccount(col("op.preimage_from_address_key"))).as("address"),
       // ---- trade summary (kept from the narrow struct)
       when(size(col("op.claim_atoms")) > 0, size(col("op.claim_atoms")))
         .as("n_claim_atoms"),

@@ -168,6 +168,12 @@ object StellarFixture {
           host_fn_type = Some(fn),
           soroban_contract_id =
             if (fn != "upload_wasm") Some(keyOf(s"contract-$l-$t-$o")) else None,
+          preimage_from_address_key =
+            if (fn == "create_contract") Some(keyOf(s"deployer-$l-$t-$o")) else None,
+          preimage_from_asset =
+            if (fn == "create_contract_v2")
+              Some(AssetRef("credit_alphanum4", s"WR$o", s"ISS${o % 3}"))
+            else None,
           parameters_xdr = if (fn == "invoke_contract") Seq(
             graft.codec.ScVal.encode(graft.codec.ScVal.AddrContract(
               keyOf(s"contract-$l-$t-$o"))),

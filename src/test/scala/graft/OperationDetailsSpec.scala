@@ -231,11 +231,14 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("invoke_host_function (24): create_contract arm at o=1") {
     val l = ledgerFor(24)
-    // o=1 → fn = create_contract: contract id, no parameters
+    // o=1 → fn = create_contract: contract id + from-address preimage
     val cid = Strkey.encodeContract(keyOf(s"contract-$l-1-1"))
+    val deployer = g(s"deployer-$l-1-1")
     assert(detailsAt(l, 1, 1) ==
-      s"""{"function":"HostFunctionTypeHostFunctionTypeCreateContract",""" +
-      s""""type":"create_contract","contract_id":"$cid"}""")
+      s"""{"from":"address",""" +
+      s""""function":"HostFunctionTypeHostFunctionTypeCreateContract",""" +
+      s""""type":"create_contract","contract_id":"$cid",""" +
+      s""""address":"$deployer"}""")
   }
 
   test("invoke_host_function (24): invoke arm carries ScVal parameters") {
