@@ -286,10 +286,20 @@ object StellarFixture {
       bucket_list_size = 20_000_000_000L + seq,
       transactions = (0 until ((seq % 5) + 1).toInt).map(t => tx(seq, t)))
 
-  def ledgers(spark: SparkSession, start: Long, end: Long): Dataset[LedgerRow] = {
-    import spark.implicits._
-    spark.createDataset((start to end).map(ledger))
-  }
+  /** Session-scoped decode-once memo, same architecture as
+    * `LedgerFixtures.ledgers`: building a ledger row is pure CPU (sha-256
+    * key material, XDR encoding of predicates/events) and the driver would
+    * otherwise re-serialize the whole range for every action of every
+    * query; the first caller persists, later actions reuse cached blocks. */
+  private val ledgerCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Long, Long), Dataset[LedgerRow]]()
+
+  def ledgers(spark: SparkSession, start: Long, end: Long): Dataset[LedgerRow] =
+    ledgerCache.computeIfAbsent((spark, start, end), _ => {
+      import spark.implicits._
+      spark.createDataset((start to end).map(ledger))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   // ---- change-grain fixture -------------------------------------------------
 
