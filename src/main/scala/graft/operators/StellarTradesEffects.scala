@@ -372,8 +372,10 @@ object StellarTradesEffects {
         obj(kv("amount", cbAmt) +: assetKvs(col("op.cb_asset")): _*)))
 
     // trades ---------------------------------------------------------------
-    // offer atoms: buyer + seller trade effects (`addClaimTradeEffects`);
-    // LP atoms: liquidity_pool_trade addressed to the op source
+    // offer atoms: the reference emits trade AND offer_updated/removed/
+    // created for BOTH buyer and seller per claim (`addClaimTradeEffects`,
+    // effects.go:986-1010), skipping offer_created on path payments;
+    // LP atoms: one liquidity_pool_trade addressed to the op source
     def tradeDetails(a: Column, mine: String, theirs: String,
         counterparty: Column): Column =
       obj(
@@ -383,22 +385,27 @@ object StellarTradesEffects {
         kv("sold_asset", canon(a(if (mine == "sold") "asset_sold" else "asset_bought"))),
         kv(s"bought_amount", amt(a(s"amount_${theirs}_stroops"))),
         kv("bought_asset", canon(a(if (theirs == "sold") "asset_sold" else "asset_bought"))))
-    val tradeEffects = flatten(transform(col("op.claim_atoms"), a =>
-      when(a("atom_type") === "liquidity_pool",
-        array(eff(92, sourceAddr, obj(
-          kv("liquidity_pool_id", lower(hex(a("pool_id")))),
-          kvRaw("sold", concat(lit("""{"asset":""""), canon(a("asset_sold")),
-            lit("""","amount":""""), amt(a("amount_sold_stroops")), lit(""""}"""))),
-          kvRaw("bought", concat(lit("""{"asset":""""), canon(a("asset_bought")),
-            lit("""","amount":""""), amt(a("amount_bought_stroops")), lit(""""}""")))))))
-        .otherwise(array(
-          // buyer view: bought what the atom sold
-          eff(33, sourceAddr, tradeDetails(a, "bought", "sold",
-            when(a("seller_key").isNotNull, strkeyAccount(a("seller_key"))))),
-          // seller view: sold what the atom sold
-          eff(33, when(a("seller_key").isNotNull, strkeyAccount(a("seller_key"))),
-            tradeDetails(a, "sold", "bought", sourceAddr))))))
-    val pathPaymentTrades = concat(pathPayment, tradeEffects)
+    def atomTradeEffects(isPathPayment: Boolean): Column =
+      flatten(transform(col("op.claim_atoms"), a => {
+        val sellerAddr = when(a("seller_key").isNotNull,
+          strkeyAccount(a("seller_key")))
+        // buyer view bought what the atom sold, and vice versa
+        val bd = tradeDetails(a, "bought", "sold", sellerAddr)
+        val sd = tradeDetails(a, "sold", "bought", sourceAddr)
+        val types = if (isPathPayment) Seq(33, 32, 31) else Seq(33, 32, 31, 30)
+        when(a("atom_type") === "liquidity_pool",
+          array(eff(92, sourceAddr, obj(
+            kv("liquidity_pool_id", lower(hex(a("pool_id")))),
+            kvRaw("sold", concat(lit("""{"asset":""""), canon(a("asset_sold")),
+              lit("""","amount":""""), amt(a("amount_sold_stroops")), lit(""""}"""))),
+            kvRaw("bought", concat(lit("""{"asset":""""), canon(a("asset_bought")),
+              lit("""","amount":""""), amt(a("amount_bought_stroops")), lit(""""}""")))))))
+          .otherwise(array(types.flatMap(t =>
+            Seq(eff(t, sourceAddr, bd), eff(t, sellerAddr, sd))): _*))
+      }))
+    val tradeEffects = atomTradeEffects(isPathPayment = false)
+    val pathPaymentTrades =
+      concat(pathPayment, atomTradeEffects(isPathPayment = true))
 
     // liquidity pools ------------------------------------------------------
     val lpMatches = filter(col("op.changes"), c =>

@@ -128,12 +128,18 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
       opTy match {
         case 0 => assert(types == Seq(0, 3, 10), s"create_account: $types")
         case 1 => assert(types == Seq(2, 3), s"payment: $types")
-        case 2 | 13 => // path payment: credited+debited + per-atom trades
+        case 2 | 13 => // path payment: credited+debited + per-atom trade
+          // effect families (offer_created skipped, effects.go:995-997)
           assert(types.take(2) == Seq(2, 3), s"path: $types")
-          assert(types.drop(2).forall(t => t == 33 || t == 92), s"path: $types")
+          assert(types.drop(2).forall(t => Seq(31, 32, 33, 92).contains(t)),
+            s"path: $types")
           assert(types.size >= 3, s"path: $types")
         case 3 | 4 | 12 =>
-          assert(types.nonEmpty && types.forall(_ == 33), s"offer: $types")
+          // per offer atom: trade + offer_updated/removed/created, both
+          // parties → 8 effects per atom
+          assert(types.nonEmpty && types.size % 8 == 0 &&
+            types.forall(Seq(30, 31, 32, 33).contains(_)), s"offer: $types")
+          assert(types.count(_ == 33) == types.count(_ == 30), s"offer: $types")
         case 5 => assert(types.nonEmpty &&
           types.forall(Seq(4, 5, 6, 7, 10, 11).contains(_)), s"setopts: $types")
         case 6 => assert(types == Seq(20), s"change_trust: $types")
