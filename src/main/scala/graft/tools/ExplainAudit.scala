@@ -20,19 +20,27 @@ object ExplainAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // (query, must-contain, must-NOT-contain)
     val interesting = Seq(
-      "s1_range_scan" -> Seq("PushedFilters: [IsNotNull(o_orderkey), GreaterThanOrEqual(o_orderkey", "*(1)"),
-      "a1_tpch_q1" -> Seq("partial_sum", "*(1)"),
-      "j5_equi_join_revenue" -> Seq("BroadcastHashJoin", "partial_sum"),
-      "s6_change_compaction" -> Seq("partial_max_by", "*(1)"),
-      "p1_history_ledgers" -> Seq("*(1)"),
-      "x_dedup_exact" -> Seq("partial_min_by"),
-      "x_sim_dot_topk" -> Seq("BroadcastNestedLoopJoin", "WindowGroupLimit"),
-      "p4_effects_flatmap" -> Seq("Generate posexplode")
+      ("s1_range_scan", Seq("PushedFilters: [IsNotNull(o_orderkey), GreaterThanOrEqual(o_orderkey", "*(1)"), Seq()),
+      ("a1_tpch_q1", Seq("partial_sum", "*(1)"), Seq()),
+      ("j5_equi_join_revenue", Seq("BroadcastHashJoin", "partial_sum"), Seq()),
+      ("s6_change_compaction", Seq("partial_max_by", "*(1)"), Seq()),
+      ("p1_history_ledgers", Seq("*(1)"), Seq()),
+      ("x_dedup_exact", Seq("partial_min_by"), Seq()),
+      ("x_sim_dot_topk", Seq("BroadcastNestedLoopJoin", "WindowGroupLimit"), Seq()),
+      ("p4_effects_flatmap", Seq("Generate posexplode"), Seq()),
+      // df-cut: hot grams via partial agg + broadcast, pruning intra-row —
+      // no per-gram window sort anywhere in the plan
+      ("x_jaccard_dfcut", Seq("partial_count", "BroadcastExchange", "array_except"),
+        Seq("RunningWindowFunction", "Window ")),
+      // SAC storage walk: single scan, no exchange before the project
+      ("p13_sac_storage", Seq("*(1)"), Seq("Exchange hashpartitioning")),
+      ("p15_config_settings", Seq("*(1)"), Seq("Exchange hashpartitioning"))
     )
     val byName = (QueryCatalog.all ++ QueryCatalog.entryOps).map(q => q.name -> q).toMap
     var bad = 0
-    interesting.foreach { case (name, expects) =>
+    interesting.foreach { case (name, expects, rejects) =>
       val df = byName(name).fn(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       println(s"\n======== $name ========")
@@ -42,6 +50,11 @@ object ExplainAudit {
         val ok = plan.contains(e)
         if (!ok) bad += 1
         println(s"  CHECK ${if (ok) "PASS" else "MISS"}: $e")
+      }
+      rejects.foreach { e =>
+        val ok = !plan.contains(e)
+        if (!ok) bad += 1
+        println(s"  CHECK ${if (ok) "PASS" else "MISS"}: absent $e")
       }
     }
     println(s"\nplan-property misses: $bad")
