@@ -1420,6 +1420,63 @@ object QueryCatalog {
             col("selling_amount"), col("buying_amount"))
           .orderBy("history_operation_id", "order")),
 
+    Q("stellar_effects_golden",
+      // the effect fan-out re-derived in SQL for every non-trade op type:
+      // the oracle rebuilds the per-type effect sequence (order = index)
+      // from the fixture lattice — create-account triple, set-options
+      // conditional family, CB lifecycle, merge triple, SAC invoke
+      // credit/debit — proving the generator's arrays element-for-element
+      Some("""WITH ls AS (SELECT unnest(generate_series(2000, 2059)) AS l),
+             |txs AS (SELECT l, unnest(generate_series(0, l % 5)) AS t FROM ls
+             |        WHERE true),
+             |ops AS (SELECT l, t, unnest(generate_series(0, t % 4)) AS o
+             |        FROM txs WHERE t % 3 != 0),
+             |el AS (SELECT l, t, o,
+             |        (CAST(l AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12)
+             |          | CAST(o + 1 AS BIGINT) AS op_id,
+             |        (l + t + o) % 27 AS ty,
+             |        CASE (l + t + o) % 27
+             |        WHEN 0 THEN [0, 3, 10]
+             |        WHEN 1 THEN [2, 3]
+             |        WHEN 5 THEN (CASE
+             |          WHEN o % 2 = 0 AND o % 3 != 2 THEN [4, 5, 6, 7, 10]
+             |          WHEN o % 2 = 0 THEN [4, 6, 7, 10]
+             |          WHEN o % 3 != 2 THEN [4, 5, 6]
+             |          ELSE [4, 6] END)
+             |        WHEN 6 THEN [20]
+             |        WHEN 7 THEN [26]
+             |        WHEN 21 THEN [26]
+             |        WHEN 8 THEN [3, 2, 1]
+             |        WHEN 10 THEN (CASE WHEN o % 2 = 0 THEN [40] ELSE [41] END)
+             |        WHEN 11 THEN [43]
+             |        WHEN 14 THEN [50, 51, 51, 3]
+             |        WHEN 15 THEN [52, 2]
+             |        WHEN 19 THEN [2, 3]
+             |        WHEN 20 THEN [80, 2]
+             |        WHEN 22 THEN [90]
+             |        WHEN 23 THEN [91]
+             |        WHEN 24 THEN (CASE WHEN o % 4 = 0 THEN [3, 96, 3]
+             |                      ELSE CAST([] AS INTEGER[]) END)
+             |        WHEN 25 THEN [98]
+             |        WHEN 26 THEN [99]
+             |        ELSE CAST([] AS INTEGER[]) END AS effs
+             |      FROM ops
+             |      WHERE (l + t + o) % 27 NOT IN (2, 3, 4, 12, 13))
+             |SELECT op_id AS operation_id,
+             |       generate_subscripts(effs, 1) AS "index",
+             |       unnest(effs) AS type
+             |FROM el WHERE len(effs) > 0
+             |ORDER BY operation_id, "index"""".stripMargin),
+      (s, dir) =>
+        StellarTradesEffects.historyEffects(
+            graft.sources.StellarFixture.ledgers(s, 2000, 2059))
+          .join(StellarTransforms.historyOperations(
+              graft.sources.StellarFixture.ledgers(s, 2000, 2059))
+            .where(!col("type").isin(2, 3, 4, 12, 13))
+            .select(col("id").as("operation_id")), "operation_id")
+          .select(col("operation_id"), col("index"), col("type"))
+          .orderBy("operation_id", "index")),
+
     Q("stellar_trades_effects", None, // strkey/farmhash model: rows-only check
       (s, dir) => {
         // REAL P4+P5 over the decoded model: pre-state price reverse scan,
