@@ -1491,6 +1491,74 @@ object QueryCatalog {
         t.unionAll(e).orderBy("id", "grain", "n")
       }),
 
+    Q("stellar_transfers_golden",
+      // the token-transfer event stream re-derived in SQL: fee events for
+      // every tx (raw charged fee — the P20 fee-bump recompute is a
+      // history_transactions output rule, not a processor one), per-atom
+      // swap legs,
+      // path-payment delivery legs, issuer-aware burn classification for
+      // odd-o payments on even ledgers, CB/LP/merge/clawback amounts, and
+      // the SAC invoke transfer+burn pair
+      Some("""WITH ls AS (SELECT unnest(generate_series(2000, 2059)) AS l),
+             |txs AS (SELECT l, unnest(generate_series(0, l % 5)) AS t FROM ls),
+             |ops AS (SELECT l, t, unnest(generate_series(0, t % 4)) AS o,
+             |               (CAST(l AS BIGINT) << 32)
+             |                 | (CAST(t + 1 AS BIGINT) << 12) AS tx_id
+             |        FROM txs WHERE t % 3 != 0),
+             |op2 AS (SELECT *, tx_id | CAST(o + 1 AS BIGINT) AS op_id,
+             |               (l + t + o) % 27 AS ty,
+             |               1000000 * (o + 1) + t AS amt FROM ops),
+             |atoms AS (SELECT *, unnest(generate_series(0, o % 2)) AS a
+             |          FROM op2 WHERE ty IN (2, 3, 4, 12, 13)),
+             |legs AS (
+             |  SELECT op_id AS id, 'transfer' AS event_topic,
+             |         2000000 * (a + 1) AS amount FROM atoms
+             |  UNION ALL
+             |  SELECT op_id, 'transfer', 1500000 * (a + 1) FROM atoms
+             |  UNION ALL
+             |  SELECT op_id, 'transfer', amt FROM op2 WHERE ty IN (2, 13)
+             |  UNION ALL
+             |  SELECT op_id, 'transfer', 25000000 + o * 10000000
+             |  FROM op2 WHERE ty = 0
+             |  UNION ALL
+             |  SELECT op_id,
+             |         CASE WHEN o % 2 = 1 AND l % 2 = 0 THEN 'burn'
+             |              ELSE 'transfer' END, amt FROM op2 WHERE ty = 1
+             |  UNION ALL
+             |  SELECT op_id, 'transfer', amt FROM op2 WHERE ty = 8
+             |  UNION ALL
+             |  SELECT op_id, 'transfer', 30000000 * (o + 1) FROM op2 WHERE ty = 14
+             |  UNION ALL
+             |  SELECT op_id, 'transfer', 20000000 * (o + 1) FROM op2 WHERE ty = 15
+             |  UNION ALL
+             |  SELECT op_id, 'clawback', amt FROM op2 WHERE ty = 19
+             |  UNION ALL
+             |  SELECT op_id, 'clawback', 20000000 * (o + 1) FROM op2 WHERE ty = 20
+             |  UNION ALL
+             |  SELECT op_id, 'transfer', 30000000 + o FROM op2 WHERE ty IN (22, 23)
+             |  UNION ALL
+             |  SELECT op_id, 'transfer', 15000000 + o FROM op2 WHERE ty IN (22, 23)
+             |  UNION ALL
+             |  SELECT op_id, 'transfer', 5000000 + o
+             |  FROM op2 WHERE ty = 24 AND o % 4 = 0
+             |  UNION ALL
+             |  SELECT op_id, 'burn', 700000 + o
+             |  FROM op2 WHERE ty = 24 AND o % 4 = 0
+             |  UNION ALL
+             |  SELECT (CAST(l AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12),
+             |         'fee', 100 * (t + 1)
+             |  FROM txs)
+             |SELECT id, event_topic, CAST(amount AS VARCHAR) AS amount
+             |FROM legs ORDER BY id, event_topic, amount""".stripMargin),
+      (s, dir) => {
+        val events = TokenTransfers.fromLedgers(
+          graft.sources.StellarFixture.ledgers(s, 2000, 2059))
+        events.select(
+            coalesce(col("operation_id"), col("transaction_id")).as("id"),
+            col("event_topic"), col("amount"))
+          .orderBy("id", "event_topic", "amount")
+      }),
+
     Q("stellar_token_transfers", None, // strkey model: rows-only check
       (s, dir) => {
         val ledgers = graft.sources.StellarFixture.ledgers(s, 3000, 3099)
