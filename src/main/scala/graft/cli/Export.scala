@@ -138,7 +138,9 @@ object Export {
         val src = a.input match {
           case Some(_) => ledgerSource(spark, a)
           case None => ledgerSource(spark,
-            a.copy(end = if (a.end > 0) a.end else 5000L))
+            // anchor the default window at --start so a bare high start
+            // still yields a non-empty generated range
+            a.copy(end = if (a.end > 0) a.end else a.start + 5000L))
         }
         val ledgers = StellarTransforms.historyLedgers(src)
         val r = ledgers

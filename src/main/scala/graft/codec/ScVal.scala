@@ -22,6 +22,8 @@ object ScVal {
   sealed trait V
   case class B(v: Boolean) extends V
   case object Void extends V
+  /** SCError: contract errors carry a uint32 code, host errors an enum. */
+  case class Err(errType: Int, code: Int) extends V
   case class U32(v: Int) extends V
   case class I32(v: Int) extends V
   case class U64(v: Long) extends V
@@ -30,6 +32,8 @@ object ScVal {
   case class Duration(v: Long) extends V
   case class U128(hi: Long, lo: Long) extends V
   case class I128(hi: Long, lo: Long) extends V
+  case class U256(hiHi: Long, hiLo: Long, loHi: Long, loLo: Long) extends V
+  case class I256(hiHi: Long, hiLo: Long, loHi: Long, loLo: Long) extends V
   case class Bytes(v: Array[Byte]) extends V
   case class Str(v: String) extends V
   case class Sym(v: String) extends V
@@ -44,15 +48,20 @@ object ScVal {
       storage: Seq[(V, V)]) extends V
   /** SCV_LEDGER_KEY_CONTRACT_INSTANCE (key singleton, no payload). */
   case object LedgerKeyContractInstance extends V
+  /** SCV_LEDGER_KEY_NONCE: SCNonceKey { int64 nonce }. */
+  case class LedgerKeyNonce(nonce: Long) extends V
 
   // SCValType discriminants (`Stellar-contract.x` enum SCValType)
-  private val TBool = 0; private val TVoid = 1; private val TU32 = 3
+  private val TBool = 0; private val TVoid = 1; private val TError = 2
+  private val TU32 = 3
   private val TI32 = 4; private val TU64 = 5; private val TI64 = 6
   private val TTimepoint = 7; private val TDuration = 8
   private val TU128 = 9; private val TI128 = 10
+  private val TU256 = 11; private val TI256 = 12
   private val TBytes = 13; private val TString = 14; private val TSymbol = 15
   private val TVec = 16; private val TMap = 17; private val TAddress = 18
   private val TContractInstance = 19; private val TLedgerKeyInstance = 20
+  private val TLedgerKeyNonce = 21
 
   // ---- XDR encode ----------------------------------------------------------
 
@@ -74,6 +83,7 @@ object ScVal {
   private def write(out: DataOutputStream, v: V): Unit = v match {
     case B(b) => out.writeInt(TBool); out.writeInt(if (b) 1 else 0)
     case Void => out.writeInt(TVoid)
+    case Err(t, c) => out.writeInt(TError); out.writeInt(t); out.writeInt(c)
     case U32(x) => out.writeInt(TU32); out.writeInt(x)
     case I32(x) => out.writeInt(TI32); out.writeInt(x)
     case U64(x) => out.writeInt(TU64); out.writeLong(x)
@@ -82,6 +92,10 @@ object ScVal {
     case Duration(x) => out.writeInt(TDuration); out.writeLong(x)
     case U128(hi, lo) => out.writeInt(TU128); out.writeLong(hi); out.writeLong(lo)
     case I128(hi, lo) => out.writeInt(TI128); out.writeLong(hi); out.writeLong(lo)
+    case U256(a, b, c, d) => out.writeInt(TU256)
+      out.writeLong(a); out.writeLong(b); out.writeLong(c); out.writeLong(d)
+    case I256(a, b, c, d) => out.writeInt(TI256)
+      out.writeLong(a); out.writeLong(b); out.writeLong(c); out.writeLong(d)
     case Bytes(b) => out.writeInt(TBytes); writeOpaque(out, b)
     case Str(s) => out.writeInt(TString); writeOpaque(out, s.getBytes("UTF-8"))
     case Sym(s) => out.writeInt(TSymbol); writeOpaque(out, s.getBytes("UTF-8"))
@@ -109,6 +123,7 @@ object ScVal {
       out.writeInt(storage.length)
       storage.foreach { case (k, v2) => write(out, k); write(out, v2) }
     case LedgerKeyContractInstance => out.writeInt(TLedgerKeyInstance)
+    case LedgerKeyNonce(n) => out.writeInt(TLedgerKeyNonce); out.writeLong(n)
   }
 
   // ---- XDR decode ----------------------------------------------------------
@@ -132,6 +147,7 @@ object ScVal {
   private def read(buf: ByteBuffer): V = buf.getInt match {
     case TBool => B(buf.getInt != 0)
     case TVoid => Void
+    case TError => { val t = buf.getInt; Err(t, buf.getInt) }
     case TU32 => U32(buf.getInt)
     case TI32 => I32(buf.getInt)
     case TU64 => U64(buf.getLong)
@@ -140,6 +156,12 @@ object ScVal {
     case TDuration => Duration(buf.getLong)
     case TU128 => { val hi = buf.getLong; U128(hi, buf.getLong) }
     case TI128 => { val hi = buf.getLong; I128(hi, buf.getLong) }
+    case TU256 =>
+      val (a, b, c) = (buf.getLong, buf.getLong, buf.getLong)
+      U256(a, b, c, buf.getLong)
+    case TI256 =>
+      val (a, b, c) = (buf.getLong, buf.getLong, buf.getLong)
+      I256(a, b, c, buf.getLong)
     case TBytes => Bytes(readOpaque(buf))
     case TString => Str(new String(readOpaque(buf), "UTF-8"))
     case TSymbol => Sym(new String(readOpaque(buf), "UTF-8"))
@@ -167,6 +189,7 @@ object ScVal {
         else Seq.fill(buf.getInt) { val k = read(buf); (k, read(buf)) }
       ContractInstance(wasmHash, storage)
     case TLedgerKeyInstance => LedgerKeyContractInstance
+    case TLedgerKeyNonce => LedgerKeyNonce(buf.getLong)
     case other => throw new IllegalArgumentException(s"SCValType $other unsupported")
   }
 
@@ -182,9 +205,24 @@ object ScVal {
     case c => c.toString
   }
 
+  private def u256String(a: Long, b: Long, c: Long, d: Long,
+      signed: Boolean): String = {
+    val m64 = (BigInt(1) << 64) - 1
+    val base = BigInt(1) << 64
+    val hi = if (signed) BigInt(a) else BigInt(a) & m64
+    // arithmetic (not bitwise) accumulation so negative hi words carry sign
+    (((hi * base + (BigInt(b) & m64)) * base + (BigInt(c) & m64)) * base +
+      (BigInt(d) & m64)).toString
+  }
+
   def toJson(v: V): String = v match {
     case B(b) => s"""{"bool":$b}"""
     case Void => """{"void":null}"""
+    case Err(t, c) =>
+      s"""{"error":{"type":$t,"code":${java.lang.Integer.toUnsignedLong(c)}}}"""
+    case U256(a, b, c, d) => s"""{"u256":"${u256String(a, b, c, d, signed = false)}"}"""
+    case I256(a, b, c, d) => s"""{"i256":"${u256String(a, b, c, d, signed = true)}"}"""
+    case LedgerKeyNonce(n) => s"""{"ledger_key_nonce":"$n"}"""
     case U32(x) => s"""{"u32":${java.lang.Integer.toUnsignedLong(x)}}"""
     case I32(x) => s"""{"i32":$x}"""
     case U64(x) => s"""{"u64":"${java.lang.Long.toUnsignedString(x)}"}"""

@@ -208,12 +208,29 @@ object GraftFunctions {
     * call per op row over the whole array — no per-event lambda UDF. */
   val sacEventsParse =
     udf((events: Seq[graft.model.LedgerModel.SacEventRaw]) =>
-      events.flatMap(e => graft.codec.SacEvents.parse(e.topics_xdr, e.data_xdr))
+      Option(events).getOrElse(Seq.empty) // null column (schema evolution) → no events
+        .flatMap(e => graft.codec.SacEvents.parse(e.topics_xdr, e.data_xdr))
         .map(e => SacEventOut(e.eventType, e.from.orNull, e.to.orNull,
           e.assetType,
           if (e.assetType == "native") null else e.code,
           if (e.assetType == "native") null else e.issuer,
           e.amountString)))
+
+  /** Last liquidity-pool change for a pool in an op's change list — the
+    * shared pre/post product-delta source (`getLiquidityPoolAndProductDelta`,
+    * `operation.go:238-285`) used by details, effects and token transfers. */
+  def lastPoolChange(changes: Column, poolId: Column): Column = {
+    val ms = filter(changes, c =>
+      c("entry_type") === "liquidity_pool" && c("pool_id") === poolId)
+    get(ms, size(ms) - 1)
+  }
+
+  /** Canonical "CODE:ISSUER" / "native" string of an AssetRef struct
+    * (`asset.StringCanonical`), null-safe. */
+  def assetCodeIssuer(a: Column): Column =
+    when(a.isNull, lit(null)).otherwise(
+      when(a("asset_type") === "native", lit("native"))
+        .otherwise(concat(a("asset_code"), lit(":"), a("asset_issuer"))))
 
   /** FarmHash asset id (`asset.go:72-77`): farmhash64(code ‖ issuer ‖ type). */
   def farmHashAssetId(code: Column, issuer: Column, assetType: Column): Column =

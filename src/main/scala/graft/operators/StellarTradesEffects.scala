@@ -242,16 +242,17 @@ object StellarTradesEffects {
     // details builders: conditional keys drop out via concat_ws null-skip
     def obj(parts: Column*): Column =
       concat(lit("{"), concat_ws(",", parts: _*), lit("}"))
+    // JSON string escape for data-carried values (home domains, data names):
+    // backslash first, then quote — the two JSON-breaking characters
+    def escJson(v: Column): Column =
+      regexp_replace(regexp_replace(v, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
     def kv(k: String, v: Column): Column =
-      when(v.isNotNull, concat(lit("\"" + k + "\":\""), v, lit("\"")))
+      when(v.isNotNull, concat(lit("\"" + k + "\":\""), escJson(v), lit("\"")))
     def kvRaw(k: String, v: Column): Column =
       when(v.isNotNull, concat(lit("\"" + k + "\":"), v))
     // `amount.String`: 7-decimal fixed-point rendering of stroops
     def amt(c: Column): Column = format_string("%.7f", stroopsToXlm(c))
-    def canon(a: Column): Column =
-      when(a.isNull, lit(null)).otherwise(
-        when(a("asset_type") === "native", lit("native"))
-          .otherwise(concat(a("asset_code"), lit(":"), a("asset_issuer"))))
+    def canon(a: Column): Column = assetCodeIssuer(a)
     def assetKvs(a: Column): Seq[Column] = Seq(
       kv("asset_type", a("asset_type")),
       kv("asset_code", when(a("asset_type") =!= "native", a("asset_code"))),
@@ -296,13 +297,14 @@ object StellarTradesEffects {
       when(col("op.home_domain").isNotNull,
         eff(5, sourceAddr, obj(kv("home_domain", col("op.home_domain"))))),
       when(col("op.set_flags").isNotNull || col("op.clear_flags").isNotNull,
-        eff(6, sourceAddr, obj(
-          kvRaw("auth_required_flag",
-            when(col("op.set_flags").bitwiseAND(1) =!= 0, lit("true"))
-              .when(col("op.clear_flags").bitwiseAND(1) =!= 0, lit("false"))),
-          kvRaw("auth_revocable_flag",
-            when(col("op.set_flags").bitwiseAND(2) =!= 0, lit("true"))
-              .when(col("op.clear_flags").bitwiseAND(2) =!= 0, lit("false")))))),
+        eff(6, sourceAddr, obj(Seq(
+          1 -> "auth_required_flag", 2 -> "auth_revocable_flag",
+          4 -> "auth_immutable_flag", 8 -> "auth_clawback_enabled_flag")
+          .map { case (bit, key) => // all four arms, `effects.go:1211-1224`
+            kvRaw(key,
+              when(col("op.set_flags").bitwiseAND(bit) =!= 0, lit("true"))
+                .when(col("op.clear_flags").bitwiseAND(bit) =!= 0, lit("false")))
+          }: _*))),
       when(col("op.inflation_dest_key").isNotNull,
         eff(7, sourceAddr, obj(kv("inflation_destination",
           strkeyAccount(col("op.inflation_dest_key")))))),
@@ -408,9 +410,7 @@ object StellarTradesEffects {
       concat(pathPayment, atomTradeEffects(isPathPayment = true))
 
     // liquidity pools ------------------------------------------------------
-    val lpMatches = filter(col("op.changes"), c =>
-      c("entry_type") === "liquidity_pool" && c("pool_id") === col("op.pool_id"))
-    val lpChange = get(lpMatches, size(lpMatches) - 1)
+    val lpChange = lastPoolChange(col("op.changes"), col("op.pool_id"))
     def lpPoolDetails: Column = obj(
       kv("id", lower(hex(col("op.pool_id")))),
       kvRaw("fee_bp", lpChange("pre_pool_fee")),
@@ -462,7 +462,15 @@ object StellarTradesEffects {
           kv("asset_type", e("asset_type")),
           kv("asset_code", e("asset_code")),
           kv("asset_issuer", e("asset_issuer")))
-        val details = obj(kv("amount", e("amount")) +: assetKvsE: _*)
+        // amount.String128 scaling: decimal(38,7) holds all but the last
+        // digit of the i128 range without long overflow; 39-digit outliers
+        // keep the raw integer string rather than throwing under ANSI
+        val scaledAmt = when(length(e("amount")) <= 31,
+          (e("amount").cast("decimal(38,0)") /
+            lit(graft.codec.Amounts.StroopsPerLumen))
+            .cast("decimal(38,7)").cast("string"))
+          .otherwise(e("amount"))
+        val details = obj(kv("amount", scaledAmt) +: assetKvsE: _*)
         filter(array(
           when(e("from").isNotNull,
             sacEff(when(e("from").startsWith("C"), 97).otherwise(lit(3)),

@@ -200,21 +200,15 @@ object StellarTransforms {
         when(a("asset_type") =!= "native", a("asset_code")).as(s"${p}asset_code"),
         when(a("asset_type") =!= "native", a("asset_issuer")).as(s"${p}asset_issuer"))
     }
-    // canonical "code:issuer" / "native" string (`asset.StringCanonical`)
-    def assetCanon(a: Column): Column =
-      when(a("asset_type") === "native", lit("native"))
-        .otherwise(concat(a("asset_code"), lit(":"), a("asset_issuer")))
+    def assetCanon(a: Column): Column = GraftFunctions.assetCodeIssuer(a)
 
     val (setFlagsI, setFlagsS) = accountFlagArrays(col("op.set_flags"))
     val (clearFlagsI, clearFlagsS) = accountFlagArrays(col("op.clear_flags"))
     val (tlSetI, tlSetS) = trustlineFlagArrays(col("op.tl_set_flags"))
     val (tlClearI, tlClearS) = trustlineFlagArrays(col("op.tl_clear_flags"))
 
-    // last LP change for this op's pool: pre/post product delta source
-    // (`getLiquidityPoolAndProductDelta`, operation.go:238-285)
-    val lpMatches = filter(col("op.changes"), c =>
-      c("entry_type") === "liquidity_pool" && c("pool_id") === col("op.pool_id"))
-    val lpChange = get(lpMatches, size(lpMatches) - 1)
+    val lpChange =
+      GraftFunctions.lastPoolChange(col("op.changes"), col("op.pool_id"))
     def lpDelta(pre: String, post: String): Column =
       when(successful && lpChange.isNotNull,
         lpChange(post) - lpChange(pre)).otherwise(lit(0L))
@@ -457,7 +451,14 @@ object StellarTransforms {
       when(ty === 24 && size(col("op.sac_events")) > 0,
         transform(sacEventsParse(col("op.sac_events")), e => struct(
           e("from").as("from"), e("to").as("to"),
-          e("event_type").as("type"), e("amount").as("amount"),
+          e("event_type").as("type"),
+          // amount.String128: scaled 7-decimal string; 39-digit outliers
+          // keep the raw integer rather than throwing under ANSI
+          when(length(e("amount")) <= 31,
+            (e("amount").cast("decimal(38,0)") /
+              lit(graft.codec.Amounts.StroopsPerLumen))
+              .cast("decimal(38,7)").cast("string"))
+            .otherwise(e("amount")).as("amount"),
           e("asset_type").as("asset_type"), e("asset_code").as("asset_code"),
           e("asset_issuer").as("asset_issuer"))))
         .as("asset_balance_changes"),

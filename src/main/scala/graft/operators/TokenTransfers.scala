@@ -29,8 +29,10 @@ import graft.model.LedgerModel.LedgerRow
   * and XLM floats. [[verify]] is the `VerifyEvents` consistency check. */
 object TokenTransfers {
 
+  // amount rides as a decimal STRING: SAC event amounts are i128 and can
+  // exceed long range; classic-op longs stringify losslessly
   private val evType = "struct<event_topic:string,from:string,to:string," +
-    "asset:string,amount_stroops:bigint,to_muxed_id:string>"
+    "asset:string,amount_str:string,to_muxed_id:string>"
 
   def fromLedgers(ledgers: Dataset[LedgerRow]): DataFrame = {
     val txGrain = ledgers.select(
@@ -71,7 +73,7 @@ object TokenTransfers {
     def ev(topic: Column, from: Column, to: Column, asset: Column,
         amount: Column, toMuxed: Column = lit(null).cast("string")): Column =
       struct(topic.as("event_topic"), from.as("from"), to.as("to"),
-        asset.as("asset"), amount.cast("long").as("amount_stroops"),
+        asset.as("asset"), amount.cast("string").as("amount_str"),
         toMuxed.as("to_muxed_id"))
 
     def canonOf(a: Column): Column =
@@ -128,9 +130,7 @@ object TokenTransfers {
 
     // LP deposit/withdraw: both reserve assets move between source and pool,
     // amounts from the product delta (`getLiquidityPoolAndProductDelta`)
-    val lpMatches = filter(col("op.changes"), c =>
-      c("entry_type") === "liquidity_pool" && c("pool_id") === col("op.pool_id"))
-    val lpChange = get(lpMatches, size(lpMatches) - 1)
+    val lpChange = lastPoolChange(col("op.changes"), col("op.pool_id"))
     def lpLegs(deposit: Boolean): Column = {
       def delta(pre: String, post: String): Column =
         if (deposit) lpChange(post) - lpChange(pre)
@@ -152,7 +152,7 @@ object TokenTransfers {
         when(e("asset_type") === "native", lit("native"))
           .otherwise(concat_ws(":", e("asset_type"), e("asset_code"),
             e("asset_issuer"))),
-        e("amount").cast("long")))
+        e("amount")))
 
     val eventsArr =
       when(ty === 0, createAccount)
@@ -182,8 +182,10 @@ object TokenTransfers {
         col("e.from").as("from"),
         col("e.to").as("to"),
         col("e.asset").as("asset"),
-        col("e.amount_stroops").cast("string").as("amount"),
-        stroopsToXlm(col("e.amount_stroops")).as("amount_float"),
+        col("e.amount_str").as("amount"),
+        // float view: ok to lose precision for >2^53 amounts, but must not
+        // throw — scale via double division, not a long cast
+        (col("e.amount_str").cast("double") / 1e7).as("amount_float"),
         col("sequence").as("ledger_sequence"),
         col("closed_at"),
         col("e.to_muxed_id").as("to_muxed_id"))

@@ -212,6 +212,25 @@ class CodecSpec extends AnyFunSuite {
       """{"symbol":"transfer"}""")
   }
 
+  test("scval full arm coverage: error, u256/i256, nonce keys") {
+    import ScVal._
+    assert(hexStr(encode(Err(0, 7))) == "000000020000000000000007")
+    assert(toJson(decode(encode(Err(5, -1)))) ==
+      """{"error":{"type":5,"code":4294967295}}""")
+    assert(hexStr(encode(LedgerKeyNonce(9L))) ==
+      "000000150000000000000009")
+    assert(toJson(decode(encode(LedgerKeyNonce(-1L)))) ==
+      """{"ledger_key_nonce":"-1"}""")
+    // u256 max = 2^256 - 1; i256 of the same words is -1
+    assert(toJson(U256(-1L, -1L, -1L, -1L)) ==
+      """{"u256":"115792089237316195423570985008687907853269984665640564039457584007913129639935"}""")
+    assert(toJson(I256(-1L, -1L, -1L, -1L)) == """{"i256":"-1"}""")
+    assert(toJson(decode(encode(U256(0L, 1L, 0L, 0L)))) ==
+      s"""{"u256":"${BigInt(2).pow(128)}"}""")
+    assert(toJson(decode(encode(I256(Long.MinValue, 0L, 0L, 0L)))) ==
+      s"""{"i256":"${-BigInt(2).pow(255)}"}""")
+  }
+
   // ---- SAC storage walk ----------------------------------------------------
 
   test("sac storage walk: asset recovery with contract-id self-check") {
