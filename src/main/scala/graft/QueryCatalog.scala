@@ -1447,6 +1447,7 @@ object QueryCatalog {
              |        WHEN 7 THEN [26]
              |        WHEN 21 THEN [26]
              |        WHEN 8 THEN [3, 2, 1]
+             |        WHEN 9 THEN [2, 2]
              |        WHEN 10 THEN (CASE WHEN o % 2 = 0 THEN [40] ELSE [41] END)
              |        WHEN 11 THEN [43]
              |        WHEN 14 THEN [50, 51, 51, 3]

@@ -54,6 +54,9 @@ object LedgerModel {
     * rendered by `graft.codec.ClaimPredicate` (`schema.go:166-170`). */
   case class Claimant(destination_key: Array[Byte], predicate_xdr: Array[Byte])
 
+  /** One inflation payout from the op result (`effects.go:745-755`). */
+  case class InflationPayout(destination_key: Array[Byte], amount_stroops: Long)
+
   /** One Soroban contract event as emitted in tx meta: topics + data ride as
     * raw ScVal XDR; `graft.codec.SacEvents` recognizes the SAC shapes
     * (`operation.go:1942-1975`, `effects.go:1319-1430`). */
@@ -135,6 +138,7 @@ object LedgerModel {
       parameters_xdr: Seq[Array[Byte]] = Seq.empty, // ScVal binaries
       extend_to: Option[Long] = None,
       sac_events: Seq[SacEventRaw] = Seq.empty,
+      inflation_payouts: Seq[InflationPayout] = Seq.empty,
       // create-contract id preimage (`operation.go:2275-2295`)
       preimage_from_address_key: Option[Array[Byte]] = None,
       preimage_from_asset: Option[AssetRef] = None)

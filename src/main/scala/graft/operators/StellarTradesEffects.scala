@@ -285,6 +285,11 @@ object StellarTradesEffects {
       eff(3, sourceAddr, obj(kv("amount", amount), kv("asset_type", lit("native")))),
       eff(2, destAddr, obj(kv("amount", amount), kv("asset_type", lit("native")))),
       eff(1, sourceAddr, lit("{}")))
+    // inflation: one account_credited per result payout (`effects.go:745-755`)
+    val inflation = transform(col("op.inflation_payouts"), p =>
+      eff(2, strkeyAccount(p("destination_key")), obj(
+        kv("amount", amt(p("amount_stroops"))),
+        kv("asset_type", lit("native")))))
 
     // set_options: one effect per touched option (`effects.go:498-588`)
     val setOptions = filter(array(
@@ -489,6 +494,7 @@ object StellarTradesEffects {
         .when(ty === 6, changeTrust)
         .when(ty.isin(7, 21), tlFlagsUpdated)
         .when(ty === 8, accountMerge)
+        .when(ty === 9, inflation)
         .when(ty === 10, manageData)
         .when(ty === 11, bumpSequence)
         .when(ty === 14, createCb)

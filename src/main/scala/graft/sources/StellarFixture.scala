@@ -113,6 +113,9 @@ object StellarFixture {
         trustor_key = Some(keyOf(s"trustor-$l-$t-$o")),
         authorize_flags = Some(Seq(1, 2, 4)(o % 3)))
       case 8 => base.copy(destination_key = Some(keyOf(s"dest-$l-$t-$o")))
+      case 9 => base.copy(inflation_payouts = Seq(
+        InflationPayout(keyOf(s"infl-$l-$t-$o-0"), 8000000L + o),
+        InflationPayout(keyOf(s"infl-$l-$t-$o-1"), 16000000L + o)))
       case 10 => base.copy(
         data_name = Some(s"cfg-$o"),
         data_value = if (o % 2 == 0) Some(keyOf(s"val-$l-$t-$o").take(8)) else None)

@@ -145,6 +145,7 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 6 => assert(types == Seq(20), s"change_trust: $types")
         case 7 | 21 => assert(types == Seq(26), s"tl_flags: $types")
         case 8 => assert(types == Seq(1, 2, 3), s"merge: $types")
+        case 9 => assert(types == Seq(2, 2), s"inflation: $types")
         case 10 => assert(types == Seq(40) || types == Seq(41), s"data: $types")
         case 11 => assert(types == Seq(43), s"bump: $types")
         case 14 => assert(types == Seq(3, 50, 51, 51), s"create_cb: $types")
