@@ -1540,10 +1540,10 @@ object QueryCatalog {
              |  UNION ALL
              |  SELECT op_id, 'transfer', 15000000 + o FROM op2 WHERE ty IN (22, 23)
              |  UNION ALL
-             |  SELECT op_id, 'transfer', 5000000 + o
+             |  SELECT op_id, 'transfer', 5000001 + o
              |  FROM op2 WHERE ty = 24 AND o % 4 = 0
              |  UNION ALL
-             |  SELECT op_id, 'burn', 700000 + o
+             |  SELECT op_id, 'burn', 700003 + o
              |  FROM op2 WHERE ty = 24 AND o % 4 = 0
              |  UNION ALL
              |  SELECT (CAST(l AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12),

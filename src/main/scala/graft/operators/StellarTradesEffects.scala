@@ -469,9 +469,11 @@ object StellarTradesEffects {
           kv("asset_issuer", e("asset_issuer")))
         // amount.String128 scaling: decimal(38,7) holds all but the last
         // digit of the i128 range without long overflow; 39-digit outliers
-        // keep the raw integer string rather than throwing under ANSI
+        // keep the raw integer string rather than throwing under ANSI.
+        // Cast to (38,7) BEFORE dividing — (38,0)/(20,0) would land on
+        // (38,6) and zero the 7th decimal digit.
         val scaledAmt = when(length(e("amount")) <= 31,
-          (e("amount").cast("decimal(38,0)") /
+          (e("amount").cast("decimal(38,7)") /
             lit(graft.codec.Amounts.StroopsPerLumen))
             .cast("decimal(38,7)").cast("string"))
           .otherwise(e("amount"))

@@ -453,9 +453,12 @@ object StellarTransforms {
           e("from").as("from"), e("to").as("to"),
           e("event_type").as("type"),
           // amount.String128: scaled 7-decimal string; 39-digit outliers
-          // keep the raw integer rather than throwing under ANSI
+          // keep the raw integer rather than throwing under ANSI.
+          // Cast to (38,7) BEFORE dividing: (38,7)/(20,0) re-adjusts to
+          // (38,7) under precision-loss rules, while (38,0)/(20,0) lands
+          // on (38,6) and silently zeroes the 7th decimal digit.
           when(length(e("amount")) <= 31,
-            (e("amount").cast("decimal(38,0)") /
+            (e("amount").cast("decimal(38,7)") /
               lit(graft.codec.Amounts.StroopsPerLumen))
               .cast("decimal(38,7)").cast("string"))
             .otherwise(e("amount")).as("amount"),

@@ -194,12 +194,12 @@ object StellarFixture {
                   encode(AddrAccount(keyOf(s"acct-$l-$t"))),
                   encode(AddrContract(cid)),
                   encode(Str(s"TK$o:ISS${o % 3}"))),
-                encode(I128(0L, 5000000L + o))),
+                encode(I128(0L, 5000001L + o))),
               SacEventRaw(cid,
                 Seq(encode(Sym("burn")),
                   encode(AddrAccount(keyOf(s"acct-$l-$t"))),
                   encode(Str("native"))),
-                encode(I128(0L, 700000L + o))),
+                encode(I128(0L, 700003L + o))),
               SacEventRaw(cid,
                 Seq(encode(Sym("custom_event")), encode(U32(1))),
                 encode(Sym("not_an_amount"))))

@@ -263,9 +263,11 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s""""{\\"symbol\\":\\"transfer\\"}","{\\"u64\\":\\"100\\"}"],""" +
       // SAC balance changes: the junk third event is dropped by the parser
       s""""asset_balance_changes":[{"from":"$acct","to":"$cid",""" +
-      s""""type":"transfer","amount":"0.5000000","asset_type":"credit_alphanum4",""" +
+      // non-zero 7th decimal digit: guards the decimal(38,7)-before-divide
+      // scaling (a (38,0)/(20,0) divide would render "0.5000000")
+      s""""type":"transfer","amount":"0.5000001","asset_type":"credit_alphanum4",""" +
       s""""asset_code":"TK0","asset_issuer":"ISS0"},""" +
-      s"""{"from":"$acct","type":"burn","amount":"0.0700000",""" +
+      s"""{"from":"$acct","type":"burn","amount":"0.0700003",""" +
       s""""asset_type":"native"}]}""")
   }
 
