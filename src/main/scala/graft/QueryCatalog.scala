@@ -1443,7 +1443,9 @@ object QueryCatalog {
              |          WHEN o % 2 = 0 THEN [4, 6, 7, 10]
              |          WHEN o % 3 != 2 THEN [4, 5, 6]
              |          ELSE [4, 6] END)
-             |        WHEN 6 THEN [20]
+             |        WHEN 6 THEN (CASE WHEN (l + t) % 4 = 1 THEN [21]
+             |          WHEN o % 3 != 2 AND (l + t + o) % 2 = 1 THEN [22]
+             |          ELSE [20] END)
              |        WHEN 7 THEN [26]
              |        WHEN 21 THEN [26]
              |        WHEN 8 THEN [3, 2, 1]

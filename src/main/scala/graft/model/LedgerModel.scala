@@ -47,7 +47,13 @@ object LedgerModel {
       pre_reserve_a: Option[Long] = None, pre_reserve_b: Option[Long] = None,
       post_reserve_a: Option[Long] = None, post_reserve_b: Option[Long] = None,
       pre_total_shares: Option[Long] = None, post_total_shares: Option[Long] = None,
-      pool_asset_a: Option[AssetRef] = None, pool_asset_b: Option[AssetRef] = None)
+      pool_asset_a: Option[AssetRef] = None, pool_asset_b: Option[AssetRef] = None,
+      // trustline changes: the ledger-entry change kind (0 created / 1
+      // updated / 2 removed) and the line's asset type, which change_trust
+      // effect derivation matches against the op line
+      // (`addChangeTrustEffects`, effects.go:637-695)
+      change_kind: Option[Int] = None,
+      tl_asset_type: Option[String] = None)
 
   /** One claimable-balance claimant; the recursive predicate travels as XDR
     * bytes (Spark encoders cannot hold a recursive case class) and is

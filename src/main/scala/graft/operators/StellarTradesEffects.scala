@@ -221,10 +221,9 @@ object StellarTradesEffects {
     * id = "{opID}-{index}" (1-based). Each element carries its own subject
     * address (`addMuxed`/`addUnmuxed` target differs per effect). All
     * intra-row column algebra: the per-type arrays concat, nulls filter out,
-    * one posexplode. Missing vs the reference, by environment necessity:
-    * Soroban contract_credited/debited (needs SAC contract events the model
-    * does not carry) and change-scan sponsorship transfers (covered at
-    * change grain by [[changeEffects]]). */
+    * one posexplode. Soroban contract_credited/debited derive from the op's
+    * SAC contract events; change-scan sponsorship transfers are covered at
+    * change grain by [[changeEffects]]. */
   def historyEffects(ledgers: Dataset[LedgerRow]): DataFrame = {
     val ops = opGrain(ledgers)
     val ty = col("op.op_type")
@@ -235,9 +234,14 @@ object StellarTradesEffects {
     val effType = "struct<address:string,type:int,type_string:string,details:string>"
     val noEff = array().cast(s"array<$effType>")
 
+    val names = typedLit(EffectNames)
     def eff(t: Int, addr: Column, details: Column): Column =
       struct(addr.as("address"), lit(t).as("type"),
         lit(EffectNames(t)).as("type_string"), details.as("details"))
+    // variant for effect types only known at runtime (change-derived)
+    def effC(typeCol: Column, addr: Column, details: Column): Column =
+      struct(addr.as("address"), typeCol.as("type"),
+        element_at(names, typeCol).as("type_string"), details.as("details"))
 
     // details builders: conditional keys drop out via concat_ws null-skip
     def obj(parts: Column*): Column =
@@ -253,10 +257,12 @@ object StellarTradesEffects {
     // `amount.String`: 7-decimal fixed-point rendering of stroops
     def amt(c: Column): Column = format_string("%.7f", stroopsToXlm(c))
     def canon(a: Column): Column = assetCodeIssuer(a)
-    def assetKvs(a: Column): Seq[Column] = Seq(
-      kv("asset_type", a("asset_type")),
-      kv("asset_code", when(a("asset_type") =!= "native", a("asset_code"))),
-      kv("asset_issuer", when(a("asset_type") =!= "native", a("asset_issuer"))))
+    // `addAssetDetails` (operation.go:2001-2021): {prefix}asset_type always,
+    // code/issuer only for non-native
+    def assetKvs(a: Column, prefix: String = ""): Seq[Column] = Seq(
+      kv(prefix + "asset_type", a("asset_type")),
+      kv(prefix + "asset_code", when(a("asset_type") =!= "native", a("asset_code"))),
+      kv(prefix + "asset_issuer", when(a("asset_type") =!= "native", a("asset_issuer"))))
 
     val amount = amt(col("op.amount_stroops"))
     val opAsset = col("op.asset")
@@ -326,24 +332,39 @@ object StellarTradesEffects {
     val trustAssetKvs = assetKvs(col("op.trust_asset")) :+
       kv("liquidity_pool_id", when(col("op.trust_pool_id").isNotNull,
         lower(hex(col("op.trust_pool_id")))))
+    // created/updated/removed from the op's trustline ledger-entry change
+    // whose asset type matches the op line (`addChangeTrustEffects`,
+    // effects.go:637-695); limit-only heuristic as fallback when the model
+    // carries no change entry
+    val tlChange = {
+      val lineType = coalesce(col("op.trust_asset.asset_type"), lit("pool_share"))
+      val matches = filter(col("op.changes"), c =>
+        c("entry_type") === "trustline" && c("tl_asset_type") === lineType)
+      get(matches, size(matches) - 1)
+    }
+    val changeTrustType = when(tlChange("change_kind") === 0, 20)
+      .when(tlChange("change_kind") === 2, 21)
+      .when(tlChange("change_kind") === 1, 22)
+      .otherwise(when(col("op.trust_limit_stroops") > 0, 20).otherwise(21))
     val changeTrust = array(
-      when(col("op.trust_limit_stroops") > 0,
-        eff(20, sourceAddr, obj(
-          kv("limit", amt(col("op.trust_limit_stroops"))) +: trustAssetKvs: _*)))
-        .otherwise(eff(21, sourceAddr, obj(
-          kv("limit", lit("0.0000000")) +: trustAssetKvs: _*))))
+      effC(changeTrustType, sourceAddr, obj(
+        kv("limit", amt(col("op.trust_limit_stroops"))) +: trustAssetKvs: _*)))
+    // each flag renders true when present in set-flags and false when in
+    // clear-flags; clear wins on overlap (`setTrustLineFlagDetails` applied
+    // set-then-clear, effects.go:1124-1134)
+    val tlSetF = coalesce(col("op.authorize_flags"), col("op.tl_set_flags"), lit(0))
+    val tlClearF = coalesce(col("op.tl_clear_flags"), lit(0))
     val tlFlagsUpdated = array(
       eff(26, sourceAddr, obj(Seq(
         kv("trustor", strkeyAccount(col("op.trustor_key")))) ++
           assetKvs(col("op.trust_asset")) ++ Seq(
-          kvRaw("authorized_flag",
-            when(coalesce(col("op.authorize_flags"), col("op.tl_set_flags"))
-              .bitwiseAND(1) =!= 0, lit("true"))),
-          kvRaw("authorized_to_maintain_liabilites", // sic, `effects.go:1129`
-            when(coalesce(col("op.authorize_flags"), col("op.tl_set_flags"))
-              .bitwiseAND(2) =!= 0, lit("true"))),
-          kvRaw("clawback_enabled_flag",
-            when(col("op.tl_clear_flags").bitwiseAND(4) =!= 0, lit("false")))): _*)))
+          1 -> "authorized_flag",
+          2 -> "authorized_to_maintain_liabilites", // sic, `effects.go:1129`
+          4 -> "clawback_enabled_flag").map { case (bit, key) =>
+            kvRaw(key,
+              when(tlClearF.bitwiseAND(bit) =!= 0, lit("false"))
+                .when(tlSetF.bitwiseAND(bit) =!= 0, lit("true")))
+          }: _*)))
 
     // data / sequence ------------------------------------------------------
     val manageData = array(
@@ -385,15 +406,20 @@ object StellarTradesEffects {
     // LP atoms: one liquidity_pool_trade addressed to the op source
     def tradeDetails(a: Column, mine: String, theirs: String,
         counterparty: Column): Column =
-      obj(
+      obj(Seq(
         kv("seller", counterparty),
         kvRaw("offer_id", a("offer_id")),
-        kv(s"sold_amount", amt(a(s"amount_${mine}_stroops"))),
-        kv("sold_asset", canon(a(if (mine == "sold") "asset_sold" else "asset_bought"))),
-        kv(s"bought_amount", amt(a(s"amount_${theirs}_stroops"))),
-        kv("bought_asset", canon(a(if (theirs == "sold") "asset_sold" else "asset_bought"))))
+        kv("sold_amount", amt(a(s"amount_${mine}_stroops")))) ++
+        assetKvs(a(if (mine == "sold") "asset_sold" else "asset_bought"),
+          "sold_") ++ Seq(
+        kv("bought_amount", amt(a(s"amount_${theirs}_stroops")))) ++
+        assetKvs(a(if (theirs == "sold") "asset_sold" else "asset_bought"),
+          "bought_"): _*)
+    // atoms where both amounts are zero emit nothing
+    // (`addIngestTradeEffects`, effects.go:966-971)
     def atomTradeEffects(isPathPayment: Boolean): Column =
-      flatten(transform(col("op.claim_atoms"), a => {
+      flatten(transform(filter(col("op.claim_atoms"), a =>
+        a("amount_sold_stroops") =!= 0 || a("amount_bought_stroops") =!= 0), a => {
         val sellerAddr = when(a("seller_key").isNotNull,
           strkeyAccount(a("seller_key")))
         // buyer view bought what the atom sold, and vice versa
@@ -454,13 +480,12 @@ object StellarTradesEffects {
     val restoreFootprint = array(eff(99, sourceAddr, lit("{}")))
 
     // invoke-host-function: credit/debit effects from SAC events
-    // (`addInvokeHostFunctionEffects`, effects.go:1319-1430) — contract
-    // addresses (C…) get contract_credited/debited, accounts (G…) the
-    // account variants; mint credits only, burn/clawback debit only
-    val names = typedLit(EffectNames)
-    def sacEff(typeCol: Column, addr: Column, details: Column): Column =
-      struct(addr.as("address"), typeCol.as("type"),
-        element_at(names, typeCol).as("type_string"), details.as("details"))
+    // (`addInvokeHostFunctionEffects`, effects.go:1319-1430) — account
+    // parties (G…) get account_credited/debited addressed to themselves;
+    // contract parties (C…) get contract_credited/debited addressed to the
+    // OP SOURCE with the C-address in a `contract` detail key; every SAC
+    // detail map carries `contract_event_type`; mint credits only,
+    // burn/clawback debit only
     val invokeEffects = flatten(transform(
       sacEventsParse(col("op.sac_events")), e => {
         val assetKvsE = Seq(
@@ -477,14 +502,21 @@ object StellarTradesEffects {
             lit(graft.codec.Amounts.StroopsPerLumen))
             .cast("decimal(38,7)").cast("string"))
           .otherwise(e("amount"))
-        val details = obj(kv("amount", scaledAmt) +: assetKvsE: _*)
+        val baseKvs = (kv("amount", scaledAmt) +: assetKvsE) :+
+          kv("contract_event_type", e("event_type"))
+        val accDetails = obj(baseKvs: _*)
+        def contractDetails(cAddr: Column) =
+          obj((baseKvs :+ kv("contract", cAddr)): _*)
         filter(array(
           when(e("from").isNotNull,
-            sacEff(when(e("from").startsWith("C"), 97).otherwise(lit(3)),
-              e("from"), details)),
+            when(e("from").startsWith("C"),
+              effC(lit(97), sourceAddr, contractDetails(e("from"))))
+              .otherwise(effC(lit(3), e("from"), accDetails))),
           when(e("to").isNotNull,
-            sacEff(when(e("to").startsWith("C"), 96).otherwise(lit(2)),
-              e("to"), details))), x => x.isNotNull)
+            when(e("to").startsWith("C"),
+              effC(lit(96), sourceAddr, contractDetails(e("to"))))
+              .otherwise(effC(lit(2), e("to"), accDetails)))),
+          x => x.isNotNull)
       }))
 
     val effectsArr =

@@ -104,10 +104,24 @@ object StellarFixture {
         home_domain = if (o % 3 != 2) Some(s"dom$o.example") else None,
         signer_key = if (o % 2 == 0) Some(keyOf(s"signer-$l-$t-$o")) else None,
         signer_weight = if (o % 2 == 0) Some(10 - o % 5) else None)
-      case 6 => base.copy(
-        trust_asset = if (o % 3 != 2) Some(cred(s"TR$o", o % 3)) else None,
-        trust_pool_id = if (o % 3 == 2) Some(keyOf(s"pool-$l")) else None,
-        trust_limit_stroops = Some(500000000L * (o + 1)))
+      case 6 =>
+        // plant the trustline ledger-entry change the reference's effect
+        // derivation reads (created/updated/removed from pre/post presence,
+        // effects.go:637-695); pool-share lines get no change entry so the
+        // limit-heuristic fallback path stays exercised
+        val removed = (l + t) % 4 == 1
+        val lineIsPool = o % 3 == 2
+        base.copy(
+          trust_asset = if (!lineIsPool) Some(cred(s"TR$o", o % 3)) else None,
+          trust_pool_id = if (lineIsPool) Some(keyOf(s"pool-$l")) else None,
+          trust_limit_stroops = Some(if (removed) 0L else 500000000L * (o + 1)),
+          changes = if (!lineIsPool)
+            base.changes :+ OpChange("trustline",
+              None, None, None, None, None, None,
+              change_kind = Some(
+                if (removed) 2 else if ((l + t + o) % 2 == 0) 0 else 1),
+              tl_asset_type = Some("credit_alphanum4"))
+          else base.changes)
       case 7 => base.copy(
         trust_asset = Some(cred(s"AL$o", o % 3)),
         trustor_key = Some(keyOf(s"trustor-$l-$t-$o")),

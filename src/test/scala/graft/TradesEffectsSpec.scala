@@ -118,13 +118,17 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy("operation_id", "op_type")
       .agg(sort_array(collect_list(col("type"))).as("types"))
       .collect()
-      .map(r => (r.getAs[Int]("op_type"),
+      .map(r => (r.getAs[Long]("operation_id"), r.getAs[Int]("op_type"),
         r.getAs[scala.collection.Seq[Int]]("types").toSeq))
 
     // exact expected multiset of effect types per op type (fixture-specific:
     // atoms per trade op = 1 or 2 → trades are 2 or 4 offer-side effects,
     // or 1 LP-trade + 2 for the lp atom variant)
-    byOp.foreach { case (opTy, types) =>
+    byOp.foreach { case (opId, opTy, types) =>
+      // decode the fixture lattice coordinates from the TOID
+      val l = opId >>> 32
+      val t = ((opId >> 12) & 0xFFFFF) - 1
+      val o = (opId & 0xFFF) - 1
       opTy match {
         case 0 => assert(types == Seq(0, 3, 10), s"create_account: $types")
         case 1 => assert(types == Seq(2, 3), s"payment: $types")
@@ -142,7 +146,14 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(types.count(_ == 33) == types.count(_ == 30), s"offer: $types")
         case 5 => assert(types.nonEmpty &&
           types.forall(Seq(4, 5, 6, 7, 10, 11).contains(_)), s"setopts: $types")
-        case 6 => assert(types == Seq(20), s"change_trust: $types")
+        case 6 =>
+          // created/updated from the planted change entry; removed when the
+          // fixture zeroes the limit; pool lines (o%3==2) hit the fallback
+          val expect =
+            if ((l + t) % 4 == 1) 21
+            else if (o % 3 != 2 && (l + t + o) % 2 == 1) 22
+            else 20
+          assert(types == Seq(expect), s"change_trust($l,$t,$o): $types")
         case 7 | 21 => assert(types == Seq(26), s"tl_flags: $types")
         case 8 => assert(types == Seq(1, 2, 3), s"merge: $types")
         case 9 => assert(types == Seq(2, 2), s"inflation: $types")
@@ -163,7 +174,7 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // coverage: the fixture must have produced ≥20 distinct op types and
     // ≥25 distinct effect types end-to-end
-    assert(byOp.map(_._1).distinct.size >= 20)
+    assert(byOp.map(_._2).distinct.size >= 20)
     val distinctEffects = effects.select("type").distinct().collect()
       .map(_.getInt(0)).toSet
     assert(distinctEffects.size >= 24, s"only ${distinctEffects.size} effect types")
@@ -188,12 +199,16 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
       t match {
         case 0 => assert(node.has("starting_balance"))
         case 10 => assert(node.has("public_key"))
+        case 20 | 21 | 22 => assert(node.has("limit"))
         case 26 => assert(node.has("trustor"))
-        case 33 => assert(node.has("sold_amount") && node.has("bought_amount"))
+        case 33 => assert(node.has("sold_amount") && node.has("bought_amount") &&
+          node.has("sold_asset_type") && node.has("bought_asset_type") &&
+          !node.has("sold_asset") && !node.has("bought_asset"))
         case 50 | 52 | 80 => assert(node.has("balance_id"))
         case 51 => assert(node.has("predicate") &&
           !node.get("predicate").isTextual) // nested JSON, not a string
-        case 96 | 97 => assert(node.has("amount") && node.has("asset_type"))
+        case 96 | 97 => assert(node.has("amount") && node.has("asset_type") &&
+          node.has("contract") && node.has("contract_event_type"))
         case 90 => assert(node.has("liquidity_pool") &&
           node.get("liquidity_pool").has("reserves") &&
           node.has("reserves_deposited") && node.has("shares_received"))
