@@ -48,6 +48,20 @@ object QueryCatalog {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Session-scoped persisted-frame memo for the stellar op-grain
+    * transforms: several `stellar_*` golden queries rebuild
+    * `historyOperations`/`historyEffects`/`historyTrades` over the same
+    * fixture range, and each rebuild re-analyzes a large expression tree.
+    * One persisted frame per (transform, fixture frame) makes every later
+    * consumer an InMemoryTableScan — same architecture as the decoded-ledger
+    * memo in `StellarFixture.ledgers`. Bounded: one entry per transform ×
+    * distinct fixture range. */
+  private val frameMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, AnyRef), DataFrame]()
+  private def memo(key: String, src: AnyRef)(build: => DataFrame): DataFrame =
+    frameMemo.computeIfAbsent((key, src), _ =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1306,7 +1320,8 @@ object QueryCatalog {
           .select(col("id"), lit("ledger").as("grain"))
         val t = StellarTransforms.historyTransactions(ledgers)
           .select(col("id"), lit("tx").as("grain"))
-        val o = StellarTransforms.historyOperations(ledgers)
+        val o = memo("historyOperations", ledgers)(
+            StellarTransforms.historyOperations(ledgers))
           .select(col("id"), lit("op").as("grain"))
         l.unionAll(t).unionAll(o).orderBy("id", "grain")
       }),
@@ -1319,7 +1334,7 @@ object QueryCatalog {
       // decomposition from fee-meta diffs, and op type names — everything
       // except strkey rendering (no base32/crc16 in SQL), which CodecSpec
       // golden vectors pin instead
-      Some("""WITH ls AS (SELECT unnest(generate_series(1000, 1019)) AS l),
+      Some("""WITH ls AS (SELECT unnest(generate_series(1000, 1099)) AS l),
              |txs AS (SELECT l, unnest(generate_series(0, l % 5)) AS t FROM ls),
              |ops AS (SELECT l, t, unnest(generate_series(0, t % 4)) AS o FROM txs),
              |tnames(ty, name) AS (VALUES
@@ -1361,7 +1376,8 @@ object QueryCatalog {
              |FROM ops
              |ORDER BY grain, id""".stripMargin),
       (s, dir) => {
-        val ledgers = graft.sources.StellarFixture.ledgers(s, 1000, 1019)
+        val ledgers = graft.sources.StellarFixture.ledgers(s, 1000, 1099)
+        // shares the persisted op-grain with stellar_history_pipeline
         val l = StellarTransforms.historyLedgers(ledgers).select(
           lit("ledger").as("grain"), col("id"),
           col("ledger_hash").as("s1"),
@@ -1372,7 +1388,8 @@ object QueryCatalog {
           col("transaction_hash").as("s1"),
           col("fee_charged").as("n1"),
           col("inclusion_fee_charged").as("n2"))
-        val o = StellarTransforms.historyOperations(ledgers).select(
+        val o = memo("historyOperations", ledgers)(
+            StellarTransforms.historyOperations(ledgers)).select(
           lit("op").as("grain"), col("id"),
           col("type_string").as("s1"),
           col("type").cast("long").as("n1"),
@@ -1385,7 +1402,7 @@ object QueryCatalog {
       // authoritative pre-state price (7/2, proving the reverse change scan
       // beat the planted stale 1/99), LP fallback prices from amount ratios,
       // synthetic bit-62 buying offer ids, and exact stroop→XLM doubles
-      Some("""WITH ls AS (SELECT unnest(generate_series(2000, 2059)) AS l),
+      Some("""WITH ls AS (SELECT unnest(generate_series(2000, 2099)) AS l),
              |txs AS (SELECT l, unnest(generate_series(0, l % 5)) AS t FROM ls
              |        WHERE true),
              |ops AS (SELECT l, t, unnest(generate_series(0, t % 4)) AS o
@@ -1411,8 +1428,9 @@ object QueryCatalog {
              |       CAST(1500000 * (a + 1) AS DOUBLE) / 10000000 AS buying_amount
              |FROM x ORDER BY history_operation_id, "order"""".stripMargin),
       (s, dir) =>
-        StellarTradesEffects.historyTrades(
-            graft.sources.StellarFixture.ledgers(s, 2000, 2059))
+        memo("historyTrades", graft.sources.StellarFixture.ledgers(s, 2000, 2099))(
+            StellarTradesEffects.historyTrades(
+              graft.sources.StellarFixture.ledgers(s, 2000, 2099)))
           .select(col("history_operation_id"), col("order").cast("long"),
             col("price_n"), col("price_d"),
             col("trade_type").cast("long").as("trade_type"),
@@ -1426,7 +1444,7 @@ object QueryCatalog {
       // from the fixture lattice — create-account triple, set-options
       // conditional family, CB lifecycle, merge triple, SAC invoke
       // credit/debit — proving the generator's arrays element-for-element
-      Some("""WITH ls AS (SELECT unnest(generate_series(2000, 2059)) AS l),
+      Some("""WITH ls AS (SELECT unnest(generate_series(2000, 2099)) AS l),
              |txs AS (SELECT l, unnest(generate_series(0, l % 5)) AS t FROM ls
              |        WHERE true),
              |ops AS (SELECT l, t, unnest(generate_series(0, t % 4)) AS o
@@ -1470,25 +1488,29 @@ object QueryCatalog {
              |       unnest(effs) AS type
              |FROM el WHERE len(effs) > 0
              |ORDER BY operation_id, "index"""".stripMargin),
-      (s, dir) =>
-        StellarTradesEffects.historyEffects(
-            graft.sources.StellarFixture.ledgers(s, 2000, 2059))
-          .join(StellarTransforms.historyOperations(
-              graft.sources.StellarFixture.ledgers(s, 2000, 2059))
+      (s, dir) => {
+        val ledgers = graft.sources.StellarFixture.ledgers(s, 2000, 2099)
+        memo("historyEffects", ledgers)(
+            StellarTradesEffects.historyEffects(ledgers))
+          .join(memo("historyOperations", ledgers)(
+              StellarTransforms.historyOperations(ledgers))
             .where(!col("type").isin(2, 3, 4, 12, 13))
             .select(col("id").as("operation_id")), "operation_id")
           .select(col("operation_id"), col("index"), col("type"))
-          .orderBy("operation_id", "index")),
+          .orderBy("operation_id", "index")
+      }),
 
     Q("stellar_trades_effects", None, // strkey/farmhash model: rows-only check
       (s, dir) => {
         // REAL P4+P5 over the decoded model: pre-state price reverse scan,
         // synthetic ids, LP pool fees, effect fan-out
         val ledgers = graft.sources.StellarFixture.ledgers(s, 2000, 2099)
-        val t = StellarTradesEffects.historyTrades(ledgers)
+        val t = memo("historyTrades", ledgers)(
+            StellarTradesEffects.historyTrades(ledgers))
           .select(col("history_operation_id").as("id"),
             lit("trade").as("grain"), col("price_n").as("n"))
-        val e = StellarTradesEffects.historyEffects(ledgers)
+        val e = memo("historyEffects", ledgers)(
+            StellarTradesEffects.historyEffects(ledgers))
           .select(col("operation_id").as("id"), lit("effect").as("grain"),
             col("index").as("n"))
         t.unionAll(e).orderBy("id", "grain", "n")
@@ -1502,7 +1524,7 @@ object QueryCatalog {
       // path-payment delivery legs, issuer-aware burn classification for
       // odd-o payments on even ledgers, CB/LP/merge/clawback amounts, and
       // the SAC invoke transfer+burn pair
-      Some("""WITH ls AS (SELECT unnest(generate_series(2000, 2059)) AS l),
+      Some("""WITH ls AS (SELECT unnest(generate_series(2000, 2099)) AS l),
              |txs AS (SELECT l, unnest(generate_series(0, l % 5)) AS t FROM ls),
              |ops AS (SELECT l, t, unnest(generate_series(0, t % 4)) AS o,
              |               (CAST(l AS BIGINT) << 32)
@@ -1554,8 +1576,8 @@ object QueryCatalog {
              |SELECT id, event_topic, CAST(amount AS VARCHAR) AS amount
              |FROM legs ORDER BY id, event_topic, amount""".stripMargin),
       (s, dir) => {
-        val events = TokenTransfers.fromLedgers(
-          graft.sources.StellarFixture.ledgers(s, 2000, 2059))
+        val events = TokenTransfers.eventsCached(
+          graft.sources.StellarFixture.ledgers(s, 2000, 2099))
         events.select(
             coalesce(col("operation_id"), col("transaction_id")).as("id"),
             col("event_topic"), col("amount"))
@@ -1565,7 +1587,8 @@ object QueryCatalog {
     Q("stellar_token_transfers", None, // strkey model: rows-only check
       (s, dir) => {
         val ledgers = graft.sources.StellarFixture.ledgers(s, 3000, 3099)
-        val events = TokenTransfers.fromLedgers(ledgers)
+        // persisted: the union + verify reference this frame three times
+        val events = TokenTransfers.eventsCached(ledgers)
         // the VerifyEvents consistency check runs inside the gate: the union
         // is empty unless fee events stop reconciling
         events.select(col("transaction_id"), col("event_topic"),

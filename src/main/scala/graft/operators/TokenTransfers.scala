@@ -193,6 +193,22 @@ object TokenTransfers {
     fees.unionAll(transfers)
   }
 
+  /** [[fromLedgers]] evaluated ONCE per fixture frame: the event projection
+    * is a ~12-branch nested-struct `when` chain whose expression tree
+    * Catalyst re-analyzes, re-optimizes and re-codegens at every reference —
+    * the [[verify]] gate alone references it three times, which at sf0.1
+    * turned a 1.4 s query into 23 s of plan re-expansion. Persist pins one
+    * physical evaluation (InMemoryTableScan for every consumer); the memo
+    * (keyed on the — itself memoized — ledger frame) keeps repeated catalog
+    * invocations in the same session from stacking duplicate cache entries.
+    * Entry count is bounded by the number of distinct fixture ranges. */
+  private val eventsCache = new java.util.concurrent.ConcurrentHashMap[
+    Dataset[LedgerRow], DataFrame]()
+
+  def eventsCached(ledgers: Dataset[LedgerRow]): DataFrame =
+    eventsCache.computeIfAbsent(ledgers, l =>
+      fromLedgers(l).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** `VerifyEvents` analog (`token_transfer.go:15-24`): per transaction the
     * fee event total must reconcile with the charged fee, and per value-
     * moving op the emitted leg count must match the model (2 per claim atom,
