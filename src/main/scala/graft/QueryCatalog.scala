@@ -1472,6 +1472,36 @@ object QueryCatalog {
              |        WHEN 11 THEN [43]
              |        WHEN 14 THEN [50, 51, 51, 3]
              |        WHEN 15 THEN [52, 2]
+             |        WHEN 16 THEN
+             |          (CASE WHEN (l + t) % 4 = 3 THEN CAST([] AS INTEGER[])
+             |            ELSE [(CASE (l + o) % 4 WHEN 0 THEN 60 WHEN 1 THEN 63
+             |                   WHEN 2 THEN 66 ELSE 69 END)
+             |              + (CASE (l + t) % 4 WHEN 1 THEN 1 WHEN 2 THEN 2
+             |                 ELSE 0 END)] END)
+             |          || (CASE WHEN (l + o) % 4 = 0 THEN
+             |                (CASE (t + o) % 4 WHEN 0 THEN [72] WHEN 1 THEN [74]
+             |                 WHEN 2 THEN [73] ELSE CAST([] AS INTEGER[]) END)
+             |              ELSE CAST([] AS INTEGER[]) END)
+             |        WHEN 17 THEN
+             |          (CASE WHEN (l + t) % 4 = 3 THEN CAST([] AS INTEGER[])
+             |            ELSE [(CASE (l + o) % 4 WHEN 0 THEN 60 WHEN 1 THEN 63
+             |                   WHEN 2 THEN 66 ELSE 69 END)
+             |              + (CASE (l + t) % 4 WHEN 1 THEN 1 WHEN 2 THEN 2
+             |                 ELSE 0 END)] END)
+             |          || (CASE WHEN (l + o) % 4 = 0 THEN
+             |                (CASE (t + o) % 4 WHEN 0 THEN [72] WHEN 1 THEN [74]
+             |                 WHEN 2 THEN [73] ELSE CAST([] AS INTEGER[]) END)
+             |              ELSE CAST([] AS INTEGER[]) END)
+             |        WHEN 18 THEN
+             |          (CASE WHEN (l + t) % 4 = 3 THEN CAST([] AS INTEGER[])
+             |            ELSE [(CASE (l + o) % 4 WHEN 0 THEN 60 WHEN 1 THEN 63
+             |                   WHEN 2 THEN 66 ELSE 69 END)
+             |              + (CASE (l + t) % 4 WHEN 1 THEN 1 WHEN 2 THEN 2
+             |                 ELSE 0 END)] END)
+             |          || (CASE WHEN (l + o) % 4 = 0 THEN
+             |                (CASE (t + o) % 4 WHEN 0 THEN [72] WHEN 1 THEN [74]
+             |                 WHEN 2 THEN [73] ELSE CAST([] AS INTEGER[]) END)
+             |              ELSE CAST([] AS INTEGER[]) END)
              |        WHEN 19 THEN [2, 3]
              |        WHEN 20 THEN [80, 2]
              |        WHEN 22 THEN [90]

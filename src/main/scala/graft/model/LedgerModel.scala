@@ -53,7 +53,32 @@ object LedgerModel {
       // effect derivation matches against the op line
       // (`addChangeTrustEffects`, effects.go:637-695)
       change_kind: Option[Int] = None,
-      tl_asset_type: Option[String] = None)
+      tl_asset_type: Option[String] = None,
+      // entry + signer sponsorship transition payload, when this change
+      // carries one (`addLedgerEntrySponsorshipEffects` /
+      // `addSignerSponsorshipEffects`, effects.go:225-368)
+      sponsorship: Option[SponsorshipChange] = None)
+
+  /** One sponsored signer of an account entry state (the reference's
+    * `SponsorPerSigner` map entries, effects.go:232-240). */
+  case class SignerSponsor(signer_key: Array[Byte], sponsor_key: Array[Byte])
+
+  /** Pre/post sponsorship state of one ledger-entry change. The effect
+    * family derives from the entry type; created/updated/removed derive
+    * from pre/post sponsor presence — NOT from the entry change kind
+    * (effects.go:296-317). */
+  case class SponsorshipChange(
+      pre_sponsor_key: Option[Array[Byte]],
+      post_sponsor_key: Option[Array[Byte]],
+      // owning account for account/trustline entries (the effect subject;
+      // data/claimable-balance effects address the op source instead)
+      subject_key: Option[Array[Byte]],
+      data_name: Option[String],
+      cb_id: Option[Array[Byte]],
+      tl_asset: Option[AssetRef],
+      tl_pool_id: Option[Array[Byte]],
+      pre_signer_sponsors: Seq[SignerSponsor] = Seq.empty,
+      post_signer_sponsors: Seq[SignerSponsor] = Seq.empty)
 
   /** One claimable-balance claimant; the recursive predicate travels as XDR
     * bytes (Spark encoders cannot hold a recursive case class) and is

@@ -159,6 +159,13 @@ object StellarTradesEffects {
     63 -> "trustline_sponsorship_created",
     64 -> "trustline_sponsorship_updated",
     65 -> "trustline_sponsorship_removed",
+    66 -> "data_sponsorship_created", 67 -> "data_sponsorship_updated",
+    68 -> "data_sponsorship_removed",
+    69 -> "claimable_balance_sponsorship_created",
+    70 -> "claimable_balance_sponsorship_updated",
+    71 -> "claimable_balance_sponsorship_removed",
+    72 -> "signer_sponsorship_created", 73 -> "signer_sponsorship_updated",
+    74 -> "signer_sponsorship_removed",
     80 -> "claimable_balance_clawed_back",
     90 -> "liquidity_pool_deposited", 91 -> "liquidity_pool_withdrew",
     92 -> "liquidity_pool_trade", 93 -> "liquidity_pool_created",
@@ -519,6 +526,71 @@ object StellarTradesEffects {
           x => x.isNotNull)
       }))
 
+    // sponsorship families (60-74): change-derived, appended AFTER the
+    // op-specific effects for EVERY op type — the reference iterates the
+    // op's changes emitting the entry-sponsorship effect then any
+    // signer-sponsorship effects per change (effects.go:141-151).
+    // created/updated/removed classify on pre/post sponsor presence, not on
+    // the entry change kind (effects.go:296-317); same-sponsor transitions
+    // emit nothing. Account/trustline effects address the entry's owning
+    // account; data/claimable-balance effects address the op source.
+    val spBase = typedLit(Map("account" -> 60, "trustline" -> 63,
+      "data" -> 66, "claimable_balance" -> 69))
+    val sponsorshipEffects = flatten(transform(col("op.changes"), c => {
+      val sp = c("sponsorship")
+      val base = try_element_at(spBase, c("entry_type"))
+      val preSp = when(sp("pre_sponsor_key").isNotNull,
+        strkeyAccount(sp("pre_sponsor_key")))
+      val postSp = when(sp("post_sponsor_key").isNotNull,
+        strkeyAccount(sp("post_sponsor_key")))
+      val addr = when(sp("subject_key").isNotNull,
+        strkeyAccount(sp("subject_key"))).otherwise(sourceAddr)
+      // per-entry-type detail extras (`effects.go:331-352`): trustline
+      // asset (canonical, or pool-share id), data name, CB balance id
+      val extras = Seq(
+        kv("asset", when(sp("tl_asset").isNotNull, canon(sp("tl_asset")))),
+        kv("asset_type", when(sp("tl_pool_id").isNotNull,
+          lit("liquidity_pool"))),
+        kv("liquidity_pool_id", when(sp("tl_pool_id").isNotNull,
+          lower(hex(sp("tl_pool_id"))))),
+        kv("data_name", sp("data_name")),
+        kv("balance_id", when(sp("cb_id").isNotNull,
+          concat(lit("00000000"), lower(hex(sp("cb_id")))))))
+      val entryEff =
+        when(base.isNotNull && preSp.isNull && postSp.isNotNull,
+          effC(base, addr, obj(kv("sponsor", postSp) +: extras: _*)))
+          .when(base.isNotNull && preSp.isNotNull && postSp.isNull,
+            effC(base + 2, addr,
+              obj(kv("former_sponsor", preSp) +: extras: _*)))
+          .when(base.isNotNull && preSp.isNotNull && postSp.isNotNull &&
+              preSp =!= postSp,
+            effC(base + 1, addr, obj(Seq(kv("new_sponsor", postSp),
+              kv("former_sponsor", preSp)) ++ extras: _*)))
+      // signer sponsorships (account entries): diff the pre/post
+      // signer→sponsor maps, emitting per signer in strkey order
+      // (effects.go:225-285)
+      def sigMap(entries: Column): Column = map_from_entries(
+        transform(entries, s => struct(
+          strkeyAccount(s("signer_key")).as("k"),
+          strkeyAccount(s("sponsor_key")).as("v"))))
+      val preM = sigMap(sp("pre_signer_sponsors"))
+      val postM = sigMap(sp("post_signer_sponsors"))
+      val signerEffs = transform(
+        array_sort(array_union(map_keys(preM), map_keys(postM))), k => {
+          val pv = try_element_at(preM, k)
+          val nv = try_element_at(postM, k)
+          when(pv.isNull && nv.isNotNull, effC(lit(72), addr,
+            obj(kv("sponsor", nv), kv("signer", k))))
+            .when(pv.isNotNull && nv.isNull, effC(lit(74), addr,
+              obj(kv("former_sponsor", pv), kv("signer", k))))
+            .when(pv.isNotNull && nv.isNotNull && pv =!= nv,
+              effC(lit(73), addr, obj(kv("former_sponsor", pv),
+                kv("new_sponsor", nv), kv("signer", k))))
+        })
+      filter(concat(array(entryEff), coalesce(signerEffs, noEff)),
+        x => x.isNotNull)
+    }))
+
     val effectsArr =
       when(ty === 0, createAccount)
         .when(ty === 1, payment)
@@ -542,11 +614,13 @@ object StellarTradesEffects {
         .when(ty === 26, restoreFootprint)
         .otherwise(noEff)
 
+    val allEffects = concat(effectsArr, coalesce(sponsorshipEffects, noEff))
+
     ops
       .select(col("sequence"), col("closed_at"), col("tx_pos"),
         operationToid(col("sequence"), col("tx_pos") + 1, col("op_pos"))
           .as("operation_id"),
-        posexplode(effectsArr).as(Seq("eff_pos", "e")))
+        posexplode(allEffects).as(Seq("eff_pos", "e")))
       .select(
         col("e.address").as("address"),
         col("operation_id"),

@@ -154,14 +154,19 @@ object StellarFixture {
         // claimed/clawed balance entry pre-state (amount + asset)
         cb_asset = Some(cred(s"CB$o", o % 3)),
         cb_amount_stroops = Some(20000000L * (o + 1)))
-      case 16 => base.copy(sponsored_id_key = Some(keyOf(s"sponsoree-$l-$t-$o")))
+      case 16 => base.copy(
+        sponsored_id_key = Some(keyOf(s"sponsoree-$l-$t-$o")),
+        changes = base.changes :+ sponsorshipChange(l, t, o))
+      case 17 => base.copy(changes = base.changes :+ sponsorshipChange(l, t, o))
       case 18 =>
-        if (o % 2 == 0) base.copy(
+        val withSp = base.copy(
+          changes = base.changes :+ sponsorshipChange(l, t, o))
+        if (o % 2 == 0) withSp.copy(
           revoke_signer_account_key = Some(keyOf(s"racct-$l-$t-$o")),
           revoke_signer_key = Some(keyOf(s"rsigner-$l-$t-$o")))
-        else if (o % 4 == 1) base.copy(
+        else if (o % 4 == 1) withSp.copy(
           revoke_account_id_key = Some(keyOf(s"racct-$l-$t-$o")))
-        else base.copy(revoke_offer_id = Some(8000L + o))
+        else withSp.copy(revoke_offer_id = Some(8000L + o))
       case 21 => base.copy(
         trust_asset = Some(cred(s"TF$o", o % 3)),
         trustor_key = Some(keyOf(s"trustor-$l-$t-$o")),
@@ -221,6 +226,58 @@ object StellarFixture {
       case 25 => base.copy(extend_to = Some(10000L + o))
       case _ => base // 1/9/17/19/26 carry no extra envelope payload here
     }
+  }
+
+  /** One planted sponsorship transition for the sponsorship ops (16/17/18):
+    * entry family from (l+o)%4 over account/trustline/data/claimable-balance,
+    * transition from (l+t)%4 over created/updated/removed/unchanged (the
+    * unchanged arm proves the same-sponsor skip, effects.go:305-310), and an
+    * independent sponsored-signer transition lattice on account entries
+    * ((t+o)%4, with a same-sponsor decoy signer on odd o that must emit
+    * nothing). */
+  private def sponsorshipChange(l: Long, t: Int, o: Int): OpChange = {
+    val fam = ((l + o) % 4).toInt
+    val trans = ((l + t) % 4).toInt
+    val entryType =
+      Seq("account", "trustline", "data", "claimable_balance")(fam)
+    val spOld = keyOf(s"sp-old-$l-$t-$o")
+    val spNew = keyOf(s"sp-new-$l-$t-$o")
+    val spSame = keyOf(s"sp-same-$l-$t-$o")
+    val (pre, post) = trans match {
+      case 0 => (None, Some(spNew))
+      case 1 => (Some(spOld), Some(spNew))
+      case 2 => (Some(spOld), None)
+      case _ => (Some(spSame), Some(spSame)) // unchanged → no effect
+    }
+    val sigA = keyOf(s"spsig-$l-$t-$o")
+    val (preSig, postSig) = ((t + o) % 4) match {
+      case 0 => (Seq.empty[SignerSponsor],
+        Seq(SignerSponsor(sigA, keyOf(s"ssp-new-$l-$t-$o"))))
+      case 1 => (Seq(SignerSponsor(sigA, keyOf(s"ssp-old-$l-$t-$o"))),
+        Seq.empty[SignerSponsor])
+      case 2 => (Seq(SignerSponsor(sigA, keyOf(s"ssp-old-$l-$t-$o"))),
+        Seq(SignerSponsor(sigA, keyOf(s"ssp-new-$l-$t-$o"))))
+      case _ => (Seq.empty[SignerSponsor], Seq.empty[SignerSponsor])
+    }
+    val decoy = SignerSponsor(keyOf(s"spsig-same-$l-$t-$o"),
+      keyOf(s"ssp-same-$l-$t-$o"))
+    val (preS, postS) =
+      if (fam == 0 && o % 2 == 1) (preSig :+ decoy, postSig :+ decoy)
+      else (preSig, postSig)
+    OpChange(entryType, None, None, None, None, None, None,
+      sponsorship = Some(SponsorshipChange(
+        pre_sponsor_key = pre,
+        post_sponsor_key = post,
+        subject_key =
+          if (fam <= 1) Some(keyOf(s"spsub-$l-$t-$o")) else None,
+        data_name = if (fam == 2) Some(s"spdata-$o") else None,
+        cb_id = if (fam == 3) Some(keyOf(s"spcb-$l-$t-$o")) else None,
+        tl_asset = if (fam == 1 && o % 3 != 2)
+          Some(AssetRef("credit_alphanum4", s"SP$o", s"ISS${o % 3}")) else None,
+        tl_pool_id =
+          if (fam == 1 && o % 3 == 2) Some(keyOf(s"pool-$l")) else None,
+        pre_signer_sponsors = if (fam == 0) preS else Seq.empty,
+        post_signer_sponsors = if (fam == 0) postS else Seq.empty)))
   }
 
   /** LP pre/post product state for deposit (reserves grow) or withdraw

@@ -169,6 +169,22 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(types == Seq(3, 3, 96), s"invoke: $types")
         case 25 => assert(types == Seq(98), s"extend_ttl: $types")
         case 26 => assert(types == Seq(99), s"restore: $types")
+        case 16 | 17 | 18 =>
+          // change-derived sponsorship lattice: family from (l+o)%4,
+          // transition from (l+t)%4, signer transition from (t+o)%4
+          val fam = ((l + o) % 4).toInt
+          val trans = ((l + t) % 4).toInt
+          val entry =
+            if (trans == 3) Seq.empty
+            else Seq(Seq(60, 63, 66, 69)(fam) + Seq(0, 1, 2)(trans))
+          val signer =
+            if (fam != 0) Seq.empty
+            else ((t + o) % 4).toInt match {
+              case 0 => Seq(72); case 1 => Seq(74)
+              case 2 => Seq(73); case _ => Seq.empty
+            }
+          val expect = (entry ++ signer).sorted
+          assert(types == expect, s"sponsorship($l,$t,$o): $types vs $expect")
         case other => fail(s"unexpected effects $types for op type $other")
       }
     }
@@ -209,6 +225,14 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
           !node.get("predicate").isTextual) // nested JSON, not a string
         case 96 | 97 => assert(node.has("amount") && node.has("asset_type") &&
           node.has("contract") && node.has("contract_event_type"))
+        case 60 | 63 | 66 | 69 => assert(node.has("sponsor"))
+        case 62 | 65 | 68 | 71 => assert(node.has("former_sponsor"))
+        case 61 | 64 | 67 | 70 =>
+          assert(node.has("new_sponsor") && node.has("former_sponsor"))
+        case 72 => assert(node.has("sponsor") && node.has("signer"))
+        case 73 => assert(node.has("former_sponsor") &&
+          node.has("new_sponsor") && node.has("signer"))
+        case 74 => assert(node.has("former_sponsor") && node.has("signer"))
         case 90 => assert(node.has("liquidity_pool") &&
           node.get("liquidity_pool").has("reserves") &&
           node.has("reserves_deposited") && node.has("shares_received"))
