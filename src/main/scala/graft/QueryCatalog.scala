@@ -1582,6 +1582,10 @@ object QueryCatalog {
              |  UNION ALL
              |  SELECT op_id, 'transfer', amt FROM op2 WHERE ty = 8
              |  UNION ALL
+             |  SELECT op_id, 'mint', 8000000 + o FROM op2 WHERE ty = 9
+             |  UNION ALL
+             |  SELECT op_id, 'mint', 16000000 + o FROM op2 WHERE ty = 9
+             |  UNION ALL
              |  SELECT op_id, 'transfer', 30000000 * (o + 1) FROM op2 WHERE ty = 14
              |  UNION ALL
              |  SELECT op_id, 'transfer', 20000000 * (o + 1) FROM op2 WHERE ty = 15

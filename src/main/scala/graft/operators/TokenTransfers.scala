@@ -21,6 +21,8 @@ import graft.model.LedgerModel.LedgerRow
   *     and the pool's L-address, amounts from the pre/post product delta;
   *   - `mint`/`burn` when a payment-leg counterparty is the asset issuer
   *     (issuer pays out = mint, issuer receives = burn);
+  *   - one `mint` per inflation payout (op 9): the protocol creates new
+  *     lumens, so the legs have no `from` party;
   *   - `clawback` from clawback ops (from = clawed account, value burned)
   *     and CB clawbacks (from = the B-address).
   *
@@ -144,6 +146,14 @@ object TokenTransfers {
           delta("pre_reserve_b", "post_reserve_b")))).otherwise(noEv)
     }
 
+    // inflation payouts (op 9): the protocol mints new lumens, one `mint`
+    // event per payout result — native asset, no `from` party (the
+    // EventsProcessor inflation branch behind `token_transfer.go:14-151`)
+    val inflationLegs = transform(col("op.inflation_payouts"), p =>
+      ev(lit("mint"), lit(null).cast("string"),
+        strkeyAccount(p("destination_key")), lit("native"),
+        p("amount_stroops")))
+
     // SAC events from invoke-host-function ops become first-class legs with
     // their own topics (transfer/mint/burn/clawback) — the processor's SAC
     // branch (`token_transfer.go` + stellar/go EventsProcessor)
@@ -160,6 +170,7 @@ object TokenTransfers {
         .when(ty.isin(2, 13), pathPayment)
         .when(ty.isin(3, 4, 12), tradeLegs)
         .when(ty === 8, accountMerge)
+        .when(ty === 9, inflationLegs)
         .when(ty === 14, createCb)
         .when(ty === 15, claimCb)
         .when(ty === 19, clawback)
@@ -239,6 +250,7 @@ object TokenTransfers {
             size(col("op.claim_atoms")) * 2 + 1)
           .when(col("op.op_type").isin(3, 4, 12), size(col("op.claim_atoms")) * 2)
           .when(col("op.op_type").isin(22, 23), lit(2))
+          .when(col("op.op_type") === 9, size(col("op.inflation_payouts")))
           .when(col("op.op_type") === 24,
             size(sacEventsParse(col("op.sac_events"))))
           .when(col("op.op_type").isin(0, 1, 8, 14, 15, 19, 20), lit(1))

@@ -65,6 +65,7 @@ class TokenTransferSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 3 | 4 | 12 => assert(n == 2 || n == 4, s"op $t: $n legs")
         case 2 | 13 => assert(n == 3 || n == 5, s"op $t: $n legs")
         case 22 | 23 => assert(n == 2, s"op $t: $n legs")
+        case 9 => assert(n == 2, s"op $t: $n legs") // one mint per payout
         case 24 => assert(n == 2, s"op $t: $n legs") // junk event dropped
         case _ => assert(n == 1, s"op $t: $n legs")
       }
