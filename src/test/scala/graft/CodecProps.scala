@@ -1,11 +1,25 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 import graft.codec._
 
-/** ScalaCheck property suites for the parity-critical codecs (SURVEY §5). */
+/** ScalaCheck property suites for the parity-critical codecs (SURVEY §5).
+  *
+  * The initial seed is PINNED (override with -Dgraft.codec.seed=N) and
+  * printed at load, so every run is deterministic and any failure is
+  * replayable — a one-off unreproducible failure under suite-level load in
+  * round 3 could not be diagnosed because the seed was lost. */
 object CodecProps extends Properties("codec") {
+
+  private val seedValue: Long =
+    sys.props.get("graft.codec.seed").map(_.toLong).getOrElse(20260812L)
+  println(s"CodecProps pinned seed: $seedValue")
+
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withInitialSeed(org.scalacheck.rng.Seed(seedValue))
+      .withMinSuccessfulTests(300)
 
   val toidGen: Gen[(Long, Long, Long)] = for {
     l <- Gen.chooseNum(0L, Toid.MaxLedger)
@@ -31,9 +45,16 @@ object CodecProps extends Properties("codec") {
   }
 
   property("toid.synthetic-bit-reversible") = forAll(synToidGen) { case (l, t, o) =>
-    val s = Toid.syntheticOfferId(l, t, o)
-    Toid.isSynthetic(s) &&
-      (s & ~Toid.SyntheticOfferBit) == Toid.pack(l, t, o) + 1 // trade.go:119
+    // the single corner (2^30-1, maxT, maxO) has pack+1 == 2^62: the +1
+    // carry aliases the synthetic bit itself — an edge the reference's
+    // identical `operationID+1 | bit62` arithmetic shares (trade.go:119),
+    // so reversibility is only claimed strictly below it. (This precondition
+    // is what round 3's unlogged-seed flake was missing.)
+    (Toid.pack(l, t, o) + 1 < Toid.SyntheticOfferBit) ==> {
+      val s = Toid.syntheticOfferId(l, t, o)
+      Toid.isSynthetic(s) &&
+        (s & ~Toid.SyntheticOfferBit) == Toid.pack(l, t, o) + 1 // trade.go:119
+    }
   }
 
   val bytes32: Gen[Array[Byte]] =
