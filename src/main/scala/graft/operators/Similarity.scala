@@ -94,8 +94,8 @@ object Similarity {
     * the update step is a positional explode + (cell, dim) average — one
     * shuffle per iteration whose output is nCells×dim rows, so the per-iter
     * driver collect is bounded by the centroid table, never the corpus.
-    * Seeded from the deterministic lowest-id sample; empty cells keep their
-    * previous centroid. */
+    * Seeded from the deterministic distributed sample ([[seedCentroids]]);
+    * empty cells keep their previous centroid. */
   def kMeansCentroids(corpus: DataFrame, vecCol: String,
       seed: Seq[(Long, Seq[Float])], iters: Int): Seq[(Long, Seq[Float])] = {
     var centroids = seed
@@ -118,17 +118,57 @@ object Similarity {
     centroids
   }
 
+  /** Deterministic k-means‖-style distributed seeding: oversample 4×nCells
+    * candidates uniformly by taking the distributed top-k on a hash of the
+    * id (TakeOrderedAndProject — one corpus scan, no global sort, no rank
+    * of the corpus by id), then reduce to nCells on the driver with greedy
+    * farthest-point selection over the BOUNDED candidate set (4·nCells
+    * rows, never the corpus). Hash-ordering makes the sample uniform in
+    * content (lowest-id seeding picked whatever happened to sort first,
+    * which clusters when ids correlate with content) while staying
+    * deterministic across runs. */
+  /** The distributed-sample candidate frame: compiles to
+    * TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    * range-partitioned global sort. Exposed for plan assertions. */
+  def seedCandidates(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame =
+    corpus
+      .select(col(idCol).cast("long").as("sid"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("sid")), col("sid"))
+      .limit(nCells * 4)
+
+  private[operators] def seedCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nCells: Int): Seq[(Long, Seq[Float])] = {
+    val candidates = seedCandidates(corpus, idCol, vecCol, nCells)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    if (candidates.isEmpty) Seq.empty
+    else {
+      def d2(a: Seq[Float], b: Seq[Float]): Double =
+        a.lazyZip(b).map((x, y) => (x - y).toDouble * (x - y)).sum
+      val chosen = scala.collection.mutable.ArrayBuffer(candidates.head)
+      while (chosen.size < nCells && chosen.size < candidates.size) {
+        // farthest-point: the unchosen candidate maximizing the distance to
+        // its nearest chosen seed (maxBy keeps the first max → deterministic
+        // given the hash-sorted candidate order)
+        val next = candidates
+          .filterNot(c => chosen.exists(_._1 == c._1))
+          .maxBy(c => chosen.map(s => d2(s._2, c._2)).min)
+        chosen += next
+      }
+      chosen.toSeq
+    }
+  }
+
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nCells: Int = 16, nprobe: Int = 4,
       kMeansIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // deterministic seed centroids: the nCells lowest-id corpus vectors;
+    // deterministic distributed-sample seed centroids;
     // kMeansIters > 0 refines them with Lloyd iterations
-    val seed = corpus.select(col(corpusId).cast("long"), col(corpusVec))
-      .orderBy(col(corpusId)).limit(nCells).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val seed = seedCentroids(corpus, corpusId, corpusVec, nCells)
     val centroids =
       if (kMeansIters <= 0) seed
       else kMeansCentroids(corpus, corpusVec, seed, kMeansIters)

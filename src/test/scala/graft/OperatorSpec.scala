@@ -195,6 +195,19 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       v != seed.find(_._1 == cid).get._2 })
   }
 
+  test("IVF seeding is a distributed top-k sample, not a global sort") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cands = Similarity.seedCandidates(emb, "vec_id", "embedding", 8)
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(500))
+    // deterministic across invocations
+    val a = cands.collect().map(_.getLong(0)).toSeq
+    val b = Similarity.seedCandidates(emb, "vec_id", "embedding", 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.size == 32)
+  }
+
   test("lsh bucket is deterministic and identical vectors collide") {
     import spark.implicits._
     val df = Seq((1L, Array(0.5f, -0.25f, 0.75f)), (2L, Array(0.5f, -0.25f, 0.75f)))
