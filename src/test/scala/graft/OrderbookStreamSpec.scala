@@ -46,24 +46,36 @@ class OrderbookStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // batch 1: create offer 5
     Seq(OfferChange(5L, 20L, 0L, "acctZ", 42.0, 2, 1, deleted = false))
       .toDS().write.mode("append").parquet(landing)
-    def run(): Unit = {
+    def run(): org.apache.spark.sql.streaming.StreamingQuery = {
       val stream = spark.readStream
         .schema(implicitly[org.apache.spark.sql.Encoder[OfferChange]].schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(landing).as[OfferChange]
-      OrderbookStream.offerEvents(stream).writeStream
+      val q = OrderbookStream.offerEvents(stream).writeStream
         .format("parquet")
         .option("path", outDir)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .outputMode("append")
-        .start().awaitTermination(120000)
+        .start()
+      q.awaitTermination(120000)
+      q
     }
     run()
     // batch 2 (separate run, state restored from checkpoint): update offer 5
     Seq(OfferChange(5L, 21L, 0L, "acctZ", 10.0, 2, 1, deleted = false))
       .toDS().write.mode("append").parquet(landing)
-    run()
+    val q2 = run()
+
+    // micro-batch plan audit: the restarted run reads ONLY the new file
+    // (no re-scan of committed input per trigger) and carries exactly one
+    // offer in the managed state store (restored, not rebuilt)
+    val progs = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(progs.map(_.numInputRows).sum == 1,
+      progs.map(_.numInputRows).mkString(","))
+    val stateOps = q2.recentProgress.flatMap(_.stateOperators)
+    assert(stateOps.nonEmpty && stateOps.exists(_.numRowsTotal == 1),
+      stateOps.map(_.numRowsTotal).mkString(","))
 
     import org.apache.spark.sql.functions.col
     val events = spark.read.parquet(outDir).as[OfferEvent]

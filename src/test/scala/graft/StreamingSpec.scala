@@ -55,12 +55,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("k1", 0L, 5L, "b"), ("k2", 0L, 3L, "x"),
       ("k1", 1L, 70L, "c"), ("k3", 1L, 65L, "y")))
 
-    // restart with same checkpoint + no new files → no duplicate output
-    ChangeStream.readChanges(spark, landing, schemaSource)
-    ChangeStream.writeCompactedBatches(
+    // restart with same checkpoint + no new files → no duplicate output,
+    // and the micro-batch progress proves no committed file is re-scanned
+    // (zero input rows across every trigger of the restarted query)
+    val q2 = ChangeStream.writeCompactedBatches(
       ChangeStream.readChanges(spark, landing, schemaSource),
       Seq("key"), "seq", Seq("seq"), out, ckpt)
-      .start().awaitTermination(60000)
+      .start()
+    q2.awaitTermination(60000)
+    assert(q2.recentProgress.map(_.numInputRows).sum == 0,
+      q2.recentProgress.map(_.numInputRows).mkString(","))
     assert(spark.read.parquet(out).count() == 4)
   }
 
