@@ -1312,7 +1312,21 @@ object QueryCatalog {
       (s, dir) =>
         EntryProjections.rawBase64(T(s, dir, "documents")).orderBy("doc_id")),
 
-    Q("stellar_history_pipeline", None, // strkey/base64 model: rows-only check
+    Q("stellar_history_pipeline",
+      // the composed P1+P2+P3 id stream re-derived in SQL: every ledger, tx
+      // (failed included) and op TOID of the fixture lattice at its grain
+      Some("""WITH ls AS (SELECT unnest(generate_series(1000, 1099)) AS l),
+             |txs AS (SELECT l, unnest(generate_series(0, l % 5)) AS t FROM ls),
+             |ops AS (SELECT l, t, unnest(generate_series(0, t % 4)) AS o FROM txs)
+             |SELECT id, grain FROM (
+             |  SELECT CAST(l AS BIGINT) << 32 AS id, 'ledger' AS grain FROM ls
+             |  UNION ALL
+             |  SELECT (CAST(l AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12),
+             |         'tx' FROM txs
+             |  UNION ALL
+             |  SELECT (CAST(l AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12)
+             |           | CAST(o + 1 AS BIGINT), 'op' FROM ops)
+             |ORDER BY id, grain""".stripMargin),
       (s, dir) => {
         // the REAL P1+P2+P3 transforms over the decoded ledger model
         val ledgers = graft.sources.StellarFixture.ledgers(s, 1000, 1099)
@@ -1530,7 +1544,59 @@ object QueryCatalog {
           .orderBy("operation_id", "index")
       }),
 
-    Q("stellar_trades_effects", None, // strkey/farmhash model: rows-only check
+    Q("stellar_trades_effects",
+      // promoted from rows-only: the trade grain (pre-state/fallback price_n
+      // per claim atom) and the effect grain (1-based index per op, i.e. the
+      // full per-type effect COUNT case law incl. trade fan-outs and the
+      // sponsorship lattice) re-derived in SQL
+      Some("""WITH ls AS (SELECT unnest(generate_series(2000, 2099)) AS l),
+             |txs AS (SELECT l, unnest(generate_series(0, l % 5)) AS t FROM ls),
+             |ops AS (SELECT l, t, unnest(generate_series(0, t % 4)) AS o
+             |        FROM txs WHERE t % 3 != 0),
+             |el AS (SELECT l, t, o,
+             |        (CAST(l AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12)
+             |          | CAST(o + 1 AS BIGINT) AS op_id,
+             |        (l + t + o) % 27 AS ty,
+             |        CASE (l + t + o) % 27
+             |        WHEN 0 THEN 3 WHEN 1 THEN 2
+             |        WHEN 2 THEN 3 + (CASE WHEN o % 2 = 1 THEN 6 ELSE 0 END)
+             |        WHEN 13 THEN 2 + 6 * (o % 2 + 1)
+             |        WHEN 3 THEN 8 * (o % 2 + 1) WHEN 4 THEN 8 * (o % 2 + 1)
+             |        WHEN 12 THEN 8 * (o % 2 + 1)
+             |        WHEN 5 THEN (CASE
+             |          WHEN o % 2 = 0 AND o % 3 != 2 THEN 5
+             |          WHEN o % 2 = 0 THEN 4
+             |          WHEN o % 3 != 2 THEN 3 ELSE 2 END)
+             |        WHEN 6 THEN 1 WHEN 7 THEN 1 WHEN 21 THEN 1
+             |        WHEN 8 THEN 3 WHEN 9 THEN 2 WHEN 10 THEN 1 WHEN 11 THEN 1
+             |        WHEN 14 THEN 4 WHEN 15 THEN 2 WHEN 19 THEN 2 WHEN 20 THEN 2
+             |        WHEN 16 THEN (CASE WHEN (l + t) % 4 = 3 THEN 0 ELSE 1 END)
+             |          + (CASE WHEN (l + o) % 4 = 0 AND (t + o) % 4 < 3
+             |             THEN 1 ELSE 0 END)
+             |        WHEN 17 THEN (CASE WHEN (l + t) % 4 = 3 THEN 0 ELSE 1 END)
+             |          + (CASE WHEN (l + o) % 4 = 0 AND (t + o) % 4 < 3
+             |             THEN 1 ELSE 0 END)
+             |        WHEN 18 THEN (CASE WHEN (l + t) % 4 = 3 THEN 0 ELSE 1 END)
+             |          + (CASE WHEN (l + o) % 4 = 0 AND (t + o) % 4 < 3
+             |             THEN 1 ELSE 0 END)
+             |        WHEN 22 THEN 1 WHEN 23 THEN 1
+             |        WHEN 24 THEN (CASE WHEN o % 4 = 0 THEN 3 ELSE 0 END)
+             |        WHEN 25 THEN 1 WHEN 26 THEN 1
+             |        ELSE 0 END AS cnt
+             |      FROM ops),
+             |atoms AS (SELECT op_id, ty = 2 AND a = 0 AS lp, a
+             |          FROM (SELECT *, unnest(generate_series(0, o % 2)) AS a
+             |                FROM el WHERE ty IN (2, 3, 4, 12, 13)))
+             |SELECT id, grain, n FROM (
+             |  SELECT op_id AS id, 'effect' AS grain,
+             |         unnest(generate_series(1, cnt)) AS n
+             |  FROM el WHERE cnt > 0
+             |  UNION ALL
+             |  SELECT op_id, 'trade',
+             |         CAST(CASE WHEN lp THEN 1500000 * (a + 1) ELSE 7 END
+             |              AS BIGINT)
+             |  FROM atoms)
+             |ORDER BY id, grain, n""".stripMargin),
       (s, dir) => {
         // REAL P4+P5 over the decoded model: pre-state price reverse scan,
         // synthetic ids, LP pool fees, effect fan-out
