@@ -30,10 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     ledger; required-column pruning skips building the nested tx array
   *     entirely when the query doesn't ask for it.
   *
-  * Frame payload layout (big-endian, a deliberately minimal stand-in for the
-  * XDR `LedgerCloseMeta` this environment has no decoder for):
-  * `seq:i64 ‖ closedAtEpochMs:i64 ‖ nTx:i32 ‖ nTx × (fee:i64 ‖ successful:i8
-  * ‖ opType:i32 ‖ amount:i64)`.
+  * Frame payload is the RFC 4506 XDR subset of `LedgerCloseMeta` defined by
+  * [[graft.codec.Lcm]] — the source boundary parses XDR bytes exactly as
+  * the reference's unmarshal layer does (`utils/main.go:686-705`), just over
+  * the model's field subset since this environment has no real LCM corpus.
   */
 class LcmDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -160,20 +160,21 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
       val len = try in.readInt() catch { case _: java.io.EOFException => return false }
       val payload = new Array[Byte](len)
       in.readFully(payload)
-      val buf = java.nio.ByteBuffer.wrap(payload) // big-endian by default
-      val seq = buf.getLong
-      val closedAtMs = buf.getLong
+      val buf = java.nio.ByteBuffer.wrap(payload) // XDR is big-endian
+      val (seq, closedAtMs) = graft.codec.Lcm.decodeHeader(buf)
       if (seq >= lo && seq <= hi) {
         val values = requiredSchema.fieldNames.map {
           case "sequence" => seq: Any
           case "closed_at" => closedAtMs * 1000L: Any // epoch micros
           case "transactions" =>
-            val n = buf.getInt
-            val rows = new Array[Any](n)
+            // flat tx view: the first (here: only) op of each envelope
+            val txs = graft.codec.Lcm.decodeTxs(buf)
+            val rows = new Array[Any](txs.size)
             var i = 0
-            while (i < n) {
+            txs.foreach { t =>
+              val op = t.ops.head
               rows(i) = new GenericInternalRow(Array[Any](
-                buf.getLong, buf.get() != 0, buf.getInt, buf.getLong))
+                t.feeCharged, t.successful, op.opType, op.amountStroops))
               i += 1
             }
             new GenericArrayData(rows): Any
@@ -191,7 +192,8 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
   override def close(): Unit = in.close()
 }
 
-/** Batch-file writer for the `.lcmb` format (fixture export + tests). */
+/** Batch-file writer for the `.lcmb` format (fixture export + tests):
+  * length-prefixed [[graft.codec.Lcm]] XDR frames. */
 object LcmWriter {
   def write(dir: String, ledgers: Seq[(Long, Long, Seq[(Long, Boolean, Int, Long)])],
       batchSize: Int = 64): Seq[String] = {
@@ -204,14 +206,14 @@ object LcmWriter {
       val out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(new java.io.FileOutputStream(f)))
       batch.foreach { case (seq, closedAtMs, txs) =>
-        val payload = java.nio.ByteBuffer.allocate(8 + 8 + 4 + txs.size * 21)
-        payload.putLong(seq).putLong(closedAtMs).putInt(txs.size)
-        txs.foreach { case (fee, ok, opType, amount) =>
-          payload.putLong(fee).put(if (ok) 1.toByte else 0.toByte)
-            .putInt(opType).putLong(amount)
-        }
-        out.writeInt(payload.position())
-        out.write(payload.array(), 0, payload.position())
+        val frame = graft.codec.Lcm.encode(graft.codec.Lcm.Frame(
+          seq, closedAtMs,
+          txs.map { case (fee, ok, opType, amount) =>
+            graft.codec.Lcm.Tx(fee, ok,
+              Seq(graft.codec.Lcm.Op(opType, amount)))
+          }))
+        out.writeInt(frame.length)
+        out.write(frame)
       }
       out.close()
       f.getAbsolutePath

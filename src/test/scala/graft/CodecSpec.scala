@@ -275,4 +275,29 @@ class CodecSpec extends AnyFunSuite {
     // malformed bytes never throw
     assert(SacStorage.contractBalanceFromContractData(Array[Byte](1, 2), value).isEmpty)
   }
+
+  test("LCM XDR frame: golden byte layout and roundtrip") {
+    import Lcm._
+    val f = Frame(2048L, 1700000000000L, Seq(
+      Tx(100L, successful = true, Seq(Op(5, 1000000L))),
+      Tx(200L, successful = false, Seq(Op(24, 7L), Op(1, 42L)))))
+    val bytes = encode(f)
+    // version ‖ uint32 seq ‖ uint64 closeTimeMs ‖ nTx ‖ per tx:
+    // resultCode ‖ hyper fee ‖ nOps ‖ per op: opType ‖ hyper amount
+    assert(hexStr(bytes) ==
+      "00000001" + "00000800" + "0000018bcfe56800" + "00000002" +
+        "00000000" + "0000000000000064" + "00000001" +
+        "00000005" + "00000000000f4240" +
+        "00000001" + "00000000000000c8" + "00000002" +
+        "00000018" + "0000000000000007" +
+        "00000001" + "000000000000002a")
+    assert(decode(bytes) == f)
+    // header-only decode positions the buffer at the tx count
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    assert(Lcm.decodeHeader(buf) == ((2048L, 1700000000000L)))
+    assert(decodeTxs(buf) == f.txs)
+    // unknown version tag is rejected, not misread
+    val bad = bytes.clone(); bad(3) = 9
+    intercept[IllegalArgumentException](decode(bad))
+  }
 }
