@@ -1475,11 +1475,16 @@ object QueryCatalog {
              |          WHEN o % 2 = 0 THEN [4, 6, 7, 10]
              |          WHEN o % 3 != 2 THEN [4, 5, 6]
              |          ELSE [4, 6] END)
-             |        WHEN 6 THEN (CASE WHEN (l + t) % 4 = 1 THEN [21]
-             |          WHEN o % 3 != 2 AND (l + t + o) % 2 = 1 THEN [22]
+             |        WHEN 6 THEN (CASE
+             |          WHEN (l + t) % 4 = 1 AND o % 3 = 2 THEN [21, 94]
+             |          WHEN (l + t) % 4 = 1 THEN [21]
+             |          WHEN o % 3 = 2 AND (l + t + o) % 2 = 0 THEN [20, 93]
+             |          WHEN o % 3 = 2 THEN [20]
+             |          WHEN (l + t + o) % 2 = 1 THEN [22]
              |          ELSE [20] END)
-             |        WHEN 7 THEN [26]
-             |        WHEN 21 THEN [26]
+             |        WHEN 7 THEN [26, 26]
+             |        WHEN 21 THEN (CASE WHEN o % 2 = 1 AND l % 2 = 0
+             |          THEN [26, 50, 51, 95] ELSE [26] END)
              |        WHEN 8 THEN [3, 2, 1]
              |        WHEN 9 THEN [2, 2]
              |        WHEN 10 THEN (CASE WHEN o % 2 = 0 THEN [40] ELSE [41] END)
@@ -1567,7 +1572,12 @@ object QueryCatalog {
              |          WHEN o % 2 = 0 AND o % 3 != 2 THEN 5
              |          WHEN o % 2 = 0 THEN 4
              |          WHEN o % 3 != 2 THEN 3 ELSE 2 END)
-             |        WHEN 6 THEN 1 WHEN 7 THEN 1 WHEN 21 THEN 1
+             |        WHEN 6 THEN 1 + (CASE WHEN o % 3 = 2 AND
+             |          ((l + t) % 4 = 1 OR (l + t + o) % 2 = 0)
+             |          THEN 1 ELSE 0 END)
+             |        WHEN 7 THEN 2
+             |        WHEN 21 THEN (CASE WHEN o % 2 = 1 AND l % 2 = 0
+             |          THEN 4 ELSE 1 END)
              |        WHEN 8 THEN 3 WHEN 9 THEN 2 WHEN 10 THEN 1 WHEN 11 THEN 1
              |        WHEN 14 THEN 4 WHEN 15 THEN 2 WHEN 19 THEN 2 WHEN 20 THEN 2
              |        WHEN 16 THEN (CASE WHEN (l + t) % 4 = 3 THEN 0 ELSE 1 END)

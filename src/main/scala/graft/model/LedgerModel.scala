@@ -57,7 +57,17 @@ object LedgerModel {
       // entry + signer sponsorship transition payload, when this change
       // carries one (`addLedgerEntrySponsorshipEffects` /
       // `addSignerSponsorshipEffects`, effects.go:225-368)
-      sponsorship: Option[SponsorshipChange] = None)
+      sponsorship: Option[SponsorshipChange] = None,
+      // claimable balance created by an LP-share revocation
+      // (`addLiquidityPoolRevokedEffect`, effects.go:1160-1224)
+      cb_revocation: Option[RevokedCb] = None)
+
+  /** One claimable balance created while revoking liquidity-pool shares:
+    * the reference matches created CB entries to the pool's reserve assets
+    * and fans out CB-created effects plus one liquidity_pool_revoked. */
+  case class RevokedCb(
+      balance_id: Array[Byte], amount_stroops: Long, asset: AssetRef,
+      claimant_key: Array[Byte], claimant_predicate_xdr: Array[Byte])
 
   /** One sponsored signer of an account entry state (the reference's
     * `SponsorPerSigner` map entries, effects.go:232-240). */

@@ -356,15 +356,16 @@ object StellarTradesEffects {
     val changeTrust = array(
       effC(changeTrustType, sourceAddr, obj(
         kv("limit", amt(col("op.trust_limit_stroops"))) +: trustAssetKvs: _*)))
-    // each flag renders true when present in set-flags and false when in
-    // clear-flags; clear wins on overlap (`setTrustLineFlagDetails` applied
-    // set-then-clear, effects.go:1124-1134)
-    val tlSetF = coalesce(col("op.authorize_flags"), col("op.tl_set_flags"), lit(0))
+    // set_trust_line_flags (21): ONE effect; each flag renders true when
+    // present in set-flags and false when in clear-flags, clear winning on
+    // overlap (`setTrustLineFlagDetails` applied set-then-clear,
+    // effects.go:1124-1134)
+    val tlSetF = coalesce(col("op.tl_set_flags"), lit(0))
     val tlClearF = coalesce(col("op.tl_clear_flags"), lit(0))
+    val trustorKvs = Seq(kv("trustor", strkeyAccount(col("op.trustor_key")))) ++
+      assetKvs(col("op.trust_asset"))
     val tlFlagsUpdated = array(
-      eff(26, sourceAddr, obj(Seq(
-        kv("trustor", strkeyAccount(col("op.trustor_key")))) ++
-          assetKvs(col("op.trust_asset")) ++ Seq(
+      eff(26, sourceAddr, obj(trustorKvs ++ Seq(
           1 -> "authorized_flag",
           2 -> "authorized_to_maintain_liabilites", // sic, `effects.go:1129`
           4 -> "clawback_enabled_flag").map { case (bit, key) =>
@@ -372,6 +373,21 @@ object StellarTradesEffects {
               when(tlClearF.bitwiseAND(bit) =!= 0, lit("false"))
                 .when(tlSetF.bitwiseAND(bit) =!= 0, lit("true")))
           }: _*)))
+    // allow_trust (7): TWO effects — the legacy flags-free details, then the
+    // forward-compatibility flag rendering (`addAllowTrustEffects`,
+    // effects.go:696-728): authorized → authorized_flag:true only;
+    // maintain-liabilities → its flag true only; anything else clears both
+    val af = coalesce(col("op.authorize_flags"), lit(0))
+    val allowTrust = array(
+      eff(26, sourceAddr, obj(trustorKvs: _*)),
+      eff(26, sourceAddr, obj(trustorKvs ++ Seq(
+        kvRaw("authorized_flag",
+          when(af.bitwiseAND(1) =!= 0, lit("true"))
+            .when(af.bitwiseAND(2) === 0, lit("false"))),
+        kvRaw("authorized_to_maintain_liabilites",
+          when(af.bitwiseAND(1) =!= 0, lit(null).cast("string"))
+            .when(af.bitwiseAND(2) =!= 0, lit("true"))
+            .otherwise(lit("false")))): _*)))
 
     // data / sequence ------------------------------------------------------
     val manageData = array(
@@ -449,16 +465,19 @@ object StellarTradesEffects {
 
     // liquidity pools ------------------------------------------------------
     val lpChange = lastPoolChange(col("op.changes"), col("op.pool_id"))
-    def lpPoolDetails: Column = obj(
-      kv("id", lower(hex(col("op.pool_id")))),
-      kvRaw("fee_bp", lpChange("pre_pool_fee")),
+    // `liquidityPoolDetails` (effects.go:1249-1268) from a pool change's
+    // post state (total_trustlines omitted: the model does not carry it)
+    def lpDetailsOf(chg: Column): Column = obj(
+      kv("id", lower(hex(chg("pool_id")))),
+      kvRaw("fee_bp", chg("pre_pool_fee")),
       kv("type", lit("constant_product")),
-      kv("total_shares", amt(lpChange("post_total_shares"))),
+      kv("total_shares", amt(chg("post_total_shares"))),
       kvRaw("reserves", concat(
-        lit("""[{"asset":""""), canon(lpChange("pool_asset_a")),
-        lit("""","amount":""""), amt(lpChange("post_reserve_a")),
-        lit(""""},{"asset":""""), canon(lpChange("pool_asset_b")),
-        lit("""","amount":""""), amt(lpChange("post_reserve_b")), lit(""""}]"""))))
+        lit("""[{"asset":""""), canon(chg("pool_asset_a")),
+        lit("""","amount":""""), amt(chg("post_reserve_a")),
+        lit(""""},{"asset":""""), canon(chg("pool_asset_b")),
+        lit("""","amount":""""), amt(chg("post_reserve_b")), lit(""""}]"""))))
+    def lpPoolDetails: Column = lpDetailsOf(lpChange)
     def lpReserves(negate: Boolean): Column = {
       def delta(pre: String, post: String): Column =
         if (negate) lpChange(pre) - lpChange(post)
@@ -480,6 +499,52 @@ object StellarTradesEffects {
       kvRaw("reserves_received", lpReserves(negate = true)),
       kv("shares_redeemed",
         amt(lpChange("pre_total_shares") - lpChange("post_total_shares"))))))
+
+    // LP-share revocation (`addLiquidityPoolRevokedEffect`,
+    // effects.go:1160-1224), appended to allow_trust/set_trust_line_flags:
+    // when the op's changes carry an LP product delta AND created claimable
+    // balances, emit CB-created effects (50 + claimant 51s) per balance,
+    // then one liquidity_pool_revoked (95) whose reserves_revoked lists the
+    // reserve assets matched to their reclaiming balance
+    val revCbs = filter(col("op.changes"), c => c("cb_revocation").isNotNull)
+    val revPool = {
+      val m = filter(col("op.changes"), c =>
+        c("entry_type") === "liquidity_pool" && c("pre_reserve_a").isNotNull)
+      get(m, size(m) - 1)
+    }
+    def cbIdOf(c: Column): Column =
+      concat(lit("00000000"), lower(hex(c("balance_id"))))
+    val cbCreatedEffs = flatten(transform(revCbs, c => {
+      val r = c("cb_revocation")
+      array(
+        eff(50, sourceAddr, obj(
+          kv("balance_id", cbIdOf(r)), kv("amount", amt(r("amount_stroops"))),
+          kv("asset", canon(r("asset"))))),
+        eff(51, strkeyAccount(r("claimant_key")), obj(
+          kv("balance_id", cbIdOf(r)), kv("amount", amt(r("amount_stroops"))),
+          kvRaw("predicate", claimPredicateJson(r("claimant_predicate_xdr"))),
+          kv("asset", canon(r("asset"))))))
+    }))
+    def revEntry(assetCol: Column, preC: Column, postC: Column): Column = {
+      val matched = get(filter(revCbs, c =>
+        canon(c("cb_revocation")("asset")) === canon(assetCol)), lit(0))
+      when(matched.isNotNull, concat(
+        lit("""{"asset":""""), canon(assetCol),
+        lit("""","amount":""""), amt(preC - postC),
+        lit("""","claimable_balance_id":""""),
+        cbIdOf(matched("cb_revocation")), lit(""""}""")))
+    }
+    val revocation = when(revPool.isNotNull && size(revCbs) > 0,
+      concat(cbCreatedEffs, array(eff(95, sourceAddr, obj(
+        kvRaw("liquidity_pool", lpDetailsOf(revPool)),
+        kvRaw("reserves_revoked", concat(lit("["), concat_ws(",",
+          revEntry(revPool("pool_asset_a"),
+            revPool("pre_reserve_a"), revPool("post_reserve_a")),
+          revEntry(revPool("pool_asset_b"),
+            revPool("pre_reserve_b"), revPool("post_reserve_b"))), lit("]"))),
+        kv("shares_revoked",
+          amt(revPool("pre_total_shares") - revPool("post_total_shares"))))))))
+      .otherwise(noEff)
 
     // soroban --------------------------------------------------------------
     val extendTtl = array(eff(98, sourceAddr,
@@ -598,7 +663,8 @@ object StellarTradesEffects {
         .when(ty.isin(3, 4, 12), tradeEffects)
         .when(ty === 5, setOptions)
         .when(ty === 6, changeTrust)
-        .when(ty.isin(7, 21), tlFlagsUpdated)
+        .when(ty === 7, concat(allowTrust, revocation))
+        .when(ty === 21, concat(tlFlagsUpdated, revocation))
         .when(ty === 8, accountMerge)
         .when(ty === 9, inflation)
         .when(ty === 10, manageData)
@@ -614,7 +680,22 @@ object StellarTradesEffects {
         .when(ty === 26, restoreFootprint)
         .otherwise(noEff)
 
-    val allEffects = concat(effectsArr, coalesce(sponsorshipEffects, noEff))
+    // LP entry-change loop (`addLedgerEntryLiquidityPoolEffects`,
+    // effects.go:373-402), after the sponsorship loop: created pool entries
+    // emit 93 with full pool details, removed ones 94 with the id; updates
+    // (and the kind-less LP deltas of deposit/withdraw/revocation) emit
+    // nothing. Addressed to the op source.
+    val lpEntryEffects = filter(transform(col("op.changes"), c =>
+      when(c("entry_type") === "liquidity_pool" && c("change_kind") === 0,
+        effC(lit(93), sourceAddr,
+          obj(kvRaw("liquidity_pool", lpDetailsOf(c)))))
+        .when(c("entry_type") === "liquidity_pool" && c("change_kind") === 2,
+          effC(lit(94), sourceAddr,
+            obj(kv("liquidity_pool_id", lower(hex(c("pool_id")))))))),
+      x => x.isNotNull)
+
+    val allEffects = concat(effectsArr,
+      coalesce(sponsorshipEffects, noEff), coalesce(lpEntryEffects, noEff))
 
     ops
       .select(col("sequence"), col("closed_at"), col("tx_pos"),

@@ -121,7 +121,19 @@ object StellarFixture {
               change_kind = Some(
                 if (removed) 2 else if ((l + t + o) % 2 == 0) 0 else 1),
               tl_asset_type = Some("credit_alphanum4"))
-          else base.changes)
+          else
+            // pool-share lines create/remove the pool entry itself:
+            // kind 0 → liquidity_pool_created (93), 2 → removed (94),
+            // 1 (update) → no LP effect (`addLedgerEntryLiquidityPoolEffects`)
+            base.changes :+ OpChange("liquidity_pool",
+              None, None, Some(keyOf(s"pool-$l")), None, None, Some(30L),
+              post_reserve_a = Some(7000000L + o),
+              post_reserve_b = Some(3000000L + o),
+              post_total_shares = Some(5000000L + o),
+              pool_asset_a = Some(AssetRef("native", "", "")),
+              pool_asset_b = Some(cred(s"PL${l % 4}", (l % 3).toInt)),
+              change_kind = Some(
+                if (removed) 2 else if ((l + t + o) % 2 == 0) 0 else 1)))
       case 7 => base.copy(
         trust_asset = Some(cred(s"AL$o", o % 3)),
         trustor_key = Some(keyOf(s"trustor-$l-$t-$o")),
@@ -167,11 +179,33 @@ object StellarFixture {
         else if (o % 4 == 1) withSp.copy(
           revoke_account_id_key = Some(keyOf(s"racct-$l-$t-$o")))
         else withSp.copy(revoke_offer_id = Some(8000L + o))
-      case 21 => base.copy(
-        trust_asset = Some(cred(s"TF$o", o % 3)),
-        trustor_key = Some(keyOf(s"trustor-$l-$t-$o")),
-        tl_set_flags = if (o % 2 == 0) Some(1) else None, // authorized
-        tl_clear_flags = if (o % 2 == 1) Some(6) else None) // maintain|clawback
+      case 21 =>
+        // clear-flags ops on even ledgers additionally revoke LP shares:
+        // an LP product-delta change plus one created claimable balance
+        // reclaiming reserve asset A (`addLiquidityPoolRevokedEffect`)
+        val revoke = o % 2 == 1 && l % 2 == 0
+        base.copy(
+          trust_asset = Some(cred(s"TF$o", o % 3)),
+          trustor_key = Some(keyOf(s"trustor-$l-$t-$o")),
+          tl_set_flags = if (o % 2 == 0) Some(1) else None, // authorized
+          tl_clear_flags = if (o % 2 == 1) Some(6) else None, // maintain|clawback
+          changes = if (revoke) base.changes ++ Seq(
+            OpChange("liquidity_pool", None, None, Some(keyOf(s"pool-$l")),
+              None, None, Some(30L),
+              pre_reserve_a = Some(900000000L + o),
+              post_reserve_a = Some(600000000L + o),
+              pre_reserve_b = Some(400000000L), post_reserve_b = Some(250000000L),
+              pre_total_shares = Some(80000000L),
+              post_total_shares = Some(50000000L),
+              pool_asset_a = Some(cred(s"RV$o", o % 3)),
+              pool_asset_b = Some(AssetRef("native", "", ""))),
+            OpChange("claimable_balance", None, None, None, None, None, None,
+              cb_revocation = Some(RevokedCb(
+                keyOf(s"cb-rev-$l-$t-$o"), 300000000L - o,
+                cred(s"RV$o", o % 3), keyOf(s"trustor-$l-$t-$o"),
+                graft.codec.ClaimPredicate.encode(
+                  graft.codec.ClaimPredicate.Unconditional)))))
+          else base.changes)
       case 22 => base.copy(
         pool_id = Some(keyOf(s"pool-$l")),
         max_amount_a = Some(40000000L + o), max_amount_b = Some(50000000L + o),

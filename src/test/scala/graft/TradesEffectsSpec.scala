@@ -148,13 +148,26 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
           types.forall(Seq(4, 5, 6, 7, 10, 11).contains(_)), s"setopts: $types")
         case 6 =>
           // created/updated from the planted change entry; removed when the
-          // fixture zeroes the limit; pool lines (o%3==2) hit the fallback
-          val expect =
-            if ((l + t) % 4 == 1) 21
+          // fixture zeroes the limit; pool lines (o%3==2) hit the limit
+          // fallback and additionally emit the LP entry effect (93/94)
+          val removed = (l + t) % 4 == 1
+          val base =
+            if (removed) 21
             else if (o % 3 != 2 && (l + t + o) % 2 == 1) 22
             else 20
-          assert(types == Seq(expect), s"change_trust($l,$t,$o): $types")
-        case 7 | 21 => assert(types == Seq(26), s"tl_flags: $types")
+          val lp =
+            if (o % 3 == 2 && (removed || (l + t + o) % 2 == 0))
+              Seq(if (removed) 94 else 93)
+            else Seq.empty
+          assert(types == (Seq(base) ++ lp).sorted,
+            s"change_trust($l,$t,$o): $types")
+        case 7 => assert(types == Seq(26, 26), s"allow_trust: $types")
+        case 21 =>
+          // clear-flags ops on even ledgers revoke LP shares: CB-created
+          // fan-out then liquidity_pool_revoked
+          val expect = if (o % 2 == 1 && l % 2 == 0) Seq(26, 50, 51, 95)
+            else Seq(26)
+          assert(types == expect, s"set_tl_flags($l,$t,$o): $types")
         case 8 => assert(types == Seq(1, 2, 3), s"merge: $types")
         case 9 => assert(types == Seq(2, 2), s"inflation: $types")
         case 10 => assert(types == Seq(40) || types == Seq(41), s"data: $types")
