@@ -451,7 +451,14 @@ object StellarTradesEffects {
         val types = if (isPathPayment) Seq(33, 32, 31) else Seq(33, 32, 31, 30)
         when(a("atom_type") === "liquidity_pool",
           array(eff(92, sourceAddr, obj(
-            kv("liquidity_pool_id", lower(hex(a("pool_id")))),
+            // nested `liquidity_pool` details object
+            // (`addClaimLiquidityPoolTradeEffect`, effects.go:1014-1032);
+            // partial width — the atom's pool change carries no post state
+            kvRaw("liquidity_pool", obj(
+              kv("id", lower(hex(a("pool_id")))),
+              kvRaw("fee_bp",
+                lastPoolChange(col("op.changes"), a("pool_id"))("pre_pool_fee")),
+              kv("type", lit("constant_product")))),
             kvRaw("sold", concat(lit("""{"asset":""""), canon(a("asset_sold")),
               lit("""","amount":""""), amt(a("amount_sold_stroops")), lit(""""}"""))),
             kvRaw("bought", concat(lit("""{"asset":""""), canon(a("asset_bought")),

@@ -250,7 +250,8 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
           node.get("liquidity_pool").has("reserves") &&
           node.has("reserves_deposited") && node.has("shares_received"))
         case 91 => assert(node.has("reserves_received") && node.has("shares_redeemed"))
-        case 92 => assert(node.has("sold") && node.has("bought"))
+        case 92 => assert(node.has("sold") && node.has("bought") &&
+          node.has("liquidity_pool") && node.get("liquidity_pool").has("id"))
         case 43 => assert(node.has("new_seq"))
         case _ => ()
       }
