@@ -637,6 +637,61 @@ object QueryCatalog {
             "text", "doc_id", n = 1, threshold = 0.5)
           .orderBy("id_a", "id_b")),
 
+    Q("x_dedup_clusters",
+      // connected components over the >=0.5-Jaccard pair graph, re-derived
+      // in DuckDB with a recursive min-label-closure CTE: cc accumulates
+      // every (vertex, smaller-connected-label) pair to fixpoint, so
+      // min(label) per vertex is the component minimum — exactly what the
+      // Spark label-propagation loop converges to
+      Some(s"""WITH RECURSIVE w AS (
+             |  SELECT doc_id,
+             |         list_distinct(string_split_regex(
+             |           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+             |  FROM documents WHERE doc_id < 300),
+             |g AS (SELECT doc_id, unnest(toks) AS gram FROM w),
+             |sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+             |p0 AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+             |       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2),
+             |p AS (SELECT a, b
+             |      FROM p0 JOIN sz sa ON p0.a = sa.doc_id
+             |              JOIN sz sb ON p0.b = sb.doc_id
+             |      WHERE inter / (sa.n_grams + sb.n_grams - inter) >= 0.5),
+             |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+             |cc AS (
+             |  SELECT doc_id AS v, doc_id AS label FROM w
+             |  UNION
+             |  SELECT e.b, cc.label FROM cc JOIN e ON e.a = cc.v
+             |  WHERE cc.label < e.b)
+             |SELECT CAST(v AS BIGINT) AS doc_id,
+             |       CAST(min(label) AS BIGINT) AS cluster_id
+             |FROM cc GROUP BY v ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = T(s, dir, "documents").where(col("doc_id") < 300)
+        Dedup.dupClusters(docs, "doc_id",
+            Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 1,
+              threshold = 0.5),
+            "id_a", "id_b")
+          .select(col("doc_id"), col("cluster_id"))
+          .orderBy("doc_id")
+      }),
+
+    Q("x_sample_stratified",
+      // hash-threshold mixing: DuckDB replays the identical sha256-prefix
+      // predicate, so the kept row set matches bit-for-bit
+      Some(s"""SELECT doc_id, lang FROM documents
+             |WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) <
+             |  CASE lang WHEN 'en' THEN '${Sampling.thresholdHex(0.5)}'
+             |            WHEN 'de' THEN '${Sampling.thresholdHex(0.25)}'
+             |            WHEN 'zh' THEN '${Sampling.thresholdHex(1.0)}'
+             |            ELSE '${Sampling.thresholdHex(0.1)}' END
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Sampling.stratified(T(s, dir, "documents"), "doc_id", "lang",
+            Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0), defaultRate = 0.1)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")),
+
     Q("x_jaccard_dfcut", // scale variant: hot grams (>10% of corpus) blacklisted
       Some(s"""WITH w AS (
              |  SELECT doc_id,

@@ -220,4 +220,48 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Near-duplicate CLUSTERS: connected components over candidate pairs
+    * (from [[ngramJaccardPairs]] or the MinHash/SimHash band joins) by
+    * iterative min-label propagation — each vertex converges to the
+    * smallest doc id in its component, the canonical representative for
+    * keep-one-per-cluster dedup.
+    *
+    * Scale shape: one equi-join shuffle per iteration, O(component
+    * diameter) iterations — near-dup clusters are short-diameter (near-
+    * cliques), so 3-5 rounds in practice; `maxIter` bounds adversarial
+    * chains (a large-star/small-star alternation would cut worst-case
+    * rounds to O(log n) if ever needed). Labels persist per round and the
+    * convergence check is one count per iteration, bounded work the driver
+    * never materializes. */
+  def dupClusters(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist(disk)
+    var labels = docs
+      .select(col(idCol).cast("long").as("v"), col(idCol).cast("long").as("label"))
+      .persist(disk)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges.alias("e")
+        .join(labels.alias("l"), col("e.src") === col("l.v"))
+        .select(col("e.dst").as("v"), col("l.label").as("label"))
+      val next = labels.unionAll(prop)
+        .groupBy("v").agg(min("label").as("label"))
+        .persist(disk)
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.v") === col("o.v"))
+        .where(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as(idCol), col("label").as("cluster_id"))
+  }
 }

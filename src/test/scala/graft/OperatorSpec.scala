@@ -208,6 +208,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.size == 32)
   }
 
+  test("dup clusters: min-label components over a chain + isolated vertex") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // chain 1-2-3 (diameter 2, needs propagation), pair 4-5, isolated 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
+  test("stratified sampling: deterministic, rate-accurate, map-only plan") {
+    import spark.implicits._
+    val df = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratified(df, "doc_id", "lang",
+      Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.0)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("zh") == 2000L) // rate 1.0 keeps everything
+    assert(math.abs(byLang("en") - 500L) < 120, byLang.toString) // ~25% of 2000
+    // reproducible: identical key set on re-evaluation
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratified(df, "doc_id", "lang",
+        Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // map-only: no exchange anywhere in the filter plan
+    assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("lsh bucket is deterministic and identical vectors collide") {
     import spark.implicits._
     val df = Seq((1L, Array(0.5f, -0.25f, 0.75f)), (2L, Array(0.5f, -0.25f, 0.75f)))
