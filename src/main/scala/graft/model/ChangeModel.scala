@@ -52,5 +52,9 @@ object ChangeModel {
       last_modified_ledger: Long,
       account: Option[AccountState],
       offer: Option[OfferState],
-      trustline: Option[TrustlineState])
+      trustline: Option[TrustlineState],
+      // the PRE-state entry sponsor, when the pre image existed and was
+      // sponsored — sponsorship effects classify on pre/post sponsor
+      // presence, not on the entry change kind (effects.go:296-317)
+      pre_sponsor_key: Option[Array[Byte]] = None)
 }

@@ -174,9 +174,12 @@ object StellarTradesEffects {
     98 -> "extend_footprint_ttl", 99 -> "restore_footprint")
 
   /** Change-derived effects (`effects.go:287-368` sponsorship scan plus the
-    * entry-CRUD families): effect type = f(entry_type, ledger_entry_change);
-    * a created entry carrying a sponsor additionally emits the sponsorship
-    * effect. One narrow projection + explode over a per-row effect array. */
+    * entry-CRUD families): CRUD effect type = f(entry_type,
+    * ledger_entry_change); sponsorship effects classify on PRE/POST sponsor
+    * presence (created / updated / removed / unchanged-skip), matching the
+    * op-grain derivation in [[historyEffects]], with the sponsor addresses
+    * in the details. One narrow projection + explode over a per-row effect
+    * array. */
   def changeEffects(changes: Dataset[graft.model.ChangeModel.ChangeRow]): DataFrame = {
     val crud = typedLit(Map(
       "trustline:0" -> 20, "trustline:2" -> 21, "trustline:1" -> 22,
@@ -189,21 +192,37 @@ object StellarTradesEffects {
     val addressKey = coalesce(col("account.account_key"), col("offer.seller_key"),
       col("trustline.account_key"))
     // sponsorship effect family is per entry type (`effects.go:287-368`):
-    // account 60/62, trustline 63/65; offer sponsorships emit no effect
+    // account 60-62, trustline 63-65; offer sponsorships emit no effect
     val sponsorBase = when(col("entry_type") === "account", 60)
       .when(col("entry_type") === "trustline", 63)
+    // payload fields hold the post state only while the entry lives
+    val postSp = when(!col("deleted") && sponsorKey.isNotNull,
+      strkeyAccount(sponsorKey))
+    val preSp = when(col("pre_sponsor_key").isNotNull,
+      strkeyAccount(col("pre_sponsor_key")))
+    def spObj(parts: Column*): Column =
+      concat(lit("{"), concat_ws(",", parts: _*), lit("}"))
+    def spKv(k: String, v: Column): Column =
+      when(v.isNotNull, concat(lit("\"" + k + "\":\""), v, lit("\"")))
 
     val effectsArr = filter(array(
       when(crudType.isNotNull, struct(crudType.as("type"),
-        element_at(names, crudType).as("type_string"))),
-      when(sponsorKey.isNotNull && sponsorBase.isNotNull &&
-          col("ledger_entry_change") === 0,
+        element_at(names, crudType).as("type_string"),
+        lit("{}").as("details"))),
+      when(sponsorBase.isNotNull && preSp.isNull && postSp.isNotNull,
         struct(sponsorBase.as("type"),
-          element_at(names, sponsorBase).as("type_string"))),
-      when(sponsorKey.isNotNull && sponsorBase.isNotNull &&
-          col("ledger_entry_change") === 2,
-        struct((sponsorBase + 2).as("type"),
-          element_at(names, sponsorBase + 2).as("type_string")))),
+          element_at(names, sponsorBase).as("type_string"),
+          spObj(spKv("sponsor", postSp)).as("details")))
+        .when(sponsorBase.isNotNull && preSp.isNotNull && postSp.isNull,
+          struct((sponsorBase + 2).as("type"),
+            element_at(names, sponsorBase + 2).as("type_string"),
+            spObj(spKv("former_sponsor", preSp)).as("details")))
+        .when(sponsorBase.isNotNull && preSp.isNotNull && postSp.isNotNull &&
+            preSp =!= postSp,
+          struct((sponsorBase + 1).as("type"),
+            element_at(names, sponsorBase + 1).as("type_string"),
+            spObj(spKv("new_sponsor", postSp),
+              spKv("former_sponsor", preSp)).as("details")))),
       e => e.isNotNull)
 
     changes.toDF()
@@ -216,6 +235,7 @@ object StellarTradesEffects {
         col("address"),
         col("e.type").as("type"),
         col("e.type_string").as("type_string"),
+        col("e.details").as("details"),
         col("ledger_sequence"),
         col("closed_at"),
         concat(col("ledger_sequence").cast("string"), lit("-"),

@@ -440,7 +440,14 @@ object StellarFixture {
         num_sponsored = 0, num_sponsoring = 0,
         signers = (0 to i % 3).map(k =>
           SignerState(keyOf(s"sig-$i-$k"), 10 - k, None)))),
-      offer = None, trustline = None)
+      offer = None, trustline = None,
+      // pre-state sponsor lattice: i%8==1 → removed (post unsponsored),
+      // i%8==4 → updated when the post sponsor differs, or removed when the
+      // entry itself is deleted; only rows with a pre image may carry one
+      pre_sponsor_key =
+        if ((deleted || i % 3 != 0) && (i % 8 == 1 || i % 8 == 4))
+          Some(keyOf(s"sponsor-pre-$i"))
+        else None)
   }
 
   def offerChange(seq: Long, i: Int): ChangeRow =

@@ -70,10 +70,24 @@ class ChangeTransformSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byType = effects.groupBy("type_string").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // fixture: offers are all ledger_entry_change=1 → offer_updated;
-    // accounts split across created/updated/removed
+    // accounts split across created/updated/removed, and the pre/post
+    // sponsor lattice exercises all three sponsorship transitions
     assert(byType.contains("offer_updated"))
     assert(byType.contains("account_sponsorship_created"))
+    assert(byType.contains("account_sponsorship_updated"))
+    assert(byType.contains("account_sponsorship_removed"))
     assert(!byType.contains("trustline_created")) // no trustline changes in fixture
+    // sponsorship details carry the sponsor addresses
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    effects.where(col("type").isin(60, 61, 62)).select("type", "details")
+      .collect().foreach { r =>
+        val node = om.readTree(r.getString(1))
+        r.getInt(0) match {
+          case 60 => assert(node.has("sponsor"))
+          case 61 => assert(node.has("new_sponsor") && node.has("former_sponsor"))
+          case 62 => assert(node.has("former_sponsor"))
+        }
+      }
     // ids are unique (ledger-order-index triple)
     assert(effects.select("id").distinct().count() == effects.count())
   }
