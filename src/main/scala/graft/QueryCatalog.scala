@@ -1588,7 +1588,7 @@ object QueryCatalog {
              |      FROM ops
              |      WHERE (l + t + o) % 27 NOT IN (2, 3, 4, 12, 13))
              |SELECT op_id AS operation_id,
-             |       generate_subscripts(effs, 1) AS "index",
+             |       generate_subscripts(effs, 1) - 1 AS "index",
              |       unnest(effs) AS type
              |FROM el WHERE len(effs) > 0
              |ORDER BY operation_id, "index"""".stripMargin),
@@ -1606,7 +1606,7 @@ object QueryCatalog {
 
     Q("stellar_trades_effects",
       // promoted from rows-only: the trade grain (pre-state/fallback price_n
-      // per claim atom) and the effect grain (1-based index per op, i.e. the
+      // per claim atom) and the effect grain (0-based index per op, i.e. the
       // full per-type effect COUNT case law incl. trade fan-outs and the
       // sponsorship lattice) re-derived in SQL
       Some("""WITH ls AS (SELECT unnest(generate_series(2000, 2099)) AS l),
@@ -1654,7 +1654,7 @@ object QueryCatalog {
              |                FROM el WHERE ty IN (2, 3, 4, 12, 13)))
              |SELECT id, grain, n FROM (
              |  SELECT op_id AS id, 'effect' AS grain,
-             |         unnest(generate_series(1, cnt)) AS n
+             |         unnest(generate_series(0, cnt - 1)) AS n
              |  FROM el WHERE cnt > 0
              |  UNION ALL
              |  SELECT op_id, 'trade',

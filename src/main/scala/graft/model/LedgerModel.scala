@@ -60,7 +60,11 @@ object LedgerModel {
       sponsorship: Option[SponsorshipChange] = None,
       // claimable balance created by an LP-share revocation
       // (`addLiquidityPoolRevokedEffect`, effects.go:1160-1224)
-      cb_revocation: Option[RevokedCb] = None)
+      cb_revocation: Option[RevokedCb] = None,
+      // TTL entry key hash: extend/restore footprint effects render the
+      // affected entries as base64 XDR TTL ledger keys
+      // (`addExtendFootprintTtlEffect`, effects.go:1434-1474)
+      ttl_key_hash: Option[Array[Byte]] = None)
 
   /** One claimable balance created while revoking liquidity-pool shares:
     * the reference matches created CB entries to the pool's reserve assets

@@ -245,7 +245,8 @@ object StellarTradesEffects {
 
   /** P4 — `history_effects` over the model: per-op effect array built from
     * the op-type case law (`effects.go:74-135`), exploded;
-    * id = "{opID}-{index}" (1-based). Each element carries its own subject
+    * id = "{opID}-{index}" (0-based, `operationEffects` tail numbering).
+    * Each element carries its own subject
     * address (`addMuxed`/`addUnmuxed` target differs per effect). All
     * intra-row column algebra: the per-type arrays concat, nulls filter out,
     * one posexplode. Soroban contract_credited/debited derive from the op's
@@ -574,9 +575,25 @@ object StellarTradesEffects {
       .otherwise(noEff)
 
     // soroban --------------------------------------------------------------
-    val extendTtl = array(eff(98, sourceAddr,
-      obj(kvRaw("extend_to", col("op.extend_to")))))
-    val restoreFootprint = array(eff(99, sourceAddr, lit("{}")))
+    // affected entries render as base64 XDR TTL ledger keys
+    // (discriminant LEDGER_ENTRY_TYPE_TTL = 9 ‖ 32-byte key hash), from the
+    // op's TTL entry changes; non-TTL changes are ignored
+    // (`addExtendFootprintTtlEffect`/`addRestoreFootprintExpirationEffect`,
+    // effects.go:1434-1513)
+    val ttlEntriesJson = {
+      val keys = transform(
+        filter(col("op.changes"), c => c("ttl_key_hash").isNotNull),
+        c => base64NoWrap(concat(
+          lit(Array[Byte](0, 0, 0, 9)), c("ttl_key_hash"))))
+      concat(lit("["),
+        array_join(transform(keys, e => concat(lit("\""), e, lit("\""))), ","),
+        lit("]"))
+    }
+    val extendTtl = array(eff(98, sourceAddr, obj(
+      kvRaw("entries", ttlEntriesJson),
+      kvRaw("extend_to", col("op.extend_to")))))
+    val restoreFootprint = array(eff(99, sourceAddr,
+      obj(kvRaw("entries", ttlEntriesJson))))
 
     // invoke-host-function: credit/debit effects from SAC events
     // (`addInvokeHostFunctionEffects`, effects.go:1319-1430) — account
@@ -737,8 +754,11 @@ object StellarTradesEffects {
         col("e.type_string").as("type_string"),
         col("closed_at"),
         col("sequence").as("ledger_sequence"),
-        (col("eff_pos") + 1).cast("long").as("index"),
+        // ZERO-based index and id, the reference's numbering
+        // (`operationEffects` tail: EffectIndex = uint32(i),
+        // EffectId = "{operationID}-{index}")
+        col("eff_pos").cast("long").as("index"),
         concat(col("operation_id").cast("string"), lit("-"),
-          (col("eff_pos") + 1).cast("string")).as("id"))
+          col("eff_pos").cast("string")).as("id"))
   }
 }

@@ -257,8 +257,16 @@ object StellarFixture {
                 Seq(encode(Sym("custom_event")), encode(U32(1))),
                 encode(Sym("not_an_amount"))))
           } else Seq.empty)
-      case 25 => base.copy(extend_to = Some(10000L + o))
-      case _ => base // 1/9/17/19/26 carry no extra envelope payload here
+      case 25 => base.copy(
+        extend_to = Some(10000L + o),
+        changes = base.changes ++ (0 to o % 2).map(k =>
+          OpChange("ttl", None, None, None, None, None, None,
+            ttl_key_hash = Some(keyOf(s"ttlkey-$l-$t-$o-$k")))))
+      case 26 => base.copy(
+        changes = base.changes :+ OpChange("ttl",
+          None, None, None, None, None, None,
+          ttl_key_hash = Some(keyOf(s"ttlkey-$l-$t-$o-0"))))
+      case _ => base // 1/19 carry no extra envelope payload here
     }
   }
 

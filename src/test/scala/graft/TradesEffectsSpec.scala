@@ -253,6 +253,10 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 92 => assert(node.has("sold") && node.has("bought") &&
           node.has("liquidity_pool") && node.get("liquidity_pool").has("id"))
         case 43 => assert(node.has("new_seq"))
+        case 98 => assert(node.has("entries") && node.get("entries").isArray &&
+          node.get("entries").size() > 0 && node.has("extend_to"))
+        case 99 => assert(node.has("entries") && node.get("entries").isArray &&
+          node.get("entries").size() == 1)
         case _ => ()
       }
     }
