@@ -60,7 +60,11 @@ object QueryCatalog {
     (String, AnyRef), DataFrame]()
   private def memo(key: String, src: AnyRef)(build: => DataFrame): DataFrame =
     frameMemo.computeIfAbsent((key, src), _ =>
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // eager localCheckpoint, not persist: cache lookup happens AFTER
+      // analysis, so a persisted frame still re-analyzes the full
+      // expression tree (huge for the effects fan-out) on EVERY action;
+      // checkpointing truncates the lineage to the materialized blocks
+      build.localCheckpoint(true))
 
   // ---------------------------------------------------------------------------
 
@@ -1389,8 +1393,9 @@ object QueryCatalog {
           .select(col("id"), lit("ledger").as("grain"))
         val t = StellarTransforms.historyTransactions(ledgers)
           .select(col("id"), lit("tx").as("grain"))
-        val o = memo("historyOperations", ledgers)(
-            StellarTransforms.historyOperations(ledgers))
+        val o = memo("historyOperationsNarrow", ledgers)(
+            StellarTransforms.historyOperations(ledgers)
+              .select("id", "type", "type_string", "transaction_id"))
           .select(col("id"), lit("op").as("grain"))
         l.unionAll(t).unionAll(o).orderBy("id", "grain")
       }),
@@ -1457,8 +1462,9 @@ object QueryCatalog {
           col("transaction_hash").as("s1"),
           col("fee_charged").as("n1"),
           col("inclusion_fee_charged").as("n2"))
-        val o = memo("historyOperations", ledgers)(
-            StellarTransforms.historyOperations(ledgers)).select(
+        val o = memo("historyOperationsNarrow", ledgers)(
+            StellarTransforms.historyOperations(ledgers)
+              .select("id", "type", "type_string", "transaction_id")).select(
           lit("op").as("grain"), col("id"),
           col("type_string").as("s1"),
           col("type").cast("long").as("n1"),
@@ -1497,9 +1503,12 @@ object QueryCatalog {
              |       CAST(1500000 * (a + 1) AS DOUBLE) / 10000000 AS buying_amount
              |FROM x ORDER BY history_operation_id, "order"""".stripMargin),
       (s, dir) =>
-        memo("historyTrades", graft.sources.StellarFixture.ledgers(s, 2000, 2099))(
+        memo("historyTradesNarrow", graft.sources.StellarFixture.ledgers(s, 2000, 2099))(
             StellarTradesEffects.historyTrades(
-              graft.sources.StellarFixture.ledgers(s, 2000, 2099)))
+                graft.sources.StellarFixture.ledgers(s, 2000, 2099))
+              .select("history_operation_id", "order", "price_n", "price_d",
+                "trade_type", "selling_offer_id", "buying_offer_id",
+                "selling_amount", "buying_amount"))
           .select(col("history_operation_id"), col("order").cast("long"),
             col("price_n"), col("price_d"),
             col("trade_type").cast("long").as("trade_type"),
@@ -1594,10 +1603,12 @@ object QueryCatalog {
              |ORDER BY operation_id, "index"""".stripMargin),
       (s, dir) => {
         val ledgers = graft.sources.StellarFixture.ledgers(s, 2000, 2099)
-        memo("historyEffects", ledgers)(
-            StellarTradesEffects.historyEffects(ledgers))
-          .join(memo("historyOperations", ledgers)(
-              StellarTransforms.historyOperations(ledgers))
+        memo("historyEffectsNarrow", ledgers)(
+            StellarTradesEffects.historyEffects(ledgers)
+              .select("operation_id", "index", "type"))
+          .join(memo("historyOperationsNarrow", ledgers)(
+              StellarTransforms.historyOperations(ledgers)
+                .select("id", "type", "type_string", "transaction_id"))
             .where(!col("type").isin(2, 3, 4, 12, 13))
             .select(col("id").as("operation_id")), "operation_id")
           .select(col("operation_id"), col("index"), col("type"))
@@ -1666,12 +1677,16 @@ object QueryCatalog {
         // REAL P4+P5 over the decoded model: pre-state price reverse scan,
         // synthetic ids, LP pool fees, effect fan-out
         val ledgers = graft.sources.StellarFixture.ledgers(s, 2000, 2099)
-        val t = memo("historyTrades", ledgers)(
-            StellarTradesEffects.historyTrades(ledgers))
+        val t = memo("historyTradesNarrow", ledgers)(
+            StellarTradesEffects.historyTrades(ledgers)
+              .select("history_operation_id", "order", "price_n", "price_d",
+                "trade_type", "selling_offer_id", "buying_offer_id",
+                "selling_amount", "buying_amount"))
           .select(col("history_operation_id").as("id"),
             lit("trade").as("grain"), col("price_n").as("n"))
-        val e = memo("historyEffects", ledgers)(
-            StellarTradesEffects.historyEffects(ledgers))
+        val e = memo("historyEffectsNarrow", ledgers)(
+            StellarTradesEffects.historyEffects(ledgers)
+              .select("operation_id", "index", "type"))
           .select(col("operation_id").as("id"), lit("effect").as("grain"),
             col("index").as("n"))
         t.unionAll(e).orderBy("id", "grain", "n")

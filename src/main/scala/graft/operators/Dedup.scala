@@ -244,21 +244,27 @@ object Dedup {
     var labels = docs
       .select(col(idCol).cast("long").as("v"), col(idCol).cast("long").as("label"))
       .persist(disk)
+    var cached = labels // the persisted frame backing `labels`
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      // one shuffle per round: own labels and propagated neighbor labels
+      // aggregate together, carrying the previous own label so the
+      // convergence check is a filter over the SAME persisted result (no
+      // second join)
       val prop = edges.alias("e")
         .join(labels.alias("l"), col("e.src") === col("l.v"))
-        .select(col("e.dst").as("v"), col("l.label").as("label"))
-      val next = labels.unionAll(prop)
-        .groupBy("v").agg(min("label").as("label"))
+        .select(col("e.dst").as("v"), col("l.label").as("label"),
+          lit(false).as("own"))
+      val next = labels.select(col("v"), col("label"), lit(true).as("own"))
+        .unionAll(prop)
+        .groupBy("v").agg(min("label").as("label"),
+          min(when(col("own"), col("label"))).as("prev"))
         .persist(disk)
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.v") === col("o.v"))
-        .where(col("n.label") =!= col("o.label"))
-        .count()
-      labels.unpersist()
-      labels = next
+      changed = next.where(col("label") < col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("v", "label")
       i += 1
     }
     edges.unpersist()

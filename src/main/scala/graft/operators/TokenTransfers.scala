@@ -217,8 +217,11 @@ object TokenTransfers {
     Dataset[LedgerRow], DataFrame]()
 
   def eventsCached(ledgers: Dataset[LedgerRow]): DataFrame =
-    eventsCache.computeIfAbsent(ledgers, l =>
-      fromLedgers(l).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // eager localCheckpoint rather than persist: it truncates the lineage,
+    // so later actions skip re-analyzing the giant projection tree (a
+    // persisted frame re-analyzes on every action — cache matching runs
+    // after analysis)
+    eventsCache.computeIfAbsent(ledgers, l => fromLedgers(l).localCheckpoint(true))
 
   /** `VerifyEvents` analog (`token_transfer.go:15-24`): per transaction the
     * fee event total must reconcile with the charged fee, and per value-

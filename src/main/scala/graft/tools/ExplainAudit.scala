@@ -37,9 +37,10 @@ object ExplainAudit {
       // SAC storage walk: single scan, no exchange before the project
       ("p13_sac_storage", Seq("*(1)"), Seq("Exchange hashpartitioning")),
       ("p15_config_settings", Seq("*(1)"), Seq("Exchange hashpartitioning")),
-      // token-transfer gate: the event frame must be persisted so its huge
-      // expression tree is evaluated once, not re-expanded per reference
-      ("stellar_token_transfers", Seq("InMemoryTableScan"), Seq())
+      // token-transfer gate: the event frame must be checkpointed so its
+      // huge expression tree is evaluated once — every consumer reads the
+      // materialized RDD, not a re-expansion of the projection
+      ("stellar_token_transfers", Seq("Scan ExistingRDD"), Seq())
     )
     val byName = (QueryCatalog.all ++ QueryCatalog.entryOps).map(q => q.name -> q).toMap
     var bad = 0
