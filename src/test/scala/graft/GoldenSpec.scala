@@ -79,4 +79,20 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
           StellarFixture.ledgers(spark, 1000, 1009))
         .orderBy("id"))
   }
+
+  test("history_effects golden over ledgers 1000-1009") {
+    // pins the full effect surface — addresses, 0-based ids, details JSON —
+    // across every emitted family (CRUD, trades, sponsorship, LP, SAC)
+    checkGolden("history_effects",
+      graft.operators.StellarTradesEffects.historyEffects(
+          StellarFixture.ledgers(spark, 1000, 1009))
+        .orderBy("id"))
+  }
+
+  test("history_trades golden over ledgers 1000-1009") {
+    checkGolden("history_trades",
+      graft.operators.StellarTradesEffects.historyTrades(
+          StellarFixture.ledgers(spark, 1000, 1009))
+        .orderBy("history_operation_id", "order"))
+  }
 }
