@@ -48,6 +48,15 @@ object QueryCatalog {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** One-time fixture archive (checkpoint-layout gzip files) for the S7
+    * history-archive source query. */
+  private lazy val archiveFixtureDir: String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-archive-${ProcessHandle.current().pid()}")
+    graft.sources.HistoryArchive.writeFixture(d.getAbsolutePath, 4000, 4500)
+    d.getAbsolutePath
+  }
+
   /** Session-scoped persisted-frame memo for the stellar op-grain
     * transforms: several `stellar_*` golden queries rebuild
     * `historyOperations`/`historyEffects`/`historyTrades` over the same
@@ -940,6 +949,23 @@ object QueryCatalog {
               (acc, t) => acc + t("fee_charged")).as("total_fee"))
           .orderBy("sequence")
       }),
+
+    Q("src_archive_range_scan",
+      // S7 history-archive source end-to-end: checkpoint path math finds
+      // the gzip category files, one task per checkpoint decodes XDR
+      // frames, out-of-range frames skip on the header. Same deterministic
+      // fixture laws as the .lcmb source → DuckDB re-derives.
+      Some("""SELECT seq AS sequence, CAST((seq % 5) + 1 AS INT) AS n_tx,
+             |       CAST(50 * ((seq % 5) + 1) * ((seq % 5) + 2) AS BIGINT) AS total_fee
+             |FROM generate_series(4100, 4350) t(seq) ORDER BY sequence""".stripMargin),
+      (s, dir) =>
+        graft.sources.HistoryArchive.read(s, archiveFixtureDir, 4100, 4350)
+          .toDF()
+          .select(col("sequence"),
+            size(col("transactions")).as("n_tx"),
+            aggregate(col("transactions"), lit(0L),
+              (acc, t) => acc + t("fee_charged")).as("total_fee"))
+          .orderBy("sequence")),
 
     Q("fn_sac_contract_id",
       // golden oracle: expected rows derived by an INDEPENDENT implementation

@@ -24,6 +24,32 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     d
   }
 
+  test("history archive: checkpoint math and category paths match the layout") {
+    import graft.sources.HistoryArchive._
+    // checkpoints close at seq ≡ 63 (mod 64) (`utils/main.go:808-827`)
+    assert(checkpointOf(63) == 63 && checkpointOf(64) == 127)
+    assert(checkpointOf(100) == 127 && checkpointOf(127) == 127)
+    assert(checkpointOf(128) == 191)
+    assert(categoryPath("ledger", 0x001e84ffL) ==
+      "ledger/00/1e/84/ledger-001e84ff.xdr.gz")
+    assert(checkpointsFor(100, 300) == Seq(127, 191, 255, 319))
+  }
+
+  test("history archive: distributed read over the checkpoint layout") {
+    import graft.sources.HistoryArchive
+    val root = java.nio.file.Files.createTempDirectory("graft-archive").toString
+    HistoryArchive.writeFixture(root, 1000, 1100)
+    val ds = HistoryArchive.read(spark, root, 1010, 1080)
+    // one task per checkpoint file
+    assert(ds.rdd.getNumPartitions == HistoryArchive.checkpointsFor(1010, 1080).size)
+    val rows = ds.collect().sortBy(_.sequence)
+    assert(rows.map(_.sequence).toSeq == (1010L to 1080L))
+    val r = rows.find(_.sequence == 1013).get
+    assert(r.transactions.size == (1013 % 5) + 1)
+    assert(r.transactions.head.fee_charged == 100L)
+    assert(r.closed_at.getTime == 1700000000000L + 1013 * 5000L)
+  }
+
   test("reads frames back with the declared schema and exact row content") {
     val df = spark.read.format("graft-lcm").load(dir)
     assert(df.columns.toSeq == Seq("sequence", "closed_at", "transactions"))
