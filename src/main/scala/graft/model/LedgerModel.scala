@@ -197,7 +197,11 @@ object LedgerModel {
   case class SorobanModel(
       resource_fee: Long, instructions: Long, read_bytes: Long,
       write_bytes: Long, non_refundable_fee: Long, refundable_fee: Long,
-      rent_fee: Long)
+      rent_fee: Long,
+      // raw XDR footprint ledger keys (read-only ++ read-write) — the
+      // invoke details derive ledger_key_hash / contract_code_hash from
+      // these (`ledgerKeyHashFromTxEnvelope`, operation.go:1841-1874)
+      footprint_keys_xdr: Seq[Array[Byte]] = Seq.empty)
 
   /** One transaction: envelope + result + meta essentials. */
   case class TxModel(

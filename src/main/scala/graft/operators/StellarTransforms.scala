@@ -439,6 +439,20 @@ object StellarTransforms {
         .when(ty === 26, lit("restore_footprint")).as("type"),
       when(ty.isin(24, 25) && col("op.soroban_contract_id").isNotNull,
         strkeyContract(col("op.soroban_contract_id"))).as("contract_id"),
+      // footprint-derived hashes (`ledgerKeyHashFromTxEnvelope` /
+      // `contractCodeHashFromTxEnvelope`, operation.go:1841-1874):
+      // ledger_key_hash = hex(sha256(XDR ledger key)) per footprint entry;
+      // contract_code_hash = the hash inside the first CONTRACT_CODE
+      // (type 7) footprint key
+      when(ty === 24 && col("tx.soroban").isNotNull &&
+          size(col("tx.soroban.footprint_keys_xdr")) > 0,
+        transform(col("tx.soroban.footprint_keys_xdr"), k => sha2(k, 256)))
+        .as("ledger_key_hash"),
+      when(ty === 24 && col("tx.soroban").isNotNull, {
+        val codeKey = get(filter(col("tx.soroban.footprint_keys_xdr"), k =>
+          substring(k, 1, 4) === lit(Array[Byte](0, 0, 0, 7))), lit(0))
+        when(codeKey.isNotNull, lower(hex(substring(codeKey, 5, 32))))
+      }).as("contract_code_hash"),
       when(ty === 24 && size(col("op.parameters_xdr")) > 0,
         transform(col("op.parameters_xdr"), p => base64NoWrap(p)))
         .as("parameters"),

@@ -368,7 +368,11 @@ object StellarFixture {
         resource_fee = 40000L + t, instructions = 1000000L + t,
         read_bytes = 5000, write_bytes = 2000,
         non_refundable_fee = 30000L + t, refundable_fee = 8000L,
-        rent_fee = 1200L)) else None,
+        rent_fee = 1200L,
+        // footprint: one TTL key (type 9) + one contract-code key (type 7)
+        footprint_keys_xdr = Seq(
+          Array[Byte](0, 0, 0, 9) ++ keyOf(s"fpkey-$l-$t"),
+          Array[Byte](0, 0, 0, 7) ++ keyOf(s"code-$l-$t")))) else None,
       fee_changes =
         if (t % 5 == 2) Seq(BalanceChange(keyOf(s"acct-$l-$t"), 900000000L, 900000000L - (45000L + t)))
         else if (t % 5 == 4) Seq(BalanceChange(keyOf(s"bump-$l-$t"), 700000000L, 700000000L - (52000L + t)))

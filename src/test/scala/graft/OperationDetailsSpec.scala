@@ -258,9 +258,19 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p1 = GraftTestB64.b64(ScVal.encode(ScVal.Sym("transfer")))
     val p2 = GraftTestB64.b64(ScVal.encode(ScVal.U64(100L)))
     val acct = Strkey.encodeAccountId(keyOf(s"acct-$l-2"))
+    // footprint hashes, derived independently: sha256 over the raw XDR
+    // ledger keys, and the hash embedded in the CONTRACT_CODE (type 7) key
+    def sha256Hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(b).map("%02x".format(_)).mkString
+    val fpTtl = Array[Byte](0, 0, 0, 9) ++ keyOf(s"fpkey-$l-2")
+    val fpCode = Array[Byte](0, 0, 0, 7) ++ keyOf(s"code-$l-2")
+    val codeHash = keyOf(s"code-$l-2").map("%02x".format(_)).mkString
     assert(d ==
       s"""{"function":"HostFunctionTypeHostFunctionTypeInvokeContract",""" +
       s""""type":"invoke_contract","contract_id":"$cid",""" +
+      s""""ledger_key_hash":["${sha256Hex(fpTtl)}","${sha256Hex(fpCode)}"],""" +
+      s""""contract_code_hash":"$codeHash",""" +
       s""""parameters":["$p0","$p1","$p2"],""" +
       s""""parameters_decoded":["{\\"address\\":\\"$cid\\"}",""" +
       s""""{\\"symbol\\":\\"transfer\\"}","{\\"u64\\":\\"100\\"}"],""" +
