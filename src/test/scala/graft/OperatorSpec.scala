@@ -236,6 +236,14 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
     // map-only: no exchange anywhere in the filter plan
     assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
+    // uniform variant: a rate-0.5 sample is a strict superset of rate-0.25
+    // (hash thresholds nest), and rate 0 keeps nothing
+    val u25 = Sampling.uniform(df, "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val u50 = Sampling.uniform(df, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(u25.subsetOf(u50) && u25.nonEmpty && u50.size > u25.size)
+    assert(Sampling.uniform(df, "doc_id", 0.0).count() == 0)
   }
 
   test("lsh bucket is deterministic and identical vectors collide") {
