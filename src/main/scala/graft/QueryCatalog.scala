@@ -689,6 +689,46 @@ object QueryCatalog {
           .orderBy("doc_id")
       }),
 
+    Q("x_dedup_embedding",
+      // embedding-cosine near-dup clusters: the integer-quantized cosine
+      // test (dot²·25 ≥ 4·|a|²·|b|² ⇔ cos ≥ 0.4) re-run verbatim in
+      // DuckDB (HUGEINT), then the same recursive label closure as
+      // x_dedup_clusters
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+             |  FROM embeddings WHERE vec_id < 200),
+             |n AS (SELECT vec_id, v,
+             |        CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+             |      FROM e),
+             |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             |        CAST(list_sum(list_transform(range(1, len(a.v)+1),
+             |          i -> a.v[i]*b.v[i])) AS BIGINT) AS dot,
+             |        a.n2 AS na, b.n2 AS nb
+             |      FROM n a JOIN n b ON a.vec_id < b.vec_id),
+             |pr AS (SELECT ia, ib FROM p
+             |       WHERE dot > 0 AND CAST(dot AS HUGEINT)*dot*25 >=
+             |             CAST(na AS HUGEINT)*nb*4),
+             |ed AS (SELECT ia AS a, ib AS b FROM pr
+             |       UNION SELECT ib, ia FROM pr),
+             |cc AS (
+             |  SELECT vec_id AS vtx, vec_id AS label FROM e
+             |  UNION
+             |  SELECT ed.b, cc.label FROM cc JOIN ed ON ed.a = cc.vtx
+             |  WHERE cc.label < ed.b)
+             |SELECT CAST(vtx AS BIGINT) AS vec_id,
+             |       CAST(min(label) AS BIGINT) AS cluster_id
+             |FROM cc GROUP BY vtx ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings").where(col("vec_id") < 200)
+        Dedup.dupClusters(emb.select("vec_id"), "vec_id",
+            Dedup.cosineDupPairs(emb, "vec_id", "embedding",
+              cosNum = 4, cosDen = 25),
+            "id_a", "id_b")
+          .select(col("vec_id"), col("cluster_id"))
+          .orderBy("vec_id")
+      }),
+
     Q("x_sample_stratified",
       // hash-threshold mixing: DuckDB replays the identical sha256-prefix
       // predicate, so the kept row set matches bit-for-bit

@@ -221,6 +221,34 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors quantized to integers
+    * (×10⁴, rounded), then the threshold test runs entirely in integer
+    * arithmetic — `dot > 0 && dot²·cosDen ≥ cosNum·|a|²·|b|²`, i.e.
+    * cos ≥ sqrt(cosNum/cosDen) — so the pair set is bit-reproducible
+    * across engines (no float sqrt at the boundary). This is the
+    * documented all-pairs ORACLE variant for bounded corpora; at scale the
+    * same test runs inside [[Similarity.lshTopK]]-style bucket joins so
+    * only colliding candidates are scored. */
+  def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      cosNum: Int, cosDen: Int): DataFrame = {
+    val quant = transform(col(vecCol),
+      x => round(x.cast("double") * 10000).cast("long"))
+    val base = emb.select(col(idCol).cast("long").as("id"), quant.as("v"))
+      .withColumn("n2", aggregate(col("v"), lit(0L), (a, x) => a + x * x))
+    val a = base.select(col("id").as("id_a"), col("v").as("va"),
+      col("n2").as("na"))
+    val b = base.select(col("id").as("id_b"), col("v").as("vb"),
+      col("n2").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      // decimal(38,0) keeps dot² (≈10²⁰ at dim 64) exact
+      .where(col("dot") > 0 &&
+        col("dot").cast("decimal(38,0)") * col("dot") * cosDen >=
+        col("na").cast("decimal(38,0)") * col("nb") * cosNum)
+      .select("id_a", "id_b", "dot")
+  }
+
   /** Near-duplicate CLUSTERS: connected components over candidate pairs
     * (from [[ngramJaccardPairs]] or the MinHash/SimHash band joins) by
     * iterative min-label propagation — each vertex converges to the

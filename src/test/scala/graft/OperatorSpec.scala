@@ -218,6 +218,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
   }
 
+  test("embedding-cosine near-dup: identical and near vectors cluster") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9999f, 0.001f, 0.0f)), // ~identical to 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),      // orthogonal
+      (4L, Array(-1.0f, 0.0f, 0.0f)))     // negative dot → never a dup
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.cosineDupPairs(emb, "vec_id", "embedding",
+      cosNum = 9801, cosDen = 10000) // cos ≥ 0.99
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+    val clusters = Dedup.dupClusters(emb.select("vec_id"), "vec_id",
+        pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("stratified sampling: deterministic, rate-accurate, map-only plan") {
     import spark.implicits._
     val df = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
