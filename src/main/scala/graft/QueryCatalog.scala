@@ -729,6 +729,62 @@ object QueryCatalog {
           .orderBy("vec_id")
       }),
 
+    Q("x_dedup_embedding_lsh",
+      // the SCALE path: the same integer cosine test restricted to
+      // hyperplane-LSH bucket collisions. DuckDB re-derives the ±1
+      // Rademacher planes from sha256 parity (bit-identical to the JVM
+      // MessageDigest the Spark literals come from), rebuilds every
+      // (table, bucket) key, joins on it, and runs the identical
+      // HUGEINT threshold + label closure on colliding pairs only —
+      // so bucket drift of a single plane sign hash-mismatches
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |        CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+             |      FROM e),
+             |w AS (SELECT t.t, p.p, d.d,
+             |        CASE WHEN substr(sha256(concat(t.t,':',p.p,':',d.d)),1,1)
+             |             IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS w
+             |      FROM range(0,4) t(t), range(0,6) p(p), range(0,64) d(d)),
+             |proj AS (SELECT e.vec_id, w.t, w.p, sum(e.v[w.d+1]*w.w) AS proj
+             |         FROM e, w GROUP BY 1,2,3),
+             |bk AS (SELECT vec_id, t,
+             |         CAST(sum(CASE WHEN proj > 0 THEN 1<<p ELSE 0 END) AS BIGINT) AS bucket
+             |       FROM proj GROUP BY 1,2),
+             |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+             |         FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+             |           AND a.vec_id < b.vec_id),
+             |p AS (SELECT cand.ia, cand.ib,
+             |        CAST(list_sum(list_transform(range(1, len(a.v)+1),
+             |          i -> a.v[i]*b.v[i])) AS BIGINT) AS dot,
+             |        a.n2 AS na, b.n2 AS nb
+             |      FROM cand JOIN n a ON cand.ia = a.vec_id
+             |                JOIN n b ON cand.ib = b.vec_id),
+             |pr AS (SELECT ia, ib FROM p
+             |       WHERE dot > 0 AND CAST(dot AS HUGEINT)*dot*25 >=
+             |             CAST(na AS HUGEINT)*nb*4),
+             |ed AS (SELECT ia AS a, ib AS b FROM pr
+             |       UNION SELECT ib, ia FROM pr),
+             |cc AS (
+             |  SELECT vec_id AS vtx, vec_id AS label FROM e
+             |  UNION
+             |  SELECT ed.b, cc.label FROM cc JOIN ed ON ed.a = cc.vtx
+             |  WHERE cc.label < ed.b)
+             |SELECT CAST(vtx AS BIGINT) AS vec_id,
+             |       CAST(min(label) AS BIGINT) AS cluster_id
+             |FROM cc GROUP BY vtx ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Dedup.dupClusters(emb.select("vec_id"), "vec_id",
+            Dedup.cosineDupPairsLsh(emb, "vec_id", "embedding",
+              cosNum = 4, cosDen = 25, dim = 64, bits = 6, tables = 4),
+            "id_a", "id_b")
+          .select(col("vec_id"), col("cluster_id"))
+          .orderBy("vec_id")
+      }),
+
     Q("x_sample_stratified",
       // hash-threshold mixing: DuckDB replays the identical sha256-prefix
       // predicate, so the kept row set matches bit-for-bit

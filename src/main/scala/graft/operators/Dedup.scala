@@ -226,9 +226,9 @@ object Dedup {
     * arithmetic — `dot > 0 && dot²·cosDen ≥ cosNum·|a|²·|b|²`, i.e.
     * cos ≥ sqrt(cosNum/cosDen) — so the pair set is bit-reproducible
     * across engines (no float sqrt at the boundary). This is the
-    * documented all-pairs ORACLE variant for bounded corpora; at scale the
-    * same test runs inside [[Similarity.lshTopK]]-style bucket joins so
-    * only colliding candidates are scored. */
+    * documented all-pairs ORACLE variant for bounded corpora; the scale
+    * path is [[cosineDupPairsLsh]], which applies the identical integer
+    * threshold to hyperplane-bucket collisions only. */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       cosNum: Int, cosDen: Int): DataFrame = {
     val quant = transform(col(vecCol),
@@ -243,6 +243,70 @@ object Dedup {
       .withColumn("dot", aggregate(zip_with(col("va"), col("vb"),
         (x, y) => x * y), lit(0L), (acc, x) => acc + x))
       // decimal(38,0) keeps dot² (≈10²⁰ at dim 64) exact
+      .where(col("dot") > 0 &&
+        col("dot").cast("decimal(38,0)") * col("dot") * cosDen >=
+        col("na").cast("decimal(38,0)") * col("nb") * cosNum)
+      .select("id_a", "id_b", "dot")
+  }
+
+  /** Deterministic Rademacher hyperplane component for (table t, plane p,
+    * dim d): ±1 from the parity of the first hex char of sha256("t:p:d").
+    * sha-256 is bit-identical everywhere (JVM, DuckDB, any engine), so the
+    * bucket assignment is cross-engine reproducible — unlike xxhash64-seeded
+    * planes, which only the JVM can replay. */
+  private[operators] def planeSign(t: Int, p: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val h = md.digest(s"$t:$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((h(0) >> 4) & 1) == 0) 1L else -1L
+  }
+
+  /** The 100 TB embedding-dedup path: [[cosineDupPairs]]' integer-quantized
+    * threshold applied only to hyperplane-LSH bucket collisions.
+    *
+    * Each vector is mapped — intra-row, shuffle-free — to one `bits`-bit
+    * bucket per table: bit p = sign of the dot product with a fixed ±1
+    * Rademacher plane ([[planeSign]], constant-folded into the expression
+    * tree as literal arrays, so the projection is exact integer arithmetic
+    * over the quantized vector). Candidates are pairs sharing a (table,
+    * bucket) key — ONE equi-join shuffle on a narrow (id, table, bucket)
+    * frame — and only candidates are scored with the exact integer cosine
+    * test. Multiple tables OR together for recall; cost scales with bucket
+    * occupancy, never O(n²). The vectors themselves do not travel through
+    * the LSH shuffle (candidates re-join the cached base by id).
+    *
+    * `dim` must equal the embedding length: `zip_with` null-pads ragged
+    * zips, which would null the projection and silently zero that bit. */
+  def cosineDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+      cosNum: Int, cosDen: Int, dim: Int = 64,
+      bits: Int = 6, tables: Int = 4): DataFrame = {
+    val quant = transform(col(vecCol),
+      x => round(x.cast("double") * 10000).cast("long"))
+    val base = emb.select(col(idCol).cast("long").as("id"), quant.as("v"))
+      .withColumn("n2", aggregate(col("v"), lit(0L), (a, x) => a + x * x))
+      .cache() // quantize once: bucket explode + two verification joins reuse it
+    val bucketCols = (0 until tables).map { t =>
+      (0 until bits).map { p =>
+        val w = array((0 until dim).map(d => lit(planeSign(t, p, d))): _*)
+        val proj = aggregate(zip_with(col("v"), w, (x, wc) => x * wc),
+          lit(0L), (a, x) => a + x)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a: Column, b: Column) => a + b)
+    }
+    // narrow (id, table, bucket) rows — the only frame the LSH shuffle moves
+    val banded = base.select(col("id"),
+      posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("tbl", "bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("v").as("va"),
+        col("n2").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+        col("n2").as("nb")), "id_b")
+      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
       .where(col("dot") > 0 &&
         col("dot").cast("decimal(38,0)") * col("dot") * cosDen >=
         col("na").cast("decimal(38,0)") * col("nb") * cosNum)

@@ -236,6 +236,51 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("LSH embedding dedup: full recall on planted dups, no BNLJ, subset of all-pairs") {
+    import spark.implicits._
+    val dim = 64
+    def vec(f: Int => Double): Array[Float] = Array.tabulate(dim)(i => f(i).toFloat)
+    val base = vec(i => math.sin(i * 1.7) * 0.3)
+    val near = vec(i => math.sin(i * 1.7) * 0.3 + (if (i == 0) 0.002 else 0.0))
+    val planted = Seq(
+      (1L, base), (2L, base),                       // identical — must collide
+      (3L, near),                                   // near-identical
+      (4L, vec(i => math.cos(i * 2.3) * 0.4)),      // unrelated
+      (5L, vec(i => -math.sin(i * 1.7) * 0.3)))     // antipodal — never a dup
+      .toDF("vec_id", "embedding")
+    val all = Dedup.cosineDupPairs(planted, "vec_id", "embedding",
+        cosNum = 9801, cosDen = 10000)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.cosineDupPairsLsh(planted, "vec_id", "embedding",
+      cosNum = 9801, cosDen = 10000, dim = dim, bits = 6, tables = 4)
+    val got = lsh.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // precision 1.0 by construction (threshold re-verified on candidates);
+    // recall 1.0 on the planted near-identical cluster (identical vectors
+    // share every bucket; the near vector's projections are deterministic)
+    assert(got == all, s"lsh=$got allpairs=$all")
+    // the candidate join must be a bucket equi-join, never all-pairs
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("LSH embedding dedup on the real corpus: subset of all-pairs, clusters feedable") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 200)
+    val all = Dedup.cosineDupPairs(emb, "vec_id", "embedding", 4, 25)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.cosineDupPairsLsh(emb, "vec_id", "embedding", 4, 25)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(all), s"${lsh -- all} not in all-pairs")
+    assert(lsh.nonEmpty) // collisions exist at this scale (deterministic planes)
+    val clusters = Dedup.dupClusters(emb.select("vec_id"), "vec_id",
+        Dedup.cosineDupPairsLsh(emb, "vec_id", "embedding", 4, 25),
+        "id_a", "id_b")
+    assert(clusters.count() == 200)
+  }
+
   test("stratified sampling: deterministic, rate-accurate, map-only plan") {
     import spark.implicits._
     val df = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
