@@ -44,8 +44,11 @@ object HistoryArchive {
   def checkpointsFor(start: Long, end: Long): Seq[Long] =
     checkpointOf(start) to checkpointOf(end) by CheckpointFrequency
 
+  /** Flat tx view: the first op of each envelope; `None` op fields for a
+    * zero-op transaction (the wire format permits nOps=0 even though the
+    * fixture writers always emit at least one). */
   case class ArchiveTx(fee_charged: Long, successful: Boolean,
-      op_type: Int, amount: Long)
+      op_type: Option[Int], amount: Option[Long])
   case class ArchiveLedger(sequence: Long, closed_at: Timestamp,
       transactions: Seq[ArchiveTx])
 
@@ -80,12 +83,18 @@ object HistoryArchive {
     import spark.implicits._
     val paths = checkpointsFor(start, end)
       .map(cp => s"$root/${categoryPath("ledger", cp)}")
+    // ship the driver's Hadoop conf so tasks resolve any FS scheme the
+    // cluster knows (file:, hdfs:, s3a:, gs:) — a raw FileInputStream
+    // would silently narrow this source to local paths
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     spark.createDataset(paths)
       .repartition(paths.size) // one checkpoint per task
       .mapPartitions { it =>
         it.flatMap { path =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(conf.value)
           val in = new java.io.DataInputStream(new java.util.zip.GZIPInputStream(
-            new java.io.BufferedInputStream(new java.io.FileInputStream(path), 1 << 16)))
+            new java.io.BufferedInputStream(fs.open(p), 1 << 16)))
           Iterator.continually {
             try {
               val len = in.readInt()
@@ -98,8 +107,9 @@ object HistoryArchive {
             val (seq, closeMs) = graft.codec.Lcm.decodeHeader(buf)
             if (seq >= start && seq <= end) {
               val txs = graft.codec.Lcm.decodeTxs(buf).map { t =>
-                val op = t.ops.head
-                ArchiveTx(t.feeCharged, t.successful, op.opType, op.amountStroops)
+                val op = t.ops.headOption
+                ArchiveTx(t.feeCharged, t.successful,
+                  op.map(_.opType), op.map(_.amountStroops))
               }
               Some(ArchiveLedger(seq, new Timestamp(closeMs), txs))
             } else None

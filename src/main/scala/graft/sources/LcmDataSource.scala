@@ -50,8 +50,9 @@ object LcmDataSource {
   val TxSchema: StructType = StructType(Seq(
     StructField("fee_charged", LongType, nullable = false),
     StructField("successful", BooleanType, nullable = false),
-    StructField("op_type", IntegerType, nullable = false),
-    StructField("amount", LongType, nullable = false)))
+    // null for a zero-op transaction — the wire format permits nOps=0
+    StructField("op_type", IntegerType, nullable = true),
+    StructField("amount", LongType, nullable = true)))
 
   val Schema: StructType = StructType(Seq(
     StructField("sequence", LongType, nullable = false),
@@ -122,37 +123,52 @@ class LcmScan(path: String, requiredSchema: StructType, lo: Long, hi: Long)
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
 
+  private def hadoopConf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-    files.toSeq
-      .flatMap(f => LcmDataSource.rangeOf(f.getName).map(r => (f, r)))
+    // driver-side listing through the Hadoop FS API: the batch directory can
+    // live on any scheme the cluster resolves, not just the local disk
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(hadoopConf)
+    val files =
+      if (fs.exists(dir)) fs.listStatus(dir).toSeq.filter(_.isFile)
+      else Seq.empty
+    files
+      .flatMap(f => LcmDataSource.rangeOf(f.getPath.getName).map(r => (f, r)))
       // file-level range pruning from the name — no bytes read for
       // out-of-range batches
       .filter { case (_, (s, e)) => e >= lo && s <= hi }
       .sortBy(_._2._1)
-      .map { case (f, _) => LcmInputPartition(f.getAbsolutePath): InputPartition }
+      .map { case (f, _) =>
+        LcmInputPartition(f.getPath.toString): InputPartition }
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LcmReaderFactory(requiredSchema, lo, hi)
+    new LcmReaderFactory(requiredSchema, lo, hi,
+      new SerializableHadoopConf(hadoopConf))
 }
 
 case class LcmInputPartition(file: String) extends InputPartition
 
-class LcmReaderFactory(requiredSchema: StructType, lo: Long, hi: Long)
-    extends PartitionReaderFactory {
+class LcmReaderFactory(requiredSchema: StructType, lo: Long, hi: Long,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new LcmPartitionReader(
-      partition.asInstanceOf[LcmInputPartition].file, requiredSchema, lo, hi)
+      partition.asInstanceOf[LcmInputPartition].file, requiredSchema, lo, hi,
+      conf)
 }
 
 /** Streams length-prefixed frames; decodes only the required columns. */
 class LcmPartitionReader(file: String, requiredSchema: StructType,
-    lo: Long, hi: Long) extends PartitionReader[InternalRow] {
-  private val in = new java.io.DataInputStream(
-    new java.io.BufferedInputStream(new java.io.FileInputStream(file), 1 << 16))
+    lo: Long, hi: Long, conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+  private val in = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    new java.io.DataInputStream(
+      new java.io.BufferedInputStream(p.getFileSystem(conf.value).open(p), 1 << 16))
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -172,9 +188,11 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
             val rows = new Array[Any](txs.size)
             var i = 0
             txs.foreach { t =>
-              val op = t.ops.head
+              val op = t.ops.headOption
               rows(i) = new GenericInternalRow(Array[Any](
-                t.feeCharged, t.successful, op.opType, op.amountStroops))
+                t.feeCharged, t.successful,
+                op.map(x => Int.box(x.opType)).orNull,
+                op.map(x => Long.box(x.amountStroops)).orNull))
               i += 1
             }
             new GenericArrayData(rows): Any

@@ -50,6 +50,55 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.closed_at.getTime == 1700000000000L + 1013 * 5000L)
   }
 
+  test("history archive: reads through an explicit file:-scheme Hadoop URI") {
+    import graft.sources.HistoryArchive
+    val root = java.nio.file.Files.createTempDirectory("graft-archive-uri").toString
+    HistoryArchive.writeFixture(root, 1000, 1063)
+    // the task opens via the Hadoop FileSystem API, so a scheme-qualified
+    // root must resolve exactly like a bare local path (proving s3a://-class
+    // roots take the same code path)
+    val ds = HistoryArchive.read(spark, s"file://$root", 1000, 1063)
+    assert(ds.count() == 64)
+    assert(ds.collect().map(_.sequence).sorted.toSeq == (1000L to 1063L))
+  }
+
+  test("zero-op transactions scan without throwing in both sources") {
+    import graft.codec.Lcm
+    import graft.sources.HistoryArchive
+    // hand-build a frame whose middle tx has nOps=0 (legal wire format the
+    // fixture writers never emit)
+    val frame = Lcm.Frame(2000L, 1700010000000L, Seq(
+      Lcm.Tx(100L, successful = true, Seq(Lcm.Op(3, 1000000L))),
+      Lcm.Tx(250L, successful = false, Seq.empty),
+      Lcm.Tx(300L, successful = true, Seq(Lcm.Op(7, 2000000L)))))
+    // .lcmb DSv2 source
+    val d = java.nio.file.Files.createTempDirectory("lcm-zero-op").toString
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(new java.io.File(d, "2000-2000.lcmb"))))
+    val bytes = Lcm.encode(frame)
+    out.writeInt(bytes.length); out.write(bytes); out.close()
+    val row = spark.read.format("graft-lcm").load(d).collect().head
+    val txs = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("transactions"))
+    assert(txs.size == 3)
+    assert(txs(1).getAs[Long]("fee_charged") == 250L)
+    assert(txs(1).isNullAt(txs(1).fieldIndex("op_type")))
+    assert(txs(1).isNullAt(txs(1).fieldIndex("amount")))
+    assert(txs(0).getAs[Int]("op_type") == 3 && txs(2).getAs[Int]("op_type") == 7)
+    // archive source: same frame inside a gzipped checkpoint file
+    val root = java.nio.file.Files.createTempDirectory("graft-archive-zero").toString
+    val cp = HistoryArchive.checkpointOf(2000L)
+    val f = new java.io.File(root, HistoryArchive.categoryPath("ledger", cp))
+    f.getParentFile.mkdirs()
+    val gz = new java.io.DataOutputStream(new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(f)))
+    gz.writeInt(bytes.length); gz.write(bytes); gz.close()
+    val led = HistoryArchive.read(spark, root, 2000, 2000).collect().head
+    assert(led.transactions.size == 3)
+    assert(led.transactions(1).op_type.isEmpty &&
+      led.transactions(1).amount.isEmpty)
+    assert(led.transactions(0).op_type.contains(3))
+  }
+
   test("reads frames back with the declared schema and exact row content") {
     val df = spark.read.format("graft-lcm").load(dir)
     assert(df.columns.toSeq == Seq("sequence", "closed_at", "transactions"))
