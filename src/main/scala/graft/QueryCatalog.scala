@@ -1269,7 +1269,9 @@ object QueryCatalog {
              |       ELSE '{"and":[{"not":{"rel_before":"' || (86400 + k) ||
              |         '"}},{"unconditional":true}]}'
              |       END AS claimant_predicate,
-             |       c_acctbal AS amount, CAST(c_nationkey AS BIGINT) AS sponsoring_nation
+             |       c_acctbal AS amount, CAST(c_nationkey AS BIGINT) AS sponsoring_nation,
+             |       k AS last_modified_ledger, k % 3 AS ledger_entry_change,
+             |       k % 7 = 6 AS deleted, k + 100 AS ledger_sequence
              |FROM c ORDER BY balance_id""".stripMargin),
       (s, dir) =>
         EntryProjections.claimableBalances(T(s, dir, "customer"))
@@ -1279,7 +1281,8 @@ object QueryCatalog {
       // val_b64/val_decoded: DuckDB re-derives the ScVal XDR bytes (RFC 4506
       // layout: BE discriminants/lengths, 4-byte padding) and the tagged JSON
       // independently — an external check of the whole codec, not an echo
-      Some("""SELECT sha256('contract|' || p_name) AS contract_id_hex,
+      Some("""WITH p AS (SELECT *, CAST(p_partkey AS BIGINT) AS k FROM part)
+             |SELECT sha256('contract|' || p_name) AS contract_id_hex,
              |       p_size < 10 AS is_sac,
              |       CAST((CAST(p_partkey AS HUGEINT) << 64) +
              |            CAST(p_size AS HUGEINT) AS VARCHAR) AS balance_i128,
@@ -1298,8 +1301,10 @@ object QueryCatalog {
              |         CAST((CAST(p_partkey AS HUGEINT) << 64) +
              |              CAST(p_size AS HUGEINT) AS VARCHAR) ||
              |         '"}},{"key":{"symbol":"key"},"val":{"string":"' ||
-             |         p_type || '"}}]}' AS val_decoded
-             |FROM part ORDER BY contract_id_hex, balance_i128""".stripMargin),
+             |         p_type || '"}}]}' AS val_decoded,
+             |       k AS last_modified_ledger, k % 3 AS ledger_entry_change,
+             |       k % 7 = 6 AS deleted, k + 100 AS ledger_sequence
+             |FROM p ORDER BY contract_id_hex, balance_i128""".stripMargin),
       (s, dir) =>
         EntryProjections.contractData(T(s, dir, "part"))
           .orderBy("contract_id_hex", "balance_i128")),

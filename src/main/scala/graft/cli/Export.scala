@@ -17,8 +17,11 @@ import graft.sources.StellarFixture
   * Commands: export_ledgers, export_transactions, export_operations,
   * export_effects, export_trades, export_assets, export_token_transfers,
   * export_ledger_transaction, export_contract_events,
-  * export_ledger_entry_changes (--export-type account|signer|offer|trustline),
-  * get_ledger_range_from_times (--start-time/--end-time ISO), version.
+  * export_ledger_entry_changes (--export-type all (default) or a comma-list
+  * of account,signer,offer,trustline,claimable_balance,pool,contract_data,
+  * contract_code,config_setting,ttl; --batch-size N; --table-dir for the
+  * state-entry types), get_ledger_range_from_times (--start-time/--end-time
+  * ISO), version.
   * The reference's upload_to_gcs is subsumed by --output taking any Hadoop
   * filesystem URI (gs://… works wherever the connector is on the
   * classpath).
@@ -35,7 +38,9 @@ object Export {
       format: String = "ndjson",
       limit: Long = -1,
       extraFields: Map[String, String] = Map.empty,
-      exportType: String = "account",
+      exportType: String = "all",
+      batchSize: Long = 64,
+      tableDir: Option[String] = None,
       startTime: String = "", endTime: String = "",
       strict: Boolean = false)
 
@@ -49,6 +54,8 @@ object Export {
       case "--format" :: v :: t => loop(a.copy(format = v), t)
       case ("--limit" | "-l") :: v :: t => loop(a.copy(limit = v.toLong), t)
       case "--export-type" :: v :: t => loop(a.copy(exportType = v), t)
+      case ("--batch-size" | "-b") :: v :: t => loop(a.copy(batchSize = v.toLong), t)
+      case "--table-dir" :: v :: t => loop(a.copy(tableDir = Some(v)), t)
       case "--start-time" :: v :: t => loop(a.copy(startTime = v), t)
       case "--end-time" :: v :: t => loop(a.copy(endTime = v), t)
       case "--strict-export" :: t => loop(a.copy(strict = true), t)
@@ -105,6 +112,13 @@ object Export {
     val a = parse(argv)
     val spark = session()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, a)
+    spark.stop()
+  }
+
+  /** Command dispatch, separated from `main` so tests can drive commands on
+    * a shared session without `spark.stop()` tearing it down. */
+  def run(spark: SparkSession, a: Args): Unit = {
     import spark.implicits._
 
     a.command match {
@@ -208,20 +222,7 @@ object Export {
         println(s"graft 0.4.0 (spark ${spark.version})")
 
       case "export_ledger_entry_changes" =>
-        val changes = StellarFixture.changes(spark, a.start, a.end)
-          .where(col("ledger_sequence").between(a.start, a.end))
-        val projected = a.exportType match {
-          case "account" => ChangeTransforms.accounts(changes)
-          case "signer" => ChangeTransforms.accountSigners(changes)
-          case "offer" =>
-            val o = ChangeTransforms.offers(changes)
-            if (a.strict && ChangeTransforms.invalidOffers(o).limit(1).count() > 0)
-              sys.error("strict-export: offer invariant violation")
-            o
-          case "trustline" => ChangeTransforms.trustlines(changes)
-          case other => sys.error(s"unknown export type: $other")
-        }
-        sink(projected, a)
+        exportEntryChanges(spark, a)
 
       case "get_ledger_range_from_times" =>
         // SURVEY §3.3: once ledgers are a table this is a min/max scan, not
@@ -252,6 +253,138 @@ object Export {
 
       case other => sys.error(s"unknown command: $other")
     }
-    spark.stop()
+  }
+
+  /** The ten `export_ledger_entry_changes` entry types, flag name →
+    * (output resource name, batching column) — resource names are the
+    * reference's `transformedOutputs` keys
+    * (`cmd/export_ledger_entry_changes.go:102-113`). */
+  val EntryTypes: Seq[(String, String, String)] = Seq(
+    ("account", "accounts", "ledger_sequence"),
+    ("signer", "signers", "ledger_sequence"),
+    ("offer", "offers", "ledger_sequence"),
+    ("trustline", "trustlines", "ledger_sequence"),
+    ("claimable_balance", "claimable_balances", "ledger_sequence"),
+    ("pool", "liquidity_pools", "ledger_sequence"),
+    ("contract_data", "contract_data", "ledger_sequence"),
+    ("contract_code", "contract_code", "ledger_sequence"),
+    ("config_setting", "config_settings", "last_modified_ledger"),
+    ("ttl", "ttl", "last_modified_ledger"))
+
+  /** The 10-way per-batch fan-out of `cmd/export_ledger_entry_changes.go:
+    * 95-270`: every `--batch-size` ledgers produce one file per entry type,
+    * named `{batchStart}-{batchEnd}-{resource}.txt` (`exportFilename`,
+    * `command_utils.go:105-107`). `--export-type` narrows to a comma-list;
+    * unset ⇒ all ten, the reference's "no flags set ⇒ export everything"
+    * default. Account/signer/offer/trustline project the change stream;
+    * the six state-entry types project the decoded state tables under
+    * `--table-dir` (or SPARK_GRAFT_SF_DIR).
+    *
+    * Spark shape: the reference loops batches sequentially on one thread;
+    * here each resource is ONE distributed job — the batch id is a column,
+    * `repartition(__batch)` + `partitionBy(__batch)` writes every batch
+    * file concurrently, and a driver rename pass stamps the reference
+    * filenames (FS metadata only, no data movement). At 100 TB the batch
+    * count, not the driver, is the parallelism bound. */
+  private def exportEntryChanges(spark: SparkSession, a: Args): Unit = {
+    import graft.sources.LedgerFixtures
+    require(a.batchSize > 0, s"batch-size (${a.batchSize}) must be greater than 0")
+    val wanted: Seq[String] =
+      if (a.exportType == "all") EntryTypes.map(_._1)
+      else {
+        val w = a.exportType.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        w.foreach(t => if (!EntryTypes.exists(_._1 == t))
+          sys.error(s"unknown export type: $t"))
+        w
+      }
+
+    lazy val changes = StellarFixture.changes(spark, a.start, a.end,
+        includeTrustlines = true)
+      .where(col("ledger_sequence").between(a.start, a.end))
+    lazy val tableDir = a.tableDir.orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse(sys.error("--table-dir (or SPARK_GRAFT_SF_DIR) is required " +
+        "for state-entry export types"))
+    def tbl(name: String) = LedgerFixtures.table(spark, tableDir, name)
+
+    def frameFor(t: String): DataFrame = t match {
+      case "account" => ChangeTransforms.accounts(changes)
+      case "signer" => ChangeTransforms.accountSigners(changes)
+      case "offer" =>
+        val o = ChangeTransforms.offers(changes)
+        if (a.strict && ChangeTransforms.invalidOffers(o).limit(1).count() > 0)
+          sys.error("strict-export: offer invariant violation")
+        o
+      case "trustline" => ChangeTransforms.trustlines(changes)
+      case "claimable_balance" =>
+        EntryProjections.claimableBalances(tbl("customer"))
+      case "pool" => EntryProjections.liquidityPools(tbl("part"))
+      case "contract_data" => EntryProjections.contractData(tbl("part"))
+      case "contract_code" => EntryProjections.contractCode(tbl("part"))
+      case "config_setting" => EntryProjections.configSettings(tbl("nation"))
+      case "ttl" => EntryProjections.ttls(LedgerFixtures.events(spark, tableDir))
+    }
+
+    wanted.foreach { t =>
+      val (_, resource, seqCol) = EntryTypes.find(_._1 == t).get
+      writeBatchFiles(spark, frameFor(t), seqCol, resource, a)
+    }
+  }
+
+  /** Distributed per-batch file writer: one shuffle on the batch id, one
+    * part file per batch (repartition on the partition column ⇒ each batch
+    * lands in exactly one task), then driver-side renames to the
+    * reference-shaped `{bs}-{be}-{resource}.{txt|parquet}` names. Batches
+    * with no rows still get an empty `.txt` (reference `MustOutFile` always
+    * creates the file); empty parquet placeholders are skipped — a 0-byte
+    * file is not valid parquet. */
+  private def writeBatchFiles(spark: SparkSession, df0: DataFrame,
+      seqCol: String, resource: String, a: Args): Unit = {
+    import org.apache.hadoop.fs.Path
+    val ext = a.format match {
+      case "ndjson" => "txt"
+      case "parquet" => "parquet"
+      case other => sys.error(s"unknown format: $other")
+    }
+    val df = withExtras(df0, a.extraFields)
+      .where(col(seqCol).between(a.start, a.end))
+      .withColumn("__batch",
+        floor((col(seqCol) - a.start) / a.batchSize).cast("long"))
+    val tmp = new Path(a.output, s".tmp-$resource")
+    val writer = df.repartition(col("__batch"))
+      .write.mode("overwrite").partitionBy("__batch")
+    if (ext == "txt") writer.json(tmp.toString) else writer.parquet(tmp.toString)
+
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    val nBatches = (a.end - a.start) / a.batchSize + 1
+    var written = 0L
+    (0L until nBatches).foreach { b =>
+      val bs = a.start + b * a.batchSize
+      val be = math.min(bs + a.batchSize - 1, a.end)
+      val target = new Path(a.output, s"$bs-$be-$resource.$ext")
+      fs.delete(target, false)
+      val dir = new Path(tmp, s"__batch=$b")
+      val parts =
+        if (fs.exists(dir))
+          fs.listStatus(dir).map(_.getPath)
+            .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        else Array.empty[Path]
+      parts.length match {
+        case 0 => if (ext == "txt") fs.create(target, true).close()
+        case 1 => fs.rename(parts.head, target)
+        case _ if ext == "txt" =>
+          // speculative retries can leave extra parts: stream-concatenate
+          val out = fs.create(target, true)
+          parts.foreach { p =>
+            val in = fs.open(p)
+            org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 16, false)
+            in.close()
+          }
+          out.close()
+        case _ => fs.rename(parts.head, target)
+      }
+      if (parts.nonEmpty) written += 1
+    }
+    fs.delete(tmp, true)
+    println(s"""{"resource":"$resource","batches":$nBatches,"nonEmpty":$written}""")
   }
 }

@@ -330,13 +330,13 @@ object Dedup {
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = docs.sparkSession
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist(disk)
     var labels = docs
       .select(col(idCol).cast("long").as("v"), col(idCol).cast("long").as("label"))
-      .persist(disk)
-    var cached = labels // the persisted frame backing `labels`
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -348,18 +348,33 @@ object Dedup {
         .join(labels.alias("l"), col("e.src") === col("l.v"))
         .select(col("e.dst").as("v"), col("l.label").as("label"),
           lit(false).as("own"))
-      val next = labels.select(col("v"), col("label"), lit(true).as("own"))
+      val plan = labels.select(col("v"), col("label"), lit(true).as("own"))
         .unionAll(prop)
         .groupBy("v").agg(min("label").as("label"),
           min(when(col("own"), col("label"))).as("prev"))
-        .persist(disk)
+      // CUT the logical plan each round: `labels` appears twice (join +
+      // union), so composing plans doubles the tree per iteration — by
+      // round ~20 the driver OOMs on 2^20-node plan strings regardless of
+      // data size. Rebasing on the persisted RDD keeps the per-round plan
+      // constant-size; recompute after block loss walks the linear RDD
+      // chain instead.
+      val rdd = plan.rdd.persist(disk)
+      val next = spark.createDataFrame(rdd, plan.schema)
       changed = next.where(col("label") < col("prev")).count()
-      cached.unpersist()
-      cached = next
+      if (prevRdd != null) prevRdd.unpersist(false)
+      prevRdd = rdd
       labels = next.select("v", "label")
       i += 1
     }
     edges.unpersist()
+    // exiting on the iteration cap with propagation still in flight would
+    // return silently WRONG (split) components — make it loud instead; the
+    // caller can raise maxIter (rounds needed ≈ component diameter)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters did not converge after $maxIter rounds " +
+          s"($changed labels still moving): component diameter exceeds " +
+          "maxIter — raise it (rounds ≈ diameter)")
     labels.select(col("v").as(idCol), col("label").as("cluster_id"))
   }
 }

@@ -77,8 +77,10 @@ object EntryProjections {
 
   /** P12/L3 — claimable balances at claimant grain (array-of-claimants
     * exploded; predicate serialized as JSON; claimants ordered by
-    * destination, `effects.go:1138-1140`). */
-  def claimableBalances(custGrain: DataFrame): DataFrame =
+    * destination, `effects.go:1138-1140`), with the change-metadata columns
+    * every `ClaimableBalanceOutput` carries (`schema.go:158-162`). */
+  def claimableBalances(custGrain: DataFrame): DataFrame = {
+    val k = col("c_custkey").cast("long")
     custGrain.select(
       sha2(col("c_custkey").cast("string"), 256).as("balance_id"),
       concat(lit("ACC"), col("c_custkey").cast("string")).as("claimant_destination"),
@@ -89,7 +91,12 @@ object EntryProjections {
         GraftFunctions.claimPredicateFixture(col("c_custkey").cast("long")))
         .as("claimant_predicate"),
       col("c_acctbal").as("amount"),
-      col("c_nationkey").cast("long").as("sponsoring_nation"))
+      col("c_nationkey").cast("long").as("sponsoring_nation"),
+      k.as("last_modified_ledger"),
+      (k % 3).as("ledger_entry_change"),
+      (k % 7 === 6).as("deleted"),
+      (k + 100).as("ledger_sequence"))
+  }
 
   /** P13 — contract data incl. SAC detection flag and i128 balance string
     * (`contract_data.go:49-158,306-379`). */
@@ -99,6 +106,7 @@ object EntryProjections {
     // (`contract_events.go:128-148` serializeScVal; `contract_data.go:306-379`)
     val scval = GraftFunctions.scvalContractValBytes(
       col("p_partkey"), col("p_size").cast("long"), col("p_type"))
+    val k = col("p_partkey").cast("long")
     parts.select(
       sha2(concat(lit("contract|"), col("p_name")), 256).as("contract_id_hex"),
       (col("p_size") < 10).as("is_sac"),
@@ -106,7 +114,12 @@ object EntryProjections {
         .as("balance_i128"),
       col("p_type").as("storage_key"),
       GraftFunctions.base64NoWrap(scval).as("val_b64"),
-      GraftFunctions.scvalJson(scval).as("val_decoded"))
+      GraftFunctions.scvalJson(scval).as("val_decoded"),
+      // change metadata, `ContractDataOutput` parity (`schema.go:520-524`)
+      k.as("last_modified_ledger"),
+      (k % 3).as("ledger_entry_change"),
+      (k % 7 === 6).as("deleted"),
+      (k + 100).as("ledger_sequence"))
   }
 
   /** P14 — contract code at the reference's `ContractCodeOutput` width

@@ -482,13 +482,41 @@ object StellarFixture {
         sponsor_key = None)),
       trustline = None)
 
+  def trustlineChange(seq: Long, i: Int): ChangeRow =
+    ChangeRow(
+      ledger_sequence = seq,
+      closed_at = new Timestamp(1700000000000L + seq * 5000L),
+      change_order = 200L + i,
+      ledger_entry_change = if (i % 6 == 5) 2L else if (i % 3 == 0) 0L else 1L,
+      entry_type = "trustline",
+      deleted = i % 6 == 5,
+      last_modified_ledger = seq,
+      account = None, offer = None,
+      trustline = Some(TrustlineState(
+        account_key = keyOf(s"acct-${i % 9}"),
+        asset =
+          if (i % 4 == 3) AssetRef("liquidity_pool_shares", "", "")
+          else AssetRef("credit_alphanum4", s"TL${i % 5}", s"ISS${i % 3}"),
+        balance_stroops = 5000000L * (i + 1) + seq,
+        limit_stroops = 90000000L + i,
+        buying_liabilities_stroops = 200000L * i,
+        selling_liabilities_stroops = 100000L * i,
+        flags = i % 4,
+        sponsor_key = if (i % 5 == 2) Some(keyOf(s"sponsor-$i")) else None,
+        liquidity_pool_id =
+          if (i % 4 == 3) Some(keyOf(s"pool-${i % 3}")) else None)))
+
+  /** `includeTrustlines` is opt-in so the account+offer-only stream the
+    * oracle catalog fixes on stays byte-stable; the CLI's all-types export
+    * turns it on to populate the trust_lines batch files. */
   def changes(spark: SparkSession, start: Long, end: Long,
-      perLedger: Int = 8): Dataset[ChangeRow] = {
+      perLedger: Int = 8, includeTrustlines: Boolean = false): Dataset[ChangeRow] = {
     import spark.implicits._
     spark.createDataset(for {
       seq <- start to end
       i <- 0 until perLedger
-      row <- Seq(accountChange(seq, i), offerChange(seq, i))
+      row <- Seq(accountChange(seq, i), offerChange(seq, i)) ++
+        (if (includeTrustlines) Seq(trustlineChange(seq, i)) else Nil)
     } yield row)
   }
 }

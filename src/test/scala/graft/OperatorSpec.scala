@@ -218,6 +218,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
   }
 
+  test("dup clusters raise on non-convergence instead of returning split labels") {
+    import spark.implicits._
+    // a 12-vertex path has diameter 11 > maxIter=3: propagation can't finish
+    val n = 12L
+    val docs = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(docs, "doc_id", pairs, "id_a", "id_b", maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same chain converges to one component
+    val ok = Dedup.dupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(ok.toSeq == Seq(1L))
+  }
+
   test("embedding-cosine near-dup: identical and near vectors cluster") {
     import spark.implicits._
     val emb = Seq(
