@@ -831,14 +831,84 @@ object QueryCatalog {
             maxDfFraction = Some(0.1))
           .orderBy("id_a", "id_b")),
 
-    Q("x_minhash_lsh", None, // 64-bit xxhash has no DuckDB twin: rows-only check
+    Q("x_minhash_lsh",
+      // full hash oracle: DuckDB re-derives shingles, the 16 salted-sha
+      // minhash signature slots, band collisions (joining on the band VALUE
+      // slice — Spark's band xxhash is just a narrower key for the same
+      // equality), and exact Jaccard on the candidates
+      Some("""WITH d AS (SELECT doc_id,
+             |            trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+             |           FROM documents WHERE doc_id < 500),
+             |w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM d),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words) < 3
+             |          THEN [array_to_string(words, ' ')]
+             |          ELSE list_transform(range(1, CAST(len(words)-1 AS INTEGER)),
+             |                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+             |          END) AS sh FROM w),
+             |sig AS (SELECT doc_id,
+             |         list_transform(range(0, 16), s ->
+             |           list_min(list_transform(sh, x ->
+             |             (CAST(concat('0x', substr(sha256(x || ':' || s), 1, 8))
+             |                AS BIGINT) & 2147483647) * 4294967296
+             |             + CAST(concat('0x', substr(sha256(x || ':' || s), 9, 8))
+             |                AS BIGINT)))) AS sig
+             |        FROM sh),
+             |band AS (SELECT doc_id, r.b AS b,
+             |           sig[CAST(r.b*2+1 AS INTEGER)] AS h1,
+             |           sig[CAST(r.b*2+2 AS INTEGER)] AS h2
+             |         FROM sig CROSS JOIN range(0, 8) r(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             |         FROM band a JOIN band c USING (b, h1, h2)
+             |         WHERE a.doc_id < c.doc_id),
+             |v AS (SELECT id_a, id_b,
+             |        len(list_intersect(sa.sh, sb.sh)) AS inter,
+             |        len(sa.sh) AS la, len(sb.sh) AS lb
+             |      FROM cand
+             |      JOIN sh sa ON sa.doc_id = id_a
+             |      JOIN sh sb ON sb.doc_id = id_b)
+             |SELECT id_a, id_b,
+             |  CAST(CASE WHEN la + lb - inter = 0 THEN 1.0
+             |       ELSE inter / (la + lb - inter) END AS DOUBLE) AS jaccard
+             |FROM v
+             |WHERE CASE WHEN la + lb - inter = 0 THEN 1.0
+             |      ELSE inter / (la + lb - inter) END >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) =>
         Dedup.minHashLsh(T(s, dir, "documents").where(col("doc_id") < 500),
             "text", "doc_id", shingleSize = 3, bands = 8, rowsPerBand = 2,
             threshold = 0.5)
           .orderBy("id_a", "id_b")),
 
-    Q("x_simhash", None,
+    Q("x_simhash",
+      // full hash oracle: DuckDB re-derives the sha-256-based token hashes,
+      // per-bit vote sums, and the signed 64-bit fingerprint from scratch —
+      // nibble i//4 of the 16-hex prefix holds bit i, the sign bit comes
+      // back via the HUGEINT two's-complement fold
+      Some("""WITH d AS (SELECT doc_id,
+             |            trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+             |           FROM documents),
+             |toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM d),
+             |h AS (SELECT doc_id, substr(sha256(t), 1, 16) AS hx FROM toks),
+             |bits AS (
+             |  SELECT doc_id, r.i AS i,
+             |    sum(CASE WHEN (CAST(concat('0x',
+             |          substr(h.hx, CAST(16 - r.i // 4 AS INTEGER), 1))
+             |          AS INTEGER) >> CAST(r.i % 4 AS INTEGER)) & 1 = 1
+             |        THEN 1 ELSE -1 END) AS s
+             |  FROM h CROSS JOIN range(64) r(i)
+             |  GROUP BY doc_id, r.i),
+             |fp AS (
+             |  SELECT doc_id,
+             |    sum(CASE WHEN s > 0
+             |        THEN 1::HUGEINT << CAST(i AS INTEGER)
+             |        ELSE 0::HUGEINT END) AS u,
+             |    CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pop
+             |  FROM bits GROUP BY doc_id)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN u >= 1::HUGEINT << 63
+             |       THEN u - (1::HUGEINT << 64) ELSE u END AS BIGINT) AS simhash,
+             |  pop AS hamming_to_zero
+             |FROM fp ORDER BY doc_id""".stripMargin),
       (s, dir) =>
         T(s, dir, "documents")
           .select(col("doc_id"), Dedup.simHash64(col("text")).as("simhash"))

@@ -53,13 +53,26 @@ object Dedup {
     }
   }
 
+  /** Salted 63-bit shingle hash: sha-256("shingle:seed") prefix folded into
+    * a NON-NEGATIVE long — the top bit is masked so signed-vs-unsigned min
+    * ordering can't diverge between engines. Like [[sha64]] this is
+    * replayable in DuckDB SQL, which makes the MinHash signatures (and the
+    * LSH candidate set they induce) hash-oracle-checkable. */
+  private[operators] def sha63(x: Column, seed: Column): Column = {
+    val hx = sha2(concat(x, lit(":"), seed.cast("string")), 256)
+    val hi = conv(substring(hx, 1, 8), 16, 10).cast("long")
+      .bitwiseAND(lit(0x7fffffffL))
+    val lo = conv(substring(hx, 9, 8), 16, 10).cast("long")
+    call_function("shiftleft", hi, lit(32)).bitwiseOR(lo)
+  }
+
   /** MinHash signature: for seed s in 0..numHashes-1, min over shingles of
-    * xxhash64(shingle, s). Entirely intra-row (transform + array_min over the
+    * sha63(shingle, s). Entirely intra-row (transform + array_min over the
     * shingle array) — codegen'd, shuffle-free. */
   def minHashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
     val sh = shingles(text, shingleSize)
     val seeds = sequence(lit(0), lit(numHashes - 1))
-    transform(seeds, s => array_min(transform(sh, x => xxhash64(x, s))))
+    transform(seeds, s => array_min(transform(sh, x => sha63(x, s))))
   }
 
   /** MinHash+LSH near-duplicate pairs.
@@ -86,7 +99,7 @@ object Dedup {
       .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleSize).as("sh"))
       .select(col("doc_id"), col("sh"),
         transform(sequence(lit(0), lit(numHashes - 1)),
-          s => array_min(transform(col("sh"), x => xxhash64(x, s)))).as("sig"))
+          s => array_min(transform(col("sh"), x => sha63(x, s)))).as("sig"))
       .cache()
 
     // band key = hash of the signature slice; explode to narrow (band, id)
@@ -116,12 +129,25 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** 64-bit token hash = first 8 bytes of sha-256, assembled from two
+    * 32-bit halves in exact long arithmetic (`conv` of all 16 hex chars
+    * would parse past the signed-long range). sha-256 is bit-identical in
+    * every engine — DuckDB replays this hash in SQL, so SimHash
+    * fingerprints are hash-oracle-checkable, which 64-bit xxhash (JVM-only
+    * seeding) never was. */
+  private[operators] def sha64(t: Column): Column = {
+    val hx = sha2(t, 256)
+    val hi = conv(substring(hx, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hx, 9, 8), 16, 10).cast("long")
+    call_function("shiftleft", hi, lit(32)).bitwiseOR(lo)
+  }
+
   /** SimHash-64: per token, hash to 64 bits; per bit, +w if set else -w;
     * sign of each bit-sum forms the fingerprint. Intra-row via higher-order
     * aggregate over tokens — shuffle-free. */
   def simHash64(text: Column): Column = {
     val tokens = split(normalized(text), " ")
-    val hashes = transform(tokens, t => xxhash64(t))
+    val hashes = transform(tokens, t => sha64(t))
     // bit i of fingerprint = 1 iff sum over tokens of (bit i set ? 1 : -1) > 0
     val bitIdx = sequence(lit(0), lit(63))
     val bitSums = transform(bitIdx, i =>
