@@ -1745,7 +1745,7 @@ object QueryCatalog {
              |          ELSE [20] END)
              |        WHEN 7 THEN [26, 26]
              |        WHEN 21 THEN (CASE WHEN o % 2 = 1 AND l % 2 = 0
-             |          THEN [26, 50, 51, 95] ELSE [26] END)
+             |          THEN [26, 50, 51, 50, 51, 95] ELSE [26] END)
              |        WHEN 8 THEN [3, 2, 1]
              |        WHEN 9 THEN [2, 2]
              |        WHEN 10 THEN (CASE WHEN o % 2 = 0 THEN [40] ELSE [41] END)
@@ -1840,7 +1840,7 @@ object QueryCatalog {
              |          THEN 1 ELSE 0 END)
              |        WHEN 7 THEN 2
              |        WHEN 21 THEN (CASE WHEN o % 2 = 1 AND l % 2 = 0
-             |          THEN 4 ELSE 1 END)
+             |          THEN 6 ELSE 1 END)
              |        WHEN 8 THEN 3 WHEN 9 THEN 2 WHEN 10 THEN 1 WHEN 11 THEN 1
              |        WHEN 14 THEN 4 WHEN 15 THEN 2 WHEN 19 THEN 2 WHEN 20 THEN 2
              |        WHEN 16 THEN (CASE WHEN (l + t) % 4 = 3 THEN 0 ELSE 1 END)

@@ -534,7 +534,24 @@ object StellarTradesEffects {
     // balances, emit CB-created effects (50 + claimant 51s) per balance,
     // then one liquidity_pool_revoked (95) whose reserves_revoked lists the
     // reserve assets matched to their reclaiming balance
-    val revCbs = filter(col("op.changes"), c => c("cb_revocation").isNotNull)
+    // core's CB metadata order is unspecified, so the reference sorts the
+    // created balances by asset before emitting (`sort.Sort(cbs)`,
+    // effects.go:1139,1176: XDR Asset ordering = type, then code, then
+    // issuer) — replicate with an array_sort on a (type-rank, code, issuer)
+    // key so effect indices match with ≥2 created CBs
+    val revCbs = {
+      val unsorted = filter(col("op.changes"), c => c("cb_revocation").isNotNull)
+      def rank(a: Column): Column =
+        when(a("asset_type") === "native", lit(0))
+          .when(a("asset_type") === "credit_alphanum4", lit(1)).otherwise(lit(2))
+      transform(
+        array_sort(transform(unsorted, c => struct(
+          rank(c("cb_revocation")("asset")).as("r"),
+          c("cb_revocation")("asset")("asset_code").as("c"),
+          c("cb_revocation")("asset")("asset_issuer").as("i"),
+          c.as("ch")))),
+        s => s("ch"))
+    }
     val revPool = {
       val m = filter(col("op.changes"), c =>
         c("entry_type") === "liquidity_pool" && c("pre_reserve_a").isNotNull)

@@ -199,10 +199,20 @@ object StellarFixture {
               post_total_shares = Some(50000000L),
               pool_asset_a = Some(cred(s"RV$o", o % 3)),
               pool_asset_b = Some(AssetRef("native", "", ""))),
+            // TWO created balances, planted in NON-sorted order (alphanum4
+            // reserve A first, native reserve B second): the effect emitter
+            // must sort by asset — native first — before fanning out, or the
+            // effect indices diverge from the reference (effects.go:1176)
             OpChange("claimable_balance", None, None, None, None, None, None,
               cb_revocation = Some(RevokedCb(
                 keyOf(s"cb-rev-$l-$t-$o"), 300000000L - o,
                 cred(s"RV$o", o % 3), keyOf(s"trustor-$l-$t-$o"),
+                graft.codec.ClaimPredicate.encode(
+                  graft.codec.ClaimPredicate.Unconditional)))),
+            OpChange("claimable_balance", None, None, None, None, None, None,
+              cb_revocation = Some(RevokedCb(
+                keyOf(s"cb-revb-$l-$t-$o"), 150000000L,
+                AssetRef("native", "", ""), keyOf(s"trustor-$l-$t-$o"),
                 graft.codec.ClaimPredicate.encode(
                   graft.codec.ClaimPredicate.Unconditional)))))
           else base.changes)

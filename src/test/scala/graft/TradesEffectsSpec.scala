@@ -107,6 +107,24 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
     addrs.foreach { case (actual, expected) => assert(actual == expected) }
   }
 
+  test("LP revocation emits created CBs sorted by asset, native first") {
+    // ledger 2044 tx 1 op 1 is a revoking set_trust_line_flags: the fixture
+    // plants the alphanum4 CB BEFORE the native one, so index order proves
+    // the emitter sorts by asset (effects.go:1139,1176) instead of echoing
+    // op-change order
+    val effs = StellarTradesEffects.historyEffects(
+        StellarFixture.ledgers(spark, 2044, 2044))
+      .where(col("operation_id") === graft.codec.Toid.pack(2044, 2, 2))
+      .orderBy("index")
+      .select("index", "type", "details")
+      .collect()
+    assert(effs.map(_.getInt(1)).toSeq == Seq(26, 50, 51, 50, 51, 95))
+    val d1 = effs(1).getString(2) // first CB-created (index 1)
+    val d3 = effs(3).getString(2) // second CB-created (index 3)
+    assert(d1.contains("\"asset\":\"native\""), d1)
+    assert(d3.contains("\"asset\":\"RV1:"), d3)
+  }
+
   test("effects: per-op-type effect sets match the case law exactly") {
     val effects = StellarTradesEffects.historyEffects(fixture).cache()
     // join effect rows back to their op type via the TOID
@@ -165,7 +183,7 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 21 =>
           // clear-flags ops on even ledgers revoke LP shares: CB-created
           // fan-out then liquidity_pool_revoked
-          val expect = if (o % 2 == 1 && l % 2 == 0) Seq(26, 50, 51, 95)
+          val expect = if (o % 2 == 1 && l % 2 == 0) Seq(26, 50, 50, 51, 51, 95)
             else Seq(26)
           assert(types == expect, s"set_tl_flags($l,$t,$o): $types")
         case 8 => assert(types == Seq(1, 2, 3), s"merge: $types")
