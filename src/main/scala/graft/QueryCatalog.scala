@@ -1961,7 +1961,69 @@ object QueryCatalog {
           .orderBy("id", "event_topic", "amount")
       }),
 
-    Q("stellar_token_transfers", None, // strkey model: rows-only check
+    Q("stellar_token_transfers",
+      // promoted from rows-only: the tx-grain event stream re-derived in SQL
+      // (the same leg lattice stellar_transfers_golden verifies at op grain,
+      // here keyed by transaction_id + ledger_sequence). The VerifyEvents
+      // consistency union stays in the Spark plan and must contribute ZERO
+      // rows — any INCONSISTENT row breaks the hash match
+      Some("""WITH ls AS (SELECT unnest(generate_series(3000, 3099)) AS l),
+             |txs AS (SELECT l, unnest(generate_series(0, l % 5)) AS t FROM ls),
+             |ops AS (SELECT l, t, unnest(generate_series(0, t % 4)) AS o,
+             |               (CAST(l AS BIGINT) << 32)
+             |                 | (CAST(t + 1 AS BIGINT) << 12) AS tx_id
+             |        FROM txs WHERE t % 3 != 0),
+             |op2 AS (SELECT *, (l + t + o) % 27 AS ty,
+             |               1000000 * (o + 1) + t AS amt FROM ops),
+             |atoms AS (SELECT *, unnest(generate_series(0, o % 2)) AS a
+             |          FROM op2 WHERE ty IN (2, 3, 4, 12, 13)),
+             |legs AS (
+             |  SELECT tx_id, l, 'transfer' AS event_topic,
+             |         2000000 * (a + 1) AS amount FROM atoms
+             |  UNION ALL
+             |  SELECT tx_id, l, 'transfer', 1500000 * (a + 1) FROM atoms
+             |  UNION ALL
+             |  SELECT tx_id, l, 'transfer', amt FROM op2 WHERE ty IN (2, 13)
+             |  UNION ALL
+             |  SELECT tx_id, l, 'transfer', 25000000 + o * 10000000
+             |  FROM op2 WHERE ty = 0
+             |  UNION ALL
+             |  SELECT tx_id, l,
+             |         CASE WHEN o % 2 = 1 AND l % 2 = 0 THEN 'burn'
+             |              ELSE 'transfer' END, amt FROM op2 WHERE ty = 1
+             |  UNION ALL
+             |  SELECT tx_id, l, 'transfer', amt FROM op2 WHERE ty = 8
+             |  UNION ALL
+             |  SELECT tx_id, l, 'mint', 8000000 + o FROM op2 WHERE ty = 9
+             |  UNION ALL
+             |  SELECT tx_id, l, 'mint', 16000000 + o FROM op2 WHERE ty = 9
+             |  UNION ALL
+             |  SELECT tx_id, l, 'transfer', 30000000 * (o + 1) FROM op2 WHERE ty = 14
+             |  UNION ALL
+             |  SELECT tx_id, l, 'transfer', 20000000 * (o + 1) FROM op2 WHERE ty = 15
+             |  UNION ALL
+             |  SELECT tx_id, l, 'clawback', amt FROM op2 WHERE ty = 19
+             |  UNION ALL
+             |  SELECT tx_id, l, 'clawback', 20000000 * (o + 1) FROM op2 WHERE ty = 20
+             |  UNION ALL
+             |  SELECT tx_id, l, 'transfer', 30000000 + o FROM op2 WHERE ty IN (22, 23)
+             |  UNION ALL
+             |  SELECT tx_id, l, 'transfer', 15000000 + o FROM op2 WHERE ty IN (22, 23)
+             |  UNION ALL
+             |  SELECT tx_id, l, 'transfer', 5000001 + o
+             |  FROM op2 WHERE ty = 24 AND o % 4 = 0
+             |  UNION ALL
+             |  SELECT tx_id, l, 'burn', 700003 + o
+             |  FROM op2 WHERE ty = 24 AND o % 4 = 0
+             |  UNION ALL
+             |  SELECT (CAST(l AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12),
+             |         l, 'fee', 100 * (t + 1)
+             |  FROM txs)
+             |SELECT tx_id AS transaction_id, event_topic,
+             |       CAST(amount AS VARCHAR) AS amount,
+             |       CAST(l AS BIGINT) AS ledger_sequence
+             |FROM legs
+             |ORDER BY transaction_id, event_topic, amount""".stripMargin),
       (s, dir) => {
         val ledgers = graft.sources.StellarFixture.ledgers(s, 3000, 3099)
         // persisted: the union + verify reference this frame three times
