@@ -40,12 +40,26 @@ object ExplainAudit {
       // token-transfer gate: the event frame must be checkpointed so its
       // huge expression tree is evaluated once — every consumer reads the
       // materialized RDD, not a re-expansion of the projection
-      ("stellar_token_transfers", Seq("Scan ExistingRDD"), Seq())
+      ("stellar_token_transfers", Seq("Scan ExistingRDD"), Seq()),
+      // LSH embedding dedup (catalog query): ends in the clusters RDD scan;
+      // the join shape is asserted separately on the pair generator below
+      ("x_dedup_embedding_lsh", Seq("Scan ExistingRDD"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      // iterative connected components: the returned frame must be the
+      // materialized per-round RDD (constant-size plan), not a 2^rounds
+      // composed join tree
+      ("x_dedup_clusters", Seq("Scan ExistingRDD"),
+        Seq("SortMergeJoin", "BroadcastNestedLoopJoin")),
+      // archive source: checkpoint files fan out one per task (round-robin
+      // on the path list), decode stays inside mapPartitions — no shuffle
+      // of decoded rows
+      ("src_archive_range_scan", Seq("RoundRobinPartitioning", "MapPartitions"),
+        Seq("BroadcastNestedLoopJoin"))
     )
     val byName = (QueryCatalog.all ++ QueryCatalog.entryOps).map(q => q.name -> q).toMap
     var bad = 0
-    interesting.foreach { case (name, expects, rejects) =>
-      val df = byName(name).fn(spark, sfDir)
+    def check(name: String, df: org.apache.spark.sql.DataFrame,
+        expects: Seq[String], rejects: Seq[String]): Unit = {
       val plan = df.queryExecution.executedPlan.toString
       println(s"\n======== $name ========")
       println(df.queryExecution.explainString(
@@ -61,6 +75,19 @@ object ExplainAudit {
         println(s"  CHECK ${if (ok) "PASS" else "MISS"}: absent $e")
       }
     }
+    interesting.foreach { case (name, expects, rejects) =>
+      check(name, byName(name).fn(spark, sfDir), expects, rejects)
+    }
+    // the LSH pair generator's own plan (the catalog query ends in the
+    // clusters RDD scan, which hides the join): candidates MUST come from a
+    // bucket equi-join — a BroadcastNestedLoopJoin/CartesianProduct here is
+    // the O(n²) regression this path exists to avoid
+    check("x_dedup_embedding_lsh (pair generator)",
+      graft.operators.Dedup.cosineDupPairsLsh(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", "embedding", cosNum = 99, cosDen = 100),
+      Seq("HashJoin"),
+      Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
     println(s"\nplan-property misses: $bad")
     spark.stop()
   }
