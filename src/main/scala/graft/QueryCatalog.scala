@@ -1116,6 +1116,53 @@ object QueryCatalog {
           .orderBy("sequence")
       }),
 
+    Q("src_lcm_tx_decode",
+      // the Stellar-transaction.x union arms decoded by the DSv2 source —
+      // result codes (signed, fee-bump-inner-success), the five memo arms,
+      // the three precondition arms (incl. V2's optional lattice), and the
+      // fee-bump shell — re-derived by DuckDB from the fixture laws,
+      // sha-256 memo/fee-source hashes included
+      Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls)
+             |SELECT seq AS sequence, CAST(t AS INT) AS tx_order,
+             |  CAST(CASE WHEN t % 3 = 0 THEN -1 WHEN t % 4 = 1 THEN 1
+             |       ELSE 0 END AS INT) AS result_code,
+             |  ['none','text','id','hash','return'][CAST(t + 1 AS INT)]
+             |    AS memo_type,
+             |  CASE WHEN t = 1 THEN 'm-' || seq || '-' || t END AS memo_text,
+             |  CASE WHEN t = 2 THEN seq * 16 + t END AS memo_id,
+             |  CASE WHEN t = 3 THEN sha256('mh-' || seq || '-' || t)
+             |       WHEN t = 4 THEN sha256('mr-' || seq || '-' || t)
+             |       END AS memo_hash_hex,
+             |  ['none','time','v2'][CAST((seq + t) % 3 + 1 AS INT)]
+             |    AS precond_type,
+             |  CASE WHEN (seq + t) % 3 = 1 THEN 1700000000 + seq
+             |       WHEN (seq + t) % 3 = 2 AND t % 2 = 0 THEN 1700000000 + seq
+             |       END AS time_bound_min,
+             |  CASE WHEN (seq + t) % 3 = 1 THEN 1700003600 + seq + t
+             |       WHEN (seq + t) % 3 = 2 AND t % 2 = 0 THEN 1700007200 + seq + t
+             |       END AS time_bound_max,
+             |  CASE WHEN (seq + t) % 3 = 2 THEN seq - 64 END AS ledger_bound_min,
+             |  CASE WHEN (seq + t) % 3 = 2 THEN seq + 64 END AS ledger_bound_max,
+             |  CASE WHEN (seq + t) % 3 = 2 AND t % 3 = 0 THEN seq * 4096 + t
+             |       END AS min_seq_num,
+             |  CASE WHEN t % 4 = 1 THEN 500 + t END AS fee_bump_fee,
+             |  CASE WHEN t % 4 = 1 THEN sha256('fb-' || seq || '-' || t)
+             |       END AS fee_bump_source_hex
+             |FROM tx ORDER BY sequence, tx_order""".stripMargin),
+      (s, dir) =>
+        s.read.format("graft-lcm").load(lcmFixtureDir)
+          .where(col("sequence").between(2100, 2299))
+          .select(col("sequence"),
+            posexplode(col("transactions")).as(Seq("tx_order", "tx")))
+          .select(Seq(col("sequence"), col("tx_order")) ++
+            Seq("result_code", "memo_type", "memo_text", "memo_id",
+              "memo_hash_hex", "precond_type", "time_bound_min",
+              "time_bound_max", "ledger_bound_min", "ledger_bound_max",
+              "min_seq_num", "fee_bump_fee", "fee_bump_source_hex")
+              .map(f => col(s"tx.$f").as(f)): _*)
+          .orderBy("sequence", "tx_order")),
+
     Q("src_archive_range_scan",
       // S7 history-archive source end-to-end: checkpoint path math finds
       // the gzip category files, one task per checkpoint decodes XDR

@@ -63,11 +63,8 @@ object HistoryArchive {
         new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))))
       val lo = cp - CheckpointFrequency + 1
       (math.max(lo, 1L) to cp).foreach { seq =>
-        val nTx = ((seq % 5) + 1).toInt
         val frame = graft.codec.Lcm.encode(graft.codec.Lcm.Frame(
-          seq, 1700000000000L + seq * 5000L,
-          (0 until nTx).map(t => graft.codec.Lcm.Tx(100L * (t + 1), t % 3 != 0,
-            Seq(graft.codec.Lcm.Op(((seq.toInt + t) % 27), 1000000L * (t + 1)))))))
+          seq, 1700000000000L + seq * 5000L, LcmWriter.fixtureTxs(seq)))
         out.writeInt(frame.length)
         out.write(frame)
       }

@@ -52,7 +52,22 @@ object LcmDataSource {
     StructField("successful", BooleanType, nullable = false),
     // null for a zero-op transaction — the wire format permits nOps=0
     StructField("op_type", IntegerType, nullable = true),
-    StructField("amount", LongType, nullable = true)))
+    StructField("amount", LongType, nullable = true),
+    // decoded union arms (Stellar-transaction.x subset): result code,
+    // memo, preconditions, fee-bump shell — null when the arm is absent
+    StructField("result_code", IntegerType, nullable = false),
+    StructField("memo_type", StringType, nullable = false),
+    StructField("memo_text", StringType, nullable = true),
+    StructField("memo_id", LongType, nullable = true),
+    StructField("memo_hash_hex", StringType, nullable = true),
+    StructField("precond_type", StringType, nullable = false),
+    StructField("time_bound_min", LongType, nullable = true),
+    StructField("time_bound_max", LongType, nullable = true),
+    StructField("ledger_bound_min", LongType, nullable = true),
+    StructField("ledger_bound_max", LongType, nullable = true),
+    StructField("min_seq_num", LongType, nullable = true),
+    StructField("fee_bump_fee", LongType, nullable = true),
+    StructField("fee_bump_source_hex", StringType, nullable = true)))
 
   val Schema: StructType = StructType(Seq(
     StructField("sequence", LongType, nullable = false),
@@ -189,10 +204,40 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
             var i = 0
             txs.foreach { t =>
               val op = t.ops.headOption
+              import graft.codec.Lcm._
+              def hex(b: Seq[Byte]): Any =
+                UTF8String.fromString(b.map("%02x".format(_)).mkString)
+              val (memoType, memoText, memoId, memoHash): (String, Any, Any, Any) =
+                t.memo match {
+                  case MemoNone => ("none", null, null, null)
+                  case MemoText(s) => ("text", UTF8String.fromString(s), null, null)
+                  case MemoId(id) => ("id", null, Long.box(id), null)
+                  case MemoHash(h) => ("hash", null, null, hex(h))
+                  case MemoReturn(h) => ("return", null, null, hex(h))
+                }
+              val (condType, tMin, tMax, lMin, lMax, minSeq): (String, Any, Any, Any, Any, Any) =
+                t.cond match {
+                  case PrecondNone => ("none", null, null, null, null, null)
+                  case PrecondTime(tb) =>
+                    ("time", Long.box(tb.minTime), Long.box(tb.maxTime),
+                      null, null, null)
+                  case PrecondV2(time, ledger, ms) =>
+                    ("v2",
+                      time.map(x => Long.box(x.minTime)).orNull,
+                      time.map(x => Long.box(x.maxTime)).orNull,
+                      ledger.map(x => Long.box(x.minLedger)).orNull,
+                      ledger.map(x => Long.box(x.maxLedger)).orNull,
+                      ms.map(Long.box).orNull)
+                }
               rows(i) = new GenericInternalRow(Array[Any](
                 t.feeCharged, t.successful,
                 op.map(x => Int.box(x.opType)).orNull,
-                op.map(x => Long.box(x.amountStroops)).orNull))
+                op.map(x => Long.box(x.amountStroops)).orNull,
+                t.resultCode,
+                UTF8String.fromString(memoType), memoText, memoId, memoHash,
+                UTF8String.fromString(condType), tMin, tMax, lMin, lMax, minSeq,
+                t.feeBump.map(fb => Long.box(fb.fee)).orNull,
+                t.feeBump.map(fb => hex(fb.feeSourceKey)).orNull))
               i += 1
             }
             new GenericArrayData(rows): Any
@@ -213,7 +258,9 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
 /** Batch-file writer for the `.lcmb` format (fixture export + tests):
   * length-prefixed [[graft.codec.Lcm]] XDR frames. */
 object LcmWriter {
-  def write(dir: String, ledgers: Seq[(Long, Long, Seq[(Long, Boolean, Int, Long)])],
+  import graft.codec.Lcm
+
+  def write(dir: String, ledgers: Seq[(Long, Long, Seq[Lcm.Tx])],
       batchSize: Int = 64): Seq[String] = {
     val d = new java.io.File(dir)
     d.mkdirs()
@@ -224,12 +271,7 @@ object LcmWriter {
       val out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(new java.io.FileOutputStream(f)))
       batch.foreach { case (seq, closedAtMs, txs) =>
-        val frame = graft.codec.Lcm.encode(graft.codec.Lcm.Frame(
-          seq, closedAtMs,
-          txs.map { case (fee, ok, opType, amount) =>
-            graft.codec.Lcm.Tx(fee, ok,
-              Seq(graft.codec.Lcm.Op(opType, amount)))
-          }))
+        val frame = Lcm.encode(Lcm.Frame(seq, closedAtMs, txs))
         out.writeInt(frame.length)
         out.write(frame)
       }
@@ -238,12 +280,51 @@ object LcmWriter {
     }.toSeq
   }
 
+  private def sha(s: String): Seq[Byte] =
+    graft.codec.Hashes.sha256(s.getBytes("UTF-8")).toSeq
+
+  /** The deterministic per-ledger tx laws the fixture encodes and the
+    * DuckDB oracles re-derive (`src_lcm_range_scan`, `src_lcm_tx_decode`,
+    * `src_archive_range_scan`): tx t of ledger seq fails iff t%3==0, rides
+    * a fee-bump shell iff t%4==1 (result code then txFEE_BUMP_INNER_SUCCESS),
+    * carries memo arm t%5 and precondition arm (seq+t)%3. */
+  def fixtureTxs(seq: Long): Seq[Lcm.Tx] = {
+    val nTx = ((seq % 5) + 1).toInt
+    (0 until nTx).map { t =>
+      val ok = t % 3 != 0
+      val feeBump =
+        if (t % 4 == 1) Some(Lcm.FeeBump(sha(s"fb-$seq-$t"), 500L + t)) else None
+      val rc =
+        if (!ok) Lcm.TxFailed
+        else if (feeBump.isDefined) Lcm.TxFeeBumpInnerSuccess
+        else Lcm.TxSuccess
+      val memo = (t % 5) match {
+        case 0 => Lcm.MemoNone
+        case 1 => Lcm.MemoText(s"m-$seq-$t")
+        case 2 => Lcm.MemoId(seq * 16 + t)
+        case 3 => Lcm.MemoHash(sha(s"mh-$seq-$t"))
+        case 4 => Lcm.MemoReturn(sha(s"mr-$seq-$t"))
+      }
+      val cond = ((seq + t) % 3) match {
+        case 0 => Lcm.PrecondNone
+        case 1 => Lcm.PrecondTime(
+          Lcm.TimeBounds(1700000000L + seq, 1700003600L + seq + t))
+        case _ => Lcm.PrecondV2(
+          if (t % 2 == 0)
+            Some(Lcm.TimeBounds(1700000000L + seq, 1700007200L + seq + t))
+          else None,
+          Some(Lcm.LedgerBounds(math.max(seq - 64, 0), seq + 64)),
+          if (t % 3 == 0) Some(seq * 4096 + t) else None)
+      }
+      Lcm.Tx(100L * (t + 1), rc,
+        Seq(Lcm.Op(((seq + t) % 27).toInt, 1000000L * (t + 1))),
+        memo, cond, feeBump)
+    }
+  }
+
   /** Deterministic fixture export derived from [[StellarFixture]]'s laws. */
   def writeFixture(dir: String, start: Long, end: Long, batchSize: Int = 64): Seq[String] =
     write(dir, (start to end).map { seq =>
-      val nTx = ((seq % 5) + 1).toInt
-      (seq, 1700000000000L + seq * 5000L, (0 until nTx).map { t =>
-        (100L * (t + 1), t % 3 != 0, ((seq.toInt + t) % 27), 1000000L * (t + 1))
-      })
+      (seq, 1700000000000L + seq * 5000L, fixtureTxs(seq))
     }, batchSize)
 }

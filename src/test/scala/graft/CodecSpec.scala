@@ -283,12 +283,15 @@ class CodecSpec extends AnyFunSuite {
       Tx(200L, successful = false, Seq(Op(24, 7L), Op(1, 42L)))))
     val bytes = encode(f)
     // version ‖ uint32 seq ‖ uint64 closeTimeMs ‖ nTx ‖ per tx:
-    // resultCode ‖ hyper fee ‖ nOps ‖ per op: opType ‖ hyper amount
+    // envType(TX=2) ‖ memo tag ‖ cond tag ‖ resultCode (signed) ‖
+    // hyper fee ‖ nOps ‖ per op: opType ‖ hyper amount
     assert(hexStr(bytes) ==
-      "00000001" + "00000800" + "0000018bcfe56800" + "00000002" +
+      "00000002" + "00000800" + "0000018bcfe56800" + "00000002" +
+        "00000002" + "00000000" + "00000000" +
         "00000000" + "0000000000000064" + "00000001" +
         "00000005" + "00000000000f4240" +
-        "00000001" + "00000000000000c8" + "00000002" +
+        "00000002" + "00000000" + "00000000" +
+        "ffffffff" + "00000000000000c8" + "00000002" +
         "00000018" + "0000000000000007" +
         "00000001" + "000000000000002a")
     assert(decode(bytes) == f)
@@ -299,5 +302,52 @@ class CodecSpec extends AnyFunSuite {
     // unknown version tag is rejected, not misread
     val bad = bytes.clone(); bad(3) = 9
     intercept[IllegalArgumentException](decode(bad))
+  }
+
+  test("LCM XDR unions: memo, preconditions, result codes, fee-bump shell") {
+    import Lcm._
+    val h3 = Seq.tabulate(32)(i => (i + 1).toByte)
+    val h4 = Seq.tabulate(32)(i => (64 - i).toByte)
+    val fbSrc = Seq.tabulate(32)(i => (128 + i).toByte)
+
+    // memo TEXT padding: "hi" → len 2 ‖ 6869 ‖ 2-byte zero pad (4-aligned)
+    val memoTx = Tx(7L, TxSuccess, Seq(Op(1, 5L)), memo = MemoText("hi"))
+    val memoBytes = encode(Frame(9L, 0L, Seq(memoTx)))
+    assert(hexStr(memoBytes).contains("00000001" + "00000002" + "68690000"))
+
+    // every memo arm roundtrips
+    Seq(MemoNone, MemoText("m-2048-1"), MemoId(32769L), MemoHash(h3),
+        MemoReturn(h4)).foreach { m =>
+      val tx = Tx(10L, TxSuccess, Seq(Op(0, 1L)), memo = m)
+      assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.memo == m)
+    }
+
+    // every precondition arm roundtrips, incl. the V2 optional lattice
+    Seq(PrecondNone,
+        PrecondTime(TimeBounds(1700000000L, 1700003600L)),
+        PrecondV2(None, None, None),
+        PrecondV2(Some(TimeBounds(1L, 2L)), None, Some(99L)),
+        PrecondV2(None, Some(LedgerBounds(0L, 4294967295L)), None),
+        PrecondV2(Some(TimeBounds(5L, 6L)), Some(LedgerBounds(10L, 20L)),
+          Some(7L))).foreach { c =>
+      val tx = Tx(10L, TxSuccess, Seq(Op(0, 1L)), cond = c)
+      assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.cond == c)
+    }
+
+    // signed result codes survive, and `successful` derives from them
+    Seq(TxFeeBumpInnerSuccess -> true, TxSuccess -> true, TxFailed -> false,
+        TxTooEarly -> false, TxTooLate -> false).foreach { case (rc, ok) =>
+      val tx = decode(encode(Frame(5L, 1L,
+        Seq(Tx(10L, rc, Seq(Op(0, 1L))))))).txs.head
+      assert(tx.resultCode == rc && tx.successful == ok)
+    }
+
+    // fee-bump shell: envelope discriminant 5, feeSource + fee, roundtrip
+    val fb = Tx(10L, TxFeeBumpInnerSuccess, Seq(Op(0, 1L)),
+      feeBump = Some(FeeBump(fbSrc, 501L)))
+    val fbBytes = encode(Frame(5L, 1L, Seq(fb)))
+    assert(hexStr(fbBytes).contains("00000005" + fbSrc.map("%02x".format(_)).mkString
+      + "00000000000001f5"))
+    assert(decode(fbBytes).txs.head == fb)
   }
 }
