@@ -75,6 +75,14 @@ object QueryCatalog {
       // checkpointing truncates the lineage to the materialized blocks
       build.localCheckpoint(true))
 
+  /** Long-lived-session hook (see [[graft.operators.TokenTransfers.clearCache]]
+    * for the caveats): drop all memoized frames; ContextCleaner reclaims the
+    * checkpointed blocks once unreachable. */
+  def clearMemos(): Unit = {
+    frameMemo.clear()
+    graft.operators.TokenTransfers.clearCache()
+  }
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(

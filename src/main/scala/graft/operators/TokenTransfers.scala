@@ -223,6 +223,16 @@ object TokenTransfers {
     // after analysis)
     eventsCache.computeIfAbsent(ledgers, l => fromLedgers(l).localCheckpoint(true))
 
+  /** Long-lived-session hook: drop every memoized event frame. The
+    * checkpointed RDD blocks become unreachable and Spark's ContextCleaner
+    * unpersists them asynchronously. Two caveats a long-lived session must
+    * own: (a) localCheckpoint data is NON-replicated, so losing an executor
+    * invalidates a memoized frame — callers recovering from executor loss
+    * should clear and rebuild; (b) without clearing, entries live for the
+    * session (bounded by the number of distinct fixture ranges, fine for
+    * the catalog; not fine for an unbounded range stream). */
+  def clearCache(): Unit = eventsCache.clear()
+
   /** `VerifyEvents` analog (`token_transfer.go:15-24`): per transaction the
     * fee event total must reconcile with the charged fee, and per value-
     * moving op the emitted leg count must match the model (2 per claim atom,
