@@ -959,10 +959,40 @@ object QueryCatalog {
           .orderBy("query_id", "rank")
       }),
 
-    Q("x_sim_cosine_bruteforce", None, // float cosine: rows-only (FP sum order)
+    Q("x_sim_cosine_bruteforce",
+      // promoted from rows-only: the exact-integer rank variant — DuckDB
+      // re-derives the quantized dot/n2 and replays the identical IEEE
+      // sign(dot)·dot²/n2 rank key, so ordering (incl. the neighbor-id
+      // tie-break) and the exact integer outputs hash-match
+      Some("""WITH q AS (SELECT vec_id AS query_id,
+             |            list_transform(embedding,
+             |              x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |           FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS neighbor_id,
+             |        list_transform(embedding,
+             |          x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS cv
+             |      FROM embeddings),
+             |n AS (SELECT neighbor_id, cv,
+             |        CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS n2
+             |      FROM c),
+             |s AS (SELECT q.query_id, n.neighbor_id, n.n2,
+             |        CAST(list_sum(list_transform(range(1, len(qv)+1),
+             |          i -> qv[i]*cv[i])) AS BIGINT) AS dot
+             |      FROM n, q WHERE query_id != neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, dot, n2,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY
+             |          CASE WHEN n2 = 0 THEN -1.7976931348623157e308
+             |               WHEN dot < 0 THEN -(CAST(dot AS DOUBLE)*CAST(dot AS DOUBLE)
+             |                                   /CAST(n2 AS DOUBLE))
+             |               ELSE CAST(dot AS DOUBLE)*CAST(dot AS DOUBLE)
+             |                    /CAST(n2 AS DOUBLE) END DESC,
+             |          neighbor_id ASC) AS rank
+             |      FROM s)
+             |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot, n2
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
-        Similarity.bruteForceTopK(
+        Similarity.bruteForceTopKExact(
             emb, "vec_id", "embedding",
             emb.where(col("vec_id") < 5).select(col("vec_id").as("qid"),
               col("embedding").as("qvec")),

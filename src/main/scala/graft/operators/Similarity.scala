@@ -48,6 +48,40 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** [[bruteForceTopK]] with the float boundary removed: vectors quantize
+    * to integers (×10⁴), the rank key sign(dot)·dot²/n2 is one IEEE
+    * multiply+divide over EXACT integer inputs — bit-identical in any
+    * engine — and the output carries only the exact integers (dot, n2), so
+    * the whole top-k is hash-oracle-checkable. For a fixed query the key is
+    * order-equivalent to cosine (the query norm is a positive common
+    * factor; squaring keeps sign via the explicit flip). */
+  def bruteForceTopKExact(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * 10000).cast("long"))
+    val c = corpus
+      .select(col(corpusId).as("neighbor_id"), quant(col(corpusVec)).as("cv"))
+      .withColumn("n2", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
+    val q = queries
+      .select(col(queryId).as("query_id"), quant(col(queryVec)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", aggregate(zip_with(col("cv"), col("qv"),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("key", when(col("n2") === 0, lit(Double.MinValue))
+        .otherwise(col("dot").cast("double") * col("dot").cast("double")
+          / col("n2").cast("double")
+          * when(col("dot") < 0, lit(-1.0)).otherwise(lit(1.0))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("key").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "dot", "n2")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * a fixed hash mapped to [-1, 1]. Same formula is reproducible anywhere. */
   private def planeComponent(p: Column, d: Column): Column =
