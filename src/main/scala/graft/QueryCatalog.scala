@@ -1011,10 +1011,50 @@ object QueryCatalog {
           .orderBy("query_id", "rank")
       }),
 
-    Q("x_sim_lsh_topk", None,
+    Q("x_sim_lsh_topk",
+      // promoted from rows-only: buckets re-derived from the sha-parity ±1
+      // planes (single table t=0), candidates joined on the bucket value,
+      // ranking replayed with the exact sign(dot)·dot²/n2 IEEE key — a
+      // single flipped plane sign or rank swap hash-mismatches
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding,
+             |            x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+             |           FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |        CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+             |      FROM e),
+             |w AS (SELECT p.p, d.d,
+             |        CASE WHEN substr(sha256(concat(0,':',p.p,':',d.d)),1,1)
+             |             IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1
+             |             END AS w
+             |      FROM range(0,6) p(p), range(0,64) d(d)),
+             |proj AS (SELECT e.vec_id, w.p, sum(e.v[w.d+1]*w.w) AS proj
+             |         FROM e, w GROUP BY 1,2),
+             |bk AS (SELECT vec_id,
+             |         CAST(sum(CASE WHEN proj > 0 THEN 1<<p ELSE 0 END) AS BIGINT)
+             |           AS bucket
+             |       FROM proj GROUP BY 1),
+             |s AS (SELECT cq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+             |        nn.n2,
+             |        CAST(list_sum(list_transform(range(1, len(qn.v)+1),
+             |          i -> qn.v[i]*nn.v[i])) AS BIGINT) AS dot
+             |      FROM bk cq JOIN bk cc USING (bucket)
+             |      JOIN n qn ON qn.vec_id = cq.vec_id
+             |      JOIN n nn ON nn.vec_id = cc.vec_id
+             |      WHERE cq.vec_id < 5 AND cq.vec_id != cc.vec_id),
+             |r AS (SELECT query_id, neighbor_id, dot, n2,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY
+             |          CASE WHEN n2 = 0 THEN -1.7976931348623157e308
+             |               WHEN dot < 0 THEN -(CAST(dot AS DOUBLE)*CAST(dot AS DOUBLE)
+             |                                   /CAST(n2 AS DOUBLE))
+             |               ELSE CAST(dot AS DOUBLE)*CAST(dot AS DOUBLE)
+             |                    /CAST(n2 AS DOUBLE) END DESC,
+             |          neighbor_id ASC) AS rank
+             |      FROM s)
+             |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot, n2
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
-        Similarity.lshTopK(
+        Similarity.lshTopKExact(
             emb, "vec_id", "embedding",
             emb.where(col("vec_id") < 5).select(col("vec_id").as("qid"),
               col("embedding").as("qvec")),

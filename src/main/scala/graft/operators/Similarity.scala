@@ -82,6 +82,49 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "dot", "n2")
   }
 
+  /** [[lshTopK]] with both float boundaries removed, making the LSH path
+    * hash-oracle-checkable end-to-end: buckets come from the same sha-parity
+    * ±1 Rademacher planes the embedding-dedup scale path uses
+    * ([[Dedup.planeSign]] — constant-folded literal arrays, exact integer
+    * projections over the ×10⁴-quantized vectors), and candidate ranking
+    * uses [[bruteForceTopKExact]]'s sign(dot)·dot²/n2 IEEE key. Output
+    * carries the exact integers (dot, n2). */
+  def lshTopKExact(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, bits: Int = 6, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * 10000).cast("long"))
+    def bucketOf(v: Column): Column =
+      (0 until bits).map { p =>
+        val w = array((0 until dim).map(d => lit(Dedup.planeSign(0, p, d))): _*)
+        val proj = aggregate(zip_with(v, w, (x, wc) => x * wc),
+          lit(0L), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a: Column, b: Column) => a + b)
+    val c = corpus
+      .select(col(corpusId).as("neighbor_id"), quant(col(corpusVec)).as("cv"))
+      .withColumn("n2", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
+      .withColumn("bucket", bucketOf(col("cv")))
+    val q = queries
+      .select(col(queryId).as("query_id"), quant(col(queryVec)).as("qv"))
+      .withColumn("bucket", bucketOf(col("qv")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", aggregate(zip_with(col("cv"), col("qv"),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("key", when(col("n2") === 0, lit(Double.MinValue))
+        .otherwise(col("dot").cast("double") * col("dot").cast("double")
+          / col("n2").cast("double")
+          * when(col("dot") < 0, lit(-1.0)).otherwise(lit(1.0))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("key").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "dot", "n2")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * a fixed hash mapped to [-1, 1]. Same formula is reproducible anywhere. */
   private def planeComponent(p: Column, d: Column): Column =
