@@ -1000,10 +1000,53 @@ object QueryCatalog {
           .orderBy("query_id", "rank")
       }),
 
-    Q("x_sim_ivf_topk", None, // cell assignment + probe pruning: rows-only
+    Q("x_sim_ivf_topk",
+      // promoted from rows-only: the exact-integer IVF variant — DuckDB
+      // re-derives the lowest-id quantized centroids, the integer-L2
+      // argmin assignment (arg_min on the [dist, cid] composite = the
+      // strict-< earliest-wins fold), the nprobe probe pruning, and the
+      // sign(dot)·dot²/n2 ranking, so a wrong cell or probe set
+      // hash-mismatches, not just a wrong neighbor
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding,
+             |            x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+             |           FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |        CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+             |      FROM e),
+             |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+             |         FROM e ORDER BY vec_id LIMIT 16),
+             |a AS (SELECT e.vec_id, arg_min(c.cid,
+             |        CAST(list_sum(list_transform(range(1, len(e.v)+1),
+             |           i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))) AS BIGINT) * 16
+             |          + c.cid) AS cell
+             |      FROM e, cent c GROUP BY e.vec_id),
+             |qp AS (SELECT q.vec_id AS query_id, c.cid AS cell,
+             |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |           CAST(list_sum(list_transform(range(1, len(q.v)+1),
+             |             i -> (q.v[i]-c.v[i])*(q.v[i]-c.v[i]))) AS BIGINT),
+             |           c.cid) AS pr
+             |       FROM e q, cent c WHERE q.vec_id < 5),
+             |s AS (SELECT qp.query_id, a.vec_id AS neighbor_id, nn.n2,
+             |        CAST(list_sum(list_transform(range(1, len(qn.v)+1),
+             |          i -> qn.v[i]*nn.v[i])) AS BIGINT) AS dot
+             |      FROM qp JOIN a ON qp.cell = a.cell AND qp.pr <= 4
+             |      JOIN n qn ON qn.vec_id = qp.query_id
+             |      JOIN n nn ON nn.vec_id = a.vec_id
+             |      WHERE qp.query_id != a.vec_id),
+             |r AS (SELECT query_id, neighbor_id, dot, n2,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY
+             |          CASE WHEN n2 = 0 THEN -1.7976931348623157e308
+             |               WHEN dot < 0 THEN -(CAST(dot AS DOUBLE)*CAST(dot AS DOUBLE)
+             |                                   /CAST(n2 AS DOUBLE))
+             |               ELSE CAST(dot AS DOUBLE)*CAST(dot AS DOUBLE)
+             |                    /CAST(n2 AS DOUBLE) END DESC,
+             |          neighbor_id ASC) AS rank
+             |      FROM s)
+             |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot, n2
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
-        Similarity.ivfTopK(
+        Similarity.ivfTopKExact(
             emb, "vec_id", "embedding",
             emb.where(col("vec_id") < 5).select(col("vec_id").as("qid"),
               col("embedding").as("qvec")),

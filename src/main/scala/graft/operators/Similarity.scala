@@ -125,6 +125,64 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "dot", "n2")
   }
 
+  /** [[ivfTopK]] with every float boundary removed: centroids are the
+    * nCells lowest-id corpus vectors quantized to integers (the documented
+    * deterministic seed — a bounded nCells-row driver collect, same as the
+    * k-means path's centroid table), cell assignment is an exact integer-L2
+    * argmin (ties → lowest cell id), each query probes its nprobe nearest
+    * cells by the same exact distances, and candidate ranking reuses the
+    * sign(dot)·dot²/n2 IEEE key — all of it replayable in SQL, so the
+    * oracle checks assignment, probe pruning AND ranking. */
+  def ivfTopKExact(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * 10000).cast("long"))
+    val e = corpus
+      .select(col(corpusId).cast("long").as("neighbor_id"),
+        quant(col(corpusVec)).as("cv"))
+      .withColumn("n2", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
+    val cent: Seq[(Long, Seq[Long])] = e.orderBy("neighbor_id").limit(nCells)
+      .select("neighbor_id", "cv").collect()
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
+    def distTo(v: Column, cvec: Seq[Long]): Column = {
+      val carr = array(cvec.map(lit): _*)
+      aggregate(zip_with(v, carr, (x, c) => (x - c) * (x - c)),
+        lit(0L), (a, x) => a + x)
+    }
+    def cellStructs(v: Column): Seq[Column] = cent.map { case (cid, cvec) =>
+      struct(distTo(v, cvec).as("dist"), lit(cid).as("cell"))
+    }
+    def argminCell(v: Column): Column = {
+      val scored = cellStructs(v)
+      aggregate(array(scored.tail: _*), scored.head,
+        (best, s) => when(s("dist") < best("dist"), s).otherwise(best))("cell")
+    }
+    def probeCells(v: Column): Column =
+      slice(array_sort(array(cellStructs(v): _*)), 1, nprobe)
+    val q = queries
+      .select(col(queryId).cast("long").as("query_id"),
+        quant(col(queryVec)).as("qv"))
+      .withColumn("cell", explode(transform(probeCells(col("qv")),
+        s => s("cell"))))
+    val assigned = e.withColumn("cell", argminCell(col("cv")))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", aggregate(zip_with(col("cv"), col("qv"),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("key", when(col("n2") === 0, lit(Double.MinValue))
+        .otherwise(col("dot").cast("double") * col("dot").cast("double")
+          / col("n2").cast("double")
+          * when(col("dot") < 0, lit(-1.0)).otherwise(lit(1.0))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("key").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "dot", "n2")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * a fixed hash mapped to [-1, 1]. Same formula is reproducible anywhere. */
   private def planeComponent(p: Column, d: Column): Column =
