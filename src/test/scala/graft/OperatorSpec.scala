@@ -208,6 +208,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.size == 32)
   }
 
+  test("exact ANN variants: planted duplicate ranks first, IVF ⊆ brute force") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.where(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0)
+    // a copy of vector 7 planted under a fresh id must be its rank-1 hit
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionAll(Seq((999999L, base)).toDF("vec_id", "embedding"))
+    val q7 = planted.where(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def rank1(df: org.apache.spark.sql.DataFrame): Long =
+      df.where(col("rank") === 1).head().getAs[Long]("neighbor_id")
+    assert(rank1(Similarity.bruteForceTopKExact(
+      planted, "vec_id", "embedding", q7, "qid", "qvec", k = 3)) == 999999L)
+    assert(rank1(Similarity.lshTopKExact(
+      planted, "vec_id", "embedding", q7, "qid", "qvec", k = 3)) == 999999L)
+    assert(rank1(Similarity.ivfTopKExact(
+      planted, "vec_id", "embedding", q7, "qid", "qvec", k = 3)) == 999999L)
+    // IVF with pruning returns a subset of the exhaustive candidates; at
+    // full probe it IS exhaustive — same neighbor set as brute force
+    val bf = Similarity.bruteForceTopKExact(
+        emb, "vec_id", "embedding", q7, "qid", "qvec", k = 5)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val ivfFull = Similarity.ivfTopKExact(
+        emb, "vec_id", "embedding", q7, "qid", "qvec", k = 5,
+        nCells = 16, nprobe = 16)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(ivfFull == bf)
+  }
+
   test("dup clusters: min-label components over a chain + isolated vertex") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
