@@ -351,7 +351,14 @@ object Dedup {
     * chains (a large-star/small-star alternation would cut worst-case
     * rounds to O(log n) if ever needed). Labels persist per round and the
     * convergence check is one count per iteration, bounded work the driver
-    * never materializes. */
+    * never materializes.
+    *
+    * The iteration runs over EDGE-INCIDENT vertices only: in a real corpus
+    * the duplicate subgraph is orders of magnitude smaller than the table
+    * (most docs have no near-dup pair), so the per-round shuffle moves
+    * candidate vertices, not the whole corpus. Untouched docs keep
+    * `cluster_id = id` via one final join — which AQE turns into a
+    * broadcast when the touched set is small. */
   def dupClusters(docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
@@ -360,8 +367,12 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist(disk)
-    var labels = docs
-      .select(col(idCol).cast("long").as("v"), col(idCol).cast("long").as("label"))
+    // both endpoints of every pair appear as `src` (edges are symmetrized
+    // above), so src alone enumerates the touched vertex set
+    var labels = edges
+      .select(col("src").cast("long").as("v"))
+      .distinct()
+      .select(col("v"), col("v").as("label"))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var changed = 1L
     var i = 0
@@ -401,6 +412,11 @@ object Dedup {
         s"dupClusters did not converge after $maxIter rounds " +
           s"($changed labels still moving): component diameter exceeds " +
           "maxIter — raise it (rounds ≈ diameter)")
-    labels.select(col("v").as(idCol), col("label").as("cluster_id"))
+    // stitch the untouched corpus back: docs with no near-dup pair are
+    // their own singleton cluster
+    docs.select(col(idCol).cast("long").as("v"))
+      .join(labels.withColumnRenamed("label", "cluster_id"), Seq("v"), "left")
+      .select(col("v").as(idCol),
+        coalesce(col("cluster_id"), col("v")).as("cluster_id"))
   }
 }
