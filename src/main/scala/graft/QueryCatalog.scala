@@ -570,6 +570,28 @@ object QueryCatalog {
             GraftFunctions.batchId(col("event_id")).as("batch_id"))
           .orderBy("event_id")),
 
+    Q("fn_time_to_ledger",
+      // SURVEY §3.3 get_ledger_range_from_times: the archive binary search
+      // becomes a filtered min/max over the ledgers table; bucketing by
+      // month generalizes it to a time→ledger-range map in one shuffle
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS bucket,
+             |       min(o_orderkey) AS start_ledger,
+             |       max(o_orderkey) AS end_ledger,
+             |       count(*) AS ledger_count
+             |FROM orders
+             |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+             |                      AND TIMESTAMP '1998-12-31 23:59:59'
+             |GROUP BY 1 ORDER BY bucket""".stripMargin),
+      (s, dir) =>
+        HistoryOps.ledgerRangeForTimes(
+            T(s, dir, "orders").select(
+              col("o_orderkey").as("ledger_sequence"),
+              col("o_orderdate").as("closed_at")),
+            to_timestamp(lit("1996-01-01 00:00:00")),
+            to_timestamp(lit("1998-12-31 23:59:59")),
+            date_format(col("closed_at"), "yyyy-MM"))
+          .orderBy("bucket")),
+
     Q("fn_interval_asset_strings",
       Some("""SELECT p_partkey,
              |       CASE WHEN p_size < 5 THEN 'native'

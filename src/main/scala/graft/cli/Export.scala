@@ -237,12 +237,14 @@ object Export {
             a.copy(end = if (a.end > 0) a.end else a.start + 5000L))
         }
         val ledgers = StellarTransforms.historyLedgers(src)
-        val r = ledgers
-          .where(col("closed_at").between(
-            to_timestamp(lit(a.startTime)), to_timestamp(lit(a.endTime))))
-          .agg(min("sequence").as("start"), max("sequence").as("end"))
-          .head()
-        println(s"""{"start":${r.get(0)},"end":${r.get(1)}}""")
+          .withColumnRenamed("sequence", "ledger_sequence")
+        HistoryOps.ledgerRangeForTimes(ledgers,
+            to_timestamp(lit(a.startTime)), to_timestamp(lit(a.endTime)))
+          .collect().headOption match {
+          case Some(r) => println(s"""{"start":${r.get(1)},"end":${r.get(2)}}""")
+          // empty window: keep the old global-agg contract (nulls, not a crash)
+          case None => println("""{"start":null,"end":null}""")
+        }
 
       case "" | "help" =>
         println("commands: export_ledgers export_transactions export_operations " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -99,4 +99,23 @@ object HistoryOps {
       .agg(min_by(payload, col(orderCol)).as("__first"))
       .select(col(idCol), col("__first.*"))
   }
+
+  /** §3.3 — `get_ledger_range_from_times`: the reference binary-searches a
+    * history archive over HTTP for the ledgers bracketing a time window
+    * (`cmd/get_ledger_range_from_times.go:26-83`,
+    * `internal/input/ledger_range.go:101-194`). Once ledgers are a table the
+    * same answer is one filtered min/max aggregate — map-side combinable,
+    * no search, and the closed_at filter prunes partitions when the table
+    * is date-partitioned. `bucket` generalizes the utility to a whole
+    * time-bucket → ledger-range map in the same single shuffle (the CLI
+    * passes a constant bucket and reads the one row back). */
+  def ledgerRangeForTimes(ledgers: DataFrame, startTime: Column,
+      endTime: Column, bucket: Column = lit("range")): DataFrame =
+    ledgers
+      .where(col("closed_at").between(startTime, endTime))
+      .groupBy(bucket.as("bucket"))
+      .agg(
+        min("ledger_sequence").as("start_ledger"),
+        max("ledger_sequence").as("end_ledger"),
+        count(lit(1)).as("ledger_count"))
 }

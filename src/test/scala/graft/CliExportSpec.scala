@@ -100,4 +100,30 @@ class CliExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     val seqs = ndjsonLines(Paths.get(out, "1064-1100-accounts.txt"))
     assert(seqs.nonEmpty)
   }
+
+  test("get_ledger_range_from_times resolves the bracketing sequences") {
+    // fixture cadence: closed_at = 1700000000s + 5s * sequence, so the
+    // window [1700000000+200*5, 1700000000+300*5] must resolve to [200,300]
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Export.run(spark, Export.parse(Array(
+        "get_ledger_range_from_times",
+        "--start", "2", "--end", "1000",
+        "--start-time", "2023-11-14 22:30:00",
+        "--end-time", "2023-11-14 22:38:20")))
+    }
+    assert(out.toString("UTF-8").trim == """{"start":200,"end":300}""")
+  }
+
+  test("get_ledger_range_from_times with an empty window reports nulls") {
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Export.run(spark, Export.parse(Array(
+        "get_ledger_range_from_times",
+        "--start", "2", "--end", "100",
+        "--start-time", "1999-01-01 00:00:00",
+        "--end-time", "1999-01-02 00:00:00")))
+    }
+    assert(out.toString("UTF-8").trim == """{"start":null,"end":null}""")
+  }
 }
