@@ -113,6 +113,8 @@ object GraftFunctions {
     nativeCol(graft.plans.Fnv64aExpression(exprOf(c)))
   def strkeyAccount(c: Column): Column =
     nativeCol(graft.plans.StrkeyAccountExpression(exprOf(c)))
+  def hyperplaneBuckets(c: Column, bits: Int, tables: Int): Column =
+    nativeCol(graft.plans.HyperplaneBucketsExpression(exprOf(c), bits, tables))
   val strkeyContract = udf((b: Array[Byte]) => Strkey.encodeContract(b))
   val strkeyPool = udf((b: Array[Byte]) => Strkey.encodeLiquidityPool(b))
   val strkeyBalance = udf((b: Array[Byte]) => Strkey.encodeClaimableBalance(b))

@@ -279,29 +279,27 @@ object Dedup {
     * dim d): ±1 from the parity of the first hex char of sha256("t:p:d").
     * sha-256 is bit-identical everywhere (JVM, DuckDB, any engine), so the
     * bucket assignment is cross-engine reproducible — unlike xxhash64-seeded
-    * planes, which only the JVM can replay. */
-  private[operators] def planeSign(t: Int, p: Int, d: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    val h = md.digest(s"$t:$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    if (((h(0) >> 4) & 1) == 0) 1L else -1L
-  }
+    * planes, which only the JVM can replay. Contract and hot loop live in
+    * [[graft.codec.Hyperplane]]. */
+  private[operators] def planeSign(t: Int, p: Int, d: Int): Long =
+    graft.codec.Hyperplane.planeSign(t, p, d)
 
   /** The 100 TB embedding-dedup path: [[cosineDupPairs]]' integer-quantized
     * threshold applied only to hyperplane-LSH bucket collisions.
     *
-    * Each vector is mapped — intra-row, shuffle-free — to one `bits`-bit
-    * bucket per table: bit p = sign of the dot product with a fixed ±1
-    * Rademacher plane ([[planeSign]], constant-folded into the expression
-    * tree as literal arrays, so the projection is exact integer arithmetic
-    * over the quantized vector). Candidates are pairs sharing a (table,
-    * bucket) key — ONE equi-join shuffle on a narrow (id, table, bucket)
-    * frame — and only candidates are scored with the exact integer cosine
-    * test. Multiple tables OR together for recall; cost scales with bucket
-    * occupancy, never O(n²). The vectors themselves do not travel through
-    * the LSH shuffle (candidates re-join the cached base by id).
+    * Each vector is mapped — intra-row, shuffle-free, inside whole-stage
+    * codegen via the native [[graft.plans.HyperplaneBucketsExpression]] —
+    * to one `bits`-bit bucket per table: bit p = sign of the dot product
+    * with a fixed ±1 Rademacher plane ([[planeSign]], exact integer
+    * arithmetic over the quantized vector). Candidates are pairs sharing a
+    * (table, bucket) key — ONE equi-join shuffle on a narrow (id, table,
+    * bucket) frame — and only candidates are scored with the exact integer
+    * cosine test. Multiple tables OR together for recall; cost scales with
+    * bucket occupancy, never O(n²). The vectors themselves do not travel
+    * through the LSH shuffle (candidates re-join the cached base by id).
     *
-    * `dim` must equal the embedding length: `zip_with` null-pads ragged
-    * zips, which would null the projection and silently zero that bit. */
+    * `dim` is taken per-row from the vector itself (ragged inputs can't
+    * silently zero a bit); the parameter is kept for signature stability. */
   def cosineDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
       cosNum: Int, cosDen: Int, dim: Int = 64,
       bits: Int = 6, tables: Int = 4): DataFrame = {
@@ -310,17 +308,10 @@ object Dedup {
     val base = emb.select(col(idCol).cast("long").as("id"), quant.as("v"))
       .withColumn("n2", aggregate(col("v"), lit(0L), (a, x) => a + x * x))
       .cache() // quantize once: bucket explode + two verification joins reuse it
-    val bucketCols = (0 until tables).map { t =>
-      (0 until bits).map { p =>
-        val w = array((0 until dim).map(d => lit(planeSign(t, p, d))): _*)
-        val proj = aggregate(zip_with(col("v"), w, (x, wc) => x * wc),
-          lit(0L), (a, x) => a + x)
-        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce((a: Column, b: Column) => a + b)
-    }
     // narrow (id, table, bucket) rows — the only frame the LSH shuffle moves
     val banded = base.select(col("id"),
-      posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+      posexplode(graft.functions.GraftFunctions.hyperplaneBuckets(
+        col("v"), bits, tables)).as(Seq("tbl", "bucket")))
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("tbl", "bucket"))
       .where(col("a.id") < col("b.id"))

@@ -97,12 +97,7 @@ object Similarity {
     def quant(c: Column): Column =
       transform(c, x => round(x.cast("double") * 10000).cast("long"))
     def bucketOf(v: Column): Column =
-      (0 until bits).map { p =>
-        val w = array((0 until dim).map(d => lit(Dedup.planeSign(0, p, d))): _*)
-        val proj = aggregate(zip_with(v, w, (x, wc) => x * wc),
-          lit(0L), (acc, x) => acc + x)
-        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce((a: Column, b: Column) => a + b)
+      element_at(graft.functions.GraftFunctions.hyperplaneBuckets(v, bits, 1), 1)
     val c = corpus
       .select(col(corpusId).as("neighbor_id"), quant(col(corpusVec)).as("cv"))
       .withColumn("n2", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))

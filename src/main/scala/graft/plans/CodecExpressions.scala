@@ -84,6 +84,36 @@ case class ScValJsonExpression(child: Expression) extends CodecUnaryExpression {
   override def prettyName: String = "scval_json"
 }
 
+/** All hyperplane-LSH bucket ids of a quantized vector in one pass
+  * (array<long> of length `tables`, bit p of bucket t = sign(<v, plane(t,p)>),
+  * planes from [[graft.codec.Hyperplane]]'s sha-parity contract). Replaces a
+  * tables×bits fan of interpreted higher-order `aggregate(zip_with(...))`
+  * trees with a single codegen'd fused loop — the per-row hot path of the
+  * embedding dedup and LSH ANN operators. */
+case class HyperplaneBucketsExpression(child: Expression, bits: Int, tables: Int)
+    extends CodecUnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def expectedInputType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got " + other)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.Hyperplane.buckets(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      bits, tables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.Hyperplane$$.MODULE$$.buckets($c, $bits, $tables)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsExpression =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_buckets"
+}
+
 /** ClaimPredicate XDR → JSON (`claimable_balance.go:11-21`, recursive tree). */
 case class ClaimPredicateJsonExpression(child: Expression) extends CodecUnaryExpression {
   override def dataType: DataType = StringType

@@ -45,11 +45,15 @@ object ExplainAudit {
       // the join shape is asserted separately on the pair generator below
       ("x_dedup_embedding_lsh", Seq("Scan ExistingRDD"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
-      // iterative connected components: the returned frame must be the
+      // iterative connected components: the returned frame must read the
       // materialized per-round RDD (constant-size plan), not a 2^rounds
-      // composed join tree
+      // composed join tree. The final corpus-stitch join may plan as
+      // SortMergeJoin statically (label-frame size is unknown before the
+      // loop runs); AQE converts it to broadcast at runtime when the
+      // touched set is small, and a hint would instead force an OOM when
+      // it is not — so only the never-correct shapes are forbidden here
       ("x_dedup_clusters", Seq("Scan ExistingRDD"),
-        Seq("SortMergeJoin", "BroadcastNestedLoopJoin")),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
       // archive source: checkpoint files fan out one per task (round-robin
       // on the path list), decode stays inside mapPartitions — no shuffle
       // of decoded rows

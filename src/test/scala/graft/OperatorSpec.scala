@@ -327,6 +327,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters.count() == 200)
   }
 
+  test("hyperplane buckets expression matches the per-plane HOF formulation") {
+    import spark.implicits._
+    val dim = 64; val bits = 6; val tables = 4
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => (math.sin(i * 3.1 + d * 1.3) * 0.5).toFloat))
+    }.toDF("id", "embedding")
+    val quant = transform(col("embedding"),
+      x => round(x.cast("double") * 10000).cast("long"))
+    val base = vecs.select(col("id"), quant.as("v"))
+    // the replaced formulation: one interpreted aggregate(zip_with) per plane
+    val hofBuckets = (0 until tables).map { t =>
+      (0 until bits).map { p =>
+        val w = array((0 until dim).map(d =>
+          lit(graft.codec.Hyperplane.planeSign(t, p, d))): _*)
+        val proj = aggregate(zip_with(col("v"), w, (x, wc) => x * wc),
+          lit(0L), (a, x) => a + x)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a + b)
+    }
+    val got = base.select(col("id"),
+        graft.functions.GraftFunctions.hyperplaneBuckets(col("v"), bits, tables).as("nb"),
+        array(hofBuckets: _*).as("hb"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("stratified sampling: deterministic, rate-accurate, map-only plan") {
     import spark.implicits._
     val df = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
