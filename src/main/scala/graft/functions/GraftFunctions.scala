@@ -115,6 +115,8 @@ object GraftFunctions {
     nativeCol(graft.plans.StrkeyAccountExpression(exprOf(c)))
   def hyperplaneBuckets(c: Column, bits: Int, tables: Int): Column =
     nativeCol(graft.plans.HyperplaneBucketsExpression(exprOf(c), bits, tables))
+  def ngramShingles(c: Column, n: Int): Column =
+    nativeCol(graft.plans.NgramShinglesExpression(exprOf(c), n))
   val strkeyContract = udf((b: Array[Byte]) => Strkey.encodeContract(b))
   val strkeyPool = udf((b: Array[Byte]) => Strkey.encodeLiquidityPool(b))
   val strkeyBalance = udf((b: Array[Byte]) => Strkey.encodeClaimableBalance(b))

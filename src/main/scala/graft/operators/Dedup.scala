@@ -33,25 +33,16 @@ object Dedup {
 
   /** Word-level shingles of size n as an array column (per-row, no shuffle).
     *
-    * n=1 is a plain token split; n>1 chains n−1 shifted `zip_with`s, so each
-    * doc pays n−1 O(L) slices instead of L O(n) slices+joins — the naive
-    * per-index `slice` formulation measured ~16× slower on the sf0.1 corpus
-    * because higher-order lambdas run interpreted, per element. `concat`'s
-    * null propagation trims the ragged tail. Docs shorter than n keep their
-    * single whole-doc shingle (the windowed definition's i=0 window). */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(normalized(text), " ")
-    if (n == 1) array_distinct(words)
-    else {
-      val chained = (1 until n).foldLeft(words) { (acc, k) =>
-        zip_with(acc, slice(words, lit(k + 1), size(words)), (a, b) =>
-          concat(a, lit(" "), b))
-      }
-      array_distinct(
-        when(size(words) < n, array(array_join(words, " ")))
-          .otherwise(filter(chained, x => x.isNotNull)))
-    }
-  }
+    * Fused native expression ([[graft.plans.NgramShinglesExpression]]):
+    * normalize → split → windows → ordered distinct in one compiled pass.
+    * The earlier chained-`zip_with` column formulation ran interpreted per
+    * element and was re-evaluated in every plan branch consuming the gram
+    * array (explode, size, array_except); the fused loop is evaluated once
+    * per branch at compiled speed and stays inside whole-stage codegen.
+    * Docs shorter than n keep their single whole-doc shingle (the windowed
+    * definition's i=0 window). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.ngramShingles(text, n)
 
   /** Salted 63-bit shingle hash: sha-256("shingle:seed") prefix folded into
     * a NON-NEGATIVE long — the top bit is masked so signed-vs-unsigned min

@@ -114,6 +114,25 @@ case class HyperplaneBucketsExpression(child: Expression, bits: Int, tables: Int
   override def prettyName: String = "hyperplane_buckets"
 }
 
+/** Distinct word n-gram shingles of a document in one fused pass
+  * (normalize → split → windows → ordered distinct, [[graft.codec.Shingles]]).
+  * The per-document hot path of the Jaccard/MinHash dedup family. */
+case class NgramShinglesExpression(child: Expression, n: Int)
+    extends CodecUnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.Shingles.ngrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.Shingles$$.MODULE$$.ngrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): NgramShinglesExpression =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_shingles"
+}
+
 /** ClaimPredicate XDR → JSON (`claimable_balance.go:11-21`, recursive tree). */
 case class ClaimPredicateJsonExpression(child: Expression) extends CodecUnaryExpression {
   override def dataType: DataType = StringType
