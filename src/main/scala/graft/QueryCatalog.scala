@@ -1259,6 +1259,37 @@ object QueryCatalog {
           .orderBy("sequence")
       }),
 
+    Q("src_lcm_header_scan",
+      // the Stellar-ledger.x header arms decoded by the DSv2 source: the
+      // LedgerHeader subset (protocol, chained prev-hash, monetary and
+      // limit fields), checkpoint-aligned upgrade entries and the V1
+      // soroban extras (optional — odd ledgers exercise the None arm),
+      // all re-derived by DuckDB from the fixture laws
+      Some("""SELECT seq AS sequence,
+             |       CAST(20 + seq % 3 AS INT) AS protocol_version,
+             |       sha256('ledger:' || (seq - 1)) AS prev_ledger_hash_hex,
+             |       CAST(1000000000000 + seq * 7 AS BIGINT) AS total_coins,
+             |       CAST(seq * 100 + 5 AS BIGINT) AS fee_pool,
+             |       CAST(100 + seq % 2 AS BIGINT) AS base_fee,
+             |       CAST(5000000 AS BIGINT) AS base_reserve,
+             |       CAST(1000 + seq % 10 AS BIGINT) AS max_tx_set_size,
+             |       CAST(CASE WHEN seq % 64 = 63 THEN 2 ELSE 0 END AS INT)
+             |         AS upgrade_count,
+             |       CAST(1000000 + seq * 10 AS BIGINT) AS bucket_list_size_bytes,
+             |       CASE WHEN seq % 2 = 0
+             |            THEN CAST(1000 + seq % 500 AS BIGINT) END
+             |         AS soroban_fee_write1000
+             |FROM generate_series(2100, 2299) t(seq) ORDER BY sequence""".stripMargin),
+      (s, dir) => {
+        s.read.format("graft-lcm").load(lcmFixtureDir)
+          .where(col("sequence").between(2100, 2299))
+          .select("sequence", "protocol_version", "prev_ledger_hash_hex",
+            "total_coins", "fee_pool", "base_fee", "base_reserve",
+            "max_tx_set_size", "upgrade_count", "bucket_list_size_bytes",
+            "soroban_fee_write1000")
+          .orderBy("sequence")
+      }),
+
     Q("src_lcm_tx_decode",
       // the Stellar-transaction.x union arms decoded by the DSv2 source —
       // result codes (signed, fee-bump-inner-success), the five memo arms,

@@ -15,12 +15,36 @@ import java.nio.charset.StandardCharsets
   * `Stellar-ledger.x`/`Stellar-transaction.x` unions:
   *
   * {{{
-  * LcmFrame (v2):
-  *   int    v            // LedgerCloseMeta version tag (2 = this layout)
+  * LcmFrame — union on the leading int, like the real `LedgerCloseMeta`:
+  *   int v               // 0 = classic arm, 1 = soroban-era arm, 2 = legacy
+  *
+  * v0 / v1 (header-carrying arms, `Stellar-ledger.x` LedgerCloseMetaV0/V1):
   *   uint32 ledgerSeq    // header.ledgerSeq
   *   uint64 closeTimeMs  // header.scpValue.closeTime, milliseconds here
-  *   uint32 nTx          // txProcessing<>
-  *   nTx × {
+  *   // LedgerHeader subset:
+  *   uint32 protocolVersion   // header.ledgerVersion
+  *   opaque prevHash[32]      // header.previousLedgerHash
+  *   hyper  totalCoins
+  *   hyper  feePool
+  *   uint32 baseFee
+  *   uint32 baseReserve
+  *   uint32 maxTxSetSize
+  *   uint32 nUpgrades         // upgradesProcessing<>
+  *   nUpgrades × {            // LedgerUpgrade union:
+  *     int tag                // 1 VERSION | 2 BASE_FEE | 3 MAX_TX_SET_SIZE
+  *     uint32 value           // | 4 BASE_RESERVE | 5 FLAGS
+  *   }
+  *   [v == 1]:                // the protocol-20+ additions of V1
+  *     uint64 bucketListSizeBytes   // totalByteSizeOfBucketList
+  *     bool ‖ hyper sorobanFeeWrite1000   // optional ext
+  *   uint32 nTx ‖ tx bodies   // txProcessing<>, layout below
+  *
+  * v2 (legacy header-less arm kept for wire compat):
+  *   uint32 ledgerSeq
+  *   uint64 closeTimeMs
+  *   uint32 nTx ‖ tx bodies
+  *
+  * tx body (shared by every arm):
   *     int envType       // ENVELOPE_TYPE_TX = 2 | ENVELOPE_TYPE_TX_FEE_BUMP = 5
   *     [envType == 5]:   // the fee-bump shell wrapping the inner tx
   *       opaque feeSource[32]
@@ -35,7 +59,6 @@ import java.nio.charset.StandardCharsets
   *     hyper  feeCharged
   *     uint32 nOps       // envelope operations<>
   *     nOps × { int opType; hyper amountStroops }
-  *   }
   * }}}
   *
   * Batch files (`{start}-{end}.lcmb`) are a stream of `uint32 len ‖ frame`
@@ -94,8 +117,38 @@ object Lcm {
       Tx(feeCharged, if (successful) TxSuccess else TxFailed, ops)
   }
 
-  case class Frame(sequence: Long, closedAtEpochMs: Long, txs: Seq[Tx])
+  /** `LedgerHeader` subset (`Stellar-ledger.x`): the per-ledger monetary and
+    * limit fields `transform/ledger.go:41-58` projects into
+    * `history_ledgers`. */
+  case class HeaderInfo(
+      protocolVersion: Int,
+      previousLedgerHash: Seq[Byte],
+      totalCoins: Long,
+      feePool: Long,
+      baseFee: Long,
+      baseReserve: Long,
+      maxTxSetSize: Long) {
+    require(previousLedgerHash.size == 32, "previousLedgerHash is opaque[32]")
+  }
 
+  /** `LedgerUpgrade` union (`Stellar-ledger.x`): each arm carries one
+    * uint32. Tags match the real enum. */
+  sealed trait LedgerUpgrade { def tag: Int; def value: Long }
+  case class UpgradeVersion(value: Long) extends LedgerUpgrade { val tag = 1 }
+  case class UpgradeBaseFee(value: Long) extends LedgerUpgrade { val tag = 2 }
+  case class UpgradeMaxTxSetSize(value: Long) extends LedgerUpgrade { val tag = 3 }
+  case class UpgradeBaseReserve(value: Long) extends LedgerUpgrade { val tag = 4 }
+  case class UpgradeFlags(value: Long) extends LedgerUpgrade { val tag = 5 }
+
+  case class Frame(sequence: Long, closedAtEpochMs: Long, txs: Seq[Tx],
+      header: Option[HeaderInfo] = None,
+      upgrades: Seq[LedgerUpgrade] = Nil,
+      bucketListSizeBytes: Option[Long] = None,
+      sorobanFeeWrite1000: Option[Long] = None)
+
+  val VersionV0 = 0
+  val VersionV1 = 1
+  /** Legacy header-less arm (wire compat with pre-header batch files). */
   val Version = 2
 
   private def writeXdrString(out: java.io.DataOutputStream, s: String): Unit = {
@@ -122,9 +175,42 @@ object Lcm {
   def encode(f: Frame): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(128)
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(Version)
+    // arm selection mirrors how writers pick LedgerCloseMeta versions: a
+    // header-less frame keeps the legacy tag, soroban-era extras force V1
+    val version = f.header match {
+      case None =>
+        require(f.bucketListSizeBytes.isEmpty && f.sorobanFeeWrite1000.isEmpty
+          && f.upgrades.isEmpty, "header-less frames take the legacy arm")
+        Version
+      case Some(_) =>
+        if (f.bucketListSizeBytes.isDefined || f.sorobanFeeWrite1000.isDefined)
+          VersionV1
+        else VersionV0
+    }
+    out.writeInt(version)
     out.writeInt(f.sequence.toInt) // uint32: ledger seqs are < 2^31 (TOID law)
     out.writeLong(f.closedAtEpochMs)
+    f.header.foreach { h =>
+      out.writeInt(h.protocolVersion)
+      out.write(h.previousLedgerHash.toArray)
+      out.writeLong(h.totalCoins)
+      out.writeLong(h.feePool)
+      out.writeInt(h.baseFee.toInt)
+      out.writeInt(h.baseReserve.toInt)
+      out.writeInt(h.maxTxSetSize.toInt)
+      out.writeInt(f.upgrades.size)
+      f.upgrades.foreach { u =>
+        out.writeInt(u.tag)
+        out.writeInt(u.value.toInt)
+      }
+      if (version == VersionV1) {
+        out.writeLong(f.bucketListSizeBytes.getOrElse(0L))
+        f.sorobanFeeWrite1000 match {
+          case Some(v) => out.writeInt(1); out.writeLong(v)
+          case None => out.writeInt(0)
+        }
+      }
+    }
     out.writeInt(f.txs.size)
     f.txs.foreach { t =>
       t.feeBump match {
@@ -181,15 +267,61 @@ object Lcm {
     bos.toByteArray
   }
 
-  /** Decode just the frame header (version, sequence, close time), leaving
-    * `buf` positioned at the tx count — the cheap path for range-pruned or
+  /** Everything above the tx array: identity, the LedgerHeader subset and
+    * per-version extras (header arms only — legacy frames yield None/Nil). */
+  case class Meta(sequence: Long, closedAtEpochMs: Long,
+      header: Option[HeaderInfo], upgrades: Seq[LedgerUpgrade],
+      bucketListSizeBytes: Option[Long], sorobanFeeWrite1000: Option[Long])
+
+  /** Decode the frame's pre-tx section (any version arm), leaving `buf`
+    * positioned at the tx count — the cheap path for range-pruned or
     * column-pruned reads that never touch the tx array. */
-  def decodeHeader(buf: ByteBuffer): (Long, Long) = {
+  def decodeMeta(buf: ByteBuffer): Meta = {
     val v = buf.getInt
-    require(v == Version, s"unsupported LCM frame version $v")
+    require(v == VersionV0 || v == VersionV1 || v == Version,
+      s"unsupported LCM frame version $v")
     val seq = buf.getInt.toLong & 0xFFFFFFFFL
     val closeMs = buf.getLong
-    (seq, closeMs)
+    if (v == Version) Meta(seq, closeMs, None, Nil, None, None)
+    else {
+      val protocol = buf.getInt
+      val prev = readOpaque32(buf)
+      val totalCoins = buf.getLong
+      val feePool = buf.getLong
+      val baseFee = buf.getInt.toLong & 0xFFFFFFFFL
+      val baseReserve = buf.getInt.toLong & 0xFFFFFFFFL
+      val maxTxSetSize = buf.getInt.toLong & 0xFFFFFFFFL
+      val nUp = buf.getInt
+      val upgrades = (0 until nUp).map { _ =>
+        val tag = buf.getInt
+        val value = buf.getInt.toLong & 0xFFFFFFFFL
+        tag match {
+          case 1 => UpgradeVersion(value)
+          case 2 => UpgradeBaseFee(value)
+          case 3 => UpgradeMaxTxSetSize(value)
+          case 4 => UpgradeBaseReserve(value)
+          case 5 => UpgradeFlags(value)
+          case other => throw new IllegalArgumentException(
+            s"bad ledger-upgrade tag $other")
+        }
+      }
+      val (bucket, soroban) =
+        if (v == VersionV1) {
+          val b = buf.getLong
+          val s = if (buf.getInt == 1) Some(buf.getLong) else None
+          (Some(b), s)
+        } else (None, None)
+      Meta(seq, closeMs,
+        Some(HeaderInfo(protocol, prev, totalCoins, feePool,
+          baseFee, baseReserve, maxTxSetSize)),
+        upgrades, bucket, soroban)
+    }
+  }
+
+  /** Back-compat view of [[decodeMeta]]: (sequence, closeTimeMs). */
+  def decodeHeader(buf: ByteBuffer): (Long, Long) = {
+    val m = decodeMeta(buf)
+    (m.sequence, m.closedAtEpochMs)
   }
 
   /** Decode the tx array from a buffer positioned after [[decodeHeader]]. */
@@ -237,7 +369,8 @@ object Lcm {
 
   def decode(bytes: Array[Byte]): Frame = {
     val buf = ByteBuffer.wrap(bytes)
-    val (seq, closeMs) = decodeHeader(buf)
-    Frame(seq, closeMs, decodeTxs(buf))
+    val m = decodeMeta(buf)
+    Frame(m.sequence, m.closedAtEpochMs, decodeTxs(buf),
+      m.header, m.upgrades, m.bucketListSizeBytes, m.sorobanFeeWrite1000)
   }
 }

@@ -72,6 +72,19 @@ object LcmDataSource {
   val Schema: StructType = StructType(Seq(
     StructField("sequence", LongType, nullable = false),
     StructField("closed_at", TimestampType, nullable = false),
+    // LedgerHeader subset (Stellar-ledger.x v0/v1 arms): null when the
+    // frame is a legacy header-less record
+    StructField("protocol_version", IntegerType, nullable = true),
+    StructField("prev_ledger_hash_hex", StringType, nullable = true),
+    StructField("total_coins", LongType, nullable = true),
+    StructField("fee_pool", LongType, nullable = true),
+    StructField("base_fee", LongType, nullable = true),
+    StructField("base_reserve", LongType, nullable = true),
+    StructField("max_tx_set_size", LongType, nullable = true),
+    StructField("upgrade_count", IntegerType, nullable = true),
+    // v1-arm extras (protocol 20+)
+    StructField("bucket_list_size_bytes", LongType, nullable = true),
+    StructField("soroban_fee_write1000", LongType, nullable = true),
     StructField("transactions", ArrayType(TxSchema, containsNull = false),
       nullable = false)))
 
@@ -192,11 +205,34 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
       val payload = new Array[Byte](len)
       in.readFully(payload)
       val buf = java.nio.ByteBuffer.wrap(payload) // XDR is big-endian
-      val (seq, closedAtMs) = graft.codec.Lcm.decodeHeader(buf)
+      val meta = graft.codec.Lcm.decodeMeta(buf)
+      val seq = meta.sequence
       if (seq >= lo && seq <= hi) {
+        def hexStr(b: Seq[Byte]): Any =
+          UTF8String.fromString(b.map("%02x".format(_)).mkString)
         val values = requiredSchema.fieldNames.map {
           case "sequence" => seq: Any
-          case "closed_at" => closedAtMs * 1000L: Any // epoch micros
+          case "closed_at" => meta.closedAtEpochMs * 1000L: Any // epoch micros
+          case "protocol_version" =>
+            meta.header.map(h => Int.box(h.protocolVersion)).orNull: Any
+          case "prev_ledger_hash_hex" =>
+            meta.header.map(h => hexStr(h.previousLedgerHash)).orNull: Any
+          case "total_coins" =>
+            meta.header.map(h => Long.box(h.totalCoins)).orNull: Any
+          case "fee_pool" =>
+            meta.header.map(h => Long.box(h.feePool)).orNull: Any
+          case "base_fee" =>
+            meta.header.map(h => Long.box(h.baseFee)).orNull: Any
+          case "base_reserve" =>
+            meta.header.map(h => Long.box(h.baseReserve)).orNull: Any
+          case "max_tx_set_size" =>
+            meta.header.map(h => Long.box(h.maxTxSetSize)).orNull: Any
+          case "upgrade_count" =>
+            meta.header.map(_ => Int.box(meta.upgrades.size)).orNull: Any
+          case "bucket_list_size_bytes" =>
+            meta.bucketListSizeBytes.map(Long.box).orNull: Any
+          case "soroban_fee_write1000" =>
+            meta.sorobanFeeWrite1000.map(Long.box).orNull: Any
           case "transactions" =>
             // flat tx view: the first (here: only) op of each envelope
             val txs = graft.codec.Lcm.decodeTxs(buf)
@@ -261,19 +297,25 @@ object LcmWriter {
   import graft.codec.Lcm
 
   def write(dir: String, ledgers: Seq[(Long, Long, Seq[Lcm.Tx])],
+      batchSize: Int = 64): Seq[String] =
+    writeFrames(dir,
+      ledgers.map { case (seq, closedAtMs, txs) => Lcm.Frame(seq, closedAtMs, txs) },
+      batchSize)
+
+  def writeFrames(dir: String, frames: Seq[Lcm.Frame],
       batchSize: Int = 64): Seq[String] = {
     val d = new java.io.File(dir)
     d.mkdirs()
-    ledgers.sortBy(_._1).grouped(batchSize).map { batch =>
-      val start = batch.head._1
-      val end = batch.last._1
+    frames.sortBy(_.sequence).grouped(batchSize).map { batch =>
+      val start = batch.head.sequence
+      val end = batch.last.sequence
       val f = new java.io.File(d, s"$start-$end.lcmb")
       val out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(new java.io.FileOutputStream(f)))
-      batch.foreach { case (seq, closedAtMs, txs) =>
-        val frame = Lcm.encode(Lcm.Frame(seq, closedAtMs, txs))
-        out.writeInt(frame.length)
-        out.write(frame)
+      batch.foreach { frame =>
+        val bytes = Lcm.encode(frame)
+        out.writeInt(bytes.length)
+        out.write(bytes)
       }
       out.close()
       f.getAbsolutePath
@@ -322,9 +364,35 @@ object LcmWriter {
     }
   }
 
-  /** Deterministic fixture export derived from [[StellarFixture]]'s laws. */
+  /** The deterministic per-ledger HEADER laws (v1 arm), re-derived by the
+    * `src_lcm_header_scan` oracle: protocol cycles 20-22, prev hash chains
+    * sha-256 over the prior sequence, monetary fields are affine in seq,
+    * upgrades land on checkpoint ledgers (seq ≡ 63 mod 64), and the soroban
+    * fee ext is present on even ledgers only (so the None arm is on the
+    * wire too). */
+  def fixtureHeader(seq: Long): Lcm.HeaderInfo = Lcm.HeaderInfo(
+    protocolVersion = (20 + seq % 3).toInt,
+    previousLedgerHash = sha(s"ledger:${seq - 1}"),
+    totalCoins = 1000000000000L + seq * 7,
+    feePool = seq * 100 + 5,
+    baseFee = 100 + seq % 2,
+    baseReserve = 5000000L,
+    maxTxSetSize = 1000 + seq % 10)
+
+  def fixtureUpgrades(seq: Long): Seq[Lcm.LedgerUpgrade] =
+    if (seq % 64 == 63)
+      Seq(Lcm.UpgradeBaseFee(100 + seq % 7), Lcm.UpgradeVersion(20 + seq % 3))
+    else Nil
+
+  /** Deterministic fixture export derived from [[StellarFixture]]'s laws;
+    * emits the header-carrying V1 arm since round 7. */
   def writeFixture(dir: String, start: Long, end: Long, batchSize: Int = 64): Seq[String] =
-    write(dir, (start to end).map { seq =>
-      (seq, 1700000000000L + seq * 5000L, fixtureTxs(seq))
+    writeFrames(dir, (start to end).map { seq =>
+      Lcm.Frame(seq, 1700000000000L + seq * 5000L, fixtureTxs(seq),
+        header = Some(fixtureHeader(seq)),
+        upgrades = fixtureUpgrades(seq),
+        bucketListSizeBytes = Some(1000000L + seq * 10),
+        sorobanFeeWrite1000 =
+          if (seq % 2 == 0) Some(1000 + seq % 500) else None)
     }, batchSize)
 }

@@ -350,4 +350,56 @@ class CodecSpec extends AnyFunSuite {
       + "00000000000001f5"))
     assert(decode(fbBytes).txs.head == fb)
   }
+
+  test("LCM XDR ledger arms: header subset, upgrades, V1 soroban extras") {
+    import Lcm._
+    val prev = Seq.tabulate(32)(i => (i * 3).toByte)
+    val header = HeaderInfo(
+      protocolVersion = 21, previousLedgerHash = prev,
+      totalCoins = 1000000000007L, feePool = 205L,
+      baseFee = 101L, baseReserve = 5000000L, maxTxSetSize = 1002L)
+    val upgrades = Seq(UpgradeBaseFee(103L), UpgradeVersion(21L))
+    val txs = Seq(Tx(100L, TxSuccess, Seq(Op(5, 1000000L))))
+
+    // v0 arm: header + upgrades, no extras
+    val v0 = Frame(2048L, 1700000000000L, txs, Some(header), upgrades)
+    assert(hexStr(encode(v0)).startsWith(
+      "00000000" + "00000800" + "0000018bcfe56800" +  // tag ‖ seq ‖ closeMs
+      "00000015" + prev.map("%02x".format(_)).mkString + // protocol ‖ prevHash
+      "000000e8d4a51007" + "00000000000000cd" +        // totalCoins ‖ feePool
+      "00000065" + "004c4b40" + "000003ea" +           // baseFee ‖ reserve ‖ maxTx
+      "00000002" + "00000002" + "00000067" +           // nUp ‖ BASE_FEE ‖ 103
+      "00000001" + "00000015"))                        // VERSION ‖ 21
+    assert(decode(encode(v0)) == v0)
+
+    // v1 arm: + bucket list size and the optional soroban ext (both states)
+    val v1 = v0.copy(bucketListSizeBytes = Some(1020480L),
+      sorobanFeeWrite1000 = Some(1048L))
+    assert(hexStr(encode(v1)).startsWith("00000001"))
+    assert(decode(encode(v1)) == v1)
+    val v1NoExt = v0.copy(bucketListSizeBytes = Some(1020480L))
+    assert(decode(encode(v1NoExt)) == v1NoExt)
+
+    // legacy header-less frames keep the old tag and wire bytes
+    val legacy = Frame(2048L, 1700000000000L, txs)
+    assert(hexStr(encode(legacy)).startsWith("00000002"))
+    assert(decode(encode(legacy)) == legacy)
+
+    // decodeMeta on a header arm leaves the buffer at the tx count
+    val buf = java.nio.ByteBuffer.wrap(encode(v1))
+    val m = decodeMeta(buf)
+    assert(m.header.contains(header) && m.upgrades == upgrades &&
+      m.bucketListSizeBytes.contains(1020480L) &&
+      m.sorobanFeeWrite1000.contains(1048L))
+    assert(decodeTxs(buf) == txs)
+
+    // a header-less frame must not smuggle header-arm payloads
+    intercept[IllegalArgumentException](
+      encode(Frame(1L, 0L, txs, None, upgrades)))
+    // bad upgrade tag is rejected, not misread
+    val bad = encode(v0).clone()
+    // nUp field is at offset 4+4+8+4+32+8+8+4+4+4 = 80; first tag at 84
+    bad(87) = 9
+    intercept[IllegalArgumentException](decode(bad))
+  }
 }

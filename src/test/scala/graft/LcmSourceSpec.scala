@@ -101,7 +101,10 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("reads frames back with the declared schema and exact row content") {
     val df = spark.read.format("graft-lcm").load(dir)
-    assert(df.columns.toSeq == Seq("sequence", "closed_at", "transactions"))
+    assert(df.columns.toSeq == Seq("sequence", "closed_at",
+      "protocol_version", "prev_ledger_hash_hex", "total_coins", "fee_pool",
+      "base_fee", "base_reserve", "max_tx_set_size", "upgrade_count",
+      "bucket_list_size_bytes", "soroban_fee_write1000", "transactions"))
     assert(df.count() == 512)
     val r = df.where(col("sequence") === 1003).collect().head
     assert(r.getAs[java.sql.Timestamp]("closed_at").getTime ==
@@ -110,6 +113,25 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(txs.size == (1003 % 5) + 1)
     assert(txs.head.getAs[Long]("fee_charged") == 100L)
     assert(txs.head.getAs[Int]("op_type") == (1003 % 27))
+    // header arm: fixture laws, odd seq → no soroban ext
+    assert(r.getAs[Int]("protocol_version") == (20 + 1003 % 3))
+    assert(r.getAs[String]("prev_ledger_hash_hex") ==
+      graft.codec.Hashes.sha256("ledger:1002".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(r.getAs[Long]("total_coins") == 1000000000000L + 1003 * 7)
+    assert(r.getAs[Long]("bucket_list_size_bytes") == 1000000L + 1003 * 10)
+    assert(r.isNullAt(r.fieldIndex("soroban_fee_write1000")))
+    // checkpoint ledger carries the upgrade entries; legacy header-less
+    // frames surface nulls (wire-compat arm)
+    val cp = df.where(col("sequence") === 1023).collect().head
+    assert(cp.getAs[Int]("upgrade_count") == 2)
+    val legacyDir = java.nio.file.Files
+      .createTempDirectory("lcm-legacy").toString
+    LcmWriter.write(legacyDir,
+      Seq((5L, 1700000005000L, LcmWriter.fixtureTxs(5L))))
+    val lr = spark.read.format("graft-lcm").load(legacyDir).collect().head
+    assert(lr.isNullAt(lr.fieldIndex("protocol_version")) &&
+      lr.isNullAt(lr.fieldIndex("bucket_list_size_bytes")))
   }
 
   test("sequence range predicates prune whole batch files before reading") {
