@@ -1290,6 +1290,42 @@ object QueryCatalog {
           .orderBy("sequence")
       }),
 
+    Q("stellar_ledgers_from_lcm",
+      // history_ledgers composed directly over the wire source: counts from
+      // the tx laws, header columns from the ledger-arm laws — proving the
+      // source → reference-schema path without the typed stand-in model
+      Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls)
+             |SELECT ls.seq AS sequence,
+             |       sha256('ledger:' || (ls.seq - 1)) AS previous_ledger_hash,
+             |       (ls.seq << 32) AS id,
+             |       CAST(ls.seq % 5 + 1 AS INT) AS transaction_count,
+             |       CAST(count(*) FILTER (WHERE tx.t % 3 <> 0) AS INT)
+             |         AS successful_transaction_count,
+             |       CAST(count(*) FILTER (WHERE tx.t % 3 = 0) AS INT)
+             |         AS failed_transaction_count,
+             |       CAST(count(*) FILTER (WHERE tx.t % 3 <> 0) AS INT)
+             |         AS operation_count,
+             |       CAST(ls.seq % 5 + 1 AS VARCHAR) AS tx_set_operation_count,
+             |       CAST(1000000000000 + ls.seq * 7 AS BIGINT) AS total_coins,
+             |       CAST(ls.seq * 100 + 5 AS BIGINT) AS fee_pool,
+             |       CAST(100 + ls.seq % 2 AS BIGINT) AS base_fee,
+             |       CAST(5000000 AS BIGINT) AS base_reserve,
+             |       CAST(1000 + ls.seq % 10 AS BIGINT) AS max_tx_set_size,
+             |       CAST(20 + ls.seq % 3 AS INT) AS protocol_version,
+             |       CASE WHEN ls.seq % 2 = 0
+             |            THEN CAST(1000 + ls.seq % 500 AS BIGINT) END
+             |         AS soroban_fee_write_1kb,
+             |       CAST(1000000 + ls.seq * 10 AS BIGINT)
+             |         AS total_byte_size_of_bucket_list
+             |FROM ls JOIN tx ON tx.seq = ls.seq
+             |GROUP BY ls.seq ORDER BY sequence""".stripMargin),
+      (s, dir) =>
+        StellarTransforms.historyLedgersFromLcm(
+            s.read.format("graft-lcm").load(lcmFixtureDir)
+              .where(col("sequence").between(2100, 2299)))
+          .orderBy("sequence")),
+
     Q("src_lcm_tx_decode",
       // the Stellar-transaction.x union arms decoded by the DSv2 source —
       // result codes (signed, fee-bump-inner-success), the five memo arms,

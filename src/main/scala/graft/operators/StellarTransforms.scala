@@ -61,6 +61,33 @@ object StellarTransforms {
       base64NoWrap(col("signature")).as("signature"),
       col("bucket_list_size").as("total_byte_size_of_bucket_list"))
 
+  /** P1 straight off the LCM wire source (`graft-lcm` DSv2): the
+    * `history_ledgers` columns derivable from the frame alone — tx/op
+    * counts from the nested array, the LedgerHeader subset from the v0/v1
+    * ledger arms (`transform/ledger.go:41-70`). Columns the wire subset
+    * does not carry (self hash, header base64, SCP node id/signature) are
+    * omitted rather than faked; the flat tx view carries one op per
+    * envelope, so `operation_count` equals the successful-tx count on this
+    * source. Legacy header-less frames surface nulls in the header
+    * columns. */
+  def historyLedgersFromLcm(lcm: DataFrame): DataFrame =
+    lcm.select(
+      col("sequence"),
+      col("prev_ledger_hash_hex").as("previous_ledger_hash"),
+      ledgerToid(col("sequence")).as("id"),
+      size(col("transactions")).as("transaction_count"),
+      size(filter(col("transactions"), t => t("successful")))
+        .as("successful_transaction_count"),
+      size(filter(col("transactions"), t => !t("successful")))
+        .as("failed_transaction_count"),
+      size(filter(col("transactions"), t => t("successful")))
+        .as("operation_count"),
+      size(col("transactions")).cast("string").as("tx_set_operation_count"),
+      col("total_coins"), col("fee_pool"), col("base_fee"),
+      col("base_reserve"), col("max_tx_set_size"), col("protocol_version"),
+      col("soroban_fee_write1000").as("soroban_fee_write_1kb"),
+      col("bucket_list_size_bytes").as("total_byte_size_of_bucket_list"))
+
   /** P2 — `history_transactions`: explode + memo demux, bounds intervals,
     * muxed addresses, TOID ids, and the Soroban fee decomposition
     * (`transaction.go:131-191`): inclusion fee bid = envelope fee − resource
