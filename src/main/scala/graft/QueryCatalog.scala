@@ -1187,6 +1187,109 @@ object QueryCatalog {
           .select("doc_id", "predicted_lang")
           .orderBy("doc_id")),
 
+    Q("x_text_redact",
+      // PII scrub: plant deterministic email/ip/phone spans (both engines
+      // build the identical dirty text), redact with the same ordered
+      // regexes, count matches — map-only at any corpus size
+      Some("""WITH dirty AS (
+             |  SELECT doc_id,
+             |         substr(text, 1, 40)
+             |           || coalesce(CASE WHEN doc_id % 3 = 0
+             |                THEN ' mail u' || doc_id || '@ex' || doc_id || '.org' END, '')
+             |           || coalesce(CASE WHEN doc_id % 4 = 0
+             |                THEN ' host 10.0.' || doc_id % 256 || '.7' END, '')
+             |           || coalesce(CASE WHEN doc_id % 5 = 0
+             |                THEN ' call +1-555-' || 1000 + doc_id % 9000 END, '')
+             |           AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |       regexp_replace(regexp_replace(regexp_replace(text,
+             |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |         '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+             |         '\+\d{1,3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS redacted,
+             |       CAST(len(regexp_extract_all(text,
+             |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+             |       CAST(len(regexp_extract_all(text,
+             |         '\b\d{1,3}(\.\d{1,3}){3}\b')) AS INT) AS n_ip,
+             |       CAST(len(regexp_extract_all(text,
+             |         '\+\d{1,3}[- ]\d{3}[- ]\d{4}')) AS INT) AS n_phone
+             |FROM dirty ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val planted = concat(
+          substring(col("text"), 1, 40),
+          coalesce(when(col("doc_id") % 3 === 0,
+            concat(lit(" mail u"), col("doc_id"), lit("@ex"),
+              col("doc_id"), lit(".org"))), lit("")),
+          coalesce(when(col("doc_id") % 4 === 0,
+            concat(lit(" host 10.0."), col("doc_id") % 256, lit(".7"))), lit("")),
+          coalesce(when(col("doc_id") % 5 === 0,
+            concat(lit(" call +1-555-"), lit(1000) + col("doc_id") % 9000)),
+            lit("")))
+        val dirty = T(s, dir, "documents")
+          .select(col("doc_id"), planted.as("text"))
+        TextAnalysis.piiCounts(dirty, "text")
+          .select(col("doc_id"),
+            TextAnalysis.redactPii(col("text")).as("redacted"),
+            col("n_email"), col("n_ip"), col("n_phone"))
+          .orderBy("doc_id")
+      }),
+
+    Q("x_text_repetition",
+      // boilerplate filter: 1 − distinct/total word-trigram windows,
+      // intra-row via the fused shingle expression
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             |           ' ') AS ws
+             |  FROM documents)
+             |SELECT doc_id,
+             |       CASE WHEN len(ws) < 3 THEN CAST(0.0 AS DOUBLE)
+             |            ELSE 1.0 - CAST(len(list_distinct(list_transform(
+             |                   generate_series(1, len(ws) - 2),
+             |                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+             |                 AS DOUBLE) / (len(ws) - 2)
+             |       END AS repetition_ratio
+             |FROM w ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        T(s, dir, "documents").select(
+            col("doc_id"),
+            TextAnalysis.repetitionRatio(col("text"), 3).as("repetition_ratio"))
+          .orderBy("doc_id")),
+
+    Q("x_decontaminate",
+      // benchmark-overlap contamination check: eval docs (doc_id < 10)
+      // define the gram universe, every other doc reports its trigram
+      // overlap — Spark broadcasts the benchmark grams (map-only corpus
+      // pass); the oracle re-derives via explode + join
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             |           ' ') AS ws
+             |  FROM documents),
+             |sh AS (SELECT doc_id,
+             |         CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             |              ELSE list_distinct(list_transform(
+             |                generate_series(1, len(ws) - 2),
+             |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS grams
+             |       FROM w),
+             |g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+             |b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+             |o AS (SELECT g.doc_id, count(*) AS overlap FROM g JOIN b USING (gram)
+             |      WHERE g.doc_id >= 10 GROUP BY 1)
+             |SELECT sh.doc_id, CAST(len(sh.grams) AS BIGINT) AS n_grams,
+             |       CAST(coalesce(o.overlap, 0) AS BIGINT) AS overlap_grams,
+             |       CAST(coalesce(o.overlap, 0) AS DOUBLE) /
+             |         greatest(len(sh.grams), 1) AS contamination_ratio
+             |FROM sh LEFT JOIN o ON sh.doc_id = o.doc_id
+             |WHERE sh.doc_id >= 10 ORDER BY sh.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        Dedup.decontaminate(
+            docs.where(col("doc_id") >= 10), "text", "doc_id",
+            docs.where(col("doc_id") < 10), "text", n = 3)
+          .orderBy("doc_id")
+      }),
+
     Q("x_text_fingerprint",
       Some("""SELECT doc_id,
              |       substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),

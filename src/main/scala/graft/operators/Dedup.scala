@@ -208,6 +208,32 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark decontamination: per-document overlap of word n-grams with
+    * an evaluation set's gram universe — the standard pre-training
+    * contamination check. Scale shape: eval sets are small by nature, so
+    * their distinct grams collapse to ONE broadcast array row and the
+    * corpus pass is map-only (`array_intersect` per document, no shuffle
+    * of the corpus); a benchmark too large to broadcast would swap in the
+    * explode + equi-join formulation the oracle uses. */
+  def decontaminate(corpus: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingles(col(benchTextCol), n)).as("gram"))
+      .distinct()
+      .agg(collect_list(col("gram")).as("bench"))
+    corpus
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("grams"))
+      .crossJoin(broadcast(benchGrams))
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_intersect(col("grams"), col("bench")))
+          .cast("long").as("overlap_grams"))
+      .withColumn("contamination_ratio",
+        col("overlap_grams").cast("double") /
+          greatest(col("n_grams"), lit(1L)))
+  }
+
   /** n-gram (word) Jaccard similarity between all pairs sharing a token —
     * fully relational formulation: explode distinct tokens, equi-join on
     * token, count common, derive |A∪B|. Suits medium corpora / oracle checks;

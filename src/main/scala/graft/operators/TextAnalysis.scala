@@ -92,6 +92,39 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     aggregate(split(Dedup.normalized(text), ""),
       lit(0L), (acc, c) => acc * 31L + coalesce(ascii(c).cast("long"), lit(0L)))
+
+  /** PII patterns for training-data scrubbing, ordered most- to
+    * least-specific so the email pass can't eat the bytes an IP or phone
+    * pass would match. Java-regex and RE2 compatible (no lookaround), so a
+    * SQL oracle can replay them verbatim. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("ip", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"),
+    ("phone", "\\+\\d{1,3}[- ]\\d{3}[- ]\\d{4}"))
+
+  /** Redact PII spans to `<TAG>` placeholders — one chained
+    * `regexp_replace` per pattern, map-only and codegen'd: the standard
+    * pre-training scrub pass, shuffle-free at any corpus size. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (tag, re)) =>
+      regexp_replace(acc, re, s"<${tag.toUpperCase}>")
+    }
+
+  /** Per-pattern match counts (audit trail for the scrub pass). */
+  def piiCounts(df: DataFrame, textCol: String): DataFrame =
+    PiiPatterns.foldLeft(df) { case (acc, (tag, re)) =>
+      acc.withColumn(s"n_$tag", regexp_count(col(textCol), lit(re)))
+    }
+
+  /** Intra-document repetition: 1 − distinct/total word n-gram windows —
+    * the boilerplate/loop filter of web-scale pipelines. Intra-row (the
+    * fused shingle expression supplies the distinct count); docs shorter
+    * than n words have one whole-doc window, ratio 0. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val words = size(split(Dedup.normalized(text), " "))
+    val total = greatest(words - lit(n - 1), lit(1))
+    (lit(1.0) - size(Dedup.shingles(text, n)).cast("double") / total)
+  }
 }
 
 /** Minimal public stopword lexicons (top function words per language). */

@@ -355,6 +355,58 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PII redaction: each pattern replaced, order keeps email intact from IP pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to a.b+c@mail-host.org today"),
+      (2L, "server at 192.168.0.1 port 80"),
+      (3L, "call +44-202-5550 now"),
+      (4L, "u1@ex.co or 10.0.0.7 or +1-555-1234"),
+      (5L, "clean text, nothing to scrub")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiCounts(df, "text")
+      .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("r"),
+        col("n_email"), col("n_ip"), col("n_phone"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got(1L) == (("write to <EMAIL> today", 1, 0, 0)))
+    assert(got(2L) == (("server at <IP> port 80", 0, 1, 0)))
+    assert(got(3L) == (("call <PHONE> now", 0, 0, 1)))
+    assert(got(4L) == (("<EMAIL> or <IP> or <PHONE>", 1, 1, 1)))
+    assert(got(5L) == (("clean text, nothing to scrub", 0, 0, 0)))
+  }
+
+  test("repetition ratio: looped text scores high, unique text zero, short text zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "buy now " * 50),               // 2-word loop: few distinct trigrams
+      (2L, (1 to 60).mkString(" ")),       // all-unique words: ratio 0
+      (3L, "too short")                    // < n words: whole-doc window, 0
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > 0.9, s"looped doc scored ${got(1L)}")
+    assert(got(2L) == 0.0)
+    assert(got(3L) == 0.0)
+  }
+
+  test("decontamination: planted benchmark overlap, clean docs zero") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a quick brown fox appears"),     // shares 'quick brown fox'
+      (2L, "entirely different words here"), // no overlap
+      (3L, "the quick brown fox jumps over the lazy dog")) // full copy
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, "text", "doc_id", bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L)._2 == 1L) // exactly the shared trigram
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0.0)
+    assert(got(3L)._2 == got(3L)._1 && got(3L)._3 == 1.0) // fully contaminated
+  }
+
   test("stratified sampling: deterministic, rate-accurate, map-only plan") {
     import spark.implicits._
     val df = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
