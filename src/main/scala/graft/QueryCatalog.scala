@@ -1290,6 +1290,18 @@ object QueryCatalog {
           .orderBy("doc_id")
       }),
 
+    Q("x_vocab_topk",
+      // vocabulary build: per-document distinct terms -> document
+      // frequency -> deterministic top-k (df desc, term asc)
+      Some("""WITH g AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split_regex(
+             |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS term
+             |  FROM documents)
+             |SELECT term, count(*) AS doc_freq FROM g
+             |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 40""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.topTerms(T(s, dir, "documents"), "text", k = 40)),
+
     Q("x_text_fingerprint",
       Some("""SELECT doc_id,
              |       substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),

@@ -116,6 +116,19 @@ object TextAnalysis {
       acc.withColumn(s"n_$tag", regexp_count(col(textCol), lit(re)))
     }
 
+  /** Global vocabulary top-k: term → document frequency over the corpus,
+    * highest-df first with the term as deterministic tie-break. Scale
+    * shape: one hash aggregate with map-side partial counts (a stopword-
+    * grade term costs O(partitions) exchange rows) followed by
+    * TakeOrderedAndProject — per-partition top-k heaps, never a full
+    * sort. The corpus-stats pass under tokenizer/BPE vocabulary builds. */
+  def topTerms(df: DataFrame, textCol: String, k: Int, n: Int = 1): DataFrame =
+    df.select(explode(Dedup.shingles(col(textCol), n)).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("term"))
+      .limit(k)
+
   /** Intra-document repetition: 1 − distinct/total word n-gram windows —
     * the boilerplate/loop filter of web-scale pipelines. Intra-row (the
     * fused shingle expression supplies the distinct count); docs shorter

@@ -63,8 +63,9 @@ object HistoryArchive {
         new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))))
       val lo = cp - CheckpointFrequency + 1
       (math.max(lo, 1L) to cp).foreach { seq =>
-        val frame = graft.codec.Lcm.encode(graft.codec.Lcm.Frame(
-          seq, 1700000000000L + seq * 5000L, LcmWriter.fixtureTxs(seq)))
+        // header-carrying V1 frames, same laws as the batch-file fixture —
+        // the archive read path decodes any version arm
+        val frame = graft.codec.Lcm.encode(LcmWriter.fixtureFrame(seq))
         out.writeInt(frame.length)
         out.write(frame)
       }

@@ -384,15 +384,18 @@ object LcmWriter {
       Seq(Lcm.UpgradeBaseFee(100 + seq % 7), Lcm.UpgradeVersion(20 + seq % 3))
     else Nil
 
+  /** One fully-populated V1 frame under the fixture laws (shared by the
+    * batch-file and history-archive fixture writers). */
+  def fixtureFrame(seq: Long): Lcm.Frame =
+    Lcm.Frame(seq, 1700000000000L + seq * 5000L, fixtureTxs(seq),
+      header = Some(fixtureHeader(seq)),
+      upgrades = fixtureUpgrades(seq),
+      bucketListSizeBytes = Some(1000000L + seq * 10),
+      sorobanFeeWrite1000 =
+        if (seq % 2 == 0) Some(1000 + seq % 500) else None)
+
   /** Deterministic fixture export derived from [[StellarFixture]]'s laws;
     * emits the header-carrying V1 arm since round 7. */
   def writeFixture(dir: String, start: Long, end: Long, batchSize: Int = 64): Seq[String] =
-    writeFrames(dir, (start to end).map { seq =>
-      Lcm.Frame(seq, 1700000000000L + seq * 5000L, fixtureTxs(seq),
-        header = Some(fixtureHeader(seq)),
-        upgrades = fixtureUpgrades(seq),
-        bucketListSizeBytes = Some(1000000L + seq * 10),
-        sorobanFeeWrite1000 =
-          if (seq % 2 == 0) Some(1000 + seq % 500) else None)
-    }, batchSize)
+    writeFrames(dir, (start to end).map(fixtureFrame), batchSize)
 }
