@@ -58,7 +58,16 @@ object ExplainAudit {
       // on the path list), decode stays inside mapPartitions — no shuffle
       // of decoded rows
       ("src_archive_range_scan", Seq("RoundRobinPartitioning", "MapPartitions"),
-        Seq("BroadcastNestedLoopJoin"))
+        Seq("BroadcastNestedLoopJoin")),
+      // vocab build: partial-agg + per-partition top-k heaps, never a
+      // global sort of the full term table
+      ("x_vocab_topk", Seq("partial_count", "TakeOrderedAndProject"),
+        Seq("Sort ", "Window ")),
+      // decontamination: the benchmark grams ride in as ONE broadcast row
+      // (the corpus pass is map-only) — a corpus-side shuffle join is the
+      // shape this operator exists to avoid
+      ("x_decontaminate", Seq("BroadcastExchange"),
+        Seq("SortMergeJoin", "ShuffledHashJoin"))
     )
     val byName = (QueryCatalog.all ++ QueryCatalog.entryOps).map(q => q.name -> q).toMap
     var bad = 0
