@@ -5,9 +5,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session-extension wiring: `spark.sql.extensions=graft.plans.GraftExtensions`
-  * (or `withExtensions` on the builder) makes the native codec expressions
+  * (or `withExtensions` on the builder) makes the native expressions
   * available to pure-SQL users as `farm_hash64(...)`, `fnv64a(...)`,
-  * `strkey_account(...)`. */
+  * `strkey_account(...)`, `scval_json(...)`, `claim_predicate_json(...)`,
+  * `ngram_shingles(text, n)`, `hyperplane_buckets(vec, bits, tables)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
@@ -17,6 +18,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  /** Shape parameters (shingle size, plane counts) arrive from SQL as
+    * literal arguments; anything non-literal can't parameterize codegen. */
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("farm_hash64",
       new ExpressionInfo(classOf[FarmHash64Expression].getName, "farm_hash64"),
@@ -26,7 +38,23 @@ object GraftExtensions {
       (es: Seq[Expression]) => Fnv64aExpression(es.head)),
     ("strkey_account",
       new ExpressionInfo(classOf[StrkeyAccountExpression].getName, "strkey_account"),
-      (es: Seq[Expression]) => StrkeyAccountExpression(es.head)))
+      (es: Seq[Expression]) => StrkeyAccountExpression(es.head)),
+    ("scval_json",
+      new ExpressionInfo(classOf[ScValJsonExpression].getName, "scval_json"),
+      (es: Seq[Expression]) => ScValJsonExpression(es.head)),
+    ("claim_predicate_json",
+      new ExpressionInfo(classOf[ClaimPredicateJsonExpression].getName,
+        "claim_predicate_json"),
+      (es: Seq[Expression]) => ClaimPredicateJsonExpression(es.head)),
+    ("ngram_shingles",
+      new ExpressionInfo(classOf[NgramShinglesExpression].getName, "ngram_shingles"),
+      (es: Seq[Expression]) =>
+        NgramShinglesExpression(es.head, intArg(es(1), "shingle size n"))),
+    ("hyperplane_buckets",
+      new ExpressionInfo(classOf[HyperplaneBucketsExpression].getName,
+        "hyperplane_buckets"),
+      (es: Seq[Expression]) => HyperplaneBucketsExpression(es.head,
+        intArg(es(1), "bits"), intArg(es(2), "tables"))))
 
   /** Imperative registration for an existing session (same effect as the
     * extensions path, usable after session creation). */

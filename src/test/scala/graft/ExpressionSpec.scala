@@ -62,6 +62,21 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getLong(1) == graft.codec.Hashes.fnv64a("abc"))
   }
 
+  test("SQL users can call the shingle and LSH-bucket expressions") {
+    GraftExtensions.register(spark)
+    val sh = spark.sql(
+      "SELECT ngram_shingles('The  quick brown FOX', 2) AS g").head().getSeq[String](0)
+    assert(sh == Seq("the quick", "quick brown", "brown fox"))
+    val bk = spark.sql(
+      "SELECT hyperplane_buckets(array(10000L, -10000L, 0L), 6, 4) AS b")
+      .head().getSeq[Long](0)
+    assert(bk.size == 4 && bk.forall(b => b >= 0 && b < 64))
+    // shape params must be literals
+    intercept[Exception] {
+      spark.sql("SELECT ngram_shingles('x', cast(rand()*3 AS INT))").collect()
+    }
+  }
+
   test("type mismatch is rejected at analysis time") {
     import spark.implicits._
     val df = Seq(1L).toDF("n")

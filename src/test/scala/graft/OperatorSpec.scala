@@ -355,6 +355,73 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("shingle expression matches the chained-zip_with formulation (property)") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val alphabet = Seq("the", "Quick", "BROWN", "fox", "蓝色", "Straße",
+      "ÅNGSTRÖM", "a1", "b-2", "")
+    val seps = Seq(" ", "  ", "\t", "\n", " \t ")
+    val texts = (0 until 120).map { i =>
+      val n = r.nextInt(8)
+      (i.toLong, (0 until n).map(_ => alphabet(r.nextInt(alphabet.size)))
+        .mkString(seps(r.nextInt(seps.size))))
+    }.toDF("id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      // the replaced column formulation, verbatim
+      val words = split(Dedup.normalized(col("text")), " ")
+      val old =
+        if (n == 1) array_distinct(words)
+        else {
+          val chained = (1 until n).foldLeft(words) { (acc, k) =>
+            zip_with(acc, slice(words, lit(k + 1), size(words)),
+              (a, b) => concat(a, lit(" "), b))
+          }
+          array_distinct(
+            when(size(words) < n, array(array_join(words, " ")))
+              .otherwise(filter(chained, x => x.isNotNull)))
+        }
+      texts.select(col("id"), col("text"),
+          Dedup.shingles(col("text"), n).as("nw"), old.as("ow"))
+        .collect().foreach { row =>
+          assert(row.getSeq[String](2) == row.getSeq[String](3),
+            s"n=$n id=${row.getLong(0)} text=${row.getString(1).take(60)}")
+        }
+    }
+  }
+
+  test("hyperplane expression matches the HOF formulation on random vectors (property)") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    for (dim <- Seq(1, 3, 17, 64)) {
+      val vecs = (0 until 40).map { i =>
+        (i.toLong, Array.tabulate(dim) { _ =>
+          r.nextInt(5) match {
+            case 0 => 0L
+            case 1 => -r.nextInt(20000).toLong
+            case _ => r.nextInt(20000).toLong
+          }
+        })
+      }.toDF("id", "v")
+      val bits = 5; val tables = 3
+      val hof = (0 until tables).map { t =>
+        (0 until bits).map { p =>
+          val w = array((0 until dim).map(d =>
+            lit(graft.codec.Hyperplane.planeSign(t, p, d))): _*)
+          val proj = aggregate(zip_with(col("v"), w, (x, wc) => x * wc),
+            lit(0L), (a, x) => a + x)
+          when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a + b)
+      }
+      vecs.select(col("id"),
+          graft.functions.GraftFunctions.hyperplaneBuckets(col("v"), bits, tables).as("nb"),
+          array(hof: _*).as("hb"))
+        .collect().foreach { row =>
+          assert(row.getSeq[Long](1) == row.getSeq[Long](2),
+            s"dim=$dim id=${row.getLong(0)}")
+        }
+    }
+  }
+
   test("PII redaction: each pattern replaced, order keeps email intact from IP pass") {
     import spark.implicits._
     val df = Seq(
