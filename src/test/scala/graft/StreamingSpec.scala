@@ -68,6 +68,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == 4)
   }
 
+  test("streaming exact dedup drops in-horizon duplicates across micro-batches") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-dedup-landing").toString
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+    // batch 1: two distinct docs (one with whitespace-variant duplicate);
+    // batch 2: an in-horizon duplicate of doc a (must be dropped) and a
+    // fresh doc c (must pass)
+    Seq((1L, "alpha  beta", ts(0)), (2L, "alpha beta", ts(1)),
+        (3L, "gamma delta", ts(1)))
+      .toDF("doc_id", "text", "event_ts").write.mode("append").parquet(landing)
+    Seq((4L, "ALPHA BETA", ts(2)), (5L, "epsilon zeta", ts(3)))
+      .toDF("doc_id", "text", "event_ts").write.mode("append").parquet(landing)
+
+    val schemaSource = spark.read.parquet(landing)
+    val stream = spark.readStream.schema(schemaSource.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val deduped = graft.streaming.DedupStream.dedupExact(
+      stream, "text", "event_ts", horizon = "10 minutes")
+    assert(deduped.isStreaming)
+
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val kept = spark.table("dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // one survivor per content class: {1,2,4} are the same normalized text
+    assert(kept.intersect(Set(1L, 2L, 4L)).size == 1, s"kept=$kept")
+    assert(kept.contains(3L) && kept.contains(5L))
+    assert(kept.size == 3)
+  }
+
   test("windowed counts produce an event-time tumbling aggregation (batch mode)") {
     import spark.implicits._
     val df = Seq(
