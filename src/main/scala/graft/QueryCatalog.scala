@@ -1290,6 +1290,51 @@ object QueryCatalog {
           .orderBy("doc_id")
       }),
 
+    Q("x_skew_salted_join",
+      // skewed equi-join, salted: half the events hash to one hot key; the
+      // salted form spreads them over 8 shards and must produce exactly
+      // the plain join's rows (the oracle IS the plain join)
+      Some("""SELECT n.n_name, count(*) AS n_events,
+             |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             |         AS value_cents
+             |FROM (SELECT CASE WHEN user_id % 4 < 2 THEN 0
+             |                  ELSE user_id % 25 END AS k, value, event_id
+             |      FROM events) e
+             |JOIN nation n ON e.k = n.n_nationkey
+             |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir).select(
+          when(col("user_id") % 4 < 2, lit(0L))
+            .otherwise(col("user_id") % 25).as("k"),
+          col("value"), col("event_id"))
+        val n = T(s, dir, "nation")
+          .select(col("n_nationkey").as("k"), col("n_name"))
+        Skew.saltedJoin(e, n, keys = Seq("k"), rowKey = "event_id", salts = 8)
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          .orderBy("n_name")
+      }),
+
+    Q("x_skew_distinct_tokens",
+      // skewed distinct-count (distinct state can't partial-combine): per
+      // language distinct term count via value-hash shards whose partial
+      // counts sum exactly — DuckDB re-derives with a plain
+      // count(DISTINCT), proving the sharded sum is exact
+      Some("""WITH g AS (
+             |  SELECT lang, unnest(list_distinct(string_split_regex(
+             |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS term
+             |  FROM documents)
+             |SELECT lang, count(DISTINCT term) AS distinct_count
+             |FROM g GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val g = T(s, dir, "documents")
+          .select(col("lang"),
+            explode(Dedup.shingles(col("text"), 1)).as("term"))
+        Skew.saltedDistinctCount(g, Seq("lang"), "term", salts = 8)
+          .orderBy("lang")
+      }),
+
     Q("x_vocab_topk",
       // vocabulary build: per-document distinct terms -> document
       // frequency -> deterministic top-k (df desc, term asc)

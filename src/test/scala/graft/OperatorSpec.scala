@@ -474,6 +474,45 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L)._2 == got(3L)._1 && got(3L)._3 == 1.0) // fully contaminated
   }
 
+  test("salted join: identical rows to the plain join, shuffle keyed on (key, salt)") {
+    import spark.implicits._
+    // 900 of 1000 probe rows hit one hot key
+    val probe = (0 until 1000).map { i =>
+      (i.toLong, if (i < 900) 7L else (i % 5).toLong, s"p$i")
+    }.toDF("row_id", "k", "payload")
+    val build = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (4L, "e")).toDF("k", "dim")
+    val plain = probe.join(build, Seq("k"))
+      .select("row_id", "k", "payload", "dim").collect().toSet
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val salted = Skew.saltedJoin(probe, build, Seq("k"), "row_id", salts = 8)
+        .select("row_id", "k", "payload", "dim")
+      assert(salted.collect().toSet == plain)
+      // the exchange must partition on BOTH the key and the salt — that is
+      // the whole point: the hot key's rows spread over `salts` reducers
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), plan.take(600))
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(600))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("salted distinct count: exact under value sharding, any salt count") {
+    import spark.implicits._
+    val df = (0 until 2000).map { i =>
+      (if (i % 10 < 9) "hot" else "cold", s"v${i % 137}")
+    }.toDF("key", "value")
+    val expected = df.groupBy("key")
+      .agg(count_distinct(col("value")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (salts <- Seq(1, 3, 8)) {
+      val got = Skew.saltedDistinctCount(df, Seq("key"), "value", salts)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"salts=$salts")
+    }
+  }
+
   test("stratified sampling: deterministic, rate-accurate, map-only plan") {
     import spark.implicits._
     val df = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
