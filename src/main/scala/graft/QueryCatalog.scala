@@ -646,6 +646,37 @@ object QueryCatalog {
             sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
           .orderBy("hour_bucket", "event_type")),
 
+    Q("x_sessionize",
+      // gap-based sessions: DuckDB replays with gaps-and-islands (lag +
+      // running sum); break on diff >= gap — session_window's half-open
+      // [start, last+gap) means a touching event starts a NEW session
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+             |                  CAST(round(value * 100) AS BIGINT) AS cents
+             |           FROM events),
+             |m AS (SELECT user_id, us, cents,
+             |        CASE WHEN lag(us) OVER w IS NULL
+             |             OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |s AS (SELECT user_id, us, cents,
+             |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+             |          ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM m)
+             |SELECT user_id, count(*) AS n_events,
+             |       min(us) AS session_start_us, max(us) AS session_end_us,
+             |       CAST(sum(cents) AS BIGINT) AS value_cents
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start_us""".stripMargin),
+      (s, dir) =>
+        Sessionize.sessions(
+            ev(s, dir).select(col("user_id"),
+              timestamp_micros(expr("ts div 1000")).as("event_time"),
+              round(col("value") * 100).cast("long").as("cents")),
+            "user_id", col("event_time"), "30 minutes",
+            aggs = Seq(sum(col("cents")).as("value_cents")))
+          .select("user_id", "n_events", "session_start_us",
+            "session_end_us", "value_cents")
+          .orderBy("user_id", "session_start_us")),
+
     // ===== extensions: dedup =================================================
 
     Q("x_dedup_exact",

@@ -474,6 +474,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L)._2 == got(3L)._1 && got(3L)._3 == 1.0) // fully contaminated
   }
 
+  test("sessionize: gap merge, exact-gap boundary starts a new session") {
+    import spark.implicits._
+    val t0 = 1700000000000000L // µs
+    val gapUs = 30L * 60 * 1000000
+    val events = Seq(
+      (1L, t0),                 // session A
+      (1L, t0 + gapUs - 1),     // still A (just inside)
+      (1L, t0 + 2 * gapUs - 1), // still A (chained: < gap after previous)
+      (1L, t0 + 3 * gapUs - 1 + gapUs), // exactly gap after last → NEW session B
+      (2L, t0))                 // other user, own session
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("event_time"))
+    val got = Sessionize.sessions(events, "user_id", col("event_time"), "30 minutes")
+      .select("user_id", "n_events", "session_start_us", "session_end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._3))
+    assert(got.toSeq == Seq(
+      (1L, 3L, t0, t0 + 2 * gapUs - 1),
+      (1L, 1L, t0 + 4 * gapUs - 1, t0 + 4 * gapUs - 1),
+      (2L, 1L, t0, t0)))
+  }
+
   test("salted join: identical rows to the plain join, shuffle keyed on (key, salt)") {
     import spark.implicits._
     // 900 of 1000 probe rows hit one hot key
