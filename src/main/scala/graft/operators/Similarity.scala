@@ -128,42 +128,66 @@ object Similarity {
     * cells by the same exact distances, and candidate ranking reuses the
     * sign(dot)·dot²/n2 IEEE key — all of it replayable in SQL, so the
     * oracle checks assignment, probe pruning AND ranking. */
-  def ivfTopKExact(
-      corpus: DataFrame, corpusId: String, corpusVec: String,
-      queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def quant(c: Column): Column =
-      transform(c, x => round(x.cast("double") * 10000).cast("long"))
+  /** Persistable exact-integer IVF index: the quantized corpus assigned to
+    * its nearest centroid cell. `assigned` (cell, neighbor_id, cv, n2) is
+    * the inverted file — a plain DataFrame, so a deployment writes it once
+    * (bucketed by `cell` via [[Bucketing.writeBucketed]] to make repeated
+    * probe joins exchange-free) and every search skips the assignment
+    * pass; `centroids` is the bounded nCells-row driver-side table every
+    * query batch needs to plan its probes. */
+  final case class IvfIndexExact(
+      centroids: Seq[(Long, Seq[Long])],
+      assigned: DataFrame)
+
+  private def quantLong(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 10000).cast("long"))
+
+  private def distToCent(v: Column, cvec: Seq[Long]): Column = {
+    val carr = array(cvec.map(lit): _*)
+    aggregate(zip_with(v, carr, (x, c) => (x - c) * (x - c)),
+      lit(0L), (a, x) => a + x)
+  }
+
+  private def cellStructs(cent: Seq[(Long, Seq[Long])], v: Column): Seq[Column] =
+    cent.map { case (cid, cvec) =>
+      struct(distToCent(v, cvec).as("dist"), lit(cid).as("cell"))
+    }
+
+  /** Build the exact-integer IVF index: centroids are the nCells lowest-id
+    * quantized corpus vectors (the documented deterministic seed); every
+    * corpus vector is assigned by a strict-< earliest-wins integer-L2
+    * argmin fold — intra-row over the broadcast centroid literals, no
+    * shuffle. */
+  def buildIvfIndexExact(corpus: DataFrame, corpusId: String,
+      corpusVec: String, nCells: Int = 16): IvfIndexExact = {
     val e = corpus
       .select(col(corpusId).cast("long").as("neighbor_id"),
-        quant(col(corpusVec)).as("cv"))
+        quantLong(col(corpusVec)).as("cv"))
       .withColumn("n2", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
     val cent: Seq[(Long, Seq[Long])] = e.orderBy("neighbor_id").limit(nCells)
       .select("neighbor_id", "cv").collect()
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
-    def distTo(v: Column, cvec: Seq[Long]): Column = {
-      val carr = array(cvec.map(lit): _*)
-      aggregate(zip_with(v, carr, (x, c) => (x - c) * (x - c)),
-        lit(0L), (a, x) => a + x)
-    }
-    def cellStructs(v: Column): Seq[Column] = cent.map { case (cid, cvec) =>
-      struct(distTo(v, cvec).as("dist"), lit(cid).as("cell"))
-    }
     def argminCell(v: Column): Column = {
-      val scored = cellStructs(v)
+      val scored = cellStructs(cent, v)
       aggregate(array(scored.tail: _*), scored.head,
         (best, s) => when(s("dist") < best("dist"), s).otherwise(best))("cell")
     }
+    IvfIndexExact(cent, e.withColumn("cell", argminCell(col("cv"))))
+  }
+
+  /** Search a built index: per query, probe the `nprobe` nearest cells and
+    * rank only their members with the exact sign(dot)·dot²/n2 key. */
+  def searchIvfIndexExact(index: IvfIndexExact, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def probeCells(v: Column): Column =
-      slice(array_sort(array(cellStructs(v): _*)), 1, nprobe)
+      slice(array_sort(array(cellStructs(index.centroids, v): _*)), 1, nprobe)
     val q = queries
       .select(col(queryId).cast("long").as("query_id"),
-        quant(col(queryVec)).as("qv"))
+        quantLong(col(queryVec)).as("qv"))
       .withColumn("cell", explode(transform(probeCells(col("qv")),
         s => s("cell"))))
-    val assigned = e.withColumn("cell", argminCell(col("cv")))
-    val scored = assigned.join(broadcast(q), Seq("cell"))
+    val scored = index.assigned.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", aggregate(zip_with(col("cv"), col("qv"),
         (x, y) => x * y), lit(0L), (acc, x) => acc + x))
@@ -177,6 +201,14 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "dot", "n2")
   }
+
+  def ivfTopKExact(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nCells: Int = 16, nprobe: Int = 4): DataFrame =
+    searchIvfIndexExact(
+      buildIvfIndexExact(corpus, corpusId, corpusVec, nCells),
+      queries, queryId, queryVec, k, nprobe)
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * a fixed hash mapped to [-1, 1]. Same formula is reproducible anywhere. */

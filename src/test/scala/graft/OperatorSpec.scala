@@ -474,6 +474,31 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L)._2 == got(3L)._1 && got(3L)._3 == 1.0) // fully contaminated
   }
 
+  test("IVF index: build once, search many, survives a parquet roundtrip") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q1 = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val q2 = emb.where(col("vec_id").between(5, 9))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val fused = Similarity.ivfTopKExact(emb, "vec_id", "embedding",
+      q1, "qid", "qvec", k = 5).collect().toSet
+
+    val idx = Similarity.buildIvfIndexExact(emb, "vec_id", "embedding")
+    val viaIndex = Similarity.searchIvfIndexExact(idx, q1, "qid", "qvec", k = 5)
+    assert(viaIndex.collect().toSet == fused)
+    // second query batch over the SAME index
+    assert(Similarity.searchIvfIndexExact(idx, q2, "qid", "qvec", k = 5)
+      .select("query_id").distinct().count() == 5)
+
+    // the inverted file is plain tabular state: persist + reload + search
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    idx.assigned.write.mode("overwrite").parquet(dir)
+    val reloaded = Similarity.IvfIndexExact(idx.centroids,
+      spark.read.parquet(dir))
+    assert(Similarity.searchIvfIndexExact(reloaded, q1, "qid", "qvec", k = 5)
+      .collect().toSet == fused)
+  }
+
   test("sessionize: gap merge, exact-gap boundary starts a new session") {
     import spark.implicits._
     val t0 = 1700000000000000L // µs
