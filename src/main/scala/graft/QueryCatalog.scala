@@ -1366,6 +1366,27 @@ object QueryCatalog {
           .orderBy("lang")
       }),
 
+    Q("x_sample_mixture",
+      // inverse-frequency dataset mixing: every language contributes the
+      // same expected row count; thresholds are exact integers
+      // (min_count << 32) / count, so DuckDB re-derives the identical
+      // kept-row set with integer division — no floats at the boundary
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |m AS (SELECT min(n) AS mn FROM c),
+             |r AS (SELECT c.lang,
+             |        CASE WHEN c.n = m.mn THEN 'g'
+             |             ELSE printf('%08x', (m.mn * 4294967296) // c.n) END AS thr
+             |      FROM c, m)
+             |SELECT d.doc_id, d.lang FROM documents d
+             |JOIN r ON d.lang = r.lang
+             |WHERE substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        Sampling.inverseMixture(
+            T(s, dir, "documents").select("doc_id", "lang"),
+            "doc_id", "lang")
+          .orderBy("doc_id")),
+
     Q("x_vocab_topk",
       // vocabulary build: per-document distinct terms -> document
       // frequency -> deterministic top-k (df desc, term asc)

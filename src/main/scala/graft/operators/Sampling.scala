@@ -30,16 +30,49 @@ object Sampling {
   /** Per-stratum keep rates (e.g. language quotas), default for unlisted
     * strata. */
   def stratified(df: DataFrame, idCol: String, stratumCol: String,
-      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+      rates: Map[String, Double], defaultRate: Double): DataFrame =
+    stratifiedThresholds(df, idCol, stratumCol,
+      rates.map { case (k, v) => k -> thresholdHex(v) },
+      thresholdHex(defaultRate))
+
+  /** Threshold-literal form of [[stratified]] — for callers that derive
+    * thresholds by exact integer arithmetic rather than from a double
+    * rate. */
+  def stratifiedThresholds(df: DataFrame, idCol: String, stratumCol: String,
+      thresholds: Map[String, String], defaultThr: String): DataFrame = {
     val thr = coalesce(
-      try_element_at(
-        typedLit(rates.map { case (k, v) => k -> thresholdHex(v) }),
-        col(stratumCol)),
-      lit(thresholdHex(defaultRate)))
+      try_element_at(typedLit(thresholds), col(stratumCol)),
+      lit(defaultThr))
     df.where(hashKey(col(idCol)) < thr)
   }
 
   /** Unstratified variant: one global rate. */
   def uniform(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.where(hashKey(col(idCol)) < lit(thresholdHex(rate)))
+
+  /** Inverse-frequency mixture (the temperature-0 flattening of dataset
+    * mixing): keep rate_s = min_count / count_s, so every stratum
+    * contributes the SAME expected number of rows — the smallest stratum
+    * survives whole, dominant strata are downsampled to match. Thresholds
+    * are exact integers (`min_count * 2^32 / count_s`, integer division):
+    * no floating point anywhere, so any engine with sha-256 and integer
+    * division reproduces the identical kept-row set.
+    *
+    * The per-stratum counts come from one hash aggregate collected to the
+    * driver — bounded by the number of strata (languages/sources), like a
+    * centroid table, then the sample itself is a map-only filter. Counts
+    * must stay under 2^31 per stratum (the exact-integer law's headroom);
+    * larger corpora sample within shards first. */
+  def inverseMixture(df: DataFrame, idCol: String,
+      stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty input")
+    require(counts.values.max < (1L << 31), "per-stratum count exceeds 2^31")
+    val mn = counts.values.min
+    val thresholds = counts.map { case (k, n) =>
+      k -> (if (n == mn) "g" else f"${(mn << 32) / n}%08x")
+    }
+    stratifiedThresholds(df, idCol, stratumCol, thresholds, thresholdHex(0.0))
+  }
 }

@@ -474,6 +474,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L)._2 == got(3L)._1 && got(3L)._3 == 1.0) // fully contaminated
   }
 
+  test("inverse mixture: smallest stratum kept whole, others flattened, deterministic") {
+    import spark.implicits._
+    val df = ((0 until 3200).map(i => (i.toLong, "big")) ++
+      (3200 until 3600).map(i => (i.toLong, "mid")) ++
+      (3600 until 3700).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.inverseMixture(df, "doc_id", "lang")
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest stratum survives whole; the rest converge to ~its size
+    assert(byLang("small") == 100L)
+    assert(math.abs(byLang("big") - 100L) < 40, byLang.toString)
+    assert(math.abs(byLang("mid") - 100L) < 40, byLang.toString)
+    // deterministic: same rows on a rerun
+    assert(kept.collect().toSet ==
+      Sampling.inverseMixture(df, "doc_id", "lang").collect().toSet)
+  }
+
   test("IVF index: build once, search many, survives a parquet roundtrip") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q1 = emb.where(col("vec_id") < 5)
