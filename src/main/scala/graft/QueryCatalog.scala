@@ -1451,6 +1451,27 @@ object QueryCatalog {
         Multimodal.decode(media).toDF().orderBy("media_id")
       }),
 
+    Q("x_multimodal_pipeline", None, // stub codecs: rows-only; the full
+      // media path — decode metadata, frame-sample videos, resize, extract
+      // features and ANN-search them — exercising every mapPartitions stage
+      (s, dir) => {
+        import s.implicits._
+        val media = T(s, dir, "documents").where(col("doc_id") < 100).select(
+            col("doc_id").as("media_id"),
+            when(expr("doc_id % 3 = 0"), "image/jpeg")
+              .when(expr("doc_id % 3 = 1"), "audio/wav")
+              .otherwise("video/mp4").as("mime"),
+            col("text").cast("binary").as("bytes"))
+          .as[Multimodal.MediaRow]
+        val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+          .where(col("feature_ok"))
+        val queries = feats.where(col("media_id") < 5)
+          .select(col("media_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.bruteForceTopK(
+            feats, "media_id", "embedding", queries, "qid", "qvec", k = 3)
+          .orderBy("query_id", "rank")
+      }),
+
     // ===== opaque codecs (rows-only: no SQL twin by design) ==================
 
     Q("src_lcm_range_scan",

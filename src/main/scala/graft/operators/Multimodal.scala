@@ -73,4 +73,69 @@ object Multimodal {
       .where(col("decode_ok") && col("n_frames") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+
+  case class ResizedMedia(media_id: Long, mime: String,
+      target_w: Int, target_h: Int, resized_bytes: Array[Byte],
+      resize_ok: Boolean, error: String)
+
+  /** Resize pass (STUB codec, real plumbing): per-partition batch loop with
+    * the target dims closed over — the production shape for a JNI/javacv
+    * scaler whose handles load once per partition. The stub emits a
+    * deterministic payload (sha-256 of input ‖ dims) with a plausible
+    * compressed size so downstream sizing logic is exercised. */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init: scaler context, pinned buffers…
+      rows.map { r =>
+        if (r.bytes.isEmpty)
+          ResizedMedia(r.media_id, r.mime, targetW, targetH,
+            Array.empty[Byte], resize_ok = false, error = "empty payload")
+        else {
+          val seed = graft.codec.Hashes.sha256(
+            r.bytes ++ s":$targetW:$targetH".getBytes("UTF-8"))
+          // stub payload: seed repeated to ~w*h/8 bytes (a plausible
+          // compressed size), deterministic for specs
+          val len = math.max(32, targetW * targetH / 8)
+          val out = Array.tabulate[Byte](len)(i => seed(i % seed.length))
+          ResizedMedia(r.media_id, r.mime, targetW, targetH, out,
+            resize_ok = true, error = null)
+        }
+      }
+    }
+  }
+
+  case class MediaFeatures(media_id: Long, mime: String,
+      embedding: Array[Float], feature_ok: Boolean, error: String)
+
+  /** Feature-extraction pass (STUB model, real plumbing): per-partition
+    * batch loop — where a real deployment loads model weights once per
+    * partition and runs batched inference. The stub derives a
+    * deterministic unit-norm embedding from a sha-256 chain over the
+    * bytes, so the output composes with the ANN operators
+    * ([[Similarity]]) and dedup ([[Dedup.cosineDupPairs]]) in specs. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init: model weights, inference session…
+      rows.map { r =>
+        if (r.bytes.isEmpty)
+          MediaFeatures(r.media_id, r.mime, Array.empty[Float],
+            feature_ok = false, error = "empty payload")
+        else {
+          val raw = Array.tabulate(dim) { d =>
+            val h = graft.codec.Hashes.sha256(
+              r.bytes ++ s":f$d".getBytes("UTF-8"))
+            // first 4 bytes → int → [-1, 1]
+            val x = ((h(0) & 0xFF) << 24) | ((h(1) & 0xFF) << 16) |
+              ((h(2) & 0xFF) << 8) | (h(3) & 0xFF)
+            x.toFloat / Int.MaxValue.toFloat
+          }
+          val norm = math.sqrt(raw.map(x => x.toDouble * x).sum)
+          val emb = if (norm == 0) raw else raw.map(x => (x / norm).toFloat)
+          MediaFeatures(r.media_id, r.mime, emb, feature_ok = true, error = null)
+        }
+      }
+    }
+  }
 }

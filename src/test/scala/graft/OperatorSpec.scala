@@ -474,6 +474,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L)._2 == got(3L)._1 && got(3L)._3 == 1.0) // fully contaminated
   }
 
+  test("multimodal resize + feature extraction: deterministic stubs, error channel, ANN-composable") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/jpeg", "payload-one".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "image/jpeg", "payload-two".getBytes("UTF-8")),
+      Multimodal.MediaRow(3L, "image/jpeg", Array.empty[Byte])).toDS()
+    val resized = Multimodal.resize(media, 64, 48).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(resized(1L).resize_ok && resized(1L).resized_bytes.length == 64 * 48 / 8)
+    assert(!resized(3L).resize_ok && resized(3L).error == "empty payload")
+    // deterministic: same payload on rerun
+    assert(Multimodal.resize(media, 64, 48).collect()
+      .find(_.media_id == 1L).get.resized_bytes
+      .sameElements(resized(1L).resized_bytes))
+
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).feature_ok && feats(1L).embedding.length == 8)
+    assert(!feats(3L).feature_ok)
+    // unit norm (stub embeds on the sphere, like a real encoder)
+    val n1 = math.sqrt(feats(1L).embedding.map(x => x.toDouble * x).sum)
+    assert(math.abs(n1 - 1.0) < 1e-5)
+    // composes with the ANN operator: each doc's nearest neighbor is itself
+    val fdf = Multimodal.extractFeatures(media, dim = 8).toDF()
+      .where(col("feature_ok"))
+    val topk = Similarity.bruteForceTopK(fdf, "media_id", "embedding",
+      fdf.select(col("media_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 1)
+    assert(topk.where(col("rank") === 1).count() == 2)
+  }
+
   test("inverse mixture: smallest stratum kept whole, others flattened, deterministic") {
     import spark.implicits._
     val df = ((0 until 3200).map(i => (i.toLong, "big")) ++
