@@ -677,6 +677,73 @@ object QueryCatalog {
             "session_end_us", "value_cents")
           .orderBy("user_id", "session_start_us")),
 
+    Q("x_asof_join",
+      // as-of join: each view matched to the user's latest purchase at or
+      // before it — DuckDB's native ASOF LEFT JOIN is the oracle, so the
+      // union+window formulation must reproduce its semantics exactly
+      // (inclusive boundary, null payloads for views with no prior
+      // purchase)
+      Some("""WITH v AS (SELECT user_id, event_id AS view_event_id,
+             |                  epoch_us(ts) AS view_us
+             |           FROM events WHERE event_type = 'view'),
+             |p0 AS (SELECT user_id, epoch_us(ts) AS purchase_us,
+             |              CAST(round(value * 100) AS BIGINT) AS cents, event_id
+             |       FROM events WHERE event_type = 'purchase'),
+             |p AS (SELECT user_id, purchase_us,
+             |             arg_max(cents, event_id) AS purchase_cents
+             |      FROM p0 GROUP BY user_id, purchase_us)
+             |SELECT v.user_id, v.view_event_id, v.view_us,
+             |       p.purchase_us, p.purchase_cents
+             |FROM v ASOF LEFT JOIN p
+             |  ON v.user_id = p.user_id AND v.view_us >= p.purchase_us
+             |ORDER BY view_event_id""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir)
+        val views = e.where(col("event_type") === "view").select(
+          col("user_id"), col("event_id").as("view_event_id"),
+          expr("ts div 1000").as("view_us"))
+        val purchases = e.where(col("event_type") === "purchase").select(
+            col("user_id"), expr("ts div 1000").as("purchase_us"),
+            round(col("value") * 100).cast("long").as("cents"),
+            col("event_id"))
+          .groupBy("user_id", "purchase_us")
+          .agg(max_by(col("cents"), col("event_id")).as("purchase_cents"))
+        Temporal.asofJoin(views, purchases, Seq("user_id"),
+            "view_us", "purchase_us")
+          .select("user_id", "view_event_id", "view_us",
+            "purchase_us", "purchase_cents")
+          .orderBy("view_event_id")
+      }),
+
+    Q("x_range_join",
+      // range join via interval bucketization: views inside the hour after
+      // each purchase, counted per purchase — the oracle is the plain
+      // BETWEEN join, the Spark plan an equi-join on (user, bucket) with
+      // no BroadcastNestedLoopJoin anywhere
+      Some("""WITH v AS (SELECT user_id, epoch_us(ts) AS vt
+             |           FROM events WHERE event_type = 'view'),
+             |p AS (SELECT user_id, event_id AS purchase_event_id,
+             |             epoch_us(ts) AS pt
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT p.purchase_event_id, count(*) AS n_views
+             |FROM v JOIN p ON v.user_id = p.user_id
+             |  AND v.vt BETWEEN p.pt AND p.pt + 3600000000
+             |GROUP BY p.purchase_event_id ORDER BY purchase_event_id""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir)
+        val views = e.where(col("event_type") === "view")
+          .select(col("user_id"), expr("ts div 1000").as("vt"))
+        val purchases = e.where(col("event_type") === "purchase").select(
+          col("user_id"), col("event_id").as("purchase_event_id"),
+          expr("ts div 1000").as("pt"),
+          (expr("ts div 1000") + 3600000000L).as("pt_end"))
+        Temporal.rangeJoinBucketed(views, purchases, Seq("user_id"),
+            "vt", "pt", "pt_end", bucketWidth = 3600000000L)
+          .groupBy("purchase_event_id")
+          .agg(count(lit(1)).as("n_views"))
+          .orderBy("purchase_event_id")
+      }),
+
     // ===== extensions: dedup =================================================
 
     Q("x_dedup_exact",

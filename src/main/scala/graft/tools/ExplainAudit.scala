@@ -67,7 +67,11 @@ object ExplainAudit {
       // (the corpus pass is map-only) — a corpus-side shuffle join is the
       // shape this operator exists to avoid
       ("x_decontaminate", Seq("BroadcastExchange"),
-        Seq("SortMergeJoin", "ShuffledHashJoin"))
+        Seq("SortMergeJoin", "ShuffledHashJoin")),
+      // range join: interval bucketization makes it an equi-join — the
+      // BNLJ Spark plans for raw inequality joins must never appear
+      ("x_range_join", Seq(),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
     )
     val byName = (QueryCatalog.all ++ QueryCatalog.entryOps).map(q => q.name -> q).toMap
     var bad = 0

@@ -474,6 +474,44 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L)._2 == got(3L)._1 && got(3L)._3 == 1.0) // fully contaminated
   }
 
+  test("as-of join: inclusive boundary, null before first right row, interleaving") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, "l5"), (1L, 10L, "l10"), (1L, 20L, "l20"),
+      (2L, 100L, "l100")).toDF("k", "lt", "lpay")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"),
+      (3L, 1L, "r1")).toDF("k", "rt", "rpay")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "lt", "rt")
+      .select("k", "lt", "lpay", "rt", "rpay")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        r.getString(4))).toSet
+    assert(got == Set(
+      (1L, 5L, "l5", null, null),        // before any right row
+      (1L, 10L, "l10", 10L, "r10"),      // equal timestamp IS visible
+      (1L, 20L, "l20", 15L, "r15"),      // latest preceding
+      (2L, 100L, "l100", null, null)))   // key with no right rows at all
+  }
+
+  test("range join: boundary inclusivity, multi-bucket intervals, no nested-loop join") {
+    import spark.implicits._
+    val points = Seq((1L, 0L), (1L, 50L), (1L, 100L), (1L, 101L), (1L, 250L))
+      .toDF("k", "t")
+    val intervals = Seq((1L, 50L, 100L, "i1"), (1L, 0L, 240L, "wide"))
+      .toDF("k", "s", "e", "tag")
+    val got = Temporal.rangeJoinBucketed(points, intervals, Seq("k"),
+      "t", "s", "e", bucketWidth = 7) // tiny buckets: 'wide' spans ~35
+    val pairs = got.select("t", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pairs == Set(
+      (50L, "i1"), (100L, "i1"),                    // both ends inclusive
+      (0L, "wide"), (50L, "wide"), (100L, "wide"), (101L, "wide")))
+    // exactly one match per (point, interval) even across many buckets
+    assert(got.count() == pairs.size)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(600))
+  }
+
   test("multimodal resize + feature extraction: deterministic stubs, error channel, ANN-composable") {
     import spark.implicits._
     val media = Seq(
