@@ -68,6 +68,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == 4)
   }
 
+  test("sessionize runs incrementally: closed sessions emit, open state held back") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-sess-landing").toString
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+    // user 1: a two-event session, then a far-future anchor event that
+    // pushes the watermark past the session's close (start+gap)
+    Seq((1L, ts(0)), (1L, ts(10))).toDF("user_id", "event_time")
+      .write.mode("append").parquet(landing)
+    Seq((1L, ts(600))).toDF("user_id", "event_time")
+      .write.mode("append").parquet(landing)
+
+    val schemaSource = spark.read.parquet(landing)
+    val stream = spark.readStream.schema(schemaSource.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+      .withWatermark("event_time", "1 minute")
+    val sessions = graft.operators.Sessionize.sessions(
+      stream, "user_id", col("event_time"), "30 minutes")
+    assert(sessions.isStreaming)
+
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val rows = spark.table("sess_out")
+      .select("user_id", "n_events", "session_start_us", "session_end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the closed first session emitted; the anchor's own session is still
+    // open (watermark = max event − 1 min < its close) and held in state
+    assert(rows.toSeq == Seq((1L, 2L,
+      1700000000000000L, 1700000000000000L + 10L * 60 * 1000000)))
+  }
+
   test("streaming exact dedup drops in-horizon duplicates across micro-batches") {
     import spark.implicits._
     val landing = Files.createTempDirectory("graft-dedup-landing").toString
