@@ -357,9 +357,14 @@ object Dedup {
     * diameter) iterations — near-dup clusters are short-diameter (near-
     * cliques), so 3-5 rounds in practice; `maxIter` bounds adversarial
     * chains (a large-star/small-star alternation would cut worst-case
-    * rounds to O(log n) if ever needed). Labels persist per round and the
-    * convergence check is one count per iteration, bounded work the driver
-    * never materializes.
+    * rounds to O(log n) if ever needed). Each materialized round chains
+    * TWO propagation hops — min-propagation is monotone, so if the second
+    * hop moves nothing the fixpoint is reached regardless of the first,
+    * and the convergence check on the second hop alone stays exact. That
+    * halves the number of driver barriers (each a straggler-amplifier at
+    * cluster scale) for the price of one possibly-wasted hop. Labels
+    * persist per round; the check is one count over the same persisted
+    * result.
     *
     * The iteration runs over EDGE-INCIDENT vertices only: in a real corpus
     * the duplicate subgraph is orders of magnitude smaller than the table
@@ -384,25 +389,28 @@ object Dedup {
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var changed = 1L
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      // one shuffle per round: own labels and propagated neighbor labels
-      // aggregate together, carrying the previous own label so the
-      // convergence check is a filter over the SAME persisted result (no
-      // second join)
+    // one propagation hop: own labels and neighbor-propagated labels
+    // aggregate together; `prev` carries the hop's OWN starting label so
+    // the convergence check is a filter over the same frame (no re-join)
+    def hop(ls: DataFrame): DataFrame = {
       val prop = edges.alias("e")
-        .join(labels.alias("l"), col("e.src") === col("l.v"))
+        .join(ls.alias("l"), col("e.src") === col("l.v"))
         .select(col("e.dst").as("v"), col("l.label").as("label"),
           lit(false).as("own"))
-      val plan = labels.select(col("v"), col("label"), lit(true).as("own"))
+      ls.select(col("v"), col("label"), lit(true).as("own"))
         .unionAll(prop)
         .groupBy("v").agg(min("label").as("label"),
           min(when(col("own"), col("label"))).as("prev"))
-      // CUT the logical plan each round: `labels` appears twice (join +
-      // union), so composing plans doubles the tree per iteration — by
-      // round ~20 the driver OOMs on 2^20-node plan strings regardless of
-      // data size. Rebasing on the persisted RDD keeps the per-round plan
-      // constant-size; recompute after block loss walks the linear RDD
-      // chain instead.
+    }
+    while (changed > 0 && i < maxIter) {
+      // two hops per materialized round, checked on the SECOND hop's delta
+      val plan = hop(hop(labels).select("v", "label"))
+      // CUT the logical plan each round: `labels` appears twice per hop
+      // (join + union), so composing plans grows the tree 4× per round —
+      // after ~10 rounds the driver chokes on the plan string regardless
+      // of data size. Rebasing on the persisted RDD keeps the per-round
+      // plan constant-size; recompute after block loss walks the linear
+      // RDD chain instead.
       val rdd = plan.rdd.persist(disk)
       val next = spark.createDataFrame(rdd, plan.schema)
       changed = next.where(col("label") < col("prev")).count()
@@ -417,9 +425,9 @@ object Dedup {
     // caller can raise maxIter (rounds needed ≈ component diameter)
     if (changed > 0)
       throw new IllegalStateException(
-        s"dupClusters did not converge after $maxIter rounds " +
-          s"($changed labels still moving): component diameter exceeds " +
-          "maxIter — raise it (rounds ≈ diameter)")
+        s"dupClusters did not converge after $maxIter rounds (2 hops each; " +
+          s"$changed labels still moving): component diameter exceeds " +
+          "2×maxIter — raise maxIter (rounds ≈ diameter/2)")
     // stitch the untouched corpus back: docs with no near-dup pair are
     // their own singleton cluster
     docs.select(col(idCol).cast("long").as("v"))
