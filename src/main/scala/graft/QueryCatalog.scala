@@ -1454,6 +1454,32 @@ object QueryCatalog {
             "doc_id", "lang")
           .orderBy("doc_id")),
 
+    Q("x_pack_sequences",
+      // training-batch packing: per-shard deterministic order (sha key),
+      // running token sum, bin by start offset — DuckDB replays the
+      // identical window law
+      Some("""WITH t AS (
+             |  SELECT doc_id, doc_id % 8 AS shard,
+             |         len(list_filter(string_split_regex(text, '\s+'),
+             |           x -> x <> '')) AS n_tokens,
+             |         substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+             |  FROM documents),
+             |c AS (SELECT doc_id, shard, n_tokens,
+             |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY hk, doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM t)
+             |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |       shard * 1000000 + (cum - n_tokens) // 512 AS pack_id
+             |FROM c ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.packSequences(
+            T(s, dir, "documents").select(col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+            "doc_id", "n_tok", budget = 512L, shards = 8)
+          .select(col("doc_id"), col("shard"),
+            col("n_tokens").cast("long").as("n_tokens"), col("pack_id"))
+          .orderBy("doc_id")),
+
     Q("x_vocab_topk",
       // vocabulary build: per-document distinct terms -> document
       // frequency -> deterministic top-k (df desc, term asc)

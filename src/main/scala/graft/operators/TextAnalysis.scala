@@ -129,6 +129,29 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("term"))
       .limit(k)
 
+  /** Distributed sequence packing: assign documents to fixed-token-budget
+    * packs for training batches. Docs are sharded (id mod `shards` — each
+    * shard packs independently, so parallelism = shards), deterministically
+    * ordered inside the shard by their sha-256 sampling key (engine-
+    * replayable shuffle), and binned by the pack their cumulative START
+    * offset lands in: `pack = shard · 10⁶ + (cum − tokens) div budget`.
+    * A pack's token sum is ≤ budget + the one straddling doc — the
+    * standard streaming-packing law, here as ONE shuffle + per-shard
+    * window sum instead of a sequential greedy loop. */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(col(idCol), lit(shards.toLong))
+    val w = Window.partitionBy("shard")
+      .orderBy(Sampling.hashKey(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), shard.as("shard"), col(tokenCol).as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (col("shard") * 1000000L +
+          floor((col("__cum") - col("n_tokens")) / budget)).as("pack_id"))
+  }
+
   /** Intra-document repetition: 1 − distinct/total word n-gram windows —
     * the boilerplate/loop filter of web-scale pipelines. Intra-row (the
     * fused shingle expression supplies the distinct count); docs shorter

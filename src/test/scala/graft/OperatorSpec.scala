@@ -474,6 +474,25 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L)._2 == got(3L)._1 && got(3L)._3 == 1.0) // fully contaminated
   }
 
+  test("sequence packing: pack sums bounded by budget + one straddler, deterministic") {
+    import spark.implicits._
+    val r = new scala.util.Random(5)
+    val docs = (0 until 800).map(i => (i.toLong, (r.nextInt(200) + 1).toLong))
+      .toDF("doc_id", "n_tok")
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "n_tok",
+      budget = 512L, shards = 8)
+    val sums = packed.groupBy("pack_id")
+      .agg(sum("n_tokens").as("s"), max("n_tokens").as("m")).collect()
+    sums.foreach { row =>
+      assert(row.getLong(1) <= 512L + row.getLong(2),
+        s"pack ${row.get(0)} overflows: ${row.getLong(1)}")
+    }
+    // every doc lands in exactly one pack; assignment is deterministic
+    assert(packed.count() == 800)
+    assert(packed.collect().toSet ==
+      TextAnalysis.packSequences(docs, "doc_id", "n_tok", 512L, 8).collect().toSet)
+  }
+
   test("as-of join: inclusive boundary, null before first right row, interleaving") {
     import spark.implicits._
     val left = Seq((1L, 5L, "l5"), (1L, 10L, "l10"), (1L, 20L, "l20"),
