@@ -71,7 +71,19 @@ object ExplainAudit {
       // range join: interval bucketization makes it an equi-join — the
       // BNLJ Spark plans for raw inequality joins must never appear
       ("x_range_join", Seq(),
-        Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      // as-of join: union + ONE windowed fill — no join operator at all
+      // between the two sides (the purchase compaction's partial_max_by is
+      // the only aggregate)
+      ("x_asof_join", Seq("Window ", "partial_max_by"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      // sessionization: the built-in session-window aggregate — never a
+      // self-join or a per-row window sort over the full log
+      ("x_sessionize", Seq("session_window", "partial_count"),
+        Seq("SortMergeJoin", "Window ")),
+      // sequence packing: one shuffle on the shard + per-shard running sum
+      ("x_pack_sequences", Seq("Window "),
+        Seq("SortMergeJoin", "BroadcastNestedLoopJoin"))
     )
     val byName = (QueryCatalog.all ++ QueryCatalog.entryOps).map(q => q.name -> q).toMap
     var bad = 0
