@@ -402,4 +402,35 @@ class CodecSpec extends AnyFunSuite {
     bad(87) = 9
     intercept[IllegalArgumentException](decode(bad))
   }
+
+  test("hyperplane plane-sign golden vectors (the cross-engine LSH contract)") {
+    // sha-256("t:p:d") high-nibble parity — independently computed; a
+    // format drift here silently re-buckets every LSH oracle, so the exact
+    // signs are pinned
+    val golden = Seq(
+      ((0, 0, 0), 1L), ((0, 0, 1), -1L), ((0, 5, 63), 1L),
+      ((3, 2, 17), -1L), ((1, 4, 40), 1L), ((2, 1, 7), -1L))
+    golden.foreach { case ((t, p, d), s) =>
+      assert(Hyperplane.planeSign(t, p, d) == s, s"($t,$p,$d)")
+    }
+    // the memoized sign table agrees with the scalar law
+    val st = Hyperplane.signTable(dim = 64, bits = 6, tables = 4)
+    for (t <- 0 until 4; p <- 0 until 6; d <- 0 until 64)
+      assert(st(t * 6 + p)(d) == Hyperplane.planeSign(t, p, d))
+  }
+
+  test("shingle extraction golden vectors (normalization, windows, distinct)") {
+    def sh(text: String, n: Int): Seq[String] = {
+      val arr = Shingles.ngrams(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), n)
+      (0 until arr.numElements()).map(i =>
+        arr.getUTF8String(i).toString)
+    }
+    assert(sh("The  Quick\tbrown\nfox", 2) ==
+      Seq("the quick", "quick brown", "brown fox"))
+    assert(sh("a b a b a", 2) == Seq("a b", "b a"))      // ordered distinct
+    assert(sh("one two", 3) == Seq("one two"))            // short doc: whole
+    assert(sh("", 2) == Seq(""))                          // empty-doc law
+    assert(sh("Straße ÅNGSTRÖM", 1) == Seq("straße", "ångström"))
+  }
 }
