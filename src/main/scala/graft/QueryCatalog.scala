@@ -1469,7 +1469,7 @@ object QueryCatalog {
              |          ROWS UNBOUNDED PRECEDING) AS cum
              |      FROM t)
              |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
-             |       shard * 1000000 + (cum - n_tokens) // 512 AS pack_id
+             |       CAST(shard * 1000000 + (cum - n_tokens) // 512 AS BIGINT) AS pack_id
              |FROM c ORDER BY doc_id""".stripMargin),
       (s, dir) =>
         TextAnalysis.packSequences(

@@ -134,13 +134,24 @@ object TextAnalysis {
     * shard packs independently, so parallelism = shards), deterministically
     * ordered inside the shard by their sha-256 sampling key (engine-
     * replayable shuffle), and binned by the pack their cumulative START
-    * offset lands in: `pack = shard · 10⁶ + (cum − tokens) div budget`.
+    * offset lands in: `pack = shard · stride + (cum − tokens) div budget`.
     * A pack's token sum is ≤ budget + the one straddling doc — the
     * standard streaming-packing law, here as ONE shuffle + per-shard
-    * window sum instead of a sequential greedy loop. */
+    * window sum instead of a sequential greedy loop.
+    *
+    * The pack index uses exact integer division (`div`), never floating
+    * point, so the law stays bit-identical past 2⁵³ cumulative tokens.
+    * `stride` must exceed the max packs any shard can produce
+    * (≈ shard token sum / budget) or pack ids collide across shards;
+    * at the default 10⁶ that is 512 M tokens per shard at budget 512 —
+    * size `shards`/`stride` so stride · shards stays below 2⁶³. */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
-      budget: Long, shards: Int): DataFrame = {
+      budget: Long, shards: Int, stride: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && shards > 0 && stride > 0,
+      s"packSequences: budget/shards/stride must be positive")
+    require(stride <= Long.MaxValue / shards,
+      s"packSequences: stride $stride x shards $shards overflows Long")
     val shard = pmod(col(idCol), lit(shards.toLong))
     val w = Window.partitionBy("shard")
       .orderBy(Sampling.hashKey(col(idCol)), col(idCol))
@@ -148,8 +159,8 @@ object TextAnalysis {
     df.select(col(idCol), shard.as("shard"), col(tokenCol).as("n_tokens"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .select(col(idCol), col("shard"), col("n_tokens"),
-        (col("shard") * 1000000L +
-          floor((col("__cum") - col("n_tokens")) / budget)).as("pack_id"))
+        (col("shard") * stride +
+          expr(s"(__cum - n_tokens) div ${budget}L")).as("pack_id"))
   }
 
   /** Intra-document repetition: 1 − distinct/total word n-gram windows —
