@@ -1531,7 +1531,32 @@ object QueryCatalog {
             col("content_sha256"), col("sniffed_mime"))
           .orderBy("doc_id")),
 
-    Q("x_multimodal_decode", None, // stubbed codec: rows-only (mapPartitions path)
+    Q("x_multimodal_decode",
+      // the stub codec is pure fnv64a over the payload bytes, so DuckDB
+      // re-derives the full decoded metadata independently: the 64-bit
+      // FNV-1a fold runs as a HUGEINT lambda reduce over the (ASCII)
+      // text bytes, `h & Long.MaxValue` becomes `h mod 2^63`, and the
+      // width/height/frame laws replay on exact integers
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+             |              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+             |              ELSE 'video/mp4' END AS mime,
+             |         CAST(length(text) AS BIGINT) AS byte_len,
+             |         list_reduce(
+             |           list_prepend(14695981039346656037::HUGEINT,
+             |             list_transform(string_split(text, ''), c -> ord(c)::HUGEINT)),
+             |           (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+             |                     % 18446744073709551616::HUGEINT) AS h
+             |  FROM documents),
+             |a AS (SELECT *, h % 9223372036854775808::HUGEINT AS ab FROM f)
+             |SELECT doc_id AS media_id, mime, byte_len,
+             |       CAST(ab % 1920 + 1 AS INT) AS width,
+             |       CAST((ab // 65536) % 1080 + 1 AS INT) AS height,
+             |       CAST(CASE WHEN mime LIKE 'video%' THEN (ab // 4294967296) % 300 + 1
+             |                 ELSE 1 END AS INT) AS n_frames,
+             |       TRUE AS decode_ok, CAST(NULL AS VARCHAR) AS error
+             |FROM a ORDER BY media_id""".stripMargin),
       (s, dir) => {
         import s.implicits._
         val media = T(s, dir, "documents").select(
@@ -1544,23 +1569,42 @@ object QueryCatalog {
         Multimodal.decode(media).toDF().orderBy("media_id")
       }),
 
-    Q("x_multimodal_pipeline", None, // stub codecs: rows-only; the full
-      // media path — decode metadata, frame-sample videos, resize, extract
-      // features and ANN-search them — exercising every mapPartitions stage
+    Q("x_multimodal_pipeline",
+      // the full media path — decode, resize, feature-extract, ANN —
+      // over a PLANTED deterministic fixture (every codec stage is the
+      // documented stub law: fnv64a decode gate, sha-256-seeded resize
+      // payload, sha-256-chain embeddings, exact-integer ANN ranking).
+      // The oracle is the golden output of an independent re-implementation
+      // of those laws (python hashlib/numpy, tools/golden_multimodal.py);
+      // every column is an exact integer, so the row set is hash-stable.
+      Some(MultimodalGolden.pipelineOracleSql),
       (s, dir) => {
         import s.implicits._
-        val media = T(s, dir, "documents").where(col("doc_id") < 100).select(
-            col("doc_id").as("media_id"),
-            when(expr("doc_id % 3 = 0"), "image/jpeg")
-              .when(expr("doc_id % 3 = 1"), "audio/wav")
+        val media = s.range(0, 40).select(
+            col("id").as("media_id"),
+            when(expr("id % 3 = 0"), "image/jpeg")
+              .when(expr("id % 3 = 1"), "audio/wav")
               .otherwise("video/mp4").as("mime"),
-            col("text").cast("binary").as("bytes"))
+            expr("repeat(concat('graft-media-', id, ':'), id % 7 + 1)")
+              .cast("binary").as("bytes"))
           .as[Multimodal.MediaRow]
-        val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+        // decode gate: only rows the (stub) codec accepts continue
+        val okIds = Multimodal.decode(media).toDF()
+          .where(col("decode_ok")).select("media_id")
+        val gated = media.toDF().join(broadcast(okIds), "media_id")
+          .select(col("media_id"), col("mime"), col("bytes"))
+          .as[Multimodal.MediaRow]
+        // resize to a fixed thumbnail, then embed the RESIZED payload
+        val resized = Multimodal.resize(gated, 64, 64).toDF()
+          .where(col("resize_ok"))
+          .select(col("media_id"), col("mime"),
+            col("resized_bytes").as("bytes"))
+          .as[Multimodal.MediaRow]
+        val feats = Multimodal.extractFeatures(resized, dim = 16).toDF()
           .where(col("feature_ok"))
         val queries = feats.where(col("media_id") < 5)
           .select(col("media_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.bruteForceTopK(
+        Similarity.bruteForceTopKExact(
             feats, "media_id", "embedding", queries, "qid", "qvec", k = 3)
           .orderBy("query_id", "rank")
       }),
