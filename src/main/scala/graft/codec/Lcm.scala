@@ -183,9 +183,16 @@ object Lcm {
           && f.upgrades.isEmpty, "header-less frames take the legacy arm")
         Version
       case Some(_) =>
-        if (f.bucketListSizeBytes.isDefined || f.sorobanFeeWrite1000.isDefined)
+        if (f.bucketListSizeBytes.isDefined || f.sorobanFeeWrite1000.isDefined) {
+          // the real LedgerCloseMetaV1 carries totalByteSizeOfBucketList
+          // unconditionally — refusing a soroban ext without it keeps
+          // decode(encode(f)) == f for every encodable frame (a defaulted
+          // 0 would decode back as Some(0) != None)
+          require(f.bucketListSizeBytes.isDefined,
+            "V1 frames carry totalByteSizeOfBucketList: set bucketListSizeBytes " +
+              "whenever sorobanFeeWrite1000 is")
           VersionV1
-        else VersionV0
+        } else VersionV0
     }
     out.writeInt(version)
     out.writeInt(f.sequence.toInt) // uint32: ledger seqs are < 2^31 (TOID law)
@@ -204,7 +211,7 @@ object Lcm {
         out.writeInt(u.value.toInt)
       }
       if (version == VersionV1) {
-        out.writeLong(f.bucketListSizeBytes.getOrElse(0L))
+        out.writeLong(f.bucketListSizeBytes.get)
         f.sorobanFeeWrite1000 match {
           case Some(v) => out.writeInt(1); out.writeLong(v)
           case None => out.writeInt(0)

@@ -22,11 +22,18 @@ object Bucketing {
     * bucket file internally ordered so the per-bucket Sort the planner
     * still inserts (Spark does not trust on-disk order across task
     * boundaries) runs over presorted local data. `oneFilePerBucket`
-    * funnels the write through one task for small dims; large facts keep
-    * their natural write parallelism. */
+    * pre-shuffles on the SAME HashPartitioning the bucket layout uses
+    * (`repartition(buckets, keys)` — identical Murmur3 pmod law), so each
+    * of the `buckets` write tasks owns exactly one bucket and emits one
+    * file — full bucket-level parallelism, never a one-task funnel, which
+    * is what a 100 TB fact table needs. Disable it to keep the input's
+    * natural write parallelism (several files per bucket). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       keys: Seq[String], oneFilePerBucket: Boolean = true): Unit = {
-    val src = if (oneFilePerBucket) df.repartition(1) else df
+    val src =
+      if (oneFilePerBucket)
+        df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      else df
     src.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,14 +38,22 @@ object Temporal {
     val rCols = right.columns.filterNot(keys.contains).toSeq
     require((lCols.toSet & rCols.toSet).isEmpty,
       s"non-key columns must be disjoint: ${lCols.toSet & rCols.toSet}")
+    // TimestampType casts to long as whole SECONDS — that would silently
+    // collapse sub-second ordering (a right row up to 1s after a left row
+    // would match it), so timestamps order on microseconds instead
+    def asOrd(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+        case _ => col(c).cast("long")
+      }
     val lSide = left.select(
       keys.map(col) ++
-        Seq(col(leftTime).cast("long").as("__t"), lit(0).as("__side")) ++
+        Seq(asOrd(left, leftTime).as("__t"), lit(0).as("__side")) ++
         lCols.map(col) ++
         rCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
     val rSide = right.select(
       keys.map(col) ++
-        Seq(col(rightTime).cast("long").as("__t"), lit(1).as("__side")) ++
+        Seq(asOrd(right, rightTime).as("__t"), lit(1).as("__side")) ++
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rCols.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)

@@ -52,5 +52,12 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bucketed aggregation on the key: no exchange either
     val agg = spark.table("ops_bucketed").groupBy("txid").count()
     assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+
+    // oneFilePerBucket pre-shuffles on the SAME Murmur3-pmod law the
+    // bucket layout uses, so the 8 write tasks each own exactly one
+    // bucket: exactly 8 part files, never a repartition(1) funnel
+    val dir = new java.io.File(s"$warehouse/ops_bucketed")
+    val parts = dir.listFiles().count(_.getName.startsWith("part-"))
+    assert(parts == 8, s"expected one file per bucket, got $parts")
   }
 }

@@ -380,6 +380,12 @@ class CodecSpec extends AnyFunSuite {
     val v1NoExt = v0.copy(bucketListSizeBytes = Some(1020480L))
     assert(decode(encode(v1NoExt)) == v1NoExt)
 
+    // a soroban ext without the (mandatory-in-V1) bucket list size would
+    // break decode(encode(f)) == f — the encoder refuses it loudly
+    intercept[IllegalArgumentException] {
+      encode(v0.copy(sorobanFeeWrite1000 = Some(1L)))
+    }
+
     // legacy header-less frames keep the old tag and wire bytes
     val legacy = Frame(2048L, 1700000000000L, txs)
     assert(hexStr(encode(legacy)).startsWith("00000002"))

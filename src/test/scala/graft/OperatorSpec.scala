@@ -511,6 +511,21 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 100L, "l100", null, null)))   // key with no right rows at all
   }
 
+  test("as-of join: TimestampType orders on microseconds, not whole seconds") {
+    import spark.implicits._
+    // all events inside the same second — a seconds-granularity cast would
+    // tie them and let the 10.6s right row leak into the 10.5s left row
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10.5"), "l"))
+      .toDF("k", "lt", "lpay")
+    val right = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10.2"), "r102"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10.6"), "r106"))
+      .toDF("k", "rt", "rpay")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "lt", "rt")
+      .select("rpay").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("r102"))
+  }
+
   test("range join: boundary inclusivity, multi-bucket intervals, no nested-loop join") {
     import spark.implicits._
     val points = Seq((1L, 0L), (1L, 50L), (1L, 100L), (1L, 101L), (1L, 250L))
