@@ -175,19 +175,48 @@ object Similarity {
     IvfIndexExact(cent, e.withColumn("cell", argminCell(col("cv"))))
   }
 
+  /** Persist a built index for reuse across jobs: the inverted file goes
+    * down as a parquet table BUCKETED by `cell` ([[Bucketing.writeBucketed]])
+    * so every future probe join reads co-located buckets with ZERO exchange
+    * on the index side — the write-time layout pays the index-side shuffle
+    * once, which is the whole point of an IVF at 100 TB. The bounded
+    * centroid table (nCells rows) persists alongside as `<table>_centroids`. */
+  def writeIvfIndex(index: IvfIndexExact, table: String, buckets: Int = 16): Unit = {
+    Bucketing.writeBucketed(index.assigned, table, buckets, Seq("cell"))
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toDF("cell", "cvec").write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${table}_centroids")
+  }
+
+  /** Reload a persisted index: the inverted file stays a (bucketed) table
+    * scan; only the nCells-row centroid table is collected to the driver. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): IvfIndexExact = {
+    val cent = spark.table(s"${table}_centroids").orderBy("cell")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    IvfIndexExact(cent, spark.table(table))
+  }
+
   /** Search a built index: per query, probe the `nprobe` nearest cells and
-    * rank only their members with the exact sign(dot)·dot²/n2 key. */
+    * rank only their members with the exact sign(dot)·dot²/n2 key.
+    * `broadcastQueries = false` is the large-batch mode: the probe join
+    * plans as a sort-merge join whose index side is exchange-free when the
+    * inverted file was persisted bucketed by cell ([[writeIvfIndex]]) —
+    * only the (smaller) query batch shuffles. */
   def searchIvfIndexExact(index: IvfIndexExact, queries: DataFrame,
-      queryId: String, queryVec: String, k: Int, nprobe: Int = 4): DataFrame = {
+      queryId: String, queryVec: String, k: Int, nprobe: Int = 4,
+      broadcastQueries: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def probeCells(v: Column): Column =
       slice(array_sort(array(cellStructs(index.centroids, v): _*)), 1, nprobe)
-    val q = queries
+    val q0 = queries
       .select(col(queryId).cast("long").as("query_id"),
         quantLong(col(queryVec)).as("qv"))
       .withColumn("cell", explode(transform(probeCells(col("qv")),
         s => s("cell"))))
-    val scored = index.assigned.join(broadcast(q), Seq("cell"))
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val scored = index.assigned.join(q, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", aggregate(zip_with(col("cv"), col("qv"),
         (x, y) => x * y), lit(0L), (acc, x) => acc + x))

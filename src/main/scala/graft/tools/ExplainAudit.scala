@@ -16,6 +16,8 @@ object ExplainAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "false") // print final (non-AQE) plans
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-audit-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -117,6 +119,32 @@ object ExplainAudit {
         "vec_id", "embedding", cosNum = 99, cosDen = 100),
       Seq("HashJoin"),
       Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+    // persisted IVF index: the probe join over the bucketed-by-cell
+    // inverted file must be exchange-free on the INDEX side — in
+    // large-batch (non-broadcast) mode the only cell-hash exchange left
+    // in the plan is the query batch's
+    locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val built = graft.operators.Similarity.buildIvfIndexExact(
+        emb, "vec_id", "embedding", nCells = 8)
+      graft.operators.Similarity.writeIvfIndex(built, "audit_ivf", buckets = 8)
+      val idx = graft.operators.Similarity.readIvfIndex(spark, "audit_ivf")
+      // force the large-batch (sort-merge) shape: at real scale the query
+      // batch exceeds the broadcast threshold
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val res = graft.operators.Similarity.searchIvfIndexExact(
+        idx, emb.limit(16), "vec_id", "embedding",
+        k = 3, nprobe = 2, broadcastQueries = false)
+      check("ivf bucketed search", res,
+        Seq("Bucketed: true", "SelectedBucketsCount: 8 out of 8"), Seq())
+      val cellExchanges = "Exchange hashpartitioning\\(cell".r
+        .findAllIn(res.queryExecution.executedPlan.toString).length
+      val ok = cellExchanges == 1
+      if (!ok) bad += 1
+      println(s"  CHECK ${if (ok) "PASS" else "MISS"}: " +
+        s"one cell-hash exchange (query side only), got $cellExchanges")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
     println(s"\nplan-property misses: $bad")
     spark.stop()
   }

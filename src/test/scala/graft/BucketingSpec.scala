@@ -60,4 +60,47 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val parts = dir.listFiles().count(_.getName.startsWith("part-"))
     assert(parts == 8, s"expected one file per bucket, got $parts")
   }
+
+  test("persisted IVF index: bucketed probe join is exchange-free on the index side") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 400)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 64)
+      .map(i => (1000L + i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+
+    val built = Similarity.buildIvfIndexExact(corpus, "vec_id", "embedding", nCells = 8)
+    Similarity.writeIvfIndex(built, "ivf_docs", buckets = 8)
+
+    // reload in "another job": only the 8-row centroid table is collected
+    val idx = Similarity.readIvfIndex(spark, "ivf_docs")
+    assert(idx.centroids == built.centroids)
+
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+
+    // large-batch mode (no query broadcast): with the in-memory index both
+    // probe-join sides shuffle on cell; with the bucketed table the index
+    // side's exchange is GONE — exactly one fewer in the whole plan
+    val inMem = Similarity.searchIvfIndexExact(built, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2, broadcastQueries = false)
+    val persisted = Similarity.searchIvfIndexExact(idx, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2, broadcastQueries = false)
+    val pPlan = persisted.queryExecution.executedPlan.toString
+    assert(pPlan.contains("Bucketed: true"), pPlan.take(800))
+    assert(exchanges(persisted) == exchanges(inMem) - 1,
+      s"expected the index-side exchange gone: ${exchanges(inMem)} -> ${exchanges(persisted)}")
+
+    // and the results are identical to the in-memory search
+    assert(persisted.orderBy("query_id", "rank").collect().toSeq ==
+      inMem.orderBy("query_id", "rank").collect().toSeq)
+
+    // repeated per-cell maintenance aggregation: zero exchange at all
+    val cellStats = spark.table("ivf_docs").groupBy("cell").count()
+    assert(!cellStats.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
