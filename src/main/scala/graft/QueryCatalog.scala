@@ -1454,6 +1454,28 @@ object QueryCatalog {
             "doc_id", "lang")
           .orderBy("doc_id")),
 
+    Q("x_sample_mixture_sharded",
+      // the inverse-mixture scale path: the law applies per shard
+      // (id mod 4), so every count it touches is bounded by the shard
+      // size — DuckDB re-derives the per-(shard, lang) counts, per-shard
+      // min and exact integer thresholds identically
+      Some("""WITH t AS (SELECT doc_id, lang, doc_id % 4 AS shard FROM documents),
+             |c AS (SELECT shard, lang, count(*) AS n FROM t GROUP BY shard, lang),
+             |m AS (SELECT shard, min(n) AS mn FROM c GROUP BY shard),
+             |r AS (SELECT c.shard, c.lang,
+             |        CASE WHEN c.n = m.mn THEN 'g'
+             |             ELSE printf('%08x', (m.mn * 4294967296) // c.n) END AS thr
+             |      FROM c JOIN m ON c.shard = m.shard)
+             |SELECT t.doc_id, t.lang FROM t
+             |JOIN r ON t.shard = r.shard AND t.lang = r.lang
+             |WHERE substr(sha256(CAST(t.doc_id AS VARCHAR)), 1, 8) < r.thr
+             |ORDER BY t.doc_id""".stripMargin),
+      (s, dir) =>
+        Sampling.inverseMixtureSharded(
+            T(s, dir, "documents").select("doc_id", "lang"),
+            "doc_id", "lang", shards = 4)
+          .orderBy("doc_id")),
+
     Q("x_pack_sequences",
       // training-batch packing: per-shard deterministic order (sha key),
       // running token sum, bin by start offset — DuckDB replays the

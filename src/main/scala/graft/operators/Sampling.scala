@@ -63,16 +63,58 @@ object Sampling {
     * centroid table, then the sample itself is a map-only filter. Counts
     * must stay under 2^31 per stratum (the exact-integer law's headroom);
     * larger corpora sample within shards first. */
-  def inverseMixture(df: DataFrame, idCol: String,
-      stratumCol: String): DataFrame = {
+  def inverseMixture(df: DataFrame, idCol: String, stratumCol: String): DataFrame =
+    inverseMixture(df, idCol, stratumCol, MaxExactCount)
+
+  /** The exact-integer law's headroom: `mn << 32` must fit a signed 64-bit
+    * long, so per-stratum counts stay under 2^31. Beyond that, use
+    * [[inverseMixtureSharded]]. Exposed as a parameter so the error
+    * pathway is testable without 2^31 planted rows. */
+  val MaxExactCount: Long = 1L << 31
+
+  private[graft] def inverseMixture(df: DataFrame, idCol: String,
+      stratumCol: String, maxCount: Long): DataFrame = {
     val counts = df.groupBy(col(stratumCol)).count().collect()
       .map(r => r.get(0).toString -> r.getLong(1)).toMap
     require(counts.nonEmpty, "empty input")
-    require(counts.values.max < (1L << 31), "per-stratum count exceeds 2^31")
+    require(counts.values.max < maxCount,
+      s"per-stratum count ${counts.values.max} exceeds the exact-integer " +
+        s"law's $maxCount bound - use inverseMixtureSharded for larger corpora")
     val mn = counts.values.min
     val thresholds = counts.map { case (k, n) =>
       k -> (if (n == mn) "g" else f"${(mn << 32) / n}%08x")
     }
     stratifiedThresholds(df, idCol, stratumCol, thresholds, thresholdHex(0.0))
+  }
+
+  /** [[inverseMixture]]'s scale path: rows shard deterministically
+    * (`id mod shards`, the [[TextAnalysis.packSequences]] law) and the
+    * inverse-frequency law applies WITHIN each shard — per-(shard, stratum)
+    * counts, per-shard min, exact integer thresholds. A uniform id hash
+    * puts ~n_s/shards rows of stratum s in each shard, so the per-shard
+    * keep rate mn_h/n_(s,h) converges to the global mn/n_s while every
+    * count the law touches is bounded by the shard size: size `shards` so
+    * corpus/shards stays under 2^31 and the law never overflows. The
+    * driver-side collect is bounded by strata x shards (a mixture table,
+    * not the corpus); the sample itself stays a map-only filter. */
+  def inverseMixtureSharded(df: DataFrame, idCol: String, stratumCol: String,
+      shards: Int, maxCount: Long = MaxExactCount): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val withKey = df.withColumn("__smx",
+      concat_ws("|", pmod(col(idCol), lit(shards.toLong)), col(stratumCol)))
+    val counts = withKey.groupBy(col("__smx")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty input")
+    require(counts.values.max < maxCount,
+      s"per-(shard, stratum) count ${counts.values.max} exceeds the " +
+        s"exact-integer law's $maxCount bound - raise shards")
+    val mins = counts.groupBy(_._1.takeWhile(_ != '|'))
+      .map { case (shard, m) => shard -> m.values.min }
+    val thresholds = counts.map { case (k, n) =>
+      val mn = mins(k.takeWhile(_ != '|'))
+      k -> (if (n == mn) "g" else f"${(mn << 32) / n}%08x")
+    }
+    stratifiedThresholds(withKey, idCol, "__smx", thresholds, thresholdHex(0.0))
+      .drop("__smx")
   }
 }

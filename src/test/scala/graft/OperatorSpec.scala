@@ -595,6 +595,39 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Sampling.inverseMixture(df, "doc_id", "lang").collect().toSet)
   }
 
+  test("inverse mixture: over-bound stratum fails loudly; sharded variant scales the law") {
+    import spark.implicits._
+    val df = ((0 until 3200).map(i => (i.toLong, "big")) ++
+      (3200 until 3600).map(i => (i.toLong, "mid")) ++
+      (3600 until 3700).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+    // the documented error pathway, exercised via the testable bound (the
+    // real one is 2^31 — not plantable): 'big' exceeds maxCount
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.inverseMixture(df, "doc_id", "lang", maxCount = 1000L).collect()
+    }
+    assert(ex.getMessage.contains("inverseMixtureSharded"))
+
+    // the sharded variant runs where the global law would overflow: each
+    // per-(shard, stratum) count is under the bound, the mixture still
+    // flattens, and the smallest stratum survives whole in every shard
+    val kept = Sampling.inverseMixtureSharded(df, "doc_id", "lang",
+      shards = 4, maxCount = 1000L)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("small") == 100L, byLang.toString)
+    assert(math.abs(byLang("big") - 100L) < 48, byLang.toString)
+    assert(math.abs(byLang("mid") - 100L) < 48, byLang.toString)
+    // deterministic and shard-stable: same rows on a rerun
+    assert(kept.collect().toSet == Sampling.inverseMixtureSharded(
+      df, "doc_id", "lang", shards = 4, maxCount = 1000L).collect().toSet)
+    // a shard count too small to duck the bound still fails loudly
+    intercept[IllegalArgumentException] {
+      Sampling.inverseMixtureSharded(df, "doc_id", "lang",
+        shards = 2, maxCount = 1000L).collect()
+    }
+  }
+
   test("IVF index: build once, search many, survives a parquet roundtrip") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q1 = emb.where(col("vec_id") < 5)
