@@ -18,7 +18,15 @@ object Skew {
     * replicated once per shard, and the join key becomes (keys, shard) —
     * so a hot key's rows spread over `salts` tasks instead of one.
     * Output rows are exactly the plain join's. Cost: build side shuffles
-    * `salts`× its size; pick `salts` ≈ hot-key-rows / target-task-rows. */
+    * `salts`× its size; pick `salts` ≈ hot-key-rows / target-task-rows.
+    *
+    * Reach for this AFTER AQE: `spark.sql.adaptive.skewJoin` already
+    * splits oversized sort-merge partitions at runtime with no code
+    * change and no build-side replication. Salting earns its cost where
+    * AQE cannot rebalance — the skewed join feeds a stateful/windowed
+    * operator in the same stage, the plan is not a sort-merge join, AQE
+    * is off, or the layout must be deterministic independent of runtime
+    * size stats (SkewSpec measures the effect per task). */
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
       rowKey: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
