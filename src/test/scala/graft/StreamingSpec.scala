@@ -143,6 +143,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.size == 3)
   }
 
+  test("streaming sessionize -> pack pipeline: incremental cohorts match the batch path") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-train-landing").toString
+    val out = Files.createTempDirectory("graft-train-out").toString
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+
+    // four file drops -> four micro-batches (maxFilesPerTrigger = 1).
+    // Sessions finalize when the watermark passes end + gap, so each later
+    // file flushes the earlier ones' sessions; the last file's own session
+    // stays open by design.
+    Seq(("u1", ts(0)), ("u1", ts(30)), ("u2", ts(0)))
+      .toDF("user", "event_ts").write.mode("append").parquet(landing)
+    Seq(("u1", ts(600)), ("u2", ts(610)))
+      .toDF("user", "event_ts").write.mode("append").parquet(landing)
+    Seq(("u3", ts(3600))).toDF("user", "event_ts")
+      .write.mode("append").parquet(landing)
+    Seq(("u4", ts(7200))).toDF("user", "event_ts")
+      .write.mode("append").parquet(landing)
+
+    def runOnce(outDir: String): Unit = {
+      val ckpt = Files.createTempDirectory("graft-train-ckpt").toString
+      val schemaSource = spark.read.parquet(landing)
+      val stream = spark.readStream.schema(schemaSource.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      graft.streaming.TrainingStream.sessionPacking(
+          stream, "user", "event_ts", gap = "1 minute", horizon = "10 seconds",
+          budget = 2L, shards = 2, outDir = outDir, checkpointDir = ckpt)
+        .start().awaitTermination(120000)
+    }
+    runOnce(out)
+
+    val packed = spark.read.parquet(out)
+    // u3 (flushed by u4's file) and the four u1/u2 sessions emit; u4's own
+    // session never finalizes. At least two distinct emitting micro-batches.
+    assert(packed.select("cohort_id").distinct().count() >= 2)
+
+    // session parity vs the batch path over the same (emitted) horizon
+    val batchSessions = graft.operators.Sessionize.sessions(
+        spark.read.parquet(landing).where(col("user") =!= "u4"),
+        "user", col("event_ts"), "1 minute")
+      .select("user", "n_events", "session_start_us", "session_end_us")
+      .collect().map(_.toSeq).toSet
+    val streamSessions = packed
+      .select("user", "n_events", "session_start_us", "session_end_us")
+      .collect().map(_.toSeq).toSet
+    assert(streamSessions == batchSessions)
+
+    // pack law holds inside every cohort: token sums within budget + straddle
+    val sums = packed.groupBy("cohort_id", "pack_id")
+      .agg(sum("n_events").as("s"), max("n_events").as("m")).collect()
+    sums.foreach(r => assert(r.getLong(2) <= 2L + r.getLong(3), r.toString))
+
+    // deterministic: a full replay (fresh checkpoint) emits identical rows,
+    // pack and cohort ids included
+    val out2 = Files.createTempDirectory("graft-train-out2").toString
+    runOnce(out2)
+    assert(spark.read.parquet(out2).collect().map(_.toSeq).toSet ==
+      packed.collect().map(_.toSeq).toSet)
+  }
+
   test("windowed counts produce an event-time tumbling aggregation (batch mode)") {
     import spark.implicits._
     val df = Seq(
