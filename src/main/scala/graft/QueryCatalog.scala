@@ -1727,7 +1727,8 @@ object QueryCatalog {
       Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls)
              |SELECT seq AS sequence, CAST(t AS INT) AS tx_order,
-             |  CAST(CASE WHEN t % 3 = 0 THEN -1 WHEN t % 4 = 1 THEN 1
+             |  CAST(CASE WHEN t % 3 = 0 THEN -(1 + (seq + t) % 17)
+             |       WHEN t % 4 = 1 THEN 1
              |       ELSE 0 END AS INT) AS result_code,
              |  ['none','text','id','hash','return'][CAST(t + 1 AS INT)]
              |    AS memo_type,
@@ -1748,9 +1749,31 @@ object QueryCatalog {
              |  CASE WHEN (seq + t) % 3 = 2 THEN seq + 64 END AS ledger_bound_max,
              |  CASE WHEN (seq + t) % 3 = 2 AND t % 3 = 0 THEN seq * 4096 + t
              |       END AS min_seq_num,
+             |  CASE WHEN (seq + t) % 3 = 2 THEN (seq % 7) * 100 + t
+             |       END AS min_seq_age,
+             |  CASE WHEN (seq + t) % 3 = 2 THEN (seq + t) % 5
+             |       END AS min_seq_ledger_gap,
+             |  CASE WHEN (seq + t) % 3 = 2
+             |       THEN [CAST((seq + t + j) % 4 AS INT) for j in range(t % 3)]
+             |       END AS extra_signer_types,
+             |  CASE WHEN (seq + t) % 3 = 2
+             |       THEN [sha256('es-' || seq || '-' || t || '-' || j)
+             |             for j in range(t % 3)]
+             |       END AS extra_signer_keys_hex,
+             |  CASE WHEN (seq + t) % 3 = 2
+             |       THEN [CASE WHEN (seq + t + j) % 4 = 3 THEN
+             |               lower(hex(encode('pl-' || seq || '-' || t || '-' || j)))
+             |             END for j in range(t % 3)]
+             |       END AS extra_signer_payloads_hex,
              |  CASE WHEN t % 4 = 1 THEN 500 + t END AS fee_bump_fee,
              |  CASE WHEN t % 4 = 1 THEN sha256('fb-' || seq || '-' || t)
-             |       END AS fee_bump_source_hex
+             |       END AS fee_bump_source_hex,
+             |  CASE WHEN (seq + t) % 2 = 0 THEN 1000 + seq
+             |       END AS soroban_fee_nonrefundable,
+             |  CASE WHEN (seq + t) % 2 = 0 THEN 500 + t
+             |       END AS soroban_fee_refundable,
+             |  CASE WHEN (seq + t) % 2 = 0 THEN seq % 9 + 10 * t
+             |       END AS soroban_fee_rent
              |FROM tx ORDER BY sequence, tx_order""".stripMargin),
       (s, dir) =>
         s.read.format("graft-lcm").load(lcmFixtureDir)
@@ -1761,7 +1784,12 @@ object QueryCatalog {
             Seq("result_code", "memo_type", "memo_text", "memo_id",
               "memo_hash_hex", "precond_type", "time_bound_min",
               "time_bound_max", "ledger_bound_min", "ledger_bound_max",
-              "min_seq_num", "fee_bump_fee", "fee_bump_source_hex")
+              "min_seq_num", "min_seq_age", "min_seq_ledger_gap",
+              "extra_signer_types", "extra_signer_keys_hex",
+              "extra_signer_payloads_hex",
+              "fee_bump_fee", "fee_bump_source_hex",
+              "soroban_fee_nonrefundable", "soroban_fee_refundable",
+              "soroban_fee_rent")
               .map(f => col(s"tx.$f").as(f)): _*)
           .orderBy("sequence", "tx_order")),
 

@@ -52,11 +52,17 @@ import java.nio.charset.StandardCharsets
   *     memo union:       // MEMO_NONE(0) | TEXT(1: string<28>) | ID(2: u64)
   *       int tag         // | HASH(3: opaque[32]) | RETURN(4: opaque[32])
   *     cond union:       // PRECOND_NONE(0) | TIME(1: u64 min,max)
-  *       int tag         // | V2(2: TimeBounds* ‖ LedgerBounds* ‖ minSeqNum*)
-  *     int    resultCode // signed TransactionResultCode subset:
-  *                       // 1 txFEE_BUMP_INNER_SUCCESS, 0 txSUCCESS,
-  *                       // -1 txFAILED, -2 txTOO_EARLY, -3 txTOO_LATE
+  *       int tag         // | V2(2): TimeBounds* ‖ LedgerBounds* ‖ minSeqNum*
+  *                       //   ‖ hyper minSeqAge ‖ uint32 minSeqLedgerGap
+  *                       //   ‖ uint32 n ‖ n × SignerKey  (extraSigners<2>;
+  *                       //   SignerKey = int type ‖ opaque key[32]
+  *                       //   [type 3: ‖ opaque payload<64>])
+  *     int    resultCode // the FULL signed TransactionResultCode enum,
+  *                       // 1 txFEE_BUMP_INNER_SUCCESS .. -17 txSOROBAN_INVALID;
+  *                       // out-of-enum values are rejected on decode
   *     hyper  feeCharged
+  *     bool ‖ 3 × hyper  // optional SorobanTransactionMetaExt v1 fee triple:
+  *                       // nonRefundable ‖ refundable ‖ rent fee charged
   *     uint32 nOps       // envelope operations<>
   *     nOps × { int opType; hyper amountStroops }
   * }}}
@@ -81,32 +87,79 @@ object Lcm {
   case class TimeBounds(minTime: Long, maxTime: Long)
   case class LedgerBounds(minLedger: Long, maxLedger: Long)
 
-  /** `Preconditions` union: NONE / TIME / V2 (the V2 arm keeps the three
-    * members the transforms consume; minSeqAge, minSeqLedgerGap and
-    * extraSigners stay out of the subset until something reads them). */
+  /** `SignerKey` union (`Stellar-types.x`): ED25519(0) / PRE_AUTH_TX(1) /
+    * HASH_X(2) / ED25519_SIGNED_PAYLOAD(3 — uint256 key + opaque<64>
+    * payload). All key arms are opaque[32]. */
+  sealed trait SignerKey {
+    def tag: Int
+    def key: Seq[Byte]
+    require(key.size == 32, "signer key is opaque[32]")
+  }
+  case class SignerEd25519(key: Seq[Byte]) extends SignerKey { val tag = 0 }
+  case class SignerPreAuthTx(key: Seq[Byte]) extends SignerKey { val tag = 1 }
+  case class SignerHashX(key: Seq[Byte]) extends SignerKey { val tag = 2 }
+  case class SignerEd25519SignedPayload(key: Seq[Byte], payload: Seq[Byte])
+      extends SignerKey {
+    val tag = 3
+    require(payload.size <= 64, "signed payload is opaque<64>")
+  }
+
+  /** `Preconditions` union: NONE / TIME / V2. The V2 arm now carries the
+    * FULL `PreconditionsV2` member set (`Stellar-transaction.x`): the three
+    * optional bounds plus minSeqAge (Duration), minSeqLedgerGap (uint32)
+    * and extraSigners (SignerKey<2>). */
   sealed trait Precond
   case object PrecondNone extends Precond
   case class PrecondTime(bounds: TimeBounds) extends Precond
   case class PrecondV2(time: Option[TimeBounds], ledger: Option[LedgerBounds],
-      minSeqNum: Option[Long]) extends Precond
+      minSeqNum: Option[Long], minSeqAge: Long = 0L,
+      minSeqLedgerGap: Long = 0L, extraSigners: Seq[SignerKey] = Nil)
+      extends Precond {
+    require(extraSigners.size <= 2, "extraSigners is SignerKey<2>")
+  }
+
+  /** `SorobanTransactionMetaExt` v1 fee triple (`Stellar-ledger.x`): the
+    * resource-fee accounting soroban transactions carry. */
+  case class SorobanMeta(
+      nonRefundableFeeCharged: Long,
+      refundableFeeCharged: Long,
+      rentFeeCharged: Long)
 
   /** The fee-bump envelope shell (`ENVELOPE_TYPE_TX_FEE_BUMP`): the outer
     * feeSource + fee around the inner v1 transaction. */
   case class FeeBump(feeSourceKey: Seq[Byte], fee: Long)
 
-  // TransactionResultCode subset (signed, like the real enum)
+  // TransactionResultCode — the FULL signed enum (`Stellar-transaction.x`)
   val TxFeeBumpInnerSuccess = 1
   val TxSuccess = 0
   val TxFailed = -1
   val TxTooEarly = -2
   val TxTooLate = -3
+  val TxMissingOperation = -4
+  val TxBadSeq = -5
+  val TxBadAuth = -6
+  val TxInsufficientBalance = -7
+  val TxNoAccount = -8
+  val TxInsufficientFee = -9
+  val TxBadAuthExtra = -10
+  val TxInternalError = -11
+  val TxNotSupported = -12
+  val TxFeeBumpInnerFailed = -13
+  val TxBadSponsorship = -14
+  val TxBadMinSeqAgeOrGap = -15
+  val TxMalformed = -16
+  val TxSorobanInvalid = -17
+  /** Enum bounds — decode rejects values outside them loudly. */
+  val TxResultCodeMin: Int = TxSorobanInvalid
+  val TxResultCodeMax: Int = TxFeeBumpInnerSuccess
 
   val EnvTx = 2
   val EnvFeeBump = 5
 
   case class Tx(feeCharged: Long, resultCode: Int, ops: Seq[Op],
       memo: Memo = MemoNone, cond: Precond = PrecondNone,
-      feeBump: Option[FeeBump] = None) {
+      feeBump: Option[FeeBump] = None,
+      sorobanMeta: Option[SorobanMeta] = None) {
     /** txSUCCESS and txFEE_BUMP_INNER_SUCCESS both count as applied. */
     def successful: Boolean = resultCode >= 0
   }
@@ -245,7 +298,8 @@ object Lcm {
         case PrecondNone => out.writeInt(0)
         case PrecondTime(tb) =>
           out.writeInt(1); out.writeLong(tb.minTime); out.writeLong(tb.maxTime)
-        case PrecondV2(time, ledger, minSeq) =>
+        case PrecondV2(time, ledger, minSeq, minSeqAge, minSeqLedgerGap,
+            extraSigners) =>
           out.writeInt(2)
           time match {
             case Some(tb) =>
@@ -262,9 +316,33 @@ object Lcm {
             case Some(n) => out.writeInt(1); out.writeLong(n)
             case None => out.writeInt(0)
           }
+          out.writeLong(minSeqAge)
+          out.writeInt(minSeqLedgerGap.toInt)
+          out.writeInt(extraSigners.size)
+          extraSigners.foreach { s =>
+            out.writeInt(s.tag)
+            out.write(s.key.toArray)
+            s match {
+              case SignerEd25519SignedPayload(_, payload) =>
+                out.writeInt(payload.size)
+                out.write(payload.toArray)
+                (0 until ((4 - payload.size % 4) % 4)).foreach(_ => out.writeByte(0))
+              case _ =>
+            }
+          }
       }
+      require(t.resultCode >= TxResultCodeMin && t.resultCode <= TxResultCodeMax,
+        s"result code ${t.resultCode} outside the TransactionResultCode enum")
       out.writeInt(t.resultCode)
       out.writeLong(t.feeCharged)
+      t.sorobanMeta match {
+        case Some(m) =>
+          out.writeInt(1)
+          out.writeLong(m.nonRefundableFeeCharged)
+          out.writeLong(m.refundableFeeCharged)
+          out.writeLong(m.rentFeeCharged)
+        case None => out.writeInt(0)
+      }
       out.writeInt(t.ops.size)
       t.ops.foreach { o =>
         out.writeInt(o.opType)
@@ -363,14 +441,41 @@ object Lcm {
               buf.getInt.toLong & 0xFFFFFFFFL, buf.getInt.toLong & 0xFFFFFFFFL))
             else None
           val minSeq = if (buf.getInt == 1) Some(buf.getLong) else None
-          PrecondV2(time, ledger, minSeq)
+          val minSeqAge = buf.getLong
+          val minSeqLedgerGap = buf.getInt.toLong & 0xFFFFFFFFL
+          val nSigners = buf.getInt
+          val signers = (0 until nSigners).map { _ =>
+            val tag = buf.getInt
+            val key = readOpaque32(buf)
+            tag match {
+              case 0 => SignerEd25519(key)
+              case 1 => SignerPreAuthTx(key)
+              case 2 => SignerHashX(key)
+              case 3 =>
+                val plen = buf.getInt
+                val p = new Array[Byte](plen)
+                buf.get(p)
+                buf.position(buf.position() + ((4 - plen % 4) % 4))
+                SignerEd25519SignedPayload(key, p.toSeq)
+              case other => throw new IllegalArgumentException(
+                s"bad signer key type $other")
+            }
+          }
+          PrecondV2(time, ledger, minSeq, minSeqAge, minSeqLedgerGap, signers)
         case other => throw new IllegalArgumentException(s"bad precond tag $other")
       }
       val rc = buf.getInt
+      if (rc < TxResultCodeMin || rc > TxResultCodeMax)
+        throw new IllegalArgumentException(
+          s"result code $rc outside the TransactionResultCode enum")
       val fee = buf.getLong
+      val soroban =
+        if (buf.getInt == 1)
+          Some(SorobanMeta(buf.getLong, buf.getLong, buf.getLong))
+        else None
       val nOps = buf.getInt
       val ops = (0 until nOps).map(_ => Op(buf.getInt, buf.getLong))
-      Tx(fee, rc, ops, memo, cond, feeBump)
+      Tx(fee, rc, ops, memo, cond, feeBump, soroban)
     }
   }
 

@@ -66,8 +66,23 @@ object LcmDataSource {
     StructField("ledger_bound_min", LongType, nullable = true),
     StructField("ledger_bound_max", LongType, nullable = true),
     StructField("min_seq_num", LongType, nullable = true),
+    // PreconditionsV2 long tail: age/gap gates and the extraSigners<2>
+    // SignerKey union (parallel arrays: tag, opaque[32] key, and — for the
+    // ED25519_SIGNED_PAYLOAD arm only — the opaque<64> payload)
+    StructField("min_seq_age", LongType, nullable = true),
+    StructField("min_seq_ledger_gap", LongType, nullable = true),
+    StructField("extra_signer_types",
+      ArrayType(IntegerType, containsNull = false), nullable = true),
+    StructField("extra_signer_keys_hex",
+      ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("extra_signer_payloads_hex",
+      ArrayType(StringType, containsNull = true), nullable = true),
     StructField("fee_bump_fee", LongType, nullable = true),
-    StructField("fee_bump_source_hex", StringType, nullable = true)))
+    StructField("fee_bump_source_hex", StringType, nullable = true),
+    // SorobanTransactionMetaExt v1 fee triple — null for classic txs
+    StructField("soroban_fee_nonrefundable", LongType, nullable = true),
+    StructField("soroban_fee_refundable", LongType, nullable = true),
+    StructField("soroban_fee_rent", LongType, nullable = true)))
 
   val Schema: StructType = StructType(Seq(
     StructField("sequence", LongType, nullable = false),
@@ -251,19 +266,32 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                   case MemoHash(h) => ("hash", null, null, hex(h))
                   case MemoReturn(h) => ("return", null, null, hex(h))
                 }
-              val (condType, tMin, tMax, lMin, lMax, minSeq): (String, Any, Any, Any, Any, Any) =
+              val (condType, tMin, tMax, lMin, lMax, minSeq,
+                  seqAge, seqGap, sigTypes, sigKeys, sigPayloads):
+                  (String, Any, Any, Any, Any, Any, Any, Any, Any, Any, Any) =
                 t.cond match {
-                  case PrecondNone => ("none", null, null, null, null, null)
+                  case PrecondNone =>
+                    ("none", null, null, null, null, null,
+                      null, null, null, null, null)
                   case PrecondTime(tb) =>
                     ("time", Long.box(tb.minTime), Long.box(tb.maxTime),
-                      null, null, null)
-                  case PrecondV2(time, ledger, ms) =>
+                      null, null, null, null, null, null, null, null)
+                  case PrecondV2(time, ledger, ms, age, gap, signers) =>
                     ("v2",
                       time.map(x => Long.box(x.minTime)).orNull,
                       time.map(x => Long.box(x.maxTime)).orNull,
                       ledger.map(x => Long.box(x.minLedger)).orNull,
                       ledger.map(x => Long.box(x.maxLedger)).orNull,
-                      ms.map(Long.box).orNull)
+                      ms.map(Long.box).orNull,
+                      Long.box(age), Long.box(gap),
+                      new GenericArrayData(
+                        signers.map(s => Int.box(s.tag)).toArray[Any]),
+                      new GenericArrayData(
+                        signers.map(s => hex(s.key)).toArray[Any]),
+                      new GenericArrayData(signers.map {
+                        case SignerEd25519SignedPayload(_, p) => hex(p)
+                        case _ => null
+                      }.toArray[Any]))
                 }
               rows(i) = new GenericInternalRow(Array[Any](
                 t.feeCharged, t.successful,
@@ -272,8 +300,12 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                 t.resultCode,
                 UTF8String.fromString(memoType), memoText, memoId, memoHash,
                 UTF8String.fromString(condType), tMin, tMax, lMin, lMax, minSeq,
+                seqAge, seqGap, sigTypes, sigKeys, sigPayloads,
                 t.feeBump.map(fb => Long.box(fb.fee)).orNull,
-                t.feeBump.map(fb => hex(fb.feeSourceKey)).orNull))
+                t.feeBump.map(fb => hex(fb.feeSourceKey)).orNull,
+                t.sorobanMeta.map(m => Long.box(m.nonRefundableFeeCharged)).orNull,
+                t.sorobanMeta.map(m => Long.box(m.refundableFeeCharged)).orNull,
+                t.sorobanMeta.map(m => Long.box(m.rentFeeCharged)).orNull))
               i += 1
             }
             new GenericArrayData(rows): Any
@@ -327,9 +359,12 @@ object LcmWriter {
 
   /** The deterministic per-ledger tx laws the fixture encodes and the
     * DuckDB oracles re-derive (`src_lcm_range_scan`, `src_lcm_tx_decode`,
-    * `src_archive_range_scan`): tx t of ledger seq fails iff t%3==0, rides
-    * a fee-bump shell iff t%4==1 (result code then txFEE_BUMP_INNER_SUCCESS),
-    * carries memo arm t%5 and precondition arm (seq+t)%3. */
+    * `src_archive_range_scan`): tx t of ledger seq fails iff t%3==0 (its
+    * result code walking the FULL enum tail, -(1 + (seq+t)%17)), rides a
+    * fee-bump shell iff t%4==1 (result code then txFEE_BUMP_INNER_SUCCESS),
+    * carries memo arm t%5, precondition arm (seq+t)%3 — the V2 arm with
+    * age/gap gates and t%3 extraSigners cycling the SignerKey union — and
+    * a soroban fee triple iff (seq+t)%2==0. */
   def fixtureTxs(seq: Long): Seq[Lcm.Tx] = {
     val nTx = ((seq % 5) + 1).toInt
     (0 until nTx).map { t =>
@@ -337,7 +372,7 @@ object LcmWriter {
       val feeBump =
         if (t % 4 == 1) Some(Lcm.FeeBump(sha(s"fb-$seq-$t"), 500L + t)) else None
       val rc =
-        if (!ok) Lcm.TxFailed
+        if (!ok) -(1L + (seq + t) % 17).toInt
         else if (feeBump.isDefined) Lcm.TxFeeBumpInnerSuccess
         else Lcm.TxSuccess
       val memo = (t % 5) match {
@@ -356,11 +391,27 @@ object LcmWriter {
             Some(Lcm.TimeBounds(1700000000L + seq, 1700007200L + seq + t))
           else None,
           Some(Lcm.LedgerBounds(math.max(seq - 64, 0), seq + 64)),
-          if (t % 3 == 0) Some(seq * 4096 + t) else None)
+          if (t % 3 == 0) Some(seq * 4096 + t) else None,
+          minSeqAge = (seq % 7) * 100 + t,
+          minSeqLedgerGap = (seq + t) % 5,
+          extraSigners = (0 until (t % 3)).map { j =>
+            val key = sha(s"es-$seq-$t-$j")
+            ((seq + t + j) % 4) match {
+              case 0 => Lcm.SignerEd25519(key)
+              case 1 => Lcm.SignerPreAuthTx(key)
+              case 2 => Lcm.SignerHashX(key)
+              case _ => Lcm.SignerEd25519SignedPayload(key,
+                s"pl-$seq-$t-$j".getBytes("UTF-8").toSeq)
+            }
+          })
       }
+      val soroban =
+        if ((seq + t) % 2 == 0)
+          Some(Lcm.SorobanMeta(1000L + seq, 500L + t, seq % 9 + 10L * t))
+        else None
       Lcm.Tx(100L * (t + 1), rc,
         Seq(Lcm.Op(((seq + t) % 27).toInt, 1000000L * (t + 1))),
-        memo, cond, feeBump)
+        memo, cond, feeBump, soroban)
     }
   }
 

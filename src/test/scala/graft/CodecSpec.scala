@@ -284,14 +284,14 @@ class CodecSpec extends AnyFunSuite {
     val bytes = encode(f)
     // version ‖ uint32 seq ‖ uint64 closeTimeMs ‖ nTx ‖ per tx:
     // envType(TX=2) ‖ memo tag ‖ cond tag ‖ resultCode (signed) ‖
-    // hyper fee ‖ nOps ‖ per op: opType ‖ hyper amount
+    // hyper fee ‖ soroban-ext bool(0) ‖ nOps ‖ per op: opType ‖ hyper amount
     assert(hexStr(bytes) ==
       "00000002" + "00000800" + "0000018bcfe56800" + "00000002" +
         "00000002" + "00000000" + "00000000" +
-        "00000000" + "0000000000000064" + "00000001" +
+        "00000000" + "0000000000000064" + "00000000" + "00000001" +
         "00000005" + "00000000000f4240" +
         "00000002" + "00000000" + "00000000" +
-        "ffffffff" + "00000000000000c8" + "00000002" +
+        "ffffffff" + "00000000000000c8" + "00000000" + "00000002" +
         "00000018" + "0000000000000007" +
         "00000001" + "000000000000002a")
     assert(decode(bytes) == f)
@@ -334,13 +334,52 @@ class CodecSpec extends AnyFunSuite {
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.cond == c)
     }
 
-    // signed result codes survive, and `successful` derives from them
-    Seq(TxFeeBumpInnerSuccess -> true, TxSuccess -> true, TxFailed -> false,
-        TxTooEarly -> false, TxTooLate -> false).foreach { case (rc, ok) =>
+    // signed result codes survive, and `successful` derives from them —
+    // the FULL enum, txFEE_BUMP_INNER_SUCCESS(1) .. txSOROBAN_INVALID(-17)
+    (TxResultCodeMin to TxResultCodeMax).foreach { rc =>
       val tx = decode(encode(Frame(5L, 1L,
         Seq(Tx(10L, rc, Seq(Op(0, 1L))))))).txs.head
-      assert(tx.resultCode == rc && tx.successful == ok)
+      assert(tx.resultCode == rc && tx.successful == (rc >= 0))
     }
+    // out-of-enum codes are rejected on both sides
+    intercept[IllegalArgumentException] {
+      encode(Frame(5L, 1L, Seq(Tx(10L, -18, Seq(Op(0, 1L))))))
+    }
+
+    // PreconditionsV2 long tail: age/gap gates + every SignerKey arm
+    // (ED25519, PRE_AUTH_TX, HASH_X, ED25519_SIGNED_PAYLOAD with a
+    // non-4-aligned payload exercising the XDR pad)
+    val k1 = Seq.tabulate(32)(i => (i * 5).toByte)
+    val k2 = Seq.tabulate(32)(i => (i * 7 + 1).toByte)
+    Seq(
+      PrecondV2(None, None, None, minSeqAge = 3600L, minSeqLedgerGap = 17L),
+      PrecondV2(Some(TimeBounds(5L, 6L)), None, Some(9L),
+        minSeqAge = 0L, minSeqLedgerGap = 0L,
+        extraSigners = Seq(SignerEd25519(k1), SignerHashX(k2))),
+      PrecondV2(None, None, None,
+        extraSigners = Seq(SignerPreAuthTx(k1))),
+      PrecondV2(None, None, None, minSeqAge = Long.MaxValue,
+        extraSigners = Seq(SignerEd25519SignedPayload(k2,
+          "odd-len-payload".getBytes("UTF-8").toSeq)))).foreach { c =>
+      val tx = Tx(10L, TxSuccess, Seq(Op(0, 1L)), cond = c)
+      assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.cond == c)
+    }
+    // >2 extra signers violates SignerKey<2>
+    intercept[IllegalArgumentException] {
+      PrecondV2(None, None, None, extraSigners =
+        Seq(SignerEd25519(k1), SignerEd25519(k2), SignerHashX(k1)))
+    }
+
+    // SorobanTransactionMetaExt fee triple: optional, roundtrips, and its
+    // wire form is bool(1) ‖ three hypers
+    val sm = Tx(10L, TxSuccess, Seq(Op(0, 1L)),
+      sorobanMeta = Some(SorobanMeta(1048L, 512L, 77L)))
+    val smBytes = encode(Frame(5L, 1L, Seq(sm)))
+    assert(decode(smBytes).txs.head == sm)
+    assert(hexStr(smBytes).contains(
+      "00000001" + "0000000000000418" + "0000000000000200" + "000000000000004d"))
+    assert(decode(encode(Frame(5L, 1L, Seq(sm.copy(sorobanMeta = None)))))
+      .txs.head.sorobanMeta.isEmpty)
 
     // fee-bump shell: envelope discriminant 5, feeSource + fee, roundtrip
     val fb = Tx(10L, TxFeeBumpInnerSuccess, Seq(Op(0, 1L)),
