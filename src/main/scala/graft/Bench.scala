@@ -38,7 +38,13 @@ object Bench {
     val minReps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val maxReps = math.max(minReps, sys.env.getOrElse("SPARK_GRAFT_MAX_REPS", "9").toInt)
     val budgetSec = 2.0
-    val results = (QueryCatalog.all ++ QueryCatalog.entryOps).map { q =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run — the isolation probe for
+    // re-measuring one query without the 90-query suite around it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = (QueryCatalog.all ++ QueryCatalog.entryOps)
+      .filter(q => only.forall(_.contains(q.name)))
+    val results = selected.map { q =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var spent = 0.0
       while (times.size < minReps ||
