@@ -1502,6 +1502,50 @@ object QueryCatalog {
             col("n_tokens").cast("long").as("n_tokens"), col("pack_id"))
           .orderBy("doc_id")),
 
+    Q("x_curation_pipeline",
+      // the training-corpus curation path COMPOSED end-to-end: token-count
+      // gate -> exact dedup (min-id survivor per content hash) -> 50%
+      // deterministic hash sample -> sequence packing. Every stage's law
+      // is exact (integer compares, sha-256 thresholds, integer pack
+      // division), so DuckDB replays the entire pipeline as one CTE chain
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |         len(list_filter(string_split_regex(text, '\s+'),
+             |           x -> x <> '')) AS n_tokens
+             |  FROM documents),
+             |f AS (SELECT * FROM t WHERE n_tokens >= 5),
+             |d AS (SELECT sha256(text) AS h, min(doc_id) AS doc_id
+             |      FROM f GROUP BY 1),
+             |s AS (SELECT f.doc_id, f.n_tokens
+             |      FROM f JOIN d ON f.doc_id = d.doc_id
+             |      WHERE substr(sha256(CAST(f.doc_id AS VARCHAR)), 1, 8)
+             |            < '80000000'),
+             |c AS (SELECT doc_id, doc_id % 4 AS shard, n_tokens,
+             |        sum(n_tokens) OVER (PARTITION BY doc_id % 4
+             |          ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8),
+             |                   doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM s)
+             |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |       CAST(shard * 1000000 + (cum - n_tokens) // 256 AS BIGINT)
+             |         AS pack_id
+             |FROM c ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = T(s, dir, "documents").select(col("doc_id"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        val gated = docs.where(col("n_tok") >= 5)
+        val survivors = gated.join(
+          Dedup.exact(gated.select("doc_id", "text"), "text", "doc_id")
+            .select("doc_id"), "doc_id")
+        val sampled = Sampling.uniform(survivors, "doc_id", 0.5)
+        TextAnalysis.packSequences(
+            sampled.select(col("doc_id"), col("n_tok")),
+            "doc_id", "n_tok", budget = 256L, shards = 4)
+          .select(col("doc_id"), col("shard"),
+            col("n_tokens").cast("long").as("n_tokens"), col("pack_id"))
+          .orderBy("doc_id")
+      }),
+
     Q("x_vocab_topk",
       // vocabulary build: per-document distinct terms -> document
       // frequency -> deterministic top-k (df desc, term asc)
