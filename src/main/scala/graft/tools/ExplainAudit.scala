@@ -85,7 +85,12 @@ object ExplainAudit {
         Seq("SortMergeJoin", "Window ")),
       // sequence packing: one shuffle on the shard + per-shard running sum
       ("x_pack_sequences", Seq("Window "),
-        Seq("SortMergeJoin", "BroadcastNestedLoopJoin"))
+        Seq("SortMergeJoin", "BroadcastNestedLoopJoin")),
+      // composed curation pipeline: dedup survivor via partial min (map-side
+      // combinable), the sample is a filter (no extra shuffle), packing's
+      // window is the only sort — never a nested-loop join anywhere
+      ("x_curation_pipeline", Seq("partial_min", "Window "),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
     )
     val byName = (QueryCatalog.all ++ QueryCatalog.entryOps).map(q => q.name -> q).toMap
     var bad = 0
