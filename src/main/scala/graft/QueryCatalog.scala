@@ -1771,6 +1771,14 @@ object QueryCatalog {
       Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls)
              |SELECT seq AS sequence, CAST(t AS INT) AS tx_order,
+             |  CAST((seq + t) % 27 AS INT) AS op_type,
+             |  CAST(1000000 * (t + 1) AS BIGINT) AS amount,
+             |  CASE WHEN (seq + t) % 27 IN (0, 1)
+             |       THEN sha256('dst-' || seq || '-' || t)
+             |       END AS op_destination_hex,
+             |  CASE WHEN (seq + t) % 27 = 1
+             |       THEN ['XLM','USDC','EURC'][CAST(seq % 3 + 1 AS INT)]
+             |       END AS op_asset_code,
              |  CAST(CASE WHEN t % 3 = 0 THEN -(1 + (seq + t) % 17)
              |       WHEN t % 4 = 1 THEN 1
              |       ELSE 0 END AS INT) AS result_code,
@@ -1825,7 +1833,8 @@ object QueryCatalog {
           .select(col("sequence"),
             posexplode(col("transactions")).as(Seq("tx_order", "tx")))
           .select(Seq(col("sequence"), col("tx_order")) ++
-            Seq("result_code", "memo_type", "memo_text", "memo_id",
+            Seq("op_type", "amount", "op_destination_hex", "op_asset_code",
+              "result_code", "memo_type", "memo_text", "memo_id",
               "memo_hash_hex", "precond_type", "time_bound_min",
               "time_bound_max", "ledger_bound_min", "ledger_bound_max",
               "min_seq_num", "min_seq_age", "min_seq_ledger_gap",

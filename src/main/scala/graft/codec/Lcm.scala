@@ -64,7 +64,15 @@ import java.nio.charset.StandardCharsets
   *     bool ‖ 3 × hyper  // optional SorobanTransactionMetaExt v1 fee triple:
   *                       // nonRefundable ‖ refundable ‖ rent fee charged
   *     uint32 nOps       // envelope operations<>
-  *     nOps × { int opType; hyper amountStroops }
+  *     nOps × {          // Operation: the body unions on the op type,
+  *       int opType      // like the real `Operation.body` switch
+  *       hyper amountStroops
+  *       [opType == 0]:  // CREATE_ACCOUNT: destination ‖ (amount above
+  *         opaque destination[32]              //  is startingBalance)
+  *       [opType == 1]:  // PAYMENT: destination ‖ asset code
+  *         opaque destination[32] ‖ string assetCode<12>
+  *       // every other type keeps the flat stand-in arm (no extra bytes)
+  *     }
   * }}}
   *
   * Batch files (`{start}-{end}.lcmb`) are a stream of `uint32 len ‖ frame`
@@ -72,7 +80,30 @@ import java.nio.charset.StandardCharsets
   * without decoding them, mirroring the datastore's per-object framing. */
 object Lcm {
 
-  case class Op(opType: Int, amountStroops: Long)
+  /** `Operation.body` union subset: CREATE_ACCOUNT(0) and PAYMENT(1) carry
+    * typed detail arms; every other type keeps the flat stand-in arm. */
+  sealed trait OpDetail
+  case object OpGeneric extends OpDetail
+  case class OpCreateAccount(destination: Seq[Byte]) extends OpDetail {
+    require(destination.size == 32, "destination is opaque[32]")
+  }
+  case class OpPayment(destination: Seq[Byte], assetCode: String) extends OpDetail {
+    require(destination.size == 32, "destination is opaque[32]")
+    require(assetCode.getBytes(StandardCharsets.UTF_8).length <= 12,
+      "asset code is string<12>")
+  }
+
+  case class Op(opType: Int, amountStroops: Long, detail: OpDetail = OpGeneric) {
+    detail match {
+      case OpCreateAccount(_) =>
+        require(opType == 0, "CREATE_ACCOUNT detail requires opType 0")
+      case OpPayment(_, _) =>
+        require(opType == 1, "PAYMENT detail requires opType 1")
+      case OpGeneric =>
+        require(opType != 0 && opType != 1,
+          s"opType $opType requires its typed detail arm")
+    }
+  }
 
   /** `Memo` union (`Stellar-transaction.x`): NONE / TEXT / ID / HASH /
     * RETURN. Hash arms use Seq[Byte] so case-class equality covers
@@ -347,6 +378,13 @@ object Lcm {
       t.ops.foreach { o =>
         out.writeInt(o.opType)
         out.writeLong(o.amountStroops)
+        o.detail match {
+          case OpCreateAccount(dst) => out.write(dst.toArray)
+          case OpPayment(dst, code) =>
+            out.write(dst.toArray)
+            writeXdrString(out, code)
+          case OpGeneric =>
+        }
       }
     }
     bos.toByteArray
@@ -474,7 +512,16 @@ object Lcm {
           Some(SorobanMeta(buf.getLong, buf.getLong, buf.getLong))
         else None
       val nOps = buf.getInt
-      val ops = (0 until nOps).map(_ => Op(buf.getInt, buf.getLong))
+      val ops = (0 until nOps).map { _ =>
+        val opType = buf.getInt
+        val amount = buf.getLong
+        val detail = opType match {
+          case 0 => OpCreateAccount(readOpaque32(buf))
+          case 1 => OpPayment(readOpaque32(buf), readXdrString(buf))
+          case _ => OpGeneric
+        }
+        Op(opType, amount, detail)
+      }
       Tx(fee, rc, ops, memo, cond, feeBump, soroban)
     }
   }

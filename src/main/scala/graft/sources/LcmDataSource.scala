@@ -53,6 +53,10 @@ object LcmDataSource {
     // null for a zero-op transaction — the wire format permits nOps=0
     StructField("op_type", IntegerType, nullable = true),
     StructField("amount", LongType, nullable = true),
+    // Operation.body union arms: CREATE_ACCOUNT/PAYMENT destination,
+    // PAYMENT asset code — null for the flat stand-in arm
+    StructField("op_destination_hex", StringType, nullable = true),
+    StructField("op_asset_code", StringType, nullable = true),
     // decoded union arms (Stellar-transaction.x subset): result code,
     // memo, preconditions, fee-bump shell — null when the arm is absent
     StructField("result_code", IntegerType, nullable = false),
@@ -293,10 +297,20 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                         case _ => null
                       }.toArray[Any]))
                 }
+              val opDest = op.flatMap(x => x.detail match {
+                case OpCreateAccount(d) => Some(hex(d))
+                case OpPayment(d, _) => Some(hex(d))
+                case OpGeneric => None
+              }).orNull
+              val opAsset = op.flatMap(x => x.detail match {
+                case OpPayment(_, c) => Some(UTF8String.fromString(c): Any)
+                case _ => None
+              }).orNull
               rows(i) = new GenericInternalRow(Array[Any](
                 t.feeCharged, t.successful,
                 op.map(x => Int.box(x.opType)).orNull,
                 op.map(x => Long.box(x.amountStroops)).orNull,
+                opDest, opAsset,
                 t.resultCode,
                 UTF8String.fromString(memoType), memoText, memoId, memoHash,
                 UTF8String.fromString(condType), tMin, tMax, lMin, lMax, minSeq,
@@ -409,8 +423,15 @@ object LcmWriter {
         if ((seq + t) % 2 == 0)
           Some(Lcm.SorobanMeta(1000L + seq, 500L + t, seq % 9 + 10L * t))
         else None
+      val opType = ((seq + t) % 27).toInt
+      val opDetail = opType match {
+        case 0 => Lcm.OpCreateAccount(sha(s"dst-$seq-$t"))
+        case 1 => Lcm.OpPayment(sha(s"dst-$seq-$t"),
+          Seq("XLM", "USDC", "EURC")((seq % 3).toInt))
+        case _ => Lcm.OpGeneric
+      }
       Lcm.Tx(100L * (t + 1), rc,
-        Seq(Lcm.Op(((seq + t) % 27).toInt, 1000000L * (t + 1))),
+        Seq(Lcm.Op(opType, 1000000L * (t + 1), opDetail)),
         memo, cond, feeBump, soroban)
     }
   }

@@ -280,7 +280,7 @@ class CodecSpec extends AnyFunSuite {
     import Lcm._
     val f = Frame(2048L, 1700000000000L, Seq(
       Tx(100L, successful = true, Seq(Op(5, 1000000L))),
-      Tx(200L, successful = false, Seq(Op(24, 7L), Op(1, 42L)))))
+      Tx(200L, successful = false, Seq(Op(24, 7L), Op(25, 42L)))))
     val bytes = encode(f)
     // version ‖ uint32 seq ‖ uint64 closeTimeMs ‖ nTx ‖ per tx:
     // envType(TX=2) ‖ memo tag ‖ cond tag ‖ resultCode (signed) ‖
@@ -293,8 +293,27 @@ class CodecSpec extends AnyFunSuite {
         "00000002" + "00000000" + "00000000" +
         "ffffffff" + "00000000000000c8" + "00000000" + "00000002" +
         "00000018" + "0000000000000007" +
-        "00000001" + "000000000000002a")
+        "00000019" + "000000000000002a")
     assert(decode(bytes) == f)
+
+    // Operation.body typed arms: CREATE_ACCOUNT carries the destination,
+    // PAYMENT adds the asset code (string<12>, padded); both roundtrip and
+    // the generic stand-in arm refuses types 0/1 without their detail
+    val dst = Seq.tabulate(32)(i => (i * 9).toByte)
+    val opsTx = Tx(10L, TxSuccess, Seq(
+      Op(0, 50000000L, OpCreateAccount(dst)),
+      Op(1, 777L, OpPayment(dst, "USDC")),
+      Op(6, 3L)))
+    val opsBytes = encode(Frame(7L, 1L, Seq(opsTx)))
+    assert(decode(opsBytes).txs.head == opsTx)
+    assert(hexStr(opsBytes).contains(
+      "00000001" + "0000000000000309" +          // PAYMENT ‖ amount 777
+        dst.map("%02x".format(_)).mkString +
+        "00000004" + "55534443"))                // len ‖ "USDC"
+    intercept[IllegalArgumentException](Op(0, 1L))
+    intercept[IllegalArgumentException](Op(1, 1L))
+    intercept[IllegalArgumentException](Op(5, 1L, OpPayment(dst, "XLM")))
+    intercept[IllegalArgumentException](OpPayment(dst, "THIRTEEN-CHARS"))
     // header-only decode positions the buffer at the tx count
     val buf = java.nio.ByteBuffer.wrap(bytes)
     assert(Lcm.decodeHeader(buf) == ((2048L, 1700000000000L)))
@@ -311,14 +330,14 @@ class CodecSpec extends AnyFunSuite {
     val fbSrc = Seq.tabulate(32)(i => (128 + i).toByte)
 
     // memo TEXT padding: "hi" → len 2 ‖ 6869 ‖ 2-byte zero pad (4-aligned)
-    val memoTx = Tx(7L, TxSuccess, Seq(Op(1, 5L)), memo = MemoText("hi"))
+    val memoTx = Tx(7L, TxSuccess, Seq(Op(2, 5L)), memo = MemoText("hi"))
     val memoBytes = encode(Frame(9L, 0L, Seq(memoTx)))
     assert(hexStr(memoBytes).contains("00000001" + "00000002" + "68690000"))
 
     // every memo arm roundtrips
     Seq(MemoNone, MemoText("m-2048-1"), MemoId(32769L), MemoHash(h3),
         MemoReturn(h4)).foreach { m =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(0, 1L)), memo = m)
+      val tx = Tx(10L, TxSuccess, Seq(Op(2, 1L)), memo = m)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.memo == m)
     }
 
@@ -330,7 +349,7 @@ class CodecSpec extends AnyFunSuite {
         PrecondV2(None, Some(LedgerBounds(0L, 4294967295L)), None),
         PrecondV2(Some(TimeBounds(5L, 6L)), Some(LedgerBounds(10L, 20L)),
           Some(7L))).foreach { c =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(0, 1L)), cond = c)
+      val tx = Tx(10L, TxSuccess, Seq(Op(2, 1L)), cond = c)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.cond == c)
     }
 
@@ -338,12 +357,12 @@ class CodecSpec extends AnyFunSuite {
     // the FULL enum, txFEE_BUMP_INNER_SUCCESS(1) .. txSOROBAN_INVALID(-17)
     (TxResultCodeMin to TxResultCodeMax).foreach { rc =>
       val tx = decode(encode(Frame(5L, 1L,
-        Seq(Tx(10L, rc, Seq(Op(0, 1L))))))).txs.head
+        Seq(Tx(10L, rc, Seq(Op(2, 1L))))))).txs.head
       assert(tx.resultCode == rc && tx.successful == (rc >= 0))
     }
     // out-of-enum codes are rejected on both sides
     intercept[IllegalArgumentException] {
-      encode(Frame(5L, 1L, Seq(Tx(10L, -18, Seq(Op(0, 1L))))))
+      encode(Frame(5L, 1L, Seq(Tx(10L, -18, Seq(Op(2, 1L))))))
     }
 
     // PreconditionsV2 long tail: age/gap gates + every SignerKey arm
@@ -361,7 +380,7 @@ class CodecSpec extends AnyFunSuite {
       PrecondV2(None, None, None, minSeqAge = Long.MaxValue,
         extraSigners = Seq(SignerEd25519SignedPayload(k2,
           "odd-len-payload".getBytes("UTF-8").toSeq)))).foreach { c =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(0, 1L)), cond = c)
+      val tx = Tx(10L, TxSuccess, Seq(Op(2, 1L)), cond = c)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.cond == c)
     }
     // >2 extra signers violates SignerKey<2>
@@ -372,7 +391,7 @@ class CodecSpec extends AnyFunSuite {
 
     // SorobanTransactionMetaExt fee triple: optional, roundtrips, and its
     // wire form is bool(1) ‖ three hypers
-    val sm = Tx(10L, TxSuccess, Seq(Op(0, 1L)),
+    val sm = Tx(10L, TxSuccess, Seq(Op(2, 1L)),
       sorobanMeta = Some(SorobanMeta(1048L, 512L, 77L)))
     val smBytes = encode(Frame(5L, 1L, Seq(sm)))
     assert(decode(smBytes).txs.head == sm)
@@ -382,7 +401,7 @@ class CodecSpec extends AnyFunSuite {
       .txs.head.sorobanMeta.isEmpty)
 
     // fee-bump shell: envelope discriminant 5, feeSource + fee, roundtrip
-    val fb = Tx(10L, TxFeeBumpInnerSuccess, Seq(Op(0, 1L)),
+    val fb = Tx(10L, TxFeeBumpInnerSuccess, Seq(Op(2, 1L)),
       feeBump = Some(FeeBump(fbSrc, 501L)))
     val fbBytes = encode(Frame(5L, 1L, Seq(fb)))
     assert(hexStr(fbBytes).contains("00000005" + fbSrc.map("%02x".format(_)).mkString
