@@ -112,4 +112,124 @@ object CodecProps extends Properties("codec") {
     val extended = data ++ Array(((c >> 8) & 0xff).toByte, (c & 0xff).toByte)
     Crc16.checksum(extended) == 0
   }
+
+  // ---- LCM frame: whole-model encode/decode roundtrip ----------------------
+  // Arbitrary frames across every union arm the wire carries — memo x5,
+  // precond x3 (V2 with age/gap + all four SignerKey arms), the full
+  // result-code enum, fee-bump shells, soroban fee ext, op-body arms, and
+  // the three version arms with their structural constraints.
+
+  private val byteGen: Gen[Byte] = Gen.chooseNum(-128, 127).map(_.toByte)
+  private val b32: Gen[Seq[Byte]] = Gen.containerOfN[Seq, Byte](32, byteGen)
+  private val u32: Gen[Long] = Gen.chooseNum(0L, 4294967295L)
+  private val nonNeg: Gen[Long] = Gen.chooseNum(0L, Long.MaxValue)
+
+  private val opGen: Gen[Lcm.Op] = for {
+    t <- Gen.chooseNum(0, 26)
+    amt <- nonNeg
+    d <- t match {
+      case 0 => b32.map(Lcm.OpCreateAccount)
+      case 1 => for {
+        k <- b32
+        c <- Gen.oneOf("XLM", "USDC", "EURC", "A", "TWELVECHARS1")
+      } yield Lcm.OpPayment(k, c)
+      case _ => Gen.const(Lcm.OpGeneric: Lcm.OpDetail)
+    }
+  } yield Lcm.Op(t, amt, d)
+
+  private val memoGen: Gen[Lcm.Memo] = Gen.oneOf(
+    Gen.const(Lcm.MemoNone: Lcm.Memo),
+    Gen.alphaNumStr.map(s => Lcm.MemoText(s.take(28))),
+    Gen.chooseNum(Long.MinValue, Long.MaxValue).map(Lcm.MemoId),
+    b32.map(Lcm.MemoHash), b32.map(Lcm.MemoReturn))
+
+  private val tbGen: Gen[Lcm.TimeBounds] =
+    for { a <- nonNeg; b <- nonNeg } yield Lcm.TimeBounds(a, b)
+
+  private val signerGen: Gen[Lcm.SignerKey] = for {
+    k <- b32
+    t <- Gen.chooseNum(0, 3)
+    s <- t match {
+      case 0 => Gen.const(Lcm.SignerEd25519(k): Lcm.SignerKey)
+      case 1 => Gen.const(Lcm.SignerPreAuthTx(k): Lcm.SignerKey)
+      case 2 => Gen.const(Lcm.SignerHashX(k): Lcm.SignerKey)
+      case _ => Gen.chooseNum(0, 64).flatMap(n =>
+        Gen.containerOfN[Seq, Byte](n, byteGen)
+          .map(p => Lcm.SignerEd25519SignedPayload(k, p): Lcm.SignerKey))
+    }
+  } yield s
+
+  private val condGen: Gen[Lcm.Precond] = Gen.oneOf(
+    Gen.const(Lcm.PrecondNone: Lcm.Precond),
+    tbGen.map(Lcm.PrecondTime),
+    for {
+      time <- Gen.option(tbGen)
+      ledger <- Gen.option(for { a <- u32; b <- u32 }
+        yield Lcm.LedgerBounds(a, b))
+      ms <- Gen.option(nonNeg)
+      age <- nonNeg
+      gap <- u32
+      n <- Gen.chooseNum(0, 2)
+      sig <- Gen.listOfN(n, signerGen)
+    } yield Lcm.PrecondV2(time, ledger, ms, age, gap, sig))
+
+  private val txGen: Gen[Lcm.Tx] = for {
+    fee <- nonNeg
+    rc <- Gen.chooseNum(Lcm.TxResultCodeMin, Lcm.TxResultCodeMax)
+    n <- Gen.chooseNum(0, 3)
+    ops <- Gen.listOfN(n, opGen)
+    memo <- memoGen
+    cond <- condGen
+    fb <- Gen.option(for { k <- b32; f <- nonNeg } yield Lcm.FeeBump(k, f))
+    sm <- Gen.option(for { a <- nonNeg; b <- nonNeg; c <- nonNeg }
+      yield Lcm.SorobanMeta(a, b, c))
+  } yield Lcm.Tx(fee, rc, ops, memo, cond, fb, sm)
+
+  private val headerGen: Gen[Lcm.HeaderInfo] = for {
+    pv <- Gen.chooseNum(0, Int.MaxValue)
+    prev <- b32
+    coins <- nonNeg; pool <- nonNeg
+    bf <- u32; br <- u32; mts <- u32
+  } yield Lcm.HeaderInfo(pv, prev, coins, pool, bf, br, mts)
+
+  private val upgradeGen: Gen[Lcm.LedgerUpgrade] = for {
+    v <- u32
+    u <- Gen.oneOf[Long => Lcm.LedgerUpgrade](
+      Lcm.UpgradeVersion, Lcm.UpgradeBaseFee, Lcm.UpgradeMaxTxSetSize,
+      Lcm.UpgradeBaseReserve, Lcm.UpgradeFlags)
+  } yield u(v)
+
+  private val frameGen: Gen[Lcm.Frame] = for {
+    seq <- Gen.chooseNum(0L, Int.MaxValue.toLong) // uint32, TOID law
+    ms <- nonNeg
+    n <- Gen.chooseNum(0, 3)
+    txs <- Gen.listOfN(n, txGen)
+    arm <- Gen.chooseNum(0, 2)
+    f <- arm match {
+      case 0 => Gen.const(Lcm.Frame(seq, ms, txs)) // legacy header-less
+      case 1 => for { h <- headerGen; nu <- Gen.chooseNum(0, 2);
+                      up <- Gen.listOfN(nu, upgradeGen) }
+        yield Lcm.Frame(seq, ms, txs, Some(h), up) // v0
+      case _ => for { h <- headerGen; nu <- Gen.chooseNum(0, 2)
+                      up <- Gen.listOfN(nu, upgradeGen)
+                      bl <- nonNeg; sw <- Gen.option(nonNeg) }
+        yield Lcm.Frame(seq, ms, txs, Some(h), up, Some(bl), sw) // v1
+    }
+  } yield f
+
+  property("lcm.frame-roundtrip") = forAll(frameGen) { f =>
+    Lcm.decode(Lcm.encode(f)) == f
+  }
+
+  property("lcm.meta-prefix-consistent") = forAll(frameGen) { f =>
+    // decodeMeta over the encoded bytes must agree with the full decode
+    // and leave the buffer exactly at the tx array
+    val buf = java.nio.ByteBuffer.wrap(Lcm.encode(f))
+    val m = Lcm.decodeMeta(buf)
+    m.sequence == f.sequence && m.closedAtEpochMs == f.closedAtEpochMs &&
+      m.header == f.header && m.upgrades == f.upgrades &&
+      m.bucketListSizeBytes == f.bucketListSizeBytes &&
+      m.sorobanFeeWrite1000 == f.sorobanFeeWrite1000 &&
+      Lcm.decodeTxs(buf) == f.txs
+  }
 }
