@@ -1635,6 +1635,38 @@ object QueryCatalog {
         Multimodal.decode(media).toDF().orderBy("media_id")
       }),
 
+    Q("x_multimodal_frames",
+      // the frame-sampling plan: videos explode into every 30th frame
+      // index so per-frame work distributes. DuckDB re-derives n_frames
+      // from the fnv64a stub law and replays the stride explode with
+      // generate_series
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |         list_reduce(
+             |           list_prepend(14695981039346656037::HUGEINT,
+             |             list_transform(string_split(text, ''), c -> ord(c)::HUGEINT)),
+             |           (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+             |                     % 18446744073709551616::HUGEINT) AS h
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |a AS (SELECT doc_id,
+             |        ((h % 9223372036854775808::HUGEINT) // 4294967296) % 300 + 1
+             |          AS n_frames
+             |      FROM f)
+             |SELECT doc_id AS media_id, CAST(n_frames AS INT) AS n_frames,
+             |       CAST(unnest(generate_series(0, CAST(n_frames AS BIGINT) - 1, 30))
+             |         AS INT) AS frame_idx
+             |FROM a ORDER BY media_id, frame_idx""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val media = T(s, dir, "documents").where(expr("doc_id % 3 = 2"))
+          .select(col("doc_id").as("media_id"), lit("video/mp4").as("mime"),
+            col("text").cast("binary").as("bytes"))
+          .as[Multimodal.MediaRow]
+        Multimodal.sampleFrames(Multimodal.decode(media).toDF(), stride = 30)
+          .select(col("media_id"), col("n_frames"), col("frame_idx"))
+          .orderBy("media_id", "frame_idx")
+      }),
+
     Q("x_multimodal_pipeline",
       // the full media path — decode, resize, feature-extract, ANN —
       // over a PLANTED deterministic fixture (every codec stage is the
