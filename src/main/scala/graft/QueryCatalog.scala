@@ -817,6 +817,44 @@ object QueryCatalog {
           .orderBy("doc_id")
       }),
 
+    Q("x_dedup_clusters_logn",
+      // the SAME component problem solved by the large-star/small-star
+      // alternation (O(log n) rounds — the adversarial-diameter variant);
+      // the oracle is the identical recursive min-label closure, so both
+      // algorithms must land on the identical component minima
+      Some(s"""WITH RECURSIVE w AS (
+             |  SELECT doc_id,
+             |         list_distinct(string_split_regex(
+             |           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+             |  FROM documents WHERE doc_id < 300),
+             |g AS (SELECT doc_id, unnest(toks) AS gram FROM w),
+             |sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+             |p0 AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+             |       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2),
+             |p AS (SELECT a, b
+             |      FROM p0 JOIN sz sa ON p0.a = sa.doc_id
+             |              JOIN sz sb ON p0.b = sb.doc_id
+             |      WHERE inter / (sa.n_grams + sb.n_grams - inter) >= 0.5),
+             |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+             |cc AS (
+             |  SELECT doc_id AS v, doc_id AS label FROM w
+             |  UNION
+             |  SELECT e.b, cc.label FROM cc JOIN e ON e.a = cc.v
+             |  WHERE cc.label < e.b)
+             |SELECT CAST(v AS BIGINT) AS doc_id,
+             |       CAST(min(label) AS BIGINT) AS cluster_id
+             |FROM cc GROUP BY v ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = T(s, dir, "documents").where(col("doc_id") < 300)
+        Dedup.dupClustersAlternating(docs, "doc_id",
+            Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 1,
+              threshold = 0.5),
+            "id_a", "id_b")
+          .select(col("doc_id"), col("cluster_id"))
+          .orderBy("doc_id")
+      }),
+
     Q("x_dedup_embedding",
       // embedding-cosine near-dup clusters: the integer-quantized cosine
       // test (dot²·25 ≥ 4·|a|²·|b|² ⇔ cos ≥ 0.4) re-run verbatim in

@@ -435,4 +435,82 @@ object Dedup {
       .select(col("v").as(idCol),
         coalesce(col("cluster_id"), col("v")).as("cluster_id"))
   }
+
+  /** [[dupClusters]] with the large-star/small-star alternation (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", 2014):
+    * worst-case O(log n) rounds instead of O(diameter) — the variant for
+    * ADVERSARIAL duplicate graphs (scrape chains, boilerplate ladders,
+    * template families linked end-to-end) where min-label propagation's
+    * rounds ≈ diameter/2 would dominate wall-clock. Near-clique duplicate
+    * graphs should keep using [[dupClusters]] (fewer shuffles per round).
+    *
+    * Each round is two grouped passes over the current edge set, both
+    * map-side-combinable aggregations + an equi-join:
+    *   large-star: every node links its LARGER neighbors to its minimum;
+    *   small-star: every node links its (now all smaller) neighbors and
+    *   itself to its minimum.
+    * Edges stay (larger, smaller)-oriented throughout; the fixpoint is a
+    * star per component rooted at the component minimum. Same output
+    * contract as [[dupClusters]]. */
+  def dupClustersAlternating(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame =
+    alternatingComponents(docs, idCol, pairs, aCol, bCol, maxIter)._1
+
+  private[graft] def alternatingComponents(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int): (DataFrame, Int) = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = docs.sparkSession
+    // canonical (u > v) orientation, self-loops dropped
+    val init = pairs
+      .select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
+        least(col(aCol), col(bCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.where(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // input is (u > v)-oriented, so every neighbor of u in `e` is smaller
+      val m = e.groupBy("u").agg(min("v").as("m"))
+      e.join(m, "u").select(col("v").as("w"), col("m"))
+        .unionAll(m.select(col("u").as("w"), col("m")))
+        .where(col("w") =!= col("m"))
+        .select(col("w").as("u"), col("m").as("v")).distinct()
+    }
+
+    var edges = init
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val plan = smallStar(largeStar(edges))
+      // same per-round plan cut as dupClusters: rebase on the persisted
+      // RDD so the logical tree stays constant-size across rounds
+      val rdd = plan.rdd.persist(disk)
+      val next = spark.createDataFrame(rdd, plan.schema)
+      converged = next.except(edges).unionAll(edges.except(next))
+        .isEmpty
+      if (prevRdd != null) prevRdd.unpersist(false)
+      prevRdd = rdd
+      edges = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClustersAlternating did not converge after $maxIter rounds - " +
+          "this exceeds the O(log n) bound; raise maxIter")
+    // fixpoint: stars rooted at component minima — edges ARE the labels
+    val labels = edges.select(col("u").as("v"), col("v").as("cluster_id"))
+    val out = docs.select(col(idCol).cast("long").as("v"))
+      .join(labels, Seq("v"), "left")
+      .select(col("v").as(idCol),
+        coalesce(col("cluster_id"), col("v")).as("cluster_id"))
+    (out, rounds)
+  }
 }

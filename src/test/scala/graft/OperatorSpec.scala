@@ -264,6 +264,43 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ok.toSeq == Seq(1L))
   }
 
+  test("alternating components: parity with label propagation, O(log n) rounds on chains") {
+    import spark.implicits._
+    // adversarial shape: one 64-node path (diameter 63) + a pair + isolates
+    val n = 64L
+    val docs = ((1L to n) ++ Seq(100L, 101L, 200L)).toDF("doc_id")
+    val pairs = ((1L until n).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
+      .toDF("id_a", "id_b")
+    val (alt, rounds) = graft.operators.Dedup.alternatingComponents(
+      docs, "doc_id", pairs, "id_a", "id_b", maxIter = 25)
+    val got = alt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Dedup.dupClusters(docs, "doc_id", pairs, "id_a", "id_b",
+      maxIter = 40).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // the whole point: far fewer rounds than the ~diameter/2 the
+    // propagation loop needs on a 63-diameter path
+    assert(rounds <= 10, s"expected O(log n) rounds, took $rounds")
+
+    // random graph parity (fixed seed): many components, varied shapes
+    val rnd = new scala.util.Random(11)
+    val rdocs = (1L to 300L).toDF("doc_id")
+    val rpairs = (1 to 250)
+      .map(_ => (rnd.nextInt(300) + 1L, rnd.nextInt(300) + 1L))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val ra = graft.operators.Dedup.dupClustersAlternating(
+        rdocs, "doc_id", rpairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rb = Dedup.dupClusters(rdocs, "doc_id", rpairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ra == rb)
+
+    // empty pair set: every doc is its own singleton, zero rounds
+    val (single, r0) = graft.operators.Dedup.alternatingComponents(
+      rdocs, "doc_id", rpairs.limit(0), "id_a", "id_b", maxIter = 5)
+    assert(r0 == 0 &&
+      single.collect().forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("embedding-cosine near-dup: identical and near vectors cluster") {
     import spark.implicits._
     val emb = Seq(
