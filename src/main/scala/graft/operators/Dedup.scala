@@ -472,8 +472,11 @@ object Dedup {
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val m = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // no distinct here: small-star's terminal distinct canonicalizes,
+      // and its min-aggregate is duplicate-insensitive — one less shuffle
+      // per round
       sym.where(col("v") > col("u")).join(m, "u")
-        .select(col("v").as("u"), col("m").as("v")).distinct()
+        .select(col("v").as("u"), col("m").as("v"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       // input is (u > v)-oriented, so every neighbor of u in `e` is smaller
@@ -485,17 +488,24 @@ object Dedup {
     }
 
     var edges = init
+    var edgeCount = -1L // lazily counted on the first round
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var converged = edges.isEmpty
     var rounds = 0
     while (!converged && rounds < maxIter) {
+      if (edgeCount < 0) edgeCount = edges.count()
       val plan = smallStar(largeStar(edges))
       // same per-round plan cut as dupClusters: rebase on the persisted
       // RDD so the logical tree stays constant-size across rounds
       val rdd = plan.rdd.persist(disk)
       val next = spark.createDataFrame(rdd, plan.schema)
-      converged = next.except(edges).unionAll(edges.except(next))
-        .isEmpty
+      // exact two-tier fixpoint test: a changed edge COUNT (one cheap job
+      // over the persisted RDD) proves non-convergence without the
+      // shuffle-heavy set compare; only equal-count rounds pay ONE except
+      // (both frames are distinct, so next ⊆ edges ∧ |next| = |edges| ⟺ =)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
+      edgeCount = nextCount
       if (prevRdd != null) prevRdd.unpersist(false)
       prevRdd = rdd
       edges = next
