@@ -1493,11 +1493,15 @@ object QueryCatalog {
           .orderBy("doc_id")),
 
     Q("x_sample_mixture_sharded",
-      // the inverse-mixture scale path: the law applies per shard
-      // (id mod 4), so every count it touches is bounded by the shard
-      // size — DuckDB re-derives the per-(shard, lang) counts, per-shard
-      // min and exact integer thresholds identically
-      Some("""WITH t AS (SELECT doc_id, lang, doc_id % 4 AS shard FROM documents),
+      // the inverse-mixture scale path: the law applies per shard (a
+      // sha-256 slice of the id, mod 4 — independent of both raw-id
+      // structure and the keep key's chars 1-8), so every count it touches
+      // is bounded by the shard size — DuckDB re-derives the shard hash,
+      // per-(shard, lang) counts, per-shard min and exact integer
+      // thresholds identically
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |  ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 4
+             |    AS shard FROM documents),
              |c AS (SELECT shard, lang, count(*) AS n FROM t GROUP BY shard, lang),
              |m AS (SELECT shard, min(n) AS mn FROM c GROUP BY shard),
              |r AS (SELECT c.shard, c.lang,
@@ -1638,18 +1642,22 @@ object QueryCatalog {
     Q("x_multimodal_decode",
       // the stub codec is pure fnv64a over the payload bytes, so DuckDB
       // re-derives the full decoded metadata independently: the 64-bit
-      // FNV-1a fold runs as a HUGEINT lambda reduce over the (ASCII)
-      // text bytes, `h & Long.MaxValue` becomes `h mod 2^63`, and the
-      // width/height/frame laws replay on exact integers
+      // FNV-1a fold runs as a HUGEINT lambda reduce over the UTF-8 BYTES
+      // (hex-pair parse of encode(text) — not ord() of characters, which
+      // would diverge on any non-ASCII document), `h & Long.MaxValue`
+      // becomes `h mod 2^63`, and the width/height/frame laws replay on
+      // exact integers
       Some("""WITH f AS (
              |  SELECT doc_id,
              |         CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
              |              WHEN doc_id % 3 = 1 THEN 'audio/wav'
              |              ELSE 'video/mp4' END AS mime,
-             |         CAST(length(text) AS BIGINT) AS byte_len,
+             |         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
              |         list_reduce(
              |           list_prepend(14695981039346656037::HUGEINT,
-             |             list_transform(string_split(text, ''), c -> ord(c)::HUGEINT)),
+             |             list_transform(range(CAST(octet_length(encode(text)) AS BIGINT)),
+             |               i -> ('0x' || substr(hex(encode(text)),
+             |                      CAST(i*2+1 AS INT), 2))::BIGINT::HUGEINT)),
              |           (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
              |                     % 18446744073709551616::HUGEINT) AS h
              |  FROM documents),
@@ -1682,7 +1690,9 @@ object QueryCatalog {
              |  SELECT doc_id,
              |         list_reduce(
              |           list_prepend(14695981039346656037::HUGEINT,
-             |             list_transform(string_split(text, ''), c -> ord(c)::HUGEINT)),
+             |             list_transform(range(CAST(octet_length(encode(text)) AS BIGINT)),
+             |               i -> ('0x' || substr(hex(encode(text)),
+             |                      CAST(i*2+1 AS INT), 2))::BIGINT::HUGEINT)),
              |           (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
              |                     % 18446744073709551616::HUGEINT) AS h
              |  FROM documents WHERE doc_id % 3 = 2),
@@ -1876,16 +1886,17 @@ object QueryCatalog {
              |  CASE WHEN (seq + t) % 3 = 2 THEN (seq + t) % 5
              |       END AS min_seq_ledger_gap,
              |  CASE WHEN (seq + t) % 3 = 2
-             |       THEN [CAST((seq + t + j) % 4 AS INT) for j in range(t % 3)]
+             |       THEN to_json([CAST((seq + t + j) % 4 AS INT)
+             |                     for j in range(t % 3)])::VARCHAR
              |       END AS extra_signer_types,
              |  CASE WHEN (seq + t) % 3 = 2
-             |       THEN [sha256('es-' || seq || '-' || t || '-' || j)
-             |             for j in range(t % 3)]
+             |       THEN to_json([sha256('es-' || seq || '-' || t || '-' || j)
+             |                     for j in range(t % 3)])::VARCHAR
              |       END AS extra_signer_keys_hex,
              |  CASE WHEN (seq + t) % 3 = 2
-             |       THEN [CASE WHEN (seq + t + j) % 4 = 3 THEN
+             |       THEN to_json([CASE WHEN (seq + t + j) % 4 = 3 THEN
              |               lower(hex(encode('pl-' || seq || '-' || t || '-' || j)))
-             |             END for j in range(t % 3)]
+             |             END for j in range(t % 3)])::VARCHAR
              |       END AS extra_signer_payloads_hex,
              |  CASE WHEN t % 4 = 1 THEN 500 + t END AS fee_bump_fee,
              |  CASE WHEN t % 4 = 1 THEN sha256('fb-' || seq || '-' || t)
@@ -1908,12 +1919,16 @@ object QueryCatalog {
               "memo_hash_hex", "precond_type", "time_bound_min",
               "time_bound_max", "ledger_bound_min", "ledger_bound_max",
               "min_seq_num", "min_seq_age", "min_seq_ledger_gap",
-              "extra_signer_types", "extra_signer_keys_hex",
-              "extra_signer_payloads_hex",
               "fee_bump_fee", "fee_bump_source_hex",
               "soroban_fee_nonrefundable", "soroban_fee_refundable",
               "soroban_fee_rent")
-              .map(f => col(s"tx.$f").as(f)): _*)
+              .map(f => col(s"tx.$f").as(f)) ++
+            // LIST cells are unsortable by the gate's pandas comparator;
+            // compare arrays via their JSON rendering (p15 pattern) —
+            // DuckDB to_json matches Spark's byte-for-byte
+            Seq("extra_signer_types", "extra_signer_keys_hex",
+              "extra_signer_payloads_hex")
+              .map(f => to_json(col(s"tx.$f")).as(f)): _*)
           .orderBy("sequence", "tx_order")),
 
     Q("src_archive_range_scan",

@@ -355,9 +355,10 @@ object Dedup {
     *
     * Scale shape: one equi-join shuffle per iteration, O(component
     * diameter) iterations — near-dup clusters are short-diameter (near-
-    * cliques), so 3-5 rounds in practice; `maxIter` bounds adversarial
-    * chains (a large-star/small-star alternation would cut worst-case
-    * rounds to O(log n) if ever needed). Each materialized round chains
+    * cliques), so 3-5 rounds in practice, which makes this the DEFAULT;
+    * `maxIter` bounds adversarial chains, for which
+    * [[dupClustersAlternating]] is the O(log n)-round escape hatch (see
+    * its scaladoc for the measured crossover). Each materialized round chains
     * TWO propagation hops — min-propagation is monotone, so if the second
     * hop moves nothing the fixpoint is reached regardless of the first,
     * and the convergence check on the second hop alone stays exact. That
@@ -428,6 +429,15 @@ object Dedup {
         s"dupClusters did not converge after $maxIter rounds (2 hops each; " +
           s"$changed labels still moving): component diameter exceeds " +
           "2×maxIter — raise maxIter (rounds ≈ diameter/2)")
+    // materialize the final label table into its own (small: touched
+    // vertices only) persisted RDD, then drop the last round's working
+    // blocks — repeated calls in one session no longer accumulate
+    // per-round caches; only one label table per live result stays cached
+    val labelPlan = labels
+    val labelRdd = labelPlan.rdd.persist(disk)
+    labelRdd.count()
+    if (prevRdd != null) prevRdd.unpersist(false)
+    labels = spark.createDataFrame(labelRdd, labelPlan.schema)
     // stitch the untouched corpus back: docs with no near-dup pair are
     // their own singleton cluster
     docs.select(col(idCol).cast("long").as("v"))
@@ -441,8 +451,20 @@ object Dedup {
     * worst-case O(log n) rounds instead of O(diameter) — the variant for
     * ADVERSARIAL duplicate graphs (scrape chains, boilerplate ladders,
     * template families linked end-to-end) where min-label propagation's
-    * rounds ≈ diameter/2 would dominate wall-clock. Near-clique duplicate
-    * graphs should keep using [[dupClusters]] (fewer shuffles per round).
+    * rounds ≈ diameter/2 would dominate wall-clock.
+    *
+    * CROSSOVER — [[dupClusters]] stays the DEFAULT. Each alternating round
+    * costs more shuffles (two grouped passes + joins + a terminal
+    * distinct vs label-prop's two cheap hop aggregates), so on realistic
+    * near-dup graphs — bushy near-cliques with single-digit diameters,
+    * which is what MinHash/SimHash candidate pairs produce on real
+    * corpora — label propagation wins outright: measured at sf0.1,
+    * 3.23 s (label-prop) vs 4.10 s (alternating), both isolated. Reach
+    * for this variant only when components are plausibly LONG CHAINS
+    * (diameter ≳ 50: linked template families, pairwise-chained scrape
+    * mirrors), where label-prop's round count ≈ diameter/2 explodes while
+    * this converges in ≤ log₂(n)-ish rounds (spec: a 63-diameter path
+    * takes ≤ 10 rounds here vs 32 for label-prop).
     *
     * Each round is two grouped passes over the current edge set, both
     * map-side-combinable aggregations + an equi-join:
@@ -515,8 +537,15 @@ object Dedup {
       throw new IllegalStateException(
         s"dupClustersAlternating did not converge after $maxIter rounds - " +
           "this exceeds the O(log n) bound; raise maxIter")
-    // fixpoint: stars rooted at component minima — edges ARE the labels
-    val labels = edges.select(col("u").as("v"), col("v").as("cluster_id"))
+    // fixpoint: stars rooted at component minima — edges ARE the labels.
+    // Materialize them into their own (small) persisted RDD and drop the
+    // last round's working blocks, so repeated calls in one session don't
+    // accumulate per-round caches (only one label table per live result)
+    val labelPlan = edges.select(col("u").as("v"), col("v").as("cluster_id"))
+    val labelRdd = labelPlan.rdd.persist(disk)
+    labelRdd.count()
+    if (prevRdd != null) prevRdd.unpersist(false)
+    val labels = spark.createDataFrame(labelRdd, labelPlan.schema)
     val out = docs.select(col(idCol).cast("long").as("v"))
       .join(labels, Seq("v"), "left")
       .select(col("v").as(idCol),

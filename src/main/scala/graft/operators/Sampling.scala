@@ -87,21 +87,34 @@ object Sampling {
     stratifiedThresholds(df, idCol, stratumCol, thresholds, thresholdHex(0.0))
   }
 
-  /** [[inverseMixture]]'s scale path: rows shard deterministically
-    * (`id mod shards`, the [[TextAnalysis.packSequences]] law) and the
-    * inverse-frequency law applies WITHIN each shard — per-(shard, stratum)
-    * counts, per-shard min, exact integer thresholds. A uniform id hash
-    * puts ~n_s/shards rows of stratum s in each shard, so the per-shard
-    * keep rate mn_h/n_(s,h) converges to the global mn/n_s while every
-    * count the law touches is bounded by the shard size: size `shards` so
-    * corpus/shards stays under 2^31 and the law never overflows. The
-    * driver-side collect is bounded by strata x shards (a mixture table,
-    * not the corpus); the sample itself stays a map-only filter. */
+  /** Shard assignment for [[inverseMixtureSharded]]: a DIFFERENT slice of
+    * the same sha-256 the keep-key uses (hex chars 9-16, where the keep
+    * key is chars 1-8), parsed as a 32-bit integer mod `shards`. Hashing
+    * — rather than `id mod shards` — makes the shard independent of any
+    * structure in the raw ids (striped or batch-assigned ids would skew
+    * per-(shard, stratum) counts and pull the realized mixture away from
+    * the global mn/n_s law); the disjoint slice keeps it independent of
+    * the keep decision too. DuckDB replays it verbatim:
+    * `('0x' || substr(sha256(id::VARCHAR), 9, 8))::BIGINT % shards`. */
+  def shardKey(id: Column, shards: Int): Column =
+    pmod(conv(substring(sha2(id.cast("string"), 256), 9, 8), 16, 10)
+      .cast("long"), lit(shards.toLong))
+
+  /** [[inverseMixture]]'s scale path: rows shard deterministically on a
+    * uniform id hash ([[shardKey]]) and the inverse-frequency law applies
+    * WITHIN each shard — per-(shard, stratum) counts, per-shard min, exact
+    * integer thresholds. The uniform hash puts ~n_s/shards rows of stratum
+    * s in each shard, so the per-shard keep rate mn_h/n_(s,h) converges to
+    * the global mn/n_s while every count the law touches is bounded by the
+    * shard size: size `shards` so corpus/shards stays under 2^31 and the
+    * law never overflows. The driver-side collect is bounded by strata x
+    * shards (a mixture table, not the corpus); the sample itself stays a
+    * map-only filter. */
   def inverseMixtureSharded(df: DataFrame, idCol: String, stratumCol: String,
       shards: Int, maxCount: Long = MaxExactCount): DataFrame = {
     require(shards > 0, "shards must be positive")
     val withKey = df.withColumn("__smx",
-      concat_ws("|", pmod(col(idCol), lit(shards.toLong)), col(stratumCol)))
+      concat_ws("|", shardKey(col(idCol), shards), col(stratumCol)))
     val counts = withKey.groupBy(col("__smx")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "empty input")

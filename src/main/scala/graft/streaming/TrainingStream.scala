@@ -48,7 +48,14 @@ object TrainingStream {
   }
 
   /** events → sessionize → pack per finalized cohort → parquet shards.
-    * One output dir accumulates `cohort_id`-stamped packed sessions. */
+    * One output dir accumulates `cohort_id`-stamped packed sessions.
+    *
+    * Idempotence: `foreachBatch` is at-least-once, so a micro-batch retried
+    * after a partial write must not duplicate rows. Each cohort lands in
+    * its own `cohort_id=<batchId>` partition via dynamic partition
+    * overwrite — a retry rewrites exactly its own partition and leaves
+    * every other cohort untouched, making the emitted set identical to an
+    * exactly-once run. */
   def sessionPacking(events: DataFrame, userCol: String, tsCol: String,
       gap: String, horizon: String, budget: Long, shards: Int,
       outDir: String, checkpointDir: String): DataStreamWriter[Row] =
@@ -60,7 +67,10 @@ object TrainingStream {
         if (!batch.isEmpty) {
           packCohort(batch, userCol, budget, shards)
             .withColumn("cohort_id", lit(batchId))
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cohort_id")
+            .parquet(outDir)
         }
       }
 }

@@ -301,6 +301,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       single.collect().forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("CC crossover: label-prop wins rounds on bushy graphs, alternating on chains") {
+    import spark.implicits._
+    // bushy shape — what MinHash/SimHash candidate pairs actually produce:
+    // near-cliques around a hub, diameter 2. Label propagation converges
+    // within ONE materialized round (two hops), so the per-round-cheaper
+    // default is the right pick...
+    val bushyDocs = (1L to 40L).toDF("doc_id")
+    val bushyPairs = ((2L to 20L).map(h => (1L, h)) ++
+      (22L to 40L).map(h => (21L, h))).toDF("id_a", "id_b")
+    val bushy = Dedup.dupClusters(bushyDocs, "doc_id",
+        bushyPairs, "id_a", "id_b", maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 20L).forall(bushy(_) == 1L) &&
+      (21L to 40L).forall(bushy(_) == 21L))
+
+    // ...while on a 63-diameter chain label-prop needs 32 rounds — at
+    // maxIter=25 (50 hops) it must refuse rather than return split labels
+    val chainDocs = (1L to 64L).toDF("doc_id")
+    val chainPairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.dupClusters(chainDocs, "doc_id", chainPairs, "id_a", "id_b",
+        maxIter = 25)
+    }
+    // the alternating variant closes the same chain in ≤ 10 rounds
+    val (alt, altRounds) = graft.operators.Dedup.alternatingComponents(
+      chainDocs, "doc_id", chainPairs, "id_a", "id_b", maxIter = 10)
+    assert(altRounds <= 10 &&
+      alt.collect().forall(_.getLong(1) == 1L))
+  }
+
   test("embedding-cosine near-dup: identical and near vectors cluster") {
     import spark.implicits._
     val emb = Seq(
