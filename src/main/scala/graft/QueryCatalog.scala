@@ -1853,7 +1853,7 @@ object QueryCatalog {
              |SELECT seq AS sequence, CAST(t AS INT) AS tx_order,
              |  CAST((seq + t) % 27 AS INT) AS op_type,
              |  CAST(1000000 * (t + 1) AS BIGINT) AS amount,
-             |  CASE WHEN (seq + t) % 27 IN (0, 1)
+             |  CASE WHEN (seq + t) % 27 IN (0, 1, 2, 13)
              |       THEN sha256('dst-' || seq || '-' || t)
              |       END AS op_destination_hex,
              |  CASE WHEN (seq + t) % 27 = 1
@@ -1929,6 +1929,71 @@ object QueryCatalog {
             Seq("extra_signer_types", "extra_signer_keys_hex",
               "extra_signer_payloads_hex")
               .map(f => to_json(col(s"tx.$f")).as(f)): _*)
+          .orderBy("sequence", "tx_order")),
+
+    Q("src_lcm_op_decode",
+      // the four typed Operation.body arms grown past CREATE_ACCOUNT /
+      // PAYMENT: both path-payment arms (envelope bound + RESULT-carried
+      // actual amount — the law the reference's operation details take
+      // from PathPaymentStrict*Result, operation.go:641-697) and both
+      // manage-offer arms (offer id + rational price). DuckDB re-derives
+      // every affine fixture law per (seq, t)
+      Some("""WITH ls AS (SELECT unnest(generate_series(2300, 2499)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
+             |o AS (SELECT seq, t, CAST((seq + t) % 27 AS INT) AS op_type,
+             |             ['XLM','USDC','EURC'] AS codes FROM tx
+             |      WHERE (seq + t) % 27 IN (2, 3, 12, 13))
+             |SELECT seq AS sequence, CAST(t AS INT) AS tx_order, op_type,
+             |  CAST(1000000 * (t + 1) AS BIGINT) AS amount,
+             |  CASE WHEN op_type IN (2, 13)
+             |       THEN sha256('dst-' || seq || '-' || t)
+             |       END AS op_destination_hex,
+             |  CASE WHEN op_type = 2 THEN codes[CAST(seq % 3 + 1 AS INT)]
+             |       WHEN op_type = 13 THEN codes[CAST((seq + 2) % 3 + 1 AS INT)]
+             |       END AS op_send_asset_code,
+             |  CASE WHEN op_type = 2 THEN codes[CAST((seq + 1) % 3 + 1 AS INT)]
+             |       WHEN op_type = 13 THEN codes[CAST(seq % 3 + 1 AS INT)]
+             |       END AS op_dest_asset_code,
+             |  CASE WHEN op_type = 2
+             |       THEN CAST(2000000 * (t + 1) + seq % 97 AS BIGINT)
+             |       END AS op_send_max,
+             |  CASE WHEN op_type = 13
+             |       THEN CAST(800000 * (t + 1) + seq % 89 AS BIGINT)
+             |       END AS op_dest_min,
+             |  CASE WHEN op_type = 2
+             |       THEN CAST(1500000 * (t + 1) + seq % 53 AS BIGINT)
+             |       WHEN op_type = 13
+             |       THEN CAST(900000 * (t + 1) + seq % 59 AS BIGINT)
+             |       END AS op_result_amount,
+             |  CASE WHEN op_type = 3 THEN CAST(seq * 10 + t AS BIGINT)
+             |       WHEN op_type = 12 THEN CAST(seq * 10 + t + 1 AS BIGINT)
+             |       END AS op_offer_id,
+             |  CASE WHEN op_type = 3 THEN codes[CAST(seq % 3 + 1 AS INT)]
+             |       WHEN op_type = 12 THEN codes[CAST((seq + 1) % 3 + 1 AS INT)]
+             |       END AS op_selling_code,
+             |  CASE WHEN op_type = 3 THEN codes[CAST((seq + 2) % 3 + 1 AS INT)]
+             |       WHEN op_type = 12 THEN codes[CAST(seq % 3 + 1 AS INT)]
+             |       END AS op_buying_code,
+             |  CASE WHEN op_type = 3 THEN CAST(seq % 9 + 1 AS INT)
+             |       WHEN op_type = 12 THEN CAST(t % 5 + 1 AS INT)
+             |       END AS op_price_n,
+             |  CASE WHEN op_type = 3 THEN CAST(t % 7 + 1 AS INT)
+             |       WHEN op_type = 12 THEN CAST(seq % 11 + 1 AS INT)
+             |       END AS op_price_d
+             |FROM o ORDER BY sequence, tx_order""".stripMargin),
+      (s, dir) =>
+        s.read.format("graft-lcm").load(lcmFixtureDir)
+          .where(col("sequence").between(2300, 2499))
+          .select(col("sequence"),
+            posexplode(col("transactions")).as(Seq("tx_order", "tx")))
+          .where(col("tx.op_type").isin(2, 3, 12, 13))
+          .select(Seq(col("sequence"), col("tx_order")) ++
+            Seq("op_type", "amount", "op_destination_hex",
+              "op_send_asset_code", "op_dest_asset_code",
+              "op_send_max", "op_dest_min", "op_result_amount",
+              "op_offer_id", "op_selling_code", "op_buying_code",
+              "op_price_n", "op_price_d")
+              .map(f => col(s"tx.$f").as(f)): _*)
           .orderBy("sequence", "tx_order")),
 
     Q("src_archive_range_scan",

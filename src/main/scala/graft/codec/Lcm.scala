@@ -71,6 +71,19 @@ import java.nio.charset.StandardCharsets
   *         opaque destination[32]              //  is startingBalance)
   *       [opType == 1]:  // PAYMENT: destination ‖ asset code
   *         opaque destination[32] ‖ string assetCode<12>
+  *       [opType == 2]:  // PATH_PAYMENT_STRICT_RECEIVE (amount above is
+  *         opaque destination[32]              //  destAmount)
+  *         ‖ string sendAssetCode<12> ‖ string destAssetCode<12>
+  *         ‖ hyper sendMax ‖ hyper resultSendAmount  // result-carried
+  *       [opType == 3]:  // MANAGE_SELL_OFFER (amount above is amount)
+  *         hyper offerId ‖ string selling<12> ‖ string buying<12>
+  *         ‖ int priceN ‖ int priceD
+  *       [opType == 12]: // MANAGE_BUY_OFFER (amount above is buyAmount)
+  *         same layout as 3
+  *       [opType == 13]: // PATH_PAYMENT_STRICT_SEND (amount above is
+  *         opaque destination[32]              //  sendAmount)
+  *         ‖ string sendAssetCode<12> ‖ string destAssetCode<12>
+  *         ‖ hyper destMin ‖ hyper resultDestAmount  // result-carried
   *       // every other type keeps the flat stand-in arm (no extra bytes)
   *     }
   * }}}
@@ -80,8 +93,19 @@ import java.nio.charset.StandardCharsets
   * without decoding them, mirroring the datastore's per-object framing. */
 object Lcm {
 
-  /** `Operation.body` union subset: CREATE_ACCOUNT(0) and PAYMENT(1) carry
-    * typed detail arms; every other type keeps the flat stand-in arm. */
+  /** `Operation.body` union subset: CREATE_ACCOUNT(0), PAYMENT(1),
+    * PATH_PAYMENT_STRICT_RECEIVE(2), MANAGE_SELL_OFFER(3),
+    * MANAGE_BUY_OFFER(12) and PATH_PAYMENT_STRICT_SEND(13) carry typed
+    * detail arms; every other type keeps the flat stand-in arm.
+    *
+    * The path-payment arms carry the RESULT-side actual amount next to the
+    * envelope-side bound, because the reference's operation details take
+    * the traded amounts from `PathPaymentStrictReceiveResult` /
+    * `...StrictSendResult`, not the envelope
+    * (`internal/transform/operation.go:641-697`): strict-receive fixes
+    * destAmount and the result carries what the source actually paid;
+    * strict-send fixes sendAmount and the result carries what the
+    * destination actually received. */
   sealed trait OpDetail
   case object OpGeneric extends OpDetail
   case class OpCreateAccount(destination: Seq[Byte]) extends OpDetail {
@@ -92,6 +116,47 @@ object Lcm {
     require(assetCode.getBytes(StandardCharsets.UTF_8).length <= 12,
       "asset code is string<12>")
   }
+  /** opType 2 — amountStroops is destAmount (fixed receive);
+    * `resultSendAmount` is the result-carried actual source spend,
+    * bounded by `sendMax`. */
+  case class OpPathPaymentStrictReceive(destination: Seq[Byte],
+      sendAssetCode: String, destAssetCode: String,
+      sendMax: Long, resultSendAmount: Long) extends OpDetail {
+    require(destination.size == 32, "destination is opaque[32]")
+    require(sendAssetCode.getBytes(StandardCharsets.UTF_8).length <= 12 &&
+      destAssetCode.getBytes(StandardCharsets.UTF_8).length <= 12,
+      "asset code is string<12>")
+  }
+  /** opType 13 — amountStroops is sendAmount (fixed send); `resultDestAmount`
+    * is the result-carried actual delivered amount, ≥ `destMin`. */
+  case class OpPathPaymentStrictSend(destination: Seq[Byte],
+      sendAssetCode: String, destAssetCode: String,
+      destMin: Long, resultDestAmount: Long) extends OpDetail {
+    require(destination.size == 32, "destination is opaque[32]")
+    require(sendAssetCode.getBytes(StandardCharsets.UTF_8).length <= 12 &&
+      destAssetCode.getBytes(StandardCharsets.UTF_8).length <= 12,
+      "asset code is string<12>")
+  }
+  /** opType 3 (sell: amountStroops is the selling amount) and opType 12
+    * (buy: amountStroops is buyAmount) share the offer layout; price is
+    * the XDR rational (n, d). offerId 0 creates, nonzero updates/deletes. */
+  case class OpManageSellOffer(offerId: Long, sellingCode: String,
+      buyingCode: String, priceN: Int, priceD: Int) extends OpDetail {
+    require(sellingCode.getBytes(StandardCharsets.UTF_8).length <= 12 &&
+      buyingCode.getBytes(StandardCharsets.UTF_8).length <= 12,
+      "asset code is string<12>")
+    require(priceD != 0, "price denominator must be nonzero")
+  }
+  case class OpManageBuyOffer(offerId: Long, sellingCode: String,
+      buyingCode: String, priceN: Int, priceD: Int) extends OpDetail {
+    require(sellingCode.getBytes(StandardCharsets.UTF_8).length <= 12 &&
+      buyingCode.getBytes(StandardCharsets.UTF_8).length <= 12,
+      "asset code is string<12>")
+    require(priceD != 0, "price denominator must be nonzero")
+  }
+
+  /** opType values with a typed detail arm. */
+  val TypedOpTypes: Set[Int] = Set(0, 1, 2, 3, 12, 13)
 
   case class Op(opType: Int, amountStroops: Long, detail: OpDetail = OpGeneric) {
     detail match {
@@ -99,8 +164,16 @@ object Lcm {
         require(opType == 0, "CREATE_ACCOUNT detail requires opType 0")
       case OpPayment(_, _) =>
         require(opType == 1, "PAYMENT detail requires opType 1")
+      case _: OpPathPaymentStrictReceive =>
+        require(opType == 2, "PATH_PAYMENT_STRICT_RECEIVE detail requires opType 2")
+      case _: OpManageSellOffer =>
+        require(opType == 3, "MANAGE_SELL_OFFER detail requires opType 3")
+      case _: OpManageBuyOffer =>
+        require(opType == 12, "MANAGE_BUY_OFFER detail requires opType 12")
+      case _: OpPathPaymentStrictSend =>
+        require(opType == 13, "PATH_PAYMENT_STRICT_SEND detail requires opType 13")
       case OpGeneric =>
-        require(opType != 0 && opType != 1,
+        require(!TypedOpTypes.contains(opType),
           s"opType $opType requires its typed detail arm")
     }
   }
@@ -383,6 +456,30 @@ object Lcm {
           case OpPayment(dst, code) =>
             out.write(dst.toArray)
             writeXdrString(out, code)
+          case OpPathPaymentStrictReceive(dst, sendCode, destCode, sendMax, got) =>
+            out.write(dst.toArray)
+            writeXdrString(out, sendCode)
+            writeXdrString(out, destCode)
+            out.writeLong(sendMax)
+            out.writeLong(got)
+          case OpPathPaymentStrictSend(dst, sendCode, destCode, destMin, got) =>
+            out.write(dst.toArray)
+            writeXdrString(out, sendCode)
+            writeXdrString(out, destCode)
+            out.writeLong(destMin)
+            out.writeLong(got)
+          case OpManageSellOffer(offerId, selling, buying, n, d) =>
+            out.writeLong(offerId)
+            writeXdrString(out, selling)
+            writeXdrString(out, buying)
+            out.writeInt(n)
+            out.writeInt(d)
+          case OpManageBuyOffer(offerId, selling, buying, n, d) =>
+            out.writeLong(offerId)
+            writeXdrString(out, selling)
+            writeXdrString(out, buying)
+            out.writeInt(n)
+            out.writeInt(d)
           case OpGeneric =>
         }
       }
@@ -518,6 +615,14 @@ object Lcm {
         val detail = opType match {
           case 0 => OpCreateAccount(readOpaque32(buf))
           case 1 => OpPayment(readOpaque32(buf), readXdrString(buf))
+          case 2 => OpPathPaymentStrictReceive(readOpaque32(buf),
+            readXdrString(buf), readXdrString(buf), buf.getLong, buf.getLong)
+          case 13 => OpPathPaymentStrictSend(readOpaque32(buf),
+            readXdrString(buf), readXdrString(buf), buf.getLong, buf.getLong)
+          case 3 => OpManageSellOffer(buf.getLong,
+            readXdrString(buf), readXdrString(buf), buf.getInt, buf.getInt)
+          case 12 => OpManageBuyOffer(buf.getLong,
+            readXdrString(buf), readXdrString(buf), buf.getInt, buf.getInt)
           case _ => OpGeneric
         }
         Op(opType, amount, detail)

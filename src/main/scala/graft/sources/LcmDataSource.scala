@@ -53,10 +53,27 @@ object LcmDataSource {
     // null for a zero-op transaction — the wire format permits nOps=0
     StructField("op_type", IntegerType, nullable = true),
     StructField("amount", LongType, nullable = true),
-    // Operation.body union arms: CREATE_ACCOUNT/PAYMENT destination,
-    // PAYMENT asset code — null for the flat stand-in arm
+    // Operation.body union arms: destination for CREATE_ACCOUNT/PAYMENT
+    // and both path-payment arms, PAYMENT asset code — null for the flat
+    // stand-in arm
     StructField("op_destination_hex", StringType, nullable = true),
     StructField("op_asset_code", StringType, nullable = true),
+    // path-payment arms (2 strict-receive / 13 strict-send): asset pair,
+    // envelope-side bound (sendMax / destMin) and the RESULT-carried
+    // actual amount (what the source actually paid / the destination
+    // actually received — the value trades and effects laws consume)
+    StructField("op_send_asset_code", StringType, nullable = true),
+    StructField("op_dest_asset_code", StringType, nullable = true),
+    StructField("op_send_max", LongType, nullable = true),
+    StructField("op_dest_min", LongType, nullable = true),
+    StructField("op_result_amount", LongType, nullable = true),
+    // manage-offer arms (3 sell / 12 buy): offer identity, asset pair and
+    // the XDR rational price
+    StructField("op_offer_id", LongType, nullable = true),
+    StructField("op_selling_code", StringType, nullable = true),
+    StructField("op_buying_code", StringType, nullable = true),
+    StructField("op_price_n", IntegerType, nullable = true),
+    StructField("op_price_d", IntegerType, nullable = true),
     // decoded union arms (Stellar-transaction.x subset): result code,
     // memo, preconditions, fee-bump shell — null when the arm is absent
     StructField("result_code", IntegerType, nullable = false),
@@ -300,17 +317,47 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
               val opDest = op.flatMap(x => x.detail match {
                 case OpCreateAccount(d) => Some(hex(d))
                 case OpPayment(d, _) => Some(hex(d))
-                case OpGeneric => None
+                case p: OpPathPaymentStrictReceive => Some(hex(p.destination))
+                case p: OpPathPaymentStrictSend => Some(hex(p.destination))
+                case _ => None
               }).orNull
               val opAsset = op.flatMap(x => x.detail match {
                 case OpPayment(_, c) => Some(UTF8String.fromString(c): Any)
                 case _ => None
               }).orNull
+              def utf8(s: String): Any = UTF8String.fromString(s)
+              // path-payment columns: (send code, dest code, sendMax,
+              // destMin, result-carried actual amount)
+              val (ppSend, ppDest, ppMax, ppMin, ppGot):
+                  (Any, Any, Any, Any, Any) =
+                op.map(_.detail) match {
+                  case Some(p: OpPathPaymentStrictReceive) =>
+                    (utf8(p.sendAssetCode), utf8(p.destAssetCode),
+                      Long.box(p.sendMax), null, Long.box(p.resultSendAmount))
+                  case Some(p: OpPathPaymentStrictSend) =>
+                    (utf8(p.sendAssetCode), utf8(p.destAssetCode),
+                      null, Long.box(p.destMin), Long.box(p.resultDestAmount))
+                  case _ => (null, null, null, null, null)
+                }
+              // manage-offer columns: (offerId, selling, buying, priceN, priceD)
+              val (offId, offSell, offBuy, offN, offD):
+                  (Any, Any, Any, Any, Any) =
+                op.map(_.detail) match {
+                  case Some(o: OpManageSellOffer) =>
+                    (Long.box(o.offerId), utf8(o.sellingCode),
+                      utf8(o.buyingCode), Int.box(o.priceN), Int.box(o.priceD))
+                  case Some(o: OpManageBuyOffer) =>
+                    (Long.box(o.offerId), utf8(o.sellingCode),
+                      utf8(o.buyingCode), Int.box(o.priceN), Int.box(o.priceD))
+                  case _ => (null, null, null, null, null)
+                }
               rows(i) = new GenericInternalRow(Array[Any](
                 t.feeCharged, t.successful,
                 op.map(x => Int.box(x.opType)).orNull,
                 op.map(x => Long.box(x.amountStroops)).orNull,
                 opDest, opAsset,
+                ppSend, ppDest, ppMax, ppMin, ppGot,
+                offId, offSell, offBuy, offN, offD,
                 t.resultCode,
                 UTF8String.fromString(memoType), memoText, memoId, memoHash,
                 UTF8String.fromString(condType), tMin, tMax, lMin, lMax, minSeq,
@@ -378,7 +425,11 @@ object LcmWriter {
     * fee-bump shell iff t%4==1 (result code then txFEE_BUMP_INNER_SUCCESS),
     * carries memo arm t%5, precondition arm (seq+t)%3 — the V2 arm with
     * age/gap gates and t%3 extraSigners cycling the SignerKey union — and
-    * a soroban fee triple iff (seq+t)%2==0. */
+    * a soroban fee triple iff (seq+t)%2==0. The op is typed by
+    * opType=(seq+t)%27: CREATE_ACCOUNT(0)/PAYMENT(1) destinations,
+    * path-payment arms (2/13) with affine bounds and result-carried actual
+    * amounts, manage-offer arms (3/12) with offer ids and rational prices
+    * (`src_lcm_op_decode` re-derives all of them). */
   def fixtureTxs(seq: Long): Seq[Lcm.Tx] = {
     val nTx = ((seq % 5) + 1).toInt
     (0 until nTx).map { t =>
@@ -424,10 +475,28 @@ object LcmWriter {
           Some(Lcm.SorobanMeta(1000L + seq, 500L + t, seq % 9 + 10L * t))
         else None
       val opType = ((seq + t) % 27).toInt
+      val codes = Seq("XLM", "USDC", "EURC")
       val opDetail = opType match {
         case 0 => Lcm.OpCreateAccount(sha(s"dst-$seq-$t"))
-        case 1 => Lcm.OpPayment(sha(s"dst-$seq-$t"),
-          Seq("XLM", "USDC", "EURC")((seq % 3).toInt))
+        case 1 => Lcm.OpPayment(sha(s"dst-$seq-$t"), codes((seq % 3).toInt))
+        // path arms: envelope bound + result-carried actual amount, both
+        // affine in (seq, t) so the oracle re-derives them exactly
+        case 2 => Lcm.OpPathPaymentStrictReceive(sha(s"dst-$seq-$t"),
+          codes((seq % 3).toInt), codes(((seq + 1) % 3).toInt),
+          sendMax = 2000000L * (t + 1) + seq % 97,
+          resultSendAmount = 1500000L * (t + 1) + seq % 53)
+        case 13 => Lcm.OpPathPaymentStrictSend(sha(s"dst-$seq-$t"),
+          codes(((seq + 2) % 3).toInt), codes((seq % 3).toInt),
+          destMin = 800000L * (t + 1) + seq % 89,
+          resultDestAmount = 900000L * (t + 1) + seq % 59)
+        case 3 => Lcm.OpManageSellOffer(offerId = seq * 10 + t,
+          sellingCode = codes((seq % 3).toInt),
+          buyingCode = codes(((seq + 2) % 3).toInt),
+          priceN = (seq % 9 + 1).toInt, priceD = (t % 7 + 1).toInt)
+        case 12 => Lcm.OpManageBuyOffer(offerId = seq * 10 + t + 1,
+          sellingCode = codes(((seq + 1) % 3).toInt),
+          buyingCode = codes((seq % 3).toInt),
+          priceN = (t % 5 + 1).toInt, priceD = (seq % 11 + 1).toInt)
         case _ => Lcm.OpGeneric
       }
       Lcm.Tx(100L * (t + 1), rc,

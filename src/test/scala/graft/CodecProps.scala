@@ -124,6 +124,9 @@ object CodecProps extends Properties("codec") {
   private val u32: Gen[Long] = Gen.chooseNum(0L, 4294967295L)
   private val nonNeg: Gen[Long] = Gen.chooseNum(0L, Long.MaxValue)
 
+  private val codeGen: Gen[String] =
+    Gen.oneOf("XLM", "USDC", "EURC", "A", "TWELVECHARS1")
+
   private val opGen: Gen[Lcm.Op] = for {
     t <- Gen.chooseNum(0, 26)
     amt <- nonNeg
@@ -131,8 +134,24 @@ object CodecProps extends Properties("codec") {
       case 0 => b32.map(Lcm.OpCreateAccount)
       case 1 => for {
         k <- b32
-        c <- Gen.oneOf("XLM", "USDC", "EURC", "A", "TWELVECHARS1")
+        c <- codeGen
       } yield Lcm.OpPayment(k, c)
+      case 2 => for {
+        k <- b32; s <- codeGen; r <- codeGen; mx <- nonNeg; got <- nonNeg
+      } yield Lcm.OpPathPaymentStrictReceive(k, s, r, mx, got)
+      case 13 => for {
+        k <- b32; s <- codeGen; r <- codeGen; mn <- nonNeg; got <- nonNeg
+      } yield Lcm.OpPathPaymentStrictSend(k, s, r, mn, got)
+      case 3 => for {
+        id <- nonNeg; s <- codeGen; b <- codeGen
+        n <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+        dd <- Gen.chooseNum(1, Int.MaxValue)
+      } yield Lcm.OpManageSellOffer(id, s, b, n, dd)
+      case 12 => for {
+        id <- nonNeg; s <- codeGen; b <- codeGen
+        n <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+        dd <- Gen.chooseNum(1, Int.MaxValue)
+      } yield Lcm.OpManageBuyOffer(id, s, b, n, dd)
       case _ => Gen.const(Lcm.OpGeneric: Lcm.OpDetail)
     }
   } yield Lcm.Op(t, amt, d)

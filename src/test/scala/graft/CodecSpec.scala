@@ -314,6 +314,35 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Op(1, 1L))
     intercept[IllegalArgumentException](Op(5, 1L, OpPayment(dst, "XLM")))
     intercept[IllegalArgumentException](OpPayment(dst, "THIRTEEN-CHARS"))
+
+    // the four arms grown past CREATE_ACCOUNT/PAYMENT: path payments carry
+    // (bound, result-actual) hypers after the asset pair; manage offers
+    // carry offerId ‖ pair ‖ rational price. All roundtrip; wire bytes of
+    // the strict-receive arm pinned (XLM pads to 4, result follows bound)
+    val grownTx = Tx(11L, TxSuccess, Seq(
+      Op(2, 5000000L, OpPathPaymentStrictReceive(dst, "XLM", "USDC",
+        sendMax = 6000000L, resultSendAmount = 5500000L)),
+      Op(13, 400L, OpPathPaymentStrictSend(dst, "EURC", "XLM",
+        destMin = 300L, resultDestAmount = 350L)),
+      Op(3, 1234L, OpManageSellOffer(42L, "USDC", "EURC", 7, 9)),
+      Op(12, 4321L, OpManageBuyOffer(0L, "XLM", "USDC", -3, 11))))
+    val grownBytes = encode(Frame(8L, 2L, Seq(grownTx)))
+    assert(decode(grownBytes).txs.head == grownTx)
+    assert(hexStr(grownBytes).contains(
+      "00000002" + "00000000004c4b40" +          // op 2 ‖ destAmount
+        dst.map("%02x".format(_)).mkString +
+        "00000003" + "584c4d00" +                // "XLM" padded
+        "00000004" + "55534443" +                // "USDC"
+        "00000000005b8d80" +                     // sendMax 6000000
+        "000000000053ec60"))                     // resultSendAmount 5500000
+    // typed arms refuse mismatched op types; zero denominators refuse
+    intercept[IllegalArgumentException](Op(2, 1L))
+    intercept[IllegalArgumentException](Op(3, 1L))
+    intercept[IllegalArgumentException](Op(12, 1L))
+    intercept[IllegalArgumentException](Op(13, 1L))
+    intercept[IllegalArgumentException](
+      Op(4, 1L, OpManageSellOffer(1L, "A", "B", 1, 1)))
+    intercept[IllegalArgumentException](OpManageSellOffer(1L, "A", "B", 1, 0))
     // header-only decode positions the buffer at the tx count
     val buf = java.nio.ByteBuffer.wrap(bytes)
     assert(Lcm.decodeHeader(buf) == ((2048L, 1700000000000L)))
@@ -330,14 +359,14 @@ class CodecSpec extends AnyFunSuite {
     val fbSrc = Seq.tabulate(32)(i => (128 + i).toByte)
 
     // memo TEXT padding: "hi" → len 2 ‖ 6869 ‖ 2-byte zero pad (4-aligned)
-    val memoTx = Tx(7L, TxSuccess, Seq(Op(2, 5L)), memo = MemoText("hi"))
+    val memoTx = Tx(7L, TxSuccess, Seq(Op(4, 5L)), memo = MemoText("hi"))
     val memoBytes = encode(Frame(9L, 0L, Seq(memoTx)))
     assert(hexStr(memoBytes).contains("00000001" + "00000002" + "68690000"))
 
     // every memo arm roundtrips
     Seq(MemoNone, MemoText("m-2048-1"), MemoId(32769L), MemoHash(h3),
         MemoReturn(h4)).foreach { m =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(2, 1L)), memo = m)
+      val tx = Tx(10L, TxSuccess, Seq(Op(4, 1L)), memo = m)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.memo == m)
     }
 
@@ -349,7 +378,7 @@ class CodecSpec extends AnyFunSuite {
         PrecondV2(None, Some(LedgerBounds(0L, 4294967295L)), None),
         PrecondV2(Some(TimeBounds(5L, 6L)), Some(LedgerBounds(10L, 20L)),
           Some(7L))).foreach { c =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(2, 1L)), cond = c)
+      val tx = Tx(10L, TxSuccess, Seq(Op(4, 1L)), cond = c)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.cond == c)
     }
 
@@ -357,12 +386,12 @@ class CodecSpec extends AnyFunSuite {
     // the FULL enum, txFEE_BUMP_INNER_SUCCESS(1) .. txSOROBAN_INVALID(-17)
     (TxResultCodeMin to TxResultCodeMax).foreach { rc =>
       val tx = decode(encode(Frame(5L, 1L,
-        Seq(Tx(10L, rc, Seq(Op(2, 1L))))))).txs.head
+        Seq(Tx(10L, rc, Seq(Op(4, 1L))))))).txs.head
       assert(tx.resultCode == rc && tx.successful == (rc >= 0))
     }
     // out-of-enum codes are rejected on both sides
     intercept[IllegalArgumentException] {
-      encode(Frame(5L, 1L, Seq(Tx(10L, -18, Seq(Op(2, 1L))))))
+      encode(Frame(5L, 1L, Seq(Tx(10L, -18, Seq(Op(4, 1L))))))
     }
 
     // PreconditionsV2 long tail: age/gap gates + every SignerKey arm
@@ -380,7 +409,7 @@ class CodecSpec extends AnyFunSuite {
       PrecondV2(None, None, None, minSeqAge = Long.MaxValue,
         extraSigners = Seq(SignerEd25519SignedPayload(k2,
           "odd-len-payload".getBytes("UTF-8").toSeq)))).foreach { c =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(2, 1L)), cond = c)
+      val tx = Tx(10L, TxSuccess, Seq(Op(4, 1L)), cond = c)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.cond == c)
     }
     // >2 extra signers violates SignerKey<2>
@@ -391,7 +420,7 @@ class CodecSpec extends AnyFunSuite {
 
     // SorobanTransactionMetaExt fee triple: optional, roundtrips, and its
     // wire form is bool(1) ‖ three hypers
-    val sm = Tx(10L, TxSuccess, Seq(Op(2, 1L)),
+    val sm = Tx(10L, TxSuccess, Seq(Op(4, 1L)),
       sorobanMeta = Some(SorobanMeta(1048L, 512L, 77L)))
     val smBytes = encode(Frame(5L, 1L, Seq(sm)))
     assert(decode(smBytes).txs.head == sm)
@@ -401,7 +430,7 @@ class CodecSpec extends AnyFunSuite {
       .txs.head.sorobanMeta.isEmpty)
 
     // fee-bump shell: envelope discriminant 5, feeSource + fee, roundtrip
-    val fb = Tx(10L, TxFeeBumpInnerSuccess, Seq(Op(2, 1L)),
+    val fb = Tx(10L, TxFeeBumpInnerSuccess, Seq(Op(4, 1L)),
       feeBump = Some(FeeBump(fbSrc, 501L)))
     val fbBytes = encode(Frame(5L, 1L, Seq(fb)))
     assert(hexStr(fbBytes).contains("00000005" + fbSrc.map("%02x".format(_)).mkString
