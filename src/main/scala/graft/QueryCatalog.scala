@@ -2072,20 +2072,37 @@ object QueryCatalog {
           .orderBy("asset_key")
       }),
 
-    Q("fn_opaque_codecs", None,
-      (s, dir) =>
-        T(s, dir, "part").select(
-            col("p_partkey"),
-            GraftFunctions.farmHash64(col("p_name")).as("farmhash64"),
-            GraftFunctions.fnv64a(col("p_name")).as("fnv64a"),
-            GraftFunctions.farmHashAssetId(col("p_brand"), col("p_name"),
+    Q("fn_opaque_codecs",
+      // DuckDB has no farmhash64/fnv64a builtin, so the oracle is a golden
+      // VALUES table derived independently of the engine by
+      // `tools/golden_codecs.py` (pure-python replay of the public
+      // FarmHash/FNV/strkey specs) over a range-derived fixture: ids 0..7
+      // sweep every short-input farmhash branch via "zQ7#xY9w" prefixes,
+      // 8..119 sweep lengths 16..96 (the 17-32 / 33-64 / >64 branches)
+      Some(CodecGolden.oracleSql),
+      (s, dir) => {
+        val name = when(col("id") < 8,
+            expr("substring('zQ7#xY9w', 1, CAST(id AS INT))"))
+          .otherwise(concat(lit("Graft Codec "), col("id"), lit(" "),
+            expr("repeat('zQ7#', CAST(id % 21 AS INT))")))
+        s.range(0, 120).toDF("id")
+          .withColumn("name", name)
+          .select(
+            col("id"),
+            GraftFunctions.farmHash64(col("name")).as("farmhash64"),
+            GraftFunctions.fnv64a(col("name")).as("fnv64a"),
+            GraftFunctions.farmHashAssetId(
+              concat(lit("Brand#"), pmod(col("id"), lit(45))), col("name"),
               lit("credit_alphanum4")).as("asset_id"),
-            GraftFunctions.strkeyAccount(unhex(sha2(col("p_name"), 256))).as("strkey_like"),
-            GraftFunctions.int128String(col("p_partkey"), col("p_size").cast("long"))
-              .as("i128"),
-            TextAnalysis.rollingHash(col("p_name")).as("rolling_hash"),
-            TextAnalysis.subwordCountEstimate(col("p_name")).cast("long").as("n_subwords"))
-          .orderBy("p_partkey"))
+            GraftFunctions.strkeyAccount(unhex(sha2(col("name"), 256)))
+              .as("strkey_like"),
+            GraftFunctions.int128String(col("id") - 60,
+              col("id") * 2654435761L).as("i128"),
+            TextAnalysis.rollingHash(col("name")).as("rolling_hash"),
+            TextAnalysis.subwordCountEstimate(col("name")).cast("long")
+              .as("n_subwords"))
+          .orderBy("id")
+      })
   )
 
   /** P4/P5/P8/P10–P18/J3 — the per-entry-type projections and flat-map

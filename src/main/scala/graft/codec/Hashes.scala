@@ -33,6 +33,23 @@ object Hashes {
 
   def fnv64a(s: String): Long = fnv64a(s.getBytes(StandardCharsets.UTF_8))
 
+  /** Rolling polynomial hash (base 31, wrapping mod 2^64) over the
+    * normalized text: lowercase, whitespace runs collapsed to one space,
+    * trimmed — the document-fingerprint primitive. Wrapping `Long`
+    * arithmetic by construction (a column-level `aggregate` fold would
+    * throw under ANSI mode the moment the polynomial exceeds 2^63). */
+  def rollingHash64(s: String): Long = {
+    val norm = s.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").trim
+    var acc = 0L
+    var i = 0
+    while (i < norm.length) {
+      acc = acc * 31L + norm.charAt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
   def sha256(bytes: Array[Byte]): Array[Byte] =
     java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
 

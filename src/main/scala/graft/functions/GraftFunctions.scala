@@ -111,6 +111,8 @@ object GraftFunctions {
     nativeCol(graft.plans.FarmHash64Expression(exprOf(c)))
   def fnv64a(c: Column): Column =
     nativeCol(graft.plans.Fnv64aExpression(exprOf(c)))
+  def rollingHash64(c: Column): Column =
+    nativeCol(graft.plans.RollingHash64Expression(exprOf(c)))
   def strkeyAccount(c: Column): Column =
     nativeCol(graft.plans.StrkeyAccountExpression(exprOf(c)))
   def hyperplaneBuckets(c: Column, bits: Int, tables: Int): Column =
@@ -261,6 +263,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.udf.register("farm_hash64", (s: String) => Hashes.farmHash64(s))
     spark.udf.register("fnv64a", (s: String) => Hashes.fnv64a(s))
+    spark.udf.register("rolling_hash64", (s: String) => Hashes.rollingHash64(s))
     spark.udf.register("strkey_account", (b: Array[Byte]) => Strkey.encodeAccountId(b))
     spark.udf.register("int128_string", (hi: Long, lo: Long) => Amounts.int128String(hi, lo))
   }

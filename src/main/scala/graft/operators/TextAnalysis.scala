@@ -86,12 +86,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     substring(md5(Dedup.normalized(text)), 1, 16)
 
-  /** Rolling polynomial hash (base 31, mod 2^64) over normalized chars —
-    * intra-row higher-order aggregate; the primitive under rolling-window
-    * near-dup detection. */
+  /** Rolling polynomial hash (base 31, wrapping mod 2^64) over normalized
+    * chars — the primitive under rolling-window near-dup detection. Native
+    * codegen'd expression ([[graft.plans.RollingHash64Expression]]): one
+    * compiled pass with Java wrapping arithmetic; the earlier
+    * split + `aggregate` HOF formulation ran interpreted per character and
+    * threw under ANSI mode once the polynomial exceeded 2^63. */
   def rollingHash(text: Column): Column =
-    aggregate(split(Dedup.normalized(text), ""),
-      lit(0L), (acc, c) => acc * 31L + coalesce(ascii(c).cast("long"), lit(0L)))
+    graft.functions.GraftFunctions.rollingHash64(text)
 
   /** PII patterns for training-data scrubbing, ordered most- to
     * least-specific so the email pass can't eat the bytes an IP or phone

@@ -51,6 +51,23 @@ case class Fnv64aExpression(child: Expression) extends CodecUnaryExpression {
   override def prettyName: String = "fnv64a"
 }
 
+/** Rolling polynomial hash (base 31, wrapping mod 2^64) over normalized
+  * text — the rolling-window near-dup primitive. Native so the per-char
+  * fold wraps like Java `long` instead of tripping ANSI overflow, and so
+  * it runs as one compiled pass instead of a split + interpreted HOF. */
+case class RollingHash64Expression(child: Expression) extends CodecUnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.Hashes.rollingHash64(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.Hashes$$.MODULE$$.rollingHash64($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64Expression =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_hash64"
+}
+
 /** Strkey account-id encoding of a 32-byte ed25519 key (G… address). */
 case class StrkeyAccountExpression(child: Expression) extends CodecUnaryExpression {
   override def dataType: DataType = StringType

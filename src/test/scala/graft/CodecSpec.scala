@@ -120,6 +120,28 @@ class CodecSpec extends AnyFunSuite {
     assert(Hashes.farmHash64("a") != Hashes.farmHash64("b"))
   }
 
+  test("farmhash64 cross-engine vectors (independent python replay)") {
+    // tools/golden_codecs.py — a from-scratch implementation of the public
+    // FarmHash Fingerprint64 spec — must agree with Guava on every length
+    // branch (0-16 via empty, 17-32 via abc... no: 3 hits 0-16; 80 hits >64)
+    assert(Hashes.farmHash64("") == -7286425919675154353L)
+    assert(Hashes.farmHash64("abc") == 2640714258260161385L)
+    assert(Hashes.farmHash64("x" * 80) == -8348814050750645742L)
+  }
+
+  test("rollingHash64: normalization, wrapping fold, replay vectors") {
+    // law: lowercase, collapse whitespace runs, trim, then acc*31 + char
+    // in WRAPPING int64 arithmetic (no ANSI overflow)
+    assert(Hashes.rollingHash64("") == 0L)
+    assert(Hashes.rollingHash64("a") == 97L)
+    assert(Hashes.rollingHash64("A") == 97L)
+    assert(Hashes.rollingHash64("  a\t\n b ") == Hashes.rollingHash64("a b"))
+    // vectors from the independent python replay (tools/golden_codecs.py)
+    assert(Hashes.rollingHash64("Graft  Codec\t 9 ") == -8125586579939303757L)
+    assert(Hashes.rollingHash64("zQ7#xY9w") == 3458437457122L)
+    assert(Hashes.rollingHash64("x" * 40) == -6539604125590443008L)
+  }
+
   test("sha256 hex known vector") {
     assert(Hashes.sha256Hex("abc".getBytes("ASCII")) ==
       "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
