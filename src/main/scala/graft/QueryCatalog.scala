@@ -1842,6 +1842,66 @@ object QueryCatalog {
               .where(col("sequence").between(2100, 2299)))
           .orderBy("sequence")),
 
+    Q("stellar_transactions_from_lcm",
+      // history_transactions composed directly over the wire source: TOIDs,
+      // Go memo-type names + the coalesce memo rendering (id as decimal,
+      // hashes as base64), bounds interval strings, the PreconditionsV2
+      // lattice, fee-bump shell and soroban fee triple — every law
+      // re-derived by DuckDB from the fixture rules
+      Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls)
+             |SELECT (seq << 32) | ((t + 1) << 12) AS id,
+             |  seq AS ledger_sequence,
+             |  CAST(t + 1 AS INT) AS application_order,
+             |  make_timestamp((1700000000000 + seq * 5000) * 1000) AS created_at,
+             |  CAST(100 * (t + 1) AS BIGINT) AS fee_charged,
+             |  t % 3 <> 0 AS successful,
+             |  CAST(CASE WHEN t % 3 = 0 THEN -(1 + (seq + t) % 17)
+             |       WHEN t % 4 = 1 THEN 1
+             |       ELSE 0 END AS INT) AS transaction_result_code,
+             |  ['MemoTypeMemoNone','MemoTypeMemoText','MemoTypeMemoId',
+             |   'MemoTypeMemoHash','MemoTypeMemoReturn'][CAST(t + 1 AS INT)]
+             |    AS memo_type,
+             |  CASE WHEN t = 1 THEN 'm-' || seq || '-' || t
+             |       WHEN t = 2 THEN CAST(seq * 16 + t AS VARCHAR)
+             |       WHEN t = 3 THEN base64(from_hex(sha256('mh-' || seq || '-' || t)))
+             |       WHEN t = 4 THEN base64(from_hex(sha256('mr-' || seq || '-' || t)))
+             |       ELSE '' END AS memo,
+             |  CASE WHEN (seq + t) % 3 = 1
+             |       THEN '[' || (1700000000 + seq) || ',' || (1700003600 + seq + t) || ')'
+             |       WHEN (seq + t) % 3 = 2 AND t % 2 = 0
+             |       THEN '[' || (1700000000 + seq) || ',' || (1700007200 + seq + t) || ')'
+             |       ELSE '' END AS time_bounds,
+             |  CASE WHEN (seq + t) % 3 = 2
+             |       THEN '[' || (seq - 64) || ',' || (seq + 64) || ')'
+             |       ELSE '' END AS ledger_bounds,
+             |  CASE WHEN (seq + t) % 3 = 2 AND t % 3 = 0 THEN seq * 4096 + t
+             |       END AS min_account_sequence,
+             |  CASE WHEN (seq + t) % 3 = 2 THEN (seq % 7) * 100 + t
+             |       END AS min_account_sequence_age,
+             |  CASE WHEN (seq + t) % 3 = 2 THEN (seq + t) % 5
+             |       END AS min_account_sequence_ledger_gap,
+             |  CASE WHEN (seq + t) % 3 = 2
+             |       THEN to_json([sha256('es-' || seq || '-' || t || '-' || j)
+             |                     for j in range(t % 3)])::VARCHAR
+             |       END AS extra_signers,
+             |  t % 4 = 1 AS is_fee_bump,
+             |  CASE WHEN t % 4 = 1 THEN CAST(500 + t AS BIGINT) END AS new_max_fee,
+             |  CASE WHEN t % 4 = 1 THEN sha256('fb-' || seq || '-' || t)
+             |       END AS fee_account_hex,
+             |  CAST(CASE WHEN (seq + t) % 2 = 0 THEN 1000 + seq ELSE 0 END
+             |       AS BIGINT) AS non_refundable_resource_fee_charged,
+             |  CAST(CASE WHEN (seq + t) % 2 = 0 THEN 500 + t ELSE 0 END
+             |       AS BIGINT) AS refundable_resource_fee_charged,
+             |  CAST(CASE WHEN (seq + t) % 2 = 0 THEN seq % 9 + 10 * t ELSE 0 END
+             |       AS BIGINT) AS rent_fee_charged
+             |FROM tx ORDER BY id""".stripMargin),
+      (s, dir) =>
+        StellarTransforms.historyTransactionsFromLcm(
+            s.read.format("graft-lcm").load(lcmFixtureDir)
+              .where(col("sequence").between(2100, 2299)))
+          .orderBy("id")),
+
     Q("src_lcm_tx_decode",
       // the Stellar-transaction.x union arms decoded by the DSv2 source —
       // result codes (signed, fee-bump-inner-success), the five memo arms,

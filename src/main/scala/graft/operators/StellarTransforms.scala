@@ -88,6 +88,63 @@ object StellarTransforms {
       col("soroban_fee_write1000").as("soroban_fee_write_1kb"),
       col("bucket_list_size_bytes").as("total_byte_size_of_bucket_list"))
 
+  /** P2 straight off the LCM wire source (`graft-lcm` DSv2): the
+    * `history_transactions` columns derivable from the decoded
+    * Stellar-transaction.x union arms alone — TOID ids, memo demux to the
+    * Go type names with the coalesce rendering law, the time/ledger bounds
+    * interval strings (MaxTime==0 blanked, `transaction.go`), the
+    * PreconditionsV2 lattice (min seq num/age/gap + extraSigners rendered
+    * as a JSON hex-key list), the fee-bump shell, and the Soroban fee
+    * triple. Columns the wire subset does not carry (tx hash, source
+    * account, envelope/result/meta base64, signers, max_fee) are omitted
+    * rather than faked — same contract as [[historyLedgersFromLcm]]. The
+    * reference's pipeline feeds every history table from exactly this
+    * substrate (`internal/input/transactions.go:23-71`). Sequence-range
+    * predicates push down to `.lcmb` file pruning through the explode
+    * (ExplainAudit-asserted). */
+  def historyTransactionsFromLcm(lcm: DataFrame): DataFrame = {
+    val exploded = lcm.select(
+      col("sequence"), col("closed_at"),
+      posexplode(col("transactions")).as(Seq("pos", "tx")))
+    def bounds(minC: String, maxC: String, blankZeroMax: Boolean): Column =
+      when(col(minC).isNull && col(maxC).isNull, lit(""))
+        .otherwise(GraftFunctions.intervalString(
+          col(minC),
+          if (blankZeroMax)
+            when(col(maxC) === 0L, lit(null).cast("long")).otherwise(col(maxC))
+          else col(maxC)))
+    exploded.select(
+      transactionToid(col("sequence"), col("pos") + 1).as("id"),
+      col("sequence").as("ledger_sequence"),
+      (col("pos") + 1).cast("int").as("application_order"),
+      col("closed_at").as("created_at"),
+      col("tx.fee_charged").as("fee_charged"),
+      col("tx.successful").as("successful"),
+      col("tx.result_code").as("transaction_result_code"),
+      element_at(memoTypeName, col("tx.memo_type")).as("memo_type"),
+      coalesce(
+        col("tx.memo_text"),
+        col("tx.memo_id").cast("string"),
+        base64NoWrap(unhex(col("tx.memo_hash_hex"))),
+        lit("")).as("memo"),
+      bounds("tx.time_bound_min", "tx.time_bound_max", blankZeroMax = true)
+        .as("time_bounds"),
+      bounds("tx.ledger_bound_min", "tx.ledger_bound_max",
+        blankZeroMax = false).as("ledger_bounds"),
+      col("tx.min_seq_num").as("min_account_sequence"),
+      col("tx.min_seq_age").as("min_account_sequence_age"),
+      col("tx.min_seq_ledger_gap").as("min_account_sequence_ledger_gap"),
+      to_json(col("tx.extra_signer_keys_hex")).as("extra_signers"),
+      col("tx.fee_bump_fee").isNotNull.as("is_fee_bump"),
+      col("tx.fee_bump_fee").as("new_max_fee"),
+      col("tx.fee_bump_source_hex").as("fee_account_hex"),
+      coalesce(col("tx.soroban_fee_nonrefundable"), lit(0L))
+        .as("non_refundable_resource_fee_charged"),
+      coalesce(col("tx.soroban_fee_refundable"), lit(0L))
+        .as("refundable_resource_fee_charged"),
+      coalesce(col("tx.soroban_fee_rent"), lit(0L)).as("rent_fee_charged"))
+  }
+
   /** P2 — `history_transactions`: explode + memo demux, bounds intervals,
     * muxed addresses, TOID ids, and the Soroban fee decomposition
     * (`transaction.go:131-191`): inclusion fee bid = envelope fee − resource

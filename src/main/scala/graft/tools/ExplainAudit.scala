@@ -86,6 +86,15 @@ object ExplainAudit {
       // sequence packing: one shuffle on the shard + per-shard running sum
       ("x_pack_sequences", Seq("Window "),
         Seq("SortMergeJoin", "BroadcastNestedLoopJoin")),
+      // history_transactions over the wire source: the sequence-range
+      // predicate must reach the DSv2 scan (file-name pruning) THROUGH the
+      // tx explode, and the whole transform is map-only — no exchange
+      // (the LcmScan consumes the range in pushFilters, so the proof is the
+      // ABSENCE of any residual post-scan range filter in the plan)
+      ("stellar_transactions_from_lcm",
+        Seq("Generate posexplode", "BatchScan graft-lcm"),
+        Seq(">= 2100", "<= 2299",
+          "Exchange hashpartitioning", "SortMergeJoin")),
       // composed curation pipeline: dedup survivor via partial min (map-side
       // combinable), the sample is a filter (no extra shuffle), packing's
       // window is the only sort — never a nested-loop join anywhere
