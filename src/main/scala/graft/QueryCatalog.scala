@@ -1546,21 +1546,71 @@ object QueryCatalog {
 
     Q("x_curation_pipeline",
       // the training-corpus curation path COMPOSED end-to-end: token-count
-      // gate -> exact dedup (min-id survivor per content hash) -> 50%
-      // deterministic hash sample -> sequence packing. Every stage's law
-      // is exact (integer compares, sha-256 thresholds, integer pack
-      // division), so DuckDB replays the entire pipeline as one CTE chain
+      // gate -> exact dedup (min-id survivor per content hash) -> MinHash
+      // LSH near-dup removal (drop any doc with a smaller near-duplicate,
+      // jaccard >= 0.5 on verified band candidates) -> PII redaction (the
+      // packing consumes REDACTED token counts) -> 50% deterministic hash
+      // sample -> sequence packing. Every stage's law is exact (integer
+      // compares, sha-256 thresholds and signatures, RE2-compatible regex,
+      // integer pack division), so DuckDB replays the entire pipeline as
+      // one CTE chain
       Some("""WITH t AS (
              |  SELECT doc_id, text,
              |         len(list_filter(string_split_regex(text, '\s+'),
-             |           x -> x <> '')) AS n_tokens
+             |           x -> x <> '')) AS n_raw
              |  FROM documents),
-             |f AS (SELECT * FROM t WHERE n_tokens >= 5),
+             |f AS (SELECT doc_id, text FROM t WHERE n_raw >= 5),
              |d AS (SELECT sha256(text) AS h, min(doc_id) AS doc_id
              |      FROM f GROUP BY 1),
-             |s AS (SELECT f.doc_id, f.n_tokens
-             |      FROM f JOIN d ON f.doc_id = d.doc_id
-             |      WHERE substr(sha256(CAST(f.doc_id AS VARCHAR)), 1, 8)
+             |e AS (SELECT f.doc_id, f.text FROM f JOIN d ON f.doc_id = d.doc_id),
+             |dn AS (SELECT doc_id,
+             |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+             |       FROM e),
+             |w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM dn),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words) < 3
+             |          THEN [array_to_string(words, ' ')]
+             |          ELSE list_transform(range(1, CAST(len(words)-1 AS INTEGER)),
+             |                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+             |          END) AS sh FROM w),
+             |sig AS (SELECT doc_id,
+             |         list_transform(range(0, 16), s ->
+             |           list_min(list_transform(sh, x ->
+             |             (CAST(concat('0x', substr(sha256(x || ':' || s), 1, 8))
+             |                AS BIGINT) & 2147483647) * 4294967296
+             |             + CAST(concat('0x', substr(sha256(x || ':' || s), 9, 8))
+             |                AS BIGINT)))) AS sig
+             |        FROM sh),
+             |band AS (SELECT doc_id, r.b AS b,
+             |           sig[CAST(r.b*2+1 AS INTEGER)] AS h1,
+             |           sig[CAST(r.b*2+2 AS INTEGER)] AS h2
+             |         FROM sig CROSS JOIN range(0, 8) r(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             |         FROM band a JOIN band c USING (b, h1, h2)
+             |         WHERE a.doc_id < c.doc_id),
+             |v AS (SELECT id_a, id_b,
+             |        len(list_intersect(sa.sh, sb.sh)) AS inter,
+             |        len(sa.sh) AS la, len(sb.sh) AS lb
+             |      FROM cand
+             |      JOIN sh sa ON sa.doc_id = id_a
+             |      JOIN sh sb ON sb.doc_id = id_b),
+             |dropped AS (SELECT DISTINCT id_b AS doc_id FROM v
+             |            WHERE CASE WHEN la + lb - inter = 0 THEN 1.0
+             |                  ELSE inter / (la + lb - inter) END >= 0.5),
+             |n AS (SELECT e.doc_id, e.text FROM e
+             |      WHERE e.doc_id NOT IN (SELECT doc_id FROM dropped)),
+             |r2 AS (SELECT doc_id,
+             |        regexp_replace(regexp_replace(regexp_replace(text,
+             |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |          '<EMAIL>', 'g'),
+             |          '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+             |          '\+\d{1,3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS rtext
+             |       FROM n),
+             |tok AS (SELECT doc_id,
+             |         len(list_filter(string_split_regex(rtext, '\s+'),
+             |           x -> x <> '')) AS n_tokens
+             |        FROM r2),
+             |s AS (SELECT doc_id, n_tokens FROM tok
+             |      WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)
              |            < '80000000'),
              |c AS (SELECT doc_id, doc_id % 4 AS shard, n_tokens,
              |        sum(n_tokens) OVER (PARTITION BY doc_id % 4
@@ -1574,12 +1624,23 @@ object QueryCatalog {
              |FROM c ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val docs = T(s, dir, "documents").select(col("doc_id"), col("text"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
-        val gated = docs.where(col("n_tok") >= 5)
-        val survivors = gated.join(
-          Dedup.exact(gated.select("doc_id", "text"), "text", "doc_id")
-            .select("doc_id"), "doc_id")
-        val sampled = Sampling.uniform(survivors, "doc_id", 0.5)
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_raw"))
+        val gated = docs.where(col("n_raw") >= 5).select("doc_id", "text")
+        val exactSurv = gated.join(
+          Dedup.exact(gated, "text", "doc_id").select("doc_id"), "doc_id")
+        // drop any doc with a SMALLER verified near-duplicate; the drop set
+        // is bounded by the near-dup count, so it rides in as a broadcast
+        val dropIds = Dedup.minHashLsh(exactSurv, "text", "doc_id",
+            shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        val nearSurv = exactSurv.join(broadcast(dropIds), Seq("doc_id"),
+          "left_anti")
+        // PII scrub before packing: budgets are computed over the text that
+        // actually ships, not the raw bytes
+        val scrubbed = nearSurv.select(col("doc_id"),
+          TextAnalysis.tokenCount(TextAnalysis.redactPii(col("text")))
+            .cast("long").as("n_tok"))
+        val sampled = Sampling.uniform(scrubbed, "doc_id", 0.5)
         TextAnalysis.packSequences(
             sampled.select(col("doc_id"), col("n_tok")),
             "doc_id", "n_tok", budget = 256L, shards = 4)
