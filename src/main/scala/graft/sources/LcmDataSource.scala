@@ -138,7 +138,8 @@ class LcmTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-lcm:$path"
   override def schema(): StructType = LcmDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LcmScanBuilder(path)
 }
@@ -152,7 +153,16 @@ class LcmScanBuilder(path: String) extends ScanBuilder
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    this.requiredSchema = requiredSchema
+    // TOP-LEVEL pruning only: dropping `transactions` entirely skips the
+    // whole tx decode, but a NESTED-pruned element struct would misalign
+    // the reader's fixed TxSchema field offsets (Catalyst prunes nested
+    // fields under e.g. count-over-explode), so the full struct is
+    // restored whenever the array survives
+    this.requiredSchema = StructType(requiredSchema.fields.map {
+      case f if f.name == "transactions" =>
+        f.copy(dataType = ArrayType(LcmDataSource.TxSchema, containsNull = false))
+      case f => f
+    })
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -212,6 +222,11 @@ class LcmScan(path: String, requiredSchema: StructType, lo: Long, hi: Long)
   override def createReaderFactory(): PartitionReaderFactory =
     new LcmReaderFactory(requiredSchema, lo, hi,
       new SerializableHadoopConf(hadoopConf))
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LcmMicroBatchStream(path, requiredSchema, lo, hi,
+      new SerializableHadoopConf(hadoopConf))
 }
 
 case class LcmInputPartition(file: String) extends InputPartition
@@ -222,6 +237,89 @@ class LcmReaderFactory(requiredSchema: StructType, lo: Long, hi: Long,
     new LcmPartitionReader(
       partition.asInstanceOf[LcmInputPartition].file, requiredSchema, lo, hi,
       conf)
+}
+
+/** Streaming offset = the highest ledger sequence fully ingested. The batch
+  * layout is an append-only ledger stream (`{start}-{end}.lcmb`, disjoint
+  * contiguous ranges), so one monotone sequence watermark identifies every
+  * committed frame — the same cursor the reference's unbounded export keeps
+  * (`cmd/export_ledger_entry_changes.go:72-89`, end=0 mode). */
+case class LcmOffset(endSeq: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"endSeq":$endSeq}"""
+}
+
+object LcmOffset {
+  private val JsonRe = """\{"endSeq":(-?\d+)\}""".r
+  def fromJson(json: String): LcmOffset = json match {
+    case JsonRe(v) => LcmOffset(v.toLong)
+    case _ => throw new IllegalArgumentException(s"bad LcmOffset json: $json")
+  }
+}
+
+/** Micro-batch stream over the `.lcmb` batch-file layout: new files arriving
+  * in the directory are new ledgers. `latestOffset` is a driver-side listing
+  * (file names only — no bytes read); each planned batch covers the ledger
+  * range `(start, end]`, and the per-partition reader re-clamps to that
+  * range so a file spanning a batch boundary never duplicates frames across
+  * retries or restarts. Pushdown bounds from the batch scan (`lo`/`hi`)
+  * compose: a bounded stream over a sequence window is just `.where` on
+  * `sequence`, same as batch. */
+class LcmMicroBatchStream(path: String, requiredSchema: StructType,
+    lo: Long, hi: Long, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val floor = if (lo == Long.MinValue) -1L else lo - 1
+
+  private def listRanges(): Seq[(String, (Long, Long))] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    val files =
+      if (fs.exists(dir)) fs.listStatus(dir).toSeq.filter(_.isFile)
+      else Seq.empty
+    files.flatMap(f =>
+      LcmDataSource.rangeOf(f.getPath.getName)
+        .map(r => (f.getPath.toString, r)))
+  }
+
+  override def initialOffset(): Offset = LcmOffset(floor)
+
+  override def latestOffset(): Offset = {
+    val ends = listRanges().map(_._2._2).filter(_ >= floor)
+    LcmOffset(if (ends.isEmpty) floor else math.min(ends.max, hi) max floor)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LcmOffset].endSeq
+    val e = end.asInstanceOf[LcmOffset].endSeq
+    listRanges()
+      .filter { case (_, (fs0, fe)) => fe > s && fs0 <= e }
+      .sortBy(_._2._1)
+      .map { case (f, _) =>
+        LcmStreamInputPartition(f, s + 1, e): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LcmStreamReaderFactory(requiredSchema, lo, hi, conf)
+
+  override def deserializeOffset(json: String): Offset = LcmOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class LcmStreamInputPartition(file: String, batchLo: Long, batchHi: Long)
+    extends InputPartition
+
+class LcmStreamReaderFactory(requiredSchema: StructType, lo: Long, hi: Long,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LcmStreamInputPartition]
+    // intersect the micro-batch's ledger range with the pushdown bounds
+    new LcmPartitionReader(p.file, requiredSchema,
+      math.max(p.batchLo, lo), math.min(p.batchHi, hi), conf)
+  }
 }
 
 /** Streams length-prefixed frames; decodes only the required columns. */

@@ -24,6 +24,25 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     d
   }
 
+  test("nested pruning under count-over-explode keeps field offsets aligned") {
+    // Catalyst prunes the transactions ELEMENT struct when no tx field is
+    // consumed (count over explode); the source must restore the full
+    // TxSchema or the reader's fixed field offsets misalign and a Long
+    // lands where a Boolean is read
+    val n = spark.read.format("graft-lcm").load(dir)
+      .where(col("sequence").between(1000, 1009))
+      .select(posexplode(col("transactions")))
+      .count()
+    // nTx per ledger = seq % 5 + 1
+    assert(n == (1000L to 1009L).map(_ % 5 + 1).sum)
+    // single nested field consumed: same pruning pressure, value-correct
+    val fees = spark.read.format("graft-lcm").load(dir)
+      .where(col("sequence") === 1001)
+      .select(explode(col("transactions")).as("tx"))
+      .select(col("tx.fee_charged")).collect().map(_.getLong(0)).sorted
+    assert(fees.toSeq == (1 to 2).map(_ * 100L))
+  }
+
   test("history archive: checkpoint math and category paths match the layout") {
     import graft.sources.HistoryArchive._
     // checkpoints close at seq ≡ 63 (mod 64) (`utils/main.go:808-827`)

@@ -203,6 +203,74 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       packed.collect().map(_.toSeq).toSet)
   }
 
+  test("wire-source streaming: .lcmb batch files arriving mid-stream, batch parity") {
+    // the unbounded export (end=0 mode) off the REAL wire format: new
+    // batch files in the directory are new ledgers; the micro-batch
+    // offset is the highest fully-ingested sequence
+    val dir = Files.createTempDirectory("graft-lcm-stream").toString
+    val out = Files.createTempDirectory("graft-lcm-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-lcm-stream-ckpt").toString
+    graft.sources.LcmWriter.writeFixture(dir, 3000, 3063)
+
+    val stream = spark.readStream.format("graft-lcm").load(dir)
+    assert(stream.isStreaming)
+    // the wire->history_transactions transform is map-only, so it runs
+    // unchanged on the stream
+    val q = graft.operators.StellarTransforms
+      .historyTransactionsFromLcm(stream)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .start()
+    q.processAllAvailable()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0)
+
+    // two more batch files land mid-stream (new filenames, later ranges)
+    graft.sources.LcmWriter.writeFixture(dir, 3064, 3191)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(out)
+    val batch = graft.operators.StellarTransforms.historyTransactionsFromLcm(
+      spark.read.format("graft-lcm").load(dir))
+    // parity with the batch path over the same directory, no duplicates
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("id").distinct().count() == streamed.count())
+    assert(streamed.collect().map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet)
+
+    // restart on the same checkpoint with no new files: no re-ingestion
+    val q2 = graft.operators.StellarTransforms
+      .historyTransactionsFromLcm(
+        spark.readStream.format("graft-lcm").load(dir))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(out).count() == batch.count())
+  }
+
+  test("wire-source streaming respects pushdown bounds through the stream") {
+    // a bounded stream over a sequence window: .where on sequence reaches
+    // the stream's reader clamp, same as the batch scan's file pruning
+    val dir = Files.createTempDirectory("graft-lcm-stream-b").toString
+    val out = Files.createTempDirectory("graft-lcm-stream-b-out").toString
+    val ckpt = Files.createTempDirectory("graft-lcm-stream-b-ckpt").toString
+    graft.sources.LcmWriter.writeFixture(dir, 3200, 3327)
+
+    val q = spark.readStream.format("graft-lcm").load(dir)
+      .where(col("sequence").between(3210, 3220))
+      .select(col("sequence"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val seqs = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+    assert(seqs.toSeq == (3210L to 3220L))
+  }
+
   test("windowed counts produce an event-time tumbling aggregation (batch mode)") {
     import spark.implicits._
     val df = Seq(
