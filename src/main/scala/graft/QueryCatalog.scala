@@ -1974,11 +1974,13 @@ object QueryCatalog {
              |SELECT seq AS sequence, CAST(t AS INT) AS tx_order,
              |  CAST((seq + t) % 27 AS INT) AS op_type,
              |  CAST(1000000 * (t + 1) AS BIGINT) AS amount,
-             |  CASE WHEN (seq + t) % 27 IN (0, 1, 2, 13)
+             |  CASE WHEN (seq + t) % 27 IN (0, 1, 2, 8, 13)
              |       THEN sha256('dst-' || seq || '-' || t)
              |       END AS op_destination_hex,
              |  CASE WHEN (seq + t) % 27 = 1
              |       THEN ['XLM','USDC','EURC'][CAST(seq % 3 + 1 AS INT)]
+             |       WHEN (seq + t) % 27 = 6
+             |       THEN ['XLM','USDC','EURC'][CAST((seq + t) % 3 + 1 AS INT)]
              |       END AS op_asset_code,
              |  CAST(CASE WHEN t % 3 = 0 THEN -(1 + (seq + t) % 17)
              |       WHEN t % 4 = 1 THEN 1
@@ -2053,22 +2055,26 @@ object QueryCatalog {
           .orderBy("sequence", "tx_order")),
 
     Q("src_lcm_op_decode",
-      // the four typed Operation.body arms grown past CREATE_ACCOUNT /
+      // the nine typed Operation.body arms grown past CREATE_ACCOUNT /
       // PAYMENT: both path-payment arms (envelope bound + RESULT-carried
       // actual amount — the law the reference's operation details take
-      // from PathPaymentStrict*Result, operation.go:641-697) and both
-      // manage-offer arms (offer id + rational price). DuckDB re-derives
-      // every affine fixture law per (seq, t)
+      // from PathPaymentStrict*Result, operation.go:641-697), the three
+      // offer arms (3/12 with offer ids, passive 4 without), CHANGE_TRUST
+      // limits, ACCOUNT_MERGE destinations, MANAGE_DATA name + optional
+      // value, and BUMP_SEQUENCE targets. DuckDB re-derives every affine
+      // fixture law per (seq, t)
       Some("""WITH ls AS (SELECT unnest(generate_series(2300, 2499)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
              |o AS (SELECT seq, t, CAST((seq + t) % 27 AS INT) AS op_type,
              |             ['XLM','USDC','EURC'] AS codes FROM tx
-             |      WHERE (seq + t) % 27 IN (2, 3, 12, 13))
+             |      WHERE (seq + t) % 27 IN (2, 3, 4, 6, 8, 10, 11, 12, 13))
              |SELECT seq AS sequence, CAST(t AS INT) AS tx_order, op_type,
              |  CAST(1000000 * (t + 1) AS BIGINT) AS amount,
-             |  CASE WHEN op_type IN (2, 13)
+             |  CASE WHEN op_type IN (2, 8, 13)
              |       THEN sha256('dst-' || seq || '-' || t)
              |       END AS op_destination_hex,
+             |  CASE WHEN op_type = 6 THEN codes[CAST((seq + t) % 3 + 1 AS INT)]
+             |       END AS op_asset_code,
              |  CASE WHEN op_type = 2 THEN codes[CAST(seq % 3 + 1 AS INT)]
              |       WHEN op_type = 13 THEN codes[CAST((seq + 2) % 3 + 1 AS INT)]
              |       END AS op_send_asset_code,
@@ -2089,31 +2095,46 @@ object QueryCatalog {
              |  CASE WHEN op_type = 3 THEN CAST(seq * 10 + t AS BIGINT)
              |       WHEN op_type = 12 THEN CAST(seq * 10 + t + 1 AS BIGINT)
              |       END AS op_offer_id,
-             |  CASE WHEN op_type = 3 THEN codes[CAST(seq % 3 + 1 AS INT)]
+             |  CASE WHEN op_type IN (3, 4) THEN codes[CAST(seq % 3 + 1 AS INT)]
              |       WHEN op_type = 12 THEN codes[CAST((seq + 1) % 3 + 1 AS INT)]
              |       END AS op_selling_code,
              |  CASE WHEN op_type = 3 THEN codes[CAST((seq + 2) % 3 + 1 AS INT)]
+             |       WHEN op_type = 4 THEN codes[CAST((seq + 1) % 3 + 1 AS INT)]
              |       WHEN op_type = 12 THEN codes[CAST(seq % 3 + 1 AS INT)]
              |       END AS op_buying_code,
              |  CASE WHEN op_type = 3 THEN CAST(seq % 9 + 1 AS INT)
+             |       WHEN op_type = 4 THEN CAST(t % 9 + 1 AS INT)
              |       WHEN op_type = 12 THEN CAST(t % 5 + 1 AS INT)
              |       END AS op_price_n,
              |  CASE WHEN op_type = 3 THEN CAST(t % 7 + 1 AS INT)
+             |       WHEN op_type = 4 THEN CAST(seq % 13 + 1 AS INT)
              |       WHEN op_type = 12 THEN CAST(seq % 11 + 1 AS INT)
-             |       END AS op_price_d
+             |       END AS op_price_d,
+             |  CASE WHEN op_type = 6
+             |       THEN CAST(5000000 * (t + 1) + seq % 101 AS BIGINT)
+             |       END AS op_limit,
+             |  CASE WHEN op_type = 10
+             |       THEN 'cfg-' || (seq % 19) || '-' || t
+             |       END AS op_data_name,
+             |  CASE WHEN op_type = 10 AND (seq + t) % 3 <> 0
+             |       THEN lower(hex(encode('val-' || seq || '-' || t)))
+             |       END AS op_data_value_hex,
+             |  CASE WHEN op_type = 11 THEN CAST(seq * 8 + t + 7 AS BIGINT)
+             |       END AS op_bump_to
              |FROM o ORDER BY sequence, tx_order""".stripMargin),
       (s, dir) =>
         s.read.format("graft-lcm").load(lcmFixtureDir)
           .where(col("sequence").between(2300, 2499))
           .select(col("sequence"),
             posexplode(col("transactions")).as(Seq("tx_order", "tx")))
-          .where(col("tx.op_type").isin(2, 3, 12, 13))
+          .where(col("tx.op_type").isin(2, 3, 4, 6, 8, 10, 11, 12, 13))
           .select(Seq(col("sequence"), col("tx_order")) ++
-            Seq("op_type", "amount", "op_destination_hex",
+            Seq("op_type", "amount", "op_destination_hex", "op_asset_code",
               "op_send_asset_code", "op_dest_asset_code",
               "op_send_max", "op_dest_min", "op_result_amount",
               "op_offer_id", "op_selling_code", "op_buying_code",
-              "op_price_n", "op_price_d")
+              "op_price_n", "op_price_d", "op_limit", "op_data_name",
+              "op_data_value_hex", "op_bump_to")
               .map(f => col(s"tx.$f").as(f)): _*)
           .orderBy("sequence", "tx_order")),
 

@@ -84,6 +84,16 @@ import java.nio.charset.StandardCharsets
   *         opaque destination[32]              //  sendAmount)
   *         ‖ string sendAssetCode<12> ‖ string destAssetCode<12>
   *         ‖ hyper destMin ‖ hyper resultDestAmount  // result-carried
+  *       [opType == 4]:  // CREATE_PASSIVE_SELL_OFFER: offer layout, no id
+  *         string selling<12> ‖ string buying<12> ‖ int priceN ‖ int priceD
+  *       [opType == 6]:  // CHANGE_TRUST
+  *         string assetCode<12> ‖ hyper limit
+  *       [opType == 8]:  // ACCOUNT_MERGE
+  *         opaque destination[32]
+  *       [opType == 10]: // MANAGE_DATA: optional value deletes when absent
+  *         string name<64> ‖ bool hasValue ‖ [opaque value<64>]
+  *       [opType == 11]: // BUMP_SEQUENCE
+  *         hyper bumpTo
   *       // every other type keeps the flat stand-in arm (no extra bytes)
   *     }
   * }}}
@@ -95,8 +105,10 @@ object Lcm {
 
   /** `Operation.body` union subset: CREATE_ACCOUNT(0), PAYMENT(1),
     * PATH_PAYMENT_STRICT_RECEIVE(2), MANAGE_SELL_OFFER(3),
-    * MANAGE_BUY_OFFER(12) and PATH_PAYMENT_STRICT_SEND(13) carry typed
-    * detail arms; every other type keeps the flat stand-in arm.
+    * CREATE_PASSIVE_SELL_OFFER(4), CHANGE_TRUST(6), ACCOUNT_MERGE(8),
+    * MANAGE_DATA(10), BUMP_SEQUENCE(11), MANAGE_BUY_OFFER(12) and
+    * PATH_PAYMENT_STRICT_SEND(13) carry typed detail arms; every other
+    * type keeps the flat stand-in arm.
     *
     * The path-payment arms carry the RESULT-side actual amount next to the
     * envelope-side bound, because the reference's operation details take
@@ -154,9 +166,42 @@ object Lcm {
       "asset code is string<12>")
     require(priceD != 0, "price denominator must be nonzero")
   }
+  /** opType 4 — the sell-offer layout WITHOUT an offer id (passive offers
+    * only ever create; they never cross an existing offer at equal price,
+    * `Stellar-transaction.x CreatePassiveSellOfferOp`). */
+  case class OpCreatePassiveSellOffer(sellingCode: String, buyingCode: String,
+      priceN: Int, priceD: Int) extends OpDetail {
+    require(sellingCode.getBytes(StandardCharsets.UTF_8).length <= 12 &&
+      buyingCode.getBytes(StandardCharsets.UTF_8).length <= 12,
+      "asset code is string<12>")
+    require(priceD != 0, "price denominator must be nonzero")
+  }
+  /** opType 6 — CHANGE_TRUST: asset + trust limit (limit 0 deletes the
+    * trustline, `operation.go` change_trust details). */
+  case class OpChangeTrust(assetCode: String, limit: Long) extends OpDetail {
+    require(assetCode.getBytes(StandardCharsets.UTF_8).length <= 12,
+      "asset code is string<12>")
+  }
+  /** opType 8 — ACCOUNT_MERGE: the op body IS the destination account
+    * (`Stellar-transaction.x` merges carry no other field; the stand-in
+    * amount keeps the flat law). */
+  case class OpAccountMerge(destination: Seq[Byte]) extends OpDetail {
+    require(destination.size == 32, "destination is opaque[32]")
+  }
+  /** opType 10 — MANAGE_DATA: name string<64> + optional value opaque<64>
+    * (an absent value deletes the data entry). */
+  case class OpManageData(name: String, value: Option[Seq[Byte]])
+      extends OpDetail {
+    require(name.getBytes(StandardCharsets.UTF_8).length <= 64,
+      "data name is string<64>")
+    require(value.forall(_.size <= 64), "data value is opaque<64>")
+  }
+  /** opType 11 — BUMP_SEQUENCE: the target sequence number (SequenceNumber
+    * = int64). */
+  case class OpBumpSequence(bumpTo: Long) extends OpDetail
 
   /** opType values with a typed detail arm. */
-  val TypedOpTypes: Set[Int] = Set(0, 1, 2, 3, 12, 13)
+  val TypedOpTypes: Set[Int] = Set(0, 1, 2, 3, 4, 6, 8, 10, 11, 12, 13)
 
   case class Op(opType: Int, amountStroops: Long, detail: OpDetail = OpGeneric) {
     detail match {
@@ -172,6 +217,16 @@ object Lcm {
         require(opType == 12, "MANAGE_BUY_OFFER detail requires opType 12")
       case _: OpPathPaymentStrictSend =>
         require(opType == 13, "PATH_PAYMENT_STRICT_SEND detail requires opType 13")
+      case _: OpCreatePassiveSellOffer =>
+        require(opType == 4, "CREATE_PASSIVE_SELL_OFFER detail requires opType 4")
+      case _: OpChangeTrust =>
+        require(opType == 6, "CHANGE_TRUST detail requires opType 6")
+      case _: OpAccountMerge =>
+        require(opType == 8, "ACCOUNT_MERGE detail requires opType 8")
+      case _: OpManageData =>
+        require(opType == 10, "MANAGE_DATA detail requires opType 10")
+      case _: OpBumpSequence =>
+        require(opType == 11, "BUMP_SEQUENCE detail requires opType 11")
       case OpGeneric =>
         require(!TypedOpTypes.contains(opType),
           s"opType $opType requires its typed detail arm")
@@ -480,6 +535,26 @@ object Lcm {
             writeXdrString(out, buying)
             out.writeInt(n)
             out.writeInt(d)
+          case OpCreatePassiveSellOffer(selling, buying, n, d) =>
+            writeXdrString(out, selling)
+            writeXdrString(out, buying)
+            out.writeInt(n)
+            out.writeInt(d)
+          case OpChangeTrust(asset, limit) =>
+            writeXdrString(out, asset)
+            out.writeLong(limit)
+          case OpAccountMerge(dst) =>
+            out.write(dst.toArray)
+          case OpManageData(name, value) =>
+            writeXdrString(out, name)
+            out.writeInt(if (value.isDefined) 1 else 0)
+            value.foreach { v =>
+              out.writeInt(v.size)
+              out.write(v.toArray)
+              (0 until ((4 - v.size % 4) % 4)).foreach(_ => out.writeByte(0))
+            }
+          case OpBumpSequence(bumpTo) =>
+            out.writeLong(bumpTo)
           case OpGeneric =>
         }
       }
@@ -623,6 +698,22 @@ object Lcm {
             readXdrString(buf), readXdrString(buf), buf.getInt, buf.getInt)
           case 12 => OpManageBuyOffer(buf.getLong,
             readXdrString(buf), readXdrString(buf), buf.getInt, buf.getInt)
+          case 4 => OpCreatePassiveSellOffer(
+            readXdrString(buf), readXdrString(buf), buf.getInt, buf.getInt)
+          case 6 => OpChangeTrust(readXdrString(buf), buf.getLong)
+          case 8 => OpAccountMerge(readOpaque32(buf))
+          case 10 =>
+            val name = readXdrString(buf)
+            val value =
+              if (buf.getInt == 1) {
+                val len = buf.getInt
+                val b = new Array[Byte](len)
+                buf.get(b)
+                buf.position(buf.position() + ((4 - len % 4) % 4))
+                Some(b.toSeq)
+              } else None
+            OpManageData(name, value)
+          case 11 => OpBumpSequence(buf.getLong)
           case _ => OpGeneric
         }
         Op(opType, amount, detail)

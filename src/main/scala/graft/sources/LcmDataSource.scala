@@ -67,13 +67,19 @@ object LcmDataSource {
     StructField("op_send_max", LongType, nullable = true),
     StructField("op_dest_min", LongType, nullable = true),
     StructField("op_result_amount", LongType, nullable = true),
-    // manage-offer arms (3 sell / 12 buy): offer identity, asset pair and
-    // the XDR rational price
+    // manage-offer arms (3 sell / 12 buy / 4 passive-sell, which has no
+    // offer id): offer identity, asset pair and the XDR rational price
     StructField("op_offer_id", LongType, nullable = true),
     StructField("op_selling_code", StringType, nullable = true),
     StructField("op_buying_code", StringType, nullable = true),
     StructField("op_price_n", IntegerType, nullable = true),
     StructField("op_price_d", IntegerType, nullable = true),
+    // CHANGE_TRUST(6) limit (asset rides in op_asset_code); MANAGE_DATA(10)
+    // name + optional value (null value = entry deletion); BUMP_SEQUENCE(11)
+    StructField("op_limit", LongType, nullable = true),
+    StructField("op_data_name", StringType, nullable = true),
+    StructField("op_data_value_hex", StringType, nullable = true),
+    StructField("op_bump_to", LongType, nullable = true),
     // decoded union arms (Stellar-transaction.x subset): result code,
     // memo, preconditions, fee-bump shell — null when the arm is absent
     StructField("result_code", IntegerType, nullable = false),
@@ -417,10 +423,13 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                 case OpPayment(d, _) => Some(hex(d))
                 case p: OpPathPaymentStrictReceive => Some(hex(p.destination))
                 case p: OpPathPaymentStrictSend => Some(hex(p.destination))
+                case m: OpAccountMerge => Some(hex(m.destination))
                 case _ => None
               }).orNull
               val opAsset = op.flatMap(x => x.detail match {
                 case OpPayment(_, c) => Some(UTF8String.fromString(c): Any)
+                case ct: OpChangeTrust =>
+                  Some(UTF8String.fromString(ct.assetCode): Any)
                 case _ => None
               }).orNull
               def utf8(s: String): Any = UTF8String.fromString(s)
@@ -447,7 +456,22 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                   case Some(o: OpManageBuyOffer) =>
                     (Long.box(o.offerId), utf8(o.sellingCode),
                       utf8(o.buyingCode), Int.box(o.priceN), Int.box(o.priceD))
+                  case Some(o: OpCreatePassiveSellOffer) =>
+                    // passive offers have no id — the column stays null
+                    (null, utf8(o.sellingCode), utf8(o.buyingCode),
+                      Int.box(o.priceN), Int.box(o.priceD))
                   case _ => (null, null, null, null, null)
+                }
+              // change-trust limit / manage-data name+value / bump target
+              val (ctLimit, mdName, mdValue, bumpTo): (Any, Any, Any, Any) =
+                op.map(_.detail) match {
+                  case Some(ct: OpChangeTrust) =>
+                    (Long.box(ct.limit), null, null, null)
+                  case Some(md: OpManageData) =>
+                    (null, utf8(md.name), md.value.map(hex).orNull, null)
+                  case Some(b: OpBumpSequence) =>
+                    (null, null, null, Long.box(b.bumpTo))
+                  case _ => (null, null, null, null)
                 }
               rows(i) = new GenericInternalRow(Array[Any](
                 t.feeCharged, t.successful,
@@ -456,6 +480,7 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                 opDest, opAsset,
                 ppSend, ppDest, ppMax, ppMin, ppGot,
                 offId, offSell, offBuy, offN, offD,
+                ctLimit, mdName, mdValue, bumpTo,
                 t.resultCode,
                 UTF8String.fromString(memoType), memoText, memoId, memoHash,
                 UTF8String.fromString(condType), tMin, tMax, lMin, lMax, minSeq,
@@ -524,10 +549,13 @@ object LcmWriter {
     * carries memo arm t%5, precondition arm (seq+t)%3 — the V2 arm with
     * age/gap gates and t%3 extraSigners cycling the SignerKey union — and
     * a soroban fee triple iff (seq+t)%2==0. The op is typed by
-    * opType=(seq+t)%27: CREATE_ACCOUNT(0)/PAYMENT(1) destinations,
-    * path-payment arms (2/13) with affine bounds and result-carried actual
-    * amounts, manage-offer arms (3/12) with offer ids and rational prices
-    * (`src_lcm_op_decode` re-derives all of them). */
+    * opType=(seq+t)%27: CREATE_ACCOUNT(0)/PAYMENT(1)/ACCOUNT_MERGE(8)
+    * destinations, path-payment arms (2/13) with affine bounds and
+    * result-carried actual amounts, offer arms (3/12 with offer ids, 4
+    * without) with rational prices, CHANGE_TRUST(6) limits,
+    * MANAGE_DATA(10) name + value-present-iff-(seq+t)%3≠0, and
+    * BUMP_SEQUENCE(11) targets (`src_lcm_op_decode` re-derives all of
+    * them). */
   def fixtureTxs(seq: Long): Seq[Lcm.Tx] = {
     val nTx = ((seq % 5) + 1).toInt
     (0 until nTx).map { t =>
@@ -595,6 +623,18 @@ object LcmWriter {
           sellingCode = codes(((seq + 1) % 3).toInt),
           buyingCode = codes((seq % 3).toInt),
           priceN = (t % 5 + 1).toInt, priceD = (seq % 11 + 1).toInt)
+        case 4 => Lcm.OpCreatePassiveSellOffer(
+          sellingCode = codes((seq % 3).toInt),
+          buyingCode = codes(((seq + 1) % 3).toInt),
+          priceN = (t % 9 + 1).toInt, priceD = (seq % 13 + 1).toInt)
+        case 6 => Lcm.OpChangeTrust(codes(((seq + t) % 3).toInt),
+          limit = 5000000L * (t + 1) + seq % 101)
+        case 8 => Lcm.OpAccountMerge(sha(s"dst-$seq-$t"))
+        case 10 => Lcm.OpManageData(s"cfg-${seq % 19}-$t",
+          if ((seq + t) % 3 != 0)
+            Some(s"val-$seq-$t".getBytes("UTF-8").toSeq)
+          else None)
+        case 11 => Lcm.OpBumpSequence(seq * 8 + t + 7)
         case _ => Lcm.OpGeneric
       }
       Lcm.Tx(100L * (t + 1), rc,

@@ -152,6 +152,23 @@ object CodecProps extends Properties("codec") {
         n <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
         dd <- Gen.chooseNum(1, Int.MaxValue)
       } yield Lcm.OpManageBuyOffer(id, s, b, n, dd)
+      case 4 => for {
+        s <- codeGen; b <- codeGen
+        n <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+        dd <- Gen.chooseNum(1, Int.MaxValue)
+      } yield Lcm.OpCreatePassiveSellOffer(s, b, n, dd)
+      case 6 => for {
+        c <- codeGen; lim <- nonNeg
+      } yield Lcm.OpChangeTrust(c, lim)
+      case 8 => b32.map(Lcm.OpAccountMerge)
+      case 10 => for {
+        nameLen <- Gen.chooseNum(0, 64)
+        name <- Gen.stringOfN(nameLen, Gen.alphaNumChar)
+        value <- Gen.option(Gen.chooseNum(0, 64)
+          .flatMap(n => Gen.containerOfN[Seq, Byte](n, byteGen)))
+      } yield Lcm.OpManageData(name, value)
+      case 11 => Gen.chooseNum(Long.MinValue, Long.MaxValue)
+        .map(Lcm.OpBumpSequence)
       case _ => Gen.const(Lcm.OpGeneric: Lcm.OpDetail)
     }
   } yield Lcm.Op(t, amt, d)

@@ -122,8 +122,9 @@ class CodecSpec extends AnyFunSuite {
 
   test("farmhash64 cross-engine vectors (independent python replay)") {
     // tools/golden_codecs.py — a from-scratch implementation of the public
-    // FarmHash Fingerprint64 spec — must agree with Guava on every length
-    // branch (0-16 via empty, 17-32 via abc... no: 3 hits 0-16; 80 hits >64)
+    // FarmHash Fingerprint64 spec — must agree with Guava; the 0-16 branch
+    // via "" and "abc", the >64 branch via an 80-char input (the golden
+    // VALUES fixture sweeps 17-32 and 33-64 as well)
     assert(Hashes.farmHash64("") == -7286425919675154353L)
     assert(Hashes.farmHash64("abc") == 2640714258260161385L)
     assert(Hashes.farmHash64("x" * 80) == -8348814050750645742L)
@@ -325,7 +326,7 @@ class CodecSpec extends AnyFunSuite {
     val opsTx = Tx(10L, TxSuccess, Seq(
       Op(0, 50000000L, OpCreateAccount(dst)),
       Op(1, 777L, OpPayment(dst, "USDC")),
-      Op(6, 3L)))
+      Op(7, 3L)))
     val opsBytes = encode(Frame(7L, 1L, Seq(opsTx)))
     assert(decode(opsBytes).txs.head == opsTx)
     assert(hexStr(opsBytes).contains(
@@ -358,13 +359,30 @@ class CodecSpec extends AnyFunSuite {
         "00000000005b8d80" +                     // sendMax 6000000
         "000000000053ec60"))                     // resultSendAmount 5500000
     // typed arms refuse mismatched op types; zero denominators refuse
-    intercept[IllegalArgumentException](Op(2, 1L))
-    intercept[IllegalArgumentException](Op(3, 1L))
-    intercept[IllegalArgumentException](Op(12, 1L))
-    intercept[IllegalArgumentException](Op(13, 1L))
+    Seq(2, 3, 4, 6, 8, 10, 11, 12, 13).foreach(t =>
+      intercept[IllegalArgumentException](Op(t, 1L)))
     intercept[IllegalArgumentException](
-      Op(4, 1L, OpManageSellOffer(1L, "A", "B", 1, 1)))
+      Op(5, 1L, OpManageSellOffer(1L, "A", "B", 1, 1)))
     intercept[IllegalArgumentException](OpManageSellOffer(1L, "A", "B", 1, 0))
+
+    // the five single-field arms (passive offer, change trust, merge,
+    // manage data with both value arms, bump sequence) all roundtrip
+    val smallArmsTx = Tx(12L, TxSuccess, Seq(
+      Op(4, 77L, OpCreatePassiveSellOffer("XLM", "USDC", 3, 5)),
+      Op(6, 0L, OpChangeTrust("EURC", 9000000L)),
+      Op(8, 0L, OpAccountMerge(dst)),
+      Op(10, 0L, OpManageData("cfg-a", Some(Seq[Byte](1, 2, 3)))),
+      Op(10, 0L, OpManageData("cfg-del", None)),
+      Op(11, 0L, OpBumpSequence(123456789L))))
+    val smallArmsBytes = encode(Frame(9L, 3L, Seq(smallArmsTx)))
+    assert(decode(smallArmsBytes).txs.head == smallArmsTx)
+    // MANAGE_DATA wire: name ‖ bool ‖ opaque<64> padded to 4
+    assert(hexStr(smallArmsBytes).contains(
+      "00000005" + "6366672d61000000" +          // "cfg-a" padded
+        "00000001" + "00000003" + "01020300"))   // present ‖ len ‖ padded
+    intercept[IllegalArgumentException](OpManageData("x" * 65, None))
+    intercept[IllegalArgumentException](
+      OpManageData("n", Some(Seq.fill[Byte](65)(1))))
     // header-only decode positions the buffer at the tx count
     val buf = java.nio.ByteBuffer.wrap(bytes)
     assert(Lcm.decodeHeader(buf) == ((2048L, 1700000000000L)))
@@ -381,14 +399,14 @@ class CodecSpec extends AnyFunSuite {
     val fbSrc = Seq.tabulate(32)(i => (128 + i).toByte)
 
     // memo TEXT padding: "hi" → len 2 ‖ 6869 ‖ 2-byte zero pad (4-aligned)
-    val memoTx = Tx(7L, TxSuccess, Seq(Op(4, 5L)), memo = MemoText("hi"))
+    val memoTx = Tx(7L, TxSuccess, Seq(Op(5, 5L)), memo = MemoText("hi"))
     val memoBytes = encode(Frame(9L, 0L, Seq(memoTx)))
     assert(hexStr(memoBytes).contains("00000001" + "00000002" + "68690000"))
 
     // every memo arm roundtrips
     Seq(MemoNone, MemoText("m-2048-1"), MemoId(32769L), MemoHash(h3),
         MemoReturn(h4)).foreach { m =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(4, 1L)), memo = m)
+      val tx = Tx(10L, TxSuccess, Seq(Op(5, 1L)), memo = m)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.memo == m)
     }
 
@@ -400,7 +418,7 @@ class CodecSpec extends AnyFunSuite {
         PrecondV2(None, Some(LedgerBounds(0L, 4294967295L)), None),
         PrecondV2(Some(TimeBounds(5L, 6L)), Some(LedgerBounds(10L, 20L)),
           Some(7L))).foreach { c =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(4, 1L)), cond = c)
+      val tx = Tx(10L, TxSuccess, Seq(Op(5, 1L)), cond = c)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.cond == c)
     }
 
@@ -408,12 +426,12 @@ class CodecSpec extends AnyFunSuite {
     // the FULL enum, txFEE_BUMP_INNER_SUCCESS(1) .. txSOROBAN_INVALID(-17)
     (TxResultCodeMin to TxResultCodeMax).foreach { rc =>
       val tx = decode(encode(Frame(5L, 1L,
-        Seq(Tx(10L, rc, Seq(Op(4, 1L))))))).txs.head
+        Seq(Tx(10L, rc, Seq(Op(5, 1L))))))).txs.head
       assert(tx.resultCode == rc && tx.successful == (rc >= 0))
     }
     // out-of-enum codes are rejected on both sides
     intercept[IllegalArgumentException] {
-      encode(Frame(5L, 1L, Seq(Tx(10L, -18, Seq(Op(4, 1L))))))
+      encode(Frame(5L, 1L, Seq(Tx(10L, -18, Seq(Op(5, 1L))))))
     }
 
     // PreconditionsV2 long tail: age/gap gates + every SignerKey arm
@@ -431,7 +449,7 @@ class CodecSpec extends AnyFunSuite {
       PrecondV2(None, None, None, minSeqAge = Long.MaxValue,
         extraSigners = Seq(SignerEd25519SignedPayload(k2,
           "odd-len-payload".getBytes("UTF-8").toSeq)))).foreach { c =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(4, 1L)), cond = c)
+      val tx = Tx(10L, TxSuccess, Seq(Op(5, 1L)), cond = c)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.cond == c)
     }
     // >2 extra signers violates SignerKey<2>
@@ -442,7 +460,7 @@ class CodecSpec extends AnyFunSuite {
 
     // SorobanTransactionMetaExt fee triple: optional, roundtrips, and its
     // wire form is bool(1) ‖ three hypers
-    val sm = Tx(10L, TxSuccess, Seq(Op(4, 1L)),
+    val sm = Tx(10L, TxSuccess, Seq(Op(5, 1L)),
       sorobanMeta = Some(SorobanMeta(1048L, 512L, 77L)))
     val smBytes = encode(Frame(5L, 1L, Seq(sm)))
     assert(decode(smBytes).txs.head == sm)
@@ -452,7 +470,7 @@ class CodecSpec extends AnyFunSuite {
       .txs.head.sorobanMeta.isEmpty)
 
     // fee-bump shell: envelope discriminant 5, feeSource + fee, roundtrip
-    val fb = Tx(10L, TxFeeBumpInnerSuccess, Seq(Op(4, 1L)),
+    val fb = Tx(10L, TxFeeBumpInnerSuccess, Seq(Op(5, 1L)),
       feeBump = Some(FeeBump(fbSrc, 501L)))
     val fbBytes = encode(Frame(5L, 1L, Seq(fb)))
     assert(hexStr(fbBytes).contains("00000005" + fbSrc.map("%02x".format(_)).mkString
