@@ -1963,6 +1963,99 @@ object QueryCatalog {
               .where(col("sequence").between(2100, 2299)))
           .orderBy("id")),
 
+    Q("stellar_operations_from_lcm",
+      // history_operations composed over the wire source at op grain:
+      // op TOIDs (op-index+1), the 27-way type-name map, the float64
+      // rational price, and every typed detail column — untyped arms
+      // surface nulls, DuckDB re-derives all laws per (seq, t)
+      Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
+             |o AS (SELECT seq, t, CAST((seq + t) % 27 AS INT) AS op_type,
+             |             ['XLM','USDC','EURC'] AS codes FROM tx)
+             |SELECT ((seq << 32) | ((t + 1) << 12)) | 1 AS id,
+             |  (seq << 32) | ((t + 1) << 12) AS transaction_id,
+             |  seq AS ledger_sequence,
+             |  CAST(1 AS INT) AS application_order,
+             |  op_type AS type,
+             |  ['create_account','payment','path_payment_strict_receive',
+             |   'manage_sell_offer','create_passive_sell_offer','set_options',
+             |   'change_trust','allow_trust','account_merge','inflation',
+             |   'manage_data','bump_sequence','manage_buy_offer',
+             |   'path_payment_strict_send','create_claimable_balance',
+             |   'claim_claimable_balance','begin_sponsoring_future_reserves',
+             |   'end_sponsoring_future_reserves','revoke_sponsorship',
+             |   'clawback','clawback_claimable_balance','set_trust_line_flags',
+             |   'liquidity_pool_deposit','liquidity_pool_withdraw',
+             |   'invoke_host_function','extend_footprint_ttl',
+             |   'restore_footprint'][op_type + 1] AS type_string,
+             |  t % 3 <> 0 AS transaction_successful,
+             |  CAST(1000000 * (t + 1) AS BIGINT) AS amount,
+             |  CASE WHEN op_type IN (0, 1, 2, 8, 13)
+             |       THEN sha256('dst-' || seq || '-' || t)
+             |       END AS destination_hex,
+             |  CASE WHEN op_type = 1 THEN codes[CAST(seq % 3 + 1 AS INT)]
+             |       WHEN op_type = 6 THEN codes[CAST((seq + t) % 3 + 1 AS INT)]
+             |       END AS asset_code,
+             |  CASE WHEN op_type = 2 THEN codes[CAST(seq % 3 + 1 AS INT)]
+             |       WHEN op_type = 13 THEN codes[CAST((seq + 2) % 3 + 1 AS INT)]
+             |       END AS send_asset_code,
+             |  CASE WHEN op_type = 2 THEN codes[CAST((seq + 1) % 3 + 1 AS INT)]
+             |       WHEN op_type = 13 THEN codes[CAST(seq % 3 + 1 AS INT)]
+             |       END AS dest_asset_code,
+             |  CASE WHEN op_type = 2
+             |       THEN CAST(2000000 * (t + 1) + seq % 97 AS BIGINT)
+             |       END AS source_max,
+             |  CASE WHEN op_type = 13
+             |       THEN CAST(800000 * (t + 1) + seq % 89 AS BIGINT)
+             |       END AS destination_min,
+             |  CASE WHEN op_type = 2
+             |       THEN CAST(1500000 * (t + 1) + seq % 53 AS BIGINT)
+             |       WHEN op_type = 13
+             |       THEN CAST(900000 * (t + 1) + seq % 59 AS BIGINT)
+             |       END AS result_amount,
+             |  CASE WHEN op_type = 3 THEN CAST(seq * 10 + t AS BIGINT)
+             |       WHEN op_type = 12 THEN CAST(seq * 10 + t + 1 AS BIGINT)
+             |       END AS offer_id,
+             |  CASE WHEN op_type IN (3, 4) THEN codes[CAST(seq % 3 + 1 AS INT)]
+             |       WHEN op_type = 12 THEN codes[CAST((seq + 1) % 3 + 1 AS INT)]
+             |       END AS selling_asset_code,
+             |  CASE WHEN op_type = 3 THEN codes[CAST((seq + 2) % 3 + 1 AS INT)]
+             |       WHEN op_type = 4 THEN codes[CAST((seq + 1) % 3 + 1 AS INT)]
+             |       WHEN op_type = 12 THEN codes[CAST(seq % 3 + 1 AS INT)]
+             |       END AS buying_asset_code,
+             |  CASE WHEN op_type = 3 THEN CAST(seq % 9 + 1 AS INT)
+             |       WHEN op_type = 4 THEN CAST(t % 9 + 1 AS INT)
+             |       WHEN op_type = 12 THEN CAST(t % 5 + 1 AS INT)
+             |       END AS price_n,
+             |  CASE WHEN op_type = 3 THEN CAST(t % 7 + 1 AS INT)
+             |       WHEN op_type = 4 THEN CAST(seq % 13 + 1 AS INT)
+             |       WHEN op_type = 12 THEN CAST(seq % 11 + 1 AS INT)
+             |       END AS price_d,
+             |  CASE WHEN op_type = 3
+             |       THEN CAST(seq % 9 + 1 AS DOUBLE) / (t % 7 + 1)
+             |       WHEN op_type = 4
+             |       THEN CAST(t % 9 + 1 AS DOUBLE) / (seq % 13 + 1)
+             |       WHEN op_type = 12
+             |       THEN CAST(t % 5 + 1 AS DOUBLE) / (seq % 11 + 1)
+             |       END AS price,
+             |  CASE WHEN op_type = 6
+             |       THEN CAST(5000000 * (t + 1) + seq % 101 AS BIGINT)
+             |       END AS trust_limit,
+             |  CASE WHEN op_type = 10
+             |       THEN 'cfg-' || (seq % 19) || '-' || t
+             |       END AS data_name,
+             |  CASE WHEN op_type = 10 AND (seq + t) % 3 <> 0
+             |       THEN lower(hex(encode('val-' || seq || '-' || t)))
+             |       END AS data_value_hex,
+             |  CASE WHEN op_type = 11 THEN CAST(seq * 8 + t + 7 AS BIGINT)
+             |       END AS bump_to
+             |FROM o ORDER BY id""".stripMargin),
+      (s, dir) =>
+        StellarTransforms.historyOperationsFromLcm(
+            s.read.format("graft-lcm").load(lcmFixtureDir)
+              .where(col("sequence").between(2100, 2299)))
+          .orderBy("id")),
+
     Q("src_lcm_tx_decode",
       // the Stellar-transaction.x union arms decoded by the DSv2 source —
       // result codes (signed, fee-bump-inner-success), the five memo arms,

@@ -145,6 +145,51 @@ object StellarTransforms {
       coalesce(col("tx.soroban_fee_rent"), lit(0L)).as("rent_fee_charged"))
   }
 
+  /** P3 straight off the LCM wire source: the `history_operations` grain
+    * composed on `graft-lcm` — operation TOIDs (op-index+1,
+    * `operation.go:32`), the 27-way type-name map, and the typed detail
+    * columns the wire union carries (destinations, path-payment bounds and
+    * result-carried actuals, offer rationals with the float64 price the
+    * reference renders, trust limits, data entries, bump targets). The
+    * wire's flat tx view carries one op per envelope, so
+    * `application_order` is 1 and zero-op transactions contribute no
+    * operation rows — the same exclusion the reference's op loop makes
+    * (`internal/input/operations.go`). Detail columns for types outside
+    * the typed union surface as null, exactly the sparse-slice shape of
+    * the full P3 wide struct. */
+  def historyOperationsFromLcm(lcm: DataFrame): DataFrame =
+    lcm.select(col("sequence"),
+        posexplode(col("transactions")).as(Seq("pos", "tx")))
+      .where(col("tx.op_type").isNotNull)
+      .select(
+        operationToid(col("sequence"), col("pos") + 1, lit(0L)).as("id"),
+        transactionToid(col("sequence"), col("pos") + 1).as("transaction_id"),
+        col("sequence").as("ledger_sequence"),
+        lit(1).as("application_order"),
+        col("tx.op_type").as("type"),
+        element_at(opTypeNameCol, col("tx.op_type")).as("type_string"),
+        col("tx.successful").as("transaction_successful"),
+        col("tx.amount").as("amount"),
+        col("tx.op_destination_hex").as("destination_hex"),
+        col("tx.op_asset_code").as("asset_code"),
+        col("tx.op_send_asset_code").as("send_asset_code"),
+        col("tx.op_dest_asset_code").as("dest_asset_code"),
+        col("tx.op_send_max").as("source_max"),
+        col("tx.op_dest_min").as("destination_min"),
+        col("tx.op_result_amount").as("result_amount"),
+        col("tx.op_offer_id").as("offer_id"),
+        col("tx.op_selling_code").as("selling_asset_code"),
+        col("tx.op_buying_code").as("buying_asset_code"),
+        col("tx.op_price_n").as("price_n"),
+        col("tx.op_price_d").as("price_d"),
+        when(col("tx.op_price_n").isNotNull,
+          GraftFunctions.priceRatio(col("tx.op_price_n"), col("tx.op_price_d")))
+          .as("price"),
+        col("tx.op_limit").as("trust_limit"),
+        col("tx.op_data_name").as("data_name"),
+        col("tx.op_data_value_hex").as("data_value_hex"),
+        col("tx.op_bump_to").as("bump_to"))
+
   /** P2 — `history_transactions`: explode + memo demux, bounds intervals,
     * muxed addresses, TOID ids, and the Soroban fee decomposition
     * (`transaction.go:131-191`): inclusion fee bid = envelope fee − resource
