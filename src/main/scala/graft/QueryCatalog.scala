@@ -1994,7 +1994,9 @@ object QueryCatalog {
              |       THEN sha256('dst-' || seq || '-' || t)
              |       END AS destination_hex,
              |  CASE WHEN op_type = 1 THEN codes[CAST(seq % 3 + 1 AS INT)]
-             |       WHEN op_type = 6 THEN codes[CAST((seq + t) % 3 + 1 AS INT)]
+             |       WHEN op_type IN (6, 7)
+             |       THEN codes[CAST((seq + t) % 3 + 1 AS INT)]
+             |       WHEN op_type = 19 THEN codes[CAST(seq % 3 + 1 AS INT)]
              |       END AS asset_code,
              |  CASE WHEN op_type = 2 THEN codes[CAST(seq % 3 + 1 AS INT)]
              |       WHEN op_type = 13 THEN codes[CAST((seq + 2) % 3 + 1 AS INT)]
@@ -2048,7 +2050,36 @@ object QueryCatalog {
              |       THEN lower(hex(encode('val-' || seq || '-' || t)))
              |       END AS data_value_hex,
              |  CASE WHEN op_type = 11 THEN CAST(seq * 8 + t + 7 AS BIGINT)
-             |       END AS bump_to
+             |       END AS bump_to,
+             |  CASE WHEN op_type = 5 AND t % 2 = 0
+             |       THEN sha256('inf-' || seq || '-' || t)
+             |       END AS inflation_dest_hex,
+             |  CASE WHEN op_type = 5 AND seq % 2 = 0
+             |       THEN CAST(seq % 16 AS INT) END AS clear_flags,
+             |  CASE WHEN op_type = 5 AND seq % 2 = 1
+             |       THEN CAST((seq + 1) % 16 AS INT) END AS set_flags,
+             |  CASE WHEN op_type = 5 AND t % 3 = 0
+             |       THEN CAST((seq + t) % 256 AS INT) END AS master_key_weight,
+             |  CASE WHEN op_type = 5 AND seq % 3 = 0
+             |       THEN CAST(seq % 255 AS INT) END AS low_threshold,
+             |  CASE WHEN op_type = 5 AND seq % 3 = 0
+             |       THEN CAST((seq + 1) % 255 AS INT) END AS med_threshold,
+             |  CASE WHEN op_type = 5 AND seq % 3 = 0
+             |       THEN CAST((seq + 2) % 255 AS INT) END AS high_threshold,
+             |  CASE WHEN op_type = 5 AND t % 2 = 1
+             |       THEN 'dom-' || (seq % 23) || '.example'
+             |       END AS home_domain,
+             |  CASE WHEN op_type = 5 AND (seq + t) % 2 = 1
+             |       THEN sha256('sg-' || seq || '-' || t)
+             |       END AS signer_key_hex,
+             |  CASE WHEN op_type = 5 AND (seq + t) % 2 = 1
+             |       THEN CAST((seq + t) % 256 AS INT) END AS signer_weight,
+             |  CASE WHEN op_type = 7 THEN sha256('tr-' || seq || '-' || t)
+             |       END AS trustor_hex,
+             |  CASE WHEN op_type = 7 THEN CAST((seq + t) % 3 AS INT)
+             |       END AS authorize,
+             |  CASE WHEN op_type = 19 THEN sha256('cb-' || seq || '-' || t)
+             |       END AS from_hex
              |FROM o ORDER BY id""".stripMargin),
       (s, dir) =>
         StellarTransforms.historyOperationsFromLcm(
@@ -2072,8 +2103,10 @@ object QueryCatalog {
              |       END AS op_destination_hex,
              |  CASE WHEN (seq + t) % 27 = 1
              |       THEN ['XLM','USDC','EURC'][CAST(seq % 3 + 1 AS INT)]
-             |       WHEN (seq + t) % 27 = 6
+             |       WHEN (seq + t) % 27 IN (6, 7)
              |       THEN ['XLM','USDC','EURC'][CAST((seq + t) % 3 + 1 AS INT)]
+             |       WHEN (seq + t) % 27 = 19
+             |       THEN ['XLM','USDC','EURC'][CAST(seq % 3 + 1 AS INT)]
              |       END AS op_asset_code,
              |  CAST(CASE WHEN t % 3 = 0 THEN -(1 + (seq + t) % 17)
              |       WHEN t % 4 = 1 THEN 1
@@ -2148,7 +2181,7 @@ object QueryCatalog {
           .orderBy("sequence", "tx_order")),
 
     Q("src_lcm_op_decode",
-      // the nine typed Operation.body arms grown past CREATE_ACCOUNT /
+      // the twelve typed Operation.body arms grown past CREATE_ACCOUNT /
       // PAYMENT: both path-payment arms (envelope bound + RESULT-carried
       // actual amount — the law the reference's operation details take
       // from PathPaymentStrict*Result, operation.go:641-697), the three
@@ -2160,13 +2193,15 @@ object QueryCatalog {
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
              |o AS (SELECT seq, t, CAST((seq + t) % 27 AS INT) AS op_type,
              |             ['XLM','USDC','EURC'] AS codes FROM tx
-             |      WHERE (seq + t) % 27 IN (2, 3, 4, 6, 8, 10, 11, 12, 13))
+             |      WHERE (seq + t) % 27 IN (2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 19))
              |SELECT seq AS sequence, CAST(t AS INT) AS tx_order, op_type,
              |  CAST(1000000 * (t + 1) AS BIGINT) AS amount,
              |  CASE WHEN op_type IN (2, 8, 13)
              |       THEN sha256('dst-' || seq || '-' || t)
              |       END AS op_destination_hex,
-             |  CASE WHEN op_type = 6 THEN codes[CAST((seq + t) % 3 + 1 AS INT)]
+             |  CASE WHEN op_type IN (6, 7)
+             |       THEN codes[CAST((seq + t) % 3 + 1 AS INT)]
+             |       WHEN op_type = 19 THEN codes[CAST(seq % 3 + 1 AS INT)]
              |       END AS op_asset_code,
              |  CASE WHEN op_type = 2 THEN codes[CAST(seq % 3 + 1 AS INT)]
              |       WHEN op_type = 13 THEN codes[CAST((seq + 2) % 3 + 1 AS INT)]
@@ -2213,21 +2248,55 @@ object QueryCatalog {
              |       THEN lower(hex(encode('val-' || seq || '-' || t)))
              |       END AS op_data_value_hex,
              |  CASE WHEN op_type = 11 THEN CAST(seq * 8 + t + 7 AS BIGINT)
-             |       END AS op_bump_to
+             |       END AS op_bump_to,
+             |  CASE WHEN op_type = 5 AND t % 2 = 0
+             |       THEN sha256('inf-' || seq || '-' || t)
+             |       END AS op_inflation_dest_hex,
+             |  CASE WHEN op_type = 5 AND seq % 2 = 0
+             |       THEN CAST(seq % 16 AS INT) END AS op_clear_flags,
+             |  CASE WHEN op_type = 5 AND seq % 2 = 1
+             |       THEN CAST((seq + 1) % 16 AS INT) END AS op_set_flags,
+             |  CASE WHEN op_type = 5 AND t % 3 = 0
+             |       THEN CAST((seq + t) % 256 AS INT) END AS op_master_weight,
+             |  CASE WHEN op_type = 5 AND seq % 3 = 0
+             |       THEN CAST(seq % 255 AS INT) END AS op_low_threshold,
+             |  CASE WHEN op_type = 5 AND seq % 3 = 0
+             |       THEN CAST((seq + 1) % 255 AS INT) END AS op_med_threshold,
+             |  CASE WHEN op_type = 5 AND seq % 3 = 0
+             |       THEN CAST((seq + 2) % 255 AS INT) END AS op_high_threshold,
+             |  CASE WHEN op_type = 5 AND t % 2 = 1
+             |       THEN 'dom-' || (seq % 23) || '.example'
+             |       END AS op_home_domain,
+             |  CASE WHEN op_type = 5 AND (seq + t) % 2 = 1
+             |       THEN sha256('sg-' || seq || '-' || t)
+             |       END AS op_signer_key_hex,
+             |  CASE WHEN op_type = 5 AND (seq + t) % 2 = 1
+             |       THEN CAST((seq + t) % 256 AS INT) END AS op_signer_weight,
+             |  CASE WHEN op_type = 7 THEN sha256('tr-' || seq || '-' || t)
+             |       END AS op_trustor_hex,
+             |  CASE WHEN op_type = 7 THEN CAST((seq + t) % 3 AS INT)
+             |       END AS op_authorize,
+             |  CASE WHEN op_type = 19 THEN sha256('cb-' || seq || '-' || t)
+             |       END AS op_from_hex
              |FROM o ORDER BY sequence, tx_order""".stripMargin),
       (s, dir) =>
         s.read.format("graft-lcm").load(lcmFixtureDir)
           .where(col("sequence").between(2300, 2499))
           .select(col("sequence"),
             posexplode(col("transactions")).as(Seq("tx_order", "tx")))
-          .where(col("tx.op_type").isin(2, 3, 4, 6, 8, 10, 11, 12, 13))
+          .where(col("tx.op_type").isin(2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 19))
           .select(Seq(col("sequence"), col("tx_order")) ++
             Seq("op_type", "amount", "op_destination_hex", "op_asset_code",
               "op_send_asset_code", "op_dest_asset_code",
               "op_send_max", "op_dest_min", "op_result_amount",
               "op_offer_id", "op_selling_code", "op_buying_code",
               "op_price_n", "op_price_d", "op_limit", "op_data_name",
-              "op_data_value_hex", "op_bump_to")
+              "op_data_value_hex", "op_bump_to",
+              "op_inflation_dest_hex", "op_clear_flags", "op_set_flags",
+              "op_master_weight", "op_low_threshold", "op_med_threshold",
+              "op_high_threshold", "op_home_domain", "op_signer_key_hex",
+              "op_signer_weight", "op_trustor_hex", "op_authorize",
+              "op_from_hex")
               .map(f => col(s"tx.$f").as(f)): _*)
           .orderBy("sequence", "tx_order")),
 

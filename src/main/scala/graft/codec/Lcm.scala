@@ -94,6 +94,18 @@ import java.nio.charset.StandardCharsets
   *         string name<64> ‖ bool hasValue ‖ [opaque value<64>]
   *       [opType == 11]: // BUMP_SEQUENCE
   *         hyper bumpTo
+  *       [opType == 5]:  // SET_OPTIONS: nine XDR optionals in order
+  *         bool‖[opaque inflationDest[32]] ‖ bool‖[int clearFlags]
+  *         ‖ bool‖[int setFlags] ‖ bool‖[int masterWeight]
+  *         ‖ bool‖[int lowThreshold] ‖ bool‖[int medThreshold]
+  *         ‖ bool‖[int highThreshold] ‖ bool‖[string homeDomain<32>]
+  *         ‖ bool‖[opaque signerKey[32] ‖ int signerWeight]
+  *       [opType == 7]:  // ALLOW_TRUST
+  *         opaque trustor[32] ‖ string assetCode<12> ‖ int authorize
+  *       [opType == 19]: // CLAWBACK (amount above is the clawback amount)
+  *         string assetCode<12> ‖ opaque from[32]
+  *       [opType == 9 | 17]: // INFLATION / END_SPONSORING: VOID bodies —
+  *         // the stand-in arm is wire-exact for these
   *       // every other type keeps the flat stand-in arm (no extra bytes)
   *     }
   * }}}
@@ -105,10 +117,12 @@ object Lcm {
 
   /** `Operation.body` union subset: CREATE_ACCOUNT(0), PAYMENT(1),
     * PATH_PAYMENT_STRICT_RECEIVE(2), MANAGE_SELL_OFFER(3),
-    * CREATE_PASSIVE_SELL_OFFER(4), CHANGE_TRUST(6), ACCOUNT_MERGE(8),
-    * MANAGE_DATA(10), BUMP_SEQUENCE(11), MANAGE_BUY_OFFER(12) and
-    * PATH_PAYMENT_STRICT_SEND(13) carry typed detail arms; every other
-    * type keeps the flat stand-in arm.
+    * CREATE_PASSIVE_SELL_OFFER(4), SET_OPTIONS(5), CHANGE_TRUST(6),
+    * ALLOW_TRUST(7), ACCOUNT_MERGE(8), MANAGE_DATA(10), BUMP_SEQUENCE(11),
+    * MANAGE_BUY_OFFER(12), PATH_PAYMENT_STRICT_SEND(13) and CLAWBACK(19)
+    * carry typed detail arms; INFLATION(9) and
+    * END_SPONSORING_FUTURE_RESERVES(17) have void bodies (the stand-in arm
+    * is wire-exact); every other type keeps the flat stand-in arm.
     *
     * The path-payment arms carry the RESULT-side actual amount next to the
     * envelope-side bound, because the reference's operation details take
@@ -199,9 +213,47 @@ object Lcm {
   /** opType 11 — BUMP_SEQUENCE: the target sequence number (SequenceNumber
     * = int64). */
   case class OpBumpSequence(bumpTo: Long) extends OpDetail
+  /** opType 5 — SET_OPTIONS: nine independent optionals, encoded as the
+    * XDR optional pattern (bool ‖ value) in declaration order
+    * (`Stellar-transaction.x SetOptionsOp`); the signer collapses to
+    * (key opaque[32], weight) in the model subset. */
+  case class OpSetOptions(
+      inflationDest: Option[Seq[Byte]] = None,
+      clearFlags: Option[Int] = None,
+      setFlags: Option[Int] = None,
+      masterWeight: Option[Int] = None,
+      lowThreshold: Option[Int] = None,
+      medThreshold: Option[Int] = None,
+      highThreshold: Option[Int] = None,
+      homeDomain: Option[String] = None,
+      signer: Option[(Seq[Byte], Int)] = None) extends OpDetail {
+    require(inflationDest.forall(_.size == 32), "inflation dest is opaque[32]")
+    require(homeDomain.forall(_.getBytes(StandardCharsets.UTF_8).length <= 32),
+      "home domain is string<32>")
+    require(signer.forall(_._1.size == 32), "signer key is opaque[32]")
+  }
+  /** opType 7 — ALLOW_TRUST: trustor ‖ asset ‖ authorize flag (0 /
+    * AUTHORIZED(1) / AUTHORIZED_TO_MAINTAIN_LIABILITIES(2)). */
+  case class OpAllowTrust(trustor: Seq[Byte], assetCode: String,
+      authorize: Int) extends OpDetail {
+    require(trustor.size == 32, "trustor is opaque[32]")
+    require(assetCode.getBytes(StandardCharsets.UTF_8).length <= 12,
+      "asset code is string<12>")
+  }
+  /** opType 19 — CLAWBACK: asset ‖ from account (amountStroops above is
+    * the clawed-back amount). */
+  case class OpClawback(assetCode: String, from: Seq[Byte]) extends OpDetail {
+    require(from.size == 32, "from is opaque[32]")
+    require(assetCode.getBytes(StandardCharsets.UTF_8).length <= 12,
+      "asset code is string<12>")
+  }
 
-  /** opType values with a typed detail arm. */
-  val TypedOpTypes: Set[Int] = Set(0, 1, 2, 3, 4, 6, 8, 10, 11, 12, 13)
+  /** opType values with a typed detail arm. INFLATION(9) and
+    * END_SPONSORING_FUTURE_RESERVES(17) have VOID XDR bodies, so the flat
+    * stand-in arm is already wire-exact for them — 15 of 26 operation
+    * types round-trip the wire layout byte-for-byte. */
+  val TypedOpTypes: Set[Int] =
+    Set(0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 19)
 
   case class Op(opType: Int, amountStroops: Long, detail: OpDetail = OpGeneric) {
     detail match {
@@ -227,6 +279,12 @@ object Lcm {
         require(opType == 10, "MANAGE_DATA detail requires opType 10")
       case _: OpBumpSequence =>
         require(opType == 11, "BUMP_SEQUENCE detail requires opType 11")
+      case _: OpSetOptions =>
+        require(opType == 5, "SET_OPTIONS detail requires opType 5")
+      case _: OpAllowTrust =>
+        require(opType == 7, "ALLOW_TRUST detail requires opType 7")
+      case _: OpClawback =>
+        require(opType == 19, "CLAWBACK detail requires opType 19")
       case OpGeneric =>
         require(!TypedOpTypes.contains(opType),
           s"opType $opType requires its typed detail arm")
@@ -555,6 +613,30 @@ object Lcm {
             }
           case OpBumpSequence(bumpTo) =>
             out.writeLong(bumpTo)
+          case OpSetOptions(dest, clear, set, master, low, med, high,
+              domain, signer) =>
+            def optInt(v: Option[Int]): Unit = {
+              out.writeInt(if (v.isDefined) 1 else 0)
+              v.foreach(out.writeInt)
+            }
+            out.writeInt(if (dest.isDefined) 1 else 0)
+            dest.foreach(d => out.write(d.toArray))
+            optInt(clear); optInt(set); optInt(master)
+            optInt(low); optInt(med); optInt(high)
+            out.writeInt(if (domain.isDefined) 1 else 0)
+            domain.foreach(writeXdrString(out, _))
+            out.writeInt(if (signer.isDefined) 1 else 0)
+            signer.foreach { case (k, w) =>
+              out.write(k.toArray)
+              out.writeInt(w)
+            }
+          case OpAllowTrust(trustor, asset, authorize) =>
+            out.write(trustor.toArray)
+            writeXdrString(out, asset)
+            out.writeInt(authorize)
+          case OpClawback(asset, from) =>
+            writeXdrString(out, asset)
+            out.write(from.toArray)
           case OpGeneric =>
         }
       }
@@ -714,6 +796,23 @@ object Lcm {
               } else None
             OpManageData(name, value)
           case 11 => OpBumpSequence(buf.getLong)
+          case 5 =>
+            def optInt(): Option[Int] =
+              if (buf.getInt == 1) Some(buf.getInt) else None
+            val dest =
+              if (buf.getInt == 1) Some(readOpaque32(buf)) else None
+            val clear = optInt(); val set = optInt(); val master = optInt()
+            val low = optInt(); val med = optInt(); val high = optInt()
+            val domain =
+              if (buf.getInt == 1) Some(readXdrString(buf)) else None
+            val signer =
+              if (buf.getInt == 1) Some((readOpaque32(buf), buf.getInt))
+              else None
+            OpSetOptions(dest, clear, set, master, low, med, high, domain,
+              signer)
+          case 7 => OpAllowTrust(readOpaque32(buf), readXdrString(buf),
+            buf.getInt)
+          case 19 => OpClawback(readXdrString(buf), readOpaque32(buf))
           case _ => OpGeneric
         }
         Op(opType, amount, detail)

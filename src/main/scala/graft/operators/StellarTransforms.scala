@@ -188,7 +188,20 @@ object StellarTransforms {
         col("tx.op_limit").as("trust_limit"),
         col("tx.op_data_name").as("data_name"),
         col("tx.op_data_value_hex").as("data_value_hex"),
-        col("tx.op_bump_to").as("bump_to"))
+        col("tx.op_bump_to").as("bump_to"),
+        col("tx.op_inflation_dest_hex").as("inflation_dest_hex"),
+        col("tx.op_clear_flags").as("clear_flags"),
+        col("tx.op_set_flags").as("set_flags"),
+        col("tx.op_master_weight").as("master_key_weight"),
+        col("tx.op_low_threshold").as("low_threshold"),
+        col("tx.op_med_threshold").as("med_threshold"),
+        col("tx.op_high_threshold").as("high_threshold"),
+        col("tx.op_home_domain").as("home_domain"),
+        col("tx.op_signer_key_hex").as("signer_key_hex"),
+        col("tx.op_signer_weight").as("signer_weight"),
+        col("tx.op_trustor_hex").as("trustor_hex"),
+        col("tx.op_authorize").as("authorize"),
+        col("tx.op_from_hex").as("from_hex"))
 
   /** P2 — `history_transactions`: explode + memo demux, bounds intervals,
     * muxed addresses, TOID ids, and the Soroban fee decomposition

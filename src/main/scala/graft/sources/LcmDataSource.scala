@@ -80,6 +80,22 @@ object LcmDataSource {
     StructField("op_data_name", StringType, nullable = true),
     StructField("op_data_value_hex", StringType, nullable = true),
     StructField("op_bump_to", LongType, nullable = true),
+    // SET_OPTIONS(5): nine independent optionals, each null when absent
+    StructField("op_inflation_dest_hex", StringType, nullable = true),
+    StructField("op_clear_flags", IntegerType, nullable = true),
+    StructField("op_set_flags", IntegerType, nullable = true),
+    StructField("op_master_weight", IntegerType, nullable = true),
+    StructField("op_low_threshold", IntegerType, nullable = true),
+    StructField("op_med_threshold", IntegerType, nullable = true),
+    StructField("op_high_threshold", IntegerType, nullable = true),
+    StructField("op_home_domain", StringType, nullable = true),
+    StructField("op_signer_key_hex", StringType, nullable = true),
+    StructField("op_signer_weight", IntegerType, nullable = true),
+    // ALLOW_TRUST(7) trustor + authorize flag; CLAWBACK(19) from account
+    // (assets for both ride in op_asset_code)
+    StructField("op_trustor_hex", StringType, nullable = true),
+    StructField("op_authorize", IntegerType, nullable = true),
+    StructField("op_from_hex", StringType, nullable = true),
     // decoded union arms (Stellar-transaction.x subset): result code,
     // memo, preconditions, fee-bump shell — null when the arm is absent
     StructField("result_code", IntegerType, nullable = false),
@@ -430,6 +446,10 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                 case OpPayment(_, c) => Some(UTF8String.fromString(c): Any)
                 case ct: OpChangeTrust =>
                   Some(UTF8String.fromString(ct.assetCode): Any)
+                case at: OpAllowTrust =>
+                  Some(UTF8String.fromString(at.assetCode): Any)
+                case cb: OpClawback =>
+                  Some(UTF8String.fromString(cb.assetCode): Any)
                 case _ => None
               }).orNull
               def utf8(s: String): Any = UTF8String.fromString(s)
@@ -473,6 +493,29 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                     (null, null, null, Long.box(b.bumpTo))
                   case _ => (null, null, null, null)
                 }
+              // SET_OPTIONS: nine optionals, each independently nullable
+              val soCols: Array[Any] = op.map(_.detail) match {
+                case Some(so: OpSetOptions) => Array[Any](
+                  so.inflationDest.map(hex).orNull,
+                  so.clearFlags.map(Int.box).orNull,
+                  so.setFlags.map(Int.box).orNull,
+                  so.masterWeight.map(Int.box).orNull,
+                  so.lowThreshold.map(Int.box).orNull,
+                  so.medThreshold.map(Int.box).orNull,
+                  so.highThreshold.map(Int.box).orNull,
+                  so.homeDomain.map(utf8).orNull,
+                  so.signer.map(s => hex(s._1)).orNull,
+                  so.signer.map(s => Int.box(s._2)).orNull)
+                case _ => Array.fill[Any](10)(null)
+              }
+              // allow-trust trustor+authorize / clawback from
+              val (trustor, authorize, fromHex): (Any, Any, Any) =
+                op.map(_.detail) match {
+                  case Some(at: OpAllowTrust) =>
+                    (hex(at.trustor), Int.box(at.authorize), null)
+                  case Some(cb: OpClawback) => (null, null, hex(cb.from))
+                  case _ => (null, null, null)
+                }
               rows(i) = new GenericInternalRow(Array[Any](
                 t.feeCharged, t.successful,
                 op.map(x => Int.box(x.opType)).orNull,
@@ -480,7 +523,8 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                 opDest, opAsset,
                 ppSend, ppDest, ppMax, ppMin, ppGot,
                 offId, offSell, offBuy, offN, offD,
-                ctLimit, mdName, mdValue, bumpTo,
+                ctLimit, mdName, mdValue, bumpTo) ++ soCols ++ Array[Any](
+                trustor, authorize, fromHex,
                 t.resultCode,
                 UTF8String.fromString(memoType), memoText, memoId, memoHash,
                 UTF8String.fromString(condType), tMin, tMax, lMin, lMax, minSeq,
@@ -552,9 +596,11 @@ object LcmWriter {
     * opType=(seq+t)%27: CREATE_ACCOUNT(0)/PAYMENT(1)/ACCOUNT_MERGE(8)
     * destinations, path-payment arms (2/13) with affine bounds and
     * result-carried actual amounts, offer arms (3/12 with offer ids, 4
-    * without) with rational prices, CHANGE_TRUST(6) limits,
-    * MANAGE_DATA(10) name + value-present-iff-(seq+t)%3≠0, and
-    * BUMP_SEQUENCE(11) targets (`src_lcm_op_decode` re-derives all of
+    * without) with rational prices, SET_OPTIONS(5) with each optional
+    * present on its own parity law, CHANGE_TRUST(6) limits,
+    * ALLOW_TRUST(7) trustor+authorize, MANAGE_DATA(10) name +
+    * value-present-iff-(seq+t)%3≠0, BUMP_SEQUENCE(11) targets, and
+    * CLAWBACK(19) from-accounts (`src_lcm_op_decode` re-derives all of
     * them). */
   def fixtureTxs(seq: Long): Seq[Lcm.Tx] = {
     val nTx = ((seq % 5) + 1).toInt
@@ -635,6 +681,20 @@ object LcmWriter {
             Some(s"val-$seq-$t".getBytes("UTF-8").toSeq)
           else None)
         case 11 => Lcm.OpBumpSequence(seq * 8 + t + 7)
+        case 5 => Lcm.OpSetOptions(
+          inflationDest = if (t % 2 == 0) Some(sha(s"inf-$seq-$t")) else None,
+          clearFlags = if (seq % 2 == 0) Some((seq % 16).toInt) else None,
+          setFlags = if (seq % 2 == 1) Some(((seq + 1) % 16).toInt) else None,
+          masterWeight = if (t % 3 == 0) Some(((seq + t) % 256).toInt) else None,
+          lowThreshold = if (seq % 3 == 0) Some((seq % 255).toInt) else None,
+          medThreshold = if (seq % 3 == 0) Some(((seq + 1) % 255).toInt) else None,
+          highThreshold = if (seq % 3 == 0) Some(((seq + 2) % 255).toInt) else None,
+          homeDomain = if (t % 2 == 1) Some(s"dom-${seq % 23}.example") else None,
+          signer = if ((seq + t) % 2 == 1)
+            Some((sha(s"sg-$seq-$t"), ((seq + t) % 256).toInt)) else None)
+        case 7 => Lcm.OpAllowTrust(sha(s"tr-$seq-$t"),
+          codes(((seq + t) % 3).toInt), authorize = ((seq + t) % 3).toInt)
+        case 19 => Lcm.OpClawback(codes((seq % 3).toInt), sha(s"cb-$seq-$t"))
         case _ => Lcm.OpGeneric
       }
       Lcm.Tx(100L * (t + 1), rc,

@@ -169,6 +169,25 @@ object CodecProps extends Properties("codec") {
       } yield Lcm.OpManageData(name, value)
       case 11 => Gen.chooseNum(Long.MinValue, Long.MaxValue)
         .map(Lcm.OpBumpSequence)
+      case 5 => for {
+        dest <- Gen.option(b32)
+        clear <- Gen.option(Gen.chooseNum(0, 15))
+        set <- Gen.option(Gen.chooseNum(0, 15))
+        master <- Gen.option(Gen.chooseNum(0, 255))
+        low <- Gen.option(Gen.chooseNum(0, 255))
+        med <- Gen.option(Gen.chooseNum(0, 255))
+        high <- Gen.option(Gen.chooseNum(0, 255))
+        domLen <- Gen.chooseNum(0, 32)
+        dom <- Gen.option(Gen.stringOfN(domLen, Gen.alphaNumChar))
+        signer <- Gen.option(Gen.zip(b32, Gen.chooseNum(0, 255)))
+      } yield Lcm.OpSetOptions(dest, clear, set, master, low, med, high,
+        dom, signer)
+      case 7 => for {
+        k <- b32; c <- codeGen; a <- Gen.chooseNum(0, 2)
+      } yield Lcm.OpAllowTrust(k, c, a)
+      case 19 => for {
+        c <- codeGen; k <- b32
+      } yield Lcm.OpClawback(c, k)
       case _ => Gen.const(Lcm.OpGeneric: Lcm.OpDetail)
     }
   } yield Lcm.Op(t, amt, d)

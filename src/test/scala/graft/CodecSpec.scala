@@ -302,7 +302,7 @@ class CodecSpec extends AnyFunSuite {
   test("LCM XDR frame: golden byte layout and roundtrip") {
     import Lcm._
     val f = Frame(2048L, 1700000000000L, Seq(
-      Tx(100L, successful = true, Seq(Op(5, 1000000L))),
+      Tx(100L, successful = true, Seq(Op(14, 1000000L))),
       Tx(200L, successful = false, Seq(Op(24, 7L), Op(25, 42L)))))
     val bytes = encode(f)
     // version ‖ uint32 seq ‖ uint64 closeTimeMs ‖ nTx ‖ per tx:
@@ -312,7 +312,7 @@ class CodecSpec extends AnyFunSuite {
       "00000002" + "00000800" + "0000018bcfe56800" + "00000002" +
         "00000002" + "00000000" + "00000000" +
         "00000000" + "0000000000000064" + "00000000" + "00000001" +
-        "00000005" + "00000000000f4240" +
+        "0000000e" + "00000000000f4240" +
         "00000002" + "00000000" + "00000000" +
         "ffffffff" + "00000000000000c8" + "00000000" + "00000002" +
         "00000018" + "0000000000000007" +
@@ -326,7 +326,7 @@ class CodecSpec extends AnyFunSuite {
     val opsTx = Tx(10L, TxSuccess, Seq(
       Op(0, 50000000L, OpCreateAccount(dst)),
       Op(1, 777L, OpPayment(dst, "USDC")),
-      Op(7, 3L)))
+      Op(20, 3L)))
     val opsBytes = encode(Frame(7L, 1L, Seq(opsTx)))
     assert(decode(opsBytes).txs.head == opsTx)
     assert(hexStr(opsBytes).contains(
@@ -383,6 +383,22 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](OpManageData("x" * 65, None))
     intercept[IllegalArgumentException](
       OpManageData("n", Some(Seq.fill[Byte](65)(1))))
+
+    // SET_OPTIONS: all-absent, all-present, and the optional pattern's
+    // wire form (bool ‖ value per field); ALLOW_TRUST and CLAWBACK
+    val setOptsTx = Tx(13L, TxSuccess, Seq(
+      Op(5, 0L, OpSetOptions()),
+      Op(5, 0L, OpSetOptions(Some(dst), Some(1), Some(10), Some(255),
+        Some(1), Some(2), Some(3), Some("dom.example"), Some((dst, 7)))),
+      Op(7, 0L, OpAllowTrust(dst, "USDC", 2)),
+      Op(19, 5000L, OpClawback("XLM", dst))))
+    val setOptsBytes = encode(Frame(10L, 4L, Seq(setOptsTx)))
+    assert(decode(setOptsBytes).txs.head == setOptsTx)
+    // all-absent SET_OPTIONS = nine zero bools
+    assert(hexStr(setOptsBytes).contains("00000005" +
+      "0000000000000000" + "00000000" * 9))
+    intercept[IllegalArgumentException](OpSetOptions(homeDomain = Some("x" * 33)))
+    intercept[IllegalArgumentException](OpAllowTrust(dst.take(5), "A", 1))
     // header-only decode positions the buffer at the tx count
     val buf = java.nio.ByteBuffer.wrap(bytes)
     assert(Lcm.decodeHeader(buf) == ((2048L, 1700000000000L)))
@@ -399,14 +415,14 @@ class CodecSpec extends AnyFunSuite {
     val fbSrc = Seq.tabulate(32)(i => (128 + i).toByte)
 
     // memo TEXT padding: "hi" → len 2 ‖ 6869 ‖ 2-byte zero pad (4-aligned)
-    val memoTx = Tx(7L, TxSuccess, Seq(Op(5, 5L)), memo = MemoText("hi"))
+    val memoTx = Tx(7L, TxSuccess, Seq(Op(14, 5L)), memo = MemoText("hi"))
     val memoBytes = encode(Frame(9L, 0L, Seq(memoTx)))
     assert(hexStr(memoBytes).contains("00000001" + "00000002" + "68690000"))
 
     // every memo arm roundtrips
     Seq(MemoNone, MemoText("m-2048-1"), MemoId(32769L), MemoHash(h3),
         MemoReturn(h4)).foreach { m =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(5, 1L)), memo = m)
+      val tx = Tx(10L, TxSuccess, Seq(Op(14, 1L)), memo = m)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.memo == m)
     }
 
@@ -418,7 +434,7 @@ class CodecSpec extends AnyFunSuite {
         PrecondV2(None, Some(LedgerBounds(0L, 4294967295L)), None),
         PrecondV2(Some(TimeBounds(5L, 6L)), Some(LedgerBounds(10L, 20L)),
           Some(7L))).foreach { c =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(5, 1L)), cond = c)
+      val tx = Tx(10L, TxSuccess, Seq(Op(14, 1L)), cond = c)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.cond == c)
     }
 
@@ -426,12 +442,12 @@ class CodecSpec extends AnyFunSuite {
     // the FULL enum, txFEE_BUMP_INNER_SUCCESS(1) .. txSOROBAN_INVALID(-17)
     (TxResultCodeMin to TxResultCodeMax).foreach { rc =>
       val tx = decode(encode(Frame(5L, 1L,
-        Seq(Tx(10L, rc, Seq(Op(5, 1L))))))).txs.head
+        Seq(Tx(10L, rc, Seq(Op(14, 1L))))))).txs.head
       assert(tx.resultCode == rc && tx.successful == (rc >= 0))
     }
     // out-of-enum codes are rejected on both sides
     intercept[IllegalArgumentException] {
-      encode(Frame(5L, 1L, Seq(Tx(10L, -18, Seq(Op(5, 1L))))))
+      encode(Frame(5L, 1L, Seq(Tx(10L, -18, Seq(Op(14, 1L))))))
     }
 
     // PreconditionsV2 long tail: age/gap gates + every SignerKey arm
@@ -449,7 +465,7 @@ class CodecSpec extends AnyFunSuite {
       PrecondV2(None, None, None, minSeqAge = Long.MaxValue,
         extraSigners = Seq(SignerEd25519SignedPayload(k2,
           "odd-len-payload".getBytes("UTF-8").toSeq)))).foreach { c =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(5, 1L)), cond = c)
+      val tx = Tx(10L, TxSuccess, Seq(Op(14, 1L)), cond = c)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.cond == c)
     }
     // >2 extra signers violates SignerKey<2>
@@ -460,7 +476,7 @@ class CodecSpec extends AnyFunSuite {
 
     // SorobanTransactionMetaExt fee triple: optional, roundtrips, and its
     // wire form is bool(1) ‖ three hypers
-    val sm = Tx(10L, TxSuccess, Seq(Op(5, 1L)),
+    val sm = Tx(10L, TxSuccess, Seq(Op(14, 1L)),
       sorobanMeta = Some(SorobanMeta(1048L, 512L, 77L)))
     val smBytes = encode(Frame(5L, 1L, Seq(sm)))
     assert(decode(smBytes).txs.head == sm)
@@ -470,7 +486,7 @@ class CodecSpec extends AnyFunSuite {
       .txs.head.sorobanMeta.isEmpty)
 
     // fee-bump shell: envelope discriminant 5, feeSource + fee, roundtrip
-    val fb = Tx(10L, TxFeeBumpInnerSuccess, Seq(Op(5, 1L)),
+    val fb = Tx(10L, TxFeeBumpInnerSuccess, Seq(Op(14, 1L)),
       feeBump = Some(FeeBump(fbSrc, 501L)))
     val fbBytes = encode(Frame(5L, 1L, Seq(fb)))
     assert(hexStr(fbBytes).contains("00000005" + fbSrc.map("%02x".format(_)).mkString
@@ -486,7 +502,7 @@ class CodecSpec extends AnyFunSuite {
       totalCoins = 1000000000007L, feePool = 205L,
       baseFee = 101L, baseReserve = 5000000L, maxTxSetSize = 1002L)
     val upgrades = Seq(UpgradeBaseFee(103L), UpgradeVersion(21L))
-    val txs = Seq(Tx(100L, TxSuccess, Seq(Op(5, 1000000L))))
+    val txs = Seq(Tx(100L, TxSuccess, Seq(Op(14, 1000000L))))
 
     // v0 arm: header + upgrades, no extras
     val v0 = Frame(2048L, 1700000000000L, txs, Some(header), upgrades)

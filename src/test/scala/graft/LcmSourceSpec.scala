@@ -87,9 +87,9 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // hand-build a frame whose middle tx has nOps=0 (legal wire format the
     // fixture writers never emit)
     val frame = Lcm.Frame(2000L, 1700010000000L, Seq(
-      Lcm.Tx(100L, successful = true, Seq(Lcm.Op(5, 1000000L))),
+      Lcm.Tx(100L, successful = true, Seq(Lcm.Op(14, 1000000L))),
       Lcm.Tx(250L, successful = false, Seq.empty),
-      Lcm.Tx(300L, successful = true, Seq(Lcm.Op(7, 2000000L)))))
+      Lcm.Tx(300L, successful = true, Seq(Lcm.Op(20, 2000000L)))))
     // .lcmb DSv2 source
     val d = java.nio.file.Files.createTempDirectory("lcm-zero-op").toString
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
@@ -102,7 +102,7 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(txs(1).getAs[Long]("fee_charged") == 250L)
     assert(txs(1).isNullAt(txs(1).fieldIndex("op_type")))
     assert(txs(1).isNullAt(txs(1).fieldIndex("amount")))
-    assert(txs(0).getAs[Int]("op_type") == 5 && txs(2).getAs[Int]("op_type") == 7)
+    assert(txs(0).getAs[Int]("op_type") == 14 && txs(2).getAs[Int]("op_type") == 20)
     // archive source: same frame inside a gzipped checkpoint file
     val root = java.nio.file.Files.createTempDirectory("graft-archive-zero").toString
     val cp = HistoryArchive.checkpointOf(2000L)
@@ -115,7 +115,7 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(led.transactions.size == 3)
     assert(led.transactions(1).op_type.isEmpty &&
       led.transactions(1).amount.isEmpty)
-    assert(led.transactions(0).op_type.contains(5))
+    assert(led.transactions(0).op_type.contains(14))
   }
 
   test("reads frames back with the declared schema and exact row content") {
