@@ -1994,7 +1994,7 @@ object QueryCatalog {
              |       THEN sha256('dst-' || seq || '-' || t)
              |       END AS destination_hex,
              |  CASE WHEN op_type = 1 THEN codes[CAST(seq % 3 + 1 AS INT)]
-             |       WHEN op_type IN (6, 7)
+             |       WHEN op_type IN (6, 7, 14, 21)
              |       THEN codes[CAST((seq + t) % 3 + 1 AS INT)]
              |       WHEN op_type = 19 THEN codes[CAST(seq % 3 + 1 AS INT)]
              |       END AS asset_code,
@@ -2055,9 +2055,13 @@ object QueryCatalog {
              |       THEN sha256('inf-' || seq || '-' || t)
              |       END AS inflation_dest_hex,
              |  CASE WHEN op_type = 5 AND seq % 2 = 0
-             |       THEN CAST(seq % 16 AS INT) END AS clear_flags,
+             |       THEN CAST(seq % 16 AS INT)
+             |       WHEN op_type = 21
+             |       THEN CAST(seq % 8 AS INT) END AS clear_flags,
              |  CASE WHEN op_type = 5 AND seq % 2 = 1
-             |       THEN CAST((seq + 1) % 16 AS INT) END AS set_flags,
+             |       THEN CAST((seq + 1) % 16 AS INT)
+             |       WHEN op_type = 21
+             |       THEN CAST((seq + 1) % 8 AS INT) END AS set_flags,
              |  CASE WHEN op_type = 5 AND t % 3 = 0
              |       THEN CAST((seq + t) % 256 AS INT) END AS master_key_weight,
              |  CASE WHEN op_type = 5 AND seq % 3 = 0
@@ -2071,15 +2075,68 @@ object QueryCatalog {
              |       END AS home_domain,
              |  CASE WHEN op_type = 5 AND (seq + t) % 2 = 1
              |       THEN sha256('sg-' || seq || '-' || t)
+             |       WHEN op_type = 18 AND (seq + t) % 2 = 1
+             |       THEN sha256('sk-' || seq || '-' || t)
              |       END AS signer_key_hex,
              |  CASE WHEN op_type = 5 AND (seq + t) % 2 = 1
              |       THEN CAST((seq + t) % 256 AS INT) END AS signer_weight,
-             |  CASE WHEN op_type = 7 THEN sha256('tr-' || seq || '-' || t)
+             |  CASE WHEN op_type IN (7, 21)
+             |       THEN sha256('tr-' || seq || '-' || t)
              |       END AS trustor_hex,
              |  CASE WHEN op_type = 7 THEN CAST((seq + t) % 3 AS INT)
              |       END AS authorize,
              |  CASE WHEN op_type = 19 THEN sha256('cb-' || seq || '-' || t)
-             |       END AS from_hex
+             |       END AS from_hex,
+             |  CASE WHEN op_type = 14
+             |       THEN to_json([sha256('cl-' || seq || '-' || t || '-' || j)
+             |                     for j in generate_series(0, t % 2)])
+             |       END AS claimants_json,
+             |  CASE WHEN op_type IN (15, 20)
+             |       THEN sha256('bal-' || seq || '-' || t)
+             |       END AS balance_id_hex,
+             |  CASE WHEN op_type = 16 THEN sha256('sp-' || seq || '-' || t)
+             |       END AS sponsored_id_hex,
+             |  CASE WHEN op_type = 18 THEN CAST((seq + t) % 2 AS INT)
+             |       END AS revoke_type,
+             |  CASE WHEN op_type = 18 AND (seq + t) % 2 = 0
+             |       THEN CAST(seq % 4 AS INT) END AS ledger_entry_type,
+             |  CASE WHEN op_type = 18 AND (seq + t) % 2 = 0
+             |       THEN sha256('lk-' || seq || '-' || t)
+             |       END AS ledger_key_hex,
+             |  CASE WHEN op_type = 18 AND (seq + t) % 2 = 1
+             |       THEN sha256('sa-' || seq || '-' || t)
+             |       END AS signer_account_hex,
+             |  CASE WHEN op_type IN (22, 23)
+             |       THEN sha256('lp-' || seq || '-' || t)
+             |       END AS pool_id_hex,
+             |  CASE WHEN op_type = 22
+             |       THEN CAST(3000000 * (t + 1) + seq % 71 AS BIGINT)
+             |       END AS max_amount_a,
+             |  CASE WHEN op_type = 22
+             |       THEN CAST(4000000 * (t + 1) + seq % 73 AS BIGINT)
+             |       END AS max_amount_b,
+             |  CASE WHEN op_type = 23
+             |       THEN CAST(600000 * (t + 1) + seq % 67 AS BIGINT)
+             |       END AS min_amount_a,
+             |  CASE WHEN op_type = 23
+             |       THEN CAST(700000 * (t + 1) + seq % 61 AS BIGINT)
+             |       END AS min_amount_b,
+             |  CASE WHEN op_type = 22 THEN CAST(seq % 7 + 1 AS INT)
+             |       END AS min_price_n,
+             |  CASE WHEN op_type = 22 THEN CAST(t % 5 + 1 AS INT)
+             |       END AS min_price_d,
+             |  CASE WHEN op_type = 22 THEN CAST(seq % 9 + 2 AS INT)
+             |       END AS max_price_n,
+             |  CASE WHEN op_type = 22 THEN CAST(t % 3 + 1 AS INT)
+             |       END AS max_price_d,
+             |  CASE WHEN op_type = 24 THEN CAST((seq + t) % 4 AS INT)
+             |       END AS host_fn_type,
+             |  CASE WHEN op_type = 24 AND (seq + t) % 4 <> 2
+             |       THEN sha256('ct-' || seq || '-' || t)
+             |       END AS contract_id_hex,
+             |  CASE WHEN op_type = 25
+             |       THEN CAST(100000 + (seq * 3 + t) % 50000 AS BIGINT)
+             |       END AS extend_to
              |FROM o ORDER BY id""".stripMargin),
       (s, dir) =>
         StellarTransforms.historyOperationsFromLcm(
@@ -2103,7 +2160,7 @@ object QueryCatalog {
              |       END AS op_destination_hex,
              |  CASE WHEN (seq + t) % 27 = 1
              |       THEN ['XLM','USDC','EURC'][CAST(seq % 3 + 1 AS INT)]
-             |       WHEN (seq + t) % 27 IN (6, 7)
+             |       WHEN (seq + t) % 27 IN (6, 7, 14, 21)
              |       THEN ['XLM','USDC','EURC'][CAST((seq + t) % 3 + 1 AS INT)]
              |       WHEN (seq + t) % 27 = 19
              |       THEN ['XLM','USDC','EURC'][CAST(seq % 3 + 1 AS INT)]
@@ -2181,25 +2238,30 @@ object QueryCatalog {
           .orderBy("sequence", "tx_order")),
 
     Q("src_lcm_op_decode",
-      // the twelve typed Operation.body arms grown past CREATE_ACCOUNT /
-      // PAYMENT: both path-payment arms (envelope bound + RESULT-carried
-      // actual amount — the law the reference's operation details take
-      // from PathPaymentStrict*Result, operation.go:641-697), the three
-      // offer arms (3/12 with offer ids, passive 4 without), CHANGE_TRUST
-      // limits, ACCOUNT_MERGE destinations, MANAGE_DATA name + optional
-      // value, and BUMP_SEQUENCE targets. DuckDB re-derives every affine
-      // fixture law per (seq, t)
+      // every non-VOID Operation.body arm — 24 typed arms of the 27
+      // operation types (9/17/26 are VOID and wire-exact): path-payment
+      // arms (envelope bound + RESULT-carried actual amount — the law the
+      // reference's operation details take from PathPaymentStrict*Result,
+      // operation.go:641-697), the three offer arms, CHANGE_TRUST limits,
+      // ACCOUNT_MERGE destinations, MANAGE_DATA name + optional value,
+      // BUMP_SEQUENCE targets, the claimable-balance family (claimants
+      // rendered to_json on both sides — the p15 array pattern),
+      // sponsorship begin/revoke (the revoke union's two arms alternating),
+      // SET_TRUST_LINE_FLAGS masks, both liquidity-pool arms with price
+      // bands, INVOKE_HOST_FUNCTION cycling all four HostFunction arms,
+      // and EXTEND_FOOTPRINT_TTL. DuckDB re-derives every affine fixture
+      // law per (seq, t)
       Some("""WITH ls AS (SELECT unnest(generate_series(2300, 2499)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
              |o AS (SELECT seq, t, CAST((seq + t) % 27 AS INT) AS op_type,
              |             ['XLM','USDC','EURC'] AS codes FROM tx
-             |      WHERE (seq + t) % 27 IN (2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 19))
+             |      WHERE (seq + t) % 27 NOT IN (0, 1, 9, 17, 26))
              |SELECT seq AS sequence, CAST(t AS INT) AS tx_order, op_type,
              |  CAST(1000000 * (t + 1) AS BIGINT) AS amount,
              |  CASE WHEN op_type IN (2, 8, 13)
              |       THEN sha256('dst-' || seq || '-' || t)
              |       END AS op_destination_hex,
-             |  CASE WHEN op_type IN (6, 7)
+             |  CASE WHEN op_type IN (6, 7, 14, 21)
              |       THEN codes[CAST((seq + t) % 3 + 1 AS INT)]
              |       WHEN op_type = 19 THEN codes[CAST(seq % 3 + 1 AS INT)]
              |       END AS op_asset_code,
@@ -2253,9 +2315,13 @@ object QueryCatalog {
              |       THEN sha256('inf-' || seq || '-' || t)
              |       END AS op_inflation_dest_hex,
              |  CASE WHEN op_type = 5 AND seq % 2 = 0
-             |       THEN CAST(seq % 16 AS INT) END AS op_clear_flags,
+             |       THEN CAST(seq % 16 AS INT)
+             |       WHEN op_type = 21 THEN CAST(seq % 8 AS INT)
+             |       END AS op_clear_flags,
              |  CASE WHEN op_type = 5 AND seq % 2 = 1
-             |       THEN CAST((seq + 1) % 16 AS INT) END AS op_set_flags,
+             |       THEN CAST((seq + 1) % 16 AS INT)
+             |       WHEN op_type = 21 THEN CAST((seq + 1) % 8 AS INT)
+             |       END AS op_set_flags,
              |  CASE WHEN op_type = 5 AND t % 3 = 0
              |       THEN CAST((seq + t) % 256 AS INT) END AS op_master_weight,
              |  CASE WHEN op_type = 5 AND seq % 3 = 0
@@ -2269,22 +2335,74 @@ object QueryCatalog {
              |       END AS op_home_domain,
              |  CASE WHEN op_type = 5 AND (seq + t) % 2 = 1
              |       THEN sha256('sg-' || seq || '-' || t)
+             |       WHEN op_type = 18 AND (seq + t) % 2 = 1
+             |       THEN sha256('sk-' || seq || '-' || t)
              |       END AS op_signer_key_hex,
              |  CASE WHEN op_type = 5 AND (seq + t) % 2 = 1
              |       THEN CAST((seq + t) % 256 AS INT) END AS op_signer_weight,
-             |  CASE WHEN op_type = 7 THEN sha256('tr-' || seq || '-' || t)
+             |  CASE WHEN op_type IN (7, 21) THEN sha256('tr-' || seq || '-' || t)
              |       END AS op_trustor_hex,
              |  CASE WHEN op_type = 7 THEN CAST((seq + t) % 3 AS INT)
              |       END AS op_authorize,
              |  CASE WHEN op_type = 19 THEN sha256('cb-' || seq || '-' || t)
-             |       END AS op_from_hex
+             |       END AS op_from_hex,
+             |  CASE WHEN op_type = 14
+             |       THEN to_json([sha256('cl-' || seq || '-' || t || '-' || j)
+             |                     for j in range(t % 2 + 1)])::VARCHAR
+             |       END AS op_claimants_hex,
+             |  CASE WHEN op_type IN (15, 20)
+             |       THEN sha256('bal-' || seq || '-' || t)
+             |       END AS op_balance_id_hex,
+             |  CASE WHEN op_type = 16 THEN sha256('sp-' || seq || '-' || t)
+             |       END AS op_sponsored_id_hex,
+             |  CASE WHEN op_type = 18 THEN CAST((seq + t) % 2 AS INT)
+             |       END AS op_revoke_type,
+             |  CASE WHEN op_type = 18 AND (seq + t) % 2 = 0
+             |       THEN CAST(seq % 4 AS INT) END AS op_ledger_entry_type,
+             |  CASE WHEN op_type = 18 AND (seq + t) % 2 = 0
+             |       THEN sha256('lk-' || seq || '-' || t)
+             |       END AS op_ledger_key_hex,
+             |  CASE WHEN op_type = 18 AND (seq + t) % 2 = 1
+             |       THEN sha256('sa-' || seq || '-' || t)
+             |       END AS op_signer_account_hex,
+             |  CASE WHEN op_type IN (22, 23)
+             |       THEN sha256('lp-' || seq || '-' || t)
+             |       END AS op_pool_id_hex,
+             |  CASE WHEN op_type = 22
+             |       THEN CAST(3000000 * (t + 1) + seq % 71 AS BIGINT)
+             |       END AS op_max_amount_a,
+             |  CASE WHEN op_type = 22
+             |       THEN CAST(4000000 * (t + 1) + seq % 73 AS BIGINT)
+             |       END AS op_max_amount_b,
+             |  CASE WHEN op_type = 23
+             |       THEN CAST(600000 * (t + 1) + seq % 67 AS BIGINT)
+             |       END AS op_min_amount_a,
+             |  CASE WHEN op_type = 23
+             |       THEN CAST(700000 * (t + 1) + seq % 61 AS BIGINT)
+             |       END AS op_min_amount_b,
+             |  CASE WHEN op_type = 22 THEN CAST(seq % 7 + 1 AS INT)
+             |       END AS op_min_price_n,
+             |  CASE WHEN op_type = 22 THEN CAST(t % 5 + 1 AS INT)
+             |       END AS op_min_price_d,
+             |  CASE WHEN op_type = 22 THEN CAST(seq % 9 + 2 AS INT)
+             |       END AS op_max_price_n,
+             |  CASE WHEN op_type = 22 THEN CAST(t % 3 + 1 AS INT)
+             |       END AS op_max_price_d,
+             |  CASE WHEN op_type = 24 THEN CAST((seq + t) % 4 AS INT)
+             |       END AS op_host_fn_type,
+             |  CASE WHEN op_type = 24 AND (seq + t) % 4 <> 2
+             |       THEN sha256('ct-' || seq || '-' || t)
+             |       END AS op_contract_id_hex,
+             |  CASE WHEN op_type = 25
+             |       THEN CAST(100000 + (seq * 3 + t) % 50000 AS BIGINT)
+             |       END AS op_extend_to
              |FROM o ORDER BY sequence, tx_order""".stripMargin),
       (s, dir) =>
         s.read.format("graft-lcm").load(lcmFixtureDir)
           .where(col("sequence").between(2300, 2499))
           .select(col("sequence"),
             posexplode(col("transactions")).as(Seq("tx_order", "tx")))
-          .where(col("tx.op_type").isin(2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 19))
+          .where(!col("tx.op_type").isin(0, 1, 9, 17, 26))
           .select(Seq(col("sequence"), col("tx_order")) ++
             Seq("op_type", "amount", "op_destination_hex", "op_asset_code",
               "op_send_asset_code", "op_dest_asset_code",
@@ -2296,8 +2414,18 @@ object QueryCatalog {
               "op_master_weight", "op_low_threshold", "op_med_threshold",
               "op_high_threshold", "op_home_domain", "op_signer_key_hex",
               "op_signer_weight", "op_trustor_hex", "op_authorize",
-              "op_from_hex")
-              .map(f => col(s"tx.$f").as(f)): _*)
+              "op_from_hex", "op_balance_id_hex", "op_sponsored_id_hex",
+              "op_revoke_type", "op_ledger_entry_type", "op_ledger_key_hex",
+              "op_signer_account_hex", "op_pool_id_hex",
+              "op_max_amount_a", "op_max_amount_b",
+              "op_min_amount_a", "op_min_amount_b",
+              "op_min_price_n", "op_min_price_d",
+              "op_max_price_n", "op_max_price_d",
+              "op_host_fn_type", "op_contract_id_hex", "op_extend_to")
+              .map(f => col(s"tx.$f").as(f)) ++
+            // claimants is LIST-typed → compare via the JSON rendering
+            // (the p15 / src_lcm_tx_decode pattern)
+            Seq(to_json(col("tx.op_claimants_hex")).as("op_claimants_hex")): _*)
           .orderBy("sequence", "tx_order")),
 
     Q("src_archive_range_scan",

@@ -104,9 +104,36 @@ import java.nio.charset.StandardCharsets
   *         opaque trustor[32] ‖ string assetCode<12> ‖ int authorize
   *       [opType == 19]: // CLAWBACK (amount above is the clawback amount)
   *         string assetCode<12> ‖ opaque from[32]
-  *       [opType == 9 | 17]: // INFLATION / END_SPONSORING: VOID bodies —
-  *         // the stand-in arm is wire-exact for these
-  *       // every other type keeps the flat stand-in arm (no extra bytes)
+  *       [opType == 14]: // CREATE_CLAIMABLE_BALANCE (amount above is the
+  *         string assetCode<12>              // balance amount)
+  *         ‖ uint32 n ‖ n × opaque claimant[32]  // claimants<10>, the
+  *                                           // model's unconditional subset
+  *       [opType == 15 | 20]: // CLAIM / CLAWBACK_CLAIMABLE_BALANCE
+  *         opaque balanceId[32]              // ClaimableBalanceID v0 hash
+  *       [opType == 16]: // BEGIN_SPONSORING_FUTURE_RESERVES
+  *         opaque sponsoredId[32]
+  *       [opType == 18]: // REVOKE_SPONSORSHIP: union on the revoke tag
+  *         int revokeType   // 0 LEDGER_ENTRY | 1 SIGNER
+  *         [0]: int ledgerEntryType ‖ opaque key[32]
+  *         [1]: opaque account[32] ‖ opaque signerKey[32]
+  *       [opType == 21]: // SET_TRUST_LINE_FLAGS
+  *         opaque trustor[32] ‖ string assetCode<12>
+  *         ‖ uint32 clearFlags ‖ uint32 setFlags
+  *       [opType == 22]: // LIQUIDITY_POOL_DEPOSIT
+  *         opaque poolId[32] ‖ hyper maxAmountA ‖ hyper maxAmountB
+  *         ‖ int minPriceN ‖ int minPriceD ‖ int maxPriceN ‖ int maxPriceD
+  *       [opType == 23]: // LIQUIDITY_POOL_WITHDRAW (amount above is the
+  *         opaque poolId[32]                 // burned pool shares)
+  *         ‖ hyper minAmountA ‖ hyper minAmountB
+  *       [opType == 24]: // INVOKE_HOST_FUNCTION: HostFunction type +
+  *         int hostFnType   // 0 INVOKE_CONTRACT | 1 CREATE_CONTRACT
+  *                          // | 2 UPLOAD_WASM | 3 CREATE_CONTRACT_V2
+  *         bool ‖ opaque contractId[32]  // absent for UPLOAD_WASM
+  *       [opType == 25]: // EXTEND_FOOTPRINT_TTL
+  *         uint32 extendTo
+  *       [opType == 9 | 17 | 26]: // INFLATION / END_SPONSORING /
+  *         // RESTORE_FOOTPRINT: VOID bodies — the stand-in arm is
+  *         // wire-exact for these; all 27 operation types round-trip
   *     }
   * }}}
   *
@@ -247,13 +274,104 @@ object Lcm {
     require(assetCode.getBytes(StandardCharsets.UTF_8).length <= 12,
       "asset code is string<12>")
   }
+  /** opType 14 — CREATE_CLAIMABLE_BALANCE: asset ‖ claimants<10>
+    * (amountStroops above is the balance amount). The model's claimant
+    * subset keeps the destination account and drops the predicate tree —
+    * the predicate codec lives in [[ClaimPredicate]] and is exercised by
+    * the P12 table, not the wire source
+    * (`internal/transform/operation.go:880-884` claimants detail). */
+  case class OpCreateClaimableBalance(assetCode: String,
+      claimants: Seq[Seq[Byte]]) extends OpDetail {
+    require(assetCode.getBytes(StandardCharsets.UTF_8).length <= 12,
+      "asset code is string<12>")
+    require(claimants.nonEmpty && claimants.size <= 10,
+      "claimants is claimants<10>, nonempty")
+    require(claimants.forall(_.size == 32), "claimant is opaque[32]")
+  }
+  /** opType 15 — CLAIM_CLAIMABLE_BALANCE: the v0 balance-id hash
+    * (`operation.go:886-896` balance_id detail). */
+  case class OpClaimClaimableBalance(balanceId: Seq[Byte]) extends OpDetail {
+    require(balanceId.size == 32, "balance id is opaque[32]")
+  }
+  /** opType 20 — CLAWBACK_CLAIMABLE_BALANCE: same id layout as claim
+    * (`operation.go:934-941`). */
+  case class OpClawbackClaimableBalance(balanceId: Seq[Byte])
+      extends OpDetail {
+    require(balanceId.size == 32, "balance id is opaque[32]")
+  }
+  /** opType 16 — BEGIN_SPONSORING_FUTURE_RESERVES: the sponsored account
+    * (`operation.go:898-901`). */
+  case class OpBeginSponsoringFutureReserves(sponsoredId: Seq[Byte])
+      extends OpDetail {
+    require(sponsoredId.size == 32, "sponsored id is opaque[32]")
+  }
+  /** opType 18 — REVOKE_SPONSORSHIP: the two-arm revoke union
+    * (`operation.go:911-921`): LEDGER_ENTRY(0) carries the model ledger
+    * key as (entry type, key hash); SIGNER(1) carries (account, signer
+    * key). Exactly one arm is populated. */
+  case class OpRevokeSponsorship(
+      ledgerEntry: Option[(Int, Seq[Byte])],
+      signer: Option[(Seq[Byte], Seq[Byte])]) extends OpDetail {
+    require(ledgerEntry.isDefined != signer.isDefined,
+      "revoke sponsorship populates exactly one union arm")
+    require(ledgerEntry.forall(_._2.size == 32), "ledger key is opaque[32]")
+    require(signer.forall(s => s._1.size == 32 && s._2.size == 32),
+      "signer account and key are opaque[32]")
+  }
+  /** opType 21 — SET_TRUST_LINE_FLAGS: trustor ‖ asset ‖ clear/set masks
+    * (`operation.go:943-955`; zero masks mean "no change", matching the
+    * reference's omit-when-zero details). */
+  case class OpSetTrustLineFlags(trustor: Seq[Byte], assetCode: String,
+      clearFlags: Int, setFlags: Int) extends OpDetail {
+    require(trustor.size == 32, "trustor is opaque[32]")
+    require(assetCode.getBytes(StandardCharsets.UTF_8).length <= 12,
+      "asset code is string<12>")
+  }
+  /** opType 22 — LIQUIDITY_POOL_DEPOSIT: pool id ‖ per-reserve deposit
+    * bounds ‖ the (min, max) XDR rational price band
+    * (`operation.go:957-1020`; the result-carried deposited amounts live
+    * with the change stream, not the envelope). */
+  case class OpLiquidityPoolDeposit(poolId: Seq[Byte],
+      maxAmountA: Long, maxAmountB: Long,
+      minPriceN: Int, minPriceD: Int,
+      maxPriceN: Int, maxPriceD: Int) extends OpDetail {
+    require(poolId.size == 32, "pool id is opaque[32]")
+    require(minPriceD != 0 && maxPriceD != 0,
+      "price denominators must be nonzero")
+  }
+  /** opType 23 — LIQUIDITY_POOL_WITHDRAW: pool id ‖ per-reserve minimums
+    * (amountStroops above is the burned pool-share amount,
+    * `operation.go:1022-1062` "shares" detail). */
+  case class OpLiquidityPoolWithdraw(poolId: Seq[Byte],
+      minAmountA: Long, minAmountB: Long) extends OpDetail {
+    require(poolId.size == 32, "pool id is opaque[32]")
+  }
+  /** opType 24 — INVOKE_HOST_FUNCTION: the HostFunction union tag + the
+    * target contract id, absent for UPLOAD_WASM which addresses no
+    * contract (`operation.go:1064-1143`; the ScVal argument codec lives
+    * with P17/`codec/ScVal`, not the wire source). */
+  case class OpInvokeHostFunction(hostFnType: Int,
+      contractId: Option[Seq[Byte]]) extends OpDetail {
+    require(hostFnType >= 0 && hostFnType <= 3,
+      "host function type is 0..3")
+    require((hostFnType == 2) == contractId.isEmpty,
+      "contract id is present exactly when the function addresses one")
+    require(contractId.forall(_.size == 32), "contract id is opaque[32]")
+  }
+  /** opType 25 — EXTEND_FOOTPRINT_TTL: the target TTL ledger extension
+    * (`operation.go:1145-1153` extend_to detail). */
+  case class OpExtendFootprintTtl(extendTo: Long) extends OpDetail {
+    require(extendTo >= 0 && extendTo <= 0xFFFFFFFFL, "extendTo is uint32")
+  }
 
-  /** opType values with a typed detail arm. INFLATION(9) and
-    * END_SPONSORING_FUTURE_RESERVES(17) have VOID XDR bodies, so the flat
-    * stand-in arm is already wire-exact for them — 15 of 26 operation
-    * types round-trip the wire layout byte-for-byte. */
+  /** opType values with a typed detail arm. INFLATION(9),
+    * END_SPONSORING_FUTURE_RESERVES(17) and RESTORE_FOOTPRINT(26) have
+    * VOID XDR bodies, so the flat stand-in arm is already wire-exact for
+    * them — all 27 operation types round-trip the wire layout
+    * byte-for-byte. */
   val TypedOpTypes: Set[Int] =
-    Set(0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 19)
+    Set(0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 18, 19,
+      20, 21, 22, 23, 24, 25)
 
   case class Op(opType: Int, amountStroops: Long, detail: OpDetail = OpGeneric) {
     detail match {
@@ -285,6 +403,26 @@ object Lcm {
         require(opType == 7, "ALLOW_TRUST detail requires opType 7")
       case _: OpClawback =>
         require(opType == 19, "CLAWBACK detail requires opType 19")
+      case _: OpCreateClaimableBalance =>
+        require(opType == 14, "CREATE_CLAIMABLE_BALANCE detail requires opType 14")
+      case _: OpClaimClaimableBalance =>
+        require(opType == 15, "CLAIM_CLAIMABLE_BALANCE detail requires opType 15")
+      case _: OpBeginSponsoringFutureReserves =>
+        require(opType == 16, "BEGIN_SPONSORING detail requires opType 16")
+      case _: OpRevokeSponsorship =>
+        require(opType == 18, "REVOKE_SPONSORSHIP detail requires opType 18")
+      case _: OpClawbackClaimableBalance =>
+        require(opType == 20, "CLAWBACK_CLAIMABLE_BALANCE detail requires opType 20")
+      case _: OpSetTrustLineFlags =>
+        require(opType == 21, "SET_TRUST_LINE_FLAGS detail requires opType 21")
+      case _: OpLiquidityPoolDeposit =>
+        require(opType == 22, "LIQUIDITY_POOL_DEPOSIT detail requires opType 22")
+      case _: OpLiquidityPoolWithdraw =>
+        require(opType == 23, "LIQUIDITY_POOL_WITHDRAW detail requires opType 23")
+      case _: OpInvokeHostFunction =>
+        require(opType == 24, "INVOKE_HOST_FUNCTION detail requires opType 24")
+      case _: OpExtendFootprintTtl =>
+        require(opType == 25, "EXTEND_FOOTPRINT_TTL detail requires opType 25")
       case OpGeneric =>
         require(!TypedOpTypes.contains(opType),
           s"opType $opType requires its typed detail arm")
@@ -637,6 +775,50 @@ object Lcm {
           case OpClawback(asset, from) =>
             writeXdrString(out, asset)
             out.write(from.toArray)
+          case OpCreateClaimableBalance(asset, claimants) =>
+            writeXdrString(out, asset)
+            out.writeInt(claimants.size)
+            claimants.foreach(c => out.write(c.toArray))
+          case OpClaimClaimableBalance(id) =>
+            out.write(id.toArray)
+          case OpClawbackClaimableBalance(id) =>
+            out.write(id.toArray)
+          case OpBeginSponsoringFutureReserves(id) =>
+            out.write(id.toArray)
+          case OpRevokeSponsorship(ledgerEntry, signer) =>
+            ledgerEntry match {
+              case Some((entryType, key)) =>
+                out.writeInt(0)
+                out.writeInt(entryType)
+                out.write(key.toArray)
+              case None =>
+                val (account, key) = signer.get
+                out.writeInt(1)
+                out.write(account.toArray)
+                out.write(key.toArray)
+            }
+          case OpSetTrustLineFlags(trustor, asset, clear, set) =>
+            out.write(trustor.toArray)
+            writeXdrString(out, asset)
+            out.writeInt(clear)
+            out.writeInt(set)
+          case OpLiquidityPoolDeposit(poolId, maxA, maxB, minN, minD,
+              maxN, maxD) =>
+            out.write(poolId.toArray)
+            out.writeLong(maxA)
+            out.writeLong(maxB)
+            out.writeInt(minN); out.writeInt(minD)
+            out.writeInt(maxN); out.writeInt(maxD)
+          case OpLiquidityPoolWithdraw(poolId, minA, minB) =>
+            out.write(poolId.toArray)
+            out.writeLong(minA)
+            out.writeLong(minB)
+          case OpInvokeHostFunction(fnType, contractId) =>
+            out.writeInt(fnType)
+            out.writeInt(if (contractId.isDefined) 1 else 0)
+            contractId.foreach(c => out.write(c.toArray))
+          case OpExtendFootprintTtl(extendTo) =>
+            out.writeInt(extendTo.toInt)
           case OpGeneric =>
         }
       }
@@ -813,6 +995,35 @@ object Lcm {
           case 7 => OpAllowTrust(readOpaque32(buf), readXdrString(buf),
             buf.getInt)
           case 19 => OpClawback(readXdrString(buf), readOpaque32(buf))
+          case 14 =>
+            val asset = readXdrString(buf)
+            val n = buf.getInt
+            OpCreateClaimableBalance(asset,
+              (0 until n).map(_ => readOpaque32(buf)))
+          case 15 => OpClaimClaimableBalance(readOpaque32(buf))
+          case 20 => OpClawbackClaimableBalance(readOpaque32(buf))
+          case 16 => OpBeginSponsoringFutureReserves(readOpaque32(buf))
+          case 18 => buf.getInt match {
+            case 0 => OpRevokeSponsorship(
+              Some((buf.getInt, readOpaque32(buf))), None)
+            case 1 => OpRevokeSponsorship(None,
+              Some((readOpaque32(buf), readOpaque32(buf))))
+            case other => throw new IllegalArgumentException(
+              s"bad revoke-sponsorship tag $other")
+          }
+          case 21 => OpSetTrustLineFlags(readOpaque32(buf),
+            readXdrString(buf), buf.getInt, buf.getInt)
+          case 22 => OpLiquidityPoolDeposit(readOpaque32(buf),
+            buf.getLong, buf.getLong,
+            buf.getInt, buf.getInt, buf.getInt, buf.getInt)
+          case 23 => OpLiquidityPoolWithdraw(readOpaque32(buf),
+            buf.getLong, buf.getLong)
+          case 24 =>
+            val fnType = buf.getInt
+            val contractId =
+              if (buf.getInt == 1) Some(readOpaque32(buf)) else None
+            OpInvokeHostFunction(fnType, contractId)
+          case 25 => OpExtendFootprintTtl(buf.getInt.toLong & 0xFFFFFFFFL)
           case _ => OpGeneric
         }
         Op(opType, amount, detail)

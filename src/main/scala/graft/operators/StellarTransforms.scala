@@ -201,7 +201,29 @@ object StellarTransforms {
         col("tx.op_signer_weight").as("signer_weight"),
         col("tx.op_trustor_hex").as("trustor_hex"),
         col("tx.op_authorize").as("authorize"),
-        col("tx.op_from_hex").as("from_hex"))
+        col("tx.op_from_hex").as("from_hex"),
+        // the round-9 arm growth: claimable balances (claimants rendered
+        // to_json — the p15 array-gate pattern), sponsorship begin/revoke,
+        // liquidity pools, and the soroban host arms
+        to_json(col("tx.op_claimants_hex")).as("claimants_json"),
+        col("tx.op_balance_id_hex").as("balance_id_hex"),
+        col("tx.op_sponsored_id_hex").as("sponsored_id_hex"),
+        col("tx.op_revoke_type").as("revoke_type"),
+        col("tx.op_ledger_entry_type").as("ledger_entry_type"),
+        col("tx.op_ledger_key_hex").as("ledger_key_hex"),
+        col("tx.op_signer_account_hex").as("signer_account_hex"),
+        col("tx.op_pool_id_hex").as("pool_id_hex"),
+        col("tx.op_max_amount_a").as("max_amount_a"),
+        col("tx.op_max_amount_b").as("max_amount_b"),
+        col("tx.op_min_amount_a").as("min_amount_a"),
+        col("tx.op_min_amount_b").as("min_amount_b"),
+        col("tx.op_min_price_n").as("min_price_n"),
+        col("tx.op_min_price_d").as("min_price_d"),
+        col("tx.op_max_price_n").as("max_price_n"),
+        col("tx.op_max_price_d").as("max_price_d"),
+        col("tx.op_host_fn_type").as("host_fn_type"),
+        col("tx.op_contract_id_hex").as("contract_id_hex"),
+        col("tx.op_extend_to").as("extend_to"))
 
   /** P2 — `history_transactions`: explode + memo demux, bounds intervals,
     * muxed addresses, TOID ids, and the Soroban fee decomposition

@@ -96,6 +96,40 @@ object LcmDataSource {
     StructField("op_trustor_hex", StringType, nullable = true),
     StructField("op_authorize", IntegerType, nullable = true),
     StructField("op_from_hex", StringType, nullable = true),
+    // CREATE_CLAIMABLE_BALANCE(14): claimant destinations (asset rides in
+    // op_asset_code; queries render the array via to_json for the gate)
+    StructField("op_claimants_hex", ArrayType(StringType, containsNull = false),
+      nullable = true),
+    // CLAIM(15)/CLAWBACK(20)_CLAIMABLE_BALANCE v0 balance-id hash
+    StructField("op_balance_id_hex", StringType, nullable = true),
+    // BEGIN_SPONSORING_FUTURE_RESERVES(16) sponsored account
+    StructField("op_sponsored_id_hex", StringType, nullable = true),
+    // REVOKE_SPONSORSHIP(18): union tag (0 ledger entry / 1 signer), the
+    // ledger-entry arm's (type, key), the signer arm's account (its key
+    // rides in op_signer_key_hex, mirroring the reference's signer_key
+    // detail)
+    StructField("op_revoke_type", IntegerType, nullable = true),
+    StructField("op_ledger_entry_type", IntegerType, nullable = true),
+    StructField("op_ledger_key_hex", StringType, nullable = true),
+    StructField("op_signer_account_hex", StringType, nullable = true),
+    // SET_TRUST_LINE_FLAGS(21) masks ride in op_clear_flags/op_set_flags,
+    // trustor in op_trustor_hex, asset in op_asset_code.
+    // LIQUIDITY_POOL_DEPOSIT(22)/WITHDRAW(23): pool id, deposit maximums
+    // + price band, withdraw minimums (shares ride in amount)
+    StructField("op_pool_id_hex", StringType, nullable = true),
+    StructField("op_max_amount_a", LongType, nullable = true),
+    StructField("op_max_amount_b", LongType, nullable = true),
+    StructField("op_min_amount_a", LongType, nullable = true),
+    StructField("op_min_amount_b", LongType, nullable = true),
+    StructField("op_min_price_n", IntegerType, nullable = true),
+    StructField("op_min_price_d", IntegerType, nullable = true),
+    StructField("op_max_price_n", IntegerType, nullable = true),
+    StructField("op_max_price_d", IntegerType, nullable = true),
+    // INVOKE_HOST_FUNCTION(24): HostFunction union tag + target contract
+    // (null for UPLOAD_WASM); EXTEND_FOOTPRINT_TTL(25) target
+    StructField("op_host_fn_type", IntegerType, nullable = true),
+    StructField("op_contract_id_hex", StringType, nullable = true),
+    StructField("op_extend_to", LongType, nullable = true),
     // decoded union arms (Stellar-transaction.x subset): result code,
     // memo, preconditions, fee-bump shell — null when the arm is absent
     StructField("result_code", IntegerType, nullable = false),
@@ -450,6 +484,10 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                   Some(UTF8String.fromString(at.assetCode): Any)
                 case cb: OpClawback =>
                   Some(UTF8String.fromString(cb.assetCode): Any)
+                case cc: OpCreateClaimableBalance =>
+                  Some(UTF8String.fromString(cc.assetCode): Any)
+                case tf: OpSetTrustLineFlags =>
+                  Some(UTF8String.fromString(tf.assetCode): Any)
                 case _ => None
               }).orNull
               def utf8(s: String): Any = UTF8String.fromString(s)
@@ -493,7 +531,11 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                     (null, null, null, Long.box(b.bumpTo))
                   case _ => (null, null, null, null)
                 }
-              // SET_OPTIONS: nine optionals, each independently nullable
+              // SET_OPTIONS: nine optionals, each independently nullable.
+              // SET_TRUST_LINE_FLAGS reuses the clear/set flag columns and
+              // REVOKE_SPONSORSHIP's signer arm the signer-key column — the
+              // same detail-key sharing the reference's flat details map
+              // does (set_flags / signer_key across op types).
               val soCols: Array[Any] = op.map(_.detail) match {
                 case Some(so: OpSetOptions) => Array[Any](
                   so.inflationDest.map(hex).orNull,
@@ -506,14 +548,75 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                   so.homeDomain.map(utf8).orNull,
                   so.signer.map(s => hex(s._1)).orNull,
                   so.signer.map(s => Int.box(s._2)).orNull)
+                case Some(tf: OpSetTrustLineFlags) =>
+                  val a = Array.fill[Any](10)(null)
+                  a(1) = Int.box(tf.clearFlags)
+                  a(2) = Int.box(tf.setFlags)
+                  a
+                case Some(OpRevokeSponsorship(None, Some((_, key)))) =>
+                  val a = Array.fill[Any](10)(null)
+                  a(8) = hex(key)
+                  a
                 case _ => Array.fill[Any](10)(null)
               }
-              // allow-trust trustor+authorize / clawback from
+              // allow-trust trustor+authorize / clawback from /
+              // set-trust-line-flags trustor
               val (trustor, authorize, fromHex): (Any, Any, Any) =
                 op.map(_.detail) match {
                   case Some(at: OpAllowTrust) =>
                     (hex(at.trustor), Int.box(at.authorize), null)
                   case Some(cb: OpClawback) => (null, null, hex(cb.from))
+                  case Some(tf: OpSetTrustLineFlags) =>
+                    (hex(tf.trustor), null, null)
+                  case _ => (null, null, null)
+                }
+              // claimable-balance arms: claimant list / balance ids
+              val claimants: Any = op.map(_.detail) match {
+                case Some(cc: OpCreateClaimableBalance) =>
+                  new GenericArrayData(cc.claimants.map(hex).toArray[Any])
+                case _ => null
+              }
+              val (balanceId, sponsoredId): (Any, Any) =
+                op.map(_.detail) match {
+                  case Some(c: OpClaimClaimableBalance) =>
+                    (hex(c.balanceId), null)
+                  case Some(c: OpClawbackClaimableBalance) =>
+                    (hex(c.balanceId), null)
+                  case Some(b: OpBeginSponsoringFutureReserves) =>
+                    (null, hex(b.sponsoredId))
+                  case _ => (null, null)
+                }
+              // revoke-sponsorship union: tag + per-arm columns
+              val (revokeType, leType, leKey, signerAcct): (Any, Any, Any, Any) =
+                op.map(_.detail) match {
+                  case Some(OpRevokeSponsorship(Some((et, key)), _)) =>
+                    (Int.box(0), Int.box(et), hex(key), null)
+                  case Some(OpRevokeSponsorship(None, Some((acct, _)))) =>
+                    (Int.box(1), null, null, hex(acct))
+                  case _ => (null, null, null, null)
+                }
+              // liquidity-pool arms: (poolId, maxA, maxB, minA, minB,
+              // minPriceN, minPriceD, maxPriceN, maxPriceD)
+              val lpCols: Array[Any] = op.map(_.detail) match {
+                case Some(d: OpLiquidityPoolDeposit) => Array[Any](
+                  hex(d.poolId), Long.box(d.maxAmountA), Long.box(d.maxAmountB),
+                  null, null,
+                  Int.box(d.minPriceN), Int.box(d.minPriceD),
+                  Int.box(d.maxPriceN), Int.box(d.maxPriceD))
+                case Some(w: OpLiquidityPoolWithdraw) => Array[Any](
+                  hex(w.poolId), null, null,
+                  Long.box(w.minAmountA), Long.box(w.minAmountB),
+                  null, null, null, null)
+                case _ => Array.fill[Any](9)(null)
+              }
+              // soroban host arms: host-fn tag + contract / ttl extension
+              val (hostFnType, contractId, extendTo): (Any, Any, Any) =
+                op.map(_.detail) match {
+                  case Some(ih: OpInvokeHostFunction) =>
+                    (Int.box(ih.hostFnType), ih.contractId.map(hex).orNull,
+                      null)
+                  case Some(e: OpExtendFootprintTtl) =>
+                    (null, null, Long.box(e.extendTo))
                   case _ => (null, null, null)
                 }
               rows(i) = new GenericInternalRow(Array[Any](
@@ -525,6 +628,9 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                 offId, offSell, offBuy, offN, offD,
                 ctLimit, mdName, mdValue, bumpTo) ++ soCols ++ Array[Any](
                 trustor, authorize, fromHex,
+                claimants, balanceId, sponsoredId,
+                revokeType, leType, leKey, signerAcct) ++ lpCols ++ Array[Any](
+                hostFnType, contractId, extendTo,
                 t.resultCode,
                 UTF8String.fromString(memoType), memoText, memoId, memoHash,
                 UTF8String.fromString(condType), tMin, tMax, lMin, lMax, minSeq,
@@ -599,9 +705,15 @@ object LcmWriter {
     * without) with rational prices, SET_OPTIONS(5) with each optional
     * present on its own parity law, CHANGE_TRUST(6) limits,
     * ALLOW_TRUST(7) trustor+authorize, MANAGE_DATA(10) name +
-    * value-present-iff-(seq+t)%3≠0, BUMP_SEQUENCE(11) targets, and
-    * CLAWBACK(19) from-accounts (`src_lcm_op_decode` re-derives all of
-    * them). */
+    * value-present-iff-(seq+t)%3≠0, BUMP_SEQUENCE(11) targets,
+    * CLAWBACK(19) from-accounts, CREATE_CLAIMABLE_BALANCE(14) with
+    * (t%2)+1 claimants, CLAIM(15)/CLAWBACK(20)_CLAIMABLE_BALANCE ids,
+    * BEGIN_SPONSORING(16) sponsored accounts, REVOKE_SPONSORSHIP(18)
+    * alternating union arms on (seq+t)%2, SET_TRUST_LINE_FLAGS(21)
+    * masks, LIQUIDITY_POOL deposit(22)/withdraw(23) bounds + price
+    * bands, INVOKE_HOST_FUNCTION(24) cycling the four HostFunction
+    * arms, and EXTEND_FOOTPRINT_TTL(25) targets (`src_lcm_op_decode`
+    * re-derives all of them; 9/17/26 stay wire-exact VOID). */
   def fixtureTxs(seq: Long): Seq[Lcm.Tx] = {
     val nTx = ((seq % 5) + 1).toInt
     (0 until nTx).map { t =>
@@ -695,6 +807,34 @@ object LcmWriter {
         case 7 => Lcm.OpAllowTrust(sha(s"tr-$seq-$t"),
           codes(((seq + t) % 3).toInt), authorize = ((seq + t) % 3).toInt)
         case 19 => Lcm.OpClawback(codes((seq % 3).toInt), sha(s"cb-$seq-$t"))
+        case 14 => Lcm.OpCreateClaimableBalance(codes(((seq + t) % 3).toInt),
+          claimants = (0 to (t % 2)).map(j => sha(s"cl-$seq-$t-$j")))
+        case 15 => Lcm.OpClaimClaimableBalance(sha(s"bal-$seq-$t"))
+        case 20 => Lcm.OpClawbackClaimableBalance(sha(s"bal-$seq-$t"))
+        case 16 => Lcm.OpBeginSponsoringFutureReserves(sha(s"sp-$seq-$t"))
+        case 18 =>
+          if ((seq + t) % 2 == 0)
+            Lcm.OpRevokeSponsorship(
+              Some(((seq % 4).toInt, sha(s"lk-$seq-$t"))), None)
+          else
+            Lcm.OpRevokeSponsorship(None,
+              Some((sha(s"sa-$seq-$t"), sha(s"sk-$seq-$t"))))
+        case 21 => Lcm.OpSetTrustLineFlags(sha(s"tr-$seq-$t"),
+          codes(((seq + t) % 3).toInt),
+          clearFlags = (seq % 8).toInt, setFlags = ((seq + 1) % 8).toInt)
+        case 22 => Lcm.OpLiquidityPoolDeposit(sha(s"lp-$seq-$t"),
+          maxAmountA = 3000000L * (t + 1) + seq % 71,
+          maxAmountB = 4000000L * (t + 1) + seq % 73,
+          minPriceN = (seq % 7 + 1).toInt, minPriceD = (t % 5 + 1).toInt,
+          maxPriceN = (seq % 9 + 2).toInt, maxPriceD = (t % 3 + 1).toInt)
+        case 23 => Lcm.OpLiquidityPoolWithdraw(sha(s"lp-$seq-$t"),
+          minAmountA = 600000L * (t + 1) + seq % 67,
+          minAmountB = 700000L * (t + 1) + seq % 61)
+        case 24 =>
+          val fnType = ((seq + t) % 4).toInt
+          Lcm.OpInvokeHostFunction(fnType,
+            if (fnType == 2) None else Some(sha(s"ct-$seq-$t")))
+        case 25 => Lcm.OpExtendFootprintTtl(100000L + (seq * 3 + t) % 50000)
         case _ => Lcm.OpGeneric
       }
       Lcm.Tx(100L * (t + 1), rc,

@@ -95,6 +95,12 @@ object ExplainAudit {
         Seq("Generate posexplode", "BatchScan graft-lcm"),
         Seq(">= 2100", "<= 2299",
           "Exchange hashpartitioning", "SortMergeJoin")),
+      // op grain over the wire: same contract — range consumed by the
+      // scan, map-only transform
+      ("stellar_operations_from_lcm",
+        Seq("Generate posexplode", "BatchScan graft-lcm"),
+        Seq(">= 2100", "<= 2299",
+          "Exchange hashpartitioning", "SortMergeJoin")),
       // composed curation pipeline: dedup survivor via partial min (map-side
       // combinable), the sample is a filter (no extra shuffle), packing's
       // window is the only sort — never a nested-loop join anywhere

@@ -188,6 +188,39 @@ object CodecProps extends Properties("codec") {
       case 19 => for {
         c <- codeGen; k <- b32
       } yield Lcm.OpClawback(c, k)
+      case 14 => for {
+        c <- codeGen
+        n <- Gen.chooseNum(1, 10)
+        cs <- Gen.containerOfN[Seq, Seq[Byte]](n, b32)
+      } yield Lcm.OpCreateClaimableBalance(c, cs)
+      case 15 => b32.map(Lcm.OpClaimClaimableBalance)
+      case 16 => b32.map(Lcm.OpBeginSponsoringFutureReserves)
+      case 18 => Gen.oneOf(
+        for { et <- Gen.chooseNum(0, 9); k <- b32 }
+          yield Lcm.OpRevokeSponsorship(Some((et, k)), None),
+        for { a <- b32; k <- b32 }
+          yield Lcm.OpRevokeSponsorship(None, Some((a, k))))
+      case 20 => b32.map(Lcm.OpClawbackClaimableBalance)
+      case 21 => for {
+        tr <- b32; c <- codeGen
+        cf <- Gen.chooseNum(0, 15); sf <- Gen.chooseNum(0, 15)
+      } yield Lcm.OpSetTrustLineFlags(tr, c, cf, sf)
+      case 22 => for {
+        p <- b32; ma <- nonNeg; mb <- nonNeg
+        n1 <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+        d1 <- Gen.chooseNum(1, Int.MaxValue)
+        n2 <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+        d2 <- Gen.chooseNum(1, Int.MaxValue)
+      } yield Lcm.OpLiquidityPoolDeposit(p, ma, mb, n1, d1, n2, d2)
+      case 23 => for {
+        p <- b32; ma <- nonNeg; mb <- nonNeg
+      } yield Lcm.OpLiquidityPoolWithdraw(p, ma, mb)
+      case 24 => for {
+        ft <- Gen.chooseNum(0, 3)
+        cid <- if (ft == 2) Gen.const(None: Option[Seq[Byte]])
+               else b32.map(Some(_): Option[Seq[Byte]])
+      } yield Lcm.OpInvokeHostFunction(ft, cid)
+      case 25 => u32.map(Lcm.OpExtendFootprintTtl)
       case _ => Gen.const(Lcm.OpGeneric: Lcm.OpDetail)
     }
   } yield Lcm.Op(t, amt, d)

@@ -302,8 +302,8 @@ class CodecSpec extends AnyFunSuite {
   test("LCM XDR frame: golden byte layout and roundtrip") {
     import Lcm._
     val f = Frame(2048L, 1700000000000L, Seq(
-      Tx(100L, successful = true, Seq(Op(14, 1000000L))),
-      Tx(200L, successful = false, Seq(Op(24, 7L), Op(25, 42L)))))
+      Tx(100L, successful = true, Seq(Op(9, 1000000L))),
+      Tx(200L, successful = false, Seq(Op(17, 7L), Op(26, 42L)))))
     val bytes = encode(f)
     // version ‖ uint32 seq ‖ uint64 closeTimeMs ‖ nTx ‖ per tx:
     // envType(TX=2) ‖ memo tag ‖ cond tag ‖ resultCode (signed) ‖
@@ -312,11 +312,11 @@ class CodecSpec extends AnyFunSuite {
       "00000002" + "00000800" + "0000018bcfe56800" + "00000002" +
         "00000002" + "00000000" + "00000000" +
         "00000000" + "0000000000000064" + "00000000" + "00000001" +
-        "0000000e" + "00000000000f4240" +
+        "00000009" + "00000000000f4240" +
         "00000002" + "00000000" + "00000000" +
         "ffffffff" + "00000000000000c8" + "00000000" + "00000002" +
-        "00000018" + "0000000000000007" +
-        "00000019" + "000000000000002a")
+        "00000011" + "0000000000000007" +
+        "0000001a" + "000000000000002a")
     assert(decode(bytes) == f)
 
     // Operation.body typed arms: CREATE_ACCOUNT carries the destination,
@@ -326,7 +326,7 @@ class CodecSpec extends AnyFunSuite {
     val opsTx = Tx(10L, TxSuccess, Seq(
       Op(0, 50000000L, OpCreateAccount(dst)),
       Op(1, 777L, OpPayment(dst, "USDC")),
-      Op(20, 3L)))
+      Op(26, 3L)))
     val opsBytes = encode(Frame(7L, 1L, Seq(opsTx)))
     assert(decode(opsBytes).txs.head == opsTx)
     assert(hexStr(opsBytes).contains(
@@ -408,6 +408,94 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](decode(bad))
   }
 
+  test("LCM XDR operation arms: claimable balances, sponsorship, pools, soroban") {
+    import Lcm._
+    def fill(b: Int): Seq[Byte] = Seq.fill[Byte](32)(b.toByte)
+    def hx(b: Seq[Byte]): String = b.map("%02x".format(_)).mkString
+    val z8 = "0000000000000000"
+
+    // CREATE_CLAIMABLE_BALANCE: asset ‖ count ‖ claimants; claim/clawback
+    // and begin-sponsoring are bare opaque[32] ids
+    val cbTx = Tx(20L, TxSuccess, Seq(
+      Op(14, 5L, OpCreateClaimableBalance("XLM", Seq(fill(0xAA)))),
+      Op(15, 0L, OpClaimClaimableBalance(fill(0x01))),
+      Op(16, 0L, OpBeginSponsoringFutureReserves(fill(0x02))),
+      Op(20, 7L, OpClawbackClaimableBalance(fill(0x06)))))
+    val cbBytes = encode(Frame(30L, 1L, Seq(cbTx)))
+    assert(decode(cbBytes).txs.head == cbTx)
+    assert(hexStr(cbBytes).contains(
+      "0000000e" + "0000000000000005" +
+        "00000003" + "584c4d00" +                // "XLM" padded
+        "00000001" + hx(fill(0xAA))))            // claimants<10>: 1 entry
+    assert(hexStr(cbBytes).contains("0000000f" + z8 + hx(fill(0x01))))
+    assert(hexStr(cbBytes).contains("00000010" + z8 + hx(fill(0x02))))
+    assert(hexStr(cbBytes).contains(
+      "00000014" + "0000000000000007" + hx(fill(0x06))))
+
+    // REVOKE_SPONSORSHIP: tag 0 = (entryType, key), tag 1 = (account, key);
+    // SET_TRUST_LINE_FLAGS: trustor ‖ asset ‖ clear ‖ set
+    val spTx = Tx(21L, TxSuccess, Seq(
+      Op(18, 0L, OpRevokeSponsorship(Some((4, fill(0x03))), None)),
+      Op(18, 0L, OpRevokeSponsorship(None, Some((fill(0x04), fill(0x05))))),
+      Op(21, 0L, OpSetTrustLineFlags(fill(0x07), "USDC", 1, 6))))
+    val spBytes = encode(Frame(31L, 2L, Seq(spTx)))
+    assert(decode(spBytes).txs.head == spTx)
+    assert(hexStr(spBytes).contains(
+      "00000012" + z8 + "00000000" + "00000004" + hx(fill(0x03))))
+    assert(hexStr(spBytes).contains(
+      "00000012" + z8 + "00000001" + hx(fill(0x04)) + hx(fill(0x05))))
+    assert(hexStr(spBytes).contains(
+      "00000015" + z8 + hx(fill(0x07)) +
+        "00000004" + "55534443" + "00000001" + "00000006"))
+
+    // LIQUIDITY_POOL_DEPOSIT: pool ‖ max hypers ‖ (min, max) price band;
+    // WITHDRAW: pool ‖ min hypers (amount above = burned shares)
+    val lpTx = Tx(22L, TxSuccess, Seq(
+      Op(22, 0L, OpLiquidityPoolDeposit(fill(0x08), 100L, 200L, 1, 2, 3, 4)),
+      Op(23, 9L, OpLiquidityPoolWithdraw(fill(0x09), 10L, 20L))))
+    val lpBytes = encode(Frame(32L, 3L, Seq(lpTx)))
+    assert(decode(lpBytes).txs.head == lpTx)
+    assert(hexStr(lpBytes).contains(
+      "00000016" + z8 + hx(fill(0x08)) +
+        "0000000000000064" + "00000000000000c8" +
+        "00000001" + "00000002" + "00000003" + "00000004"))
+    assert(hexStr(lpBytes).contains(
+      "00000017" + "0000000000000009" + hx(fill(0x09)) +
+        "000000000000000a" + "0000000000000014"))
+
+    // INVOKE_HOST_FUNCTION: fn tag ‖ optional contract (absent iff
+    // UPLOAD_WASM); EXTEND_FOOTPRINT_TTL: bare uint32
+    val sorobanTx = Tx(23L, TxSuccess, Seq(
+      Op(24, 0L, OpInvokeHostFunction(0, Some(fill(0x0B)))),
+      Op(24, 0L, OpInvokeHostFunction(2, None)),
+      Op(25, 0L, OpExtendFootprintTtl(4096L))))
+    val sorobanBytes = encode(Frame(33L, 4L, Seq(sorobanTx)))
+    assert(decode(sorobanBytes).txs.head == sorobanTx)
+    assert(hexStr(sorobanBytes).contains(
+      "00000018" + z8 + "00000000" + "00000001" + hx(fill(0x0B))))
+    assert(hexStr(sorobanBytes).contains(
+      "00000018" + z8 + "00000002" + "00000000"))
+    assert(hexStr(sorobanBytes).contains("00000019" + z8 + "00001000"))
+
+    // structural refusals: typed types refuse the stand-in arm, union
+    // invariants hold (exactly-one revoke arm, UPLOAD_WASM addresses no
+    // contract, claimants bounded, uint32 TTL range)
+    Seq(14, 15, 16, 18, 20, 21, 22, 23, 24, 25).foreach(t =>
+      intercept[IllegalArgumentException](Op(t, 1L)))
+    intercept[IllegalArgumentException](OpRevokeSponsorship(None, None))
+    intercept[IllegalArgumentException](
+      OpRevokeSponsorship(Some((0, fill(1))), Some((fill(2), fill(3)))))
+    intercept[IllegalArgumentException](OpInvokeHostFunction(2, Some(fill(1))))
+    intercept[IllegalArgumentException](OpInvokeHostFunction(0, None))
+    intercept[IllegalArgumentException](
+      OpCreateClaimableBalance("XLM", Seq.empty))
+    intercept[IllegalArgumentException](
+      OpCreateClaimableBalance("XLM", Seq.fill(11)(fill(1))))
+    intercept[IllegalArgumentException](OpExtendFootprintTtl(-1L))
+    intercept[IllegalArgumentException](
+      OpLiquidityPoolDeposit(fill(1), 1L, 1L, 1, 0, 1, 1))
+  }
+
   test("LCM XDR unions: memo, preconditions, result codes, fee-bump shell") {
     import Lcm._
     val h3 = Seq.tabulate(32)(i => (i + 1).toByte)
@@ -415,14 +503,14 @@ class CodecSpec extends AnyFunSuite {
     val fbSrc = Seq.tabulate(32)(i => (128 + i).toByte)
 
     // memo TEXT padding: "hi" → len 2 ‖ 6869 ‖ 2-byte zero pad (4-aligned)
-    val memoTx = Tx(7L, TxSuccess, Seq(Op(14, 5L)), memo = MemoText("hi"))
+    val memoTx = Tx(7L, TxSuccess, Seq(Op(9, 5L)), memo = MemoText("hi"))
     val memoBytes = encode(Frame(9L, 0L, Seq(memoTx)))
     assert(hexStr(memoBytes).contains("00000001" + "00000002" + "68690000"))
 
     // every memo arm roundtrips
     Seq(MemoNone, MemoText("m-2048-1"), MemoId(32769L), MemoHash(h3),
         MemoReturn(h4)).foreach { m =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(14, 1L)), memo = m)
+      val tx = Tx(10L, TxSuccess, Seq(Op(9, 1L)), memo = m)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.memo == m)
     }
 
@@ -434,7 +522,7 @@ class CodecSpec extends AnyFunSuite {
         PrecondV2(None, Some(LedgerBounds(0L, 4294967295L)), None),
         PrecondV2(Some(TimeBounds(5L, 6L)), Some(LedgerBounds(10L, 20L)),
           Some(7L))).foreach { c =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(14, 1L)), cond = c)
+      val tx = Tx(10L, TxSuccess, Seq(Op(9, 1L)), cond = c)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.cond == c)
     }
 
@@ -442,12 +530,12 @@ class CodecSpec extends AnyFunSuite {
     // the FULL enum, txFEE_BUMP_INNER_SUCCESS(1) .. txSOROBAN_INVALID(-17)
     (TxResultCodeMin to TxResultCodeMax).foreach { rc =>
       val tx = decode(encode(Frame(5L, 1L,
-        Seq(Tx(10L, rc, Seq(Op(14, 1L))))))).txs.head
+        Seq(Tx(10L, rc, Seq(Op(9, 1L))))))).txs.head
       assert(tx.resultCode == rc && tx.successful == (rc >= 0))
     }
     // out-of-enum codes are rejected on both sides
     intercept[IllegalArgumentException] {
-      encode(Frame(5L, 1L, Seq(Tx(10L, -18, Seq(Op(14, 1L))))))
+      encode(Frame(5L, 1L, Seq(Tx(10L, -18, Seq(Op(9, 1L))))))
     }
 
     // PreconditionsV2 long tail: age/gap gates + every SignerKey arm
@@ -465,7 +553,7 @@ class CodecSpec extends AnyFunSuite {
       PrecondV2(None, None, None, minSeqAge = Long.MaxValue,
         extraSigners = Seq(SignerEd25519SignedPayload(k2,
           "odd-len-payload".getBytes("UTF-8").toSeq)))).foreach { c =>
-      val tx = Tx(10L, TxSuccess, Seq(Op(14, 1L)), cond = c)
+      val tx = Tx(10L, TxSuccess, Seq(Op(9, 1L)), cond = c)
       assert(decode(encode(Frame(5L, 1L, Seq(tx)))).txs.head.cond == c)
     }
     // >2 extra signers violates SignerKey<2>
@@ -476,7 +564,7 @@ class CodecSpec extends AnyFunSuite {
 
     // SorobanTransactionMetaExt fee triple: optional, roundtrips, and its
     // wire form is bool(1) ‖ three hypers
-    val sm = Tx(10L, TxSuccess, Seq(Op(14, 1L)),
+    val sm = Tx(10L, TxSuccess, Seq(Op(9, 1L)),
       sorobanMeta = Some(SorobanMeta(1048L, 512L, 77L)))
     val smBytes = encode(Frame(5L, 1L, Seq(sm)))
     assert(decode(smBytes).txs.head == sm)
@@ -486,7 +574,7 @@ class CodecSpec extends AnyFunSuite {
       .txs.head.sorobanMeta.isEmpty)
 
     // fee-bump shell: envelope discriminant 5, feeSource + fee, roundtrip
-    val fb = Tx(10L, TxFeeBumpInnerSuccess, Seq(Op(14, 1L)),
+    val fb = Tx(10L, TxFeeBumpInnerSuccess, Seq(Op(9, 1L)),
       feeBump = Some(FeeBump(fbSrc, 501L)))
     val fbBytes = encode(Frame(5L, 1L, Seq(fb)))
     assert(hexStr(fbBytes).contains("00000005" + fbSrc.map("%02x".format(_)).mkString
@@ -502,7 +590,7 @@ class CodecSpec extends AnyFunSuite {
       totalCoins = 1000000000007L, feePool = 205L,
       baseFee = 101L, baseReserve = 5000000L, maxTxSetSize = 1002L)
     val upgrades = Seq(UpgradeBaseFee(103L), UpgradeVersion(21L))
-    val txs = Seq(Tx(100L, TxSuccess, Seq(Op(14, 1000000L))))
+    val txs = Seq(Tx(100L, TxSuccess, Seq(Op(9, 1000000L))))
 
     // v0 arm: header + upgrades, no extras
     val v0 = Frame(2048L, 1700000000000L, txs, Some(header), upgrades)

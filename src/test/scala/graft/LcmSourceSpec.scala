@@ -87,9 +87,13 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // hand-build a frame whose middle tx has nOps=0 (legal wire format the
     // fixture writers never emit)
     val frame = Lcm.Frame(2000L, 1700010000000L, Seq(
-      Lcm.Tx(100L, successful = true, Seq(Lcm.Op(14, 1000000L))),
+      Lcm.Tx(100L, successful = true, Seq(Lcm.Op(14, 1000000L,
+        Lcm.OpCreateClaimableBalance("XLM",
+          Seq(Seq.tabulate(32)(_.toByte)))))),
       Lcm.Tx(250L, successful = false, Seq.empty),
-      Lcm.Tx(300L, successful = true, Seq(Lcm.Op(20, 2000000L)))))
+      Lcm.Tx(300L, successful = true, Seq(Lcm.Op(20, 2000000L,
+        Lcm.OpClawbackClaimableBalance(
+          Seq.tabulate(32)(i => (i + 1).toByte)))))))
     // .lcmb DSv2 source
     val d = java.nio.file.Files.createTempDirectory("lcm-zero-op").toString
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
