@@ -2144,6 +2144,64 @@ object QueryCatalog {
               .where(col("sequence").between(2100, 2299)))
           .orderBy("id")),
 
+    Q("src_lcm_change_decode",
+      // the change grain composed over the wire source: per-op
+      // LedgerEntryChanges (TransactionMeta grain) exploded to one row per
+      // change, with the 3-kind and 10-entry-type name maps. DuckDB
+      // re-derives the affine fixture laws per (seq, t, j)
+      Some("""WITH ls AS (SELECT unnest(generate_series(2400, 2559)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
+             |ch AS (SELECT seq, t,
+             |              unnest(generate_series(0, (seq + t) % 2)) AS j
+             |       FROM tx)
+             |SELECT seq AS ledger_sequence, CAST(t + 1 AS INT) AS tx_order,
+             |  CAST(j AS INT) AS change_index, CAST(0 AS INT) AS op_index,
+             |  CAST((seq + t + j) % 3 AS INT) AS kind,
+             |  ['created', 'updated', 'removed']
+             |    [CAST((seq + t + j) % 3 + 1 AS INT)] AS kind_string,
+             |  CAST((seq + j) % 10 AS INT) AS entry_type,
+             |  ['account', 'trustline', 'offer', 'data', 'claimable_balance',
+             |   'liquidity_pool', 'contract_data', 'contract_code',
+             |   'config_setting', 'ttl']
+             |    [CAST((seq + j) % 10 + 1 AS INT)] AS entry_type_string,
+             |  sha256('ck-' || (seq * 3 + t * 7 + j * 11) % 101) AS key_hash_hex,
+             |  seq AS last_modified,
+             |  CAST(1000000 + seq * 3 + t * 17 + j * 29 AS BIGINT) AS balance
+             |FROM ch
+             |ORDER BY ledger_sequence, tx_order, change_index""".stripMargin),
+      (s, dir) =>
+        StellarTransforms.ledgerChangesFromLcm(
+            s.read.format("graft-lcm").load(lcmFixtureDir)
+              .where(col("sequence").between(2400, 2559)))
+          .orderBy("ledger_sequence", "tx_order", "change_index")),
+
+    Q("stellar_changes_from_lcm",
+      // S6-style latest-per-key batch compaction composed over the wire
+      // source: the last change per ledger key in the range wins. The
+      // oracle re-derives the winner with a window; the engine uses one
+      // map-side-combinable max-over-struct hash aggregate (no window,
+      // no sort — ExplainAudit asserts the shape)
+      Some("""WITH ls AS (SELECT unnest(generate_series(2200, 2459)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
+             |ch AS (SELECT seq, t,
+             |              unnest(generate_series(0, (seq + t) % 2)) AS j
+             |       FROM tx),
+             |k AS (SELECT *, (seq * 3 + t * 7 + j * 11) % 101 AS kid FROM ch),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY kid
+             |        ORDER BY seq DESC, t DESC, j DESC) AS rn FROM k)
+             |SELECT sha256('ck-' || kid) AS key_hash_hex,
+             |  seq AS last_sequence, CAST(t + 1 AS INT) AS last_tx_order,
+             |  CAST((seq + t + j) % 3 AS INT) AS final_kind,
+             |  (seq + t + j) % 3 = 2 AS deleted,
+             |  CAST((seq + j) % 10 AS INT) AS entry_type,
+             |  CAST(1000000 + seq * 3 + t * 17 + j * 29 AS BIGINT) AS balance
+             |FROM r WHERE rn = 1 ORDER BY key_hash_hex""".stripMargin),
+      (s, dir) =>
+        StellarTransforms.compactedChangesFromLcm(
+            s.read.format("graft-lcm").load(lcmFixtureDir)
+              .where(col("sequence").between(2200, 2459)))
+          .orderBy("key_hash_hex")),
+
     Q("src_lcm_tx_decode",
       // the Stellar-transaction.x union arms decoded by the DSv2 source —
       // result codes (signed, fee-bump-inner-success), the five memo arms,

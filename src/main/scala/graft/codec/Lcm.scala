@@ -134,6 +134,13 @@ import java.nio.charset.StandardCharsets
   *       [opType == 9 | 17 | 26]: // INFLATION / END_SPONSORING /
   *         // RESTORE_FOOTPRINT: VOID bodies — the stand-in arm is
   *         // wire-exact for these; all 27 operation types round-trip
+  *     uint32 nChanges             // per-op LedgerEntryChanges subset
+  *     nChanges × {                // (TransactionMeta grain)
+  *       int kind                  // CREATED(0)/UPDATED(1)/REMOVED(2)
+  *       int entryType             // the 10-arm LedgerEntryType enum
+  *       int opIndex               // owning operation
+  *       opaque keyHash[32]        // ledger-key fingerprint
+  *       uint32 lastModified ‖ hyper balance
   *     }
   * }}}
   *
@@ -142,14 +149,10 @@ import java.nio.charset.StandardCharsets
   * without decoding them, mirroring the datastore's per-object framing. */
 object Lcm {
 
-  /** `Operation.body` union subset: CREATE_ACCOUNT(0), PAYMENT(1),
-    * PATH_PAYMENT_STRICT_RECEIVE(2), MANAGE_SELL_OFFER(3),
-    * CREATE_PASSIVE_SELL_OFFER(4), SET_OPTIONS(5), CHANGE_TRUST(6),
-    * ALLOW_TRUST(7), ACCOUNT_MERGE(8), MANAGE_DATA(10), BUMP_SEQUENCE(11),
-    * MANAGE_BUY_OFFER(12), PATH_PAYMENT_STRICT_SEND(13) and CLAWBACK(19)
-    * carry typed detail arms; INFLATION(9) and
-    * END_SPONSORING_FUTURE_RESERVES(17) have void bodies (the stand-in arm
-    * is wire-exact); every other type keeps the flat stand-in arm.
+  /** `Operation.body` union — all 27 operation types: 24 carry typed
+    * detail arms; INFLATION(9), END_SPONSORING_FUTURE_RESERVES(17) and
+    * RESTORE_FOOTPRINT(26) have void bodies, for which the flat stand-in
+    * arm is wire-exact.
     *
     * The path-payment arms carry the RESULT-side actual amount next to the
     * envelope-side bound, because the reference's operation details take
@@ -511,10 +514,34 @@ object Lcm {
   val EnvTx = 2
   val EnvFeeBump = 5
 
+  /** One ledger-entry change attributed to an operation — the wire subset
+    * of `TransactionMeta`'s per-operation `LedgerEntryChanges`, the layer
+    * the reference's whole change pipeline reads off LedgerCloseMeta
+    * (`internal/input/changes.go:20-30`, Pre/Post unwrap in
+    * `internal/utils/main.go:836-845`): change kind
+    * (CREATED(0)/UPDATED(1)/REMOVED(2)), the LedgerEntryType enum, the
+    * owning op index, the ledger-key fingerprint (opaque[32] — the dedup
+    * key batch compaction keeps latest-per-key on), lastModifiedLedgerSeq,
+    * and the post-state balance (0 where the entry carries none). */
+  case class WireChange(kind: Int, entryType: Int, opIndex: Int,
+      keyHash: Seq[Byte], lastModified: Long, balance: Long) {
+    require(kind >= 0 && kind <= 2,
+      "change kind is CREATED(0)/UPDATED(1)/REMOVED(2)")
+    require(entryType >= 0 && entryType <= 9,
+      "entry type is the 10-arm LedgerEntryType enum")
+    require(opIndex >= 0, "op index is non-negative")
+    require(keyHash.size == 32, "ledger-key fingerprint is opaque[32]")
+    require(lastModified >= 0 && lastModified <= 0xFFFFFFFFL,
+      "lastModified is uint32")
+  }
+
   case class Tx(feeCharged: Long, resultCode: Int, ops: Seq[Op],
       memo: Memo = MemoNone, cond: Precond = PrecondNone,
       feeBump: Option[FeeBump] = None,
-      sorobanMeta: Option[SorobanMeta] = None) {
+      sorobanMeta: Option[SorobanMeta] = None,
+      changes: Seq[WireChange] = Nil) {
+    require(changes.forall(_.opIndex < ops.size),
+      "every change must be attributed to an operation of this transaction")
     /** txSUCCESS and txFEE_BUMP_INNER_SUCCESS both count as applied. */
     def successful: Boolean = resultCode >= 0
   }
@@ -822,6 +849,15 @@ object Lcm {
           case OpGeneric =>
         }
       }
+      out.writeInt(t.changes.size)
+      t.changes.foreach { c =>
+        out.writeInt(c.kind)
+        out.writeInt(c.entryType)
+        out.writeInt(c.opIndex)
+        out.write(c.keyHash.toArray)
+        out.writeInt(c.lastModified.toInt)
+        out.writeLong(c.balance)
+      }
     }
     bos.toByteArray
   }
@@ -1028,7 +1064,12 @@ object Lcm {
         }
         Op(opType, amount, detail)
       }
-      Tx(fee, rc, ops, memo, cond, feeBump, soroban)
+      val nChanges = buf.getInt
+      val changes = (0 until nChanges).map { _ =>
+        WireChange(buf.getInt, buf.getInt, buf.getInt, readOpaque32(buf),
+          buf.getInt.toLong & 0xFFFFFFFFL, buf.getLong)
+      }
+      Tx(fee, rc, ops, memo, cond, feeBump, soroban, changes)
     }
   }
 

@@ -225,6 +225,64 @@ object StellarTransforms {
         col("tx.op_contract_id_hex").as("contract_id_hex"),
         col("tx.op_extend_to").as("extend_to"))
 
+  /** The 10-arm `LedgerEntryType` enum, XDR discriminant order
+    * (`Stellar-ledger-entries.x`). */
+  val ledgerEntryTypeNames: Map[Int, String] = Map(
+    0 -> "account", 1 -> "trustline", 2 -> "offer", 3 -> "data",
+    4 -> "claimable_balance", 5 -> "liquidity_pool", 6 -> "contract_data",
+    7 -> "contract_code", 8 -> "config_setting", 9 -> "ttl")
+  private val entryTypeNameCol = typedLit(ledgerEntryTypeNames)
+  private val changeKindNameCol =
+    typedLit(Map(0 -> "created", 1 -> "updated", 2 -> "removed"))
+
+  /** Change grain composed over the wire source: one row per ledger-entry
+    * change, the substrate the reference's `export_ledger_entry_changes`
+    * pipeline reads off LedgerCloseMeta (`internal/input/changes.go:20-30`).
+    * Two stacked posexplodes (tx array, then the per-tx change vector) keep
+    * the transform map-only — the sequence-range predicate is consumed by
+    * the scan's file pruning and never re-evaluated. */
+  def ledgerChangesFromLcm(lcm: DataFrame): DataFrame =
+    lcm.select(col("sequence"),
+        posexplode(col("transactions")).as(Seq("pos", "tx")))
+      .select(col("sequence"), col("pos"),
+        posexplode(col("tx.changes")).as(Seq("ci", "c")))
+      .select(
+        col("sequence").as("ledger_sequence"),
+        (col("pos") + 1).cast("int").as("tx_order"),
+        col("ci").cast("int").as("change_index"),
+        col("c.op_index").as("op_index"),
+        col("c.kind").as("kind"),
+        element_at(changeKindNameCol, col("c.kind")).as("kind_string"),
+        col("c.entry_type").as("entry_type"),
+        element_at(entryTypeNameCol, col("c.entry_type"))
+          .as("entry_type_string"),
+        col("c.key_hash_hex").as("key_hash_hex"),
+        col("c.last_modified").as("last_modified"),
+        col("c.balance").as("balance"))
+
+  /** S6-style batch compaction composed over the wire source: the LAST
+    * change per ledger key across the range wins (the reference's
+    * per-batch latest-state law, `export_ledger_entry_changes.go` batch
+    * dedup). One map-side-combinable hash aggregate — `max` over a struct
+    * whose leading (sequence, tx_order, change_index) triple is the unique
+    * recency key — so the plan is scan → partial_max → one exchange →
+    * final max: no window, no sort, no join. At 100 TB the combine runs
+    * per input partition and only (key, 56-byte struct) rows shuffle. */
+  def compactedChangesFromLcm(lcm: DataFrame): DataFrame =
+    ledgerChangesFromLcm(lcm)
+      .groupBy(col("key_hash_hex"))
+      .agg(max(struct(
+        col("ledger_sequence"), col("tx_order"), col("change_index"),
+        col("kind"), col("entry_type"), col("balance"))).as("last"))
+      .select(
+        col("key_hash_hex"),
+        col("last.ledger_sequence").as("last_sequence"),
+        col("last.tx_order").as("last_tx_order"),
+        col("last.kind").as("final_kind"),
+        (col("last.kind") === 2).as("deleted"),
+        col("last.entry_type").as("entry_type"),
+        col("last.balance").as("balance"))
+
   /** P2 — `history_transactions`: explode + memo demux, bounds intervals,
     * muxed addresses, TOID ids, and the Soroban fee decomposition
     * (`transaction.go:131-191`): inclusion fee bid = envelope fee − resource

@@ -47,6 +47,15 @@ class LcmDataSource extends TableProvider
 }
 
 object LcmDataSource {
+  /** One wire change row ([[graft.codec.Lcm.WireChange]]). */
+  val ChangeSchema: StructType = StructType(Seq(
+    StructField("kind", IntegerType, nullable = false),
+    StructField("entry_type", IntegerType, nullable = false),
+    StructField("op_index", IntegerType, nullable = false),
+    StructField("key_hash_hex", StringType, nullable = false),
+    StructField("last_modified", LongType, nullable = false),
+    StructField("balance", LongType, nullable = false)))
+
   val TxSchema: StructType = StructType(Seq(
     StructField("fee_charged", LongType, nullable = false),
     StructField("successful", BooleanType, nullable = false),
@@ -159,7 +168,11 @@ object LcmDataSource {
     // SorobanTransactionMetaExt v1 fee triple — null for classic txs
     StructField("soroban_fee_nonrefundable", LongType, nullable = true),
     StructField("soroban_fee_refundable", LongType, nullable = true),
-    StructField("soroban_fee_rent", LongType, nullable = true)))
+    StructField("soroban_fee_rent", LongType, nullable = true),
+    // the per-op LedgerEntryChanges subset (TransactionMeta grain): the
+    // substrate the reference's change pipeline reads off LedgerCloseMeta
+    StructField("changes", ArrayType(ChangeSchema, containsNull = false),
+      nullable = false)))
 
   val Schema: StructType = StructType(Seq(
     StructField("sequence", LongType, nullable = false),
@@ -639,7 +652,11 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                 t.feeBump.map(fb => hex(fb.feeSourceKey)).orNull,
                 t.sorobanMeta.map(m => Long.box(m.nonRefundableFeeCharged)).orNull,
                 t.sorobanMeta.map(m => Long.box(m.refundableFeeCharged)).orNull,
-                t.sorobanMeta.map(m => Long.box(m.rentFeeCharged)).orNull))
+                t.sorobanMeta.map(m => Long.box(m.rentFeeCharged)).orNull,
+                new GenericArrayData(t.changes.map(c =>
+                  new GenericInternalRow(Array[Any](
+                    c.kind, c.entryType, c.opIndex, hex(c.keyHash),
+                    c.lastModified, c.balance))).toArray[Any])))
               i += 1
             }
             new GenericArrayData(rows): Any
@@ -837,9 +854,21 @@ object LcmWriter {
         case 25 => Lcm.OpExtendFootprintTtl(100000L + (seq * 3 + t) % 50000)
         case _ => Lcm.OpGeneric
       }
+      // the per-op change laws (all affine, DuckDB-re-derivable): 1-2
+      // changes per op; key ids cycle mod 101 so the same ledger key
+      // repeats across ledgers — latest-per-key compaction is non-trivial
+      val changes = (0 until (1 + ((seq + t) % 2)).toInt).map { j =>
+        Lcm.WireChange(
+          kind = ((seq + t + j) % 3).toInt,
+          entryType = ((seq + j) % 10).toInt,
+          opIndex = 0,
+          keyHash = sha(s"ck-${(seq * 3 + t * 7 + j * 11) % 101}"),
+          lastModified = seq,
+          balance = 1000000L + seq * 3 + t * 17 + j * 29)
+      }
       Lcm.Tx(100L * (t + 1), rc,
         Seq(Lcm.Op(opType, 1000000L * (t + 1), opDetail)),
-        memo, cond, feeBump, soroban)
+        memo, cond, feeBump, soroban, changes)
     }
   }
 

@@ -101,6 +101,18 @@ object ExplainAudit {
         Seq("Generate posexplode", "BatchScan graft-lcm"),
         Seq(">= 2100", "<= 2299",
           "Exchange hashpartitioning", "SortMergeJoin")),
+      // change grain over the wire: two stacked explodes, still map-only
+      // with the range consumed by the scan's file pruning
+      ("src_lcm_change_decode",
+        Seq("Generate posexplode", "BatchScan graft-lcm"),
+        Seq(">= 2400", "<= 2559",
+          "Exchange hashpartitioning", "SortMergeJoin")),
+      // wire-source compaction: latest-per-key via max-over-struct hash
+      // aggregate — partial (map-side) combine before the one exchange,
+      // never a window/sort-based dedup
+      ("stellar_changes_from_lcm",
+        Seq("partial_max", "BatchScan graft-lcm"),
+        Seq(">= 2200", "<= 2459", "Window ", "SortMergeJoin")),
       // composed curation pipeline: dedup survivor via partial min (map-side
       // combinable), the sample is a filter (no extra shuffle), packing's
       // window is the only sort — never a nested-loop join anywhere

@@ -261,6 +261,15 @@ object CodecProps extends Properties("codec") {
       sig <- Gen.listOfN(n, signerGen)
     } yield Lcm.PrecondV2(time, ledger, ms, age, gap, sig))
 
+  private def changeGen(nOps: Int): Gen[Lcm.WireChange] = for {
+    k <- Gen.chooseNum(0, 2)
+    et <- Gen.chooseNum(0, 9)
+    oi <- Gen.chooseNum(0, nOps - 1)
+    kh <- b32
+    lm <- u32
+    bal <- nonNeg
+  } yield Lcm.WireChange(k, et, oi, kh, lm, bal)
+
   private val txGen: Gen[Lcm.Tx] = for {
     fee <- nonNeg
     rc <- Gen.chooseNum(Lcm.TxResultCodeMin, Lcm.TxResultCodeMax)
@@ -271,7 +280,9 @@ object CodecProps extends Properties("codec") {
     fb <- Gen.option(for { k <- b32; f <- nonNeg } yield Lcm.FeeBump(k, f))
     sm <- Gen.option(for { a <- nonNeg; b <- nonNeg; c <- nonNeg }
       yield Lcm.SorobanMeta(a, b, c))
-  } yield Lcm.Tx(fee, rc, ops, memo, cond, fb, sm)
+    nCh <- if (n == 0) Gen.const(0) else Gen.chooseNum(0, 3)
+    chs <- Gen.listOfN(nCh, changeGen(n))
+  } yield Lcm.Tx(fee, rc, ops, memo, cond, fb, sm, chs)
 
   private val headerGen: Gen[Lcm.HeaderInfo] = for {
     pv <- Gen.chooseNum(0, Int.MaxValue)

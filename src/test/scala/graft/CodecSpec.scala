@@ -307,16 +307,17 @@ class CodecSpec extends AnyFunSuite {
     val bytes = encode(f)
     // version ‖ uint32 seq ‖ uint64 closeTimeMs ‖ nTx ‖ per tx:
     // envType(TX=2) ‖ memo tag ‖ cond tag ‖ resultCode (signed) ‖
-    // hyper fee ‖ soroban-ext bool(0) ‖ nOps ‖ per op: opType ‖ hyper amount
+    // hyper fee ‖ soroban-ext bool(0) ‖ nOps ‖ per op: opType ‖ hyper
+    // amount ‖ nChanges(0)
     assert(hexStr(bytes) ==
       "00000002" + "00000800" + "0000018bcfe56800" + "00000002" +
         "00000002" + "00000000" + "00000000" +
         "00000000" + "0000000000000064" + "00000000" + "00000001" +
-        "00000009" + "00000000000f4240" +
+        "00000009" + "00000000000f4240" + "00000000" +
         "00000002" + "00000000" + "00000000" +
         "ffffffff" + "00000000000000c8" + "00000000" + "00000002" +
         "00000011" + "0000000000000007" +
-        "0000001a" + "000000000000002a")
+        "0000001a" + "000000000000002a" + "00000000")
     assert(decode(bytes) == f)
 
     // Operation.body typed arms: CREATE_ACCOUNT carries the destination,
@@ -494,6 +495,40 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](OpExtendFootprintTtl(-1L))
     intercept[IllegalArgumentException](
       OpLiquidityPoolDeposit(fill(1), 1L, 1L, 1, 0, 1, 1))
+  }
+
+  test("LCM XDR wire changes: per-op LedgerEntryChanges subset") {
+    import Lcm._
+    def fill(b: Int): Seq[Byte] = Seq.fill[Byte](32)(b.toByte)
+    def hx(b: Seq[Byte]): String = b.map("%02x".format(_)).mkString
+
+    // kind ‖ entryType ‖ opIndex ‖ keyHash ‖ uint32 lastModified ‖ balance
+    val ch1 = WireChange(0, 1, 0, fill(0x21), 2048L, 5000000L)
+    val ch2 = WireChange(2, 9, 0, fill(0x22), 7L, 0L)
+    val tx = Tx(10L, TxSuccess, Seq(Op(9, 1L)), changes = Seq(ch1, ch2))
+    val bytes = encode(Frame(40L, 1L, Seq(tx)))
+    assert(decode(bytes).txs.head == tx)
+    assert(hexStr(bytes).contains(
+      "00000009" + "0000000000000001" +          // the op
+        "00000002" +                             // nChanges
+        "00000000" + "00000001" + "00000000" +   // CREATED trustline op 0
+        hx(fill(0x21)) + "00000800" + "00000000004c4b40" +
+        "00000002" + "00000009" + "00000000" +   // REMOVED ttl op 0
+        hx(fill(0x22)) + "00000007" + "0000000000000000"))
+
+    // structural refusals: enum bounds, fingerprint width, op attribution
+    intercept[IllegalArgumentException](WireChange(3, 0, 0, fill(1), 1L, 0L))
+    intercept[IllegalArgumentException](WireChange(0, 10, 0, fill(1), 1L, 0L))
+    intercept[IllegalArgumentException](WireChange(0, 0, -1, fill(1), 1L, 0L))
+    intercept[IllegalArgumentException](WireChange(0, 0, 0, fill(1).take(5), 1L, 0L))
+    intercept[IllegalArgumentException](
+      WireChange(0, 0, 0, fill(1), 0x100000000L, 0L))
+    // a zero-op tx cannot carry op-attributed changes; out-of-range opIndex
+    intercept[IllegalArgumentException](
+      Tx(1L, TxSuccess, Seq.empty, changes = Seq(ch1)))
+    intercept[IllegalArgumentException](
+      Tx(1L, TxSuccess, Seq(Op(9, 1L)),
+        changes = Seq(WireChange(0, 1, 1, fill(1), 1L, 0L))))
   }
 
   test("LCM XDR unions: memo, preconditions, result codes, fee-bump shell") {
