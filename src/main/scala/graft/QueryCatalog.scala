@@ -2191,6 +2191,7 @@ object QueryCatalog {
              |        ORDER BY seq DESC, t DESC, j DESC) AS rn FROM k)
              |SELECT sha256('ck-' || kid) AS key_hash_hex,
              |  seq AS last_sequence, CAST(t + 1 AS INT) AS last_tx_order,
+             |  CAST(j AS INT) AS last_change_index,
              |  CAST((seq + t + j) % 3 AS INT) AS final_kind,
              |  (seq + t + j) % 3 = 2 AS deleted,
              |  CAST((seq + j) % 10 AS INT) AS entry_type,

@@ -269,7 +269,19 @@ object StellarTransforms {
     * final max: no window, no sort, no join. At 100 TB the combine runs
     * per input partition and only (key, 56-byte struct) rows shuffle. */
   def compactedChangesFromLcm(lcm: DataFrame): DataFrame =
-    ledgerChangesFromLcm(lcm)
+    compactChangeRows(ledgerChangesFromLcm(lcm))
+
+  /** Latest-per-key over an already-exploded change grain
+    * ([[ledgerChangesFromLcm]]'s column contract). Split out because the
+    * max-over-struct law is ASSOCIATIVE: per-shard (or per-micro-batch)
+    * winners re-compacted through this same function equal the global
+    * winner — the merge-tree shape an unbounded stream compaction uses,
+    * and the reason the batch plan gets a map-side partial combine for
+    * free. To re-compact winners, rename `last_sequence`/`last_tx_order`/
+    * `last_change_index`/`final_kind` back to the change-grain names
+    * (StreamingSpec does exactly this). */
+  def compactChangeRows(changes: DataFrame): DataFrame =
+    changes
       .groupBy(col("key_hash_hex"))
       .agg(max(struct(
         col("ledger_sequence"), col("tx_order"), col("change_index"),
@@ -278,6 +290,7 @@ object StellarTransforms {
         col("key_hash_hex"),
         col("last.ledger_sequence").as("last_sequence"),
         col("last.tx_order").as("last_tx_order"),
+        col("last.change_index").as("last_change_index"),
         col("last.kind").as("final_kind"),
         (col("last.kind") === 2).as("deleted"),
         col("last.entry_type").as("entry_type"),

@@ -251,6 +251,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == batch.count())
   }
 
+  test("wire changes stream: per-batch compaction merges to the batch result") {
+    // the unbounded latest-per-key compaction off the wire change grain:
+    // each micro-batch emits its own winners (one hash agg), and because
+    // the max-over-struct law is associative, re-compacting the per-batch
+    // winners equals the batch path over the whole directory — the
+    // merge-tree shape a 100 TB unbounded compaction runs
+    val dir = Files.createTempDirectory("graft-lcm-chg").toString
+    val out = Files.createTempDirectory("graft-lcm-chg-out").toString
+    val ckpt = Files.createTempDirectory("graft-lcm-chg-ckpt").toString
+    graft.sources.LcmWriter.writeFixture(dir, 3400, 3463)
+
+    val stream = spark.readStream.format("graft-lcm").load(dir)
+    val q = graft.operators.StellarTransforms.ledgerChangesFromLcm(stream)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.StellarTransforms.compactChangeRows(b)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    assert(spark.read.parquet(out).count() > 0)
+
+    // two more wire batch files land mid-stream
+    graft.sources.LcmWriter.writeFixture(dir, 3464, 3527)
+    q.processAllAvailable()
+    q.stop()
+
+    val perBatch = spark.read.parquet(out)
+    // at least two micro-batches actually contributed winners
+    assert(perBatch.select("batch_id").distinct().count() >= 2)
+    // winners renamed back to the change grain, re-compacted = batch path
+    val merged = graft.operators.StellarTransforms.compactChangeRows(
+      perBatch.select(
+        col("key_hash_hex"),
+        col("last_sequence").as("ledger_sequence"),
+        col("last_tx_order").as("tx_order"),
+        col("last_change_index").as("change_index"),
+        col("final_kind").as("kind"),
+        col("entry_type"), col("balance")))
+    val batch = graft.operators.StellarTransforms.compactedChangesFromLcm(
+      spark.read.format("graft-lcm").load(dir))
+    assert(merged.collect().map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet)
+  }
+
   test("wire-source streaming respects pushdown bounds through the stream") {
     // a bounded stream over a sequence window: .where on sequence reaches
     // the stream's reader clamp, same as the batch scan's file pruning
