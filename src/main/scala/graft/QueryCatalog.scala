@@ -2144,6 +2144,39 @@ object QueryCatalog {
               .where(col("sequence").between(2100, 2299)))
           .orderBy("id")),
 
+    Q("stellar_assets_from_lcm",
+      // P6/A2 composed over the wire source: asset mentions across the
+      // typed arms (single codes, path-payment pairs, offer pairs),
+      // deduped to the first-seen op TOID. DuckDB re-derives the per-arm
+      // mention lists from the fixture laws and takes min(toid)
+      Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
+             |o AS (SELECT seq, t, CAST((seq + t) % 27 AS INT) AS op_type,
+             |             ['XLM','USDC','EURC'] AS codes FROM tx),
+             |m AS (SELECT seq, t, unnest(CASE
+             |  WHEN op_type IN (1, 19) THEN [codes[CAST(seq % 3 + 1 AS INT)]]
+             |  WHEN op_type IN (6, 7, 14, 21)
+             |    THEN [codes[CAST((seq + t) % 3 + 1 AS INT)]]
+             |  WHEN op_type = 2 THEN [codes[CAST(seq % 3 + 1 AS INT)],
+             |                         codes[CAST((seq + 1) % 3 + 1 AS INT)]]
+             |  WHEN op_type = 13 THEN [codes[CAST((seq + 2) % 3 + 1 AS INT)],
+             |                          codes[CAST(seq % 3 + 1 AS INT)]]
+             |  WHEN op_type = 3 THEN [codes[CAST(seq % 3 + 1 AS INT)],
+             |                         codes[CAST((seq + 2) % 3 + 1 AS INT)]]
+             |  WHEN op_type = 4 THEN [codes[CAST(seq % 3 + 1 AS INT)],
+             |                         codes[CAST((seq + 1) % 3 + 1 AS INT)]]
+             |  WHEN op_type = 12 THEN [codes[CAST((seq + 1) % 3 + 1 AS INT)],
+             |                          codes[CAST(seq % 3 + 1 AS INT)]]
+             |  ELSE [] END) AS asset_code FROM o)
+             |SELECT asset_code,
+             |       min((seq << 32) | ((t + 1) << 12) | 1) AS first_seen_id
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        StellarTransforms.historyAssetsFromLcm(
+            s.read.format("graft-lcm").load(lcmFixtureDir)
+              .where(col("sequence").between(2100, 2299)))
+          .orderBy("asset_code")),
+
     Q("src_lcm_change_decode",
       // the change grain composed over the wire source: per-op
       // LedgerEntryChanges (TransactionMeta grain) exploded to one row per

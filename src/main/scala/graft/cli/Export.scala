@@ -13,6 +13,9 @@ import graft.sources.StellarFixture
   *     --start 1000 --end 1099 --output /tmp/out \
   *     [--format ndjson|parquet] [--limit N] [--extra-fields k=v,k2=v2]
   *     [--input <parquet dir of decoded LedgerRow>]  (default: fixture)
+  *     [--wire-input <dir of .lcmb wire batch files>]  (runs the command
+  *       off the graft-lcm DSv2 source — ledgers, transactions,
+  *       operations, assets and ledger_entry_changes)
   *
   * Commands: export_ledgers, export_transactions, export_operations,
   * export_effects, export_trades, export_assets, export_token_transfers,
@@ -35,6 +38,7 @@ object Export {
       command: String = "",
       start: Long = 0, end: Long = 0,
       output: String = "", input: Option[String] = None,
+      wireInput: Option[String] = None,
       format: String = "ndjson",
       limit: Long = -1,
       extraFields: Map[String, String] = Map.empty,
@@ -51,6 +55,7 @@ object Export {
       case "--end" :: v :: t => loop(a.copy(end = v.toLong), t)
       case ("--output" | "-o") :: v :: t => loop(a.copy(output = v), t)
       case "--input" :: v :: t => loop(a.copy(input = Some(v)), t)
+      case "--wire-input" :: v :: t => loop(a.copy(wireInput = Some(v)), t)
       case "--format" :: v :: t => loop(a.copy(format = v), t)
       case ("--limit" | "-l") :: v :: t => loop(a.copy(limit = v.toLong), t)
       case "--export-type" :: v :: t => loop(a.copy(exportType = v), t)
@@ -120,6 +125,32 @@ object Export {
     * a shared session without `spark.stop()` tearing it down. */
   def run(spark: SparkSession, a: Args): Unit = {
     import spark.implicits._
+
+    // --wire-input <dir of .lcmb batch files>: run the command directly
+    // off the wire format through the DSv2 source — the reference's real
+    // substrate (its commands read LedgerCloseMeta from the datastore,
+    // `internal/input/transactions.go:23-71`). The sequence-range filter
+    // is consumed by the scan's file pruning.
+    if (a.wireInput.isDefined) {
+      val lcm = spark.read.format("graft-lcm").load(a.wireInput.get)
+        .where(col("sequence").between(a.start, a.end))
+      a.command match {
+        case "export_ledgers" =>
+          sink(StellarTransforms.historyLedgersFromLcm(lcm), a)
+        case "export_transactions" =>
+          sink(StellarTransforms.historyTransactionsFromLcm(lcm), a)
+        case "export_operations" =>
+          sink(StellarTransforms.historyOperationsFromLcm(lcm), a)
+        case "export_assets" =>
+          sink(StellarTransforms.historyAssetsFromLcm(lcm), a)
+        case "export_ledger_entry_changes" =>
+          sink(StellarTransforms.ledgerChangesFromLcm(lcm), a)
+        case other => sys.error(
+          s"--wire-input supports export_ledgers/transactions/operations/" +
+            s"assets/ledger_entry_changes, not $other")
+      }
+      return
+    }
 
     a.command match {
       case "export_ledgers" =>

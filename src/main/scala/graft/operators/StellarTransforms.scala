@@ -225,6 +225,28 @@ object StellarTransforms {
         col("tx.op_contract_id_hex").as("contract_id_hex"),
         col("tx.op_extend_to").as("extend_to"))
 
+  /** P6/A2 composed over the wire source: every asset mentioned by a
+    * typed asset-bearing `Operation.body` arm (payment/trust/clawback
+    * codes, path-payment send+dest pairs, the offer selling+buying pairs),
+    * deduped to its first-seen operation TOID — the same
+    * keep-lowest-order law as the fixture-path P6
+    * (`internal/input/assets.go:42`, `cmd/export_assets.go:39-58`).
+    * Stack-the-columns + explode keeps the mention extraction map-only;
+    * the dedup is one min_by hash aggregate (map-side combinable). */
+  def historyAssetsFromLcm(lcm: DataFrame): DataFrame = {
+    val mentions = historyOperationsFromLcm(lcm)
+      .select(col("id"),
+        explode(array(
+          col("asset_code"), col("send_asset_code"),
+          col("dest_asset_code"), col("selling_asset_code"),
+          col("buying_asset_code"))).as("asset_code"))
+      .where(col("asset_code").isNotNull)
+      .select(col("asset_code"), col("id"))
+    HistoryOps.dedupFirstSeen(mentions, idCol = "asset_code",
+        orderCol = "id")
+      .withColumnRenamed("id", "first_seen_id")
+  }
+
   /** The 10-arm `LedgerEntryType` enum, XDR discriminant order
     * (`Stellar-ledger-entries.x`). */
   val ledgerEntryTypeNames: Map[Int, String] = Map(

@@ -126,4 +126,42 @@ class CliExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(out.toString("UTF-8").trim == """{"start":null,"end":null}""")
   }
+
+  test("--wire-input runs supported commands off the .lcmb wire source") {
+    val wire = tmpDir("wire-in")
+    graft.sources.LcmWriter.writeFixture(wire, 5000, 5127)
+
+    // export_transactions off the wire: sink parity with the transform
+    val outTx = tmpDir("wire-tx")
+    Export.run(spark, Export.parse(Array(
+      "export_transactions", "--start", "5010", "--end", "5030",
+      "--wire-input", wire, "--output", outTx, "--format", "parquet")))
+    val sunk = spark.read.parquet(outTx)
+    val direct = graft.operators.StellarTransforms.historyTransactionsFromLcm(
+      spark.read.format("graft-lcm").load(wire)
+        .where(org.apache.spark.sql.functions.col("sequence")
+          .between(5010, 5030)))
+    assert(sunk.count() == direct.count() && sunk.count() > 0)
+    assert(sunk.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+
+    // the change grain exports too, and respects the range bound
+    val outCh = tmpDir("wire-ch")
+    Export.run(spark, Export.parse(Array(
+      "export_ledger_entry_changes", "--start", "5010", "--end", "5030",
+      "--wire-input", wire, "--output", outCh, "--format", "ndjson")))
+    val ch = spark.read.json(outCh)
+    assert(ch.count() > 0)
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val r = ch.agg(fmin("ledger_sequence"), fmax("ledger_sequence")).head()
+    assert(r.getLong(0) >= 5010L && r.getLong(1) <= 5030L)
+
+    // unsupported command under --wire-input fails loudly
+    val err = intercept[RuntimeException] {
+      Export.run(spark, Export.parse(Array(
+        "export_trades", "--start", "5010", "--end", "5030",
+        "--wire-input", wire, "--output", tmpDir("wire-bad"))))
+    }
+    assert(err.getMessage.contains("--wire-input supports"))
+  }
 }
