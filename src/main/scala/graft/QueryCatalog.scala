@@ -2177,6 +2177,42 @@ object QueryCatalog {
               .where(col("sequence").between(2100, 2299)))
           .orderBy("asset_code")),
 
+    Q("stellar_trades_from_lcm",
+      // P5 composed over the wire at claim-atom grain: RESULT atoms on
+      // the trade-shaped arms of successful txs, orderbook/LP tagged,
+      // bought/sold ratio price (the reference's fallback law). DuckDB
+      // re-derives every affine atom law per (seq, t, j)
+      Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
+             |o AS (SELECT seq, t, ['XLM','USDC','EURC'] AS codes FROM tx
+             |      WHERE t % 3 <> 0
+             |        AND CAST((seq + t) % 27 AS INT) IN (2, 3, 12, 13)),
+             |a AS (SELECT seq, t, codes,
+             |             unnest(generate_series(0, (seq + t) % 2)) AS j
+             |      FROM o)
+             |SELECT (seq << 32) | ((t + 1) << 12) | 1 AS operation_id,
+             |  CAST(j AS INT) AS "order",
+             |  seq AS ledger_sequence,
+             |  CASE WHEN (seq + t + j) % 4 = 0 THEN 2 ELSE 1 END AS trade_type,
+             |  sha256('se-' || seq || '-' || t || '-' || j)
+             |    AS seller_or_pool_hex,
+             |  CASE WHEN (seq + t + j) % 4 <> 0
+             |       THEN seq * 100 + t * 10 + j END AS offer_id,
+             |  codes[CAST((seq + j) % 3 + 1 AS INT)] AS selling_asset_code,
+             |  CAST(500000 * (t + 1) + seq % 43 + j AS BIGINT)
+             |    AS selling_amount,
+             |  codes[CAST((seq + j + 1) % 3 + 1 AS INT)] AS buying_asset_code,
+             |  CAST(600000 * (t + 1) + seq % 47 + j AS BIGINT)
+             |    AS buying_amount,
+             |  CAST(600000 * (t + 1) + seq % 47 + j AS DOUBLE)
+             |    / (500000 * (t + 1) + seq % 43 + j) AS price
+             |FROM a ORDER BY operation_id, "order"""".stripMargin),
+      (s, dir) =>
+        StellarTransforms.historyTradesFromLcm(
+            s.read.format("graft-lcm").load(lcmFixtureDir)
+              .where(col("sequence").between(2100, 2299)))
+          .orderBy("operation_id", "order")),
+
     Q("src_lcm_change_decode",
       // the change grain composed over the wire source: per-op
       // LedgerEntryChanges (TransactionMeta grain) exploded to one row per

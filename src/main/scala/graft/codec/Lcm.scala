@@ -142,6 +142,13 @@ import java.nio.charset.StandardCharsets
   *       opaque keyHash[32]        // ledger-key fingerprint
   *       uint32 lastModified ‖ hyper balance
   *     }
+  *     uint32 nClaimAtoms          // per-op RESULT ClaimAtoms
+  *     nClaimAtoms × {             // (history_trades grain)
+  *       int opIndex ‖ int atomType    // 0 orderbook | 1 liquidity pool
+  *       opaque sellerOrPoolId[32] ‖ hyper offerId   // 0 for LP
+  *       string soldCode<12> ‖ hyper soldAmount
+  *       string boughtCode<12> ‖ hyper boughtAmount
+  *     }
   * }}}
   *
   * Batch files (`{start}-{end}.lcmb`) are a stream of `uint32 len ‖ frame`
@@ -535,13 +542,37 @@ object Lcm {
       "lastModified is uint32")
   }
 
+  /** One `ClaimAtom` from the per-op RESULT — the grain the reference's
+    * `history_trades` rows come from (`internal/transform/trade.go:44-84`
+    * reads ClaimOfferAtom/ClaimLiquidityAtom out of the operation result,
+    * not the envelope): the crossed offer's seller + offer id (orderbook
+    * arm) or the pool id (LP arm, offerId 0), and the sold/bought asset
+    * amounts the fallback price law divides (`trade.go:85-114`). */
+  case class WireClaimAtom(opIndex: Int, isPool: Boolean,
+      sellerOrPoolId: Seq[Byte], offerId: Long,
+      soldCode: String, soldAmount: Long,
+      boughtCode: String, boughtAmount: Long) {
+    require(opIndex >= 0, "op index is non-negative")
+    require(sellerOrPoolId.size == 32, "seller/pool id is opaque[32]")
+    require(!isPool || offerId == 0L, "LP atoms carry no offer id")
+    require(offerId >= 0L, "offer id is non-negative")
+    require(soldCode.getBytes(StandardCharsets.UTF_8).length <= 12 &&
+      boughtCode.getBytes(StandardCharsets.UTF_8).length <= 12,
+      "asset codes are string<12>")
+    require(soldAmount >= 0 && boughtAmount >= 0,
+      "claimed amounts are non-negative")
+  }
+
   case class Tx(feeCharged: Long, resultCode: Int, ops: Seq[Op],
       memo: Memo = MemoNone, cond: Precond = PrecondNone,
       feeBump: Option[FeeBump] = None,
       sorobanMeta: Option[SorobanMeta] = None,
-      changes: Seq[WireChange] = Nil) {
+      changes: Seq[WireChange] = Nil,
+      claimAtoms: Seq[WireClaimAtom] = Nil) {
     require(changes.forall(_.opIndex < ops.size),
       "every change must be attributed to an operation of this transaction")
+    require(claimAtoms.forall(_.opIndex < ops.size),
+      "every claim atom must be attributed to an operation of this transaction")
     /** txSUCCESS and txFEE_BUMP_INNER_SUCCESS both count as applied. */
     def successful: Boolean = resultCode >= 0
   }
@@ -858,6 +889,17 @@ object Lcm {
         out.writeInt(c.lastModified.toInt)
         out.writeLong(c.balance)
       }
+      out.writeInt(t.claimAtoms.size)
+      t.claimAtoms.foreach { ca =>
+        out.writeInt(ca.opIndex)
+        out.writeInt(if (ca.isPool) 1 else 0)
+        out.write(ca.sellerOrPoolId.toArray)
+        out.writeLong(ca.offerId)
+        writeXdrString(out, ca.soldCode)
+        out.writeLong(ca.soldAmount)
+        writeXdrString(out, ca.boughtCode)
+        out.writeLong(ca.boughtAmount)
+      }
     }
     bos.toByteArray
   }
@@ -1069,7 +1111,13 @@ object Lcm {
         WireChange(buf.getInt, buf.getInt, buf.getInt, readOpaque32(buf),
           buf.getInt.toLong & 0xFFFFFFFFL, buf.getLong)
       }
-      Tx(fee, rc, ops, memo, cond, feeBump, soroban, changes)
+      val nAtoms = buf.getInt
+      val atoms = (0 until nAtoms).map { _ =>
+        WireClaimAtom(buf.getInt, buf.getInt == 1, readOpaque32(buf),
+          buf.getLong, readXdrString(buf), buf.getLong,
+          readXdrString(buf), buf.getLong)
+      }
+      Tx(fee, rc, ops, memo, cond, feeBump, soroban, changes, atoms)
     }
   }
 

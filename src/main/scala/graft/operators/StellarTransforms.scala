@@ -247,6 +247,35 @@ object StellarTransforms {
       .withColumnRenamed("id", "first_seen_id")
   }
 
+  /** P5 composed over the wire source at claim-atom grain: trades come
+    * from the per-op RESULT ClaimAtoms the wire carries
+    * (`internal/transform/trade.go:44-84`), successful transactions only
+    * (F3). The price is the bought/sold amount ratio — the reference's
+    * fallback law when no pre-state offer is in scope
+    * (`trade.go:85-114`); the full pre-state pricing lives with the
+    * fixture-path [[StellarTradesEffects.historyTrades]]. Map-only:
+    * two stacked posexplodes, range consumed by the scan. */
+  def historyTradesFromLcm(lcm: DataFrame): DataFrame =
+    lcm.select(col("sequence"),
+        posexplode(col("transactions")).as(Seq("pos", "tx")))
+      .where(col("tx.successful"))
+      .select(col("sequence"), col("pos"),
+        posexplode(col("tx.claim_atoms")).as(Seq("atom_pos", "a")))
+      .select(
+        operationToid(col("sequence"), col("pos") + 1, lit(0L))
+          .as("operation_id"),
+        col("atom_pos").cast("int").as("order"),
+        col("sequence").as("ledger_sequence"),
+        when(col("a.is_pool"), 2).otherwise(1).as("trade_type"),
+        col("a.seller_or_pool_hex").as("seller_or_pool_hex"),
+        when(!col("a.is_pool"), col("a.offer_id")).as("offer_id"),
+        col("a.sold_code").as("selling_asset_code"),
+        col("a.sold_amount").as("selling_amount"),
+        col("a.bought_code").as("buying_asset_code"),
+        col("a.bought_amount").as("buying_amount"),
+        (col("a.bought_amount").cast("double") / col("a.sold_amount"))
+          .as("price"))
+
   /** The 10-arm `LedgerEntryType` enum, XDR discriminant order
     * (`Stellar-ledger-entries.x`). */
   val ledgerEntryTypeNames: Map[Int, String] = Map(

@@ -56,6 +56,17 @@ object LcmDataSource {
     StructField("last_modified", LongType, nullable = false),
     StructField("balance", LongType, nullable = false)))
 
+  /** One RESULT claim atom ([[graft.codec.Lcm.WireClaimAtom]]). */
+  val ClaimAtomSchema: StructType = StructType(Seq(
+    StructField("op_index", IntegerType, nullable = false),
+    StructField("is_pool", BooleanType, nullable = false),
+    StructField("seller_or_pool_hex", StringType, nullable = false),
+    StructField("offer_id", LongType, nullable = false),
+    StructField("sold_code", StringType, nullable = false),
+    StructField("sold_amount", LongType, nullable = false),
+    StructField("bought_code", StringType, nullable = false),
+    StructField("bought_amount", LongType, nullable = false)))
+
   val TxSchema: StructType = StructType(Seq(
     StructField("fee_charged", LongType, nullable = false),
     StructField("successful", BooleanType, nullable = false),
@@ -172,6 +183,9 @@ object LcmDataSource {
     // the per-op LedgerEntryChanges subset (TransactionMeta grain): the
     // substrate the reference's change pipeline reads off LedgerCloseMeta
     StructField("changes", ArrayType(ChangeSchema, containsNull = false),
+      nullable = false),
+    // per-op RESULT ClaimAtoms — the history_trades grain
+    StructField("claim_atoms", ArrayType(ClaimAtomSchema, containsNull = false),
       nullable = false)))
 
   val Schema: StructType = StructType(Seq(
@@ -656,7 +670,12 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                 new GenericArrayData(t.changes.map(c =>
                   new GenericInternalRow(Array[Any](
                     c.kind, c.entryType, c.opIndex, hex(c.keyHash),
-                    c.lastModified, c.balance))).toArray[Any])))
+                    c.lastModified, c.balance))).toArray[Any]),
+                new GenericArrayData(t.claimAtoms.map(ca =>
+                  new GenericInternalRow(Array[Any](
+                    ca.opIndex, ca.isPool, hex(ca.sellerOrPoolId),
+                    ca.offerId, utf8(ca.soldCode), ca.soldAmount,
+                    utf8(ca.boughtCode), ca.boughtAmount))).toArray[Any])))
               i += 1
             }
             new GenericArrayData(rows): Any
@@ -866,9 +885,25 @@ object LcmWriter {
           lastModified = seq,
           balance = 1000000L + seq * 3 + t * 17 + j * 29)
       }
+      // RESULT claim atoms ride only the trade-shaped arms (both path
+      // payments + both manage offers), 1-2 per op; every fourth atom is
+      // the LP arm (offerId 0). All laws affine in (seq, t, j)
+      val claimAtoms =
+        if (!Seq(2, 3, 12, 13).contains(opType)) Nil
+        else (0 until (1 + ((seq + t) % 2)).toInt).map { j =>
+          val pool = (seq + t + j) % 4 == 0
+          Lcm.WireClaimAtom(
+            opIndex = 0, isPool = pool,
+            sellerOrPoolId = sha(s"se-$seq-$t-$j"),
+            offerId = if (pool) 0L else seq * 100 + t * 10 + j,
+            soldCode = codes(((seq + j) % 3).toInt),
+            soldAmount = 500000L * (t + 1) + seq % 43 + j,
+            boughtCode = codes(((seq + j + 1) % 3).toInt),
+            boughtAmount = 600000L * (t + 1) + seq % 47 + j)
+        }
       Lcm.Tx(100L * (t + 1), rc,
         Seq(Lcm.Op(opType, 1000000L * (t + 1), opDetail)),
-        memo, cond, feeBump, soroban, changes)
+        memo, cond, feeBump, soroban, changes, claimAtoms)
     }
   }
 

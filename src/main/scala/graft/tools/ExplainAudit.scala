@@ -101,6 +101,12 @@ object ExplainAudit {
         Seq("Generate posexplode", "BatchScan graft-lcm"),
         Seq(">= 2100", "<= 2299",
           "Exchange hashpartitioning", "SortMergeJoin")),
+      // trades over the wire (claim-atom grain): map-only through both
+      // explodes, range consumed by the scan
+      ("stellar_trades_from_lcm",
+        Seq("Generate posexplode", "BatchScan graft-lcm"),
+        Seq(">= 2100", "<= 2299",
+          "Exchange hashpartitioning", "SortMergeJoin")),
       // change grain over the wire: two stacked explodes, still map-only
       // with the range consumed by the scan's file pruning
       ("src_lcm_change_decode",

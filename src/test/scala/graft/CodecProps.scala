@@ -264,11 +264,20 @@ object CodecProps extends Properties("codec") {
   private def changeGen(nOps: Int): Gen[Lcm.WireChange] = for {
     k <- Gen.chooseNum(0, 2)
     et <- Gen.chooseNum(0, 9)
-    oi <- Gen.chooseNum(0, nOps - 1)
+    oi <- Gen.chooseNum(0, math.max(nOps - 1, 0))
     kh <- b32
     lm <- u32
     bal <- nonNeg
   } yield Lcm.WireChange(k, et, oi, kh, lm, bal)
+
+  private def claimAtomGen(nOps: Int): Gen[Lcm.WireClaimAtom] = for {
+    oi <- Gen.chooseNum(0, math.max(nOps - 1, 0))
+    pool <- Gen.oneOf(true, false)
+    id <- b32
+    offerId <- if (pool) Gen.const(0L) else nonNeg
+    sc <- codeGen; sa <- nonNeg
+    bc <- codeGen; ba <- nonNeg
+  } yield Lcm.WireClaimAtom(oi, pool, id, offerId, sc, sa, bc, ba)
 
   private val txGen: Gen[Lcm.Tx] = for {
     fee <- nonNeg
@@ -282,7 +291,9 @@ object CodecProps extends Properties("codec") {
       yield Lcm.SorobanMeta(a, b, c))
     nCh <- if (n == 0) Gen.const(0) else Gen.chooseNum(0, 3)
     chs <- Gen.listOfN(nCh, changeGen(n))
-  } yield Lcm.Tx(fee, rc, ops, memo, cond, fb, sm, chs)
+    nCa <- if (n == 0) Gen.const(0) else Gen.chooseNum(0, 2)
+    cas <- Gen.listOfN(nCa, claimAtomGen(n))
+  } yield Lcm.Tx(fee, rc, ops, memo, cond, fb, sm, chs, cas)
 
   private val headerGen: Gen[Lcm.HeaderInfo] = for {
     pv <- Gen.chooseNum(0, Int.MaxValue)

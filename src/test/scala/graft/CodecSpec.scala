@@ -308,16 +308,16 @@ class CodecSpec extends AnyFunSuite {
     // version ‖ uint32 seq ‖ uint64 closeTimeMs ‖ nTx ‖ per tx:
     // envType(TX=2) ‖ memo tag ‖ cond tag ‖ resultCode (signed) ‖
     // hyper fee ‖ soroban-ext bool(0) ‖ nOps ‖ per op: opType ‖ hyper
-    // amount ‖ nChanges(0)
+    // amount ‖ nChanges(0) ‖ nClaimAtoms(0)
     assert(hexStr(bytes) ==
       "00000002" + "00000800" + "0000018bcfe56800" + "00000002" +
         "00000002" + "00000000" + "00000000" +
         "00000000" + "0000000000000064" + "00000000" + "00000001" +
-        "00000009" + "00000000000f4240" + "00000000" +
+        "00000009" + "00000000000f4240" + "00000000" + "00000000" +
         "00000002" + "00000000" + "00000000" +
         "ffffffff" + "00000000000000c8" + "00000000" + "00000002" +
         "00000011" + "0000000000000007" +
-        "0000001a" + "000000000000002a" + "00000000")
+        "0000001a" + "000000000000002a" + "00000000" + "00000000")
     assert(decode(bytes) == f)
 
     // Operation.body typed arms: CREATE_ACCOUNT carries the destination,
@@ -515,6 +515,33 @@ class CodecSpec extends AnyFunSuite {
         hx(fill(0x21)) + "00000800" + "00000000004c4b40" +
         "00000002" + "00000009" + "00000000" +   // REMOVED ttl op 0
         hx(fill(0x22)) + "00000007" + "0000000000000000"))
+
+    // RESULT claim atoms (history_trades grain): orderbook arm carries the
+    // crossed offer, LP arm the pool id with offerId 0
+    val atomTx = Tx(11L, TxSuccess, Seq(Op(9, 1L)), claimAtoms = Seq(
+      WireClaimAtom(0, isPool = false, fill(0x31), 4242L,
+        "XLM", 500L, "USDC", 700L),
+      WireClaimAtom(0, isPool = true, fill(0x32), 0L,
+        "EURC", 80L, "XLM", 90L)))
+    val atomBytes = encode(Frame(41L, 2L, Seq(atomTx)))
+    assert(decode(atomBytes).txs.head == atomTx)
+    assert(hexStr(atomBytes).contains(
+      "00000002" +                               // nClaimAtoms
+        "00000000" + "00000000" + hx(fill(0x31)) + // op 0, orderbook
+        "0000000000001092" +                     // offerId 4242
+        "00000003" + "584c4d00" + "00000000000001f4" + // XLM ‖ 500
+        "00000004" + "55534443" + "00000000000002bc" + // USDC ‖ 700
+        "00000000" + "00000001" + hx(fill(0x32)) + // op 0, LP
+        "0000000000000000" +
+        "00000004" + "45555243" + "0000000000000050" + // EURC ‖ 80
+        "00000003" + "584c4d00" + "000000000000005a")) // XLM ‖ 90
+    intercept[IllegalArgumentException](                // LP with offer id
+      WireClaimAtom(0, isPool = true, fill(1), 7L, "A", 1L, "B", 1L))
+    intercept[IllegalArgumentException](                // bad id width
+      WireClaimAtom(0, isPool = false, fill(1).take(3), 7L, "A", 1L, "B", 1L))
+    intercept[IllegalArgumentException](                // unattributable
+      Tx(1L, TxSuccess, Seq.empty, claimAtoms = Seq(
+        WireClaimAtom(0, isPool = false, fill(1), 7L, "A", 1L, "B", 1L))))
 
     // structural refusals: enum bounds, fingerprint width, op attribution
     intercept[IllegalArgumentException](WireChange(3, 0, 0, fill(1), 1L, 0L))
