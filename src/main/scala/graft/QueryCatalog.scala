@@ -1920,6 +1920,8 @@ object QueryCatalog {
              |  CAST(CASE WHEN t % 3 = 0 THEN -(1 + (seq + t) % 17)
              |       WHEN t % 4 = 1 THEN 1
              |       ELSE 0 END AS INT) AS transaction_result_code,
+             |  sha256('src-' || seq || '-' || t) AS account_hex,
+             |  CASE WHEN t % 3 = 1 THEN seq * 1000 + t END AS account_muxed_id,
              |  ['MemoTypeMemoNone','MemoTypeMemoText','MemoTypeMemoId',
              |   'MemoTypeMemoHash','MemoTypeMemoReturn'][CAST(t + 1 AS INT)]
              |    AS memo_type,
@@ -2176,6 +2178,40 @@ object QueryCatalog {
             s.read.format("graft-lcm").load(lcmFixtureDir)
               .where(col("sequence").between(2100, 2299)))
           .orderBy("asset_code")),
+
+    Q("stellar_transfers_from_lcm",
+      // P19-shaped transfer events over the wire: payment-family ops of
+      // successful txs, envelope source → op destination, strict-send
+      // delivering the RESULT amount. DuckDB re-derives the laws
+      Some("""WITH ls AS (SELECT unnest(generate_series(2300, 2499)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
+             |o AS (SELECT seq, t, CAST((seq + t) % 27 AS INT) AS op_type,
+             |             ['XLM','USDC','EURC'] AS codes FROM tx
+             |      WHERE t % 3 <> 0
+             |        AND CAST((seq + t) % 27 AS INT) IN (0, 1, 2, 13))
+             |SELECT (seq << 32) | ((t + 1) << 12) | 1 AS operation_id,
+             |  seq AS ledger_sequence,
+             |  ['create_account','payment','path_payment_strict_receive',
+             |   'path_payment_strict_send']
+             |    [CASE op_type WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+             |     ELSE 4 END] AS transfer_type,
+             |  sha256('src-' || seq || '-' || t) AS from_hex,
+             |  CASE WHEN t % 3 = 1 THEN seq * 1000 + t END AS from_muxed_id,
+             |  sha256('dst-' || seq || '-' || t) AS to_hex,
+             |  CASE WHEN op_type = 1 THEN codes[CAST(seq % 3 + 1 AS INT)]
+             |       WHEN op_type = 2 THEN codes[CAST((seq + 1) % 3 + 1 AS INT)]
+             |       WHEN op_type = 13 THEN codes[CAST(seq % 3 + 1 AS INT)]
+             |       END AS asset_code,
+             |  CASE WHEN op_type = 13
+             |       THEN CAST(900000 * (t + 1) + seq % 59 AS BIGINT)
+             |       ELSE CAST(1000000 * (t + 1) AS BIGINT)
+             |       END AS amount_stroops
+             |FROM o ORDER BY operation_id""".stripMargin),
+      (s, dir) =>
+        StellarTransforms.tokenTransfersFromLcm(
+            s.read.format("graft-lcm").load(lcmFixtureDir)
+              .where(col("sequence").between(2300, 2499)))
+          .orderBy("operation_id")),
 
     Q("stellar_trades_from_lcm",
       // P5 composed over the wire at claim-atom grain: RESULT atoms on

@@ -49,6 +49,10 @@ import java.nio.charset.StandardCharsets
   *     [envType == 5]:   // the fee-bump shell wrapping the inner tx
   *       opaque feeSource[32]
   *       hyper  feeBumpFee
+  *     sourceAccount:    // MuxedAccount union: ED25519(0) |
+  *       int muxTag      //   MUXED_ED25519(1: hyper subAccountId first)
+  *       [muxTag == 1]: hyper muxedId
+  *       opaque sourceKey[32]
   *     memo union:       // MEMO_NONE(0) | TEXT(1: string<28>) | ID(2: u64)
   *       int tag         // | HASH(3: opaque[32]) | RETURN(4: opaque[32])
   *     cond union:       // PRECOND_NONE(0) | TIME(1: u64 min,max)
@@ -563,12 +567,19 @@ object Lcm {
       "claimed amounts are non-negative")
   }
 
+  /** The all-zero ed25519 key — the default `Tx.sourceKey` for fixtures
+    * and tests that predate the source-account column. */
+  val ZeroKey: Seq[Byte] = Seq.fill[Byte](32)(0)
+
   case class Tx(feeCharged: Long, resultCode: Int, ops: Seq[Op],
       memo: Memo = MemoNone, cond: Precond = PrecondNone,
       feeBump: Option[FeeBump] = None,
       sorobanMeta: Option[SorobanMeta] = None,
       changes: Seq[WireChange] = Nil,
-      claimAtoms: Seq[WireClaimAtom] = Nil) {
+      claimAtoms: Seq[WireClaimAtom] = Nil,
+      sourceKey: Seq[Byte] = ZeroKey,
+      sourceMuxedId: Option[Long] = None) {
+    require(sourceKey.size == 32, "source key is opaque[32]")
     require(changes.forall(_.opIndex < ops.size),
       "every change must be attributed to an operation of this transaction")
     require(claimAtoms.forall(_.opIndex < ops.size),
@@ -694,6 +705,13 @@ object Lcm {
           out.writeLong(fb.fee)
         case None => out.writeInt(EnvTx)
       }
+      // inner-envelope sourceAccount (MuxedAccount union): the muxed arm
+      // carries the uint64 sub-account id before the ed25519 key
+      t.sourceMuxedId match {
+        case Some(id) => out.writeInt(1); out.writeLong(id)
+        case None => out.writeInt(0)
+      }
+      out.write(t.sourceKey.toArray)
       t.memo match {
         case MemoNone => out.writeInt(0)
         case MemoText(s) =>
@@ -973,6 +991,13 @@ object Lcm {
         case other => throw new IllegalArgumentException(
           s"unsupported envelope type $other")
       }
+      val sourceMuxedId = buf.getInt match {
+        case 1 => Some(buf.getLong)
+        case 0 => None
+        case other => throw new IllegalArgumentException(
+          s"bad muxed-account tag $other")
+      }
+      val sourceKey = readOpaque32(buf)
       val memo = buf.getInt match {
         case 0 => MemoNone
         case 1 => MemoText(readXdrString(buf))
@@ -1117,7 +1142,8 @@ object Lcm {
           buf.getLong, readXdrString(buf), buf.getLong,
           readXdrString(buf), buf.getLong)
       }
-      Tx(fee, rc, ops, memo, cond, feeBump, soroban, changes, atoms)
+      Tx(fee, rc, ops, memo, cond, feeBump, soroban, changes, atoms,
+        sourceKey, sourceMuxedId)
     }
   }
 

@@ -121,6 +121,11 @@ object StellarTransforms {
       col("tx.fee_charged").as("fee_charged"),
       col("tx.successful").as("successful"),
       col("tx.result_code").as("transaction_result_code"),
+      // the envelope source account: hex key + the muxed arm's sub-id
+      // (the reference's account / account_muxed pair,
+      // `transaction.go:61-77`)
+      col("tx.source_account_hex").as("account_hex"),
+      col("tx.source_muxed_id").as("account_muxed_id"),
       element_at(memoTypeName, col("tx.memo_type")).as("memo_type"),
       coalesce(
         col("tx.memo_text"),
@@ -246,6 +251,32 @@ object StellarTransforms {
         orderCol = "id")
       .withColumnRenamed("id", "first_seen_id")
   }
+
+  /** P19-shaped transfer events composed over the wire source: the
+    * payment family (CREATE_ACCOUNT starting balances, PAYMENT, both
+    * path-payment arms) of successful transactions, from the envelope
+    * source account to the op destination. The delivered amount follows
+    * the reference's law: strict-send delivers the RESULT amount, the
+    * others the envelope amount (`token_transfer` payment events;
+    * strict-receive fixes destAmount so the envelope amount IS the
+    * delivery). A null asset_code is native XLM. Map-only. */
+  def tokenTransfersFromLcm(lcm: DataFrame): DataFrame =
+    lcm.select(col("sequence"),
+        posexplode(col("transactions")).as(Seq("pos", "tx")))
+      .where(col("tx.successful") && col("tx.op_type").isin(0, 1, 2, 13))
+      .select(
+        operationToid(col("sequence"), col("pos") + 1, lit(0L))
+          .as("operation_id"),
+        col("sequence").as("ledger_sequence"),
+        element_at(opTypeNameCol, col("tx.op_type")).as("transfer_type"),
+        col("tx.source_account_hex").as("from_hex"),
+        col("tx.source_muxed_id").as("from_muxed_id"),
+        col("tx.op_destination_hex").as("to_hex"),
+        when(col("tx.op_type") === 1, col("tx.op_asset_code"))
+          .when(col("tx.op_type").isin(2, 13), col("tx.op_dest_asset_code"))
+          .as("asset_code"),
+        when(col("tx.op_type") === 13, col("tx.op_result_amount"))
+          .otherwise(col("tx.amount")).as("amount_stroops"))
 
   /** P5 composed over the wire source at claim-atom grain: trades come
     * from the per-op RESULT ClaimAtoms the wire carries

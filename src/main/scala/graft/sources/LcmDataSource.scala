@@ -180,6 +180,10 @@ object LcmDataSource {
     StructField("soroban_fee_nonrefundable", LongType, nullable = true),
     StructField("soroban_fee_refundable", LongType, nullable = true),
     StructField("soroban_fee_rent", LongType, nullable = true),
+    // inner-envelope sourceAccount (MuxedAccount union): the ed25519 key
+    // and, for the muxed arm, the uint64 sub-account id
+    StructField("source_account_hex", StringType, nullable = false),
+    StructField("source_muxed_id", LongType, nullable = true),
     // the per-op LedgerEntryChanges subset (TransactionMeta grain): the
     // substrate the reference's change pipeline reads off LedgerCloseMeta
     StructField("changes", ArrayType(ChangeSchema, containsNull = false),
@@ -667,6 +671,8 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                 t.sorobanMeta.map(m => Long.box(m.nonRefundableFeeCharged)).orNull,
                 t.sorobanMeta.map(m => Long.box(m.refundableFeeCharged)).orNull,
                 t.sorobanMeta.map(m => Long.box(m.rentFeeCharged)).orNull,
+                hex(t.sourceKey),
+                t.sourceMuxedId.map(Long.box).orNull,
                 new GenericArrayData(t.changes.map(c =>
                   new GenericInternalRow(Array[Any](
                     c.kind, c.entryType, c.opIndex, hex(c.keyHash),
@@ -903,7 +909,11 @@ object LcmWriter {
         }
       Lcm.Tx(100L * (t + 1), rc,
         Seq(Lcm.Op(opType, 1000000L * (t + 1), opDetail)),
-        memo, cond, feeBump, soroban, changes, claimAtoms)
+        memo, cond, feeBump, soroban, changes, claimAtoms,
+        // sourceAccount laws: key hashes (seq, t); every third tx in a
+        // ledger uses the muxed arm with an affine sub-account id
+        sourceKey = sha(s"src-$seq-$t"),
+        sourceMuxedId = if (t % 3 == 1) Some(seq * 1000 + t) else None)
     }
   }
 

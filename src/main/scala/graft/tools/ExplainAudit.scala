@@ -101,6 +101,12 @@ object ExplainAudit {
         Seq("Generate posexplode", "BatchScan graft-lcm"),
         Seq(">= 2100", "<= 2299",
           "Exchange hashpartitioning", "SortMergeJoin")),
+      // transfer events over the wire: payment-family filter is intra-row,
+      // the whole transform map-only
+      ("stellar_transfers_from_lcm",
+        Seq("Generate posexplode", "BatchScan graft-lcm"),
+        Seq(">= 2300", "<= 2499",
+          "Exchange hashpartitioning", "SortMergeJoin")),
       // trades over the wire (claim-atom grain): map-only through both
       // explodes, range consumed by the scan
       ("stellar_trades_from_lcm",

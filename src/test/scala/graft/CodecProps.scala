@@ -293,7 +293,9 @@ object CodecProps extends Properties("codec") {
     chs <- Gen.listOfN(nCh, changeGen(n))
     nCa <- if (n == 0) Gen.const(0) else Gen.chooseNum(0, 2)
     cas <- Gen.listOfN(nCa, claimAtomGen(n))
-  } yield Lcm.Tx(fee, rc, ops, memo, cond, fb, sm, chs, cas)
+    src <- b32
+    mux <- Gen.option(Gen.chooseNum(0L, Long.MaxValue))
+  } yield Lcm.Tx(fee, rc, ops, memo, cond, fb, sm, chs, cas, src, mux)
 
   private val headerGen: Gen[Lcm.HeaderInfo] = for {
     pv <- Gen.chooseNum(0, Int.MaxValue)

@@ -306,15 +306,17 @@ class CodecSpec extends AnyFunSuite {
       Tx(200L, successful = false, Seq(Op(17, 7L), Op(26, 42L)))))
     val bytes = encode(f)
     // version ‖ uint32 seq ‖ uint64 closeTimeMs ‖ nTx ‖ per tx:
-    // envType(TX=2) ‖ memo tag ‖ cond tag ‖ resultCode (signed) ‖
-    // hyper fee ‖ soroban-ext bool(0) ‖ nOps ‖ per op: opType ‖ hyper
-    // amount ‖ nChanges(0) ‖ nClaimAtoms(0)
+    // envType(TX=2) ‖ muxTag(0) ‖ sourceKey[32] (zero default) ‖
+    // memo tag ‖ cond tag ‖ resultCode (signed) ‖ hyper fee ‖
+    // soroban-ext bool(0) ‖ nOps ‖ per op: opType ‖ hyper amount ‖
+    // nChanges(0) ‖ nClaimAtoms(0)
+    val zsrc = "00000000" + "00" * 32
     assert(hexStr(bytes) ==
       "00000002" + "00000800" + "0000018bcfe56800" + "00000002" +
-        "00000002" + "00000000" + "00000000" +
+        "00000002" + zsrc + "00000000" + "00000000" +
         "00000000" + "0000000000000064" + "00000000" + "00000001" +
         "00000009" + "00000000000f4240" + "00000000" + "00000000" +
-        "00000002" + "00000000" + "00000000" +
+        "00000002" + zsrc + "00000000" + "00000000" +
         "ffffffff" + "00000000000000c8" + "00000000" + "00000002" +
         "00000011" + "0000000000000007" +
         "0000001a" + "000000000000002a" + "00000000" + "00000000")
@@ -542,6 +544,20 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](                // unattributable
       Tx(1L, TxSuccess, Seq.empty, claimAtoms = Seq(
         WireClaimAtom(0, isPool = false, fill(1), 7L, "A", 1L, "B", 1L))))
+
+    // sourceAccount MuxedAccount union: both arms roundtrip, the muxed
+    // arm carries the sub-account id before the ed25519 key
+    val srcKey = Seq.tabulate(32)(i => (i * 5).toByte)
+    val plainSrc = Tx(10L, TxSuccess, Seq(Op(9, 1L)), sourceKey = srcKey)
+    assert(decode(encode(Frame(50L, 1L, Seq(plainSrc)))).txs.head == plainSrc)
+    val muxedSrc = Tx(10L, TxSuccess, Seq(Op(9, 1L)),
+      sourceKey = srcKey, sourceMuxedId = Some(77L))
+    val muxedBytes = encode(Frame(50L, 1L, Seq(muxedSrc)))
+    assert(decode(muxedBytes).txs.head == muxedSrc)
+    assert(hexStr(muxedBytes).contains(
+      "00000001" + "000000000000004d" + hx(srcKey)))
+    intercept[IllegalArgumentException](
+      Tx(1L, TxSuccess, Nil, sourceKey = srcKey.take(5)))
 
     // structural refusals: enum bounds, fingerprint width, op attribution
     intercept[IllegalArgumentException](WireChange(3, 0, 0, fill(1), 1L, 0L))
