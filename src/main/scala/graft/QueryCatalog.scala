@@ -1990,6 +1990,10 @@ object QueryCatalog {
              |   'liquidity_pool_deposit','liquidity_pool_withdraw',
              |   'invoke_host_function','extend_footprint_ttl',
              |   'restore_footprint'][op_type + 1] AS type_string,
+             |  CASE WHEN (seq + t) % 5 = 0
+             |       THEN sha256('osrc-' || seq || '-' || t)
+             |       ELSE sha256('src-' || seq || '-' || t)
+             |       END AS source_account_hex,
              |  t % 3 <> 0 AS transaction_successful,
              |  CAST(1000000 * (t + 1) AS BIGINT) AS amount,
              |  CASE WHEN op_type IN (0, 1, 2, 8, 13)
@@ -2195,8 +2199,12 @@ object QueryCatalog {
              |   'path_payment_strict_send']
              |    [CASE op_type WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
              |     ELSE 4 END] AS transfer_type,
-             |  sha256('src-' || seq || '-' || t) AS from_hex,
-             |  CASE WHEN t % 3 = 1 THEN seq * 1000 + t END AS from_muxed_id,
+             |  CASE WHEN (seq + t) % 5 = 0
+             |       THEN sha256('osrc-' || seq || '-' || t)
+             |       ELSE sha256('src-' || seq || '-' || t)
+             |       END AS from_hex,
+             |  CASE WHEN (seq + t) % 5 <> 0 AND t % 3 = 1
+             |       THEN seq * 1000 + t END AS from_muxed_id,
              |  sha256('dst-' || seq || '-' || t) AS to_hex,
              |  CASE WHEN op_type = 1 THEN codes[CAST(seq % 3 + 1 AS INT)]
              |       WHEN op_type = 2 THEN codes[CAST((seq + 1) % 3 + 1 AS INT)]
@@ -2230,6 +2238,10 @@ object QueryCatalog {
              |  CAST(j AS INT) AS "order",
              |  seq AS ledger_sequence,
              |  CASE WHEN (seq + t + j) % 4 = 0 THEN 2 ELSE 1 END AS trade_type,
+             |  CASE WHEN (seq + t) % 5 = 0
+             |       THEN sha256('osrc-' || seq || '-' || t)
+             |       ELSE sha256('src-' || seq || '-' || t)
+             |       END AS taker_hex,
              |  sha256('se-' || seq || '-' || t || '-' || j)
              |    AS seller_or_pool_hex,
              |  CASE WHEN (seq + t + j) % 4 <> 0

@@ -68,8 +68,10 @@ import java.nio.charset.StandardCharsets
   *     bool ‖ 3 × hyper  // optional SorobanTransactionMetaExt v1 fee triple:
   *                       // nonRefundable ‖ refundable ‖ rent fee charged
   *     uint32 nOps       // envelope operations<>
-  *     nOps × {          // Operation: the body unions on the op type,
-  *       int opType      // like the real `Operation.body` switch
+  *     nOps × {          // Operation: optional per-op sourceAccount +
+  *       bool hasSource  //   the body union on the op type, like the
+  *       [opaque source[32]]           //   real `Operation` layout
+  *       int opType
   *       hyper amountStroops
   *       [opType == 0]:  // CREATE_ACCOUNT: destination ‖ (amount above
   *         opaque destination[32]              //  is startingBalance)
@@ -387,7 +389,9 @@ object Lcm {
     Set(0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 18, 19,
       20, 21, 22, 23, 24, 25)
 
-  case class Op(opType: Int, amountStroops: Long, detail: OpDetail = OpGeneric) {
+  case class Op(opType: Int, amountStroops: Long, detail: OpDetail = OpGeneric,
+      sourceKey: Option[Seq[Byte]] = None) {
+    require(sourceKey.forall(_.size == 32), "op source key is opaque[32]")
     detail match {
       case OpCreateAccount(_) =>
         require(opType == 0, "CREATE_ACCOUNT detail requires opType 0")
@@ -776,6 +780,12 @@ object Lcm {
       }
       out.writeInt(t.ops.size)
       t.ops.foreach { o =>
+        // optional per-op sourceAccount, like the real Operation's
+        // `sourceAccount*` — absent means the tx source acts
+        o.sourceKey match {
+          case Some(k) => out.writeInt(1); out.write(k.toArray)
+          case None => out.writeInt(0)
+        }
         out.writeInt(o.opType)
         out.writeLong(o.amountStroops)
         o.detail match {
@@ -1052,6 +1062,8 @@ object Lcm {
         else None
       val nOps = buf.getInt
       val ops = (0 until nOps).map { _ =>
+        val opSource =
+          if (buf.getInt == 1) Some(readOpaque32(buf)) else None
         val opType = buf.getInt
         val amount = buf.getLong
         val detail = opType match {
@@ -1129,7 +1141,7 @@ object Lcm {
           case 25 => OpExtendFootprintTtl(buf.getInt.toLong & 0xFFFFFFFFL)
           case _ => OpGeneric
         }
-        Op(opType, amount, detail)
+        Op(opType, amount, detail, opSource)
       }
       val nChanges = buf.getInt
       val changes = (0 until nChanges).map { _ =>

@@ -173,6 +173,10 @@ object StellarTransforms {
         lit(1).as("application_order"),
         col("tx.op_type").as("type"),
         element_at(opTypeNameCol, col("tx.op_type")).as("type_string"),
+        // acting source: the op's own source account when set, else the
+        // envelope source (`operation.go` sourceAccount law)
+        coalesce(col("tx.op_source_hex"), col("tx.source_account_hex"))
+          .as("source_account_hex"),
         col("tx.successful").as("transaction_successful"),
         col("tx.amount").as("amount"),
         col("tx.op_destination_hex").as("destination_hex"),
@@ -269,8 +273,12 @@ object StellarTransforms {
           .as("operation_id"),
         col("sequence").as("ledger_sequence"),
         element_at(opTypeNameCol, col("tx.op_type")).as("transfer_type"),
-        col("tx.source_account_hex").as("from_hex"),
-        col("tx.source_muxed_id").as("from_muxed_id"),
+        // "from" is the acting source; the muxed sub-id only applies when
+        // the envelope source acts (an op-source override carries no mux)
+        coalesce(col("tx.op_source_hex"), col("tx.source_account_hex"))
+          .as("from_hex"),
+        when(col("tx.op_source_hex").isNull, col("tx.source_muxed_id"))
+          .as("from_muxed_id"),
         col("tx.op_destination_hex").as("to_hex"),
         when(col("tx.op_type") === 1, col("tx.op_asset_code"))
           .when(col("tx.op_type").isin(2, 13), col("tx.op_dest_asset_code"))
@@ -291,6 +299,8 @@ object StellarTransforms {
         posexplode(col("transactions")).as(Seq("pos", "tx")))
       .where(col("tx.successful"))
       .select(col("sequence"), col("pos"),
+        col("tx.op_source_hex").as("op_source_hex"),
+        col("tx.source_account_hex").as("tx_source_hex"),
         posexplode(col("tx.claim_atoms")).as(Seq("atom_pos", "a")))
       .select(
         operationToid(col("sequence"), col("pos") + 1, lit(0L))
@@ -298,6 +308,8 @@ object StellarTransforms {
         col("atom_pos").cast("int").as("order"),
         col("sequence").as("ledger_sequence"),
         when(col("a.is_pool"), 2).otherwise(1).as("trade_type"),
+        // taker = op source when set, else tx source (`trade.go:123-129`)
+        coalesce(col("op_source_hex"), col("tx_source_hex")).as("taker_hex"),
         col("a.seller_or_pool_hex").as("seller_or_pool_hex"),
         when(!col("a.is_pool"), col("a.offer_id")).as("offer_id"),
         col("a.sold_code").as("selling_asset_code"),

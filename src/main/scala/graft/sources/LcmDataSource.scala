@@ -181,9 +181,11 @@ object LcmDataSource {
     StructField("soroban_fee_refundable", LongType, nullable = true),
     StructField("soroban_fee_rent", LongType, nullable = true),
     // inner-envelope sourceAccount (MuxedAccount union): the ed25519 key
-    // and, for the muxed arm, the uint64 sub-account id
+    // and, for the muxed arm, the uint64 sub-account id; plus the first
+    // op's optional per-op source (null = the tx source acts)
     StructField("source_account_hex", StringType, nullable = false),
     StructField("source_muxed_id", LongType, nullable = true),
+    StructField("op_source_hex", StringType, nullable = true),
     // the per-op LedgerEntryChanges subset (TransactionMeta grain): the
     // substrate the reference's change pipeline reads off LedgerCloseMeta
     StructField("changes", ArrayType(ChangeSchema, containsNull = false),
@@ -673,6 +675,7 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
                 t.sorobanMeta.map(m => Long.box(m.rentFeeCharged)).orNull,
                 hex(t.sourceKey),
                 t.sourceMuxedId.map(Long.box).orNull,
+                op.flatMap(_.sourceKey).map(hex).orNull,
                 new GenericArrayData(t.changes.map(c =>
                   new GenericInternalRow(Array[Any](
                     c.kind, c.entryType, c.opIndex, hex(c.keyHash),
@@ -908,7 +911,10 @@ object LcmWriter {
             boughtAmount = 600000L * (t + 1) + seq % 47 + j)
         }
       Lcm.Tx(100L * (t + 1), rc,
-        Seq(Lcm.Op(opType, 1000000L * (t + 1), opDetail)),
+        Seq(Lcm.Op(opType, 1000000L * (t + 1), opDetail,
+          // every fifth op acts under its own source account
+          sourceKey = if ((seq + t) % 5 == 0) Some(sha(s"osrc-$seq-$t"))
+                      else None)),
         memo, cond, feeBump, soroban, changes, claimAtoms,
         // sourceAccount laws: key hashes (seq, t); every third tx in a
         // ledger uses the muxed arm with an affine sub-account id

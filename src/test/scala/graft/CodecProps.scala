@@ -223,7 +223,8 @@ object CodecProps extends Properties("codec") {
       case 25 => u32.map(Lcm.OpExtendFootprintTtl)
       case _ => Gen.const(Lcm.OpGeneric: Lcm.OpDetail)
     }
-  } yield Lcm.Op(t, amt, d)
+    src <- Gen.option(b32)
+  } yield Lcm.Op(t, amt, d, src)
 
   private val memoGen: Gen[Lcm.Memo] = Gen.oneOf(
     Gen.const(Lcm.MemoNone: Lcm.Memo),

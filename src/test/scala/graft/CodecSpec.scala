@@ -308,18 +308,20 @@ class CodecSpec extends AnyFunSuite {
     // version ‖ uint32 seq ‖ uint64 closeTimeMs ‖ nTx ‖ per tx:
     // envType(TX=2) ‖ muxTag(0) ‖ sourceKey[32] (zero default) ‖
     // memo tag ‖ cond tag ‖ resultCode (signed) ‖ hyper fee ‖
-    // soroban-ext bool(0) ‖ nOps ‖ per op: opType ‖ hyper amount ‖
-    // nChanges(0) ‖ nClaimAtoms(0)
+    // soroban-ext bool(0) ‖ nOps ‖ per op: hasSource(0) ‖ opType ‖
+    // hyper amount ‖ nChanges(0) ‖ nClaimAtoms(0)
     val zsrc = "00000000" + "00" * 32
     assert(hexStr(bytes) ==
       "00000002" + "00000800" + "0000018bcfe56800" + "00000002" +
         "00000002" + zsrc + "00000000" + "00000000" +
         "00000000" + "0000000000000064" + "00000000" + "00000001" +
-        "00000009" + "00000000000f4240" + "00000000" + "00000000" +
+        "00000000" + "00000009" + "00000000000f4240" +
+        "00000000" + "00000000" +
         "00000002" + zsrc + "00000000" + "00000000" +
         "ffffffff" + "00000000000000c8" + "00000000" + "00000002" +
-        "00000011" + "0000000000000007" +
-        "0000001a" + "000000000000002a" + "00000000" + "00000000")
+        "00000000" + "00000011" + "0000000000000007" +
+        "00000000" + "0000001a" + "000000000000002a" +
+        "00000000" + "00000000")
     assert(decode(bytes) == f)
 
     // Operation.body typed arms: CREATE_ACCOUNT carries the destination,
@@ -558,6 +560,15 @@ class CodecSpec extends AnyFunSuite {
       "00000001" + "000000000000004d" + hx(srcKey)))
     intercept[IllegalArgumentException](
       Tx(1L, TxSuccess, Nil, sourceKey = srcKey.take(5)))
+
+    // per-op sourceAccount: present-arm wire bytes precede the op type
+    val opSrcTx = Tx(10L, TxSuccess, Seq(Op(9, 1L, sourceKey = Some(srcKey))))
+    val opSrcBytes = encode(Frame(51L, 1L, Seq(opSrcTx)))
+    assert(decode(opSrcBytes).txs.head == opSrcTx)
+    assert(hexStr(opSrcBytes).contains(
+      "00000001" + hx(srcKey) + "00000009"))
+    intercept[IllegalArgumentException](
+      Op(9, 1L, sourceKey = Some(srcKey.take(4))))
 
     // structural refusals: enum bounds, fingerprint width, op attribution
     intercept[IllegalArgumentException](WireChange(3, 0, 0, fill(1), 1L, 0L))
