@@ -2183,6 +2183,90 @@ object QueryCatalog {
               .where(col("sequence").between(2100, 2299)))
           .orderBy("asset_code")),
 
+    Q("stellar_effects_from_lcm",
+      // P4-shaped effects over the wire: created/credited/debited pairs,
+      // claimable-balance claims, and the per-atom seller/taker trade
+      // effect pairs with arithmetic indices. DuckDB re-derives every
+      // branch as a UNION ALL over the fixture laws
+      Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
+             |txs AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
+             |o AS (SELECT seq, t, CAST((seq + t) % 27 AS INT) AS op_type,
+             |             ['XLM','USDC','EURC'] AS codes,
+             |             CASE WHEN (seq + t) % 5 = 0
+             |                  THEN sha256('osrc-' || seq || '-' || t)
+             |                  ELSE sha256('src-' || seq || '-' || t)
+             |                  END AS actsrc,
+             |             (seq << 32) | ((t + 1) << 12) | 1 AS opid
+             |      FROM txs WHERE t % 3 <> 0),
+             |e AS (
+             |  SELECT seq, opid, 0 AS idx, 0 AS typ,
+             |         sha256('dst-' || seq || '-' || t) AS account,
+             |         CAST(NULL AS VARCHAR) AS asset,
+             |         CAST(1000000 * (t + 1) AS BIGINT) AS amount,
+             |         CAST(NULL AS BIGINT) AS offer
+             |  FROM o WHERE op_type = 0
+             |  UNION ALL
+             |  SELECT seq, opid, 1, 3, actsrc, NULL,
+             |         CAST(1000000 * (t + 1) AS BIGINT), NULL
+             |  FROM o WHERE op_type = 0
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 2, sha256('dst-' || seq || '-' || t),
+             |         CASE WHEN op_type = 2
+             |              THEN codes[CAST((seq + 1) % 3 + 1 AS INT)]
+             |              ELSE codes[CAST(seq % 3 + 1 AS INT)] END,
+             |         CASE WHEN op_type = 13
+             |              THEN CAST(900000 * (t + 1) + seq % 59 AS BIGINT)
+             |              ELSE CAST(1000000 * (t + 1) AS BIGINT) END,
+             |         NULL
+             |  FROM o WHERE op_type IN (1, 2, 13)
+             |  UNION ALL
+             |  SELECT seq, opid, 1, 3, actsrc,
+             |         CASE WHEN op_type = 13
+             |              THEN codes[CAST((seq + 2) % 3 + 1 AS INT)]
+             |              ELSE codes[CAST(seq % 3 + 1 AS INT)] END,
+             |         CASE WHEN op_type = 2
+             |              THEN CAST(1500000 * (t + 1) + seq % 53 AS BIGINT)
+             |              ELSE CAST(1000000 * (t + 1) AS BIGINT) END,
+             |         NULL
+             |  FROM o WHERE op_type IN (1, 2, 13)
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 52, actsrc, NULL,
+             |         CAST(1000000 * (t + 1) AS BIGINT), NULL
+             |  FROM o WHERE op_type = 15
+             |  UNION ALL
+             |  SELECT seq, opid, CAST(2 + 2 * j AS INT), 33,
+             |         sha256('se-' || seq || '-' || t || '-' || j),
+             |         codes[CAST((seq + j) % 3 + 1 AS INT)],
+             |         CAST(500000 * (t + 1) + seq % 43 + j AS BIGINT),
+             |         seq * 100 + t * 10 + j
+             |  FROM (SELECT *, unnest(generate_series(0, (seq + t) % 2)) AS j
+             |        FROM o WHERE op_type IN (2, 3, 12, 13)) a
+             |  WHERE (seq + t + j) % 4 <> 0
+             |  UNION ALL
+             |  SELECT seq, opid, CAST(3 + 2 * j AS INT), 33, actsrc,
+             |         codes[CAST((seq + j + 1) % 3 + 1 AS INT)],
+             |         CAST(600000 * (t + 1) + seq % 47 + j AS BIGINT),
+             |         seq * 100 + t * 10 + j
+             |  FROM (SELECT *, unnest(generate_series(0, (seq + t) % 2)) AS j
+             |        FROM o WHERE op_type IN (2, 3, 12, 13)) a
+             |  WHERE (seq + t + j) % 4 <> 0)
+             |SELECT opid AS operation_id, seq AS ledger_sequence,
+             |  CAST(idx AS INT) AS effect_index, CAST(typ AS INT) AS type,
+             |  CASE typ WHEN 0 THEN 'account_created'
+             |       WHEN 2 THEN 'account_credited'
+             |       WHEN 3 THEN 'account_debited'
+             |       WHEN 33 THEN 'trade'
+             |       WHEN 52 THEN 'claimable_balance_claimed'
+             |       END AS type_string,
+             |  account AS account_hex, asset AS asset_code, amount,
+             |  offer AS offer_id
+             |FROM e ORDER BY operation_id, effect_index""".stripMargin),
+      (s, dir) =>
+        StellarTransforms.historyEffectsFromLcm(
+            s.read.format("graft-lcm").load(lcmFixtureDir)
+              .where(col("sequence").between(2100, 2299)))
+          .orderBy("operation_id", "effect_index")),
+
     Q("stellar_transfers_from_lcm",
       // P19-shaped transfer events over the wire: payment-family ops of
       // successful txs, envelope source → op destination, strict-send

@@ -286,6 +286,84 @@ object StellarTransforms {
         when(col("tx.op_type") === 13, col("tx.op_result_amount"))
           .otherwise(col("tx.amount")).as("amount_stroops"))
 
+  private val effectTypeNameCol = typedLit(Map(
+    0 -> "account_created", 2 -> "account_credited", 3 -> "account_debited",
+    33 -> "trade", 52 -> "claimable_balance_claimed"))
+
+  /** P4-shaped effects composed over the wire source — the subset the
+    * wire grain determines (`internal/transform/effects.go`): CREATE_
+    * ACCOUNT → account_created + account_debited; the payment family →
+    * account_credited (delivered amount — strict-send takes the RESULT)
+    * + account_debited (paid amount — strict-receive takes the RESULT);
+    * CLAIM_CLAIMABLE_BALANCE → claimable_balance_claimed; and two `trade`
+    * effects per orderbook claim atom (seller side, then taker side,
+    * `effects.go` trade pairs). Effect indices are arithmetic — base
+    * effects 0-1, trade effects 2 + 2·atom + side — so the union needs
+    * no window. The full 52-type family (thresholds, flags, signers,
+    * sponsorship…) requires change pre-images and stays with the
+    * fixture-path [[StellarTradesEffects.historyEffects]]. */
+  def historyEffectsFromLcm(lcm: DataFrame): DataFrame = {
+    val ops = lcm.select(col("sequence"),
+        posexplode(col("transactions")).as(Seq("pos", "tx")))
+      .where(col("tx.successful"))
+    val src = coalesce(col("tx.op_source_hex"), col("tx.source_account_hex"))
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    def eff(idx: Column, t: Column, account: Column, asset: Column,
+        amount: Column, offer: Column): Column =
+      struct(idx.cast("int").as("idx"), t.as("type"),
+        account.as("account_hex"), asset.as("asset_code"),
+        amount.as("amount"), offer.as("offer_id"))
+    val recvAsset = when(col("tx.op_type") === 1, col("tx.op_asset_code"))
+      .when(col("tx.op_type").isin(2, 13), col("tx.op_dest_asset_code"))
+    val sendAsset = when(col("tx.op_type") === 1, col("tx.op_asset_code"))
+      .when(col("tx.op_type").isin(2, 13), col("tx.op_send_asset_code"))
+    val delivered = when(col("tx.op_type") === 13, col("tx.op_result_amount"))
+      .otherwise(col("tx.amount"))
+    val paid = when(col("tx.op_type") === 2, col("tx.op_result_amount"))
+      .otherwise(col("tx.amount"))
+    // a typed empty effect array (filter-to-false keeps the struct type)
+    val emptyEff = filter(
+      array(eff(lit(0), lit(0), nullS, nullS, nullL, nullL)),
+      _ => lit(false))
+    val baseArr =
+      when(col("tx.op_type") === 0, array(
+        eff(lit(0), lit(0), col("tx.op_destination_hex"), nullS,
+          col("tx.amount"), nullL),
+        eff(lit(1), lit(3), src, nullS, col("tx.amount"), nullL)))
+      .when(col("tx.op_type").isin(1, 2, 13), array(
+        eff(lit(0), lit(2), col("tx.op_destination_hex"), recvAsset,
+          delivered, nullL),
+        eff(lit(1), lit(3), src, sendAsset, paid, nullL)))
+      .when(col("tx.op_type") === 15, array(
+        eff(lit(0), lit(52), src, nullS, col("tx.amount"), nullL)))
+    // orderbook atoms: a (seller, taker) trade-effect pair per atom, the
+    // ORIGINAL atom position driving the arithmetic index — all intra-row,
+    // so the whole transform stays one scan with no union or window
+    val tradePairs = flatten(filter(
+      transform(col("tx.claim_atoms"), (a, i) =>
+        when(!a("is_pool"), array(
+          eff(lit(2) + i * 2, lit(33), a("seller_or_pool_hex"),
+            a("sold_code"), a("sold_amount"), a("offer_id")),
+          eff(lit(3) + i * 2, lit(33), src, a("bought_code"),
+            a("bought_amount"), a("offer_id"))))),
+      p => p.isNotNull))
+    ops
+      .select(col("sequence"), col("pos"),
+        explode(concat(coalesce(baseArr, emptyEff), tradePairs)).as("e"))
+      .select(
+        operationToid(col("sequence"), col("pos") + 1, lit(0L))
+          .as("operation_id"),
+        col("sequence").as("ledger_sequence"),
+        col("e.idx").as("effect_index"),
+        col("e.type").as("type"),
+        element_at(effectTypeNameCol, col("e.type")).as("type_string"),
+        col("e.account_hex").as("account_hex"),
+        col("e.asset_code").as("asset_code"),
+        col("e.amount").as("amount"),
+        col("e.offer_id").as("offer_id"))
+  }
+
   /** P5 composed over the wire source at claim-atom grain: trades come
     * from the per-op RESULT ClaimAtoms the wire carries
     * (`internal/transform/trade.go:44-84`), successful transactions only

@@ -101,6 +101,13 @@ object ExplainAudit {
         Seq("Generate posexplode", "BatchScan graft-lcm"),
         Seq(">= 2100", "<= 2299",
           "Exchange hashpartitioning", "SortMergeJoin")),
+      // effects over the wire: ONE scan — the branch arrays and the
+      // per-atom trade pairs are intra-row, so no Union of re-scans, no
+      // exchange, no window
+      ("stellar_effects_from_lcm",
+        Seq("Generate explode", "BatchScan graft-lcm"),
+        Seq(">= 2100", "<= 2299", "Union",
+          "Exchange hashpartitioning", "SortMergeJoin")),
       // transfer events over the wire: payment-family filter is intra-row,
       // the whole transform map-only
       ("stellar_transfers_from_lcm",
