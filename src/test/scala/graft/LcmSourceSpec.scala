@@ -157,6 +157,50 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       lr.isNullAt(lr.fieldIndex("bucket_list_size_bytes")))
   }
 
+  test("round-9 tx columns decode against the fixture laws") {
+    // guards the reader's positional row-array alignment for the columns
+    // appended this round: source account (plain + muxed arms), per-op
+    // source, the change vector and the claim-atom vector
+    def hex(tag: String): String =
+      graft.codec.Hashes.sha256(tag.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val df = spark.read.format("graft-lcm").load(dir)
+    // seq 1003: 4 txs; t=1 is the muxed arm, t=2 plain
+    val r = df.where(col("sequence") === 1003).collect().head
+    val txs = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("transactions"))
+    val t1 = txs(1)
+    assert(t1.getAs[String]("source_account_hex") == hex("src-1003-1"))
+    assert(t1.getAs[Long]("source_muxed_id") == 1003L * 1000 + 1)
+    val t2 = txs(2)
+    assert(t2.getAs[String]("source_account_hex") == hex("src-1003-2"))
+    assert(t2.isNullAt(t2.fieldIndex("source_muxed_id")))
+    // per-op source: present iff (seq + t) % 5 == 0 → t=2 for seq 1003
+    assert(t2.getAs[String]("op_source_hex") == hex("osrc-1003-2"))
+    assert(t1.isNullAt(t1.fieldIndex("op_source_hex")))
+    // change vector: t=1 → (1003+1)%2 = 0 → 1 change, laws per j=0
+    val ch = t1.getSeq[org.apache.spark.sql.Row](t1.fieldIndex("changes"))
+    assert(ch.size == 1)
+    assert(ch.head.getAs[Int]("kind") == ((1003 + 1) % 3))
+    assert(ch.head.getAs[Int]("entry_type") == (1003 % 10))
+    assert(ch.head.getAs[String]("key_hash_hex") ==
+      hex(s"ck-${(1003L * 3 + 1 * 7) % 101}"))
+    assert(ch.head.getAs[Long]("last_modified") == 1003L)
+    assert(ch.head.getAs[Long]("balance") == 1000000L + 1003 * 3 + 17)
+    // claim atoms ride only trade-shaped ops: (1003 + t) % 27 ∈ {2,3,12,13}
+    // → t=2 gives op type 6 (no atoms); find a tx that has them
+    val withAtoms = df.where(col("sequence") === 1029).collect().head
+      .getSeq[org.apache.spark.sql.Row](r.fieldIndex("transactions"))
+      .filter(t => Seq(2, 3, 12, 13).contains(t.getAs[Int]("op_type")))
+    assert(withAtoms.nonEmpty)
+    val atoms = withAtoms.head
+      .getSeq[org.apache.spark.sql.Row](
+        withAtoms.head.fieldIndex("claim_atoms"))
+    assert(atoms.nonEmpty)
+    val a = atoms.head
+    assert(Seq("XLM", "USDC", "EURC").contains(a.getAs[String]("sold_code")))
+    assert(a.getAs[Boolean]("is_pool") == (a.getAs[Long]("offer_id") == 0L))
+  }
+
   test("sequence range predicates prune whole batch files before reading") {
     val df = spark.read.format("graft-lcm").load(dir)
       .where(col("sequence") >= 1100 && col("sequence") < 1150)
