@@ -249,6 +249,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q2.processAllAvailable()
     q2.stop()
     assert(spark.read.parquet(out).count() == batch.count())
+
+    // the single-scan effects transform is map-only, so it streams over
+    // the same directory unchanged: full parity with the batch path
+    val effOut = Files.createTempDirectory("graft-lcm-eff-out").toString
+    val effCkpt = Files.createTempDirectory("graft-lcm-eff-ckpt").toString
+    val qe = graft.operators.StellarTransforms
+      .historyEffectsFromLcm(
+        spark.readStream.format("graft-lcm").load(dir))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", effCkpt).option("path", effOut)
+      .start()
+    qe.processAllAvailable()
+    qe.stop()
+    val effBatch = graft.operators.StellarTransforms.historyEffectsFromLcm(
+      spark.read.format("graft-lcm").load(dir))
+    assert(spark.read.parquet(effOut).collect().map(_.toSeq).toSet ==
+      effBatch.collect().map(_.toSeq).toSet)
   }
 
   test("wire changes stream: per-batch compaction merges to the batch result") {
