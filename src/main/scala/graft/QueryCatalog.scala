@@ -419,23 +419,33 @@ object QueryCatalog {
     // ===== 2.6 aggregations ==================================================
 
     Q("a1_tpch_q1",
+      // money sums run on EXACT integer cents (prices carry 2 decimal
+      // digits, discounts 2): a double→DECIMAL cast boundary is engine-
+      // dependent (DuckDB scales in double before rounding, Spark rounds
+      // the exact binary expansion), which drifts ~1e-3 over the sf0.1
+      // row count; round-to-integer first is bit-identical everywhere
       Some("""SELECT l_returnflag, l_linestatus,
              |       sum(l_quantity) AS sum_qty,
-             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-             |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+             |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+             |         AS sum_base_price,
+             |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             |         / 10000.0 AS sum_disc_price,
              |       count(*) AS count_order
              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      (s, dir) =>
+      (s, dir) => {
+        val cents = round(col("l_extendedprice") * 100).cast("long")
+        val discPct = round(col("l_discount") * 100).cast("long")
         T(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             sum(col("l_quantity")).as("sum_qty"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-              .as("sum_base_price"),
-            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .cast("decimal(24,8)")).cast("double").as("sum_disc_price"),
+            (sum(cents) / 100.0).as("sum_base_price"),
+            (sum(cents * (lit(100L) - discPct)) / 10000.0)
+              .as("sum_disc_price"),
             count(lit(1)).as("count_order"))
-          .orderBy("l_returnflag", "l_linestatus")),
+          .orderBy("l_returnflag", "l_linestatus")
+      }),
 
     Q("a6_state_delta",
       Some("""SELECT user_id, max(value) - min(value) AS value_delta,

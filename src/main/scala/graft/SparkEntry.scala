@@ -16,7 +16,8 @@ object SparkEntry {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+        // exact integer cents — engine-independent at any scale
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
           .as("sum_base_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
