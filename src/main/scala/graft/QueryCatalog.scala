@@ -17,9 +17,12 @@ import graft.sources.LedgerFixtures
   * (BIGINT / DOUBLE via single correctly-rounded ops / VARCHAR / BOOLEAN /
   * arrays thereof) so value hashes match bit-for-bit.
   *
-  * Floating-point policy: double sums go through exact DECIMAL accumulation
-  * and one final cast; per-row double arithmetic (one correctly-rounded op
-  * chain) is emitted directly; everything else is integer/string.
+  * Floating-point policy: sums over bounded-decimal doubles (prices,
+  * event values) run on EXACT integers (round-to-BIGINT per row, one
+  * final division) — a double→DECIMAL cast boundary is engine-dependent
+  * and drifts at large row counts. Per-row double arithmetic (one
+  * correctly-rounded op chain) is emitted directly; everything else is
+  * integer/string.
   */
 object QueryCatalog {
 
@@ -449,14 +452,16 @@ object QueryCatalog {
 
     Q("a6_state_delta",
       Some("""SELECT user_id, max(value) - min(value) AS value_delta,
-             |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+             |       sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+             |         AS total_value,
              |       count(*) AS n_events
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) =>
         ev(s, dir).groupBy("user_id")
           .agg(
             (max("value") - min("value")).as("value_delta"),
-            sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+            (sum(round(col("value") * 100).cast("long")) / 100.0)
+              .as("total_value"),
             count(lit(1)).as("n_events"))
           .orderBy("user_id")),
 
@@ -499,7 +504,8 @@ object QueryCatalog {
 
     Q("j5_equi_join_revenue",
       Some("""SELECT n_name,
-             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+             |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+             |         AS total_price,
              |       count(*) AS n_orders
              |FROM orders
              |JOIN customer ON o_custkey = c_custkey
@@ -511,7 +517,8 @@ object QueryCatalog {
           .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
           .agg(
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"),
+            (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+              .as("total_price"),
             count(lit(1)).as("n_orders"))
           .orderBy("n_name")),
 
@@ -647,13 +654,15 @@ object QueryCatalog {
     Q("st_window_hourly",
       Some("""SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
              |       count(*) AS n,
-             |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |       sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+             |         AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       (s, dir) =>
         ev(s, dir)
           .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+            (sum(round(col("value") * 100).cast("long")) / 100.0)
+              .as("total_value"))
           .orderBy("hour_bucket", "event_type")),
 
     Q("x_sessionize",
