@@ -1900,9 +1900,11 @@ object QueryCatalog {
              |         AS successful_transaction_count,
              |       CAST(count(*) FILTER (WHERE tx.t % 3 = 0) AS INT)
              |         AS failed_transaction_count,
-             |       CAST(count(*) FILTER (WHERE tx.t % 3 <> 0) AS INT)
+             |       CAST(sum(CASE WHEN tx.t % 3 <> 0
+             |                THEN (ls.seq + tx.t) % 3 + 1 ELSE 0 END) AS INT)
              |         AS operation_count,
-             |       CAST(ls.seq % 5 + 1 AS VARCHAR) AS tx_set_operation_count,
+             |       CAST(CAST(sum((ls.seq + tx.t) % 3 + 1) AS INT) AS VARCHAR)
+             |         AS tx_set_operation_count,
              |       CAST(1000000000000 + ls.seq * 7 AS BIGINT) AS total_coins,
              |       CAST(ls.seq * 100 + 5 AS BIGINT) AS fee_pool,
              |       CAST(100 + ls.seq % 2 AS BIGINT) AS base_fee,
@@ -1991,12 +1993,14 @@ object QueryCatalog {
       // surface nulls, DuckDB re-derives all laws per (seq, t)
       Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
-             |o AS (SELECT seq, t, CAST((seq + t) % 27 AS INT) AS op_type,
-             |             ['XLM','USDC','EURC'] AS codes FROM tx)
-             |SELECT ((seq << 32) | ((t + 1) << 12)) | 1 AS id,
+             |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
+             |        FROM tx),
+             |o AS (SELECT seq, t, u, CAST((seq + t + u) % 27 AS INT) AS op_type,
+             |             ['XLM','USDC','EURC'] AS codes FROM ops)
+             |SELECT ((seq << 32) | ((t + 1) << 12)) | (u + 1) AS id,
              |  (seq << 32) | ((t + 1) << 12) AS transaction_id,
              |  seq AS ledger_sequence,
-             |  CAST(1 AS INT) AS application_order,
+             |  CAST(u + 1 AS INT) AS application_order,
              |  op_type AS type,
              |  ['create_account','payment','path_payment_strict_receive',
              |   'manage_sell_offer','create_passive_sell_offer','set_options',
@@ -2176,9 +2180,11 @@ object QueryCatalog {
       // mention lists from the fixture laws and takes min(toid)
       Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
-             |o AS (SELECT seq, t, CAST((seq + t) % 27 AS INT) AS op_type,
-             |             ['XLM','USDC','EURC'] AS codes FROM tx),
-             |m AS (SELECT seq, t, unnest(CASE
+             |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
+             |        FROM tx),
+             |o AS (SELECT seq, t, u, CAST((seq + t + u) % 27 AS INT) AS op_type,
+             |             ['XLM','USDC','EURC'] AS codes FROM ops),
+             |m AS (SELECT seq, t, u, unnest(CASE
              |  WHEN op_type IN (1, 19) THEN [codes[CAST(seq % 3 + 1 AS INT)]]
              |  WHEN op_type IN (6, 7, 14, 21)
              |    THEN [codes[CAST((seq + t) % 3 + 1 AS INT)]]
@@ -2194,7 +2200,7 @@ object QueryCatalog {
              |                          codes[CAST(seq % 3 + 1 AS INT)]]
              |  ELSE [] END) AS asset_code FROM o)
              |SELECT asset_code,
-             |       min((seq << 32) | ((t + 1) << 12) | 1) AS first_seen_id
+             |       min((seq << 32) | ((t + 1) << 12) | (u + 1)) AS first_seen_id
              |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) =>
         StellarTransforms.historyAssetsFromLcm(
@@ -2209,14 +2215,16 @@ object QueryCatalog {
       // branch as a UNION ALL over the fixture laws
       Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
              |txs AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
-             |o AS (SELECT seq, t, CAST((seq + t) % 27 AS INT) AS op_type,
+             |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
+             |        FROM txs WHERE t % 3 <> 0),
+             |o AS (SELECT seq, t, u, CAST((seq + t + u) % 27 AS INT) AS op_type,
              |             ['XLM','USDC','EURC'] AS codes,
              |             CASE WHEN (seq + t) % 5 = 0
              |                  THEN sha256('osrc-' || seq || '-' || t)
              |                  ELSE sha256('src-' || seq || '-' || t)
              |                  END AS actsrc,
-             |             (seq << 32) | ((t + 1) << 12) | 1 AS opid
-             |      FROM txs WHERE t % 3 <> 0),
+             |             (seq << 32) | ((t + 1) << 12) | (u + 1) AS opid
+             |      FROM ops),
              |e AS (
              |  SELECT seq, opid, 0 AS idx, 0 AS typ,
              |         sha256('dst-' || seq || '-' || t) AS account,
@@ -2292,11 +2300,12 @@ object QueryCatalog {
       // delivering the RESULT amount. DuckDB re-derives the laws
       Some("""WITH ls AS (SELECT unnest(generate_series(2300, 2499)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
-             |o AS (SELECT seq, t, CAST((seq + t) % 27 AS INT) AS op_type,
-             |             ['XLM','USDC','EURC'] AS codes FROM tx
-             |      WHERE t % 3 <> 0
-             |        AND CAST((seq + t) % 27 AS INT) IN (0, 1, 2, 13))
-             |SELECT (seq << 32) | ((t + 1) << 12) | 1 AS operation_id,
+             |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
+             |        FROM tx WHERE t % 3 <> 0),
+             |o AS (SELECT seq, t, u, CAST((seq + t + u) % 27 AS INT) AS op_type,
+             |             ['XLM','USDC','EURC'] AS codes FROM ops
+             |      WHERE CAST((seq + t + u) % 27 AS INT) IN (0, 1, 2, 13))
+             |SELECT (seq << 32) | ((t + 1) << 12) | (u + 1) AS operation_id,
              |  seq AS ledger_sequence,
              |  ['create_account','payment','path_payment_strict_receive',
              |   'path_payment_strict_send']
@@ -2331,13 +2340,14 @@ object QueryCatalog {
       // re-derives every affine atom law per (seq, t, j)
       Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
-             |o AS (SELECT seq, t, ['XLM','USDC','EURC'] AS codes FROM tx
-             |      WHERE t % 3 <> 0
-             |        AND CAST((seq + t) % 27 AS INT) IN (2, 3, 12, 13)),
-             |a AS (SELECT seq, t, codes,
+             |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
+             |        FROM tx WHERE t % 3 <> 0),
+             |o AS (SELECT seq, t, u, ['XLM','USDC','EURC'] AS codes FROM ops
+             |      WHERE CAST((seq + t + u) % 27 AS INT) IN (2, 3, 12, 13)),
+             |a AS (SELECT seq, t, u, codes,
              |             unnest(generate_series(0, (seq + t) % 2)) AS j
              |      FROM o)
-             |SELECT (seq << 32) | ((t + 1) << 12) | 1 AS operation_id,
+             |SELECT (seq << 32) | ((t + 1) << 12) | (u + 1) AS operation_id,
              |  CAST(j AS INT) AS "order",
              |  seq AS ledger_sequence,
              |  CASE WHEN (seq + t + j) % 4 = 0 THEN 2 ELSE 1 END AS trade_type,
@@ -2375,7 +2385,8 @@ object QueryCatalog {
              |              unnest(generate_series(0, (seq + t) % 2)) AS j
              |       FROM tx)
              |SELECT seq AS ledger_sequence, CAST(t + 1 AS INT) AS tx_order,
-             |  CAST(j AS INT) AS change_index, CAST(0 AS INT) AS op_index,
+             |  CAST(j AS INT) AS change_index,
+             |  CAST(j % ((seq + t) % 3 + 1) AS INT) AS op_index,
              |  CAST((seq + t + j) % 3 AS INT) AS kind,
              |  ['created', 'updated', 'removed']
              |    [CAST((seq + t + j) % 3 + 1 AS INT)] AS kind_string,
@@ -2432,18 +2443,7 @@ object QueryCatalog {
       Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls)
              |SELECT seq AS sequence, CAST(t AS INT) AS tx_order,
-             |  CAST((seq + t) % 27 AS INT) AS op_type,
-             |  CAST(1000000 * (t + 1) AS BIGINT) AS amount,
-             |  CASE WHEN (seq + t) % 27 IN (0, 1, 2, 8, 13)
-             |       THEN sha256('dst-' || seq || '-' || t)
-             |       END AS op_destination_hex,
-             |  CASE WHEN (seq + t) % 27 = 1
-             |       THEN ['XLM','USDC','EURC'][CAST(seq % 3 + 1 AS INT)]
-             |       WHEN (seq + t) % 27 IN (6, 7, 14, 21)
-             |       THEN ['XLM','USDC','EURC'][CAST((seq + t) % 3 + 1 AS INT)]
-             |       WHEN (seq + t) % 27 = 19
-             |       THEN ['XLM','USDC','EURC'][CAST(seq % 3 + 1 AS INT)]
-             |       END AS op_asset_code,
+             |  CAST((seq + t) % 3 + 1 AS INT) AS n_ops,
              |  CAST(CASE WHEN t % 3 = 0 THEN -(1 + (seq + t) % 17)
              |       WHEN t % 4 = 1 THEN 1
              |       ELSE 0 END AS INT) AS result_code,
@@ -2498,9 +2498,9 @@ object QueryCatalog {
           .where(col("sequence").between(2100, 2299))
           .select(col("sequence"),
             posexplode(col("transactions")).as(Seq("tx_order", "tx")))
-          .select(Seq(col("sequence"), col("tx_order")) ++
-            Seq("op_type", "amount", "op_destination_hex", "op_asset_code",
-              "result_code", "memo_type", "memo_text", "memo_id",
+          .select(Seq(col("sequence"), col("tx_order"),
+            size(col("tx.operations")).as("n_ops")) ++
+            Seq("result_code", "memo_type", "memo_text", "memo_id",
               "memo_hash_hex", "precond_type", "time_bound_min",
               "time_bound_max", "ledger_bound_min", "ledger_bound_max",
               "min_seq_num", "min_seq_age", "min_seq_ledger_gap",
@@ -2532,15 +2532,19 @@ object QueryCatalog {
       // law per (seq, t)
       Some("""WITH ls AS (SELECT unnest(generate_series(2300, 2499)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
-             |o AS (SELECT seq, t, CAST((seq + t) % 27 AS INT) AS op_type,
-             |             ['XLM','USDC','EURC'] AS codes FROM tx
-             |      WHERE (seq + t) % 27 NOT IN (0, 1, 9, 17, 26))
-             |SELECT seq AS sequence, CAST(t AS INT) AS tx_order, op_type,
+             |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
+             |        FROM tx),
+             |o AS (SELECT seq, t, u, CAST((seq + t + u) % 27 AS INT) AS op_type,
+             |             ['XLM','USDC','EURC'] AS codes FROM ops
+             |      WHERE (seq + t + u) % 27 NOT IN (9, 17, 26))
+             |SELECT seq AS sequence, CAST(t AS INT) AS tx_order,
+             |  CAST(u AS INT) AS op_order, op_type,
              |  CAST(1000000 * (t + 1) AS BIGINT) AS amount,
-             |  CASE WHEN op_type IN (2, 8, 13)
+             |  CASE WHEN op_type IN (0, 1, 2, 8, 13)
              |       THEN sha256('dst-' || seq || '-' || t)
              |       END AS op_destination_hex,
-             |  CASE WHEN op_type IN (6, 7, 14, 21)
+             |  CASE WHEN op_type = 1 THEN codes[CAST(seq % 3 + 1 AS INT)]
+             |       WHEN op_type IN (6, 7, 14, 21)
              |       THEN codes[CAST((seq + t) % 3 + 1 AS INT)]
              |       WHEN op_type = 19 THEN codes[CAST(seq % 3 + 1 AS INT)]
              |       END AS op_asset_code,
@@ -2675,14 +2679,16 @@ object QueryCatalog {
              |  CASE WHEN op_type = 25
              |       THEN CAST(100000 + (seq * 3 + t) % 50000 AS BIGINT)
              |       END AS op_extend_to
-             |FROM o ORDER BY sequence, tx_order""".stripMargin),
+             |FROM o ORDER BY sequence, tx_order, op_order""".stripMargin),
       (s, dir) =>
         s.read.format("graft-lcm").load(lcmFixtureDir)
           .where(col("sequence").between(2300, 2499))
           .select(col("sequence"),
             posexplode(col("transactions")).as(Seq("tx_order", "tx")))
-          .where(!col("tx.op_type").isin(0, 1, 9, 17, 26))
-          .select(Seq(col("sequence"), col("tx_order")) ++
+          .select(col("sequence"), col("tx_order"),
+            posexplode(col("tx.operations")).as(Seq("op_order", "op")))
+          .where(!col("op.op_type").isin(9, 17, 26))
+          .select(Seq(col("sequence"), col("tx_order"), col("op_order")) ++
             Seq("op_type", "amount", "op_destination_hex", "op_asset_code",
               "op_send_asset_code", "op_dest_asset_code",
               "op_send_max", "op_dest_min", "op_result_amount",
@@ -2701,11 +2707,11 @@ object QueryCatalog {
               "op_min_price_n", "op_min_price_d",
               "op_max_price_n", "op_max_price_d",
               "op_host_fn_type", "op_contract_id_hex", "op_extend_to")
-              .map(f => col(s"tx.$f").as(f)) ++
+              .map(f => col(s"op.$f").as(f)) ++
             // claimants is LIST-typed → compare via the JSON rendering
             // (the p15 / src_lcm_tx_decode pattern)
-            Seq(to_json(col("tx.op_claimants_hex")).as("op_claimants_hex")): _*)
-          .orderBy("sequence", "tx_order")),
+            Seq(to_json(col("op.op_claimants_hex")).as("op_claimants_hex")): _*)
+          .orderBy("sequence", "tx_order", "op_order")),
 
     Q("src_archive_range_scan",
       // S7 history-archive source end-to-end: checkpoint path math finds

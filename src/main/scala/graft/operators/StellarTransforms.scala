@@ -66,10 +66,11 @@ object StellarTransforms {
     * counts from the nested array, the LedgerHeader subset from the v0/v1
     * ledger arms (`transform/ledger.go:41-70`). Columns the wire subset
     * does not carry (self hash, header base64, SCP node id/signature) are
-    * omitted rather than faked; the flat tx view carries one op per
-    * envelope, so `operation_count` equals the successful-tx count on this
-    * source. Legacy header-less frames surface nulls in the header
-    * columns. */
+    * omitted rather than faked. Operation counts sum the per-tx op arrays
+    * intra-row — `operation_count` over successful envelopes only,
+    * `tx_set_operation_count` over all, the reference's two laws
+    * (`transform/ledger.go:29-39`). Legacy header-less frames surface
+    * nulls in the header columns. */
   def historyLedgersFromLcm(lcm: DataFrame): DataFrame =
     lcm.select(
       col("sequence"),
@@ -80,9 +81,12 @@ object StellarTransforms {
         .as("successful_transaction_count"),
       size(filter(col("transactions"), t => !t("successful")))
         .as("failed_transaction_count"),
-      size(filter(col("transactions"), t => t("successful")))
+      aggregate(filter(col("transactions"), t => t("successful")),
+        lit(0), (acc, t) => acc + size(t("operations")))
         .as("operation_count"),
-      size(col("transactions")).cast("string").as("tx_set_operation_count"),
+      aggregate(col("transactions"), lit(0),
+        (acc, t) => acc + size(t("operations")))
+        .cast("string").as("tx_set_operation_count"),
       col("total_coins"), col("fee_pool"), col("base_fee"),
       col("base_reserve"), col("max_tx_set_size"), col("protocol_version"),
       col("soroban_fee_write1000").as("soroban_fee_write_1kb"),
@@ -151,88 +155,93 @@ object StellarTransforms {
   }
 
   /** P3 straight off the LCM wire source: the `history_operations` grain
-    * composed on `graft-lcm` — operation TOIDs (op-index+1,
-    * `operation.go:32`), the 27-way type-name map, and the typed detail
-    * columns the wire union carries (destinations, path-payment bounds and
-    * result-carried actuals, offer rationals with the float64 price the
-    * reference renders, trust limits, data entries, bump targets). The
-    * wire's flat tx view carries one op per envelope, so
-    * `application_order` is 1 and zero-op transactions contribute no
-    * operation rows — the same exclusion the reference's op loop makes
-    * (`internal/input/operations.go`). Detail columns for types outside
-    * the typed union surface as null, exactly the sparse-slice shape of
-    * the full P3 wide struct. */
+    * composed on `graft-lcm` — one row per `(tx, op-index)` of the FULL
+    * operation array (the reference's op grain,
+    * `internal/input/operations.go:58-65`), operation TOIDs carrying the
+    * real op index (op-index+1, `operation.go:32`; TOID reserves 12 bits
+    * for it, `toid/main.go:37-47`), `application_order` = op position + 1,
+    * the 27-way type-name map, and the typed detail columns the wire
+    * union carries (destinations, path-payment bounds and result-carried
+    * actuals, offer rationals with the float64 price the reference
+    * renders, trust limits, data entries, bump targets). Two stacked
+    * posexplodes keep the transform map-only; zero-op transactions
+    * contribute no operation rows — the same exclusion the reference's
+    * op loop makes. Detail columns for types outside the typed union
+    * surface as null, exactly the sparse-slice shape of the full P3
+    * wide struct. */
   def historyOperationsFromLcm(lcm: DataFrame): DataFrame =
     lcm.select(col("sequence"),
         posexplode(col("transactions")).as(Seq("pos", "tx")))
-      .where(col("tx.op_type").isNotNull)
+      .select(col("sequence"), col("pos"), col("tx"),
+        posexplode(col("tx.operations")).as(Seq("op_pos", "op")))
       .select(
-        operationToid(col("sequence"), col("pos") + 1, lit(0L)).as("id"),
+        operationToid(col("sequence"), col("pos") + 1, col("op_pos"))
+          .as("id"),
         transactionToid(col("sequence"), col("pos") + 1).as("transaction_id"),
         col("sequence").as("ledger_sequence"),
-        lit(1).as("application_order"),
-        col("tx.op_type").as("type"),
-        element_at(opTypeNameCol, col("tx.op_type")).as("type_string"),
+        (col("op_pos") + 1).cast("int").as("application_order"),
+        col("op.op_type").as("type"),
+        element_at(opTypeNameCol, col("op.op_type")).as("type_string"),
         // acting source: the op's own source account when set, else the
         // envelope source (`operation.go` sourceAccount law)
-        coalesce(col("tx.op_source_hex"), col("tx.source_account_hex"))
+        coalesce(col("op.op_source_hex"), col("tx.source_account_hex"))
           .as("source_account_hex"),
         col("tx.successful").as("transaction_successful"),
-        col("tx.amount").as("amount"),
-        col("tx.op_destination_hex").as("destination_hex"),
-        col("tx.op_asset_code").as("asset_code"),
-        col("tx.op_send_asset_code").as("send_asset_code"),
-        col("tx.op_dest_asset_code").as("dest_asset_code"),
-        col("tx.op_send_max").as("source_max"),
-        col("tx.op_dest_min").as("destination_min"),
-        col("tx.op_result_amount").as("result_amount"),
-        col("tx.op_offer_id").as("offer_id"),
-        col("tx.op_selling_code").as("selling_asset_code"),
-        col("tx.op_buying_code").as("buying_asset_code"),
-        col("tx.op_price_n").as("price_n"),
-        col("tx.op_price_d").as("price_d"),
-        when(col("tx.op_price_n").isNotNull,
-          GraftFunctions.priceRatio(col("tx.op_price_n"), col("tx.op_price_d")))
+        col("op.amount").as("amount"),
+        col("op.op_destination_hex").as("destination_hex"),
+        col("op.op_asset_code").as("asset_code"),
+        col("op.op_send_asset_code").as("send_asset_code"),
+        col("op.op_dest_asset_code").as("dest_asset_code"),
+        col("op.op_send_max").as("source_max"),
+        col("op.op_dest_min").as("destination_min"),
+        col("op.op_result_amount").as("result_amount"),
+        col("op.op_offer_id").as("offer_id"),
+        col("op.op_selling_code").as("selling_asset_code"),
+        col("op.op_buying_code").as("buying_asset_code"),
+        col("op.op_price_n").as("price_n"),
+        col("op.op_price_d").as("price_d"),
+        when(col("op.op_price_n").isNotNull,
+          GraftFunctions.priceRatio(col("op.op_price_n"), col("op.op_price_d")))
           .as("price"),
-        col("tx.op_limit").as("trust_limit"),
-        col("tx.op_data_name").as("data_name"),
-        col("tx.op_data_value_hex").as("data_value_hex"),
-        col("tx.op_bump_to").as("bump_to"),
-        col("tx.op_inflation_dest_hex").as("inflation_dest_hex"),
-        col("tx.op_clear_flags").as("clear_flags"),
-        col("tx.op_set_flags").as("set_flags"),
-        col("tx.op_master_weight").as("master_key_weight"),
-        col("tx.op_low_threshold").as("low_threshold"),
-        col("tx.op_med_threshold").as("med_threshold"),
-        col("tx.op_high_threshold").as("high_threshold"),
-        col("tx.op_home_domain").as("home_domain"),
-        col("tx.op_signer_key_hex").as("signer_key_hex"),
-        col("tx.op_signer_weight").as("signer_weight"),
-        col("tx.op_trustor_hex").as("trustor_hex"),
-        col("tx.op_authorize").as("authorize"),
-        col("tx.op_from_hex").as("from_hex"),
+        col("op.op_limit").as("trust_limit"),
+        col("op.op_data_name").as("data_name"),
+        col("op.op_data_value_hex").as("data_value_hex"),
+        col("op.op_bump_to").as("bump_to"),
+        col("op.op_inflation_dest_hex").as("inflation_dest_hex"),
+        col("op.op_clear_flags").as("clear_flags"),
+        col("op.op_set_flags").as("set_flags"),
+        col("op.op_master_weight").as("master_key_weight"),
+        col("op.op_low_threshold").as("low_threshold"),
+        col("op.op_med_threshold").as("med_threshold"),
+        col("op.op_high_threshold").as("high_threshold"),
+        col("op.op_home_domain").as("home_domain"),
+        col("op.op_signer_key_hex").as("signer_key_hex"),
+        col("op.op_signer_weight").as("signer_weight"),
+        col("op.op_trustor_hex").as("trustor_hex"),
+        col("op.op_authorize").as("authorize"),
+        col("op.op_from_hex").as("from_hex"),
         // the round-9 arm growth: claimable balances (claimants rendered
         // to_json — the p15 array-gate pattern), sponsorship begin/revoke,
         // liquidity pools, and the soroban host arms
-        to_json(col("tx.op_claimants_hex")).as("claimants_json"),
-        col("tx.op_balance_id_hex").as("balance_id_hex"),
-        col("tx.op_sponsored_id_hex").as("sponsored_id_hex"),
-        col("tx.op_revoke_type").as("revoke_type"),
-        col("tx.op_ledger_entry_type").as("ledger_entry_type"),
-        col("tx.op_ledger_key_hex").as("ledger_key_hex"),
-        col("tx.op_signer_account_hex").as("signer_account_hex"),
-        col("tx.op_pool_id_hex").as("pool_id_hex"),
-        col("tx.op_max_amount_a").as("max_amount_a"),
-        col("tx.op_max_amount_b").as("max_amount_b"),
-        col("tx.op_min_amount_a").as("min_amount_a"),
-        col("tx.op_min_amount_b").as("min_amount_b"),
-        col("tx.op_min_price_n").as("min_price_n"),
-        col("tx.op_min_price_d").as("min_price_d"),
-        col("tx.op_max_price_n").as("max_price_n"),
-        col("tx.op_max_price_d").as("max_price_d"),
-        col("tx.op_host_fn_type").as("host_fn_type"),
-        col("tx.op_contract_id_hex").as("contract_id_hex"),
-        col("tx.op_extend_to").as("extend_to"))
+        to_json(col("op.op_claimants_hex")).as("claimants_json"),
+        col("op.op_balance_id_hex").as("balance_id_hex"),
+        col("op.op_sponsored_id_hex").as("sponsored_id_hex"),
+        col("op.op_revoke_type").as("revoke_type"),
+        col("op.op_ledger_entry_type").as("ledger_entry_type"),
+        col("op.op_ledger_key_hex").as("ledger_key_hex"),
+        col("op.op_signer_account_hex").as("signer_account_hex"),
+        col("op.op_pool_id_hex").as("pool_id_hex"),
+        col("op.op_max_amount_a").as("max_amount_a"),
+        col("op.op_max_amount_b").as("max_amount_b"),
+        col("op.op_min_amount_a").as("min_amount_a"),
+        col("op.op_min_amount_b").as("min_amount_b"),
+        col("op.op_min_price_n").as("min_price_n"),
+        col("op.op_min_price_d").as("min_price_d"),
+        col("op.op_max_price_n").as("max_price_n"),
+        col("op.op_max_price_d").as("max_price_d"),
+        col("op.op_host_fn_type").as("host_fn_type"),
+        col("op.op_contract_id_hex").as("contract_id_hex"),
+        col("op.op_extend_to").as("extend_to"))
 
   /** P6/A2 composed over the wire source: every asset mentioned by a
     * typed asset-bearing `Operation.body` arm (payment/trust/clawback
@@ -267,24 +276,28 @@ object StellarTransforms {
   def tokenTransfersFromLcm(lcm: DataFrame): DataFrame =
     lcm.select(col("sequence"),
         posexplode(col("transactions")).as(Seq("pos", "tx")))
-      .where(col("tx.successful") && col("tx.op_type").isin(0, 1, 2, 13))
+      .where(col("tx.successful"))
+      .select(col("sequence"), col("pos"),
+        col("tx.source_account_hex").as("tx_src"),
+        col("tx.source_muxed_id").as("tx_muxed_id"),
+        posexplode(col("tx.operations")).as(Seq("op_pos", "op")))
+      .where(col("op.op_type").isin(0, 1, 2, 13))
       .select(
-        operationToid(col("sequence"), col("pos") + 1, lit(0L))
+        operationToid(col("sequence"), col("pos") + 1, col("op_pos"))
           .as("operation_id"),
         col("sequence").as("ledger_sequence"),
-        element_at(opTypeNameCol, col("tx.op_type")).as("transfer_type"),
+        element_at(opTypeNameCol, col("op.op_type")).as("transfer_type"),
         // "from" is the acting source; the muxed sub-id only applies when
         // the envelope source acts (an op-source override carries no mux)
-        coalesce(col("tx.op_source_hex"), col("tx.source_account_hex"))
-          .as("from_hex"),
-        when(col("tx.op_source_hex").isNull, col("tx.source_muxed_id"))
+        coalesce(col("op.op_source_hex"), col("tx_src")).as("from_hex"),
+        when(col("op.op_source_hex").isNull, col("tx_muxed_id"))
           .as("from_muxed_id"),
-        col("tx.op_destination_hex").as("to_hex"),
-        when(col("tx.op_type") === 1, col("tx.op_asset_code"))
-          .when(col("tx.op_type").isin(2, 13), col("tx.op_dest_asset_code"))
+        col("op.op_destination_hex").as("to_hex"),
+        when(col("op.op_type") === 1, col("op.op_asset_code"))
+          .when(col("op.op_type").isin(2, 13), col("op.op_dest_asset_code"))
           .as("asset_code"),
-        when(col("tx.op_type") === 13, col("tx.op_result_amount"))
-          .otherwise(col("tx.amount")).as("amount_stroops"))
+        when(col("op.op_type") === 13, col("op.op_result_amount"))
+          .otherwise(col("op.amount")).as("amount_stroops"))
 
   private val effectTypeNameCol = typedLit(Map(
     0 -> "account_created", 2 -> "account_credited", 3 -> "account_debited",
@@ -306,7 +319,10 @@ object StellarTransforms {
     val ops = lcm.select(col("sequence"),
         posexplode(col("transactions")).as(Seq("pos", "tx")))
       .where(col("tx.successful"))
-    val src = coalesce(col("tx.op_source_hex"), col("tx.source_account_hex"))
+      .select(col("sequence"), col("pos"),
+        col("tx.source_account_hex").as("tx_src"),
+        posexplode(col("tx.operations")).as(Seq("op_pos", "op")))
+    val src = coalesce(col("op.op_source_hex"), col("tx_src"))
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
     def eff(idx: Column, t: Column, account: Column, asset: Column,
@@ -314,34 +330,35 @@ object StellarTransforms {
       struct(idx.cast("int").as("idx"), t.as("type"),
         account.as("account_hex"), asset.as("asset_code"),
         amount.as("amount"), offer.as("offer_id"))
-    val recvAsset = when(col("tx.op_type") === 1, col("tx.op_asset_code"))
-      .when(col("tx.op_type").isin(2, 13), col("tx.op_dest_asset_code"))
-    val sendAsset = when(col("tx.op_type") === 1, col("tx.op_asset_code"))
-      .when(col("tx.op_type").isin(2, 13), col("tx.op_send_asset_code"))
-    val delivered = when(col("tx.op_type") === 13, col("tx.op_result_amount"))
-      .otherwise(col("tx.amount"))
-    val paid = when(col("tx.op_type") === 2, col("tx.op_result_amount"))
-      .otherwise(col("tx.amount"))
+    val recvAsset = when(col("op.op_type") === 1, col("op.op_asset_code"))
+      .when(col("op.op_type").isin(2, 13), col("op.op_dest_asset_code"))
+    val sendAsset = when(col("op.op_type") === 1, col("op.op_asset_code"))
+      .when(col("op.op_type").isin(2, 13), col("op.op_send_asset_code"))
+    val delivered = when(col("op.op_type") === 13, col("op.op_result_amount"))
+      .otherwise(col("op.amount"))
+    val paid = when(col("op.op_type") === 2, col("op.op_result_amount"))
+      .otherwise(col("op.amount"))
     // a typed empty effect array (filter-to-false keeps the struct type)
     val emptyEff = filter(
       array(eff(lit(0), lit(0), nullS, nullS, nullL, nullL)),
       _ => lit(false))
     val baseArr =
-      when(col("tx.op_type") === 0, array(
-        eff(lit(0), lit(0), col("tx.op_destination_hex"), nullS,
-          col("tx.amount"), nullL),
-        eff(lit(1), lit(3), src, nullS, col("tx.amount"), nullL)))
-      .when(col("tx.op_type").isin(1, 2, 13), array(
-        eff(lit(0), lit(2), col("tx.op_destination_hex"), recvAsset,
+      when(col("op.op_type") === 0, array(
+        eff(lit(0), lit(0), col("op.op_destination_hex"), nullS,
+          col("op.amount"), nullL),
+        eff(lit(1), lit(3), src, nullS, col("op.amount"), nullL)))
+      .when(col("op.op_type").isin(1, 2, 13), array(
+        eff(lit(0), lit(2), col("op.op_destination_hex"), recvAsset,
           delivered, nullL),
         eff(lit(1), lit(3), src, sendAsset, paid, nullL)))
-      .when(col("tx.op_type") === 15, array(
-        eff(lit(0), lit(52), src, nullS, col("tx.amount"), nullL)))
-    // orderbook atoms: a (seller, taker) trade-effect pair per atom, the
-    // ORIGINAL atom position driving the arithmetic index — all intra-row,
-    // so the whole transform stays one scan with no union or window
+      .when(col("op.op_type") === 15, array(
+        eff(lit(0), lit(52), src, nullS, col("op.amount"), nullL)))
+    // orderbook atoms: a (seller, taker) trade-effect pair per atom of
+    // THIS op (the op element groups its own atoms), the ORIGINAL atom
+    // position driving the arithmetic index — all intra-row, so the whole
+    // transform stays one scan with no union or window
     val tradePairs = flatten(filter(
-      transform(col("tx.claim_atoms"), (a, i) =>
+      transform(col("op.claim_atoms"), (a, i) =>
         when(!a("is_pool"), array(
           eff(lit(2) + i * 2, lit(33), a("seller_or_pool_hex"),
             a("sold_code"), a("sold_amount"), a("offer_id")),
@@ -349,10 +366,10 @@ object StellarTransforms {
             a("bought_amount"), a("offer_id"))))),
       p => p.isNotNull))
     ops
-      .select(col("sequence"), col("pos"),
+      .select(col("sequence"), col("pos"), col("op_pos"),
         explode(concat(coalesce(baseArr, emptyEff), tradePairs)).as("e"))
       .select(
-        operationToid(col("sequence"), col("pos") + 1, lit(0L))
+        operationToid(col("sequence"), col("pos") + 1, col("op_pos"))
           .as("operation_id"),
         col("sequence").as("ledger_sequence"),
         col("e.idx").as("effect_index"),
@@ -377,11 +394,14 @@ object StellarTransforms {
         posexplode(col("transactions")).as(Seq("pos", "tx")))
       .where(col("tx.successful"))
       .select(col("sequence"), col("pos"),
-        col("tx.op_source_hex").as("op_source_hex"),
         col("tx.source_account_hex").as("tx_source_hex"),
-        posexplode(col("tx.claim_atoms")).as(Seq("atom_pos", "a")))
+        posexplode(col("tx.operations")).as(Seq("op_pos", "op")))
+      .select(col("sequence"), col("pos"), col("op_pos"),
+        col("op.op_source_hex").as("op_source_hex"),
+        col("tx_source_hex"),
+        posexplode(col("op.claim_atoms")).as(Seq("atom_pos", "a")))
       .select(
-        operationToid(col("sequence"), col("pos") + 1, lit(0L))
+        operationToid(col("sequence"), col("pos") + 1, col("op_pos"))
           .as("operation_id"),
         col("atom_pos").cast("int").as("order"),
         col("sequence").as("ledger_sequence"),

@@ -44,11 +44,11 @@ object HistoryArchive {
   def checkpointsFor(start: Long, end: Long): Seq[Long] =
     checkpointOf(start) to checkpointOf(end) by CheckpointFrequency
 
-  /** Flat tx view: the first op of each envelope; `None` op fields for a
-    * zero-op transaction (the wire format permits nOps=0 even though the
-    * fixture writers always emit at least one). */
+  /** Full op view: the wire carries `nOps ×` operations per envelope
+    * (empty for a zero-op transaction, which the wire format permits). */
+  case class ArchiveOp(op_type: Int, amount: Long)
   case class ArchiveTx(fee_charged: Long, successful: Boolean,
-      op_type: Option[Int], amount: Option[Long])
+      operations: Seq[ArchiveOp])
   case class ArchiveLedger(sequence: Long, closed_at: Timestamp,
       transactions: Seq[ArchiveTx])
 
@@ -105,9 +105,8 @@ object HistoryArchive {
             val (seq, closeMs) = graft.codec.Lcm.decodeHeader(buf)
             if (seq >= start && seq <= end) {
               val txs = graft.codec.Lcm.decodeTxs(buf).map { t =>
-                val op = t.ops.headOption
                 ArchiveTx(t.feeCharged, t.successful,
-                  op.map(_.opType), op.map(_.amountStroops))
+                  t.ops.map(o => ArchiveOp(o.opType, o.amountStroops)))
               }
               Some(ArchiveLedger(seq, new Timestamp(closeMs), txs))
             } else None

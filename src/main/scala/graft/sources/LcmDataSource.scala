@@ -67,12 +67,16 @@ object LcmDataSource {
     StructField("bought_code", StringType, nullable = false),
     StructField("bought_amount", LongType, nullable = false)))
 
-  val TxSchema: StructType = StructType(Seq(
-    StructField("fee_charged", LongType, nullable = false),
-    StructField("successful", BooleanType, nullable = false),
-    // null for a zero-op transaction — the wire format permits nOps=0
-    StructField("op_type", IntegerType, nullable = true),
-    StructField("amount", LongType, nullable = true),
+  /** One operation of the envelope ([[graft.codec.Lcm.Op]]) — the wire
+    * carries `nOps ×` of these per transaction (up to 100 in the reference;
+    * TOID reserves 12 bits for the op index, `internal/toid/main.go:37-47`),
+    * so the reader surfaces the FULL array: flattening to the first op
+    * would silently drop ops 2..N of any multi-op envelope. */
+  val OpSchema: StructType = StructType(Seq(
+    StructField("op_type", IntegerType, nullable = false),
+    StructField("amount", LongType, nullable = false),
+    // the op's optional per-op source (null = the tx source acts)
+    StructField("op_source_hex", StringType, nullable = true),
     // Operation.body union arms: destination for CREATE_ACCOUNT/PAYMENT
     // and both path-payment arms, PAYMENT asset code — null for the flat
     // stand-in arm
@@ -150,6 +154,14 @@ object LcmDataSource {
     StructField("op_host_fn_type", IntegerType, nullable = true),
     StructField("op_contract_id_hex", StringType, nullable = true),
     StructField("op_extend_to", LongType, nullable = true),
+    // this op's RESULT ClaimAtoms (grouped by the wire atoms' op_index) —
+    // the history_trades grain
+    StructField("claim_atoms", ArrayType(ClaimAtomSchema, containsNull = false),
+      nullable = false)))
+
+  val TxSchema: StructType = StructType(Seq(
+    StructField("fee_charged", LongType, nullable = false),
+    StructField("successful", BooleanType, nullable = false),
     // decoded union arms (Stellar-transaction.x subset): result code,
     // memo, preconditions, fee-bump shell — null when the arm is absent
     StructField("result_code", IntegerType, nullable = false),
@@ -181,17 +193,17 @@ object LcmDataSource {
     StructField("soroban_fee_refundable", LongType, nullable = true),
     StructField("soroban_fee_rent", LongType, nullable = true),
     // inner-envelope sourceAccount (MuxedAccount union): the ed25519 key
-    // and, for the muxed arm, the uint64 sub-account id; plus the first
-    // op's optional per-op source (null = the tx source acts)
+    // and, for the muxed arm, the uint64 sub-account id
     StructField("source_account_hex", StringType, nullable = false),
     StructField("source_muxed_id", LongType, nullable = true),
-    StructField("op_source_hex", StringType, nullable = true),
     // the per-op LedgerEntryChanges subset (TransactionMeta grain): the
-    // substrate the reference's change pipeline reads off LedgerCloseMeta
+    // substrate the reference's change pipeline reads off LedgerCloseMeta;
+    // each change carries its op_index
     StructField("changes", ArrayType(ChangeSchema, containsNull = false),
       nullable = false),
-    // per-op RESULT ClaimAtoms — the history_trades grain
-    StructField("claim_atoms", ArrayType(ClaimAtomSchema, containsNull = false),
+    // the FULL operation array — empty for a zero-op transaction (the
+    // wire format permits nOps=0)
+    StructField("operations", ArrayType(OpSchema, containsNull = false),
       nullable = false)))
 
   val Schema: StructType = StructType(Seq(
@@ -457,237 +469,8 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
           case "soroban_fee_write1000" =>
             meta.sorobanFeeWrite1000.map(Long.box).orNull: Any
           case "transactions" =>
-            // flat tx view: the first (here: only) op of each envelope
             val txs = graft.codec.Lcm.decodeTxs(buf)
-            val rows = new Array[Any](txs.size)
-            var i = 0
-            txs.foreach { t =>
-              val op = t.ops.headOption
-              import graft.codec.Lcm._
-              def hex(b: Seq[Byte]): Any =
-                UTF8String.fromString(b.map("%02x".format(_)).mkString)
-              val (memoType, memoText, memoId, memoHash): (String, Any, Any, Any) =
-                t.memo match {
-                  case MemoNone => ("none", null, null, null)
-                  case MemoText(s) => ("text", UTF8String.fromString(s), null, null)
-                  case MemoId(id) => ("id", null, Long.box(id), null)
-                  case MemoHash(h) => ("hash", null, null, hex(h))
-                  case MemoReturn(h) => ("return", null, null, hex(h))
-                }
-              val (condType, tMin, tMax, lMin, lMax, minSeq,
-                  seqAge, seqGap, sigTypes, sigKeys, sigPayloads):
-                  (String, Any, Any, Any, Any, Any, Any, Any, Any, Any, Any) =
-                t.cond match {
-                  case PrecondNone =>
-                    ("none", null, null, null, null, null,
-                      null, null, null, null, null)
-                  case PrecondTime(tb) =>
-                    ("time", Long.box(tb.minTime), Long.box(tb.maxTime),
-                      null, null, null, null, null, null, null, null)
-                  case PrecondV2(time, ledger, ms, age, gap, signers) =>
-                    ("v2",
-                      time.map(x => Long.box(x.minTime)).orNull,
-                      time.map(x => Long.box(x.maxTime)).orNull,
-                      ledger.map(x => Long.box(x.minLedger)).orNull,
-                      ledger.map(x => Long.box(x.maxLedger)).orNull,
-                      ms.map(Long.box).orNull,
-                      Long.box(age), Long.box(gap),
-                      new GenericArrayData(
-                        signers.map(s => Int.box(s.tag)).toArray[Any]),
-                      new GenericArrayData(
-                        signers.map(s => hex(s.key)).toArray[Any]),
-                      new GenericArrayData(signers.map {
-                        case SignerEd25519SignedPayload(_, p) => hex(p)
-                        case _ => null
-                      }.toArray[Any]))
-                }
-              val opDest = op.flatMap(x => x.detail match {
-                case OpCreateAccount(d) => Some(hex(d))
-                case OpPayment(d, _) => Some(hex(d))
-                case p: OpPathPaymentStrictReceive => Some(hex(p.destination))
-                case p: OpPathPaymentStrictSend => Some(hex(p.destination))
-                case m: OpAccountMerge => Some(hex(m.destination))
-                case _ => None
-              }).orNull
-              val opAsset = op.flatMap(x => x.detail match {
-                case OpPayment(_, c) => Some(UTF8String.fromString(c): Any)
-                case ct: OpChangeTrust =>
-                  Some(UTF8String.fromString(ct.assetCode): Any)
-                case at: OpAllowTrust =>
-                  Some(UTF8String.fromString(at.assetCode): Any)
-                case cb: OpClawback =>
-                  Some(UTF8String.fromString(cb.assetCode): Any)
-                case cc: OpCreateClaimableBalance =>
-                  Some(UTF8String.fromString(cc.assetCode): Any)
-                case tf: OpSetTrustLineFlags =>
-                  Some(UTF8String.fromString(tf.assetCode): Any)
-                case _ => None
-              }).orNull
-              def utf8(s: String): Any = UTF8String.fromString(s)
-              // path-payment columns: (send code, dest code, sendMax,
-              // destMin, result-carried actual amount)
-              val (ppSend, ppDest, ppMax, ppMin, ppGot):
-                  (Any, Any, Any, Any, Any) =
-                op.map(_.detail) match {
-                  case Some(p: OpPathPaymentStrictReceive) =>
-                    (utf8(p.sendAssetCode), utf8(p.destAssetCode),
-                      Long.box(p.sendMax), null, Long.box(p.resultSendAmount))
-                  case Some(p: OpPathPaymentStrictSend) =>
-                    (utf8(p.sendAssetCode), utf8(p.destAssetCode),
-                      null, Long.box(p.destMin), Long.box(p.resultDestAmount))
-                  case _ => (null, null, null, null, null)
-                }
-              // manage-offer columns: (offerId, selling, buying, priceN, priceD)
-              val (offId, offSell, offBuy, offN, offD):
-                  (Any, Any, Any, Any, Any) =
-                op.map(_.detail) match {
-                  case Some(o: OpManageSellOffer) =>
-                    (Long.box(o.offerId), utf8(o.sellingCode),
-                      utf8(o.buyingCode), Int.box(o.priceN), Int.box(o.priceD))
-                  case Some(o: OpManageBuyOffer) =>
-                    (Long.box(o.offerId), utf8(o.sellingCode),
-                      utf8(o.buyingCode), Int.box(o.priceN), Int.box(o.priceD))
-                  case Some(o: OpCreatePassiveSellOffer) =>
-                    // passive offers have no id — the column stays null
-                    (null, utf8(o.sellingCode), utf8(o.buyingCode),
-                      Int.box(o.priceN), Int.box(o.priceD))
-                  case _ => (null, null, null, null, null)
-                }
-              // change-trust limit / manage-data name+value / bump target
-              val (ctLimit, mdName, mdValue, bumpTo): (Any, Any, Any, Any) =
-                op.map(_.detail) match {
-                  case Some(ct: OpChangeTrust) =>
-                    (Long.box(ct.limit), null, null, null)
-                  case Some(md: OpManageData) =>
-                    (null, utf8(md.name), md.value.map(hex).orNull, null)
-                  case Some(b: OpBumpSequence) =>
-                    (null, null, null, Long.box(b.bumpTo))
-                  case _ => (null, null, null, null)
-                }
-              // SET_OPTIONS: nine optionals, each independently nullable.
-              // SET_TRUST_LINE_FLAGS reuses the clear/set flag columns and
-              // REVOKE_SPONSORSHIP's signer arm the signer-key column — the
-              // same detail-key sharing the reference's flat details map
-              // does (set_flags / signer_key across op types).
-              val soCols: Array[Any] = op.map(_.detail) match {
-                case Some(so: OpSetOptions) => Array[Any](
-                  so.inflationDest.map(hex).orNull,
-                  so.clearFlags.map(Int.box).orNull,
-                  so.setFlags.map(Int.box).orNull,
-                  so.masterWeight.map(Int.box).orNull,
-                  so.lowThreshold.map(Int.box).orNull,
-                  so.medThreshold.map(Int.box).orNull,
-                  so.highThreshold.map(Int.box).orNull,
-                  so.homeDomain.map(utf8).orNull,
-                  so.signer.map(s => hex(s._1)).orNull,
-                  so.signer.map(s => Int.box(s._2)).orNull)
-                case Some(tf: OpSetTrustLineFlags) =>
-                  val a = Array.fill[Any](10)(null)
-                  a(1) = Int.box(tf.clearFlags)
-                  a(2) = Int.box(tf.setFlags)
-                  a
-                case Some(OpRevokeSponsorship(None, Some((_, key)))) =>
-                  val a = Array.fill[Any](10)(null)
-                  a(8) = hex(key)
-                  a
-                case _ => Array.fill[Any](10)(null)
-              }
-              // allow-trust trustor+authorize / clawback from /
-              // set-trust-line-flags trustor
-              val (trustor, authorize, fromHex): (Any, Any, Any) =
-                op.map(_.detail) match {
-                  case Some(at: OpAllowTrust) =>
-                    (hex(at.trustor), Int.box(at.authorize), null)
-                  case Some(cb: OpClawback) => (null, null, hex(cb.from))
-                  case Some(tf: OpSetTrustLineFlags) =>
-                    (hex(tf.trustor), null, null)
-                  case _ => (null, null, null)
-                }
-              // claimable-balance arms: claimant list / balance ids
-              val claimants: Any = op.map(_.detail) match {
-                case Some(cc: OpCreateClaimableBalance) =>
-                  new GenericArrayData(cc.claimants.map(hex).toArray[Any])
-                case _ => null
-              }
-              val (balanceId, sponsoredId): (Any, Any) =
-                op.map(_.detail) match {
-                  case Some(c: OpClaimClaimableBalance) =>
-                    (hex(c.balanceId), null)
-                  case Some(c: OpClawbackClaimableBalance) =>
-                    (hex(c.balanceId), null)
-                  case Some(b: OpBeginSponsoringFutureReserves) =>
-                    (null, hex(b.sponsoredId))
-                  case _ => (null, null)
-                }
-              // revoke-sponsorship union: tag + per-arm columns
-              val (revokeType, leType, leKey, signerAcct): (Any, Any, Any, Any) =
-                op.map(_.detail) match {
-                  case Some(OpRevokeSponsorship(Some((et, key)), _)) =>
-                    (Int.box(0), Int.box(et), hex(key), null)
-                  case Some(OpRevokeSponsorship(None, Some((acct, _)))) =>
-                    (Int.box(1), null, null, hex(acct))
-                  case _ => (null, null, null, null)
-                }
-              // liquidity-pool arms: (poolId, maxA, maxB, minA, minB,
-              // minPriceN, minPriceD, maxPriceN, maxPriceD)
-              val lpCols: Array[Any] = op.map(_.detail) match {
-                case Some(d: OpLiquidityPoolDeposit) => Array[Any](
-                  hex(d.poolId), Long.box(d.maxAmountA), Long.box(d.maxAmountB),
-                  null, null,
-                  Int.box(d.minPriceN), Int.box(d.minPriceD),
-                  Int.box(d.maxPriceN), Int.box(d.maxPriceD))
-                case Some(w: OpLiquidityPoolWithdraw) => Array[Any](
-                  hex(w.poolId), null, null,
-                  Long.box(w.minAmountA), Long.box(w.minAmountB),
-                  null, null, null, null)
-                case _ => Array.fill[Any](9)(null)
-              }
-              // soroban host arms: host-fn tag + contract / ttl extension
-              val (hostFnType, contractId, extendTo): (Any, Any, Any) =
-                op.map(_.detail) match {
-                  case Some(ih: OpInvokeHostFunction) =>
-                    (Int.box(ih.hostFnType), ih.contractId.map(hex).orNull,
-                      null)
-                  case Some(e: OpExtendFootprintTtl) =>
-                    (null, null, Long.box(e.extendTo))
-                  case _ => (null, null, null)
-                }
-              rows(i) = new GenericInternalRow(Array[Any](
-                t.feeCharged, t.successful,
-                op.map(x => Int.box(x.opType)).orNull,
-                op.map(x => Long.box(x.amountStroops)).orNull,
-                opDest, opAsset,
-                ppSend, ppDest, ppMax, ppMin, ppGot,
-                offId, offSell, offBuy, offN, offD,
-                ctLimit, mdName, mdValue, bumpTo) ++ soCols ++ Array[Any](
-                trustor, authorize, fromHex,
-                claimants, balanceId, sponsoredId,
-                revokeType, leType, leKey, signerAcct) ++ lpCols ++ Array[Any](
-                hostFnType, contractId, extendTo,
-                t.resultCode,
-                UTF8String.fromString(memoType), memoText, memoId, memoHash,
-                UTF8String.fromString(condType), tMin, tMax, lMin, lMax, minSeq,
-                seqAge, seqGap, sigTypes, sigKeys, sigPayloads,
-                t.feeBump.map(fb => Long.box(fb.fee)).orNull,
-                t.feeBump.map(fb => hex(fb.feeSourceKey)).orNull,
-                t.sorobanMeta.map(m => Long.box(m.nonRefundableFeeCharged)).orNull,
-                t.sorobanMeta.map(m => Long.box(m.refundableFeeCharged)).orNull,
-                t.sorobanMeta.map(m => Long.box(m.rentFeeCharged)).orNull,
-                hex(t.sourceKey),
-                t.sourceMuxedId.map(Long.box).orNull,
-                op.flatMap(_.sourceKey).map(hex).orNull,
-                new GenericArrayData(t.changes.map(c =>
-                  new GenericInternalRow(Array[Any](
-                    c.kind, c.entryType, c.opIndex, hex(c.keyHash),
-                    c.lastModified, c.balance))).toArray[Any]),
-                new GenericArrayData(t.claimAtoms.map(ca =>
-                  new GenericInternalRow(Array[Any](
-                    ca.opIndex, ca.isPool, hex(ca.sellerOrPoolId),
-                    ca.offerId, utf8(ca.soldCode), ca.soldAmount,
-                    utf8(ca.boughtCode), ca.boughtAmount))).toArray[Any])))
-              i += 1
-            }
-            new GenericArrayData(rows): Any
+            new GenericArrayData(txs.map(LcmRows.txRow).toArray[Any]): Any
           case other => throw new IllegalStateException(s"unknown column $other")
         }
         current = new GenericInternalRow(values)
@@ -701,6 +484,235 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
 }
+
+/** Positional `InternalRow` builders for the wire schema, shared by the
+  * batch and streaming readers. The value arrays MUST match the
+  * [[LcmDataSource.OpSchema]] / [[LcmDataSource.TxSchema]] field order —
+  * the reader fills rows positionally, not by name. One tx row carries the
+  * FULL operation array (the wire declares `nOps ×` ops and the reference's
+  * op grain is `(tx, op-index)`, `internal/input/operations.go:58-65`);
+  * each op element groups the RESULT ClaimAtoms tagged with its index. */
+private[sources] object LcmRows {
+  import graft.codec.Lcm._
+
+  private def hex(b: Seq[Byte]): Any =
+    UTF8String.fromString(b.map("%02x".format(_)).mkString)
+  private def utf8(s: String): Any = UTF8String.fromString(s)
+
+  def atomRow(ca: WireClaimAtom): InternalRow =
+    new GenericInternalRow(Array[Any](
+      ca.opIndex, ca.isPool, hex(ca.sellerOrPoolId),
+      ca.offerId, utf8(ca.soldCode), ca.soldAmount,
+      utf8(ca.boughtCode), ca.boughtAmount))
+
+  def changeRow(c: WireChange): InternalRow =
+    new GenericInternalRow(Array[Any](
+      c.kind, c.entryType, c.opIndex, hex(c.keyHash),
+      c.lastModified, c.balance))
+
+  def opRow(op: Op, atoms: Seq[WireClaimAtom]): InternalRow = {
+    val opDest = op.detail match {
+      case OpCreateAccount(d) => hex(d)
+      case OpPayment(d, _) => hex(d)
+      case p: OpPathPaymentStrictReceive => hex(p.destination)
+      case p: OpPathPaymentStrictSend => hex(p.destination)
+      case m: OpAccountMerge => hex(m.destination)
+      case _ => null
+    }
+    val opAsset = op.detail match {
+      case OpPayment(_, c) => utf8(c)
+      case ct: OpChangeTrust => utf8(ct.assetCode)
+      case at: OpAllowTrust => utf8(at.assetCode)
+      case cb: OpClawback => utf8(cb.assetCode)
+      case cc: OpCreateClaimableBalance => utf8(cc.assetCode)
+      case tf: OpSetTrustLineFlags => utf8(tf.assetCode)
+      case _ => null
+    }
+    // path-payment columns: (send code, dest code, sendMax, destMin,
+    // result-carried actual amount)
+    val (ppSend, ppDest, ppMax, ppMin, ppGot): (Any, Any, Any, Any, Any) =
+      op.detail match {
+        case p: OpPathPaymentStrictReceive =>
+          (utf8(p.sendAssetCode), utf8(p.destAssetCode),
+            Long.box(p.sendMax), null, Long.box(p.resultSendAmount))
+        case p: OpPathPaymentStrictSend =>
+          (utf8(p.sendAssetCode), utf8(p.destAssetCode),
+            null, Long.box(p.destMin), Long.box(p.resultDestAmount))
+        case _ => (null, null, null, null, null)
+      }
+    // manage-offer columns: (offerId, selling, buying, priceN, priceD)
+    val (offId, offSell, offBuy, offN, offD): (Any, Any, Any, Any, Any) =
+      op.detail match {
+        case o: OpManageSellOffer =>
+          (Long.box(o.offerId), utf8(o.sellingCode),
+            utf8(o.buyingCode), Int.box(o.priceN), Int.box(o.priceD))
+        case o: OpManageBuyOffer =>
+          (Long.box(o.offerId), utf8(o.sellingCode),
+            utf8(o.buyingCode), Int.box(o.priceN), Int.box(o.priceD))
+        case o: OpCreatePassiveSellOffer =>
+          // passive offers have no id — the column stays null
+          (null, utf8(o.sellingCode), utf8(o.buyingCode),
+            Int.box(o.priceN), Int.box(o.priceD))
+        case _ => (null, null, null, null, null)
+      }
+    // change-trust limit / manage-data name+value / bump target
+    val (ctLimit, mdName, mdValue, bumpTo): (Any, Any, Any, Any) =
+      op.detail match {
+        case ct: OpChangeTrust => (Long.box(ct.limit), null, null, null)
+        case md: OpManageData =>
+          (null, utf8(md.name), md.value.map(hex).orNull, null)
+        case b: OpBumpSequence => (null, null, null, Long.box(b.bumpTo))
+        case _ => (null, null, null, null)
+      }
+    // SET_OPTIONS: nine optionals, each independently nullable.
+    // SET_TRUST_LINE_FLAGS reuses the clear/set flag columns and
+    // REVOKE_SPONSORSHIP's signer arm the signer-key column — the same
+    // detail-key sharing the reference's flat details map does
+    // (set_flags / signer_key across op types).
+    val soCols: Array[Any] = op.detail match {
+      case so: OpSetOptions => Array[Any](
+        so.inflationDest.map(hex).orNull,
+        so.clearFlags.map(Int.box).orNull,
+        so.setFlags.map(Int.box).orNull,
+        so.masterWeight.map(Int.box).orNull,
+        so.lowThreshold.map(Int.box).orNull,
+        so.medThreshold.map(Int.box).orNull,
+        so.highThreshold.map(Int.box).orNull,
+        so.homeDomain.map(utf8).orNull,
+        so.signer.map(s => hex(s._1)).orNull,
+        so.signer.map(s => Int.box(s._2)).orNull)
+      case tf: OpSetTrustLineFlags =>
+        val a = Array.fill[Any](10)(null)
+        a(1) = Int.box(tf.clearFlags)
+        a(2) = Int.box(tf.setFlags)
+        a
+      case OpRevokeSponsorship(None, Some((_, key))) =>
+        val a = Array.fill[Any](10)(null)
+        a(8) = hex(key)
+        a
+      case _ => Array.fill[Any](10)(null)
+    }
+    // allow-trust trustor+authorize / clawback from /
+    // set-trust-line-flags trustor
+    val (trustor, authorize, fromHex): (Any, Any, Any) =
+      op.detail match {
+        case at: OpAllowTrust => (hex(at.trustor), Int.box(at.authorize), null)
+        case cb: OpClawback => (null, null, hex(cb.from))
+        case tf: OpSetTrustLineFlags => (hex(tf.trustor), null, null)
+        case _ => (null, null, null)
+      }
+    // claimable-balance arms: claimant list / balance ids
+    val claimants: Any = op.detail match {
+      case cc: OpCreateClaimableBalance =>
+        new GenericArrayData(cc.claimants.map(hex).toArray[Any])
+      case _ => null
+    }
+    val (balanceId, sponsoredId): (Any, Any) = op.detail match {
+      case c: OpClaimClaimableBalance => (hex(c.balanceId), null)
+      case c: OpClawbackClaimableBalance => (hex(c.balanceId), null)
+      case b: OpBeginSponsoringFutureReserves => (null, hex(b.sponsoredId))
+      case _ => (null, null)
+    }
+    // revoke-sponsorship union: tag + per-arm columns
+    val (revokeType, leType, leKey, signerAcct): (Any, Any, Any, Any) =
+      op.detail match {
+        case OpRevokeSponsorship(Some((et, key)), _) =>
+          (Int.box(0), Int.box(et), hex(key), null)
+        case OpRevokeSponsorship(None, Some((acct, _))) =>
+          (Int.box(1), null, null, hex(acct))
+        case _ => (null, null, null, null)
+      }
+    // liquidity-pool arms: (poolId, maxA, maxB, minA, minB, minPriceN,
+    // minPriceD, maxPriceN, maxPriceD)
+    val lpCols: Array[Any] = op.detail match {
+      case d: OpLiquidityPoolDeposit => Array[Any](
+        hex(d.poolId), Long.box(d.maxAmountA), Long.box(d.maxAmountB),
+        null, null,
+        Int.box(d.minPriceN), Int.box(d.minPriceD),
+        Int.box(d.maxPriceN), Int.box(d.maxPriceD))
+      case w: OpLiquidityPoolWithdraw => Array[Any](
+        hex(w.poolId), null, null,
+        Long.box(w.minAmountA), Long.box(w.minAmountB),
+        null, null, null, null)
+      case _ => Array.fill[Any](9)(null)
+    }
+    // soroban host arms: host-fn tag + contract / ttl extension
+    val (hostFnType, contractId, extendTo): (Any, Any, Any) =
+      op.detail match {
+        case ih: OpInvokeHostFunction =>
+          (Int.box(ih.hostFnType), ih.contractId.map(hex).orNull, null)
+        case e: OpExtendFootprintTtl => (null, null, Long.box(e.extendTo))
+        case _ => (null, null, null)
+      }
+    new GenericInternalRow(Array[Any](
+      op.opType, op.amountStroops,
+      op.sourceKey.map(hex).orNull,
+      opDest, opAsset,
+      ppSend, ppDest, ppMax, ppMin, ppGot,
+      offId, offSell, offBuy, offN, offD,
+      ctLimit, mdName, mdValue, bumpTo) ++ soCols ++ Array[Any](
+      trustor, authorize, fromHex,
+      claimants, balanceId, sponsoredId,
+      revokeType, leType, leKey, signerAcct) ++ lpCols ++ Array[Any](
+      hostFnType, contractId, extendTo,
+      new GenericArrayData(atoms.map(atomRow).toArray[Any])))
+  }
+
+  def txRow(t: Tx): InternalRow = {
+    val (memoType, memoText, memoId, memoHash): (String, Any, Any, Any) =
+      t.memo match {
+        case MemoNone => ("none", null, null, null)
+        case MemoText(s) => ("text", utf8(s), null, null)
+        case MemoId(id) => ("id", null, Long.box(id), null)
+        case MemoHash(h) => ("hash", null, null, hex(h))
+        case MemoReturn(h) => ("return", null, null, hex(h))
+      }
+    val (condType, tMin, tMax, lMin, lMax, minSeq,
+        seqAge, seqGap, sigTypes, sigKeys, sigPayloads):
+        (String, Any, Any, Any, Any, Any, Any, Any, Any, Any, Any) =
+      t.cond match {
+        case PrecondNone =>
+          ("none", null, null, null, null, null,
+            null, null, null, null, null)
+        case PrecondTime(tb) =>
+          ("time", Long.box(tb.minTime), Long.box(tb.maxTime),
+            null, null, null, null, null, null, null, null)
+        case PrecondV2(time, ledger, ms, age, gap, signers) =>
+          ("v2",
+            time.map(x => Long.box(x.minTime)).orNull,
+            time.map(x => Long.box(x.maxTime)).orNull,
+            ledger.map(x => Long.box(x.minLedger)).orNull,
+            ledger.map(x => Long.box(x.maxLedger)).orNull,
+            ms.map(Long.box).orNull,
+            Long.box(age), Long.box(gap),
+            new GenericArrayData(
+              signers.map(s => Int.box(s.tag)).toArray[Any]),
+            new GenericArrayData(
+              signers.map(s => hex(s.key)).toArray[Any]),
+            new GenericArrayData(signers.map {
+              case SignerEd25519SignedPayload(_, p) => hex(p)
+              case _ => null
+            }.toArray[Any]))
+      }
+    new GenericInternalRow(Array[Any](
+      t.feeCharged, t.successful, t.resultCode,
+      UTF8String.fromString(memoType), memoText, memoId, memoHash,
+      UTF8String.fromString(condType), tMin, tMax, lMin, lMax, minSeq,
+      seqAge, seqGap, sigTypes, sigKeys, sigPayloads,
+      t.feeBump.map(fb => Long.box(fb.fee)).orNull,
+      t.feeBump.map(fb => hex(fb.feeSourceKey)).orNull,
+      t.sorobanMeta.map(m => Long.box(m.nonRefundableFeeCharged)).orNull,
+      t.sorobanMeta.map(m => Long.box(m.refundableFeeCharged)).orNull,
+      t.sorobanMeta.map(m => Long.box(m.rentFeeCharged)).orNull,
+      hex(t.sourceKey),
+      t.sourceMuxedId.map(Long.box).orNull,
+      new GenericArrayData(t.changes.map(changeRow).toArray[Any]),
+      new GenericArrayData(t.ops.zipWithIndex.map { case (op, u) =>
+        opRow(op, t.claimAtoms.filter(_.opIndex == u))
+      }.toArray[Any])))
+  }
+}
+
 
 /** Batch-file writer for the `.lcmb` format (fixture export + tests):
   * length-prefixed [[graft.codec.Lcm]] XDR frames. */
@@ -743,8 +755,10 @@ object LcmWriter {
     * fee-bump shell iff t%4==1 (result code then txFEE_BUMP_INNER_SUCCESS),
     * carries memo arm t%5, precondition arm (seq+t)%3 — the V2 arm with
     * age/gap gates and t%3 extraSigners cycling the SignerKey union — and
-    * a soroban fee triple iff (seq+t)%2==0. The op is typed by
-    * opType=(seq+t)%27: CREATE_ACCOUNT(0)/PAYMENT(1)/ACCOUNT_MERGE(8)
+    * a soroban fee triple iff (seq+t)%2==0. Each envelope carries
+    * (seq+t)%3+1 operations (multi-op, so the oracles check op-grain
+    * cardinality); op u is typed opType=(seq+t+u)%27 with detail laws
+    * keyed (seq,t): CREATE_ACCOUNT(0)/PAYMENT(1)/ACCOUNT_MERGE(8)
     * destinations, path-payment arms (2/13) with affine bounds and
     * result-carried actual amounts, offer arms (3/12 with offer ids, 4
     * without) with rational prices, SET_OPTIONS(5) with each optional
@@ -803,9 +817,14 @@ object LcmWriter {
         if ((seq + t) % 2 == 0)
           Some(Lcm.SorobanMeta(1000L + seq, 500L + t, seq % 9 + 10L * t))
         else None
-      val opType = ((seq + t) % 27).toInt
+      // ops per envelope: (seq + t) % 3 + 1 — multi-op is the norm on the
+      // real network (TOID reserves 12 bits for the op index,
+      // `internal/toid/main.go:37-47`); op u is typed (seq + t + u) % 27
+      // and its detail laws stay keyed (seq, t), so the DuckDB oracles
+      // re-derive every field per (seq, t, u)
+      val nOps = ((seq + t) % 3 + 1).toInt
       val codes = Seq("XLM", "USDC", "EURC")
-      val opDetail = opType match {
+      def detailFor(opType: Int): Lcm.OpDetail = opType match {
         case 0 => Lcm.OpCreateAccount(sha(s"dst-$seq-$t"))
         case 1 => Lcm.OpPayment(sha(s"dst-$seq-$t"), codes((seq % 3).toInt))
         // path arms: envelope bound + result-carried actual amount, both
@@ -882,27 +901,37 @@ object LcmWriter {
         case 25 => Lcm.OpExtendFootprintTtl(100000L + (seq * 3 + t) % 50000)
         case _ => Lcm.OpGeneric
       }
-      // the per-op change laws (all affine, DuckDB-re-derivable): 1-2
-      // changes per op; key ids cycle mod 101 so the same ledger key
-      // repeats across ledgers — latest-per-key compaction is non-trivial
+      // the operation vector: nOps ops, typed (seq + t + u) % 27; every
+      // fifth tx's ops act under their own source account
+      val ops = (0 until nOps).map { u =>
+        val opType = ((seq + t + u) % 27).toInt
+        Lcm.Op(opType, 1000000L * (t + 1), detailFor(opType),
+          sourceKey = if ((seq + t) % 5 == 0) Some(sha(s"osrc-$seq-$t"))
+                      else None)
+      }
+      // the per-tx change laws (all affine, DuckDB-re-derivable): 1-2
+      // changes per tx, each tagged with a REAL op index (j mod nOps); key
+      // ids cycle mod 101 so the same ledger key repeats across ledgers —
+      // latest-per-key compaction is non-trivial
       val changes = (0 until (1 + ((seq + t) % 2)).toInt).map { j =>
         Lcm.WireChange(
           kind = ((seq + t + j) % 3).toInt,
           entryType = ((seq + j) % 10).toInt,
-          opIndex = 0,
+          opIndex = (j % nOps),
           keyHash = sha(s"ck-${(seq * 3 + t * 7 + j * 11) % 101}"),
           lastModified = seq,
           balance = 1000000L + seq * 3 + t * 17 + j * 29)
       }
       // RESULT claim atoms ride only the trade-shaped arms (both path
-      // payments + both manage offers), 1-2 per op; every fourth atom is
-      // the LP arm (offerId 0). All laws affine in (seq, t, j)
-      val claimAtoms =
-        if (!Seq(2, 3, 12, 13).contains(opType)) Nil
+      // payments + both manage offers), 1-2 per such OP, tagged with the
+      // op's real index; every fourth atom is the LP arm (offerId 0).
+      // All value laws affine in (seq, t, j)
+      val claimAtoms = ops.zipWithIndex.flatMap { case (op, u) =>
+        if (!Seq(2, 3, 12, 13).contains(op.opType)) Nil
         else (0 until (1 + ((seq + t) % 2)).toInt).map { j =>
           val pool = (seq + t + j) % 4 == 0
           Lcm.WireClaimAtom(
-            opIndex = 0, isPool = pool,
+            opIndex = u, isPool = pool,
             sellerOrPoolId = sha(s"se-$seq-$t-$j"),
             offerId = if (pool) 0L else seq * 100 + t * 10 + j,
             soldCode = codes(((seq + j) % 3).toInt),
@@ -910,11 +939,8 @@ object LcmWriter {
             boughtCode = codes(((seq + j + 1) % 3).toInt),
             boughtAmount = 600000L * (t + 1) + seq % 47 + j)
         }
-      Lcm.Tx(100L * (t + 1), rc,
-        Seq(Lcm.Op(opType, 1000000L * (t + 1), opDetail,
-          // every fifth op acts under its own source account
-          sourceKey = if ((seq + t) % 5 == 0) Some(sha(s"osrc-$seq-$t"))
-                      else None)),
+      }
+      Lcm.Tx(100L * (t + 1), rc, ops,
         memo, cond, feeBump, soroban, changes, claimAtoms,
         // sourceAccount laws: key hashes (seq, t); every third tx in a
         // ledger uses the muxed arm with an affine sub-account id

@@ -102,11 +102,13 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.writeInt(bytes.length); out.write(bytes); out.close()
     val row = spark.read.format("graft-lcm").load(d).collect().head
     val txs = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("transactions"))
+    def ops(t: org.apache.spark.sql.Row) =
+      t.getSeq[org.apache.spark.sql.Row](t.fieldIndex("operations"))
     assert(txs.size == 3)
     assert(txs(1).getAs[Long]("fee_charged") == 250L)
-    assert(txs(1).isNullAt(txs(1).fieldIndex("op_type")))
-    assert(txs(1).isNullAt(txs(1).fieldIndex("amount")))
-    assert(txs(0).getAs[Int]("op_type") == 14 && txs(2).getAs[Int]("op_type") == 20)
+    assert(ops(txs(1)).isEmpty) // zero-op tx → empty op array, not nulls
+    assert(ops(txs(0)).head.getAs[Int]("op_type") == 14 &&
+      ops(txs(2)).head.getAs[Int]("op_type") == 20)
     // archive source: same frame inside a gzipped checkpoint file
     val root = java.nio.file.Files.createTempDirectory("graft-archive-zero").toString
     val cp = HistoryArchive.checkpointOf(2000L)
@@ -117,9 +119,8 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     gz.writeInt(bytes.length); gz.write(bytes); gz.close()
     val led = HistoryArchive.read(spark, root, 2000, 2000).collect().head
     assert(led.transactions.size == 3)
-    assert(led.transactions(1).op_type.isEmpty &&
-      led.transactions(1).amount.isEmpty)
-    assert(led.transactions(0).op_type.contains(14))
+    assert(led.transactions(1).operations.isEmpty)
+    assert(led.transactions(0).operations.map(_.op_type) == Seq(14))
   }
 
   test("reads frames back with the declared schema and exact row content") {
@@ -135,7 +136,10 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val txs = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("transactions"))
     assert(txs.size == (1003 % 5) + 1)
     assert(txs.head.getAs[Long]("fee_charged") == 100L)
-    assert(txs.head.getAs[Int]("op_type") == (1003 % 27))
+    val headOps = txs.head
+      .getSeq[org.apache.spark.sql.Row](txs.head.fieldIndex("operations"))
+    assert(headOps.size == (1003 % 3) + 1)
+    assert(headOps.head.getAs[Int]("op_type") == (1003 % 27))
     // header arm: fixture laws, odd seq → no soroban ext
     assert(r.getAs[Int]("protocol_version") == (20 + 1003 % 3))
     assert(r.getAs[String]("prev_ledger_hash_hex") ==
@@ -174,9 +178,12 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t2 = txs(2)
     assert(t2.getAs[String]("source_account_hex") == hex("src-1003-2"))
     assert(t2.isNullAt(t2.fieldIndex("source_muxed_id")))
+    def ops(t: org.apache.spark.sql.Row) =
+      t.getSeq[org.apache.spark.sql.Row](t.fieldIndex("operations"))
     // per-op source: present iff (seq + t) % 5 == 0 → t=2 for seq 1003
-    assert(t2.getAs[String]("op_source_hex") == hex("osrc-1003-2"))
-    assert(t1.isNullAt(t1.fieldIndex("op_source_hex")))
+    assert(ops(t2).head.getAs[String]("op_source_hex") == hex("osrc-1003-2"))
+    assert(ops(t1).head.isNullAt(
+      ops(t1).head.fieldIndex("op_source_hex")))
     // change vector: t=1 → (1003+1)%2 = 0 → 1 change, laws per j=0
     val ch = t1.getSeq[org.apache.spark.sql.Row](t1.fieldIndex("changes"))
     assert(ch.size == 1)
@@ -186,11 +193,11 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       hex(s"ck-${(1003L * 3 + 1 * 7) % 101}"))
     assert(ch.head.getAs[Long]("last_modified") == 1003L)
     assert(ch.head.getAs[Long]("balance") == 1000000L + 1003 * 3 + 17)
-    // claim atoms ride only trade-shaped ops: (1003 + t) % 27 ∈ {2,3,12,13}
-    // → t=2 gives op type 6 (no atoms); find a tx that has them
+    // claim atoms ride only trade-shaped ops, grouped per op element
     val withAtoms = df.where(col("sequence") === 1029).collect().head
       .getSeq[org.apache.spark.sql.Row](r.fieldIndex("transactions"))
-      .filter(t => Seq(2, 3, 12, 13).contains(t.getAs[Int]("op_type")))
+      .flatMap(ops)
+      .filter(o => Seq(2, 3, 12, 13).contains(o.getAs[Int]("op_type")))
     assert(withAtoms.nonEmpty)
     val atoms = withAtoms.head
       .getSeq[org.apache.spark.sql.Row](
@@ -218,6 +225,40 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val schema = df.queryExecution.executedPlan.collectLeaves().head.schema
     assert(schema.fieldNames.toSeq == Seq("sequence"))
     assert(df.distinct().count() == 512)
+  }
+
+  test("multi-op envelopes surface the FULL op array (ops 2..N survive)") {
+    // fixture law: nOps = (seq + t) % 3 + 1, op u typed (seq + t + u) % 27
+    // — every (seq, t, u) triple must come back, not just u = 0 (the
+    // round-9 defect flattened each envelope to ops.headOption)
+    val got = spark.read.format("graft-lcm").load(dir)
+      .where(col("sequence").between(1000, 1099))
+      .select(col("sequence"),
+        posexplode(col("transactions")).as(Seq("t", "tx")))
+      .select(col("sequence"), col("t"),
+        posexplode(col("tx.operations")).as(Seq("u", "op")))
+      .select(col("sequence"), col("t"), col("u"), col("op.op_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sorted.toSeq
+    val expect = (for {
+      seq <- 1000L to 1099L
+      t <- 0 to (seq % 5).toInt
+      u <- 0 to ((seq + t) % 3).toInt
+    } yield (seq, t, u, ((seq + t + u) % 27).toInt)).sorted
+    assert(got == expect)
+    // per-op atom grouping: in an envelope with 2+ trade-shaped ops, EACH
+    // trade-shaped op carries its own (non-empty) claim-atom group
+    val multiTrade = spark.read.format("graft-lcm").load(dir)
+      .select(posexplode(col("transactions")).as(Seq("t", "tx")))
+      .where(size(filter(col("tx.operations"),
+        o => o("op_type").isin(2, 3, 12, 13))) >= 2)
+    assert(multiTrade.count() > 0)
+    val tradeOps = multiTrade.limit(1)
+      .select(explode(col("tx.operations")).as("op"))
+      .where(col("op.op_type").isin(2, 3, 12, 13))
+      .select(size(col("op.claim_atoms"))).collect().map(_.getInt(0))
+    assert(tradeOps.length >= 2 && tradeOps.forall(_ > 0))
   }
 
   test("nested tx array aggregates match the fixture law") {
