@@ -105,7 +105,13 @@ object Bench {
     val spreads = results.collect { case (_, mn, md) if mn > 0 => md / mn - 1.0 }.sorted
     val noiseMed = if (spreads.isEmpty) 0.0 else spreads((spreads.size - 1) / 2)
     val noiseMax = if (spreads.isEmpty) 0.0 else spreads.last
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","reps_min":$minReps,"reps_max":$maxReps,"noise_med":$noiseMed,"noise_max":$noiseMax,"isolated":$iso,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","reps_min":$minReps,"reps_max":$maxReps,"noise_med":$noiseMed,"noise_max":$noiseMax,"isolated":$iso,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the round artifact keeps only the TAIL of stdout, which truncates
+    // half the per-query numbers once the suite passes ~100 queries — so
+    // also persist the full line to a file in the repo root
+    val out = new java.io.PrintWriter("bench_latest.json")
+    try out.println(line) finally out.close()
     spark.stop()
   }
 }
