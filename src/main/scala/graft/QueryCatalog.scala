@@ -51,6 +51,63 @@ object QueryCatalog {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** DuckDB SQL re-derivation of strkey (`base32(version ‖ payload ‖
+    * crc16-le)`, no padding) as ONE scalar expression over a hex-string
+    * column — so the oracle checks the engine's G/M/C/L/B address
+    * rendering law-by-law instead of via golden VALUES or dropped
+    * columns. Intermediate values are bound with single-element
+    * `list_transform` lambdas (a let-binding); the CRC16-XModem fold is a
+    * nested `list_reduce` (poly 0x1021, init 0, LE append) and the
+    * unpadded base32 reads 5-bit windows straight off the byte list.
+    * `idExpr` appends the big-endian uint64 muxed id (the M-address
+    * payload, `transaction.go:61-77`). */
+  private def strkeySql(hexExpr: String, version: Int,
+      idExpr: Option[String] = None): String = {
+    val hexBytes =
+      """list_transform(range(0, CAST(len(h)/2 AS INT)), i ->
+        |  CAST((strpos('0123456789abcdef', h[CAST(2*i+1 AS INT)]) - 1) * 16 +
+        |       (strpos('0123456789abcdef', h[CAST(2*i+2 AS INT)]) - 1)
+        |    AS BIGINT))""".stripMargin
+    val payload = idExpr match {
+      case None => hexBytes
+      case Some(id) =>
+        s"""list_concat($hexBytes,
+           |  list_transform(range(0, 8), k ->
+           |    CAST((($id) >> CAST(56 - 8*k AS INT)) & 255 AS BIGINT)))"""
+          .stripMargin
+    }
+    val crc =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT), body), (c, x) ->
+        |  list_reduce(list_prepend(xor(c, x * 256), range(0, 8)::BIGINT[]),
+        |    (c2, k2) -> CASE WHEN (c2 & 32768) != 0
+        |                     THEN xor(c2 * 2, 4129) & 65535
+        |                     ELSE (c2 * 2) & 65535 END))""".stripMargin
+    val b32 =
+      """array_to_string(
+        |  list_transform(range(0, CAST(ceil(len(fl)*8/5.0) AS INT)), j ->
+        |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ234567'[CAST(1 + (((
+        |      fl[CAST(floor(j*5/8.0) AS INT) + 1] * 256 +
+        |      coalesce(fl[CAST(floor(j*5/8.0) AS INT) + 2], 0))
+        |      >> CAST(11 - ((j*5) % 8) AS INT)) & 31) AS INT)]), '')"""
+        .stripMargin
+    val nullGuard = idExpr match {
+      case None => s"($hexExpr) IS NULL"
+      case Some(id) => s"($hexExpr) IS NULL OR ($id) IS NULL"
+    }
+    s"""CASE WHEN $nullGuard THEN NULL ELSE
+       |list_transform([($hexExpr)], h ->
+       | list_transform([list_prepend(CAST($version AS BIGINT), $payload)],
+       |  body ->
+       |   list_transform([$crc], crc ->
+       |    list_transform([list_concat(body, [crc & 255, crc >> 8])], fl ->
+       |     $b32)[1])[1])[1])[1] END""".stripMargin
+  }
+  /** G-address (ed25519 account id, version 6<<3). */
+  private def strkeyG(hexExpr: String): String = strkeySql(hexExpr, 48)
+  /** M-address (med25519, version 12<<3): key ‖ BE uint64 id. */
+  private def strkeyM(hexExpr: String, idExpr: String): String =
+    strkeySql(hexExpr, 96, Some(idExpr))
+
   /** One-time fixture archive (checkpoint-layout gzip files) for the S7
     * history-archive source query. */
   private lazy val archiveFixtureDir: String = {
@@ -1930,7 +1987,7 @@ object QueryCatalog {
       // hashes as base64), bounds interval strings, the PreconditionsV2
       // lattice, fee-bump shell and soroban fee triple — every law
       // re-derived by DuckDB from the fixture rules
-      Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls)
              |SELECT (seq << 32) | ((t + 1) << 12) AS id,
              |  seq AS ledger_sequence,
@@ -1941,7 +1998,9 @@ object QueryCatalog {
              |  CAST(CASE WHEN t % 3 = 0 THEN -(1 + (seq + t) % 17)
              |       WHEN t % 4 = 1 THEN 1
              |       ELSE 0 END AS INT) AS transaction_result_code,
-             |  sha256('src-' || seq || '-' || t) AS account_hex,
+             |  ${strkeyG("sha256('src-' || seq || '-' || t)")} AS account,
+             |  ${strkeyM("sha256('src-' || seq || '-' || t)",
+                  "CASE WHEN t % 3 = 1 THEN seq * 1000 + t END")} AS account_muxed,
              |  CASE WHEN t % 3 = 1 THEN seq * 1000 + t END AS account_muxed_id,
              |  ['MemoTypeMemoNone','MemoTypeMemoText','MemoTypeMemoId',
              |   'MemoTypeMemoHash','MemoTypeMemoReturn'][CAST(t + 1 AS INT)]
@@ -1971,8 +2030,9 @@ object QueryCatalog {
              |       END AS extra_signers,
              |  t % 4 = 1 AS is_fee_bump,
              |  CASE WHEN t % 4 = 1 THEN CAST(500 + t AS BIGINT) END AS new_max_fee,
-             |  CASE WHEN t % 4 = 1 THEN sha256('fb-' || seq || '-' || t)
-             |       END AS fee_account_hex,
+             |  ${strkeyG(
+                  "CASE WHEN t % 4 = 1 THEN sha256('fb-' || seq || '-' || t) END")}
+             |    AS fee_account,
              |  CAST(CASE WHEN (seq + t) % 2 = 0 THEN 1000 + seq ELSE 0 END
              |       AS BIGINT) AS non_refundable_resource_fee_charged,
              |  CAST(CASE WHEN (seq + t) % 2 = 0 THEN 500 + t ELSE 0 END
@@ -1991,7 +2051,7 @@ object QueryCatalog {
       // op TOIDs (op-index+1), the 27-way type-name map, the float64
       // rational price, and every typed detail column — untyped arms
       // surface nulls, DuckDB re-derives all laws per (seq, t)
-      Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
              |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
              |        FROM tx),
@@ -2013,15 +2073,15 @@ object QueryCatalog {
              |   'liquidity_pool_deposit','liquidity_pool_withdraw',
              |   'invoke_host_function','extend_footprint_ttl',
              |   'restore_footprint'][op_type + 1] AS type_string,
-             |  CASE WHEN (seq + t) % 5 = 0
-             |       THEN sha256('osrc-' || seq || '-' || t)
-             |       ELSE sha256('src-' || seq || '-' || t)
-             |       END AS source_account_hex,
+             |  ${strkeyG("""CASE WHEN (seq + t) % 5 = 0
+                  THEN sha256('osrc-' || seq || '-' || t)
+                  ELSE sha256('src-' || seq || '-' || t) END""")}
+             |    AS source_account,
              |  t % 3 <> 0 AS transaction_successful,
              |  CAST(1000000 * (t + 1) AS BIGINT) AS amount,
-             |  CASE WHEN op_type IN (0, 1, 2, 8, 13)
-             |       THEN sha256('dst-' || seq || '-' || t)
-             |       END AS destination_hex,
+             |  ${strkeyG("""CASE WHEN op_type IN (0, 1, 2, 8, 13)
+                  THEN sha256('dst-' || seq || '-' || t) END""")}
+             |    AS destination,
              |  CASE WHEN op_type = 1 THEN codes[CAST(seq % 3 + 1 AS INT)]
              |       WHEN op_type IN (6, 7, 14, 21)
              |       THEN codes[CAST((seq + t) % 3 + 1 AS INT)]
@@ -2080,9 +2140,9 @@ object QueryCatalog {
              |       END AS data_value_hex,
              |  CASE WHEN op_type = 11 THEN CAST(seq * 8 + t + 7 AS BIGINT)
              |       END AS bump_to,
-             |  CASE WHEN op_type = 5 AND t % 2 = 0
-             |       THEN sha256('inf-' || seq || '-' || t)
-             |       END AS inflation_dest_hex,
+             |  ${strkeyG("""CASE WHEN op_type = 5 AND t % 2 = 0
+                  THEN sha256('inf-' || seq || '-' || t) END""")}
+             |    AS inflation_dest,
              |  CASE WHEN op_type = 5 AND seq % 2 = 0
              |       THEN CAST(seq % 16 AS INT)
              |       WHEN op_type = 21
@@ -2102,29 +2162,32 @@ object QueryCatalog {
              |  CASE WHEN op_type = 5 AND t % 2 = 1
              |       THEN 'dom-' || (seq % 23) || '.example'
              |       END AS home_domain,
-             |  CASE WHEN op_type = 5 AND (seq + t) % 2 = 1
-             |       THEN sha256('sg-' || seq || '-' || t)
-             |       WHEN op_type = 18 AND (seq + t) % 2 = 1
-             |       THEN sha256('sk-' || seq || '-' || t)
-             |       END AS signer_key_hex,
+             |  ${strkeyG("""CASE WHEN op_type = 5 AND (seq + t) % 2 = 1
+                  THEN sha256('sg-' || seq || '-' || t)
+                  WHEN op_type = 18 AND (seq + t) % 2 = 1
+                  THEN sha256('sk-' || seq || '-' || t) END""")}
+             |    AS signer_key,
              |  CASE WHEN op_type = 5 AND (seq + t) % 2 = 1
              |       THEN CAST((seq + t) % 256 AS INT) END AS signer_weight,
-             |  CASE WHEN op_type IN (7, 21)
-             |       THEN sha256('tr-' || seq || '-' || t)
-             |       END AS trustor_hex,
+             |  ${strkeyG("""CASE WHEN op_type IN (7, 21)
+                  THEN sha256('tr-' || seq || '-' || t) END""")}
+             |    AS trustor,
              |  CASE WHEN op_type = 7 THEN CAST((seq + t) % 3 AS INT)
              |       END AS authorize,
-             |  CASE WHEN op_type = 19 THEN sha256('cb-' || seq || '-' || t)
-             |       END AS from_hex,
+             |  ${strkeyG("""CASE WHEN op_type = 19
+                  THEN sha256('cb-' || seq || '-' || t) END""")}
+             |    AS from_account,
              |  CASE WHEN op_type = 14
-             |       THEN to_json([sha256('cl-' || seq || '-' || t || '-' || j)
-             |                     for j in generate_series(0, t % 2)])
+             |       THEN to_json([${strkeyG(
+                        "sha256('cl-' || seq || '-' || t || '-' || jc)")}
+             |                     for jc in generate_series(0, t % 2)])
              |       END AS claimants_json,
              |  CASE WHEN op_type IN (15, 20)
              |       THEN sha256('bal-' || seq || '-' || t)
              |       END AS balance_id_hex,
-             |  CASE WHEN op_type = 16 THEN sha256('sp-' || seq || '-' || t)
-             |       END AS sponsored_id_hex,
+             |  ${strkeyG("""CASE WHEN op_type = 16
+                  THEN sha256('sp-' || seq || '-' || t) END""")}
+             |    AS sponsored_id,
              |  CASE WHEN op_type = 18 THEN CAST((seq + t) % 2 AS INT)
              |       END AS revoke_type,
              |  CASE WHEN op_type = 18 AND (seq + t) % 2 = 0
@@ -2132,12 +2195,15 @@ object QueryCatalog {
              |  CASE WHEN op_type = 18 AND (seq + t) % 2 = 0
              |       THEN sha256('lk-' || seq || '-' || t)
              |       END AS ledger_key_hex,
-             |  CASE WHEN op_type = 18 AND (seq + t) % 2 = 1
-             |       THEN sha256('sa-' || seq || '-' || t)
-             |       END AS signer_account_hex,
+             |  ${strkeyG("""CASE WHEN op_type = 18 AND (seq + t) % 2 = 1
+                  THEN sha256('sa-' || seq || '-' || t) END""")}
+             |    AS signer_account,
              |  CASE WHEN op_type IN (22, 23)
              |       THEN sha256('lp-' || seq || '-' || t)
              |       END AS pool_id_hex,
+             |  ${strkeySql("""CASE WHEN op_type IN (22, 23)
+                  THEN sha256('lp-' || seq || '-' || t) END""", 88)}
+             |    AS liquidity_pool_id_strkey,
              |  CASE WHEN op_type = 22
              |       THEN CAST(3000000 * (t + 1) + seq % 71 AS BIGINT)
              |       END AS max_amount_a,
@@ -2160,9 +2226,9 @@ object QueryCatalog {
              |       END AS max_price_d,
              |  CASE WHEN op_type = 24 THEN CAST((seq + t) % 4 AS INT)
              |       END AS host_fn_type,
-             |  CASE WHEN op_type = 24 AND (seq + t) % 4 <> 2
-             |       THEN sha256('ct-' || seq || '-' || t)
-             |       END AS contract_id_hex,
+             |  ${strkeySql("""CASE WHEN op_type = 24 AND (seq + t) % 4 <> 2
+                  THEN sha256('ct-' || seq || '-' || t) END""", 16)}
+             |    AS contract_id,
              |  CASE WHEN op_type = 25
              |       THEN CAST(100000 + (seq * 3 + t) % 50000 AS BIGINT)
              |       END AS extend_to
@@ -2213,7 +2279,7 @@ object QueryCatalog {
       // claimable-balance claims, and the per-atom seller/taker trade
       // effect pairs with arithmetic indices. DuckDB re-derives every
       // branch as a UNION ALL over the fixture laws
-      Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
              |txs AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
              |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
              |        FROM txs WHERE t % 3 <> 0),
@@ -2285,7 +2351,8 @@ object QueryCatalog {
              |       WHEN 33 THEN 'trade'
              |       WHEN 52 THEN 'claimable_balance_claimed'
              |       END AS type_string,
-             |  account AS account_hex, asset AS asset_code, amount,
+             |  ${strkeyG("account")} AS account,
+             |  asset AS asset_code, amount,
              |  offer AS offer_id
              |FROM e ORDER BY operation_id, effect_index""".stripMargin),
       (s, dir) =>
@@ -2298,7 +2365,7 @@ object QueryCatalog {
       // P19-shaped transfer events over the wire: payment-family ops of
       // successful txs, envelope source → op destination, strict-send
       // delivering the RESULT amount. DuckDB re-derives the laws
-      Some("""WITH ls AS (SELECT unnest(generate_series(2300, 2499)) AS seq),
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(2300, 2499)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
              |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
              |        FROM tx WHERE t % 3 <> 0),
@@ -2311,13 +2378,13 @@ object QueryCatalog {
              |   'path_payment_strict_send']
              |    [CASE op_type WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
              |     ELSE 4 END] AS transfer_type,
-             |  CASE WHEN (seq + t) % 5 = 0
-             |       THEN sha256('osrc-' || seq || '-' || t)
-             |       ELSE sha256('src-' || seq || '-' || t)
-             |       END AS from_hex,
+             |  ${strkeyG("""CASE WHEN (seq + t) % 5 = 0
+                  THEN sha256('osrc-' || seq || '-' || t)
+                  ELSE sha256('src-' || seq || '-' || t) END""")}
+             |    AS from_account,
              |  CASE WHEN (seq + t) % 5 <> 0 AND t % 3 = 1
              |       THEN seq * 1000 + t END AS from_muxed_id,
-             |  sha256('dst-' || seq || '-' || t) AS to_hex,
+             |  ${strkeyG("sha256('dst-' || seq || '-' || t)")} AS to_account,
              |  CASE WHEN op_type = 1 THEN codes[CAST(seq % 3 + 1 AS INT)]
              |       WHEN op_type = 2 THEN codes[CAST((seq + 1) % 3 + 1 AS INT)]
              |       WHEN op_type = 13 THEN codes[CAST(seq % 3 + 1 AS INT)]
@@ -2338,7 +2405,7 @@ object QueryCatalog {
       // the trade-shaped arms of successful txs, orderbook/LP tagged,
       // bought/sold ratio price (the reference's fallback law). DuckDB
       // re-derives every affine atom law per (seq, t, j)
-      Some("""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
              |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
              |        FROM tx WHERE t % 3 <> 0),
@@ -2351,12 +2418,17 @@ object QueryCatalog {
              |  CAST(j AS INT) AS "order",
              |  seq AS ledger_sequence,
              |  CASE WHEN (seq + t + j) % 4 = 0 THEN 2 ELSE 1 END AS trade_type,
-             |  CASE WHEN (seq + t) % 5 = 0
-             |       THEN sha256('osrc-' || seq || '-' || t)
-             |       ELSE sha256('src-' || seq || '-' || t)
-             |       END AS taker_hex,
-             |  sha256('se-' || seq || '-' || t || '-' || j)
-             |    AS seller_or_pool_hex,
+             |  ${strkeyG("""CASE WHEN (seq + t) % 5 = 0
+                  THEN sha256('osrc-' || seq || '-' || t)
+                  ELSE sha256('src-' || seq || '-' || t) END""")}
+             |    AS taker,
+             |  ${strkeyG("""CASE WHEN (seq + t + j) % 4 <> 0
+                  THEN sha256('se-' || seq || '-' || t || '-' || j) END""")}
+             |    AS selling_account,
+             |  ${strkeySql("""CASE WHEN (seq + t + j) % 4 = 0
+                  THEN sha256('se-' || seq || '-' || t || '-' || j) END""",
+                88)}
+             |    AS selling_liquidity_pool_id_strkey,
              |  CASE WHEN (seq + t + j) % 4 <> 0
              |       THEN seq * 100 + t * 10 + j END AS offer_id,
              |  codes[CAST((seq + j) % 3 + 1 AS INT)] AS selling_asset_code,

@@ -119,10 +119,14 @@ object GraftFunctions {
     nativeCol(graft.plans.HyperplaneBucketsExpression(exprOf(c), bits, tables))
   def ngramShingles(c: Column, n: Int): Column =
     nativeCol(graft.plans.NgramShinglesExpression(exprOf(c), n))
-  val strkeyContract = udf((b: Array[Byte]) => Strkey.encodeContract(b))
-  val strkeyPool = udf((b: Array[Byte]) => Strkey.encodeLiquidityPool(b))
-  val strkeyBalance = udf((b: Array[Byte]) => Strkey.encodeClaimableBalance(b))
-  val strkeyMuxed = udf((b: Array[Byte], id: Long) => Strkey.encodeMuxed(b, id))
+  def strkeyContract(c: Column): Column =
+    nativeCol(graft.plans.StrkeyEncodeExpression(exprOf(c), Strkey.Version.Contract))
+  def strkeyPool(c: Column): Column =
+    nativeCol(graft.plans.StrkeyEncodeExpression(exprOf(c), Strkey.Version.LiquidityPool))
+  def strkeyBalance(c: Column): Column =
+    nativeCol(graft.plans.StrkeyEncodeExpression(exprOf(c), Strkey.Version.ClaimableBalance))
+  def strkeyMuxed(key: Column, id: Column): Column =
+    nativeCol(graft.plans.StrkeyMuxedExpression(exprOf(key), exprOf(id)))
   val int128String = udf((hi: Long, lo: Long) => Amounts.int128String(hi, lo))
 
   /** ScVal XDR binary → tagged JSON (native, codegen'd). */

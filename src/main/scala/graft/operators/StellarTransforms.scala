@@ -99,8 +99,9 @@ object StellarTransforms {
     * interval strings (MaxTime==0 blanked, `transaction.go`), the
     * PreconditionsV2 lattice (min seq num/age/gap + extraSigners rendered
     * as a JSON hex-key list), the fee-bump shell, and the Soroban fee
-    * triple. Columns the wire subset does not carry (tx hash, source
-    * account, envelope/result/meta base64, signers, max_fee) are omitted
+    * triple, and the source-account strkey pair (G-address always,
+    * M-address on the muxed arm). Columns the wire subset does not carry
+    * (tx hash, envelope/result/meta base64, signers, max_fee) are omitted
     * rather than faked — same contract as [[historyLedgersFromLcm]]. The
     * reference's pipeline feeds every history table from exactly this
     * substrate (`internal/input/transactions.go:23-71`). Sequence-range
@@ -125,10 +126,15 @@ object StellarTransforms {
       col("tx.fee_charged").as("fee_charged"),
       col("tx.successful").as("successful"),
       col("tx.result_code").as("transaction_result_code"),
-      // the envelope source account: hex key + the muxed arm's sub-id
-      // (the reference's account / account_muxed pair,
-      // `transaction.go:61-77`)
-      col("tx.source_account_hex").as("account_hex"),
+      // the envelope source account rendered to the reference's strkey
+      // shape (`transaction.go:61-77`, `utils/main.go:49-53`): `account`
+      // is always the G-address of the underlying ed25519 key,
+      // `account_muxed` the M-address only on the muxed arm. Native
+      // codegen'd expressions, so the rendering stays in-stage.
+      GraftFunctions.strkeyAccount(unhex(col("tx.source_account_hex")))
+        .as("account"),
+      GraftFunctions.strkeyMuxed(unhex(col("tx.source_account_hex")),
+        col("tx.source_muxed_id")).as("account_muxed"),
       col("tx.source_muxed_id").as("account_muxed_id"),
       element_at(memoTypeName, col("tx.memo_type")).as("memo_type"),
       coalesce(
@@ -146,7 +152,10 @@ object StellarTransforms {
       to_json(col("tx.extra_signer_keys_hex")).as("extra_signers"),
       col("tx.fee_bump_fee").isNotNull.as("is_fee_bump"),
       col("tx.fee_bump_fee").as("new_max_fee"),
-      col("tx.fee_bump_source_hex").as("fee_account_hex"),
+      // fee-bump outer source as its G-address (`transaction.go` fee
+      // account rendering; null-intolerant → null when no fee-bump shell)
+      GraftFunctions.strkeyAccount(unhex(col("tx.fee_bump_source_hex")))
+        .as("fee_account"),
       coalesce(col("tx.soroban_fee_nonrefundable"), lit(0L))
         .as("non_refundable_resource_fee_charged"),
       coalesce(col("tx.soroban_fee_refundable"), lit(0L))
@@ -184,11 +193,13 @@ object StellarTransforms {
         element_at(opTypeNameCol, col("op.op_type")).as("type_string"),
         // acting source: the op's own source account when set, else the
         // envelope source (`operation.go` sourceAccount law)
-        coalesce(col("op.op_source_hex"), col("tx.source_account_hex"))
-          .as("source_account_hex"),
+        GraftFunctions.strkeyAccount(unhex(
+          coalesce(col("op.op_source_hex"), col("tx.source_account_hex"))))
+          .as("source_account"),
         col("tx.successful").as("transaction_successful"),
         col("op.amount").as("amount"),
-        col("op.op_destination_hex").as("destination_hex"),
+        GraftFunctions.strkeyAccount(unhex(col("op.op_destination_hex")))
+          .as("destination"),
         col("op.op_asset_code").as("asset_code"),
         col("op.op_send_asset_code").as("send_asset_code"),
         col("op.op_dest_asset_code").as("dest_asset_code"),
@@ -207,7 +218,8 @@ object StellarTransforms {
         col("op.op_data_name").as("data_name"),
         col("op.op_data_value_hex").as("data_value_hex"),
         col("op.op_bump_to").as("bump_to"),
-        col("op.op_inflation_dest_hex").as("inflation_dest_hex"),
+        GraftFunctions.strkeyAccount(unhex(col("op.op_inflation_dest_hex")))
+          .as("inflation_dest"),
         col("op.op_clear_flags").as("clear_flags"),
         col("op.op_set_flags").as("set_flags"),
         col("op.op_master_weight").as("master_key_weight"),
@@ -215,22 +227,30 @@ object StellarTransforms {
         col("op.op_med_threshold").as("med_threshold"),
         col("op.op_high_threshold").as("high_threshold"),
         col("op.op_home_domain").as("home_domain"),
-        col("op.op_signer_key_hex").as("signer_key_hex"),
+        GraftFunctions.strkeyAccount(unhex(col("op.op_signer_key_hex")))
+          .as("signer_key"),
         col("op.op_signer_weight").as("signer_weight"),
-        col("op.op_trustor_hex").as("trustor_hex"),
+        GraftFunctions.strkeyAccount(unhex(col("op.op_trustor_hex")))
+          .as("trustor"),
         col("op.op_authorize").as("authorize"),
-        col("op.op_from_hex").as("from_hex"),
+        GraftFunctions.strkeyAccount(unhex(col("op.op_from_hex")))
+          .as("from_account"),
         // the round-9 arm growth: claimable balances (claimants rendered
         // to_json — the p15 array-gate pattern), sponsorship begin/revoke,
         // liquidity pools, and the soroban host arms
-        to_json(col("op.op_claimants_hex")).as("claimants_json"),
+        to_json(transform(col("op.op_claimants_hex"),
+          c => GraftFunctions.strkeyAccount(unhex(c)))).as("claimants_json"),
         col("op.op_balance_id_hex").as("balance_id_hex"),
-        col("op.op_sponsored_id_hex").as("sponsored_id_hex"),
+        GraftFunctions.strkeyAccount(unhex(col("op.op_sponsored_id_hex")))
+          .as("sponsored_id"),
         col("op.op_revoke_type").as("revoke_type"),
         col("op.op_ledger_entry_type").as("ledger_entry_type"),
         col("op.op_ledger_key_hex").as("ledger_key_hex"),
-        col("op.op_signer_account_hex").as("signer_account_hex"),
+        GraftFunctions.strkeyAccount(unhex(col("op.op_signer_account_hex")))
+          .as("signer_account"),
         col("op.op_pool_id_hex").as("pool_id_hex"),
+        GraftFunctions.strkeyPool(unhex(col("op.op_pool_id_hex")))
+          .as("liquidity_pool_id_strkey"),
         col("op.op_max_amount_a").as("max_amount_a"),
         col("op.op_max_amount_b").as("max_amount_b"),
         col("op.op_min_amount_a").as("min_amount_a"),
@@ -240,7 +260,8 @@ object StellarTransforms {
         col("op.op_max_price_n").as("max_price_n"),
         col("op.op_max_price_d").as("max_price_d"),
         col("op.op_host_fn_type").as("host_fn_type"),
-        col("op.op_contract_id_hex").as("contract_id_hex"),
+        GraftFunctions.strkeyContract(unhex(col("op.op_contract_id_hex")))
+          .as("contract_id"),
         col("op.op_extend_to").as("extend_to"))
 
   /** P6/A2 composed over the wire source: every asset mentioned by a
@@ -289,10 +310,13 @@ object StellarTransforms {
         element_at(opTypeNameCol, col("op.op_type")).as("transfer_type"),
         // "from" is the acting source; the muxed sub-id only applies when
         // the envelope source acts (an op-source override carries no mux)
-        coalesce(col("op.op_source_hex"), col("tx_src")).as("from_hex"),
+        GraftFunctions.strkeyAccount(unhex(
+          coalesce(col("op.op_source_hex"), col("tx_src"))))
+          .as("from_account"),
         when(col("op.op_source_hex").isNull, col("tx_muxed_id"))
           .as("from_muxed_id"),
-        col("op.op_destination_hex").as("to_hex"),
+        GraftFunctions.strkeyAccount(unhex(col("op.op_destination_hex")))
+          .as("to_account"),
         when(col("op.op_type") === 1, col("op.op_asset_code"))
           .when(col("op.op_type").isin(2, 13), col("op.op_dest_asset_code"))
           .as("asset_code"),
@@ -375,7 +399,8 @@ object StellarTransforms {
         col("e.idx").as("effect_index"),
         col("e.type").as("type"),
         element_at(effectTypeNameCol, col("e.type")).as("type_string"),
-        col("e.account_hex").as("account_hex"),
+        GraftFunctions.strkeyAccount(unhex(col("e.account_hex")))
+          .as("account"),
         col("e.asset_code").as("asset_code"),
         col("e.amount").as("amount"),
         col("e.offer_id").as("offer_id"))
@@ -407,8 +432,17 @@ object StellarTransforms {
         col("sequence").as("ledger_sequence"),
         when(col("a.is_pool"), 2).otherwise(1).as("trade_type"),
         // taker = op source when set, else tx source (`trade.go:123-129`)
-        coalesce(col("op_source_hex"), col("tx_source_hex")).as("taker_hex"),
-        col("a.seller_or_pool_hex").as("seller_or_pool_hex"),
+        GraftFunctions.strkeyAccount(unhex(
+          coalesce(col("op_source_hex"), col("tx_source_hex")))).as("taker"),
+        // the seller arm splits by atom kind like the reference's trades
+        // table: orderbook atoms carry the seller account G-address, LP
+        // atoms the pool's L-address (`trade.go:130-160`)
+        GraftFunctions.strkeyAccount(unhex(
+          when(!col("a.is_pool"), col("a.seller_or_pool_hex"))))
+          .as("selling_account"),
+        GraftFunctions.strkeyPool(unhex(
+          when(col("a.is_pool"), col("a.seller_or_pool_hex"))))
+          .as("selling_liquidity_pool_id_strkey"),
         when(!col("a.is_pool"), col("a.offer_id")).as("offer_id"),
         col("a.sold_code").as("selling_asset_code"),
         col("a.sold_amount").as("selling_amount"),

@@ -84,6 +84,51 @@ case class StrkeyAccountExpression(child: Expression) extends CodecUnaryExpressi
   override def prettyName: String = "strkey_account"
 }
 
+/** Strkey encoding under an arbitrary version byte — the C…/L…/B… address
+  * families the reference renders next to G (`transform/operation.go:401-405`,
+  * `utils/main.go:33-53`). Same codegen rationale as
+  * [[StrkeyAccountExpression]]: per-row hot on the history tables. */
+case class StrkeyEncodeExpression(child: Expression, version: Byte)
+    extends CodecUnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def expectedInputType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.codec.Strkey.encode(version, input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.codec.Strkey$$.MODULE$$.encode((byte) $version, $c))")
+  override protected def withNewChildInternal(newChild: Expression): StrkeyEncodeExpression =
+    copy(child = newChild)
+  override def prettyName: String = "strkey_encode"
+}
+
+/** Muxed-account M-address: ed25519 key ‖ big-endian uint64 id under the
+  * med25519 version byte (`transaction.go:61-77` account_muxed). */
+case class StrkeyMuxedExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (binary, bigint), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(key: Any, id: Any): Any =
+    UTF8String.fromString(graft.codec.Strkey.encodeMuxed(
+      key.asInstanceOf[Array[Byte]], id.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (k, i) =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.codec.Strkey$$.MODULE$$.encodeMuxed($k, $i))")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StrkeyMuxedExpression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "strkey_muxed"
+}
+
 /** ScVal XDR → tagged JSON (`contract_events.go:128-169` serializeScVal's
   * decoded half). Per-row hot on the Soroban tables, so codegen'd. */
 case class ScValJsonExpression(child: Expression) extends CodecUnaryExpression {
