@@ -69,14 +69,12 @@ object Bench {
     // mins, `isolated` the second-pass mins, and the total takes the best
     // known steady state per query so phantom regressions never reach the
     // round verdict.
+    // prev source priority: bench_latest.json (the FULL line this main
+    // persists — driver BENCH_r*.json artifacts are tail-truncated and can
+    // lose the `"queries":` marker entirely, which killed the isolation pass
+    // in round 10), falling back to the newest BENCH_r*.json.
     val prev: Map[String, Double] = {
-      val dir = new java.io.File(".")
-      val rx = """BENCH_r(\d+)\.json""".r
-      val latest = Option(dir.listFiles()).getOrElse(Array.empty)
-        .flatMap(f => f.getName match {
-          case rx(n) => Some(n.toInt -> f); case _ => None })
-        .sortBy(_._1).lastOption.map(_._2)
-      latest.map { f =>
+      def parse(f: java.io.File): Map[String, Double] = {
         val txt = scala.io.Source.fromFile(f)
         val s = try txt.mkString finally txt.close()
         val qstart = s.indexOf("\"queries\":")
@@ -84,7 +82,20 @@ object Bench {
         else """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
           .findAllMatchIn(s.substring(qstart))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(Map.empty)
+      }
+      val latest = new java.io.File("bench_latest.json")
+      val fromLatest =
+        if (latest.isFile) parse(latest) else Map.empty[String, Double]
+      if (fromLatest.nonEmpty) fromLatest
+      else {
+        val dir = new java.io.File(".")
+        val rx = """BENCH_r(\d+)\.json""".r
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case rx(n) => Some(n.toInt -> f); case _ => None })
+          .sortBy(_._1).lastOption.map(p => parse(p._2))
+          .getOrElse(Map.empty)
+      }
     }
     val outliers = results.filter { case (name, mn, _) =>
       mn > 0 && prev.get(name).exists(p => p > 0 && mn > 2 * p) }
@@ -100,18 +111,26 @@ object Bench {
       .mkString("{", ",", "}")
     val iso = isolated.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map { case (k, mn, _) =>
+    // total sums SUCCESSFUL queries only — a -1.0 failure sentinel must not
+    // SUBTRACT from the suite total (r10's total understated by 5 s that
+    // way); failures are counted in their own field instead
+    val total = results.collect { case (k, mn, _) if mn > 0 =>
       isolated.get(k).filter(_ > 0).map(math.min(_, mn)).getOrElse(mn) }.sum
+    val nFailed = results.count(_._2 < 0)
     val spreads = results.collect { case (_, mn, md) if mn > 0 => md / mn - 1.0 }.sorted
     val noiseMed = if (spreads.isEmpty) 0.0 else spreads((spreads.size - 1) / 2)
     val noiseMax = if (spreads.isEmpty) 0.0 else spreads.last
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","reps_min":$minReps,"reps_max":$maxReps,"noise_med":$noiseMed,"noise_max":$noiseMax,"isolated":$iso,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","failed":$nFailed,"reps_min":$minReps,"reps_max":$maxReps,"noise_med":$noiseMed,"noise_max":$noiseMax,"isolated":$iso,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the round artifact keeps only the TAIL of stdout, which truncates
     // half the per-query numbers once the suite passes ~100 queries — so
-    // also persist the full line to a file in the repo root
-    val out = new java.io.PrintWriter("bench_latest.json")
-    try out.println(line) finally out.close()
+    // also persist the full line to a file in the repo root. FULL suite
+    // runs only: an SPARK_GRAFT_ONLY isolation probe must not clobber the
+    // all-queries baseline that the next run's outlier pass reads as prev.
+    if (only.isEmpty) {
+      val out = new java.io.PrintWriter("bench_latest.json")
+      try out.println(line) finally out.close()
+    }
     spark.stop()
   }
 }

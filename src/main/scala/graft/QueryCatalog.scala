@@ -976,9 +976,11 @@ object QueryCatalog {
       // hyperplane-LSH bucket collisions. DuckDB re-derives the ±1
       // Rademacher planes from sha256 parity (bit-identical to the JVM
       // MessageDigest the Spark literals come from), rebuilds every
-      // (table, bucket) key, joins on it, and runs the identical
-      // HUGEINT threshold + label closure on colliding pairs only —
-      // so bucket drift of a single plane sign hash-mismatches
+      // (table, bucket) key, applies the SAME hot-bucket sub-salt
+      // (cap 64: shard = (vec_id // (t+1)) % ceil(size/64)), joins on
+      // (t, bucket, shard), and runs the identical HUGEINT threshold +
+      // label closure on colliding pairs only — so bucket drift of a
+      // single plane sign or a shard-law mismatch hash-fails
       Some("""WITH RECURSIVE e AS (
              |  SELECT vec_id, list_transform(embedding,
              |    x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
@@ -995,9 +997,14 @@ object QueryCatalog {
              |bk AS (SELECT vec_id, t,
              |         CAST(sum(CASE WHEN proj > 0 THEN 1<<p ELSE 0 END) AS BIGINT) AS bucket
              |       FROM proj GROUP BY 1,2),
+             |bsz AS (SELECT t, bucket, count(*) AS c FROM bk GROUP BY 1,2),
+             |bks AS (SELECT bk.vec_id, bk.t, bk.bucket,
+             |          (bk.vec_id // (bk.t+1)) %
+             |            greatest(1, CAST(ceil(c/64.0) AS BIGINT)) AS shard
+             |        FROM bk JOIN bsz ON bk.t = bsz.t AND bk.bucket = bsz.bucket),
              |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-             |         FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
-             |           AND a.vec_id < b.vec_id),
+             |         FROM bks a JOIN bks b ON a.t = b.t AND a.bucket = b.bucket
+             |           AND a.shard = b.shard AND a.vec_id < b.vec_id),
              |p AS (SELECT cand.ia, cand.ib,
              |        CAST(list_sum(list_transform(range(1, len(a.v)+1),
              |          i -> a.v[i]*b.v[i])) AS BIGINT) AS dot,

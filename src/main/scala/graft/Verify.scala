@@ -20,6 +20,12 @@ object Verify {
     // the driver never sets it, so the gate always runs everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    // A thrown query must be DRIVER-VISIBLE, not a stderr whisper: write an
+    // empty <outDir>/<name>/_FAILED marker dir (shows up red as an unreadable
+    // result, instead of vanishing from the report) and accumulate into
+    // failures.json next to oracle_sql.json. Round 10 lost five queries
+    // silently to the old log-and-skip catch.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -27,6 +33,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        val failDir = Paths.get(s"$outDir/$name/_FAILED")
+        Files.createDirectories(failDir.getParent)
+        if (!Files.exists(failDir)) Files.createDirectory(failDir)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +54,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    // NOT exit(1): the driver compares per-query after Verify returns; a
+    // non-zero exit would zero the whole round instead of reddening the
+    // broken queries. The empty _FAILED result dirs are the red channel.
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} QUERIES FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

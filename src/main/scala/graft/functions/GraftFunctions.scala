@@ -117,6 +117,10 @@ object GraftFunctions {
     nativeCol(graft.plans.StrkeyAccountExpression(exprOf(c)))
   def hyperplaneBuckets(c: Column, bits: Int, tables: Int): Column =
     nativeCol(graft.plans.HyperplaneBucketsExpression(exprOf(c), bits, tables))
+  def longDot(a: Column, b: Column): Column =
+    nativeCol(graft.plans.LongDotExpression(exprOf(a), exprOf(b)))
+  def longNorm2(c: Column): Column =
+    nativeCol(graft.plans.LongNorm2Expression(exprOf(c)))
   def ngramShingles(c: Column, n: Int): Column =
     nativeCol(graft.plans.NgramShinglesExpression(exprOf(c), n))
   def strkeyContract(c: Column): Column =

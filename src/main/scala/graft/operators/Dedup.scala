@@ -277,14 +277,14 @@ object Dedup {
     val quant = transform(col(vecCol),
       x => round(x.cast("double") * 10000).cast("long"))
     val base = emb.select(col(idCol).cast("long").as("id"), quant.as("v"))
-      .withColumn("n2", aggregate(col("v"), lit(0L), (a, x) => a + x * x))
+      .withColumn("n2", graft.functions.GraftFunctions.longNorm2(col("v")))
     val a = base.select(col("id").as("id_a"), col("v").as("va"),
       col("n2").as("na"))
     val b = base.select(col("id").as("id_b"), col("v").as("vb"),
       col("n2").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"),
-        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("dot",
+        graft.functions.GraftFunctions.longDot(col("va"), col("vb")))
       // decimal(38,0) keeps dot² (≈10²⁰ at dim 64) exact
       .where(col("dot") > 0 &&
         col("dot").cast("decimal(38,0)") * col("dot") * cosDen >=
@@ -311,26 +311,54 @@ object Dedup {
     * arithmetic over the quantized vector). Candidates are pairs sharing a
     * (table, bucket) key — ONE equi-join shuffle on a narrow (id, table,
     * bucket) frame — and only candidates are scored with the exact integer
-    * cosine test. Multiple tables OR together for recall; cost scales with
-    * bucket occupancy, never O(n²). The vectors themselves do not travel
-    * through the LSH shuffle (candidates re-join the cached base by id).
+    * cosine test. Multiple tables OR together for recall. The vectors
+    * themselves do not travel through the LSH shuffle (candidates re-join
+    * the cached base by id).
+    *
+    * HOT-BUCKET BOUND: a degenerate bucket (near-identical corpus region,
+    * or an unlucky hyperplane draw) makes the bucket self-join quadratic in
+    * the largest bucket — the one way this plan dies at 100 TB, and a real
+    * 3× regression when the driver regenerated the embeddings in round 10.
+    * So buckets larger than `bucketCap` are deterministically sub-salted
+    * into `ceil(size/bucketCap)` shards and only same-shard pairs become
+    * candidates, bounding per-bucket work at O(size · bucketCap). The shard
+    * key is `(id div (table+1)) mod nshards` — a DIFFERENT partition of ids
+    * per table, so a pair split by table 0's shards can still collide in
+    * tables 1..k (the same OR-across-tables recall argument as the planes
+    * themselves); residual cross-shard misses inside a hot bucket are the
+    * documented recall trade for boundedness, and the transitive label
+    * closure downstream re-merges most of them. Bucket sizes are a
+    * ≤ tables·2^bits row aggregate, broadcast back onto the narrow banded
+    * frame — map-side, no extra shuffle of the data; at production `bits`
+    * (20+) swap the broadcast for a shuffle join on the same key.
     *
     * `dim` is taken per-row from the vector itself (ragged inputs can't
     * silently zero a bit); the parameter is kept for signature stability. */
   def cosineDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
       cosNum: Int, cosDen: Int, dim: Int = 64,
-      bits: Int = 6, tables: Int = 4): DataFrame = {
+      bits: Int = 6, tables: Int = 4, bucketCap: Int = 64): DataFrame = {
     val quant = transform(col(vecCol),
       x => round(x.cast("double") * 10000).cast("long"))
     val base = emb.select(col(idCol).cast("long").as("id"), quant.as("v"))
-      .withColumn("n2", aggregate(col("v"), lit(0L), (a, x) => a + x * x))
+      .withColumn("n2", graft.functions.GraftFunctions.longNorm2(col("v")))
       .cache() // quantize once: bucket explode + two verification joins reuse it
     // narrow (id, table, bucket) rows — the only frame the LSH shuffle moves
     val banded = base.select(col("id"),
       posexplode(graft.functions.GraftFunctions.hyperplaneBuckets(
         col("v"), bits, tables)).as(Seq("tbl", "bucket")))
-    val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("tbl", "bucket"))
+    // hot-bucket bound (see Scaladoc): per-(tbl,bucket) occupancy is a tiny
+    // aggregate (≤ tables·2^bits rows) broadcast back onto the banded frame;
+    // oversize buckets sub-salt into ceil(size/bucketCap) shards keyed by a
+    // per-table id partition, and the candidate join adds `shard` to its key
+    val bucketSizes = banded.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+    val salted = banded.join(broadcast(bucketSizes), Seq("tbl", "bucket"))
+      .withColumn("nsh", greatest(lit(1L),
+        ceil(col("bsz") / lit(bucketCap.toDouble)).cast("long")))
+      .select(col("id"), col("tbl"), col("bucket"),
+        pmod(expr("id div (tbl + 1)"), col("nsh")).as("shard"))
+    val candidates = salted.as("a")
+      .join(salted.as("b"), Seq("tbl", "bucket", "shard"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -339,8 +367,8 @@ object Dedup {
         col("n2").as("na")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("vb"),
         col("n2").as("nb")), "id_b")
-      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"),
-        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("dot",
+        graft.functions.GraftFunctions.longDot(col("va"), col("vb")))
       .where(col("dot") > 0 &&
         col("dot").cast("decimal(38,0)") * col("dot") * cosDen >=
         col("na").cast("decimal(38,0)") * col("nb") * cosNum)

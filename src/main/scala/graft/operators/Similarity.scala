@@ -64,13 +64,13 @@ object Similarity {
       transform(c, x => round(x.cast("double") * 10000).cast("long"))
     val c = corpus
       .select(col(corpusId).as("neighbor_id"), quant(col(corpusVec)).as("cv"))
-      .withColumn("n2", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
+      .withColumn("n2", graft.functions.GraftFunctions.longNorm2(col("cv")))
     val q = queries
       .select(col(queryId).as("query_id"), quant(col(queryVec)).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", aggregate(zip_with(col("cv"), col("qv"),
-        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("dot",
+        graft.functions.GraftFunctions.longDot(col("cv"), col("qv")))
       .withColumn("key", when(col("n2") === 0, lit(Double.MinValue))
         .otherwise(col("dot").cast("double") * col("dot").cast("double")
           / col("n2").cast("double")
@@ -100,15 +100,15 @@ object Similarity {
       element_at(graft.functions.GraftFunctions.hyperplaneBuckets(v, bits, 1), 1)
     val c = corpus
       .select(col(corpusId).as("neighbor_id"), quant(col(corpusVec)).as("cv"))
-      .withColumn("n2", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
+      .withColumn("n2", graft.functions.GraftFunctions.longNorm2(col("cv")))
       .withColumn("bucket", bucketOf(col("cv")))
     val q = queries
       .select(col(queryId).as("query_id"), quant(col(queryVec)).as("qv"))
       .withColumn("bucket", bucketOf(col("qv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", aggregate(zip_with(col("cv"), col("qv"),
-        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("dot",
+        graft.functions.GraftFunctions.longDot(col("cv"), col("qv")))
       .withColumn("key", when(col("n2") === 0, lit(Double.MinValue))
         .otherwise(col("dot").cast("double") * col("dot").cast("double")
           / col("n2").cast("double")
@@ -163,7 +163,7 @@ object Similarity {
     val e = corpus
       .select(col(corpusId).cast("long").as("neighbor_id"),
         quantLong(col(corpusVec)).as("cv"))
-      .withColumn("n2", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
+      .withColumn("n2", graft.functions.GraftFunctions.longNorm2(col("cv")))
     val cent: Seq[(Long, Seq[Long])] = e.orderBy("neighbor_id").limit(nCells)
       .select("neighbor_id", "cv").collect()
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
@@ -218,8 +218,8 @@ object Similarity {
     val q = if (broadcastQueries) broadcast(q0) else q0
     val scored = index.assigned.join(q, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", aggregate(zip_with(col("cv"), col("qv"),
-        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("dot",
+        graft.functions.GraftFunctions.longDot(col("cv"), col("qv")))
       .withColumn("key", when(col("n2") === 0, lit(Double.MinValue))
         .otherwise(col("dot").cast("double") * col("dot").cast("double")
           / col("n2").cast("double")

@@ -176,6 +176,61 @@ case class HyperplaneBucketsExpression(child: Expression, bits: Int, tables: Int
   override def prettyName: String = "hyperplane_buckets"
 }
 
+/** Exact integer dot product of two quantized vectors (array<long>) — the
+  * candidate-scoring hot loop of the embedding dedup/ANN family
+  * ([[graft.codec.LongVec.dot]]). The `aggregate(zip_with(...))` HOF tree it
+  * replaces ran interpreted (lambdas break whole-stage codegen) and
+  * dominated the LSH dedup wall-clock at ~130 k candidates. */
+case class LongDotExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.codec.LongVec.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.codec.LongVec$$.MODULE$$.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotExpression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "long_dot"
+}
+
+/** Σv² of a quantized vector ([[graft.codec.LongVec.norm2]]) — same
+  * codegen rationale as [[LongDotExpression]]. */
+case class LongNorm2Expression(child: Expression) extends CodecUnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def expectedInputType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got " + other)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.LongVec.norm2(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.LongVec$$.MODULE$$.norm2($c)")
+  override protected def withNewChildInternal(newChild: Expression): LongNorm2Expression =
+    copy(child = newChild)
+  override def prettyName: String = "long_norm2"
+}
+
 /** Distinct word n-gram shingles of a document in one fused pass
   * (normalize → split → windows → ordered distinct, [[graft.codec.Shingles]]).
   * The per-document hot path of the Jaccard/MinHash dedup family. */

@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * (or `withExtensions` on the builder) makes the native expressions
   * available to pure-SQL users as `farm_hash64(...)`, `fnv64a(...)`,
   * `strkey_account(...)`, `scval_json(...)`, `claim_predicate_json(...)`,
-  * `ngram_shingles(text, n)`, `hyperplane_buckets(vec, bits, tables)`. */
+  * `ngram_shingles(text, n)`, `hyperplane_buckets(vec, bits, tables)`,
+  * `long_dot(a, b)`, `long_norm2(v)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
@@ -54,7 +55,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[HyperplaneBucketsExpression].getName,
         "hyperplane_buckets"),
       (es: Seq[Expression]) => HyperplaneBucketsExpression(es.head,
-        intArg(es(1), "bits"), intArg(es(2), "tables"))))
+        intArg(es(1), "bits"), intArg(es(2), "tables"))),
+    ("long_dot",
+      new ExpressionInfo(classOf[LongDotExpression].getName, "long_dot"),
+      (es: Seq[Expression]) => LongDotExpression(es.head, es(1))),
+    ("long_norm2",
+      new ExpressionInfo(classOf[LongNorm2Expression].getName, "long_norm2"),
+      (es: Seq[Expression]) => LongNorm2Expression(es.head)))
 
   /** Imperative registration for an existing session (same effect as the
     * extensions path, usable after session creation). */

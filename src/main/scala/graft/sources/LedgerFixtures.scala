@@ -25,11 +25,25 @@ object LedgerFixtures {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Events with the nanosecond timestamp exposed as epoch-nanos long `ts`
-    * (Spark has no nanos timestamp type). */
+  /** Events with the timestamp exposed as epoch-nanos long `ts` — the
+    * contract every downstream consumer (and the DuckDB oracle's
+    * `epoch_us(ts)`) assumes. The driver's generator has emitted the parquet
+    * column as both INT64 TIMESTAMP(NANOS) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) across regenerations, so normalize by schema:
+    *   - NANOS-typed files read as LongType under `nanosAsLong` → pass-through
+    *   - MICROS-typed files read as a timestamp → `unix_micros(ts) * 1000`.
+    * `inferTimestampNTZ` is disabled so the un-adjusted micros column reads
+    * as TimestampType holding the stored value as a UTC instant; the
+    * defensive cast keeps the NTZ case correct too (sessions here run UTC). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
   }
 
   /** Session-scoped decode-once memo. The nested-ledger build is the shared

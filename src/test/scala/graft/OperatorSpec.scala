@@ -394,6 +394,31 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters.count() == 200)
   }
 
+  test("LSH hot-bucket cap bounds the candidate set at O(n·cap) on a degenerate corpus") {
+    import spark.implicits._
+    // adversarial fixture: EVERY vector identical → without the cap, each of
+    // the 4 tables holds one bucket of all n rows and the self-join emits
+    // the full C(n,2) — quadratic in the hottest bucket, the exact failure
+    // mode that regressed 3× on the round-10 embeddings and that kills the
+    // plan at 100 TB
+    val n = 400; val cap = 16
+    val vecs = (0 until n).map(i => (i.toLong, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val capped = Dedup.cosineDupPairsLsh(vecs, "vec_id", "embedding",
+      cosNum = 4, cosDen = 25, bits = 6, tables = 4, bucketCap = cap)
+    val pairs = capped.count()
+    // identical vectors all pass the cosine test, so output = candidate set
+    val uncappedPairs = n.toLong * (n - 1) / 2
+    assert(pairs > 0)
+    assert(pairs <= n.toLong * cap * 4,
+      s"candidate set $pairs exceeds O(n·cap·tables) bound")
+    assert(pairs < uncappedPairs / 2,
+      s"cap did not bite: $pairs of $uncappedPairs uncapped pairs")
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("hyperplane buckets expression matches the per-plane HOF formulation") {
     import spark.implicits._
     val dim = 64; val bits = 6; val tables = 4
