@@ -2409,22 +2409,33 @@ object QueryCatalog {
 
     Q("stellar_trades_from_lcm",
       // P5 composed over the wire at claim-atom grain: RESULT atoms on
-      // the trade-shaped arms of successful txs, orderbook/LP tagged,
-      // bought/sold ratio price (the reference's fallback law). DuckDB
-      // re-derives every affine atom law per (seq, t, j)
+      // the trade-shaped arms of successful txs, orderbook/LP tagged.
+      // PRICING re-derives findTradeSellPrice: an orderbook atom whose
+      // owning op has an offer change with pre state and the SAME offer
+      // id (fixture alignment: change j matches atom j exactly when
+      // (seq+j)%10=2, j%nOps=u, kind!=0) takes the pre-state price N/D;
+      // otherwise the bought/sold fallback; LP atoms bought/sold by
+      // definition. DuckDB re-derives every law per (seq, t, u, j)
       Some(s"""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
              |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
              |        FROM tx WHERE t % 3 <> 0),
              |o AS (SELECT seq, t, u, ['XLM','USDC','EURC'] AS codes FROM ops
              |      WHERE CAST((seq + t + u) % 27 AS INT) IN (2, 3, 12, 13)),
-             |a AS (SELECT seq, t, u, codes,
+             |a0 AS (SELECT seq, t, u, codes,
              |             unnest(generate_series(0, (seq + t) % 2)) AS j
-             |      FROM o)
+             |      FROM o),
+             |a AS (SELECT *,
+             |        (seq + t + j) % 4 = 0 AS is_pool,
+             |        CAST(500000 * (t + 1) + seq % 43 + j AS BIGINT) AS sold,
+             |        CAST(600000 * (t + 1) + seq % 47 + j AS BIGINT) AS bought,
+             |        (seq + j) % 10 = 2 AND j % ((seq + t) % 3 + 1) = u
+             |          AND (seq + t + j) % 3 <> 0 AS pre_matched
+             |      FROM a0)
              |SELECT (seq << 32) | ((t + 1) << 12) | (u + 1) AS operation_id,
              |  CAST(j AS INT) AS "order",
              |  seq AS ledger_sequence,
-             |  CASE WHEN (seq + t + j) % 4 = 0 THEN 2 ELSE 1 END AS trade_type,
+             |  CASE WHEN is_pool THEN 2 ELSE 1 END AS trade_type,
              |  ${strkeyG("""CASE WHEN (seq + t) % 5 = 0
                   THEN sha256('osrc-' || seq || '-' || t)
                   ELSE sha256('src-' || seq || '-' || t) END""")}
@@ -2436,22 +2447,80 @@ object QueryCatalog {
                   THEN sha256('se-' || seq || '-' || t || '-' || j) END""",
                 88)}
              |    AS selling_liquidity_pool_id_strkey,
-             |  CASE WHEN (seq + t + j) % 4 <> 0
+             |  CASE WHEN NOT is_pool
              |       THEN seq * 100 + t * 10 + j END AS offer_id,
              |  codes[CAST((seq + j) % 3 + 1 AS INT)] AS selling_asset_code,
-             |  CAST(500000 * (t + 1) + seq % 43 + j AS BIGINT)
-             |    AS selling_amount,
+             |  sold AS selling_amount,
              |  codes[CAST((seq + j + 1) % 3 + 1 AS INT)] AS buying_asset_code,
-             |  CAST(600000 * (t + 1) + seq % 47 + j AS BIGINT)
-             |    AS buying_amount,
-             |  CAST(600000 * (t + 1) + seq % 47 + j AS DOUBLE)
-             |    / (500000 * (t + 1) + seq % 43 + j) AS price
+             |  bought AS buying_amount,
+             |  CASE WHEN is_pool THEN bought
+             |       WHEN pre_matched THEN CAST(seq % 9 + 1 + j AS BIGINT)
+             |       ELSE bought END AS price_n,
+             |  CASE WHEN is_pool THEN sold
+             |       WHEN pre_matched THEN CAST(t % 7 + 1 + j AS BIGINT)
+             |       ELSE sold END AS price_d,
+             |  CAST(CASE WHEN is_pool THEN bought
+             |            WHEN pre_matched THEN seq % 9 + 1 + j
+             |            ELSE bought END AS DOUBLE)
+             |    / (CASE WHEN is_pool THEN sold
+             |            WHEN pre_matched THEN t % 7 + 1 + j
+             |            ELSE sold END) AS price
              |FROM a ORDER BY operation_id, "order"""".stripMargin),
       (s, dir) =>
         StellarTransforms.historyTradesFromLcm(
             s.read.format("graft-lcm").load(lcmFixtureDir)
               .where(col("sequence").between(2100, 2299)))
           .orderBy("operation_id", "order")),
+
+    Q("stellar_op_changes_from_lcm",
+      // change-DERIVED op details on the wire op grain: LP post−pre
+      // deltas from the op's FIRST liquidity-pool change
+      // (getLiquidityPoolAndProductDelta) and the sponsor from the op's
+      // first sponsored CREATED change (getSponsor) — DuckDB re-derives
+      // both first-change scans with min(j) over the per-op change set
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(2304, 2499)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t
+             |       FROM ls),
+             |ops AS (SELECT seq, t,
+             |               unnest(generate_series(0, (seq + t) % 3)) AS u
+             |        FROM tx WHERE t % 3 <> 0),
+             |ch AS (SELECT seq, t,
+             |              unnest(generate_series(0, (seq + t) % 2)) AS j
+             |       FROM tx WHERE t % 3 <> 0),
+             |lp AS (SELECT seq, t, j % ((seq + t) % 3 + 1) AS u,
+             |              min(j) AS j
+             |       FROM ch WHERE (seq + j) % 10 = 5 GROUP BY 1, 2, 3),
+             |sp AS (SELECT seq, t, j % ((seq + t) % 3 + 1) AS u,
+             |              min(j) AS j
+             |       FROM ch WHERE (seq + t + j) % 3 = 0
+             |         AND (seq + 2 * t + j) % 2 = 0 GROUP BY 1, 2, 3)
+             |SELECT (ops.seq << 32) | ((ops.t + 1) << 12) | (ops.u + 1)
+             |    AS operation_id,
+             |  ops.seq AS ledger_sequence,
+             |  CAST((ops.seq + ops.t + ops.u) % 27 AS INT) AS op_type,
+             |  CAST((ops.seq + ops.t + lp.j) % 2001 - 1000 AS BIGINT)
+             |    AS delta_reserve_a,
+             |  CAST((ops.seq * 3 + ops.t + lp.j) % 2001 - 1000 AS BIGINT)
+             |    AS delta_reserve_b,
+             |  CAST((ops.seq + ops.t * 2 + lp.j) % 201 - 100 AS BIGINT)
+             |    AS delta_shares,
+             |  CASE WHEN lp.j IS NOT NULL
+             |       THEN CAST(10 + (ops.seq + ops.t) % 90 AS INT)
+             |       END AS pool_fee,
+             |  ${strkeyG("""CASE WHEN sp.j IS NOT NULL
+                  THEN sha256('chsp-' || ops.seq || '-' || ops.t || '-' || sp.j) END""")}
+             |    AS sponsor
+             |FROM ops
+             |LEFT JOIN lp ON lp.seq = ops.seq AND lp.t = ops.t
+             |  AND lp.u = ops.u
+             |LEFT JOIN sp ON sp.seq = ops.seq AND sp.t = ops.t
+             |  AND sp.u = ops.u
+             |ORDER BY operation_id""".stripMargin),
+      (s, dir) =>
+        StellarTransforms.opChangeDetailsFromLcm(
+            s.read.format("graft-lcm").load(lcmFixtureDir)
+              .where(col("sequence").between(2304, 2499)))
+          .orderBy("operation_id")),
 
     Q("src_lcm_change_decode",
       // the change grain composed over the wire source: per-op
@@ -2476,7 +2545,38 @@ object QueryCatalog {
              |    [CAST((seq + j) % 10 + 1 AS INT)] AS entry_type_string,
              |  sha256('ck-' || (seq * 3 + t * 7 + j * 11) % 101) AS key_hash_hex,
              |  seq AS last_modified,
-             |  CAST(1000000 + seq * 3 + t * 17 + j * 29 AS BIGINT) AS balance
+             |  CAST(1000000 + seq * 3 + t * 17 + j * 29 AS BIGINT) AS balance,
+             |  CASE WHEN (seq + j) % 10 = 2
+             |       THEN CAST(seq * 100 + t * 10 + j AS BIGINT) END AS offer_id,
+             |  CASE WHEN (seq + j) % 10 = 2 AND (seq + t + j) % 3 <> 0
+             |       THEN CAST(seq % 9 + 1 + j AS INT) END AS pre_price_n,
+             |  CASE WHEN (seq + j) % 10 = 2 AND (seq + t + j) % 3 <> 0
+             |       THEN CAST(t % 7 + 1 + j AS INT) END AS pre_price_d,
+             |  CASE WHEN (seq + j) % 10 = 5
+             |       THEN CAST(10000000 + seq * 5 + t * 3 + j AS BIGINT)
+             |       END AS pre_reserve_a,
+             |  CASE WHEN (seq + j) % 10 = 5
+             |       THEN CAST(20000000 + seq * 7 + t * 5 + j AS BIGINT)
+             |       END AS pre_reserve_b,
+             |  CASE WHEN (seq + j) % 10 = 5
+             |       THEN CAST(1000000 + seq * 2 + t AS BIGINT) END AS pre_shares,
+             |  CASE WHEN (seq + j) % 10 = 5
+             |       THEN CAST(10000000 + seq * 5 + t * 3 + j
+             |                 + (seq + t + j) % 2001 - 1000 AS BIGINT)
+             |       END AS post_reserve_a,
+             |  CASE WHEN (seq + j) % 10 = 5
+             |       THEN CAST(20000000 + seq * 7 + t * 5 + j
+             |                 + (seq * 3 + t + j) % 2001 - 1000 AS BIGINT)
+             |       END AS post_reserve_b,
+             |  CASE WHEN (seq + j) % 10 = 5
+             |       THEN CAST(1000000 + seq * 2 + t
+             |                 + (seq + t * 2 + j) % 201 - 100 AS BIGINT)
+             |       END AS post_shares,
+             |  CASE WHEN (seq + j) % 10 = 5
+             |       THEN CAST(10 + (seq + t) % 90 AS INT) END AS pool_fee,
+             |  CASE WHEN (seq + t + j) % 3 = 0 AND (seq + 2 * t + j) % 2 = 0
+             |       THEN sha256('chsp-' || seq || '-' || t || '-' || j)
+             |       END AS sponsor_hex
              |FROM ch
              |ORDER BY ledger_sequence, tx_order, change_index""".stripMargin),
       (s, dir) =>

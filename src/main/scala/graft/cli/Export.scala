@@ -121,6 +121,58 @@ object Export {
     spark.stop()
   }
 
+  /** `--end 0` ⇒ UNBOUNDED export — the reference's continuous mode
+    * (`cmd/export_ledger_entry_changes.go:72-89`: endNum 0 becomes
+    * MaxInt32 and the change stream BLOCKS on new ledgers). Here the same
+    * contract is the MICRO_BATCH_READ arm of the graft-lcm source: new
+    * `.lcmb` batch files landing in the watched directory become
+    * micro-batches, each transformed by the SAME map-only plan as the
+    * bounded command (so bounded and unbounded runs agree row-for-row)
+    * and appended to the sink partitioned by `batch_id =
+    * floor(sequence / batchSize)` — the reference's every-batchSize-
+    * ledgers file grouping (`changes.go:85-160`), expressed as a
+    * partition column so each batch lands in its own directory.
+    *
+    * Blocks in `awaitTermination` like the reference; the
+    * `graft.stream.once` system property / SPARK_GRAFT_STREAM_ONCE env
+    * (test hook) drains what's available and stops, printing the usual
+    * stats line. */
+  private def streamWire(spark: SparkSession, a: Args): Unit = {
+    val lcm = spark.readStream.format("graft-lcm").load(a.wireInput.get)
+      .where(col("sequence") >= a.start)
+    val df0 = a.command match {
+      case "export_ledgers" =>
+        StellarTransforms.historyLedgersFromLcm(lcm)
+      case "export_transactions" =>
+        StellarTransforms.historyTransactionsFromLcm(lcm)
+      case "export_operations" =>
+        StellarTransforms.historyOperationsFromLcm(lcm)
+      case "export_ledger_entry_changes" =>
+        StellarTransforms.ledgerChangesFromLcm(lcm)
+      case other => sys.error(
+        "unbounded --wire-input (--end 0) supports export_ledgers/" +
+          s"transactions/operations/ledger_entry_changes, not $other")
+    }
+    val seqCol =
+      if (df0.columns.contains("ledger_sequence")) "ledger_sequence"
+      else "sequence"
+    val df = withExtras(df0, a.extraFields)
+      .withColumn("batch_id", floor(col(seqCol) / a.batchSize))
+    val fmt = a.format match { case "ndjson" => "json"; case f => f }
+    val q = df.writeStream.format(fmt)
+      .option("checkpointLocation", a.output.stripSuffix("/") + "_ckpt")
+      .option("path", a.output)
+      .partitionBy("batch_id")
+      .start()
+    if (sys.props.contains("graft.stream.once") ||
+        sys.env.contains("SPARK_GRAFT_STREAM_ONCE")) {
+      q.processAllAvailable()
+      q.stop()
+      val n = spark.read.format(fmt).load(a.output).count()
+      println(s"""{"attempted":$n,"failed":0,"successful":$n}""")
+    } else q.awaitTermination()
+  }
+
   /** Command dispatch, separated from `main` so tests can drive commands on
     * a shared session without `spark.stop()` tearing it down. */
   def run(spark: SparkSession, a: Args): Unit = {
@@ -132,6 +184,7 @@ object Export {
     // `internal/input/transactions.go:23-71`). The sequence-range filter
     // is consumed by the scan's file pruning.
     if (a.wireInput.isDefined) {
+      if (a.end == 0L) { streamWire(spark, a); return }
       val lcm = spark.read.format("graft-lcm").load(a.wireInput.get)
         .where(col("sequence").between(a.start, a.end))
       a.command match {

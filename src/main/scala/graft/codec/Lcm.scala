@@ -147,6 +147,13 @@ import java.nio.charset.StandardCharsets
   *       int opIndex               // owning operation
   *       opaque keyHash[32]        // ledger-key fingerprint
   *       uint32 lastModified ‖ hyper balance
+  *       [entryType == 2]:         // OFFER pre-state (trade pricing)
+  *         hyper offerId ‖ int prePriceN ‖ int prePriceD  // 0/0 = no pre
+  *       [entryType == 5]:         // LIQUIDITY_POOL constant-product
+  *         hyper preReserveA ‖ preReserveB ‖ preShares
+  *         ‖ hyper postReserveA ‖ postReserveB ‖ postShares
+  *         ‖ int poolFeeBps        // pre-state fee
+  *       bool hasSponsor ‖ [opaque sponsor[32]]  // Post.SponsoringID
   *     }
   *     uint32 nClaimAtoms          // per-op RESULT ClaimAtoms
   *     nClaimAtoms × {             // (history_trades grain)
@@ -537,9 +544,29 @@ object Lcm {
     * (CREATED(0)/UPDATED(1)/REMOVED(2)), the LedgerEntryType enum, the
     * owning op index, the ledger-key fingerprint (opaque[32] — the dedup
     * key batch compaction keeps latest-per-key on), lastModifiedLedgerSeq,
-    * and the post-state balance (0 where the entry carries none). */
+    * and the post-state balance (0 where the entry carries none).
+    *
+    * Entry-type-discriminated pre/post state rides the same record — the
+    * slices of `LedgerEntry.Data` the reference's op/trade transforms read
+    * back out of the change stream:
+    *   - OFFER(2): the offer id plus the PRE-state `Price.N/D` that
+    *     `findTradeSellPrice` prices orderbook trades with
+    *     (`internal/transform/trade.go:264-279`); 0/0 when the change has
+    *     no pre state (CREATED).
+    *   - LIQUIDITY_POOL(5): constant-product pre/post reserves + total
+    *     shares (the post−pre delta law of
+    *     `getLiquidityPoolAndProductDelta`, `operation.go:238-285`) and
+    *     the pre-state pool fee bps (`findPoolFee`, `trade.go:306-317`).
+    *   - any CREATED entry may carry the sponsoring account
+    *     (`Post.SponsoringID()`, the `getSponsor` scan,
+    *     `operation.go:296-326`). */
   case class WireChange(kind: Int, entryType: Int, opIndex: Int,
-      keyHash: Seq[Byte], lastModified: Long, balance: Long) {
+      keyHash: Seq[Byte], lastModified: Long, balance: Long,
+      offerId: Long = 0L, prePriceN: Int = 0, prePriceD: Int = 0,
+      preReserveA: Long = 0L, preReserveB: Long = 0L, preShares: Long = 0L,
+      postReserveA: Long = 0L, postReserveB: Long = 0L, postShares: Long = 0L,
+      poolFee: Int = 0,
+      sponsor: Option[Seq[Byte]] = None) {
     require(kind >= 0 && kind <= 2,
       "change kind is CREATED(0)/UPDATED(1)/REMOVED(2)")
     require(entryType >= 0 && entryType <= 9,
@@ -548,6 +575,20 @@ object Lcm {
     require(keyHash.size == 32, "ledger-key fingerprint is opaque[32]")
     require(lastModified >= 0 && lastModified <= 0xFFFFFFFFL,
       "lastModified is uint32")
+    require(entryType == 2 ||
+      (offerId == 0L && prePriceN == 0 && prePriceD == 0),
+      "offer pre-state rides OFFER changes only")
+    require(offerId >= 0 && prePriceN >= 0 && prePriceD >= 0,
+      "offer id and price components are non-negative")
+    require(entryType == 5 ||
+      (preReserveA == 0L && preReserveB == 0L && preShares == 0L &&
+        postReserveA == 0L && postReserveB == 0L && postShares == 0L &&
+        poolFee == 0),
+      "constant-product pre/post state rides LIQUIDITY_POOL changes only")
+    require(poolFee >= 0, "pool fee bps is non-negative")
+    require(sponsor.forall(_.size == 32), "sponsor is opaque[32]")
+    require(sponsor.isEmpty || kind == 0,
+      "a sponsor rides entry CREATION only (Post.SponsoringID)")
   }
 
   /** One `ClaimAtom` from the per-op RESULT — the grain the reference's
@@ -916,6 +957,23 @@ object Lcm {
         out.write(c.keyHash.toArray)
         out.writeInt(c.lastModified.toInt)
         out.writeLong(c.balance)
+        // entry-type-discriminated pre/post arms (XDR-union style): offer
+        // pre-state price, LP constant-product pre/post, then the optional
+        // creation sponsor
+        if (c.entryType == 2) {
+          out.writeLong(c.offerId)
+          out.writeInt(c.prePriceN)
+          out.writeInt(c.prePriceD)
+        }
+        if (c.entryType == 5) {
+          out.writeLong(c.preReserveA); out.writeLong(c.preReserveB)
+          out.writeLong(c.preShares)
+          out.writeLong(c.postReserveA); out.writeLong(c.postReserveB)
+          out.writeLong(c.postShares)
+          out.writeInt(c.poolFee)
+        }
+        out.writeInt(if (c.sponsor.isDefined) 1 else 0)
+        c.sponsor.foreach(s => out.write(s.toArray))
       }
       out.writeInt(t.claimAtoms.size)
       t.claimAtoms.foreach { ca =>
@@ -1145,8 +1203,25 @@ object Lcm {
       }
       val nChanges = buf.getInt
       val changes = (0 until nChanges).map { _ =>
-        WireChange(buf.getInt, buf.getInt, buf.getInt, readOpaque32(buf),
-          buf.getInt.toLong & 0xFFFFFFFFL, buf.getLong)
+        val kind = buf.getInt
+        val entryType = buf.getInt
+        val opIndex = buf.getInt
+        val keyHash = readOpaque32(buf)
+        val lastModified = buf.getInt.toLong & 0xFFFFFFFFL
+        val balance = buf.getLong
+        val (offerId, ppn, ppd) =
+          if (entryType == 2) (buf.getLong, buf.getInt, buf.getInt)
+          else (0L, 0, 0)
+        val (preA, preB, preS, postA, postB, postS, fee) =
+          if (entryType == 5)
+            (buf.getLong, buf.getLong, buf.getLong,
+              buf.getLong, buf.getLong, buf.getLong, buf.getInt)
+          else (0L, 0L, 0L, 0L, 0L, 0L, 0)
+        val sponsor =
+          if (buf.getInt == 1) Some(readOpaque32(buf)) else None
+        WireChange(kind, entryType, opIndex, keyHash, lastModified, balance,
+          offerId, ppn, ppd, preA, preB, preS, postA, postB, postS, fee,
+          sponsor)
       }
       val nAtoms = buf.getInt
       val atoms = (0 until nAtoms).map { _ =>

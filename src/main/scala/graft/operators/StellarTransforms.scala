@@ -409,19 +409,42 @@ object StellarTransforms {
   /** P5 composed over the wire source at claim-atom grain: trades come
     * from the per-op RESULT ClaimAtoms the wire carries
     * (`internal/transform/trade.go:44-84`), successful transactions only
-    * (F3). The price is the bought/sold amount ratio — the reference's
-    * fallback law when no pre-state offer is in scope
-    * (`trade.go:85-114`); the full pre-state pricing lives with the
-    * fixture-path [[StellarTradesEffects.historyTrades]]. Map-only:
-    * two stacked posexplodes, range consumed by the scan. */
-  def historyTradesFromLcm(lcm: DataFrame): DataFrame =
+    * (F3).
+    *
+    * PRICING follows `findTradeSellPrice` (`trade.go:264-279`): an
+    * orderbook atom is priced by the PRE-state `Price.N/D` of the crossed
+    * offer's last matching change in the owning op's change vector (the
+    * reference's reverse scan, here `element_at(matching, size)` over the
+    * intra-row filtered array — the wire change record carries offer
+    * pre-state since round 11); when no pre-state offer change is in
+    * scope the bought/sold ratio law applies (`trade.go:85-114`). LP
+    * atoms are priced bought/sold by definition (`trade.go:265-266`).
+    * `price_n`/`price_d` carry the exact integer components, `price` the
+    * IEEE quotient. Everything stays map-only: two stacked posexplodes +
+    * intra-row array algebra — the pre-state "join" never shuffles
+    * because the change vector rides the same tx row. */
+  def historyTradesFromLcm(lcm: DataFrame): DataFrame = {
+    // the reverse scan: LAST change of this op with entry_type OFFER, a
+    // pre state, and the atom's offer id (`findLatestOperationChange`)
+    val matching = filter(col("changes"), c =>
+      c("entry_type") === 2 && c("op_index") === col("op_pos") &&
+        c("offer_id") === col("a.offer_id") && c("pre_price_d").isNotNull)
+    val pre = element_at(matching, size(matching))
+    val priced = when(!col("a.is_pool") && size(matching) > 0, pre)
+    val priceN = when(col("a.is_pool"), col("a.bought_amount"))
+      .otherwise(coalesce(priced("pre_price_n").cast("long"),
+        col("a.bought_amount")))
+    val priceD = when(col("a.is_pool"), col("a.sold_amount"))
+      .otherwise(coalesce(priced("pre_price_d").cast("long"),
+        col("a.sold_amount")))
     lcm.select(col("sequence"),
         posexplode(col("transactions")).as(Seq("pos", "tx")))
       .where(col("tx.successful"))
       .select(col("sequence"), col("pos"),
         col("tx.source_account_hex").as("tx_source_hex"),
+        col("tx.changes").as("changes"),
         posexplode(col("tx.operations")).as(Seq("op_pos", "op")))
-      .select(col("sequence"), col("pos"), col("op_pos"),
+      .select(col("sequence"), col("pos"), col("op_pos"), col("changes"),
         col("op.op_source_hex").as("op_source_hex"),
         col("tx_source_hex"),
         posexplode(col("op.claim_atoms")).as(Seq("atom_pos", "a")))
@@ -448,8 +471,10 @@ object StellarTransforms {
         col("a.sold_amount").as("selling_amount"),
         col("a.bought_code").as("buying_asset_code"),
         col("a.bought_amount").as("buying_amount"),
-        (col("a.bought_amount").cast("double") / col("a.sold_amount"))
-          .as("price"))
+        priceN.as("price_n"),
+        priceD.as("price_d"),
+        (priceN.cast("double") / priceD).as("price"))
+  }
 
   /** The 10-arm `LedgerEntryType` enum, XDR discriminant order
     * (`Stellar-ledger-entries.x`). */
@@ -484,7 +509,66 @@ object StellarTransforms {
           .as("entry_type_string"),
         col("c.key_hash_hex").as("key_hash_hex"),
         col("c.last_modified").as("last_modified"),
-        col("c.balance").as("balance"))
+        col("c.balance").as("balance"),
+        // entry-type-discriminated pre/post arms (null where not applicable)
+        col("c.offer_id").as("offer_id"),
+        col("c.pre_price_n").as("pre_price_n"),
+        col("c.pre_price_d").as("pre_price_d"),
+        col("c.pre_reserve_a").as("pre_reserve_a"),
+        col("c.pre_reserve_b").as("pre_reserve_b"),
+        col("c.pre_shares").as("pre_shares"),
+        col("c.post_reserve_a").as("post_reserve_a"),
+        col("c.post_reserve_b").as("post_reserve_b"),
+        col("c.post_shares").as("post_shares"),
+        col("c.pool_fee").as("pool_fee"),
+        col("c.sponsor_hex").as("sponsor_hex"))
+
+  /** Change-DERIVED operation details composed over the wire source — the
+    * two detail families the reference computes by scanning the op's own
+    * change vector rather than the envelope:
+    *
+    *   - LIQUIDITY-POOL DELTA (`getLiquidityPoolAndProductDelta`,
+    *     `operation.go:238-285`): the first LIQUIDITY_POOL change of the
+    *     op yields post−pre reserve/share deltas (LP deposit details
+    *     report deposited `amount_a`/`amount_b` as exactly these deltas,
+    *     withdraw the negation) plus the pre-state pool fee bps
+    *     (`findPoolFee`, `trade.go:306-317`).
+    *   - SPONSOR (`getSponsor`, `operation.go:296-326`): the first
+    *     CREATED change of the op whose post state carries a
+    *     `SponsoringID` names the op's sponsor, rendered as a G-address.
+    *
+    * Both scans are intra-row `filter`/`element_at` over the tx's change
+    * array — no shuffle, no join: the change vector rides the same row as
+    * the op array, so the whole op grain stays one map-only pass. Columns
+    * are null when the op has no matching change (the reference errors on
+    * LP ops without an LP change; fixtures don't guarantee alignment, so
+    * absence is surfaced as null rather than a throw). */
+  def opChangeDetailsFromLcm(lcm: DataFrame): DataFrame = {
+    val opChanges = filter(col("changes"), c =>
+      c("op_index") === col("op_pos"))
+    val lpCh = filter(opChanges, c => c("entry_type") === 5)
+    val lp = when(size(lpCh) > 0, element_at(lpCh, 1))
+    val spCh = filter(opChanges, c =>
+      c("kind") === 0 && c("sponsor_hex").isNotNull)
+    val sp = when(size(spCh) > 0, element_at(spCh, 1))
+    lcm.select(col("sequence"),
+        posexplode(col("transactions")).as(Seq("pos", "tx")))
+      .where(col("tx.successful"))
+      .select(col("sequence"), col("pos"),
+        col("tx.changes").as("changes"),
+        posexplode(col("tx.operations")).as(Seq("op_pos", "op")))
+      .select(
+        operationToid(col("sequence"), col("pos") + 1, col("op_pos"))
+          .as("operation_id"),
+        col("sequence").as("ledger_sequence"),
+        col("op.op_type").as("op_type"),
+        (lp("post_reserve_a") - lp("pre_reserve_a")).as("delta_reserve_a"),
+        (lp("post_reserve_b") - lp("pre_reserve_b")).as("delta_reserve_b"),
+        (lp("post_shares") - lp("pre_shares")).as("delta_shares"),
+        lp("pool_fee").as("pool_fee"),
+        GraftFunctions.strkeyAccount(unhex(sp("sponsor_hex")))
+          .as("sponsor"))
+  }
 
   /** S6-style batch compaction composed over the wire source: the LAST
     * change per ledger key across the range wins (the reference's

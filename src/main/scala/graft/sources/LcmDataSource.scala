@@ -47,14 +47,29 @@ class LcmDataSource extends TableProvider
 }
 
 object LcmDataSource {
-  /** One wire change row ([[graft.codec.Lcm.WireChange]]). */
+  /** One wire change row ([[graft.codec.Lcm.WireChange]]). The entry-type-
+    * discriminated pre/post arms surface as NULLABLE columns — null where
+    * the arm doesn't apply (offer fields on non-offer changes, LP fields on
+    * non-pool changes, sponsor on non-created or unsponsored entries) so
+    * downstream relational logic coalesces instead of branching on 0s. */
   val ChangeSchema: StructType = StructType(Seq(
     StructField("kind", IntegerType, nullable = false),
     StructField("entry_type", IntegerType, nullable = false),
     StructField("op_index", IntegerType, nullable = false),
     StructField("key_hash_hex", StringType, nullable = false),
     StructField("last_modified", LongType, nullable = false),
-    StructField("balance", LongType, nullable = false)))
+    StructField("balance", LongType, nullable = false),
+    StructField("offer_id", LongType, nullable = true),
+    StructField("pre_price_n", IntegerType, nullable = true),
+    StructField("pre_price_d", IntegerType, nullable = true),
+    StructField("pre_reserve_a", LongType, nullable = true),
+    StructField("pre_reserve_b", LongType, nullable = true),
+    StructField("pre_shares", LongType, nullable = true),
+    StructField("post_reserve_a", LongType, nullable = true),
+    StructField("post_reserve_b", LongType, nullable = true),
+    StructField("post_shares", LongType, nullable = true),
+    StructField("pool_fee", IntegerType, nullable = true),
+    StructField("sponsor_hex", StringType, nullable = true)))
 
   /** One RESULT claim atom ([[graft.codec.Lcm.WireClaimAtom]]). */
   val ClaimAtomSchema: StructType = StructType(Seq(
@@ -505,10 +520,27 @@ private[sources] object LcmRows {
       ca.offerId, utf8(ca.soldCode), ca.soldAmount,
       utf8(ca.boughtCode), ca.boughtAmount))
 
-  def changeRow(c: WireChange): InternalRow =
+  def changeRow(c: WireChange): InternalRow = {
+    val isOffer = c.entryType == 2
+    val isPool = c.entryType == 5
+    // offer changes with no pre state (CREATED) carry 0/0 on the wire →
+    // null price columns, mirroring the reference's `change.Pre == nil`
+    val hasPrePrice = isOffer && c.prePriceD != 0
     new GenericInternalRow(Array[Any](
       c.kind, c.entryType, c.opIndex, hex(c.keyHash),
-      c.lastModified, c.balance))
+      c.lastModified, c.balance,
+      if (isOffer) Long.box(c.offerId) else null,
+      if (hasPrePrice) Int.box(c.prePriceN) else null,
+      if (hasPrePrice) Int.box(c.prePriceD) else null,
+      if (isPool) Long.box(c.preReserveA) else null,
+      if (isPool) Long.box(c.preReserveB) else null,
+      if (isPool) Long.box(c.preShares) else null,
+      if (isPool) Long.box(c.postReserveA) else null,
+      if (isPool) Long.box(c.postReserveB) else null,
+      if (isPool) Long.box(c.postShares) else null,
+      if (isPool) Int.box(c.poolFee) else null,
+      c.sponsor.map(hex).orNull))
+  }
 
   def opRow(op: Op, atoms: Seq[WireClaimAtom]): InternalRow = {
     val opDest = op.detail match {
@@ -914,13 +946,46 @@ object LcmWriter {
       // ids cycle mod 101 so the same ledger key repeats across ledgers —
       // latest-per-key compaction is non-trivial
       val changes = (0 until (1 + ((seq + t) % 2)).toInt).map { j =>
+        val kind = ((seq + t + j) % 3).toInt
+        val entryType = ((seq + j) % 10).toInt
+        // entry-type-discriminated pre/post laws (affine, oracle-visible):
+        //  - OFFER changes carry the SAME offer-id law as the claim atoms
+        //    (seq*100 + t*10 + j), so an atom finds its pre-state price
+        //    change exactly when the indices line up — both the matched
+        //    (pre-state price) and unmatched (fallback ratio) arms of the
+        //    trade pricing law stay on the wire; CREATED offers carry 0/0
+        //    (no pre state, `change.Pre == nil`)
+        //  - LIQUIDITY_POOL changes carry constant-product pre/post with
+        //    signed post−pre deltas (the reference's delta law input)
+        //  - every third created change is sponsored
+        val isOffer = entryType == 2
+        val hasPre = kind != 0
+        val isPool = entryType == 5
         Lcm.WireChange(
-          kind = ((seq + t + j) % 3).toInt,
-          entryType = ((seq + j) % 10).toInt,
+          kind = kind,
+          entryType = entryType,
           opIndex = (j % nOps),
           keyHash = sha(s"ck-${(seq * 3 + t * 7 + j * 11) % 101}"),
           lastModified = seq,
-          balance = 1000000L + seq * 3 + t * 17 + j * 29)
+          balance = 1000000L + seq * 3 + t * 17 + j * 29,
+          offerId = if (isOffer) seq * 100 + t * 10 + j else 0L,
+          prePriceN = if (isOffer && hasPre) (seq % 9 + 1 + j).toInt else 0,
+          prePriceD = if (isOffer && hasPre) ((t % 7) + 1 + j).toInt else 0,
+          preReserveA = if (isPool) 10000000L + seq * 5 + t * 3 + j else 0L,
+          preReserveB = if (isPool) 20000000L + seq * 7 + t * 5 + j else 0L,
+          preShares = if (isPool) 1000000L + seq * 2 + t else 0L,
+          postReserveA =
+            if (isPool) 10000000L + seq * 5 + t * 3 + j +
+              (seq + t + j) % 2001 - 1000 else 0L,
+          postReserveB =
+            if (isPool) 20000000L + seq * 7 + t * 5 + j +
+              (seq * 3 + t + j) % 2001 - 1000 else 0L,
+          postShares =
+            if (isPool) 1000000L + seq * 2 + t +
+              (seq + t * 2 + j) % 201 - 100 else 0L,
+          poolFee = if (isPool) (10 + (seq + t) % 90).toInt else 0,
+          sponsor = if (kind == 0 && (seq + 2 * t + j) % 2 == 0)
+            Some(sha(s"chsp-$seq-$t-$j")) else None)
       }
       // RESULT claim atoms ride only the trade-shaped arms (both path
       // payments + both manage offers), 1-2 per such OP, tagged with the

@@ -164,4 +164,43 @@ class CliExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(err.getMessage.contains("--wire-input supports"))
   }
+
+  test("--end 0 runs the wire export UNBOUNDED and matches the bounded run") {
+    // the reference's continuous mode (export_ledger_entry_changes.go:72-89,
+    // endNum 0 ⇒ MaxInt32 + blocking change stream): here the MICRO_BATCH
+    // source — batch files landing later are picked up by the SAME running
+    // query, and the total output matches the bounded command row-for-row
+    val wire = tmpDir("wire-stream-in")
+    graft.sources.LcmWriter.writeFixture(wire, 6000, 6063)
+
+    val out = tmpDir("wire-stream-out")
+    sys.props("graft.stream.once") = "1"
+    try {
+      Export.run(spark, Export.parse(Array(
+        "export_ledger_entry_changes", "--start", "6000", "--end", "0",
+        "--batch-size", "64", "--wire-input", wire,
+        "--output", out, "--format", "parquet")))
+      // more wire lands; a fresh unbounded run (same checkpoint) resumes
+      // and drains ONLY the new batch files into the same sink
+      graft.sources.LcmWriter.writeFixture(wire, 6064, 6127)
+      Export.run(spark, Export.parse(Array(
+        "export_ledger_entry_changes", "--start", "6000", "--end", "0",
+        "--batch-size", "64", "--wire-input", wire,
+        "--output", out, "--format", "parquet")))
+    } finally sys.props.remove("graft.stream.once")
+
+    val streamed = spark.read.parquet(out)
+    // the reference's every-batchSize-ledgers grouping, as partition dirs
+    // absolute 64-ledger batch ids (the K4 law): 6000..6127 spans 93-95
+    assert(streamed.select(org.apache.spark.sql.functions
+        .col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet == Set(93L, 94L, 95L))
+    val bounded = graft.operators.StellarTransforms.ledgerChangesFromLcm(
+      spark.read.format("graft-lcm").load(wire)
+        .where(org.apache.spark.sql.functions.col("sequence")
+          .between(6000, 6127)))
+    assert(streamed.drop("batch_id").collect().map(_.toSeq).toSet ==
+      bounded.collect().map(_.toSeq).toSet)
+    assert(streamed.count() == bounded.count())
+  }
 }

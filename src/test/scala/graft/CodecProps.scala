@@ -269,7 +269,24 @@ object CodecProps extends Properties("codec") {
     kh <- b32
     lm <- u32
     bal <- nonNeg
-  } yield Lcm.WireChange(k, et, oi, kh, lm, bal)
+    // entry-type-discriminated arms: offer pre-state on OFFER(2) (0/0
+    // price = CREATED/no-pre), LP constant-product on LIQUIDITY_POOL(5),
+    // sponsor only on CREATED
+    offerId <- if (et == 2) nonNeg else Gen.const(0L)
+    ppn <- if (et == 2 && k != 0) Gen.chooseNum(0, 1000) else Gen.const(0)
+    ppd <- if (et == 2 && k != 0 && ppn != 0) Gen.chooseNum(1, 1000)
+           else Gen.const(0)
+    preA <- if (et == 5) nonNeg else Gen.const(0L)
+    preB <- if (et == 5) nonNeg else Gen.const(0L)
+    preS <- if (et == 5) nonNeg else Gen.const(0L)
+    postA <- if (et == 5) nonNeg else Gen.const(0L)
+    postB <- if (et == 5) nonNeg else Gen.const(0L)
+    postS <- if (et == 5) nonNeg else Gen.const(0L)
+    fee <- if (et == 5) Gen.chooseNum(0, 10000) else Gen.const(0)
+    sponsor <- if (k == 0) Gen.option(b32) else Gen.const(None)
+  } yield Lcm.WireChange(k, et, oi, kh, lm, bal,
+    offerId, if (ppd == 0) 0 else ppn, ppd,
+    preA, preB, preS, postA, postB, postS, fee, sponsor)
 
   private def claimAtomGen(nOps: Int): Gen[Lcm.WireClaimAtom] = for {
     oi <- Gen.chooseNum(0, math.max(nOps - 1, 0))

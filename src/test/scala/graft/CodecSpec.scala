@@ -517,8 +517,37 @@ class CodecSpec extends AnyFunSuite {
         "00000002" +                             // nChanges
         "00000000" + "00000001" + "00000000" +   // CREATED trustline op 0
         hx(fill(0x21)) + "00000800" + "00000000004c4b40" +
+        "00000000" +                             // hasSponsor = false
         "00000002" + "00000009" + "00000000" +   // REMOVED ttl op 0
-        hx(fill(0x22)) + "00000007" + "0000000000000000"))
+        hx(fill(0x22)) + "00000007" + "0000000000000000" +
+        "00000000"))                             // hasSponsor = false
+
+    // entry-type-discriminated pre/post arms: OFFER pre-state price, LP
+    // constant-product pre/post + fee, and the creation sponsor — all
+    // round-trip, and the refusals pin the arms to their entry types
+    val offerCh = WireChange(1, 2, 0, fill(0x23), 9L, 100L,
+      offerId = 4242L, prePriceN = 3, prePriceD = 7)
+    val lpCh = WireChange(1, 5, 0, fill(0x24), 9L, 0L,
+      preReserveA = 1000L, preReserveB = 2000L, preShares = 30L,
+      postReserveA = 900L, postReserveB = 2100L, postShares = 31L,
+      poolFee = 30)
+    val spCh = WireChange(0, 0, 0, fill(0x25), 9L, 50L,
+      sponsor = Some(fill(0x26)))
+    val armTx = Tx(12L, TxSuccess, Seq(Op(9, 1L)),
+      changes = Seq(offerCh, lpCh, spCh))
+    assert(decode(encode(Frame(42L, 3L, Seq(armTx)))).txs.head == armTx)
+    assert(hexStr(encode(Frame(42L, 3L, Seq(armTx)))).contains(
+      hx(fill(0x23)) + "00000009" + "0000000000000064" +
+        "0000000000001092" + "00000003" + "00000007" + // offer arm
+        "00000000"))                                   // no sponsor
+    intercept[IllegalArgumentException](               // offer arm off-type
+      WireChange(1, 1, 0, fill(1), 1L, 0L, offerId = 7L))
+    intercept[IllegalArgumentException](               // LP arm off-type
+      WireChange(1, 2, 0, fill(1), 1L, 0L, preReserveA = 7L))
+    intercept[IllegalArgumentException](               // sponsor on UPDATED
+      WireChange(1, 0, 0, fill(1), 1L, 0L, sponsor = Some(fill(2))))
+    intercept[IllegalArgumentException](               // sponsor width
+      WireChange(0, 0, 0, fill(1), 1L, 0L, sponsor = Some(fill(2).take(4))))
 
     // RESULT claim atoms (history_trades grain): orderbook arm carries the
     // crossed offer, LP arm the pool id with offerId 0

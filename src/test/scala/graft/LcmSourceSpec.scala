@@ -24,6 +24,44 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     d
   }
 
+  test("change pre/post arms decode against the fixture laws") {
+    // one ledger, every change row: the entry-type-discriminated arms must
+    // surface exactly per the affine fixture laws — offer pre-state price
+    // (null on CREATED), LP constant-product pre/post + fee, and the
+    // creation sponsor — with nulls everywhere an arm doesn't apply
+    val seq = 1042L
+    val rows = spark.read.format("graft-lcm").load(dir)
+      .where(col("sequence") === seq)
+      .select(posexplode(col("transactions")).as(Seq("pos", "tx")))
+      .select(col("pos"), posexplode(col("tx.changes")).as(Seq("j", "c")))
+      .select("pos", "j", "c.kind", "c.entry_type", "c.offer_id",
+        "c.pre_price_n", "c.pre_price_d", "c.pre_reserve_a",
+        "c.post_shares", "c.pool_fee", "c.sponsor_hex")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, j) = (r.getInt(0).toLong, r.getInt(1).toLong)
+      val kind = ((seq + t + j) % 3).toInt
+      val et = ((seq + j) % 10).toInt
+      assert(r.getInt(2) == kind && r.getInt(3) == et, s"t=$t j=$j")
+      if (et == 2) {
+        assert(r.getLong(4) == seq * 100 + t * 10 + j)
+        if (kind != 0) assert(r.getInt(5) == seq % 9 + 1 + j &&
+          r.getInt(6) == t % 7 + 1 + j)
+        else assert(r.isNullAt(5) && r.isNullAt(6))
+      } else assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+      if (et == 5) {
+        assert(r.getLong(7) == 10000000L + seq * 5 + t * 3 + j)
+        assert(r.getLong(8) ==
+          1000000L + seq * 2 + t + (seq + t * 2 + j) % 201 - 100)
+        assert(r.getInt(9) == 10 + (seq + t) % 90)
+      } else assert(r.isNullAt(7) && r.isNullAt(8) && r.isNullAt(9))
+      if (kind == 0 && (seq + 2 * t + j) % 2 == 0)
+        assert(r.getString(10).length == 64)
+      else assert(r.isNullAt(10))
+    }
+  }
+
   test("nested pruning under count-over-explode keeps field offsets aligned") {
     // Catalyst prunes the transactions ELEMENT struct when no tx field is
     // consumed (count over explode); the source must restore the full
