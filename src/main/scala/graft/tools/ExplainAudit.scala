@@ -120,6 +120,13 @@ object ExplainAudit {
         Seq("Generate posexplode", "BatchScan graft-lcm"),
         Seq(">= 2100", "<= 2299",
           "Exchange hashpartitioning", "SortMergeJoin")),
+      // change-derived op details over the wire (LP deltas + sponsor):
+      // both first-change scans are intra-row array ops — map-only,
+      // range consumed by the scan
+      ("stellar_op_changes_from_lcm",
+        Seq("Generate posexplode", "BatchScan graft-lcm"),
+        Seq(">= 2304", "<= 2499",
+          "Exchange hashpartitioning", "SortMergeJoin")),
       // change grain over the wire: two stacked explodes, still map-only
       // with the range consumed by the scan's file pruning
       ("src_lcm_change_decode",

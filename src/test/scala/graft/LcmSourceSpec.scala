@@ -24,6 +24,48 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     d
   }
 
+  test("wire trades price from pre-state offer changes (findTradeSellPrice law)") {
+    import graft.codec.Lcm
+    // hand-built frame: one tx, two ops; op 0 crosses offer 77 TWICE (the
+    // reverse scan must take the LAST matching change: 5/9, not 3/8) and
+    // also claims offer 88 with NO matching change (fallback ratio); op 1
+    // is an LP atom (always bought/sold). A CREATED offer change for 77
+    // sits LAST in the vector but has no pre state, so it must be skipped.
+    def k(b: Int): Seq[Byte] = Seq.fill[Byte](32)(b.toByte)
+    val ops = Seq(Lcm.Op(9, 1L), Lcm.Op(9, 1L)) // void arms; atoms carry opIndex
+    val changes = Seq(
+      Lcm.WireChange(1, 2, 0, k(1), 10L, 0L,
+        offerId = 77L, prePriceN = 3, prePriceD = 8),
+      Lcm.WireChange(1, 2, 0, k(2), 10L, 0L,
+        offerId = 77L, prePriceN = 5, prePriceD = 9),
+      Lcm.WireChange(0, 2, 0, k(3), 10L, 0L, offerId = 77L))
+    val atoms = Seq(
+      Lcm.WireClaimAtom(0, isPool = false, k(4), 77L, "XLM", 100L, "USDC", 200L),
+      Lcm.WireClaimAtom(0, isPool = false, k(5), 88L, "XLM", 300L, "USDC", 400L),
+      Lcm.WireClaimAtom(1, isPool = true, k(6), 0L, "EURC", 50L, "XLM", 60L))
+    val tx = Lcm.Tx(10L, Lcm.TxSuccess, ops, changes = changes,
+      claimAtoms = atoms)
+    val d = java.nio.file.Files.createTempDirectory("lcm-trade-pre").toString
+    graft.sources.LcmWriter.writeFrames(d,
+      Seq(Lcm.Frame(9000L, 1700000000000L, Seq(tx))))
+    val rows = graft.operators.StellarTransforms.historyTradesFromLcm(
+        spark.read.format("graft-lcm").load(d))
+      .orderBy("operation_id", "order")
+      .select("offer_id", "price_n", "price_d", "trade_type")
+      .collect()
+    assert(rows.length == 3)
+    // offer 77: LAST pre-state change wins (5/9), not first (3/8), not the
+    // CREATED one (no pre)
+    assert(rows(0).getLong(0) == 77L &&
+      rows(0).getLong(1) == 5L && rows(0).getLong(2) == 9L)
+    // offer 88: no matching change → bought/sold fallback
+    assert(rows(1).getLong(0) == 88L &&
+      rows(1).getLong(1) == 400L && rows(1).getLong(2) == 300L)
+    // LP atom: bought/sold by definition
+    assert(rows(2).isNullAt(0) &&
+      rows(2).getLong(1) == 60L && rows(2).getLong(2) == 50L)
+  }
+
   test("change pre/post arms decode against the fixture laws") {
     // one ledger, every change row: the entry-type-discriminated arms must
     // surface exactly per the affine fixture laws — offer pre-state price
