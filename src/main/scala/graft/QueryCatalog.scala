@@ -2430,7 +2430,9 @@ object QueryCatalog {
              |        CAST(500000 * (t + 1) + seq % 43 + j AS BIGINT) AS sold,
              |        CAST(600000 * (t + 1) + seq % 47 + j AS BIGINT) AS bought,
              |        (seq + j) % 10 = 2 AND j % ((seq + t) % 3 + 1) = u
-             |          AND (seq + t + j) % 3 <> 0 AS pre_matched
+             |          AND (seq + t + j) % 3 <> 0 AS pre_matched,
+             |        (seq + j) % 10 = 5 AND j % ((seq + t) % 3 + 1) = u
+             |          AS lp_matched
              |      FROM a0)
              |SELECT (seq << 32) | ((t + 1) << 12) | (u + 1) AS operation_id,
              |  CAST(j AS INT) AS "order",
@@ -2464,7 +2466,10 @@ object QueryCatalog {
              |            ELSE bought END AS DOUBLE)
              |    / (CASE WHEN is_pool THEN sold
              |            WHEN pre_matched THEN t % 7 + 1 + j
-             |            ELSE sold END) AS price
+             |            ELSE sold END) AS price,
+             |  CASE WHEN is_pool AND lp_matched
+             |       THEN CAST(10 + (seq + t) % 90 AS INT)
+             |       END AS liquidity_pool_fee
              |FROM a ORDER BY operation_id, "order"""".stripMargin),
       (s, dir) =>
         StellarTransforms.historyTradesFromLcm(
@@ -2574,6 +2579,9 @@ object QueryCatalog {
              |       END AS post_shares,
              |  CASE WHEN (seq + j) % 10 = 5
              |       THEN CAST(10 + (seq + t) % 90 AS INT) END AS pool_fee,
+             |  CASE WHEN (seq + j) % 10 = 5
+             |       THEN sha256('se-' || seq || '-' || t || '-' || j)
+             |       END AS pool_id_hex,
              |  CASE WHEN (seq + t + j) % 3 = 0 AND (seq + 2 * t + j) % 2 = 0
              |       THEN sha256('chsp-' || seq || '-' || t || '-' || j)
              |       END AS sponsor_hex

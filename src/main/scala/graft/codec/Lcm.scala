@@ -153,6 +153,7 @@ import java.nio.charset.StandardCharsets
   *         hyper preReserveA ‖ preReserveB ‖ preShares
   *         ‖ hyper postReserveA ‖ postReserveB ‖ postShares
   *         ‖ int poolFeeBps        // pre-state fee
+  *         ‖ bool hasPoolId ‖ [opaque poolId[32]]  // LP-change match key
   *       bool hasSponsor ‖ [opaque sponsor[32]]  // Post.SponsoringID
   *     }
   *     uint32 nClaimAtoms          // per-op RESULT ClaimAtoms
@@ -565,7 +566,7 @@ object Lcm {
       offerId: Long = 0L, prePriceN: Int = 0, prePriceD: Int = 0,
       preReserveA: Long = 0L, preReserveB: Long = 0L, preShares: Long = 0L,
       postReserveA: Long = 0L, postReserveB: Long = 0L, postShares: Long = 0L,
-      poolFee: Int = 0,
+      poolFee: Int = 0, poolId: Option[Seq[Byte]] = None,
       sponsor: Option[Seq[Byte]] = None) {
     require(kind >= 0 && kind <= 2,
       "change kind is CREATED(0)/UPDATED(1)/REMOVED(2)")
@@ -586,6 +587,9 @@ object Lcm {
         poolFee == 0),
       "constant-product pre/post state rides LIQUIDITY_POOL changes only")
     require(poolFee >= 0, "pool fee bps is non-negative")
+    require(poolId.forall(_.size == 32), "pool id is opaque[32]")
+    require(entryType == 5 || poolId.isEmpty,
+      "a pool id rides LIQUIDITY_POOL changes only")
     require(sponsor.forall(_.size == 32), "sponsor is opaque[32]")
     require(sponsor.isEmpty || kind == 0,
       "a sponsor rides entry CREATION only (Post.SponsoringID)")
@@ -971,6 +975,8 @@ object Lcm {
           out.writeLong(c.postReserveA); out.writeLong(c.postReserveB)
           out.writeLong(c.postShares)
           out.writeInt(c.poolFee)
+          out.writeInt(if (c.poolId.isDefined) 1 else 0)
+          c.poolId.foreach(p => out.write(p.toArray))
         }
         out.writeInt(if (c.sponsor.isDefined) 1 else 0)
         c.sponsor.foreach(s => out.write(s.toArray))
@@ -1212,16 +1218,18 @@ object Lcm {
         val (offerId, ppn, ppd) =
           if (entryType == 2) (buf.getLong, buf.getInt, buf.getInt)
           else (0L, 0, 0)
-        val (preA, preB, preS, postA, postB, postS, fee) =
-          if (entryType == 5)
-            (buf.getLong, buf.getLong, buf.getLong,
+        val (preA, preB, preS, postA, postB, postS, fee, poolId) =
+          if (entryType == 5) {
+            val t = (buf.getLong, buf.getLong, buf.getLong,
               buf.getLong, buf.getLong, buf.getLong, buf.getInt)
-          else (0L, 0L, 0L, 0L, 0L, 0L, 0)
+            val pid = if (buf.getInt == 1) Some(readOpaque32(buf)) else None
+            (t._1, t._2, t._3, t._4, t._5, t._6, t._7, pid)
+          } else (0L, 0L, 0L, 0L, 0L, 0L, 0, None)
         val sponsor =
           if (buf.getInt == 1) Some(readOpaque32(buf)) else None
         WireChange(kind, entryType, opIndex, keyHash, lastModified, balance,
           offerId, ppn, ppd, preA, preB, preS, postA, postB, postS, fee,
-          sponsor)
+          poolId, sponsor)
       }
       val nAtoms = buf.getInt
       val atoms = (0 until nAtoms).map { _ =>

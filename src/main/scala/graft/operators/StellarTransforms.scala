@@ -420,9 +420,13 @@ object StellarTransforms {
     * scope the bought/sold ratio law applies (`trade.go:85-114`). LP
     * atoms are priced bought/sold by definition (`trade.go:265-266`).
     * `price_n`/`price_d` carry the exact integer components, `price` the
-    * IEEE quotient. Everything stays map-only: two stacked posexplodes +
-    * intra-row array algebra — the pre-state "join" never shuffles
-    * because the change vector rides the same tx row. */
+    * IEEE quotient. LP atoms additionally carry `liquidity_pool_fee` —
+    * the pre-state fee bps of the pool's own change, matched by pool id
+    * (`findPoolFee`, `trade.go:306-317`), null when the op's change
+    * vector has no change for that pool. Everything stays map-only: two
+    * stacked posexplodes + intra-row array algebra — the pre-state
+    * "joins" never shuffle because the change vector rides the same tx
+    * row. */
   def historyTradesFromLcm(lcm: DataFrame): DataFrame = {
     // the reverse scan: LAST change of this op with entry_type OFFER, a
     // pre state, and the atom's offer id (`findLatestOperationChange`)
@@ -430,6 +434,12 @@ object StellarTransforms {
       c("entry_type") === 2 && c("op_index") === col("op_pos") &&
         c("offer_id") === col("a.offer_id") && c("pre_price_d").isNotNull)
     val pre = element_at(matching, size(matching))
+    // findPoolFee: LAST LIQUIDITY_POOL change of this op for the atom's
+    // pool id → pre-state fee bps
+    val poolMatching = filter(col("changes"), c =>
+      c("entry_type") === 5 && c("op_index") === col("op_pos") &&
+        c("pool_id_hex") === col("a.seller_or_pool_hex"))
+    val poolPre = element_at(poolMatching, size(poolMatching))
     val priced = when(!col("a.is_pool") && size(matching) > 0, pre)
     val priceN = when(col("a.is_pool"), col("a.bought_amount"))
       .otherwise(coalesce(priced("pre_price_n").cast("long"),
@@ -473,7 +483,9 @@ object StellarTransforms {
         col("a.bought_amount").as("buying_amount"),
         priceN.as("price_n"),
         priceD.as("price_d"),
-        (priceN.cast("double") / priceD).as("price"))
+        (priceN.cast("double") / priceD).as("price"),
+        when(col("a.is_pool") && size(poolMatching) > 0,
+          poolPre("pool_fee")).as("liquidity_pool_fee"))
   }
 
   /** The 10-arm `LedgerEntryType` enum, XDR discriminant order
@@ -521,6 +533,7 @@ object StellarTransforms {
         col("c.post_reserve_b").as("post_reserve_b"),
         col("c.post_shares").as("post_shares"),
         col("c.pool_fee").as("pool_fee"),
+        col("c.pool_id_hex").as("pool_id_hex"),
         col("c.sponsor_hex").as("sponsor_hex"))
 
   /** Change-DERIVED operation details composed over the wire source — the

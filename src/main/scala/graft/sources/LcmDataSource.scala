@@ -69,6 +69,7 @@ object LcmDataSource {
     StructField("post_reserve_b", LongType, nullable = true),
     StructField("post_shares", LongType, nullable = true),
     StructField("pool_fee", IntegerType, nullable = true),
+    StructField("pool_id_hex", StringType, nullable = true),
     StructField("sponsor_hex", StringType, nullable = true)))
 
   /** One RESULT claim atom ([[graft.codec.Lcm.WireClaimAtom]]). */
@@ -539,6 +540,7 @@ private[sources] object LcmRows {
       if (isPool) Long.box(c.postReserveB) else null,
       if (isPool) Long.box(c.postShares) else null,
       if (isPool) Int.box(c.poolFee) else null,
+      c.poolId.map(hex).orNull,
       c.sponsor.map(hex).orNull))
   }
 
@@ -984,6 +986,10 @@ object LcmWriter {
             if (isPool) 1000000L + seq * 2 + t +
               (seq + t * 2 + j) % 201 - 100 else 0L,
           poolFee = if (isPool) (10 + (seq + t) % 90).toInt else 0,
+          // pool id shares the claim atoms' seller/pool law, so an LP atom
+          // finds its pool's pre-state change exactly when indices align
+          // (the findPoolFee match-by-LiquidityPoolId coverage)
+          poolId = if (isPool) Some(sha(s"se-$seq-$t-$j")) else None,
           sponsor = if (kind == 0 && (seq + 2 * t + j) % 2 == 0)
             Some(sha(s"chsp-$seq-$t-$j")) else None)
       }

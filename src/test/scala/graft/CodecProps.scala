@@ -283,10 +283,12 @@ object CodecProps extends Properties("codec") {
     postB <- if (et == 5) nonNeg else Gen.const(0L)
     postS <- if (et == 5) nonNeg else Gen.const(0L)
     fee <- if (et == 5) Gen.chooseNum(0, 10000) else Gen.const(0)
+    poolId <- if (et == 5) Gen.option(b32)
+              else Gen.const(None: Option[Seq[Byte]])
     sponsor <- if (k == 0) Gen.option(b32) else Gen.const(None)
   } yield Lcm.WireChange(k, et, oi, kh, lm, bal,
     offerId, if (ppd == 0) 0 else ppn, ppd,
-    preA, preB, preS, postA, postB, postS, fee, sponsor)
+    preA, preB, preS, postA, postB, postS, fee, poolId, sponsor)
 
   private def claimAtomGen(nOps: Int): Gen[Lcm.WireClaimAtom] = for {
     oi <- Gen.chooseNum(0, math.max(nOps - 1, 0))

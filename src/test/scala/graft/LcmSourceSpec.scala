@@ -38,7 +38,12 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         offerId = 77L, prePriceN = 3, prePriceD = 8),
       Lcm.WireChange(1, 2, 0, k(2), 10L, 0L,
         offerId = 77L, prePriceN = 5, prePriceD = 9),
-      Lcm.WireChange(0, 2, 0, k(3), 10L, 0L, offerId = 77L))
+      Lcm.WireChange(0, 2, 0, k(3), 10L, 0L, offerId = 77L),
+      // pool k(6)'s pre-state on op 1: the findPoolFee match target
+      Lcm.WireChange(1, 5, 1, k(7), 10L, 0L,
+        preReserveA = 100L, preReserveB = 200L, preShares = 10L,
+        postReserveA = 90L, postReserveB = 210L, postShares = 10L,
+        poolFee = 25, poolId = Some(k(6))))
     val atoms = Seq(
       Lcm.WireClaimAtom(0, isPool = false, k(4), 77L, "XLM", 100L, "USDC", 200L),
       Lcm.WireClaimAtom(0, isPool = false, k(5), 88L, "XLM", 300L, "USDC", 400L),
@@ -51,7 +56,8 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = graft.operators.StellarTransforms.historyTradesFromLcm(
         spark.read.format("graft-lcm").load(d))
       .orderBy("operation_id", "order")
-      .select("offer_id", "price_n", "price_d", "trade_type")
+      .select("offer_id", "price_n", "price_d", "trade_type",
+        "liquidity_pool_fee")
       .collect()
     assert(rows.length == 3)
     // offer 77: LAST pre-state change wins (5/9), not first (3/8), not the
@@ -61,9 +67,12 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // offer 88: no matching change → bought/sold fallback
     assert(rows(1).getLong(0) == 88L &&
       rows(1).getLong(1) == 400L && rows(1).getLong(2) == 300L)
-    // LP atom: bought/sold by definition
+    // LP atom: bought/sold by definition; fee from the pool's pre-state
+    // change matched by pool id (findPoolFee)
     assert(rows(2).isNullAt(0) &&
       rows(2).getLong(1) == 60L && rows(2).getLong(2) == 50L)
+    assert(rows(2).getInt(4) == 25)
+    assert(rows(0).isNullAt(4) && rows(1).isNullAt(4))
   }
 
   test("change pre/post arms decode against the fixture laws") {
