@@ -25,9 +25,12 @@ import graft.sources.StellarFixture
   * contract_code,config_setting,ttl; --batch-size N; --table-dir for the
   * state-entry types), get_ledger_range_from_times (--start-time/--end-time
   * ISO), version.
-  * The reference's upload_to_gcs is subsumed by --output taking any Hadoop
-  * filesystem URI (gs://… works wherever the connector is on the
-  * classpath).
+  * `upload_to_gcs --gcs-bucket <uri|bucket> --path <local>` is the
+  * reference's upload-verify-delete contract over the Hadoop FileSystem
+  * for the bucket URI, and every export honors the
+  * `--cloud-provider`/`--cloud-storage-bucket` MaybeUpload hook
+  * (gs://… works wherever the connector is on the classpath; --output
+  * also takes any Hadoop filesystem URI directly).
   *
   * The reference accumulates the whole range in RAM then loops row-by-row
   * (`input/transactions.go:31-70`); here every command is one lazy plan:
@@ -46,7 +49,9 @@ object Export {
       batchSize: Long = 64,
       tableDir: Option[String] = None,
       startTime: String = "", endTime: String = "",
-      strict: Boolean = false)
+      strict: Boolean = false,
+      bucket: String = "", path: String = "",
+      cloudProvider: String = "")
 
   def parse(argv: Array[String]): Args = {
     def loop(a: Args, rest: List[String]): Args = rest match {
@@ -63,6 +68,10 @@ object Export {
       case "--table-dir" :: v :: t => loop(a.copy(tableDir = Some(v)), t)
       case "--start-time" :: v :: t => loop(a.copy(startTime = v), t)
       case "--end-time" :: v :: t => loop(a.copy(endTime = v), t)
+      case ("--gcs-bucket" | "--bucket" | "--cloud-storage-bucket") :: v :: t =>
+        loop(a.copy(bucket = v), t)
+      case "--path" :: v :: t => loop(a.copy(path = v), t)
+      case "--cloud-provider" :: v :: t => loop(a.copy(cloudProvider = v), t)
       case "--strict-export" :: t => loop(a.copy(strict = true), t)
       case "--extra-fields" :: v :: t =>
         loop(a.copy(extraFields = v.split(',').filter(_.contains("="))
@@ -88,7 +97,7 @@ object Export {
   private def withExtras(df: DataFrame, extras: Map[String, String]): DataFrame =
     extras.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
 
-  /** K1/K2 sinks + K5 stats line. */
+  /** K1/K2 sinks + K5 stats line + the MaybeUpload hook. */
   private def sink(df0: DataFrame, a: Args): Unit = {
     val limited = if (a.limit >= 0) df0.limit(a.limit.toInt) else df0
     val df = withExtras(limited, a.extraFields)
@@ -102,6 +111,60 @@ object Export {
     }).load(a.output).count()
     // PrintTransformStats parity (`cmd/command_utils.go:90-103`)
     println(s"""{"attempted":$n,"failed":0,"successful":$n}""")
+    maybeUpload(df.sparkSession, a, a.output)
+  }
+
+  /** K3 — `MaybeUpload` (`cmd/command_utils.go:123-145`): no provider ⇒
+    * skip silently; a provider with no bucket ⇒ fatal; otherwise
+    * upload-verify-delete the output. */
+  private def maybeUpload(spark: SparkSession, a: Args, path: String): Unit =
+    if (a.cloudProvider.nonEmpty) {
+      require(a.bucket.nonEmpty, "No bucket specified")
+      uploadVerifyDelete(spark, a.cloudProvider, a.bucket, path)
+    }
+
+  /** K3 — the reference's upload contract (`cmd/upload_to_gcs.go:25-74`):
+    * copy the local file (or export directory) to `<bucket>/<path>` with
+    * the LOCAL PATH AS THE OBJECT KEY (the reference passes `path`
+    * verbatim to `Object(path)`), re-read the uploaded object's
+    * attributes to verify it exists and carries every byte, and only then
+    * delete the local copy (`deleteLocalFiles` = RemoveAll). The cloud
+    * client is the Hadoop `FileSystem` for the bucket URI — `gs://…`
+    * works wherever the GCS connector is on the classpath, `s3a://…`/
+    * `file:…` likewise, so the sandboxed spec drives the identical code
+    * path against `file:` and a production run just changes the URI.
+    * Returns the verified byte count. */
+  def uploadVerifyDelete(spark: SparkSession, provider: String,
+      bucket: String, path: String): Long = {
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    // "gcp" with a bare bucket name renders the reference's gs:// location
+    val bucketUri =
+      if (bucket.contains(":")) bucket
+      else if (provider == "gcp") s"gs://$bucket"
+      else bucket
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new HPath(new java.io.File(path).getAbsoluteFile.toURI)
+    val srcFs = src.getFileSystem(conf)
+    require(srcFs.exists(src), s"failed to open file $path")
+    val destRoot = new HPath(bucketUri)
+    val destFs = destRoot.getFileSystem(conf)
+    val dest = new HPath(destRoot,
+      path.stripPrefix("/").stripSuffix("/"))
+    val written = srcFs.getContentSummary(src).getLength
+    println(s"Uploading $path to $bucketUri/$path")
+    if (!FileUtil.copy(srcFs, src, destFs, dest,
+        /* deleteSource = */ false, /* overwrite = */ true, conf))
+      sys.error(s"unable to copy $path to $dest")
+    // the reference's possibly-redundant readback: the object must exist
+    // and be readable after the writer closes; byte-count equality is the
+    // strongest attribute both sides expose
+    val attrs = destFs.getContentSummary(dest)
+    require(attrs.getLength == written,
+      s"uploaded file does not exist or is short: " +
+        s"${attrs.getLength} of $written bytes at $dest")
+    println(s"Successfully uploaded $written bytes to $bucketUri/$path")
+    srcFs.delete(src, true) // deleteLocalFiles
+    written
   }
 
   private def ledgerSource(spark: SparkSession, a: Args) = {
@@ -304,6 +367,16 @@ object Export {
 
       case "version" =>
         println(s"graft 0.4.0 (spark ${spark.version})")
+
+      case "upload_to_gcs" =>
+        // standalone upload-verify-delete (`cmd/upload_to_gcs.go`):
+        // --gcs-bucket (any Hadoop FS URI or a bare gs bucket name) and
+        // --path <local file or directory>
+        require(a.path.nonEmpty, "upload_to_gcs requires --path")
+        require(a.bucket.nonEmpty, "No bucket specified")
+        uploadVerifyDelete(spark,
+          if (a.cloudProvider.nonEmpty) a.cloudProvider else "gcp",
+          a.bucket, a.path)
 
       case "export_ledger_entry_changes" =>
         exportEntryChanges(spark, a)

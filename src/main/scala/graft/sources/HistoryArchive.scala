@@ -73,6 +73,29 @@ object HistoryArchive {
       f.getAbsolutePath
     }
 
+  /** Open one checkpoint object. A LIVE archive is plain HTTP(S) — the
+    * reference's backend walks `https://history.stellar.org/.../{cat}/…`
+    * one GET per checkpoint (`internal/input/ledgers_history_archive.go:
+    * 10-35` via the SDK's historyarchive client) — so `http(s)://` roots
+    * stream through a direct URL connection (each Spark task fetches its
+    * own checkpoint: the 1000-executor cluster issues 1000 concurrent
+    * GETs); every other scheme (file:, hdfs:, s3a:, gs:) resolves through
+    * the Hadoop FileSystem for the shipped conf. */
+  private def openCheckpoint(path: String,
+      conf: org.apache.hadoop.conf.Configuration): java.io.InputStream =
+    if (path.startsWith("http://") || path.startsWith("https://")) {
+      val conn = java.net.URI.create(path).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(120000)
+      val code = conn.getResponseCode
+      require(code == 200, s"archive GET $path returned HTTP $code")
+      conn.getInputStream
+    } else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(conf).open(p)
+    }
+
   /** Read ledgers [start, end] from an archive root: the checkpoint file
     * list is pure path math (no listing round-trips), distributed one task
     * per checkpoint; each task streams its gzip, decodes frame headers, and
@@ -89,10 +112,9 @@ object HistoryArchive {
       .repartition(paths.size) // one checkpoint per task
       .mapPartitions { it =>
         it.flatMap { path =>
-          val p = new org.apache.hadoop.fs.Path(path)
-          val fs = p.getFileSystem(conf.value)
           val in = new java.io.DataInputStream(new java.util.zip.GZIPInputStream(
-            new java.io.BufferedInputStream(fs.open(p), 1 << 16)))
+            new java.io.BufferedInputStream(
+              openCheckpoint(path, conf.value), 1 << 16)))
           Iterator.continually {
             try {
               val len = in.readInt()

@@ -165,6 +165,51 @@ class CliExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("--wire-input supports"))
   }
 
+  test("upload_to_gcs: upload-verify-delete over the Hadoop FS abstraction") {
+    // the reference's K3 contract (upload_to_gcs.go:25-74): copy to the
+    // bucket with the LOCAL PATH as the object key, verify the uploaded
+    // object readback, delete the local copy only on success. file: here,
+    // gs:// in production — same code path.
+    val bucket = tmpDir("bucket")
+    val local = Files.createTempDirectory("graft-upload-src")
+    Files.writeString(local.resolve("batch.txt"), "line1\nline2\n")
+
+    val file = local.resolve("batch.txt").toString
+    Export.run(spark, Export.parse(Array(
+      "upload_to_gcs", "--gcs-bucket", s"file:$bucket", "--path", file)))
+    // object key = the local path, rooted under the bucket
+    val uploaded = Paths.get(bucket, file)
+    assert(Files.exists(uploaded), s"missing $uploaded")
+    assert(Files.readString(uploaded) == "line1\nline2\n")
+    assert(!Files.exists(Paths.get(file)), "local file must be deleted")
+
+    // a whole export directory uploads recursively (MaybeUpload on a sink)
+    val outDir = tmpDir("upload-export")
+    Export.run(spark, Export.parse(Array(
+      "export_ledgers", "--start", "100", "--end", "103",
+      "--table-dir", sfDir, "--output", outDir,
+      "--cloud-provider", "gcp", "--cloud-storage-bucket", s"file:$bucket")))
+    val destDir = Paths.get(bucket, outDir)
+    assert(Files.isDirectory(destDir))
+    assert(Files.list(destDir).iterator().asScala.nonEmpty)
+    assert(!Files.exists(Paths.get(outDir)), "local export must be deleted")
+
+    // no provider ⇒ the hook is silent and the output stays local
+    val outStay = tmpDir("upload-stays")
+    Export.run(spark, Export.parse(Array(
+      "export_ledgers", "--start", "100", "--end", "103",
+      "--table-dir", sfDir, "--output", outStay)))
+    assert(Files.exists(Paths.get(outStay)))
+
+    // provider without bucket ⇒ fatal (command_utils.go:129-131)
+    intercept[IllegalArgumentException] {
+      Export.run(spark, Export.parse(Array(
+        "export_ledgers", "--start", "100", "--end", "103",
+        "--table-dir", sfDir, "--output", tmpDir("upload-nobkt"),
+        "--cloud-provider", "gcp")))
+    }
+  }
+
   test("--end 0 runs the wire export UNBOUNDED and matches the bounded run") {
     // the reference's continuous mode (export_ledger_entry_changes.go:72-89,
     // endNum 0 ⇒ MaxInt32 + blocking change stream): here the MICRO_BATCH

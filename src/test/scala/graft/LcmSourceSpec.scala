@@ -158,6 +158,44 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.closed_at.getTime == 1700000000000L + 1013 * 5000L)
   }
 
+  test("history archive: live HTTP fetch — one GET per checkpoint task") {
+    // the reference's real backend is a plain HTTP(S) archive walked one
+    // checkpoint GET at a time (ledgers_history_archive.go:10-35); a
+    // loopback server standing in for history.stellar.org proves the
+    // http:// arm streams, prunes, and decodes identically to the
+    // filesystem arm
+    import graft.sources.HistoryArchive
+    val root = java.nio.file.Files.createTempDirectory("graft-archive-http").toString
+    HistoryArchive.writeFixture(root, 1000, 1100)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/archive", { exchange =>
+      val rel = exchange.getRequestURI.getPath.stripPrefix("/archive/")
+      val f = new java.io.File(root, rel)
+      if (f.isFile) {
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes)
+      } else exchange.sendResponseHeaders(404, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/archive"
+      val viaHttp = HistoryArchive.read(spark, url, 1010, 1050)
+        .collect().sortBy(_.sequence)
+      val viaFile = HistoryArchive.read(spark, root, 1010, 1050)
+        .collect().sortBy(_.sequence)
+      assert(viaHttp.length == 41 && viaHttp.toSeq == viaFile.toSeq)
+      // a missing checkpoint surfaces as a loud task failure, not empty
+      val err = intercept[org.apache.spark.SparkException] {
+        HistoryArchive.read(spark, url, 99000, 99001).collect()
+      }
+      assert(err.getMessage.contains("HTTP 404") ||
+        Option(err.getCause).exists(_.getMessage.contains("HTTP 404")))
+    } finally server.stop(0)
+  }
+
   test("history archive: reads through an explicit file:-scheme Hadoop URI") {
     import graft.sources.HistoryArchive
     val root = java.nio.file.Files.createTempDirectory("graft-archive-uri").toString
