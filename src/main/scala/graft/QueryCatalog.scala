@@ -1744,6 +1744,39 @@ object QueryCatalog {
       (s, dir) =>
         TextAnalysis.topTerms(T(s, dir, "documents"), "text", k = 40)),
 
+    Q("x_bm25_topk",
+      // BM25-shaped retrieval with integer-exact laws (linear scaled idf,
+      // rational length normalization cleared to one integer denominator,
+      // decimal-widened numerator, exact long score sum) — DuckDB replays
+      // the identical arithmetic in HUGEINT, so a single off-by-one in
+      // any scaled law hash-fails
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    len(list_filter(string_split_regex(lower(text), '\s+'),
+             |        x -> x <> '')) AS dl,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |        x -> x <> '') AS toks
+             |  FROM documents),
+             |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+             |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+             |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+             |       WHERE term IN ('join', 'hash', 'scan', 'vector')
+             |       GROUP BY 1, 2, 3),
+             |dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+             |parts AS (
+             |  SELECT tf.doc_id,
+             |    (CAST((n_docs * 100) // df_docs AS HUGEINT)
+             |       * tf * 22 * sum_dl) //
+             |    (10 * CAST(sum_dl AS HUGEINT) * tf + 3 * sum_dl
+             |       + 9 * dl * n_docs) AS part
+             |  FROM tf JOIN dfq USING (term), stats)
+             |SELECT doc_id, CAST(sum(part) AS BIGINT) AS score_scaled
+             |FROM parts GROUP BY doc_id
+             |ORDER BY score_scaled DESC, doc_id LIMIT 25""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
+          Seq("join", "hash", "scan", "vector"), k = 25)),
+
     Q("x_text_fingerprint",
       Some("""SELECT doc_id,
              |       substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),

@@ -131,6 +131,54 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("term"))
       .limit(k)
 
+  /** BM25-shaped relevance ranking with INTEGER-EXACT laws — the corpus
+    * retrieval primitive of a curation pipeline (rank documents against a
+    * query term set), with every float boundary removed so the result is
+    * bit-reproducible across engines:
+    *
+    *   - linear scaled inverse document frequency
+    *     `idf = (N · 100) div df` (the log-free idf family; exactness
+    *     beats textbook constants here — the SHAPE is what must scale),
+    *   - the BM25 saturation/length-normalization denominator with
+    *     k1 = 1.2, b = 0.75 cleared to one integer expression:
+    *     `D = 10·Σdl·tf + 3·Σdl + 9·dl·N` (= 10·Σdl · (tf + 0.3 +
+    *     0.9·dl/avgdl) with avgdl = Σdl/N kept rational),
+    *   - per-term part `(idf · tf · 22 · Σdl) div D` — numerator widened
+    *     to decimal(38,0) so the law survives corpus sizes where
+    *     idf·tf·Σdl overflows a long; the QUOTIENT is small and exact —
+    *   - summed per document as exact longs (order-independent, unlike a
+    *     float sum) and ranked (score desc, doc_id asc).
+    *
+    * Scale shape: tokens filtered to the query terms BEFORE the shuffle
+    * (literal IN — map-side), ONE partial-agg hash aggregate to (doc,
+    * term) tf, document frequencies from that same frame (≤ |terms| rows,
+    * broadcast back), corpus stats one broadcast row, and
+    * TakeOrderedAndProject for the top-k — never a global sort. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        transform(tokens(col(textCol)), w => lower(w)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_scaled", expr("(n_docs * 100) div df_docs"))
+      .withColumn("part", expr(
+        "(CAST(idf_scaled AS DECIMAL(38,0)) * tf * 22 * sum_dl) div " +
+          "(10 * CAST(sum_dl AS DECIMAL(38,0)) * tf + 3 * sum_dl " +
+          "+ 9 * dl * n_docs)"))
+      .groupBy("doc_id").agg(sum(col("part")).as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Distributed sequence packing: assign documents to fixed-token-budget
     * packs for training batches. Docs are sharded (id mod `shards` — each
     * shard packs independently, so parallelism = shards), deterministically

@@ -65,6 +65,12 @@ object ExplainAudit {
       // global sort of the full term table
       ("x_vocab_topk", Seq("partial_count", "TakeOrderedAndProject"),
         Seq("Sort ", "Window ")),
+      // BM25 retrieval: literal term filter before the one tf shuffle
+      // (partial agg), df + corpus stats broadcast back, top-k heaps —
+      // never a corpus-side shuffle join or global sort
+      ("x_bm25_topk",
+        Seq("partial_count", "TakeOrderedAndProject", "BroadcastExchange"),
+        Seq("SortMergeJoin", "ShuffledHashJoin")),
       // decontamination: the benchmark grams ride in as ONE broadcast row
       // (the corpus pass is map-only) — a corpus-side shuffle join is the
       // shape this operator exists to avoid

@@ -394,6 +394,25 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters.count() == 200)
   }
 
+  test("bm25TopK ranks by the integer-exact law; broadcast + top-k plan") {
+    import spark.implicits._
+    // hand-computed law: N=3, Σdl=6, idf(x)=idf(y)=(3·100) div 2=150;
+    // part = (idf·tf·22·Σdl) div (10·Σdl·tf + 3·Σdl + 9·dl·N)
+    //   doc1 "x x y": x → 39600 div 219 = 180, y → 19800 div 159 = 124
+    //   doc2 "y z":   y → 19800 div 132 = 150
+    //   doc3 "x":     x → 19800 div 105 = 188
+    val docs = Seq((1L, "x x y"), (2L, "y z"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("x", "y"), k = 3)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 304L), (3L, 188L), (2L, 150L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    assert(plan.contains("BroadcastExchange"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"), plan.take(600))
+  }
+
   test("LSH hot-bucket cap bounds the candidate set at O(n·cap) on a degenerate corpus") {
     import spark.implicits._
     // adversarial fixture: EVERY vector identical → without the cap, each of
