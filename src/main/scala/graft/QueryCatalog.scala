@@ -2560,6 +2560,61 @@ object QueryCatalog {
               .where(col("sequence").between(2304, 2499)))
           .orderBy("operation_id")),
 
+    Q("stellar_contract_events_from_lcm",
+      // P17 composed over the wire: Soroban contract events off the tx
+      // meta, topics/data as raw base64 XDR AND ScVal-decoded JSON —
+      // DuckDB re-derives the exact XDR bytes per (seq, t, e) like the
+      // fixture-path p17 oracle, plus the C-address rendering; NO
+      // success filter (failed calls keep their events, flagged)
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(2112, 2303)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t
+             |       FROM ls),
+             |ev AS (SELECT seq, t,
+             |         unnest(generate_series(0, (seq + t) // 2 % 2)) AS e,
+             |         ['transfer', 'mint', 'burn'] AS names
+             |       FROM tx WHERE (seq + t) % 2 = 0),
+             |x AS (SELECT seq, t, e,
+             |        names[CAST((seq + e) % 3 + 1 AS INT)] AS name,
+             |        CAST(100000 * (t + 1) + seq % 97 + e AS BIGINT) AS amt,
+             |        CAST(seq * 1000 + t * 10 + e AS BIGINT) AS to_id,
+             |        CAST(seq * 10 + t AS BIGINT) AS nonce,
+             |        (e % ((seq + t) % 3 + 1)) AS u
+             |      FROM ev)
+             |SELECT (seq << 32) | ((t + 1) << 12) | (u + 1) AS operation_id,
+             |  CAST(e AS INT) AS event_index,
+             |  seq AS ledger_sequence,
+             |  CAST((seq + t + e) % 3 AS INT) AS event_type,
+             |  ['system', 'contract', 'diagnostic']
+             |    [CAST((seq + t + e) % 3 + 1 AS INT)] AS event_type_string,
+             |  ${strkeySql("sha256('ev-ct-' || seq || '-' || t || '-' || e)",
+                  16)}
+             |    AS contract_id,
+             |  to_base64(from_hex(
+             |    '0000000f' || format('{:08x}', length(name))
+             |      || hex(encode(name))
+             |      || repeat('00', (4 - length(name) % 4) % 4)))
+             |    || '|' || to_base64(from_hex(
+             |    '00000005' || format('{:016x}', nonce)))
+             |    AS topics_joined,
+             |  '{"symbol":"' || name || '"}' || '|'
+             |    || '{"u64":"' || nonce || '"}' AS topics_decoded,
+             |  to_base64(from_hex(
+             |    '000000110000000100000002' ||
+             |    '0000000f00000006616d6f756e740000' ||
+             |    '0000000a0000000000000000' || format('{:016x}', amt) ||
+             |    '0000000f00000002746f0000' ||
+             |    '00000005' || format('{:016x}', to_id))) AS data,
+             |  '{"map":[{"key":{"symbol":"amount"},"val":{"i128":"' || amt ||
+             |    '"}},{"key":{"symbol":"to"},"val":{"u64":"' || to_id ||
+             |    '"}}]}' AS data_decoded,
+             |  t % 3 <> 0 AS in_successful_contract_call
+             |FROM x ORDER BY operation_id, event_index""".stripMargin),
+      (s, dir) =>
+        StellarTransforms.contractEventsFromLcm(
+            s.read.format("graft-lcm").load(lcmFixtureDir)
+              .where(col("sequence").between(2112, 2303)))
+          .orderBy("operation_id", "event_index")),
+
     Q("src_lcm_change_decode",
       // the change grain composed over the wire source: per-op
       // LedgerEntryChanges (TransactionMeta grain) exploded to one row per

@@ -163,6 +163,13 @@ import java.nio.charset.StandardCharsets
   *       string soldCode<12> ‖ hyper soldAmount
   *       string boughtCode<12> ‖ hyper boughtAmount
   *     }
+  *     uint32 nContractEvents      // SorobanTransactionMeta.events subset
+  *     nContractEvents × {         // (contract_events grain)
+  *       int opIndex ‖ int eventType   // SYSTEM(0)/CONTRACT(1)/DIAGNOSTIC(2)
+  *       opaque contractId[32]
+  *       uint32 nTopics ‖ nTopics × opaque<> topicScValXdr
+  *       opaque<> dataScValXdr
+  *     }
   * }}}
   *
   * Batch files (`{start}-{end}.lcmb`) are a stream of `uint32 len ‖ frame`
@@ -616,6 +623,23 @@ object Lcm {
       "claimed amounts are non-negative")
   }
 
+  /** One Soroban contract event attributed to an operation — the wire
+    * subset of `SorobanTransactionMeta.events` / `ContractEvent` the
+    * reference's P17 export reads (`internal/transform/contract_events.go:
+    * 20-104`): the emitting contract id, the 3-arm `ContractEventType`
+    * enum (SYSTEM(0)/CONTRACT(1)/DIAGNOSTIC(2)), the topic vector and the
+    * data payload — topics and data as raw ScVal XDR blobs, decoded
+    * downstream by the same [[graft.codec.ScVal]] codec the fixture-path
+    * P17 uses. */
+  case class WireContractEvent(opIndex: Int, contractId: Seq[Byte],
+      eventType: Int, topics: Seq[Seq[Byte]], data: Seq[Byte]) {
+    require(opIndex >= 0, "op index is non-negative")
+    require(contractId.size == 32, "contract id is opaque[32]")
+    require(eventType >= 0 && eventType <= 2,
+      "event type is SYSTEM(0)/CONTRACT(1)/DIAGNOSTIC(2)")
+    require(topics.size <= 4, "ContractEvent carries at most 4 topics")
+  }
+
   /** The all-zero ed25519 key — the default `Tx.sourceKey` for fixtures
     * and tests that predate the source-account column. */
   val ZeroKey: Seq[Byte] = Seq.fill[Byte](32)(0)
@@ -627,12 +651,15 @@ object Lcm {
       changes: Seq[WireChange] = Nil,
       claimAtoms: Seq[WireClaimAtom] = Nil,
       sourceKey: Seq[Byte] = ZeroKey,
-      sourceMuxedId: Option[Long] = None) {
+      sourceMuxedId: Option[Long] = None,
+      contractEvents: Seq[WireContractEvent] = Nil) {
     require(sourceKey.size == 32, "source key is opaque[32]")
     require(changes.forall(_.opIndex < ops.size),
       "every change must be attributed to an operation of this transaction")
     require(claimAtoms.forall(_.opIndex < ops.size),
       "every claim atom must be attributed to an operation of this transaction")
+    require(contractEvents.forall(_.opIndex < ops.size),
+      "every contract event must be attributed to an operation of this transaction")
     /** txSUCCESS and txFEE_BUMP_INNER_SUCCESS both count as applied. */
     def successful: Boolean = resultCode >= 0
   }
@@ -695,6 +722,22 @@ object Lcm {
   private def readOpaque32(buf: ByteBuffer): Seq[Byte] = {
     val b = new Array[Byte](32)
     buf.get(b)
+    b.toSeq
+  }
+
+  /** Variable-length `opaque<>` (RFC 4506 §4.10): length ‖ bytes ‖ pad. */
+  private def writeVarOpaque(out: java.io.DataOutputStream,
+      b: Seq[Byte]): Unit = {
+    out.writeInt(b.length)
+    out.write(b.toArray)
+    (0 until ((4 - b.length % 4) % 4)).foreach(_ => out.writeByte(0))
+  }
+
+  private def readVarOpaque(buf: ByteBuffer): Seq[Byte] = {
+    val len = buf.getInt
+    val b = new Array[Byte](len)
+    buf.get(b)
+    buf.position(buf.position() + ((4 - len % 4) % 4))
     b.toSeq
   }
 
@@ -992,6 +1035,15 @@ object Lcm {
         writeXdrString(out, ca.boughtCode)
         out.writeLong(ca.boughtAmount)
       }
+      out.writeInt(t.contractEvents.size)
+      t.contractEvents.foreach { ev =>
+        out.writeInt(ev.opIndex)
+        out.writeInt(ev.eventType)
+        out.write(ev.contractId.toArray)
+        out.writeInt(ev.topics.size)
+        ev.topics.foreach(writeVarOpaque(out, _))
+        writeVarOpaque(out, ev.data)
+      }
     }
     bos.toByteArray
   }
@@ -1237,8 +1289,16 @@ object Lcm {
           buf.getLong, readXdrString(buf), buf.getLong,
           readXdrString(buf), buf.getLong)
       }
+      val nEvents = buf.getInt
+      val events = (0 until nEvents).map { _ =>
+        val oi = buf.getInt
+        val et = buf.getInt
+        val cid = readOpaque32(buf)
+        val topics = (0 until buf.getInt).map(_ => readVarOpaque(buf))
+        WireContractEvent(oi, cid, et, topics, readVarOpaque(buf))
+      }
       Tx(fee, rc, ops, memo, cond, feeBump, soroban, changes, atoms,
-        sourceKey, sourceMuxedId)
+        sourceKey, sourceMuxedId, events)
     }
   }
 

@@ -536,6 +536,44 @@ object StellarTransforms {
         col("c.pool_id_hex").as("pool_id_hex"),
         col("c.sponsor_hex").as("sponsor_hex"))
 
+  private val contractEventTypeNameCol =
+    typedLit(Map(0 -> "system", 1 -> "contract", 2 -> "diagnostic"))
+
+  /** P17 composed over the wire source — Soroban contract events off the
+    * tx meta the wire carries (`internal/transform/contract_events.go:
+    * 20-104`): one row per event, the emitting contract as a C-address,
+    * topics and data both raw (base64 XDR) and decoded (ScVal→JSON via
+    * the codegen'd codec expressions), and the reference's
+    * `successful`-derived in_successful_contract_call flag (failed calls
+    * keep their diagnostic events, so NO success filter here — unlike
+    * the history exports). Map-only: two stacked posexplodes, decode
+    * in-plan, range consumed by the scan. Topics join to one `|` string
+    * for the gate (raw array cells break the driver's pandas hash); the
+    * typed arrays stay available on the source schema. */
+  def contractEventsFromLcm(lcm: DataFrame): DataFrame =
+    lcm.select(col("sequence"),
+        posexplode(col("transactions")).as(Seq("pos", "tx")))
+      .select(col("sequence"), col("pos"),
+        col("tx.successful").as("successful"),
+        posexplode(col("tx.contract_events")).as(Seq("ev_pos", "ev")))
+      .select(
+        operationToid(col("sequence"), col("pos") + 1, col("ev.op_index"))
+          .as("operation_id"),
+        col("ev_pos").cast("int").as("event_index"),
+        col("sequence").as("ledger_sequence"),
+        col("ev.event_type").as("event_type"),
+        element_at(contractEventTypeNameCol, col("ev.event_type"))
+          .as("event_type_string"),
+        GraftFunctions.strkeyContract(unhex(col("ev.contract_id_hex")))
+          .as("contract_id"),
+        array_join(transform(col("ev.topics_xdr"),
+          t => GraftFunctions.base64NoWrap(t)), "|").as("topics_joined"),
+        array_join(transform(col("ev.topics_xdr"),
+          t => GraftFunctions.scvalJson(t)), "|").as("topics_decoded"),
+        GraftFunctions.base64NoWrap(col("ev.data_xdr")).as("data"),
+        GraftFunctions.scvalJson(col("ev.data_xdr")).as("data_decoded"),
+        col("successful").as("in_successful_contract_call"))
+
   /** Change-DERIVED operation details composed over the wire source — the
     * two detail families the reference computes by scanning the op's own
     * change vector rather than the envelope:

@@ -72,6 +72,17 @@ object LcmDataSource {
     StructField("pool_id_hex", StringType, nullable = true),
     StructField("sponsor_hex", StringType, nullable = true)))
 
+  /** One Soroban contract event ([[graft.codec.Lcm.WireContractEvent]]):
+    * topics/data surface as raw ScVal XDR binaries for the downstream
+    * codec expressions (`scval_json`, base64) to decode in-plan. */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("op_index", IntegerType, nullable = false),
+    StructField("event_type", IntegerType, nullable = false),
+    StructField("contract_id_hex", StringType, nullable = false),
+    StructField("topics_xdr", ArrayType(BinaryType, containsNull = false),
+      nullable = false),
+    StructField("data_xdr", BinaryType, nullable = false)))
+
   /** One RESULT claim atom ([[graft.codec.Lcm.WireClaimAtom]]). */
   val ClaimAtomSchema: StructType = StructType(Seq(
     StructField("op_index", IntegerType, nullable = false),
@@ -220,7 +231,10 @@ object LcmDataSource {
     // the FULL operation array — empty for a zero-op transaction (the
     // wire format permits nOps=0)
     StructField("operations", ArrayType(OpSchema, containsNull = false),
-      nullable = false)))
+      nullable = false),
+    // SorobanTransactionMeta.events subset (contract_events grain)
+    StructField("contract_events",
+      ArrayType(EventSchema, containsNull = false), nullable = false)))
 
   val Schema: StructType = StructType(Seq(
     StructField("sequence", LongType, nullable = false),
@@ -521,6 +535,12 @@ private[sources] object LcmRows {
       ca.offerId, utf8(ca.soldCode), ca.soldAmount,
       utf8(ca.boughtCode), ca.boughtAmount))
 
+  def eventRow(ev: WireContractEvent): InternalRow =
+    new GenericInternalRow(Array[Any](
+      ev.opIndex, ev.eventType, hex(ev.contractId),
+      new GenericArrayData(ev.topics.map(_.toArray).toArray[Any]),
+      ev.data.toArray))
+
   def changeRow(c: WireChange): InternalRow = {
     val isOffer = c.entryType == 2
     val isPool = c.entryType == 5
@@ -743,7 +763,8 @@ private[sources] object LcmRows {
       new GenericArrayData(t.changes.map(changeRow).toArray[Any]),
       new GenericArrayData(t.ops.zipWithIndex.map { case (op, u) =>
         opRow(op, t.claimAtoms.filter(_.opIndex == u))
-      }.toArray[Any])))
+      }.toArray[Any]),
+      new GenericArrayData(t.contractEvents.map(eventRow).toArray[Any])))
   }
 }
 
@@ -1011,12 +1032,36 @@ object LcmWriter {
             boughtAmount = 600000L * (t + 1) + seq % 47 + j)
         }
       }
+      // contract events ride soroban txs only ((seq+t) even, the soroban
+      // meta law): 1-2 events, ScVal topics (symbol name + u64 nonce) and
+      // an {amount:i128, to:u64} data map — every byte affine in
+      // (seq, t, e) so the DuckDB oracle re-derives the exact XDR
+      val eventNames = Seq("transfer", "mint", "burn")
+      val contractEvents =
+        if ((seq + t) % 2 != 0) Nil
+        else (0 until (1 + ((seq + t) / 2 % 2)).toInt).map { e =>
+          Lcm.WireContractEvent(
+            opIndex = (e % nOps),
+            contractId = sha(s"ev-ct-$seq-$t-$e"),
+            eventType = ((seq + t + e) % 3).toInt,
+            topics = Seq(
+              graft.codec.ScVal.encode(graft.codec.ScVal.Sym(
+                eventNames(((seq + e) % 3).toInt))).toSeq,
+              graft.codec.ScVal.encode(graft.codec.ScVal.U64(
+                seq * 10 + t)).toSeq),
+            data = graft.codec.ScVal.encode(graft.codec.ScVal.M(Seq(
+              graft.codec.ScVal.Sym("amount") ->
+                graft.codec.ScVal.I128(0L, 100000L * (t + 1) + seq % 97 + e),
+              graft.codec.ScVal.Sym("to") ->
+                graft.codec.ScVal.U64(seq * 1000 + t * 10 + e)))).toSeq)
+        }
       Lcm.Tx(100L * (t + 1), rc, ops,
         memo, cond, feeBump, soroban, changes, claimAtoms,
         // sourceAccount laws: key hashes (seq, t); every third tx in a
         // ledger uses the muxed arm with an affine sub-account id
         sourceKey = sha(s"src-$seq-$t"),
-        sourceMuxedId = if (t % 3 == 1) Some(seq * 1000 + t) else None)
+        sourceMuxedId = if (t % 3 == 1) Some(seq * 1000 + t) else None,
+        contractEvents = contractEvents)
     }
   }
 

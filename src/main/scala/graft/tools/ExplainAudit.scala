@@ -126,6 +126,13 @@ object ExplainAudit {
         Seq("Generate posexplode", "BatchScan graft-lcm"),
         Seq(">= 2100", "<= 2299",
           "Exchange hashpartitioning", "SortMergeJoin")),
+      // contract events over the wire: ScVal decode runs in-plan through
+      // the codegen'd codec expressions — map-only, range consumed by
+      // the scan
+      ("stellar_contract_events_from_lcm",
+        Seq("Generate posexplode", "BatchScan graft-lcm"),
+        Seq(">= 2112", "<= 2303",
+          "Exchange hashpartitioning", "SortMergeJoin")),
       // change-derived op details over the wire (LP deltas + sponsor):
       // both first-change scans are intra-row array ops — map-only,
       // range consumed by the scan

@@ -290,6 +290,17 @@ object CodecProps extends Properties("codec") {
     offerId, if (ppd == 0) 0 else ppn, ppd,
     preA, preB, preS, postA, postB, postS, fee, poolId, sponsor)
 
+  private def eventGen(nOps: Int): Gen[Lcm.WireContractEvent] = for {
+    oi <- Gen.chooseNum(0, math.max(nOps - 1, 0))
+    et <- Gen.chooseNum(0, 2)
+    cid <- b32
+    nt <- Gen.chooseNum(0, 4)
+    topics <- Gen.listOfN(nt, Gen.chooseNum(0, 24).flatMap(n =>
+      Gen.containerOfN[Seq, Byte](n, byteGen)))
+    data <- Gen.chooseNum(0, 48).flatMap(n =>
+      Gen.containerOfN[Seq, Byte](n, byteGen))
+  } yield Lcm.WireContractEvent(oi, cid, et, topics, data)
+
   private def claimAtomGen(nOps: Int): Gen[Lcm.WireClaimAtom] = for {
     oi <- Gen.chooseNum(0, math.max(nOps - 1, 0))
     pool <- Gen.oneOf(true, false)
@@ -315,7 +326,9 @@ object CodecProps extends Properties("codec") {
     cas <- Gen.listOfN(nCa, claimAtomGen(n))
     src <- b32
     mux <- Gen.option(Gen.chooseNum(0L, Long.MaxValue))
-  } yield Lcm.Tx(fee, rc, ops, memo, cond, fb, sm, chs, cas, src, mux)
+    nEv <- if (n == 0) Gen.const(0) else Gen.chooseNum(0, 2)
+    evs <- Gen.listOfN(nEv, eventGen(n))
+  } yield Lcm.Tx(fee, rc, ops, memo, cond, fb, sm, chs, cas, src, mux, evs)
 
   private val headerGen: Gen[Lcm.HeaderInfo] = for {
     pv <- Gen.chooseNum(0, Int.MaxValue)

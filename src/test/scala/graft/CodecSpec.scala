@@ -309,19 +309,19 @@ class CodecSpec extends AnyFunSuite {
     // envType(TX=2) ‖ muxTag(0) ‖ sourceKey[32] (zero default) ‖
     // memo tag ‖ cond tag ‖ resultCode (signed) ‖ hyper fee ‖
     // soroban-ext bool(0) ‖ nOps ‖ per op: hasSource(0) ‖ opType ‖
-    // hyper amount ‖ nChanges(0) ‖ nClaimAtoms(0)
+    // hyper amount ‖ nChanges(0) ‖ nClaimAtoms(0) ‖ nContractEvents(0)
     val zsrc = "00000000" + "00" * 32
     assert(hexStr(bytes) ==
       "00000002" + "00000800" + "0000018bcfe56800" + "00000002" +
         "00000002" + zsrc + "00000000" + "00000000" +
         "00000000" + "0000000000000064" + "00000000" + "00000001" +
         "00000000" + "00000009" + "00000000000f4240" +
-        "00000000" + "00000000" +
+        "00000000" + "00000000" + "00000000" +
         "00000002" + zsrc + "00000000" + "00000000" +
         "ffffffff" + "00000000000000c8" + "00000000" + "00000002" +
         "00000000" + "00000011" + "0000000000000007" +
         "00000000" + "0000001a" + "000000000000002a" +
-        "00000000" + "00000000")
+        "00000000" + "00000000" + "00000000")
     assert(decode(bytes) == f)
 
     // Operation.body typed arms: CREATE_ACCOUNT carries the destination,
@@ -548,6 +548,23 @@ class CodecSpec extends AnyFunSuite {
       WireChange(1, 0, 0, fill(1), 1L, 0L, sponsor = Some(fill(2))))
     intercept[IllegalArgumentException](               // sponsor width
       WireChange(0, 0, 0, fill(1), 1L, 0L, sponsor = Some(fill(2).take(4))))
+
+    // Soroban contract events: ScVal topic/data blobs round-trip through
+    // the var-opaque framing, zero-topic and multi-op arms included
+    val evTx = Tx(13L, TxSuccess, Seq(Op(9, 1L), Op(9, 2L)),
+      contractEvents = Seq(
+        WireContractEvent(0, fill(0x41), 1,
+          Seq(graft.codec.ScVal.encode(graft.codec.ScVal.Sym("transfer")).toSeq,
+            graft.codec.ScVal.encode(graft.codec.ScVal.U64(7L)).toSeq),
+          graft.codec.ScVal.encode(graft.codec.ScVal.U32(5)).toSeq),
+        WireContractEvent(1, fill(0x42), 2, Nil,
+          graft.codec.ScVal.encode(graft.codec.ScVal.B(true)).toSeq)))
+    assert(decode(encode(Frame(43L, 4L, Seq(evTx)))).txs.head == evTx)
+    intercept[IllegalArgumentException](               // bad event type
+      WireContractEvent(0, fill(1), 3, Nil, Seq(0, 0, 0, 0)))
+    intercept[IllegalArgumentException](               // unattributable
+      Tx(1L, TxSuccess, Seq(Op(9, 1L)), contractEvents = Seq(
+        WireContractEvent(1, fill(1), 0, Nil, Nil))))
 
     // RESULT claim atoms (history_trades grain): orderbook arm carries the
     // crossed offer, LP arm the pool id with offerId 0
