@@ -261,9 +261,20 @@ object Export {
           sink(StellarTransforms.historyAssetsFromLcm(lcm), a)
         case "export_ledger_entry_changes" =>
           sink(StellarTransforms.ledgerChangesFromLcm(lcm), a)
+        case "export_trades" =>
+          sink(StellarTransforms.historyTradesFromLcm(lcm), a)
+        case "export_effects" =>
+          sink(StellarTransforms.historyEffectsFromLcm(lcm), a)
+        case "export_contract_events" =>
+          sink(StellarTransforms.contractEventsFromLcm(lcm), a)
+        case "export_op_changes" =>
+          sink(StellarTransforms.opChangeDetailsFromLcm(lcm), a)
+        case "export_token_transfers" =>
+          sink(StellarTransforms.tokenTransfersFromLcm(lcm), a)
         case other => sys.error(
           s"--wire-input supports export_ledgers/transactions/operations/" +
-            s"assets/ledger_entry_changes, not $other")
+            s"assets/ledger_entry_changes/trades/effects/contract_events/" +
+            s"op_changes/token_transfers, not $other")
       }
       return
     }

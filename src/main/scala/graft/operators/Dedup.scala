@@ -31,6 +31,23 @@ object Dedup {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** STREAMING exact dedup: first-seen-wins on the content hash ACROSS
+    * micro-batches — the ingestion-time dedup gate of a continuously
+    * crawled corpus. `dropDuplicates` on a streaming frame keeps the seen
+    * hash set in the state store (checkpointed, recoverable), so a
+    * document that arrived in batch 3 is still suppressed in batch 3000.
+    * State is keyed by the 256-bit content hash ONLY — constant bytes per
+    * distinct document, partitioned by the state store's hash
+    * partitioning, no watermark needed (content dedup has no event-time
+    * horizon; callers that want a bounded seen-window can watermark the
+    * input and use `dropDuplicatesWithinWatermark` instead). Unlike
+    * [[exact]] (batch: groupBy + min_by winner + duplicate_count) the
+    * streaming law is FIRST-ARRIVAL-wins — the only deterministic choice
+    * when later duplicates haven't arrived yet. */
+  def streamingExact(stream: DataFrame, textCol: String): DataFrame =
+    stream.withColumn("content_hash", sha2(col(textCol), 256))
+      .dropDuplicates("content_hash")
+
   /** Word-level shingles of size n as an array column (per-row, no shuffle).
     *
     * Fused native expression ([[graft.plans.NgramShinglesExpression]]):

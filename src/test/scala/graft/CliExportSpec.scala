@@ -156,10 +156,24 @@ class CliExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = ch.agg(fmin("ledger_sequence"), fmax("ledger_sequence")).head()
     assert(r.getLong(0) >= 5010L && r.getLong(1) <= 5030L)
 
+    // trades run off the wire too (pre-state pricing path)
+    val outTr = tmpDir("wire-trades")
+    Export.run(spark, Export.parse(Array(
+      "export_trades", "--start", "5010", "--end", "5030",
+      "--wire-input", wire, "--output", outTr, "--format", "parquet")))
+    assert(spark.read.parquet(outTr).count() > 0)
+
+    // contract events run off the wire (Soroban meta event vector)
+    val outEv = tmpDir("wire-events")
+    Export.run(spark, Export.parse(Array(
+      "export_contract_events", "--start", "5010", "--end", "5030",
+      "--wire-input", wire, "--output", outEv, "--format", "parquet")))
+    assert(spark.read.parquet(outEv).count() > 0)
+
     // unsupported command under --wire-input fails loudly
     val err = intercept[RuntimeException] {
       Export.run(spark, Export.parse(Array(
-        "export_trades", "--start", "5010", "--end", "5030",
+        "export_ledger_transaction", "--start", "5010", "--end", "5030",
         "--wire-input", wire, "--output", tmpDir("wire-bad"))))
     }
     assert(err.getMessage.contains("--wire-input supports"))

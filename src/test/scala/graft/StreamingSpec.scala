@@ -68,6 +68,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == 4)
   }
 
+  test("streaming exact dedup suppresses duplicates ACROSS micro-batches") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-dedup-landing").toString
+    val out = Files.createTempDirectory("graft-dedup-out").toString
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+
+    // batch 1: two distinct docs + an intra-batch duplicate
+    Seq((1L, "the quick fox"), (2L, "lazy dog"), (3L, "the quick fox"))
+      .toDF("doc_id", "text").write.mode("append").parquet(landing)
+    val schemaSource = spark.read.parquet(landing)
+
+    def run(): Unit = {
+      val q = graft.operators.Dedup.streamingExact(
+          spark.readStream.schema(schemaSource.schema).parquet(landing),
+          "text")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    // batch 2: a cross-batch duplicate of doc 1 plus one new doc — the
+    // state store must remember batch 1's hashes across a query RESTART
+    Seq((4L, "the quick fox"), (5L, "brand new doc"))
+      .toDF("doc_id", "text").write.mode("append").parquet(landing)
+    run()
+
+    val rows = spark.read.parquet(out)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // exactly one row per distinct content, first arrival wins: doc 3's
+    // intra-batch dup and doc 4's cross-batch dup are both suppressed
+    assert(rows.map(_._2).sorted.toSeq ==
+      Seq("brand new doc", "lazy dog", "the quick fox"))
+    assert(!rows.map(_._1).toSet.contains(4L))
+  }
+
   test("sessionize runs incrementally: closed sessions emit, open state held back") {
     import spark.implicits._
     val landing = Files.createTempDirectory("graft-sess-landing").toString
