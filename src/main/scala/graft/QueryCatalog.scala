@@ -2484,6 +2484,11 @@ object QueryCatalog {
              |    AS selling_liquidity_pool_id_strkey,
              |  CASE WHEN NOT is_pool
              |       THEN seq * 100 + t * 10 + j END AS offer_id,
+             |  (((seq << 32) | ((t + 1) << 12) | (u + 1)) + 1)
+             |    | (CAST(1 AS BIGINT) << 62) AS buying_offer_id,
+             |  CASE WHEN CAST((seq + t + u) % 27 AS INT) IN (2, 13)
+             |       THEN CAST((seq + t + u) % 27 AS INT) = 2
+             |       END AS seller_is_exact,
              |  codes[CAST((seq + j) % 3 + 1 AS INT)] AS selling_asset_code,
              |  sold AS selling_amount,
              |  codes[CAST((seq + j + 1) % 3 + 1 AS INT)] AS buying_asset_code,

@@ -15,7 +15,9 @@ import graft.sources.StellarFixture
   *     [--input <parquet dir of decoded LedgerRow>]  (default: fixture)
   *     [--wire-input <dir of .lcmb wire batch files>]  (runs the command
   *       off the graft-lcm DSv2 source — ledgers, transactions,
-  *       operations, assets and ledger_entry_changes)
+  *       operations, assets, ledger_entry_changes, trades, effects,
+  *       contract_events, op_changes, token_transfers; `--end 0` runs
+  *       the wire export UNBOUNDED off the MICRO_BATCH arm)
   *
   * Commands: export_ledgers, export_transactions, export_operations,
   * export_effects, export_trades, export_assets, export_token_transfers,
