@@ -1034,6 +1034,22 @@ object QueryCatalog {
           .orderBy("vec_id")
       }),
 
+    Q("x_sample_capped",
+      // per-source document cap: the k lowest sha-prefix sampling keys
+      // win per source — DuckDB replays the identical window law, so the
+      // kept row SET matches bit-for-bit
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8),
+             |                    doc_id) AS rn
+             |  FROM documents) WHERE rn <= 15
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Sampling.capPerKey(T(s, dir, "documents"), "doc_id", "source", k = 15)
+          .select("doc_id", "source")
+          .orderBy("doc_id")),
+
     Q("x_sample_stratified",
       // hash-threshold mixing: DuckDB replays the identical sha256-prefix
       // predicate, so the kept row set matches bit-for-bit

@@ -50,6 +50,30 @@ object Sampling {
   def uniform(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.where(hashKey(col(idCol)) < lit(thresholdHex(rate)))
 
+  /** Per-key document CAP — the over-represented-domain guard of corpus
+    * curation: keep at most `k` rows per key (domain, source, dump),
+    * deterministically chosen as the k LOWEST sampling keys (ties → lowest
+    * id), so the kept set is reproducible across runs and engines — a
+    * random-looking but stable "sample" of each oversized group, not its
+    * head.
+    *
+    * Scale shape: ONE shuffle on the key; the rank filter plans as
+    * WindowGroupLimit (Spark's rank-limit pushdown), which keeps ≤ k rows
+    * per group IN EACH MAP PARTITION before the exchange and again after —
+    * so a mega-domain with 10⁹ rows moves ≈ k·partitions rows, never its
+    * full volume, and no unbounded per-group buffer exists anywhere (the
+    * `collect_list`-and-slice formulation would OOM exactly there). */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "cap must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashKey(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Inverse-frequency mixture (the temperature-0 flattening of dataset
     * mixing): keep rate_s = min_count / count_s, so every stratum
     * contributes the SAME expected number of rows — the smallest stratum

@@ -65,6 +65,10 @@ object ExplainAudit {
       // global sort of the full term table
       ("x_vocab_topk", Seq("partial_count", "TakeOrderedAndProject"),
         Seq("Sort ", "Window ")),
+      // per-key cap: the rank filter must plan as WindowGroupLimit (rank
+      // pushdown keeps <= k rows per group on BOTH sides of the single
+      // key exchange — the property that bounds a mega-domain's traffic)
+      ("x_sample_capped", Seq("WindowGroupLimit", "Window "), Seq()),
       // BM25 retrieval: literal term filter before the one tf shuffle
       // (partial agg), df + corpus stats broadcast back, top-k heaps —
       // never a corpus-side shuffle join or global sort

@@ -394,6 +394,30 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters.count() == 200)
   }
 
+  test("capPerKey keeps the k lowest sampling keys per key; WindowGroupLimit plan") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"grp${i % 4}"))
+      .toDF("doc_id", "source")
+    val out = Sampling.capPerKey(docs, "doc_id", "source", k = 5)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 20)
+    // per group: exactly the 5 ids with the lowest sha-prefix keys — the
+    // deterministic law, independently recomputed here
+    val byGroup = (0L until 100L).groupBy(i => s"grp${i % 4}")
+    def key(i: Long): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    byGroup.foreach { case (g, ids) =>
+      val expect = ids.sortBy(i => (key(i), i)).take(5).toSet
+      assert(rows.filter(_._2 == g).map(_._1).toSet == expect, g)
+    }
+    // the rank filter must push down as WindowGroupLimit so no group is
+    // ever fully buffered or fully shuffled
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+  }
+
   test("bm25TopK ranks by the integer-exact law; broadcast + top-k plan") {
     import spark.implicits._
     // hand-computed law: N=3, Σdl=6, idf(x)=idf(y)=(3·100) div 2=150;
