@@ -1748,6 +1748,65 @@ object QueryCatalog {
           .orderBy("doc_id")
       }),
 
+    Q("x_curation_retrieval",
+      // the round-11 curation ops COMPOSED: per-source document cap
+      // (WindowGroupLimit) -> exact dedup survivors -> integer-exact BM25
+      // ranking -> top-50 with provenance joined back. Every stage's law
+      // is exact, so DuckDB replays the whole chain as one CTE pipeline
+      Some("""WITH cap AS (
+             |  SELECT doc_id, text, source FROM (
+             |    SELECT doc_id, text, source,
+             |           row_number() OVER (PARTITION BY source
+             |             ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8),
+             |                      doc_id) AS rn
+             |    FROM documents) WHERE rn <= 15),
+             |dd AS (SELECT sha256(text) AS h, min(doc_id) AS doc_id
+             |       FROM cap GROUP BY 1),
+             |e AS (SELECT cap.doc_id, cap.text, cap.source
+             |      FROM cap JOIN dd ON cap.doc_id = dd.doc_id),
+             |d AS (SELECT doc_id, source,
+             |        len(list_filter(string_split_regex(lower(text), '\s+'),
+             |            x -> x <> '')) AS dl,
+             |        list_filter(string_split_regex(lower(text), '\s+'),
+             |            x -> x <> '') AS toks
+             |      FROM e),
+             |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+             |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+             |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+             |       WHERE term IN ('join', 'hash', 'scan', 'vector')
+             |       GROUP BY 1, 2, 3),
+             |dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+             |parts AS (
+             |  SELECT tf.doc_id,
+             |    (CAST((n_docs * 100) // df_docs AS HUGEINT)
+             |       * tf * 22 * sum_dl) //
+             |    (10 * CAST(sum_dl AS HUGEINT) * tf + 3 * sum_dl
+             |       + 9 * dl * n_docs) AS part
+             |  FROM tf JOIN dfq USING (term), stats),
+             |ranked AS (SELECT doc_id, CAST(sum(part) AS BIGINT)
+             |             AS score_scaled
+             |           FROM parts GROUP BY doc_id
+             |           ORDER BY score_scaled DESC, doc_id LIMIT 50)
+             |SELECT r.doc_id, d.source, r.score_scaled
+             |FROM ranked r JOIN d ON r.doc_id = d.doc_id
+             |ORDER BY r.score_scaled DESC, r.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+          .select("doc_id", "text", "source")
+        val capped = Sampling.capPerKey(docs, "doc_id", "source", k = 15)
+        val surv = capped.join(
+          Dedup.exact(capped.select("doc_id", "text"), "text", "doc_id")
+            .select("doc_id"), "doc_id")
+        val ranked = TextAnalysis.bm25TopK(surv, "doc_id", "text",
+          Seq("join", "hash", "scan", "vector"), k = 50)
+        // 50-row ranked side broadcast back onto the survivor frame for
+        // provenance — AQE picks the broadcast; no big-side shuffle
+        surv.select(col("doc_id"), col("source"))
+          .join(broadcast(ranked), "doc_id")
+          .select("doc_id", "source", "score_scaled")
+          .orderBy(col("score_scaled").desc, col("doc_id"))
+      }),
+
     Q("x_vocab_topk",
       // vocabulary build: per-document distinct terms -> document
       // frequency -> deterministic top-k (df desc, term asc)
