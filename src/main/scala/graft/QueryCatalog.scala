@@ -2559,8 +2559,12 @@ object QueryCatalog {
              |    AS selling_liquidity_pool_id_strkey,
              |  CASE WHEN NOT is_pool
              |       THEN seq * 100 + t * 10 + j END AS offer_id,
-             |  (((seq << 32) | ((t + 1) << 12) | (u + 1)) + 1)
-             |    | (CAST(1 AS BIGINT) << 62) AS buying_offer_id,
+             |  CASE WHEN CAST((seq + t + u) % 27 AS INT) IN (3, 12)
+             |            AND (seq + t) % 2 = 0
+             |       THEN seq * 500 + t * 20 + (seq + t + u) % 27
+             |       ELSE (((seq << 32) | ((t + 1) << 12) | (u + 1)) + 1)
+             |            | (CAST(1 AS BIGINT) << 62)
+             |       END AS buying_offer_id,
              |  CASE WHEN CAST((seq + t + u) % 27 AS INT) IN (2, 13)
              |       THEN CAST((seq + t + u) % 27 AS INT) = 2
              |       END AS seller_is_exact,
@@ -3033,7 +3037,10 @@ object QueryCatalog {
              |       END AS op_contract_id_hex,
              |  CASE WHEN op_type = 25
              |       THEN CAST(100000 + (seq * 3 + t) % 50000 AS BIGINT)
-             |       END AS op_extend_to
+             |       END AS op_extend_to,
+             |  CASE WHEN op_type IN (3, 4, 12) AND (seq + t) % 2 = 0
+             |       THEN CAST(seq * 500 + t * 20 + op_type AS BIGINT)
+             |       END AS op_result_offer_id
              |FROM o ORDER BY sequence, tx_order, op_order""".stripMargin),
       (s, dir) =>
         s.read.format("graft-lcm").load(lcmFixtureDir)
@@ -3061,7 +3068,8 @@ object QueryCatalog {
               "op_min_amount_a", "op_min_amount_b",
               "op_min_price_n", "op_min_price_d",
               "op_max_price_n", "op_max_price_d",
-              "op_host_fn_type", "op_contract_id_hex", "op_extend_to")
+              "op_host_fn_type", "op_contract_id_hex", "op_extend_to",
+              "op_result_offer_id")
               .map(f => col(s"op.$f").as(f)) ++
             // claimants is LIST-typed → compare via the JSON rendering
             // (the p15 / src_lcm_tx_decode pattern)

@@ -84,6 +84,7 @@ import java.nio.charset.StandardCharsets
   *       [opType == 3]:  // MANAGE_SELL_OFFER (amount above is amount)
   *         hyper offerId ‖ string selling<12> ‖ string buying<12>
   *         ‖ int priceN ‖ int priceD
+  *         ‖ bool hasResultOfferId ‖ [hyper resultOfferId]  // result-carried
   *       [opType == 12]: // MANAGE_BUY_OFFER (amount above is buyAmount)
   *         same layout as 3
   *       [opType == 13]: // PATH_PAYMENT_STRICT_SEND (amount above is
@@ -92,6 +93,7 @@ import java.nio.charset.StandardCharsets
   *         ‖ hyper destMin ‖ hyper resultDestAmount  // result-carried
   *       [opType == 4]:  // CREATE_PASSIVE_SELL_OFFER: offer layout, no id
   *         string selling<12> ‖ string buying<12> ‖ int priceN ‖ int priceD
+  *         ‖ bool hasResultOfferId ‖ [hyper resultOfferId]
   *       [opType == 6]:  // CHANGE_TRUST
   *         string assetCode<12> ‖ hyper limit
   *       [opType == 8]:  // ACCOUNT_MERGE
@@ -225,28 +227,34 @@ object Lcm {
     * (buy: amountStroops is buyAmount) share the offer layout; price is
     * the XDR rational (n, d). offerId 0 creates, nonzero updates/deletes. */
   case class OpManageSellOffer(offerId: Long, sellingCode: String,
-      buyingCode: String, priceN: Int, priceD: Int) extends OpDetail {
+      buyingCode: String, priceN: Int, priceD: Int,
+      resultOfferId: Option[Long] = None) extends OpDetail {
     require(sellingCode.getBytes(StandardCharsets.UTF_8).length <= 12 &&
       buyingCode.getBytes(StandardCharsets.UTF_8).length <= 12,
       "asset code is string<12>")
     require(priceD != 0, "price denominator must be nonzero")
+    require(resultOfferId.forall(_ > 0), "result offer id is positive")
   }
   case class OpManageBuyOffer(offerId: Long, sellingCode: String,
-      buyingCode: String, priceN: Int, priceD: Int) extends OpDetail {
+      buyingCode: String, priceN: Int, priceD: Int,
+      resultOfferId: Option[Long] = None) extends OpDetail {
     require(sellingCode.getBytes(StandardCharsets.UTF_8).length <= 12 &&
       buyingCode.getBytes(StandardCharsets.UTF_8).length <= 12,
       "asset code is string<12>")
     require(priceD != 0, "price denominator must be nonzero")
+    require(resultOfferId.forall(_ > 0), "result offer id is positive")
   }
   /** opType 4 — the sell-offer layout WITHOUT an offer id (passive offers
     * only ever create; they never cross an existing offer at equal price,
     * `Stellar-transaction.x CreatePassiveSellOfferOp`). */
   case class OpCreatePassiveSellOffer(sellingCode: String, buyingCode: String,
-      priceN: Int, priceD: Int) extends OpDetail {
+      priceN: Int, priceD: Int,
+      resultOfferId: Option[Long] = None) extends OpDetail {
     require(sellingCode.getBytes(StandardCharsets.UTF_8).length <= 12 &&
       buyingCode.getBytes(StandardCharsets.UTF_8).length <= 12,
       "asset code is string<12>")
     require(priceD != 0, "price denominator must be nonzero")
+    require(resultOfferId.forall(_ > 0), "result offer id is positive")
   }
   /** opType 6 — CHANGE_TRUST: asset + trust limit (limit 0 deletes the
     * trustline, `operation.go` change_trust details). */
@@ -893,23 +901,29 @@ object Lcm {
             writeXdrString(out, destCode)
             out.writeLong(destMin)
             out.writeLong(got)
-          case OpManageSellOffer(offerId, selling, buying, n, d) =>
+          case OpManageSellOffer(offerId, selling, buying, n, d, rid) =>
             out.writeLong(offerId)
             writeXdrString(out, selling)
             writeXdrString(out, buying)
             out.writeInt(n)
             out.writeInt(d)
-          case OpManageBuyOffer(offerId, selling, buying, n, d) =>
+            out.writeInt(if (rid.isDefined) 1 else 0)
+            rid.foreach(out.writeLong)
+          case OpManageBuyOffer(offerId, selling, buying, n, d, rid) =>
             out.writeLong(offerId)
             writeXdrString(out, selling)
             writeXdrString(out, buying)
             out.writeInt(n)
             out.writeInt(d)
-          case OpCreatePassiveSellOffer(selling, buying, n, d) =>
+            out.writeInt(if (rid.isDefined) 1 else 0)
+            rid.foreach(out.writeLong)
+          case OpCreatePassiveSellOffer(selling, buying, n, d, rid) =>
             writeXdrString(out, selling)
             writeXdrString(out, buying)
             out.writeInt(n)
             out.writeInt(d)
+            out.writeInt(if (rid.isDefined) 1 else 0)
+            rid.foreach(out.writeLong)
           case OpChangeTrust(asset, limit) =>
             writeXdrString(out, asset)
             out.writeLong(limit)
@@ -1190,11 +1204,14 @@ object Lcm {
           case 13 => OpPathPaymentStrictSend(readOpaque32(buf),
             readXdrString(buf), readXdrString(buf), buf.getLong, buf.getLong)
           case 3 => OpManageSellOffer(buf.getLong,
-            readXdrString(buf), readXdrString(buf), buf.getInt, buf.getInt)
+            readXdrString(buf), readXdrString(buf), buf.getInt, buf.getInt,
+            if (buf.getInt == 1) Some(buf.getLong) else None)
           case 12 => OpManageBuyOffer(buf.getLong,
-            readXdrString(buf), readXdrString(buf), buf.getInt, buf.getInt)
+            readXdrString(buf), readXdrString(buf), buf.getInt, buf.getInt,
+            if (buf.getInt == 1) Some(buf.getLong) else None)
           case 4 => OpCreatePassiveSellOffer(
-            readXdrString(buf), readXdrString(buf), buf.getInt, buf.getInt)
+            readXdrString(buf), readXdrString(buf), buf.getInt, buf.getInt,
+            if (buf.getInt == 1) Some(buf.getLong) else None)
           case 6 => OpChangeTrust(readXdrString(buf), buf.getLong)
           case 8 => OpAccountMerge(readOpaque32(buf))
           case 10 =>

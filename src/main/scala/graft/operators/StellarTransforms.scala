@@ -457,6 +457,7 @@ object StellarTransforms {
       .select(col("sequence"), col("pos"), col("op_pos"), col("changes"),
         col("op.op_source_hex").as("op_source_hex"),
         col("op.op_type").as("op_type"),
+        col("op.op_result_offer_id").as("op_result_offer_id"),
         col("tx_source_hex"),
         posexplode(col("op.claim_atoms")).as(Seq("atom_pos", "a")))
       .select(
@@ -478,12 +479,13 @@ object StellarTransforms {
           when(col("a.is_pool"), col("a.seller_or_pool_hex"))))
           .as("selling_liquidity_pool_id_strkey"),
         when(!col("a.is_pool"), col("a.offer_id")).as("offer_id"),
-        // buying side: the wire carries no ManageOfferSuccess result, so
-        // the taker's offer is ALWAYS the reference's fallback arm — the
-        // synthetic (opToid+1)|bit62 id minted for fully-consumed offers
-        // and path payments (`trade.go:116-120`, `synt_offer_id.go:28-34`)
-        GraftFunctions.syntheticOfferId(col("sequence"), col("pos") + 1,
-          col("op_pos")).as("buying_offer_id"),
+        // buying side: the op's ManageOfferSuccessResult offer id when the
+        // taker's offer survived, else the synthetic (opToid+1)|bit62 id
+        // minted for fully-consumed offers and path payments
+        // (`trade.go:116-120`, `synt_offer_id.go:28-34`)
+        coalesce(col("op_result_offer_id"),
+          GraftFunctions.syntheticOfferId(col("sequence"), col("pos") + 1,
+            col("op_pos"))).as("buying_offer_id"),
         // strict-receive (2) fixes the bought side exactly, strict-send
         // (13) the sold side; null for the offer arms (`trade.go:225-255`)
         when(col("op_type").isin(2, 13), col("op_type") === 2)

@@ -184,7 +184,10 @@ object LcmDataSource {
     // this op's RESULT ClaimAtoms (grouped by the wire atoms' op_index) —
     // the history_trades grain
     StructField("claim_atoms", ArrayType(ClaimAtomSchema, containsNull = false),
-      nullable = false)))
+      nullable = false),
+    // ManageOfferSuccessResult offer id (offer arms; null = fully consumed
+    // or not an offer op — trades fall back to the synthetic id)
+    StructField("op_result_offer_id", LongType, nullable = true)))
 
   val TxSchema: StructType = StructType(Seq(
     StructField("fee_charged", LongType, nullable = false),
@@ -594,20 +597,26 @@ private[sources] object LcmRows {
             null, Long.box(p.destMin), Long.box(p.resultDestAmount))
         case _ => (null, null, null, null, null)
       }
-    // manage-offer columns: (offerId, selling, buying, priceN, priceD)
-    val (offId, offSell, offBuy, offN, offD): (Any, Any, Any, Any, Any) =
+    // manage-offer columns: (offerId, selling, buying, priceN, priceD,
+    // RESULT-carried offer id — the ManageOfferSuccessResult field the
+    // reference's trades prefer over the synthetic fallback)
+    val (offId, offSell, offBuy, offN, offD, offResId):
+        (Any, Any, Any, Any, Any, Any) =
       op.detail match {
         case o: OpManageSellOffer =>
           (Long.box(o.offerId), utf8(o.sellingCode),
-            utf8(o.buyingCode), Int.box(o.priceN), Int.box(o.priceD))
+            utf8(o.buyingCode), Int.box(o.priceN), Int.box(o.priceD),
+            o.resultOfferId.map(Long.box).orNull)
         case o: OpManageBuyOffer =>
           (Long.box(o.offerId), utf8(o.sellingCode),
-            utf8(o.buyingCode), Int.box(o.priceN), Int.box(o.priceD))
+            utf8(o.buyingCode), Int.box(o.priceN), Int.box(o.priceD),
+            o.resultOfferId.map(Long.box).orNull)
         case o: OpCreatePassiveSellOffer =>
           // passive offers have no id — the column stays null
           (null, utf8(o.sellingCode), utf8(o.buyingCode),
-            Int.box(o.priceN), Int.box(o.priceD))
-        case _ => (null, null, null, null, null)
+            Int.box(o.priceN), Int.box(o.priceD),
+            o.resultOfferId.map(Long.box).orNull)
+        case _ => (null, null, null, null, null, null)
       }
     // change-trust limit / manage-data name+value / bump target
     val (ctLimit, mdName, mdValue, bumpTo): (Any, Any, Any, Any) =
@@ -709,7 +718,8 @@ private[sources] object LcmRows {
       claimants, balanceId, sponsoredId,
       revokeType, leType, leKey, signerAcct) ++ lpCols ++ Array[Any](
       hostFnType, contractId, extendTo,
-      new GenericArrayData(atoms.map(atomRow).toArray[Any])))
+      new GenericArrayData(atoms.map(atomRow).toArray[Any]),
+      offResId))
   }
 
   def txRow(t: Tx): InternalRow = {
@@ -892,18 +902,27 @@ object LcmWriter {
           codes(((seq + 2) % 3).toInt), codes((seq % 3).toInt),
           destMin = 800000L * (t + 1) + seq % 89,
           resultDestAmount = 900000L * (t + 1) + seq % 59)
+        // result-carried offer id on every second (seq+t): partially
+        // filled offers keep their result id; the other half is fully
+        // consumed (None) and the trades law falls back to the synthetic
         case 3 => Lcm.OpManageSellOffer(offerId = seq * 10 + t,
           sellingCode = codes((seq % 3).toInt),
           buyingCode = codes(((seq + 2) % 3).toInt),
-          priceN = (seq % 9 + 1).toInt, priceD = (t % 7 + 1).toInt)
+          priceN = (seq % 9 + 1).toInt, priceD = (t % 7 + 1).toInt,
+          resultOfferId = if ((seq + t) % 2 == 0)
+            Some(seq * 500 + t * 20 + 3) else None)
         case 12 => Lcm.OpManageBuyOffer(offerId = seq * 10 + t + 1,
           sellingCode = codes(((seq + 1) % 3).toInt),
           buyingCode = codes((seq % 3).toInt),
-          priceN = (t % 5 + 1).toInt, priceD = (seq % 11 + 1).toInt)
+          priceN = (t % 5 + 1).toInt, priceD = (seq % 11 + 1).toInt,
+          resultOfferId = if ((seq + t) % 2 == 0)
+            Some(seq * 500 + t * 20 + 12) else None)
         case 4 => Lcm.OpCreatePassiveSellOffer(
           sellingCode = codes((seq % 3).toInt),
           buyingCode = codes(((seq + 1) % 3).toInt),
-          priceN = (t % 9 + 1).toInt, priceD = (seq % 13 + 1).toInt)
+          priceN = (t % 9 + 1).toInt, priceD = (seq % 13 + 1).toInt,
+          resultOfferId = if ((seq + t) % 2 == 0)
+            Some(seq * 500 + t * 20 + 4) else None)
         case 6 => Lcm.OpChangeTrust(codes(((seq + t) % 3).toInt),
           limit = 5000000L * (t + 1) + seq % 101)
         case 8 => Lcm.OpAccountMerge(sha(s"dst-$seq-$t"))
