@@ -146,17 +146,20 @@ object CodecProps extends Properties("codec") {
         id <- nonNeg; s <- codeGen; b <- codeGen
         n <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
         dd <- Gen.chooseNum(1, Int.MaxValue)
-      } yield Lcm.OpManageSellOffer(id, s, b, n, dd)
+        rid <- Gen.option(Gen.chooseNum(1L, Long.MaxValue))
+      } yield Lcm.OpManageSellOffer(id, s, b, n, dd, rid)
       case 12 => for {
         id <- nonNeg; s <- codeGen; b <- codeGen
         n <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
         dd <- Gen.chooseNum(1, Int.MaxValue)
-      } yield Lcm.OpManageBuyOffer(id, s, b, n, dd)
+        rid <- Gen.option(Gen.chooseNum(1L, Long.MaxValue))
+      } yield Lcm.OpManageBuyOffer(id, s, b, n, dd, rid)
       case 4 => for {
         s <- codeGen; b <- codeGen
         n <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
         dd <- Gen.chooseNum(1, Int.MaxValue)
-      } yield Lcm.OpCreatePassiveSellOffer(s, b, n, dd)
+        rid <- Gen.option(Gen.chooseNum(1L, Long.MaxValue))
+      } yield Lcm.OpCreatePassiveSellOffer(s, b, n, dd, rid)
       case 6 => for {
         c <- codeGen; lim <- nonNeg
       } yield Lcm.OpChangeTrust(c, lim)
