@@ -43,4 +43,14 @@ class VerifySmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assume(haveData, s"$sfDir not present; skipping")
     assert(SparkEntry.entry(spark) != null)
   }
+
+  test("every catalog query ships DuckDB oracle SQL (no silent rows-only checks)") {
+    // a Q with no oracle degrades to the driver's weaker rows>0 check
+    // without any visible signal — keep the 100%-oracle invariant loud
+    val missing = (QueryCatalog.all ++ QueryCatalog.entryOps)
+      .filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    // and the driver contract maps stay in lockstep with the catalog
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
 }
