@@ -2562,7 +2562,7 @@ object QueryCatalog {
              |  CASE WHEN CAST((seq + t + u) % 27 AS INT) IN (3, 12)
              |            AND (seq + t) % 2 = 0
              |       THEN seq * 500 + t * 20 + (seq + t + u) % 27
-             |       ELSE (((seq << 32) | ((t + 1) << 12) | (u + 1)) + 1)
+             |       ELSE ((seq << 32) | ((t + 1) << 12) | (u + 1))
              |            | (CAST(1 AS BIGINT) << 62)
              |       END AS buying_offer_id,
              |  CASE WHEN CAST((seq + t + u) % 27 AS INT) IN (2, 13)
@@ -3227,7 +3227,7 @@ object QueryCatalog {
              |SELECT operation_id, CAST(t.i AS BIGINT) AS atom_index,
              |       amount / (part_key % 2 + 1) AS selling_amount,
              |       CASE WHEN t.i % 2 = 1
-             |            THEN ((((ledger_sequence << 32) | (tx_order << 12)) | 1) + 1)
+             |            THEN (((ledger_sequence << 32) | (tx_order << 12)) | 1)
              |                   | (CAST(1 AS BIGINT) << 62)
              |            ELSE operation_id END AS buying_offer_id,
              |       t.i % 2 = 0 AS seller_is_exact
@@ -3671,7 +3671,7 @@ object QueryCatalog {
              |       CASE WHEN lp THEN 2 ELSE 1 END AS trade_type,
              |       CASE WHEN NOT lp THEN 5000 + a END AS selling_offer_id,
              |       CASE WHEN ty IN (3, 4, 12) AND o % 2 = 0 THEN 7000 + o
-             |            ELSE (op_id + 1) | (CAST(1 AS BIGINT) << 62)
+             |            ELSE op_id | (CAST(1 AS BIGINT) << 62)
              |       END AS buying_offer_id,
              |       CAST(2000000 * (a + 1) AS DOUBLE) / 10000000 AS selling_amount,
              |       CAST(1500000 * (a + 1) AS DOUBLE) / 10000000 AS buying_amount

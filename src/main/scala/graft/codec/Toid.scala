@@ -49,12 +49,15 @@ object Toid {
   def unpack(toid: Long): (Long, Long, Long) =
     (ledgerOf(toid), txOrderOf(toid), opIndexOf(toid))
 
-  /** Synthetic offer id: (operation TOID + 1) with bit 62 set, tagging ids
-    * minted for trades whose buying side never had a real on-chain offer id.
-    * The +1 mirrors the reference's only mint site
-    * (`transform/trade.go:119`: `EncodeOfferId(operationID+1, TOIDType)`). */
+  /** Synthetic offer id, tagging ids minted for trades whose buying side
+    * never had a real on-chain offer id. `opIndex0` is the 0-BASED op index:
+    * the reference mints `EncodeOfferId(operationID+1, TOIDType)` where
+    * `operationID = toid(seq, tx, opIndex0)` (`input/trades.go:69`,
+    * `transform/trade.go:119`), so the result equals the emitted (1-based)
+    * history operation id with bit 62 set:
+    * `operationId(seq, tx, opIndex0+1) | bit62`. */
   val SyntheticOfferBit: Long = 1L << 62
-  def syntheticOfferId(ledgerSeq: Long, txOrder: Long, opIndex: Long): Long =
-    (pack(ledgerSeq, txOrder, opIndex) + 1) | SyntheticOfferBit
+  def syntheticOfferId(ledgerSeq: Long, txOrder: Long, opIndex0: Long): Long =
+    (pack(ledgerSeq, txOrder, opIndex0) + 1) | SyntheticOfferBit
   def isSynthetic(offerId: Long): Boolean = (offerId & SyntheticOfferBit) != 0
 }

@@ -39,11 +39,15 @@ object GraftFunctions {
   def toidTxOrder(t: Column): Column = shiftright(t, 12).bitwiseAND(lit(Toid.TransactionMask))
   def toidOpIndex(t: Column): Column = t.bitwiseAND(lit(Toid.OperationMask))
 
-  /** Synthetic offer id: (operation TOID + 1) with bit 62 set — the +1 matches
-    * the reference's mint site (`transform/trade.go:119`,
-    * `toid/synt_offer_id.go:28-34`). */
+  /** Synthetic offer id: the emitted history operation id with bit 62 set.
+    * The reference mints `EncodeOfferId(operationID+1)` where `operationID`
+    * is a toid with a 0-BASED op index (`input/trades.go:69`,
+    * `transform/trade.go:119`, `toid/synt_offer_id.go:28-34`); since
+    * [[operationToid]] already 1-bases the op index, that `+1` is ALREADY
+    * applied here — the law is `operationToid | bit62`, i.e.
+    * `history_operation_id | (1 << 62)`. */
   def syntheticOfferId(ledgerSeq: Column, txOrder: Column, opIndex0: Column): Column =
-    (operationToid(ledgerSeq, txOrder, opIndex0) + lit(1L))
+    operationToid(ledgerSeq, txOrder, opIndex0)
       .bitwiseOR(lit(Toid.SyntheticOfferBit))
 
   // ---- checkpoint math (`utils/main.go:809-854`) ----------------------------

@@ -105,7 +105,7 @@ object StellarTradesEffects {
         .as("selling_offer_id"),
       // buying side: the TAKER's offer from the op's ManageOfferSuccess result
       // (`trade.go:116-120`), never the claim atom; fully-consumed offers and
-      // path payments fall back to the synthetic (opToid+1)|bit62 id
+      // path payments fall back to the synthetic op_id|bit62 id
       coalesce(col("result_offer_id"),
         syntheticOfferId(col("sequence"), col("tx_pos") + 1, col("op_pos")))
         .as("buying_offer_id"),

@@ -480,7 +480,7 @@ object StellarTransforms {
           .as("selling_liquidity_pool_id_strkey"),
         when(!col("a.is_pool"), col("a.offer_id")).as("offer_id"),
         // buying side: the op's ManageOfferSuccessResult offer id when the
-        // taker's offer survived, else the synthetic (opToid+1)|bit62 id
+        // taker's offer survived, else the synthetic op_id|bit62 id
         // minted for fully-consumed offers and path payments
         // (`trade.go:116-120`, `synt_offer_id.go:28-34`)
         coalesce(col("op_result_offer_id"),

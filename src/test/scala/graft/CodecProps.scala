@@ -57,6 +57,18 @@ object CodecProps extends Properties("codec") {
     }
   }
 
+  property("toid.synthetic-equals-operation-id-or-bit62") =
+    forAll(synToidGen) { case (l, t, o0) =>
+      // ADVICE r11: the synthetic id must equal the emitted (1-based-op)
+      // history operation id with bit 62 set — EncodeOfferId(operationID+1)
+      // where operationID 0-bases the op index (input/trades.go:69,
+      // trade.go:119). Guard o0 < max so the 1-based pack stays in range.
+      (o0 < Toid.MaxOpIndex) ==> {
+        Toid.syntheticOfferId(l, t, o0) ==
+          (Toid.operationId(l, t, o0 + 1) | Toid.SyntheticOfferBit)
+      }
+    }
+
   val bytes32: Gen[Array[Byte]] =
     Gen.containerOfN[Array, Byte](32, Gen.chooseNum(-128, 127).map(_.toByte))
 

@@ -54,6 +54,8 @@ class CodecSpec extends AnyFunSuite {
     assert(Toid.isSynthetic(id))
     assert(!Toid.isSynthetic(Toid.pack(123, 45, 6)))
     assert((id & ~Toid.SyntheticOfferBit) == Toid.pack(123, 45, 6) + 1)
+    // equivalently: the 1-based-op history operation id with bit 62 set
+    assert(id == (Toid.operationId(123, 45, 7) | Toid.SyntheticOfferBit))
     assert(Toid.ledgerOf(id & ~Toid.SyntheticOfferBit) == 123)
   }
 

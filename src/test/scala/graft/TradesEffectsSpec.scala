@@ -71,7 +71,7 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sawReceive && sawSend && sawOffer)
   }
 
-  test("trades: buying_offer_id is the result offer when present, else (toid+1)|bit62") {
+  test("trades: buying_offer_id is the result offer when present, else op_id|bit62") {
     val rows = StellarTradesEffects.historyTrades(fixture).collect()
     rows.foreach { r =>
       val opId = r.getAs[Long]("history_operation_id")
@@ -81,7 +81,9 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (Seq(3, 4, 12).contains(ty) && o % 2 == 0)
         assert(buying == 7000L + o) // ManageOfferSuccess result offer
       else
-        assert(buying == ((opId + 1) | (1L << 62))) // trade.go:119
+        // reference law: EncodeOfferId(0-based-toid + 1) == history op id
+        // with bit 62 set (trade.go:119, input/trades.go:69)
+        assert(buying == (opId | (1L << 62)))
       // offer-type atoms always carry the CLAIMED offer id (trade.go:111),
       // including path payments; never the taker's
       if (r.getAs[Int]("trade_type") == 1)
