@@ -2522,8 +2522,11 @@ object QueryCatalog {
       // owning op has an offer change with pre state and the SAME offer
       // id (fixture alignment: change j matches atom j exactly when
       // (seq+j)%10=2, j%nOps=u, kind!=0) takes the pre-state price N/D;
-      // otherwise the bought/sold fallback; LP atoms bought/sold by
-      // definition. DuckDB re-derives every law per (seq, t, u, j)
+      // an orderbook atom with NO such change fails the op's transform
+      // and drops ALL its atoms (trade.go:273-278, export_trades.go's
+      // numFailures), replayed here with a per-op bool_or window; LP
+      // atoms bought/sold by definition. DuckDB re-derives every law
+      // per (seq, t, u, j)
       Some(s"""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
              |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
              |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
@@ -2541,7 +2544,10 @@ object QueryCatalog {
              |          AND (seq + t + j) % 3 <> 0 AS pre_matched,
              |        (seq + j) % 10 = 5 AND j % ((seq + t) % 3 + 1) = u
              |          AS lp_matched
-             |      FROM a0)
+             |      FROM a0),
+             |a2 AS (SELECT *, bool_or(NOT is_pool AND NOT pre_matched)
+             |         OVER (PARTITION BY seq, t, u) AS op_bad
+             |       FROM a)
              |SELECT (seq << 32) | ((t + 1) << 12) | (u + 1) AS operation_id,
              |  CAST(j AS INT) AS "order",
              |  seq AS ledger_sequence,
@@ -2587,7 +2593,8 @@ object QueryCatalog {
              |  CASE WHEN is_pool AND lp_matched
              |       THEN CAST(10 + (seq + t) % 90 AS INT)
              |       END AS liquidity_pool_fee
-             |FROM a ORDER BY operation_id, "order"""".stripMargin),
+             |FROM a2 WHERE NOT op_bad
+             |ORDER BY operation_id, "order"""".stripMargin),
       (s, dir) =>
         StellarTransforms.historyTradesFromLcm(
             s.read.format("graft-lcm").load(lcmFixtureDir)

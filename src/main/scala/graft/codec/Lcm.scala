@@ -749,6 +749,19 @@ object Lcm {
     b.toSeq
   }
 
+  /** `.lcmb` batch-file header: a magic int ("LCMB") + a format-version
+    * int ahead of the length-prefixed frames. The frame layout is NOT
+    * self-describing (optional sections gate on bools, arms on tags), so
+    * any layout change — r11 added mandatory result-offer-id bools on the
+    * offer ops, entry-type-discriminated change arms, and a
+    * contract-event section — silently garbles old files without this.
+    * Readers fail fast with a version-mismatch message instead; files
+    * must be regenerated on every bump. */
+  val LcmbMagic: Int = 0x4C434D42 // "LCMB"
+  /** v3 = the round-11 layout (result offer ids, typed change arms,
+    * contract events). Bump on ANY frame-layout change. */
+  val LcmbVersion: Int = 3
+
   def encode(f: Frame): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(128)
     val out = new java.io.DataOutputStream(bos)

@@ -416,9 +416,14 @@ object StellarTransforms {
     * offer's last matching change in the owning op's change vector (the
     * reference's reverse scan, here `element_at(matching, size)` over the
     * intra-row filtered array — the wire change record carries offer
-    * pre-state since round 11); when no pre-state offer change is in
-    * scope the bought/sold ratio law applies (`trade.go:85-114`). LP
-    * atoms are priced bought/sold by definition (`trade.go:265-266`).
+    * pre-state since round 11). An orderbook atom with NO pre-state
+    * offer change in scope is an input inconsistency: the reference
+    * ERRORS the op's whole trade transform (`trade.go:273-278`) and the
+    * exporter drops all of that op's trades, counting a failure
+    * (`export_trades.go:38-45`). We replay that exactly — the owning
+    * op's atoms are dropped and the op is counted in the
+    * `wire_trades`/`dropped_ops` observe metric. LP atoms are priced
+    * bought/sold by definition (`trade.go:265-266`).
     * `price_n`/`price_d` carry the exact integer components, `price` the
     * IEEE quotient. LP atoms additionally carry `liquidity_pool_fee` —
     * the pre-state fee bps of the pool's own change, matched by pool id
@@ -440,13 +445,13 @@ object StellarTransforms {
       c("entry_type") === 5 && c("op_index") === col("op_pos") &&
         c("pool_id_hex") === col("a.seller_or_pool_hex"))
     val poolPre = element_at(poolMatching, size(poolMatching))
-    val priced = when(!col("a.is_pool") && size(matching) > 0, pre)
+    // surviving orderbook atoms always have a pre-state match (the
+    // inconsistent ops are dropped below), so the price is the pre-state
+    // components directly — no silent ratio fallback
     val priceN = when(col("a.is_pool"), col("a.bought_amount"))
-      .otherwise(coalesce(priced("pre_price_n").cast("long"),
-        col("a.bought_amount")))
+      .otherwise(pre("pre_price_n").cast("long"))
     val priceD = when(col("a.is_pool"), col("a.sold_amount"))
-      .otherwise(coalesce(priced("pre_price_d").cast("long"),
-        col("a.sold_amount")))
+      .otherwise(pre("pre_price_d").cast("long"))
     lcm.select(col("sequence"),
         posexplode(col("transactions")).as(Seq("pos", "tx")))
       .where(col("tx.successful"))
@@ -459,7 +464,25 @@ object StellarTransforms {
         col("op.op_type").as("op_type"),
         col("op.op_result_offer_id").as("op_result_offer_id"),
         col("tx_source_hex"),
-        posexplode(col("op.claim_atoms")).as(Seq("atom_pos", "a")))
+        col("op.claim_atoms").as("claim_atoms"))
+      // findTradeSellPrice error law: ANY orderbook atom without a
+      // pre-state change for its crossed offer fails the op's transform;
+      // all its atoms drop and the op counts as a failure
+      // (`trade.go:273-278`, `export_trades.go:38-45`)
+      .withColumn("op_inconsistent",
+        exists(col("claim_atoms"), a =>
+          !a("is_pool") && !exists(col("changes"), c =>
+            c("entry_type") === 2 && c("op_index") === col("op_pos") &&
+              c("offer_id") === a("offer_id") &&
+              c("pre_price_d").isNotNull)))
+      .observe("wire_trades",
+        sum(when(col("op_inconsistent"), 1L).otherwise(0L))
+          .as("dropped_ops"))
+      .where(!col("op_inconsistent"))
+      .select(col("sequence"), col("pos"), col("op_pos"), col("changes"),
+        col("op_source_hex"), col("op_type"), col("op_result_offer_id"),
+        col("tx_source_hex"),
+        posexplode(col("claim_atoms")).as(Seq("atom_pos", "a")))
       .select(
         operationToid(col("sequence"), col("pos") + 1, col("op_pos"))
           .as("operation_id"),

@@ -462,8 +462,28 @@ class LcmPartitionReader(file: String, requiredSchema: StructType,
     extends PartitionReader[InternalRow] {
   private val in = {
     val p = new org.apache.hadoop.fs.Path(file)
-    new java.io.DataInputStream(
+    val s = new java.io.DataInputStream(
       new java.io.BufferedInputStream(p.getFileSystem(conf.value).open(p), 1 << 16))
+    // fail fast on unversioned/foreign files and layout-version drift —
+    // the frame layout is not self-describing, so decoding a stale file
+    // would otherwise surface as garbage rows or BufferUnderflow deep in
+    // the codec with no hint of the cause
+    val magic = try s.readInt() catch {
+      case _: java.io.EOFException =>
+        throw new java.io.IOException(s"$file: empty or truncated .lcmb file")
+    }
+    if (magic != graft.codec.Lcm.LcmbMagic)
+      throw new java.io.IOException(
+        s"$file: not a versioned .lcmb file (bad magic 0x${magic.toHexString}); " +
+          "files written before the format header was introduced must be " +
+          "regenerated with the current writer")
+    val ver = s.readInt()
+    if (ver != graft.codec.Lcm.LcmbVersion)
+      throw new java.io.IOException(
+        s"$file: .lcmb format version $ver, this reader requires " +
+          s"${graft.codec.Lcm.LcmbVersion}; regenerate the batch files " +
+          "(the frame layout changed incompatibly)")
+    s
   }
   private var current: InternalRow = _
 
@@ -800,6 +820,8 @@ object LcmWriter {
       val f = new java.io.File(d, s"$start-$end.lcmb")
       val out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(new java.io.FileOutputStream(f)))
+      out.writeInt(Lcm.LcmbMagic)
+      out.writeInt(Lcm.LcmbVersion)
       batch.foreach { frame =>
         val bytes = Lcm.encode(frame)
         out.writeInt(bytes.length)

@@ -26,13 +26,15 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("wire trades price from pre-state offer changes (findTradeSellPrice law)") {
     import graft.codec.Lcm
-    // hand-built frame: one tx, two ops; op 0 crosses offer 77 TWICE (the
-    // reverse scan must take the LAST matching change: 5/9, not 3/8) and
-    // also claims offer 88 with NO matching change (fallback ratio); op 1
-    // is an LP atom (always bought/sold). A CREATED offer change for 77
-    // sits LAST in the vector but has no pre state, so it must be skipped.
+    // hand-built frame: one tx, three ops; op 0 crosses offer 77 TWICE (the
+    // reverse scan must take the LAST matching change: 5/9, not 3/8; a
+    // CREATED change for 77 sits LAST in the vector but has no pre state,
+    // so it must be skipped); op 1 is an LP atom (always bought/sold);
+    // op 2 claims offer 88 with NO matching change — the reference ERRORS
+    // that op's transform (trade.go:273-278) so ALL of op 2's atoms drop,
+    // including its perfectly-matched offer-99 atom.
     def k(b: Int): Seq[Byte] = Seq.fill[Byte](32)(b.toByte)
-    val ops = Seq(Lcm.Op(9, 1L), Lcm.Op(9, 1L)) // void arms; atoms carry opIndex
+    val ops = Seq(Lcm.Op(9, 1L), Lcm.Op(9, 1L), Lcm.Op(9, 1L))
     val changes = Seq(
       Lcm.WireChange(1, 2, 0, k(1), 10L, 0L,
         offerId = 77L, prePriceN = 3, prePriceD = 8),
@@ -43,11 +45,15 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Lcm.WireChange(1, 5, 1, k(7), 10L, 0L,
         preReserveA = 100L, preReserveB = 200L, preShares = 10L,
         postReserveA = 90L, postReserveB = 210L, postShares = 10L,
-        poolFee = 25, poolId = Some(k(6))))
+        poolFee = 25, poolId = Some(k(6))),
+      // offer 99's pre-state on op 2 — matched, but op 2 still drops
+      Lcm.WireChange(1, 2, 2, k(8), 10L, 0L,
+        offerId = 99L, prePriceN = 2, prePriceD = 7))
     val atoms = Seq(
       Lcm.WireClaimAtom(0, isPool = false, k(4), 77L, "XLM", 100L, "USDC", 200L),
-      Lcm.WireClaimAtom(0, isPool = false, k(5), 88L, "XLM", 300L, "USDC", 400L),
-      Lcm.WireClaimAtom(1, isPool = true, k(6), 0L, "EURC", 50L, "XLM", 60L))
+      Lcm.WireClaimAtom(1, isPool = true, k(6), 0L, "EURC", 50L, "XLM", 60L),
+      Lcm.WireClaimAtom(2, isPool = false, k(5), 88L, "XLM", 300L, "USDC", 400L),
+      Lcm.WireClaimAtom(2, isPool = false, k(9), 99L, "XLM", 500L, "USDC", 600L))
     val tx = Lcm.Tx(10L, Lcm.TxSuccess, ops, changes = changes,
       claimAtoms = atoms)
     val d = java.nio.file.Files.createTempDirectory("lcm-trade-pre").toString
@@ -59,20 +65,18 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("offer_id", "price_n", "price_d", "trade_type",
         "liquidity_pool_fee")
       .collect()
-    assert(rows.length == 3)
+    // op 2 (offers 88 + 99) is dropped whole: only op 0 and op 1 survive
+    assert(rows.length == 2)
     // offer 77: LAST pre-state change wins (5/9), not first (3/8), not the
     // CREATED one (no pre)
     assert(rows(0).getLong(0) == 77L &&
       rows(0).getLong(1) == 5L && rows(0).getLong(2) == 9L)
-    // offer 88: no matching change → bought/sold fallback
-    assert(rows(1).getLong(0) == 88L &&
-      rows(1).getLong(1) == 400L && rows(1).getLong(2) == 300L)
     // LP atom: bought/sold by definition; fee from the pool's pre-state
     // change matched by pool id (findPoolFee)
-    assert(rows(2).isNullAt(0) &&
-      rows(2).getLong(1) == 60L && rows(2).getLong(2) == 50L)
-    assert(rows(2).getInt(4) == 25)
-    assert(rows(0).isNullAt(4) && rows(1).isNullAt(4))
+    assert(rows(1).isNullAt(0) &&
+      rows(1).getLong(1) == 60L && rows(1).getLong(2) == 50L)
+    assert(rows(1).getInt(4) == 25)
+    assert(rows(0).isNullAt(4))
   }
 
   test("change pre/post arms decode against the fixture laws") {
@@ -226,6 +230,7 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(new java.io.File(d, "2000-2000.lcmb"))))
     val bytes = Lcm.encode(frame)
+    out.writeInt(Lcm.LcmbMagic); out.writeInt(Lcm.LcmbVersion)
     out.writeInt(bytes.length); out.write(bytes); out.close()
     val row = spark.read.format("graft-lcm").load(d).collect().head
     val txs = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("transactions"))
@@ -386,6 +391,38 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("op.op_type").isin(2, 3, 12, 13))
       .select(size(col("op.claim_atoms"))).collect().map(_.getInt(0))
     assert(tradeOps.length >= 2 && tradeOps.forall(_ > 0))
+  }
+
+  test(".lcmb reader rejects unversioned files and version drift loudly") {
+    import graft.codec.Lcm
+    def firstMessages(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    // legacy header-less file: first int is a frame length, not the magic
+    val d1 = java.nio.file.Files.createTempDirectory("lcmb-legacy").toString
+    val legacy = new java.io.File(d1, "100-100.lcmb")
+    val o1 = new java.io.DataOutputStream(new java.io.FileOutputStream(legacy))
+    val bytes = Lcm.encode(LcmWriter.fixtureFrame(100))
+    o1.writeInt(bytes.length); o1.write(bytes); o1.close()
+    val e1 = intercept[Throwable](
+      spark.read.format("graft-lcm").load(d1).collect())
+    assert(firstMessages(e1).contains("not a versioned .lcmb"))
+    // right magic, wrong version
+    val d2 = java.nio.file.Files.createTempDirectory("lcmb-drift").toString
+    val drift = new java.io.File(d2, "100-100.lcmb")
+    val o2 = new java.io.DataOutputStream(new java.io.FileOutputStream(drift))
+    o2.writeInt(Lcm.LcmbMagic); o2.writeInt(Lcm.LcmbVersion + 1)
+    o2.writeInt(bytes.length); o2.write(bytes); o2.close()
+    val e2 = intercept[Throwable](
+      spark.read.format("graft-lcm").load(d2).collect())
+    assert(firstMessages(e2).contains("format version"))
+    // current writer round-trips
+    val d3 = java.nio.file.Files.createTempDirectory("lcmb-ok").toString
+    LcmWriter.writeFrames(d3, Seq(LcmWriter.fixtureFrame(100)))
+    assert(spark.read.format("graft-lcm").load(d3).count() == 1)
   }
 
   test("nested tx array aggregates match the fixture law") {
