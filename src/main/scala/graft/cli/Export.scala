@@ -41,7 +41,13 @@ object Export {
 
   case class Args(
       command: String = "",
-      start: Long = 0, end: Long = 0,
+      // end defaults to -1 = "not given": a bounded export with no --end
+      // fails fast instead of silently entering the unbounded streaming
+      // arm; ONLY an explicit `--end 0` means continuous, and only for
+      // export_ledger_entry_changes (the reference's endNum=0 semantics,
+      // `cmd/export_ledger_entry_changes.go:26-28,72-89` — every other
+      // command there requires a bounded range)
+      start: Long = 0, end: Long = -1,
       output: String = "", input: Option[String] = None,
       wireInput: Option[String] = None,
       format: String = "ndjson",
@@ -243,13 +249,26 @@ object Export {
   def run(spark: SparkSession, a: Args): Unit = {
     import spark.implicits._
 
+    // fail fast on a missing --end for every bounded export command; the
+    // one continuous mode is export_ledger_entry_changes with an EXPLICIT
+    // --end 0 (handled in the wire branch below)
+    if (a.command.startsWith("export_") && a.end < 0L) sys.error(
+      s"${a.command} requires --end (use --end 0 on " +
+        "export_ledger_entry_changes --wire-input for the unbounded " +
+        "streaming mode)")
+
     // --wire-input <dir of .lcmb batch files>: run the command directly
     // off the wire format through the DSv2 source — the reference's real
     // substrate (its commands read LedgerCloseMeta from the datastore,
     // `internal/input/transactions.go:23-71`). The sequence-range filter
     // is consumed by the scan's file pruning.
     if (a.wireInput.isDefined) {
-      if (a.end == 0L) { streamWire(spark, a); return }
+      if (a.end == 0L) {
+        if (a.command != "export_ledger_entry_changes") sys.error(
+          s"--end 0 (continuous/unbounded) only applies to " +
+            s"export_ledger_entry_changes, not ${a.command}; pass a bounded --end")
+        streamWire(spark, a); return
+      }
       val lcm = spark.read.format("graft-lcm").load(a.wireInput.get)
         .where(col("sequence").between(a.start, a.end))
       a.command match {

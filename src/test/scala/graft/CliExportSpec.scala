@@ -224,6 +224,22 @@ class CliExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("missing --end fails fast; --end 0 is rejected off the changes command") {
+    // omitting --end must not silently enter the unbounded streaming arm
+    // (pre-r12 regression: Args.end defaulted to 0 and blocked forever)
+    val e1 = intercept[RuntimeException](Export.run(spark, Export.parse(Array(
+      "export_ledgers", "--start", "100",
+      "--output", tmpDir("noend"), "--format", "parquet"))))
+    assert(e1.getMessage.contains("requires --end"))
+    // the reference's endNum=0 continuous semantics exist ONLY on
+    // export_ledger_entry_changes
+    val e2 = intercept[RuntimeException](Export.run(spark, Export.parse(Array(
+      "export_transactions", "--start", "100", "--end", "0",
+      "--wire-input", tmpDir("noend-wire"),
+      "--output", tmpDir("noend2"), "--format", "parquet"))))
+    assert(e2.getMessage.contains("only applies to"))
+  }
+
   test("--end 0 runs the wire export UNBOUNDED and matches the bounded run") {
     // the reference's continuous mode (export_ledger_entry_changes.go:72-89,
     // endNum 0 ⇒ MaxInt32 + blocking change stream): here the MICRO_BATCH
