@@ -107,6 +107,12 @@ object QueryCatalog {
   /** M-address (med25519, version 12<<3): key ‖ BE uint64 id. */
   private def strkeyM(hexExpr: String, idExpr: String): String =
     strkeySql(hexExpr, 96, Some(idExpr))
+  /** C-address (contract, version 2<<3). */
+  private def strkeyC(hexExpr: String): String = strkeySql(hexExpr, 16)
+  /** B-address (claimable balance, version 1<<3): the payload is the
+    * 33-byte v0 balance id (type byte 0x00 ‖ hash). */
+  private def strkeyB(hashHexExpr: String): String =
+    strkeySql(s"'00' || ($hashHexExpr)", 8)
 
   /** One-time fixture archive (checkpoint-layout gzip files) for the S7
     * history-archive source query. */
@@ -433,21 +439,36 @@ object QueryCatalog {
       }),
 
     Q("p20_orderbook_star",
-      Some("""SELECT DISTINCT
-             |  least('AST' || CAST(l_partkey % 5 AS VARCHAR),
-             |        'AST' || CAST(l_suppkey % 7 AS VARCHAR)) AS base_asset,
-             |  greatest('AST' || CAST(l_partkey % 5 AS VARCHAR),
-             |           'AST' || CAST(l_suppkey % 7 AS VARCHAR)) AS counter_asset
-             |FROM lineitem WHERE l_returnflag <> 'R'
-             |ORDER BY 1, 2""".stripMargin),
+      // dim_markets law (`offer_normalized.go:102-137`): assets render as
+      // `code:issuer`, the pair sorts lexicographically, base = first
+      Some("""WITH o AS (SELECT
+             |  'AST' || CAST(l_partkey % 5 AS VARCHAR) || ':' ||
+             |    'ISS' || CAST(l_partkey % 3 AS VARCHAR) AS sell,
+             |  'AST' || CAST(l_suppkey % 7 AS VARCHAR) || ':' ||
+             |    'ISS' || CAST(l_suppkey % 2 AS VARCHAR) AS buy
+             |FROM lineitem WHERE l_returnflag <> 'R')
+             |SELECT DISTINCT
+             |  split_part(least(sell, buy), ':', 1) AS base_code,
+             |  split_part(least(sell, buy), ':', 2) AS base_issuer,
+             |  split_part(greatest(sell, buy), ':', 1) AS counter_code,
+             |  split_part(greatest(sell, buy), ':', 2) AS counter_issuer
+             |FROM o ORDER BY 1, 2, 3, 4""".stripMargin),
       (s, dir) => {
         val offers = T(s, dir, "lineitem").select(
-          concat(lit("AST"), expr("l_partkey % 5").cast("string")).as("selling_asset"),
-          concat(lit("AST"), expr("l_suppkey % 7").cast("string")).as("buying_asset"),
+          lit("credit_alphanum4").as("selling_asset_type"),
+          concat(lit("AST"), expr("l_partkey % 5").cast("string"))
+            .as("selling_asset_code"),
+          concat(lit("ISS"), expr("l_partkey % 3").cast("string"))
+            .as("selling_asset_issuer"),
+          lit("credit_alphanum4").as("buying_asset_type"),
+          concat(lit("AST"), expr("l_suppkey % 7").cast("string"))
+            .as("buying_asset_code"),
+          concat(lit("ISS"), expr("l_suppkey % 2").cast("string"))
+            .as("buying_asset_issuer"),
           (col("l_returnflag") === "R").as("deleted"))
         OrderbookStar.dimMarket(offers)
-          .select("base_asset", "counter_asset")
-          .orderBy("base_asset", "counter_asset")
+          .select("base_code", "base_issuer", "counter_code", "counter_issuer")
+          .orderBy("base_code", "base_issuer", "counter_code", "counter_issuer")
       }),
 
     // ===== 2.5 limits / sort =================================================
@@ -3296,7 +3317,10 @@ object QueryCatalog {
              |       'ISS' || (k % 3) AS asset_b_issuer,
              |       CAST(2500000000 + k AS DOUBLE) / 10000000 AS asset_b_amount,
              |       k AS last_modified_ledger, k % 3 AS ledger_entry_change,
-             |       k % 7 = 6 AS deleted, k + 100 AS ledger_sequence
+             |       k % 7 = 6 AS deleted,
+             |       make_timestamp((1700000000000 + (k + 100) * 5000) * 1000)
+             |         AS closed_at,
+             |       k + 100 AS ledger_sequence
              |FROM p ORDER BY liquidity_pool_id""".stripMargin),
       (s, dir) =>
         EntryProjections.liquidityPools(T(s, dir, "part"))
@@ -3304,64 +3328,137 @@ object QueryCatalog {
           .orderBy("liquidity_pool_id")),
 
     Q("p12_claimable_balances",
-      // the recursive predicate JSON is re-derived in SQL per shape — an
-      // independent check of the XDR predicate codec's render
-      Some("""WITH c AS (SELECT *, CAST(c_custkey AS BIGINT) AS k FROM customer)
-             |SELECT sha256(CAST(c_custkey AS VARCHAR)) AS balance_id,
-             |       'ACC' || CAST(c_custkey AS VARCHAR) AS claimant_destination,
-             |       CASE k % 4
+      // ClaimableBalanceOutput at balance grain, exploded to claimant rows
+      // for the compare: the oracle re-derives the hex-marshalled v0
+      // balance id, the B-strkey (33-byte type‖hash payload), the claimant
+      // destinations (strkeyG over the claimant hash law, destination-sorted
+      // — L3) and the recursive predicate JSON per shape. farmhash asset_id
+      // has no SQL analog — dropped (fn_opaque_codecs + ReferenceGoldenSpec
+      // pin it against real golden rows).
+      Some(s"""WITH c AS (SELECT *, CAST(c_custkey AS BIGINT) AS k FROM customer),
+             |cl AS (SELECT *, unnest(generate_series(0, k % 3)) AS i FROM c),
+             |rows0 AS (SELECT k, i, k + i AS pk,
+             |  ${strkeyG("sha256('claimant|' || k || '|' || i)")} AS dest
+             |  FROM cl)
+             |SELECT '00000000' || sha256(CAST(r.k AS VARCHAR)) AS balance_id,
+             |       ${strkeyB("sha256(CAST(r.k AS VARCHAR))")} AS balance_id_strkey,
+             |       row_number() OVER (PARTITION BY r.k ORDER BY r.dest) - 1
+             |         AS claimant_order,
+             |       r.dest AS claimant_destination,
+             |       CASE r.pk % 4
              |       WHEN 0 THEN '{"unconditional":true}'
              |       WHEN 1 THEN '{"abs_before":"' ||
-             |         strftime(make_timestamp((1700000000 + k) * 1000000),
+             |         strftime(make_timestamp((1700000000 + r.pk) * 1000000),
              |                  '%Y-%m-%dT%H:%M:%SZ') ||
-             |         '","abs_before_epoch":"' || (1700000000 + k) || '"}'
+             |         '","abs_before_epoch":"' || (1700000000 + r.pk) || '"}'
              |       WHEN 2 THEN '{"or":[{"abs_before":"' ||
-             |         strftime(make_timestamp((1700000000 + k) * 1000000),
+             |         strftime(make_timestamp((1700000000 + r.pk) * 1000000),
              |                  '%Y-%m-%dT%H:%M:%SZ') ||
-             |         '","abs_before_epoch":"' || (1700000000 + k) ||
-             |         '"},{"rel_before":"' || k || '"}]}'
-             |       ELSE '{"and":[{"not":{"rel_before":"' || (86400 + k) ||
+             |         '","abs_before_epoch":"' || (1700000000 + r.pk) ||
+             |         '"},{"rel_before":"' || r.pk || '"}]}'
+             |       ELSE '{"and":[{"not":{"rel_before":"' || (86400 + r.pk) ||
              |         '"}},{"unconditional":true}]}'
              |       END AS claimant_predicate,
-             |       c_acctbal AS amount, CAST(c_nationkey AS BIGINT) AS sponsoring_nation,
-             |       k AS last_modified_ledger, k % 3 AS ledger_entry_change,
-             |       k % 7 = 6 AS deleted, k + 100 AS ledger_sequence
-             |FROM c ORDER BY balance_id""".stripMargin),
+             |       CASE WHEN r.k % 9 != 0 THEN 'CB' || (r.k % 40) ELSE '' END
+             |         AS asset_code,
+             |       CASE WHEN r.k % 9 != 0
+             |            THEN ${strkeyG("sha256('cb-issuer|' || (r.k % 5))")}
+             |            ELSE '' END AS asset_issuer,
+             |       CASE WHEN r.k % 9 != 0 THEN 'credit_alphanum4'
+             |            ELSE 'native' END AS asset_type,
+             |       CAST(CAST(c_acctbal * 100 AS BIGINT) AS DOUBLE) / 10000000
+             |         AS asset_amount,
+             |       CASE WHEN r.k % 4 = 0
+             |            THEN ${strkeyG("sha256('cb-sponsor|' || (r.k % 11))")}
+             |            END AS sponsor,
+             |       r.k % 2 AS flags,
+             |       r.k AS last_modified_ledger, r.k % 3 AS ledger_entry_change,
+             |       r.k % 7 = 6 AS deleted,
+             |       make_timestamp((1700000000000 + (r.k + 100) * 5000) * 1000)
+             |         AS closed_at,
+             |       r.k + 100 AS ledger_sequence
+             |FROM rows0 r JOIN c ON r.k = c.k
+             |ORDER BY balance_id, claimant_order""".stripMargin),
       (s, dir) =>
         EntryProjections.claimableBalances(T(s, dir, "customer"))
-          .orderBy("balance_id")),
+          .select(col("balance_id"), col("balance_id_strkey"),
+            posexplode(col("claimants")).as(Seq("claimant_order", "cl")),
+            col("asset_code"), col("asset_issuer"), col("asset_type"),
+            col("asset_amount"), col("sponsor"), col("flags"),
+            col("last_modified_ledger"), col("ledger_entry_change"),
+            col("deleted"), col("closed_at"), col("ledger_sequence"))
+          .withColumn("claimant_destination", col("cl.destination"))
+          .withColumn("claimant_predicate", to_json(col("cl.predicate")))
+          .drop("cl")
+          .orderBy("balance_id", "claimant_order")),
 
     Q("p13_contract_data",
-      // val_b64/val_decoded: DuckDB re-derives the ScVal XDR bytes (RFC 4506
-      // layout: BE discriminants/lengths, 4-byte padding) and the tagged JSON
-      // independently — an external check of the whole codec, not an echo
-      Some("""WITH p AS (SELECT *, CAST(p_partkey AS BIGINT) AS k FROM part)
-             |SELECT sha256('contract|' || p_name) AS contract_id_hex,
-             |       p_size < 10 AS is_sac,
-             |       CAST((CAST(p_partkey AS HUGEINT) << 64) +
-             |            CAST(p_size AS HUGEINT) AS VARCHAR) AS balance_i128,
-             |       p_type AS storage_key,
-             |       to_base64(from_hex(
-             |         '000000110000000100000002' ||
-             |         '0000000f0000000762616c616e636500' ||
-             |         '0000000a' || format('{:016x}', p_partkey)
-             |                    || format('{:016x}', p_size) ||
-             |         '0000000f000000036b657900' ||
-             |         '0000000e' || format('{:08x}', length(p_type))
-             |                    || hex(encode(p_type))
-             |                    || repeat('00', (4 - length(p_type) % 4) % 4)
-             |       )) AS val_b64,
+      // ContractDataOutput at the reference key set: DuckDB re-derives the
+      // ScVal XDR bytes for key AND val (RFC 4506 layout: BE discriminants/
+      // lengths, 4-byte padding), both decoded JSONs, the C-strkey contract
+      // id, the G-strkey SAC balance holder, the ledger-key XDR concat and
+      // its hash pair — an external check of the whole codec, not an echo
+      Some(s"""WITH p AS (SELECT *, CAST(p_partkey AS BIGINT) AS k,
+             |    sha256('contract|' || p_name) AS cid,
+             |    '0000000f' || format('{:08x}', length(p_type))
+             |               || hex(encode(p_type))
+             |               || repeat('00', (4 - length(p_type) % 4) % 4)
+             |      AS keyhex,
+             |    '000000110000000100000002' ||
+             |    '0000000f0000000762616c616e636500' ||
+             |    '0000000a' || format('{:016x}', p_partkey)
+             |               || format('{:016x}', p_size) ||
+             |    '0000000f000000036b657900' ||
+             |    '0000000e' || format('{:08x}', length(p_type))
+             |               || hex(encode(p_type))
+             |               || repeat('00', (4 - length(p_type) % 4) % 4)
+             |      AS valhex
+             |  FROM part),
+             |q AS (SELECT *,
+             |    '00000006' || '00000001' || cid || keyhex ||
+             |      CASE WHEN k % 2 = 0 THEN '00000001' ELSE '00000000' END
+             |      AS lkhex
+             |  FROM p)
+             |SELECT ${strkeyC("cid")} AS contract_id,
+             |       'ScValTypeScvSymbol' AS contract_key_type,
+             |       CASE WHEN k % 2 = 0 THEN 'ContractDataDurabilityPersistent'
+             |            ELSE 'ContractDataDurabilityTemporary' END
+             |         AS contract_durability,
+             |       CASE WHEN p_size < 10 THEN 'TK' || (k % 50) ELSE '' END
+             |         AS asset_code,
+             |       CASE WHEN p_size < 10 THEN 'ISS' || (k % 3) ELSE '' END
+             |         AS asset_issuer,
+             |       CASE WHEN p_size < 10 THEN 'credit_alphanum4' ELSE '' END
+             |         AS asset_type,
+             |       CASE WHEN p_size < 10
+             |            THEN ${strkeyG("sha256('holder|' || (k % 13))")}
+             |            ELSE '' END AS balance_holder,
+             |       CASE WHEN p_size < 10
+             |            THEN CAST((CAST(p_partkey AS HUGEINT) << 64) +
+             |                      CAST(p_size AS HUGEINT) AS VARCHAR)
+             |            ELSE '' END AS balance,
+             |       k AS last_modified_ledger, k % 3 AS ledger_entry_change,
+             |       k % 7 = 6 AS deleted,
+             |       make_timestamp((1700000000000 + (k + 100) * 5000) * 1000)
+             |         AS closed_at,
+             |       k + 100 AS ledger_sequence,
+             |       sha256(to_base64(from_hex(lkhex))) AS ledger_key_hash,
+             |       to_base64(from_hex(keyhex)) AS key,
+             |       '{"symbol":"' || p_type || '"}' AS key_decoded,
+             |       to_base64(from_hex(valhex)) AS val,
              |       '{"map":[{"key":{"symbol":"balance"},"val":{"i128":"' ||
              |         CAST((CAST(p_partkey AS HUGEINT) << 64) +
              |              CAST(p_size AS HUGEINT) AS VARCHAR) ||
              |         '"}},{"key":{"symbol":"key"},"val":{"string":"' ||
              |         p_type || '"}}]}' AS val_decoded,
-             |       k AS last_modified_ledger, k % 3 AS ledger_entry_change,
-             |       k % 7 = 6 AS deleted, k + 100 AS ledger_sequence
-             |FROM p ORDER BY contract_id_hex, balance_i128""".stripMargin),
+             |       to_base64(from_hex(lkhex || valhex)) AS contract_data_xdr,
+             |       to_base64(from_hex(lkhex)) AS ledger_key_hash_base_64
+             |FROM q ORDER BY contract_id, balance, val""".stripMargin),
       (s, dir) =>
         EntryProjections.contractData(T(s, dir, "part"))
-          .orderBy("contract_id_hex", "balance_i128")),
+          .withColumn("key_decoded", to_json(col("key_decoded")))
+          .withColumn("val_decoded", to_json(col("val_decoded")))
+          .orderBy("contract_id", "balance", "val")),
 
     Q("p13_sac_storage",
       // SAC storage walk over real ScVal XDR: arm 0 plants an instance entry
@@ -3418,7 +3515,10 @@ object QueryCatalog {
              |SELECT sha256('wasm|' || p_name) AS contract_code_hash,
              |       k % 2 AS contract_code_ext_v,
              |       k AS last_modified_ledger, k % 3 AS ledger_entry_change,
-             |       k % 7 = 6 AS deleted, k + 100 AS ledger_sequence,
+             |       k % 7 = 6 AS deleted,
+             |       make_timestamp((1700000000000 + (k + 100) * 5000) * 1000)
+             |         AS closed_at,
+             |       k + 100 AS ledger_sequence,
              |       sha256('ck|' || p_name) AS ledger_key_hash,
              |       s * 100 AS n_instructions, s % 20 AS n_functions,
              |       s % 9 AS n_globals, s % 5 AS n_table_entries,
@@ -3478,6 +3578,7 @@ object QueryCatalog {
              |       k * 100000 + 10000 AS max_entry_ttl,
              |       16 AS min_temporary_ttl,
              |       4096 AS min_persistent_ttl,
+             |       k % 5 AS auto_bump_ledgers,
              |       k * 1000 + 1 AS persistent_rent_rate_denominator,
              |       k * 100 + 1 AS temp_rent_rate_denominator,
              |       k % 7 + 1 AS max_entries_to_archive,
@@ -3490,7 +3591,9 @@ object QueryCatalog {
              |       k AS last_modified_ledger,
              |       k % 3 AS ledger_entry_change,
              |       k % 7 = 6 AS deleted,
-             |       n_name AS setting_name
+             |       make_timestamp((1700000000000 + (k + 100) * 5000) * 1000)
+             |         AS closed_at,
+             |       k + 100 AS ledger_sequence
              |FROM n ORDER BY config_setting_id""".stripMargin),
       (s, dir) =>
         EntryProjections.configSettings(T(s, dir, "nation"))
@@ -3504,8 +3607,13 @@ object QueryCatalog {
 
     Q("p16_ttl",
       Some("""SELECT sha256(CAST(event_id AS VARCHAR)) AS key_hash,
+             |       event_id + 64 AS live_until_ledger_seq,
              |       event_id AS last_modified_ledger,
-             |       event_id + 64 AS live_until_ledger_seq
+             |       event_id % 3 AS ledger_entry_change,
+             |       event_id % 7 = 6 AS deleted,
+             |       make_timestamp((1700000000000 + (event_id + 100) * 5000)
+             |         * 1000) AS closed_at,
+             |       event_id + 100 AS ledger_sequence
              |FROM events ORDER BY key_hash""".stripMargin),
       (s, dir) =>
         EntryProjections.ttls(ev(s, dir)).orderBy("key_hash")),
@@ -3941,7 +4049,7 @@ object QueryCatalog {
           graft.sources.StellarFixture.ledgers(s, 2000, 2099))
         events.select(
             coalesce(col("operation_id"), col("transaction_id")).as("id"),
-            col("event_topic"), col("amount"))
+            col("event_topic"), col("amount_raw").as("amount"))
           .orderBy("id", "event_topic", "amount")
       }),
 
@@ -4015,7 +4123,7 @@ object QueryCatalog {
         // the VerifyEvents consistency check runs inside the gate: the union
         // is empty unless fee events stop reconciling
         events.select(col("transaction_id"), col("event_topic"),
-            col("amount"), col("ledger_sequence"))
+            col("amount_raw").as("amount"), col("ledger_sequence"))
           .unionAll(TokenTransfers.verify(events, ledgers)
             .select(col("transaction_id"), lit("INCONSISTENT").as("event_topic"),
               col("actual").cast("string").as("amount"),

@@ -326,76 +326,18 @@ object Export {
           ledgerSource(spark, a).where(col("sequence").between(a.start, a.end))), a)
 
       case "export_assets" =>
-        // payment + manage-sell-offer issued assets, deduped on the triple
-        // keeping the earliest op (A2; `asset.go:14-61`) — map-side
-        // combinable min_by, no window
-        val ops = ledgerSource(spark, a)
-          .where(col("sequence").between(a.start, a.end))
-          .select(col("sequence"), col("closed_at"),
-            posexplode(col("transactions")).as(Seq("tx_pos", "tx")))
-          .select(col("sequence"), col("closed_at"), col("tx_pos"),
-            posexplode(col("tx.operations")).as(Seq("op_pos", "op")))
-        val assets = ops
-          .select(col("sequence"), col("closed_at"), col("tx_pos"), col("op_pos"),
-            when(col("op.op_type") === 1, col("op.asset"))
-              .when(col("op.op_type") === 3, col("op.selling_asset")).as("a"))
-          .where(col("a").isNotNull)
-        sink(assets
-          .groupBy(col("a.asset_code").as("asset_code"),
-            col("a.asset_issuer").as("asset_issuer"),
-            col("a.asset_type").as("asset_type"))
-          .agg(min_by(
-            struct(col("closed_at").as("closed_at"),
-              col("sequence").as("ledger_sequence")),
-            operationToid(col("sequence"), col("tx_pos") + 1, col("op_pos")))
-            .as("f"))
-          .select(col("asset_code"), col("asset_issuer"), col("asset_type"),
-            farmHashAssetId(col("asset_code"), col("asset_issuer"),
-              col("asset_type")).as("asset_id"),
-            col("f.closed_at").as("closed_at"),
-            col("f.ledger_sequence").as("ledger_sequence")), a)
+        sink(StellarTransforms.historyAssets(
+          ledgerSource(spark, a).where(col("sequence").between(a.start, a.end))), a)
 
       case "export_ledger_transaction" =>
-        // raw per-tx envelope passthrough (`ledger_transaction.go:13-58`)
-        sink(ledgerSource(spark, a)
-          .where(col("sequence").between(a.start, a.end))
-          .select(col("sequence"), col("closed_at"), col("header_b64"),
-            explode(col("transactions")).as("tx"))
-          .select(col("sequence").cast("long").as("ledger_sequence"),
-            col("tx.envelope_b64").as("tx_envelope"),
-            col("tx.result_b64").as("tx_result"),
-            col("tx.meta_b64").as("tx_meta"),
-            col("tx.fee_meta_b64").as("tx_fee_meta"),
-            col("header_b64").as("tx_ledger_history"),
-            col("closed_at")), a)
+        sink(StellarTransforms.ledgerTransactions(
+          ledgerSource(spark, a).where(col("sequence").between(a.start, a.end))
+            .toDF()), a)
 
       case "export_contract_events" =>
-        // one row per contract event in tx meta (`contract_events.go`):
-        // topics/data as base64(XDR) plus the recursive decoded JSON
-        val evs = ledgerSource(spark, a)
-          .where(col("sequence").between(a.start, a.end))
-          .select(col("sequence"), col("closed_at"),
-            posexplode(col("transactions")).as(Seq("tx_pos", "tx")))
-          .select(col("sequence"), col("closed_at"),
-            col("tx.hash_hex").as("transaction_hash"),
-            transactionToid(col("sequence"), col("tx_pos") + 1)
-              .as("transaction_id"),
-            col("tx.successful").as("successful"),
-            explode(col("tx.operations")).as("op"))
-          .select(col("sequence"), col("closed_at"), col("transaction_hash"),
-            col("transaction_id"), col("successful"),
-            explode(col("op.sac_events")).as("ev"))
-        sink(evs.select(
-          col("transaction_hash"), col("transaction_id"), col("successful"),
-          col("sequence").cast("long").as("ledger_sequence"), col("closed_at"),
-          col("successful").as("in_successful_contract_call"),
-          strkeyContract(col("ev.contract_id")).as("contract_id"),
-          lit(0).as("type"),
-          lit("ContractEventTypeContract").as("type_string"),
-          transform(col("ev.topics_xdr"), t => base64NoWrap(t)).as("topics"),
-          transform(col("ev.topics_xdr"), t => scvalJson(t)).as("topics_decoded"),
-          base64NoWrap(col("ev.data_xdr")).as("data"),
-          scvalJson(col("ev.data_xdr")).as("data_decoded")), a)
+        sink(StellarTransforms.contractEvents(
+          ledgerSource(spark, a).where(col("sequence").between(a.start, a.end))
+            .toDF()), a)
 
       case "version" =>
         println(s"graft 0.4.0 (spark ${spark.version})")

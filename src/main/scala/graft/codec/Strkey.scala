@@ -95,7 +95,13 @@ object Strkey {
   def encodeAccountId(key: Array[Byte]): String = encode(Version.AccountId, key)
   def encodeContract(id: Array[Byte]): String = encode(Version.Contract, id)
   def encodeLiquidityPool(id: Array[Byte]): String = encode(Version.LiquidityPool, id)
-  def encodeClaimableBalance(id: Array[Byte]): String = encode(Version.ClaimableBalance, id)
+  /** B-address: the payload is the marshalled v0 ClaimableBalanceId — type
+    * byte 0x00 ‖ 32-byte hash (33 bytes), per the reference's golden
+    * `balance_id_strkey` rows. A bare 32-byte hash is prefixed; a 33-byte
+    * id passes through. */
+  def encodeClaimableBalance(id: Array[Byte]): String =
+    encode(Version.ClaimableBalance,
+      if (id.length == 32) Array[Byte](0) ++ id else id)
 
   /** Muxed account M-address: ed25519 key ‖ big-endian uint64 id. */
   def encodeMuxed(key: Array[Byte], id: Long): String = {

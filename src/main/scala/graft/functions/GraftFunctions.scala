@@ -131,8 +131,12 @@ object GraftFunctions {
     nativeCol(graft.plans.StrkeyEncodeExpression(exprOf(c), Strkey.Version.Contract))
   def strkeyPool(c: Column): Column =
     nativeCol(graft.plans.StrkeyEncodeExpression(exprOf(c), Strkey.Version.LiquidityPool))
+  /** B-address payload is the 33-byte v0 balance id: type byte 0x00 ‖ the
+    * 32-byte hash (verified against the reference's golden
+    * `balance_id_strkey` rows in ReferenceGoldenSpec). */
   def strkeyBalance(c: Column): Column =
-    nativeCol(graft.plans.StrkeyEncodeExpression(exprOf(c), Strkey.Version.ClaimableBalance))
+    nativeCol(graft.plans.StrkeyEncodeExpression(
+      exprOf(concat(lit(Array[Byte](0)), c)), Strkey.Version.ClaimableBalance))
   def strkeyMuxed(key: Column, id: Column): Column =
     nativeCol(graft.plans.StrkeyMuxedExpression(exprOf(key), exprOf(id)))
   val int128String = udf((hi: Long, lo: Long) => Amounts.int128String(hi, lo))
@@ -174,6 +178,10 @@ object GraftFunctions {
     ScVal.encode(ScVal.M(Seq(
       ScVal.Sym("balance") -> ScVal.I128(hi, lo),
       ScVal.Sym("key") -> ScVal.Str(key)))))
+
+  /** Fixture ScVal symbol — the contract-data LEDGER KEY shape. */
+  val scvalSymbolBytes = udf((sym: String) =>
+    ScVal.encode(ScVal.Sym(sym)))
 
   // ---- SAC storage walk (`contract_data.go:191-379`) -----------------------
 

@@ -229,7 +229,13 @@ object LedgerModel {
       is_fee_bump: Boolean = false,
       fee_bump_account_key: Option[Array[Byte]] = None,
       inner_hash_hex: Option[String] = None,
-      new_max_fee: Option[Long] = None)
+      new_max_fee: Option[Long] = None,
+      // PreconditionsV2 (CAP-21): null unless the envelope carries cond v2
+      // (`transaction.go` MinSeqNum/MinSeqAge/MinSeqLedgerGap/ExtraSigners)
+      min_seq_num: Option[Long] = None,
+      min_seq_age: Option[Long] = None,
+      min_seq_ledger_gap: Option[Long] = None,
+      extra_signer_keys: Seq[Array[Byte]] = Seq.empty)
 
   /** One closed ledger. */
   case class LedgerRow(

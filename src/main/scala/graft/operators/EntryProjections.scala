@@ -70,56 +70,128 @@ object EntryProjections {
       k.as("last_modified_ledger"),
       (k % 3).as("ledger_entry_change"),
       (k % 7 === 6).as("deleted"),
+      timestamp_millis(lit(1700000000000L) + (k + 100) * 5000L)
+        .as("closed_at"),
       (k + 100).as("ledger_sequence"),
       GraftFunctions.strkeyPool(unhex(poolIdHex))
         .as("liquidity_pool_id_strkey"))
   }
 
-  /** P12/L3 — claimable balances at claimant grain (array-of-claimants
-    * exploded; predicate serialized as JSON; claimants ordered by
-    * destination, `effects.go:1138-1140`), with the change-metadata columns
-    * every `ClaimableBalanceOutput` carries (`schema.go:158-162`). */
+  /** P12/L3 — claimable balances at BALANCE grain, the reference's
+    * `ClaimableBalanceOutput` key set exactly (`schema.go:148-164`):
+    * hex-marshalled v0 balance id (8-hex discriminant ‖ 64-hex hash) plus
+    * its B-strkey, the claimants array of {destination, predicate} with the
+    * recursive predicate tree rendered as a raw JSON object
+    * (`claimable_balance.go:11-60`), the asset quadruple, and the change
+    * metadata. Claimants are ordered by destination (L3,
+    * `effects.go:1138-1140`). */
   def claimableBalances(custGrain: DataFrame): DataFrame = {
     val k = col("c_custkey").cast("long")
+    val balanceHash = sha2(col("c_custkey").cast("string"), 256)
+    val aCode = concat(lit("CB"), (k % 40).cast("string"))
+    val aIssuer = GraftFunctions.strkeyAccount(
+      unhex(sha2(concat(lit("cb-issuer|"), (k % 5).cast("string")), 256)))
+    // 1 + k%3 claimants, sorted by destination inside the row (no shuffle).
+    // VARIANT is not orderable, so sort the (destination, i) pairs first and
+    // attach the predicate variant afterwards.
+    val destIdx = sort_array(transform(
+      sequence(lit(0), (k % 3).cast("int")),
+      i => struct(
+        GraftFunctions.strkeyAccount(unhex(sha2(
+          concat(lit("claimant|"), col("c_custkey").cast("string"),
+            lit("|"), i.cast("string")), 256))).as("destination"),
+        i.as("i"))))
+    val claimants = transform(destIdx, d => struct(
+      d("destination").as("destination"),
+      parse_json(GraftFunctions.claimPredicateJson(
+        GraftFunctions.claimPredicateFixture(k + d("i").cast("long"))))
+        .as("predicate")))
     custGrain.select(
-      sha2(col("c_custkey").cast("string"), 256).as("balance_id"),
-      concat(lit("ACC"), col("c_custkey").cast("string")).as("claimant_destination"),
-      // real recursive predicate tree: encoded to XDR by the fixture builder,
-      // decoded + rendered by the codec (`claimable_balance.go:11-21`,
-      // `schema.go:166-170`) — and re-derived independently by the oracle
-      GraftFunctions.claimPredicateJson(
-        GraftFunctions.claimPredicateFixture(col("c_custkey").cast("long")))
-        .as("claimant_predicate"),
-      col("c_acctbal").as("amount"),
-      col("c_nationkey").cast("long").as("sponsoring_nation"),
+      concat(lit("00000000"), balanceHash).as("balance_id"),
+      claimants.as("claimants"),
+      when(k % 9 =!= 0, aCode).otherwise(lit("")).as("asset_code"),
+      when(k % 9 =!= 0, aIssuer).otherwise(lit("")).as("asset_issuer"),
+      when(k % 9 =!= 0, lit("credit_alphanum4")).otherwise(lit("native"))
+        .as("asset_type"),
+      GraftFunctions.farmHashAssetId(
+        when(k % 9 =!= 0, aCode).otherwise(lit("")),
+        when(k % 9 =!= 0, aIssuer).otherwise(lit("")),
+        when(k % 9 =!= 0, lit("credit_alphanum4")).otherwise(lit("native")))
+        .as("asset_id"),
+      GraftFunctions.stroopsToXlm(round(col("c_acctbal") * 100).cast("long"))
+        .as("asset_amount"),
+      when(k % 4 === 0, GraftFunctions.strkeyAccount(
+        unhex(sha2(concat(lit("cb-sponsor|"), (k % 11).cast("string")), 256))))
+        .as("sponsor"),
+      (k % 2).cast("long").as("flags"),
       k.as("last_modified_ledger"),
       (k % 3).as("ledger_entry_change"),
       (k % 7 === 6).as("deleted"),
-      (k + 100).as("ledger_sequence"))
+      timestamp_millis(lit(1700000000000L) + (k + 100) * 5000L)
+        .as("closed_at"),
+      (k + 100).as("ledger_sequence"),
+      GraftFunctions.strkeyBalance(unhex(balanceHash)).as("balance_id_strkey"))
   }
 
-  /** P13 — contract data incl. SAC detection flag and i128 balance string
-    * (`contract_data.go:49-158,306-379`). */
+  /** P13 — contract data at the reference's `ContractDataOutput` key set
+    * (`schema.go:511-532`, `contract_data.go:49-158,306-379`): C-strkey
+    * contract id, key/val as base64(ScVal XDR) with the recursive decoded
+    * JSON beside each, the SAC balance arm (holder + i128 string, empty
+    * strings when not a SAC entry — the reference's zero-value rendering),
+    * the ledger-key hash pair (hex sha-256 + base64 of the key XDR), and
+    * change metadata. */
   def contractData(parts: DataFrame): DataFrame = {
-    // the entry value as a real ScVal: XDR-encoded map {balance:i128, key:str}
-    // serialized base64 + decoded JSON, the reference's two-column contract
-    // (`contract_events.go:128-148` serializeScVal; `contract_data.go:306-379`)
-    val scval = GraftFunctions.scvalContractValBytes(
+    // val: a real ScVal map {balance:i128, key:str}; key: ScVal symbol of
+    // p_type — both serialized base64 + decoded JSON, the reference's
+    // two-column contract (`serializeScVal`, contract_events.go:128-148)
+    val valScval = GraftFunctions.scvalContractValBytes(
       col("p_partkey"), col("p_size").cast("long"), col("p_type"))
+    val keyScval = GraftFunctions.scvalSymbolBytes(col("p_type"))
     val k = col("p_partkey").cast("long")
+    val contractIdHex = sha2(concat(lit("contract|"), col("p_name")), 256)
+    val isSac = col("p_size") < 10
+    // LedgerKey{CONTRACT_DATA=6, ScAddress{CONTRACT=1, id}, key, durability}
+    val ledgerKeyXdr = concat(
+      unhex(lit("00000006")), unhex(lit("00000001")), unhex(contractIdHex),
+      keyScval, unhex(when(k % 2 === 0, lit("00000001"))
+        .otherwise(lit("00000000"))))
     parts.select(
-      sha2(concat(lit("contract|"), col("p_name")), 256).as("contract_id_hex"),
-      (col("p_size") < 10).as("is_sac"),
-      GraftFunctions.int128String(col("p_partkey"), col("p_size").cast("long"))
-        .as("balance_i128"),
-      col("p_type").as("storage_key"),
-      GraftFunctions.base64NoWrap(scval).as("val_b64"),
-      GraftFunctions.scvalJson(scval).as("val_decoded"),
-      // change metadata, `ContractDataOutput` parity (`schema.go:520-524`)
+      GraftFunctions.strkeyContract(unhex(contractIdHex)).as("contract_id"),
+      lit("ScValTypeScvSymbol").as("contract_key_type"),
+      when(k % 2 === 0, lit("ContractDataDurabilityPersistent"))
+        .otherwise(lit("ContractDataDurabilityTemporary"))
+        .as("contract_durability"),
+      // SAC arm (`AssetFromContractData`/`ContractBalanceFromContractData`,
+      // contract_data.go:162-304): empty strings when not a SAC entry
+      when(isSac, concat(lit("TK"), (k % 50).cast("string"))).otherwise(lit(""))
+        .as("asset_code"),
+      when(isSac, concat(lit("ISS"), (k % 3).cast("string"))).otherwise(lit(""))
+        .as("asset_issuer"),
+      when(isSac, lit("credit_alphanum4")).otherwise(lit("")).as("asset_type"),
+      when(isSac, GraftFunctions.strkeyAccount(
+          unhex(sha2(concat(lit("holder|"), (k % 13).cast("string")), 256))))
+        .otherwise(lit("")).as("balance_holder"),
+      when(isSac, GraftFunctions.int128String(col("p_partkey"),
+          col("p_size").cast("long"))).otherwise(lit("")).as("balance"),
       k.as("last_modified_ledger"),
       (k % 3).as("ledger_entry_change"),
       (k % 7 === 6).as("deleted"),
-      (k + 100).as("ledger_sequence"))
+      timestamp_millis(lit(1700000000000L) + (k + 100) * 5000L)
+        .as("closed_at"),
+      (k + 100).as("ledger_sequence"),
+      // fixture law: the hex hash is taken over the BASE64 rendering of the
+      // key XDR (DuckDB's sha256 is VARCHAR-only, so the oracle re-derives
+      // this exactly; the raw-bytes sha-256 law itself is pinned by the
+      // footprint ledger_key_hash golden vectors in OperationDetailsSpec)
+      sha2(GraftFunctions.base64NoWrap(ledgerKeyXdr), 256)
+        .as("ledger_key_hash"),
+      GraftFunctions.base64NoWrap(keyScval).as("key"),
+      parse_json(GraftFunctions.scvalJson(keyScval)).as("key_decoded"),
+      GraftFunctions.base64NoWrap(valScval).as("val"),
+      parse_json(GraftFunctions.scvalJson(valScval)).as("val_decoded"),
+      GraftFunctions.base64NoWrap(concat(ledgerKeyXdr, valScval))
+        .as("contract_data_xdr"),
+      GraftFunctions.base64NoWrap(ledgerKeyXdr).as("ledger_key_hash_base_64"))
   }
 
   /** P14 — contract code at the reference's `ContractCodeOutput` width
@@ -135,6 +207,8 @@ object EntryProjections {
       k.as("last_modified_ledger"),
       (k % 3).as("ledger_entry_change"),
       (k % 7 === 6).as("deleted"),
+      timestamp_millis(lit(1700000000000L) + (k + 100) * 5000L)
+        .as("closed_at"),
       (k + 100).as("ledger_sequence"),
       keyHashHex.as("ledger_key_hash"),
       (s * 100).as("n_instructions"),
@@ -200,6 +274,7 @@ object EntryProjections {
       (k * 100000 + 10000).as("max_entry_ttl"),
       lit(16L).as("min_temporary_ttl"),
       lit(4096L).as("min_persistent_ttl"),
+      (k % 5).as("auto_bump_ledgers"),
       (k * 1000 + 1).as("persistent_rent_rate_denominator"),
       (k * 100 + 1).as("temp_rent_rate_denominator"),
       (k % 7 + 1).as("max_entries_to_archive"),
@@ -212,15 +287,25 @@ object EntryProjections {
       k.as("last_modified_ledger"),
       (k % 3).as("ledger_entry_change"),
       (k % 7 === 6).as("deleted"),
-      col("n_name").as("setting_name"))
+      timestamp_millis(lit(1700000000000L) + (k + 100) * 5000L)
+        .as("closed_at"),
+      (k + 100).as("ledger_sequence"))
   }
 
-  /** P16 — TTLs: key hash hex + live-until sequence (`ttl.go:12-49`). */
-  def ttls(eventGrain: DataFrame): DataFrame =
+  /** P16 — TTLs at the reference's `TtlOutput` width (`schema.go:610-619`,
+    * `ttl.go:12-49`): key hash + live-until + change metadata. */
+  def ttls(eventGrain: DataFrame): DataFrame = {
+    val k = col("event_id").cast("long")
     eventGrain.select(
       sha2(col("event_id").cast("string"), 256).as("key_hash"),
+      (col("event_id") + 64).as("live_until_ledger_seq"),
       col("event_id").as("last_modified_ledger"),
-      (col("event_id") + 64).as("live_until_ledger_seq"))
+      (k % 3).as("ledger_entry_change"),
+      (k % 7 === 6).as("deleted"),
+      timestamp_millis(lit(1700000000000L) + (k + 100) * 5000L)
+        .as("closed_at"),
+      (k + 100).as("ledger_sequence"))
+  }
 
   /** P17 — contract events: topics array + decoded-JSON payload
     * (`contract_events.go:20-104,128-169`). */

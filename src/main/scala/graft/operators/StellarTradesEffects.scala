@@ -758,15 +758,34 @@ object StellarTradesEffects {
     val allEffects = concat(effectsArr,
       coalesce(sponsorshipEffects, noEff), coalesce(lpEntryEffects, noEff))
 
+    // `addMuxed` (effects.go:173-194): when the acting participant was
+    // addressed in muxed form, `address` is the unmuxed G-account and
+    // `address_muxed` the M-address. In the fixture model muxing can ride
+    // on the tx source (source_muxed_id) or the op destination
+    // (destination_muxed_id); every other addressee goes through
+    // `addUnmuxed` ⇒ null.
+    val addressMuxed =
+      when(col("e.address") === destAddr &&
+          col("op.destination_muxed_id").isNotNull,
+        strkeyMuxed(col("op.destination_key"), col("op.destination_muxed_id")))
+        .when(col("e.address") === sourceAddr && col("op.source_key").isNull &&
+            col("tx.source_muxed_id").isNotNull,
+          strkeyMuxed(col("tx.source_key"), col("tx.source_muxed_id")))
+
     ops
-      .select(col("sequence"), col("closed_at"), col("tx_pos"),
+      .select(col("sequence"), col("closed_at"), col("tx_pos"), col("op"),
+        col("tx"),
         operationToid(col("sequence"), col("tx_pos") + 1, col("op_pos"))
           .as("operation_id"),
         posexplode(allEffects).as(Seq("eff_pos", "e")))
       .select(
         col("e.address").as("address"),
+        addressMuxed.as("address_muxed"),
         col("operation_id"),
-        col("e.details").as("details"),
+        // reference `details` is a per-type map (`schema.go:360`); the
+        // builders above render it as a JSON string — VARIANT restores the
+        // raw-object rendering on every output format
+        parse_json(col("e.details")).as("details"),
         col("e.type").as("type"),
         col("e.type_string").as("type_string"),
         col("closed_at"),

@@ -782,6 +782,15 @@ object StellarTransforms {
       coalesce(col("tx.soroban.refundable_fee"), lit(0L))
         .as("refundable_resource_fee_charged"),
       coalesce(col("tx.soroban.rent_fee"), lit(0L)).as("rent_fee_charged"),
+      // PreconditionsV2 (`schema.go:62-65`): null.Int columns, null when the
+      // envelope has no cond-v2; extra_signers is a string array that
+      // marshals null when absent (pq.StringArray nil)
+      col("tx.min_seq_num").as("min_account_sequence"),
+      col("tx.min_seq_age").as("min_account_sequence_age"),
+      col("tx.min_seq_ledger_gap").as("min_account_sequence_ledger_gap"),
+      when(size(col("tx.extra_signer_keys")) > 0,
+        transform(col("tx.extra_signer_keys"), k => strkeyAccount(k)))
+        .as("extra_signers"),
       transform(col("tx.signers"), k => strkeyAccount(k)).as("tx_signers"))
   }
 
@@ -1138,14 +1147,119 @@ object StellarTransforms {
           .as("source_account_muxed"),
         col("op.op_type").as("type"),
         element_at(opTypeNameCol, col("op.op_type")).as("type_string"),
-        detailsStruct.as("details_struct"),
-        to_json(detailsStruct, Map("ignoreNullFields" -> "true")).as("details"),
+        // `details` is the typed wide struct — the reference's sparse
+        // per-type map (`schema.go:137`): null fields drop out of NDJSON
+        // via the writer's ignoreNullFields, so the rendered object carries
+        // only the keys the op type populates. `details_json` is the SAME
+        // map (`operation.go:97` assigns outputDetails to both), emitted as
+        // a VARIANT so it renders as a raw JSON object, not a quoted string.
+        detailsStruct.as("details"),
+        parse_json(to_json(detailsStruct, Map("ignoreNullFields" -> "true")))
+          .as("details_json"),
         transactionToid(col("sequence"), col("tx_pos") + 1).as("transaction_id"),
         operationToid(col("sequence"), col("tx_pos") + 1, col("op_pos")).as("id"),
         col("closed_at"),
         col("op.result_code").as("operation_result_code"),
         col("op.trace_code").as("operation_trace_code"),
-        col("sequence").as("ledger_sequence"),
-        col("op.details_json").as("details_json"))
+        col("sequence").as("ledger_sequence"))
   }
+
+  /** P6/A2 model path — `history_assets`: payment + manage-sell-offer issued
+    * assets deduped on the (code, issuer, type) triple keeping the
+    * EARLIEST op (`asset.go:14-61`, `cmd/export_assets.go:39-58`) — a
+    * map-side-combinable `min_by`, no window, one shuffle. */
+  def historyAssets(ledgers: Dataset[LedgerRow]): DataFrame = {
+    import graft.functions.GraftFunctions.{farmHashAssetId, operationToid}
+    val ops = ledgers
+      .select(col("sequence"), col("closed_at"),
+        posexplode(col("transactions")).as(Seq("tx_pos", "tx")))
+      .select(col("sequence"), col("closed_at"), col("tx_pos"),
+        posexplode(col("tx.operations")).as(Seq("op_pos", "op")))
+    ops
+      .select(col("sequence"), col("closed_at"), col("tx_pos"), col("op_pos"),
+        when(col("op.op_type") === 1, col("op.asset"))
+          .when(col("op.op_type") === 3, col("op.selling_asset")).as("a"))
+      .where(col("a").isNotNull)
+      .groupBy(col("a.asset_code").as("asset_code"),
+        col("a.asset_issuer").as("asset_issuer"),
+        col("a.asset_type").as("asset_type"))
+      .agg(min_by(
+        struct(col("closed_at").as("closed_at"),
+          col("sequence").as("ledger_sequence")),
+        operationToid(col("sequence"), col("tx_pos") + 1, col("op_pos")))
+        .as("f"))
+      .select(col("asset_code"), col("asset_issuer"), col("asset_type"),
+        farmHashAssetId(col("asset_code"), col("asset_issuer"),
+          col("asset_type")).as("asset_id"),
+        col("f.closed_at").as("closed_at"),
+        col("f.ledger_sequence").as("ledger_sequence"))
+  }
+
+  /** Raw per-tx envelope passthrough — `ledger_transactions` at the
+    * reference's `LedgerTransactionOutput` key set (`schema.go:81-89`,
+    * `ledger_transaction.go:13-58`): the four XDR blobs, the header XDR as
+    * `tx_ledger_history`, and the ledger coordinates. Map-only. */
+  def ledgerTransactions(ledgers: DataFrame): DataFrame =
+    ledgers
+      .select(col("sequence"), col("closed_at"), col("header_b64"),
+        explode(col("transactions")).as("tx"))
+      .select(col("sequence").cast("long").as("ledger_sequence"),
+        col("tx.envelope_b64").as("tx_envelope"),
+        col("tx.result_b64").as("tx_result"),
+        col("tx.meta_b64").as("tx_meta"),
+        col("tx.fee_meta_b64").as("tx_fee_meta"),
+        col("header_b64").as("tx_ledger_history"),
+        col("closed_at"))
+
+  /** Model-path `contract_events` at the reference's `ContractEventOutput`
+    * key set (`schema.go:622-637`, `contract_events.go:20-104,128-169`):
+    * one row per contract event in the tx meta, topics/data as
+    * base64(ScVal XDR) beside their recursively-decoded VARIANTs, plus the
+    * whole-event XDR (`contract_event_xdr` — fixture layout: ext-v0 ‖
+    * contractID-present flag ‖ id ‖ type ‖ body-v0 ‖ topic vec ‖ data).
+    * Map-only fan-out; no shuffle. */
+  def contractEvents(ledgers: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val evs = ledgers
+      .select(col("sequence"), col("closed_at"),
+        posexplode(col("transactions")).as(Seq("tx_pos", "tx")))
+      .select(col("sequence"), col("closed_at"),
+        col("tx.hash_hex").as("transaction_hash"),
+        transactionToid(col("sequence"), col("tx_pos") + 1)
+          .as("transaction_id"),
+        col("tx.successful").as("successful"),
+        explode(col("tx.operations")).as("op"))
+      .select(col("sequence"), col("closed_at"), col("transaction_hash"),
+        col("transaction_id"), col("successful"),
+        explode(col("op.sac_events")).as("ev"))
+    val eventXdr = concat(
+      unhex(lit("00000000")), // ext v0
+      unhex(lit("00000001")), col("ev.contract_id"), // optional id, present
+      unhex(lit("00000000")), // type CONTRACT
+      unhex(lit("00000000")), // body v0
+      int32be(size(col("ev.topics_xdr"))),
+      concat_binary(col("ev.topics_xdr")),
+      col("ev.data_xdr"))
+    evs.select(
+      col("transaction_hash"), col("transaction_id"), col("successful"),
+      col("sequence").cast("long").as("ledger_sequence"), col("closed_at"),
+      col("successful").as("in_successful_contract_call"),
+      strkeyContract(col("ev.contract_id")).as("contract_id"),
+      lit(0).as("type"),
+      lit("ContractEventTypeContract").as("type_string"),
+      transform(col("ev.topics_xdr"), t => base64NoWrap(t)).as("topics"),
+      transform(col("ev.topics_xdr"), t => parse_json(scvalJson(t)))
+        .as("topics_decoded"),
+      base64NoWrap(col("ev.data_xdr")).as("data"),
+      parse_json(scvalJson(col("ev.data_xdr"))).as("data_decoded"),
+      base64NoWrap(eventXdr).as("contract_event_xdr"))
+  }
+
+  /** Big-endian uint32 as 4 binary bytes (XDR scalar layout). */
+  private def int32be(c: Column): Column =
+    unhex(lpad(hex(c.cast("int")), 8, "0"))
+
+  /** Binary concat of an array<binary> column (XDR vector body). */
+  private def concat_binary(c: Column): Column =
+    aggregate(c, lit(Array.emptyByteArray), (acc, x) => concat(acc, x))
 }

@@ -34,7 +34,7 @@ object TokenTransfers {
   // amount rides as a decimal STRING: SAC event amounts are i128 and can
   // exceed long range; classic-op longs stringify losslessly
   private val evType = "struct<event_topic:string,from:string,to:string," +
-    "asset:string,amount_str:string,to_muxed_id:string>"
+    "asset:string,amount_str:string,to_muxed:string,to_muxed_id:string>"
 
   def fromLedgers(ledgers: Dataset[LedgerRow]): DataFrame = {
     val txGrain = ledgers.select(
@@ -51,10 +51,16 @@ object TokenTransfers {
         .as("from"),
       lit(null).cast("string").as("to"),
       lit("native").as("asset"),
-      col("tx.fee_charged").cast("string").as("amount"),
-      stroopsToXlm(col("tx.fee_charged")).as("amount_float"),
+      lit("native").as("asset_type"),
+      lit(null).cast("string").as("asset_code"),
+      lit(null).cast("string").as("asset_issuer"),
+      stroopsToXlm(col("tx.fee_charged")).as("amount"),
+      col("tx.fee_charged").cast("string").as("amount_raw"),
+      sacContractOf(lit("native"), lit(null).cast("string"),
+        lit(null).cast("string")).as("contract_id"),
       col("sequence").as("ledger_sequence"),
       col("closed_at"),
+      lit(null).cast("string").as("to_muxed"),
       lit(null).cast("string").as("to_muxed_id"))
 
     val ops = txGrain
@@ -73,10 +79,11 @@ object TokenTransfers {
       strkeyPool(col("op.pool_id")))
 
     def ev(topic: Column, from: Column, to: Column, asset: Column,
-        amount: Column, toMuxed: Column = lit(null).cast("string")): Column =
+        amount: Column, toMuxedId: Column = lit(null).cast("string"),
+        toMuxed: Column = lit(null).cast("string")): Column =
       struct(topic.as("event_topic"), from.as("from"), to.as("to"),
         asset.as("asset"), amount.cast("string").as("amount_str"),
-        toMuxed.as("to_muxed_id"))
+        toMuxed.as("to_muxed"), toMuxedId.as("to_muxed_id"))
 
     def canonOf(a: Column): Column =
       assetCanonical(coalesce(a("asset_type"), lit("native")),
@@ -101,7 +108,9 @@ object TokenTransfers {
     val payment = array(ev(
       payTopic(opAsset, fromKey, col("op.destination_key")),
       fromAddr, toAddr, canonOf(opAsset), col("op.amount_stroops"),
-      col("op.destination_muxed_id").cast("string")))
+      col("op.destination_muxed_id").cast("string"),
+      when(col("op.destination_muxed_id").isNotNull,
+        strkeyMuxed(col("op.destination_key"), col("op.destination_muxed_id")))))
     val accountMerge = array(ev(lit("transfer"), fromAddr, toAddr,
       lit("native"), col("op.amount_stroops")))
     val clawback = array(ev(lit("clawback"), toAddr,
@@ -193,16 +202,46 @@ object TokenTransfers {
         col("e.from").as("from"),
         col("e.to").as("to"),
         col("e.asset").as("asset"),
-        col("e.amount_str").as("amount"),
+        // the canonical string is `type:code:issuer` (or `native`) — split
+        // it back into the typed triple (`TokenTransferOutput`,
+        // schema.go:645-648: code/issuer are null for native)
+        coalesce(split_part(col("e.asset"), lit(":"), lit(1)), lit("native"))
+          .as("asset_type"),
+        when(col("e.asset") =!= "native",
+          split_part(col("e.asset"), lit(":"), lit(2))).as("asset_code"),
+        when(col("e.asset") =!= "native",
+          split_part(col("e.asset"), lit(":"), lit(3))).as("asset_issuer"),
         // float view: ok to lose precision for >2^53 amounts, but must not
         // throw — scale via double division, not a long cast
-        (col("e.amount_str").cast("double") / 1e7).as("amount_float"),
+        (col("e.amount_str").cast("double") / 1e7).as("amount"),
+        col("e.amount_str").as("amount_raw"),
+        sacContractOf(
+          split_part(col("e.asset"), lit(":"), lit(1)),
+          when(col("e.asset") =!= "native",
+            split_part(col("e.asset"), lit(":"), lit(2))),
+          when(col("e.asset") =!= "native",
+            split_part(col("e.asset"), lit(":"), lit(3))))
+          .as("contract_id"),
         col("sequence").as("ledger_sequence"),
         col("closed_at"),
+        col("e.to_muxed").as("to_muxed"),
         col("e.to_muxed_id").as("to_muxed_id"))
 
     fees.unionAll(transfers)
   }
+
+  /** The SAC contract C-address of an asset (`TokenTransferOutput.
+    * ContractID`, token_transfer.go:121): the real preimage-hash codec
+    * (`SacContractId.contractId`) over the asset triple; the fixture's
+    * short issuer names stand in for issuer keys via sha-256. */
+  private def sacContractOf(assetType: Column, code: Column,
+      issuer: Column): Column =
+    strkeyContract(sacContractIdBytes(
+      coalesce(assetType, lit("native")),
+      coalesce(code, lit("")),
+      when(coalesce(assetType, lit("native")) =!= "native",
+        unhex(sha2(concat(lit("issuer-"), coalesce(issuer, lit(""))), 256)))
+        .otherwise(lit(Array.emptyByteArray))))
 
   /** [[fromLedgers]] evaluated ONCE per fixture frame: the event projection
     * is a ~12-branch nested-struct `when` chain whose expression tree
@@ -246,7 +285,7 @@ object TokenTransfers {
       col("tx.fee_charged").as("expected_fee"))
     val feeViolations = events.where(col("event_topic") === "fee")
       .groupBy("transaction_id")
-      .agg(sum(col("amount").cast("long")).as("fee_total"))
+      .agg(sum(col("amount_raw").cast("long")).as("fee_total"))
       .join(feeExpected, Seq("transaction_id"))
       .where(col("fee_total") =!= col("expected_fee"))
       .select(col("transaction_id"), col("fee_total").as("actual"),

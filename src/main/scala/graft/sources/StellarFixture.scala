@@ -396,7 +396,14 @@ object StellarFixture {
       fee_bump_account_key = if (t % 5 == 4) Some(keyOf(s"bump-$l-$t")) else None,
       inner_hash_hex = if (t % 5 == 4)
         Some(graft.codec.Hashes.sha256Hex(s"inner-$l-$t".getBytes("UTF-8"))) else None,
-      new_max_fee = if (t % 5 == 4) Some(10000L + t) else None)
+      new_max_fee = if (t % 5 == 4) Some(10000L + t) else None,
+      // PreconditionsV2 on the t%5==3 txs only — the others keep the
+      // reference's absent-cond ⇒ null rendering
+      min_seq_num = if (t % 5 == 3) Some(l * 10 + t) else None,
+      min_seq_age = if (t % 5 == 3) Some(3600L + t) else None,
+      min_seq_ledger_gap = if (t % 5 == 3) Some(10L + t) else None,
+      extra_signer_keys =
+        if (t % 5 == 3) Seq(keyOf(s"extra-$l-$t")) else Seq.empty)
   }
 
   def ledger(seq: Long): LedgerRow =

@@ -38,7 +38,7 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = StellarTransforms.historyOperations(
       StellarFixture.ledgers(spark, l, l))
     val opId = graft.codec.Toid.pack(l, t + 1, o + 1)
-    df.where(col("id") === opId).select("details").head().getString(0)
+    df.where(col("id") === opId).select(to_json(col("details"), java.util.Map.of("ignoreNullFields", "true"))).head().getString(0)
   }
 
   private def check(ty: Int)(expected: (Long, String, String) => String): Unit = {
@@ -251,7 +251,7 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d = StellarTransforms.historyOperations(
       StellarFixture.ledgers(spark, l, l))
       .where(col("id") === graft.codec.Toid.pack(l, 3, 1))
-      .select("details").head().getString(0)
+      .select(to_json(col("details"), java.util.Map.of("ignoreNullFields", "true"))).head().getString(0)
     val cidKey = keyOf(s"contract-$l-2-0")
     val cid = Strkey.encodeContract(cidKey)
     val p0 = GraftTestB64.b64(ScVal.encode(ScVal.AddrContract(cidKey)))
@@ -315,7 +315,7 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tx = StellarFixture.tx(1, 1).copy(source_key = sponsorTx, operations = ops)
     val ledger = StellarFixture.ledger(1).copy(transactions = Seq(tx))
     val d = StellarTransforms.historyOperations(spark.createDataset(Seq(ledger)))
-      .where(col("type") === 17).select("details").head().getString(0)
+      .where(col("type") === 17).select(to_json(col("details"), java.util.Map.of("ignoreNullFields", "true"))).head().getString(0)
     assert(d == s"""{"begin_sponsor":"${Strkey.encodeAccountId(keyOf("sponsor-op"))}"}""")
   }
 }

@@ -946,16 +946,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("orderbook star dims: both asset orderings map to one market") {
     import spark.implicits._
     val offers = Seq(
-      (1L, "acct1", "AST1", "AST2", 10.0, 1L, 2L, 5L, false),
-      (2L, "acct2", "AST2", "AST1", 20.0, 2L, 3L, 6L, false),
-      (3L, "acct3", "AST3", "AST4", 30.0, 1L, 1L, 7L, true) // deleted: excluded
-    ).toDF("offer_id", "seller_id", "selling_asset", "buying_asset",
-      "amount", "price_n", "price_d", "ledger_sequence", "deleted")
+      (1L, "acct1", "credit_alphanum4", "AST1", "ISS1",
+        "credit_alphanum4", "AST2", "ISS2", 10.0, 0.5, 5L, false),
+      (2L, "acct2", "credit_alphanum4", "AST2", "ISS2",
+        "credit_alphanum4", "AST1", "ISS1", 20.0, 2.0, 6L, false),
+      (3L, "acct3", "native", null, null,
+        "credit_alphanum4", "AST4", "ISS4", 30.0, 1.0, 7L, true) // deleted
+    ).toDF("offer_id", "seller_id",
+      "selling_asset_type", "selling_asset_code", "selling_asset_issuer",
+      "buying_asset_type", "buying_asset_code", "buying_asset_issuer",
+      "amount", "price", "ledger_sequence", "deleted")
     val markets = OrderbookStar.dimMarket(offers).collect()
     assert(markets.length == 1)
-    assert(markets.head.getAs[String]("base_asset") == "AST1")
-    assert(markets.head.getAs[String]("counter_asset") == "AST2")
+    assert(markets.head.getAs[String]("base_code") == "AST1")
+    assert(markets.head.getAs[String]("base_issuer") == "ISS1")
+    assert(markets.head.getAs[String]("counter_code") == "AST2")
+    assert(markets.head.getAs[String]("counter_issuer") == "ISS2")
     assert(OrderbookStar.dimAccount(offers).count() == 2)
+    // both sides agree on market_id; action flips with the sort order
+    val dimOffers = OrderbookStar.dimOffer(offers).collect()
+    assert(dimOffers.map(_.getAs[Long]("market_id")).distinct.length == 1)
+    assert(dimOffers.sortBy(_.getAs[Long]("horizon_offer_id"))
+      .map(_.getAs[String]("action")).toSeq == Seq("s", "b"))
+    // fact FK joins back to dim_offers
+    val fact = OrderbookStar.factOfferEvents(offers).collect()
+    val dimIds = dimOffers.map(_.getAs[Long]("dim_offer_id")).toSet
+    assert(fact.forall(r => dimIds.contains(r.getAs[Long]("offer_instance_id"))))
   }
 
   // ---- multimodal ----------------------------------------------------------

@@ -81,7 +81,7 @@ class StellarTransformSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(StellarTransforms.operationTypeNames(r.getAs[Int]("type")) ==
         r.getAs[String]("type_string"))
     }
-    assert(ops.forall(r => r.getAs[String]("details").nonEmpty))
+    assert(ops.forall(r => r.getAs[org.apache.spark.sql.Row]("details") != null))
   }
 
   test("output columns match the reference schema surface") {

@@ -93,9 +93,9 @@ class TokenTransferSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("VerifyEvents: fee events reconcile with envelope fees") {
     assert(TokenTransfers.verify(events, fixture).count() == 0)
     // corrupt one fee event → verify flags exactly those transactions
-    val corrupted = events.withColumn("amount",
+    val corrupted = events.withColumn("amount_raw",
       when(col("event_topic") === "fee" && col("ledger_sequence") === 3000,
-        lit("999999")).otherwise(col("amount")))
+        lit("999999")).otherwise(col("amount_raw")))
     assert(TokenTransfers.verify(corrupted, fixture).count() > 0)
   }
 }

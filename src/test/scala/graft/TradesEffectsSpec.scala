@@ -118,7 +118,7 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
         StellarFixture.ledgers(spark, 2044, 2044))
       .where(col("operation_id") === graft.codec.Toid.pack(2044, 2, 2))
       .orderBy("index")
-      .select("index", "type", "details")
+      .select(col("index"), col("type"), to_json(col("details")).as("details"))
       .collect()
     assert(effs.map(_.getInt(1)).toSeq == Seq(26, 50, 51, 50, 51, 95))
     val d1 = effs(1).getString(2) // first CB-created (index 1)
@@ -241,7 +241,7 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("effects: detail payloads are valid JSON with expected keys") {
     val effects = StellarTradesEffects.historyEffects(fixture)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val byType = effects.select("type", "details").collect()
+    val byType = effects.select(col("type"), to_json(col("details")).as("details")).collect()
       .groupBy(_.getInt(0)).map { case (t, rows) => t -> rows.head.getString(1) }
     byType.foreach { case (t, d) =>
       val node = om.readTree(d) // throws on malformed JSON
