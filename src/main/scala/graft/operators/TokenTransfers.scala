@@ -211,9 +211,10 @@ object TokenTransfers {
           split_part(col("e.asset"), lit(":"), lit(2))).as("asset_code"),
         when(col("e.asset") =!= "native",
           split_part(col("e.asset"), lit(":"), lit(3))).as("asset_issuer"),
-        // float view: ok to lose precision for >2^53 amounts, but must not
-        // throw — scale via double division, not a long cast
-        (col("e.amount_str").cast("double") / 1e7).as("amount"),
+        // float view: the reference's golden rows carry raw × 1e-7 under
+        // DOUBLE MULTIPLICATION (600 → 5.9999999999999995e-05), one ulp off
+        // from exact division — reproduce the multiply, not a decimal path
+        (col("e.amount_str").cast("double") * 1e-7).as("amount"),
         col("e.amount_str").as("amount_raw"),
         sacContractOf(
           split_part(col("e.asset"), lit(":"), lit(1)),
