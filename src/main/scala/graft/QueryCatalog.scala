@@ -2192,7 +2192,23 @@ object QueryCatalog {
              |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
              |        FROM tx),
              |o AS (SELECT seq, t, u, CAST((seq + t + u) % 27 AS INT) AS op_type,
-             |             ['XLM','USDC','EURC'] AS codes FROM ops)
+             |             ['XLM','USDC','EURC'] AS codes,
+             |             ['init','transfer','swap']
+             |               [CAST((seq + t) % 3 + 1 AS INT)] AS fn_name FROM ops),
+             |abc AS (SELECT seq, t, e % ((seq + t) % 3 + 1) AS u,
+             |               string_agg('{"type":"' ||
+             |                 ['transfer','mint','burn']
+             |                   [CAST((seq + e) % 3 + 1 AS INT)] ||
+             |                 '","amount":"' || (100000 * (t + 1) + seq % 97 + e)
+             |                 || '","to":"' || (seq * 1000 + t * 10 + e) ||
+             |                 '","contract":"' ||
+             |                 ${strkeyC(
+                                  "sha256('ev-ct-' || seq || '-' || t || '-' || e)")}
+             |                 || '"}', ',' ORDER BY e) AS abc
+             |        FROM (SELECT seq, t, unnest(generate_series(0,
+             |                CAST((seq + t) // 2 % 2 AS INT))) AS e
+             |              FROM tx WHERE (seq + t) % 2 = 0)
+             |        GROUP BY 1, 2, 3)
              |SELECT ((seq << 32) | ((t + 1) << 12)) | (u + 1) AS id,
              |  (seq << 32) | ((t + 1) << 12) AS transaction_id,
              |  seq AS ledger_sequence,
@@ -2365,14 +2381,100 @@ object QueryCatalog {
              |  ${strkeySql("""CASE WHEN op_type = 24 AND (seq + t) % 4 <> 2
                   THEN sha256('ct-' || seq || '-' || t) END""", 16)}
              |    AS contract_id,
+             |  CASE WHEN op_type = 24 AND (seq + t) % 4 = 0
+             |       THEN to_json([
+             |         to_base64(from_hex('0000000f'
+             |           || format('{:08x}', length(fn_name))
+             |           || hex(encode(fn_name))
+             |           || repeat('00', (4 - length(fn_name) % 4) % 4))),
+             |         to_base64(from_hex('00000005'
+             |           || format('{:016x}', seq * 3 + t)))]
+             |         || CASE WHEN t % 2 = 1 THEN [
+             |              to_base64(from_hex('0000000a0000000000000000'
+             |                || format('{:016x}', 50000 * (t + 1) + seq % 83)))]
+             |            ELSE [] END)
+             |       END AS parameters,
+             |  CASE WHEN op_type = 24 AND (seq + t) % 4 = 0
+             |       THEN '[{"symbol":"' || fn_name || '"},{"u64":"'
+             |         || (seq * 3 + t) || '"}'
+             |         || CASE WHEN t % 2 = 1
+             |            THEN ',{"i128":"' || (50000 * (t + 1) + seq % 83)
+             |              || '"}' ELSE '' END || ']'
+             |       END AS parameters_decoded,
+             |  CASE WHEN op_type = 24 THEN '[' || abc || ']'
+             |       END AS asset_balance_changes,
              |  CASE WHEN op_type = 25
              |       THEN CAST(100000 + (seq * 3 + t) % 50000 AS BIGINT)
              |       END AS extend_to
-             |FROM o ORDER BY id""".stripMargin),
+             |FROM o LEFT JOIN abc USING (seq, t, u) ORDER BY id""".stripMargin),
       (s, dir) =>
         StellarTransforms.historyOperationsFromLcm(
             s.read.format("graft-lcm").load(lcmFixtureDir)
               .where(col("sequence").between(2100, 2299)))
+          .orderBy("id")),
+
+    Q("stellar_soroban_ops_from_lcm",
+      // the Soroban op-detail slice as a first-class query: invoke ops
+      // only, with the serializeParameters pair (base64 + decoded JSON)
+      // and the SAC asset_balance_changes array, every byte re-derived
+      // by DuckDB from the fixture laws (XDR reconstructed hex-by-hex)
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(2300, 2499)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
+             |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
+             |        FROM tx),
+             |o AS (SELECT seq, t, u,
+             |             ['init','transfer','swap']
+             |               [CAST((seq + t) % 3 + 1 AS INT)] AS fn_name
+             |      FROM ops WHERE (seq + t + u) % 27 = 24),
+             |abc AS (SELECT seq, t, e % ((seq + t) % 3 + 1) AS u,
+             |               string_agg('{"type":"' ||
+             |                 ['transfer','mint','burn']
+             |                   [CAST((seq + e) % 3 + 1 AS INT)] ||
+             |                 '","amount":"' || (100000 * (t + 1) + seq % 97 + e)
+             |                 || '","to":"' || (seq * 1000 + t * 10 + e) ||
+             |                 '","contract":"' ||
+             |                 ${strkeyC(
+                                  "sha256('ev-ct-' || seq || '-' || t || '-' || e)")}
+             |                 || '"}', ',' ORDER BY e) AS abc
+             |        FROM (SELECT seq, t, unnest(generate_series(0,
+             |                CAST((seq + t) // 2 % 2 AS INT))) AS e
+             |              FROM tx WHERE (seq + t) % 2 = 0)
+             |        GROUP BY 1, 2, 3)
+             |SELECT ((seq << 32) | ((t + 1) << 12)) | (u + 1) AS id,
+             |  seq AS ledger_sequence,
+             |  CAST((seq + t) % 4 AS INT) AS host_fn_type,
+             |  ${strkeyC("""CASE WHEN (seq + t) % 4 <> 2
+                  THEN sha256('ct-' || seq || '-' || t) END""")}
+             |    AS contract_id,
+             |  CASE WHEN (seq + t) % 4 = 0
+             |       THEN to_json([
+             |         to_base64(from_hex('0000000f'
+             |           || format('{:08x}', length(fn_name))
+             |           || hex(encode(fn_name))
+             |           || repeat('00', (4 - length(fn_name) % 4) % 4))),
+             |         to_base64(from_hex('00000005'
+             |           || format('{:016x}', seq * 3 + t)))]
+             |         || CASE WHEN t % 2 = 1 THEN [
+             |              to_base64(from_hex('0000000a0000000000000000'
+             |                || format('{:016x}', 50000 * (t + 1) + seq % 83)))]
+             |            ELSE [] END)
+             |       END AS parameters,
+             |  CASE WHEN (seq + t) % 4 = 0
+             |       THEN '[{"symbol":"' || fn_name || '"},{"u64":"'
+             |         || (seq * 3 + t) || '"}'
+             |         || CASE WHEN t % 2 = 1
+             |            THEN ',{"i128":"' || (50000 * (t + 1) + seq % 83)
+             |              || '"}' ELSE '' END || ']'
+             |       END AS parameters_decoded,
+             |  '[' || abc || ']' AS asset_balance_changes
+             |FROM o LEFT JOIN abc USING (seq, t, u) ORDER BY id""".stripMargin),
+      (s, dir) =>
+        StellarTransforms.historyOperationsFromLcm(
+            s.read.format("graft-lcm").load(lcmFixtureDir)
+              .where(col("sequence").between(2300, 2499)))
+          .where(col("type") === 24)
+          .select("id", "ledger_sequence", "host_fn_type", "contract_id",
+            "parameters", "parameters_decoded", "asset_balance_changes")
           .orderBy("id")),
 
     Q("stellar_assets_from_lcm",
@@ -2411,11 +2513,14 @@ object QueryCatalog {
           .orderBy("asset_code")),
 
     Q("stellar_effects_from_lcm",
-      // P4-shaped effects over the wire: created/credited/debited pairs,
-      // claimable-balance claims, and the per-atom seller/taker trade
-      // effect pairs with arithmetic indices. DuckDB re-derives every
-      // branch as a UNION ALL over the fixture laws
-      Some(s"""WITH ls AS (SELECT unnest(generate_series(2100, 2299)) AS seq),
+      // P4-shaped effects over the wire — the FULL wire-determined family
+      // set (account family, set-options, trustline/offer/data CRUD, CB
+      // lifecycle, trade quads + LP trades, LP deposit/withdraw/entry
+      // loop, and the pre/post-sponsor-classified sponsorship families).
+      // DuckDB re-derives every branch as a UNION ALL over the fixture
+      // laws with a (family, key) order pair; the effect index is a
+      // row_number over that order — the engine's array-position law
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(2100, 2499)) AS seq),
              |txs AS (SELECT seq, unnest(generate_series(0, seq % 5)) AS t FROM ls),
              |ops AS (SELECT seq, t, unnest(generate_series(0, (seq + t) % 3)) AS u
              |        FROM txs WHERE t % 3 <> 0),
@@ -2425,67 +2530,274 @@ object QueryCatalog {
              |                  THEN sha256('osrc-' || seq || '-' || t)
              |                  ELSE sha256('src-' || seq || '-' || t)
              |                  END AS actsrc,
-             |             (seq << 32) | ((t + 1) << 12) | (u + 1) AS opid
+             |             (seq << 32) | ((t + 1) << 12) | (u + 1) AS opid,
+             |             CAST(1000000 * (t + 1) AS BIGINT) AS amt
              |      FROM ops),
+             |chx AS (SELECT seq, t, j, j % ((seq + t) % 3 + 1) AS u,
+             |               (seq + t + j) % 3 AS kind, (seq + j) % 10 AS et,
+             |               CASE WHEN (seq + t + j) % 3 <> 0
+             |                     AND (2 * seq + t + j) % 3 = 0
+             |                    THEN sha256('chsp-' || seq || '-' || t || '-' || j)
+             |                    WHEN (seq + t + j) % 3 <> 0
+             |                     AND (2 * seq + t + j) % 3 = 1
+             |                    THEN sha256('chspp-' || seq || '-' || t || '-' || j)
+             |                    END AS pre_sp,
+             |               CASE WHEN (seq + t + j) % 3 <> 2
+             |                     AND (seq + 2 * t + j) % 2 = 0
+             |                    THEN sha256('chsp-' || seq || '-' || t || '-' || j)
+             |                    END AS post_sp,
+             |               CAST(1000000 + seq * 2 + t
+             |                    + (seq + t * 2 + j) % 201 - 100 AS BIGINT)
+             |                 AS post_shares
+             |        FROM (SELECT seq, t,
+             |                unnest(generate_series(0, (seq + t) % 2)) AS j
+             |              FROM txs WHERE t % 3 <> 0)),
+             |tl AS (SELECT seq, t, u, max_by(kind, j) AS tl_kind
+             |       FROM chx WHERE et = 1 GROUP BY 1, 2, 3),
+             |lp AS (SELECT seq, t, u,
+             |              max_by((seq + t * 2 + j) % 201 - 100, j) AS d_shares
+             |       FROM chx WHERE et = 5 GROUP BY 1, 2, 3),
+             |at AS (SELECT a.*, j, (seq + t + j) % 4 = 0 AS is_pool,
+             |              seq * 100 + t * 10 + j AS atom_offer,
+             |              codes[CAST((seq + j) % 3 + 1 AS INT)] AS sold_code,
+             |              CAST(500000 * (t + 1) + seq % 43 + j AS BIGINT)
+             |                AS sold_amt,
+             |              codes[CAST((seq + j + 1) % 3 + 1 AS INT)]
+             |                AS bought_code,
+             |              CAST(600000 * (t + 1) + seq % 47 + j AS BIGINT)
+             |                AS bought_amt,
+             |              sha256('se-' || seq || '-' || t || '-' || j) AS seller
+             |       FROM (SELECT *, unnest(generate_series(0, (seq + t) % 2)) AS j
+             |             FROM o WHERE op_type IN (2, 3, 12, 13)) a),
              |e AS (
-             |  SELECT seq, opid, 0 AS idx, 0 AS typ,
+             |  -- create_account: created, debited, master signer
+             |  SELECT seq, opid, 0 AS fam, 0 AS k, 0 AS typ,
              |         sha256('dst-' || seq || '-' || t) AS account,
-             |         CAST(NULL AS VARCHAR) AS asset,
-             |         CAST(1000000 * (t + 1) AS BIGINT) AS amount,
+             |         CAST(NULL AS VARCHAR) AS asset, amt AS amount,
              |         CAST(NULL AS BIGINT) AS offer
              |  FROM o WHERE op_type = 0
              |  UNION ALL
-             |  SELECT seq, opid, 1, 3, actsrc, NULL,
-             |         CAST(1000000 * (t + 1) AS BIGINT), NULL
+             |  SELECT seq, opid, 0, 1, 3, actsrc, NULL, amt, NULL
              |  FROM o WHERE op_type = 0
              |  UNION ALL
-             |  SELECT seq, opid, 0, 2, sha256('dst-' || seq || '-' || t),
+             |  SELECT seq, opid, 0, 2, 10, sha256('dst-' || seq || '-' || t),
+             |         NULL, 1, NULL
+             |  FROM o WHERE op_type = 0
+             |  -- payment family: credited (strict-send delivers RESULT),
+             |  -- debited (strict-receive pays RESULT)
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 0, 2, sha256('dst-' || seq || '-' || t),
              |         CASE WHEN op_type = 2
              |              THEN codes[CAST((seq + 1) % 3 + 1 AS INT)]
              |              ELSE codes[CAST(seq % 3 + 1 AS INT)] END,
              |         CASE WHEN op_type = 13
              |              THEN CAST(900000 * (t + 1) + seq % 59 AS BIGINT)
-             |              ELSE CAST(1000000 * (t + 1) AS BIGINT) END,
+             |              ELSE amt END,
              |         NULL
              |  FROM o WHERE op_type IN (1, 2, 13)
              |  UNION ALL
-             |  SELECT seq, opid, 1, 3, actsrc,
+             |  SELECT seq, opid, 0, 1, 3, actsrc,
              |         CASE WHEN op_type = 13
              |              THEN codes[CAST((seq + 2) % 3 + 1 AS INT)]
              |              ELSE codes[CAST(seq % 3 + 1 AS INT)] END,
              |         CASE WHEN op_type = 2
              |              THEN CAST(1500000 * (t + 1) + seq % 53 AS BIGINT)
-             |              ELSE CAST(1000000 * (t + 1) AS BIGINT) END,
+             |              ELSE amt END,
              |         NULL
              |  FROM o WHERE op_type IN (1, 2, 13)
+             |  -- account_merge: debited, credited, removed
              |  UNION ALL
-             |  SELECT seq, opid, 0, 52, actsrc, NULL,
-             |         CAST(1000000 * (t + 1) AS BIGINT), NULL
+             |  SELECT seq, opid, 0, 0, 3, actsrc, NULL, amt, NULL
+             |  FROM o WHERE op_type = 8
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 1, 2, sha256('dst-' || seq || '-' || t),
+             |         NULL, amt, NULL
+             |  FROM o WHERE op_type = 8
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 2, 1, actsrc, NULL, NULL, NULL
+             |  FROM o WHERE op_type = 8
+             |  -- set_options: one effect per touched optional
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 0, 4, actsrc, NULL, NULL, NULL
+             |  FROM o WHERE op_type = 5 AND seq % 3 = 0
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 1, 5, actsrc, NULL, NULL, NULL
+             |  FROM o WHERE op_type = 5 AND t % 2 = 1
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 2, 6, actsrc, NULL, NULL, NULL
+             |  FROM o WHERE op_type = 5
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 3, 7, actsrc, NULL, NULL, NULL
+             |  FROM o WHERE op_type = 5 AND t % 2 = 0
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 4,
+             |         CASE WHEN (seq + t) % 256 = 0 THEN 11 ELSE 10 END,
+             |         actsrc, NULL,
+             |         CASE WHEN (seq + t) % 256 = 0 THEN NULL
+             |              ELSE CAST((seq + t) % 256 AS BIGINT) END, NULL
+             |  FROM o WHERE op_type = 5 AND (seq + t) % 2 = 1
+             |  -- change_trust: CRUD off the op's trustline change kind
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 0,
+             |         CASE tl.tl_kind WHEN 0 THEN 20 WHEN 2 THEN 21
+             |              WHEN 1 THEN 22 ELSE 20 END,
+             |         actsrc, codes[CAST((seq + t) % 3 + 1 AS INT)],
+             |         CAST(5000000 * (t + 1) + seq % 101 AS BIGINT), NULL
+             |  FROM o LEFT JOIN tl USING (seq, t, u) WHERE op_type = 6
+             |  -- allow_trust dual emission; set_trust_line_flags single
+             |  UNION ALL
+             |  SELECT seq, opid, 0, k2, 26, actsrc,
+             |         codes[CAST((seq + t) % 3 + 1 AS INT)], NULL, NULL
+             |  FROM o, (SELECT unnest(generate_series(0, 1)) AS k2)
+             |  WHERE op_type = 7
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 0, 26, actsrc,
+             |         codes[CAST((seq + t) % 3 + 1 AS INT)], NULL, NULL
+             |  FROM o WHERE op_type = 21
+             |  -- manage_data (value-presence law), bump_sequence
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 0,
+             |         CASE WHEN (seq + t) % 3 <> 0 THEN 40 ELSE 41 END,
+             |         actsrc, NULL, NULL, NULL
+             |  FROM o WHERE op_type = 10
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 0, 43, actsrc, NULL,
+             |         CAST(seq * 8 + t + 7 AS BIGINT), NULL
+             |  FROM o WHERE op_type = 11
+             |  -- claimable balances: create (50 + claimants + debit),
+             |  -- claim (52 + credit), clawback (80 + credit)
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 0, 50, actsrc,
+             |         codes[CAST((seq + t) % 3 + 1 AS INT)], amt, NULL
+             |  FROM o WHERE op_type = 14
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 1 + jc, 51,
+             |         sha256('cl-' || seq || '-' || t || '-' || jc),
+             |         codes[CAST((seq + t) % 3 + 1 AS INT)], amt, NULL
+             |  FROM (SELECT *, unnest(generate_series(0, t % 2)) AS jc
+             |        FROM o WHERE op_type = 14)
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 9, 3, actsrc,
+             |         codes[CAST((seq + t) % 3 + 1 AS INT)], amt, NULL
+             |  FROM o WHERE op_type = 14
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 0, 52, actsrc, NULL, amt, NULL
              |  FROM o WHERE op_type = 15
              |  UNION ALL
-             |  SELECT seq, opid, CAST(2 + 2 * j AS INT), 33,
-             |         sha256('se-' || seq || '-' || t || '-' || j),
-             |         codes[CAST((seq + j) % 3 + 1 AS INT)],
-             |         CAST(500000 * (t + 1) + seq % 43 + j AS BIGINT),
-             |         seq * 100 + t * 10 + j
-             |  FROM (SELECT *, unnest(generate_series(0, (seq + t) % 2)) AS j
-             |        FROM o WHERE op_type IN (2, 3, 12, 13)) a
-             |  WHERE (seq + t + j) % 4 <> 0
+             |  SELECT seq, opid, 0, 1, 2, actsrc, NULL, amt, NULL
+             |  FROM o WHERE op_type = 15
              |  UNION ALL
-             |  SELECT seq, opid, CAST(3 + 2 * j AS INT), 33, actsrc,
-             |         codes[CAST((seq + j + 1) % 3 + 1 AS INT)],
-             |         CAST(600000 * (t + 1) + seq % 47 + j AS BIGINT),
-             |         seq * 100 + t * 10 + j
-             |  FROM (SELECT *, unnest(generate_series(0, (seq + t) % 2)) AS j
-             |        FROM o WHERE op_type IN (2, 3, 12, 13)) a
-             |  WHERE (seq + t + j) % 4 <> 0)
+             |  SELECT seq, opid, 0, 0, 2, actsrc,
+             |         codes[CAST(seq % 3 + 1 AS INT)], amt, NULL
+             |  FROM o WHERE op_type = 19
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 1, 3, sha256('cb-' || seq || '-' || t),
+             |         codes[CAST(seq % 3 + 1 AS INT)], amt, NULL
+             |  FROM o WHERE op_type = 19
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 0, 80, actsrc, NULL, amt, NULL
+             |  FROM o WHERE op_type = 20
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 1, 2, actsrc, NULL, amt, NULL
+             |  FROM o WHERE op_type = 20
+             |  -- LP deposit/withdraw: share delta off the op's LP change
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 0, 90, actsrc, NULL,
+             |         CAST(lp.d_shares AS BIGINT), NULL
+             |  FROM o LEFT JOIN lp USING (seq, t, u) WHERE op_type = 22
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 0, 91, actsrc, NULL,
+             |         CAST(-lp.d_shares AS BIGINT), NULL
+             |  FROM o LEFT JOIN lp USING (seq, t, u) WHERE op_type = 23
+             |  -- orderbook atoms: (source, seller) per type 33/32/31
+             |  -- (+30 off path payments)
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 10 + j * 10 + r * 2 + s,
+             |         [33, 32, 31, 30][CAST(r + 1 AS INT)],
+             |         CASE s WHEN 0 THEN actsrc ELSE seller END,
+             |         CASE s WHEN 0 THEN bought_code ELSE sold_code END,
+             |         CASE s WHEN 0 THEN bought_amt ELSE sold_amt END,
+             |         atom_offer
+             |  FROM at, (SELECT unnest(generate_series(0, 3)) AS r),
+             |       (SELECT unnest(generate_series(0, 1)) AS s)
+             |  WHERE NOT is_pool AND (r <= 2 OR op_type IN (3, 12))
+             |  UNION ALL
+             |  SELECT seq, opid, 0, 10 + j * 10, 92, actsrc,
+             |         sold_code, sold_amt, NULL
+             |  FROM at WHERE is_pool
+             |  -- sponsorship families: pre/post pair classification
+             |  UNION ALL
+             |  SELECT seq, opid, 2, j,
+             |         CASE WHEN pre_sp IS NULL THEN base
+             |              WHEN post_sp IS NULL THEN base + 2
+             |              ELSE base + 1 END,
+             |         CASE WHEN post_sp IS NULL THEN pre_sp
+             |              ELSE post_sp END,
+             |         NULL, NULL, NULL
+             |  FROM (SELECT o.seq, o.opid, c.j, c.pre_sp, c.post_sp,
+             |               CASE c.et WHEN 0 THEN 60 WHEN 1 THEN 63
+             |                    WHEN 3 THEN 66 WHEN 4 THEN 69 END AS base
+             |        FROM o JOIN chx c USING (seq, t, u)
+             |        WHERE c.et IN (0, 1, 3, 4)
+             |          AND (c.pre_sp IS NOT NULL OR c.post_sp IS NOT NULL)
+             |          AND (c.pre_sp IS NULL OR c.post_sp IS NULL
+             |               OR c.pre_sp <> c.post_sp))
+             |  -- LP entry loop: created(93) / removed(94)
+             |  UNION ALL
+             |  SELECT seq, opid, 3, c.j, 93, actsrc, NULL,
+             |         c.post_shares, NULL
+             |  FROM o JOIN chx c USING (seq, t, u)
+             |  WHERE c.et = 5 AND c.kind = 0
+             |  UNION ALL
+             |  SELECT seq, opid, 3, c.j, 94, actsrc, NULL, NULL, NULL
+             |  FROM o JOIN chx c USING (seq, t, u)
+             |  WHERE c.et = 5 AND c.kind = 2)
              |SELECT opid AS operation_id, seq AS ledger_sequence,
-             |  CAST(idx AS INT) AS effect_index, CAST(typ AS INT) AS type,
+             |  CAST(row_number() OVER (PARTITION BY opid ORDER BY fam, k)
+             |       - 1 AS INT) AS effect_index,
+             |  CAST(typ AS INT) AS type,
              |  CASE typ WHEN 0 THEN 'account_created'
+             |       WHEN 1 THEN 'account_removed'
              |       WHEN 2 THEN 'account_credited'
              |       WHEN 3 THEN 'account_debited'
+             |       WHEN 4 THEN 'account_thresholds_updated'
+             |       WHEN 5 THEN 'account_home_domain_updated'
+             |       WHEN 6 THEN 'account_flags_updated'
+             |       WHEN 7 THEN 'account_inflation_destination_updated'
+             |       WHEN 10 THEN 'signer_created'
+             |       WHEN 11 THEN 'signer_removed'
+             |       WHEN 20 THEN 'trustline_created'
+             |       WHEN 21 THEN 'trustline_removed'
+             |       WHEN 22 THEN 'trustline_updated'
+             |       WHEN 26 THEN 'trustline_flags_updated'
+             |       WHEN 30 THEN 'offer_created'
+             |       WHEN 31 THEN 'offer_removed'
+             |       WHEN 32 THEN 'offer_updated'
              |       WHEN 33 THEN 'trade'
+             |       WHEN 40 THEN 'data_created'
+             |       WHEN 41 THEN 'data_removed'
+             |       WHEN 43 THEN 'sequence_bumped'
+             |       WHEN 50 THEN 'claimable_balance_created'
+             |       WHEN 51 THEN 'claimable_balance_claimant_created'
              |       WHEN 52 THEN 'claimable_balance_claimed'
+             |       WHEN 60 THEN 'account_sponsorship_created'
+             |       WHEN 61 THEN 'account_sponsorship_updated'
+             |       WHEN 62 THEN 'account_sponsorship_removed'
+             |       WHEN 63 THEN 'trustline_sponsorship_created'
+             |       WHEN 64 THEN 'trustline_sponsorship_updated'
+             |       WHEN 65 THEN 'trustline_sponsorship_removed'
+             |       WHEN 66 THEN 'data_sponsorship_created'
+             |       WHEN 67 THEN 'data_sponsorship_updated'
+             |       WHEN 68 THEN 'data_sponsorship_removed'
+             |       WHEN 69 THEN 'claimable_balance_sponsorship_created'
+             |       WHEN 70 THEN 'claimable_balance_sponsorship_updated'
+             |       WHEN 71 THEN 'claimable_balance_sponsorship_removed'
+             |       WHEN 80 THEN 'claimable_balance_clawed_back'
+             |       WHEN 90 THEN 'liquidity_pool_deposited'
+             |       WHEN 91 THEN 'liquidity_pool_withdrew'
+             |       WHEN 92 THEN 'liquidity_pool_trade'
+             |       WHEN 93 THEN 'liquidity_pool_created'
+             |       WHEN 94 THEN 'liquidity_pool_removed'
              |       END AS type_string,
              |  ${strkeyG("account")} AS account,
              |  asset AS asset_code, amount,
@@ -2494,7 +2806,7 @@ object QueryCatalog {
       (s, dir) =>
         StellarTransforms.historyEffectsFromLcm(
             s.read.format("graft-lcm").load(lcmFixtureDir)
-              .where(col("sequence").between(2100, 2299)))
+              .where(col("sequence").between(2100, 2499)))
           .orderBy("operation_id", "effect_index")),
 
     Q("stellar_transfers_from_lcm",
@@ -2782,9 +3094,14 @@ object QueryCatalog {
              |  CASE WHEN (seq + j) % 10 = 5
              |       THEN sha256('se-' || seq || '-' || t || '-' || j)
              |       END AS pool_id_hex,
-             |  CASE WHEN (seq + t + j) % 3 = 0 AND (seq + 2 * t + j) % 2 = 0
+             |  CASE WHEN (seq + t + j) % 3 <> 0 AND (2 * seq + t + j) % 3 = 0
              |       THEN sha256('chsp-' || seq || '-' || t || '-' || j)
-             |       END AS sponsor_hex
+             |       WHEN (seq + t + j) % 3 <> 0 AND (2 * seq + t + j) % 3 = 1
+             |       THEN sha256('chspp-' || seq || '-' || t || '-' || j)
+             |       END AS pre_sponsor_hex,
+             |  CASE WHEN (seq + t + j) % 3 <> 2 AND (seq + 2 * t + j) % 2 = 0
+             |       THEN sha256('chsp-' || seq || '-' || t || '-' || j)
+             |       END AS post_sponsor_hex
              |FROM ch
              |ORDER BY ledger_sequence, tx_order, change_index""".stripMargin),
       (s, dir) =>

@@ -390,12 +390,17 @@ object Lcm {
     * contract (`operation.go:1064-1143`; the ScVal argument codec lives
     * with P17/`codec/ScVal`, not the wire source). */
   case class OpInvokeHostFunction(hostFnType: Int,
-      contractId: Option[Seq[Byte]]) extends OpDetail {
+      contractId: Option[Seq[Byte]],
+      params: Seq[Seq[Byte]] = Nil) extends OpDetail {
     require(hostFnType >= 0 && hostFnType <= 3,
       "host function type is 0..3")
     require((hostFnType == 2) == contractId.isEmpty,
       "contract id is present exactly when the function addresses one")
     require(contractId.forall(_.size == 32), "contract id is opaque[32]")
+    // InvokeContractArgs.args (ScVal vector) rides the INVOKE_CONTRACT
+    // arm only (`operation.go:584-660` serializeParameters input)
+    require(hostFnType == 0 || params.isEmpty,
+      "invoke arguments ride HOST_FUNCTION_TYPE_INVOKE_CONTRACT only")
   }
   /** opType 25 — EXTEND_FOOTPRINT_TTL: the target TTL ledger extension
     * (`operation.go:1145-1153` extend_to detail). */
@@ -582,7 +587,8 @@ object Lcm {
       preReserveA: Long = 0L, preReserveB: Long = 0L, preShares: Long = 0L,
       postReserveA: Long = 0L, postReserveB: Long = 0L, postShares: Long = 0L,
       poolFee: Int = 0, poolId: Option[Seq[Byte]] = None,
-      sponsor: Option[Seq[Byte]] = None) {
+      preSponsor: Option[Seq[Byte]] = None,
+      postSponsor: Option[Seq[Byte]] = None) {
     require(kind >= 0 && kind <= 2,
       "change kind is CREATED(0)/UPDATED(1)/REMOVED(2)")
     require(entryType >= 0 && entryType <= 9,
@@ -605,9 +611,12 @@ object Lcm {
     require(poolId.forall(_.size == 32), "pool id is opaque[32]")
     require(entryType == 5 || poolId.isEmpty,
       "a pool id rides LIQUIDITY_POOL changes only")
-    require(sponsor.forall(_.size == 32), "sponsor is opaque[32]")
-    require(sponsor.isEmpty || kind == 0,
-      "a sponsor rides entry CREATION only (Post.SponsoringID)")
+    require(preSponsor.forall(_.size == 32) &&
+      postSponsor.forall(_.size == 32), "sponsors are opaque[32]")
+    require(preSponsor.isEmpty || kind != 0,
+      "a CREATED entry has no pre state, so no Pre.SponsoringID")
+    require(postSponsor.isEmpty || kind != 2,
+      "a REMOVED entry has no post state, so no Post.SponsoringID")
   }
 
   /** One `ClaimAtom` from the per-op RESULT — the grain the reference's
@@ -760,7 +769,7 @@ object Lcm {
   val LcmbMagic: Int = 0x4C434D42 // "LCMB"
   /** v3 = the round-11 layout (result offer ids, typed change arms,
     * contract events). Bump on ANY frame-layout change. */
-  val LcmbVersion: Int = 3
+  val LcmbVersion: Int = 4
 
   def encode(f: Frame): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(128)
@@ -1014,10 +1023,12 @@ object Lcm {
             out.write(poolId.toArray)
             out.writeLong(minA)
             out.writeLong(minB)
-          case OpInvokeHostFunction(fnType, contractId) =>
+          case OpInvokeHostFunction(fnType, contractId, params) =>
             out.writeInt(fnType)
             out.writeInt(if (contractId.isDefined) 1 else 0)
             contractId.foreach(c => out.write(c.toArray))
+            out.writeInt(params.size)
+            params.foreach(writeVarOpaque(out, _))
           case OpExtendFootprintTtl(extendTo) =>
             out.writeInt(extendTo.toInt)
           case OpGeneric =>
@@ -1033,7 +1044,8 @@ object Lcm {
         out.writeLong(c.balance)
         // entry-type-discriminated pre/post arms (XDR-union style): offer
         // pre-state price, LP constant-product pre/post, then the optional
-        // creation sponsor
+        // pre/post SponsoringIDs (v4 — the sponsorship-effect substrate,
+        // `internal/transform/effects.go:287-368` classifies on the pair)
         if (c.entryType == 2) {
           out.writeLong(c.offerId)
           out.writeInt(c.prePriceN)
@@ -1048,8 +1060,10 @@ object Lcm {
           out.writeInt(if (c.poolId.isDefined) 1 else 0)
           c.poolId.foreach(p => out.write(p.toArray))
         }
-        out.writeInt(if (c.sponsor.isDefined) 1 else 0)
-        c.sponsor.foreach(s => out.write(s.toArray))
+        out.writeInt(if (c.preSponsor.isDefined) 1 else 0)
+        c.preSponsor.foreach(s => out.write(s.toArray))
+        out.writeInt(if (c.postSponsor.isDefined) 1 else 0)
+        c.postSponsor.foreach(s => out.write(s.toArray))
       }
       out.writeInt(t.claimAtoms.size)
       t.claimAtoms.foreach { ca =>
@@ -1283,7 +1297,8 @@ object Lcm {
             val fnType = buf.getInt
             val contractId =
               if (buf.getInt == 1) Some(readOpaque32(buf)) else None
-            OpInvokeHostFunction(fnType, contractId)
+            val params = (0 until buf.getInt).map(_ => readVarOpaque(buf))
+            OpInvokeHostFunction(fnType, contractId, params)
           case 25 => OpExtendFootprintTtl(buf.getInt.toLong & 0xFFFFFFFFL)
           case _ => OpGeneric
         }
@@ -1307,11 +1322,13 @@ object Lcm {
             val pid = if (buf.getInt == 1) Some(readOpaque32(buf)) else None
             (t._1, t._2, t._3, t._4, t._5, t._6, t._7, pid)
           } else (0L, 0L, 0L, 0L, 0L, 0L, 0, None)
-        val sponsor =
+        val preSponsor =
+          if (buf.getInt == 1) Some(readOpaque32(buf)) else None
+        val postSponsor =
           if (buf.getInt == 1) Some(readOpaque32(buf)) else None
         WireChange(kind, entryType, opIndex, keyHash, lastModified, balance,
           offerId, ppn, ppd, preA, preB, preS, postA, postB, postS, fee,
-          poolId, sponsor)
+          poolId, preSponsor, postSponsor)
       }
       val nAtoms = buf.getInt
       val atoms = (0 until nAtoms).map { _ =>

@@ -178,7 +178,34 @@ object StellarTransforms {
     * op loop makes. Detail columns for types outside the typed union
     * surface as null, exactly the sparse-slice shape of the full P3
     * wide struct. */
-  def historyOperationsFromLcm(lcm: DataFrame): DataFrame =
+  def historyOperationsFromLcm(lcm: DataFrame): DataFrame = {
+    // SAC `asset_balance_changes`
+    // (`parseAssetBalanceChangesFromContractEvents`,
+    // `operation.go:1942-1999`): the op's own contract events whose
+    // leading topic is a transfer-family symbol render as a JSON array of
+    // {type, amount, to, contract} — the amount/to extraction follows the
+    // SAC event data layout (amount leads the map). Intra-row: the event
+    // vector rides the same tx row, so no join.
+    def dataJson(e: Column): Column = GraftFunctions.scvalJson(e("data_xdr"))
+    val sacEvs = filter(col("tx.contract_events"), e =>
+      e("op_index") === col("op_pos") &&
+        get_json_object(
+          GraftFunctions.scvalJson(element_at(e("topics_xdr"), 1)),
+          "$.symbol").isin("transfer", "mint", "burn", "clawback"))
+    val sacBalanceChanges =
+      when(col("op.op_type") === 24 && size(sacEvs) > 0,
+        concat(lit("["), array_join(transform(sacEvs, e => concat(
+          lit("{\"type\":\""),
+          get_json_object(
+            GraftFunctions.scvalJson(element_at(e("topics_xdr"), 1)),
+            "$.symbol"),
+          lit("\",\"amount\":\""),
+          get_json_object(dataJson(e), "$.map[0].val.i128"),
+          lit("\",\"to\":\""),
+          get_json_object(dataJson(e), "$.map[1].val.u64"),
+          lit("\",\"contract\":\""),
+          GraftFunctions.strkeyContract(unhex(e("contract_id_hex"))),
+          lit("\"}"))), ","), lit("]")))
     lcm.select(col("sequence"),
         posexplode(col("transactions")).as(Seq("pos", "tx")))
       .select(col("sequence"), col("pos"), col("tx"),
@@ -262,7 +289,21 @@ object StellarTransforms {
         col("op.op_host_fn_type").as("host_fn_type"),
         GraftFunctions.strkeyContract(unhex(col("op.op_contract_id_hex")))
           .as("contract_id"),
+        // invoke-host-function parameter serialization
+        // (`serializeParameters`, `operation.go:584-660`): the raw ScVal
+        // argument vector both as base64 XDR and decoded JSON, in-plan
+        // via the codegen'd codec expressions
+        when(col("op.op_host_fn_params_xdr").isNotNull,
+          to_json(transform(col("op.op_host_fn_params_xdr"),
+            p => GraftFunctions.base64NoWrap(p)))).as("parameters"),
+        when(col("op.op_host_fn_params_xdr").isNotNull,
+          concat(lit("["),
+            array_join(transform(col("op.op_host_fn_params_xdr"),
+              p => GraftFunctions.scvalJson(p)), ","),
+            lit("]"))).as("parameters_decoded"),
+        sacBalanceChanges.as("asset_balance_changes"),
         col("op.op_extend_to").as("extend_to"))
+  }
 
   /** P6/A2 composed over the wire source: every asset mentioned by a
     * typed asset-bearing `Operation.body` arm (payment/trust/clawback
@@ -323,80 +364,215 @@ object StellarTransforms {
         when(col("op.op_type") === 13, col("op.op_result_amount"))
           .otherwise(col("op.amount")).as("amount_stroops"))
 
-  private val effectTypeNameCol = typedLit(Map(
-    0 -> "account_created", 2 -> "account_credited", 3 -> "account_debited",
-    33 -> "trade", 52 -> "claimable_balance_claimed"))
+  private val effectTypeNameCol =
+    typedLit(StellarTradesEffects.EffectNames)
 
-  /** P4-shaped effects composed over the wire source — the subset the
-    * wire grain determines (`internal/transform/effects.go`): CREATE_
-    * ACCOUNT → account_created + account_debited; the payment family →
-    * account_credited (delivered amount — strict-send takes the RESULT)
-    * + account_debited (paid amount — strict-receive takes the RESULT);
-    * CLAIM_CLAIMABLE_BALANCE → claimable_balance_claimed; and two `trade`
-    * effects per orderbook claim atom (seller side, then taker side,
-    * `effects.go` trade pairs). Effect indices are arithmetic — base
-    * effects 0-1, trade effects 2 + 2·atom + side — so the union needs
-    * no window. The full 52-type family (thresholds, flags, signers,
-    * sponsorship…) requires change pre-images and stays with the
-    * fixture-path [[StellarTradesEffects.historyEffects]]. */
+  /** P4-shaped effects composed over the wire source — every effect
+    * family the wire grain determines (`internal/transform/effects.go:
+    * 23-166`), successful transactions only:
+    *
+    *   - account family: CREATE_ACCOUNT → created/debited/signer-created,
+    *     the payment family → credited+debited (strict-send delivers and
+    *     strict-receive pays the RESULT amounts), ACCOUNT_MERGE →
+    *     debited/credited/removed, CLAWBACK → credited/debited;
+    *   - SET_OPTIONS → thresholds/home-domain/flags/inflation-dest/signer
+    *     effects, each gated on its optional (`effects.go:498-588`);
+    *   - trustline CRUD: CHANGE_TRUST classified by the op's trustline
+    *     change kind (limit-sign fallback, `addChangeTrustEffects`),
+    *     ALLOW_TRUST's dual emission + SET_TRUST_LINE_FLAGS → type 26;
+    *   - data CRUD (value-presence law) and BUMP_SEQUENCE;
+    *   - claimable-balance lifecycle: created + per-claimant
+    *     claimant-created + the funding debit, claimed + credit,
+    *     clawed-back + credit;
+    *   - trades: per orderbook atom the (source, seller) pair for types
+    *     33/32/31 (+30 off path payments — `addClaimTradeEffects`,
+    *     `effects.go:986-1010`); LP atoms → one liquidity_pool_trade;
+    *   - LP deposit/withdraw (share delta off the op's LP change) and the
+    *     entry-change loop's created(93)/removed(94);
+    *   - sponsorship families 60-71: classified on each change's
+    *     PRE/POST SponsoringID pair (`effects.go:287-368`) — created
+    *     (pre ∅, post set), removed (pre set, post ∅), updated (both,
+    *     different); the unchanged pair emits nothing. At wire fidelity
+    *     the effect's `account` carries the sponsor itself (the entry
+    *     owner rides only the fixture model); signer sponsorships (72-74)
+    *     need pre/post signer maps the wire doesn't carry and stay with
+    *     [[StellarTradesEffects.historyEffects]].
+    *
+    * Families are ordered the reference's way — op-arm effects, then the
+    * change-scan sponsorship loop, then the LP entry loop — and the
+    * effect index IS the position in that concatenated per-op array (one
+    * posexplode), so the numbering never needs a window. Everything is
+    * intra-row: atoms and changes ride the same tx row as the op vector,
+    * so the whole transform is one map-only scan. */
   def historyEffectsFromLcm(lcm: DataFrame): DataFrame = {
     val ops = lcm.select(col("sequence"),
         posexplode(col("transactions")).as(Seq("pos", "tx")))
       .where(col("tx.successful"))
       .select(col("sequence"), col("pos"),
         col("tx.source_account_hex").as("tx_src"),
+        col("tx.changes").as("changes"),
         posexplode(col("tx.operations")).as(Seq("op_pos", "op")))
+    val ty = col("op.op_type")
     val src = coalesce(col("op.op_source_hex"), col("tx_src"))
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
-    def eff(idx: Column, t: Column, account: Column, asset: Column,
+    def eff(t: Column, account: Column, asset: Column,
         amount: Column, offer: Column): Column =
-      struct(idx.cast("int").as("idx"), t.as("type"),
-        account.as("account_hex"), asset.as("asset_code"),
-        amount.as("amount"), offer.as("offer_id"))
-    val recvAsset = when(col("op.op_type") === 1, col("op.op_asset_code"))
-      .when(col("op.op_type").isin(2, 13), col("op.op_dest_asset_code"))
-    val sendAsset = when(col("op.op_type") === 1, col("op.op_asset_code"))
-      .when(col("op.op_type").isin(2, 13), col("op.op_send_asset_code"))
-    val delivered = when(col("op.op_type") === 13, col("op.op_result_amount"))
+      struct(t.as("type"), account.as("account_hex"),
+        asset.as("asset_code"), amount.as("amount"), offer.as("offer_id"))
+    def effT(t: Int, account: Column, asset: Column = nullS,
+        amount: Column = nullL, offer: Column = nullL): Column =
+      eff(lit(t), account, asset, amount, offer)
+    val recvAsset = when(ty === 1, col("op.op_asset_code"))
+      .when(ty.isin(2, 13), col("op.op_dest_asset_code"))
+    val sendAsset = when(ty === 1, col("op.op_asset_code"))
+      .when(ty.isin(2, 13), col("op.op_send_asset_code"))
+    val delivered = when(ty === 13, col("op.op_result_amount"))
       .otherwise(col("op.amount"))
-    val paid = when(col("op.op_type") === 2, col("op.op_result_amount"))
+    val paid = when(ty === 2, col("op.op_result_amount"))
       .otherwise(col("op.amount"))
     // a typed empty effect array (filter-to-false keeps the struct type)
-    val emptyEff = filter(
-      array(eff(lit(0), lit(0), nullS, nullS, nullL, nullL)),
-      _ => lit(false))
+    val noEff = filter(array(effT(0, nullS)), _ => lit(false))
+    def gated(pairs: (Column, Column)*): Column =
+      filter(array(pairs.map { case (gate, e) => when(gate, e) }: _*),
+        e => e.isNotNull)
+
+    // the op's own changes, in change-vector order (intra-row)
+    val opChanges = filter(col("changes"), c =>
+      c("op_index") === col("op_pos"))
+    def lastOf(entryType: Int): Column = {
+      val m = filter(opChanges, c => c("entry_type") === entryType)
+      when(size(m) > 0, element_at(m, size(m)))
+    }
+    val tlCh = lastOf(1)
+    val lpCh = lastOf(5)
+
+    // ---- op-arm effects (`operationEffects` case law) -------------------
+    val amount = col("op.amount")
+    val opAsset = col("op.op_asset_code")
+    val createAccount = array(
+      effT(0, col("op.op_destination_hex"), amount = amount),
+      effT(3, src, amount = amount),
+      effT(10, col("op.op_destination_hex"), amount = lit(1L)))
+    val payment = array(
+      effT(2, col("op.op_destination_hex"), recvAsset, delivered),
+      effT(3, src, sendAsset, paid))
+    val accountMerge = array(
+      effT(3, src, amount = amount),
+      effT(2, col("op.op_destination_hex"), amount = amount),
+      effT(1, src))
+    val setOptions = gated(
+      (col("op.op_low_threshold").isNotNull ||
+        col("op.op_med_threshold").isNotNull ||
+        col("op.op_high_threshold").isNotNull) -> effT(4, src),
+      col("op.op_home_domain").isNotNull -> effT(5, src),
+      (col("op.op_set_flags").isNotNull ||
+        col("op.op_clear_flags").isNotNull) -> effT(6, src),
+      col("op.op_inflation_dest_hex").isNotNull -> effT(7, src),
+      (col("op.op_signer_key_hex").isNotNull &&
+        col("op.op_signer_weight") === 0) -> effT(11, src),
+      (col("op.op_signer_key_hex").isNotNull &&
+        col("op.op_signer_weight") =!= 0) ->
+        effT(10, src, amount = col("op.op_signer_weight").cast("long")))
+    // change_trust: classified by the op's trustline change kind;
+    // limit-sign fallback when the op carries no trustline change
+    val tlKindType = when(tlCh.isNotNull,
+      when(tlCh("kind") === 0, 20).when(tlCh("kind") === 2, 21)
+        .otherwise(22))
+      .otherwise(when(col("op.op_limit") > 0, 20).otherwise(21))
+    val changeTrust = array(eff(tlKindType, src, opAsset,
+      col("op.op_limit"), nullL))
+    val allowTrust = array(effT(26, src, opAsset), effT(26, src, opAsset))
+    val tlFlags = array(effT(26, src, opAsset))
+    val manageData = array(
+      when(col("op.op_data_value_hex").isNotNull, effT(40, src))
+        .otherwise(effT(41, src)))
+    val bumpSequence = array(effT(43, src, amount = col("op.op_bump_to")))
+    val createCb = concat(
+      array(effT(50, src, opAsset, amount)),
+      transform(col("op.op_claimants_hex"),
+        c => eff(lit(51), c, opAsset, amount, nullL)),
+      array(effT(3, src, opAsset, amount)))
+    val claimCb = array(
+      effT(52, src, amount = amount), effT(2, src, amount = amount))
+    val clawback = array(
+      effT(2, src, opAsset, amount),
+      effT(3, col("op.op_from_hex"), opAsset, amount))
+    val clawbackCb = array(
+      effT(80, src, amount = amount), effT(2, src, amount = amount))
+    val lpDeposit = array(effT(90, src,
+      amount = lpCh("post_shares") - lpCh("pre_shares")))
+    val lpWithdraw = array(effT(91, src,
+      amount = lpCh("pre_shares") - lpCh("post_shares")))
+
+    // trades: (source, seller) per type 33/32/31(/30); LP atoms → 92;
+    // both-zero atoms emit nothing (`addIngestTradeEffects`)
+    val atomEffects = flatten(transform(
+      filter(col("op.claim_atoms"), a =>
+        a("sold_amount") =!= 0 || a("bought_amount") =!= 0), a => {
+      val pair = (t: Int) => Seq(
+        eff(lit(t), src, a("bought_code"), a("bought_amount"),
+          a("offer_id")),
+        eff(lit(t), a("seller_or_pool_hex"), a("sold_code"),
+          a("sold_amount"), a("offer_id")))
+      val offerTypes = Seq(33, 32, 31)
+      when(a("is_pool"),
+        array(eff(lit(92), src, a("sold_code"), a("sold_amount"), nullL)))
+        .when(ty.isin(2, 13), array(offerTypes.flatMap(pair): _*))
+        .otherwise(array((offerTypes :+ 30).flatMap(pair): _*))
+    }))
+
     val baseArr =
-      when(col("op.op_type") === 0, array(
-        eff(lit(0), lit(0), col("op.op_destination_hex"), nullS,
-          col("op.amount"), nullL),
-        eff(lit(1), lit(3), src, nullS, col("op.amount"), nullL)))
-      .when(col("op.op_type").isin(1, 2, 13), array(
-        eff(lit(0), lit(2), col("op.op_destination_hex"), recvAsset,
-          delivered, nullL),
-        eff(lit(1), lit(3), src, sendAsset, paid, nullL)))
-      .when(col("op.op_type") === 15, array(
-        eff(lit(0), lit(52), src, nullS, col("op.amount"), nullL)))
-    // orderbook atoms: a (seller, taker) trade-effect pair per atom of
-    // THIS op (the op element groups its own atoms), the ORIGINAL atom
-    // position driving the arithmetic index — all intra-row, so the whole
-    // transform stays one scan with no union or window
-    val tradePairs = flatten(filter(
-      transform(col("op.claim_atoms"), (a, i) =>
-        when(!a("is_pool"), array(
-          eff(lit(2) + i * 2, lit(33), a("seller_or_pool_hex"),
-            a("sold_code"), a("sold_amount"), a("offer_id")),
-          eff(lit(3) + i * 2, lit(33), src, a("bought_code"),
-            a("bought_amount"), a("offer_id"))))),
-      p => p.isNotNull))
+      when(ty === 0, createAccount)
+        .when(ty === 1, payment)
+        .when(ty.isin(2, 13), concat(payment, atomEffects))
+        .when(ty.isin(3, 4, 12), atomEffects)
+        .when(ty === 5, setOptions)
+        .when(ty === 6, changeTrust)
+        .when(ty === 7, allowTrust)
+        .when(ty === 8, accountMerge)
+        .when(ty === 10, manageData)
+        .when(ty === 11, bumpSequence)
+        .when(ty === 14, createCb)
+        .when(ty === 15, claimCb)
+        .when(ty === 19, clawback)
+        .when(ty === 20, clawbackCb)
+        .when(ty === 21, tlFlags)
+        .when(ty === 22, lpDeposit)
+        .when(ty === 23, lpWithdraw)
+        .otherwise(noEff)
+
+    // ---- change-scan loops, the reference's order -----------------------
+    // sponsorship families: entry type → base id (offers/LP emit none)
+    val spBase = typedLit(Map(0 -> 60, 1 -> 63, 3 -> 66, 4 -> 69))
+    val sponsorshipEffects = filter(transform(opChanges, c => {
+      val base = try_element_at(spBase, c("entry_type"))
+      val pre = c("pre_sponsor_hex")
+      val post = c("post_sponsor_hex")
+      when(base.isNotNull && pre.isNull && post.isNotNull,
+        eff(base, post, nullS, nullL, nullL))
+        .when(base.isNotNull && pre.isNotNull && post.isNull,
+          eff(base + 2, pre, nullS, nullL, nullL))
+        .when(base.isNotNull && pre.isNotNull && post.isNotNull &&
+            pre =!= post,
+          eff(base + 1, post, nullS, nullL, nullL))
+    }), e => e.isNotNull)
+    val lpEntryEffects = filter(transform(opChanges, c =>
+      when(c("entry_type") === 5 && c("kind") === 0,
+        eff(lit(93), src, nullS, c("post_shares"), nullL))
+        .when(c("entry_type") === 5 && c("kind") === 2,
+          eff(lit(94), src, nullS, nullL, nullL))),
+      e => e.isNotNull)
+
+    val allEffects = concat(baseArr, sponsorshipEffects, lpEntryEffects)
     ops
       .select(col("sequence"), col("pos"), col("op_pos"),
-        explode(concat(coalesce(baseArr, emptyEff), tradePairs)).as("e"))
+        posexplode(allEffects).as(Seq("eff_pos", "e")))
       .select(
         operationToid(col("sequence"), col("pos") + 1, col("op_pos"))
           .as("operation_id"),
         col("sequence").as("ledger_sequence"),
-        col("e.idx").as("effect_index"),
+        col("eff_pos").cast("int").as("effect_index"),
         col("e.type").as("type"),
         element_at(effectTypeNameCol, col("e.type")).as("type_string"),
         GraftFunctions.strkeyAccount(unhex(col("e.account_hex")))
@@ -570,7 +746,8 @@ object StellarTransforms {
         col("c.post_shares").as("post_shares"),
         col("c.pool_fee").as("pool_fee"),
         col("c.pool_id_hex").as("pool_id_hex"),
-        col("c.sponsor_hex").as("sponsor_hex"))
+        col("c.pre_sponsor_hex").as("pre_sponsor_hex"),
+        col("c.post_sponsor_hex").as("post_sponsor_hex"))
 
   private val contractEventTypeNameCol =
     typedLit(Map(0 -> "system", 1 -> "contract", 2 -> "diagnostic"))
@@ -636,7 +813,7 @@ object StellarTransforms {
     val lpCh = filter(opChanges, c => c("entry_type") === 5)
     val lp = when(size(lpCh) > 0, element_at(lpCh, 1))
     val spCh = filter(opChanges, c =>
-      c("kind") === 0 && c("sponsor_hex").isNotNull)
+      c("kind") === 0 && c("post_sponsor_hex").isNotNull)
     val sp = when(size(spCh) > 0, element_at(spCh, 1))
     lcm.select(col("sequence"),
         posexplode(col("transactions")).as(Seq("pos", "tx")))
@@ -653,7 +830,7 @@ object StellarTransforms {
         (lp("post_reserve_b") - lp("pre_reserve_b")).as("delta_reserve_b"),
         (lp("post_shares") - lp("pre_shares")).as("delta_shares"),
         lp("pool_fee").as("pool_fee"),
-        GraftFunctions.strkeyAccount(unhex(sp("sponsor_hex")))
+        GraftFunctions.strkeyAccount(unhex(sp("post_sponsor_hex")))
           .as("sponsor"))
   }
 

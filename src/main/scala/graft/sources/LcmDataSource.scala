@@ -70,7 +70,11 @@ object LcmDataSource {
     StructField("post_shares", LongType, nullable = true),
     StructField("pool_fee", IntegerType, nullable = true),
     StructField("pool_id_hex", StringType, nullable = true),
-    StructField("sponsor_hex", StringType, nullable = true)))
+    // pre/post SponsoringIDs (null = unsponsored on that side) — the
+    // sponsorship-effect families classify created/updated/removed on this
+    // PAIR, not on the change kind (`effects.go:296-317`)
+    StructField("pre_sponsor_hex", StringType, nullable = true),
+    StructField("post_sponsor_hex", StringType, nullable = true)))
 
   /** One Soroban contract event ([[graft.codec.Lcm.WireContractEvent]]):
     * topics/data surface as raw ScVal XDR binaries for the downstream
@@ -177,9 +181,13 @@ object LcmDataSource {
     StructField("op_max_price_n", IntegerType, nullable = true),
     StructField("op_max_price_d", IntegerType, nullable = true),
     // INVOKE_HOST_FUNCTION(24): HostFunction union tag + target contract
-    // (null for UPLOAD_WASM); EXTEND_FOOTPRINT_TTL(25) target
+    // (null for UPLOAD_WASM), the INVOKE_CONTRACT arm's argument vector
+    // as raw ScVal XDR blobs (the `serializeParameters` input,
+    // `operation.go:584-660`); EXTEND_FOOTPRINT_TTL(25) target
     StructField("op_host_fn_type", IntegerType, nullable = true),
     StructField("op_contract_id_hex", StringType, nullable = true),
+    StructField("op_host_fn_params_xdr",
+      ArrayType(BinaryType, containsNull = false), nullable = true),
     StructField("op_extend_to", LongType, nullable = true),
     // this op's RESULT ClaimAtoms (grouped by the wire atoms' op_index) —
     // the history_trades grain
@@ -584,7 +592,8 @@ private[sources] object LcmRows {
       if (isPool) Long.box(c.postShares) else null,
       if (isPool) Int.box(c.poolFee) else null,
       c.poolId.map(hex).orNull,
-      c.sponsor.map(hex).orNull))
+      c.preSponsor.map(hex).orNull,
+      c.postSponsor.map(hex).orNull))
   }
 
   def opRow(op: Op, atoms: Seq[WireClaimAtom]): InternalRow = {
@@ -719,13 +728,20 @@ private[sources] object LcmRows {
         null, null, null, null)
       case _ => Array.fill[Any](9)(null)
     }
-    // soroban host arms: host-fn tag + contract / ttl extension
-    val (hostFnType, contractId, extendTo): (Any, Any, Any) =
+    // soroban host arms: host-fn tag + contract + invoke args / ttl
+    // extension
+    val (hostFnType, contractId, hostFnParams, extendTo):
+        (Any, Any, Any, Any) =
       op.detail match {
         case ih: OpInvokeHostFunction =>
-          (Int.box(ih.hostFnType), ih.contractId.map(hex).orNull, null)
-        case e: OpExtendFootprintTtl => (null, null, Long.box(e.extendTo))
-        case _ => (null, null, null)
+          (Int.box(ih.hostFnType), ih.contractId.map(hex).orNull,
+            if (ih.hostFnType == 0)
+              new GenericArrayData(ih.params.map(_.toArray).toArray[Any])
+            else null,
+            null)
+        case e: OpExtendFootprintTtl =>
+          (null, null, null, Long.box(e.extendTo))
+        case _ => (null, null, null, null)
       }
     new GenericInternalRow(Array[Any](
       op.opType, op.amountStroops,
@@ -737,7 +753,7 @@ private[sources] object LcmRows {
       trustor, authorize, fromHex,
       claimants, balanceId, sponsoredId,
       revokeType, leType, leKey, signerAcct) ++ lpCols ++ Array[Any](
-      hostFnType, contractId, extendTo,
+      hostFnType, contractId, hostFnParams, extendTo,
       new GenericArrayData(atoms.map(atomRow).toArray[Any]),
       offResId))
   }
@@ -991,9 +1007,24 @@ object LcmWriter {
           minAmountA = 600000L * (t + 1) + seq % 67,
           minAmountB = 700000L * (t + 1) + seq % 61)
         case 24 =>
+          // INVOKE_CONTRACT (fnType 0) carries its ScVal argument vector:
+          // a function-name symbol, a u64 counter, and (odd t) an i128
+          // amount — every byte affine in (seq, t) so the oracle
+          // reconstructs the exact XDR base64 (`serializeParameters`)
           val fnType = ((seq + t) % 4).toInt
+          val fnNames = Seq("init", "transfer", "swap")
           Lcm.OpInvokeHostFunction(fnType,
-            if (fnType == 2) None else Some(sha(s"ct-$seq-$t")))
+            if (fnType == 2) None else Some(sha(s"ct-$seq-$t")),
+            params = if (fnType != 0) Nil
+              else Seq(
+                graft.codec.ScVal.encode(graft.codec.ScVal.Sym(
+                  fnNames(((seq + t) % 3).toInt))).toSeq,
+                graft.codec.ScVal.encode(graft.codec.ScVal.U64(
+                  seq * 3 + t)).toSeq) ++
+                (if (t % 2 == 1)
+                  Seq(graft.codec.ScVal.encode(graft.codec.ScVal.I128(
+                    0L, 50000L * (t + 1) + seq % 83)).toSeq)
+                else Nil))
         case 25 => Lcm.OpExtendFootprintTtl(100000L + (seq * 3 + t) % 50000)
         case _ => Lcm.OpGeneric
       }
@@ -1052,7 +1083,21 @@ object LcmWriter {
           // finds its pool's pre-state change exactly when indices align
           // (the findPoolFee match-by-LiquidityPoolId coverage)
           poolId = if (isPool) Some(sha(s"se-$seq-$t-$j")) else None,
-          sponsor = if (kind == 0 && (seq + 2 * t + j) % 2 == 0)
+          // sponsor-pair laws (the sponsorship-effect substrate): the post
+          // sponsor keeps the round-11 creation law on kind 0 (so the
+          // getSponsor oracle is unchanged) and extends it to kind 1; the
+          // pre sponsor cycles present-same / present-different / absent on
+          // (2·seq+t+j)%3 — its offset from the kind law is seq mod 3,
+          // which spans all residues even under the t%3≠0 success filter,
+          // so all four classification arms — created, updated, removed,
+          // unchanged-skip — ride the wire
+          preSponsor =
+            if (kind != 0 && (2 * seq + t + j) % 3 == 0)
+              Some(sha(s"chsp-$seq-$t-$j"))
+            else if (kind != 0 && (2 * seq + t + j) % 3 == 1)
+              Some(sha(s"chspp-$seq-$t-$j"))
+            else None,
+          postSponsor = if (kind != 2 && (seq + 2 * t + j) % 2 == 0)
             Some(sha(s"chsp-$seq-$t-$j")) else None)
       }
       // RESULT claim atoms ride only the trade-shaped arms (both path

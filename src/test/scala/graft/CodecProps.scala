@@ -234,7 +234,13 @@ object CodecProps extends Properties("codec") {
         ft <- Gen.chooseNum(0, 3)
         cid <- if (ft == 2) Gen.const(None: Option[Seq[Byte]])
                else b32.map(Some(_): Option[Seq[Byte]])
-      } yield Lcm.OpInvokeHostFunction(ft, cid)
+        params <- if (ft != 0) Gen.const(Seq.empty[Seq[Byte]])
+                  else Gen.listOfN(3, Gen.chooseNum(0, 20)
+                    .flatMap(n => Gen.listOfN(n,
+                      Gen.chooseNum(Byte.MinValue, Byte.MaxValue))))
+                    .flatMap(ps => Gen.chooseNum(0, 3).map(k =>
+                      ps.take(k).map(_.toSeq)))
+      } yield Lcm.OpInvokeHostFunction(ft, cid, params)
       case 25 => u32.map(Lcm.OpExtendFootprintTtl)
       case _ => Gen.const(Lcm.OpGeneric: Lcm.OpDetail)
     }
@@ -286,7 +292,7 @@ object CodecProps extends Properties("codec") {
     bal <- nonNeg
     // entry-type-discriminated arms: offer pre-state on OFFER(2) (0/0
     // price = CREATED/no-pre), LP constant-product on LIQUIDITY_POOL(5),
-    // sponsor only on CREATED
+    // pre sponsor off CREATED only, post sponsor off REMOVED only
     offerId <- if (et == 2) nonNeg else Gen.const(0L)
     ppn <- if (et == 2 && k != 0) Gen.chooseNum(0, 1000) else Gen.const(0)
     ppd <- if (et == 2 && k != 0 && ppn != 0) Gen.chooseNum(1, 1000)
@@ -300,10 +306,14 @@ object CodecProps extends Properties("codec") {
     fee <- if (et == 5) Gen.chooseNum(0, 10000) else Gen.const(0)
     poolId <- if (et == 5) Gen.option(b32)
               else Gen.const(None: Option[Seq[Byte]])
-    sponsor <- if (k == 0) Gen.option(b32) else Gen.const(None)
+    preSponsor <- if (k != 0) Gen.option(b32)
+                  else Gen.const(None: Option[Seq[Byte]])
+    postSponsor <- if (k != 2) Gen.option(b32)
+                   else Gen.const(None: Option[Seq[Byte]])
   } yield Lcm.WireChange(k, et, oi, kh, lm, bal,
     offerId, if (ppd == 0) 0 else ppn, ppd,
-    preA, preB, preS, postA, postB, postS, fee, poolId, sponsor)
+    preA, preB, preS, postA, postB, postS, fee, poolId,
+    preSponsor, postSponsor)
 
   private def eventGen(nOps: Int): Gen[Lcm.WireContractEvent] = for {
     oi <- Gen.chooseNum(0, math.max(nOps - 1, 0))

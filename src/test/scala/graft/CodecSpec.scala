@@ -519,13 +519,13 @@ class CodecSpec extends AnyFunSuite {
         "00000002" +                             // nChanges
         "00000000" + "00000001" + "00000000" +   // CREATED trustline op 0
         hx(fill(0x21)) + "00000800" + "00000000004c4b40" +
-        "00000000" +                             // hasSponsor = false
+        "00000000" + "00000000" +                // no pre/post sponsor
         "00000002" + "00000009" + "00000000" +   // REMOVED ttl op 0
         hx(fill(0x22)) + "00000007" + "0000000000000000" +
-        "00000000"))                             // hasSponsor = false
+        "00000000" + "00000000"))                // no pre/post sponsor
 
     // entry-type-discriminated pre/post arms: OFFER pre-state price, LP
-    // constant-product pre/post + fee, and the creation sponsor — all
+    // constant-product pre/post + fee, and the pre/post sponsor pair — all
     // round-trip, and the refusals pin the arms to their entry types
     val offerCh = WireChange(1, 2, 0, fill(0x23), 9L, 100L,
       offerId = 4242L, prePriceN = 3, prePriceD = 7)
@@ -534,22 +534,27 @@ class CodecSpec extends AnyFunSuite {
       postReserveA = 900L, postReserveB = 2100L, postShares = 31L,
       poolFee = 30)
     val spCh = WireChange(0, 0, 0, fill(0x25), 9L, 50L,
-      sponsor = Some(fill(0x26)))
+      postSponsor = Some(fill(0x26)))
+    val spPair = WireChange(1, 0, 0, fill(0x27), 9L, 50L,
+      preSponsor = Some(fill(0x28)), postSponsor = Some(fill(0x29)))
     val armTx = Tx(12L, TxSuccess, Seq(Op(9, 1L)),
-      changes = Seq(offerCh, lpCh, spCh))
+      changes = Seq(offerCh, lpCh, spCh, spPair))
     assert(decode(encode(Frame(42L, 3L, Seq(armTx)))).txs.head == armTx)
     assert(hexStr(encode(Frame(42L, 3L, Seq(armTx)))).contains(
       hx(fill(0x23)) + "00000009" + "0000000000000064" +
         "0000000000001092" + "00000003" + "00000007" + // offer arm
-        "00000000"))                                   // no sponsor
+        "00000000" + "00000000"))                      // no pre/post sponsor
     intercept[IllegalArgumentException](               // offer arm off-type
       WireChange(1, 1, 0, fill(1), 1L, 0L, offerId = 7L))
     intercept[IllegalArgumentException](               // LP arm off-type
       WireChange(1, 2, 0, fill(1), 1L, 0L, preReserveA = 7L))
-    intercept[IllegalArgumentException](               // sponsor on UPDATED
-      WireChange(1, 0, 0, fill(1), 1L, 0L, sponsor = Some(fill(2))))
+    intercept[IllegalArgumentException](               // pre sponsor on CREATED
+      WireChange(0, 0, 0, fill(1), 1L, 0L, preSponsor = Some(fill(2))))
+    intercept[IllegalArgumentException](               // post sponsor on REMOVED
+      WireChange(2, 0, 0, fill(1), 1L, 0L, postSponsor = Some(fill(2))))
     intercept[IllegalArgumentException](               // sponsor width
-      WireChange(0, 0, 0, fill(1), 1L, 0L, sponsor = Some(fill(2).take(4))))
+      WireChange(0, 0, 0, fill(1), 1L, 0L,
+        postSponsor = Some(fill(2).take(4))))
 
     // Soroban contract events: ScVal topic/data blobs round-trip through
     // the var-opaque framing, zero-topic and multi-op arms included

@@ -83,7 +83,7 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one ledger, every change row: the entry-type-discriminated arms must
     // surface exactly per the affine fixture laws — offer pre-state price
     // (null on CREATED), LP constant-product pre/post + fee, and the
-    // creation sponsor — with nulls everywhere an arm doesn't apply
+    // pre/post sponsor pair — with nulls everywhere an arm doesn't apply
     val seq = 1042L
     val rows = spark.read.format("graft-lcm").load(dir)
       .where(col("sequence") === seq)
@@ -91,7 +91,8 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("pos"), posexplode(col("tx.changes")).as(Seq("j", "c")))
       .select("pos", "j", "c.kind", "c.entry_type", "c.offer_id",
         "c.pre_price_n", "c.pre_price_d", "c.pre_reserve_a",
-        "c.post_shares", "c.pool_fee", "c.sponsor_hex")
+        "c.post_shares", "c.pool_fee", "c.post_sponsor_hex",
+        "c.pre_sponsor_hex")
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -111,9 +112,12 @@ class LcmSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
           1000000L + seq * 2 + t + (seq + t * 2 + j) % 201 - 100)
         assert(r.getInt(9) == 10 + (seq + t) % 90)
       } else assert(r.isNullAt(7) && r.isNullAt(8) && r.isNullAt(9))
-      if (kind == 0 && (seq + 2 * t + j) % 2 == 0)
+      if (kind != 2 && (seq + 2 * t + j) % 2 == 0)
         assert(r.getString(10).length == 64)
       else assert(r.isNullAt(10))
+      if (kind != 0 && (2 * seq + t + j) % 3 <= 1)
+        assert(r.getString(11).length == 64)
+      else assert(r.isNullAt(11))
     }
   }
 
