@@ -72,20 +72,36 @@ object Bench {
     // prev source priority: bench_latest.json (the FULL line this main
     // persists — driver BENCH_r*.json artifacts are tail-truncated and can
     // lose the `"queries":` marker entirely, which killed the isolation pass
-    // in round 10), falling back to the newest BENCH_r*.json.
+    // in round 10), falling back to the newest BENCH_r*.json. Within a
+    // file, the `steady` map (isolation-preferred minima, the committed
+    // baseline statistic) gates; older files without one fall back to the
+    // raw suite `queries`. A baseline recorded at a DIFFERENT sf is not a
+    // baseline at all — comparing sf0.1 mins against an sf0.001 run made
+    // every query a phantom 10× outlier — so sf-mismatched files are
+    // ignored for comparison and never overwritten (delete bench_latest
+    // .json first to re-baseline at a new scale).
+    def readFile(f: java.io.File): String = {
+      val txt = scala.io.Source.fromFile(f)
+      try txt.mkString finally txt.close()
+    }
+    def sfOf(s: String): Option[String] =
+      """"sf":"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+    def parseTimes(s: String): Map[String, Double] = {
+      val start = Seq(s.indexOf("\"steady\":"), s.indexOf("\"queries\":"))
+        .filter(_ >= 0).sorted.lastOption.getOrElse(-1)
+      if (start < 0) Map.empty[String, Double]
+      else """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
+        .findAllMatchIn(s.substring(start))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val latestFile = new java.io.File("bench_latest.json")
+    val latestTxt = if (latestFile.isFile) Some(readFile(latestFile)) else None
+    val baselineSfMatches =
+      latestTxt.forall(s => sfOf(s).forall(_ == sfDir))
     val prev: Map[String, Double] = {
-      def parse(f: java.io.File): Map[String, Double] = {
-        val txt = scala.io.Source.fromFile(f)
-        val s = try txt.mkString finally txt.close()
-        val qstart = s.indexOf("\"queries\":")
-        if (qstart < 0) Map.empty[String, Double]
-        else """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
-          .findAllMatchIn(s.substring(qstart))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-      val latest = new java.io.File("bench_latest.json")
-      val fromLatest =
-        if (latest.isFile) parse(latest) else Map.empty[String, Double]
+      val fromLatest = latestTxt
+        .filter(s => sfOf(s).forall(_ == sfDir))
+        .map(parseTimes).getOrElse(Map.empty)
       if (fromLatest.nonEmpty) fromLatest
       else {
         val dir = new java.io.File(".")
@@ -93,7 +109,10 @@ object Bench {
         Option(dir.listFiles()).getOrElse(Array.empty)
           .flatMap(f => f.getName match {
             case rx(n) => Some(n.toInt -> f); case _ => None })
-          .sortBy(_._1).lastOption.map(p => parse(p._2))
+          .sortBy(_._1).lastOption
+          .map(p => readFile(p._2))
+          .filter(s => sfOf(s).forall(_ == sfDir))
+          .map(parseTimes)
           .getOrElse(Map.empty)
       }
     }
@@ -111,25 +130,40 @@ object Bench {
       .mkString("{", ",", "}")
     val iso = isolated.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // the {suite, isolated} PAIR per query: `queries` carries the raw
+    // suite mins, `steady` the isolation-preferred minima — the best
+    // known steady state per query, the statistic the baseline protocol
+    // gates on (a contended suite number never pollutes the baseline
+    // because its isolation re-measure replaces it here)
+    def steadyOf(k: String, mn: Double): Double =
+      if (mn < 0) mn
+      else isolated.get(k).filter(_ > 0).map(math.min(_, mn)).getOrElse(mn)
+    val steady = results.map { case (k, mn, _) =>
+      "\"" + k + "\":" + steadyOf(k, mn) }.mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only — a -1.0 failure sentinel must not
     // SUBTRACT from the suite total (r10's total understated by 5 s that
     // way); failures are counted in their own field instead
     val total = results.collect { case (k, mn, _) if mn > 0 =>
-      isolated.get(k).filter(_ > 0).map(math.min(_, mn)).getOrElse(mn) }.sum
+      steadyOf(k, mn) }.sum
     val nFailed = results.count(_._2 < 0)
     val spreads = results.collect { case (_, mn, md) if mn > 0 => md / mn - 1.0 }.sorted
     val noiseMed = if (spreads.isEmpty) 0.0 else spreads((spreads.size - 1) / 2)
     val noiseMax = if (spreads.isEmpty) 0.0 else spreads.last
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","failed":$nFailed,"reps_min":$minReps,"reps_max":$maxReps,"noise_med":$noiseMed,"noise_max":$noiseMax,"isolated":$iso,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","failed":$nFailed,"reps_min":$minReps,"reps_max":$maxReps,"noise_med":$noiseMed,"noise_max":$noiseMax,"isolated":$iso,"queries":$qs,"steady":$steady,"sf":"$sfDir"}"""
     println(line)
     // the round artifact keeps only the TAIL of stdout, which truncates
     // half the per-query numbers once the suite passes ~100 queries — so
     // also persist the full line to a file in the repo root. FULL suite
-    // runs only: an SPARK_GRAFT_ONLY isolation probe must not clobber the
-    // all-queries baseline that the next run's outlier pass reads as prev.
-    if (only.isEmpty) {
+    // runs at the BASELINE's sf only: an SPARK_GRAFT_ONLY isolation probe
+    // must not clobber the all-queries baseline, and a run at another
+    // scale (a local sf0.001 smoke) must not replace the sf0.1 numbers
+    // the driver's 2× gate compares against.
+    if (only.isEmpty && baselineSfMatches) {
       val out = new java.io.PrintWriter("bench_latest.json")
       try out.println(line) finally out.close()
+    } else if (!baselineSfMatches) {
+      System.err.println(s"[bench] baseline sf differs from $sfDir — " +
+        "bench_latest.json left untouched (delete it to re-baseline)")
     }
     spark.stop()
   }

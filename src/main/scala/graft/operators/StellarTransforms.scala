@@ -206,6 +206,128 @@ object StellarTransforms {
           lit("\",\"contract\":\""),
           GraftFunctions.strkeyContract(unhex(e("contract_id_hex"))),
           lit("\"}"))), ","), lit("]")))
+    // the shared details renderer, bound to the wire columns: keys the
+    // wire cannot determine (asset issuers/types, paths, footprints,
+    // predicates) stay null and drop from the JSON — the output is the
+    // wire-determined key subset of the model path's details, with
+    // identical key names and value laws (one renderer, no drift)
+    val wTy = col("op.op_type")
+    val actingHex = coalesce(col("op.op_source_hex"),
+      col("tx.source_account_hex"))
+    val wBeginOps = filter(
+      zip_with(col("tx.operations"),
+        sequence(lit(0), size(col("tx.operations")) - 1),
+        (o, i) => struct(o.as("op"), i.as("i"))),
+      x => x("i") < col("op_pos") && x("op")("op_type") === 16 &&
+        x("op")("op_sponsored_id_hex") === actingHex)
+    val wBeginOp = get(wBeginOps, size(wBeginOps) - 1)("op")
+    val wLpChs = filter(col("tx.changes"), c =>
+      c("op_index") === col("op_pos") && c("entry_type") === 5)
+    val wLpCh = when(size(wLpChs) > 0, element_at(wLpChs, 1))
+    def wLpDelta(pre: String, post: String): Column =
+      when(col("tx.successful") && wLpCh.isNotNull,
+        wLpCh(post) - wLpCh(pre)).otherwise(lit(0L))
+    val wParams = col("op.op_host_fn_params_xdr")
+    val wireDetailInputs = OperationDetails.DetailInputs(
+      ty = wTy,
+      successful = col("tx.successful"),
+      sourceAddr = GraftFunctions.strkeyAccount(unhex(actingHex)),
+      destAddr = GraftFunctions.strkeyAccount(
+        unhex(col("op.op_destination_hex"))),
+      fromMuxed = when(col("op.op_source_hex").isNull &&
+          col("tx.source_muxed_id").isNotNull,
+        GraftFunctions.strkeyMuxed(unhex(col("tx.source_account_hex")),
+          col("tx.source_muxed_id"))),
+      fromMuxedId = when(col("op.op_source_hex").isNull,
+        col("tx.source_muxed_id")),
+      startingBalanceStroops = col("op.amount"),
+      amountStroops = when(wTy === 13, col("op.op_result_amount"))
+        .otherwise(col("op.amount")),
+      cbAmountStroops = col("op.amount"),
+      sourceAmountStroops = when(wTy === 2, col("op.op_result_amount"))
+        .otherwise(col("op.amount")),
+      sourceMaxStroops = col("op.op_send_max"),
+      destMinStroops = col("op.op_dest_min"),
+      assetCode = when(wTy.isin(2, 13), col("op.op_dest_asset_code"))
+        .otherwise(col("op.op_asset_code")),
+      trustAssetCode = col("op.op_asset_code"),
+      trustLimitStroops = col("op.op_limit"),
+      sourceAssetCode = col("op.op_send_asset_code"),
+      offerId = col("op.op_offer_id"),
+      priceN = col("op.op_price_n"),
+      priceD = col("op.op_price_d"),
+      buyingAssetCode = col("op.op_buying_code"),
+      sellingAssetCode = col("op.op_selling_code"),
+      inflationDestAddr = GraftFunctions.strkeyAccount(
+        unhex(col("op.op_inflation_dest_hex"))),
+      setFlags = col("op.op_set_flags"),
+      clearFlags = col("op.op_clear_flags"),
+      masterWeight = col("op.op_master_weight"),
+      lowThreshold = col("op.op_low_threshold"),
+      medThreshold = col("op.op_med_threshold"),
+      highThreshold = col("op.op_high_threshold"),
+      homeDomain = col("op.op_home_domain"),
+      signerAddr = GraftFunctions.strkeyAccount(
+        unhex(col("op.op_signer_key_hex"))),
+      revokeSignerAddr = GraftFunctions.strkeyAccount(
+        unhex(col("op.op_signer_key_hex"))),
+      signerWeight = col("op.op_signer_weight"),
+      authorizeFlags = col("op.op_authorize"),
+      tlSetFlags = col("op.op_set_flags"),
+      tlClearFlags = col("op.op_clear_flags"),
+      trustorAddr = GraftFunctions.strkeyAccount(
+        unhex(col("op.op_trustor_hex"))),
+      dataName = col("op.op_data_name"),
+      dataValueB64 = when(col("op.op_data_value_hex").isNotNull,
+        GraftFunctions.base64NoWrap(unhex(col("op.op_data_value_hex")))),
+      bumpTo = col("op.op_bump_to"),
+      cbAssetCanon = when(wTy === 14, col("op.op_asset_code")),
+      claimants = transform(col("op.op_claimants_hex"), c => struct(
+        GraftFunctions.strkeyAccount(unhex(c)).as("destination"),
+        lit(null).cast("string").as("predicate"))),
+      balanceIdHex = when(col("op.op_balance_id_hex").isNotNull,
+        concat(lit("00000000"), col("op.op_balance_id_hex"))),
+      balanceIdStrkey = when(col("op.op_balance_id_hex").isNotNull,
+        GraftFunctions.strkeyBalance(unhex(col("op.op_balance_id_hex")))),
+      sponsoredIdAddr = GraftFunctions.strkeyAccount(
+        unhex(col("op.op_sponsored_id_hex"))),
+      beginSponsorAddr = when(wBeginOp.isNotNull,
+        GraftFunctions.strkeyAccount(unhex(
+          coalesce(wBeginOp("op_source_hex"),
+            col("tx.source_account_hex"))))),
+      revokeSignerAccountAddr = GraftFunctions.strkeyAccount(
+        unhex(col("op.op_signer_account_hex"))),
+      lpPoolIdHex = col("op.op_pool_id_hex"),
+      lpPoolIdStrkey = GraftFunctions.strkeyPool(
+        unhex(col("op.op_pool_id_hex"))),
+      maxAmountA = col("op.op_max_amount_a"),
+      maxAmountB = col("op.op_max_amount_b"),
+      deltaReserveA = wLpDelta("pre_reserve_a", "post_reserve_a"),
+      deltaReserveB = wLpDelta("pre_reserve_b", "post_reserve_b"),
+      deltaShares = wLpDelta("pre_shares", "post_shares"),
+      minPriceN = col("op.op_min_price_n"),
+      minPriceD = col("op.op_min_price_d"),
+      maxPriceN = col("op.op_max_price_n"),
+      maxPriceD = col("op.op_max_price_d"),
+      minAmountA = col("op.op_min_amount_a"),
+      minAmountB = col("op.op_min_amount_b"),
+      lpSharesStroops = col("op.amount"),
+      hostFnTypeName = element_at(typedLit(Map(
+        0 -> "invoke_contract", 1 -> "create_contract",
+        2 -> "upload_wasm", 3 -> "create_contract_v2")),
+        col("op.op_host_fn_type")),
+      sorobanContractAddr = GraftFunctions.strkeyContract(
+        unhex(col("op.op_contract_id_hex"))),
+      parametersB64 = when(wParams.isNotNull,
+        transform(wParams, p => GraftFunctions.base64NoWrap(p))),
+      parametersJson = when(wParams.isNotNull,
+        transform(wParams, p => GraftFunctions.scvalJson(p))),
+      extendTo = col("op.op_extend_to"),
+      nClaimAtoms = when(size(col("op.claim_atoms")) > 0,
+        size(col("op.claim_atoms"))),
+      totalSoldStroops = aggregate(col("op.claim_atoms"), lit(0L),
+        (acc, a) => acc + a("sold_amount")))
+    val wireDetailsStruct = OperationDetails.struct(wireDetailInputs)
     lcm.select(col("sequence"),
         posexplode(col("transactions")).as(Seq("pos", "tx")))
       .select(col("sequence"), col("pos"), col("tx"),
@@ -302,7 +424,12 @@ object StellarTransforms {
               p => GraftFunctions.scvalJson(p)), ","),
             lit("]"))).as("parameters_decoded"),
         sacBalanceChanges.as("asset_balance_changes"),
-        col("op.op_extend_to").as("extend_to"))
+        col("op.op_extend_to").as("extend_to"),
+        // the SHARED details contract (one renderer with the model path):
+        // wide struct + null-dropped JSON, wire-determined keys only
+        wireDetailsStruct.as("details"),
+        parse_json(to_json(wireDetailsStruct,
+          Map("ignoreNullFields" -> "true"))).as("details_json"))
   }
 
   /** P6/A2 composed over the wire source: every asset mentioned by a
@@ -971,23 +1098,6 @@ object StellarTransforms {
       transform(col("tx.signers"), k => strkeyAccount(k)).as("tx_signers"))
   }
 
-  /** Account-flag ints present in `v`, with the reference's names
-    * (`operation.go:555-582`). */
-  private def accountFlagArrays(v: Column): (Column, Column) = {
-    val names = typedLit(Map(1 -> "auth_required", 2 -> "auth_revocable",
-      4 -> "auth_immutable", 8 -> "auth_clawback_enabled"))
-    val ints = filter(typedLit(Seq(1, 2, 4, 8)), b => v.bitwiseAND(b) =!= 0)
-    (ints, transform(ints, i => element_at(names, i)))
-  }
-
-  /** Trustline-flag ints/names (`operation.go:442-466`). */
-  private def trustlineFlagArrays(v: Column): (Column, Column) = {
-    val names = typedLit(Map(1 -> "authorized",
-      2 -> "authorized_to_maintain_liabilities", 4 -> "clawback_enabled"))
-    val ints = filter(typedLit(Seq(1, 2, 4)), b => v.bitwiseAND(b) =!= 0)
-    (ints, transform(ints, i => element_at(names, i)))
-  }
-
   /** P3 — `history_operations`: op grain with source fallback, type names,
     * op-index+1 TOIDs. The `details` union is a WIDE NULLABLE STRUCT
     * (SURVEY §1.2 option (a), BigQuery's own shape) — queryable columns,
@@ -1020,11 +1130,6 @@ object StellarTransforms {
     }
     def assetCanon(a: Column): Column = GraftFunctions.assetCodeIssuer(a)
 
-    val (setFlagsI, setFlagsS) = accountFlagArrays(col("op.set_flags"))
-    val (clearFlagsI, clearFlagsS) = accountFlagArrays(col("op.clear_flags"))
-    val (tlSetI, tlSetS) = trustlineFlagArrays(col("op.tl_set_flags"))
-    val (tlClearI, tlClearS) = trustlineFlagArrays(col("op.tl_clear_flags"))
-
     val lpChange =
       GraftFunctions.lastPoolChange(col("op.changes"), col("op.pool_id"))
     def lpDelta(pre: String, post: String): Column =
@@ -1050,266 +1155,157 @@ object StellarTransforms {
     val balanceIdStrkey = when(col("op.balance_id").isNotNull,
       strkeyBalance(col("op.balance_id")))
 
-    val isPayment = ty.isin(1, 2, 13)
-    val detailsStruct = struct(
-      // ---- accounts & amounts (create_account / payments / merge / clawback)
-      when(ty === 0, sourceAddr).as("funder"),
-      when(ty === 0, destAddr).as("account"),
-      when(ty === 0, stroopsToXlm(col("op.starting_balance_stroops")))
-        .as("starting_balance"),
-      when(isPayment, sourceAddr)
-        .when(ty === 19, destAddr) // clawback: From account
-        // create-contract preimage tag (`operation.go:2285,2288`)
-        .when(ty === 24 && col("op.preimage_from_address_key").isNotNull,
-          lit("address"))
-        .when(ty === 24 && col("op.preimage_from_asset").isNotNull,
-          lit("asset"))
-        .as("from"),
-      when(isPayment, destAddr).as("to"),
-      when(isPayment && col("op.source_key").isNull &&
-          col("tx.source_muxed_id").isNotNull,
-        strkeyMuxed(col("tx.source_key"), col("tx.source_muxed_id")))
-        .as("from_muxed"),
-      when(isPayment && col("op.source_key").isNull, col("tx.source_muxed_id"))
-        .as("from_muxed_id"),
-      when(col("op.destination_muxed_id").isNotNull,
-        strkeyMuxed(col("op.destination_key"), col("op.destination_muxed_id")))
-        .as("to_muxed"),
-      col("op.destination_muxed_id").as("to_muxed_id"),
-      // amount: payments/offers/clawback op body; strict-send actual from
-      // result when successful, 0 otherwise (`operation.go:687-696`)
-      when(ty === 13,
-          when(successful, stroopsToXlm(col("op.amount_stroops")))
-            .otherwise(lit(0.0)))
-        .when(ty.isin(1, 2, 3, 4, 12, 19), stroopsToXlm(col("op.amount_stroops")))
-        .when(ty === 14, stroopsToXlm(col("op.cb_amount_stroops")))
-        .as("amount"),
-      // ---- path payments (2 strict-receive / 13 strict-send)
-      when(ty === 2,
-          when(successful, stroopsToXlm(col("op.source_amount_stroops")))
-            .otherwise(lit(0.0)))
-        .when(ty === 13, stroopsToXlm(col("op.source_amount_stroops")))
-        .as("source_amount"),
-      when(ty === 2, stroopsToXlm(col("op.source_max_stroops"))).as("source_max"),
-      when(ty === 13, stroopsToXlm(col("op.destination_min_stroops")))
-        .as("destination_min"),
-      when(ty.isin(2, 13) && size(col("op.path")) > 0, col("op.path")).as("path"),
-      // ---- asset triple: payment/path dest asset, trust-line ops' line,
-      // clawback asset (`addAssetDetailsToOperationDetails` with "" prefix)
-      when(ty.isin(1, 2, 13, 19), col("op.asset.asset_type"))
-        .when(ty.isin(6, 7, 21),
-          coalesce(col("op.trust_asset.asset_type"), lit("liquidity_pool_shares")))
-        .as("asset_type"),
-      when(ty.isin(1, 2, 13, 19) && col("op.asset.asset_type") =!= "native",
-          col("op.asset.asset_code"))
-        .when(ty.isin(6, 7, 21), col("op.trust_asset.asset_code")).as("asset_code"),
-      when(ty.isin(1, 2, 13, 19) && col("op.asset.asset_type") =!= "native",
-          col("op.asset.asset_issuer"))
-        .when(ty.isin(6, 7, 21), col("op.trust_asset.asset_issuer"))
-        .as("asset_issuer"),
-      when(ty.isin(2, 13), col("op.source_asset.asset_type"))
-        .as("source_asset_type"),
-      when(ty.isin(2, 13) && col("op.source_asset.asset_type") =!= "native",
-        col("op.source_asset.asset_code")).as("source_asset_code"),
-      when(ty.isin(2, 13) && col("op.source_asset.asset_type") =!= "native",
-        col("op.source_asset.asset_issuer")).as("source_asset_issuer"),
-      // ---- offers (3 manage_sell / 4 passive_sell / 12 manage_buy)
-      when(ty.isin(3, 12), col("op.offer_id")).as("offer_id"),
-      when(ty.isin(3, 4, 12),
-        priceRatio(col("op.price_n"), col("op.price_d"))).as("price"),
-      when(ty.isin(3, 4, 12), struct(col("op.price_n").as("n"),
-        col("op.price_d").as("d"))).as("price_r"),
-      when(ty.isin(3, 4, 12), col("op.buying_asset.asset_type"))
-        .as("buying_asset_type"),
-      when(ty.isin(3, 4, 12) && col("op.buying_asset.asset_type") =!= "native",
-        col("op.buying_asset.asset_code")).as("buying_asset_code"),
-      when(ty.isin(3, 4, 12) && col("op.buying_asset.asset_type") =!= "native",
-        col("op.buying_asset.asset_issuer")).as("buying_asset_issuer"),
-      when(ty.isin(3, 4, 12), col("op.selling_asset.asset_type"))
-        .as("selling_asset_type"),
-      when(ty.isin(3, 4, 12) && col("op.selling_asset.asset_type") =!= "native",
-        col("op.selling_asset.asset_code")).as("selling_asset_code"),
-      when(ty.isin(3, 4, 12) && col("op.selling_asset.asset_type") =!= "native",
-        col("op.selling_asset.asset_issuer")).as("selling_asset_issuer"),
-      // ---- set_options (5)
-      when(ty === 5 && col("op.inflation_dest_key").isNotNull,
-        strkeyAccount(col("op.inflation_dest_key"))).as("inflation_dest"),
-      when(ty === 5 && col("op.set_flags").isNotNull, setFlagsI).as("set_flags"),
-      when(ty === 5 && col("op.set_flags").isNotNull, setFlagsS).as("set_flags_s"),
-      when(ty === 5 && col("op.clear_flags").isNotNull, clearFlagsI)
-        .as("clear_flags"),
-      when(ty === 5 && col("op.clear_flags").isNotNull, clearFlagsS)
-        .as("clear_flags_s"),
-      when(ty === 5, col("op.master_weight")).as("master_key_weight"),
-      when(ty === 5, col("op.low_threshold")).as("low_threshold"),
-      when(ty === 5, col("op.med_threshold")).as("med_threshold"),
-      when(ty === 5, col("op.high_threshold")).as("high_threshold"),
-      when(ty === 5, col("op.home_domain")).as("home_domain"),
-      when(ty === 5 && col("op.signer_key").isNotNull,
-          strkeyAccount(col("op.signer_key")))
-        .when(ty === 18, strkeyAccount(col("op.revoke_signer_key")))
-        .as("signer_key"),
-      when(ty === 5, col("op.signer_weight")).as("signer_weight"),
-      // ---- trust lines (6 change_trust / 7 allow_trust / 21 set_tl_flags)
-      when(ty === 6 && col("op.trust_pool_id").isNotNull,
-        lower(hex(col("op.trust_pool_id")))).as("liquidity_pool_id"),
-      when(ty === 6, stroopsToXlm(col("op.trust_limit_stroops"))).as("limit"),
-      when(ty === 6, col("op.trust_asset.asset_issuer"))
-        .when(ty === 7, sourceAddr).as("trustee"),
-      when(ty === 6, sourceAddr)
-        .when(ty.isin(7, 21), strkeyAccount(col("op.trustor_key"))).as("trustor"),
-      when(ty === 7, col("op.authorize_flags").bitwiseAND(1) =!= 0)
-        .as("authorize"),
-      when(ty === 7 && col("op.authorize_flags").bitwiseAND(2) =!= 0, lit(true))
-        .as("authorize_to_maintain_liabilities"),
-      when(ty === 7 && col("op.authorize_flags").bitwiseAND(4) =!= 0, lit(true))
-        .as("clawback_enabled"),
-      when(ty === 21 && col("op.tl_set_flags").isNotNull, tlSetI)
-        .as("tl_set_flags"),
-      when(ty === 21 && col("op.tl_set_flags").isNotNull, tlSetS)
-        .as("tl_set_flags_s"),
-      when(ty === 21 && col("op.tl_clear_flags").isNotNull, tlClearI)
-        .as("tl_clear_flags"),
-      when(ty === 21 && col("op.tl_clear_flags").isNotNull, tlClearS)
-        .as("tl_clear_flags_s"),
-      // ---- account_merge (8)
-      when(ty === 8, sourceAddr).as("merge_account"),
-      when(ty === 8, destAddr).as("into"),
-      // ---- manage_data (10) / bump_sequence (11)
-      when(ty === 10, col("op.data_name")).as("name"),
-      when(ty === 10 && col("op.data_value").isNotNull,
-        base64NoWrap(col("op.data_value"))).as("value"),
-      when(ty === 11, col("op.bump_to").cast("string")).as("bump_to"),
-      // ---- claimable balances (14 create / 15 claim / 20 clawback)
-      when(ty === 14, assetCanon(col("op.cb_asset")))
-        .when(ty === 24 && col("op.preimage_from_asset").isNotNull,
-          assetCanon(col("op.preimage_from_asset"))).as("asset"),
-      when(ty === 14, transform(col("op.claimants"), c => struct(
-        strkeyAccount(c("destination_key")).as("destination"),
-        claimPredicateJson(c("predicate_xdr")).as("predicate")))).as("claimants"),
-      when(ty.isin(15, 20), balanceIdHex).as("balance_id"),
-      when(ty.isin(15, 20), balanceIdStrkey).as("balance_id_strkey"),
-      when(ty === 15, sourceAddr).as("claimant"),
-      // ---- sponsorship (16 begin / 17 end / 18 revoke)
-      when(ty === 16, strkeyAccount(col("op.sponsored_id_key")))
-        .as("sponsored_id"),
-      when(ty === 17 && successful && beginOp.isNotNull,
-        strkeyAccount(beginSponsorKey)).as("begin_sponsor"),
-      when(ty === 18 && col("op.revoke_signer_account_key").isNotNull,
-        strkeyAccount(col("op.revoke_signer_account_key")))
-        .as("signer_account_id"),
-      when(ty === 18 && col("op.revoke_account_id_key").isNotNull,
-        strkeyAccount(col("op.revoke_account_id_key"))).as("account_id"),
-      when(ty === 18, col("op.revoke_offer_id")).as("revoke_offer_id"),
-      // ---- liquidity pools (22 deposit / 23 withdraw)
-      when(ty.isin(22, 23), lower(hex(col("op.pool_id"))))
-        .as("lp_liquidity_pool_id"),
-      when(ty.isin(22, 23), strkeyPool(col("op.pool_id")))
-        .as("liquidity_pool_id_strkey"),
-      when(ty.isin(22, 23) && successful && lpChange.isNotNull,
-        lpChange("pool_asset_a")("asset_type")).as("reserve_a_asset_type"),
-      when(ty.isin(22, 23) && successful && lpChange.isNotNull &&
-          lpChange("pool_asset_a")("asset_type") =!= "native",
-        lpChange("pool_asset_a")("asset_code")).as("reserve_a_asset_code"),
-      when(ty.isin(22, 23) && successful && lpChange.isNotNull,
-        lpChange("pool_asset_b")("asset_type")).as("reserve_b_asset_type"),
-      when(ty.isin(22, 23) && successful && lpChange.isNotNull &&
-          lpChange("pool_asset_b")("asset_type") =!= "native",
-        lpChange("pool_asset_b")("asset_code")).as("reserve_b_asset_code"),
-      when(ty === 22, stroopsToXlm(col("op.max_amount_a")))
-        .as("reserve_a_max_amount"),
-      when(ty === 22, stroopsToXlm(col("op.max_amount_b")))
-        .as("reserve_b_max_amount"),
-      when(ty === 22, stroopsToXlm(lpDelta("pre_reserve_a", "post_reserve_a")))
-        .as("reserve_a_deposit_amount"),
-      when(ty === 22, stroopsToXlm(lpDelta("pre_reserve_b", "post_reserve_b")))
-        .as("reserve_b_deposit_amount"),
-      when(ty === 22, priceRatio(col("op.min_price_n"), col("op.min_price_d")))
-        .as("min_price"),
-      when(ty === 22, struct(col("op.min_price_n").as("n"),
-        col("op.min_price_d").as("d"))).as("min_price_r"),
-      when(ty === 22, priceRatio(col("op.max_price_n"), col("op.max_price_d")))
-        .as("max_price"),
-      when(ty === 22, struct(col("op.max_price_n").as("n"),
-        col("op.max_price_d").as("d"))).as("max_price_r"),
-      when(ty === 22,
-        stroopsToXlm(lpDelta("pre_total_shares", "post_total_shares")))
-        .as("shares_received"),
-      when(ty === 23, stroopsToXlm(col("op.min_amount_a")))
-        .as("reserve_a_min_amount"),
-      when(ty === 23, stroopsToXlm(col("op.min_amount_b")))
-        .as("reserve_b_min_amount"),
-      when(ty === 23, stroopsToXlm(-lpDelta("pre_reserve_a", "post_reserve_a")))
-        .as("reserve_a_withdraw_amount"),
-      when(ty === 23, stroopsToXlm(-lpDelta("pre_reserve_b", "post_reserve_b")))
-        .as("reserve_b_withdraw_amount"),
-      when(ty === 23, stroopsToXlm(col("op.lp_shares_stroops"))).as("shares"),
-      // ---- soroban (24 invoke / 25 extend_ttl / 26 restore)
-      when(ty === 24, concat(lit("HostFunctionTypeHostFunctionType"),
-          element_at(typedLit(Map("invoke_contract" -> "InvokeContract",
-            "create_contract" -> "CreateContract",
-            "upload_wasm" -> "UploadContractWasm",
-            "create_contract_v2" -> "CreateContractV2")),
-            col("op.host_fn_type"))))
-        .as("function"),
-      when(ty === 24, col("op.host_fn_type"))
-        .when(ty === 25, lit("extend_footprint_ttl"))
-        .when(ty === 26, lit("restore_footprint")).as("type"),
-      when(ty.isin(24, 25) && col("op.soroban_contract_id").isNotNull,
-        strkeyContract(col("op.soroban_contract_id"))).as("contract_id"),
-      // footprint-derived hashes (`ledgerKeyHashFromTxEnvelope` /
-      // `contractCodeHashFromTxEnvelope`, operation.go:1841-1874):
-      // ledger_key_hash = hex(sha256(XDR ledger key)) per footprint entry;
-      // contract_code_hash = the hash inside the first CONTRACT_CODE
-      // (type 7) footprint key
-      when(ty === 24 && col("tx.soroban").isNotNull &&
-          size(col("tx.soroban.footprint_keys_xdr")) > 0,
-        transform(col("tx.soroban.footprint_keys_xdr"), k => sha2(k, 256)))
-        .as("ledger_key_hash"),
-      when(ty === 24 && col("tx.soroban").isNotNull, {
-        val codeKey = get(filter(col("tx.soroban.footprint_keys_xdr"), k =>
-          substring(k, 1, 4) === lit(Array[Byte](0, 0, 0, 7))), lit(0))
-        when(codeKey.isNotNull, lower(hex(substring(codeKey, 5, 32))))
-      }).as("contract_code_hash"),
-      when(ty === 24 && size(col("op.parameters_xdr")) > 0,
-        transform(col("op.parameters_xdr"), p => base64NoWrap(p)))
-        .as("parameters"),
-      when(ty === 24 && size(col("op.parameters_xdr")) > 0,
-        transform(col("op.parameters_xdr"), p => scvalJson(p)))
-        .as("parameters_decoded"),
-      // SAC balance changes from the op's contract events
-      // (`parseAssetBalanceChangesFromContractEvents`, operation.go:1942-1998);
-      // unrecognized events drop in the parser
-      when(ty === 24 && size(col("op.sac_events")) > 0,
-        transform(sacEventsParse(col("op.sac_events")), e => struct(
-          e("from").as("from"), e("to").as("to"),
-          e("event_type").as("type"),
-          // amount.String128: scaled 7-decimal string; 39-digit outliers
-          // keep the raw integer rather than throwing under ANSI.
-          // Cast to (38,7) BEFORE dividing: (38,7)/(20,0) re-adjusts to
-          // (38,7) under precision-loss rules, while (38,0)/(20,0) lands
-          // on (38,6) and silently zeroes the 7th decimal digit.
-          when(length(e("amount")) <= 31,
-            (e("amount").cast("decimal(38,7)") /
-              lit(graft.codec.Amounts.StroopsPerLumen))
-              .cast("decimal(38,7)").cast("string"))
-            .otherwise(e("amount")).as("amount"),
-          e("asset_type").as("asset_type"), e("asset_code").as("asset_code"),
-          e("asset_issuer").as("asset_issuer"))))
-        .as("asset_balance_changes"),
-      when(ty === 25, col("op.extend_to")).as("extend_to"),
-      // create-contract id preimage payload (`switchContractIdPreimageType`,
-      // operation.go:2275-2295); the "from" tag rides in the shared `from`
-      // field and the asset in the shared `asset` field, as in the
-      // reference's per-type map
-      when(ty === 24 && col("op.preimage_from_address_key").isNotNull,
-        strkeyAccount(col("op.preimage_from_address_key"))).as("address"),
-      // ---- trade summary (kept from the narrow struct)
-      when(size(col("op.claim_atoms")) > 0, size(col("op.claim_atoms")))
-        .as("n_claim_atoms"),
-      when(size(col("op.claim_atoms")) > 0,
-        aggregate(col("op.claim_atoms"), lit(0L),
-          (acc, a) => acc + a("amount_sold_stroops"))).as("total_sold_stroops"))
+    val detailsStruct =
+      OperationDetails.struct(OperationDetails.DetailInputs(
+        ty = ty,
+        successful = successful,
+        sourceAddr = sourceAddr,
+        destAddr = destAddr,
+        fromMuxed = when(col("op.source_key").isNull &&
+            col("tx.source_muxed_id").isNotNull,
+          strkeyMuxed(col("tx.source_key"), col("tx.source_muxed_id"))),
+        fromMuxedId = when(col("op.source_key").isNull,
+          col("tx.source_muxed_id")),
+        toMuxed = when(col("op.destination_muxed_id").isNotNull,
+          strkeyMuxed(col("op.destination_key"),
+            col("op.destination_muxed_id"))),
+        toMuxedId = col("op.destination_muxed_id"),
+        startingBalanceStroops = col("op.starting_balance_stroops"),
+        amountStroops = col("op.amount_stroops"),
+        cbAmountStroops = col("op.cb_amount_stroops"),
+        sourceAmountStroops = col("op.source_amount_stroops"),
+        sourceMaxStroops = col("op.source_max_stroops"),
+        destMinStroops = col("op.destination_min_stroops"),
+        path = when(size(col("op.path")) > 0, col("op.path")),
+        assetType = col("op.asset.asset_type"),
+        assetCode = col("op.asset.asset_code"),
+        assetIssuer = col("op.asset.asset_issuer"),
+        trustAssetType = coalesce(col("op.trust_asset.asset_type"),
+          lit("liquidity_pool_shares")),
+        trustAssetCode = col("op.trust_asset.asset_code"),
+        trustAssetIssuer = col("op.trust_asset.asset_issuer"),
+        trustPoolIdHex = when(col("op.trust_pool_id").isNotNull,
+          lower(hex(col("op.trust_pool_id")))),
+        trustLimitStroops = col("op.trust_limit_stroops"),
+        sourceAssetType = col("op.source_asset.asset_type"),
+        sourceAssetCode = col("op.source_asset.asset_code"),
+        sourceAssetIssuer = col("op.source_asset.asset_issuer"),
+        offerId = col("op.offer_id"),
+        priceN = col("op.price_n"),
+        priceD = col("op.price_d"),
+        buyingAssetType = col("op.buying_asset.asset_type"),
+        buyingAssetCode = col("op.buying_asset.asset_code"),
+        buyingAssetIssuer = col("op.buying_asset.asset_issuer"),
+        sellingAssetType = col("op.selling_asset.asset_type"),
+        sellingAssetCode = col("op.selling_asset.asset_code"),
+        sellingAssetIssuer = col("op.selling_asset.asset_issuer"),
+        inflationDestAddr = when(col("op.inflation_dest_key").isNotNull,
+          strkeyAccount(col("op.inflation_dest_key"))),
+        setFlags = col("op.set_flags"),
+        clearFlags = col("op.clear_flags"),
+        masterWeight = col("op.master_weight"),
+        lowThreshold = col("op.low_threshold"),
+        medThreshold = col("op.med_threshold"),
+        highThreshold = col("op.high_threshold"),
+        homeDomain = col("op.home_domain"),
+        signerAddr = when(col("op.signer_key").isNotNull,
+          strkeyAccount(col("op.signer_key"))),
+        revokeSignerAddr = strkeyAccount(col("op.revoke_signer_key")),
+        signerWeight = col("op.signer_weight"),
+        authorizeFlags = col("op.authorize_flags"),
+        tlSetFlags = col("op.tl_set_flags"),
+        tlClearFlags = col("op.tl_clear_flags"),
+        trustorAddr = strkeyAccount(col("op.trustor_key")),
+        dataName = col("op.data_name"),
+        dataValueB64 = when(col("op.data_value").isNotNull,
+          base64NoWrap(col("op.data_value"))),
+        bumpTo = col("op.bump_to"),
+        cbAssetCanon = assetCanon(col("op.cb_asset")),
+        claimants = transform(col("op.claimants"), c => struct(
+          strkeyAccount(c("destination_key")).as("destination"),
+          claimPredicateJson(c("predicate_xdr")).as("predicate"))),
+        balanceIdHex = balanceIdHex,
+        balanceIdStrkey = balanceIdStrkey,
+        sponsoredIdAddr = strkeyAccount(col("op.sponsored_id_key")),
+        beginSponsorAddr = when(beginOp.isNotNull,
+          strkeyAccount(beginSponsorKey)),
+        revokeSignerAccountAddr =
+          when(col("op.revoke_signer_account_key").isNotNull,
+            strkeyAccount(col("op.revoke_signer_account_key"))),
+        revokeAccountIdAddr =
+          when(col("op.revoke_account_id_key").isNotNull,
+            strkeyAccount(col("op.revoke_account_id_key"))),
+        revokeOfferId = col("op.revoke_offer_id"),
+        lpPoolIdHex = lower(hex(col("op.pool_id"))),
+        lpPoolIdStrkey = strkeyPool(col("op.pool_id")),
+        reserveAAssetType = when(lpChange.isNotNull,
+          lpChange("pool_asset_a")("asset_type")),
+        reserveAAssetCode = lpChange("pool_asset_a")("asset_code"),
+        reserveBAssetType = when(lpChange.isNotNull,
+          lpChange("pool_asset_b")("asset_type")),
+        reserveBAssetCode = lpChange("pool_asset_b")("asset_code"),
+        maxAmountA = col("op.max_amount_a"),
+        maxAmountB = col("op.max_amount_b"),
+        deltaReserveA = lpDelta("pre_reserve_a", "post_reserve_a"),
+        deltaReserveB = lpDelta("pre_reserve_b", "post_reserve_b"),
+        deltaShares = lpDelta("pre_total_shares", "post_total_shares"),
+        minPriceN = col("op.min_price_n"),
+        minPriceD = col("op.min_price_d"),
+        maxPriceN = col("op.max_price_n"),
+        maxPriceD = col("op.max_price_d"),
+        minAmountA = col("op.min_amount_a"),
+        minAmountB = col("op.min_amount_b"),
+        lpSharesStroops = col("op.lp_shares_stroops"),
+        hostFnTypeName = col("op.host_fn_type"),
+        sorobanContractAddr = when(col("op.soroban_contract_id").isNotNull,
+          strkeyContract(col("op.soroban_contract_id"))),
+        // footprint-derived hashes (`ledgerKeyHashFromTxEnvelope` /
+        // `contractCodeHashFromTxEnvelope`, operation.go:1841-1874)
+        ledgerKeyHashArr = when(col("tx.soroban").isNotNull &&
+            size(col("tx.soroban.footprint_keys_xdr")) > 0,
+          transform(col("tx.soroban.footprint_keys_xdr"), k => sha2(k, 256))),
+        contractCodeHash = when(col("tx.soroban").isNotNull, {
+          val codeKey = get(filter(col("tx.soroban.footprint_keys_xdr"), k =>
+            substring(k, 1, 4) === lit(Array[Byte](0, 0, 0, 7))), lit(0))
+          when(codeKey.isNotNull, lower(hex(substring(codeKey, 5, 32))))
+        }),
+        parametersB64 = when(size(col("op.parameters_xdr")) > 0,
+          transform(col("op.parameters_xdr"), p => base64NoWrap(p))),
+        parametersJson = when(size(col("op.parameters_xdr")) > 0,
+          transform(col("op.parameters_xdr"), p => scvalJson(p))),
+        // amount.String128 scaling: decimal(38,7) holds all but the last
+        // digit of the i128 range without long overflow; 39-digit outliers
+        // keep the raw integer string rather than throwing under ANSI.
+        // Cast to (38,7) BEFORE dividing: (38,7)/(20,0) re-adjusts to
+        // (38,7) under precision-loss rules, while (38,0)/(20,0) lands
+        // on (38,6) and silently zeroes the 7th decimal digit.
+        assetBalanceChanges = when(size(col("op.sac_events")) > 0,
+          transform(sacEventsParse(col("op.sac_events")), e => struct(
+            e("from").as("from"), e("to").as("to"),
+            e("event_type").as("type"),
+            when(length(e("amount")) <= 31,
+              (e("amount").cast("decimal(38,7)") /
+                lit(graft.codec.Amounts.StroopsPerLumen))
+                .cast("decimal(38,7)").cast("string"))
+              .otherwise(e("amount")).as("amount"),
+            e("asset_type").as("asset_type"),
+            e("asset_code").as("asset_code"),
+            e("asset_issuer").as("asset_issuer")))),
+        extendTo = col("op.extend_to"),
+        // create-contract id preimage (`switchContractIdPreimageType`,
+        // operation.go:2275-2295): the "from" tag rides the shared `from`
+        // field and the asset the shared `asset` field
+        preimageTag = when(col("op.preimage_from_address_key").isNotNull,
+            lit("address"))
+          .when(col("op.preimage_from_asset").isNotNull, lit("asset")),
+        preimageAddress = when(col("op.preimage_from_address_key").isNotNull,
+          strkeyAccount(col("op.preimage_from_address_key"))),
+        preimageAssetCanon = when(col("op.preimage_from_asset").isNotNull,
+          assetCanon(col("op.preimage_from_asset"))),
+        nClaimAtoms = when(size(col("op.claim_atoms")) > 0,
+          size(col("op.claim_atoms"))),
+        totalSoldStroops = aggregate(col("op.claim_atoms"), lit(0L),
+          (acc, a) => acc + a("amount_sold_stroops"))))
 
     ledgers
       .select(col("sequence"), col("closed_at"),

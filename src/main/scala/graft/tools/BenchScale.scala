@@ -1,0 +1,201 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-stress harness for the iterative/heavy operators: synthesizes an
+  * N× corpus (default 10× ≈ sf1) from the sf0.1 documents/embeddings
+  * tables, runs each heavy operator ISOLATED at 1× and N×, and CHECKS the
+  * scale invariants in-process — a violated invariant throws, so a green
+  * run is itself the assertion:
+  *
+  *   - connected components (large/small-star): converges within the
+  *     O(log n) round bound at N× (`maxIter = ceil(log2 n) + 4`);
+  *   - embedding LSH: the hot-bucket sub-salt keeps the candidate
+  *     generator at O(n · cap) — measured Σ s·(s−1)/2 over the salted
+  *     (table, bucket, shard) occupancies must stay ≤ tables · n · 3·cap,
+  *     and the largest shard ≤ 3·cap (the shard law is a modulus over
+  *     ids, so a mild skew factor is expected; quadratic blowup is not);
+  *   - df-cut Jaccard: after the 10% relative cut no surviving gram has
+  *     df above the cut, and the prune ratio (gram rows dropped) is
+  *     recorded;
+  *   - IVF: every query returns exactly k ranked neighbors off the
+  *     persisted index shape.
+  *
+  * The N× corpus preserves duplicate structure per copy (text gets a
+  * per-copy marker token, embeddings a per-copy single-dimension nudge)
+  * so the dup-graph density scales linearly, not quadratically — the
+  * shape a real 10× crawl has. Usage:
+  *   sbt "runMain graft.tools.BenchScale [factor]"   (writes to stdout;
+  *   paste the table into BENCH_scale.md)
+  */
+object BenchScale {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nDocs1 = docs1.count()
+    val nEmb1 = emb1.count()
+
+    // ---- N× corpus, written once and read back like a real input -------
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val docOff = docs1.agg(max("doc_id")).head().getLong(0) + 1
+    val embOff = emb1.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      docs1.select((col("doc_id") + k * docOff).as("doc_id"),
+        (if (k == 0) col("text")
+         else concat(col("text"), lit(s" c$k"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    (0 until factor).map { k =>
+      emb1.select((col("vec_id") + k * embOff).as("vec_id"),
+        (if (k == 0) col("embedding")
+         else transform(col("embedding"), (x, i) =>
+           when(i === k % 64, x + lit(0.003f * k)).otherwise(x)))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val docsN = spark.read.parquet(s"$tmp/documents.parquet")
+    val embN = spark.read.parquet(s"$tmp/embeddings.parquet")
+    val nDocsN = docsN.count()
+    val nEmbN = embN.count()
+    println(s"[scale] corpus: ${nDocs1} -> ${nDocsN} docs, " +
+      s"${nEmb1} -> ${nEmbN} embeddings (factor $factor)")
+
+    def timed(label: String)(body: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-28s ${dt}%8.2f s  ($n rows)")
+      dt
+    }
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      (String, Double, Double)]
+    def at(label: String)(run: (DataFrame, DataFrame) => Long): Unit = {
+      val t1 = timed(s"$label @1x") { run(docs1, emb1) }
+      val tN = timed(s"$label @${factor}x") { run(docsN, embN) }
+      rows += ((label, t1, tN))
+    }
+
+    // ---- df-cut Jaccard pairs (the 100 TB pair generator) --------------
+    at("jaccard_dfcut") { (d, _) =>
+      Dedup.ngramJaccardPairsWithDfCut(d, "text", "doc_id",
+        n = 1, threshold = 0.5, maxDfFraction = Some(0.1)).count()
+    }
+    // invariant: the cut bounds the pair-generator's join fan-out — the
+    // per-gram candidate work Σ df·(df−1)/2 over SURVIVING grams must stay
+    // ≤ totalGramRows · cut / 2 (each surviving gram has df ≤ cut), while
+    // the uncut work is quadratic in the hottest gram
+    locally {
+      val cut = math.max(1L, (nDocsN * 0.1).toLong)
+      val dfs = docsN.select(
+          explode(array_distinct(Dedup.shingles(col("text"), 1))).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+        .select(col("df").cast("double").as("df")).cache()
+      val Array(totalRows, workAll) = dfs
+        .agg(sum("df"), sum(col("df") * (col("df") - 1) / 2))
+        .head().toSeq.map(_.asInstanceOf[Double].toLong).toArray
+      val workCut = dfs.where(col("df") <= cut)
+        .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0.0)))
+        .head().getDouble(0).toLong
+      println(s"[scale] dfcut: candidate work $workAll uncut -> $workCut " +
+        s"cut (bound ${totalRows * cut / 2}); " +
+        f"${100.0 * (workAll - workCut) / math.max(workAll, 1)}%.1f%% pruned")
+      require(workCut <= totalRows * cut / 2,
+        s"df-cut invariant violated: post-cut work $workCut exceeds " +
+          s"rows*cut/2 = ${totalRows * cut / 2}")
+      dfs.unpersist()
+    }
+
+    // ---- connected components over the df-cut pair graph ---------------
+    def pairsOf(d: DataFrame): DataFrame =
+      Dedup.ngramJaccardPairsWithDfCut(d, "text", "doc_id",
+        n = 1, threshold = 0.5, maxDfFraction = Some(0.1))
+    at("cc_label_prop") { (d, _) =>
+      Dedup.dupClusters(d, "doc_id", pairsOf(d), "id_a", "id_b").count()
+    }
+    at("cc_alternating") { (d, _) =>
+      // the O(log n) bound IS the invariant: maxIter = ceil(log2 n) + 4,
+      // non-convergence throws; actual round count is reported
+      val bound = (math.log(math.max(d.count(), 2).toDouble) /
+        math.log(2.0)).ceil.toInt + 4
+      val (labels, rounds) = Dedup.alternatingComponents(d, "doc_id",
+        pairsOf(d), "id_a", "id_b", maxIter = bound)
+      val n = labels.count()
+      println(s"[scale] cc_alternating rounds: $rounds (bound $bound)")
+      n
+    }
+
+    // ---- embedding LSH near-dup (hot-bucket-capped candidates) ---------
+    at("embedding_lsh") { (_, e) =>
+      Dedup.cosineDupPairsLsh(e, "vec_id", "embedding",
+        cosNum = 4, cosDen = 25, dim = 64, bits = 6, tables = 4).count()
+    }
+    // invariant: candidate volume stays O(n · cap) under the sub-salt
+    locally {
+      val (bits, tables, cap) = (6, 4, 64)
+      val quant = transform(col("embedding"),
+        x => round(x.cast("double") * 10000).cast("long"))
+      val banded = embN.select(col("vec_id").as("id"), quant.as("v"))
+        .select(col("id"),
+          posexplode(graft.functions.GraftFunctions.hyperplaneBuckets(
+            col("v"), bits, tables)).as(Seq("tbl", "bucket")))
+      val bucketSizes = banded.groupBy("tbl", "bucket")
+        .agg(count(lit(1)).as("bsz"))
+      val shardSizes = banded.join(broadcast(bucketSizes), Seq("tbl", "bucket"))
+        .withColumn("nsh", greatest(lit(1L),
+          ceil(col("bsz") / lit(cap.toDouble)).cast("long")))
+        .select(col("tbl"), col("bucket"),
+          pmod(expr("id div (tbl + 1)"), col("nsh")).as("shard"))
+        .groupBy("tbl", "bucket", "shard").agg(count(lit(1)).as("s"))
+      val stats = shardSizes.agg(max("s").as("max_s"),
+        sum((col("s") * (col("s") - 1) / 2).cast("double")).as("cand"))
+        .head()
+      val maxShard = stats.getLong(0)
+      val cand = stats.getDouble(1).toLong
+      println(s"[scale] lsh candidates: $cand pairs " +
+        s"(bound ${tables.toLong * nEmbN * 3 * cap}), max shard $maxShard " +
+        s"(cap $cap)")
+      require(maxShard <= 3L * cap,
+        s"LSH hot-bucket invariant violated: shard of $maxShard > 3x cap")
+      require(cand <= tables.toLong * nEmbN * 3 * cap,
+        s"LSH candidate invariant violated: $cand pairs exceed O(n*cap)")
+    }
+
+    // ---- IVF top-k over the persisted-index shape -----------------------
+    at("ivf_topk") { (_, e) =>
+      val k = 5
+      val queries = e.where(col("vec_id") % embOff < 8)
+      val res = Similarity.ivfTopKExact(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = k, nCells = 16, nprobe = 4)
+      val n = res.count()
+      val bad = res.groupBy("query_id").agg(count(lit(1)).as("c"))
+        .where(col("c") =!= k).count()
+      require(bad == 0, s"IVF invariant violated: $bad queries without $k " +
+        "ranked neighbors")
+      n
+    }
+
+    println("\n| operator | 1x sec | " + factor + "x sec | ratio |")
+    println("|---|---|---|---|")
+    rows.foreach { case (l, a, b) =>
+      println(f"| $l | $a%.2f | $b%.2f | ${b / a}%.1f |")
+    }
+    spark.stop()
+  }
+}
