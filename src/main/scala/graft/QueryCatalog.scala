@@ -2556,6 +2556,22 @@ object QueryCatalog {
              |        FROM (SELECT seq, t,
              |                unnest(generate_series(0, (seq + t) % 2)) AS j
              |              FROM txs WHERE t % 3 <> 0)),
+             |sg AS (SELECT * FROM (
+             |    SELECT seq, t, j, u, m,
+             |      ((seq + t + j) % 3 <> 0 AND m < (seq + t + j) % 3) AS preh,
+             |      ((seq + t + j) % 3 <> 2
+             |       AND m < (seq + 2 * t + j) % 3) AS posth,
+             |      sha256('sgsp-' || seq || '-' || t || '-' || j || '-' || m
+             |             || '-' || (seq + t + m) % 2) AS presp,
+             |      sha256('sgsp-' || seq || '-' || t || '-' || j || '-' || m
+             |             || '-' || (2 * seq + t + m) % 2) AS postsp,
+             |      ${strkeyG(
+                      "sha256('sg-' || seq || '-' || t || '-' || j || '-' || m)")}
+             |        AS sk
+             |    FROM chx, (SELECT unnest(generate_series(0, 1)) AS m)
+             |    WHERE et = 0)
+             |  WHERE (preh OR posth)
+             |    AND NOT (preh AND posth AND presp = postsp)),
              |tl AS (SELECT seq, t, u, max_by(kind, j) AS tl_kind
              |       FROM chx WHERE et = 1 GROUP BY 1, 2, 3),
              |lp AS (SELECT seq, t, u,
@@ -2729,9 +2745,12 @@ object QueryCatalog {
              |  SELECT seq, opid, 0, 10 + j * 10, 92, actsrc,
              |         sold_code, sold_amt, NULL
              |  FROM at WHERE is_pool
-             |  -- sponsorship families: pre/post pair classification
+             |  -- sponsorship families: the entry-level pre/post pair
+             |  -- classification, then the signer diffs of the same change
+             |  -- (signer strkey rides the asset slot until the final
+             |  -- projection splits it out)
              |  UNION ALL
-             |  SELECT seq, opid, 2, j,
+             |  SELECT seq, opid, 2, j * 10,
              |         CASE WHEN pre_sp IS NULL THEN base
              |              WHEN post_sp IS NULL THEN base + 2
              |              ELSE base + 1 END,
@@ -2746,6 +2765,16 @@ object QueryCatalog {
              |          AND (c.pre_sp IS NOT NULL OR c.post_sp IS NOT NULL)
              |          AND (c.pre_sp IS NULL OR c.post_sp IS NULL
              |               OR c.pre_sp <> c.post_sp))
+             |  UNION ALL
+             |  SELECT seq, opid, 2,
+             |         j * 10 + CAST(row_number() OVER (
+             |           PARTITION BY opid, j ORDER BY sk) AS INT),
+             |         CASE WHEN NOT preh THEN 72
+             |              WHEN NOT posth THEN 74 ELSE 73 END,
+             |         CASE WHEN preh AND NOT posth THEN presp
+             |              ELSE postsp END,
+             |         sk, NULL, NULL
+             |  FROM o JOIN sg USING (seq, t, u)
              |  -- LP entry loop: created(93) / removed(94)
              |  UNION ALL
              |  SELECT seq, opid, 3, c.j, 93, actsrc, NULL,
@@ -2796,6 +2825,9 @@ object QueryCatalog {
              |       WHEN 69 THEN 'claimable_balance_sponsorship_created'
              |       WHEN 70 THEN 'claimable_balance_sponsorship_updated'
              |       WHEN 71 THEN 'claimable_balance_sponsorship_removed'
+             |       WHEN 72 THEN 'signer_sponsorship_created'
+             |       WHEN 73 THEN 'signer_sponsorship_updated'
+             |       WHEN 74 THEN 'signer_sponsorship_removed'
              |       WHEN 80 THEN 'claimable_balance_clawed_back'
              |       WHEN 90 THEN 'liquidity_pool_deposited'
              |       WHEN 91 THEN 'liquidity_pool_withdrew'
@@ -2804,8 +2836,11 @@ object QueryCatalog {
              |       WHEN 94 THEN 'liquidity_pool_removed'
              |       END AS type_string,
              |  ${strkeyG("account")} AS account,
-             |  asset AS asset_code, amount,
-             |  offer AS offer_id
+             |  CASE WHEN typ NOT IN (72, 73, 74) THEN asset
+             |       END AS asset_code,
+             |  amount,
+             |  offer AS offer_id,
+             |  CASE WHEN typ IN (72, 73, 74) THEN asset END AS signer
              |FROM e ORDER BY operation_id, effect_index""".stripMargin),
       (s, dir) =>
         StellarTransforms.historyEffectsFromLcm(
@@ -3105,7 +3140,27 @@ object QueryCatalog {
              |       END AS pre_sponsor_hex,
              |  CASE WHEN (seq + t + j) % 3 <> 2 AND (seq + 2 * t + j) % 2 = 0
              |       THEN sha256('chsp-' || seq || '-' || t || '-' || j)
-             |       END AS post_sponsor_hex
+             |       END AS post_sponsor_hex,
+             |  CASE WHEN (seq + j) % 10 = 0 THEN
+             |    '[' || coalesce(array_to_string(list_transform(
+             |      range(0, CASE WHEN (seq + t + j) % 3 = 0 THEN 0
+             |                    ELSE (seq + t + j) % 3 END),
+             |      m -> '{"signer_hex":"' ||
+             |        sha256('sg-' || seq || '-' || t || '-' || j || '-' || m)
+             |        || '","sponsor_hex":"' ||
+             |        sha256('sgsp-' || seq || '-' || t || '-' || j || '-' || m
+             |               || '-' || (seq + t + m) % 2) || '"}'), ','), '')
+             |    || ']' END AS pre_signer_sponsors,
+             |  CASE WHEN (seq + j) % 10 = 0 THEN
+             |    '[' || coalesce(array_to_string(list_transform(
+             |      range(0, CASE WHEN (seq + t + j) % 3 = 2 THEN 0
+             |                    ELSE (seq + 2 * t + j) % 3 END),
+             |      m -> '{"signer_hex":"' ||
+             |        sha256('sg-' || seq || '-' || t || '-' || j || '-' || m)
+             |        || '","sponsor_hex":"' ||
+             |        sha256('sgsp-' || seq || '-' || t || '-' || j || '-' || m
+             |               || '-' || (2 * seq + t + m) % 2) || '"}'), ','),
+             |      '') || ']' END AS post_signer_sponsors
              |FROM ch
              |ORDER BY ledger_sequence, tx_order, change_index""".stripMargin),
       (s, dir) =>

@@ -588,7 +588,9 @@ object Lcm {
       postReserveA: Long = 0L, postReserveB: Long = 0L, postShares: Long = 0L,
       poolFee: Int = 0, poolId: Option[Seq[Byte]] = None,
       preSponsor: Option[Seq[Byte]] = None,
-      postSponsor: Option[Seq[Byte]] = None) {
+      postSponsor: Option[Seq[Byte]] = None,
+      preSignerSponsors: Seq[(Seq[Byte], Seq[Byte])] = Nil,
+      postSignerSponsors: Seq[(Seq[Byte], Seq[Byte])] = Nil) {
     require(kind >= 0 && kind <= 2,
       "change kind is CREATED(0)/UPDATED(1)/REMOVED(2)")
     require(entryType >= 0 && entryType <= 9,
@@ -617,6 +619,19 @@ object Lcm {
       "a CREATED entry has no pre state, so no Pre.SponsoringID")
     require(postSponsor.isEmpty || kind != 2,
       "a REMOVED entry has no post state, so no Post.SponsoringID")
+    // AccountEntry signer→sponsor maps (`accountSignersSponsors`,
+    // effects.go:225-285 diffs the pre/post pair per signer) — the
+    // signer-sponsorship-effect substrate, ACCOUNT changes only
+    require(entryType == 0 ||
+      (preSignerSponsors.isEmpty && postSignerSponsors.isEmpty),
+      "signer sponsor maps ride ACCOUNT changes only")
+    require((preSignerSponsors ++ postSignerSponsors).forall(p =>
+      p._1.size == 32 && p._2.size == 32),
+      "signer keys and sponsors are opaque[32]")
+    require(preSignerSponsors.isEmpty || kind != 0,
+      "a CREATED entry has no pre state, so no pre signer sponsors")
+    require(postSignerSponsors.isEmpty || kind != 2,
+      "a REMOVED entry has no post state, so no post signer sponsors")
   }
 
   /** One `ClaimAtom` from the per-op RESULT — the grain the reference's
@@ -769,7 +784,7 @@ object Lcm {
   val LcmbMagic: Int = 0x4C434D42 // "LCMB"
   /** v3 = the round-11 layout (result offer ids, typed change arms,
     * contract events). Bump on ANY frame-layout change. */
-  val LcmbVersion: Int = 4
+  val LcmbVersion: Int = 5
 
   def encode(f: Frame): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(128)
@@ -1064,6 +1079,14 @@ object Lcm {
         c.preSponsor.foreach(s => out.write(s.toArray))
         out.writeInt(if (c.postSponsor.isDefined) 1 else 0)
         c.postSponsor.foreach(s => out.write(s.toArray))
+        if (c.entryType == 0) {
+          out.writeInt(c.preSignerSponsors.size)
+          c.preSignerSponsors.foreach { case (k, s) =>
+            out.write(k.toArray); out.write(s.toArray) }
+          out.writeInt(c.postSignerSponsors.size)
+          c.postSignerSponsors.foreach { case (k, s) =>
+            out.write(k.toArray); out.write(s.toArray) }
+        }
       }
       out.writeInt(t.claimAtoms.size)
       t.claimAtoms.foreach { ca =>
@@ -1326,9 +1349,17 @@ object Lcm {
           if (buf.getInt == 1) Some(readOpaque32(buf)) else None
         val postSponsor =
           if (buf.getInt == 1) Some(readOpaque32(buf)) else None
+        val (preSig, postSig) =
+          if (entryType == 0) {
+            val pre = (0 until buf.getInt).map(_ =>
+              (readOpaque32(buf), readOpaque32(buf)))
+            val post = (0 until buf.getInt).map(_ =>
+              (readOpaque32(buf), readOpaque32(buf)))
+            (pre, post)
+          } else (Nil, Nil)
         WireChange(kind, entryType, opIndex, keyHash, lastModified, balance,
           offerId, ppn, ppd, preA, preB, preS, postA, postB, postS, fee,
-          poolId, preSponsor, postSponsor)
+          poolId, preSponsor, postSponsor, preSig, postSig)
       }
       val nAtoms = buf.getInt
       val atoms = (0 until nAtoms).map { _ =>

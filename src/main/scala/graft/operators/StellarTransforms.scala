@@ -516,14 +516,15 @@ object StellarTransforms {
     *     `effects.go:986-1010`); LP atoms → one liquidity_pool_trade;
     *   - LP deposit/withdraw (share delta off the op's LP change) and the
     *     entry-change loop's created(93)/removed(94);
-    *   - sponsorship families 60-71: classified on each change's
-    *     PRE/POST SponsoringID pair (`effects.go:287-368`) — created
-    *     (pre ∅, post set), removed (pre set, post ∅), updated (both,
-    *     different); the unchanged pair emits nothing. At wire fidelity
-    *     the effect's `account` carries the sponsor itself (the entry
-    *     owner rides only the fixture model); signer sponsorships (72-74)
-    *     need pre/post signer maps the wire doesn't carry and stay with
-    *     [[StellarTradesEffects.historyEffects]].
+    *   - sponsorship families 60-74: entry-level effects classified on
+    *     each change's PRE/POST SponsoringID pair (`effects.go:287-368`)
+    *     — created (pre ∅, post set), removed (pre set, post ∅), updated
+    *     (both, different); the unchanged pair emits nothing — then the
+    *     signer-sponsorship diffs (72-74) of the same change's pre/post
+    *     signer→sponsor maps, per signer in strkey order
+    *     (`effects.go:225-285`). At wire fidelity the effect's `account`
+    *     carries the sponsor itself (the entry owner rides only the
+    *     fixture model) and `signer` the diffed signer's G-address.
     *
     * Families are ordered the reference's way — op-arm effects, then the
     * change-scan sponsorship loop, then the LP entry loop — and the
@@ -544,9 +545,10 @@ object StellarTransforms {
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
     def eff(t: Column, account: Column, asset: Column,
-        amount: Column, offer: Column): Column =
+        amount: Column, offer: Column, detail: Column = nullS): Column =
       struct(t.as("type"), account.as("account_hex"),
-        asset.as("asset_code"), amount.as("amount"), offer.as("offer_id"))
+        asset.as("asset_code"), amount.as("amount"), offer.as("offer_id"),
+        detail.as("detail"))
     def effT(t: Int, account: Column, asset: Column = nullS,
         amount: Column = nullL, offer: Column = nullL): Column =
       eff(lit(t), account, asset, amount, offer)
@@ -670,20 +672,44 @@ object StellarTransforms {
         .otherwise(noEff)
 
     // ---- change-scan loops, the reference's order -----------------------
-    // sponsorship families: entry type → base id (offers/LP emit none)
+    // sponsorship families: the entry-level effect (entry type → base id;
+    // offers/LP emit none) THEN the signer-sponsorship diffs of the same
+    // change, per signer in strkey order (`effects.go:141-151,225-285`) —
+    // the effect's account carries the sponsor, `detail` the signer
     val spBase = typedLit(Map(0 -> 60, 1 -> 63, 3 -> 66, 4 -> 69))
-    val sponsorshipEffects = filter(transform(opChanges, c => {
+    val sponsorshipEffects = flatten(transform(opChanges, c => {
       val base = try_element_at(spBase, c("entry_type"))
       val pre = c("pre_sponsor_hex")
       val post = c("post_sponsor_hex")
-      when(base.isNotNull && pre.isNull && post.isNotNull,
-        eff(base, post, nullS, nullL, nullL))
-        .when(base.isNotNull && pre.isNotNull && post.isNull,
-          eff(base + 2, pre, nullS, nullL, nullL))
-        .when(base.isNotNull && pre.isNotNull && post.isNotNull &&
-            pre =!= post,
-          eff(base + 1, post, nullS, nullL, nullL))
-    }), e => e.isNotNull)
+      val entryEff =
+        when(base.isNotNull && pre.isNull && post.isNotNull,
+          eff(base, post, nullS, nullL, nullL))
+          .when(base.isNotNull && pre.isNotNull && post.isNull,
+            eff(base + 2, pre, nullS, nullL, nullL))
+          .when(base.isNotNull && pre.isNotNull && post.isNotNull &&
+              pre =!= post,
+            eff(base + 1, post, nullS, nullL, nullL))
+      def sigMap(arr: Column): Column = map_from_entries(
+        transform(coalesce(arr, array().cast(
+            "array<struct<signer_hex:string,sponsor_hex:string>>")),
+          s => struct(
+            GraftFunctions.strkeyAccount(unhex(s("signer_hex"))).as("k"),
+            s("sponsor_hex").as("v"))))
+      val preM = sigMap(c("pre_signer_sponsors"))
+      val postM = sigMap(c("post_signer_sponsors"))
+      val signerEffs = transform(
+        array_sort(array_union(map_keys(preM), map_keys(postM))), k => {
+          val pv = try_element_at(preM, k)
+          val nv = try_element_at(postM, k)
+          when(pv.isNull && nv.isNotNull,
+            eff(lit(72), nv, nullS, nullL, nullL, k))
+            .when(pv.isNotNull && nv.isNull,
+              eff(lit(74), pv, nullS, nullL, nullL, k))
+            .when(pv.isNotNull && nv.isNotNull && pv =!= nv,
+              eff(lit(73), nv, nullS, nullL, nullL, k))
+        })
+      filter(concat(array(entryEff), signerEffs), e => e.isNotNull)
+    }))
     val lpEntryEffects = filter(transform(opChanges, c =>
       when(c("entry_type") === 5 && c("kind") === 0,
         eff(lit(93), src, nullS, c("post_shares"), nullL))
@@ -706,7 +732,10 @@ object StellarTransforms {
           .as("account"),
         col("e.asset_code").as("asset_code"),
         col("e.amount").as("amount"),
-        col("e.offer_id").as("offer_id"))
+        col("e.offer_id").as("offer_id"),
+        // the signer G-address on signer-sponsorship effects (72-74);
+        // null on every other type
+        col("e.detail").as("signer"))
   }
 
   /** P5 composed over the wire source at claim-atom grain: trades come
@@ -874,7 +903,11 @@ object StellarTransforms {
         col("c.pool_fee").as("pool_fee"),
         col("c.pool_id_hex").as("pool_id_hex"),
         col("c.pre_sponsor_hex").as("pre_sponsor_hex"),
-        col("c.post_sponsor_hex").as("post_sponsor_hex"))
+        col("c.post_sponsor_hex").as("post_sponsor_hex"),
+        // signer→sponsor maps rendered to JSON (the p15 array-gate
+        // pattern — raw array cells break the gate's pandas hash)
+        to_json(col("c.pre_signer_sponsors")).as("pre_signer_sponsors"),
+        to_json(col("c.post_signer_sponsors")).as("post_signer_sponsors"))
 
   private val contractEventTypeNameCol =
     typedLit(Map(0 -> "system", 1 -> "contract", 2 -> "diagnostic"))

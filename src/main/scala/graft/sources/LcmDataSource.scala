@@ -74,7 +74,18 @@ object LcmDataSource {
     // sponsorship-effect families classify created/updated/removed on this
     // PAIR, not on the change kind (`effects.go:296-317`)
     StructField("pre_sponsor_hex", StringType, nullable = true),
-    StructField("post_sponsor_hex", StringType, nullable = true)))
+    StructField("post_sponsor_hex", StringType, nullable = true),
+    // AccountEntry signer→sponsor maps (ACCOUNT changes only; null
+    // elsewhere) — the signer-sponsorship effects (72-74) diff this
+    // pre/post pair per signer (`effects.go:225-285`)
+    StructField("pre_signer_sponsors", ArrayType(StructType(Seq(
+      StructField("signer_hex", StringType, nullable = false),
+      StructField("sponsor_hex", StringType, nullable = false))),
+      containsNull = false), nullable = true),
+    StructField("post_signer_sponsors", ArrayType(StructType(Seq(
+      StructField("signer_hex", StringType, nullable = false),
+      StructField("sponsor_hex", StringType, nullable = false))),
+      containsNull = false), nullable = true)))
 
   /** One Soroban contract event ([[graft.codec.Lcm.WireContractEvent]]):
     * topics/data surface as raw ScVal XDR binaries for the downstream
@@ -593,7 +604,17 @@ private[sources] object LcmRows {
       if (isPool) Int.box(c.poolFee) else null,
       c.poolId.map(hex).orNull,
       c.preSponsor.map(hex).orNull,
-      c.postSponsor.map(hex).orNull))
+      c.postSponsor.map(hex).orNull,
+      if (c.entryType == 0)
+        new GenericArrayData(c.preSignerSponsors.map { case (k, s) =>
+          new GenericInternalRow(Array[Any](hex(k), hex(s)))
+        }.toArray[Any])
+      else null,
+      if (c.entryType == 0)
+        new GenericArrayData(c.postSignerSponsors.map { case (k, s) =>
+          new GenericInternalRow(Array[Any](hex(k), hex(s)))
+        }.toArray[Any])
+      else null))
   }
 
   def opRow(op: Op, atoms: Seq[WireClaimAtom]): InternalRow = {
@@ -1098,7 +1119,23 @@ object LcmWriter {
               Some(sha(s"chspp-$seq-$t-$j"))
             else None,
           postSponsor = if (kind != 2 && (seq + 2 * t + j) % 2 == 0)
-            Some(sha(s"chsp-$seq-$t-$j")) else None)
+            Some(sha(s"chsp-$seq-$t-$j")) else None,
+          // ACCOUNT signer→sponsor maps: 0-2 signers per side (counts on
+          // independent parities so pre-only/post-only/both arms all ride
+          // the wire), sponsor values agreeing or differing per the m
+          // parity laws — the signer-sponsorship 72/73/74 substrate
+          preSignerSponsors =
+            if (kind != 0 && entryType == 0)
+              (0 until ((seq + t + j) % 3).toInt).map(m =>
+                (sha(s"sg-$seq-$t-$j-$m"),
+                  sha(s"sgsp-$seq-$t-$j-$m-${(seq + t + m) % 2}")))
+            else Nil,
+          postSignerSponsors =
+            if (kind != 2 && entryType == 0)
+              (0 until ((seq + 2 * t + j) % 3).toInt).map(m =>
+                (sha(s"sg-$seq-$t-$j-$m"),
+                  sha(s"sgsp-$seq-$t-$j-$m-${(2 * seq + t + m) % 2}")))
+            else Nil)
       }
       // RESULT claim atoms ride only the trade-shaped arms (both path
       // payments + both manage offers), 1-2 per such OP, tagged with the

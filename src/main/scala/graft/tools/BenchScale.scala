@@ -55,8 +55,14 @@ object BenchScale {
     val embOff = emb1.agg(max("vec_id")).head().getLong(0) + 1
     (0 until factor).map { k =>
       docs1.select((col("doc_id") + k * docOff).as("doc_id"),
+        // per-copy TOKEN salt: copy k's vocabulary is disjoint from copy
+        // j's, so cross-copy similarity is zero while each copy keeps the
+        // original dup structure — dup density and per-gram df scale
+        // LINEARLY with the factor, the shape a real 10× crawl has (a
+        // suffix marker instead would make every cross-copy pair a
+        // ≈1.0-Jaccard dup and square the pair work)
         (if (k == 0) col("text")
-         else concat(col("text"), lit(s" c$k"))).as("text"),
+         else regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1")).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$tmp/documents.parquet")
@@ -93,16 +99,25 @@ object BenchScale {
     }
 
     // ---- df-cut Jaccard pairs (the 100 TB pair generator) --------------
+    // ABSOLUTE cut calibrated at the 1× corpus, not the relative fraction
+    // the catalog query uses: growing the corpus while per-gram df stays
+    // bounded (new content, disjoint vocabulary — this harness's shape,
+    // and a real crawl's) LOOSENS a relative cut proportionally, so
+    // stopword-grade grams (df ≈ one shard's size) slip back under it and
+    // re-quadratize the pair join. The measured lesson: at scale the df
+    // cut must be calibrated per shard / absolute, not as a fraction of
+    // the whole crawl.
+    val absCut = math.max(1, (nDocs1 * 0.1).toInt)
     at("jaccard_dfcut") { (d, _) =>
       Dedup.ngramJaccardPairsWithDfCut(d, "text", "doc_id",
-        n = 1, threshold = 0.5, maxDfFraction = Some(0.1)).count()
+        n = 1, threshold = 0.5, maxDf = absCut).count()
     }
     // invariant: the cut bounds the pair-generator's join fan-out — the
     // per-gram candidate work Σ df·(df−1)/2 over SURVIVING grams must stay
     // ≤ totalGramRows · cut / 2 (each surviving gram has df ≤ cut), while
     // the uncut work is quadratic in the hottest gram
     locally {
-      val cut = math.max(1L, (nDocsN * 0.1).toLong)
+      val cut = absCut.toLong
       val dfs = docsN.select(
           explode(array_distinct(Dedup.shingles(col("text"), 1))).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("df"))
@@ -125,7 +140,7 @@ object BenchScale {
     // ---- connected components over the df-cut pair graph ---------------
     def pairsOf(d: DataFrame): DataFrame =
       Dedup.ngramJaccardPairsWithDfCut(d, "text", "doc_id",
-        n = 1, threshold = 0.5, maxDfFraction = Some(0.1))
+        n = 1, threshold = 0.5, maxDf = absCut)
     at("cc_label_prop") { (d, _) =>
       Dedup.dupClusters(d, "doc_id", pairsOf(d), "id_a", "id_b").count()
     }

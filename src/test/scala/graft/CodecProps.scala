@@ -310,10 +310,17 @@ object CodecProps extends Properties("codec") {
                   else Gen.const(None: Option[Seq[Byte]])
     postSponsor <- if (k != 2) Gen.option(b32)
                    else Gen.const(None: Option[Seq[Byte]])
+    sigPair = for { a <- b32; b <- b32 } yield (a, b)
+    preSig <- if (et == 0 && k != 0)
+                Gen.chooseNum(0, 2).flatMap(Gen.listOfN(_, sigPair))
+              else Gen.const(List.empty[(Seq[Byte], Seq[Byte])])
+    postSig <- if (et == 0 && k != 2)
+                 Gen.chooseNum(0, 2).flatMap(Gen.listOfN(_, sigPair))
+               else Gen.const(List.empty[(Seq[Byte], Seq[Byte])])
   } yield Lcm.WireChange(k, et, oi, kh, lm, bal,
     offerId, if (ppd == 0) 0 else ppn, ppd,
     preA, preB, preS, postA, postB, postS, fee, poolId,
-    preSponsor, postSponsor)
+    preSponsor, postSponsor, preSig, postSig)
 
   private def eventGen(nOps: Int): Gen[Lcm.WireContractEvent] = for {
     oi <- Gen.chooseNum(0, math.max(nOps - 1, 0))

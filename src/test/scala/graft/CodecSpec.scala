@@ -537,8 +537,14 @@ class CodecSpec extends AnyFunSuite {
       postSponsor = Some(fill(0x26)))
     val spPair = WireChange(1, 0, 0, fill(0x27), 9L, 50L,
       preSponsor = Some(fill(0x28)), postSponsor = Some(fill(0x29)))
+    // ACCOUNT signer→sponsor maps round-trip (created/updated/removed
+    // diff substrate), including the asymmetric-count arm
+    val sigCh = WireChange(1, 0, 0, fill(0x2A), 9L, 50L,
+      preSignerSponsors = Seq((fill(0x2B), fill(0x2C))),
+      postSignerSponsors = Seq(
+        (fill(0x2B), fill(0x2D)), (fill(0x2E), fill(0x2F))))
     val armTx = Tx(12L, TxSuccess, Seq(Op(9, 1L)),
-      changes = Seq(offerCh, lpCh, spCh, spPair))
+      changes = Seq(offerCh, lpCh, spCh, spPair, sigCh))
     assert(decode(encode(Frame(42L, 3L, Seq(armTx)))).txs.head == armTx)
     assert(hexStr(encode(Frame(42L, 3L, Seq(armTx)))).contains(
       hx(fill(0x23)) + "00000009" + "0000000000000064" +
@@ -555,6 +561,12 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](               // sponsor width
       WireChange(0, 0, 0, fill(1), 1L, 0L,
         postSponsor = Some(fill(2).take(4))))
+    intercept[IllegalArgumentException](               // signer map off-type
+      WireChange(1, 1, 0, fill(1), 1L, 0L,
+        preSignerSponsors = Seq((fill(2), fill(3)))))
+    intercept[IllegalArgumentException](               // pre signers on CREATED
+      WireChange(0, 0, 0, fill(1), 1L, 0L,
+        preSignerSponsors = Seq((fill(2), fill(3)))))
 
     // Soroban contract events: ScVal topic/data blobs round-trip through
     // the var-opaque framing, zero-topic and multi-op arms included
