@@ -111,12 +111,19 @@ object ExplainAudit {
         Seq("Generate posexplode", "BatchScan graft-lcm"),
         Seq(">= 2100", "<= 2299",
           "Exchange hashpartitioning", "SortMergeJoin")),
-      // effects over the wire: ONE scan — the branch arrays and the
-      // per-atom trade pairs are intra-row, so no Union of re-scans, no
-      // exchange, no window
+      // effects over the wire: ONE scan — the branch arrays, the per-atom
+      // trade quads, and the change-scan sponsorship/signer/LP loops are
+      // ALL intra-row, so no Union of re-scans, no exchange, no window,
+      // even with the full family set
       ("stellar_effects_from_lcm",
-        Seq("Generate explode", "BatchScan graft-lcm"),
-        Seq(">= 2100", "<= 2299", "Union",
+        Seq("Generate posexplode", "BatchScan graft-lcm"),
+        Seq(">= 2100", "<= 2499", "Union",
+          "Exchange hashpartitioning", "SortMergeJoin")),
+      // soroban op details over the wire: ScVal parameter decode and the
+      // SAC event scan are in-plan intra-row — map-only
+      ("stellar_soroban_ops_from_lcm",
+        Seq("Generate posexplode", "BatchScan graft-lcm"),
+        Seq(">= 2300", "<= 2499",
           "Exchange hashpartitioning", "SortMergeJoin")),
       // transfer events over the wire: payment-family filter is intra-row,
       // the whole transform map-only
