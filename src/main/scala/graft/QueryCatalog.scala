@@ -2574,6 +2574,8 @@ object QueryCatalog {
              |    AND NOT (preh AND posth AND presp = postsp)),
              |tl AS (SELECT seq, t, u, max_by(kind, j) AS tl_kind
              |       FROM chx WHERE et = 1 GROUP BY 1, 2, 3),
+             |dt AS (SELECT seq, t, u, max_by(kind, j) AS dt_kind
+             |       FROM chx WHERE et = 3 GROUP BY 1, 2, 3),
              |lp AS (SELECT seq, t, u,
              |              max_by((seq + t * 2 + j) % 201 - 100, j) AS d_shares
              |       FROM chx WHERE et = 5 GROUP BY 1, 2, 3),
@@ -2674,12 +2676,14 @@ object QueryCatalog {
              |  SELECT seq, opid, 0, 0, 26, actsrc,
              |         codes[CAST((seq + t) % 3 + 1 AS INT)], NULL, NULL
              |  FROM o WHERE op_type = 21
-             |  -- manage_data (value-presence law), bump_sequence
+             |  -- manage_data: removed on nil value, else CRUD off the
+             |  -- op's DATA entry change kind (created fallback)
              |  UNION ALL
              |  SELECT seq, opid, 0, 0,
-             |         CASE WHEN (seq + t) % 3 <> 0 THEN 40 ELSE 41 END,
+             |         CASE WHEN (seq + t) % 3 = 0 THEN 41
+             |              WHEN dt.dt_kind = 1 THEN 42 ELSE 40 END,
              |         actsrc, NULL, NULL, NULL
-             |  FROM o WHERE op_type = 10
+             |  FROM o LEFT JOIN dt USING (seq, t, u) WHERE op_type = 10
              |  UNION ALL
              |  SELECT seq, opid, 0, 0, 43, actsrc, NULL,
              |         CAST(seq * 8 + t + 7 AS BIGINT), NULL
@@ -2809,6 +2813,7 @@ object QueryCatalog {
              |       WHEN 33 THEN 'trade'
              |       WHEN 40 THEN 'data_created'
              |       WHEN 41 THEN 'data_removed'
+             |       WHEN 42 THEN 'data_updated'
              |       WHEN 43 THEN 'sequence_bumped'
              |       WHEN 50 THEN 'claimable_balance_created'
              |       WHEN 51 THEN 'claimable_balance_claimant_created'
@@ -2843,9 +2848,12 @@ object QueryCatalog {
              |  CASE WHEN typ IN (72, 73, 74) THEN asset END AS signer
              |FROM e ORDER BY operation_id, effect_index""".stripMargin),
       (s, dir) =>
+        // `details` (VARIANT payload) is spec-covered, not gate-hashed —
+        // the same split as the op-grain details; drop prunes it
         StellarTransforms.historyEffectsFromLcm(
             s.read.format("graft-lcm").load(lcmFixtureDir)
               .where(col("sequence").between(2100, 2499)))
+          .drop("details")
           .orderBy("operation_id", "effect_index")),
 
     Q("stellar_transfers_from_lcm",
@@ -4216,7 +4224,9 @@ object QueryCatalog {
              |          THEN [26, 50, 51, 50, 51, 95] ELSE [26] END)
              |        WHEN 8 THEN [3, 2, 1]
              |        WHEN 9 THEN [2, 2]
-             |        WHEN 10 THEN (CASE WHEN o % 2 = 0 THEN [40] ELSE [41] END)
+             |        WHEN 10 THEN (CASE WHEN o % 2 = 1 THEN [41]
+             |          WHEN (l + t) % 2 = 0 AND (l + o) % 2 = 1 THEN [42]
+             |          ELSE [40] END)
              |        WHEN 11 THEN [43]
              |        WHEN 14 THEN [50, 51, 51, 3]
              |        WHEN 15 THEN [52, 2]

@@ -411,10 +411,20 @@ object StellarTradesEffects {
             .otherwise(lit("false")))): _*)))
 
     // data / sequence ------------------------------------------------------
+    // created vs updated classifies on the op's DATA entry change kind
+    // (`addManageDataEffects` wraps the ledger-entry change); value nil is
+    // always a removal, and absent change info falls back to created
+    val dataCh = {
+      val m = filter(col("op.changes"), c =>
+        c("entry_type") === "data" && c("change_kind").isNotNull)
+      get(m, size(m) - 1)
+    }
     val manageData = array(
       when(col("op.data_value").isNotNull,
-        eff(40, sourceAddr, obj(kv("name", col("op.data_name")),
-          kv("value", base64NoWrap(col("op.data_value"))))))
+        effC(when(dataCh.isNotNull && dataCh("change_kind") === 1, lit(42))
+            .otherwise(lit(40)),
+          sourceAddr, obj(kv("name", col("op.data_name")),
+            kv("value", base64NoWrap(col("op.data_value"))))))
         .otherwise(eff(41, sourceAddr, obj(kv("name", col("op.data_name"))))))
     val bumpSequence = array(
       eff(43, sourceAddr, obj(kv("new_seq", col("op.bump_to").cast("string")))))

@@ -545,13 +545,32 @@ object StellarTransforms {
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
     def eff(t: Column, account: Column, asset: Column,
-        amount: Column, offer: Column, detail: Column = nullS): Column =
+        amount: Column, offer: Column, detail: Column = nullS,
+        details: Column = nullS): Column =
       struct(t.as("type"), account.as("account_hex"),
         asset.as("asset_code"), amount.as("amount"), offer.as("offer_id"),
-        detail.as("detail"))
+        detail.as("detail"), details.as("details"))
     def effT(t: Int, account: Column, asset: Column = nullS,
-        amount: Column = nullL, offer: Column = nullL): Column =
-      eff(lit(t), account, asset, amount, offer)
+        amount: Column = nullL, offer: Column = nullL,
+        details: Column = nullS): Column =
+      eff(lit(t), account, asset, amount, offer, details = details)
+    // details builders — the reference's per-type payload keys
+    // (`effects.go` details maps) at wire fidelity: conditional keys drop
+    // via concat_ws null-skip; amounts render `amount.String`-style %.7f
+    // (the fixture path's law); addresses strkey at build time
+    def obj(parts: Column*): Column =
+      concat(lit("{"), concat_ws(",", parts: _*), lit("}"))
+    def escJson(v: Column): Column =
+      regexp_replace(regexp_replace(v, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    def kv(k: String, v: Column): Column =
+      when(v.isNotNull, concat(lit("\"" + k + "\":\""), escJson(v),
+        lit("\"")))
+    def kvRaw(k: String, v: Column): Column =
+      when(v.isNotNull, concat(lit("\"" + k + "\":"), v))
+    def amtS(c: Column): Column =
+      format_string("%.7f", GraftFunctions.stroopsToXlm(c))
+    def gAddr(hexC: Column): Column =
+      GraftFunctions.strkeyAccount(unhex(hexC))
     val recvAsset = when(ty === 1, col("op.op_asset_code"))
       .when(ty.isin(2, 13), col("op.op_dest_asset_code"))
     val sendAsset = when(ty === 1, col("op.op_asset_code"))
@@ -574,35 +593,72 @@ object StellarTransforms {
       when(size(m) > 0, element_at(m, size(m)))
     }
     val tlCh = lastOf(1)
+    val dtCh = lastOf(3)
     val lpCh = lastOf(5)
 
     // ---- op-arm effects (`operationEffects` case law) -------------------
     val amount = col("op.amount")
     val opAsset = col("op.op_asset_code")
     val createAccount = array(
-      effT(0, col("op.op_destination_hex"), amount = amount),
-      effT(3, src, amount = amount),
-      effT(10, col("op.op_destination_hex"), amount = lit(1L)))
+      effT(0, col("op.op_destination_hex"), amount = amount,
+        details = obj(kv("starting_balance", amtS(amount)))),
+      effT(3, src, amount = amount,
+        details = obj(kv("amount", amtS(amount)),
+          kv("asset_type", lit("native")))),
+      effT(10, col("op.op_destination_hex"), amount = lit(1L),
+        details = obj(
+          kv("public_key", gAddr(col("op.op_destination_hex"))),
+          kvRaw("weight", lit(1)))))
     val payment = array(
-      effT(2, col("op.op_destination_hex"), recvAsset, delivered),
-      effT(3, src, sendAsset, paid))
+      effT(2, col("op.op_destination_hex"), recvAsset, delivered,
+        details = obj(kv("amount", amtS(delivered)),
+          kv("asset_code", recvAsset))),
+      effT(3, src, sendAsset, paid,
+        details = obj(kv("amount", amtS(paid)),
+          kv("asset_code", sendAsset))))
+    val mergeAmt = obj(kv("amount", amtS(amount)),
+      kv("asset_type", lit("native")))
     val accountMerge = array(
-      effT(3, src, amount = amount),
-      effT(2, col("op.op_destination_hex"), amount = amount),
-      effT(1, src))
+      effT(3, src, amount = amount, details = mergeAmt),
+      effT(2, col("op.op_destination_hex"), amount = amount,
+        details = mergeAmt),
+      effT(1, src, details = lit("{}")))
+    // account_flags_updated: all four arms (`effects.go:1211-1224`)
+    val acctFlagKvs = Seq(
+      1 -> "auth_required_flag", 2 -> "auth_revocable_flag",
+      4 -> "auth_immutable_flag", 8 -> "auth_clawback_enabled_flag")
+      .map { case (bit, key) =>
+        kvRaw(key,
+          when(col("op.op_set_flags").bitwiseAND(bit) =!= 0, lit("true"))
+            .when(col("op.op_clear_flags").bitwiseAND(bit) =!= 0,
+              lit("false")))
+      }
     val setOptions = gated(
       (col("op.op_low_threshold").isNotNull ||
         col("op.op_med_threshold").isNotNull ||
-        col("op.op_high_threshold").isNotNull) -> effT(4, src),
-      col("op.op_home_domain").isNotNull -> effT(5, src),
+        col("op.op_high_threshold").isNotNull) -> effT(4, src,
+        details = obj(
+          kvRaw("low_threshold", col("op.op_low_threshold")),
+          kvRaw("med_threshold", col("op.op_med_threshold")),
+          kvRaw("high_threshold", col("op.op_high_threshold")))),
+      col("op.op_home_domain").isNotNull -> effT(5, src,
+        details = obj(kv("home_domain", col("op.op_home_domain")))),
       (col("op.op_set_flags").isNotNull ||
-        col("op.op_clear_flags").isNotNull) -> effT(6, src),
-      col("op.op_inflation_dest_hex").isNotNull -> effT(7, src),
+        col("op.op_clear_flags").isNotNull) -> effT(6, src,
+        details = obj(acctFlagKvs: _*)),
+      col("op.op_inflation_dest_hex").isNotNull -> effT(7, src,
+        details = obj(kv("inflation_destination",
+          gAddr(col("op.op_inflation_dest_hex"))))),
       (col("op.op_signer_key_hex").isNotNull &&
-        col("op.op_signer_weight") === 0) -> effT(11, src),
+        col("op.op_signer_weight") === 0) -> effT(11, src,
+        details = obj(kv("public_key",
+          gAddr(col("op.op_signer_key_hex"))))),
       (col("op.op_signer_key_hex").isNotNull &&
         col("op.op_signer_weight") =!= 0) ->
-        effT(10, src, amount = col("op.op_signer_weight").cast("long")))
+        effT(10, src, amount = col("op.op_signer_weight").cast("long"),
+          details = obj(
+            kv("public_key", gAddr(col("op.op_signer_key_hex"))),
+            kvRaw("weight", col("op.op_signer_weight")))))
     // change_trust: classified by the op's trustline change kind;
     // limit-sign fallback when the op carries no trustline change
     val tlKindType = when(tlCh.isNotNull,
@@ -610,43 +666,121 @@ object StellarTransforms {
         .otherwise(22))
       .otherwise(when(col("op.op_limit") > 0, 20).otherwise(21))
     val changeTrust = array(eff(tlKindType, src, opAsset,
-      col("op.op_limit"), nullL))
-    val allowTrust = array(effT(26, src, opAsset), effT(26, src, opAsset))
-    val tlFlags = array(effT(26, src, opAsset))
+      col("op.op_limit"), nullL,
+      details = obj(kv("limit", amtS(col("op.op_limit"))),
+        kv("asset_code", opAsset))))
+    // allow_trust dual emission: legacy flag-free details, then the
+    // forward-compat flag rendering off the authorize enum
+    val trustorKvs = Seq(
+      kv("trustor", gAddr(col("op.op_trustor_hex"))),
+      kv("asset_code", opAsset))
+    val af = coalesce(col("op.op_authorize"), lit(0))
+    val allowTrust = array(
+      effT(26, src, opAsset, details = obj(trustorKvs: _*)),
+      effT(26, src, opAsset, details = obj(trustorKvs ++ Seq(
+        kvRaw("authorized_flag",
+          when(af.bitwiseAND(1) =!= 0, lit("true"))
+            .when(af.bitwiseAND(2) === 0, lit("false"))),
+        kvRaw("authorized_to_maintain_liabilites",
+          when(af.bitwiseAND(1) =!= 0, nullS)
+            .when(af.bitwiseAND(2) =!= 0, lit("true"))
+            .otherwise(lit("false")))): _*)))
+    // set_trust_line_flags: flags render true from set, false from clear
+    val tlFlags = array(effT(26, src, opAsset,
+      details = obj(trustorKvs ++ Seq(
+        1 -> "authorized_flag",
+        2 -> "authorized_to_maintain_liabilites",
+        4 -> "clawback_enabled_flag").map { case (bit, key) =>
+        kvRaw(key,
+          when(coalesce(col("op.op_clear_flags"), lit(0))
+              .bitwiseAND(bit) =!= 0, lit("false"))
+            .when(coalesce(col("op.op_set_flags"), lit(0))
+              .bitwiseAND(bit) =!= 0, lit("true")))
+      }: _*)))
+    val dataName = kv("name", col("op.op_data_name"))
+    // created vs updated classifies on the op's DATA entry change kind
+    // (`addManageDataEffects`); value nil → removed, no change → created
     val manageData = array(
-      when(col("op.op_data_value_hex").isNotNull, effT(40, src))
-        .otherwise(effT(41, src)))
-    val bumpSequence = array(effT(43, src, amount = col("op.op_bump_to")))
+      when(col("op.op_data_value_hex").isNotNull, eff(
+        when(dtCh.isNotNull && dtCh("kind") === 1, 42).otherwise(40),
+        src, nullS, nullL, nullL,
+        details = obj(dataName, kv("value", GraftFunctions.base64NoWrap(
+          unhex(col("op.op_data_value_hex")))))))
+        .otherwise(effT(41, src, details = obj(dataName))))
+    val bumpSequence = array(effT(43, src, amount = col("op.op_bump_to"),
+      details = obj(kv("new_seq", col("op.op_bump_to").cast("string")))))
+    val cbAmountKvs = Seq(kv("amount", amtS(amount)), kv("asset", opAsset))
     val createCb = concat(
-      array(effT(50, src, opAsset, amount)),
+      array(effT(50, src, opAsset, amount, details = obj(cbAmountKvs: _*))),
       transform(col("op.op_claimants_hex"),
-        c => eff(lit(51), c, opAsset, amount, nullL)),
-      array(effT(3, src, opAsset, amount)))
+        c => eff(lit(51), c, opAsset, amount, nullL,
+          details = obj(cbAmountKvs :+
+            kv("destination", gAddr(c)): _*))),
+      array(effT(3, src, opAsset, amount,
+        details = obj(kv("amount", amtS(amount)),
+          kv("asset_code", opAsset)))))
+    val balanceIdHex = when(col("op.op_balance_id_hex").isNotNull,
+      concat(lit("00000000"), col("op.op_balance_id_hex")))
     val claimCb = array(
-      effT(52, src, amount = amount), effT(2, src, amount = amount))
+      effT(52, src, amount = amount, details = obj(
+        kv("amount", amtS(amount)), kv("balance_id", balanceIdHex))),
+      effT(2, src, amount = amount,
+        details = obj(kv("amount", amtS(amount)))))
     val clawback = array(
-      effT(2, src, opAsset, amount),
-      effT(3, col("op.op_from_hex"), opAsset, amount))
+      effT(2, src, opAsset, amount, details = obj(
+        kv("amount", amtS(amount)), kv("asset_code", opAsset))),
+      effT(3, col("op.op_from_hex"), opAsset, amount, details = obj(
+        kv("amount", amtS(amount)), kv("asset_code", opAsset))))
     val clawbackCb = array(
-      effT(80, src, amount = amount), effT(2, src, amount = amount))
+      effT(80, src, amount = amount,
+        details = obj(kv("balance_id", balanceIdHex))),
+      effT(2, src, amount = amount,
+        details = obj(kv("amount", amtS(amount)))))
     val lpDeposit = array(effT(90, src,
-      amount = lpCh("post_shares") - lpCh("pre_shares")))
+      amount = lpCh("post_shares") - lpCh("pre_shares"),
+      details = obj(kv("shares_received",
+        amtS(lpCh("post_shares") - lpCh("pre_shares"))))))
     val lpWithdraw = array(effT(91, src,
-      amount = lpCh("pre_shares") - lpCh("post_shares")))
+      amount = lpCh("pre_shares") - lpCh("post_shares"),
+      details = obj(kv("shares_redeemed",
+        amtS(lpCh("pre_shares") - lpCh("post_shares"))))))
 
     // trades: (source, seller) per type 33/32/31(/30); LP atoms → 92;
-    // both-zero atoms emit nothing (`addIngestTradeEffects`)
+    // both-zero atoms emit nothing (`addIngestTradeEffects`). Trade
+    // details follow `addClaimTradeEffects`: each side's sold_* is what
+    // THAT party gave up, seller names the counterparty
     val atomEffects = flatten(transform(
       filter(col("op.claim_atoms"), a =>
         a("sold_amount") =!= 0 || a("bought_amount") =!= 0), a => {
+      val srcDetails = obj(
+        kv("seller", gAddr(a("seller_or_pool_hex"))),
+        kvRaw("offer_id", a("offer_id")),
+        kv("sold_amount", amtS(a("bought_amount"))),
+        kv("sold_asset_code", a("bought_code")),
+        kv("bought_amount", amtS(a("sold_amount"))),
+        kv("bought_asset_code", a("sold_code")))
+      val sellerDetails = obj(
+        kv("seller", gAddr(src)),
+        kvRaw("offer_id", a("offer_id")),
+        kv("sold_amount", amtS(a("sold_amount"))),
+        kv("sold_asset_code", a("sold_code")),
+        kv("bought_amount", amtS(a("bought_amount"))),
+        kv("bought_asset_code", a("bought_code")))
       val pair = (t: Int) => Seq(
         eff(lit(t), src, a("bought_code"), a("bought_amount"),
-          a("offer_id")),
+          a("offer_id"), details = srcDetails),
         eff(lit(t), a("seller_or_pool_hex"), a("sold_code"),
-          a("sold_amount"), a("offer_id")))
+          a("sold_amount"), a("offer_id"), details = sellerDetails))
       val offerTypes = Seq(33, 32, 31)
       when(a("is_pool"),
-        array(eff(lit(92), src, a("sold_code"), a("sold_amount"), nullL)))
+        array(eff(lit(92), src, a("sold_code"), a("sold_amount"), nullL,
+          details = obj(
+            kvRaw("liquidity_pool",
+              obj(kv("id", a("seller_or_pool_hex")))),
+            kvRaw("sold", obj(kv("asset_code", a("sold_code")),
+              kv("amount", amtS(a("sold_amount"))))),
+            kvRaw("bought", obj(kv("asset_code", a("bought_code")),
+              kv("amount", amtS(a("bought_amount")))))))))
         .when(ty.isin(2, 13), array(offerTypes.flatMap(pair): _*))
         .otherwise(array((offerTypes :+ 30).flatMap(pair): _*))
     }))
@@ -683,12 +817,16 @@ object StellarTransforms {
       val post = c("post_sponsor_hex")
       val entryEff =
         when(base.isNotNull && pre.isNull && post.isNotNull,
-          eff(base, post, nullS, nullL, nullL))
+          eff(base, post, nullS, nullL, nullL,
+            details = obj(kv("sponsor", gAddr(post)))))
           .when(base.isNotNull && pre.isNotNull && post.isNull,
-            eff(base + 2, pre, nullS, nullL, nullL))
+            eff(base + 2, pre, nullS, nullL, nullL,
+              details = obj(kv("former_sponsor", gAddr(pre)))))
           .when(base.isNotNull && pre.isNotNull && post.isNotNull &&
               pre =!= post,
-            eff(base + 1, post, nullS, nullL, nullL))
+            eff(base + 1, post, nullS, nullL, nullL,
+              details = obj(kv("new_sponsor", gAddr(post)),
+                kv("former_sponsor", gAddr(pre)))))
       def sigMap(arr: Column): Column = map_from_entries(
         transform(coalesce(arr, array().cast(
             "array<struct<signer_hex:string,sponsor_hex:string>>")),
@@ -702,19 +840,27 @@ object StellarTransforms {
           val pv = try_element_at(preM, k)
           val nv = try_element_at(postM, k)
           when(pv.isNull && nv.isNotNull,
-            eff(lit(72), nv, nullS, nullL, nullL, k))
+            eff(lit(72), nv, nullS, nullL, nullL, k,
+              obj(kv("sponsor", gAddr(nv)), kv("signer", k))))
             .when(pv.isNotNull && nv.isNull,
-              eff(lit(74), pv, nullS, nullL, nullL, k))
+              eff(lit(74), pv, nullS, nullL, nullL, k,
+                obj(kv("former_sponsor", gAddr(pv)), kv("signer", k))))
             .when(pv.isNotNull && nv.isNotNull && pv =!= nv,
-              eff(lit(73), nv, nullS, nullL, nullL, k))
+              eff(lit(73), nv, nullS, nullL, nullL, k,
+                obj(kv("former_sponsor", gAddr(pv)),
+                  kv("new_sponsor", gAddr(nv)), kv("signer", k))))
         })
       filter(concat(array(entryEff), signerEffs), e => e.isNotNull)
     }))
     val lpEntryEffects = filter(transform(opChanges, c =>
       when(c("entry_type") === 5 && c("kind") === 0,
-        eff(lit(93), src, nullS, c("post_shares"), nullL))
+        eff(lit(93), src, nullS, c("post_shares"), nullL,
+          details = obj(kvRaw("liquidity_pool", obj(
+            kv("id", c("pool_id_hex")),
+            kv("total_shares", amtS(c("post_shares"))))))))
         .when(c("entry_type") === 5 && c("kind") === 2,
-          eff(lit(94), src, nullS, nullL, nullL))),
+          eff(lit(94), src, nullS, nullL, nullL,
+            details = obj(kv("liquidity_pool_id", c("pool_id_hex")))))),
       e => e.isNotNull)
 
     val allEffects = concat(baseArr, sponsorshipEffects, lpEntryEffects)
@@ -735,7 +881,12 @@ object StellarTransforms {
         col("e.offer_id").as("offer_id"),
         // the signer G-address on signer-sponsorship effects (72-74);
         // null on every other type
-        col("e.detail").as("signer"))
+        col("e.detail").as("signer"),
+        // the reference-shaped per-type details payload (wire-determined
+        // keys; `effects.go` key names, %.7f amounts) — a VARIANT like
+        // the fixture path's `details`; spec-checked, dropped by the
+        // oracle gate like the op-grain details
+        parse_json(coalesce(col("e.details"), lit("{}"))).as("details"))
   }
 
   /** P5 composed over the wire source at claim-atom grain: trades come

@@ -144,7 +144,19 @@ object StellarFixture {
         InflationPayout(keyOf(s"infl-$l-$t-$o-1"), 16000000L + o)))
       case 10 => base.copy(
         data_name = Some(s"cfg-$o"),
-        data_value = if (o % 2 == 0) Some(keyOf(s"val-$l-$t-$o").take(8)) else None)
+        data_value = if (o % 2 == 0) Some(keyOf(s"val-$l-$t-$o").take(8)) else None,
+        // the entry change that classifies created-vs-updated
+        // (`addManageDataEffects` wraps the DATA entry change kind);
+        // half the value-bearing ops carry no change → the created
+        // fallback arm stays on the model too
+        changes =
+          if (o % 2 == 0 && (l + t) % 2 == 0)
+            base.changes :+ graft.model.LedgerModel.OpChange(
+              entry_type = "data", seller_key = None, offer_id = None,
+              pool_id = None, pre_price_n = None, pre_price_d = None,
+              pre_pool_fee = None,
+              change_kind = Some(((l + o) % 2).toInt))
+          else base.changes)
       case 11 => base.copy(bump_to = Some(l * 1000000L + t * 100L + o))
       case 14 => base.copy(
         cb_asset = Some(if (o % 2 == 0) AssetRef("native", "", "")

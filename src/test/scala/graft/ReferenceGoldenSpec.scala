@@ -469,6 +469,36 @@ class ReferenceGoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("effects details vocabulary: golden payload keys are all emitted") {
+    // per effect type present in the golden rows, every details key the
+    // reference emitted on real mainnet must be a key OUR fixture-path
+    // renderer emits for that type — a drift catcher for key spellings
+    // (this is what exposed the missing data_updated classification)
+    val goldenKeys: Map[String, Set[String]] = goldenRows("effects")
+      .filter(r => r.get("details") != null && r.get("details").isObject)
+      .groupBy(_.get("type_string").asText)
+      .map { case (t, rows) =>
+        t -> rows.flatMap(_.get("details").fieldNames().asScala).toSet
+      }
+    assert(goldenKeys.nonEmpty)
+    val ours = StellarTradesEffects.historyEffects(
+        StellarFixture.ledgers(spark, 2000, 2099))
+      .select(col("type_string"), to_json(col("details")).as("dj"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.flatMap(r =>
+          om.readTree(r.getString(1)).fieldNames().asScala).toSet
+      }
+    goldenKeys.foreach { case (t, gks) =>
+      assert(ours.contains(t),
+        s"golden effect type '$t' never emitted by the fixture path")
+      val missing = gks -- ours(t)
+      assert(missing.isEmpty,
+        s"effect '$t': golden details keys $missing never emitted")
+    }
+  }
+
   private def hexBytes(h: String): Array[Byte] =
     h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 }

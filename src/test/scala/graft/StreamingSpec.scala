@@ -301,8 +301,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     qe.stop()
     val effBatch = graft.operators.StellarTransforms.historyEffectsFromLcm(
       spark.read.format("graft-lcm").load(dir))
-    assert(spark.read.parquet(effOut).collect().map(_.toSeq).toSet ==
-      effBatch.collect().map(_.toSeq).toSet)
+    // VARIANT values don't define structural equality on collect —
+    // compare the details payload through its JSON rendering
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("details", to_json(col("details")))
+        .collect().map(_.toSeq).toSet
+    assert(canon(spark.read.parquet(effOut)) == canon(effBatch))
   }
 
   test("wire changes stream: per-batch compaction merges to the batch result") {
