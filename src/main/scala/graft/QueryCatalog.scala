@@ -2410,11 +2410,12 @@ object QueryCatalog {
       (s, dir) =>
         // details/details_json are spec-covered (OperationDetailsSpec wire
         // parity), not gate-hashed — VARIANT columns and double-formatted
-        // JSON don't survive the pandas comparator; drop prunes them
+        // JSON don't survive the pandas comparator; withDetails=false
+        // plans without the construction entirely
         StellarTransforms.historyOperationsFromLcm(
             s.read.format("graft-lcm").load(lcmFixtureDir)
-              .where(col("sequence").between(2100, 2299)))
-          .drop("details", "details_json")
+              .where(col("sequence").between(2100, 2299)),
+            withDetails = false)
           .orderBy("id")),
 
     Q("stellar_soroban_ops_from_lcm",
@@ -2475,7 +2476,8 @@ object QueryCatalog {
       (s, dir) =>
         StellarTransforms.historyOperationsFromLcm(
             s.read.format("graft-lcm").load(lcmFixtureDir)
-              .where(col("sequence").between(2300, 2499)))
+              .where(col("sequence").between(2300, 2499)),
+            withDetails = false)
           .where(col("type") === 24)
           .select("id", "ledger_sequence", "host_fn_type", "contract_id",
             "parameters", "parameters_decoded", "asset_balance_changes")
@@ -2849,11 +2851,12 @@ object QueryCatalog {
              |FROM e ORDER BY operation_id, effect_index""".stripMargin),
       (s, dir) =>
         // `details` (VARIANT payload) is spec-covered, not gate-hashed —
-        // the same split as the op-grain details; drop prunes it
+        // the same split as the op-grain details; withDetails=false plans
+        // without the payload construction
         StellarTransforms.historyEffectsFromLcm(
             s.read.format("graft-lcm").load(lcmFixtureDir)
-              .where(col("sequence").between(2100, 2499)))
-          .drop("details")
+              .where(col("sequence").between(2100, 2499)),
+            withDetails = false)
           .orderBy("operation_id", "effect_index")),
 
     Q("stellar_transfers_from_lcm",

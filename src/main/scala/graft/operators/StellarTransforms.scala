@@ -178,7 +178,12 @@ object StellarTransforms {
     * op loop makes. Detail columns for types outside the typed union
     * surface as null, exactly the sparse-slice shape of the full P3
     * wide struct. */
-  def historyOperationsFromLcm(lcm: DataFrame): DataFrame = {
+  def historyOperationsFromLcm(lcm: DataFrame,
+      withDetails: Boolean = true): DataFrame = {
+    // `withDetails = false` plans WITHOUT the shared details struct/JSON
+    // (a dropped column would still be computed — CollapseProject declines
+    // on the duplicated non-trivial struct); the gated catalog queries and
+    // asset-mention reuse opt out at plan-build time
     // SAC `asset_balance_changes`
     // (`parseAssetBalanceChangesFromContractEvents`,
     // `operation.go:1942-1999`): the op's own contract events whose
@@ -328,11 +333,19 @@ object StellarTransforms {
       totalSoldStroops = aggregate(col("op.claim_atoms"), lit(0L),
         (acc, a) => acc + a("sold_amount")))
     val wireDetailsStruct = OperationDetails.struct(wireDetailInputs)
+    val detailCols =
+      if (!withDetails) Seq.empty[Column]
+      else Seq(
+        // the SHARED details contract (one renderer with the model path):
+        // wide struct + null-dropped JSON, wire-determined keys only
+        wireDetailsStruct.as("details"),
+        parse_json(to_json(wireDetailsStruct,
+          Map("ignoreNullFields" -> "true"))).as("details_json"))
     lcm.select(col("sequence"),
         posexplode(col("transactions")).as(Seq("pos", "tx")))
       .select(col("sequence"), col("pos"), col("tx"),
         posexplode(col("tx.operations")).as(Seq("op_pos", "op")))
-      .select(
+      .select(Seq(
         operationToid(col("sequence"), col("pos") + 1, col("op_pos"))
           .as("id"),
         transactionToid(col("sequence"), col("pos") + 1).as("transaction_id"),
@@ -424,12 +437,7 @@ object StellarTransforms {
               p => GraftFunctions.scvalJson(p)), ","),
             lit("]"))).as("parameters_decoded"),
         sacBalanceChanges.as("asset_balance_changes"),
-        col("op.op_extend_to").as("extend_to"),
-        // the SHARED details contract (one renderer with the model path):
-        // wide struct + null-dropped JSON, wire-determined keys only
-        wireDetailsStruct.as("details"),
-        parse_json(to_json(wireDetailsStruct,
-          Map("ignoreNullFields" -> "true"))).as("details_json"))
+        col("op.op_extend_to").as("extend_to")) ++ detailCols: _*)
   }
 
   /** P6/A2 composed over the wire source: every asset mentioned by a
@@ -441,7 +449,7 @@ object StellarTransforms {
     * Stack-the-columns + explode keeps the mention extraction map-only;
     * the dedup is one min_by hash aggregate (map-side combinable). */
   def historyAssetsFromLcm(lcm: DataFrame): DataFrame = {
-    val mentions = historyOperationsFromLcm(lcm)
+    val mentions = historyOperationsFromLcm(lcm, withDetails = false)
       .select(col("id"),
         explode(array(
           col("asset_code"), col("send_asset_code"),
@@ -532,7 +540,12 @@ object StellarTransforms {
     * posexplode), so the numbering never needs a window. Everything is
     * intra-row: atoms and changes ride the same tx row as the op vector,
     * so the whole transform is one map-only scan. */
-  def historyEffectsFromLcm(lcm: DataFrame): DataFrame = {
+  def historyEffectsFromLcm(lcm: DataFrame,
+      withDetails: Boolean = true): DataFrame = {
+    // `withDetails = false` plans WITHOUT the details payload — generator
+    // output does not column-prune, so a downstream drop would still pay
+    // the per-effect string/strkey construction; the gated catalog query
+    // (typed columns only) opts out at plan-build time instead
     val ops = lcm.select(col("sequence"),
         posexplode(col("transactions")).as(Seq("pos", "tx")))
       .where(col("tx.successful"))
@@ -549,7 +562,8 @@ object StellarTransforms {
         details: Column = nullS): Column =
       struct(t.as("type"), account.as("account_hex"),
         asset.as("asset_code"), amount.as("amount"), offer.as("offer_id"),
-        detail.as("detail"), details.as("details"))
+        detail.as("detail"),
+        (if (withDetails) details else nullS).as("details"))
     def effT(t: Int, account: Column, asset: Column = nullS,
         amount: Column = nullL, offer: Column = nullL,
         details: Column = nullS): Column =
@@ -864,10 +878,7 @@ object StellarTransforms {
       e => e.isNotNull)
 
     val allEffects = concat(baseArr, sponsorshipEffects, lpEntryEffects)
-    ops
-      .select(col("sequence"), col("pos"), col("op_pos"),
-        posexplode(allEffects).as(Seq("eff_pos", "e")))
-      .select(
+    val baseCols = Seq(
         operationToid(col("sequence"), col("pos") + 1, col("op_pos"))
           .as("operation_id"),
         col("sequence").as("ledger_sequence"),
@@ -881,12 +892,19 @@ object StellarTransforms {
         col("e.offer_id").as("offer_id"),
         // the signer G-address on signer-sponsorship effects (72-74);
         // null on every other type
-        col("e.detail").as("signer"),
+        col("e.detail").as("signer"))
+    val cols =
+      if (!withDetails) baseCols
+      else baseCols :+
         // the reference-shaped per-type details payload (wire-determined
         // keys; `effects.go` key names, %.7f amounts) — a VARIANT like
-        // the fixture path's `details`; spec-checked, dropped by the
+        // the fixture path's `details`; spec-checked, excluded from the
         // oracle gate like the op-grain details
-        parse_json(coalesce(col("e.details"), lit("{}"))).as("details"))
+        parse_json(coalesce(col("e.details"), lit("{}"))).as("details")
+    ops
+      .select(col("sequence"), col("pos"), col("op_pos"),
+        posexplode(allEffects).as(Seq("eff_pos", "e")))
+      .select(cols: _*)
   }
 
   /** P5 composed over the wire source at claim-atom grain: trades come
