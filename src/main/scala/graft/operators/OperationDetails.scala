@@ -54,6 +54,15 @@ object OperationDetails {
       assetType: Column = nullS,
       assetCode: Column = nullS,
       assetIssuer: Column = nullS,
+      // farmhash64 asset ids embedded in the details maps
+      // (`addAssetDetails` appends `{prefix}asset_id`, the goldens carry
+      // them on payment/trust/offer ops); null where the path cannot
+      // type its assets (the wire)
+      assetId: Column = nullL,
+      trustAssetId: Column = nullL,
+      sourceAssetId: Column = nullL,
+      buyingAssetId: Column = nullL,
+      sellingAssetId: Column = nullL,
       trustAssetType: Column = nullS,
       trustAssetCode: Column = nullS,
       trustAssetIssuer: Column = nullS,
@@ -206,11 +215,14 @@ object OperationDetails {
       when(ty.isin(1, 2, 13, 19) && nonNative(in.assetType), in.assetIssuer)
         .when(ty.isin(6, 7, 21), in.trustAssetIssuer)
         .as("asset_issuer"),
+      when(ty.isin(1, 2, 13, 19), in.assetId)
+        .when(ty.isin(6, 7, 21), in.trustAssetId).as("asset_id"),
       when(ty.isin(2, 13), in.sourceAssetType).as("source_asset_type"),
       when(ty.isin(2, 13) && nonNative(in.sourceAssetType),
         in.sourceAssetCode).as("source_asset_code"),
       when(ty.isin(2, 13) && nonNative(in.sourceAssetType),
         in.sourceAssetIssuer).as("source_asset_issuer"),
+      when(ty.isin(2, 13), in.sourceAssetId).as("source_asset_id"),
       // ---- offers (3 manage_sell / 4 passive_sell / 12 manage_buy)
       when(ty.isin(3, 12), in.offerId).as("offer_id"),
       when(ty.isin(3, 4, 12), priceRatio(in.priceN, in.priceD)).as("price"),
@@ -221,11 +233,13 @@ object OperationDetails {
         in.buyingAssetCode).as("buying_asset_code"),
       when(ty.isin(3, 4, 12) && nonNative(in.buyingAssetType),
         in.buyingAssetIssuer).as("buying_asset_issuer"),
+      when(ty.isin(3, 4, 12), in.buyingAssetId).as("buying_asset_id"),
       when(ty.isin(3, 4, 12), in.sellingAssetType).as("selling_asset_type"),
       when(ty.isin(3, 4, 12) && nonNative(in.sellingAssetType),
         in.sellingAssetCode).as("selling_asset_code"),
       when(ty.isin(3, 4, 12) && nonNative(in.sellingAssetType),
         in.sellingAssetIssuer).as("selling_asset_issuer"),
+      when(ty.isin(3, 4, 12), in.sellingAssetId).as("selling_asset_id"),
       // ---- set_options (5)
       when(ty === 5, in.inflationDestAddr).as("inflation_dest"),
       when(ty === 5 && in.setFlags.isNotNull, setFlagsI).as("set_flags"),

@@ -1382,6 +1382,25 @@ object StellarTransforms {
         assetType = col("op.asset.asset_type"),
         assetCode = col("op.asset.asset_code"),
         assetIssuer = col("op.asset.asset_issuer"),
+        assetId = when(col("op.asset").isNotNull,
+          farmHashAssetId(col("op.asset.asset_code"),
+            col("op.asset.asset_issuer"), col("op.asset.asset_type"))),
+        trustAssetId = when(col("op.trust_asset").isNotNull,
+          farmHashAssetId(col("op.trust_asset.asset_code"),
+            col("op.trust_asset.asset_issuer"),
+            col("op.trust_asset.asset_type"))),
+        sourceAssetId = when(col("op.source_asset").isNotNull,
+          farmHashAssetId(col("op.source_asset.asset_code"),
+            col("op.source_asset.asset_issuer"),
+            col("op.source_asset.asset_type"))),
+        buyingAssetId = when(col("op.buying_asset").isNotNull,
+          farmHashAssetId(col("op.buying_asset.asset_code"),
+            col("op.buying_asset.asset_issuer"),
+            col("op.buying_asset.asset_type"))),
+        sellingAssetId = when(col("op.selling_asset").isNotNull,
+          farmHashAssetId(col("op.selling_asset.asset_code"),
+            col("op.selling_asset.asset_issuer"),
+            col("op.selling_asset.asset_type"))),
         trustAssetType = coalesce(col("op.trust_asset.asset_type"),
           lit("liquidity_pool_shares")),
         trustAssetCode = col("op.trust_asset.asset_code"),

@@ -92,7 +92,11 @@ object StellarFixture {
       case 3 | 4 | 12 => base.copy(
         offer_id = if (ty == 4) None else Some(if (o % 3 == 0) 0L else 6000L + o),
         selling_asset = Some(cred(s"SL$o", o % 3)),
-        buying_asset = Some(AssetRef("native", "", "")),
+        // alternate native / credit buying lines so the non-native
+        // buying_asset_code/issuer detail keys (present on the
+        // reference's golden offer rows) ride the fixtures too
+        buying_asset = Some(if (o % 2 == 0) AssetRef("native", "", "")
+          else cred(s"BY$o", (o + 1) % 3)),
         price_n = Some(1 + o), price_d = Some(7 + t % 3))
       case 5 => base.copy(
         inflation_dest_key = if (o % 2 == 0) Some(keyOf(s"infl-$l-$t")) else None,

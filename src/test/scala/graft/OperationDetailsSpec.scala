@@ -28,6 +28,10 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def keyOf(label: String): Array[Byte] =
     Hashes.sha256(label.getBytes("UTF-8"))
   private def g(label: String): String = Strkey.encodeAccountId(keyOf(label))
+  /** FarmHash64 asset id — the `{prefix}asset_id` keys the reference embeds
+    * in operation details (`addAssetDetails`). */
+  private def aid(code: String, issuer: String, ty: String): Long =
+    Hashes.farmHash64(code + issuer + ty)
 
   /** Fixture coordinate with t=1, o=1 whose op type is `ty` and whose ledger
     * has ≥2 txs (l%5 ≥ 1): ty = (l + 2) % 27. */
@@ -63,7 +67,7 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(detailsAt(l, 1, 1) ==
       s"""{"from":"$src","to":"$dest","to_muxed":"$destMuxed","to_muxed_id":4201,""" +
       s""""amount":0.2000001,"asset_type":"credit_alphanum4","asset_code":"TK1",""" +
-      s""""asset_issuer":"ISS1"}""")
+      s""""asset_issuer":"ISS1","asset_id":${aid("TK1", "ISS1", "credit_alphanum4")}}""")
   }
 
   test("path_payment_strict_receive (2) carries result source_amount and path") {
@@ -76,24 +80,35 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"""{"from":"$src","to":"$dest","amount":0.2000001,""" +
       s""""source_amount":0.18,"source_max":0.24,""" +
       s""""asset_type":"credit_alphanum4","asset_code":"DST1","asset_issuer":"ISS1",""" +
+      s""""asset_id":${aid("DST1", "ISS1", "credit_alphanum4")},""" +
       s""""source_asset_type":"credit_alphanum4","source_asset_code":"SRC1",""" +
-      s""""source_asset_issuer":"ISS2""""), d)
+      s""""source_asset_issuer":"ISS2",""" +
+      s""""source_asset_id":${aid("SRC1", "ISS2", "credit_alphanum4")}"""), d)
   }
 
   test("manage_sell_offer (3)") {
     check(3)((l, src, dest) =>
       s"""{"amount":0.2000001,"offer_id":6001,"price":0.25,""" +
-      s""""price_r":{"n":2,"d":8},"buying_asset_type":"native",""" +
+      s""""price_r":{"n":2,"d":8},""" +
+      s""""buying_asset_type":"credit_alphanum4","buying_asset_code":"BY1",""" +
+      s""""buying_asset_issuer":"ISS2",""" +
+      s""""buying_asset_id":${aid("BY1", "ISS2", "credit_alphanum4")},""" +
       s""""selling_asset_type":"credit_alphanum4","selling_asset_code":"SL1",""" +
-      s""""selling_asset_issuer":"ISS1","n_claim_atoms":2,""" +
+      s""""selling_asset_issuer":"ISS1",""" +
+      s""""selling_asset_id":${aid("SL1", "ISS1", "credit_alphanum4")},""" +
+      s""""n_claim_atoms":2,""" +
       s""""total_sold_stroops":6000000}""")
   }
 
   test("create_passive_sell_offer (4) has no offer_id") {
     check(4)((l, src, dest) =>
       s"""{"amount":0.2000001,"price":0.25,"price_r":{"n":2,"d":8},""" +
-      s""""buying_asset_type":"native","selling_asset_type":"credit_alphanum4",""" +
+      s""""buying_asset_type":"credit_alphanum4","buying_asset_code":"BY1",""" +
+      s""""buying_asset_issuer":"ISS2",""" +
+      s""""buying_asset_id":${aid("BY1", "ISS2", "credit_alphanum4")},""" +
+      s""""selling_asset_type":"credit_alphanum4",""" +
       s""""selling_asset_code":"SL1","selling_asset_issuer":"ISS1",""" +
+      s""""selling_asset_id":${aid("SL1", "ISS1", "credit_alphanum4")},""" +
       s""""n_claim_atoms":2,"total_sold_stroops":6000000}""")
   }
 
@@ -109,7 +124,9 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the fixture zeroes the limit on its trustline-removal slice
       val limit = if ((l + 1) % 4 == 1) 0.0 else 100.0
       s"""{"asset_type":"credit_alphanum4","asset_code":"TR1",""" +
-      s""""asset_issuer":"ISS1","limit":$limit,"trustee":"ISS1","trustor":"$src"}"""
+      s""""asset_issuer":"ISS1",""" +
+      s""""asset_id":${aid("TR1", "ISS1", "credit_alphanum4")},""" +
+      s""""limit":$limit,"trustee":"ISS1","trustor":"$src"}"""
     })
   }
 
@@ -120,7 +137,9 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // o=1 → authorize_flags = 2: authorize=false, maintain-liabilities=true
     assert(detailsAt(l, 1, 1) ==
       s"""{"asset_type":"credit_alphanum4","asset_code":"AL1",""" +
-      s""""asset_issuer":"ISS1","trustee":"$src","trustor":"$trustor",""" +
+      s""""asset_issuer":"ISS1",""" +
+      s""""asset_id":${aid("AL1", "ISS1", "credit_alphanum4")},""" +
+      s""""trustee":"$src","trustor":"$trustor",""" +
       s""""authorize":false,"authorize_to_maintain_liabilities":true}""")
   }
 
@@ -179,7 +198,8 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val from = g(s"dest-$l-1-1")
     assert(detailsAt(l, 1, 1) ==
       s"""{"from":"$from","amount":0.2000001,"asset_type":"credit_alphanum4",""" +
-      s""""asset_code":"TK1","asset_issuer":"ISS1"}""")
+      s""""asset_code":"TK1","asset_issuer":"ISS1",""" +
+      s""""asset_id":${aid("TK1", "ISS1", "credit_alphanum4")}}""")
   }
 
   test("clawback_claimable_balance (20)") {
@@ -195,7 +215,9 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val trustor = g(s"trustor-$l-1-1")
     assert(detailsAt(l, 1, 1) ==
       s"""{"asset_type":"credit_alphanum4","asset_code":"TF1",""" +
-      s""""asset_issuer":"ISS1","trustor":"$trustor",""" +
+      s""""asset_issuer":"ISS1",""" +
+      s""""asset_id":${aid("TF1", "ISS1", "credit_alphanum4")},""" +
+      s""""trustor":"$trustor",""" +
       s""""tl_clear_flags":[2,4],""" +
       s""""tl_clear_flags_s":["authorized_to_maintain_liabilities","clawback_enabled"]}""")
   }

@@ -499,6 +499,38 @@ class ReferenceGoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("operations details vocabulary: golden payload keys are all emitted") {
+    // same drift catcher at the op grain: every details key the reference
+    // emitted per op type on real mainnet must be in our renderer's
+    // vocabulary for that type (this exposed the missing farmhash
+    // `{prefix}asset_id` keys)
+    val goldenKeys: Map[String, Set[String]] = goldenRows("operations")
+      .filter(r => r.get("details") != null && r.get("details").isObject)
+      .groupBy(_.get("type_string").asText)
+      .map { case (t, rows) =>
+        t -> rows.flatMap(_.get("details").fieldNames().asScala).toSet
+      }
+    assert(goldenKeys.nonEmpty)
+    val ours = StellarTransforms.historyOperations(
+        StellarFixture.ledgers(spark, 2700, 2799))
+      .select(col("type_string"),
+        to_json(col("details"),
+          java.util.Map.of("ignoreNullFields", "true")).as("dj"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.flatMap(r =>
+          om.readTree(r.getString(1)).fieldNames().asScala).toSet
+      }
+    goldenKeys.foreach { case (t, gks) =>
+      assert(ours.contains(t),
+        s"golden op type '$t' never emitted by the fixture path")
+      val missing = gks -- ours(t)
+      assert(missing.isEmpty,
+        s"operation '$t': golden details keys $missing never emitted")
+    }
+  }
+
   private def hexBytes(h: String): Array[Byte] =
     h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 }
