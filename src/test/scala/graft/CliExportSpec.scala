@@ -170,6 +170,27 @@ class CliExportSpec extends AnyFunSuite with BeforeAndAfterAll {
       "--wire-input", wire, "--output", outEv, "--format", "parquet")))
     assert(spark.read.parquet(outEv).count() > 0)
 
+    // effects run off the wire with the VARIANT details payload: the
+    // NDJSON sink must render it as a raw JSON object (not a quoted
+    // string), null keys dropped — the reference's omitempty shape
+    val outEff = tmpDir("wire-effects")
+    Export.run(spark, Export.parse(Array(
+      "export_effects", "--start", "5010", "--end", "5030",
+      "--wire-input", wire, "--output", outEff, "--format", "ndjson")))
+    val effLines = new java.io.File(outEff).listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+    assert(effLines.nonEmpty)
+    val omm = new com.fasterxml.jackson.databind.ObjectMapper()
+    val trades = effLines.map(omm.readTree)
+      .filter(_.get("type_string").asText == "trade")
+    assert(trades.nonEmpty)
+    trades.foreach { n =>
+      val d = n.get("details")
+      assert(d.isObject, s"details must be a raw object: $n")
+      assert(d.get("seller") != null && d.get("offer_id") != null)
+    }
+
     // unsupported command under --wire-input fails loudly
     val err = intercept[RuntimeException] {
       Export.run(spark, Export.parse(Array(
