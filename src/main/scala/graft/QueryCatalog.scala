@@ -324,7 +324,7 @@ object QueryCatalog {
     Q("p1_history_ledgers",
       Some("""SELECT l_orderkey AS ledger_sequence,
              |       (l_orderkey << 32) AS ledger_id,
-             |       count(*) AS transaction_count,
+             |       count(*) FILTER (WHERE l_returnflag <> 'R') AS transaction_count,
              |       count(*) FILTER (WHERE l_returnflag <> 'R') AS successful_transaction_count,
              |       count(*) FILTER (WHERE l_returnflag = 'R') AS failed_transaction_count,
              |       count(*) FILTER (WHERE l_returnflag <> 'R') AS operation_count,
@@ -2088,7 +2088,8 @@ object QueryCatalog {
              |SELECT ls.seq AS sequence,
              |       sha256('ledger:' || (ls.seq - 1)) AS previous_ledger_hash,
              |       (ls.seq << 32) AS id,
-             |       CAST(ls.seq % 5 + 1 AS INT) AS transaction_count,
+             |       CAST(count(*) FILTER (WHERE tx.t % 3 <> 0) AS INT)
+             |         AS transaction_count,
              |       CAST(count(*) FILTER (WHERE tx.t % 3 <> 0) AS INT)
              |         AS successful_transaction_count,
              |       CAST(count(*) FILTER (WHERE tx.t % 3 = 0) AS INT)
@@ -2274,13 +2275,15 @@ object QueryCatalog {
              |       WHEN op_type = 4 THEN CAST(seq % 13 + 1 AS INT)
              |       WHEN op_type = 12 THEN CAST(seq % 11 + 1 AS INT)
              |       END AS price_d,
-             |  CASE WHEN op_type = 3
+             |  -- FloatString(7) law: rational rounded half-up to 7 decimals
+             |  -- (operation.go addPriceDetails; real-golden verified)
+             |  round(CASE WHEN op_type = 3
              |       THEN CAST(seq % 9 + 1 AS DOUBLE) / (t % 7 + 1)
              |       WHEN op_type = 4
              |       THEN CAST(t % 9 + 1 AS DOUBLE) / (seq % 13 + 1)
              |       WHEN op_type = 12
              |       THEN CAST(t % 5 + 1 AS DOUBLE) / (seq % 11 + 1)
-             |       END AS price,
+             |       END, 7) AS price,
              |  CASE WHEN op_type = 6
              |       THEN CAST(5000000 * (t + 1) + seq % 101 AS BIGINT)
              |       END AS trust_limit,
@@ -4102,7 +4105,9 @@ object QueryCatalog {
              |  (25,'extend_footprint_ttl'),(26,'restore_footprint'))
              |SELECT 'ledger' AS grain, CAST(l AS BIGINT) << 32 AS id,
              |       sha256('ledger-' || l) AS s1,
-             |       CAST(l % 5 + 1 AS BIGINT) AS n1,
+             |       -- transaction_count excludes failed (ledger.go:149)
+             |       (SELECT CAST(count(*) AS BIGINT) FROM txs x
+             |        WHERE x.l = ls.l AND x.t % 3 != 0) AS n1,
              |       (SELECT CAST(coalesce(sum(t % 4 + 1), 0) AS BIGINT)
              |        FROM txs x WHERE x.l = ls.l AND x.t % 3 != 0) AS n2
              |FROM ls

@@ -75,6 +75,16 @@ object GraftFunctions {
   /** Offer price ratio n/d as float64. */
   def priceRatio(n: Column, d: Column): Column = n.cast("double") / d.cast("double")
 
+  /** The details-map price law (`operation.go:409-421` addPriceDetails):
+    * ParseFloat(Price.String()) where Price.String() is the rational's
+    * FloatString(7) — i.e. n/d rounded HALF-UP (away from zero) to exactly
+    * 7 decimals, then parsed back to a double. Decimal-division precision
+    * (scale 20) exceeds the 7-digit target, so the columnar round is the
+    * exact law. Distinct from [[priceRatio]]: the offers TABLE keeps plain
+    * float division (`offer.go:63-66`). */
+  def pricePoint7(n: Column, d: Column): Column =
+    round(n.cast("decimal(19,0)") / d.cast("decimal(19,0)"), 7).cast("double")
+
   // ---- flag decoding (`operation.go:555-582`) -------------------------------
 
   def flagSet(flags: Column, bit: Long): Column = flags.bitwiseAND(lit(bit)) =!= 0

@@ -31,7 +31,10 @@ object HistoryOps {
       col("ledger_sequence"),
       ledgerToid(col("ledger_sequence")).as("ledger_id"),
       col("closed_at"),
-      size(col("transactions")).cast("long").as("transaction_count"),
+      // `transaction_count` EXCLUDES failed txs (`ledger.go:149`:
+      // txCount - failedTxCount; real goldens show 46 with 11 failed)
+      size(filter(col("transactions"), t => t("successful")))
+        .cast("long").as("transaction_count"),
       size(filter(col("transactions"), t => t("successful")))
         .cast("long").as("successful_transaction_count"),
       size(filter(col("transactions"), t => !t("successful")))

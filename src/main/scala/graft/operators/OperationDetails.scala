@@ -135,9 +135,7 @@ object OperationDetails {
       extendTo: Column = nullL,
       preimageTag: Column = nullS,
       preimageAddress: Column = nullS,
-      preimageAssetCanon: Column = nullS,
-      nClaimAtoms: Column = nullI,
-      totalSoldStroops: Column = nullL)
+      preimageAssetCanon: Column = nullS)
 
   /** Go's account-flag decode: ints + names (`operation.go:555-582`). */
   def accountFlagArrays(v: Column): (Column, Column) = {
@@ -225,7 +223,7 @@ object OperationDetails {
       when(ty.isin(2, 13), in.sourceAssetId).as("source_asset_id"),
       // ---- offers (3 manage_sell / 4 passive_sell / 12 manage_buy)
       when(ty.isin(3, 12), in.offerId).as("offer_id"),
-      when(ty.isin(3, 4, 12), priceRatio(in.priceN, in.priceD)).as("price"),
+      when(ty.isin(3, 4, 12), pricePoint7(in.priceN, in.priceD)).as("price"),
       when(ty.isin(3, 4, 12), org.apache.spark.sql.functions.struct(
         in.priceN.as("n"), in.priceD.as("d"))).as("price_r"),
       when(ty.isin(3, 4, 12), in.buyingAssetType).as("buying_asset_type"),
@@ -314,10 +312,10 @@ object OperationDetails {
         .as("reserve_a_deposit_amount"),
       when(ty === 22, stroopsToXlm(in.deltaReserveB))
         .as("reserve_b_deposit_amount"),
-      when(ty === 22, priceRatio(in.minPriceN, in.minPriceD)).as("min_price"),
+      when(ty === 22, pricePoint7(in.minPriceN, in.minPriceD)).as("min_price"),
       when(ty === 22, org.apache.spark.sql.functions.struct(
         in.minPriceN.as("n"), in.minPriceD.as("d"))).as("min_price_r"),
-      when(ty === 22, priceRatio(in.maxPriceN, in.maxPriceD)).as("max_price"),
+      when(ty === 22, pricePoint7(in.maxPriceN, in.maxPriceD)).as("max_price"),
       when(ty === 22, org.apache.spark.sql.functions.struct(
         in.maxPriceN.as("n"), in.maxPriceD.as("d"))).as("max_price_r"),
       when(ty === 22, stroopsToXlm(in.deltaShares)).as("shares_received"),
@@ -352,14 +350,25 @@ object OperationDetails {
       when(ty === 25, in.extendTo).as("extend_to"),
       // create-contract id preimage payload (`switchContractIdPreimageType`,
       // operation.go:2275-2295)
-      when(ty === 24, in.preimageAddress).as("address"),
-      // ---- trade summary (kept from the narrow struct)
-      when(in.nClaimAtoms > 0, in.nClaimAtoms).as("n_claim_atoms"),
-      when(in.nClaimAtoms > 0, in.totalSoldStroops).as("total_sold_stroops"))
+      when(ty === 24, in.preimageAddress).as("address"))
   }
 
   /** The `details_json` rendering both paths share: the same struct with
-    * null keys dropped, as a VARIANT so it lands as a raw JSON object. */
-  def json(in: DetailInputs): Column =
-    parse_json(to_json(struct(in), Map("ignoreNullFields" -> "true")))
+    * null keys dropped, as a VARIANT so it lands as a raw JSON object.
+    *
+    * One mixed-type quirk the typed struct cannot carry: a FAILED
+    * strict-receive path payment's `source_amount` is the STRING
+    * `"0.0000000"` (`operation.go:632` seeds `amount.String(0)` and only
+    * the success arm overwrites it with a float) — real goldens show the
+    * string on every failed pp op. The struct keeps the typed double 0;
+    * the JSON rendering patches that one token to the reference's exact
+    * shape. */
+  def json(in: DetailInputs): Column = {
+    val base = to_json(struct(in), Map("ignoreNullFields" -> "true"))
+    parse_json(
+      when(in.ty === 2 && !in.successful,
+        regexp_replace(base, "\"source_amount\":0\\.0([,}])",
+          "\"source_amount\":\"0.0000000\"$1"))
+        .otherwise(base))
+  }
 }

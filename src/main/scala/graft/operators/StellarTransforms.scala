@@ -43,7 +43,10 @@ object StellarTransforms {
       lower(hex(col("ledger_hash"))).as("ledger_hash"),
       lower(hex(col("previous_ledger_hash"))).as("previous_ledger_hash"),
       col("header_b64").as("ledger_header"),
-      size(col("transactions")).as("transaction_count"),
+      // successful only: txCount - failedTxCount (`ledger.go:149`; golden
+      // single_ledger has transaction_count 46 with 11 failed)
+      size(filter(col("transactions"), t => t("successful")))
+        .as("transaction_count"),
       aggregate(filter(col("transactions"), t => t("successful")),
         lit(0), (acc, t) => acc + size(t("operations"))).as("operation_count"),
       size(filter(col("transactions"), t => t("successful")))
@@ -57,8 +60,10 @@ object StellarTransforms {
       col("max_tx_set_size"), col("protocol_version"),
       ledgerToid(col("sequence")).as("id"),
       col("soroban_fee_write_1kb"),
-      strkeyAccount(col("node_id_key")).as("node_id"),
-      base64NoWrap(col("signature")).as("signature"),
+      // unsigned SCP values render as "" not null (Go zero-value strings,
+      // no omitempty — golden ledgers rows carry node_id:"", signature:"")
+      coalesce(strkeyAccount(col("node_id_key")), lit("")).as("node_id"),
+      coalesce(base64NoWrap(col("signature")), lit("")).as("signature"),
       col("bucket_list_size").as("total_byte_size_of_bucket_list"))
 
   /** P1 straight off the LCM wire source (`graft-lcm` DSv2): the
@@ -76,7 +81,9 @@ object StellarTransforms {
       col("sequence"),
       col("prev_ledger_hash_hex").as("previous_ledger_hash"),
       ledgerToid(col("sequence")).as("id"),
-      size(col("transactions")).as("transaction_count"),
+      // same successful-only law as the model path (`ledger.go:149`)
+      size(filter(col("transactions"), t => t("successful")))
+        .as("transaction_count"),
       size(filter(col("transactions"), t => t("successful")))
         .as("successful_transaction_count"),
       size(filter(col("transactions"), t => !t("successful")))
@@ -327,11 +334,7 @@ object StellarTransforms {
         transform(wParams, p => GraftFunctions.base64NoWrap(p))),
       parametersJson = when(wParams.isNotNull,
         transform(wParams, p => GraftFunctions.scvalJson(p))),
-      extendTo = col("op.op_extend_to"),
-      nClaimAtoms = when(size(col("op.claim_atoms")) > 0,
-        size(col("op.claim_atoms"))),
-      totalSoldStroops = aggregate(col("op.claim_atoms"), lit(0L),
-        (acc, a) => acc + a("sold_amount")))
+      extendTo = col("op.op_extend_to"))
     val wireDetailsStruct = OperationDetails.struct(wireDetailInputs)
     val detailCols =
       if (!withDetails) Seq.empty[Column]
@@ -339,8 +342,7 @@ object StellarTransforms {
         // the SHARED details contract (one renderer with the model path):
         // wide struct + null-dropped JSON, wire-determined keys only
         wireDetailsStruct.as("details"),
-        parse_json(to_json(wireDetailsStruct,
-          Map("ignoreNullFields" -> "true"))).as("details_json"))
+        OperationDetails.json(wireDetailInputs).as("details_json"))
     lcm.select(col("sequence"),
         posexplode(col("transactions")).as(Seq("pos", "tx")))
       .select(col("sequence"), col("pos"), col("tx"),
@@ -374,7 +376,7 @@ object StellarTransforms {
         col("op.op_price_n").as("price_n"),
         col("op.op_price_d").as("price_d"),
         when(col("op.op_price_n").isNotNull,
-          GraftFunctions.priceRatio(col("op.op_price_n"), col("op.op_price_d")))
+          GraftFunctions.pricePoint7(col("op.op_price_n"), col("op.op_price_d")))
           .as("price"),
         col("op.op_limit").as("trust_limit"),
         col("op.op_data_name").as("data_name"),
@@ -1357,8 +1359,8 @@ object StellarTransforms {
     val balanceIdStrkey = when(col("op.balance_id").isNotNull,
       strkeyBalance(col("op.balance_id")))
 
-    val detailsStruct =
-      OperationDetails.struct(OperationDetails.DetailInputs(
+    val detailInputs =
+      (OperationDetails.DetailInputs(
         ty = ty,
         successful = successful,
         sourceAddr = sourceAddr,
@@ -1522,11 +1524,8 @@ object StellarTransforms {
         preimageAddress = when(col("op.preimage_from_address_key").isNotNull,
           strkeyAccount(col("op.preimage_from_address_key"))),
         preimageAssetCanon = when(col("op.preimage_from_asset").isNotNull,
-          assetCanon(col("op.preimage_from_asset"))),
-        nClaimAtoms = when(size(col("op.claim_atoms")) > 0,
-          size(col("op.claim_atoms"))),
-        totalSoldStroops = aggregate(col("op.claim_atoms"), lit(0L),
-          (acc, a) => acc + a("amount_sold_stroops"))))
+          assetCanon(col("op.preimage_from_asset")))))
+    val detailsStruct = OperationDetails.struct(detailInputs)
 
     ledgers
       .select(col("sequence"), col("closed_at"),
@@ -1548,8 +1547,7 @@ object StellarTransforms {
         // map (`operation.go:97` assigns outputDetails to both), emitted as
         // a VARIANT so it renders as a raw JSON object, not a quoted string.
         detailsStruct.as("details"),
-        parse_json(to_json(detailsStruct, Map("ignoreNullFields" -> "true")))
-          .as("details_json"),
+        OperationDetails.json(detailInputs).as("details_json"),
         transactionToid(col("sequence"), col("tx_pos") + 1).as("transaction_id"),
         operationToid(col("sequence"), col("tx_pos") + 1, col("op_pos")).as("id"),
         col("closed_at"),

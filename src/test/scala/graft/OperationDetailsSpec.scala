@@ -95,9 +95,7 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s""""buying_asset_id":${aid("BY1", "ISS2", "credit_alphanum4")},""" +
       s""""selling_asset_type":"credit_alphanum4","selling_asset_code":"SL1",""" +
       s""""selling_asset_issuer":"ISS1",""" +
-      s""""selling_asset_id":${aid("SL1", "ISS1", "credit_alphanum4")},""" +
-      s""""n_claim_atoms":2,""" +
-      s""""total_sold_stroops":6000000}""")
+      s""""selling_asset_id":${aid("SL1", "ISS1", "credit_alphanum4")}}""")
   }
 
   test("create_passive_sell_offer (4) has no offer_id") {
@@ -108,8 +106,7 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s""""buying_asset_id":${aid("BY1", "ISS2", "credit_alphanum4")},""" +
       s""""selling_asset_type":"credit_alphanum4",""" +
       s""""selling_asset_code":"SL1","selling_asset_issuer":"ISS1",""" +
-      s""""selling_asset_id":${aid("SL1", "ISS1", "credit_alphanum4")},""" +
-      s""""n_claim_atoms":2,"total_sold_stroops":6000000}""")
+      s""""selling_asset_id":${aid("SL1", "ISS1", "credit_alphanum4")}}""")
   }
 
   test("set_options (5): clear flags, thresholds, home domain") {
@@ -387,8 +384,10 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     locally {
       val (seq, t, _, d) = detailsRow(3)
       assert(d.getAs[Long]("offer_id") == seq * 10 + t)
+      // FloatString(7): the rational rounded half-up to 7 decimals
       assert(d.getAs[Double]("price") ==
-        (seq % 9 + 1).toDouble / (t % 7 + 1))
+        BigDecimal(seq % 9 + 1)./(BigDecimal(t % 7 + 1))
+          .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble)
       assert(d.getAs[org.apache.spark.sql.Row]("price_r").getInt(0) ==
         (seq % 9 + 1).toInt)
       assert(d.getAs[String]("selling_asset_code") ==

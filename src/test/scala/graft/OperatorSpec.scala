@@ -932,7 +932,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
           t.getField("_5").as("fee_charged"), t.getField("_6").as("successful"),
           t.getField("_7").as("op_type"))).as("transactions"))
     val out = HistoryOps.historyLedgers(ledgers).head()
-    assert(out.getAs[Long]("transaction_count") == 2L)
+    assert(out.getAs[Long]("transaction_count") == 1L) // excludes the failed tx
     assert(out.getAs[Long]("successful_transaction_count") == 1L)
     assert(out.getAs[Long]("failed_transaction_count") == 1L)
     assert(out.getAs[String]("tx_set_operation_count") == "2")

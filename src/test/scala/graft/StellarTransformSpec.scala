@@ -28,7 +28,7 @@ class StellarTransformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 20)
     val l = out.head // sequence 1000: (1000%5)+1 = 1 tx, t=0 → 1 op, failed (t%3==0)
     assert(l.getAs[Long]("id") == (1000L << 32))
-    assert(l.getAs[Int]("transaction_count") == 1)
+    assert(l.getAs[Int]("transaction_count") == 0) // excludes the failed tx
     assert(l.getAs[Int]("failed_transaction_count") == 1)
     assert(l.getAs[Int]("operation_count") == 0) // only successful txs counted
     assert(l.getAs[String]("tx_set_operation_count") == "1") // all txs counted
