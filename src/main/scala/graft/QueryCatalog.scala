@@ -4313,7 +4313,9 @@ object QueryCatalog {
              |        (l + t + o) % 27 AS ty,
              |        CASE (l + t + o) % 27
              |        WHEN 0 THEN 3 WHEN 1 THEN 2
-             |        WHEN 2 THEN 3 + (CASE WHEN o % 2 = 1 THEN 6 ELSE 0 END)
+             |        -- strict-receive emits offer_created too (8 per offer
+             |        -- atom): isPathPayment only gates strict-send
+             |        WHEN 2 THEN 3 + (CASE WHEN o % 2 = 1 THEN 8 ELSE 0 END)
              |        WHEN 13 THEN 2 + 6 * (o % 2 + 1)
              |        WHEN 3 THEN 8 * (o % 2 + 1) WHEN 4 THEN 8 * (o % 2 + 1)
              |        WHEN 12 THEN 8 * (o % 2 + 1)

@@ -498,7 +498,13 @@ object StellarTradesEffects {
             Seq(eff(t, sourceAddr, bd), eff(t, sellerAddr, sd))): _*))
       }))
     val tradeEffects = atomTradeEffects(isPathPayment = false)
+    // only strict-SEND skips offer_created: strict-receive calls
+    // addIngestTradeEffects with isPathPayment=false (`effects.go:471` vs
+    // `:488`) — the real 10_ledgers effects golden shows created pairs on a
+    // successful strict-receive
     val pathPaymentTrades =
+      concat(pathPayment, atomTradeEffects(isPathPayment = false))
+    val pathPaymentSendTrades =
       concat(pathPayment, atomTradeEffects(isPathPayment = true))
 
     // liquidity pools ------------------------------------------------------
@@ -730,7 +736,8 @@ object StellarTradesEffects {
     val effectsArr =
       when(ty === 0, createAccount)
         .when(ty === 1, payment)
-        .when(ty.isin(2, 13), pathPaymentTrades)
+        .when(ty === 2, pathPaymentTrades)
+        .when(ty === 13, pathPaymentSendTrades)
         .when(ty.isin(3, 4, 12), tradeEffects)
         .when(ty === 5, setOptions)
         .when(ty === 6, changeTrust)

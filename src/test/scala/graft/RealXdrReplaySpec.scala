@@ -236,6 +236,47 @@ class RealXdrReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       "id", opKeys, "ops/10"))
   }
 
+  // ---- effects -------------------------------------------------------------
+
+  private def effectsDiffs(golden: Seq[JsonNode],
+      ledgerRows: Seq[LedgerRow]): Seq[String] = {
+    val out = graft.operators.StellarTradesEffects.historyEffects(
+      toDs(ledgerRows))
+    val oursById = out.toJSON.collect().map(om.readTree)
+      .map(n => n.get("id").asText() -> n).toMap
+    val keys = Seq("address", "address_muxed", "closed_at", "ledger_sequence",
+      "operation_id", "type", "type_string", "details", "index")
+    val ds = golden.flatMap { g =>
+      val k = g.get("id").asText()
+      oursById.get(k) match {
+        case None => Seq(s"effects id=$k type=${g.get("type_string")}: missing")
+        case Some(o) => keys.filterNot(c => equalish(g.get(c), o.get(c)))
+          .map(c => s"effects id=$k col=$c golden=${g.get(c)} ours=${o.get(c)}")
+      }
+    }
+    // per-op count parity for ops the golden covers
+    val goldenPerOp = golden.groupBy(_.get("operation_id").asLong())
+      .view.mapValues(_.size).toMap
+    val oursPerOp = oursById.values.groupBy(_.get("operation_id").asLong())
+      .view.mapValues(_.size).toMap
+    val countDiffs = goldenPerOp.collect {
+      case (op, n) if oursPerOp.getOrElse(op, 0) != n =>
+        s"effects op=$op: golden $n effects, ours ${oursPerOp.getOrElse(op, 0)}"
+    }.toSeq
+    ds ++ countDiffs
+  }
+
+  test("effects: replay against the 10_ledgers golden (148 real effects)") {
+    assertNoDiffs(effectsDiffs(rows("effects", "10_ledgers_effects.golden"),
+      ledgerRows(rows("ledgers", "10_ledgers.golden"),
+        rows("transactions", "10_ledgers_txs.golden"))))
+  }
+
+  test("effects: bare-ledger replay (one_ledger)") {
+    assertNoDiffs(effectsDiffs(rows("effects", "one_ledger_effects.golden"),
+      bareLedgerRows(rows("transactions", "one_ledger_txs.golden"))))
+  }
+
   test("operations: bare-ledger replay (one_ledger, large_range)") {
     for ((opsF, txF) <- Seq(
         "one_ledger_ops.golden" -> "one_ledger_txs.golden",

@@ -152,8 +152,14 @@ class TradesEffectsSpec extends AnyFunSuite with BeforeAndAfterAll {
       opTy match {
         case 0 => assert(types == Seq(0, 3, 10), s"create_account: $types")
         case 1 => assert(types == Seq(2, 3), s"payment: $types")
-        case 2 | 13 => // path payment: credited+debited + per-atom trade
-          // effect families (offer_created skipped, effects.go:995-997)
+        case 2 => // strict receive: credited+debited + per-atom trade
+          // families INCLUDING offer_created — isPathPayment only gates
+          // strict-send (effects.go:471 vs :488; real-golden verified)
+          assert(types.take(2) == Seq(2, 3), s"path: $types")
+          assert(types.drop(2).forall(t => Seq(30, 31, 32, 33, 92).contains(t)),
+            s"path: $types")
+          assert(types.size >= 3, s"path: $types")
+        case 13 => // strict send: offer_created skipped (effects.go:995-997)
           assert(types.take(2) == Seq(2, 3), s"path: $types")
           assert(types.drop(2).forall(t => Seq(31, 32, 33, 92).contains(t)),
             s"path: $types")
