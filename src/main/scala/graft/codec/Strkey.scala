@@ -93,6 +93,15 @@ object Strkey {
   }
 
   def encodeAccountId(key: Array[Byte]): String = encode(Version.AccountId, key)
+
+  /** [[decode]] of a G-address that returns null instead of throwing —
+    * lets columnar callers fall back when a value is not a real strkey
+    * (fixture pseudo-issuers, malformed input). */
+  def tryDecodeAccount(s: String): Array[Byte] =
+    try {
+      val key = decode(Version.AccountId, s)
+      if (key.length == 32) key else null
+    } catch { case _: Exception => null }
   def encodeContract(id: Array[Byte]): String = encode(Version.Contract, id)
   def encodeLiquidityPool(id: Array[Byte]): String = encode(Version.LiquidityPool, id)
   /** B-address: the payload is the marshalled v0 ClaimableBalanceId — type

@@ -139,6 +139,9 @@ object GraftFunctions {
     nativeCol(graft.plans.NgramShinglesExpression(exprOf(c), n))
   def strkeyContract(c: Column): Column =
     nativeCol(graft.plans.StrkeyEncodeExpression(exprOf(c), Strkey.Version.Contract))
+  /** G-address → raw 32-byte key; null when the string is not a strkey. */
+  def strkeyAccountKey(c: Column): Column =
+    nativeCol(graft.plans.StrkeyAccountKeyExpression(exprOf(c)))
   def strkeyPool(c: Column): Column =
     nativeCol(graft.plans.StrkeyEncodeExpression(exprOf(c), Strkey.Version.LiquidityPool))
   /** B-address payload is the 33-byte v0 balance id: type byte 0x00 ‖ the

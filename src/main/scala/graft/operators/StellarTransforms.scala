@@ -1597,7 +1597,11 @@ object StellarTransforms {
         explode(col("transactions")).as("tx"))
       .select(col("sequence").cast("long").as("ledger_sequence"),
         col("tx.envelope_b64").as("tx_envelope"),
-        col("tx.result_b64").as("tx_result"),
+        // the RESULT PAIR, not the bare result: `transaction.Result` here is
+        // TransactionResultPair = tx hash (32) ‖ TransactionResult — the
+        // real ledger_transactions golden decodes exactly so
+        GraftFunctions.base64NoWrap(concat(unhex(col("tx.hash_hex")),
+          unbase64(col("tx.result_b64")))).as("tx_result"),
         col("tx.meta_b64").as("tx_meta"),
         col("tx.fee_meta_b64").as("tx_fee_meta"),
         col("header_b64").as("tx_ledger_history"),

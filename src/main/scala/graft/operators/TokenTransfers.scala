@@ -105,12 +105,21 @@ object TokenTransfers {
 
     val createAccount = array(ev(lit("transfer"), fromAddr, toAddr,
       lit("native"), col("op.starting_balance_stroops")))
+    // destination muxing: an envelope-muxed destination keeps its id; a
+    // plain destination picks up the TX MEMO as muxed info — MEMO_ID
+    // attaches the id, any other present memo attaches id 0 (the
+    // token-transfer processor's memo law, verified against the real
+    // 10_ledgers/one_ledger transfer goldens: MemoId 1755922 → id 1755922,
+    // MemoText rows → id 0, MemoNone rows → unmuxed)
+    val memoMuxId = when(col("tx.memo_type") === "id", col("tx.memo_id"))
+      .when(col("tx.memo_type").isin("text", "hash", "return"), lit(0L))
+    val payMuxId = coalesce(col("op.destination_muxed_id"), memoMuxId)
     val payment = array(ev(
       payTopic(opAsset, fromKey, col("op.destination_key")),
       fromAddr, toAddr, canonOf(opAsset), col("op.amount_stroops"),
-      col("op.destination_muxed_id").cast("string"),
-      when(col("op.destination_muxed_id").isNotNull,
-        strkeyMuxed(col("op.destination_key"), col("op.destination_muxed_id")))))
+      payMuxId.cast("string"),
+      when(payMuxId.isNotNull,
+        strkeyMuxed(col("op.destination_key"), payMuxId))))
     val accountMerge = array(ev(lit("transfer"), fromAddr, toAddr,
       lit("native"), col("op.amount_stroops")))
     val clawback = array(ev(lit("clawback"), toAddr,
@@ -241,7 +250,11 @@ object TokenTransfers {
       coalesce(assetType, lit("native")),
       coalesce(code, lit("")),
       when(coalesce(assetType, lit("native")) =!= "native",
-        unhex(sha2(concat(lit("issuer-"), coalesce(issuer, lit(""))), 256)))
+        // real issuers decode to their ed25519 key (golden-verified SAC
+        // ids); fixture pseudo-issuers are not strkeys and keep the
+        // deterministic stand-in key their oracles replay
+        coalesce(strkeyAccountKey(issuer),
+          unhex(sha2(concat(lit("issuer-"), coalesce(issuer, lit(""))), 256))))
         .otherwise(lit(Array.emptyByteArray))))
 
   /** [[fromLedgers]] evaluated ONCE per fixture frame: the event projection

@@ -84,6 +84,25 @@ case class StrkeyAccountExpression(child: Expression) extends CodecUnaryExpressi
   override def prettyName: String = "strkey_account"
 }
 
+/** Inverse of [[StrkeyAccountExpression]]: G-address → 32-byte ed25519 key,
+  * null (not an error) when the string is not a valid account strkey — the
+  * SAC contract-id derivation needs the raw issuer key and must coexist
+  * with fixture pseudo-issuers that are not strkeys at all. */
+case class StrkeyAccountKeyExpression(child: Expression) extends CodecUnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.Strkey.tryDecodeAccount(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.codec.Strkey$$.MODULE$$.tryDecodeAccount($c.toString());
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(newChild: Expression): StrkeyAccountKeyExpression =
+    copy(child = newChild)
+  override def prettyName: String = "strkey_account_key"
+}
+
 /** Strkey encoding under an arbitrary version byte — the C…/L…/B… address
   * families the reference renders next to G (`transform/operation.go:401-405`,
   * `utils/main.go:33-53`). Same codegen rationale as

@@ -287,4 +287,71 @@ class RealXdrReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
         "id", opKeys, s"ops/$opsF"))
     }
   }
+
+  // ---- token transfers -----------------------------------------------------
+
+  /** No single-row key on the transfer grain: compare as multisets of
+    * canonicalized rows over the golden's key set. */
+  private def transferDiffs(golden: Seq[JsonNode],
+      ledgerRows: Seq[LedgerRow]): Seq[String] = {
+    val keys = Seq("amount", "amount_raw", "asset", "asset_code",
+      "asset_issuer", "asset_type", "closed_at", "contract_id", "event_topic",
+      "from", "ledger_sequence", "operation_id", "to", "to_muxed",
+      "to_muxed_id", "transaction_hash", "transaction_id")
+    def canon(n: JsonNode): String = keys.map { k =>
+      val v = n.get(k)
+      if (v == null || v.isNull) s"$k=∅"
+      else if (k == "amount") f"$k=${v.doubleValue}%.9f" // int 0 ≡ 0.0
+      else if (v.isNumber && v.isFloatingPointNumber)
+        f"$k=${v.doubleValue}%.9f"
+      else if (k == "closed_at" && v.isTextual)
+        s"$k=${java.time.Instant.parse(v.asText())}"
+      else s"$k=${v.asText()}"
+    }.mkString("|")
+    val ours = graft.operators.TokenTransfers.fromLedgers(toDs(ledgerRows))
+      .toJSON.collect().map(om.readTree).map(canon)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val g = golden.map(canon).groupBy(identity).view.mapValues(_.length).toMap
+    (g.keySet ++ ours.keySet).toSeq.sorted.flatMap { k =>
+      val (a, b) = (g.getOrElse(k, 0), ours.getOrElse(k, 0))
+      if (a == b) Nil else Seq(s"transfers golden=$a ours=$b row: $k")
+    }
+  }
+
+  test("token transfers: multiset replay (10_ledgers, 668 events)") {
+    assertNoDiffs(transferDiffs(
+      rows("token_transfers", "10_ledgers_token_transfers.golden"),
+      ledgerRows(rows("ledgers", "10_ledgers.golden"),
+        rows("transactions", "10_ledgers_txs.golden"))))
+  }
+
+  test("token transfers: bare-ledger replay (one_ledger)") {
+    assertNoDiffs(transferDiffs(
+      rows("token_transfers", "one_ledger_token_transfers.golden"),
+      bareLedgerRows(rows("transactions", "one_ledger_txs.golden"))))
+  }
+
+  // ---- ledger_transactions -------------------------------------------------
+
+  test("ledger_transactions: passthrough replay (one_ledger)") {
+    val golden = rows("ledger_transactions", "ledger_transactions.golden")
+    val lrs = bareLedgerRows(rows("transactions", "one_ledger_txs.golden"))
+    val out = StellarTransforms.ledgerTransactions(toDs(lrs).toDF())
+      .toJSON.collect().map(om.readTree)
+    // no row key beyond the envelope itself; join on tx_envelope (unique
+    // in-range), compare the golden keys we carry (tx_ledger_history is the
+    // archive's TransactionHistoryEntry frame — not derivable from the
+    // golden inputs, asserted absent-or-extra only)
+    val byEnv = out.map(n => n.get("tx_envelope").asText() -> n).toMap
+    val keys = Seq("ledger_sequence", "closed_at", "tx_envelope", "tx_result",
+      "tx_meta", "tx_fee_meta")
+    assertNoDiffs(golden.flatMap { gn =>
+      byEnv.get(gn.get("tx_envelope").asText()) match {
+        case None => Seq(s"ledger_transactions: envelope missing: " +
+          gn.get("tx_envelope").asText().take(40))
+        case Some(o) => keys.filterNot(c => equalish(gn.get(c), o.get(c)))
+          .map(c => s"ledger_transactions col=$c golden=${gn.get(c)} ours=${o.get(c)}")
+      }
+    })
+  }
 }
