@@ -331,6 +331,33 @@ class RealXdrReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       bareLedgerRows(rows("transactions", "one_ledger_txs.golden"))))
   }
 
+  // ---- distributed decode --------------------------------------------------
+
+  /** The 100 TB shape: frames load as a plain DataFrame (spark.read.json on
+    * the golden NDJSON), decode IN THE EXECUTORS via RealXdrSource, and the
+    * unchanged transforms reproduce the golden — no driver-side decode
+    * anywhere in the pipeline. */
+  test("distributed decode: frame DataFrame through executors to transforms") {
+    val s = spark
+    val txDf = s.read.json(
+      "/root/reference/testdata/transactions/10_ledgers_txs.golden")
+    val ledDf = s.read.json(
+      "/root/reference/testdata/ledgers/10_ledgers.golden")
+    val frames = ledDf.select(col("sequence"), col("ledger_header"))
+      .join(txDf.select(col("ledger_sequence"), col("id"),
+          struct(col("tx_envelope"), col("tx_result"), col("tx_meta"),
+            col("tx_fee_meta")).as("tx")),
+        col("sequence") === col("ledger_sequence"), "left")
+      .groupBy("sequence", "ledger_header")
+      .agg(transform(array_sort(collect_list(struct(col("id"), col("tx")))),
+        x => x("tx")).as("transactions"))
+      .select("ledger_header", "transactions")
+    val out = StellarTransforms.historyTransactions(
+      graft.operators.RealXdrSource.ledgerRows(frames))
+    val golden = rows("transactions", "10_ledgers_txs.golden")
+    assertNoDiffs(diff(golden, out, "id", txKeys, "dist"))
+  }
+
   // ---- ledger_transactions -------------------------------------------------
 
   test("ledger_transactions: passthrough replay (one_ledger)") {
