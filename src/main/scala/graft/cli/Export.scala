@@ -50,6 +50,7 @@ object Export {
       start: Long = 0, end: Long = -1,
       output: String = "", input: Option[String] = None,
       wireInput: Option[String] = None,
+      xdrInput: Option[String] = None,
       format: String = "ndjson",
       limit: Long = -1,
       extraFields: Map[String, String] = Map.empty,
@@ -69,6 +70,7 @@ object Export {
       case ("--output" | "-o") :: v :: t => loop(a.copy(output = v), t)
       case "--input" :: v :: t => loop(a.copy(input = Some(v)), t)
       case "--wire-input" :: v :: t => loop(a.copy(wireInput = Some(v)), t)
+      case "--xdr-input" :: v :: t => loop(a.copy(xdrInput = Some(v)), t)
       case "--format" :: v :: t => loop(a.copy(format = v), t)
       case ("--limit" | "-l") :: v :: t => loop(a.copy(limit = v.toLong), t)
       case "--export-type" :: v :: t => loop(a.copy(exportType = v), t)
@@ -177,10 +179,17 @@ object Export {
 
   private def ledgerSource(spark: SparkSession, a: Args) = {
     import spark.implicits._
-    a.input match {
-      case Some(path) =>
+    (a.xdrInput, a.input) match {
+      // --xdr-input <file/dir of frame NDJSON>: REAL network XDR — one row
+      // per ledger with base64 `ledger_header` + `transactions` array of
+      // (tx_envelope, tx_result[, tx_meta, tx_fee_meta]); decodes in the
+      // executors (RealXdrSource) and feeds the same model-path transforms,
+      // so every export command replays genuine archive bytes
+      case (Some(path), _) =>
+        graft.operators.RealXdrSource.ledgerRows(spark.read.json(path))
+      case (None, Some(path)) =>
         spark.read.parquet(path).as[graft.model.LedgerModel.LedgerRow]
-      case None => StellarFixture.ledgers(spark, a.start, a.end)
+      case (None, None) => StellarFixture.ledgers(spark, a.start, a.end)
     }
   }
 

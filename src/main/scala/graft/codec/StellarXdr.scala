@@ -203,6 +203,14 @@ object StellarXdr {
       baseReserve: Long,
       maxTxSetSize: Long)
 
+  /** Every top-level decode must consume the buffer EXACTLY — trailing
+    * bytes mean a layout mismatch that field-level reads cannot see. */
+  private def fullyConsumed[T](r: Reader, what: String)(v: T): T = {
+    if (r.remaining != 0)
+      throw new XdrError(s"$what: ${r.remaining} trailing bytes undecoded")
+    v
+  }
+
   def decodeLedgerHeader(bytes: Array[Byte]): LedgerHeaderX = {
     val r = new Reader(bytes)
     val version = r.u32()
@@ -724,7 +732,8 @@ object StellarXdr {
     * minus the fee-bump arms). */
   def decodeTransactionResult(bytes: Array[Byte]): TxResultX = {
     val r = new Reader(bytes)
-    decodeTxResultFrom(r, allowFeeBump = true)
+    fullyConsumed(r, "TransactionResult")(
+      decodeTxResultFrom(r, allowFeeBump = true))
   }
 
   private def decodeTxResultFrom(r: Reader, allowFeeBump: Boolean): TxResultX = {
@@ -824,6 +833,11 @@ object StellarXdr {
   def decodeTxEnvelope(bytes: Array[Byte],
       networkId: Array[Byte] = PublicNetworkId): TxEnvelopeX = {
     val r = new Reader(bytes)
+    fullyConsumed(r, "TransactionEnvelope")(decodeTxEnvelopeFrom(r, bytes, networkId))
+  }
+
+  private def decodeTxEnvelopeFrom(r: Reader, bytes: Array[Byte],
+      networkId: Array[Byte]): TxEnvelopeX = {
     r.i32() match {
       case 0 => // ENVELOPE_TYPE_TX_V0
         val txStart = r.offset

@@ -358,6 +358,71 @@ class RealXdrReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assertNoDiffs(diff(golden, out, "id", txKeys, "dist"))
   }
 
+  // ---- decoder robustness --------------------------------------------------
+
+  /** Malformed input surfaces as XdrError, never a silent partial decode,
+    * an index crash, or an ignored tail: every strict prefix of a real
+    * envelope fails, and so does any trailing garbage. */
+  test("decoder robustness: truncations and trailing bytes fail loudly") {
+    val env = java.util.Base64.getDecoder.decode(
+      rows("transactions", "10_ledgers_txs.golden").head
+        .get("tx_envelope").asText())
+    StellarXdr.decodeTxEnvelope(env) // sanity: the full buffer decodes
+    for (n <- 0 until env.length) {
+      val cut = java.util.Arrays.copyOf(env, n)
+      val e = intercept[Exception](StellarXdr.decodeTxEnvelope(cut))
+      assert(e.isInstanceOf[StellarXdr.XdrError], s"prefix $n threw $e")
+    }
+    val padded = env ++ Array.fill[Byte](4)(0)
+    val e = intercept[Exception](StellarXdr.decodeTxEnvelope(padded))
+    assert(e.isInstanceOf[StellarXdr.XdrError] &&
+      e.getMessage.contains("trailing"), s"trailing bytes: $e")
+  }
+
+  // ---- CLI end-to-end on real XDR ------------------------------------------
+
+  /** The reference's own CLI golden harness, replayed against OUR CLI:
+    * `export_transactions --xdr-input <frames>` over the real ten-ledger
+    * range must emit NDJSON whose parsed rows match the reference's
+    * `10_ledgers_txs.golden` — the same check `cmd/export_*_test.go` runs
+    * against the Go binary. */
+  test("CLI: export_transactions --xdr-input reproduces the reference golden") {
+    val tmp = java.nio.file.Files.createTempDirectory("xdr-frames")
+    val framesPath = tmp.resolve("frames.json").toString
+    // frames NDJSON straight from the goldens
+    val bySeq = txsByLedger(rows("transactions", "10_ledgers_txs.golden"))
+    val frames = rows("ledgers", "10_ledgers.golden").map { n =>
+      val seq = n.get("sequence").asLong()
+      val txs = bySeq.getOrElse(seq, Nil).map { t =>
+        s"""{"tx_envelope":${t.get("tx_envelope")},"tx_result":${t.get("tx_result")},""" +
+          s""""tx_meta":${t.get("tx_meta")},"tx_fee_meta":${t.get("tx_fee_meta")}}"""
+      }.mkString("[", ",", "]")
+      s"""{"sequence":${seq},"ledger_header":${n.get("ledger_header")},"transactions":$txs}"""
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(framesPath),
+      frames.mkString("\n"))
+    val outDir = tmp.resolve("out").toString
+    graft.cli.Export.run(spark, graft.cli.Export.parse(Array(
+      "export_transactions", "--start", "30822015", "--end", "30822025",
+      "--xdr-input", framesPath, "--output", outDir, "--format", "ndjson")))
+    val outRows = new File(outDir).listFiles()
+      .filter(_.getName.endsWith(".json")).toSeq.flatMap(f =>
+        scala.io.Source.fromFile(f).getLines().filter(_.trim.nonEmpty))
+      .map(om.readTree)
+    val golden = rows("transactions", "10_ledgers_txs.golden")
+    assert(outRows.size == golden.size,
+      s"CLI emitted ${outRows.size} rows, golden has ${golden.size}")
+    val byId = outRows.map(n => n.get("id").asLong() -> n).toMap
+    assertNoDiffs(golden.flatMap { g =>
+      val k = g.get("id").asLong()
+      byId.get(k) match {
+        case None => Seq(s"cli id=$k: missing")
+        case Some(o) => txKeys.filterNot(c => equalish(g.get(c), o.get(c)))
+          .map(c => s"cli id=$k col=$c golden=${g.get(c)} ours=${o.get(c)}")
+      }
+    })
+  }
+
   // ---- ledger_transactions -------------------------------------------------
 
   test("ledger_transactions: passthrough replay (one_ledger)") {
