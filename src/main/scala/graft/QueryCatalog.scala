@@ -2398,11 +2398,12 @@ object QueryCatalog {
              |            ELSE [] END)
              |       END AS parameters,
              |  CASE WHEN op_type = 24 AND (seq + t) % 4 = 0
-             |       THEN '[{"symbol":"' || fn_name || '"},{"u64":"'
-             |         || (seq * 3 + t) || '"}'
+             |       THEN '[{"symbol":"' || fn_name || '"},{"u64":'
+             |         || (seq * 3 + t) || '}'
              |         || CASE WHEN t % 2 = 1
-             |            THEN ',{"i128":"' || (50000 * (t + 1) + seq % 83)
-             |              || '"}' ELSE '' END || ']'
+             |            THEN ',{"i128":{"hi":0,"lo":'
+             |              || (50000 * (t + 1) + seq % 83)
+             |              || '}}' ELSE '' END || ']'
              |       END AS parameters_decoded,
              |  CASE WHEN op_type = 24 THEN '[' || abc || ']'
              |       END AS asset_balance_changes,
@@ -2468,11 +2469,12 @@ object QueryCatalog {
              |            ELSE [] END)
              |       END AS parameters,
              |  CASE WHEN (seq + t) % 4 = 0
-             |       THEN '[{"symbol":"' || fn_name || '"},{"u64":"'
-             |         || (seq * 3 + t) || '"}'
+             |       THEN '[{"symbol":"' || fn_name || '"},{"u64":'
+             |         || (seq * 3 + t) || '}'
              |         || CASE WHEN t % 2 = 1
-             |            THEN ',{"i128":"' || (50000 * (t + 1) + seq % 83)
-             |              || '"}' ELSE '' END || ']'
+             |            THEN ',{"i128":{"hi":0,"lo":'
+             |              || (50000 * (t + 1) + seq % 83)
+             |              || '}}' ELSE '' END || ']'
              |       END AS parameters_decoded,
              |  '[' || abc || ']' AS asset_balance_changes
              |FROM o LEFT JOIN abc USING (seq, t, u) ORDER BY id""".stripMargin),
@@ -3074,16 +3076,17 @@ object QueryCatalog {
              |    '00000005' || format('{:016x}', nonce)))
              |    AS topics_joined,
              |  '{"symbol":"' || name || '"}' || '|'
-             |    || '{"u64":"' || nonce || '"}' AS topics_decoded,
+             |    || '{"u64":' || nonce || '}' AS topics_decoded,
              |  to_base64(from_hex(
              |    '000000110000000100000002' ||
              |    '0000000f00000006616d6f756e740000' ||
              |    '0000000a0000000000000000' || format('{:016x}', amt) ||
              |    '0000000f00000002746f0000' ||
              |    '00000005' || format('{:016x}', to_id))) AS data,
-             |  '{"map":[{"key":{"symbol":"amount"},"val":{"i128":"' || amt ||
-             |    '"}},{"key":{"symbol":"to"},"val":{"u64":"' || to_id ||
-             |    '"}}]}' AS data_decoded,
+             |  '{"map":[{"key":{"symbol":"amount"},"val":{"i128":{"hi":0,"lo":'
+             |    || amt ||
+             |    '}}},{"key":{"symbol":"to"},"val":{"u64":' || to_id ||
+             |    '}}]}' AS data_decoded,
              |  t % 3 <> 0 AS in_successful_contract_call
              |FROM x ORDER BY operation_id, event_index""".stripMargin),
       (s, dir) =>
@@ -3836,10 +3839,9 @@ object QueryCatalog {
              |       to_base64(from_hex(keyhex)) AS key,
              |       '{"symbol":"' || p_type || '"}' AS key_decoded,
              |       to_base64(from_hex(valhex)) AS val,
-             |       '{"map":[{"key":{"symbol":"balance"},"val":{"i128":"' ||
-             |         CAST((CAST(p_partkey AS HUGEINT) << 64) +
-             |              CAST(p_size AS HUGEINT) AS VARCHAR) ||
-             |         '"}},{"key":{"symbol":"key"},"val":{"string":"' ||
+             |       '{"map":[{"key":{"symbol":"balance"},"val":{"i128":{"hi":' ||
+             |         p_partkey || ',"lo":' || p_size ||
+             |         '}}},{"key":{"symbol":"key"},"val":{"string":"' ||
              |         p_type || '"}}]}' AS val_decoded,
              |       to_base64(from_hex(lkhex || valhex)) AS contract_data_xdr,
              |       to_base64(from_hex(lkhex)) AS ledger_key_hash_base_64
@@ -4029,12 +4031,12 @@ object QueryCatalog {
              |         '0000000f0000000475736572' ||
              |         '00000005' || format('{:016x}', user_id)
              |       )) AS data,
-             |       '{"map":[{"key":{"symbol":"amount"},"val":{"i128":"' ||
+             |       '{"map":[{"key":{"symbol":"amount"},"val":{"i128":{"hi":0,"lo":' ||
              |         cents ||
-             |         '"}},{"key":{"symbol":"event"},"val":{"symbol":"' ||
+             |         '}}},{"key":{"symbol":"event"},"val":{"symbol":"' ||
              |         event_type ||
-             |         '"}},{"key":{"symbol":"user"},"val":{"u64":"' ||
-             |         user_id || '"}}]}' AS data_decoded,
+             |         '"}},{"key":{"symbol":"user"},"val":{"u64":' ||
+             |         user_id || '}}]}' AS data_decoded,
              |       event_type = 'error' AS in_failed_contract_call
              |FROM e ORDER BY contract_event_id""".stripMargin),
       (s, dir) =>

@@ -11,11 +11,15 @@ import java.nio.ByteBuffer
   * big-endian discriminants/lengths, payloads zero-padded to 4 bytes) over
   * the public Stellar contract-value union (`Stellar-contract.x`).
   *
-  * JSON rendering is tagged single-key objects, the shape of the public
-  * stellar-xdr serde representation: `{"u64":"7"}`, `{"symbol":"transfer"}`,
-  * `{"map":[{"key":…,"val":…}]}`, `{"address":"G…"}`. 64/128-bit integers
-  * render as decimal strings (JSON number precision stops at 2^53); u32/i32
-  * render as numbers.
+  * JSON rendering is tagged single-key objects in the Go SDK's `xdrjson`
+  * shapes — the rendering the reference actually emits
+  * (`contract_events.go:144` delegates to `xdrjson.Decode`), verified
+  * against its real-mainnet `contract_events` goldens: `{"u64":7}` and all
+  * 64-bit ints as JSON NUMBERS (Go marshals the full 64-bit value),
+  * 128-bit ints as their XDR parts `{"i128":{"hi":0,"lo":875190}}`
+  * (hi signed, lo unsigned), 256-bit ints as the four-part struct,
+  * `{"symbol":"transfer"}`, `{"map":[{"key":…,"val":…}]}`,
+  * `{"address":"G…"}`, `{"bytes":"<hex>"}`.
   */
 object ScVal {
 
@@ -217,23 +221,30 @@ object ScVal {
 
   def toJson(v: V): String = v match {
     case B(b) => s"""{"bool":$b}"""
-    case Void => """{"void":null}"""
+    case Void => "\"void\"" // xdrjson: void is the bare tag string
     case Err(t, c) =>
       s"""{"error":{"type":$t,"code":${java.lang.Integer.toUnsignedLong(c)}}}"""
-    case U256(a, b, c, d) => s"""{"u256":"${u256String(a, b, c, d, signed = false)}"}"""
-    case I256(a, b, c, d) => s"""{"i256":"${u256String(a, b, c, d, signed = true)}"}"""
+    case U256(a, b, c, d) =>
+      s"""{"u256":{"hi_hi":${java.lang.Long.toUnsignedString(a)},""" +
+        s""""hi_lo":${java.lang.Long.toUnsignedString(b)},""" +
+        s""""lo_hi":${java.lang.Long.toUnsignedString(c)},""" +
+        s""""lo_lo":${java.lang.Long.toUnsignedString(d)}}}"""
+    case I256(a, b, c, d) =>
+      s"""{"i256":{"hi_hi":$a,"hi_lo":${java.lang.Long.toUnsignedString(b)},""" +
+        s""""lo_hi":${java.lang.Long.toUnsignedString(c)},""" +
+        s""""lo_lo":${java.lang.Long.toUnsignedString(d)}}}"""
     case LedgerKeyNonce(n) => s"""{"ledger_key_nonce":"$n"}"""
     case U32(x) => s"""{"u32":${java.lang.Integer.toUnsignedLong(x)}}"""
     case I32(x) => s"""{"i32":$x}"""
-    case U64(x) => s"""{"u64":"${java.lang.Long.toUnsignedString(x)}"}"""
-    case I64(x) => s"""{"i64":"$x"}"""
-    case Timepoint(x) => s"""{"timepoint":"${java.lang.Long.toUnsignedString(x)}"}"""
-    case Duration(x) => s"""{"duration":"${java.lang.Long.toUnsignedString(x)}"}"""
+    case U64(x) => s"""{"u64":${java.lang.Long.toUnsignedString(x)}}"""
+    case I64(x) => s"""{"i64":$x}"""
+    case Timepoint(x) => s"""{"timepoint":${java.lang.Long.toUnsignedString(x)}}"""
+    case Duration(x) => s"""{"duration":${java.lang.Long.toUnsignedString(x)}}"""
     case U128(hi, lo) =>
-      val u = ((BigInt(hi) & ((BigInt(1) << 64) - 1)) << 64) |
-        (BigInt(lo) & ((BigInt(1) << 64) - 1))
-      s"""{"u128":"$u"}"""
-    case I128(hi, lo) => s"""{"i128":"${Amounts.int128String(hi, lo)}"}"""
+      s"""{"u128":{"hi":${java.lang.Long.toUnsignedString(hi)},""" +
+        s""""lo":${java.lang.Long.toUnsignedString(lo)}}}"""
+    case I128(hi, lo) =>
+      s"""{"i128":{"hi":$hi,"lo":${java.lang.Long.toUnsignedString(lo)}}}"""
     case Bytes(b) => s"""{"bytes":"${Hashes.hex(b)}"}"""
     case Str(s) => s"""{"string":"${esc(s)}"}"""
     case Sym(s) => s"""{"symbol":"${esc(s)}"}"""
@@ -252,7 +263,7 @@ object ScVal {
         s"""{"key":${toJson(k)},"val":${toJson(x)}}"""
       }.mkString("[", ",", "]")
       s"""{"instance":{"executable":$exec,"storage":$st}}"""
-    case LedgerKeyContractInstance => """{"ledger_key_contract_instance":null}"""
+    case LedgerKeyContractInstance => "\"ledger_key_contract_instance\""
   }
 
   /** base64(XDR) + decoded JSON from raw ScVal bytes — the two columns the

@@ -204,6 +204,15 @@ object StellarTransforms {
         get_json_object(
           GraftFunctions.scvalJson(element_at(e("topics_xdr"), 1)),
           "$.symbol").isin("transfer", "mint", "burn", "clawback"))
+    // i128 amounts ride as xdrjson {hi,lo} parts; the reference's
+    // asset_balance_changes amount is the combined decimal string
+    // (amount.String128Raw) — hi signed · 2^64 + lo unsigned, exact in
+    // decimal(38,0) for every amount below 10^38
+    def i128Dec(j: Column, path: String): Column =
+      (get_json_object(j, s"$path.hi").cast("decimal(38,0)") *
+        lit(java.math.BigDecimal.valueOf(2).pow(64)) +
+        get_json_object(j, s"$path.lo").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").cast("string")
     val sacBalanceChanges =
       when(col("op.op_type") === 24 && size(sacEvs) > 0,
         concat(lit("["), array_join(transform(sacEvs, e => concat(
@@ -212,7 +221,7 @@ object StellarTransforms {
             GraftFunctions.scvalJson(element_at(e("topics_xdr"), 1)),
             "$.symbol"),
           lit("\",\"amount\":\""),
-          get_json_object(dataJson(e), "$.map[0].val.i128"),
+          i128Dec(dataJson(e), "$.map[0].val.i128"),
           lit("\",\"to\":\""),
           get_json_object(dataJson(e), "$.map[1].val.u64"),
           lit("\",\"contract\":\""),

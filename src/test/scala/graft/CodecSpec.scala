@@ -220,16 +220,20 @@ class CodecSpec extends AnyFunSuite {
     assert(toJson(back) == toJson(v))
   }
 
-  test("scval json: tagged shape, string-rendered 64/128-bit ints, escaping") {
+  test("scval json: xdrjson shapes — numeric 64-bit ints, {hi,lo} parts") {
     import ScVal._
-    assert(toJson(U64(-1L)) == """{"u64":"18446744073709551615"}""")
-    assert(toJson(I64(-1L)) == """{"i64":"-1"}""")
+    // the Go SDK xdrjson rendering the reference emits
+    // (contract_events.go:144) — verified against its real-mainnet
+    // contract_events goldens in ReferenceGoldenSpec
+    assert(toJson(U64(-1L)) == """{"u64":18446744073709551615}""")
+    assert(toJson(I64(-1L)) == """{"i64":-1}""")
     assert(toJson(U128(-1L, -1L)) ==
-      """{"u128":"340282366920938463463374607431768211455"}""")
-    assert(toJson(I128(-1L, -1L)) == """{"i128":"-1"}""")
+      """{"u128":{"hi":18446744073709551615,"lo":18446744073709551615}}""")
+    assert(toJson(I128(-1L, -1L)) ==
+      """{"i128":{"hi":-1,"lo":18446744073709551615}}""")
     assert(toJson(Str("a\"b\\c\nd")) == """{"string":"a\"b\\c\nd"}""".stripMargin)
     assert(toJson(M(Seq(Sym("k") -> Vec(Seq(U32(1), Void))))) ==
-      """{"map":[{"key":{"symbol":"k"},"val":{"vec":[{"u32":1},{"void":null}]}}]}""")
+      """{"map":[{"key":{"symbol":"k"},"val":{"vec":[{"u32":1},"void"]}}]}""")
     val acct = Array.fill[Byte](32)(0x33)
     assert(toJson(AddrAccount(acct)) ==
       s"""{"address":"${Strkey.encodeAccountId(acct)}"}""")
@@ -246,14 +250,17 @@ class CodecSpec extends AnyFunSuite {
       "000000150000000000000009")
     assert(toJson(decode(encode(LedgerKeyNonce(-1L)))) ==
       """{"ledger_key_nonce":"-1"}""")
-    // u256 max = 2^256 - 1; i256 of the same words is -1
+    // 256-bit ints as their four XDR parts (hi_hi signed, rest unsigned)
     assert(toJson(U256(-1L, -1L, -1L, -1L)) ==
-      """{"u256":"115792089237316195423570985008687907853269984665640564039457584007913129639935"}""")
-    assert(toJson(I256(-1L, -1L, -1L, -1L)) == """{"i256":"-1"}""")
+      """{"u256":{"hi_hi":18446744073709551615,"hi_lo":18446744073709551615,""" +
+        """"lo_hi":18446744073709551615,"lo_lo":18446744073709551615}}""")
+    assert(toJson(I256(-1L, -1L, -1L, -1L)) ==
+      """{"i256":{"hi_hi":-1,"hi_lo":18446744073709551615,""" +
+        """"lo_hi":18446744073709551615,"lo_lo":18446744073709551615}}""")
     assert(toJson(decode(encode(U256(0L, 1L, 0L, 0L)))) ==
-      s"""{"u256":"${BigInt(2).pow(128)}"}""")
+      """{"u256":{"hi_hi":0,"hi_lo":1,"lo_hi":0,"lo_lo":0}}""")
     assert(toJson(decode(encode(I256(Long.MinValue, 0L, 0L, 0L)))) ==
-      s"""{"i256":"${-BigInt(2).pow(255)}"}""")
+      s"""{"i256":{"hi_hi":${Long.MinValue},"hi_lo":0,"lo_hi":0,"lo_lo":0}}""")
   }
 
   // ---- SAC storage walk ----------------------------------------------------

@@ -292,7 +292,7 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s""""contract_code_hash":"$codeHash",""" +
       s""""parameters":["$p0","$p1","$p2"],""" +
       s""""parameters_decoded":["{\\"address\\":\\"$cid\\"}",""" +
-      s""""{\\"symbol\\":\\"transfer\\"}","{\\"u64\\":\\"100\\"}"],""" +
+      s""""{\\"symbol\\":\\"transfer\\"}","{\\"u64\\":100}"],""" +
       // SAC balance changes: the junk third event is dropped by the parser
       s""""asset_balance_changes":[{"from":"$acct","to":"$cid",""" +
       // non-zero 7th decimal digit: guards the decimal(38,7)-before-divide

@@ -469,6 +469,31 @@ class ReferenceGoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("contract_events: REAL ScVal XDR decodes to the reference's JSON") {
+    // the golden rows carry both the raw base64 ScVal XDR and the
+    // reference's recursive decode — our codec must reproduce the decoded
+    // trees on genuine soroban-era mainnet values (189 events)
+    var checked = 0
+    goldenRows("contract_events").foreach { r =>
+      val topics = r.get("topics"); val dec = r.get("topics_decoded")
+      if (topics != null && topics.isArray) (0 until topics.size).foreach { i =>
+        val bytes = java.util.Base64.getDecoder.decode(topics.get(i).asText)
+        val ours = om.readTree(graft.codec.ScVal.jsonFromBinary(bytes))
+        assert(ours == dec.get(i), s"topic $i: ours=$ours golden=${dec.get(i)}")
+        checked += 1
+      }
+      val data = r.get("data")
+      if (data != null && data.isTextual && data.asText.nonEmpty) {
+        val ours = om.readTree(graft.codec.ScVal.jsonFromBinary(
+          java.util.Base64.getDecoder.decode(data.asText)))
+        assert(ours == r.get("data_decoded"),
+          s"data: ours=$ours golden=${r.get("data_decoded")}")
+        checked += 1
+      }
+    }
+    assert(checked > 300, s"only $checked ScVal values checked")
+  }
+
   test("effects details vocabulary: golden payload keys are all emitted") {
     // per effect type present in the golden rows, every details key the
     // reference emitted on real mainnet must be a key OUR fixture-path
