@@ -1620,9 +1620,9 @@ object StellarTransforms {
     * key set (`schema.go:622-637`, `contract_events.go:20-104,128-169`):
     * one row per contract event in the tx meta, topics/data as
     * base64(ScVal XDR) beside their recursively-decoded VARIANTs, plus the
-    * whole-event XDR (`contract_event_xdr` — fixture layout: ext-v0 ‖
-    * contractID-present flag ‖ id ‖ type ‖ body-v0 ‖ topic vec ‖ data).
-    * Map-only fan-out; no shuffle. */
+    * whole-event XDR (`contract_event_xdr` — the REAL DiagnosticEvent
+    * layout the reference persists, byte-verified against its golden
+    * blobs in ReferenceGoldenSpec). Map-only fan-out; no shuffle. */
   def contractEvents(ledgers: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions._
     val evs = ledgers
@@ -1637,10 +1637,16 @@ object StellarTransforms {
       .select(col("sequence"), col("closed_at"), col("transaction_hash"),
         col("transaction_id"), col("successful"),
         explode(col("op.sac_events")).as("ev"))
+    // the REAL persisted layout — a DiagnosticEvent wrapper around the
+    // ContractEvent, byte-verified against all 189 blobs in the
+    // reference's contract_events golden: inSuccessfulContractCall bool ‖
+    // ext(0) ‖ optional contractID ‖ type (CONTRACT = 1) ‖ body v0 ‖
+    // topics<ScVal> ‖ data ScVal
     val eventXdr = concat(
-      unhex(lit("00000000")), // ext v0
+      int32be(col("successful").cast("int")), // DiagnosticEvent flag
+      unhex(lit("00000000")), // ContractEvent ext v0
       unhex(lit("00000001")), col("ev.contract_id"), // optional id, present
-      unhex(lit("00000000")), // type CONTRACT
+      unhex(lit("00000001")), // ContractEventType CONTRACT = 1
       unhex(lit("00000000")), // body v0
       int32be(size(col("ev.topics_xdr"))),
       concat_binary(col("ev.topics_xdr")),
@@ -1650,7 +1656,7 @@ object StellarTransforms {
       col("sequence").cast("long").as("ledger_sequence"), col("closed_at"),
       col("successful").as("in_successful_contract_call"),
       strkeyContract(col("ev.contract_id")).as("contract_id"),
-      lit(0).as("type"),
+      lit(1).as("type"), // ContractEventType: 0 system, 1 CONTRACT, 2 diag
       lit("ContractEventTypeContract").as("type_string"),
       transform(col("ev.topics_xdr"), t => base64NoWrap(t)).as("topics"),
       transform(col("ev.topics_xdr"), t => parse_json(scvalJson(t)))

@@ -494,6 +494,72 @@ class ReferenceGoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked > 300, s"only $checked ScVal values checked")
   }
 
+  test("contract_event_xdr: our builder reproduces the reference's blob") {
+    // feed a REAL golden event's raw parts (contract id, topic/data ScVal
+    // bytes) through the production builder; the emitted whole-event XDR
+    // must equal the reference's persisted DiagnosticEvent blob byte for
+    // byte — this pins the wrapper layout, the optional-id arm, the type
+    // enum, and the vector encoding
+    import graft.model.LedgerModel._
+    val b64 = java.util.Base64.getDecoder
+    def int32(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // 1) the layout law over ALL golden rows: reassembling the blob from
+    // the row's own parts must reproduce it byte for byte
+    val all = goldenRows("contract_events")
+    assume(all.nonEmpty)
+    all.foreach { r =>
+      val cid = r.get("contract_id").asText
+      val expected = b64.decode(r.get("contract_event_xdr").asText)
+      val rebuilt =
+        int32(if (r.get("in_successful_contract_call").asBoolean) 1 else 0) ++
+        int32(0) ++
+        (if (cid.nonEmpty) int32(1) ++ Strkey.decode(16.toByte, cid)
+         else int32(0)) ++
+        int32(r.get("type").asInt) ++ int32(0) ++
+        int32(r.get("topics").size) ++
+        (0 until r.get("topics").size).flatMap(i =>
+          b64.decode(r.get("topics").get(i).asText)).toArray ++
+        b64.decode(r.get("data").asText)
+      assert(java.util.Arrays.equals(rebuilt, expected),
+        s"layout mismatch for tx ${r.get("transaction_hash").asText.take(8)}")
+    }
+    // 2) the production builder on a real event's raw parts: every golden
+    // row is a DIAGNOSTIC event, while the fixture model only carries
+    // CONTRACT-type events, so the expectation is the golden blob with
+    // the type word (offset 44, after bool‖ext‖hasCid‖cid) set to 1
+    val withCid = all.filter(r => r.get("contract_id").asText.nonEmpty &&
+      r.get("in_successful_contract_call").asBoolean)
+    assume(withCid.nonEmpty)
+    withCid.take(5).foreach { r =>
+      val ev = SacEventRaw(
+        Strkey.decode(16.toByte, r.get("contract_id").asText),
+        (0 until r.get("topics").size).map(i =>
+          b64.decode(r.get("topics").get(i).asText)),
+        b64.decode(r.get("data").asText))
+      val tx = TxModel("ab" * 32, Array.fill[Byte](32)(1), None, 1L, 100L,
+        100L, successful = true, "TransactionResultCodeTxSuccess", "none",
+        None, None, None, None, None, None, None, "", "", "", "", Nil,
+        Seq(OpModel(24, None, None, 0L, "", "", "", sac_events = Seq(ev))))
+      val row = LedgerRow(1000L, Array.fill[Byte](32)(2),
+        Array.fill[Byte](32)(3), "",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        0L, 0L, 0L, 0L, 0L, 21L, 0L, Array.fill[Byte](32)(4),
+        Array.emptyByteArray, 0L, Seq(tx))
+      val s = spark; import s.implicits._
+      val out = graft.operators.StellarTransforms
+        .contractEvents(Seq(row).toDS().toDF())
+        .select("contract_event_xdr", "type").head()
+      val expected = b64.decode(r.get("contract_event_xdr").asText)
+      System.arraycopy(int32(1), 0, expected, 44, 4) // CONTRACT type word
+      assert(out.getString(0) ==
+        java.util.Base64.getEncoder.encodeToString(expected),
+        s"builder blob mismatch for ${r.get("contract_id").asText}")
+      assert(out.getInt(1) == 1)
+    }
+  }
+
   test("effects details vocabulary: golden payload keys are all emitted") {
     // per effect type present in the golden rows, every details key the
     // reference emitted on real mainnet must be a key OUR fixture-path
