@@ -358,6 +358,45 @@ class RealXdrReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assertNoDiffs(diff(golden, out, "id", txKeys, "dist"))
   }
 
+  // ---- streaming ingest ----------------------------------------------------
+
+  /** The incremental shape: frames land as files, Structured Streaming
+    * tails the directory, the SAME executor-side decode + transform chain
+    * runs per micro-batch — output must equal the batch replay. */
+  test("streaming: real-XDR frames through readStream match the batch path") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("xdr-stream")
+    val txDf = s.read.json(
+      "/root/reference/testdata/transactions/10_ledgers_txs.golden")
+    val ledDf = s.read.json(
+      "/root/reference/testdata/ledgers/10_ledgers.golden")
+    val frames = ledDf.select(col("sequence"), col("ledger_header"))
+      .join(txDf.select(col("ledger_sequence"), col("id"),
+          struct(col("tx_envelope"), col("tx_result")).as("tx")),
+        col("sequence") === col("ledger_sequence"), "left")
+      .groupBy("sequence", "ledger_header")
+      .agg(transform(array_sort(collect_list(struct(col("id"), col("tx")))),
+        x => x("tx")).as("transactions"))
+      .select("ledger_header", "transactions")
+    frames.coalesce(1).write.mode("overwrite").json(dir.resolve("in").toString)
+    val schema = frames.schema
+    val stream = s.readStream.schema(schema).json(dir.resolve("in").toString)
+    val out = StellarTransforms.historyTransactions(
+      graft.operators.RealXdrSource.ledgerRows(stream))
+    val q = out.writeStream.format("memory").queryName("xdr_stream_txs")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = s.table("xdr_stream_txs")
+      .select("id", "transaction_hash", "fee_charged").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = StellarTransforms.historyTransactions(
+        graft.operators.RealXdrSource.ledgerRows(frames))
+      .select("id", "transaction_hash", "fee_charged").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed.size == 650 && streamed == batch)
+  }
+
   // ---- decoder robustness --------------------------------------------------
 
   /** Malformed input surfaces as XdrError, never a silent partial decode,
