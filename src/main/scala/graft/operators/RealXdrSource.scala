@@ -32,14 +32,13 @@ object RealXdrSource {
   /** One input frame. */
   case class Frame(ledger_header: String, transactions: Seq[TxBlob])
 
-  /** Decode a frame DataFrame. Expected columns (extras ignored):
-    *
-    *  - `ledger_header`: base64 LedgerHeader XDR
-    *  - `transactions`: array of struct with base64 `tx_envelope`,
-    *    `tx_result` and optional `tx_meta` / `tx_fee_meta`, in application
-    *    order (element 0 = transaction index 1)
-    */
-  def ledgerRows(frames: DataFrame): Dataset[LedgerRow] = {
+  /** Permissive-mode row: exactly one of `row` / `error` is set. */
+  case class DecodeResult(row: Option[LedgerRow], error: Option[String],
+      ledger_header: String)
+
+  /** Normalize the frame DataFrame into the [[Frame]] shape (missing meta
+    * columns become nulls; a null tx array becomes empty). */
+  private def normalized(frames: DataFrame): Dataset[Frame] = {
     val spark = frames.sparkSession
     import spark.implicits._
     val txStruct = frames.schema("transactions").dataType match {
@@ -59,11 +58,43 @@ object RealXdrSource {
             blobField(t, "tx_meta"), blobField(t, "tx_fee_meta")))
           .as("transactions"))
       .as[Frame]
-      .map { f =>
-        StellarXdr.decodeLedgerRow(f.ledger_header, f.transactions.map(t =>
-          StellarXdr.TxInput(t.tx_envelope, t.tx_result,
-            Option(t.tx_meta).getOrElse(""),
-            Option(t.tx_fee_meta).getOrElse(""))))
+  }
+
+  private def decodeFrame(f: Frame): LedgerRow =
+    StellarXdr.decodeLedgerRow(f.ledger_header, f.transactions.map(t =>
+      StellarXdr.TxInput(t.tx_envelope, t.tx_result,
+        Option(t.tx_meta).getOrElse(""),
+        Option(t.tx_fee_meta).getOrElse(""))))
+
+  /** Decode a frame DataFrame (fail-fast: a malformed frame throws).
+    * Expected columns (extras ignored):
+    *
+    *  - `ledger_header`: base64 LedgerHeader XDR
+    *  - `transactions`: array of struct with base64 `tx_envelope`,
+    *    `tx_result` and optional `tx_meta` / `tx_fee_meta`, in application
+    *    order (element 0 = transaction index 1)
+    */
+  def ledgerRows(frames: DataFrame): Dataset[LedgerRow] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    normalized(frames).map(decodeFrame)
+  }
+
+  /** PERMISSIVE decode for long backfills: a malformed frame becomes an
+    * error row (message + the offending header blob) instead of failing
+    * the job — the caller MUST split on `error` and account for both
+    * sides; dropping the error partition silently is exactly the failure
+    * mode [[ledgerRows]]'s fail-fast default exists to prevent. */
+  def ledgerRowsPermissive(frames: DataFrame): Dataset[DecodeResult] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    normalized(frames).map { f =>
+      try DecodeResult(Some(decodeFrame(f)), None, f.ledger_header)
+      catch {
+        case e: Exception => DecodeResult(None,
+          Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"),
+          f.ledger_header)
       }
+    }
   }
 }

@@ -358,6 +358,33 @@ class RealXdrReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assertNoDiffs(diff(golden, out, "id", txKeys, "dist"))
   }
 
+  // ---- permissive decode ---------------------------------------------------
+
+  /** Poison-frame handling for long backfills: strict mode fails the job,
+    * permissive mode yields one error row per bad frame and decodes the
+    * rest. */
+  test("permissive decode: a poison frame becomes an error row, not a crash") {
+    val s = spark; import s.implicits._
+    val good = rows("ledgers", "10_ledgers.golden").head
+      .get("ledger_header").asText()
+    val frames = Seq(
+      (good, Seq.empty[(String, String)]),
+      (good.dropRight(8), Seq.empty[(String, String)])) // truncated header
+      .toDF("ledger_header", "raw")
+      .select(col("ledger_header"), transform(col("raw"), t =>
+        struct(t("_1").as("tx_envelope"), t("_2").as("tx_result")))
+        .as("transactions"))
+    val res = graft.operators.RealXdrSource.ledgerRowsPermissive(frames)
+      .collect()
+    assert(res.count(_.row.isDefined) == 1)
+    val err = res.find(_.error.isDefined).get
+    assert(err.error.get.contains("XdrError") ||
+      err.error.get.contains("underflow"), err.error.get)
+    intercept[org.apache.spark.SparkException] {
+      graft.operators.RealXdrSource.ledgerRows(frames).collect()
+    }
+  }
+
   // ---- meta-derived laws on real data --------------------------------------
 
   /** The classic fee law over every real transaction: the fee-meta balance
