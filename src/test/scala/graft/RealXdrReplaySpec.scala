@@ -508,6 +508,23 @@ class RealXdrReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception](StellarXdr.decodeTxEnvelope(padded))
     assert(e.isInstanceOf[StellarXdr.XdrError] &&
       e.getMessage.contains("trailing"), s"trailing bytes: $e")
+    // same guarantees for the result and meta decoders
+    val row = rows("transactions", "10_ledgers_txs.golden").head
+    for ((blob, decode) <- Seq[(String, Array[Byte] => Any)](
+        row.get("tx_result").asText() ->
+          (b => StellarXdr.decodeTransactionResult(b)),
+        row.get("tx_meta").asText() -> (b => StellarXdr.decodeTxMeta(b)),
+        row.get("tx_fee_meta").asText() ->
+          (b => StellarXdr.decodeFeeMeta(b)))) {
+      val full = java.util.Base64.getDecoder.decode(blob)
+      decode(full) // sanity
+      for (n <- 0 until full.length) {
+        val ex = intercept[Exception](decode(java.util.Arrays.copyOf(full, n)))
+        assert(ex.isInstanceOf[StellarXdr.XdrError], s"prefix $n threw $ex")
+      }
+      val ex = intercept[Exception](decode(full ++ Array.fill[Byte](4)(0)))
+      assert(ex.isInstanceOf[StellarXdr.XdrError], s"trailing: $ex")
+    }
   }
 
   // ---- CLI end-to-end on real XDR ------------------------------------------
