@@ -1267,6 +1267,15 @@ object StellarXdr {
     }
   }
 
+  /** Network-id transaction hash straight from an envelope blob — the
+    * column-function surface of the hash law the replay verifies. */
+  def txHashHex(envelopeB64: String): String =
+    Hashes.hex(decodeTxEnvelope(b64(envelopeB64)).hash)
+
+  /** Ledger self-hash law: sha256 of the header XDR. */
+  def ledgerHashHex(headerB64: String): String =
+    Hashes.sha256Hex(b64(headerB64))
+
   /** Header + its transactions (in application order) → a LedgerRow. The
     * ledger hash is the protocol's own law: sha256 of the header XDR
     * (verified against the `testdata/ledgers` goldens). */

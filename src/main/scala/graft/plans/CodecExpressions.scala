@@ -103,6 +103,42 @@ case class StrkeyAccountKeyExpression(child: Expression) extends CodecUnaryExpre
   override def prettyName: String = "strkey_account_key"
 }
 
+/** Network-id transaction hash from a base64 TransactionEnvelope — the
+  * public TransactionSignaturePayload law (sha256 over network id ‖
+  * envelope-type word ‖ tx bytes), the same computation RealXdrReplaySpec
+  * verifies against 650 real mainnet hashes. A full envelope decode per
+  * row: a deserialization boundary, not a hot codec. */
+case class StellarTxHashExpression(child: Expression) extends CodecUnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.codec.StellarXdr.txHashHex(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.codec.StellarXdr$$.MODULE$$.txHashHex($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): StellarTxHashExpression =
+    copy(child = newChild)
+  override def prettyName: String = "stellar_tx_hash"
+}
+
+/** Ledger self-hash: sha256 of the base64 LedgerHeader XDR. */
+case class StellarLedgerHashExpression(child: Expression) extends CodecUnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.codec.StellarXdr.ledgerHashHex(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.codec.StellarXdr$$.MODULE$$.ledgerHashHex($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): StellarLedgerHashExpression =
+    copy(child = newChild)
+  override def prettyName: String = "stellar_ledger_hash"
+}
+
 /** Strkey encoding under an arbitrary version byte — the C…/L…/B… address
   * families the reference renders next to G (`transform/operation.go:401-405`,
   * `utils/main.go:33-53`). Same codegen rationale as

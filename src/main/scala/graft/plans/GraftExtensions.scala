@@ -40,6 +40,18 @@ object GraftExtensions {
     ("strkey_account",
       new ExpressionInfo(classOf[StrkeyAccountExpression].getName, "strkey_account"),
       (es: Seq[Expression]) => StrkeyAccountExpression(es.head)),
+    ("strkey_account_key",
+      new ExpressionInfo(classOf[StrkeyAccountKeyExpression].getName,
+        "strkey_account_key"),
+      (es: Seq[Expression]) => StrkeyAccountKeyExpression(es.head)),
+    ("stellar_tx_hash",
+      new ExpressionInfo(classOf[StellarTxHashExpression].getName,
+        "stellar_tx_hash"),
+      (es: Seq[Expression]) => StellarTxHashExpression(es.head)),
+    ("stellar_ledger_hash",
+      new ExpressionInfo(classOf[StellarLedgerHashExpression].getName,
+        "stellar_ledger_hash"),
+      (es: Seq[Expression]) => StellarLedgerHashExpression(es.head)),
     ("scval_json",
       new ExpressionInfo(classOf[ScValJsonExpression].getName, "scval_json"),
       (es: Seq[Expression]) => ScValJsonExpression(es.head)),

@@ -62,6 +62,25 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getLong(1) == graft.codec.Hashes.fnv64a("abc"))
   }
 
+  test("SQL: stellar_tx_hash / stellar_ledger_hash on real mainnet blobs") {
+    GraftExtensions.register(spark)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tx = om.readTree(scala.io.Source.fromFile(
+      "/root/reference/testdata/transactions/10_ledgers_txs.golden")
+      .getLines().next())
+    val led = om.readTree(scala.io.Source.fromFile(
+      "/root/reference/testdata/ledgers/single_ledger.golden")
+      .getLines().next())
+    val out = spark.sql(
+      s"""SELECT stellar_tx_hash('${tx.get("tx_envelope").asText}') AS th,
+         |       stellar_ledger_hash('${led.get("ledger_header").asText}') AS lh,
+         |       strkey_account_key('${tx.get("account").asText}') AS k
+         |""".stripMargin).head()
+    assert(out.getString(0) == tx.get("transaction_hash").asText)
+    assert(out.getString(1) == led.get("ledger_hash").asText)
+    assert(out.getAs[Array[Byte]](2).length == 32)
+  }
+
   test("SQL users can call the shingle and LSH-bucket expressions") {
     GraftExtensions.register(spark)
     val sh = spark.sql(
