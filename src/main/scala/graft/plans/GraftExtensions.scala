@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 /** Session-extension wiring: `spark.sql.extensions=graft.plans.GraftExtensions`
   * (or `withExtensions` on the builder) makes the native expressions
   * available to pure-SQL users as `farm_hash64(...)`, `fnv64a(...)`,
-  * `strkey_account(...)`, `scval_json(...)`, `claim_predicate_json(...)`,
+  * `strkey_account(...)`, `strkey_account_key(...)`,
+  * `stellar_tx_hash(envelope_b64)`, `stellar_ledger_hash(header_b64)`,
+  * `scval_json(...)`, `claim_predicate_json(...)`,
   * `ngram_shingles(text, n)`, `hyperplane_buckets(vec, bits, tables)`,
   * `long_dot(a, b)`, `long_norm2(v)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
