@@ -638,7 +638,11 @@ object StellarXdr {
   }
 
   private def traceName(opType: Int, code: Int): String = {
-    val (enumName, idents) = traceTables.getOrElse(opType,
+    // create-passive-sell-offer (4) shares ManageSellOfferResult — the Go
+    // union's CreatePassiveSellOfferResult IS a *ManageSellOfferResult, so
+    // its code names carry the manage-sell enum name
+    val table = if (opType == 4) 3 else opType
+    val (enumName, idents) = traceTables.getOrElse(table,
       throw new XdrError(s"no trace-code table for op type $opType"))
     enumName + camel(idents.getOrElse(code,
       throw new XdrError(s"unknown code $code for op type $opType")))

@@ -358,6 +358,28 @@ class RealXdrReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assertNoDiffs(diff(golden, out, "id", txKeys, "dist"))
   }
 
+  /** The one classic result arm absent from the golden corpus:
+    * create_passive_sell_offer shares ManageSellOfferResult, so its trace
+    * code carries the manage-sell enum name (a handcrafted vector — the
+    * goldens have no type-4 ops). */
+  test("decoder: create_passive_sell_offer result arm (handcrafted vector)") {
+    val bb = java.nio.ByteBuffer.allocate(64)
+    bb.putLong(100L) // feeCharged
+    bb.putInt(0) // txSUCCESS
+    bb.putInt(1) // one op result
+    bb.putInt(0) // opINNER
+    bb.putInt(4) // CREATE_PASSIVE_SELL_OFFER
+    bb.putInt(0) // MANAGE_SELL_OFFER_SUCCESS
+    bb.putInt(0) // offersClaimed: empty
+    bb.putInt(2) // effect: MANAGE_OFFER_DELETED (void)
+    bb.putInt(0) // TransactionResult ext
+    val res = StellarXdr.decodeTransactionResult(
+      java.util.Arrays.copyOf(bb.array(), bb.position()))
+    assert(res.opResults.head.traceCode ==
+      "ManageSellOfferResultCodeManageSellOfferSuccess")
+    assert(res.opResults.head.resultOfferId.isEmpty)
+  }
+
   // ---- permissive decode ---------------------------------------------------
 
   /** Poison-frame handling for long backfills: strict mode fails the job,
