@@ -209,16 +209,6 @@ object ScVal {
     case c => c.toString
   }
 
-  private def u256String(a: Long, b: Long, c: Long, d: Long,
-      signed: Boolean): String = {
-    val m64 = (BigInt(1) << 64) - 1
-    val base = BigInt(1) << 64
-    val hi = if (signed) BigInt(a) else BigInt(a) & m64
-    // arithmetic (not bitwise) accumulation so negative hi words carry sign
-    (((hi * base + (BigInt(b) & m64)) * base + (BigInt(c) & m64)) * base +
-      (BigInt(d) & m64)).toString
-  }
-
   def toJson(v: V): String = v match {
     case B(b) => s"""{"bool":$b}"""
     case Void => "\"void\"" // xdrjson: void is the bare tag string

@@ -591,6 +591,30 @@ class RealXdrReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
           .map(c => s"cli id=$k col=$c golden=${g.get(c)} ours=${o.get(c)}")
       }
     })
+
+    // and a second command over the same frames: export_effects must
+    // reproduce the effects golden (148 real effects) row for row
+    val effOut = tmp.resolve("eff").toString
+    graft.cli.Export.run(spark, graft.cli.Export.parse(Array(
+      "export_effects", "--start", "30822015", "--end", "30822025",
+      "--xdr-input", framesPath, "--output", effOut, "--format", "ndjson")))
+    val effRows = new File(effOut).listFiles()
+      .filter(_.getName.endsWith(".json")).toSeq.flatMap(f =>
+        scala.io.Source.fromFile(f).getLines().filter(_.trim.nonEmpty))
+      .map(om.readTree)
+    val effById = effRows.map(n => n.get("id").asText() -> n).toMap
+    val effGolden = rows("effects", "10_ledgers_effects.golden")
+    val effKeys = Seq("address", "address_muxed", "closed_at",
+      "ledger_sequence", "operation_id", "type", "type_string", "details",
+      "index")
+    assertNoDiffs(effGolden.flatMap { g =>
+      val k = g.get("id").asText()
+      effById.get(k) match {
+        case None => Seq(s"cli-eff id=$k: missing")
+        case Some(o) => effKeys.filterNot(c => equalish(g.get(c), o.get(c)))
+          .map(c => s"cli-eff id=$k col=$c golden=${g.get(c)} ours=${o.get(c)}")
+      }
+    })
   }
 
   // ---- ledger_transactions -------------------------------------------------
