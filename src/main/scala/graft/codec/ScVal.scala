@@ -139,6 +139,12 @@ object ScVal {
     v
   }
 
+  /** Streaming decode for callers embedding ScVals inside larger XDR
+    * structures (op bodies, tx meta, ledger entries): reads ONE value from
+    * the buffer's current position, leaving the position just past it so
+    * the caller can both continue decoding and slice the raw value bytes. */
+  def decodeFrom(buf: ByteBuffer): V = read(buf)
+
   private def readOpaque(buf: ByteBuffer): Array[Byte] = {
     val len = buf.getInt
     require(len >= 0 && len <= buf.remaining(), s"bad opaque length $len")
@@ -252,7 +258,9 @@ object ScVal {
       val st = storage.map { case (k, x) =>
         s"""{"key":${toJson(k)},"val":${toJson(x)}}"""
       }.mkString("[", ",", "]")
-      s"""{"instance":{"executable":$exec,"storage":$st}}"""
+      // xdrjson tags this arm "contract_instance" (verified against the
+      // reference's real-mainnet contract_data golden storage values)
+      s"""{"contract_instance":{"executable":$exec,"storage":$st}}"""
     case LedgerKeyContractInstance => "\"ledger_key_contract_instance\""
   }
 

@@ -111,6 +111,43 @@ object StellarXdr {
     case d => throw new XdrError(s"unsupported Asset type $d")
   }
 
+  /** Read ONE ScVal from the reader, returning both the typed value and the
+    * raw XDR slice (the transforms carry contract values as base64(XDR) and
+    * render JSON beside them, `contract_events.go:128-169`). */
+  def scValSlice(r: Reader): (ScVal.V, Array[Byte]) = {
+    val start = r.offset
+    val bb = java.nio.ByteBuffer.wrap(r.buf, start, r.remaining)
+    val v =
+      try ScVal.decodeFrom(bb)
+      catch {
+        case e: XdrError => throw e
+        case e: Exception =>
+          throw new XdrError(s"ScVal decode failed at offset $start: ${e.getMessage}")
+      }
+    val end = bb.position()
+    r.skip(end - start)
+    (v, java.util.Arrays.copyOfRange(r.buf, start, end))
+  }
+
+  /** SCAddress → (arm, 32-byte payload, raw XDR slice). Arm 0 = account
+    * (payload is the ed25519 key), 1 = contract (payload is the contract id). */
+  def scAddress(r: Reader): (Int, Array[Byte], Array[Byte]) = {
+    val start = r.offset
+    val arm = r.i32()
+    val payload = arm match {
+      case 0 => accountId(r)
+      case 1 => r.bytes(32)
+      case d => throw new XdrError(s"unsupported SCAddress type $d")
+    }
+    (arm, payload, java.util.Arrays.copyOfRange(r.buf, start, r.offset))
+  }
+
+  /** ExtensionPoint: a union with only the void arm. */
+  private def extensionPoint(r: Reader): Unit = {
+    val d = r.i32()
+    if (d != 0) throw new XdrError(s"unsupported ExtensionPoint arm $d")
+  }
+
   /** ChangeTrustAsset: plain asset or liquidity-pool parameters. */
   sealed trait TrustAsset
   final case class TrustAssetClassic(asset: AssetRef) extends TrustAsset
@@ -395,11 +432,116 @@ object StellarXdr {
         val amt = r.i64(); val minA = r.i64(); val minB = r.i64()
         base.copy(pool_id = Some(pool), lp_shares_stroops = Some(amt),
           min_amount_a = Some(minA), min_amount_b = Some(minB))
-      case 24 | 25 | 26 =>
-        throw new XdrError(
-          s"Soroban operation body (type $ty) not supported on the real-XDR path")
+      case 24 => decodeInvokeHostFunction(r, base)
+      case 25 => // extend footprint TTL: ExtensionPoint ‖ extendTo
+        extensionPoint(r)
+        base.copy(extend_to = Some(r.u32()))
+      case 26 => // restore footprint: ExtensionPoint only
+        extensionPoint(r)
+        base
       case d => throw new XdrError(s"unknown operation type $d")
     }
+  }
+
+  // ---- soroban operation bodies (`Stellar-transaction.x`) -------------------
+
+  /** ContractIDPreimage: fromAddress (deployer + salt) or fromAsset. The
+    * model splits the two arms (`switchContractIdPreimageType`,
+    * `operation.go:2274-2294`); address-arm deployers may be accounts OR
+    * contracts (factory deploys), so both payloads are carried. */
+  private def contractIdPreimage(r: Reader, base: OpModel): OpModel =
+    r.i32() match {
+      case 0 => // from address: SCAddress ‖ 32-byte salt
+        val (arm, payload, _) = scAddress(r)
+        r.bytes(32) // salt
+        if (arm == 0) base.copy(preimage_from_address_key = Some(payload))
+        else base.copy(preimage_from_contract_id = Some(payload))
+      case 1 => base.copy(preimage_from_asset = Some(asset(r)))
+      case d => throw new XdrError(s"unsupported ContractIDPreimage type $d")
+    }
+
+  /** ContractExecutable: wasm hash or the SAC arm (void). */
+  private def contractExecutable(r: Reader): Unit = r.i32() match {
+    case 0 => r.bytes(32)
+    case 1 =>
+    case d => throw new XdrError(s"unsupported ContractExecutable type $d")
+  }
+
+  /** InvokeContractArgs: SCAddress ‖ SCSymbol ‖ SCVal args<>. Returns the
+    * op-model fill: contract id + the reference's parameter vector, which
+    * PREPENDS the address and function symbol as ScVals before the args
+    * (`operation.go:1068-1075`). */
+  private def invokeContractArgs(r: Reader, base: OpModel): OpModel = {
+    val (arm, payload, _) = scAddress(r)
+    if (arm != 0 && arm != 1)
+      throw new XdrError(s"unsupported invoke contract address arm $arm")
+    val fnName = r.str() // SCSymbol is a plain XDR string<32>
+    val args = r.arr(scValSlice(r)._2)
+    val addrVal = if (arm == 1) ScVal.AddrContract(payload)
+      else ScVal.AddrAccount(payload)
+    base.copy(
+      soroban_contract_id = Some(payload),
+      parameters_xdr =
+        ScVal.encode(addrVal) +: ScVal.encode(ScVal.Sym(fnName)) +: args)
+  }
+
+  /** SorobanAuthorizedInvocation (recursive): consumed for extent only —
+    * the reference's details surface none of the auth tree. */
+  private def walkAuthorizedInvocation(r: Reader): Unit = {
+    r.i32() match {
+      case 0 => // contract fn: InvokeContractArgs
+        scAddress(r); r.str(); r.arr(scValSlice(r))
+      case 1 => // create contract host fn
+        walkPreimage(r); contractExecutable(r)
+      case 2 => // create contract v2 host fn
+        walkPreimage(r); contractExecutable(r); r.arr(scValSlice(r))
+      case d => throw new XdrError(s"unsupported SorobanAuthorizedFunction $d")
+    }
+    val n = r.i32()
+    if (n < 0) throw new XdrError(s"negative subInvocations length $n")
+    (0 until n).foreach(_ => walkAuthorizedInvocation(r))
+  }
+
+  private def walkPreimage(r: Reader): Unit = r.i32() match {
+    case 0 => scAddress(r); r.bytes(32)
+    case 1 => asset(r)
+    case d => throw new XdrError(s"unsupported ContractIDPreimage type $d")
+  }
+
+  /** InvokeHostFunctionOp: HostFunction union + auth<>; the four function
+    * arms map to the reference's `type` details string
+    * (`operation.go:1063-1143`). */
+  private def decodeInvokeHostFunction(r: Reader, base: OpModel): OpModel = {
+    val filled = r.i32() match {
+      case 0 =>
+        invokeContractArgs(r, base).copy(host_fn_type = Some("invoke_contract"))
+      case 1 =>
+        val withPre = contractIdPreimage(r, base)
+        contractExecutable(r)
+        withPre.copy(host_fn_type = Some("create_contract"))
+      case 2 =>
+        r.varBytes() // wasm blob
+        base.copy(host_fn_type = Some("upload_wasm"))
+      case 3 =>
+        val withPre = contractIdPreimage(r, base)
+        contractExecutable(r)
+        val ctorArgs = r.arr(scValSlice(r)._2)
+        withPre.copy(host_fn_type = Some("create_contract_v2"),
+          parameters_xdr = ctorArgs)
+      case d => throw new XdrError(s"unsupported HostFunction type $d")
+    }
+    val nAuth = r.i32()
+    if (nAuth < 0) throw new XdrError(s"negative auth length $nAuth")
+    (0 until nAuth).foreach { _ =>
+      r.i32() match { // SorobanCredentials
+        case 0 => // source account: void
+        case 1 => // address credentials
+          scAddress(r); r.i64(); r.u32(); scValSlice(r)
+        case d => throw new XdrError(s"unsupported SorobanCredentials $d")
+      }
+      walkAuthorizedInvocation(r)
+    }
+    filled
   }
 
   private def decodeRevokeLedgerKey(r: Reader, base: OpModel): OpModel =
@@ -634,7 +776,24 @@ object StellarXdr {
         -2 -> "LIQUIDITY_POOL_WITHDRAW_NO_TRUST",
         -3 -> "LIQUIDITY_POOL_WITHDRAW_UNDERFUNDED",
         -4 -> "LIQUIDITY_POOL_WITHDRAW_LINE_FULL",
-        -5 -> "LIQUIDITY_POOL_WITHDRAW_UNDER_MINIMUM"))
+        -5 -> "LIQUIDITY_POOL_WITHDRAW_UNDER_MINIMUM"),
+      24 -> t("InvokeHostFunctionResultCode",
+        0 -> "INVOKE_HOST_FUNCTION_SUCCESS",
+        -1 -> "INVOKE_HOST_FUNCTION_MALFORMED",
+        -2 -> "INVOKE_HOST_FUNCTION_TRAPPED",
+        -3 -> "INVOKE_HOST_FUNCTION_RESOURCE_LIMIT_EXCEEDED",
+        -4 -> "INVOKE_HOST_FUNCTION_ENTRY_ARCHIVED",
+        -5 -> "INVOKE_HOST_FUNCTION_INSUFFICIENT_REFUNDABLE_FEE"),
+      25 -> t("ExtendFootprintTtlResultCode",
+        0 -> "EXTEND_FOOTPRINT_TTL_SUCCESS",
+        -1 -> "EXTEND_FOOTPRINT_TTL_MALFORMED",
+        -2 -> "EXTEND_FOOTPRINT_TTL_RESOURCE_LIMIT_EXCEEDED",
+        -3 -> "EXTEND_FOOTPRINT_TTL_INSUFFICIENT_REFUNDABLE_FEE"),
+      26 -> t("RestoreFootprintResultCode",
+        0 -> "RESTORE_FOOTPRINT_SUCCESS",
+        -1 -> "RESTORE_FOOTPRINT_MALFORMED",
+        -2 -> "RESTORE_FOOTPRINT_RESOURCE_LIMIT_EXCEEDED",
+        -3 -> "RESTORE_FOOTPRINT_INSUFFICIENT_REFUNDABLE_FEE"))
   }
 
   private def traceName(opType: Int, code: Int): String = {
@@ -734,6 +893,8 @@ object StellarXdr {
         })
       case 14 if code == 0 => // created claimable balance id
         base.copy(createdBalanceId = Some(claimableBalanceId(r)))
+      case 24 if code == 0 => // invoke host function: sha256 of the events
+        r.bytes(32); base
       case _ => base // all other arms: code only
     }
   }
@@ -815,6 +976,35 @@ object StellarXdr {
     case d => throw new XdrError(s"unsupported Preconditions type $d")
   }
 
+  /** SorobanTransactionData (Transaction ext v1): declared resources +
+    * resource fee + the footprint's raw LedgerKey XDR slices (read-only then
+    * read-write, the order `ledgerKeyHashFromTxEnvelope` scans them,
+    * `operation.go:1859-1874`). */
+  final case class SorobanDataX(resourceFee: Long, instructions: Long,
+      readBytes: Long, writeBytes: Long, footprintKeys: Seq[Array[Byte]])
+
+  /** SorobanTransactionData: ext ‖ resources{footprint, 3×u32} ‖ resourceFee.
+    * The proto-23 ext v1 arm (archived entry indexes) is consumed, not
+    * surfaced — the reference's schema carries nothing from it. */
+  def sorobanTransactionData(r: Reader): SorobanDataX = {
+    r.i32() match {
+      case 0 =>
+      case 1 => r.arr(r.u32()) // SorobanResourcesExtV0.archivedSorobanEntries
+      case d => throw new XdrError(s"unsupported SorobanTransactionData ext $d")
+    }
+    def keySlice(): Array[Byte] = {
+      val start = r.offset
+      ledgerKey(r)
+      java.util.Arrays.copyOfRange(r.buf, start, r.offset)
+    }
+    val readOnly = r.arr(keySlice())
+    val readWrite = r.arr(keySlice())
+    val instructions = r.u32(); val readBytes = r.u32(); val writeBytes = r.u32()
+    val resourceFee = r.i64()
+    SorobanDataX(resourceFee, instructions, readBytes, writeBytes,
+      readOnly ++ readWrite)
+  }
+
   /** A fully decoded envelope plus the byte spans needed for the hash law. */
   final case class TxEnvelopeX(
       source: MuxedAcct,
@@ -829,7 +1019,8 @@ object StellarXdr {
       feeBumpSource: Option[MuxedAcct],
       feeBumpFee: Option[Long],
       feeBumpSignatures: Seq[Array[Byte]],
-      innerHash: Option[Array[Byte]])
+      innerHash: Option[Array[Byte]],
+      sorobanData: Option[SorobanDataX] = None)
 
   private def decoratedSignatures(r: Reader): Seq[Array[Byte]] =
     r.arr { r.bytes(4); r.varBytes() } // hint ‖ signature
@@ -903,10 +1094,9 @@ object StellarXdr {
     val cond = preconditions(r)
     val m = memo(r)
     val ops = r.arr(operation(r))
-    r.i32() match {
-      case 0 =>
-      case 1 => throw new XdrError(
-        "Soroban transaction data not supported on the real-XDR path")
+    val soroban = r.i32() match {
+      case 0 => None
+      case 1 => Some(sorobanTransactionData(r))
       case d => throw new XdrError(s"unsupported Transaction ext $d")
     }
     val txEnd = r.offset
@@ -917,7 +1107,7 @@ object StellarXdr {
     md.update(Array[Byte](0, 0, 0, 2))
     md.update(bytes, discOffset + 4, txEnd - (discOffset + 4))
     TxEnvelopeX(source, fee, seq, cond, m, ops, sigs, md.digest(),
-      isFeeBump = false, None, None, Nil, None)
+      isFeeBump = false, None, None, Nil, None, soroban)
   }
 
   // ---- model assembly ------------------------------------------------------
@@ -971,14 +1161,22 @@ object StellarXdr {
         case None => op
       }
     }
-    val opsWithChanges = meta match {
-      case Some(m) => ops.zipWithIndex.map { case (op, i) =>
-        m.opChanges.lift(i) match {
-          case Some(ch) => op.copy(changes = opChangesToModel(ch))
-          case None => op
-        }
+    // SAC-shaped events feed the invoke op's asset_balance_changes details
+    // (`filterEvents`, operation.go:1887-1896: successful-call contract
+    // events only)
+    val filteredEvents = meta.flatMap(_.sorobanMeta).map(_.events)
+      .getOrElse(Nil)
+      .filter(e => e.inSuccessfulCall && e.eventType == 1)
+      .map(e => SacEventRaw(e.contractId.getOrElse(Array.emptyByteArray),
+        e.topicsXdr, e.dataXdr))
+    val opsWithChanges = ops.zipWithIndex.map { case (op0, i) =>
+      val op = if (op0.op_type == 24 && filteredEvents.nonEmpty)
+        op0.copy(sac_events = filteredEvents)
+      else op0
+      meta.flatMap(_.opChanges.lift(i)) match {
+        case Some(ch) => op.copy(changes = opChangesToModel(ch))
+        case None => op
       }
-      case None => ops
     }
     TxModel(
       hash_hex = Hashes.hex(env.hash),
@@ -1014,7 +1212,17 @@ object StellarXdr {
       min_seq_num = env.precond.minSeqNum,
       min_seq_age = env.precond.minSeqAge,
       min_seq_ledger_gap = env.precond.minSeqLedgerGap,
-      extra_signer_keys = env.precond.extraSigners)
+      extra_signer_keys = env.precond.extraSigners,
+      soroban = env.sorobanData.map { sd =>
+        val (nonRef, ref, rent) = meta.flatMap(_.sorobanMeta)
+          .map(sm => (sm.nonRefundableFee, sm.refundableFee, sm.rentFee))
+          .getOrElse((0L, 0L, 0L))
+        SorobanModel(sd.resourceFee, sd.instructions, sd.readBytes,
+          sd.writeBytes, nonRef, ref, rent, sd.footprintKeys)
+      },
+      diag_events = meta.flatMap(_.sorobanMeta).map(_.events).getOrElse(Nil)
+        .map(e => DiagEventModel(e.inSuccessfulCall, e.contractId,
+          e.eventType, e.topicsXdr, e.dataXdr, e.rawDiagXdr)))
   }
 
   // ---- ledger entries & transaction meta (classic arms) --------------------
@@ -1025,14 +1233,70 @@ object StellarXdr {
     * (contract data/code, config, TTL) fail loudly — same contract as the
     * operation decode. */
   final case class EntryX(
-      family: String, // account | trustline | offer | data | claimable_balance | liquidity_pool
+      family: String, // account | trustline | offer | data | claimable_balance | liquidity_pool | contract_data | contract_code | config_setting | ttl
       accountKey: Array[Byte] = null,
       balance: Long = 0L,
       tlAssetType: String = null,
       offer: OfferStateX = null,
       dataName: String = null,
       cbId: Array[Byte] = null,
-      poolId: Array[Byte] = null)
+      poolId: Array[Byte] = null,
+      lastModified: Long = 0L,
+      soroban: SorobanEntryX = null)
+
+  /** The Soroban ledger-entry payloads (arms 6–9 of `LedgerEntry.data`),
+    * carried with raw XDR slices so the state tables can re-render the
+    * reference's passthrough columns byte-exactly. */
+  final case class SorobanEntryX(
+      // contract_data (`ContractDataEntry`)
+      contractAddrType: Int = -1, // 0 account / 1 contract
+      contractId: Array[Byte] = null,
+      contractAddrXdr: Array[Byte] = null,
+      keyXdr: Array[Byte] = null,
+      keyType: Int = -1, // SCValType discriminant of the key
+      valXdr: Array[Byte] = null,
+      durability: Int = -1, // 0 temporary / 1 persistent
+      bodyXdr: Array[Byte] = null, // full ContractDataEntry XDR
+      // contract_code (`ContractCodeEntry`)
+      codeHash: Array[Byte] = null,
+      codeExtV: Int = 0,
+      costInputs: Seq[Long] = Nil, // 10 wasm cost inputs (ext v1), else empty
+      // config_setting
+      config: ConfigX = null,
+      // ttl (`TTLEntry`)
+      ttlKeyHash: Array[Byte] = null,
+      liveUntil: Long = 0L)
+
+  /** One decoded `ConfigSettingEntry` — the union flattened to the sparse
+    * wide row the reference emits (`config_setting.go:13-150`; absent arms
+    * keep Go zero values). */
+  final case class ConfigX(
+      id: Int,
+      contractMaxSizeBytes: Long = 0L,
+      ledgerMaxInstructions: Long = 0L, txMaxInstructions: Long = 0L,
+      feeRatePerInstructionsIncrement: Long = 0L, txMemoryLimit: Long = 0L,
+      ledgerMaxReadLedgerEntries: Long = 0L, ledgerMaxReadBytes: Long = 0L,
+      ledgerMaxWriteLedgerEntries: Long = 0L, ledgerMaxWriteBytes: Long = 0L,
+      txMaxReadLedgerEntries: Long = 0L, txMaxReadBytes: Long = 0L,
+      txMaxWriteLedgerEntries: Long = 0L, txMaxWriteBytes: Long = 0L,
+      feeReadLedgerEntry: Long = 0L, feeWriteLedgerEntry: Long = 0L,
+      feeRead1Kb: Long = 0L, bucketListTargetSizeBytes: Long = 0L,
+      writeFee1KbBucketListLow: Long = 0L, writeFee1KbBucketListHigh: Long = 0L,
+      bucketListWriteFeeGrowthFactor: Long = 0L,
+      feeHistorical1Kb: Long = 0L,
+      txMaxContractEventsSizeBytes: Long = 0L, feeContractEvents1Kb: Long = 0L,
+      ledgerMaxTxsSizeBytes: Long = 0L, txMaxSizeBytes: Long = 0L,
+      feeTxSize1Kb: Long = 0L,
+      costParamsCpu: Seq[(Long, Long)] = Nil, // (constTerm, linearTerm)
+      costParamsMem: Seq[(Long, Long)] = Nil,
+      contractDataKeySizeBytes: Long = 0L, contractDataEntrySizeBytes: Long = 0L,
+      maxEntryTtl: Long = 0L, minTemporaryTtl: Long = 0L,
+      minPersistentTtl: Long = 0L, persistentRentRateDenominator: Long = 0L,
+      tempRentRateDenominator: Long = 0L, maxEntriesToArchive: Long = 0L,
+      bucketListSizeWindowSampleSize: Long = 0L, evictionScanSize: Long = 0L,
+      startingEvictionScanLevel: Long = 0L,
+      ledgerMaxTxCount: Long = 0L,
+      bucketListSizeWindow: Seq[Long] = Nil)
 
   private def skipLiabilitiesExt(r: Reader, maxV: Int): Unit = r.i32() match {
     case 0 =>
@@ -1128,9 +1392,98 @@ object StellarXdr {
     EntryX("liquidity_pool", poolId = poolId)
   }
 
-  /** LedgerEntry (classic families). */
+  /** ContractDataEntry (`Stellar-ledger-entries.x`): ext ‖ SCAddress ‖
+    * key ScVal ‖ durability ‖ val ScVal. Raw slices are kept for the
+    * reference's passthrough columns (`contract_data.go:124-138`). */
+  private def contractDataEntry(r: Reader): EntryX = {
+    val bodyStart = r.offset
+    extensionPoint(r)
+    val (addrType, addrPayload, addrXdr) = scAddress(r)
+    val keyStart = r.offset
+    val (keyV, keyXdr) = scValSlice(r)
+    val keyType = ((r.buf(keyStart) & 0xff) << 24) |
+      ((r.buf(keyStart + 1) & 0xff) << 16) |
+      ((r.buf(keyStart + 2) & 0xff) << 8) | (r.buf(keyStart + 3) & 0xff)
+    val durability = r.i32()
+    if (durability != 0 && durability != 1)
+      throw new XdrError(s"unsupported ContractDataDurability $durability")
+    val (_, valXdr) = scValSlice(r)
+    val _ = keyV
+    EntryX("contract_data", soroban = SorobanEntryX(
+      contractAddrType = addrType, contractId = addrPayload,
+      contractAddrXdr = addrXdr, keyXdr = keyXdr, keyType = keyType,
+      valXdr = valXdr, durability = durability,
+      bodyXdr = java.util.Arrays.copyOfRange(r.buf, bodyStart, r.offset)))
+  }
+
+  /** ContractCodeEntry: ext (v0 | v1 cost inputs) ‖ hash ‖ code<>. */
+  private def contractCodeEntry(r: Reader): EntryX = {
+    val (extV, costs) = r.i32() match {
+      case 0 => (0, Nil)
+      case 1 =>
+        extensionPoint(r) // ContractCodeEntryV1.ext
+        (1, Seq.fill(10)(r.u32())) // ContractCodeCostInputs: 10 × uint32
+      case d => throw new XdrError(s"unsupported ContractCodeEntry ext $d")
+    }
+    val hash = r.bytes(32)
+    r.varBytes() // wasm blob
+    EntryX("contract_code", soroban = SorobanEntryX(
+      codeHash = hash, codeExtV = extV, costInputs = costs))
+  }
+
+  /** ConfigSettingEntry: the 14-arm union keyed by ConfigSettingID
+    * (`Stellar-contract-config-setting.x`), flattened to [[ConfigX]]. */
+  private def configSettingEntry(r: Reader): EntryX = {
+    def costParams(): Seq[(Long, Long)] = r.arr {
+      extensionPoint(r) // ContractCostParamEntry.ext
+      val c = r.i64(); val l = r.i64(); (c, l)
+    }
+    val id = r.i32()
+    val c = id match {
+      case 0 => ConfigX(id, contractMaxSizeBytes = r.u32())
+      case 1 => ConfigX(id, ledgerMaxInstructions = r.i64(),
+        txMaxInstructions = r.i64(),
+        feeRatePerInstructionsIncrement = r.i64(), txMemoryLimit = r.u32())
+      case 2 => ConfigX(id,
+        ledgerMaxReadLedgerEntries = r.u32(), ledgerMaxReadBytes = r.u32(),
+        ledgerMaxWriteLedgerEntries = r.u32(), ledgerMaxWriteBytes = r.u32(),
+        txMaxReadLedgerEntries = r.u32(), txMaxReadBytes = r.u32(),
+        txMaxWriteLedgerEntries = r.u32(), txMaxWriteBytes = r.u32(),
+        feeReadLedgerEntry = r.i64(), feeWriteLedgerEntry = r.i64(),
+        feeRead1Kb = r.i64(), bucketListTargetSizeBytes = r.i64(),
+        writeFee1KbBucketListLow = r.i64(), writeFee1KbBucketListHigh = r.i64(),
+        bucketListWriteFeeGrowthFactor = r.u32())
+      case 3 => ConfigX(id, feeHistorical1Kb = r.i64())
+      case 4 => ConfigX(id, txMaxContractEventsSizeBytes = r.u32(),
+        feeContractEvents1Kb = r.i64())
+      case 5 => ConfigX(id, ledgerMaxTxsSizeBytes = r.u32(),
+        txMaxSizeBytes = r.u32(), feeTxSize1Kb = r.i64())
+      case 6 => ConfigX(id, costParamsCpu = costParams())
+      case 7 => ConfigX(id, costParamsMem = costParams())
+      case 8 => ConfigX(id, contractDataKeySizeBytes = r.u32())
+      case 9 => ConfigX(id, contractDataEntrySizeBytes = r.u32())
+      case 10 => ConfigX(id, maxEntryTtl = r.u32(), minTemporaryTtl = r.u32(),
+        minPersistentTtl = r.u32(), persistentRentRateDenominator = r.i64(),
+        tempRentRateDenominator = r.i64(), maxEntriesToArchive = r.u32(),
+        bucketListSizeWindowSampleSize = r.u32(), evictionScanSize = r.u64(),
+        startingEvictionScanLevel = r.u32())
+      case 11 => ConfigX(id, ledgerMaxTxCount = r.u32())
+      case 12 => ConfigX(id, bucketListSizeWindow = r.arr(r.u64()))
+      case 13 => // eviction iterator: consumed, nothing surfaced in the schema
+        r.u32(); r.bool(); r.u64(); ConfigX(id)
+      case d => throw new XdrError(s"unsupported ConfigSettingID $d")
+    }
+    EntryX("config_setting", soroban = SorobanEntryX(config = c))
+  }
+
+  private def ttlEntry(r: Reader): EntryX = {
+    val keyHash = r.bytes(32); val live = r.u32()
+    EntryX("ttl", soroban = SorobanEntryX(ttlKeyHash = keyHash, liveUntil = live))
+  }
+
+  /** LedgerEntry (all ten entry families). */
   def ledgerEntry(r: Reader): EntryX = {
-    r.u32() // lastModifiedLedgerSeq
+    val lastModified = r.u32()
     val e = r.i32() match {
       case 0 => accountEntry(r)
       case 1 => trustLineEntry(r)
@@ -1138,6 +1491,10 @@ object StellarXdr {
       case 3 => dataEntry(r)
       case 4 => cbEntry(r)
       case 5 => lpEntry(r)
+      case 6 => contractDataEntry(r)
+      case 7 => contractCodeEntry(r)
+      case 8 => configSettingEntry(r)
+      case 9 => ttlEntry(r)
       case d => throw new XdrError(s"unsupported LedgerEntry type $d")
     }
     r.i32() match { // LedgerEntry ext
@@ -1145,7 +1502,29 @@ object StellarXdr {
       case 1 => r.opt(accountId(r)); skipExtZero(r) // sponsoringID
       case d => throw new XdrError(s"unsupported LedgerEntry ext $d")
     }
-    e
+    e.copy(lastModified = lastModified)
+  }
+
+  /** Re-encode the LedgerKey of a decoded Soroban-family entry — the
+    * protocol law behind `ledger_key_hash` (hex sha-256 of these bytes)
+    * and the `ledger_key_hash_base_64` passthrough
+    * (`utils.LedgerEntryToLedgerKeyHash`). Raw slices from the entry are
+    * reused so the rendering is byte-exact. */
+  def encodeSorobanLedgerKey(e: EntryX): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def word(v: Int): Unit =
+      bos.write(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte))
+    e.family match {
+      case "contract_data" =>
+        word(6); bos.write(e.soroban.contractAddrXdr)
+        bos.write(e.soroban.keyXdr); word(e.soroban.durability)
+      case "contract_code" => word(7); bos.write(e.soroban.codeHash)
+      case "config_setting" => word(8); word(e.soroban.config.id)
+      case "ttl" => word(9); bos.write(e.soroban.ttlKeyHash)
+      case f => throw new XdrError(s"no soroban ledger key for family $f")
+    }
+    bos.toByteArray
   }
 
   /** LedgerKey (classic families), reduced to the same EntryX carrier. */
@@ -1166,6 +1545,18 @@ object StellarXdr {
       EntryX("data", accountKey = id, dataName = name)
     case 4 => EntryX("claimable_balance", cbId = claimableBalanceId(r))
     case 5 => EntryX("liquidity_pool", poolId = r.bytes(32))
+    case 6 => // contract data key: SCAddress ‖ key ScVal ‖ durability
+      val (addrType, addrPayload, addrXdr) = scAddress(r)
+      val (_, keyXdr) = scValSlice(r)
+      val durability = r.i32()
+      EntryX("contract_data", soroban = SorobanEntryX(
+        contractAddrType = addrType, contractId = addrPayload,
+        contractAddrXdr = addrXdr, keyXdr = keyXdr, durability = durability))
+    case 7 => EntryX("contract_code",
+      soroban = SorobanEntryX(codeHash = r.bytes(32)))
+    case 8 => EntryX("config_setting",
+      soroban = SorobanEntryX(config = ConfigX(r.i32())))
+    case 9 => EntryX("ttl", soroban = SorobanEntryX(ttlKeyHash = r.bytes(32)))
     case d => throw new XdrError(s"unsupported LedgerKey type $d")
   }
 
@@ -1183,14 +1574,103 @@ object StellarXdr {
   def ledgerEntryChanges(r: Reader): Seq[(Int, EntryX)] =
     r.arr(ledgerEntryChange(r))
 
+  /** One ContractEvent / DiagnosticEvent off the wire. `rawDiagXdr` is the
+    * DiagnosticEvent encoding — the reference's `contract_event_xdr`
+    * passthrough marshals the DIAGNOSTIC grain (`contract_events.go:76`). */
+  final case class ContractEventX(
+      inSuccessfulCall: Boolean,
+      contractId: Option[Array[Byte]],
+      eventType: Int, // 0 system / 1 contract / 2 diagnostic
+      topicsXdr: Seq[Array[Byte]],
+      dataXdr: Array[Byte],
+      rawDiagXdr: Array[Byte])
+
+  /** ContractEvent body (sans the diagnostic bool): ext ‖ contractID* ‖
+    * type ‖ body v0 { topics<ScVal>, data ScVal }. `diagStart` = the offset
+    * of an enclosing DiagnosticEvent (None for a plain event, whose
+    * diagnostic rendering prepends the bool synthetically). */
+  private def contractEventFrom(r: Reader, inSuccessful: Boolean,
+      diagStart: Option[Int]): ContractEventX = {
+    val eventStart = r.offset
+    extensionPoint(r)
+    val contractId = r.opt(r.bytes(32))
+    val ty = r.i32()
+    if (ty < 0 || ty > 2) throw new XdrError(s"unsupported ContractEventType $ty")
+    val bodyV = r.i32()
+    if (bodyV != 0) throw new XdrError(s"unsupported ContractEvent body v$bodyV")
+    val topics = r.arr(scValSlice(r)._2)
+    val (_, dataXdr) = scValSlice(r)
+    val raw = diagStart match {
+      case Some(s) => java.util.Arrays.copyOfRange(r.buf, s, r.offset)
+      case None => // converted plain event: prepend the diagnostic bool
+        Array[Byte](0, 0, 0, if (inSuccessful) 1 else 0) ++
+          java.util.Arrays.copyOfRange(r.buf, eventStart, r.offset)
+    }
+    ContractEventX(inSuccessful, contractId, ty, topics, dataXdr, raw)
+  }
+
+  /** DiagnosticEvent: bool ‖ ContractEvent. */
+  private def diagnosticEvent(r: Reader): ContractEventX = {
+    val start = r.offset
+    val inSuccessful = r.bool()
+    contractEventFrom(r, inSuccessful, Some(start))
+  }
+
+  /** Standalone DiagnosticEvent decode — the contract-events golden embeds
+    * these bytes verbatim (`contract_events.go:20-104`). */
+  def decodeDiagnosticEvent(bytes: Array[Byte]): ContractEventX = {
+    val r = new Reader(bytes)
+    fullyConsumed(r, "DiagnosticEvent")(diagnosticEvent(r))
+  }
+
+  /** SorobanTransactionMeta: the fee ext triple, the event stream at the
+    * diagnostic grain (the Go SDK's `GetDiagnosticEvents` law: prefer
+    * `diagnosticEvents`, else wrap `events` with inSuccessful=true), and
+    * the return value. */
+  final case class SorobanMetaX(
+      nonRefundableFee: Long, refundableFee: Long, rentFee: Long,
+      hasFeeExt: Boolean,
+      events: Seq[ContractEventX],
+      returnValueXdr: Array[Byte])
+
   final case class TxMetaX(
       txChangesBefore: Seq[(Int, EntryX)],
       opChanges: Seq[Seq[(Int, EntryX)]],
-      txChangesAfter: Seq[(Int, EntryX)])
+      txChangesAfter: Seq[(Int, EntryX)],
+      sorobanMeta: Option[SorobanMetaX] = None)
 
-  /** TransactionMeta v0/v1/v2 (classic; v3+ soroban fails loudly). */
+  private def sorobanTransactionMeta(r: Reader): SorobanMetaX = {
+    val (nonRef, ref, rent, hasExt) = r.i32() match {
+      case 0 => (0L, 0L, 0L, false)
+      case 1 =>
+        extensionPoint(r) // SorobanTransactionMetaExtV1.ext
+        val a = r.i64(); val b = r.i64(); val c = r.i64()
+        (a, b, c, true)
+      case d => throw new XdrError(s"unsupported SorobanTransactionMeta ext $d")
+    }
+    val nEvents = r.i32()
+    if (nEvents < 0) throw new XdrError(s"negative events length $nEvents")
+    val plainEvents = (0 until nEvents).map { _ =>
+      contractEventFrom(r, inSuccessful = true, diagStart = None)
+    }
+    val (_, returnValue) = scValSlice(r)
+    val nDiag = r.i32()
+    if (nDiag < 0) throw new XdrError(s"negative diagnosticEvents length $nDiag")
+    val diag = (0 until nDiag).map(_ => diagnosticEvent(r))
+    SorobanMetaX(nonRef, ref, rent, hasExt,
+      if (diag.nonEmpty) diag else plainEvents, returnValue)
+  }
+
+  /** TransactionMeta v0–v3 (v4 — proto 23's event-unified layout — fails
+    * loudly until the corpus needs it). */
   def decodeTxMeta(bytes: Array[Byte]): TxMetaX = {
     val r = new Reader(bytes)
+    fullyConsumed(r, "TransactionMeta")(txMetaFrom(r))
+  }
+
+  /** TransactionMeta from a reader positioned at the version word —
+    * the embedded form inside `TransactionResultMeta`. */
+  def txMetaFrom(r: Reader): TxMetaX = {
     val m = r.i32() match {
       case 0 => TxMetaX(Nil, r.arr(ledgerEntryChanges(r)), Nil)
       case 1 =>
@@ -1201,9 +1681,16 @@ object StellarXdr {
         val ops = r.arr(ledgerEntryChanges(r))
         val after = ledgerEntryChanges(r)
         TxMetaX(before, ops, after)
+      case 3 =>
+        extensionPoint(r) // TransactionMetaV3.ext
+        val before = ledgerEntryChanges(r)
+        val ops = r.arr(ledgerEntryChanges(r))
+        val after = ledgerEntryChanges(r)
+        val soroban = r.opt(sorobanTransactionMeta(r))
+        TxMetaX(before, ops, after, soroban)
       case d => throw new XdrError(s"unsupported TransactionMeta version $d")
     }
-    fullyConsumed(r, "TransactionMeta")(m)
+    m
   }
 
   /** Fee meta: a bare LedgerEntryChanges vector. */
@@ -1245,6 +1732,9 @@ object StellarXdr {
                 .orElse(Option(state).flatMap(s => Option(s.tlAssetType))))
           case "data" =>
             out += base("data").copy(change_kind = Some(kind))
+          case "ttl" => // extend/restore footprint effects key off these
+            out += base("ttl").copy(change_kind = Some(kind),
+              ttl_key_hash = Option(e.soroban).map(_.ttlKeyHash))
           case _ => // account/CB/LP rows feed no op-grain law on this path
         }
       }
@@ -1304,5 +1794,138 @@ object StellarXdr {
       signature = h.signature.orNull,
       bucket_list_size = 0L,
       transactions = txs.map(decodeTx(_, networkId)))
+  }
+
+  // ---- ledger close meta (the datastore wire) --------------------------------
+
+  private def b64e(b: Array[Byte]): String =
+    Base64.getEncoder.encodeToString(b)
+
+  /** Decode one TransactionEnvelope IN PLACE (inside a larger buffer),
+    * returning (computed hash hex, raw slice). */
+  private def envelopeSlice(r: Reader,
+      networkId: Array[Byte]): (String, Array[Byte]) = {
+    val start = r.offset
+    val env = decodeTxEnvelopeFrom(r, r.buf, networkId)
+    (Hashes.hex(env.hash),
+      java.util.Arrays.copyOfRange(r.buf, start, r.offset))
+  }
+
+  private def slice[T](r: Reader)(f: => T): Array[Byte] = {
+    val start = r.offset; f
+    java.util.Arrays.copyOfRange(r.buf, start, r.offset)
+  }
+
+  /** GeneralizedTransactionSet (v1): phases → components → envelopes.
+    * Parallel phases (proto 23 TransactionPhase v1) fail loudly. */
+  private def generalizedTxSet(r: Reader,
+      networkId: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val v = r.i32()
+    if (v != 1) throw new XdrError(s"unsupported GeneralizedTransactionSet v$v")
+    r.bytes(32) // previousLedgerHash
+    r.arr {
+      r.i32() match {
+        case 0 => // TransactionPhase v0: components<>
+          r.arr {
+            val compType = r.i32()
+            if (compType != 0)
+              throw new XdrError(s"unsupported TxSetComponent type $compType")
+            r.opt(r.i64()) // baseFee*
+            r.arr(envelopeSlice(r, networkId))
+          }.flatten
+        case d => throw new XdrError(s"unsupported TransactionPhase v$d")
+      }
+    }.flatten
+  }
+
+  private def ledgerUpgrade(r: Reader): Unit = r.i32() match {
+    case 1 | 2 | 3 | 4 | 5 | 7 => r.u32()
+    case 6 => r.bytes(64) // ConfigUpgradeSetKey: contractID ‖ contentHash
+    case d => throw new XdrError(s"unsupported LedgerUpgrade type $d")
+  }
+
+  /** One `LedgerCloseMeta` (v0 classic / v1 protocol-20+ datastore layout)
+    * → a LedgerRow via the same per-tx decode the frame path uses. The
+    * envelopes live in the TX SET (arbitrary order); `txProcessing` carries
+    * apply order keyed by transaction hash — the pairing the reference's
+    * ingest library performs. The self-hash law (LHHE.hash == sha256 of the
+    * header bytes) is enforced, not trusted. */
+  def decodeLedgerCloseMeta(r: Reader,
+      networkId: Array[Byte] = PublicNetworkId): LedgerRow = {
+    val v = r.i32()
+    if (v != 0 && v != 1)
+      throw new XdrError(s"unsupported LedgerCloseMeta v$v")
+    if (v == 1) {
+      val ext = r.i32()
+      if (ext != 0) throw new XdrError(s"unsupported LedgerCloseMetaV1 ext $ext")
+    }
+    // LedgerHeaderHistoryEntry: hash ‖ header ‖ ext
+    val claimedHash = r.bytes(32)
+    val headerStart = r.offset
+    decodeLedgerHeaderFrom(r)
+    val headerBytes =
+      java.util.Arrays.copyOfRange(r.buf, headerStart, r.offset)
+    skipExtZero(r)
+    if (!java.util.Arrays.equals(claimedHash, Hashes.sha256(headerBytes)))
+      throw new XdrError("LedgerHeaderHistoryEntry hash != sha256(header)")
+    val envelopes: Map[String, Array[Byte]] = (if (v == 0) {
+      // TransactionSet: previousLedgerHash ‖ txs<>
+      r.bytes(32); r.arr(envelopeSlice(r, networkId))
+    } else generalizedTxSet(r, networkId)).toMap
+    val txs = r.arr { // txProcessing, apply order
+      val txHash = Hashes.hex(r.bytes(32))
+      val resultB = slice(r)(decodeTxResultFrom(r, allowFeeBump = true))
+      val feeB = slice(r)(ledgerEntryChanges(r))
+      val metaB = slice(r)(txMetaFrom(r))
+      val envB = envelopes.getOrElse(txHash,
+        throw new XdrError(s"txProcessing hash $txHash not in tx set"))
+      TxInput(b64e(envB), b64e(resultB), b64e(metaB), b64e(feeB))
+    }
+    r.arr { ledgerUpgrade(r); ledgerEntryChanges(r) } // upgradesProcessing
+    val nScp = r.i32()
+    if (nScp != 0)
+      throw new XdrError(s"SCP history entries not supported ($nScp present)")
+    if (v == 1) {
+      r.u64() // totalByteSizeOfBucketList
+      r.arr(ledgerKey(r)) // evictedTemporaryLedgerKeys
+      r.arr(ledgerEntry(r)) // evictedPersistentLedgerEntries
+    }
+    decodeLedgerRow(b64e(headerBytes), txs, networkId)
+  }
+
+  private def decodeLedgerHeaderFrom(r: Reader): Unit = {
+    r.u32(); r.bytes(32) // version, previousLedgerHash
+    r.bytes(32); r.u64() // txSetHash, closeTime
+    val n = r.i32(); (0 until n).foreach(_ => r.varBytes()) // upgrades
+    r.i32() match {
+      case 0 =>
+      case 1 => accountId(r); r.varBytes()
+      case d => throw new XdrError(s"unsupported StellarValue ext $d")
+    }
+    r.bytes(32); r.bytes(32) // txSetResultHash, bucketListHash
+    r.u32(); r.i64(); r.i64() // seq, totalCoins, feePool
+    r.u32(); r.u64() // inflationSeq, idPool
+    r.u32(); r.u32(); r.u32() // baseFee, baseReserve, maxTxSetSize
+    r.bytes(128) // skipList
+    r.i32() match {
+      case 0 =>
+      case 1 => r.u32()
+      case d => throw new XdrError(s"unsupported LedgerHeader ext $d")
+    }
+  }
+
+  /** `LedgerCloseMetaBatch` — the datastore object payload (1 ledger/file,
+    * `/root/reference/internal/utils/main.go:981-984`). */
+  def decodeLedgerCloseMetaBatch(bytes: Array[Byte],
+      networkId: Array[Byte] = PublicNetworkId): Seq[LedgerRow] = {
+    val r = new Reader(bytes)
+    val start = r.u32(); val end = r.u32()
+    val rows = fullyConsumed(r, "LedgerCloseMetaBatch")(
+      r.arr(decodeLedgerCloseMeta(r, networkId)))
+    if (rows.nonEmpty &&
+        (rows.head.sequence != start || rows.last.sequence != end))
+      throw new XdrError(s"batch range [$start,$end] != ledgers " +
+        s"[${rows.head.sequence},${rows.last.sequence}]")
+    rows
   }
 }

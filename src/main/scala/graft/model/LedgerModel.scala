@@ -184,9 +184,25 @@ object LedgerModel {
       extend_to: Option[Long] = None,
       sac_events: Seq[SacEventRaw] = Seq.empty,
       inflation_payouts: Seq[InflationPayout] = Seq.empty,
-      // create-contract id preimage (`operation.go:2275-2295`)
+      // create-contract id preimage (`operation.go:2275-2295`); the
+      // address arm may be an account (G…) or a contract (C…) deployer —
+      // split so the transform can pick the right strkey version byte
       preimage_from_address_key: Option[Array[Byte]] = None,
+      preimage_from_contract_id: Option[Array[Byte]] = None,
       preimage_from_asset: Option[AssetRef] = None)
+
+  /** One diagnostic-grain contract event from tx meta — the
+    * `contract_events` table grain (`contract_events.go:20-104`): the
+    * diagnostic flag, the optional emitting contract, the event type enum,
+    * topics/data as raw ScVal XDR, and the DiagnosticEvent bytes the
+    * reference passes through as `contract_event_xdr`. */
+  case class DiagEventModel(
+      in_successful_call: Boolean,
+      contract_id: Option[Array[Byte]],
+      event_type: Int, // 0 system / 1 contract / 2 diagnostic
+      topics_xdr: Seq[Array[Byte]],
+      data_xdr: Array[Byte],
+      diag_xdr: Array[Byte])
 
   /** Fee-account balance change from fee meta / TxChangesAfter — the J4
     * lookup source (`transaction.go:277-305`). */
@@ -235,7 +251,10 @@ object LedgerModel {
       min_seq_num: Option[Long] = None,
       min_seq_age: Option[Long] = None,
       min_seq_ledger_gap: Option[Long] = None,
-      extra_signer_keys: Seq[Array[Byte]] = Seq.empty)
+      extra_signer_keys: Seq[Array[Byte]] = Seq.empty,
+      // diagnostic-grain contract events (tx meta v3 SorobanMeta) — the
+      // contract_events table reads these; empty off classic meta
+      diag_events: Seq[DiagEventModel] = Seq.empty)
 
   /** One closed ledger. */
   case class LedgerRow(

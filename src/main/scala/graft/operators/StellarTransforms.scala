@@ -1527,11 +1527,14 @@ object StellarTransforms {
         // create-contract id preimage (`switchContractIdPreimageType`,
         // operation.go:2275-2295): the "from" tag rides the shared `from`
         // field and the asset the shared `asset` field
-        preimageTag = when(col("op.preimage_from_address_key").isNotNull,
+        preimageTag = when(col("op.preimage_from_address_key").isNotNull
+            || col("op.preimage_from_contract_id").isNotNull,
             lit("address"))
           .when(col("op.preimage_from_asset").isNotNull, lit("asset")),
         preimageAddress = when(col("op.preimage_from_address_key").isNotNull,
-          strkeyAccount(col("op.preimage_from_address_key"))),
+            strkeyAccount(col("op.preimage_from_address_key")))
+          .when(col("op.preimage_from_contract_id").isNotNull,
+            GraftFunctions.strkeyContract(col("op.preimage_from_contract_id"))),
         preimageAssetCanon = when(col("op.preimage_from_asset").isNotNull,
           assetCanon(col("op.preimage_from_asset")))))
     val detailsStruct = OperationDetails.struct(detailInputs)

@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths}
+
+import com.github.luben.zstd.{ZstdInputStream, ZstdOutputStream}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.codec.{StellarXdr, XdrEncode}
+import graft.model.LedgerModel.LedgerRow
+
+/** The reference's DATASTORE file layout as a Spark input format: zstd-framed
+  * `LedgerCloseMetaBatch` XDR objects, one ledger per file, 64 000 files per
+  * partition prefix (`/root/reference/internal/utils/main.go:972-1019`; the
+  * naming scheme is the public stellar-go `datastore` package's
+  * `GetObjectKeyFromSequenceNumber` — hex-INVERTED zero-padded prefixes so
+  * lexicographic listing descends by sequence and object names spread evenly
+  * across bucket index ranges).
+  *
+  * Read side: `spark.read.format("binaryFile")` over the tree (partition
+  * pruning by pushed path filters), then ONE executor-side flatMap at the
+  * deserialization boundary — decompress, decode, emit LedgerRows. Map-only:
+  * a 100 TB backfill parallelizes per file exactly like the reference's
+  * BufferedStorageBackend workers.
+  */
+object LcmBatchFiles {
+
+  val LedgersPerFile = 1L
+  val FilesPerPartition = 64000L
+
+  /** The datastore object key for a ledger sequence (public naming law). */
+  def objectKey(seq: Long, ledgersPerFile: Long = LedgersPerFile,
+      filesPerPartition: Long = FilesPerPartition): String = {
+    val partitionSize = ledgersPerFile * filesPerPartition
+    val fileStart = (seq / ledgersPerFile) * ledgersPerFile
+    val fileEnd = fileStart + ledgersPerFile - 1
+    val partitionStart = (seq / partitionSize) * partitionSize
+    val partitionEnd = partitionStart + partitionSize - 1
+    val partitionPrefix =
+      f"${0xffffffffL - partitionStart}%08x--$partitionStart-$partitionEnd"
+    val fileName =
+      if (ledgersPerFile == 1) f"${0xffffffffL - fileStart}%08x--$fileStart"
+      else f"${0xffffffffL - fileStart}%08x--$fileStart-$fileEnd"
+    s"$partitionPrefix/$fileName.xdr.zstd"
+  }
+
+  /** Write one batch object (zstd-framed LedgerCloseMetaBatch). */
+  def writeObject(root: Path, startSeq: Long, endSeq: Long,
+      lcms: Seq[Array[Byte]]): Path = {
+    val rel = objectKey(startSeq)
+    val target = root.resolve(rel)
+    Files.createDirectories(target.getParent)
+    val out = new ZstdOutputStream(
+      new BufferedOutputStream(new FileOutputStream(target.toFile)))
+    try out.write(XdrEncode.ledgerCloseMetaBatch(startSeq, endSeq, lcms))
+    finally out.close()
+    target
+  }
+
+  /** Generate a batch-file tree from encoded (header, txs) ledgers —
+    * the test/ingest-staging writer (1 ledger per file, like the
+    * reference's exporter). */
+  def writeTree(rootDir: String,
+      ledgers: Seq[(Array[Byte], Seq[XdrEncode.LcmTx])]): Unit = {
+    val root = Paths.get(rootDir)
+    ledgers.foreach { case (header, txs) =>
+      val row = StellarXdr.decodeLedgerHeader(header)
+      val lcm = XdrEncode.ledgerCloseMetaV1(header, txs)
+      writeObject(root, row.ledgerSeq, row.ledgerSeq, Seq(lcm))
+    }
+  }
+
+  private def decompress(bytes: Array[Byte]): Array[Byte] = {
+    val in = new ZstdInputStream(new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Decode one object's bytes (executor-side). */
+  def decodeObject(bytes: Array[Byte]): Seq[LedgerRow] =
+    StellarXdr.decodeLedgerCloseMetaBatch(decompress(bytes))
+
+  /** The backfill read path: binaryFile scan → executor decode. Column
+    * pruning drops `content` siblings; only `.xdr.zstd` objects match. */
+  def ledgerRows(spark: SparkSession, rootDir: String): Dataset[LedgerRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xdr.zstd")
+      .option("recursiveFileLookup", "true")
+      .load(rootDir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(decodeObject _)
+  }
+
+  /** Range-pruned variant: the object-key law maps a ledger range to its
+    * file names, so the scan lists ONLY the matching objects instead of the
+    * whole tree — the 100 TB shape (a backfill of 1M ledgers out of 200M
+    * touches 1M objects, not the full listing). */
+  def ledgerRowsForRange(spark: SparkSession, rootDir: String,
+      startSeq: Long, endSeq: Long): Dataset[LedgerRow] = {
+    import spark.implicits._
+    val paths = (startSeq to endSeq by LedgersPerFile)
+      .map(seq => s"$rootDir/${objectKey(seq)}")
+      .filter(p => Files.exists(Paths.get(p)))
+    if (paths.isEmpty) spark.emptyDataset[LedgerRow]
+    else spark.read.format("binaryFile")
+      .load(paths: _*)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(decodeObject _)
+      .filter(r => r.sequence >= startSeq && r.sequence <= endSeq)
+  }
+}

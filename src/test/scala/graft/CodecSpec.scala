@@ -282,7 +282,8 @@ class CodecSpec extends AnyFunSuite {
       Hashes.sha256("other".getBytes("UTF-8"))).isEmpty)
     // instance roundtrips through decode and renders as tagged JSON
     assert(decode(value).isInstanceOf[ContractInstance])
-    assert(toJson(decode(value)).startsWith("""{"instance":{"executable":"stellar_asset""""))
+    assert(toJson(decode(value)).startsWith(
+      """{"contract_instance":{"executable":"stellar_asset""""))
     // non-instance key → no asset
     assert(SacStorage.assetFromContractData(encode(Sym("junk")), value, rightId).isEmpty)
   }
