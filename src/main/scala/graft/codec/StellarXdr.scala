@@ -981,7 +981,20 @@ object StellarXdr {
     * read-write, the order `ledgerKeyHashFromTxEnvelope` scans them,
     * `operation.go:1859-1874`). */
   final case class SorobanDataX(resourceFee: Long, instructions: Long,
-      readBytes: Long, writeBytes: Long, footprintKeys: Seq[Array[Byte]])
+      readBytes: Long, writeBytes: Long,
+      readOnlyKeys: Seq[Array[Byte]], readWriteKeys: Seq[Array[Byte]]) {
+    /** `ledgerKeyHashFromTxEnvelope` order: read-only then read-write. */
+    def footprintKeys: Seq[Array[Byte]] = readOnlyKeys ++ readWriteKeys
+    /** `contractIdFromTxEnvelope` order: read-WRITE first, then read-only;
+      * first contract-data key with a contract-arm address wins. */
+    def footprintContractId: Option[Array[Byte]] =
+      (readWriteKeys ++ readOnlyKeys).iterator.flatMap { k =>
+        val e = ledgerKey(new Reader(k))
+        if (e.family == "contract_data" && e.soroban.contractAddrType == 1)
+          Some(e.soroban.contractId)
+        else None
+      }.nextOption()
+  }
 
   /** SorobanTransactionData: ext ‖ resources{footprint, 3×u32} ‖ resourceFee.
     * The proto-23 ext v1 arm (archived entry indexes) is consumed, not
@@ -1002,7 +1015,7 @@ object StellarXdr {
     val instructions = r.u32(); val readBytes = r.u32(); val writeBytes = r.u32()
     val resourceFee = r.i64()
     SorobanDataX(resourceFee, instructions, readBytes, writeBytes,
-      readOnly ++ readWrite)
+      readOnly, readWrite)
   }
 
   /** A fully decoded envelope plus the byte spans needed for the hash law. */
@@ -1039,6 +1052,7 @@ object StellarXdr {
 
   private def decodeTxEnvelopeFrom(r: Reader, bytes: Array[Byte],
       networkId: Array[Byte]): TxEnvelopeX = {
+    val discOffset = r.offset // envelopes may be embedded (tx sets)
     r.i32() match {
       case 0 => // ENVELOPE_TYPE_TX_V0
         val txStart = r.offset
@@ -1060,8 +1074,7 @@ object StellarXdr {
           noPrecond.copy(timeBounds = tb), m, ops, sigs, md.digest(),
           isFeeBump = false, None, None, Nil, None)
       case 2 => // ENVELOPE_TYPE_TX (v1)
-        val env = decodeV1From(r, bytes, 0, networkId)
-        env
+        decodeV1From(r, bytes, discOffset, networkId)
       case 5 => // ENVELOPE_TYPE_TX_FEE_BUMP
         val fbTxStart = r.offset
         val feeSource = muxedAccount(r)
@@ -1169,10 +1182,20 @@ object StellarXdr {
       .filter(e => e.inSuccessfulCall && e.eventType == 1)
       .map(e => SacEventRaw(e.contractId.getOrElse(Array.emptyByteArray),
         e.topicsXdr, e.dataXdr))
+    // footprint-derived contract id: create-contract invoke arms, extend-TTL
+    // and restore-footprint details take the first contract-data key's id
+    // (read-write first — `contractIdFromTxEnvelope`, operation.go:1808-1824)
+    val footprintCid = env.sorobanData.flatMap(_.footprintContractId)
     val opsWithChanges = ops.zipWithIndex.map { case (op0, i) =>
-      val op = if (op0.op_type == 24 && filteredEvents.nonEmpty)
+      val op1 = if (op0.op_type == 24 && filteredEvents.nonEmpty)
         op0.copy(sac_events = filteredEvents)
       else op0
+      val fromFootprint = op1.op_type == 25 || op1.op_type == 26 ||
+        (op1.op_type == 24 && op1.host_fn_type.exists(f =>
+          f == "create_contract" || f == "create_contract_v2"))
+      val op = if (fromFootprint && footprintCid.isDefined)
+        op1.copy(soroban_contract_id = footprintCid)
+      else op1
       meta.flatMap(_.opChanges.lift(i)) match {
         case Some(ch) => op.copy(changes = opChangesToModel(ch))
         case None => op

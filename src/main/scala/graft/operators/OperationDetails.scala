@@ -337,11 +337,12 @@ object OperationDetails {
       when(ty === 24, in.hostFnTypeName)
         .when(ty === 25, lit("extend_footprint_ttl"))
         .when(ty === 26, lit("restore_footprint")).as("type"),
-      when(ty.isin(24, 25), in.sorobanContractAddr).as("contract_id"),
+      when(ty.isin(24, 25, 26), in.sorobanContractAddr).as("contract_id"),
       // footprint-derived hashes (`ledgerKeyHashFromTxEnvelope` /
-      // `contractCodeHashFromTxEnvelope`, operation.go:1841-1874)
-      when(ty === 24, in.ledgerKeyHashArr).as("ledger_key_hash"),
-      when(ty === 24, in.contractCodeHash).as("contract_code_hash"),
+      // `contractCodeHashFromTxEnvelope`, operation.go:1841-1874; emitted
+      // for all three soroban op types, operation.go:1083-1163)
+      when(ty.isin(24, 25, 26), in.ledgerKeyHashArr).as("ledger_key_hash"),
+      when(ty.isin(24, 25, 26), in.contractCodeHash).as("contract_code_hash"),
       when(ty === 24, in.parametersB64).as("parameters"),
       when(ty === 24, in.parametersJson).as("parameters_decoded"),
       // SAC balance changes from the op's contract events

@@ -1,0 +1,354 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.{Hashes, ScVal, StellarXdr, Strkey, XdrEncode}
+import graft.model.LedgerModel._
+import graft.operators.{SorobanStateTables, StellarTransforms}
+import graft.sources.LcmBatchFiles
+
+/** End-to-end Soroban TRANSACTION vectors through the real-XDR path: the
+  * classic-era golden corpus has no type-24/25/26 operations, so these
+  * synthesize post-protocol-20 envelopes/results/v3-meta with [[XdrEncode]]
+  * (real wire layout), decode with the production [[StellarXdr]], and assert
+  * the reference's laws on the UNCHANGED transforms — soroban fee
+  * decomposition (`transaction.go:131-191`), invoke/extend/restore details
+  * (`operation.go:1063-1163`), footprint-derived hashes
+  * (`operation.go:1797-1885`), SAC asset_balance_changes
+  * (`operation.go:1942-1998`), and the contract-events fan-out.
+  *
+  * Also proves the datastore batch-file path ([[LcmBatchFiles]]): write a
+  * `LedgerCloseMetaBatch` tree (1 ledger/file), read it back through the
+  * binaryFile scan + executor decode, and match the direct decode.
+  */
+class SorobanTxReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val om = new ObjectMapper()
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-soroban-tx-replay")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def key(s: String): Array[Byte] =
+    Hashes.sha256(s.getBytes("UTF-8"))
+
+  private val srcKey = key("src")
+  private val contractId = key("contract")
+  private val codeHash = key("code")
+  private val dataKey = ScVal.encode(ScVal.Sym("K"))
+
+  private def sorobanData = XdrEncode.SorobanData(
+    resourceFee = 40000L, instructions = 1000000L,
+    readBytes = 5000L, writeBytes = 2000L,
+    readOnlyKeys = Seq(XdrEncode.contractCodeLedgerKey(codeHash)),
+    readWriteKeys = Seq(
+      XdrEncode.contractDataLedgerKey(contractId, dataKey, 1)))
+
+  /** A SAC transfer event + a junk contract event + a diagnostic-only
+    * fn_call event (filtered out of asset_balance_changes, kept in the
+    * contract_events table). */
+  private def metaEvents: Seq[Array[Byte]] = {
+    import ScVal._
+    val transfer = XdrEncode.contractEvent(Some(contractId), 1,
+      Seq(encode(Sym("transfer")), encode(AddrAccount(srcKey)),
+        encode(AddrContract(contractId)), encode(Str("native"))),
+      encode(I128(0L, 5000000L)))
+    val junk = XdrEncode.contractEvent(Some(contractId), 1,
+      Seq(encode(Sym("custom_event"))), encode(Sym("not_an_amount")))
+    val fnCall = XdrEncode.contractEvent(None, 2,
+      Seq(encode(Sym("fn_call"))), encode(Void))
+    Seq(
+      XdrEncode.diagnosticEvent(inSuccessful = true, transfer),
+      XdrEncode.diagnosticEvent(inSuccessful = true, junk),
+      XdrEncode.diagnosticEvent(inSuccessful = false, fnCall))
+  }
+
+  private def sorobanMetaSpec = XdrEncode.SorobanMetaSpec(
+    nonRefundable = 25000L, refundable = 5000L, rent = 1500L,
+    diagnosticEvents = metaEvents)
+
+  /** Build one soroban tx (envelope/result/meta/feeMeta) around an op. */
+  private def sorobanTx(op: XdrEncode.OpBody,
+      opResult: XdrEncode.OpResultSpec): XdrEncode.LcmTx = {
+    val env = XdrEncode.txEnvelopeV1(XdrEncode.TxSpec(
+      sourceKey = srcKey, fee = 140000L, seqNum = 42L, ops = Seq(op),
+      memoText = Some("sorotest"), soroban = Some(sorobanData)))
+    val result = XdrEncode.txResult(120000L, 0, Seq(opResult))
+    val meta = XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(
+      opChanges = Seq(Seq(
+        XdrEncode.change(0, XdrEncode.ledgerEntry(900L,
+          XdrEncode.ttlEntry(key("ttlkey"), 99999L))))),
+      txChangesAfter = Seq(
+        XdrEncode.change(3, XdrEncode.ledgerEntry(1L,
+          XdrEncode.accountEntry(srcKey, 500000000L))),
+        XdrEncode.change(1, XdrEncode.ledgerEntry(1L,
+          XdrEncode.accountEntry(srcKey, 500010000L)))),
+      soroban = Some(sorobanMetaSpec)))
+    val feeMeta = XdrEncode.feeMetaPair(srcKey, 1000000000L, 1000000000L - 130000L)
+    XdrEncode.LcmTx(env, result, meta, feeMeta)
+  }
+
+  private def ledgerRowOf(tx: XdrEncode.LcmTx, seq: Long = 55555L): LedgerRow = {
+    val header = XdrEncode.ledgerHeader(
+      XdrEncode.HeaderSpec(seq = seq, closeTime = 1719250210L))
+    def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+    StellarXdr.decodeLedgerRow(b64(header), Seq(StellarXdr.TxInput(
+      b64(tx.envelope), b64(tx.result), b64(tx.meta), b64(tx.feeMeta))))
+  }
+
+  private def toDs(rows: Seq[LedgerRow]) = {
+    val s = spark; import s.implicits._
+    rows.toDS()
+  }
+
+  private def invokeTx = sorobanTx(
+    XdrEncode.invokeContractOp(contractId, "swap",
+      Seq(ScVal.encode(ScVal.U64(77L)), ScVal.encode(ScVal.I32(-5)))),
+    XdrEncode.invokeSuccess(key("retval")))
+
+  // ---- soroban fee decomposition ---------------------------------------------
+
+  test("soroban fees: the full decomposition law on a synthetic invoke tx") {
+    val out = StellarTransforms.historyTransactions(toDs(Seq(ledgerRowOf(invokeTx))))
+      .collect().head
+    def g(c: String): Long = out.getAs[Long](c)
+    assert(g("resource_fee") == 40000L)
+    assert(g("soroban_resources_instructions") == 1000000L)
+    assert(g("soroban_resources_read_bytes") == 5000L)
+    assert(g("soroban_resources_write_bytes") == 2000L)
+    assert(g("max_fee") == 140000L)
+    assert(g("fee_charged") == 120000L)
+    assert(g("inclusion_fee_bid") == 100000L) // max_fee - resource_fee
+    // fee-meta diff 130000 - resource_fee
+    assert(g("inclusion_fee_charged") == 90000L)
+    assert(g("resource_fee_refund") == 10000L) // txChangesAfter balance diff
+    assert(g("non_refundable_resource_fee_charged") == 25000L)
+    assert(g("refundable_resource_fee_charged") == 5000L)
+    assert(g("rent_fee_charged") == 1500L)
+    // the hash law still holds with the soroban ext in the envelope bytes
+    assert(out.getAs[String]("transaction_hash") ==
+      StellarXdr.txHashHex(out.getAs[String]("tx_envelope")))
+  }
+
+  // ---- invoke details ---------------------------------------------------------
+
+  private def opDetails(tx: XdrEncode.LcmTx): com.fasterxml.jackson.databind.JsonNode = {
+    val row = StellarTransforms.historyOperations(toDs(Seq(ledgerRowOf(tx))))
+      .selectExpr("type_string", "cast(details_json as string) as dj")
+      .collect().head
+    om.readTree(row.getAs[String]("dj"))
+  }
+
+  test("invoke_contract details: reference key law on real wire bytes") {
+    val d = opDetails(invokeTx)
+    assert(d.get("function").asText() ==
+      "HostFunctionTypeHostFunctionTypeInvokeContract")
+    assert(d.get("type").asText() == "invoke_contract")
+    assert(d.get("contract_id").asText() == Strkey.encodeContract(contractId))
+    assert(d.get("contract_code_hash").asText() == Hashes.hex(codeHash))
+    // ledger_key_hash: sha256 of each footprint key, read-only first
+    val expectedHashes = Seq(
+      Hashes.sha256Hex(XdrEncode.contractCodeLedgerKey(codeHash)),
+      Hashes.sha256Hex(XdrEncode.contractDataLedgerKey(contractId, dataKey, 1)))
+    val gotSeq = d.get("ledger_key_hash").elements().asScala
+      .map(_.asText()).toSeq
+    assert(gotSeq == expectedHashes)
+    // parameters: [address, symbol, arg...] — the reference PREPENDS the
+    // target and function name (operation.go:1068-1075)
+    val params = d.get("parameters").elements().asScala
+      .map(_.asText()).toSeq
+    assert(params == Seq(
+      java.util.Base64.getEncoder.encodeToString(
+        ScVal.encode(ScVal.AddrContract(contractId))),
+      java.util.Base64.getEncoder.encodeToString(
+        ScVal.encode(ScVal.Sym("swap"))),
+      java.util.Base64.getEncoder.encodeToString(ScVal.encode(ScVal.U64(77L))),
+      java.util.Base64.getEncoder.encodeToString(ScVal.encode(ScVal.I32(-5)))))
+    // parameters_decoded: array elements ride as JSON strings in our typed
+    // details (the whole-array form the soroban catalog oracle re-derives)
+    val decoded = d.get("parameters_decoded")
+    assert(om.readTree(decoded.get(1).asText()).toString ==
+      """{"symbol":"swap"}""")
+    assert(om.readTree(decoded.get(2).asText()).toString == """{"u64":77}""")
+    // asset_balance_changes: the SAC transfer only (junk + diagnostic
+    // events filtered out)
+    val abc = d.get("asset_balance_changes")
+    assert(abc.size() == 1, abc.toString)
+    val t0 = abc.get(0)
+    assert(t0.get("type").asText() == "transfer")
+    assert(t0.get("from").asText() == Strkey.encodeAccountId(srcKey))
+    assert(t0.get("to").asText() == Strkey.encodeContract(contractId))
+    assert(t0.get("amount").asText() == "0.5000000")
+    assert(t0.get("asset_type").asText() == "native")
+  }
+
+  test("create_contract details: account + contract deployer arms, " +
+      "footprint-derived contract id") {
+    val accountArm = sorobanTx(
+      XdrEncode.createContractOp(0, key("deployer"), key("salt"), codeHash),
+      XdrEncode.invokeSuccess(key("r2")))
+    val d = opDetails(accountArm)
+    assert(d.get("type").asText() == "create_contract")
+    assert(d.get("from").asText() == "address")
+    assert(d.get("address").asText() == Strkey.encodeAccountId(key("deployer")))
+    // contract id comes from the FOOTPRINT, not the preimage
+    assert(d.get("contract_id").asText() == Strkey.encodeContract(contractId))
+    assert(d.get("contract_code_hash").asText() == Hashes.hex(codeHash))
+    assert(d.get("parameters") == null)
+
+    val contractArm = sorobanTx(
+      XdrEncode.createContractOp(1, key("factory"), key("salt2"), codeHash,
+        v2 = true, ctorArgs = Seq(ScVal.encode(ScVal.U32(9)))),
+      XdrEncode.invokeSuccess(key("r3")))
+    val d2 = opDetails(contractArm)
+    assert(d2.get("type").asText() == "create_contract_v2")
+    assert(d2.get("address").asText() == Strkey.encodeContract(key("factory")))
+    assert(om.readTree(d2.get("parameters_decoded").get(0).asText())
+      .toString == """{"u32":9}""")
+  }
+
+  test("upload_wasm / extend_footprint_ttl / restore_footprint details") {
+    val up = opDetails(sorobanTx(
+      XdrEncode.uploadWasmOp(Array[Byte](0, 97, 115, 109)),
+      XdrEncode.invokeSuccess(key("r4"))))
+    assert(up.get("type").asText() == "upload_wasm")
+    assert(up.get("contract_id") == null) // upload has no contract id
+    assert(up.get("contract_code_hash").asText() == Hashes.hex(codeHash))
+
+    val ext = opDetails(sorobanTx(XdrEncode.extendTtlOp(123456L),
+      XdrEncode.OpResultSpec(25, 0)))
+    assert(ext.get("type").asText() == "extend_footprint_ttl")
+    assert(ext.get("extend_to").asLong() == 123456L)
+    // footprint-derived id + hashes on the TTL ops too (operation.go:1144-1163)
+    assert(ext.get("contract_id").asText() == Strkey.encodeContract(contractId))
+    assert(ext.get("contract_code_hash").asText() == Hashes.hex(codeHash))
+    assert(ext.get("ledger_key_hash").size() == 2)
+
+    val rst = opDetails(sorobanTx(XdrEncode.restoreFootprintOp(),
+      XdrEncode.OpResultSpec(26, 0)))
+    assert(rst.get("type").asText() == "restore_footprint")
+    assert(rst.get("contract_id").asText() == Strkey.encodeContract(contractId))
+    assert(rst.get("ledger_key_hash").size() == 2)
+  }
+
+  test("operation codes: the three soroban result arms name correctly") {
+    def trace(opType: Int, code: Int, payload: XdrEncode.W => Unit = _ => ()) = {
+      val res = StellarXdr.decodeTransactionResult(XdrEncode.txResult(
+        100L, 0, Seq(XdrEncode.OpResultSpec(opType, code, payload))))
+      res.opResults.head.traceCode
+    }
+    assert(trace(24, 0, _.raw(key("h"))) ==
+      "InvokeHostFunctionResultCodeInvokeHostFunctionSuccess")
+    assert(trace(24, -2) ==
+      "InvokeHostFunctionResultCodeInvokeHostFunctionTrapped")
+    assert(trace(24, -4) ==
+      "InvokeHostFunctionResultCodeInvokeHostFunctionEntryArchived")
+    assert(trace(25, -3) ==
+      "ExtendFootprintTtlResultCodeExtendFootprintTtlInsufficientRefundableFee")
+    assert(trace(26, -1) ==
+      "RestoreFootprintResultCodeRestoreFootprintMalformed")
+  }
+
+  // ---- contract events off the decoded ledger row ----------------------------
+
+  test("contract_events table: the tx meta fan-out matches the planted events") {
+    val out = SorobanStateTables.contractEventsFromLedgers(
+      toDs(Seq(ledgerRowOf(invokeTx)))).collect()
+    assert(out.length == 3)
+    val byType = out.groupBy(_.getAs[String]("type_string"))
+    assert(byType("ContractEventTypeContract").length == 2)
+    assert(byType("ContractEventTypeDiagnostic").length == 1)
+    val diag = byType("ContractEventTypeDiagnostic").head
+    assert(!diag.getAs[Boolean]("in_successful_contract_call"))
+    assert(diag.getAs[String]("contract_id") == "")
+    val transfer = out.find(r =>
+      r.getAs[String]("data_decoded").contains("i128")).get
+    assert(transfer.getAs[String]("contract_id") ==
+      Strkey.encodeContract(contractId))
+    assert(transfer.getAs[Long]("transaction_id") ==
+      graft.codec.Toid.transactionId(55555L, 1L))
+    // passthrough bytes are the exact DiagnosticEvent slices
+    val expected = metaEvents.map(
+      java.util.Base64.getEncoder.encodeToString).toSet
+    assert(out.map(_.getAs[String]("contract_event_xdr")).toSet == expected)
+  }
+
+  // ---- plain-events conversion (SorobanMeta.events, no diagnostics) ---------
+
+  test("SorobanMeta.events (no diagnosticEvents) convert with " +
+      "inSuccessfulContractCall=true — the Go SDK GetDiagnosticEvents law") {
+    import ScVal._
+    val ev = XdrEncode.contractEvent(Some(contractId), 1,
+      Seq(encode(Sym("mint")), encode(AddrAccount(srcKey)),
+        encode(Str("native"))), encode(I128(0L, 42L)))
+    val meta = XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(
+      opChanges = Seq(Nil),
+      soroban = Some(XdrEncode.SorobanMetaSpec(0L, 0L, 0L,
+        events = Seq(ev)))))
+    val decoded = StellarXdr.decodeTxMeta(meta)
+    val got = decoded.sorobanMeta.get.events
+    assert(got.length == 1 && got.head.inSuccessfulCall)
+    // converted rendering: bool(1) prepended to the event bytes
+    assert(java.util.Arrays.equals(got.head.rawDiagXdr,
+      XdrEncode.diagnosticEvent(inSuccessful = true, ev)))
+  }
+
+  // ---- datastore batch files --------------------------------------------------
+
+  test("datastore batch files: write the tree, read through binaryFile + " +
+      "executor decode, match the direct path") {
+    val dir = java.nio.file.Files.createTempDirectory("lcm-batch").toString
+    val classicTx = {
+      val env = XdrEncode.txEnvelopeV1(XdrEncode.TxSpec(
+        sourceKey = key("alice"), fee = 200L, seqNum = 7L,
+        ops = Seq(XdrEncode.paymentOp(key("bob"),
+          AssetRef("native", "", ""), 2500000L))))
+      XdrEncode.LcmTx(env,
+        XdrEncode.txResult(100L, 0, Seq(XdrEncode.OpResultSpec(1, 0))),
+        XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(opChanges = Seq(Nil))),
+        XdrEncode.feeMetaPair(key("alice"), 99999999L, 99999899L))
+    }
+    val headers = Seq(70001L, 70002L, 70003L).map(seq =>
+      XdrEncode.ledgerHeader(XdrEncode.HeaderSpec(seq, 1719250000L + seq)))
+    LcmBatchFiles.writeTree(dir, Seq(
+      (headers(0), Seq(classicTx)),
+      (headers(1), Seq(invokeTx)),
+      (headers(2), Nil)))
+    // the naming law: hex-inverted partition + file prefixes
+    assert(LcmBatchFiles.objectKey(2) == "ffffffff--0-63999/fffffffd--2.xdr.zstd")
+    assert(LcmBatchFiles.objectKey(70001L) ==
+      "ffff05ff--64000-127999/fffeee8e--70001.xdr.zstd")
+
+    val rows = LcmBatchFiles.ledgerRows(spark, dir)
+    val txsOut = StellarTransforms.historyTransactions(rows)
+      .select("ledger_sequence", "transaction_hash", "fee_charged",
+        "resource_fee", "account")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val direct = StellarTransforms.historyTransactions(toDs(Seq(
+        ledgerRowOf(classicTx, 70001L), ledgerRowOf(invokeTx, 70002L))))
+      .select("ledger_sequence", "transaction_hash", "fee_charged",
+        "resource_fee", "account")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(txsOut == direct && txsOut.size == 2)
+    // ledger grain: all three ledgers decode, incl. the empty one
+    assert(rows.collect().map(_.sequence).sorted.toSeq ==
+      Seq(70001L, 70002L, 70003L))
+    // range pruning: the two-ledger slice lists only its own objects
+    val pruned = LcmBatchFiles.ledgerRowsForRange(spark, dir, 70002L, 70003L)
+    assert(pruned.collect().map(_.sequence).sorted.toSeq ==
+      Seq(70002L, 70003L))
+  }
+}
