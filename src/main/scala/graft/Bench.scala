@@ -151,6 +151,18 @@ object Bench {
     val noiseMax = if (spreads.isEmpty) 0.0 else spreads.last
     val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","failed":$nFailed,"reps_min":$minReps,"reps_max":$maxReps,"noise_med":$noiseMed,"noise_max":$noiseMax,"isolated":$iso,"queries":$qs,"steady":$steady,"sf":"$sfDir"}"""
     println(line)
+    // the round artifact keeps only the last ~2000 stdout chars and parses
+    // a JSON object out of them — the full line above is 4× that, so it
+    // can never parse from the tail. Emit a compact structured summary as
+    // the FINAL line: totals + the slowest steady queries, always well
+    // under the tail window (full per-query detail stays in the long line
+    // and bench_latest.json).
+    val slowest = results.collect { case (k, mn, _) if mn > 0 =>
+        k -> steadyOf(k, mn) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","failed":$nFailed,"reps_min":$minReps,"reps_max":$maxReps,"noise_med":$noiseMed,"queries":$slowest,"detail":"bench_latest.json","sf":"$sfDir"}""")
     // the round artifact keeps only the TAIL of stdout, which truncates
     // half the per-query numbers once the suite passes ~100 queries — so
     // also persist the full line to a file in the repo root. FULL suite

@@ -51,6 +51,7 @@ object Export {
       output: String = "", input: Option[String] = None,
       wireInput: Option[String] = None,
       xdrInput: Option[String] = None,
+      permissive: Boolean = false,
       format: String = "ndjson",
       limit: Long = -1,
       extraFields: Map[String, String] = Map.empty,
@@ -71,6 +72,7 @@ object Export {
       case "--input" :: v :: t => loop(a.copy(input = Some(v)), t)
       case "--wire-input" :: v :: t => loop(a.copy(wireInput = Some(v)), t)
       case "--xdr-input" :: v :: t => loop(a.copy(xdrInput = Some(v)), t)
+      case "--permissive" :: t => loop(a.copy(permissive = true), t)
       case "--format" :: v :: t => loop(a.copy(format = v), t)
       case ("--limit" | "-l") :: v :: t => loop(a.copy(limit = v.toLong), t)
       case "--export-type" :: v :: t => loop(a.copy(exportType = v), t)
@@ -185,6 +187,23 @@ object Export {
       // (tx_envelope, tx_result[, tx_meta, tx_fee_meta]); decodes in the
       // executors (RealXdrSource) and feeds the same model-path transforms,
       // so every export command replays genuine archive bytes
+      // --permissive: poison frames become REPORTED error rows — counted
+      // by an observe() metric riding the export query, dumped beside the
+      // output, surfaced in the stats line — never silently dropped
+      case (Some(path), _) if a.permissive =>
+        val res = graft.operators.RealXdrSource
+          .ledgerRowsPermissive(spark.read.json(path)).persist()
+        val errs = res.filter(r => r.error.isDefined)
+        val nBad = errs.count()
+        if (nBad > 0) {
+          val errPath = a.output.stripSuffix("/") + "_decode_errors"
+          errs.toDF().select(col("error"), col("ledger_header"))
+            .write.mode("overwrite").json(errPath)
+          println(s"""{"xdr_poisoned":$nBad,"errors_path":"$errPath"}""")
+        }
+        graft.operators.Stats.observedDecode(res.toDF())
+          .as[graft.operators.RealXdrSource.DecodeResult]
+          .flatMap(_.row)
       case (Some(path), _) =>
         graft.operators.RealXdrSource.ledgerRows(spark.read.json(path))
       case (None, Some(path)) =>
@@ -256,6 +275,23 @@ object Export {
   /** Command dispatch, separated from `main` so tests can drive commands on
     * a shared session without `spark.stop()` tearing it down. */
   def run(spark: SparkSession, a: Args): Unit = {
+    import spark.implicits._
+
+    // permissive-decode observability: print the observe() counters that
+    // ride the export query (frames/decoded/poisoned) once the sink runs
+    val unlisten: () => Unit =
+      if (a.permissive)
+        graft.operators.Stats.listen(spark,
+            graft.operators.Stats.DecodeMetricName) { m =>
+          println(s"""{"xdr_frames":${m.getOrElse("frames", 0L)},""" +
+            s""""xdr_decoded":${m.getOrElse("decoded", 0L)},""" +
+            s""""xdr_poisoned":${m.getOrElse("poisoned", 0L)}}""")
+        }
+      else () => ()
+    try runInner(spark, a) finally unlisten()
+  }
+
+  private def runInner(spark: SparkSession, a: Args): Unit = {
     import spark.implicits._
 
     // fail fast on a missing --end for every bounded export command; the

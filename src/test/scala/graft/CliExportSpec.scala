@@ -200,6 +200,55 @@ class CliExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("--wire-input supports"))
   }
 
+  test("--permissive --xdr-input: a poison frame is reported (counted in " +
+      "the observe() metric, dumped beside the output), never dropped") {
+    // one good real-XDR frame + one truncated header
+    val golden = scala.io.Source.fromFile(
+      "/root/reference/testdata/ledgers/10_ledgers.golden").getLines()
+      .filter(_.trim.nonEmpty).take(1).toSeq.head
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val header = om.readTree(golden).get("ledger_header").asText()
+    val seq = om.readTree(golden).get("sequence").asLong()
+    val tx = om.readTree(scala.io.Source.fromFile(
+      "/root/reference/testdata/transactions/10_ledgers_txs.golden")
+      .getLines().filter(_.trim.nonEmpty).take(1).toSeq.head)
+    val txJson = s"""{"tx_envelope":${tx.get("tx_envelope")},""" +
+      s""""tx_result":${tx.get("tx_result")}}"""
+    val in = tmpDir("permissive-in")
+    Files.writeString(Paths.get(in, "frames.json"),
+      s"""{"ledger_header":"$header","transactions":[$txJson]}\n""" +
+        s"""{"ledger_header":"${header.dropRight(8)}","transactions":[$txJson]}\n""")
+    val out = tmpDir("permissive-out") + "/ledgers"
+
+    val stdout = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(stdout)) {
+      Export.run(spark, Export.parse(Array(
+        "export_ledgers", "--start", seq.toString, "--end", seq.toString,
+        "--xdr-input", s"$in/frames.json", "--permissive",
+        "--output", out, "--format", "ndjson")))
+    }
+    val printed = stdout.toString("UTF-8")
+    // the poisoned count reaches the stats output...
+    assert(printed.contains(""""xdr_poisoned":1"""), printed)
+    // ...and the offending frame is dumped beside the export
+    val errDir = Paths.get(out + "_decode_errors")
+    assert(Files.exists(errDir))
+    val errRows = Files.list(errDir).iterator().asScala
+      .filter(_.toString.endsWith(".json")).flatMap(ndjsonLines(_)).toSeq
+    assert(errRows.size == 1 && errRows.head.contains("XdrError"))
+    // the good frame still exported
+    val rows = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.toString.endsWith(".json")).flatMap(ndjsonLines(_)).toSeq
+    assert(rows.size == 1 && rows.head.contains(s""""sequence":$seq"""))
+    // fail-fast default: the same input without --permissive throws
+    intercept[org.apache.spark.SparkException] {
+      Export.run(spark, Export.parse(Array(
+        "export_ledgers", "--start", seq.toString, "--end", seq.toString,
+        "--xdr-input", s"$in/frames.json",
+        "--output", tmpDir("strict-out") + "/x", "--format", "ndjson")))
+    }
+  }
+
   test("upload_to_gcs: upload-verify-delete over the Hadoop FS abstraction") {
     // the reference's K3 contract (upload_to_gcs.go:25-74): copy to the
     // bucket with the LOCAL PATH as the object key, verify the uploaded

@@ -511,6 +511,72 @@ class RealXdrReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.size == 650 && streamed == batch)
   }
 
+  /** Directive-3 widening: the FULL table fan-out per micro-batch — the
+    * same foreachBatch a production incremental backfill would run
+    * (effects + trades + token transfers off real bytes), multiset-equal
+    * to the batch replay. */
+  test("streaming: full fan-out (effects/trades/transfers) in foreachBatch " +
+      "matches the batch path on real bytes") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("xdr-stream-fanout")
+    val txDf = s.read.json(
+      "/root/reference/testdata/transactions/10_ledgers_txs.golden")
+    val ledDf = s.read.json(
+      "/root/reference/testdata/ledgers/10_ledgers.golden")
+    val frames = ledDf.select(col("sequence"), col("ledger_header"))
+      .join(txDf.select(col("ledger_sequence"), col("id"),
+          struct(col("tx_envelope"), col("tx_result"), col("tx_meta"),
+            col("tx_fee_meta")).as("tx")),
+        col("sequence") === col("ledger_sequence"), "left")
+      .groupBy("sequence", "ledger_header")
+      .agg(transform(array_sort(collect_list(struct(col("id"), col("tx")))),
+        x => x("tx")).as("transactions"))
+      .select("ledger_header", "transactions")
+    // several input files → several micro-batches with maxFilesPerTrigger
+    frames.repartition(3).write.mode("overwrite")
+      .json(dir.resolve("in").toString)
+    val stream = s.readStream.schema(frames.schema)
+      .option("maxFilesPerTrigger", "1").json(dir.resolve("in").toString)
+    val streamRows = graft.operators.RealXdrSource.ledgerRows(stream)
+
+    val effAcc = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val tradeAcc = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val xferAcc = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = streamRows.writeStream
+      .foreachBatch { (batch: Dataset[LedgerRow], _: Long) =>
+        val b = batch.persist()
+        graft.operators.StellarTradesEffects.historyEffects(b)
+          .toJSON.collect().foreach(effAcc.add)
+        graft.operators.StellarTradesEffects.historyTrades(b)
+          .toJSON.collect().foreach(tradeAcc.add)
+        graft.operators.TokenTransfers.fromLedgers(b)
+          .toJSON.collect().foreach(xferAcc.add)
+        b.unpersist(); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    def multiset(xs: Iterable[String]) = {
+      // drop key order variance by re-parsing to sorted-key canonical form
+      xs.map(x => om.readTree(x)).map(_.toString)
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val batchRows = toDs(ledgerRows(
+      rows("ledgers", "10_ledgers.golden"),
+      rows("transactions", "10_ledgers_txs.golden")))
+    assert(multiset(effAcc.asScala) == multiset(
+      graft.operators.StellarTradesEffects.historyEffects(batchRows)
+        .toJSON.collect()))
+    assert(multiset(tradeAcc.asScala) == multiset(
+      graft.operators.StellarTradesEffects.historyTrades(batchRows)
+        .toJSON.collect()))
+    assert(multiset(xferAcc.asScala) == multiset(
+      graft.operators.TokenTransfers.fromLedgers(batchRows)
+        .toJSON.collect()))
+    assert(effAcc.size > 0 && tradeAcc.size > 0 && xferAcc.size > 0)
+  }
+
   // ---- decoder robustness --------------------------------------------------
 
   /** Malformed input surfaces as XdrError, never a silent partial decode,
