@@ -48,6 +48,16 @@ object QueryCatalog {
     d.getAbsolutePath
   }
 
+  /** REAL-XDR datastore batch-file tree (zstd LedgerCloseMetaBatch, the
+    * reference's backfill substrate) with post-protocol-20 soroban txs —
+    * affine laws in [[graft.sources.RealXdrFixture]]. */
+  private lazy val xdrBatchDir: String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-xdrbatch-${ProcessHandle.current().pid()}")
+    graft.sources.RealXdrFixture.writeBatchTree(d.getAbsolutePath, 3000, 3127)
+    d.getAbsolutePath
+  }
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -4539,7 +4549,130 @@ object QueryCatalog {
              |ORDER BY 1, 2""".stripMargin),
       (s, dir) =>
         EntryProjections.withSponsor(LedgerFixtures.ledgers(s, dir))
-          .orderBy("ledger_sequence", "tx_order"))
+          .orderBy("ledger_sequence", "tx_order")),
+
+    Q("stellar_soroban_real_xdr",
+      // the soroban FEE DECOMPOSITION law over genuine wire bytes read
+      // from the datastore batch-file layout: envelopes with
+      // SorobanTransactionData + v3 meta with the SorobanMeta fee ext,
+      // decoded in executors (LcmBatchFiles → StellarXdr), every output
+      // re-derived by DuckDB from the RealXdrFixture affine laws
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(3000, 3127)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 3)) AS t FROM ls)
+             |SELECT (CAST(seq AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12)
+             |    AS id,
+             |  ${strkeyG("sha256('sacct-' || seq || '-' || t)")} AS account,
+             |  CAST(100 * seq + t AS BIGINT) AS account_sequence,
+             |  CAST(100000 + seq + 10 * t AS BIGINT) AS max_fee,
+             |  CAST(90000 + seq % 977 + t AS BIGINT) AS fee_charged,
+             |  CASE WHEN t % 2 = 0 THEN 'm-' || seq || '-' || t
+             |       ELSE '' END AS memo,
+             |  CAST(40000 + seq % 1000 + t AS BIGINT) AS resource_fee,
+             |  CAST(1000000 + 3 * seq + t AS BIGINT)
+             |    AS soroban_resources_instructions,
+             |  CAST(5000 + t AS BIGINT) AS soroban_resources_read_bytes,
+             |  CAST(2000 + t AS BIGINT) AS soroban_resources_write_bytes,
+             |  CAST(100000 + seq + 10 * t - (40000 + seq % 1000 + t) AS BIGINT)
+             |    AS inclusion_fee_bid,
+             |  CAST(95000 + seq % 500 + t - (40000 + seq % 1000 + t) AS BIGINT)
+             |    AS inclusion_fee_charged,
+             |  CAST(1200 + (seq + t) % 100 AS BIGINT) AS resource_fee_refund,
+             |  CAST(30000 + t AS BIGINT) AS non_refundable_resource_fee_charged,
+             |  CAST(7000 + seq % 100 AS BIGINT) AS refundable_resource_fee_charged,
+             |  CAST(900 + t AS BIGINT) AS rent_fee_charged
+             |FROM tx ORDER BY id""".stripMargin),
+      (s, dir) =>
+        StellarTransforms.historyTransactions(
+            graft.sources.LcmBatchFiles.ledgerRowsForRange(
+              s, xdrBatchDir, 3000, 3127))
+          .select("id", "account", "account_sequence", "max_fee",
+            "fee_charged", "memo", "resource_fee",
+            "soroban_resources_instructions", "soroban_resources_read_bytes",
+            "soroban_resources_write_bytes", "inclusion_fee_bid",
+            "inclusion_fee_charged", "resource_fee_refund",
+            "non_refundable_resource_fee_charged",
+            "refundable_resource_fee_charged", "rent_fee_charged")
+          .orderBy("id")),
+
+    Q("stellar_soroban_real_ops",
+      // invoke details off the same genuine bytes: the footprint-derived
+      // contract_code_hash, the invoked contract strkey, and the
+      // serializeParameters base64 vector (address ‖ symbol ‖ args,
+      // operation.go:1068-1075) rebuilt hex-by-hex in DuckDB
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(3000, 3127)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 3)) AS t FROM ls),
+             |o AS (SELECT seq, t, 'fn' || (t % 3) AS fn,
+             |             sha256('ct-' || seq || '-' || t) AS cthex FROM tx)
+             |SELECT (CAST(seq AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12)
+             |    | 1 AS id,
+             |  seq AS ledger_sequence,
+             |  'invoke_host_function' AS type_string,
+             |  'invoke_contract' AS fn_type,
+             |  ${strkeyC("cthex")} AS contract_id,
+             |  sha256('code-' || seq || '-' || t) AS contract_code_hash,
+             |  to_json([
+             |    to_base64(from_hex('0000001200000001' || cthex)),
+             |    to_base64(from_hex('0000000f00000003' || hex(encode(fn))
+             |      || '00')),
+             |    to_base64(from_hex('00000005'
+             |      || format('{:016x}', 2 * seq + t)))]) AS parameters
+             |FROM o ORDER BY id""".stripMargin),
+      (s, dir) =>
+        StellarTransforms.historyOperations(
+            graft.sources.LcmBatchFiles.ledgerRowsForRange(
+              s, xdrBatchDir, 3000, 3127))
+          .select(col("id"), col("ledger_sequence"), col("type_string"),
+            col("details.type").as("fn_type"),
+            col("details.contract_id").as("contract_id"),
+            col("details.contract_code_hash").as("contract_code_hash"),
+            to_json(col("details.parameters")).as("parameters"))
+          .orderBy("id")),
+
+    Q("stellar_contract_events_real_xdr",
+      // the contract_events table off the same genuine bytes: strkey
+      // contract ids, topics/data as base64(ScVal XDR) + decoded JSON,
+      // and the DiagnosticEvent passthrough — every byte rebuilt by
+      // DuckDB from the planted SAC-transfer law
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(3000, 3127)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 3)) AS t FROM ls),
+             |o AS (SELECT seq, t,
+             |             sha256('ct-' || seq || '-' || t) AS cthex,
+             |             sha256('sacct-' || seq || '-' || t) AS srchex,
+             |             5000000 + seq + t AS amt FROM tx),
+             |e AS (SELECT *,
+             |  '0000000f00000008' || hex(encode('transfer')) AS t0,
+             |  '000000120000000000000000' || srchex AS t1,
+             |  '0000001200000001' || cthex AS t2,
+             |  '0000000e00000006' || hex(encode('native')) || '0000' AS t3,
+             |  '0000000a0000000000000000' || format('{:016x}', amt) AS dhex
+             |  FROM o)
+             |SELECT (CAST(seq AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12)
+             |    AS transaction_id,
+             |  seq AS ledger_sequence,
+             |  true AS successful,
+             |  true AS in_successful_contract_call,
+             |  ${strkeyC("cthex")} AS contract_id,
+             |  CAST(1 AS INT) AS type,
+             |  'ContractEventTypeContract' AS type_string,
+             |  to_json([to_base64(from_hex(t0)), to_base64(from_hex(t1)),
+             |           to_base64(from_hex(t2)), to_base64(from_hex(t3))])
+             |    AS topics,
+             |  to_base64(from_hex(dhex)) AS data,
+             |  '{"i128":{"hi":0,"lo":' || amt || '}}' AS data_decoded,
+             |  to_base64(from_hex('0000000100000000' || '00000001' || cthex
+             |    || '00000001' || '00000000' || '00000004'
+             |    || t0 || t1 || t2 || t3 || dhex)) AS contract_event_xdr
+             |FROM e ORDER BY transaction_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.SorobanStateTables.contractEventsFromLedgers(
+            graft.sources.LcmBatchFiles.ledgerRowsForRange(
+              s, xdrBatchDir, 3000, 3127))
+          .select(col("transaction_id"), col("ledger_sequence"),
+            col("successful"), col("in_successful_contract_call"),
+            col("contract_id"), col("type"), col("type_string"),
+            to_json(col("topics")).as("topics"),
+            col("data"), col("data_decoded"), col("contract_event_xdr"))
+          .orderBy("transaction_id"))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

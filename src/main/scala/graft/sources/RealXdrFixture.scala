@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.codec.{Hashes, ScVal, XdrEncode}
+
+/** Deterministic post-protocol-20 REAL-XDR ledgers for the catalog's
+  * round-trip gate: every value is affine in (seq, t) so the DuckDB oracle
+  * re-derives the expected output while the engine decodes genuine wire
+  * bytes — envelopes with SorobanTransactionData, results, v3 meta with
+  * SorobanMeta fee ext + SAC events, fee meta — through the datastore
+  * batch-file layout ([[LcmBatchFiles]]).
+  *
+  * Laws (all DuckDB-expressible):
+  *   - ledgers `start..end`, closeTime = 1700000000 + 5·seq, protocol 21
+  *   - per ledger, `seq % 3 + 1` soroban invoke txs, t = 0..seq%3
+  *   - source key sha256("sacct-seq-t"), tx seqNum = 100·seq + t
+  *   - max_fee = 100000 + seq + 10·t, fee_charged = 90000 + seq%977 + t
+  *   - resource_fee = 40000 + seq%1000 + t, instructions = 1000000 + 3·seq + t
+  *   - read/write bytes = 5000 + t / 2000 + t
+  *   - fee-meta initial charge = 95000 + seq%500 + t
+  *   - refund (TxChangesAfter) = 1200 + (seq+t)%100
+  *   - SorobanMeta ext fees = (30000+t, 7000+seq%100, 900+t)
+  *   - invoke: contract sha256("ct-seq-t"), fn "fn"+(t%3), args [U64(2·seq+t)]
+  *   - footprint: RO [code key sha256("code-seq-t")], RW [data key (contract,
+  *     Sym("k"), durability (seq+t)%2)]
+  *   - one SAC transfer event: amount i128(0, 5000000 + seq + t), asset native
+  */
+object RealXdrFixture {
+
+  private def key(s: String): Array[Byte] = Hashes.sha256(s.getBytes("UTF-8"))
+
+  def tx(seq: Long, t: Long): XdrEncode.LcmTx = {
+    val srcKey = key(s"sacct-$seq-$t")
+    val contractId = key(s"ct-$seq-$t")
+    val codeHash = key(s"code-$seq-$t")
+    val resourceFee = 40000L + seq % 1000 + t
+    val sd = XdrEncode.SorobanData(
+      resourceFee = resourceFee,
+      instructions = 1000000L + 3 * seq + t,
+      readBytes = 5000L + t, writeBytes = 2000L + t,
+      readOnlyKeys = Seq(XdrEncode.contractCodeLedgerKey(codeHash)),
+      readWriteKeys = Seq(XdrEncode.contractDataLedgerKey(contractId,
+        ScVal.encode(ScVal.Sym("k")), ((seq + t) % 2).toInt)))
+    val env = XdrEncode.txEnvelopeV1(XdrEncode.TxSpec(
+      sourceKey = srcKey,
+      fee = 100000L + seq + 10 * t,
+      seqNum = 100 * seq + t,
+      ops = Seq(XdrEncode.invokeContractOp(contractId, s"fn${t % 3}",
+        Seq(ScVal.encode(ScVal.U64(2 * seq + t))))),
+      memoText = if (t % 2 == 0) Some(s"m-$seq-$t") else None,
+      soroban = Some(sd),
+      signatureSeed = ((seq + t) % 120).toByte))
+    val result = XdrEncode.txResult(90000L + seq % 977 + t, 0,
+      Seq(XdrEncode.invokeSuccess(key(s"rv-$seq-$t"))))
+    val transfer = XdrEncode.contractEvent(Some(contractId), 1,
+      Seq(ScVal.encode(ScVal.Sym("transfer")),
+        ScVal.encode(ScVal.AddrAccount(srcKey)),
+        ScVal.encode(ScVal.AddrContract(contractId)),
+        ScVal.encode(ScVal.Str("native"))),
+      ScVal.encode(ScVal.I128(0L, 5000000L + seq + t)))
+    val refund = 1200L + (seq + t) % 100
+    val meta = XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(
+      opChanges = Seq(Nil),
+      txChangesAfter = Seq(
+        XdrEncode.change(3, XdrEncode.ledgerEntry(seq,
+          XdrEncode.accountEntry(srcKey, 500L))),
+        XdrEncode.change(1, XdrEncode.ledgerEntry(seq,
+          XdrEncode.accountEntry(srcKey, 500L + refund)))),
+      soroban = Some(XdrEncode.SorobanMetaSpec(
+        nonRefundable = 30000L + t, refundable = 7000L + seq % 100,
+        rent = 900L + t,
+        diagnosticEvents = Seq(
+          XdrEncode.diagnosticEvent(inSuccessful = true, transfer))))))
+    val initialCharge = 95000L + seq % 500 + t
+    val feeMeta = XdrEncode.feeMetaPair(srcKey,
+      1000000000L, 1000000000L - initialCharge)
+    XdrEncode.LcmTx(env, result, meta, feeMeta)
+  }
+
+  def ledger(seq: Long): (Array[Byte], Seq[XdrEncode.LcmTx]) = {
+    val header = XdrEncode.ledgerHeader(XdrEncode.HeaderSpec(
+      seq = seq, closeTime = 1700000000L + 5 * seq))
+    (header, (0L to seq % 3).map(t => tx(seq, t)))
+  }
+
+  /** Write the batch-file tree once (idempotent per path). */
+  def writeBatchTree(dir: String, start: Long, end: Long): Unit =
+    LcmBatchFiles.writeTree(dir, (start to end).map(ledger))
+}
