@@ -549,8 +549,13 @@ object StellarXdr {
       case 0 => // account
         base.copy(revoke_account_id_key = Some(accountId(r)))
       case 1 => // trustline
-        val acct = accountId(r); val _ = trustLineAssetKey(r)
-        base.copy(revoke_account_id_key = Some(acct))
+        val acct = accountId(r)
+        trustLineAssetKey(r) match {
+          case Right(a) => base.copy(revoke_account_id_key = Some(acct),
+            revoke_trustline_asset = Some(a))
+          case Left(poolId) => base.copy(revoke_account_id_key = Some(acct),
+            revoke_trustline_pool_id = Some(poolId))
+        }
       case 2 => // offer
         val seller = accountId(r); val offerId = r.i64()
         base.copy(revoke_account_id_key = Some(seller),

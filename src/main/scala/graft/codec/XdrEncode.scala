@@ -73,6 +73,45 @@ object XdrEncode {
   def paymentOp(destKey: Array[Byte], a: AssetRef, amount: Long): OpBody =
     OpBody(1, new W().raw(muxed(destKey)).raw(asset(a)).i64(amount).bytes)
 
+  def createAccountOp(destKey: Array[Byte], balance: Long): OpBody =
+    OpBody(0, new W().raw(accountId(destKey)).i64(balance).bytes)
+
+  /** Account merge: the body IS the destination MuxedAccount. */
+  def accountMergeOp(destKey: Array[Byte],
+      destMuxId: Option[Long] = None): OpBody =
+    OpBody(8, muxed(destKey, destMuxId))
+
+  def claimClaimableBalanceOp(balanceId: Array[Byte]): OpBody =
+    OpBody(15, new W().i32(0).raw(balanceId).bytes)
+
+  // ---- ledger keys (classic families, for revoke-sponsorship bodies) --------
+
+  def accountLedgerKey(key: Array[Byte]): Array[Byte] =
+    new W().i32(0).raw(accountId(key)).bytes
+
+  def trustlineLedgerKey(acct: Array[Byte], a: AssetRef): Array[Byte] =
+    new W().i32(1).raw(accountId(acct)).raw(asset(a)).bytes
+
+  def trustlinePoolShareLedgerKey(acct: Array[Byte],
+      poolId: Array[Byte]): Array[Byte] =
+    new W().i32(1).raw(accountId(acct)).i32(3).raw(poolId).bytes
+
+  def offerLedgerKey(seller: Array[Byte], offerId: Long): Array[Byte] =
+    new W().i32(2).raw(accountId(seller)).i64(offerId).bytes
+
+  def dataLedgerKey(acct: Array[Byte], name: String): Array[Byte] =
+    new W().i32(3).raw(accountId(acct)).str(name).bytes
+
+  def claimableBalanceLedgerKey(balanceId: Array[Byte]): Array[Byte] =
+    new W().i32(4).i32(0).raw(balanceId).bytes
+
+  def liquidityPoolLedgerKey(poolId: Array[Byte]): Array[Byte] =
+    new W().i32(5).raw(poolId).bytes
+
+  /** Revoke sponsorship, ledger-key arm. */
+  def revokeLedgerKeyOp(ledgerKey: Array[Byte]): OpBody =
+    OpBody(18, new W().i32(0).raw(ledgerKey).bytes)
+
   /** HostFunction arm 0: invoke contract. */
   def invokeContractOp(contractId: Array[Byte], fnName: String,
       args: Seq[Array[Byte]]): OpBody = {
@@ -142,12 +181,13 @@ object XdrEncode {
       ops: Seq[OpBody],
       memoText: Option[String] = None,
       soroban: Option[SorobanData] = None,
-      signatureSeed: Byte = 7)
+      signatureSeed: Byte = 7,
+      sourceMuxedId: Option[Long] = None)
 
   /** TransactionV1Envelope with one deterministic decorated signature. */
   def txEnvelopeV1(t: TxSpec): Array[Byte] = {
     val w = new W().i32(2) // ENVELOPE_TYPE_TX
-      .raw(muxed(t.sourceKey))
+      .raw(muxed(t.sourceKey, t.sourceMuxedId))
       .u32(t.fee).i64(t.seqNum)
       .i32(0) // preconditions: none
     t.memoText match {

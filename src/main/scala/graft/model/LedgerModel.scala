@@ -170,6 +170,12 @@ object LedgerModel {
       revoke_signer_key: Option[Array[Byte]] = None,
       revoke_account_id_key: Option[Array[Byte]] = None, // ledger-key revokes
       revoke_offer_id: Option[Long] = None,
+      // trustline-key revokes carry the line's asset (classic arm) or the
+      // pool id (pool-share arm) — `addLedgerKeyToDetails`,
+      // operation.go trustline case (trustline_asset /
+      // trustline_liquidity_pool_id keys)
+      revoke_trustline_asset: Option[AssetRef] = None,
+      revoke_trustline_pool_id: Option[Array[Byte]] = None,
       // liquidity pools
       pool_id: Option[Array[Byte]] = None,
       max_amount_a: Option[Long] = None, max_amount_b: Option[Long] = None,

@@ -67,6 +67,7 @@ object OperationDetails {
       trustAssetCode: Column = nullS,
       trustAssetIssuer: Column = nullS,
       trustPoolIdHex: Column = nullS,
+      trustPoolIdStrkey: Column = nullS,
       trustLimitStroops: Column = nullL,
       sourceAssetType: Column = nullS,
       sourceAssetCode: Column = nullS,
@@ -107,12 +108,35 @@ object OperationDetails {
       revokeSignerAccountAddr: Column = nullS,
       revokeAccountIdAddr: Column = nullS,
       revokeOfferId: Column = nullL,
+      // revoke-sponsorship ledger-key arms (`addLedgerKeyToDetails`):
+      // per-family key payloads, sparse — exactly one family per revoke
+      revokeTrustlineAccountAddr: Column = nullS,
+      revokeTrustlineAssetCanon: Column = nullS,
+      revokeTrustlinePoolIdHex: Column = nullS,
+      revokeTrustlinePoolIdStrkey: Column = nullS,
+      revokeDataAccountAddr: Column = nullS,
+      revokeDataName: Column = nullS,
+      revokeCbIdHex: Column = nullS,
+      revokeCbIdStrkey: Column = nullS,
+      revokeLpIdHex: Column = nullS,
+      revokeLpIdStrkey: Column = nullS,
+      // begin-sponsor muxed pair (`addAccountAndMuxedAccountDetails` with
+      // the initiating begin op's source)
+      beginSponsorMuxed: Column = nullS,
+      beginSponsorMuxedId: Column = nullL,
+      // the op-level `sponsor` key (`getSponsor`, operation.go:1164-1170 +
+      // 1251-1290): the sponsor of entries/signers this op created
+      sponsorAddr: Column = nullS,
       lpPoolIdHex: Column = nullS,
       lpPoolIdStrkey: Column = nullS,
       reserveAAssetType: Column = nullS,
       reserveAAssetCode: Column = nullS,
+      reserveAAssetIssuer: Column = nullS,
+      reserveAAssetId: Column = nullL,
       reserveBAssetType: Column = nullS,
       reserveBAssetCode: Column = nullS,
+      reserveBAssetIssuer: Column = nullS,
+      reserveBAssetId: Column = nullL,
       maxAmountA: Column = nullL,
       maxAmountB: Column = nullL,
       deltaReserveA: Column = nullL,
@@ -174,7 +198,9 @@ object OperationDetails {
     org.apache.spark.sql.functions.struct(
       // ---- accounts & amounts (create_account / payments / merge / clawback)
       when(ty === 0, sourceAddr).as("funder"),
-      when(ty === 0, destAddr).as("account"),
+      // `account` is SHARED: create_account's destination and
+      // account_merge's (muxed-able) source ride the same reference key
+      when(ty === 0, destAddr).when(ty === 8, sourceAddr).as("account"),
       when(ty === 0, stroopsToXlm(in.startingBalanceStroops))
         .as("starting_balance"),
       when(isPayment, sourceAddr)
@@ -187,6 +213,24 @@ object OperationDetails {
       when(isPayment, in.fromMuxedId).as("from_muxed_id"),
       in.toMuxed.as("to_muxed"),
       in.toMuxedId.as("to_muxed_id"),
+      // every muxed-able account prefix gets its _muxed pair when the
+      // acting account is an M-address (`addAccountAndMuxedAccountDetails`
+      // call sites: funder ty 0, account/into ty 8, trustee ty 7,
+      // claimant ty 15, begin_sponsor ty 17)
+      when(ty === 0, in.fromMuxed).as("funder_muxed"),
+      when(ty === 0, in.fromMuxedId).as("funder_muxed_id"),
+      when(ty === 8, in.fromMuxed).as("account_muxed"),
+      when(ty === 8, in.fromMuxedId).as("account_muxed_id"),
+      when(ty === 8, in.toMuxed).as("into_muxed"),
+      when(ty === 8, in.toMuxedId).as("into_muxed_id"),
+      when(ty === 7, in.fromMuxed).as("trustee_muxed"),
+      when(ty === 7, in.fromMuxedId).as("trustee_muxed_id"),
+      when(ty === 15, in.fromMuxed).as("claimant_muxed"),
+      when(ty === 15, in.fromMuxedId).as("claimant_muxed_id"),
+      when(ty === 17 && successful, in.beginSponsorMuxed)
+        .as("begin_sponsor_muxed"),
+      when(ty === 17 && successful, in.beginSponsorMuxedId)
+        .as("begin_sponsor_muxed_id"),
       // amount: payments/offers/clawback op body; strict-send actual from
       // result when successful, 0 otherwise (`operation.go:687-696`)
       when(ty === 13,
@@ -222,7 +266,8 @@ object OperationDetails {
         in.sourceAssetIssuer).as("source_asset_issuer"),
       when(ty.isin(2, 13), in.sourceAssetId).as("source_asset_id"),
       // ---- offers (3 manage_sell / 4 passive_sell / 12 manage_buy)
-      when(ty.isin(3, 12), in.offerId).as("offer_id"),
+      when(ty.isin(3, 12), in.offerId)
+        .when(ty === 18, in.revokeOfferId).as("offer_id"),
       when(ty.isin(3, 4, 12), pricePoint7(in.priceN, in.priceD)).as("price"),
       when(ty.isin(3, 4, 12), org.apache.spark.sql.functions.struct(
         in.priceN.as("n"), in.priceD.as("d"))).as("price_r"),
@@ -256,12 +301,20 @@ object OperationDetails {
         .as("signer_key"),
       when(ty === 5, in.signerWeight).as("signer_weight"),
       // ---- trust lines (6 change_trust / 7 allow_trust / 21 set_tl_flags)
-      when(ty === 6, in.trustPoolIdHex).as("liquidity_pool_id"),
+      // liquidity_pool_id is SHARED across the pool-touching families the
+      // reference emits it for: change_trust pool lines
+      // (addLiquidityPoolAssetDetails), LP deposit/withdraw, LP-key revokes
+      when(ty === 6, in.trustPoolIdHex)
+        .when(ty.isin(22, 23), in.lpPoolIdHex)
+        .when(ty === 18, in.revokeLpIdHex).as("liquidity_pool_id"),
       when(ty === 6, stroopsToXlm(in.trustLimitStroops)).as("limit"),
       when(ty === 6, in.trustAssetIssuer)
         .when(ty === 7, sourceAddr).as("trustee"),
       when(ty === 6, sourceAddr)
         .when(ty.isin(7, 21), in.trustorAddr).as("trustor"),
+      // change_trust's trustor is the (muxed-able) acting source
+      when(ty === 6, in.fromMuxed).as("trustor_muxed"),
+      when(ty === 6, in.fromMuxedId).as("trustor_muxed_id"),
       when(ty === 7, in.authorizeFlags.bitwiseAND(1) =!= 0).as("authorize"),
       when(ty === 7 && in.authorizeFlags.bitwiseAND(2) =!= 0, lit(true))
         .as("authorize_to_maintain_liabilities"),
@@ -275,7 +328,6 @@ object OperationDetails {
       when(ty === 21 && in.tlClearFlags.isNotNull, tlClearS)
         .as("tl_clear_flags_s"),
       // ---- account_merge (8)
-      when(ty === 8, sourceAddr).as("merge_account"),
       when(ty === 8, destAddr).as("into"),
       // ---- manage_data (10) / bump_sequence (11)
       when(ty === 10, in.dataName).as("name"),
@@ -292,20 +344,43 @@ object OperationDetails {
       when(ty === 16, in.sponsoredIdAddr).as("sponsored_id"),
       when(ty === 17 && successful, in.beginSponsorAddr).as("begin_sponsor"),
       when(ty === 18, in.revokeSignerAccountAddr).as("signer_account_id"),
+      // ledger-key revokes, one family per op (`addLedgerKeyToDetails`):
+      // the account arm alone carries `account_id`; trustline/data arms
+      // carry their prefixed key payloads; offer merges into `offer_id`
+      // above; CB/LP arms get the dedicated id pairs
       when(ty === 18, in.revokeAccountIdAddr).as("account_id"),
-      when(ty === 18, in.revokeOfferId).as("revoke_offer_id"),
+      when(ty === 18, in.revokeTrustlineAccountAddr)
+        .as("trustline_account_id"),
+      when(ty === 18, in.revokeTrustlineAssetCanon).as("trustline_asset"),
+      when(ty === 18, in.revokeTrustlinePoolIdHex)
+        .as("trustline_liquidity_pool_id"),
+      when(ty === 18, in.revokeTrustlinePoolIdStrkey)
+        .as("trustline_liquidity_pool_id_strkey"),
+      when(ty === 18, in.revokeDataAccountAddr).as("data_account_id"),
+      when(ty === 18, in.revokeDataName).as("data_name"),
+      when(ty === 18, in.revokeCbIdHex).as("claimable_balance_id"),
+      when(ty === 18, in.revokeCbIdStrkey).as("claimable_balance_id_strkey"),
       // ---- liquidity pools (22 deposit / 23 withdraw)
-      when(ty.isin(22, 23), in.lpPoolIdHex).as("lp_liquidity_pool_id"),
-      when(ty.isin(22, 23), in.lpPoolIdStrkey)
+      when(ty === 6, in.trustPoolIdStrkey)
+        .when(ty.isin(22, 23), in.lpPoolIdStrkey)
+        .when(ty === 18, in.revokeLpIdStrkey)
         .as("liquidity_pool_id_strkey"),
       when(ty.isin(22, 23) && successful, in.reserveAAssetType)
         .as("reserve_a_asset_type"),
       when(ty.isin(22, 23) && successful && nonNative(in.reserveAAssetType),
         in.reserveAAssetCode).as("reserve_a_asset_code"),
+      when(ty.isin(22, 23) && successful && nonNative(in.reserveAAssetType),
+        in.reserveAAssetIssuer).as("reserve_a_asset_issuer"),
+      when(ty.isin(22, 23) && successful, in.reserveAAssetId)
+        .as("reserve_a_asset_id"),
       when(ty.isin(22, 23) && successful, in.reserveBAssetType)
         .as("reserve_b_asset_type"),
       when(ty.isin(22, 23) && successful && nonNative(in.reserveBAssetType),
         in.reserveBAssetCode).as("reserve_b_asset_code"),
+      when(ty.isin(22, 23) && successful && nonNative(in.reserveBAssetType),
+        in.reserveBAssetIssuer).as("reserve_b_asset_issuer"),
+      when(ty.isin(22, 23) && successful, in.reserveBAssetId)
+        .as("reserve_b_asset_id"),
       when(ty === 22, stroopsToXlm(in.maxAmountA)).as("reserve_a_max_amount"),
       when(ty === 22, stroopsToXlm(in.maxAmountB)).as("reserve_b_max_amount"),
       when(ty === 22, stroopsToXlm(in.deltaReserveA))
@@ -351,7 +426,10 @@ object OperationDetails {
       when(ty === 25, in.extendTo).as("extend_to"),
       // create-contract id preimage payload (`switchContractIdPreimageType`,
       // operation.go:2275-2295)
-      when(ty === 24, in.preimageAddress).as("address"))
+      when(ty === 24, in.preimageAddress).as("address"),
+      // appended for ANY op whose changes show a created entry/signer with
+      // a sponsor (`details["sponsor"]`, operation.go:1164-1170)
+      in.sponsorAddr.as("sponsor"))
   }
 
   /** The `details_json` rendering both paths share: the same struct with

@@ -318,6 +318,26 @@ object StellarTransforms {
             col("tx.source_account_hex"))))),
       revokeSignerAccountAddr = GraftFunctions.strkeyAccount(
         unhex(col("op.op_signer_account_hex"))),
+      // the wire twin of the `sponsor` law over the tx-grain change rows
+      sponsorAddr = {
+        val cands = transform(
+          filter(col("tx.changes"), c => c("op_index") === col("op_pos")),
+          c => {
+            val postSigner = get(filter(c("post_signer_sponsors"), s =>
+              s("signer_hex") <=> col("op.op_signer_key_hex")),
+              lit(0))("sponsor_hex")
+            val preSigner = get(filter(c("pre_signer_sponsors"), s =>
+              s("signer_hex") <=> col("op.op_signer_key_hex")),
+              lit(0))("sponsor_hex")
+            coalesce(
+              when(col("op.op_signer_key_hex").isNotNull &&
+                postSigner.isNotNull && !(preSigner <=> postSigner),
+                postSigner),
+              when(c("pre_sponsor_hex").isNull, c("post_sponsor_hex")))
+          })
+        val k = get(filter(cands, x => x.isNotNull), lit(0))
+        when(k.isNotNull, GraftFunctions.strkeyAccount(unhex(k)))
+      },
       lpPoolIdHex = col("op.op_pool_id_hex"),
       lpPoolIdStrkey = GraftFunctions.strkeyPool(
         unhex(col("op.op_pool_id_hex"))),
@@ -1374,11 +1394,17 @@ object StellarTransforms {
         successful = successful,
         sourceAddr = sourceAddr,
         destAddr = destAddr,
-        fromMuxed = when(col("op.source_key").isNull &&
-            col("tx.source_muxed_id").isNotNull,
-          strkeyMuxed(col("tx.source_key"), col("tx.source_muxed_id"))),
-        fromMuxedId = when(col("op.source_key").isNull,
-          col("tx.source_muxed_id")),
+        // the acting source's muxed pair: the op's own muxed id when the op
+        // carries an explicit source, else the tx source's (the reference's
+        // SourceAccount() law — muxed-ness follows the acting account)
+        fromMuxed = {
+          val actingMuxedId = when(col("op.source_key").isNotNull,
+            col("op.source_muxed_id")).otherwise(col("tx.source_muxed_id"))
+          when(actingMuxedId.isNotNull,
+            strkeyMuxed(sourceKey, actingMuxedId))
+        },
+        fromMuxedId = when(col("op.source_key").isNotNull,
+          col("op.source_muxed_id")).otherwise(col("tx.source_muxed_id")),
         toMuxed = when(col("op.destination_muxed_id").isNotNull,
           strkeyMuxed(col("op.destination_key"),
             col("op.destination_muxed_id"))),
@@ -1464,18 +1490,87 @@ object StellarTransforms {
         revokeSignerAccountAddr =
           when(col("op.revoke_signer_account_key").isNotNull,
             strkeyAccount(col("op.revoke_signer_account_key"))),
+        // one ledger-key family per revoke (`addLedgerKeyToDetails`):
+        // `account_id` belongs to the ACCOUNT arm alone — trustline/data
+        // arms re-key the account under their own prefixes
         revokeAccountIdAddr =
-          when(col("op.revoke_account_id_key").isNotNull,
+          when(col("op.revoke_account_id_key").isNotNull &&
+              col("op.revoke_offer_id").isNull &&
+              col("op.data_name").isNull &&
+              col("op.revoke_trustline_asset").isNull &&
+              col("op.revoke_trustline_pool_id").isNull,
             strkeyAccount(col("op.revoke_account_id_key"))),
         revokeOfferId = col("op.revoke_offer_id"),
+        revokeTrustlineAccountAddr =
+          when(col("op.revoke_trustline_asset").isNotNull ||
+              col("op.revoke_trustline_pool_id").isNotNull,
+            strkeyAccount(col("op.revoke_account_id_key"))),
+        revokeTrustlineAssetCanon = when(
+          col("op.revoke_trustline_asset").isNotNull,
+          assetCanon(col("op.revoke_trustline_asset"))),
+        revokeTrustlinePoolIdHex =
+          lower(hex(col("op.revoke_trustline_pool_id"))),
+        revokeTrustlinePoolIdStrkey =
+          strkeyPool(col("op.revoke_trustline_pool_id")),
+        revokeDataAccountAddr = when(col("op.data_name").isNotNull,
+          strkeyAccount(col("op.revoke_account_id_key"))),
+        revokeDataName = col("op.data_name"),
+        revokeCbIdHex = balanceIdHex,
+        revokeCbIdStrkey = balanceIdStrkey,
+        revokeLpIdHex = lower(hex(col("op.pool_id"))),
+        revokeLpIdStrkey = strkeyPool(col("op.pool_id")),
+        trustPoolIdStrkey = strkeyPool(col("op.trust_pool_id")),
+        beginSponsorMuxed = {
+          val bsMuxedId = when(beginOp("source_key").isNotNull,
+            beginOp("source_muxed_id")).otherwise(col("tx.source_muxed_id"))
+          when(beginOp.isNotNull && bsMuxedId.isNotNull,
+            strkeyMuxed(beginSponsorKey, bsMuxedId))
+        },
+        beginSponsorMuxedId = when(beginOp.isNotNull,
+          when(beginOp("source_key").isNotNull, beginOp("source_muxed_id"))
+            .otherwise(col("tx.source_muxed_id"))),
+        // `sponsor` (getSponsor law): per change in order — the set-options
+        // signer's NEW sponsor if it changed, else a created entry's
+        // sponsor (pre absent, post set); first hit wins
+        sponsorAddr = {
+          val cands = transform(
+            filter(col("op.changes"), c => c("sponsorship").isNotNull),
+            c => {
+              val sp = c("sponsorship")
+              val postSigner = get(filter(sp("post_signer_sponsors"), s =>
+                s("signer_key") <=> col("op.signer_key")),
+                lit(0))("sponsor_key")
+              val preSigner = get(filter(sp("pre_signer_sponsors"), s =>
+                s("signer_key") <=> col("op.signer_key")),
+                lit(0))("sponsor_key")
+              coalesce(
+                when(col("op.signer_key").isNotNull &&
+                  postSigner.isNotNull && !(preSigner <=> postSigner),
+                  postSigner),
+                when(sp("pre_sponsor_key").isNull,
+                  sp("post_sponsor_key")))
+            })
+          val k = get(filter(cands, x => x.isNotNull), lit(0))
+          when(k.isNotNull, strkeyAccount(k))
+        },
         lpPoolIdHex = lower(hex(col("op.pool_id"))),
         lpPoolIdStrkey = strkeyPool(col("op.pool_id")),
         reserveAAssetType = when(lpChange.isNotNull,
           lpChange("pool_asset_a")("asset_type")),
         reserveAAssetCode = lpChange("pool_asset_a")("asset_code"),
+        reserveAAssetIssuer = lpChange("pool_asset_a")("asset_issuer"),
+        reserveAAssetId = when(lpChange.isNotNull,
+          farmHashAssetId(lpChange("pool_asset_a")("asset_code"),
+            lpChange("pool_asset_a")("asset_issuer"),
+            lpChange("pool_asset_a")("asset_type"))),
         reserveBAssetType = when(lpChange.isNotNull,
           lpChange("pool_asset_b")("asset_type")),
         reserveBAssetCode = lpChange("pool_asset_b")("asset_code"),
+        reserveBAssetIssuer = lpChange("pool_asset_b")("asset_issuer"),
+        reserveBAssetId = when(lpChange.isNotNull,
+          farmHashAssetId(lpChange("pool_asset_b")("asset_code"),
+            lpChange("pool_asset_b")("asset_issuer"),
+            lpChange("pool_asset_b")("asset_type"))),
         maxAmountA = col("op.max_amount_a"),
         maxAmountB = col("op.max_amount_b"),
         deltaReserveA = lpDelta("pre_reserve_a", "post_reserve_a"),

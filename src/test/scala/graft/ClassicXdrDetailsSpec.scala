@@ -1,0 +1,167 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.{Hashes, StellarXdr, Strkey, XdrEncode}
+import graft.model.LedgerModel._
+import graft.operators.StellarTransforms
+
+/** Reference-law details for the classic arms ABSENT from the published
+  * golden corpus, driven through real wire bytes ([[XdrEncode]] →
+  * [[StellarXdr]] → the unchanged transforms):
+  *
+  *   - revoke_sponsorship ledger-key arms (account / trustline classic /
+  *     trustline pool-share / offer / data / claimable balance / liquidity
+  *     pool — `addLedgerKeyToDetails`, the per-family key payloads)
+  *   - the muxed-account detail pairs on every muxed-able prefix
+  *     (`addAccountAndMuxedAccountDetails`: funder, account, into,
+  *     claimant) — the goldens predate M-addresses.
+  */
+class ClassicXdrDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val om = new ObjectMapper()
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-classic-xdr-details")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def key(s: String): Array[Byte] = Hashes.sha256(s.getBytes("UTF-8"))
+
+  private def detailsOf(op: XdrEncode.OpBody, res: XdrEncode.OpResultSpec,
+      sourceMuxedId: Option[Long] = None): com.fasterxml.jackson.databind.JsonNode = {
+    val env = XdrEncode.txEnvelopeV1(XdrEncode.TxSpec(
+      sourceKey = key("src"), fee = 200L, seqNum = 9L, ops = Seq(op),
+      sourceMuxedId = sourceMuxedId))
+    val result = XdrEncode.txResult(100L, 0, Seq(res))
+    def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+    val header = XdrEncode.ledgerHeader(
+      XdrEncode.HeaderSpec(seq = 42424L, closeTime = 1719000000L))
+    val row = StellarXdr.decodeLedgerRow(b64(header),
+      Seq(StellarXdr.TxInput(b64(env), b64(result))))
+    val s = spark; import s.implicits._
+    val out = StellarTransforms.historyOperations(Seq(row).toDS())
+      .selectExpr("cast(details_json as string) as dj").collect().head
+    om.readTree(out.getString(0))
+  }
+
+  test("revoke_sponsorship: all six ledger-key families render the " +
+      "reference's per-family key payloads") {
+    val acct = key("victim")
+    // account arm → account_id alone
+    val dAcct = detailsOf(
+      XdrEncode.revokeLedgerKeyOp(XdrEncode.accountLedgerKey(acct)),
+      XdrEncode.OpResultSpec(18, 0))
+    assert(dAcct.get("account_id").asText() == Strkey.encodeAccountId(acct))
+    assert(dAcct.get("trustline_account_id") == null)
+    assert(dAcct.get("offer_id") == null)
+
+    // trustline classic arm → trustline_account_id + canonical asset
+    val issuer = key("issuer")
+    val dTl = detailsOf(XdrEncode.revokeLedgerKeyOp(
+        XdrEncode.trustlineLedgerKey(acct, AssetRef("credit_alphanum4",
+          "USDX", Strkey.encodeAccountId(issuer)))),
+      XdrEncode.OpResultSpec(18, 0))
+    assert(dTl.get("trustline_account_id").asText() ==
+      Strkey.encodeAccountId(acct))
+    assert(dTl.get("trustline_asset").asText() ==
+      s"USDX:${Strkey.encodeAccountId(issuer)}")
+    assert(dTl.get("account_id") == null)
+
+    // trustline pool-share arm → trustline_liquidity_pool_id (+ strkey)
+    val pool = key("pool")
+    val dTlp = detailsOf(XdrEncode.revokeLedgerKeyOp(
+        XdrEncode.trustlinePoolShareLedgerKey(acct, pool)),
+      XdrEncode.OpResultSpec(18, 0))
+    assert(dTlp.get("trustline_account_id").asText() ==
+      Strkey.encodeAccountId(acct))
+    assert(dTlp.get("trustline_liquidity_pool_id").asText() ==
+      Hashes.hex(pool))
+    assert(dTlp.get("trustline_liquidity_pool_id_strkey").asText() ==
+      Strkey.encodeLiquidityPool(pool))
+    assert(dTlp.get("trustline_asset") == null)
+
+    // offer arm → offer_id alone (no seller key in the reference output)
+    val dOffer = detailsOf(XdrEncode.revokeLedgerKeyOp(
+        XdrEncode.offerLedgerKey(acct, 987654L)),
+      XdrEncode.OpResultSpec(18, 0))
+    assert(dOffer.get("offer_id").asLong() == 987654L)
+    assert(dOffer.get("account_id") == null)
+
+    // data arm → data_account_id + data_name
+    val dData = detailsOf(XdrEncode.revokeLedgerKeyOp(
+        XdrEncode.dataLedgerKey(acct, "cfg-entry")),
+      XdrEncode.OpResultSpec(18, 0))
+    assert(dData.get("data_account_id").asText() ==
+      Strkey.encodeAccountId(acct))
+    assert(dData.get("data_name").asText() == "cfg-entry")
+    assert(dData.get("account_id") == null)
+
+    // claimable-balance arm → hex + strkey pair
+    val cb = key("cbid")
+    val dCb = detailsOf(XdrEncode.revokeLedgerKeyOp(
+        XdrEncode.claimableBalanceLedgerKey(cb)),
+      XdrEncode.OpResultSpec(18, 0))
+    assert(dCb.get("claimable_balance_id").asText() ==
+      "00000000" + Hashes.hex(cb))
+    assert(dCb.get("claimable_balance_id_strkey") != null)
+
+    // liquidity-pool arm → the SHARED liquidity_pool_id pair
+    val dLp = detailsOf(XdrEncode.revokeLedgerKeyOp(
+        XdrEncode.liquidityPoolLedgerKey(pool)),
+      XdrEncode.OpResultSpec(18, 0))
+    assert(dLp.get("liquidity_pool_id").asText() == Hashes.hex(pool))
+    assert(dLp.get("liquidity_pool_id_strkey").asText() ==
+      Strkey.encodeLiquidityPool(pool))
+  }
+
+  test("muxed prefixes: account_merge / create_account / claim_cb emit " +
+      "the _muxed pairs for M-address actors") {
+    val dest = key("dest")
+    val dMerge = detailsOf(
+      XdrEncode.accountMergeOp(dest, destMuxId = Some(777L)),
+      XdrEncode.OpResultSpec(8, 0, _.i64(5000L)),
+      sourceMuxedId = Some(123L))
+    assert(dMerge.get("account").asText() ==
+      Strkey.encodeAccountId(key("src")))
+    assert(dMerge.get("account_muxed").asText() ==
+      Strkey.encodeMuxed(key("src"), 123L))
+    assert(dMerge.get("account_muxed_id").asLong() == 123L)
+    assert(dMerge.get("into").asText() == Strkey.encodeAccountId(dest))
+    assert(dMerge.get("into_muxed").asText() ==
+      Strkey.encodeMuxed(dest, 777L))
+    assert(dMerge.get("into_muxed_id").asLong() == 777L)
+
+    val dCreate = detailsOf(
+      XdrEncode.createAccountOp(dest, 50000000L),
+      XdrEncode.OpResultSpec(0, 0),
+      sourceMuxedId = Some(55L))
+    assert(dCreate.get("funder").asText() ==
+      Strkey.encodeAccountId(key("src")))
+    assert(dCreate.get("funder_muxed").asText() ==
+      Strkey.encodeMuxed(key("src"), 55L))
+    assert(dCreate.get("funder_muxed_id").asLong() == 55L)
+
+    val dClaim = detailsOf(
+      XdrEncode.claimClaimableBalanceOp(key("bal")),
+      XdrEncode.OpResultSpec(15, 0),
+      sourceMuxedId = Some(9L))
+    assert(dClaim.get("claimant").asText() ==
+      Strkey.encodeAccountId(key("src")))
+    assert(dClaim.get("claimant_muxed_id").asLong() == 9L)
+
+    // and WITHOUT a muxed actor, none of the _muxed keys appear
+    val dPlain = detailsOf(XdrEncode.accountMergeOp(dest),
+      XdrEncode.OpResultSpec(8, 0, _.i64(1L)))
+    assert(dPlain.get("account_muxed") == null &&
+      dPlain.get("into_muxed") == null)
+  }
+}

@@ -142,7 +142,7 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("account_merge (8)") {
     check(8)((l, src, dest) =>
-      s"""{"merge_account":"$src","into":"$dest"}""")
+      s"""{"account":"$src","into":"$dest"}""")
   }
 
   test("manage_data (10): odd o has no value") {
@@ -223,11 +223,15 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val l = ledgerFor(22)
     val pool = keyOf(s"pool-$l")
     assert(detailsAt(l, 1, 1) ==
-      s"""{"lp_liquidity_pool_id":"${Hashes.hex(pool)}",""" +
+      s"""{"liquidity_pool_id":"${Hashes.hex(pool)}",""" +
       s""""liquidity_pool_id_strkey":"${Strkey.encodeLiquidityPool(pool)}",""" +
       s""""reserve_a_asset_type":"native",""" +
+      s""""reserve_a_asset_id":${aid("", "", "native")},""" +
       s""""reserve_b_asset_type":"credit_alphanum4",""" +
       s""""reserve_b_asset_code":"PL${l % 4}",""" +
+      s""""reserve_b_asset_issuer":"ISS${l % 3}",""" +
+      s""""reserve_b_asset_id":${aid(s"PL${l % 4}", s"ISS${l % 3}",
+        "credit_alphanum4")},""" +
       s""""reserve_a_max_amount":4.0000001,"reserve_b_max_amount":5.0000001,""" +
       s""""reserve_a_deposit_amount":3.0000001,""" +
       s""""reserve_b_deposit_amount":1.5000001,""" +
@@ -240,11 +244,15 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val l = ledgerFor(23)
     val pool = keyOf(s"pool-$l")
     assert(detailsAt(l, 1, 1) ==
-      s"""{"lp_liquidity_pool_id":"${Hashes.hex(pool)}",""" +
+      s"""{"liquidity_pool_id":"${Hashes.hex(pool)}",""" +
       s""""liquidity_pool_id_strkey":"${Strkey.encodeLiquidityPool(pool)}",""" +
       s""""reserve_a_asset_type":"native",""" +
+      s""""reserve_a_asset_id":${aid("", "", "native")},""" +
       s""""reserve_b_asset_type":"credit_alphanum4",""" +
       s""""reserve_b_asset_code":"PL${l % 4}",""" +
+      s""""reserve_b_asset_issuer":"ISS${l % 3}",""" +
+      s""""reserve_b_asset_id":${aid(s"PL${l % 4}", s"ISS${l % 3}",
+        "credit_alphanum4")},""" +
       s""""reserve_a_min_amount":0.1000001,"reserve_b_min_amount":0.2000001,""" +
       s""""reserve_a_withdraw_amount":3.0000001,""" +
       s""""reserve_b_withdraw_amount":1.5000001,""" +
@@ -437,6 +445,97 @@ class OperationDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(d.getAs[scala.collection.Seq[String]]("parameters_decoded")
         .head.startsWith("{\"symbol\":\""))
     }
+  }
+
+  /** The details-vocabulary audit: the FULL key union the reference's
+    * `extractOperationDetails` can emit (operation.go:584-1173 plus the
+    * helper expansions it calls) is enumerated here with citations, swept
+    * against the reference source to catch enumeration drift, and checked
+    * against our renderer's struct schema — so rare op paths that never
+    * appear in the published golden corpus are still covered by name. */
+  test("details vocabulary: the full extractOperationDetails key union " +
+      "is known to the renderer") {
+    // bare details["…"] assignments, operation.go:584-1173
+    val bare = Set(
+      "account", "amount", "asset", "asset_balance_changes", "asset_issuer",
+      "authorize", "authorize_to_maintain_liabilities", "balance_id",
+      "balance_id_strkey", "bump_to", "claimants", "clawback_enabled",
+      "contract_code_hash", "contract_id", "destination_min", "extend_to",
+      "function", "high_threshold", "home_domain", "inflation_dest",
+      "ledger_key_hash", "limit", "liquidity_pool_id",
+      "liquidity_pool_id_strkey", "low_threshold", "master_key_weight",
+      "med_threshold", "name", "offer_id", "parameters",
+      "parameters_decoded", "parameters_json", "parameters_json_decoded",
+      "path", "reserve_a_deposit_amount", "reserve_a_max_amount",
+      "reserve_a_min_amount", "reserve_a_withdraw_amount",
+      "reserve_b_deposit_amount", "reserve_b_max_amount",
+      "reserve_b_min_amount", "reserve_b_withdraw_amount", "shares",
+      "shares_received", "signer_account_id", "signer_key", "signer_weight",
+      "source_amount", "source_max", "sponsor", "sponsored_id",
+      "starting_balance", "trustee", "trustor", "type", "value")
+    // addAssetDetailsToOperationDetails expansions (operation.go:371-385)
+    // over the prefixes called in 584-1173: "", buying, selling, source,
+    // reserve_a, reserve_b
+    val assetKeys = Seq("", "buying_", "selling_", "source_", "reserve_a_",
+      "reserve_b_").flatMap(p =>
+      Seq("asset_type", "asset_code", "asset_issuer", "asset_id").map(p + _))
+    // addAccountAndMuxedAccountDetails expansions (operation.go:339-359)
+    // over the prefixes called in 584-1173
+    val acctKeys = Seq("account", "begin_sponsor", "claimant", "from",
+      "funder", "into", "to", "trustee", "trustor").flatMap(p =>
+      Seq(p, s"${p}_muxed", s"${p}_muxed_id"))
+    // addPriceDetails expansions ("", min, max)
+    val priceKeys = Seq("price", "price_r", "min_price", "min_price_r",
+      "max_price", "max_price_r")
+    // addLedgerKeyToDetails (revoke_sponsorship ledger-key arms)
+    val ledgerKeyKeys = Set("account_id", "claimable_balance_id",
+      "claimable_balance_id_strkey", "data_account_id", "data_name",
+      "offer_id", "trustline_account_id", "trustline_asset",
+      "trustline_liquidity_pool_id", "trustline_liquidity_pool_id_strkey",
+      "liquidity_pool_id", "liquidity_pool_id_strkey")
+    // flag-detail expansions (addFlagDetails / addTrustLineFlagDetails:
+    // {set,clear}_flags ‖ _s, tl variants) — note the reference reuses
+    // set_flags/clear_flags for BOTH account and trustline flags; the
+    // typed struct splits the trustline pair under tl_ to keep one type
+    // per field, with the reference spelling kept in details_json? No —
+    // both spellings are covered below as a documented split.
+    val flagKeys = Set("set_flags", "set_flags_s", "clear_flags",
+      "clear_flags_s")
+
+    val union = bare ++ assetKeys ++ acctKeys ++ priceKeys ++
+      ledgerKeyKeys ++ flagKeys
+
+    // sweep the reference source: every bare key in 584-1173 must be in
+    // the enumeration (catches drift if the golden corpus or reference
+    // version moves under us)
+    val src = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        "/root/reference/internal/transform/operation.go"))
+      .split("\n").slice(583, 1173).mkString("\n")
+    val swept = """details\["([a-z0-9_]+)"\]""".r
+      .findAllMatchIn(src).map(_.group(1)).toSet
+    assert(swept.subsetOf(bare), s"enumeration drift: ${swept -- bare}")
+
+    // our renderer's schema (the typed struct the details_json renders)
+    val schema = StellarTransforms.historyOperations(
+        StellarFixture.ledgers(spark, 2700, 2700))
+      .select("details.*").schema.fieldNames.toSet
+
+    // deliberate deviations, each with its rationale:
+    val deviations = Set(
+      // the reference assigns the SAME serializations twice
+      // (operation.go:1087-1090 parameters/parameters_json pairs); the
+      // typed struct carries one copy
+      "parameters_json", "parameters_json_decoded",
+      // account/trustline flag splits: the reference reuses
+      // set_flags/clear_flags for trustline flags on op 21; the typed
+      // struct needs one type per field, so op-21 rides tl_set_flags /
+      // tl_clear_flags (wire-parity pinned in the op-21 test above)
+      )
+    val missing = union -- schema -- deviations --
+      // trustline flags covered under the tl_ split (see above)
+      Set.empty
+    assert(missing.isEmpty,
+      s"reference detail keys unknown to the renderer: ${missing.toSeq.sorted}")
   }
 }
 
