@@ -51,6 +51,7 @@ object Export {
       output: String = "", input: Option[String] = None,
       wireInput: Option[String] = None,
       xdrInput: Option[String] = None,
+      batchInput: Option[String] = None,
       permissive: Boolean = false,
       format: String = "ndjson",
       limit: Long = -1,
@@ -72,6 +73,7 @@ object Export {
       case "--input" :: v :: t => loop(a.copy(input = Some(v)), t)
       case "--wire-input" :: v :: t => loop(a.copy(wireInput = Some(v)), t)
       case "--xdr-input" :: v :: t => loop(a.copy(xdrInput = Some(v)), t)
+      case "--batch-input" :: v :: t => loop(a.copy(batchInput = Some(v)), t)
       case "--permissive" :: t => loop(a.copy(permissive = true), t)
       case "--format" :: v :: t => loop(a.copy(format = v), t)
       case ("--limit" | "-l") :: v :: t => loop(a.copy(limit = v.toLong), t)
@@ -181,7 +183,13 @@ object Export {
 
   private def ledgerSource(spark: SparkSession, a: Args) = {
     import spark.implicits._
-    (a.xdrInput, a.input) match {
+    // --batch-input <datastore tree>: the reference's REAL backfill
+    // substrate — zstd LedgerCloseMetaBatch objects (1 ledger/file), the
+    // object-key law pruning the listing to the requested range
+    if (a.batchInput.isDefined)
+      graft.sources.LcmBatchFiles.ledgerRowsForRange(
+        spark, a.batchInput.get, a.start, a.end)
+    else (a.xdrInput, a.input) match {
       // --xdr-input <file/dir of frame NDJSON>: REAL network XDR — one row
       // per ledger with base64 `ledger_header` + `transactions` array of
       // (tx_envelope, tx_result[, tx_meta, tx_fee_meta]); decodes in the
@@ -380,9 +388,15 @@ object Export {
             .toDF()), a)
 
       case "export_contract_events" =>
-        sink(StellarTransforms.contractEvents(
-          ledgerSource(spark, a).where(col("sequence").between(a.start, a.end))
-            .toDF()), a)
+        val src = ledgerSource(spark, a)
+          .where(col("sequence").between(a.start, a.end))
+        // real-XDR inputs carry the FULL diagnostic grain (tx meta v3
+        // SorobanMeta → TxModel.diag_events); the fixture model carries
+        // op-level SAC events only — each substrate gets its renderer
+        if (a.batchInput.isDefined || a.xdrInput.isDefined)
+          sink(graft.operators.SorobanStateTables
+            .contractEventsFromLedgers(src), a)
+        else sink(StellarTransforms.contractEvents(src.toDF()), a)
 
       case "version" =>
         println(s"graft 0.4.0 (spark ${spark.version})")

@@ -167,7 +167,16 @@ object ExplainAudit {
       // combinable), the sample is a filter (no extra shuffle), packing's
       // window is the only sort — never a nested-loop join anywhere
       ("x_curation_pipeline", Seq("partial_min", "Window "),
-        Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      // real-XDR soroban fee decomposition off the datastore batch files:
+      // executor-side decode (SerializeFromObject over the flatMap) with
+      // NO shuffle anywhere — the backfill is embarrassingly parallel
+      ("stellar_soroban_real_xdr", Seq("SerializeFromObject"),
+        Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin")),
+      // the contract-events fan-out off decoded rows: two explodes +
+      // codegen'd renderers, map-only
+      ("stellar_contract_events_real_xdr", Seq("Generate"),
+        Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin"))
     )
     val byName = (QueryCatalog.all ++ QueryCatalog.entryOps).map(q => q.name -> q).toMap
     var bad = 0

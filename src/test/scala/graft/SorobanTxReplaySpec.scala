@@ -350,5 +350,26 @@ class SorobanTxReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     val pruned = LcmBatchFiles.ledgerRowsForRange(spark, dir, 70002L, 70003L)
     assert(pruned.collect().map(_.sequence).sorted.toSeq ==
       Seq(70002L, 70003L))
+
+    // CLI end-to-end off the datastore tree: export_transactions and
+    // export_contract_events with --batch-input — the full backfill shape
+    // (files → executor decode → tables → sink) through the binary surface
+    val outTx = java.nio.file.Files.createTempDirectory("batch-cli").toString
+    graft.cli.Export.run(spark, graft.cli.Export.parse(Array(
+      "export_transactions", "--start", "70001", "--end", "70003",
+      "--batch-input", dir, "--output", outTx + "/txs",
+      "--format", "ndjson")))
+    val cliTxs = spark.read.json(outTx + "/txs")
+    assert(cliTxs.count() == 2)
+    assert(cliTxs.where(org.apache.spark.sql.functions
+      .col("resource_fee") === 40000L).count() == 1)
+    graft.cli.Export.run(spark, graft.cli.Export.parse(Array(
+      "export_contract_events", "--start", "70001", "--end", "70003",
+      "--batch-input", dir, "--output", outTx + "/events",
+      "--format", "ndjson")))
+    val cliEvents = spark.read.json(outTx + "/events")
+    assert(cliEvents.count() == 3) // the invoke tx's three diagnostic events
+    assert(cliEvents.where(org.apache.spark.sql.functions
+      .col("type_string") === "ContractEventTypeContract").count() == 2)
   }
 }
