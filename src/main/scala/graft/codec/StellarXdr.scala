@@ -1265,11 +1265,18 @@ object StellarXdr {
       accountKey: Array[Byte] = null,
       balance: Long = 0L,
       tlAssetType: String = null,
+      tlAsset: AssetRef = null, // trustline classic-arm asset
+      tlPoolId: Array[Byte] = null, // trustline pool-share arm
       offer: OfferStateX = null,
       dataName: String = null,
       cbId: Array[Byte] = null,
       poolId: Array[Byte] = null,
       lastModified: Long = 0L,
+      // LedgerEntry ext v1 sponsoring id + the account's per-signer
+      // sponsors (AccountEntry ext v2 signerSponsoringIDs aligned with the
+      // signer list) — the sponsorship-effect substrate
+      sponsorKey: Array[Byte] = null,
+      signerSponsors: Seq[SignerSponsor] = Nil,
       soroban: SorobanEntryX = null)
 
   /** The Soroban ledger-entry payloads (arms 6–9 of `LedgerEntry.data`),
@@ -1354,7 +1361,8 @@ object StellarXdr {
     r.u32() // flags
     r.str() // homeDomain
     r.bytes(4) // thresholds
-    r.arr { signerKey(r); r.u32() } // signers
+    val signers = r.arr { val k = signerKey(r); r.u32(); k }
+    var signerSponsors: Seq[SignerSponsor] = Nil
     r.i32() match { // ext
       case 0 =>
       case 1 =>
@@ -1363,7 +1371,12 @@ object StellarXdr {
           case 0 =>
           case 2 =>
             r.u32(); r.u32() // numSponsored / numSponsoring
-            r.arr(r.opt(accountId(r))) // signerSponsoringIDs
+            // signerSponsoringIDs align with the signer list — the
+            // SponsorPerSigner map (sponsorship-effect + op-sponsor law)
+            val sponsoring = r.arr(r.opt(accountId(r)))
+            signerSponsors = signers.zip(sponsoring).collect {
+              case (sig, Some(sp)) => SignerSponsor(sig, sp)
+            }
             r.i32() match {
               case 0 =>
               case 3 => skipExtZero(r); r.u32(); r.u64() // seqLedger, seqTime
@@ -1373,18 +1386,20 @@ object StellarXdr {
         }
       case d => throw new XdrError(s"unsupported AccountEntry ext $d")
     }
-    EntryX("account", accountKey = id, balance = balance)
+    EntryX("account", accountKey = id, balance = balance,
+      signerSponsors = signerSponsors)
   }
 
   private def trustLineEntry(r: Reader): EntryX = {
     val id = accountId(r)
-    val tlType = trustLineAssetKey(r) match {
-      case Right(a) => a.asset_type
-      case Left(_) => "pool_share"
+    val (tlType, tlAsset, tlPool) = trustLineAssetKey(r) match {
+      case Right(a) => (a.asset_type, a, null)
+      case Left(poolId) => ("pool_share", null, poolId)
     }
     r.i64(); r.i64(); r.u32() // balance, limit, flags
     skipLiabilitiesExt(r, maxV = 2)
-    EntryX("trustline", accountKey = id, tlAssetType = tlType)
+    EntryX("trustline", accountKey = id, tlAssetType = tlType,
+      tlAsset = tlAsset, tlPoolId = tlPool)
   }
 
   private def dataEntry(r: Reader): EntryX = {
@@ -1525,12 +1540,12 @@ object StellarXdr {
       case 9 => ttlEntry(r)
       case d => throw new XdrError(s"unsupported LedgerEntry type $d")
     }
-    r.i32() match { // LedgerEntry ext
-      case 0 =>
-      case 1 => r.opt(accountId(r)); skipExtZero(r) // sponsoringID
+    val sponsor = r.i32() match { // LedgerEntry ext
+      case 0 => None
+      case 1 => val s = r.opt(accountId(r)); skipExtZero(r); s // sponsoringID
       case d => throw new XdrError(s"unsupported LedgerEntry ext $d")
     }
-    e.copy(lastModified = lastModified)
+    e.copy(lastModified = lastModified, sponsorKey = sponsor.orNull)
   }
 
   /** Re-encode the LedgerKey of a decoded Soroban-family entry — the
@@ -1560,11 +1575,12 @@ object StellarXdr {
     case 0 => EntryX("account", accountKey = accountId(r))
     case 1 =>
       val id = accountId(r)
-      val tlType = trustLineAssetKey(r) match {
-        case Right(a) => a.asset_type
-        case Left(_) => "pool_share"
+      val (tlType, tlAsset, tlPool) = trustLineAssetKey(r) match {
+        case Right(a) => (a.asset_type, a, null)
+        case Left(poolId) => ("pool_share", null, poolId)
       }
-      EntryX("trustline", accountKey = id, tlAssetType = tlType)
+      EntryX("trustline", accountKey = id, tlAssetType = tlType,
+        tlAsset = tlAsset, tlPoolId = tlPool)
     case 2 =>
       val seller = accountId(r); val offerId = r.i64()
       EntryX("offer", offer = OfferStateX(seller, offerId, null, null, 0L, 0, 0))
@@ -1739,10 +1755,40 @@ object StellarXdr {
     var pendingState: EntryX = null
     def base(entryType: String) = OpChange(entryType, None, None, None,
       None, None, None)
+    // pre/post sponsorship of one change (`addLedgerEntrySponsorshipEffects`
+    // substrate, effects.go:287-368): pre from the adjacent STATE entry,
+    // post from the mutation (removals have none); account entries also
+    // diff their per-signer sponsor maps. None when no sponsor appears on
+    // either side (the common unsponsored case).
+    def sponsorshipOf(state: EntryX, e: EntryX, kind: Int):
+        Option[SponsorshipChange] = {
+      val matched = Option(state).filter(_.family == e.family)
+      val pre = matched.flatMap(s => Option(s.sponsorKey))
+      val post = if (kind == 2) None else Option(e.sponsorKey)
+      val preSig = matched.map(_.signerSponsors).getOrElse(Nil)
+      val postSig = if (kind == 2) Nil else e.signerSponsors
+      if (pre.isEmpty && post.isEmpty && preSig.isEmpty && postSig.isEmpty)
+        None
+      else {
+        val full = if (e.accountKey != null) e else matched.getOrElse(e)
+        Some(SponsorshipChange(
+          pre_sponsor_key = pre,
+          post_sponsor_key = post,
+          subject_key = Option(full.accountKey)
+            .filter(_ => e.family == "account" || e.family == "trustline"),
+          data_name = Option(full.dataName).filter(_ => e.family == "data"),
+          cb_id = Option(full.cbId),
+          tl_asset = Option(full.tlAsset),
+          tl_pool_id = Option(full.tlPoolId),
+          pre_signer_sponsors = preSig,
+          post_signer_sponsors = postSig))
+      }
+    }
     changes.foreach { case (kind, e) =>
       if (kind == 3) pendingState = e
       else {
         val state = pendingState; pendingState = null
+        val sponsorship = sponsorshipOf(state, e, kind)
         e.family match {
           case "offer" =>
             val pre = Option(state).filter(s => s.family == "offer" &&
@@ -1757,13 +1803,18 @@ object StellarXdr {
           case "trustline" =>
             out += base("trustline").copy(change_kind = Some(kind),
               tl_asset_type = Option(e.tlAssetType)
-                .orElse(Option(state).flatMap(s => Option(s.tlAssetType))))
+                .orElse(Option(state).flatMap(s => Option(s.tlAssetType))),
+              sponsorship = sponsorship)
           case "data" =>
-            out += base("data").copy(change_kind = Some(kind))
+            out += base("data").copy(change_kind = Some(kind),
+              sponsorship = sponsorship)
           case "ttl" => // extend/restore footprint effects key off these
             out += base("ttl").copy(change_kind = Some(kind),
               ttl_key_hash = Option(e.soroban).map(_.ttlKeyHash))
-          case _ => // account/CB/LP rows feed no op-grain law on this path
+          case "account" | "claimable_balance" if sponsorship.isDefined =>
+            out += base(e.family).copy(change_kind = Some(kind),
+              sponsorship = sponsorship)
+          case _ => // unsponsored account/CB and LP rows feed no op-grain law
         }
       }
     }

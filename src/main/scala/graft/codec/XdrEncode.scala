@@ -84,6 +84,17 @@ object XdrEncode {
   def claimClaimableBalanceOp(balanceId: Array[Byte]): OpBody =
     OpBody(15, new W().i32(0).raw(balanceId).bytes)
 
+  def beginSponsoringOp(sponsoredId: Array[Byte]): OpBody =
+    OpBody(16, accountId(sponsoredId))
+
+  /** Set-options with ONLY a signer (the sponsor-detail signer arm). */
+  def setOptionsSignerOp(signer: Array[Byte], weight: Long): OpBody =
+    OpBody(5, new W()
+      .i32(0).i32(0).i32(0).i32(0) // inflationDest/clear/set/master absent
+      .i32(0).i32(0).i32(0).i32(0) // low/med/high/homeDomain absent
+      .i32(1).i32(0).raw(signer).u32(weight) // signer: ed25519 ‖ weight
+      .bytes)
+
   // ---- ledger keys (classic families, for revoke-sponsorship bodies) --------
 
   def accountLedgerKey(key: Array[Byte]): Array[Byte] =
@@ -249,6 +260,42 @@ object XdrEncode {
 
   def ttlEntry(keyHash: Array[Byte], liveUntil: Long): Array[Byte] =
     new W().i32(9).raw(keyHash).u32(liveUntil).bytes
+
+  def dataEntry(acct: Array[Byte], name: String,
+      value: Array[Byte]): Array[Byte] =
+    new W().i32(3).raw(accountId(acct)).str(name).opaqueVar(value)
+      .i32(0).bytes
+
+  /** AccountEntry with signers and (ext v2) per-signer sponsoring ids —
+    * the SponsorPerSigner substrate. */
+  def accountEntryWithSigners(key: Array[Byte], balance: Long,
+      signers: Seq[(Array[Byte], Option[Array[Byte]])]): Array[Byte] = {
+    val w = new W().i32(0) // ACCOUNT
+      .raw(accountId(key)).i64(balance).i64(1L)
+      .u32(signers.size) // numSubEntries
+      .i32(0) // inflationDest
+      .u32(0).str("") // flags, homeDomain
+      .raw(Array[Byte](1, 0, 0, 0)) // thresholds
+    w.arr(signers) { case (sig, _) =>
+      w.i32(0).raw(sig).u32(1L) // SIGNER_KEY_TYPE_ED25519 ‖ weight
+    }
+    w.i32(1).i64(0L).i64(0L) // ext v1: liabilities
+      .i32(2).u32(0L).u32(signers.count(_._2.isDefined)) // ext v2
+    w.arr(signers) { case (_, sp) =>
+      sp match {
+        case Some(s) => w.i32(1).raw(accountId(s))
+        case None => w.i32(0)
+      }
+    }
+    w.i32(0) // ext v2's ext
+    w.bytes
+  }
+
+  /** LedgerEntry shell with the ext-v1 sponsoring id. */
+  def ledgerEntrySponsored(lastModified: Long, typedBody: Array[Byte],
+      sponsor: Array[Byte]): Array[Byte] =
+    new W().u32(lastModified).raw(typedBody)
+      .i32(1).i32(1).raw(accountId(sponsor)).i32(0).bytes
 
   def contractDataEntry(contractId: Array[Byte], keyScVal: Array[Byte],
       durability: Int, valScVal: Array[Byte]): Array[Byte] =

@@ -36,8 +36,9 @@ class ClassicXdrDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def key(s: String): Array[Byte] = Hashes.sha256(s.getBytes("UTF-8"))
 
-  private def detailsOf(op: XdrEncode.OpBody, res: XdrEncode.OpResultSpec,
-      sourceMuxedId: Option[Long] = None): com.fasterxml.jackson.databind.JsonNode = {
+  private def ledgerRowOf(op: XdrEncode.OpBody, res: XdrEncode.OpResultSpec,
+      sourceMuxedId: Option[Long] = None,
+      metaB64: String = ""): LedgerRow = {
     val env = XdrEncode.txEnvelopeV1(XdrEncode.TxSpec(
       sourceKey = key("src"), fee = 200L, seqNum = 9L, ops = Seq(op),
       sourceMuxedId = sourceMuxedId))
@@ -45,8 +46,14 @@ class ClassicXdrDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
     val header = XdrEncode.ledgerHeader(
       XdrEncode.HeaderSpec(seq = 42424L, closeTime = 1719000000L))
-    val row = StellarXdr.decodeLedgerRow(b64(header),
-      Seq(StellarXdr.TxInput(b64(env), b64(result))))
+    StellarXdr.decodeLedgerRow(b64(header),
+      Seq(StellarXdr.TxInput(b64(env), b64(result), metaB64)))
+  }
+
+  private def detailsOf(op: XdrEncode.OpBody, res: XdrEncode.OpResultSpec,
+      sourceMuxedId: Option[Long] = None,
+      metaB64: String = ""): com.fasterxml.jackson.databind.JsonNode = {
+    val row = ledgerRowOf(op, res, sourceMuxedId, metaB64)
     val s = spark; import s.implicits._
     val out = StellarTransforms.historyOperations(Seq(row).toDS())
       .selectExpr("cast(details_json as string) as dj").collect().head
@@ -163,5 +170,48 @@ class ClassicXdrDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
       XdrEncode.OpResultSpec(8, 0, _.i64(1L)))
     assert(dPlain.get("account_muxed") == null &&
       dPlain.get("into_muxed") == null)
+  }
+
+  test("sponsor detail + sponsorship effects off real meta bytes: created " +
+      "sponsored entries and signer sponsors survive the decode") {
+    def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+    val sponsor = key("sponsor")
+    // begin_sponsoring whose op change CREATES a sponsored data entry
+    val metaData = XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(
+      opChanges = Seq(Seq(XdrEncode.change(0,
+        XdrEncode.ledgerEntrySponsored(5L,
+          XdrEncode.dataEntry(key("owner"), "cfg", Array[Byte](1, 2)),
+          sponsor))))))
+    val d = detailsOf(XdrEncode.beginSponsoringOp(key("sponsoree")),
+      XdrEncode.OpResultSpec(16, 0), metaB64 = b64(metaData))
+    assert(d.get("sponsor").asText() == Strkey.encodeAccountId(sponsor))
+
+    // ...and the same decoded change drives the data sponsorship effect
+    val s = spark; import s.implicits._
+    val effects = graft.operators.StellarTradesEffects.historyEffects(
+      Seq(ledgerRowOf(XdrEncode.beginSponsoringOp(key("sponsoree")),
+        XdrEncode.OpResultSpec(16, 0), metaB64 = b64(metaData))).toDS())
+      .selectExpr("type_string", "to_json(details) as dj").collect()
+    val spEff = effects.filter(_.getString(0) == "data_sponsorship_created")
+    assert(spEff.nonEmpty,
+      effects.map(_.getString(0)).mkString(","))
+    assert(om.readTree(spEff.head.getString(1)).get("sponsor").asText() ==
+      Strkey.encodeAccountId(sponsor))
+
+    // set_options adding a SPONSORED SIGNER: the account change's
+    // signer-sponsor map diff drives the sponsor detail (signer arm)
+    val sig = key("newsigner")
+    val sigSponsor = key("sigsponsor")
+    val metaSigner = XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(
+      opChanges = Seq(Seq(
+        XdrEncode.change(3, XdrEncode.ledgerEntry(4L,
+          XdrEncode.accountEntryWithSigners(key("src"), 1000L, Nil))),
+        XdrEncode.change(1, XdrEncode.ledgerEntry(5L,
+          XdrEncode.accountEntryWithSigners(key("src"), 1000L,
+            Seq(sig -> Some(sigSponsor)))))))))
+    val d2 = detailsOf(XdrEncode.setOptionsSignerOp(sig, 2L),
+      XdrEncode.OpResultSpec(5, 0), metaB64 = b64(metaSigner))
+    assert(d2.get("sponsor").asText() == Strkey.encodeAccountId(sigSponsor))
+    assert(d2.get("signer_key").asText() == Strkey.encodeAccountId(sig))
   }
 }

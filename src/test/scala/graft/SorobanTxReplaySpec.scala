@@ -284,6 +284,48 @@ class SorobanTxReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getAs[String]("contract_event_xdr")).toSet == expected)
   }
 
+  // ---- soroban effects off real wire bytes ----------------------------------
+
+  test("soroban effects: SAC transfer events and TTL changes decoded from " +
+      "real bytes drive contract_credited/debited and extend effects") {
+    val s = spark
+    val effects = graft.operators.StellarTradesEffects.historyEffects(
+      toDs(Seq(ledgerRowOf(invokeTx))))
+      .selectExpr("type_string", "address", "to_json(details) as dj")
+      .collect()
+    val byType = effects.groupBy(_.getAs[String]("type_string"))
+    // the planted transfer: G→C native 0.5 — the account side debits
+    // addressed to itself; the contract side credits addressed to the OP
+    // SOURCE with the C-address under the `contract` detail key
+    // (effects.go:1319-1430)
+    assert(byType.contains("contract_credited"), byType.keySet)
+    val cc = byType("contract_credited").head
+    assert(cc.getAs[String]("address") == Strkey.encodeAccountId(srcKey))
+    assert(om.readTree(cc.getAs[String]("dj")).get("contract").asText() ==
+      Strkey.encodeContract(contractId))
+    assert(byType.contains("account_debited"))
+    assert(byType("account_debited")
+      .exists(_.getAs[String]("address") == Strkey.encodeAccountId(srcKey)))
+
+    // extend op: the ttl change decoded from real meta v3 keys the
+    // extend_footprint_ttl effect (effects.go:1432-1474)
+    val extEffects = graft.operators.StellarTradesEffects.historyEffects(
+      toDs(Seq(ledgerRowOf(sorobanTx(XdrEncode.extendTtlOp(123456L),
+        XdrEncode.OpResultSpec(25, 0)), 55556L))))
+      .selectExpr("type_string", "to_json(details) as dj")
+      .collect()
+    val ext = extEffects.filter(_.getString(0) == "extend_footprint_ttl")
+    assert(ext.nonEmpty, extEffects.map(_.getString(0)).mkString(","))
+    val dj = om.readTree(ext.head.getString(1))
+    assert(dj.get("extend_to").asLong() == 123456L)
+    // the entry key rides as base64 TTL LedgerKey XDR built from the
+    // decoded change's key hash
+    val entries = dj.get("entries")
+    assert(entries != null && entries.size() == 1)
+    assert(java.util.Base64.getDecoder.decode(entries.get(0).asText())
+      .take(4).toSeq == Seq[Byte](0, 0, 0, 9))
+  }
+
   // ---- plain-events conversion (SorobanMeta.events, no diagnostics) ---------
 
   test("SorobanMeta.events (no diagnosticEvents) convert with " +
