@@ -1705,8 +1705,64 @@ object StellarXdr {
       if (diag.nonEmpty) diag else plainEvents, returnValue)
   }
 
-  /** TransactionMeta v0–v3 (v4 — proto 23's event-unified layout — fails
-    * loudly until the corpus needs it). */
+  /** TransactionMetaV4 (protocol 23, CAP-63 unified events): op-grain
+    * contract events ride OperationMetaV2; SorobanTransactionMetaV2 keeps
+    * the fee ext + optional return value; tx-level fee TransactionEvents
+    * are CONSUMED but not surfaced (no reference law exists for them yet —
+    * the reference's pinned SDK predates v4; a silent mis-mapping would be
+    * worse than the documented narrowing). The surfaced event stream is
+    * the v3-equivalent content: op events (successful-call contract
+    * events) ++ diagnosticEvents. */
+  private def txMetaV4From(r: Reader): TxMetaX = {
+    extensionPoint(r) // TransactionMetaV4.ext
+    val before = ledgerEntryChanges(r)
+    var opEvents = Vector.empty[ContractEventX]
+    val ops = r.arr { // OperationMetaV2
+      extensionPoint(r)
+      val changes = ledgerEntryChanges(r)
+      val nEv = r.i32()
+      if (nEv < 0) throw new XdrError(s"negative op events length $nEv")
+      opEvents ++= (0 until nEv).map(_ =>
+        contractEventFrom(r, inSuccessful = true, diagStart = None))
+      changes
+    }
+    val after = ledgerEntryChanges(r)
+    val soroban = r.opt {
+      val (nonRef, ref, rent, hasExt) = r.i32() match {
+        case 0 => (0L, 0L, 0L, false)
+        case 1 =>
+          extensionPoint(r)
+          val a = r.i64(); val b = r.i64(); val c = r.i64()
+          (a, b, c, true)
+        case d =>
+          throw new XdrError(s"unsupported SorobanTransactionMetaV2 ext $d")
+      }
+      val returnValue = r.opt(scValSlice(r)._2)
+      (nonRef, ref, rent, hasExt,
+        returnValue.getOrElse(ScVal.encode(ScVal.Void)))
+    }
+    // tx-level TransactionEvents: stage enum ‖ ContractEvent — fee events
+    r.arr {
+      val stage = r.i32()
+      if (stage < 0 || stage > 2)
+        throw new XdrError(s"unsupported TransactionEventStage $stage")
+      contractEventFrom(r, inSuccessful = true, diagStart = None)
+    }
+    val nDiag = r.i32()
+    if (nDiag < 0) throw new XdrError(s"negative diagnosticEvents length $nDiag")
+    val diag = (0 until nDiag).map(_ => diagnosticEvent(r))
+    val sorobanMeta = soroban.map { case (nonRef, ref, rent, hasExt, rv) =>
+      SorobanMetaX(nonRef, ref, rent, hasExt, opEvents ++ diag, rv)
+    }.orElse(
+      // classic v4 txs carry no sorobanMeta; surface diagnostics if any
+      if (opEvents.nonEmpty || diag.nonEmpty)
+        Some(SorobanMetaX(0L, 0L, 0L, hasFeeExt = false,
+          opEvents ++ diag, ScVal.encode(ScVal.Void)))
+      else None)
+    TxMetaX(before, ops, after, sorobanMeta)
+  }
+
+  /** TransactionMeta v0–v4. */
   def decodeTxMeta(bytes: Array[Byte]): TxMetaX = {
     val r = new Reader(bytes)
     fullyConsumed(r, "TransactionMeta")(txMetaFrom(r))
@@ -1732,6 +1788,7 @@ object StellarXdr {
         val after = ledgerEntryChanges(r)
         val soroban = r.opt(sorobanTransactionMeta(r))
         TxMetaX(before, ops, after, soroban)
+      case 4 => txMetaV4From(r)
       case d => throw new XdrError(s"unsupported TransactionMeta version $d")
     }
     m

@@ -364,6 +364,44 @@ object XdrEncode {
     w.bytes
   }
 
+  /** TransactionMetaV4 (protocol 23, CAP-63): op-grain contract events in
+    * OperationMetaV2, SorobanTransactionMetaV2 (fee ext + optional return
+    * value), stage-tagged tx-level TransactionEvents. */
+  final case class TxMetaV4Spec(
+      txChangesBefore: Seq[Array[Byte]] = Nil,
+      opMetas: Seq[(Seq[Array[Byte]], Seq[Array[Byte]])] = Nil, // (changes, events)
+      txChangesAfter: Seq[Array[Byte]] = Nil,
+      sorobanFees: Option[(Long, Long, Long)] = None, // non-ref, ref, rent
+      returnValue: Option[Array[Byte]] = None,
+      txEvents: Seq[(Int, Array[Byte])] = Nil, // (stage, ContractEvent)
+      diagnosticEvents: Seq[Array[Byte]] = Nil)
+
+  def txMetaV4(m: TxMetaV4Spec): Array[Byte] = {
+    val w = new W().i32(4).i32(0) // v4, ExtensionPoint
+    w.raw(changes(m.txChangesBefore))
+    w.arr(m.opMetas) { case (ch, evs) =>
+      w.i32(0) // OperationMetaV2.ext
+      w.raw(changes(ch))
+      w.arr(evs)(e => w.raw(e))
+    }
+    w.raw(changes(m.txChangesAfter))
+    if (m.sorobanFees.isDefined || m.returnValue.isDefined) {
+      w.i32(1) // sorobanMeta present
+      m.sorobanFees match {
+        case Some((nonRef, ref, rent)) =>
+          w.i32(1).i32(0).i64(nonRef).i64(ref).i64(rent)
+        case None => w.i32(0)
+      }
+      m.returnValue match {
+        case Some(rv) => w.i32(1).raw(rv)
+        case None => w.i32(0)
+      }
+    } else w.i32(0)
+    w.arr(m.txEvents) { case (stage, ev) => w.i32(stage).raw(ev) }
+    w.arr(m.diagnosticEvents)(e => w.raw(e))
+    w.bytes
+  }
+
   /** Fee-meta balance pair: state + updated account entries. */
   def feeMetaPair(key: Array[Byte], before: Long, after: Long): Array[Byte] =
     changes(Seq(

@@ -346,6 +346,73 @@ class SorobanTxReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       XdrEncode.diagnosticEvent(inSuccessful = true, ev)))
   }
 
+  // ---- TransactionMeta v4 (protocol 23, unified events) ----------------------
+
+  test("meta v4: op-grain events + SorobanTransactionMetaV2 fees decode to " +
+      "the same model the v3 path fills") {
+    import ScVal._
+    val transfer = XdrEncode.contractEvent(Some(contractId), 1,
+      Seq(encode(Sym("transfer")), encode(AddrAccount(srcKey)),
+        encode(AddrContract(contractId)), encode(Str("native"))),
+      encode(I128(0L, 7000000L)))
+    val feeEvent = XdrEncode.contractEvent(None, 1,
+      Seq(encode(Sym("fee"))), encode(I64(100L)))
+    val diag = XdrEncode.diagnosticEvent(inSuccessful = false,
+      XdrEncode.contractEvent(None, 2, Seq(encode(Sym("fn_call"))),
+        encode(Void)))
+    val metaV4 = XdrEncode.txMetaV4(XdrEncode.TxMetaV4Spec(
+      opMetas = Seq((Seq(XdrEncode.change(0, XdrEncode.ledgerEntry(900L,
+        XdrEncode.ttlEntry(key("t4"), 88888L)))), Seq(transfer))),
+      txChangesAfter = Seq(
+        XdrEncode.change(3, XdrEncode.ledgerEntry(1L,
+          XdrEncode.accountEntry(srcKey, 100000L))),
+        XdrEncode.change(1, XdrEncode.ledgerEntry(1L,
+          XdrEncode.accountEntry(srcKey, 104000L)))),
+      sorobanFees = Some((31000L, 6000L, 777L)),
+      returnValue = Some(encode(U32(5))),
+      txEvents = Seq((1, feeEvent)), // AFTER_TX fee event: consumed
+      diagnosticEvents = Seq(diag)))
+    val m = StellarXdr.decodeTxMeta(metaV4)
+    assert(m.sorobanMeta.isDefined)
+    val sm = m.sorobanMeta.get
+    assert((sm.nonRefundableFee, sm.refundableFee, sm.rentFee) ==
+      ((31000L, 6000L, 777L)))
+    // surfaced stream = op events (inSuccessful=true) ++ diagnosticEvents;
+    // the tx-level fee event is consumed, not surfaced
+    assert(sm.events.length == 2)
+    assert(sm.events.head.inSuccessfulCall && sm.events.head.eventType == 1)
+    assert(!sm.events.last.inSuccessfulCall && sm.events.last.eventType == 2)
+    assert(m.opChanges.length == 1 &&
+      m.opChanges.head.head._2.family == "ttl")
+    // refund law still reads txChangesAfter
+    assert(StellarXdr.balanceChanges(m.txChangesAfter)
+      .head.balance_after == 104000L)
+
+    // end-to-end: an invoke tx whose meta is v4 — fees + events flow
+    // through decodeTx exactly like v3
+    val env = XdrEncode.txEnvelopeV1(XdrEncode.TxSpec(
+      sourceKey = srcKey, fee = 140000L, seqNum = 43L,
+      ops = Seq(XdrEncode.invokeContractOp(contractId, "go", Nil)),
+      soroban = Some(sorobanData)))
+    def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+    val tx = StellarXdr.decodeTx(StellarXdr.TxInput(
+      b64(env), b64(XdrEncode.txResult(120000L, 0,
+        Seq(XdrEncode.invokeSuccess(key("rv"))))),
+      b64(metaV4),
+      b64(XdrEncode.feeMetaPair(srcKey, 1000000000L, 999870000L))))
+    assert(tx.soroban.get.non_refundable_fee == 31000L)
+    assert(tx.diag_events.length == 2)
+    assert(tx.operations.head.sac_events.length == 1) // the transfer only
+    assert(tx.operations.head.changes.exists(_.entry_type == "ttl"))
+
+    // every truncation of the v4 meta fails loudly — no silent partials
+    for (n <- 0 until metaV4.length) {
+      val e = intercept[Exception](StellarXdr.decodeTxMeta(
+        java.util.Arrays.copyOf(metaV4, n)))
+      assert(e.isInstanceOf[StellarXdr.XdrError], s"v4 prefix $n threw $e")
+    }
+  }
+
   // ---- datastore batch files --------------------------------------------------
 
   test("datastore batch files: write the tree, read through binaryFile + " +
