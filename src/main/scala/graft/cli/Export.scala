@@ -481,14 +481,26 @@ object Export {
   private def exportEntryChanges(spark: SparkSession, a: Args): Unit = {
     import graft.sources.LedgerFixtures
     require(a.batchSize > 0, s"batch-size (${a.batchSize}) must be greater than 0")
+    // --batch-input: the REAL datastore substrate carries the soroban
+    // state families (P13-P16) at the change grain; classic families ride
+    // their own table paths, so "all" narrows to the four real ones here
+    val sorobanTypes = Seq("contract_data", "contract_code",
+      "config_setting", "ttl")
     val wanted: Seq[String] =
-      if (a.exportType == "all") EntryTypes.map(_._1)
+      if (a.exportType == "all")
+        if (a.batchInput.isDefined) sorobanTypes else EntryTypes.map(_._1)
       else {
         val w = a.exportType.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         w.foreach(t => if (!EntryTypes.exists(_._1 == t))
           sys.error(s"unknown export type: $t"))
+        if (a.batchInput.isDefined)
+          w.foreach(t => if (!sorobanTypes.contains(t)) sys.error(
+            s"--batch-input exports the soroban state types " +
+              s"(${sorobanTypes.mkString(", ")}), not $t"))
         w
       }
+    lazy val realLedgers = graft.sources.LcmBatchFiles.ledgerRowsForRange(
+      spark, a.batchInput.getOrElse(""), a.start, a.end)
 
     lazy val changes = StellarFixture.changes(spark, a.start, a.end,
         includeTrustlines = true)
@@ -499,6 +511,14 @@ object Export {
     def tbl(name: String) = LedgerFixtures.table(spark, tableDir, name)
 
     def frameFor(t: String): DataFrame = t match {
+      case "contract_data" if a.batchInput.isDefined =>
+        graft.operators.SorobanStateTables.contractDataFromLedgers(realLedgers)
+      case "contract_code" if a.batchInput.isDefined =>
+        graft.operators.SorobanStateTables.contractCodeFromLedgers(realLedgers)
+      case "config_setting" if a.batchInput.isDefined =>
+        graft.operators.SorobanStateTables.configSettingsFromLedgers(realLedgers)
+      case "ttl" if a.batchInput.isDefined =>
+        graft.operators.SorobanStateTables.ttlFromLedgers(realLedgers)
       case "account" => ChangeTransforms.accounts(changes)
       case "signer" => ChangeTransforms.accountSigners(changes)
       case "offer" =>
@@ -517,7 +537,11 @@ object Export {
     }
 
     wanted.foreach { t =>
-      val (_, resource, seqCol) = EntryTypes.find(_._1 == t).get
+      val (_, resource, seqCol0) = EntryTypes.find(_._1 == t).get
+      // real changes batch by the ledger they occurred in (the reference's
+      // batch loop walks ledger ranges); the fixture state tables keep
+      // their last-modified convention
+      val seqCol = if (a.batchInput.isDefined) "ledger_sequence" else seqCol0
       writeBatchFiles(spark, frameFor(t), seqCol, resource, a)
     }
   }

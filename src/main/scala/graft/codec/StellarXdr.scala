@@ -1250,7 +1250,11 @@ object StellarXdr {
       },
       diag_events = meta.flatMap(_.sorobanMeta).map(_.events).getOrElse(Nil)
         .map(e => DiagEventModel(e.inSuccessfulCall, e.contractId,
-          e.eventType, e.topicsXdr, e.dataXdr, e.rawDiagXdr)))
+          e.eventType, e.topicsXdr, e.dataXdr, e.rawDiagXdr)),
+      state_changes = meta.map(m =>
+        stateChangesOf(m.txChangesBefore) ++
+          m.opChanges.flatMap(stateChangesOf) ++
+          stateChangesOf(m.txChangesAfter)).getOrElse(Nil))
   }
 
   // ---- ledger entries & transaction meta (classic arms) --------------------
@@ -1277,6 +1281,9 @@ object StellarXdr {
       // signer list) — the sponsorship-effect substrate
       sponsorKey: Array[Byte] = null,
       signerSponsors: Seq[SignerSponsor] = Nil,
+      // the full LedgerEntry XDR slice (entry-carrying change kinds only) —
+      // the state-table input grain (`SorobanStateTables.EntryChange`)
+      rawEntry: Array[Byte] = null,
       soroban: SorobanEntryX = null)
 
   /** The Soroban ledger-entry payloads (arms 6–9 of `LedgerEntry.data`),
@@ -1606,13 +1613,21 @@ object StellarXdr {
 
   /** One LedgerEntryChange: (kind, entry) with kind 0 created / 1 updated /
     * 2 removed (key only) / 3 state (pre-image) / 4 restored. */
-  def ledgerEntryChange(r: Reader): (Int, EntryX) = r.i32() match {
-    case 0 => (0, ledgerEntry(r))
-    case 1 => (1, ledgerEntry(r))
-    case 2 => (2, ledgerKey(r))
-    case 3 => (3, ledgerEntry(r))
-    case 4 => (4, ledgerEntry(r))
-    case d => throw new XdrError(s"unsupported LedgerEntryChange type $d")
+  def ledgerEntryChange(r: Reader): (Int, EntryX) = {
+    def withRaw(kind: Int): (Int, EntryX) = {
+      val start = r.offset
+      val e = ledgerEntry(r)
+      (kind, e.copy(rawEntry =
+        java.util.Arrays.copyOfRange(r.buf, start, r.offset)))
+    }
+    r.i32() match {
+      case 0 => withRaw(0)
+      case 1 => withRaw(1)
+      case 2 => (2, ledgerKey(r))
+      case 3 => withRaw(3)
+      case 4 => withRaw(4)
+      case d => throw new XdrError(s"unsupported LedgerEntryChange type $d")
+    }
   }
 
   def ledgerEntryChanges(r: Reader): Seq[(Int, EntryX)] =
@@ -1872,6 +1887,33 @@ object StellarXdr {
             out += base(e.family).copy(change_kind = Some(kind),
               sponsorship = sponsorship)
           case _ => // unsponsored account/CB and LP rows feed no op-grain law
+        }
+      }
+    }
+    out.result()
+  }
+
+  private val sorobanStateFamilies =
+    Set("contract_data", "contract_code", "config_setting", "ttl")
+
+  /** Soroban-family entry changes at the state-table grain
+    * (`utils.ExtractEntryFromChange`): created/updated/restored carry
+    * their own entry; a REMOVED key takes the adjacent STATE entry's bytes
+    * with deleted=true. STATE entries pair, they don't emit. */
+  def stateChangesOf(changes: Seq[(Int, EntryX)]): Seq[StateChangeModel] = {
+    val out = Seq.newBuilder[StateChangeModel]
+    var pendingState: EntryX = null
+    changes.foreach { case (kind, e) =>
+      if (kind == 3) pendingState = e
+      else {
+        val state = pendingState; pendingState = null
+        if (sorobanStateFamilies(e.family)) kind match {
+          case 0 | 1 | 4 =>
+            out += StateChangeModel(e.rawEntry, kind, deleted = false)
+          case 2 =>
+            Option(state).filter(_.family == e.family).foreach(s =>
+              out += StateChangeModel(s.rawEntry, 2, deleted = true))
+          case _ =>
         }
       }
     }

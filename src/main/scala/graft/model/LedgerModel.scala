@@ -215,6 +215,12 @@ object LedgerModel {
   case class BalanceChange(
       account_key: Array[Byte], balance_before: Long, balance_after: Long)
 
+  /** One Soroban-family ledger-entry change at the state-table grain
+    * (`utils.ExtractEntryFromChange` semantics): the FULL LedgerEntry XDR
+    * (the pre entry for removals), the change kind, and the deleted flag. */
+  case class StateChangeModel(
+      entry_xdr: Array[Byte], change_kind: Int, deleted: Boolean)
+
   /** Soroban transaction data (envelope ext + SorobanMeta ext V1). */
   case class SorobanModel(
       resource_fee: Long, instructions: Long, read_bytes: Long,
@@ -260,7 +266,10 @@ object LedgerModel {
       extra_signer_keys: Seq[Array[Byte]] = Seq.empty,
       // diagnostic-grain contract events (tx meta v3 SorobanMeta) — the
       // contract_events table reads these; empty off classic meta
-      diag_events: Seq[DiagEventModel] = Seq.empty)
+      diag_events: Seq[DiagEventModel] = Seq.empty,
+      // soroban-family entry changes (contract data/code, config, ttl)
+      // across the tx's whole meta — the P13-P16 state-table grain
+      state_changes: Seq[StateChangeModel] = Seq.empty)
 
   /** One closed ledger. */
   case class LedgerRow(

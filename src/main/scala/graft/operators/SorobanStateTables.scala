@@ -335,6 +335,42 @@ object SorobanStateTables {
     changes.map(ttlRow _).toDF()
   }
 
+  // ---- entry changes off decoded ledger rows --------------------------------
+
+  /** The state-table input grain from decoded LedgerRows: each tx's
+    * soroban-family entry changes (`TxModel.state_changes`) joined with
+    * the ledger context. `family` pre-dispatches on the entry-type word so
+    * each table transform filters without re-decoding. */
+  def entryChangesFromLedgers(
+      ledgers: Dataset[LedgerRow]): Dataset[(Int, EntryChange)] = {
+    val spark = ledgers.sparkSession; import spark.implicits._
+    ledgers.flatMap { l =>
+      l.transactions.flatMap(_.state_changes).map { c =>
+        // LedgerEntry = lastModified word ‖ entry-type word ‖ …
+        val family = ((c.entry_xdr(4) & 0xff) << 24) |
+          ((c.entry_xdr(5) & 0xff) << 16) |
+          ((c.entry_xdr(6) & 0xff) << 8) | (c.entry_xdr(7) & 0xff)
+        (family, EntryChange(c.entry_xdr, c.change_kind, c.deleted,
+          l.closed_at, l.sequence))
+      }
+    }
+  }
+
+  private def familySlice(ledgers: Dataset[LedgerRow],
+      family: Int): Dataset[EntryChange] = {
+    val spark = ledgers.sparkSession; import spark.implicits._
+    entryChangesFromLedgers(ledgers).filter(_._1 == family).map(_._2)
+  }
+
+  def contractDataFromLedgers(ledgers: Dataset[LedgerRow]): DataFrame =
+    contractData(familySlice(ledgers, 6))
+  def contractCodeFromLedgers(ledgers: Dataset[LedgerRow]): DataFrame =
+    contractCode(familySlice(ledgers, 7))
+  def configSettingsFromLedgers(ledgers: Dataset[LedgerRow]): DataFrame =
+    configSettings(familySlice(ledgers, 8))
+  def ttlFromLedgers(ledgers: Dataset[LedgerRow]): DataFrame =
+    ttl(familySlice(ledgers, 9))
+
   // ---- contract_events (ledger grain, fully declarative) --------------------
 
   private val eventTypeNames = typedLit(Map(

@@ -346,6 +346,73 @@ class SorobanTxReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       XdrEncode.diagnosticEvent(inSuccessful = true, ev)))
   }
 
+  // ---- state tables off the full tx pipeline ---------------------------------
+
+  test("state tables end-to-end: REAL golden contract-data bytes ride a tx " +
+      "meta through the batch tree and export_ledger_entry_changes") {
+    // a REAL mainnet ContractDataEntry from the reference's golden corpus
+    val goldenRow = scala.io.Source.fromFile(
+      "/root/reference/testdata/changes/contract_data.golden").getLines()
+      .filter(_.trim.nonEmpty).take(1).toSeq.head
+    val g = om.readTree(goldenRow)
+    val realBody = java.util.Base64.getDecoder.decode(
+      g.get("contract_data_xdr").asText())
+    val meta = XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(
+      opChanges = Seq(Seq(
+        XdrEncode.change(0, XdrEncode.ledgerEntry(777L,
+          new XdrEncode.W().i32(6).raw(realBody).bytes)), // CONTRACT_DATA arm
+        XdrEncode.change(0, XdrEncode.ledgerEntry(778L,
+          new XdrEncode.W().i32(7).i32(0) // contract code, ext v0
+            .raw(key("codehash")).opaqueVar(Array.emptyByteArray).bytes)),
+        // a TTL state+removed pair: the pre entry rides out deleted
+        XdrEncode.change(3, XdrEncode.ledgerEntry(779L,
+          XdrEncode.ttlEntry(key("ttl-gone"), 4242L))),
+        XdrEncode.change(2, new XdrEncode.W().i32(9)
+          .raw(key("ttl-gone")).bytes))),
+      soroban = Some(XdrEncode.SorobanMetaSpec(0L, 0L, 0L))))
+    val env = XdrEncode.txEnvelopeV1(XdrEncode.TxSpec(
+      sourceKey = srcKey, fee = 140000L, seqNum = 44L,
+      ops = Seq(XdrEncode.invokeContractOp(contractId, "put", Nil)),
+      soroban = Some(sorobanData)))
+    val tx = XdrEncode.LcmTx(env,
+      XdrEncode.txResult(120000L, 0, Seq(XdrEncode.invokeSuccess(key("r9")))),
+      meta, XdrEncode.feeMetaPair(srcKey, 1000000L, 900000L))
+    val dir = java.nio.file.Files.createTempDirectory("state-batch").toString
+    LcmBatchFiles.writeTree(dir, Seq(
+      (XdrEncode.ledgerHeader(XdrEncode.HeaderSpec(80001L, 1719300000L)),
+        Seq(tx))))
+
+    val out = java.nio.file.Files.createTempDirectory("state-out").toString
+    graft.cli.Export.run(spark, graft.cli.Export.parse(Array(
+      "export_ledger_entry_changes", "--start", "80001", "--end", "80001",
+      "--batch-size", "64", "--batch-input", dir, "--output", out)))
+    def rows(resource: String): Seq[com.fasterxml.jackson.databind.JsonNode] =
+      scala.io.Source.fromFile(s"$out/80001-80001-$resource.txt")
+        .getLines().filter(_.trim.nonEmpty).map(om.readTree).toSeq
+    val cd = rows("contract_data")
+    assert(cd.size == 1)
+    // the REAL bytes round-tripped the whole pipeline: strkey id, decoded
+    // key tree and the sha256 LedgerKey law all match the golden
+    assert(cd.head.get("contract_id").asText() ==
+      g.get("contract_id").asText())
+    assert(cd.head.get("ledger_key_hash").asText() ==
+      g.get("ledger_key_hash").asText())
+    assert(om.readTree(cd.head.get("key_decoded").asText()) ==
+      g.get("key_decoded"))
+    assert(cd.head.get("ledger_sequence").asLong() == 80001L)
+    assert(cd.head.get("last_modified_ledger").asLong() == 777L)
+    val cc = rows("contract_code")
+    assert(cc.size == 1 &&
+      cc.head.get("contract_code_hash").asText() ==
+        graft.codec.Hashes.hex(key("codehash")))
+    val ttls = rows("ttl")
+    assert(ttls.size == 1 && ttls.head.get("deleted").asBoolean() &&
+      ttls.head.get("key_hash").asText() ==
+        graft.codec.Hashes.hex(key("ttl-gone")) &&
+      ttls.head.get("live_until_ledger_seq").asLong() == 4242L)
+    assert(rows("config_settings").isEmpty)
+  }
+
   // ---- TransactionMeta v4 (protocol 23, unified events) ----------------------
 
   test("meta v4: op-grain events + SorobanTransactionMetaV2 fees decode to " +
