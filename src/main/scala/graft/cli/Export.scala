@@ -186,7 +186,24 @@ object Export {
     // --batch-input <datastore tree>: the reference's REAL backfill
     // substrate — zstd LedgerCloseMetaBatch objects (1 ledger/file), the
     // object-key law pruning the listing to the requested range
-    if (a.batchInput.isDefined)
+    if (a.batchInput.isDefined && a.permissive) {
+      // poison OBJECTS become reported error rows: counted by the same
+      // observe() metric, dumped beside the output, good ledgers flow on
+      val res = graft.sources.LcmBatchFiles
+        .objectsPermissive(spark, a.batchInput.get).persist()
+      val errs = res.filter(r => r.error.isDefined)
+      val nBad = errs.count()
+      if (nBad > 0) {
+        val errPath = a.output.stripSuffix("/") + "_decode_errors"
+        errs.toDF().select(col("error"), col("path"))
+          .write.mode("overwrite").json(errPath)
+        println(s"""{"xdr_poisoned":$nBad,"errors_path":"$errPath"}""")
+      }
+      graft.operators.Stats.observedDecode(res.toDF())
+        .as[graft.sources.LcmBatchFiles.ObjectDecodeResult]
+        .flatMap(_.rows)
+        .filter(r => r.sequence >= a.start && r.sequence <= a.end)
+    } else if (a.batchInput.isDefined)
       graft.sources.LcmBatchFiles.ledgerRowsForRange(
         spark, a.batchInput.get, a.start, a.end)
     else (a.xdrInput, a.input) match {

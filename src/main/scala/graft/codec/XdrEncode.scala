@@ -219,6 +219,36 @@ object XdrEncode {
     w.bytes
   }
 
+  /** Fee-bump envelope wrapping an already-encoded V1 envelope (the inner
+    * bytes begin with the ENVELOPE_TYPE_TX word and keep their own
+    * signatures, per the wire layout). */
+  def txEnvelopeFeeBump(feeSourceKey: Array[Byte], fbFee: Long,
+      innerV1: Array[Byte], feeSourceMuxId: Option[Long] = None,
+      signatureSeed: Byte = 9): Array[Byte] =
+    new W().i32(5) // ENVELOPE_TYPE_TX_FEE_BUMP
+      .raw(muxed(feeSourceKey, feeSourceMuxId))
+      .i64(fbFee)
+      .raw(innerV1)
+      .i32(0) // FeeBumpTransaction ext
+      .i32(1).raw(Array[Byte](9, 9, 9, signatureSeed))
+      .opaqueVar(Array.fill[Byte](64)(signatureSeed))
+      .bytes
+
+  /** Fee-bump result shell: feeCharged ‖ txFEE_BUMP_INNER_SUCCESS ‖ inner
+    * result pair (hash ‖ InnerTransactionResult) ‖ ext. */
+  def txResultFeeBump(feeCharged: Long, innerHash: Array[Byte],
+      innerFeeCharged: Long, ops: Seq[OpResultSpec]): Array[Byte] = {
+    val w = new W().i64(feeCharged).i32(1) // txFEE_BUMP_INNER_SUCCESS
+      .raw(innerHash)
+      .i64(innerFeeCharged).i32(0) // inner: feeCharged ‖ txSUCCESS
+    w.arr(ops) { o =>
+      w.i32(0).i32(o.opType).i32(o.code); o.payload(w)
+    }
+    w.i32(0) // inner ext
+    w.i32(0) // outer ext
+    w.bytes
+  }
+
   // ---- transaction result ----------------------------------------------------
 
   /** One op result: (opType, code, optional success payload writer). */

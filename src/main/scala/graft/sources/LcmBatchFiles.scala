@@ -93,6 +93,31 @@ object LcmBatchFiles {
       .flatMap(decodeObject _)
   }
 
+  /** Permissive-mode result: one row per OBJECT file — either its decoded
+    * ledgers or the error (poison objects must be reported, never dropped;
+    * the caller splits on `error`, mirroring
+    * [[graft.operators.RealXdrSource.ledgerRowsPermissive]]). */
+  final case class ObjectDecodeResult(path: String, rows: Seq[LedgerRow],
+      error: Option[String])
+
+  def objectsPermissive(spark: SparkSession,
+      rootDir: String): Dataset[ObjectDecodeResult] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xdr.zstd")
+      .option("recursiveFileLookup", "true")
+      .load(rootDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        try ObjectDecodeResult(path, decodeObject(bytes), None)
+        catch {
+          case e: Exception => ObjectDecodeResult(path, Nil,
+            Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      }
+  }
+
   /** Range-pruned variant: the object-key law maps a ledger range to its
     * file names, so the scan lists ONLY the matching objects instead of the
     * whole tree — the 100 TB shape (a backfill of 1M ledgers out of 200M

@@ -346,6 +346,105 @@ class SorobanTxReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       XdrEncode.diagnosticEvent(inSuccessful = true, ev)))
   }
 
+  // ---- permissive batch decode -----------------------------------------------
+
+  test("permissive batch decode: a corrupted datastore object is reported " +
+      "and the rest of the tree still exports") {
+    val dir = java.nio.file.Files.createTempDirectory("poison-batch").toString
+    LcmBatchFiles.writeTree(dir, Seq(
+      (XdrEncode.ledgerHeader(XdrEncode.HeaderSpec(91001L, 1719500000L)),
+        Seq(invokeTx)),
+      (XdrEncode.ledgerHeader(XdrEncode.HeaderSpec(91002L, 1719500005L)),
+        Nil)))
+    // corrupt the second object: truncate half the zstd frame
+    val victim = java.nio.file.Paths.get(dir,
+      LcmBatchFiles.objectKey(91002L))
+    val bytes = java.nio.file.Files.readAllBytes(victim)
+    java.nio.file.Files.write(victim,
+      java.util.Arrays.copyOf(bytes, bytes.length / 2))
+
+    val out = java.nio.file.Files.createTempDirectory("poison-out")
+      .toString + "/txs"
+    val stdout = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(stdout)) {
+      graft.cli.Export.run(spark, graft.cli.Export.parse(Array(
+        "export_transactions", "--start", "91001", "--end", "91002",
+        "--batch-input", dir, "--permissive",
+        "--output", out, "--format", "ndjson")))
+    }
+    assert(stdout.toString("UTF-8").contains(""""xdr_poisoned":1"""))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out + "_decode_errors")))
+    assert(spark.read.json(out).count() == 1) // the good ledger exported
+    // fail-fast default still throws on the poisoned tree
+    intercept[org.apache.spark.SparkException] {
+      graft.cli.Export.run(spark, graft.cli.Export.parse(Array(
+        "export_transactions", "--start", "91001", "--end", "91002",
+        "--batch-input", dir, "--output",
+        java.nio.file.Files.createTempDirectory("poison-strict").toString
+          + "/x", "--format", "ndjson")))
+    }
+  }
+
+  // ---- fee-bump + soroban interaction ----------------------------------------
+
+  test("fee-bump soroban tx: fee laws key off the FEE-BUMP account, and the " +
+      "pre-21 P20 recompute law fires on old protocols") {
+    val bumper = key("bumper")
+    val inner = XdrEncode.txEnvelopeV1(XdrEncode.TxSpec(
+      sourceKey = srcKey, fee = 140000L, seqNum = 45L,
+      ops = Seq(XdrEncode.invokeContractOp(contractId, "bump", Nil)),
+      soroban = Some(sorobanData)))
+    val innerHash = StellarXdr.decodeTxEnvelope(inner).hash
+    val env = XdrEncode.txEnvelopeFeeBump(bumper, 280000L, inner,
+      feeSourceMuxId = Some(4242L))
+    val result = XdrEncode.txResultFeeBump(150000L, innerHash, 150000L,
+      Seq(XdrEncode.invokeSuccess(key("rb"))))
+    // fee meta charges the BUMPER; the refund credits the bumper too
+    val meta = XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(
+      opChanges = Seq(Nil),
+      txChangesAfter = Seq(
+        XdrEncode.change(3, XdrEncode.ledgerEntry(1L,
+          XdrEncode.accountEntry(bumper, 700000L))),
+        XdrEncode.change(1, XdrEncode.ledgerEntry(1L,
+          XdrEncode.accountEntry(bumper, 706000L)))), // refund 6000
+      soroban = Some(XdrEncode.SorobanMetaSpec(26000L, 5500L, 1600L))))
+    val feeMeta = XdrEncode.feeMetaPair(bumper, 5000000L, 5000000L - 170000L)
+    val tx = XdrEncode.LcmTx(env, result, meta, feeMeta)
+
+    def txRow(protocol: Long) = {
+      val header = XdrEncode.ledgerHeader(XdrEncode.HeaderSpec(
+        seq = 90001L, closeTime = 1719400000L, protocolVersion = protocol))
+      def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+      val row = StellarXdr.decodeLedgerRow(b64(header),
+        Seq(StellarXdr.TxInput(b64(tx.envelope), b64(tx.result),
+          b64(tx.meta), b64(tx.feeMeta))))
+      StellarTransforms.historyTransactions(toDs(Seq(row))).collect().head
+    }
+    val p21 = txRow(21L)
+    def g(r: org.apache.spark.sql.Row, c: String) = r.getAs[Long](c)
+    assert(p21.getAs[String]("fee_account") == Strkey.encodeAccountId(bumper))
+    assert(p21.getAs[String]("inner_transaction_hash") ==
+      Hashes.hex(innerHash))
+    assert(g(p21, "new_max_fee") == 280000L)
+    assert(g(p21, "fee_charged") == 150000L)
+    assert(g(p21, "resource_fee") == 40000L)
+    // inclusion fees read the BUMPER's fee-meta diff (170000), not the
+    // inner source's (transaction.go:152-160 feeAccountAddress)
+    assert(g(p21, "inclusion_fee_charged") == 170000L - 40000L)
+    assert(g(p21, "resource_fee_refund") == 6000L)
+    assert(g(p21, "non_refundable_resource_fee_charged") == 26000L)
+    // the inner envelope hash law: the tx hash is the FEE-BUMP payload
+    assert(p21.getAs[String]("transaction_hash") ==
+      StellarXdr.txHashHex(p21.getAs[String]("tx_envelope")))
+    assert(p21.getAs[String]("transaction_hash") != Hashes.hex(innerHash))
+
+    // protocol 20: core#4188 — fee_charged recomputed as
+    // resource_fee - refund for soroban fee bumps
+    val p20 = txRow(20L)
+    assert(g(p20, "fee_charged") == 40000L - 6000L)
+  }
+
   // ---- state tables off the full tx pipeline ---------------------------------
 
   test("state tables end-to-end: REAL golden contract-data bytes ride a tx " +
