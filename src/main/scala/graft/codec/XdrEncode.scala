@@ -501,6 +501,23 @@ object XdrEncode {
     w.bytes
   }
 
+  /** LedgerCloseMeta v0 (pre-protocol-20 archives): plain TransactionSet,
+    * no ext/bucket-size/evicted trailers. */
+  def ledgerCloseMetaV0(header: Array[Byte], txs: Seq[LcmTx]): Array[Byte] = {
+    val headerHash = Hashes.sha256(header)
+    val w = new W().i32(0) // LedgerCloseMeta v0
+      .raw(headerHash).raw(header).i32(0) // LedgerHeaderHistoryEntry + ext
+      .raw(new Array[Byte](32)) // TransactionSet.previousLedgerHash
+    w.arr(txs)(t => w.raw(t.envelope))
+    w.arr(txs) { t =>
+      val env = StellarXdr.decodeTxEnvelope(t.envelope)
+      w.raw(env.hash).raw(t.result).raw(t.feeMeta).raw(t.meta)
+    }
+    w.i32(0) // upgradesProcessing<>
+    w.i32(0) // scpInfo<>
+    w.bytes
+  }
+
   /** LedgerCloseMetaBatch: the datastore object payload
     * (`main.go:981-984`: 1 ledger per file). */
   def ledgerCloseMetaBatch(startSeq: Long, endSeq: Long,

@@ -346,6 +346,32 @@ class SorobanTxReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       XdrEncode.diagnosticEvent(inSuccessful = true, ev)))
   }
 
+  // ---- LedgerCloseMeta v0 (classic archives) ---------------------------------
+
+  test("LedgerCloseMeta v0: the classic-archive arm decodes to the same " +
+      "rows the v1 layout yields") {
+    val classic = {
+      val env = XdrEncode.txEnvelopeV1(XdrEncode.TxSpec(
+        sourceKey = key("v0src"), fee = 300L, seqNum = 11L,
+        ops = Seq(XdrEncode.paymentOp(key("v0dst"),
+          AssetRef("native", "", ""), 1234567L))))
+      XdrEncode.LcmTx(env,
+        XdrEncode.txResult(100L, 0, Seq(XdrEncode.OpResultSpec(1, 0))),
+        XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(opChanges = Seq(Nil))),
+        XdrEncode.feeMetaPair(key("v0src"), 9999999L, 9999899L))
+    }
+    val header = XdrEncode.ledgerHeader(
+      XdrEncode.HeaderSpec(95001L, 1600000000L, protocolVersion = 17L))
+    val v0 = XdrEncode.ledgerCloseMetaV0(header, Seq(classic))
+    val v1 = XdrEncode.ledgerCloseMetaV1(header, Seq(classic))
+    val r0 = StellarXdr.decodeLedgerCloseMeta(new StellarXdr.Reader(v0))
+    val r1 = StellarXdr.decodeLedgerCloseMeta(new StellarXdr.Reader(v1))
+    assert(r0.sequence == 95001L && r0.transactions.size == 1)
+    assert(r0.transactions.head.hash_hex == r1.transactions.head.hash_hex)
+    assert(r0.transactions.head.fee_charged == 100L)
+    assert(java.util.Arrays.equals(r0.ledger_hash, r1.ledger_hash))
+  }
+
   // ---- permissive batch decode -----------------------------------------------
 
   test("permissive batch decode: a corrupted datastore object is reported " +
