@@ -516,8 +516,12 @@ object Export {
               s"(${sorobanTypes.mkString(", ")}), not $t"))
         w
       }
+    // persisted once: all four state resources project the SAME decoded
+    // rows — without this each resource re-reads and re-decodes the tree
+    // (4× read amplification on a real backfill)
     lazy val realLedgers = graft.sources.LcmBatchFiles.ledgerRowsForRange(
-      spark, a.batchInput.getOrElse(""), a.start, a.end)
+        spark, a.batchInput.getOrElse(""), a.start, a.end)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     lazy val changes = StellarFixture.changes(spark, a.start, a.end,
         includeTrustlines = true)

@@ -121,7 +121,11 @@ object LcmBatchFiles {
   /** Range-pruned variant: the object-key law maps a ledger range to its
     * file names, so the scan lists ONLY the matching objects instead of the
     * whole tree — the 100 TB shape (a backfill of 1M ledgers out of 200M
-    * touches 1M objects, not the full listing). */
+    * touches 1M objects, not the full listing). The path list is built on
+    * the driver (one stat per candidate object — microseconds each); a
+    * full-history job at the hundreds-of-millions-of-ledgers grain should
+    * chunk its range into per-job slices anyway, exactly as the
+    * reference's batch loop does. */
   def ledgerRowsForRange(spark: SparkSession, rootDir: String,
       startSeq: Long, endSeq: Long): Dataset[LedgerRow] = {
     import spark.implicits._
