@@ -4672,7 +4672,29 @@ object QueryCatalog {
             col("contract_id"), col("type"), col("type_string"),
             to_json(col("topics")).as("topics"),
             col("data"), col("data_decoded"), col("contract_event_xdr"))
-          .orderBy("transaction_id"))
+          .orderBy("transaction_id")),
+
+    Q("stellar_ttl_real_xdr",
+      // the P16 state table off the same genuine datastore bytes: each tx
+      // meta plants one TTL change — created on even (seq+t), a
+      // state+removed pair on odd (deleted=true rides the PRE entry, the
+      // ExtractEntryFromChange law) — every column affine-derivable
+      Some("""WITH ls AS (SELECT unnest(generate_series(3000, 3127)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 3)) AS t FROM ls)
+             |SELECT sha256('ttlk-' || seq || '-' || t) AS key_hash,
+             |  CAST(200000 + seq + t AS BIGINT) AS live_until_ledger_seq,
+             |  seq AS last_modified_ledger,
+             |  CAST(CASE WHEN (seq + t) % 2 = 0 THEN 0 ELSE 2 END AS INT)
+             |    AS ledger_entry_change,
+             |  (seq + t) % 2 = 1 AS deleted,
+             |  seq AS ledger_sequence
+             |FROM tx ORDER BY key_hash""".stripMargin),
+      (s, dir) =>
+        graft.operators.SorobanStateTables.ttlFromLedgers(
+            graft.sources.LcmBatchFiles.ledgerRowsForRange(
+              s, xdrBatchDir, 3000, 3127))
+          .drop("closed_at") // timestamp format lives outside the gate
+          .orderBy("key_hash"))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

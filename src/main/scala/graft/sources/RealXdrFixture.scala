@@ -58,8 +58,17 @@ object RealXdrFixture {
         ScVal.encode(ScVal.Str("native"))),
       ScVal.encode(ScVal.I128(0L, 5000000L + seq + t)))
     val refund = 1200L + (seq + t) % 100
+    // one TTL state change per tx: created on even (seq+t), a
+    // state+removed pair (deleted) on odd — the P16 real-path law
+    val ttlKeyHash = key(s"ttlk-$seq-$t")
+    val ttlEntry = XdrEncode.ledgerEntry(seq,
+      XdrEncode.ttlEntry(ttlKeyHash, 200000L + seq + t))
+    val ttlChanges =
+      if ((seq + t) % 2 == 0) Seq(XdrEncode.change(0, ttlEntry))
+      else Seq(XdrEncode.change(3, ttlEntry),
+        XdrEncode.change(2, new XdrEncode.W().i32(9).raw(ttlKeyHash).bytes))
     val meta = XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(
-      opChanges = Seq(Nil),
+      opChanges = Seq(ttlChanges),
       txChangesAfter = Seq(
         XdrEncode.change(3, XdrEncode.ledgerEntry(seq,
           XdrEncode.accountEntry(srcKey, 500L))),
