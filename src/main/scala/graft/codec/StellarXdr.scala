@@ -2022,6 +2022,45 @@ object StellarXdr {
     case d => throw new XdrError(s"unsupported LedgerUpgrade type $d")
   }
 
+  // ---- SCP history (consumed, never surfaced — the reference's transforms
+  // read nothing from scpInfo, `internal/transform` has no consumer) -------
+
+  private def scpBallot(r: Reader): Unit = { r.u32(); r.varBytes() }
+
+  private def scpStatement(r: Reader): Unit = {
+    accountId(r) // nodeID
+    r.u64() // slotIndex
+    r.i32() match { // pledges
+      case 0 => // PREPARE
+        r.bytes(32); scpBallot(r)
+        r.opt(scpBallot(r)); r.opt(scpBallot(r))
+        r.u32(); r.u32()
+      case 1 => // CONFIRM
+        scpBallot(r); r.u32(); r.u32(); r.u32(); r.bytes(32)
+      case 2 => // EXTERNALIZE
+        scpBallot(r); r.u32(); r.bytes(32)
+      case 3 => // NOMINATE
+        r.bytes(32); r.arr(r.varBytes()); r.arr(r.varBytes())
+      case d => throw new XdrError(s"unsupported SCPStatement pledges $d")
+    }
+  }
+
+  private def scpQuorumSet(r: Reader): Unit = {
+    r.u32() // threshold
+    r.arr(accountId(r)) // validators
+    val n = r.i32()
+    if (n < 0) throw new XdrError(s"negative innerSets length $n")
+    (0 until n).foreach(_ => scpQuorumSet(r))
+  }
+
+  private def scpHistoryEntry(r: Reader): Unit = r.i32() match {
+    case 0 =>
+      r.arr(scpQuorumSet(r))
+      r.u32() // LedgerSCPMessages.ledgerSeq
+      r.arr { scpStatement(r); r.varBytes() } // SCPEnvelope: stmt ‖ signature
+    case d => throw new XdrError(s"unsupported SCPHistoryEntry v$d")
+  }
+
   /** One `LedgerCloseMeta` (v0 classic / v1 protocol-20+ datastore layout)
     * → a LedgerRow via the same per-tx decode the frame path uses. The
     * envelopes live in the TX SET (arbitrary order); `txProcessing` carries
@@ -2060,9 +2099,7 @@ object StellarXdr {
       TxInput(b64e(envB), b64e(resultB), b64e(metaB), b64e(feeB))
     }
     r.arr { ledgerUpgrade(r); ledgerEntryChanges(r) } // upgradesProcessing
-    val nScp = r.i32()
-    if (nScp != 0)
-      throw new XdrError(s"SCP history entries not supported ($nScp present)")
+    r.arr(scpHistoryEntry(r)) // scpInfo: consumed, dropped (reference law)
     if (v == 1) {
       r.u64() // totalByteSizeOfBucketList
       r.arr(ledgerKey(r)) // evictedTemporaryLedgerKeys

@@ -472,7 +472,29 @@ object XdrEncode {
     * files carry (BufferedStorageBackend). `txProcessing` rides in apply
     * order; the tx set lists the same envelopes in one maybe-discounted-fee
     * component. */
-  def ledgerCloseMetaV1(header: Array[Byte], txs: Seq[LcmTx]): Array[Byte] = {
+  /** One SCPHistoryEntry (v0) with an externalize statement — the shape
+    * validator-attached archives embed; the decoder consumes and drops it
+    * exactly as the reference's transforms do. */
+  def scpHistoryEntry(nodeKey: Array[Byte], ledgerSeq: Long,
+      quorumValidators: Seq[Array[Byte]]): Array[Byte] = {
+    val w = new W().i32(0) // v0
+    w.i32(1) // quorumSets<1>
+      .u32(2L) // threshold
+    w.arr(quorumValidators)(v => w.raw(accountId(v)))
+    w.i32(1) // innerSets<1>: one nested set
+      .u32(1L).i32(1).raw(accountId(nodeKey)).i32(0)
+    w.u32(ledgerSeq) // LedgerSCPMessages.ledgerSeq
+    w.i32(1) // messages<1>
+      .raw(accountId(nodeKey)).i64(ledgerSeq) // nodeID, slotIndex
+      .i32(2) // EXTERNALIZE
+      .u32(7L).opaqueVar(Array[Byte](1, 2, 3)) // commit ballot
+      .u32(7L).raw(Hashes.sha256("qs".getBytes("UTF-8")))
+    w.opaqueVar(Array.fill[Byte](64)(3)) // envelope signature
+    w.bytes
+  }
+
+  def ledgerCloseMetaV1(header: Array[Byte], txs: Seq[LcmTx],
+      scpInfo: Seq[Array[Byte]] = Nil): Array[Byte] = {
     val headerHash = Hashes.sha256(header)
     val w = new W().i32(1) // LedgerCloseMeta v1
       .i32(0) // ExtensionPoint
@@ -494,7 +516,7 @@ object XdrEncode {
       w.raw(t.meta) // txApplyProcessing: TransactionMeta
     }
     w.i32(0) // upgradesProcessing<>
-    w.i32(0) // scpInfo<>
+    w.arr(scpInfo)(e => w.raw(e))
     w.i64(777L) // totalByteSizeOfBucketList
     w.i32(0) // evictedTemporaryLedgerKeys<>
     w.i32(0) // evictedPersistentLedgerEntries<>

@@ -346,6 +346,29 @@ class SorobanTxReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       XdrEncode.diagnosticEvent(inSuccessful = true, ev)))
   }
 
+  // ---- SCP history entries (consumed, dropped) --------------------------------
+
+  test("scpInfo: validator-attached LCM files decode — SCP messages are " +
+      "consumed and dropped, the reference's own law") {
+    val header = XdrEncode.ledgerHeader(
+      XdrEncode.HeaderSpec(96001L, 1719600000L))
+    val scp = XdrEncode.scpHistoryEntry(key("node"), 96001L,
+      Seq(key("val1"), key("val2")))
+    val lcm = XdrEncode.ledgerCloseMetaV1(header, Seq(invokeTx),
+      scpInfo = Seq(scp))
+    val row = StellarXdr.decodeLedgerCloseMeta(new StellarXdr.Reader(lcm))
+    assert(row.sequence == 96001L && row.transactions.size == 1)
+    assert(row.transactions.head.soroban.get.resource_fee == 40000L)
+    // truncations inside the SCP block still fail loudly
+    val bare = XdrEncode.ledgerCloseMetaV1(header, Nil)
+    val cut = lcm.length - 40 // inside the SCP envelope
+    val e = intercept[Exception](StellarXdr.decodeLedgerCloseMeta(
+      new StellarXdr.Reader(java.util.Arrays.copyOf(lcm, cut))))
+    assert(e.isInstanceOf[StellarXdr.XdrError])
+    assert(StellarXdr.decodeLedgerCloseMeta(
+      new StellarXdr.Reader(bare)).sequence == 96001L)
+  }
+
   // ---- LedgerCloseMeta v0 (classic archives) ---------------------------------
 
   test("LedgerCloseMeta v0: the classic-archive arm decodes to the same " +
