@@ -4694,7 +4694,113 @@ object QueryCatalog {
             graft.sources.LcmBatchFiles.ledgerRowsForRange(
               s, xdrBatchDir, 3000, 3127))
           .drop("closed_at") // timestamp format lives outside the gate
-          .orderBy("key_hash"))
+          .orderBy("key_hash")),
+
+    Q("stellar_contract_data_real_xdr",
+      // the P13 state table off the same genuine datastore bytes: every
+      // ScVal/LedgerKey passthrough rebuilt hex-by-hex in DuckDB
+      // (key Sym("k") = 0f‖len‖"k", val U64 = 05‖u64be, body = ext ‖
+      // SCAddress ‖ key ‖ durability ‖ val); ledger_key_hash (sha256 of
+      // binary) lives outside the gate — DuckDB sha256 is VARCHAR-only —
+      // but the exact key bytes ARE gated via ledger_key_hash_base_64
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(3000, 3127)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 3)) AS t FROM ls),
+             |o AS (SELECT seq, t, sha256('ct-' || seq || '-' || t) AS cthex,
+             |  '0000000f000000016b000000' AS keyhex,
+             |  CASE WHEN (seq + t) % 2 = 0 THEN '00000000' ELSE '00000001'
+             |    END AS durhex,
+             |  '00000005' || format('{:016x}', 7 * seq + t) AS valhex FROM tx)
+             |SELECT ${strkeyC("cthex")} AS contract_id,
+             |  'ScValTypeScvSymbol' AS contract_key_type,
+             |  CASE WHEN (seq + t) % 2 = 0 THEN 'ContractDataDurabilityTemporary'
+             |       ELSE 'ContractDataDurabilityPersistent'
+             |    END AS contract_durability,
+             |  '' AS asset_code, '' AS asset_issuer, '' AS asset_type,
+             |  '' AS balance_holder, '' AS balance,
+             |  seq AS last_modified_ledger,
+             |  CAST(t AS INT) AS ledger_entry_change,
+             |  t = 2 AS deleted,
+             |  seq AS ledger_sequence,
+             |  to_base64(from_hex(keyhex)) AS key,
+             |  '{"symbol":"k"}' AS key_decoded,
+             |  to_base64(from_hex(valhex)) AS val,
+             |  '{"u64":' || (7 * seq + t) || '}' AS val_decoded,
+             |  to_base64(from_hex('00000000' || '00000001' || cthex
+             |    || keyhex || durhex || valhex)) AS contract_data_xdr,
+             |  to_base64(from_hex('00000006' || '00000001' || cthex
+             |    || keyhex || durhex)) AS ledger_key_hash_base_64
+             |FROM o ORDER BY ledger_sequence, contract_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.SorobanStateTables.contractDataFromLedgers(
+            graft.sources.LcmBatchFiles.ledgerRowsForRange(
+              s, xdrBatchDir, 3000, 3127))
+          .drop("closed_at", "ledger_key_hash")
+          .orderBy("ledger_sequence", "contract_id")),
+
+    Q("stellar_contract_code_real_xdr",
+      // the P14 state table off the same genuine bytes: ext v0/v1 arms
+      // both exercised, the ten wasm cost inputs affine, the key bytes
+      // gated via base64
+      Some("""WITH ls AS (SELECT unnest(generate_series(3000, 3127)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 3)) AS t FROM ls),
+             |o AS (SELECT seq, t, (seq + t) % 2 AS v,
+             |  sha256('code-' || seq || '-' || t) AS codehex,
+             |  seq % 89 + 3 * t AS base FROM tx)
+             |SELECT codehex AS contract_code_hash,
+             |  CAST(v AS INT) AS contract_code_ext_v,
+             |  seq AS last_modified_ledger,
+             |  CAST(t AS INT) AS ledger_entry_change,
+             |  t = 2 AS deleted,
+             |  seq AS ledger_sequence,
+             |  CASE WHEN v = 1 THEN 1000 + base ELSE 0 END AS n_instructions,
+             |  CASE WHEN v = 1 THEN 2000 + base ELSE 0 END AS n_functions,
+             |  CASE WHEN v = 1 THEN 3000 + base ELSE 0 END AS n_globals,
+             |  CASE WHEN v = 1 THEN 4000 + base ELSE 0 END AS n_table_entries,
+             |  CASE WHEN v = 1 THEN 5000 + base ELSE 0 END AS n_types,
+             |  CASE WHEN v = 1 THEN 6000 + base ELSE 0 END AS n_data_segments,
+             |  CASE WHEN v = 1 THEN 7000 + base ELSE 0 END AS n_elem_segments,
+             |  CASE WHEN v = 1 THEN 8000 + base ELSE 0 END AS n_imports,
+             |  CASE WHEN v = 1 THEN 9000 + base ELSE 0 END AS n_exports,
+             |  CASE WHEN v = 1 THEN 10000 + base ELSE 0 END
+             |    AS n_data_segment_bytes,
+             |  to_base64(from_hex('00000007' || codehex))
+             |    AS ledger_key_hash_base_64
+             |FROM o ORDER BY ledger_sequence, contract_code_hash""".stripMargin),
+      (s, dir) =>
+        graft.operators.SorobanStateTables.contractCodeFromLedgers(
+            graft.sources.LcmBatchFiles.ledgerRowsForRange(
+              s, xdrBatchDir, 3000, 3127))
+          .drop("closed_at", "ledger_key_hash")
+          .orderBy("ledger_sequence", "contract_code_hash")),
+
+    Q("stellar_config_setting_real_xdr",
+      // the P15 state table off the same genuine bytes: three union arms
+      // (0 / 3 / 11) flattened wide, absent arms at Go zero values —
+      // the sparse-wide-row law on the real decode path
+      Some("""WITH ls AS (SELECT unnest(generate_series(3000, 3127)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 3)) AS t FROM ls)
+             |SELECT CAST(CASE t WHEN 0 THEN 0 WHEN 1 THEN 3 ELSE 11 END
+             |    AS INT) AS config_setting_id,
+             |  CASE WHEN t = 0 THEN 16384 + seq % 1000 ELSE 0 END
+             |    AS contract_max_size_bytes,
+             |  CASE WHEN t = 1 THEN 4000 + seq % 500 ELSE 0 END
+             |    AS fee_historical_1kb,
+             |  CASE WHEN t = 2 THEN 100 + seq % 50 ELSE 0 END
+             |    AS ledger_max_tx_count,
+             |  seq AS last_modified_ledger,
+             |  CAST(seq % 2 AS INT) AS ledger_entry_change,
+             |  false AS deleted,
+             |  seq AS ledger_sequence
+             |FROM tx ORDER BY ledger_sequence, config_setting_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.SorobanStateTables.configSettingsFromLedgers(
+            graft.sources.LcmBatchFiles.ledgerRowsForRange(
+              s, xdrBatchDir, 3000, 3127))
+          .select(col("config_setting_id"), col("contract_max_size_bytes"),
+            col("fee_historical_1kb"), col("ledger_max_tx_count"),
+            col("last_modified_ledger"), col("ledger_entry_change"),
+            col("deleted"), col("ledger_sequence"))
+          .orderBy("ledger_sequence", "config_setting_id"))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

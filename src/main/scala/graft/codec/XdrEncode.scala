@@ -334,6 +334,35 @@ object XdrEncode {
       .i32(1).raw(contractId) // SCAddress contract arm
       .raw(keyScVal).i32(durability).raw(valScVal).bytes
 
+  /** ContractCodeEntry: ext (v0 | v1 ExtensionPoint ‖ 10 wasm cost
+    * inputs) ‖ hash ‖ code<>. */
+  def contractCodeEntry(hash: Array[Byte], wasm: Array[Byte],
+      costInputs: Option[Seq[Long]] = None): Array[Byte] = {
+    val w = new W().i32(7) // CONTRACT_CODE
+    costInputs match {
+      case None => w.i32(0)
+      case Some(cs) =>
+        require(cs.size == 10, s"10 wasm cost inputs, got ${cs.size}")
+        w.i32(1).i32(0) // ext v1 ‖ ExtensionPoint
+        cs.foreach(c => w.u32(c))
+    }
+    w.raw(hash).opaqueVar(wasm).bytes
+  }
+
+  /** ConfigSettingEntry, the scalar arms the fixture plants: id 0
+    * (contract max size, uint32), 3 (historical fee, int64), 11 (ledger
+    * max tx count, uint32). */
+  def configSettingEntry(id: Int, v: Long): Array[Byte] = id match {
+    case 0 => new W().i32(8).i32(0).u32(v).bytes
+    case 3 => new W().i32(8).i32(3).i64(v).bytes
+    case 11 => new W().i32(8).i32(11).u32(v).bytes
+    case d => throw new IllegalArgumentException(
+      s"unsupported fixture ConfigSettingID $d")
+  }
+
+  def configSettingLedgerKey(id: Int): Array[Byte] =
+    new W().i32(8).i32(id).bytes
+
   /** LedgerEntry shell: lastModified ‖ data (typed body) ‖ ext 0. */
   def ledgerEntry(lastModified: Long, typedBody: Array[Byte]): Array[Byte] =
     new W().u32(lastModified).raw(typedBody).i32(0).bytes

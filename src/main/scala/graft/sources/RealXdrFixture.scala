@@ -23,6 +23,12 @@ import graft.codec.{Hashes, ScVal, XdrEncode}
   *   - footprint: RO [code key sha256("code-seq-t")], RW [data key (contract,
   *     Sym("k"), durability (seq+t)%2)]
   *   - one SAC transfer event: amount i128(0, 5000000 + seq + t), asset native
+  *   - per tx, one state change per soroban state family (P13–P16 laws):
+  *     ttl (created even / state+removed odd), contract_data (key Sym("k"),
+  *     dur (seq+t)%2, val U64(7·seq+t); kind = t), contract_code (the
+  *     footprint codeHash, ext v1 costs (i+1)·1000 + seq%89 + 3·t on odd
+  *     (seq+t); kind = t), config_setting (arm by t: 0/3/11; created on
+  *     even seq)
   */
 object RealXdrFixture {
 
@@ -67,8 +73,53 @@ object RealXdrFixture {
       if ((seq + t) % 2 == 0) Seq(XdrEncode.change(0, ttlEntry))
       else Seq(XdrEncode.change(3, ttlEntry),
         XdrEncode.change(2, new XdrEncode.W().i32(9).raw(ttlKeyHash).bytes))
+    // one contract_data change per tx (the P13 real-path law): key
+    // Sym("k"), durability (seq+t)%2, val U64(7·seq+t); t picks the
+    // change kind — 0 created, 1 state+updated (the state pre-image
+    // carries a DIFFERENT val, proving the post image wins), 2
+    // state+removed (deleted rides the pre-image, canonical val)
+    val cdKey = ScVal.encode(ScVal.Sym("k"))
+    val cdDur = ((seq + t) % 2).toInt
+    def cdEntry(v: Long) = XdrEncode.ledgerEntry(seq,
+      XdrEncode.contractDataEntry(contractId, cdKey, cdDur,
+        ScVal.encode(ScVal.U64(v))))
+    val cdChanges = t match {
+      case 0 => Seq(XdrEncode.change(0, cdEntry(7 * seq + t)))
+      case 1 => Seq(XdrEncode.change(3, cdEntry(7 * seq + t + 100)),
+        XdrEncode.change(1, cdEntry(7 * seq + t)))
+      case _ => Seq(XdrEncode.change(3, cdEntry(7 * seq + t)),
+        XdrEncode.change(2,
+          XdrEncode.contractDataLedgerKey(contractId, cdKey, cdDur)))
+    }
+    // one contract_code change per tx (the P14 real-path law): the
+    // footprint's codeHash; ext v1 with cost inputs (i+1)·1000 +
+    // seq%89 + 3·t on odd (seq+t), v0 (zero costs) on even
+    val codeCosts =
+      if ((seq + t) % 2 == 1)
+        Some((0 until 10).map(i => (i + 1) * 1000L + seq % 89 + 3 * t))
+      else None
+    val codeEntry = XdrEncode.ledgerEntry(seq,
+      XdrEncode.contractCodeEntry(codeHash,
+        s"wasm-$seq-$t".getBytes("UTF-8"), codeCosts))
+    val codeChanges = t match {
+      case 0 => Seq(XdrEncode.change(0, codeEntry))
+      case 1 => Seq(XdrEncode.change(1, codeEntry))
+      case _ => Seq(XdrEncode.change(3, codeEntry),
+        XdrEncode.change(2, XdrEncode.contractCodeLedgerKey(codeHash)))
+    }
+    // one config_setting change per tx (the P15 real-path law): t picks
+    // the union arm — 0 → id 0 (contract max size 16384 + seq%1000),
+    // 1 → id 3 (historical fee 4000 + seq%500), 2 → id 11 (ledger max
+    // tx count 100 + seq%50); created on even seq, updated on odd
+    val (cfgId, cfgV) = t match {
+      case 0 => (0, 16384L + seq % 1000)
+      case 1 => (3, 4000L + seq % 500)
+      case _ => (11, 100L + seq % 50)
+    }
+    val cfgChanges = Seq(XdrEncode.change((seq % 2).toInt,
+      XdrEncode.ledgerEntry(seq, XdrEncode.configSettingEntry(cfgId, cfgV))))
     val meta = XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(
-      opChanges = Seq(ttlChanges),
+      opChanges = Seq(ttlChanges ++ cdChanges ++ codeChanges ++ cfgChanges),
       txChangesAfter = Seq(
         XdrEncode.change(3, XdrEncode.ledgerEntry(seq,
           XdrEncode.accountEntry(srcKey, 500L))),

@@ -176,6 +176,14 @@ object ExplainAudit {
       // the contract-events fan-out off decoded rows: two explodes +
       // codegen'd renderers, map-only
       ("stellar_contract_events_real_xdr", Seq("Generate"),
+        Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin")),
+      // the soroban state tables off the datastore tree: executor-side
+      // decode + flatMap projection, shuffle-free map-only backfill shape
+      ("stellar_contract_data_real_xdr", Seq("SerializeFromObject"),
+        Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin")),
+      ("stellar_contract_code_real_xdr", Seq("SerializeFromObject"),
+        Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin")),
+      ("stellar_config_setting_real_xdr", Seq("SerializeFromObject"),
         Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin"))
     )
     val byName = (QueryCatalog.all ++ QueryCatalog.entryOps).map(q => q.name -> q).toMap

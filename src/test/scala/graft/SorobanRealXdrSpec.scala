@@ -325,6 +325,37 @@ class SorobanRealXdrSpec extends AnyFunSuite with BeforeAndAfterAll {
       jsonCols = Set.empty, label = "config_settings")
   }
 
+  test("contract_code ext v1: production encoder/decoder round-trip of the " +
+      "ten wasm cost inputs (the golden only carries ext v0)") {
+    val costs: Seq[Long] = (0 until 10).map(i => 7L * i + 3)
+    val hash = hex("ab" * 32)
+    val entry = graft.codec.XdrEncode.ledgerEntry(42L,
+      graft.codec.XdrEncode.contractCodeEntry(hash, "w".getBytes("UTF-8"),
+        Some(costs)))
+    val e = StellarXdr.ledgerEntry(new StellarXdr.Reader(entry))
+    assert(e.family == "contract_code")
+    assert(e.soroban.codeExtV == 1)
+    assert(e.soroban.costInputs == costs)
+    assert(java.util.Arrays.equals(e.soroban.codeHash, hash))
+  }
+
+  test("config_setting fixture arms: production encoder round-trips " +
+      "ids 0 / 3 / 11 through the union decode") {
+    for ((id, v) <- Seq((0, 555L), (3, 7L), (11, 42L))) {
+      val entry = graft.codec.XdrEncode.ledgerEntry(9L,
+        graft.codec.XdrEncode.configSettingEntry(id, v))
+      val c = StellarXdr.ledgerEntry(new StellarXdr.Reader(entry))
+        .soroban.config
+      assert(c.id == id)
+      val got = id match {
+        case 0 => c.contractMaxSizeBytes
+        case 3 => c.feeHistorical1Kb
+        case 11 => c.ledgerMaxTxCount
+      }
+      assert(got == v, s"arm $id")
+    }
+  }
+
   // ---- decoder robustness on soroban bytes ----------------------------------
 
   test("decoder robustness: every truncation of real soroban bytes fails " +
