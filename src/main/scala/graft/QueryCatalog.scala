@@ -4800,7 +4800,42 @@ object QueryCatalog {
             col("fee_historical_1kb"), col("ledger_max_tx_count"),
             col("last_modified_ledger"), col("ledger_entry_change"),
             col("deleted"), col("ledger_sequence"))
-          .orderBy("ledger_sequence", "config_setting_id"))
+          .orderBy("ledger_sequence", "config_setting_id")),
+
+    Q("stellar_transfers_real_xdr",
+      // P19 SAC legs off the same genuine bytes: each invoke op's
+      // successful-call contract events become first-class transfer rows
+      // (G-source → C-contract, native asset, i128 amount, the ×1e-7
+      // double view). contract_id (sha256 of the SAC preimage — binary,
+      // outside DuckDB's VARCHAR-only sha256) is gated by
+      // fn_sac_contract_id / stellar_token_transfers instead
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(3000, 3127)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 3)) AS t FROM ls)
+             |SELECT (CAST(seq AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12)
+             |    AS transaction_id,
+             |  ((CAST(seq AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12)) | 1
+             |    AS operation_id,
+             |  'transfer' AS event_topic,
+             |  ${strkeyG("sha256('sacct-' || seq || '-' || t)")} AS "from",
+             |  ${strkeyC("sha256('ct-' || seq || '-' || t)")} AS "to",
+             |  'native' AS asset,
+             |  'native' AS asset_type,
+             |  CAST(NULL AS VARCHAR) AS asset_code,
+             |  CAST(NULL AS VARCHAR) AS asset_issuer,
+             |  CAST(5000000 + seq + t AS DOUBLE) * 1e-7 AS amount,
+             |  CAST(5000000 + seq + t AS VARCHAR) AS amount_raw,
+             |  seq AS ledger_sequence
+             |FROM tx ORDER BY operation_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.TokenTransfers.fromLedgers(
+            graft.sources.LcmBatchFiles.ledgerRowsForRange(
+              s, xdrBatchDir, 3000, 3127))
+          .where(col("event_topic") === "transfer")
+          .select(col("transaction_id"), col("operation_id"),
+            col("event_topic"), col("from"), col("to"), col("asset"),
+            col("asset_type"), col("asset_code"), col("asset_issuer"),
+            col("amount"), col("amount_raw"), col("ledger_sequence"))
+          .orderBy("operation_id"))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -184,6 +184,10 @@ object ExplainAudit {
       ("stellar_contract_code_real_xdr", Seq("SerializeFromObject"),
         Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin")),
       ("stellar_config_setting_real_xdr", Seq("SerializeFromObject"),
+        Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin")),
+      // SAC transfer legs off decoded rows: explode + codegen'd event
+      // parse, map-only (the fee/transfer union adds no shuffle)
+      ("stellar_transfers_real_xdr", Seq("Generate"),
         Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin"))
     )
     val byName = (QueryCatalog.all ++ QueryCatalog.entryOps).map(q => q.name -> q).toMap
