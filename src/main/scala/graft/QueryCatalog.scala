@@ -4835,7 +4835,48 @@ object QueryCatalog {
             col("event_topic"), col("from"), col("to"), col("asset"),
             col("asset_type"), col("asset_code"), col("asset_issuer"),
             col("amount"), col("amount_raw"), col("ledger_sequence"))
-          .orderBy("operation_id"))
+          .orderBy("operation_id")),
+
+    Q("stellar_effects_real_xdr",
+      // P4 effects off the same genuine bytes: each invoke op's SAC
+      // transfer event fans out to account_debited (addressed to the
+      // G-party) + contract_credited (addressed to the OP SOURCE with the
+      // C-address in a `contract` detail key) — addInvokeHostFunctionEffects,
+      // effects.go:1319-1430. The details payload is gated as the exact
+      // JSON string (amount is the i128 String128 scaling: stroops at
+      // fixed 7 decimals; VARIANT to_json renders keys SORTED, so the
+      // oracle emits amount < asset_type < contract < contract_event_type)
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(3000, 3127)) AS seq),
+             |tx AS (SELECT seq, unnest(generate_series(0, seq % 3)) AS t FROM ls),
+             |e AS (SELECT seq, t, unnest([0, 1]) AS i FROM tx),
+             |o AS (SELECT seq, t, i,
+             |  (CAST(seq AS BIGINT) << 32) | (CAST(t + 1 AS BIGINT) << 12) | 1
+             |    AS opid,
+             |  '0.' || CAST(5000000 + seq + t AS VARCHAR) AS amt,
+             |  ${strkeyG("sha256('sacct-' || seq || '-' || t)")} AS acct,
+             |  ${strkeyC("sha256('ct-' || seq || '-' || t)")} AS caddr
+             |  FROM e)
+             |SELECT acct AS address,
+             |  CAST(NULL AS VARCHAR) AS address_muxed,
+             |  opid AS operation_id,
+             |  '{"amount":"' || amt || '","asset_type":"native",'
+             |    || CASE WHEN i = 1 THEN '"contract":"' || caddr || '",'
+             |       ELSE '' END
+             |    || '"contract_event_type":"transfer"}' AS details,
+             |  CAST(CASE WHEN i = 0 THEN 3 ELSE 96 END AS INT) AS type,
+             |  CASE WHEN i = 0 THEN 'account_debited'
+             |       ELSE 'contract_credited' END AS type_string,
+             |  seq AS ledger_sequence,
+             |  CAST(i AS BIGINT) AS index,
+             |  opid || '-' || i AS id
+             |FROM o ORDER BY operation_id, index""".stripMargin),
+      (s, dir) =>
+        graft.operators.StellarTradesEffects.historyEffects(
+            graft.sources.LcmBatchFiles.ledgerRowsForRange(
+              s, xdrBatchDir, 3000, 3127))
+          .drop("closed_at")
+          .withColumn("details", to_json(col("details")))
+          .orderBy("operation_id", "index"))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

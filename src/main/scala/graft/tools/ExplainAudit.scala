@@ -188,6 +188,9 @@ object ExplainAudit {
       // SAC transfer legs off decoded rows: explode + codegen'd event
       // parse, map-only (the fee/transfer union adds no shuffle)
       ("stellar_transfers_real_xdr", Seq("Generate"),
+        Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin")),
+      // effects fan-out off decoded rows: map-only explode chain
+      ("stellar_effects_real_xdr", Seq("Generate"),
         Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin"))
     )
     val byName = (QueryCatalog.all ++ QueryCatalog.entryOps).map(q => q.name -> q).toMap
