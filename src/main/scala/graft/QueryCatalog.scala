@@ -4837,6 +4837,20 @@ object QueryCatalog {
             col("amount"), col("amount_raw"), col("ledger_sequence"))
           .orderBy("operation_id")),
 
+    Q("src_datastore_range_scan",
+      // the DSv2 datastore connector at the OBJECT grain: pushed sequence
+      // bounds prune partition prefixes + objects by the NAMING LAW (no
+      // tree listing, no bytes read — keys only)
+      Some("""WITH ls AS (SELECT unnest(generate_series(3040, 3080)) AS seq)
+             |SELECT seq AS start_sequence, seq AS end_sequence
+             |FROM ls ORDER BY start_sequence""".stripMargin),
+      (s, dir) =>
+        s.read.format("graft-lcm-datastore").load(xdrBatchDir)
+          .where(col("start_sequence") >= 3040 &&
+            col("end_sequence") <= 3080)
+          .select("start_sequence", "end_sequence")
+          .orderBy("start_sequence")),
+
     Q("stellar_effects_real_xdr",
       // P4 effects off the same genuine bytes: each invoke op's SAC
       // transfer event fans out to account_debited (addressed to the

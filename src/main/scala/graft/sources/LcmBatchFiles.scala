@@ -140,4 +140,32 @@ object LcmBatchFiles {
       .flatMap(decodeObject _)
       .filter(r => r.sequence >= startSeq && r.sequence <= endSeq)
   }
+
+  /** Object→ledger decode over the DSv2 connector's object grain — shared
+    * by batch reads and micro-batch `foreachBatch` bodies. */
+  def ledgerRowsFromObjects(objects: DataFrame): Dataset[LedgerRow] = {
+    val spark = objects.sparkSession; import spark.implicits._
+    objects.select(col("content")).as[Array[Byte]].flatMap(decodeObject _)
+  }
+
+  /** The connector form of the backfill read: pushed sequence bounds prune
+    * partition prefixes and objects BY NAME at the scan (visible as
+    * PushedFilters in the plan), then the usual executor-side decode. */
+  def ledgerRowsViaConnector(spark: SparkSession, rootDir: String,
+      startSeq: Long, endSeq: Long): Dataset[LedgerRow] =
+    ledgerRowsFromObjects(
+      spark.read.format("graft-lcm-datastore").load(rootDir)
+        .where(col("start_sequence") >= startSeq &&
+          col("end_sequence") <= endSeq))
+      .filter(r => r.sequence >= startSeq && r.sequence <= endSeq)
+
+  /** Tail a LIVE datastore tree: micro-batch stream at the object grain
+    * (probe-based advance, no per-trigger listing) → executor decode. */
+  def ledgerRowsStream(spark: SparkSession, rootDir: String,
+      startSeq: Option[Long] = None): Dataset[LedgerRow] = {
+    val objects = spark.readStream.format("graft-lcm-datastore").load(rootDir)
+    ledgerRowsFromObjects(
+      startSeq.map(s => objects.where(col("start_sequence") >= s))
+        .getOrElse(objects))
+  }
 }

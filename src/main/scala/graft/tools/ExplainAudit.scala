@@ -191,6 +191,11 @@ object ExplainAudit {
         Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin")),
       // effects fan-out off decoded rows: map-only explode chain
       ("stellar_effects_real_xdr", Seq("Generate"),
+        Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin")),
+      // the datastore DSv2 connector: range pushdown reaches the scan
+      // (key-law pruning) and the object grain stays metadata-only
+      ("src_datastore_range_scan",
+        Seq("BatchScan graft-lcm-datastore", "PushedFilters"),
         Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin"))
     )
     val byName = (QueryCatalog.all ++ QueryCatalog.entryOps).map(q => q.name -> q).toMap

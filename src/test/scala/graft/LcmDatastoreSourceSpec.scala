@@ -1,0 +1,229 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath, RawLocalFileSystem}
+
+import graft.sources.{LcmBatchFiles, RealXdrFixture}
+
+/** Local filesystem under a `graftcount:` scheme that counts listStatus /
+  * getFileStatus calls — turns the connector's "bounded scans never list the
+  * tree" claim into an asserted invariant instead of a timing guess. */
+class CountingFs extends RawLocalFileSystem {
+  override def getScheme: String = "graftcount"
+  override def getUri: URI = URI.create("graftcount:///")
+  override def listStatus(p: HPath): Array[FileStatus] = {
+    CountingFs.lists.incrementAndGet()
+    if (p.toUri.getPath == CountingFs.watchedRoot)
+      CountingFs.rootLists.incrementAndGet()
+    super.listStatus(p)
+  }
+  override def getFileStatus(p: HPath): FileStatus = {
+    CountingFs.stats.incrementAndGet()
+    super.getFileStatus(p)
+  }
+  // Hadoop 3.4 overrides exists() directly (no getFileStatus delegation)
+  override def exists(p: HPath): Boolean = {
+    CountingFs.stats.incrementAndGet()
+    super.exists(p)
+  }
+}
+
+object CountingFs {
+  val lists = new AtomicLong(0)
+  val rootLists = new AtomicLong(0)
+  val stats = new AtomicLong(0)
+  @volatile var watchedRoot: String = ""
+  def reset(root: String): Unit = {
+    watchedRoot = root; lists.set(0); rootLists.set(0); stats.set(0)
+  }
+}
+
+/** E2e for the `graft-lcm-datastore` DSv2 connector over the reference's
+  * REAL datastore object layout: key-law range pruning across partition
+  * prefixes, metadata-only column-pruned scans, batch parity with the
+  * `binaryFile` path, and micro-batch tailing of a live tree. */
+class LcmDatastoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-lcm-datastore-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("batch scan: key-law pruning across a partition-prefix boundary, " +
+      "parity with the binaryFile path") {
+    // 63996..64010 spans TWO partition prefixes (partition size 64000)
+    val dir = tmp("graft-ds-batch")
+    RealXdrFixture.writeBatchTree(dir, 63996, 64010)
+    assert(Files.list(Paths.get(dir)).count() == 2, "two prefix dirs")
+
+    val viaConnector =
+      LcmBatchFiles.ledgerRowsViaConnector(spark, dir, 63996, 64010)
+    val viaBinaryFile =
+      LcmBatchFiles.ledgerRowsForRange(spark, dir, 63996, 64010)
+    assert(viaConnector.count() == 15)
+    assert(viaConnector.select("sequence").collect().map(_.getLong(0)).sorted
+      .toSeq == viaBinaryFile.select("sequence").collect().map(_.getLong(0))
+      .sorted.toSeq)
+
+    // a bounded subrange straddling the boundary returns exactly it, and
+    // the plan carries the connector + its pushed range
+    val sub = LcmBatchFiles.ledgerRowsViaConnector(spark, dir, 63999, 64002)
+    assert(sub.select("sequence").collect().map(_.getLong(0)).sorted.toSeq ==
+      (63999L to 64002L))
+    val objects = spark.read.format("graft-lcm-datastore").load(dir)
+      .where(col("start_sequence") >= 63999 && col("end_sequence") <= 64002)
+    val plan = objects.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-lcm-datastore"), plan.take(500))
+    assert(objects.count() == 4)
+  }
+
+  test("column pruning: a metadata-only scan never opens the objects") {
+    val dir = tmp("graft-ds-meta")
+    RealXdrFixture.writeBatchTree(dir, 5000, 5003)
+    // plant a POISON object (invalid zstd) at the next key
+    val poison = Paths.get(dir, LcmBatchFiles.objectKey(5004))
+    Files.createDirectories(poison.getParent)
+    Files.write(poison, "not zstd at all".getBytes("UTF-8"))
+
+    // key-only projection: succeeds and SEES the poison object's range —
+    // its bytes are never read
+    val keys = spark.read.format("graft-lcm-datastore").load(dir)
+      .select("start_sequence", "end_sequence")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(keys == (5000L to 5004L).map(s => (s, s)))
+
+    // the decode path over the same range fails loudly on the poison bytes
+    val ex = intercept[org.apache.spark.SparkException] {
+      LcmBatchFiles.ledgerRowsViaConnector(spark, dir, 5000, 5004).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("micro-batch tail: objects arriving mid-stream, batch parity, " +
+      "restart no-dup") {
+    val dir = tmp("graft-ds-stream")
+    val out = tmp("graft-ds-stream-out")
+    val ckpt = tmp("graft-ds-stream-ckpt")
+    RealXdrFixture.writeBatchTree(dir, 7000, 7031)
+
+    def startQuery() = graft.operators.StellarTransforms
+      .historyTransactions(LcmBatchFiles.ledgerRowsStream(spark, dir))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .start()
+
+    val q = startQuery()
+    q.processAllAvailable()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0)
+
+    // sixteen more objects land mid-stream (later sequences, new prefix keys)
+    RealXdrFixture.writeBatchTree(dir, 7032, 7047)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(out)
+    val batch = graft.operators.StellarTransforms.historyTransactions(
+      LcmBatchFiles.ledgerRowsForRange(spark, dir, 7000, 7047))
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("id").distinct().count() == streamed.count())
+    assert(streamed.select("id", "account", "fee_charged").collect()
+      .map(_.toSeq).toSet ==
+      batch.select("id", "account", "fee_charged").collect()
+        .map(_.toSeq).toSet)
+
+    // restart on the same checkpoint with no new objects: nothing re-ingests
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(out).count() == batch.count())
+  }
+
+  test("listing invariant: a bounded scan's filesystem work is independent " +
+      "of tree width (no root listing); the stream probe is O(new objects)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcount.impl", classOf[CountingFs].getName)
+    // a WIDE tree: 64 partition prefixes (4.1M-ledger span), each with one
+    // validly-named object; only prefix 5 holds the target range
+    val dir = tmp("graft-ds-width")
+    val pSize = LcmBatchFiles.FilesPerPartition // 64000, 1 ledger/file
+    for (p <- 0L until 64L) {
+      val seq = p * pSize + 10
+      val f = Paths.get(dir, LcmBatchFiles.objectKey(seq))
+      Files.createDirectories(f.getParent)
+      Files.write(f, Array[Byte](0)) // key-only tests: bytes never opened
+    }
+    val root = s"graftcount:$dir"
+
+    // bounded scan inside prefix 5: candidate prefixes come from the naming
+    // law, so exactly ONE directory is listed and the root is never listed —
+    // the same scan against a 200M-ledger tree does the same work
+    CountingFs.reset(dir)
+    val bounded = spark.read.format("graft-lcm-datastore").load(root)
+      .where(col("start_sequence") >= 5 * pSize &&
+        col("end_sequence") <= 5 * pSize + 20)
+      .select("start_sequence").collect()
+    assert(bounded.map(_.getLong(0)).toSeq == Seq(5 * pSize + 10))
+    assert(CountingFs.rootLists.get() == 0, "bounded scan listed the root")
+    assert(CountingFs.lists.get() == 1,
+      s"bounded scan listed ${CountingFs.lists.get()} dirs, want 1")
+    assert(CountingFs.stats.get() <= 8, // root probe + candidate prefixes
+      s"bounded scan stat'd ${CountingFs.stats.get()} paths")
+
+    // the unbounded scan DOES pay width (root + every prefix dir) — the
+    // contrast that makes the bounded numbers meaningful
+    CountingFs.reset(dir)
+    assert(spark.read.format("graft-lcm-datastore").load(root)
+      .select("start_sequence").count() == 64)
+    assert(CountingFs.rootLists.get() == 1)
+    assert(CountingFs.lists.get() == 65)
+
+    // micro-batch tail: once caught up, a trigger with nothing new issues
+    // exactly ONE probe (the next missing key) — no listing, O(new objects)
+    val stream = new graft.sources.LcmDatastoreMicroBatchStream(root,
+      graft.sources.LcmDatastoreSource.Schema, 5 * pSize, Long.MaxValue,
+      1L, pSize, new graft.sources.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
+    stream.initialOffset()
+    stream.latestOffset() // key 5*pSize not exported yet → 1 probe, stays put
+    CountingFs.reset(dir)
+    stream.latestOffset()
+    assert(CountingFs.lists.get() == 0)
+    assert(CountingFs.stats.get() == 1,
+      s"idle trigger probed ${CountingFs.stats.get()} keys, want 1")
+  }
+
+  test("stream respects a pushed lower bound") {
+    val dir = tmp("graft-ds-stream-lo")
+    val out = tmp("graft-ds-stream-lo-out")
+    val ckpt = tmp("graft-ds-stream-lo-ckpt")
+    RealXdrFixture.writeBatchTree(dir, 7100, 7115)
+
+    val q = LcmBatchFiles.ledgerRowsStream(spark, dir, startSeq = Some(7108))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val seqs = spark.read.parquet(out).select("sequence")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == (7108L to 7115L))
+  }
+}
