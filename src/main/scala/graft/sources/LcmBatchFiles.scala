@@ -45,10 +45,14 @@ object LcmBatchFiles {
     s"$partitionPrefix/$fileName.xdr.zstd"
   }
 
-  /** Write one batch object (zstd-framed LedgerCloseMetaBatch). */
+  /** Write one batch object (zstd-framed LedgerCloseMetaBatch). The object
+    * key is derived from the schema's `ledgersPerFile`, so a multi-ledger
+    * batch gets the `start-end` file-name form the naming law prescribes. */
   def writeObject(root: Path, startSeq: Long, endSeq: Long,
-      lcms: Seq[Array[Byte]]): Path = {
-    val rel = objectKey(startSeq)
+      lcms: Seq[Array[Byte]],
+      ledgersPerFile: Long = LedgersPerFile,
+      filesPerPartition: Long = FilesPerPartition): Path = {
+    val rel = objectKey(startSeq, ledgersPerFile, filesPerPartition)
     val target = root.resolve(rel)
     Files.createDirectories(target.getParent)
     val out = new ZstdOutputStream(
@@ -69,6 +73,24 @@ object LcmBatchFiles {
       val lcm = XdrEncode.ledgerCloseMetaV1(header, txs)
       writeObject(root, row.ledgerSeq, row.ledgerSeq, Seq(lcm))
     }
+  }
+
+  /** Multi-ledger-batch tree writer: ledgers grouped into fixed
+    * `ledgersPerFile` spans, one object per span (the datastore schema's
+    * `ledgers_per_file > 1` configuration). */
+  def writeTree(rootDir: String,
+      ledgers: Seq[(Array[Byte], Seq[XdrEncode.LcmTx])],
+      ledgersPerFile: Long): Unit = {
+    val root = Paths.get(rootDir)
+    ledgers.map { case (header, txs) =>
+      val seq = StellarXdr.decodeLedgerHeader(header).ledgerSeq
+      (seq, XdrEncode.ledgerCloseMetaV1(header, txs))
+    }.groupBy { case (seq, _) => Math.floorDiv(seq, ledgersPerFile) }
+      .foreach { case (_, grp) =>
+        val sorted = grp.sortBy(_._1)
+        writeObject(root, sorted.head._1, sorted.last._1,
+          sorted.map(_._2), ledgersPerFile)
+      }
   }
 
   private def decompress(bytes: Array[Byte]): Array[Byte] = {

@@ -44,12 +44,16 @@ class LcmDatastoreSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     LcmDatastoreSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new LcmDatastoreTable(properties.get("path"),
-      Option(properties.get("ledgersperfile")).map(_.toLong)
+      properties: JMap[String, String]): Table = {
+    // properties arrive case-SENSITIVE (asCaseSensitiveMap), so normalize
+    // before option lookup or `ledgersPerFile` silently falls back to 1
+    val opts = new CaseInsensitiveStringMap(properties)
+    new LcmDatastoreTable(opts.get("path"),
+      Option(opts.get("ledgersperfile")).map(_.toLong)
         .getOrElse(LcmBatchFiles.LedgersPerFile),
-      Option(properties.get("filesperpartition")).map(_.toLong)
+      Option(opts.get("filesperpartition")).map(_.toLong)
         .getOrElse(LcmBatchFiles.FilesPerPartition))
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -305,6 +309,15 @@ class LcmDatastoreMicroBatchStream(path: String, requiredSchema: StructType,
 
   override def initialOffset(): Offset = LcmDatastoreOffset(floor)
 
+  /** First file START strictly after `after`. Objects are atomic at this
+    * grain, so a mid-file cursor (a non-aligned pushed lower bound) treats
+    * the containing file as consumed — matching the batch scan, where that
+    * object's row fails the `start_sequence >= lo` re-check anyway. Keeps
+    * every offset this stream emits a file-END, so no object can be planned
+    * by two batches. Identity (`after + 1`) when ledgersPerFile is 1. */
+  private def nextFileStart(after: Long): Long =
+    (Math.floorDiv(after, ledgersPerFile) + 1) * ledgersPerFile
+
   // last sequence this instance has probed through — keeps each trigger
   // O(newly-arrived objects); a restart re-probes from the floor once and
   // the committed start offset still bounds what actually re-plans
@@ -315,10 +328,10 @@ class LcmDatastoreMicroBatchStream(path: String, requiredSchema: StructType,
     // per-trigger cap, or the pushed upper bound
     var cursor = math.max(probedThrough, floor)
     var probes = 0L
-    var next = cursor + 1
-    while (next <= hi && probes < maxObjectsPerTrigger &&
+    var next = nextFileStart(cursor)
+    while (next + ledgersPerFile - 1 <= hi && probes < maxObjectsPerTrigger &&
         fs.exists(objectPathFor(next))) {
-      cursor = math.min(next + ledgersPerFile - 1, hi)
+      cursor = next + ledgersPerFile - 1
       next = cursor + 1
       probes += 1
     }
@@ -331,7 +344,7 @@ class LcmDatastoreMicroBatchStream(path: String, requiredSchema: StructType,
     val s = start.asInstanceOf[LcmDatastoreOffset].endSeq
     val e = end.asInstanceOf[LcmDatastoreOffset].endSeq
     if (e <= s) return Array.empty
-    ((s + 1) to e by ledgersPerFile).flatMap { seq =>
+    (nextFileStart(s) to e by ledgersPerFile).flatMap { seq =>
       val p = objectPathFor(seq)
       if (fs.exists(p))
         LcmDatastoreSource.rangeOf(p.getName).map { case (fsq, feq) =>

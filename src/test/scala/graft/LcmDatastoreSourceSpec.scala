@@ -210,6 +210,58 @@ class LcmDatastoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"idle trigger probed ${CountingFs.stats.get()} keys, want 1")
   }
 
+  test("multi-ledger batch objects (ledgersPerFile=2): key law, bounded " +
+      "batch read, decode parity, tail with a mid-file lower bound") {
+    val dir = tmp("graft-ds-lpf2")
+    def writeRange(a: Long, b: Long): Unit = LcmBatchFiles.writeTree(
+      dir, (a to b).map(RealXdrFixture.ledger), ledgersPerFile = 2)
+    writeRange(9000, 9007) // four 2-ledger objects
+
+    def read() = spark.read.format("graft-lcm-datastore")
+      .option("ledgersPerFile", "2").load(dir)
+
+    // object grain: one row per 2-ledger object, start-end from the key
+    assert(read().select("start_sequence", "end_sequence").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((9000L, 9001L), (9002L, 9003L), (9004L, 9005L), (9006L, 9007L)))
+
+    // bounded read + decode parity: both ledgers of each surviving object
+    val mid = LcmBatchFiles.ledgerRowsFromObjects(
+      read().where(col("start_sequence") >= 9002 &&
+        col("end_sequence") <= 9005))
+    assert(mid.collect().map(_.sequence).sorted.toSeq ==
+      Seq(9002L, 9003L, 9004L, 9005L))
+
+    // micro-batch tail with a MID-FILE lower bound (9003 splits the
+    // 9002-9003 object): batch semantics say that object's row fails the
+    // start_sequence >= 9003 re-check, so the stream starts at 9004 — and
+    // the aligned probe cursor must never plan an object twice
+    val out = tmp("graft-ds-lpf2-out")
+    val ckpt = tmp("graft-ds-lpf2-ckpt")
+    def startQuery() = LcmBatchFiles.ledgerRowsFromObjects(
+        spark.readStream.format("graft-lcm-datastore")
+          .option("ledgersPerFile", "2").load(dir)
+          .where(col("start_sequence") >= 9003))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .start()
+
+    val q = startQuery()
+    q.processAllAvailable()
+    writeRange(9008, 9011) // two more objects land mid-stream
+    q.processAllAvailable()
+    q.stop()
+
+    // restart on the same checkpoint: nothing re-ingests
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val seqs = spark.read.parquet(out).select("sequence")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == (9004L to 9011L))
+  }
+
   test("stream respects a pushed lower bound") {
     val dir = tmp("graft-ds-stream-lo")
     val out = tmp("graft-ds-stream-lo-out")
