@@ -172,22 +172,35 @@ object LcmBatchFiles {
 
   /** The connector form of the backfill read: pushed sequence bounds prune
     * partition prefixes and objects BY NAME at the scan (visible as
-    * PushedFilters in the plan), then the usual executor-side decode. */
+    * PushedFilters in the plan), then the usual executor-side decode.
+    *
+    * The object-level predicate is range OVERLAP (not containment), so a
+    * multi-ledger object straddling a bound still contributes its in-range
+    * ledgers; the row-level filter trims the overhang. Identical plan and
+    * rows for the 1-ledger-per-file schema. `options` passes the datastore
+    * schema config (`ledgersPerFile`, `filesPerPartition`) through. */
   def ledgerRowsViaConnector(spark: SparkSession, rootDir: String,
-      startSeq: Long, endSeq: Long): Dataset[LedgerRow] =
+      startSeq: Long, endSeq: Long,
+      options: Map[String, String] = Map.empty): Dataset[LedgerRow] =
     ledgerRowsFromObjects(
-      spark.read.format("graft-lcm-datastore").load(rootDir)
-        .where(col("start_sequence") >= startSeq &&
-          col("end_sequence") <= endSeq))
+      spark.read.format("graft-lcm-datastore").options(options).load(rootDir)
+        .where(col("end_sequence") >= startSeq &&
+          col("start_sequence") <= endSeq))
       .filter(r => r.sequence >= startSeq && r.sequence <= endSeq)
 
   /** Tail a LIVE datastore tree: micro-batch stream at the object grain
-    * (probe-based advance, no per-trigger listing) → executor decode. */
+    * (probe-based advance, no per-trigger listing) → executor decode.
+    * `startSeq` is a LEDGER bound: with a multi-ledger schema the object
+    * straddling it still streams (overlap pushdown) and the overhang is
+    * trimmed row-level. */
   def ledgerRowsStream(spark: SparkSession, rootDir: String,
-      startSeq: Option[Long] = None): Dataset[LedgerRow] = {
-    val objects = spark.readStream.format("graft-lcm-datastore").load(rootDir)
-    ledgerRowsFromObjects(
-      startSeq.map(s => objects.where(col("start_sequence") >= s))
+      startSeq: Option[Long] = None,
+      options: Map[String, String] = Map.empty): Dataset[LedgerRow] = {
+    val objects = spark.readStream.format("graft-lcm-datastore")
+      .options(options).load(rootDir)
+    val rows = ledgerRowsFromObjects(
+      startSeq.map(s => objects.where(col("end_sequence") >= s))
         .getOrElse(objects))
+    startSeq.map(s => rows.filter(_.sequence >= s)).getOrElse(rows)
   }
 }

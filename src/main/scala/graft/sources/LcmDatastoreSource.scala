@@ -299,8 +299,12 @@ class LcmDatastoreMicroBatchStream(path: String, requiredSchema: StructType,
     new org.apache.hadoop.fs.Path(path,
       LcmBatchFiles.objectKey(seq, ledgersPerFile, filesPerPartition))
 
+  // aligned DOWN to the containing file's start so a mid-file lower bound
+  // still plans the straddling object (its row then stands or falls on the
+  // pushed predicate re-check, same as the batch scan); identity at lpf=1
   private lazy val floor: Long =
-    if (lo != Long.MinValue) lo - 1
+    if (lo != Long.MinValue)
+      Math.floorDiv(lo, ledgersPerFile) * ledgersPerFile - 1
     else {
       val all = LcmDatastoreFiles.list(path, Long.MinValue, Long.MaxValue,
         ledgersPerFile, filesPerPartition, conf.value)
@@ -328,8 +332,10 @@ class LcmDatastoreMicroBatchStream(path: String, requiredSchema: StructType,
     // per-trigger cap, or the pushed upper bound
     var cursor = math.max(probedThrough, floor)
     var probes = 0L
+    // a file whose START is in bound streams even if it straddles hi — the
+    // pushed-predicate re-check decides its row, mirroring the batch scan
     var next = nextFileStart(cursor)
-    while (next + ledgersPerFile - 1 <= hi && probes < maxObjectsPerTrigger &&
+    while (next <= hi && probes < maxObjectsPerTrigger &&
         fs.exists(objectPathFor(next))) {
       cursor = next + ledgersPerFile - 1
       next = cursor + 1

@@ -232,6 +232,14 @@ class LcmDatastoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mid.collect().map(_.sequence).sorted.toSeq ==
       Seq(9002L, 9003L, 9004L, 9005L))
 
+    // intent-level helper: LEDGER bounds that straddle object boundaries —
+    // overlap pushdown keeps the straddling objects, row filter trims
+    val lpfOpts = Map("ledgersPerFile" -> "2")
+    assert(LcmBatchFiles
+      .ledgerRowsViaConnector(spark, dir, 9003, 9006, lpfOpts)
+      .collect().map(_.sequence).sorted.toSeq ==
+      Seq(9003L, 9004L, 9005L, 9006L))
+
     // micro-batch tail with a MID-FILE lower bound (9003 splits the
     // 9002-9003 object): batch semantics say that object's row fails the
     // start_sequence >= 9003 re-check, so the stream starts at 9004 — and
@@ -260,6 +268,19 @@ class LcmDatastoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val seqs = spark.read.parquet(out).select("sequence")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(seqs == (9004L to 9011L))
+
+    // intent-level stream bound: a mid-file startSeq keeps the straddling
+    // object's in-range ledger (floor aligns down; the overhang is trimmed)
+    val out2 = tmp("graft-ds-lpf2-out2")
+    val ckpt2 = tmp("graft-ds-lpf2-ckpt2")
+    val q3 = LcmBatchFiles.ledgerRowsStream(spark, dir, Some(9003L), lpfOpts)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt2).option("path", out2)
+      .start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(out2).select("sequence")
+      .collect().map(_.getLong(0)).sorted.toSeq == (9003L to 9011L))
   }
 
   test("stream respects a pushed lower bound") {
