@@ -283,6 +283,36 @@ class LcmDatastoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).sorted.toSeq == (9003L to 9011L))
   }
 
+  test("custom filesPerPartition: key-law pruning with a non-default " +
+      "partition size") {
+    val dir = tmp("graft-ds-fpp10")
+    val root = java.nio.file.Paths.get(dir)
+    // 25 single-ledger objects across partition prefixes of size 10
+    for (seq <- 4000L to 4024L) {
+      val (header, txs) = RealXdrFixture.ledger(seq)
+      LcmBatchFiles.writeObject(root, seq, seq,
+        Seq(graft.codec.XdrEncode.ledgerCloseMetaV1(header, txs)),
+        ledgersPerFile = 1, filesPerPartition = 10)
+    }
+    // three prefix dirs (4000-4009, 4010-4019, 4020-4029)
+    assert(Files.list(root).count() == 3)
+
+    def read() = spark.read.format("graft-lcm-datastore")
+      .option("filesPerPartition", "10").load(dir)
+    assert(read().count() == 25)
+
+    // bounded scan straddling a prefix boundary: prefixes from the naming
+    // law with the CONFIGURED partition size, exact object survival
+    val bounded = read()
+      .where(col("start_sequence") >= 4008 && col("end_sequence") <= 4013)
+    assert(bounded.select("start_sequence").collect()
+      .map(_.getLong(0)).sorted.toSeq == (4008L to 4013L))
+    // decode parity through the helper with the schema options
+    assert(LcmBatchFiles.ledgerRowsViaConnector(spark, dir, 4018, 4022,
+        Map("filesPerPartition" -> "10"))
+      .collect().map(_.sequence).sorted.toSeq == (4018L to 4022L))
+  }
+
   test("stream respects a pushed lower bound") {
     val dir = tmp("graft-ds-stream-lo")
     val out = tmp("graft-ds-stream-lo-out")
