@@ -15,11 +15,13 @@ import graft.model.LedgerModel._
   * fixed public structures and nothing else in the sandbox provides them.
   *
   * Scope: LedgerHeader, TransactionEnvelope (v0 / v1 / fee-bump),
-  * TransactionResult (with per-operation results and claim atoms), and all
-  * classic operation bodies (types 0–23). The three Soroban op bodies
-  * (24–26) and the Soroban transaction extension fail loudly — the golden
-  * corpus under `/root/reference/testdata` is classic-era and a silent
-  * partial decode would be worse than an error.
+  * TransactionResult (with per-operation results and claim atoms), all
+  * operation bodies 0–26 (classic AND the three Soroban ops, including the
+  * Soroban transaction extension / resource footprints), TransactionMeta
+  * v0–v4, the four Soroban ledger-entry arms, and LedgerCloseMeta v0/v1/v2
+  * — the full protocol-23 wire matrix. Arms outside it (e.g. future
+  * LedgerCloseMeta versions) fail loudly: a silent partial decode would be
+  * worse than an error.
   *
   * Verified value-for-value against the reference's own published output in
   * `RealXdrReplaySpec` (e.g. `testdata/ledgers/single_ledger.golden`,
@@ -1131,7 +1133,8 @@ object StellarXdr {
   // ---- model assembly ------------------------------------------------------
 
   final case class TxInput(envelopeB64: String, resultB64: String,
-      metaB64: String = "", feeMetaB64: String = "")
+      metaB64: String = "", feeMetaB64: String = "",
+      postFeeMetaB64: String = "")
 
   private def b64(s: String): Array[Byte] = Base64.getDecoder.decode(s)
 
@@ -1147,6 +1150,10 @@ object StellarXdr {
     val meta = Option(in.metaB64).filter(_.nonEmpty)
       .map(m => decodeTxMeta(b64(m)))
     val feeChanges = Option(in.feeMetaB64).filter(_.nonEmpty)
+      .map(m => balanceChanges(decodeFeeMeta(b64(m)))).getOrElse(Nil)
+    // LCM v2 postTxApplyFeeProcessing: the fee refund that pre-v2 rode in
+    // the meta's txChangesAfter — surfaced in the same place (changes_after)
+    val postFeeChanges = Option(in.postFeeMetaB64).filter(_.nonEmpty)
       .map(m => balanceChanges(decodeFeeMeta(b64(m)))).getOrElse(Nil)
     val ops = env.operations.zipWithIndex.map { case (op0, i) =>
       // allow_trust types its line by (code, issuer = acting source): the
@@ -1231,7 +1238,7 @@ object StellarXdr {
       operations = opsWithChanges,
       fee_changes = feeChanges,
       changes_after = meta.map(m => balanceChanges(m.txChangesAfter))
-        .getOrElse(Nil),
+        .getOrElse(Nil) ++ postFeeChanges,
       is_fee_bump = env.isFeeBump,
       fee_bump_account_key = env.feeBumpSource.map(_.key),
       inner_hash_hex =
@@ -2061,20 +2068,35 @@ object StellarXdr {
     case d => throw new XdrError(s"unsupported SCPHistoryEntry v$d")
   }
 
-  /** One `LedgerCloseMeta` (v0 classic / v1 protocol-20+ datastore layout)
-    * → a LedgerRow via the same per-tx decode the frame path uses. The
-    * envelopes live in the TX SET (arbitrary order); `txProcessing` carries
-    * apply order keyed by transaction hash — the pairing the reference's
-    * ingest library performs. The self-hash law (LHHE.hash == sha256 of the
-    * header bytes) is enforced, not trusted. */
+  /** One `LedgerCloseMeta` (v0 classic / v1 protocol-20+ / v2 protocol-23+
+    * datastore layouts) → a LedgerRow via the same per-tx decode the frame
+    * path uses. The envelopes live in the TX SET (arbitrary order);
+    * `txProcessing` carries apply order keyed by transaction hash — the
+    * pairing the reference's ingest library performs. The self-hash law
+    * (LHHE.hash == sha256 of the header bytes) is enforced, not trusted.
+    *
+    * v2 (`Stellar-ledger.x` protocol 23) differences, all handled here:
+    * `txProcessing` entries are `TransactionResultMetaV1` (ExtensionPoint
+    * prefix + trailing `postTxApplyFeeProcessing` — the fee refund that
+    * pre-v2 rode inside the meta's `txChangesAfter`, so it is surfaced
+    * there); the bucket-size trailer is `totalByteSizeOfLiveSorobanState`;
+    * the two evicted arrays collapse into one `evictedKeys<>` key list. */
   def decodeLedgerCloseMeta(r: Reader,
       networkId: Array[Byte] = PublicNetworkId): LedgerRow = {
     val v = r.i32()
-    if (v != 0 && v != 1)
+    if (v < 0 || v > 2)
       throw new XdrError(s"unsupported LedgerCloseMeta v$v")
-    if (v == 1) {
-      val ext = r.i32()
-      if (ext != 0) throw new XdrError(s"unsupported LedgerCloseMetaV1 ext $ext")
+    // LedgerCloseMetaExt (v1/v2 share it): v1 arm carries sorobanFeeWrite1KB
+    var sorobanFeeWrite1kb = 0L
+    if (v >= 1) r.i32() match {
+      case 0 =>
+      case 1 => // LedgerCloseMetaExtV1: ExtensionPoint ‖ int64
+        r.i32() match {
+          case 0 =>
+          case d => throw new XdrError(s"unsupported LedgerCloseMetaExtV1 ext $d")
+        }
+        sorobanFeeWrite1kb = r.i64()
+      case d => throw new XdrError(s"unsupported LedgerCloseMetaExt v$d")
     }
     // LedgerHeaderHistoryEntry: hash ‖ header ‖ ext
     val claimedHash = r.bytes(32)
@@ -2090,22 +2112,35 @@ object StellarXdr {
       r.bytes(32); r.arr(envelopeSlice(r, networkId))
     } else generalizedTxSet(r, networkId)).toMap
     val txs = r.arr { // txProcessing, apply order
+      if (v == 2) r.i32() match { // TransactionResultMetaV1.ext
+        case 0 =>
+        case d => throw new XdrError(s"unsupported TransactionResultMetaV1 ext $d")
+      }
       val txHash = Hashes.hex(r.bytes(32))
       val resultB = slice(r)(decodeTxResultFrom(r, allowFeeBump = true))
       val feeB = slice(r)(ledgerEntryChanges(r))
       val metaB = slice(r)(txMetaFrom(r))
+      val postFeeB =
+        if (v == 2) slice(r)(ledgerEntryChanges(r)) else Array.emptyByteArray
       val envB = envelopes.getOrElse(txHash,
         throw new XdrError(s"txProcessing hash $txHash not in tx set"))
-      TxInput(b64e(envB), b64e(resultB), b64e(metaB), b64e(feeB))
+      TxInput(b64e(envB), b64e(resultB), b64e(metaB), b64e(feeB),
+        if (postFeeB.isEmpty) "" else b64e(postFeeB))
     }
     r.arr { ledgerUpgrade(r); ledgerEntryChanges(r) } // upgradesProcessing
     r.arr(scpHistoryEntry(r)) // scpInfo: consumed, dropped (reference law)
+    var bucketListSize = 0L
     if (v == 1) {
-      r.u64() // totalByteSizeOfBucketList
+      bucketListSize = r.u64() // totalByteSizeOfBucketList
       r.arr(ledgerKey(r)) // evictedTemporaryLedgerKeys
       r.arr(ledgerEntry(r)) // evictedPersistentLedgerEntries
+    } else if (v == 2) {
+      bucketListSize = r.u64() // totalByteSizeOfLiveSorobanState
+      r.arr(ledgerKey(r)) // evictedKeys (TTL + code/data, post-proto-23)
     }
-    decodeLedgerRow(b64e(headerBytes), txs, networkId)
+    decodeLedgerRow(b64e(headerBytes), txs, networkId).copy(
+      soroban_fee_write_1kb = sorobanFeeWrite1kb,
+      bucket_list_size = bucketListSize)
   }
 
   private def decodeLedgerHeaderFrom(r: Reader): Unit = {

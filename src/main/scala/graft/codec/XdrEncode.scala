@@ -523,11 +523,13 @@ object XdrEncode {
   }
 
   def ledgerCloseMetaV1(header: Array[Byte], txs: Seq[LcmTx],
-      scpInfo: Seq[Array[Byte]] = Nil): Array[Byte] = {
+      scpInfo: Seq[Array[Byte]] = Nil,
+      sorobanFeeWrite1kb: Long = 0L): Array[Byte] = {
     val headerHash = Hashes.sha256(header)
     val w = new W().i32(1) // LedgerCloseMeta v1
-      .i32(0) // ExtensionPoint
-      .raw(headerHash).raw(header).i32(0) // LedgerHeaderHistoryEntry + ext
+    if (sorobanFeeWrite1kb == 0L) w.i32(0) // LedgerCloseMetaExt v0
+    else w.i32(1).i32(0).i64(sorobanFeeWrite1kb) // ExtV1: ExtensionPoint ‖ fee
+    w.raw(headerHash).raw(header).i32(0) // LedgerHeaderHistoryEntry + ext
     // GeneralizedTransactionSet v1 → one phase v0 → one component type 0
     w.i32(1).raw(new Array[Byte](32)) // previousLedgerHash (not re-checked)
       .i32(1) // phases<1>
@@ -549,6 +551,50 @@ object XdrEncode {
     w.i64(777L) // totalByteSizeOfBucketList
     w.i32(0) // evictedTemporaryLedgerKeys<>
     w.i32(0) // evictedPersistentLedgerEntries<>
+    w.bytes
+  }
+
+  /** LedgerCloseMeta v2 (protocol 23, `Stellar-ledger.x`): `txProcessing`
+    * entries are `TransactionResultMetaV1` (ExtensionPoint prefix, trailing
+    * `postTxApplyFeeProcessing`), the ext carries `sorobanFeeWrite1KB` via
+    * LedgerCloseMetaExtV1, the bucket trailer is
+    * `totalByteSizeOfLiveSorobanState`, and the evicted arrays collapse to
+    * one `evictedKeys<>` key list. `postFees(i)` pairs with `txs(i)` in
+    * apply order (LedgerEntryChanges blobs; absent → empty changes). */
+  def ledgerCloseMetaV2(header: Array[Byte], txs: Seq[LcmTx],
+      scpInfo: Seq[Array[Byte]] = Nil,
+      sorobanFeeWrite1kb: Long = 0L,
+      liveSorobanStateSize: Long = 888L,
+      postFees: Seq[Array[Byte]] = Nil,
+      evictedKeys: Seq[Array[Byte]] = Nil): Array[Byte] = {
+    val headerHash = Hashes.sha256(header)
+    val w = new W().i32(2) // LedgerCloseMeta v2
+    if (sorobanFeeWrite1kb == 0L) w.i32(0) // LedgerCloseMetaExt v0
+    else w.i32(1).i32(0).i64(sorobanFeeWrite1kb) // ExtV1: ExtensionPoint ‖ fee
+    w.raw(headerHash).raw(header).i32(0) // LedgerHeaderHistoryEntry + ext
+    // GeneralizedTransactionSet v1 → one phase v0 → one component type 0
+    w.i32(1).raw(new Array[Byte](32))
+      .i32(1) // phases<1>
+      .i32(0) // TransactionPhase v0
+      .i32(1) // components<1>
+      .i32(0) // TXSET_COMP_TXS_MAYBE_DISCOUNTED_FEE
+      .i32(0) // baseFee*: absent
+    w.arr(txs)(t => w.raw(t.envelope))
+    val emptyChanges = changes(Nil)
+    // txProcessing (apply order): TransactionResultMetaV1
+    w.arr(txs.zipWithIndex) { case (t, i) =>
+      val env = StellarXdr.decodeTxEnvelope(t.envelope)
+      w.i32(0) // ExtensionPoint
+      w.raw(env.hash) // TransactionResultPair.transactionHash
+      w.raw(t.result)
+      w.raw(t.feeMeta) // feeProcessing
+      w.raw(t.meta) // txApplyProcessing
+      w.raw(postFees.lift(i).getOrElse(emptyChanges)) // postTxApplyFeeProcessing
+    }
+    w.i32(0) // upgradesProcessing<>
+    w.arr(scpInfo)(e => w.raw(e))
+    w.i64(liveSorobanStateSize) // totalByteSizeOfLiveSorobanState
+    w.arr(evictedKeys)(k => w.raw(k))
     w.bytes
   }
 

@@ -313,6 +313,40 @@ class LcmDatastoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.sequence).sorted.toSeq == (4018L to 4022L))
   }
 
+  test("LedgerCloseMeta v2 objects in the tree: a mixed v1/v2 range reads " +
+      "through the connector with the v2-only columns threaded") {
+    val dir = tmp("graft-ds-v2")
+    val root = Paths.get(dir)
+    for (seq <- 5000L to 5009L) {
+      val (header, txs) = RealXdrFixture.ledger(seq)
+      val lcm =
+        if (seq % 2 == 0)
+          graft.codec.XdrEncode.ledgerCloseMetaV2(header, txs,
+            sorobanFeeWrite1kb = 10000L + seq,
+            liveSorobanStateSize = seq * 1000L)
+        else graft.codec.XdrEncode.ledgerCloseMetaV1(header, txs)
+      LcmBatchFiles.writeObject(root, seq, seq, Seq(lcm))
+    }
+    val rows = LcmBatchFiles.ledgerRowsViaConnector(spark, dir, 5000L, 5009L)
+      .collect().sortBy(_.sequence)
+    assert(rows.map(_.sequence).toSeq == (5000L to 5009L))
+    // v2 arms thread the ext fee + live-state size; v1 (ext v0) stays 0
+    val v2row = rows.find(_.sequence == 5004L).get
+    assert(v2row.soroban_fee_write_1kb == 15004L)
+    assert(v2row.bucket_list_size == 5004000L)
+    assert(rows.find(_.sequence == 5005L).get.soroban_fee_write_1kb == 0L)
+    // tx decode parity across envelope versions: the v2 ledger's txs match
+    // a direct v1-layout decode of the same fixture ledger
+    val (h4, t4) = RealXdrFixture.ledger(5004L)
+    val direct = graft.codec.StellarXdr.decodeLedgerCloseMeta(
+      new graft.codec.StellarXdr.Reader(
+        graft.codec.XdrEncode.ledgerCloseMetaV1(h4, t4)))
+    assert(v2row.transactions.map(_.hash_hex) ==
+      direct.transactions.map(_.hash_hex))
+    assert(v2row.transactions.map(_.fee_charged) ==
+      direct.transactions.map(_.fee_charged))
+  }
+
   test("stream respects a pushed lower bound") {
     val dir = tmp("graft-ds-stream-lo")
     val out = tmp("graft-ds-stream-lo-out")

@@ -395,6 +395,61 @@ class SorobanTxReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.util.Arrays.equals(r0.ledger_hash, r1.ledger_hash))
   }
 
+  // ---- LedgerCloseMeta v2 (protocol 23) ---------------------------------------
+
+  test("LedgerCloseMeta v2: TransactionResultMetaV1 entries, " +
+      "sorobanFeeWrite1KB ext, live-state size and evictedKeys decode — " +
+      "the post-apply fee refund surfaces in changes_after") {
+    val header = XdrEncode.ledgerHeader(
+      XdrEncode.HeaderSpec(97001L, 1719700000L))
+    // postTxApplyFeeProcessing: the v2 home of the fee refund
+    val refund = XdrEncode.changes(Seq(
+      XdrEncode.change(3, XdrEncode.ledgerEntry(97001L,
+        XdrEncode.accountEntry(srcKey, 900L))),
+      XdrEncode.change(1, XdrEncode.ledgerEntry(97001L,
+        XdrEncode.accountEntry(srcKey, 950L)))))
+    val v2 = XdrEncode.ledgerCloseMetaV2(header, Seq(invokeTx),
+      sorobanFeeWrite1kb = 11800L, liveSorobanStateSize = 123456789L,
+      postFees = Seq(refund),
+      evictedKeys = Seq(XdrEncode.ttlLedgerKey(
+        Hashes.sha256("evicted".getBytes("UTF-8")))))
+    val row = StellarXdr.decodeLedgerCloseMeta(new StellarXdr.Reader(v2))
+    assert(row.sequence == 97001L && row.transactions.size == 1)
+    assert(row.soroban_fee_write_1kb == 11800L)
+    assert(row.bucket_list_size == 123456789L)
+
+    // same tx rows as the v1 layout, plus the refund pair appended where
+    // pre-v2 protocols carried it (the meta's txChangesAfter)
+    val r1 = StellarXdr.decodeLedgerCloseMeta(new StellarXdr.Reader(
+      XdrEncode.ledgerCloseMetaV1(header, Seq(invokeTx))))
+    val tx2 = row.transactions.head
+    val tx1 = r1.transactions.head
+    assert(tx2.hash_hex == tx1.hash_hex)
+    assert(tx2.soroban.get.resource_fee == tx1.soroban.get.resource_fee)
+    val extra = tx2.changes_after.drop(tx1.changes_after.size)
+    assert(extra.size == 1)
+    assert(extra.head.balance_before == 900L &&
+      extra.head.balance_after == 950L)
+
+    // the v1 layout accepts the same ext arm (LedgerCloseMetaExt is shared)
+    val v1e = XdrEncode.ledgerCloseMetaV1(header, Seq(invokeTx),
+      sorobanFeeWrite1kb = 7700L)
+    assert(StellarXdr.decodeLedgerCloseMeta(new StellarXdr.Reader(v1e))
+      .soroban_fee_write_1kb == 7700L)
+
+    // every truncation of the v2 envelope fails loudly — no silent partials
+    for (n <- 0 until v2.length) {
+      val e = intercept[Exception](StellarXdr.decodeLedgerCloseMeta(
+        new StellarXdr.Reader(java.util.Arrays.copyOf(v2, n))))
+      assert(e.isInstanceOf[StellarXdr.XdrError], s"v2 prefix $n threw $e")
+    }
+    // unknown future versions stay loud
+    val v3 = v2.clone(); v3(3) = 3
+    val e3 = intercept[Exception](StellarXdr.decodeLedgerCloseMeta(
+      new StellarXdr.Reader(v3)))
+    assert(e3.getMessage.contains("unsupported LedgerCloseMeta v3"))
+  }
+
   // ---- permissive batch decode -----------------------------------------------
 
   test("permissive batch decode: a corrupted datastore object is reported " +
