@@ -189,8 +189,10 @@ object ExplainAudit {
       // parse, map-only (the fee/transfer union adds no shuffle)
       ("stellar_transfers_real_xdr", Seq("Generate"),
         Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin")),
-      // effects fan-out off decoded rows: map-only explode chain
-      ("stellar_effects_real_xdr", Seq("Generate"),
+      // effects fan-out off decoded rows: one typed flatMap (the column
+      // tree cost ~4s of fixed Catalyst latency per job — see the
+      // historyEffects scaladoc), still map-only
+      ("stellar_effects_real_xdr", Seq("SerializeFromObject"),
         Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin")),
       // the datastore DSv2 connector: range pushdown reaches the scan
       // (key-law pruning) and the object grain stays metadata-only
