@@ -1923,107 +1923,85 @@ object QueryCatalog {
           .orderBy("doc_id")),
 
     Q("x_multimodal_decode",
-      // the stub codec is pure fnv64a over the payload bytes, so DuckDB
-      // re-derives the full decoded metadata independently: the 64-bit
-      // FNV-1a fold runs as a HUGEINT lambda reduce over the UTF-8 BYTES
-      // (hex-pair parse of encode(text) — not ord() of characters, which
-      // would diverge on any non-ASCII document), `h & Long.MaxValue`
-      // becomes `h mod 2^63`, and the width/height/frame laws replay on
-      // exact integers
-      Some("""WITH f AS (
-             |  SELECT doc_id,
-             |         CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
-             |              WHEN doc_id % 3 = 1 THEN 'audio/wav'
-             |              ELSE 'video/mp4' END AS mime,
-             |         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-             |         list_reduce(
-             |           list_prepend(14695981039346656037::HUGEINT,
-             |             list_transform(range(CAST(octet_length(encode(text)) AS BIGINT)),
-             |               i -> ('0x' || substr(hex(encode(text)),
-             |                      CAST(i*2+1 AS INT), 2))::BIGINT::HUGEINT)),
-             |           (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
-             |                     % 18446744073709551616::HUGEINT) AS h
-             |  FROM documents),
-             |a AS (SELECT *, h % 9223372036854775808::HUGEINT AS ab FROM f)
-             |SELECT doc_id AS media_id, mime, byte_len,
-             |       CAST(ab % 1920 + 1 AS INT) AS width,
-             |       CAST((ab // 65536) % 1080 + 1 AS INT) AS height,
-             |       CAST(CASE WHEN mime LIKE 'video%' THEN (ab // 4294967296) % 300 + 1
-             |                 ELSE 1 END AS INT) AS n_frames,
-             |       TRUE AS decode_ok, CAST(NULL AS VARCHAR) AS error
-             |FROM a ORDER BY media_id""".stripMargin),
+      // 60 planted REAL containers (PNG / JPEG / animated GIF / RIFF-WAVE /
+      // corrupt — the MultimodalFixtures law): the JDK codecs must report
+      // exactly the planted dimensions, frame counts, sample rates and
+      // error-channel strings, every one of which DuckDB re-derives as a
+      // pure formula of media_id
+      Some("""SELECT i AS media_id,
+             |       CASE i % 6 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+             |            WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+             |            WHEN 4 THEN 'application/octet-stream'
+             |            ELSE 'image/png' END AS mime,
+             |       CAST(CASE WHEN i % 6 <= 2 THEN 16 + (i % 7) * 8 ELSE 0 END
+             |         AS INT) AS width,
+             |       CAST(CASE WHEN i % 6 <= 2 THEN 16 + (i % 5) * 8 ELSE 0 END
+             |         AS INT) AS height,
+             |       CAST(CASE WHEN i % 6 <= 1 THEN 1 WHEN i % 6 = 2 THEN 2 + i % 4
+             |            WHEN i % 6 = 3 THEN 1000 + i * 10 ELSE 0 END AS INT)
+             |         AS n_frames,
+             |       CAST(CASE WHEN i % 6 = 3 THEN 8000 ELSE 0 END AS INT)
+             |         AS sample_rate,
+             |       CAST(CASE WHEN i % 6 = 3 THEN 1 + i % 2 ELSE 0 END AS INT)
+             |         AS channels,
+             |       i % 6 <= 3 AS decode_ok,
+             |       CASE WHEN i % 6 = 4 THEN 'unrecognized container (magic bytes)'
+             |            WHEN i % 6 = 5 THEN 'corrupt png: IIOException' END AS error
+             |FROM generate_series(0, 59) t(i) ORDER BY media_id""".stripMargin),
       (s, dir) => {
         import s.implicits._
-        val media = T(s, dir, "documents").select(
-            col("doc_id").as("media_id"),
-            when(expr("doc_id % 3 = 0"), "image/jpeg")
-              .when(expr("doc_id % 3 = 1"), "audio/wav")
-              .otherwise("video/mp4").as("mime"),
-            col("text").cast("binary").as("bytes"))
-          .as[Multimodal.MediaRow]
-        Multimodal.decode(media).toDF().orderBy("media_id")
+        val media = s.createDataset((0L until 60L).map(MultimodalFixtures.decodeRow))
+        Multimodal.decode(media).toDF()
+          .select(col("media_id"), col("mime"), col("width"), col("height"),
+            col("n_frames"), col("sample_rate"), col("channels"),
+            col("decode_ok"), col("error"))
+          .orderBy("media_id")
       }),
 
     Q("x_multimodal_frames",
-      // the frame-sampling plan: videos explode into every 30th frame
-      // index so per-frame work distributes. DuckDB re-derives n_frames
-      // from the fnv64a stub law and replays the stride explode with
-      // generate_series
-      Some("""WITH f AS (
-             |  SELECT doc_id,
-             |         list_reduce(
-             |           list_prepend(14695981039346656037::HUGEINT,
-             |             list_transform(range(CAST(octet_length(encode(text)) AS BIGINT)),
-             |               i -> ('0x' || substr(hex(encode(text)),
-             |                      CAST(i*2+1 AS INT), 2))::BIGINT::HUGEINT)),
-             |           (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
-             |                     % 18446744073709551616::HUGEINT) AS h
-             |  FROM documents WHERE doc_id % 3 = 2),
-             |a AS (SELECT doc_id,
-             |        ((h % 9223372036854775808::HUGEINT) // 4294967296) % 300 + 1
-             |          AS n_frames
-             |      FROM f)
-             |SELECT doc_id AS media_id, CAST(n_frames AS INT) AS n_frames,
-             |       CAST(unnest(generate_series(0, CAST(n_frames AS BIGINT) - 1, 30))
+      // the frame/sample-index sampling plan over the REAL decoded metadata:
+      // stills explode to one frame, animated GIFs to their planted frame
+      // count, WAVs to every 400th audio frame — DuckDB replays the planted
+      // frame-count formulas with generate_series
+      Some("""WITH d AS (
+             |  SELECT i, CASE WHEN i % 6 <= 1 THEN 1 WHEN i % 6 = 2 THEN 2 + i % 4
+             |                 WHEN i % 6 = 3 THEN 1000 + i * 10 ELSE 0 END AS n_frames
+             |  FROM generate_series(0, 59) t(i))
+             |SELECT i AS media_id, CAST(n_frames AS INT) AS n_frames,
+             |       CAST(unnest(generate_series(0, CAST(n_frames AS BIGINT) - 1, 400))
              |         AS INT) AS frame_idx
-             |FROM a ORDER BY media_id, frame_idx""".stripMargin),
+             |FROM d WHERE n_frames > 0 ORDER BY media_id, frame_idx""".stripMargin),
       (s, dir) => {
         import s.implicits._
-        val media = T(s, dir, "documents").where(expr("doc_id % 3 = 2"))
-          .select(col("doc_id").as("media_id"), lit("video/mp4").as("mime"),
-            col("text").cast("binary").as("bytes"))
-          .as[Multimodal.MediaRow]
-        Multimodal.sampleFrames(Multimodal.decode(media).toDF(), stride = 30)
+        val media = s.createDataset((0L until 60L).map(MultimodalFixtures.decodeRow))
+        Multimodal.sampleFrames(Multimodal.decode(media).toDF(), stride = 400)
           .select(col("media_id"), col("n_frames"), col("frame_idx"))
           .orderBy("media_id", "frame_idx")
       }),
 
     Q("x_multimodal_pipeline",
-      // the full media path — decode, resize, feature-extract, ANN —
-      // over a PLANTED deterministic fixture (every codec stage is the
-      // documented stub law: fnv64a decode gate, sha-256-seeded resize
-      // payload, sha-256-chain embeddings, exact-integer ANN ranking).
-      // The oracle is the golden output of an independent re-implementation
-      // of those laws (python hashlib/numpy, tools/golden_multimodal.py);
-      // every column is an exact integer, so the row set is hash-stable.
+      // the full media path — REAL javax.imageio decode gate, exact
+      // nearest-neighbor resize with lossless PNG re-encode, grid-luminance
+      // features off real pixels, exact-integer ANN — over planted
+      // formula-patterned media (MultimodalFixtures.pipelineRow: WAVs drop
+      // at the resize gate, unrecognized bytes at the decode gate). The
+      // oracle is the golden output of an independent numpy replay of the
+      // planted-pixel / resample / feature / ANN laws
+      // (tools/golden_multimodal.py); every column is an exact integer, so
+      // the row set is hash-stable and a match proves the JDK codec path
+      // reproduced the planted media end to end.
       Some(MultimodalGolden.pipelineOracleSql),
       (s, dir) => {
         import s.implicits._
-        val media = s.range(0, 40).select(
-            col("id").as("media_id"),
-            when(expr("id % 3 = 0"), "image/jpeg")
-              .when(expr("id % 3 = 1"), "audio/wav")
-              .otherwise("video/mp4").as("mime"),
-            expr("repeat(concat('graft-media-', id, ':'), id % 7 + 1)")
-              .cast("binary").as("bytes"))
-          .as[Multimodal.MediaRow]
-        // decode gate: only rows the (stub) codec accepts continue
+        val media = s.createDataset((0L until 40L).map(MultimodalFixtures.pipelineRow))
+        // decode gate: only rows a real codec accepts continue
         val okIds = Multimodal.decode(media).toDF()
           .where(col("decode_ok")).select("media_id")
         val gated = media.toDF().join(broadcast(okIds), "media_id")
           .select(col("media_id"), col("mime"), col("bytes"))
           .as[Multimodal.MediaRow]
-        // resize to a fixed thumbnail, then embed the RESIZED payload
+        // resize to a fixed thumbnail (real pixel resample + PNG re-encode),
+        // then embed the RESIZED payload's real pixels
         val resized = Multimodal.resize(gated, 64, 64).toDF()
           .where(col("resize_ok"))
           .select(col("media_id"), col("mime"),
@@ -2031,7 +2009,7 @@ object QueryCatalog {
           .as[Multimodal.MediaRow]
         val feats = Multimodal.extractFeatures(resized, dim = 16).toDF()
           .where(col("feature_ok"))
-        val queries = feats.where(col("media_id") < 5)
+        val queries = feats.where(col("media_id") < 7)
           .select(col("media_id").as("qid"), col("embedding").as("qvec"))
         Similarity.bruteForceTopKExact(
             feats, "media_id", "embedding", queries, "qid", "qvec", k = 3)

@@ -1,20 +1,39 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal (image/audio/video) column plumbing.
+/** Multimodal (image/audio) column plumbing with REAL JDK codecs.
   *
   * Media travels as an opaque `binary` column plus typed metadata; decode /
-  * feature-extraction runs per-partition over iterator batches (the Scala
-  * analog of `mapInPandas`: one JVM-side batch loop, no per-row UDF dispatch,
-  * library handles loaded once per partition).
+  * resize / feature-extraction run per-partition over iterator batches (the
+  * Scala analog of `mapInPandas`: one JVM-side batch loop, no per-row UDF
+  * dispatch, codec state initialized once per partition).
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container): `FakeDecoder` derives deterministic pseudo-metadata from the
-  * bytes. The Spark-side contract — schema, batch shape, partitioning,
-  * null/error channel — is real and tested; swap `FakeDecoder` for a JNI/
-  * javacv decoder in production.
+  * Codecs are the JDK's own — `javax.imageio` for PNG/JPEG/GIF/BMP,
+  * `javax.sound.sampled` for RIFF/WAVE — no external libraries:
+  *   - [[decode]] is metadata-grade: it sniffs the container by magic bytes
+  *     and parses HEADERS only (`ImageReader.getWidth/getHeight/getNumImages`,
+  *     `AudioSystem.getAudioFileFormat`) — no pixel decode, the right cost
+  *     model for a 100 TB metadata pass.
+  *   - [[resize]] fully decodes pixels and resamples with an EXACT
+  *     nearest-neighbor law (`src_x = dst_x * src_w / dst_w`, integer floor)
+  *     before lossless PNG re-encode, so downstream results are
+  *     bit-reproducible across JVMs and replayable by an independent oracle.
+  *   - [[extractFeatures]] reads real pixels and emits an L2-normalized
+  *     grid-luminance embedding whose pre-normalization cell values are
+  *     exact Long sums of `r+g+b` — integer-exact up to the single float
+  *     boundary the ANN quantizer ([[Similarity.bruteForceTopKExact]])
+  *     already absorbs.
+  *
+  * Containers the JDK cannot decode (video, unknown formats) and corrupt
+  * payloads land on the error channel (`*_ok = false` + message), never a
+  * throw: one bad object must not kill a 100 TB job.
   */
 object Multimodal {
 
@@ -22,34 +41,93 @@ object Multimodal {
   case class DecodedMedia(
       media_id: Long, mime: String, byte_len: Long,
       width: Int, height: Int, n_frames: Int,
+      sample_rate: Int, channels: Int,
       decode_ok: Boolean, error: String)
 
-  /** STUB decoder: deterministic fake dimensions derived from content bytes.
-    * Replace with a real codec; the signature (bytes → metadata or error) and
-    * the per-partition batch loop are the production shape. */
-  object FakeDecoder {
-    def decode(mime: String, bytes: Array[Byte]): DecodedMedia = {
-      val h = graft.codec.Hashes.fnv64a(bytes)
-      val abs = h & Long.MaxValue
-      if (bytes.isEmpty)
-        DecodedMedia(-1, mime, 0, 0, 0, 0, decode_ok = false, error = "empty payload")
-      else
-        DecodedMedia(-1, mime, bytes.length.toLong,
-          width = (abs % 1920 + 1).toInt,
-          height = ((abs >> 16) % 1080 + 1).toInt,
-          n_frames = if (mime.startsWith("video")) ((abs >> 32) % 300 + 1).toInt else 1,
-          decode_ok = true, error = null)
+  private val PngMagic  = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+  private val JpegMagic = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)
+  private val GifMagic  = "GIF8".getBytes("US-ASCII")
+  private val BmpMagic  = "BM".getBytes("US-ASCII")
+  private val RiffMagic = "RIFF".getBytes("US-ASCII")
+
+  private def startsWith(bytes: Array[Byte], magic: Array[Byte]): Boolean =
+    bytes.length >= magic.length && {
+      var i = 0
+      while (i < magic.length && bytes(i) == magic(i)) i += 1
+      i == magic.length
     }
+
+  /** Container kind by magic bytes — never trust the declared mime on a
+    * petabyte of crawled media. */
+  private[operators] def sniff(bytes: Array[Byte]): String =
+    if (startsWith(bytes, PngMagic)) "png"
+    else if (startsWith(bytes, JpegMagic)) "jpeg"
+    else if (startsWith(bytes, GifMagic)) "gif"
+    else if (startsWith(bytes, BmpMagic)) "bmp"
+    else if (startsWith(bytes, RiffMagic) && bytes.length >= 12 &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+      "wav"
+    else "unknown"
+
+  private def fail(r: MediaRow, msg: String): DecodedMedia =
+    DecodedMedia(r.media_id, r.mime, r.bytes.length.toLong, 0, 0, 0, 0, 0,
+      decode_ok = false, error = msg)
+
+  /** Header-only image metadata via a real `ImageReader` — width, height and
+    * (for animated GIF) the frame count come from the container headers, no
+    * pixel decode. */
+  private def decodeImageHeader(r: MediaRow, kind: String): DecodedMedia = {
+    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(r.bytes))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) fail(r, s"no JDK reader for sniffed $kind payload")
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(in, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          // allowSearch=true walks the container index; GIF reports every
+          // animation frame, single-image formats report 1
+          val frames = reader.getNumImages(true)
+          DecodedMedia(r.media_id, r.mime, r.bytes.length.toLong,
+            w, h, frames, 0, 0, decode_ok = true, error = null)
+        } finally reader.dispose()
+      }
+    } catch {
+      case e: Exception => fail(r, s"corrupt $kind: ${e.getClass.getSimpleName}")
+    } finally in.close()
   }
 
+  /** WAV metadata via `AudioSystem` header parse: audio frame count,
+    * sample rate and channel count (no sample decode). */
+  private def decodeWavHeader(r: MediaRow): DecodedMedia =
+    try {
+      val fmt = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(r.bytes))
+      DecodedMedia(r.media_id, r.mime, r.bytes.length.toLong,
+        width = 0, height = 0, n_frames = fmt.getFrameLength,
+        sample_rate = fmt.getFormat.getSampleRate.toInt,
+        channels = fmt.getFormat.getChannels,
+        decode_ok = true, error = null)
+    } catch {
+      case e: Exception => fail(r, s"corrupt wav: ${e.getClass.getSimpleName}")
+    }
+
   /** Decode a media Dataset per-partition (batch loop, codec state reused
-    * across the partition — the mapInPandas-shaped plumbing). */
+    * across the partition). Metadata-grade: headers only. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init happens here (decoder/codec handles, model weights…)
+      // per-partition codec init: no disk-backed ImageIO scratch files on
+      // executors — decode streams stay on-heap
+      ImageIO.setUseCache(false)
       rows.map { r =>
-        FakeDecoder.decode(r.mime, r.bytes).copy(media_id = r.media_id)
+        if (r.bytes.isEmpty) fail(r, "empty payload")
+        else sniff(r.bytes) match {
+          case "wav" => decodeWavHeader(r)
+          case "unknown" => fail(r, "unrecognized container (magic bytes)")
+          case kind => decodeImageHeader(r, kind)
+        }
       }
     }
   }
@@ -66,74 +144,126 @@ object Multimodal {
           .when(hex(substring(col(bytesCol), 1, 4)) === "52494646", "audio/wav")
           .otherwise("application/octet-stream"))
 
-  /** Frame-sampling plan for video rows: explode a deterministic frame index
-    * list (every `stride`-th frame) so downstream per-frame work distributes. */
+  /** Frame/sample-index sampling plan: explode a deterministic index list
+    * (every `stride`-th frame of an animation, or every `stride`-th audio
+    * frame) so downstream per-frame work distributes. */
   def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
     decoded
       .where(col("decode_ok") && col("n_frames") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
 
+  /** Full pixel decode via `ImageIO.read`; null (unsupported) and throw
+    * (corrupt) both fold to None. */
+  private def readPixels(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** EXACT nearest-neighbor resample: destination pixel (x, y) takes source
+    * pixel (x*sw/tw, y*sh/th), integer floor — a fixed public law (vs the
+    * platform-dependent rounding of `Graphics2D.drawImage` scaling) so the
+    * output is bit-identical across JVMs and independently replayable. */
+  private[operators] def nearestNeighbor(
+      src: BufferedImage, tw: Int, th: Int): BufferedImage = {
+    val sw = src.getWidth
+    val sh = src.getHeight
+    val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < th) {
+      val sy = y * sh / th
+      var x = 0
+      while (x < tw) {
+        out.setRGB(x, y, src.getRGB(x * sw / tw, sy) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   case class ResizedMedia(media_id: Long, mime: String,
       target_w: Int, target_h: Int, resized_bytes: Array[Byte],
       resize_ok: Boolean, error: String)
 
-  /** Resize pass (STUB codec, real plumbing): per-partition batch loop with
-    * the target dims closed over — the production shape for a JNI/javacv
-    * scaler whose handles load once per partition. The stub emits a
-    * deterministic payload (sha-256 of input ‖ dims) with a plausible
-    * compressed size so downstream sizing logic is exercised. */
+  /** Resize pass: real `ImageIO` pixel decode → exact nearest-neighbor
+    * resample → lossless PNG re-encode, per-partition batch loop with the
+    * target dims closed over. Non-image and corrupt payloads ride the error
+    * channel. */
   def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init: scaler context, pinned buffers…
+      ImageIO.setUseCache(false) // per-partition codec init
       rows.map { r =>
         if (r.bytes.isEmpty)
           ResizedMedia(r.media_id, r.mime, targetW, targetH,
             Array.empty[Byte], resize_ok = false, error = "empty payload")
-        else {
-          val seed = graft.codec.Hashes.sha256(
-            r.bytes ++ s":$targetW:$targetH".getBytes("UTF-8"))
-          // stub payload: seed repeated to ~w*h/8 bytes (a plausible
-          // compressed size), deterministic for specs
-          val len = math.max(32, targetW * targetH / 8)
-          val out = Array.tabulate[Byte](len)(i => seed(i % seed.length))
-          ResizedMedia(r.media_id, r.mime, targetW, targetH, out,
-            resize_ok = true, error = null)
+        else readPixels(r.bytes) match {
+          case None =>
+            ResizedMedia(r.media_id, r.mime, targetW, targetH,
+              Array.empty[Byte], resize_ok = false,
+              error = s"not a decodable image (sniffed ${sniff(r.bytes)})")
+          case Some(src) =>
+            val out = new ByteArrayOutputStream(targetW * targetH / 4)
+            ImageIO.write(nearestNeighbor(src, targetW, targetH), "png", out)
+            ResizedMedia(r.media_id, r.mime, targetW, targetH, out.toByteArray,
+              resize_ok = true, error = null)
         }
       }
     }
   }
 
+  /** Per-cell luminance sums of a `grid`×`grid` partition of the image —
+    * cell (cy, cx) covers x in [cx*w/grid, (cx+1)*w/grid) (same floor law as
+    * the resampler) and sums `r+g+b` over its pixels as exact Longs. */
+  private[graft] def gridLuminance(img: BufferedImage, grid: Int): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val cy = y * grid / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sums(cy * grid + x * grid / w) +=
+          ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    sums
+  }
+
   case class MediaFeatures(media_id: Long, mime: String,
       embedding: Array[Float], feature_ok: Boolean, error: String)
 
-  /** Feature-extraction pass (STUB model, real plumbing): per-partition
-    * batch loop — where a real deployment loads model weights once per
-    * partition and runs batched inference. The stub derives a
-    * deterministic unit-norm embedding from a sha-256 chain over the
-    * bytes, so the output composes with the ANN operators
-    * ([[Similarity]]) and dedup ([[Dedup.cosineDupPairs]]) in specs. */
+  /** Feature-extraction over REAL pixels: decode, partition into a √dim ×
+    * √dim grid, sum `r+g+b` per cell (exact Longs), L2-normalize. The
+    * embedding composes with the ANN operators ([[Similarity]]) and dedup
+    * ([[Dedup.cosineDupPairs]]); the only float boundary is the final
+    * normalize, which the ANN quantizer absorbs. `dim` must be a square. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    val grid = math.sqrt(dim.toDouble).toInt
+    require(grid * grid == dim, s"dim must be a perfect square, got $dim")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init: model weights, inference session…
+      ImageIO.setUseCache(false) // per-partition codec init
       rows.map { r =>
         if (r.bytes.isEmpty)
           MediaFeatures(r.media_id, r.mime, Array.empty[Float],
             feature_ok = false, error = "empty payload")
-        else {
-          val raw = Array.tabulate(dim) { d =>
-            val h = graft.codec.Hashes.sha256(
-              r.bytes ++ s":f$d".getBytes("UTF-8"))
-            // first 4 bytes → int → [-1, 1]
-            val x = ((h(0) & 0xFF) << 24) | ((h(1) & 0xFF) << 16) |
-              ((h(2) & 0xFF) << 8) | (h(3) & 0xFF)
-            x.toFloat / Int.MaxValue.toFloat
-          }
-          val norm = math.sqrt(raw.map(x => x.toDouble * x).sum)
-          val emb = if (norm == 0) raw else raw.map(x => (x / norm).toFloat)
-          MediaFeatures(r.media_id, r.mime, emb, feature_ok = true, error = null)
+        else readPixels(r.bytes) match {
+          case None =>
+            MediaFeatures(r.media_id, r.mime, Array.empty[Float],
+              feature_ok = false,
+              error = s"not a decodable image (sniffed ${sniff(r.bytes)})")
+          case Some(img) =>
+            val sums = gridLuminance(img, grid)
+            val norm = math.sqrt(sums.map(s => s.toDouble * s.toDouble).sum)
+            val emb =
+              if (norm == 0) sums.map(_.toFloat)
+              else sums.map(s => (s / norm).toFloat)
+            MediaFeatures(r.media_id, r.mime, emb, feature_ok = true, error = null)
         }
       }
     }

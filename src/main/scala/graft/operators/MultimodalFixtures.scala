@@ -1,0 +1,143 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+/** Deterministic REAL media fixtures for the multimodal catalog queries.
+  *
+  * Every payload is a genuine container (PNG/JPEG/GIF via `javax.imageio`,
+  * RIFF/WAVE PCM hand-assembled per the public RIFF layout) whose ground
+  * truth — dimensions, frame counts, every pixel of the PNGs — is a pure
+  * integer formula of `media_id`. The DuckDB oracles re-derive that formula
+  * independently (`tools/golden_multimodal.py` replays the pixel law, the
+  * exact nearest-neighbor resample law and the grid-luminance law in
+  * numpy), so a hash match proves the JDK codec path reproduced the planted
+  * media exactly — encode → decode → resample → pixel read, end to end.
+  *
+  * Pixel law of the pattern PNGs (lossless, so decode returns it exactly):
+  *   r(x,y) = (x*7  + y*13 + i*31) mod 256
+  *   g(x,y) = (x*11 + y*3  + i*17) mod 256
+  *   b(x,y) = (x*5  + y*19 + i*41) mod 256
+  * with  w = 16 + (i mod 7)*8,  h = 16 + (i mod 5)*8.
+  */
+object MultimodalFixtures {
+
+  def patternWidth(i: Long): Int = 16 + (i % 7).toInt * 8
+  def patternHeight(i: Long): Int = 16 + (i % 5).toInt * 8
+
+  def patternImage(i: Long): BufferedImage = {
+    val w = patternWidth(i)
+    val h = patternHeight(i)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 7 + y * 13 + i * 31) % 256
+        val g = (x * 11 + y * 3 + i * 17) % 256
+        val b = (x * 5 + y * 19 + i * 41) % 256
+        img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage, format: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  def patternPng(i: Long): Array[Byte] = encode(patternImage(i), "png")
+
+  /** Solid-color JPEG — lossy, so only the DIMENSIONS are oracle-checked. */
+  def solidJpeg(i: Long): Array[Byte] = {
+    val w = patternWidth(i)
+    val h = patternHeight(i)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (((i * 37) % 256).toInt << 16) | (((i * 59) % 256).toInt << 8) |
+      ((i * 83) % 256).toInt
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    encode(img, "jpg")
+  }
+
+  /** Animated GIF with `2 + (i mod 4)` frames, written with the JDK's GIF
+    * `ImageWriter` sequence API — exercises the multi-frame
+    * `getNumImages(true)` arm of [[Multimodal.decode]]. */
+  def animatedGif(i: Long): Array[Byte] = {
+    val frames = gifFrames(i)
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(patternImage(i + f), null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  def gifFrames(i: Long): Int = 2 + (i % 4).toInt
+
+  def wavFrames(i: Long): Int = 1000 + i.toInt * 10
+  def wavChannels(i: Long): Int = 1 + (i % 2).toInt
+  val WavSampleRate = 8000
+
+  /** Minimal valid RIFF/WAVE: 16-bit PCM header + silence, assembled per the
+    * public RIFF layout (44-byte canonical header). */
+  def wavBytes(i: Long): Array[Byte] = {
+    val channels = wavChannels(i)
+    val frames = wavFrames(i)
+    val bytesPerFrame = channels * 2
+    val dataLen = frames * bytesPerFrame
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1.toShort) // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(WavSampleRate)
+    buf.putInt(WavSampleRate * bytesPerFrame) // byte rate
+    buf.putShort(bytesPerFrame.toShort)       // block align
+    buf.putShort(16.toShort)                  // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    buf.array()
+  }
+
+  /** Valid magic bytes, body cut off mid-header — the corrupt-image arm. */
+  def truncatedPng(i: Long): Array[Byte] = patternPng(i).take(16)
+
+  /** The decode-catalog fixture law: media_id mod 6 selects the container.
+    * 0 → pattern PNG, 1 → solid JPEG, 2 → animated GIF, 3 → WAV,
+    * 4 → unrecognized bytes, 5 → truncated PNG. */
+  def decodeRow(i: Long): Multimodal.MediaRow = (i % 6) match {
+    case 0 => Multimodal.MediaRow(i, "image/png", patternPng(i))
+    case 1 => Multimodal.MediaRow(i, "image/jpeg", solidJpeg(i))
+    case 2 => Multimodal.MediaRow(i, "image/gif", animatedGif(i))
+    case 3 => Multimodal.MediaRow(i, "audio/wav", wavBytes(i))
+    case 4 => Multimodal.MediaRow(i, "application/octet-stream",
+      s"not-a-media-payload-$i".getBytes("UTF-8"))
+    case _ => Multimodal.MediaRow(i, "image/png", truncatedPng(i))
+  }
+
+  /** The pipeline fixture law: media_id mod 5 → 0..2 pattern PNG (the rows
+    * that survive to the ANN), 3 WAV (dropped at the resize gate), 4
+    * unrecognized bytes (dropped at the decode gate). */
+  def pipelineRow(i: Long): Multimodal.MediaRow = (i % 5) match {
+    case 3 => Multimodal.MediaRow(i, "audio/wav", wavBytes(i))
+    case 4 => Multimodal.MediaRow(i, "application/octet-stream",
+      s"not-a-media-payload-$i".getBytes("UTF-8"))
+    case _ => Multimodal.MediaRow(i, "image/png", patternPng(i))
+  }
+}

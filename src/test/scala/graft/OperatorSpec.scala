@@ -681,35 +681,93 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("CartesianProduct"), plan.take(600))
   }
 
-  test("multimodal resize + feature extraction: deterministic stubs, error channel, ANN-composable") {
+  test("multimodal resize + feature extraction: real pixels, error channel, ANN-composable") {
     import spark.implicits._
     val media = Seq(
-      Multimodal.MediaRow(1L, "image/jpeg", "payload-one".getBytes("UTF-8")),
-      Multimodal.MediaRow(2L, "image/jpeg", "payload-two".getBytes("UTF-8")),
-      Multimodal.MediaRow(3L, "image/jpeg", Array.empty[Byte])).toDS()
+      Multimodal.MediaRow(1L, "image/png", MultimodalFixtures.patternPng(1)),
+      Multimodal.MediaRow(2L, "image/png", MultimodalFixtures.patternPng(2)),
+      Multimodal.MediaRow(3L, "image/png", Array.empty[Byte]),
+      Multimodal.MediaRow(4L, "audio/wav", MultimodalFixtures.wavBytes(4))).toDS()
     val resized = Multimodal.resize(media, 64, 48).collect()
       .map(r => r.media_id -> r).toMap
-    assert(resized(1L).resize_ok && resized(1L).resized_bytes.length == 64 * 48 / 8)
+    assert(resized(1L).resize_ok)
     assert(!resized(3L).resize_ok && resized(3L).error == "empty payload")
+    // non-image payloads ride the error channel at the resize gate
+    assert(!resized(4L).resize_ok && resized(4L).error.contains("wav"))
+    // the resized payload is a REAL 64x48 PNG whose pixels obey the exact
+    // nearest-neighbor law over the planted pattern
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1L).resized_bytes))
+    assert(img.getWidth == 64 && img.getHeight == 48)
+    val (sw, sh) = (MultimodalFixtures.patternWidth(1), MultimodalFixtures.patternHeight(1))
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val (sx, sy) = (x * sw / 64, y * sh / 48)
+      val expected = ((((sx * 7 + sy * 13 + 31) % 256) << 16) |
+        (((sx * 11 + sy * 3 + 17) % 256) << 8) | ((sx * 5 + sy * 19 + 41) % 256))
+      assert((img.getRGB(x, y) & 0xFFFFFF) == expected, s"pixel ($x,$y)")
+    }
     // deterministic: same payload on rerun
     assert(Multimodal.resize(media, 64, 48).collect()
       .find(_.media_id == 1L).get.resized_bytes
       .sameElements(resized(1L).resized_bytes))
 
-    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
       .map(f => f.media_id -> f).toMap
-    assert(feats(1L).feature_ok && feats(1L).embedding.length == 8)
-    assert(!feats(3L).feature_ok)
-    // unit norm (stub embeds on the sphere, like a real encoder)
+    assert(feats(1L).feature_ok && feats(1L).embedding.length == 16)
+    assert(!feats(3L).feature_ok && !feats(4L).feature_ok)
+    // unit norm (grid-luminance embedding lands on the sphere)
     val n1 = math.sqrt(feats(1L).embedding.map(x => x.toDouble * x).sum)
     assert(math.abs(n1 - 1.0) < 1e-5)
-    // composes with the ANN operator: each doc's nearest neighbor is itself
-    val fdf = Multimodal.extractFeatures(media, dim = 8).toDF()
+    // first cell = sum of r+g+b over the top-left grid cell of the REAL image
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MultimodalFixtures.patternPng(1)))
+    var cell0 = 0L
+    for (y <- 0 until sh if y * 4 / sh == 0; x <- 0 until sw if x * 4 / sw == 0) {
+      val rgb = src.getRGB(x, y)
+      cell0 += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+    }
+    val sums = Multimodal.gridLuminance(src, 4)
+    assert(sums(0) == cell0)
+    // composes with the ANN operator: distinct patterns, k=1 self-excluded
+    val fdf = Multimodal.extractFeatures(media, dim = 16).toDF()
       .where(col("feature_ok"))
     val topk = Similarity.bruteForceTopK(fdf, "media_id", "embedding",
       fdf.select(col("media_id").as("qid"), col("embedding").as("qvec")),
       "qid", "qvec", k = 1)
     assert(topk.where(col("rank") === 1).count() == 2)
+  }
+
+  test("multimodal checked-in fixtures decode pixel-exact via the real JDK codecs") {
+    import spark.implicits._
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/media/$name")
+      try in.readAllBytes() finally in.close()
+    }
+    // the committed PNG decodes to EXACTLY the planted pixel formula
+    val png = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(fixture("pattern_0.png")))
+    assert(png.getWidth == 16 && png.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val expected = (((x * 7 + y * 13) % 256) << 16) |
+        (((x * 11 + y * 3) % 256) << 8) | ((x * 5 + y * 19) % 256)
+      assert((png.getRGB(x, y) & 0xFFFFFF) == expected, s"pixel ($x,$y)")
+    }
+    // every container class through the Spark decode path
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image/png", fixture("pattern_0.png")),
+      Multimodal.MediaRow(1L, "image/jpeg", fixture("solid_1.jpg")),
+      Multimodal.MediaRow(2L, "image/gif", fixture("anim_2.gif")),
+      Multimodal.MediaRow(3L, "audio/wav", fixture("tone_3.wav")),
+      Multimodal.MediaRow(5L, "image/png", fixture("truncated_5.png"))).toDS()
+    val out = Multimodal.decode(media).collect().map(d => d.media_id -> d).toMap
+    assert(out(0L).decode_ok && out(0L).width == 16 && out(0L).height == 16 &&
+      out(0L).n_frames == 1)
+    assert(out(1L).decode_ok && out(1L).width == 24 && out(1L).height == 24)
+    assert(out(2L).decode_ok && out(2L).width == 32 && out(2L).height == 32 &&
+      out(2L).n_frames == 4) // animated: 2 + (2 % 4) planted frames
+    assert(out(3L).decode_ok && out(3L).n_frames == 1030 &&
+      out(3L).sample_rate == 8000 && out(3L).channels == 2)
+    assert(!out(5L).decode_ok && out(5L).error == "corrupt png: IIOException")
   }
 
   test("inverse mixture: smallest stratum kept whole, others flattened, deterministic") {
@@ -976,17 +1034,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- multimodal ----------------------------------------------------------
 
-  test("multimodal decode stub: deterministic metadata, error channel works") {
+  test("multimodal decode: real JDK header parse, error channel works") {
     import spark.implicits._
     val media = Seq(
-      Multimodal.MediaRow(1L, "image/jpeg", "fake-jpeg-bytes".getBytes),
+      Multimodal.MediaRow(1L, "image/jpeg", MultimodalFixtures.solidJpeg(1)),
       Multimodal.MediaRow(2L, "video/mp4", "fake-video-bytes".getBytes),
-      Multimodal.MediaRow(3L, "image/png", Array.emptyByteArray)
+      Multimodal.MediaRow(3L, "image/png", Array.emptyByteArray),
+      Multimodal.MediaRow(4L, "audio/wav", MultimodalFixtures.wavBytes(4))
     ).toDS()
     val out = Multimodal.decode(media).collect().sortBy(_.media_id)
-    assert(out(0).decode_ok && out(0).width > 0 && out(0).n_frames == 1)
-    assert(out(1).decode_ok && out(1).n_frames >= 1)
+    assert(out(0).decode_ok && out(0).width == 24 && out(0).height == 24 &&
+      out(0).n_frames == 1)
+    // no JDK video codec: unrecognized container, loud on the error channel
+    assert(!out(1).decode_ok && out(1).error.contains("unrecognized container"))
     assert(!out(2).decode_ok && out(2).error == "empty payload")
+    assert(out(3).decode_ok && out(3).n_frames == 1040 &&
+      out(3).sample_rate == 8000 && out(3).channels == 1)
     // determinism
     val again = Multimodal.decode(media).collect().sortBy(_.media_id)
     assert(out.toSeq == again.toSeq)
