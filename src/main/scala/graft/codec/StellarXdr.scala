@@ -1288,6 +1288,13 @@ object StellarXdr {
       // signer list) — the sponsorship-effect substrate
       sponsorKey: Array[Byte] = null,
       signerSponsors: Seq[SignerSponsor] = Nil,
+      // ClaimableBalanceEntry ext-v1 clawback flag (bit 0)
+      cbClawbackEnabled: Boolean = false,
+      // LiquidityPoolEntry constant-product body — the substrate of the
+      // LP effect families (deposit/withdraw/created/removed details)
+      lpAssetA: AssetRef = null, lpAssetB: AssetRef = null,
+      lpFee: Int = 0, lpReserveA: Long = 0L, lpReserveB: Long = 0L,
+      lpShares: Long = 0L, lpTlCount: Long = 0L,
       // the full LedgerEntry XDR slice (entry-carrying change kinds only) —
       // the state-table input grain (`SorobanStateTables.EntryChange`)
       rawEntry: Array[Byte] = null,
@@ -1430,12 +1437,16 @@ object StellarXdr {
       if (d != 0) throw new XdrError(s"unsupported Claimant type $d")
       accountId(r); walkPredicate(r) }
     asset(r); r.i64() // asset, amount
-    r.i32() match {
-      case 0 =>
-      case 1 => skipExtZero(r); r.u32() // ext, flags
+    // ext v1 carries the entry flags (bit 0 = CLAWBACK_ENABLED), which CB
+    // created/claimed effects surface as
+    // claimable_balance_clawback_enabled_flag
+    val flags = r.i32() match {
+      case 0 => 0L
+      case 1 => skipExtZero(r); r.u32()
       case d => throw new XdrError(s"unsupported CB entry ext $d")
     }
-    EntryX("claimable_balance", cbId = id)
+    EntryX("claimable_balance", cbId = id,
+      cbClawbackEnabled = (flags & 1L) != 0L)
   }
 
   private def lpEntry(r: Reader): EntryX = {
@@ -1444,9 +1455,17 @@ object StellarXdr {
     if (body != 0) throw new XdrError(s"unsupported LP body $body")
     val pt = r.i32()
     if (pt != 0) throw new XdrError(s"unsupported LP params $pt")
-    asset(r); asset(r); r.i32() // params
-    r.i64(); r.i64(); r.i64(); r.i64() // reserves, shares, tl count
-    EntryX("liquidity_pool", poolId = poolId)
+    val assetA = asset(r)
+    val assetB = asset(r)
+    val fee = r.i32()
+    val reserveA = r.i64()
+    val reserveB = r.i64()
+    val shares = r.i64()
+    val tlCount = r.i64()
+    EntryX("liquidity_pool", poolId = poolId,
+      lpAssetA = assetA, lpAssetB = assetB, lpFee = fee,
+      lpReserveA = reserveA, lpReserveB = reserveB,
+      lpShares = shares, lpTlCount = tlCount)
   }
 
   /** ContractDataEntry (`Stellar-ledger-entries.x`): ext ‖ SCAddress ‖
@@ -1826,9 +1845,11 @@ object StellarXdr {
     * offers carry their pre-state price (STATE immediately pairs with the
     * mutation that follows, the shape `findTradeSellPrice` scans for),
     * trust lines their line type, data entries their mutation kind.
-    * Account balance changes feed the fee law, not the op grain;
-    * sponsorship/LP-delta enrichment is not derived on this path (the
-    * classic-era corpus exercises neither). */
+    * Account balance changes feed the fee law, not the op grain.
+    * Liquidity-pool changes pair STATE with the mutation into full
+    * constant-product pre/post rows, claimable-balance changes carry the
+    * entry's clawback flag, and every arm threads entry/signer
+    * sponsorship transitions. */
   def opChangesToModel(changes: Seq[(Int, EntryX)]): Seq[OpChange] = {
     val out = Seq.newBuilder[OpChange]
     var pendingState: EntryX = null
@@ -1890,10 +1911,46 @@ object StellarXdr {
           case "ttl" => // extend/restore footprint effects key off these
             out += base("ttl").copy(change_kind = Some(kind),
               ttl_key_hash = Option(e.soroban).map(_.ttlKeyHash))
-          case "account" | "claimable_balance" if sponsorship.isDefined =>
-            out += base(e.family).copy(change_kind = Some(kind),
+          case "claimable_balance" =>
+            // CB changes always ride the op grain: the created/removed
+            // entry's clawback flag feeds CB created/claimed effect details
+            // (setClaimableBalanceFlagDetails, effects.go:826-831); a
+            // removed entry is a KEY, so the flag comes from the paired
+            // STATE entry
+            val flagSrc = if (kind == 2)
+              Option(state).filter(_.family == "claimable_balance")
+            else Some(e)
+            out += base("claimable_balance").copy(change_kind = Some(kind),
+              cb_clawback_enabled = flagSrc.map(_.cbClawbackEnabled),
               sponsorship = sponsorship)
-          case _ => // unsponsored account/CB and LP rows feed no op-grain law
+          case "liquidity_pool" =>
+            // full constant-product pre/post state: the LP effect families
+            // (deposit/withdraw/trade 90-92, created/removed 93-94 and
+            // share revocation 95) render reserves, shares, fee and the
+            // trustline count from exactly this pairing
+            // (liquidityPoolDetails, effects.go:1248-1266)
+            val pre = Option(state).filter(s => s.family == "liquidity_pool" &&
+              java.util.Arrays.equals(s.poolId, e.poolId))
+            val full = if (kind == 2) pre.orNull else e
+            out += base("liquidity_pool").copy(
+              pool_id = Some(e.poolId),
+              change_kind = Some(kind),
+              pre_pool_fee = Option(full).map(_.lpFee.toLong),
+              pre_reserve_a = pre.map(_.lpReserveA),
+              pre_reserve_b = pre.map(_.lpReserveB),
+              post_reserve_a = if (kind == 2) None else Some(e.lpReserveA),
+              post_reserve_b = if (kind == 2) None else Some(e.lpReserveB),
+              pre_total_shares = pre.map(_.lpShares),
+              post_total_shares = if (kind == 2) None else Some(e.lpShares),
+              post_trustline_count =
+                if (kind == 2) None else Some(e.lpTlCount),
+              pool_asset_a = Option(full).map(_.lpAssetA),
+              pool_asset_b = Option(full).map(_.lpAssetB),
+              sponsorship = sponsorship)
+          case "account" if sponsorship.isDefined =>
+            out += base("account").copy(change_kind = Some(kind),
+              sponsorship = sponsorship)
+          case _ => // unsponsored account rows feed no op-grain law
         }
       }
     }

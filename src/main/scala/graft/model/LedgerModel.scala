@@ -48,6 +48,15 @@ object LedgerModel {
       post_reserve_a: Option[Long] = None, post_reserve_b: Option[Long] = None,
       pre_total_shares: Option[Long] = None, post_total_shares: Option[Long] = None,
       pool_asset_a: Option[AssetRef] = None, pool_asset_b: Option[AssetRef] = None,
+      // the pool entry's share-trustline count (post state), rendered as
+      // the nested liquidity_pool "total_trustlines" string
+      // (`liquidityPoolDetails`, effects.go:1248-1266)
+      post_trustline_count: Option[Long] = None,
+      // ClaimableBalanceEntry ext-v1 clawback flag of a created/removed CB
+      // entry change — CB created/claimed effects emit it as
+      // claimable_balance_clawback_enabled_flag
+      // (`setClaimableBalanceFlagDetails`, effects.go:826-831)
+      cb_clawback_enabled: Option[Boolean] = None,
       // trustline changes: the ledger-entry change kind (0 created / 1
       // updated / 2 removed) and the line's asset type, which change_trust
       // effect derivation matches against the op line

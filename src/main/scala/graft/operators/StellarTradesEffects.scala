@@ -351,6 +351,10 @@ object StellarTradesEffects {
     kv("id", chg.flatMap(_.pool_id).map(hexLower).orNull),
     kvRaw("fee_bp", chg.flatMap(_.pre_pool_fee).map(_.toString).orNull),
     kv("type", "constant_product"),
+    // rendered as a STRING, matching the reference's strconv.FormatInt
+    // (`liquidityPoolDetails`, effects.go:1253)
+    kv("total_trustlines",
+      chg.flatMap(_.post_trustline_count).map(_.toString).orNull),
     kv("total_shares", amtO(chg.flatMap(_.post_total_shares))),
     kvRaw("reserves", {
       val aA = chg.flatMap(_.pool_asset_a).map(canonA).orNull
@@ -368,6 +372,15 @@ object StellarTradesEffects {
       op: OpModel, opPos: Int): Seq[EffectRow] = {
     val sourceAddr = strkeyG(op.source_key.getOrElse(tx.source_key))
     val destAddr = op.destination_key.map(strkeyG).orNull
+    // the acting source's muxed identity (M-address, id) when the op rode a
+    // muxed tx source — the trade seller-details label their buyer
+    // counterparty "seller" and append seller_muxed / seller_muxed_id
+    // (`addAccountAndMuxedAccountDetails`, operation.go:423-438)
+    val sourceMuxed: Option[(String, Long)] =
+      if (op.source_key.isEmpty && tx.source_muxed_id.isDefined)
+        Some((graft.codec.Strkey.encodeMuxed(tx.source_key,
+          tx.source_muxed_id.get), tx.source_muxed_id.get))
+      else None
     val amount = fmt7(op.amount_stroops)
     val opAsset = op.asset.orNull
     val cbId = op.balance_id.map(b => "00000000" + hexLower(b)).orNull
@@ -434,8 +447,16 @@ object StellarTradesEffects {
     }
 
     // trust lines ----------------------------------------------------------
-    val trustAssetKvs = assetKvs(op.trust_asset.orNull) :+
-      kv("liquidity_pool_id", op.trust_pool_id.map(hexLower).orNull)
+    // pool-share lines carry the `addLiquidityPoolAssetDetails` triple
+    // (operation.go:389-407); classic lines the plain asset details
+    val trustAssetKvs =
+      if (op.trust_asset.isEmpty && op.trust_pool_id.isDefined) Seq(
+        kv("asset_type", "liquidity_pool_shares"),
+        kv("liquidity_pool_id", op.trust_pool_id.map(hexLower).orNull),
+        kv("liquidity_pool_id_strkey", op.trust_pool_id
+          .map(graft.codec.Strkey.encodeLiquidityPool).orNull))
+      else assetKvs(op.trust_asset.orNull) :+
+        kv("liquidity_pool_id", op.trust_pool_id.map(hexLower).orNull)
     // created/updated/removed from the op's trustline ledger-entry change
     // whose asset type matches the op line (`addChangeTrustEffects`,
     // effects.go:637-695); limit-only heuristic as fallback when the model
@@ -504,9 +525,19 @@ object StellarTradesEffects {
       obj(kv("new_seq", op.bump_to.map(_.toString).orNull))))
 
     // claimable balances ---------------------------------------------------
+    // the created/removed CB entry's clawback flag surfaces ONLY when set
+    // (`setClaimableBalanceFlagDetails`, effects.go:826-831); created
+    // entries carry it directly, claimed ones via the paired STATE entry
+    def cbClawbackFlag(kind: Int): String =
+      if (op.changes.exists(c => c.entry_type == "claimable_balance" &&
+          c.change_kind.contains(kind) &&
+          c.cb_clawback_enabled.contains(true))) "true"
+      else null
     def createCb =
       Seq(Eff(50, sourceAddr, obj(
-        kv("balance_id", cbId), kv("amount", cbAmt), kv("asset", cbAsset)))) ++
+        kv("balance_id", cbId), kv("amount", cbAmt), kv("asset", cbAsset),
+        kvRaw("claimable_balance_clawback_enabled_flag",
+          cbClawbackFlag(0))))) ++
       op.claimants.map(c =>
         Eff(51, strkeyG(c.destination_key), obj(
           kv("balance_id", cbId), kv("amount", cbAmt),
@@ -517,7 +548,9 @@ object StellarTradesEffects {
         obj(kv("amount", cbAmt) +: assetKvs(op.cb_asset.orNull): _*)))
     def claimCb = Seq(
       Eff(52, sourceAddr, obj(
-        kv("amount", cbAmt), kv("balance_id", cbId), kv("asset", cbAsset))),
+        kv("amount", cbAmt), kv("balance_id", cbId), kv("asset", cbAsset),
+        kvRaw("claimable_balance_clawback_enabled_flag",
+          cbClawbackFlag(2)))),
       Eff(2, sourceAddr,
         obj(kv("amount", cbAmt) +: assetKvs(op.cb_asset.orNull): _*)))
     def clawback = Seq(
@@ -543,7 +576,16 @@ object StellarTradesEffects {
           (a.amount_sold_stroops, a.asset_sold,
             a.amount_bought_stroops, a.asset_bought)
       obj(Seq(
-        kv("seller", counterparty),
+        kv("seller", counterparty)) ++
+        // seller-side details: the "seller" label holds the BUYER (the
+        // reference's long-standing quirk) with muxed variants when the
+        // buyer acted in muxed form; buyer-side details face a bare
+        // AccountId seller, so no muxed keys (tradeDetails,
+        // effects.go:1226-1246)
+        (if (!mineIsBought) Seq(
+          kv("seller_muxed", sourceMuxed.map(_._1).orNull),
+          kvRaw("seller_muxed_id", sourceMuxed.map(_._2.toString).orNull))
+        else Nil) ++ Seq(
         kvRaw("offer_id", a.offer_id.map(_.toString).orNull),
         kv("sold_amount", fmt7(soldAmt))) ++
         assetKvs(soldAsset, "sold_") ++ Seq(
