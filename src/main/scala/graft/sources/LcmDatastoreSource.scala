@@ -157,8 +157,8 @@ class LcmDatastoreScan(path: String, requiredSchema: StructType,
   private lazy val partitions: Array[InputPartition] =
     LcmDatastoreFiles.list(path, lo, hi, ledgersPerFile, filesPerPartition,
         hadoopConf)
-      .map { case (p, (s, e)) =>
-        LcmDatastorePartition(p, s, e): InputPartition }
+      .map(o => LcmDatastorePartition(o.path, o.startSeq, o.endSeq,
+        o.length): InputPartition)
       .toArray
 
   override def planInputPartitions(): Array[InputPartition] = partitions
@@ -174,9 +174,15 @@ class LcmDatastoreScan(path: String, requiredSchema: StructType,
       new SerializableHadoopConf(hadoopConf))
 }
 
+/** One discovered datastore object: path, its key-law ledger range, and its
+  * byte length (free from the listing — the reader sizes its single content
+  * allocation from it, no per-object stat RPC). */
+case class DatastoreObject(path: String, startSeq: Long, endSeq: Long,
+    length: Long)
+
 /** Driver-side object discovery shared by batch and stream planning. */
 object LcmDatastoreFiles {
-  /** List surviving objects as (path, (start, end)), range-pruned.
+  /** List surviving objects, range-pruned.
     *
     * With a bounded range the partition PREFIXES are enumerated from the
     * naming law and only those directories listed; unbounded scans fall
@@ -184,8 +190,7 @@ object LcmDatastoreFiles {
     * even that prunes before touching files). */
   def list(root: String, lo: Long, hi: Long, ledgersPerFile: Long,
       filesPerPartition: Long,
-      conf: org.apache.hadoop.conf.Configuration)
-      : Seq[(String, (Long, Long))] = {
+      conf: org.apache.hadoop.conf.Configuration): Seq[DatastoreObject] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
     if (!fs.exists(rootPath)) return Seq.empty
@@ -207,14 +212,15 @@ object LcmDatastoreFiles {
     dirs.flatMap { d =>
       fs.listStatus(d).toSeq.filter(_.isFile)
         .flatMap(f => LcmDatastoreSource.rangeOf(f.getPath.getName)
-          .map(r => (f.getPath.toString, r)))
-        .filter { case (_, (s, e)) => e >= lo && s <= hi }
-    }.sortBy(_._2._1)
+          .map { case (s, e) =>
+            DatastoreObject(f.getPath.toString, s, e, f.getLen) })
+        .filter(o => o.endSeq >= lo && o.startSeq <= hi)
+    }.sortBy(_.startSeq)
   }
 }
 
-case class LcmDatastorePartition(file: String, startSeq: Long, endSeq: Long)
-    extends InputPartition
+case class LcmDatastorePartition(file: String, startSeq: Long, endSeq: Long,
+    length: Long) extends InputPartition
 
 class LcmDatastoreReaderFactory(requiredSchema: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
@@ -240,14 +246,22 @@ class LcmDatastoreReader(p: LcmDatastorePartition,
       case "end_sequence" => p.endSeq: Any
       case "path" => UTF8String.fromString(p.file)
       case "content" =>
+        // one open RPC, one allocation: the object's length rode the
+        // planning listing, so the content streams straight into its
+        // final buffer (objects are immutable under the datastore law;
+        // a length drift surfaces loudly, never as silent truncation)
+        if (p.length > Int.MaxValue - 8)
+          throw new IllegalStateException(
+            s"datastore object too large for one row: ${p.file} (${p.length} bytes)")
         val fsPath = new org.apache.hadoop.fs.Path(p.file)
         val in = fsPath.getFileSystem(conf.value).open(fsPath)
         try {
-          val bos = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](64 * 1024)
-          var n = in.read(buf)
-          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-          bos.toByteArray
+          val buf = new Array[Byte](p.length.toInt)
+          in.readFully(buf) // stream-relative: cursor lands at EOF
+          if (in.read() != -1)
+            throw new IllegalStateException(
+              s"datastore object grew after listing: ${p.file}")
+          buf
         } finally in.close()
       case other => throw new IllegalArgumentException(s"unknown col $other")
     })
@@ -308,7 +322,7 @@ class LcmDatastoreMicroBatchStream(path: String, requiredSchema: StructType,
     else {
       val all = LcmDatastoreFiles.list(path, Long.MinValue, Long.MaxValue,
         ledgersPerFile, filesPerPartition, conf.value)
-      if (all.isEmpty) -1L else all.head._2._1 - 1
+      if (all.isEmpty) -1L else all.head.startSeq - 1
     }
 
   override def initialOffset(): Offset = LcmDatastoreOffset(floor)
@@ -352,10 +366,15 @@ class LcmDatastoreMicroBatchStream(path: String, requiredSchema: StructType,
     if (e <= s) return Array.empty
     (nextFileStart(s) to e by ledgersPerFile).flatMap { seq =>
       val p = objectPathFor(seq)
-      if (fs.exists(p))
-        LcmDatastoreSource.rangeOf(p.getName).map { case (fsq, feq) =>
-          LcmDatastorePartition(p.toString, fsq, feq): InputPartition }
-      else None
+      // getFileStatus instead of exists: same single RPC, and its length
+      // sizes the reader's one content allocation
+      val st = try Some(fs.getFileStatus(p)) catch {
+        case _: java.io.FileNotFoundException => None
+      }
+      st.flatMap(s0 => LcmDatastoreSource.rangeOf(p.getName).map {
+        case (fsq, feq) =>
+          LcmDatastorePartition(p.toString, fsq, feq,
+            s0.getLen): InputPartition })
     }.toArray
   }
 

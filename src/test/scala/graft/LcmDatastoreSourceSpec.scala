@@ -18,32 +18,43 @@ import graft.sources.{LcmBatchFiles, RealXdrFixture}
   * getFileStatus calls — turns the connector's "bounded scans never list the
   * tree" claim into an asserted invariant instead of a timing guess. */
 class CountingFs extends RawLocalFileSystem {
+  import CountingFs.outer
   override def getScheme: String = "graftcount"
   override def getUri: URI = URI.create("graftcount:///")
-  override def listStatus(p: HPath): Array[FileStatus] = {
+  override def listStatus(p: HPath): Array[FileStatus] = outer({
     CountingFs.lists.incrementAndGet()
     if (p.toUri.getPath == CountingFs.watchedRoot)
       CountingFs.rootLists.incrementAndGet()
-    super.listStatus(p)
-  }
-  override def getFileStatus(p: HPath): FileStatus = {
-    CountingFs.stats.incrementAndGet()
-    super.getFileStatus(p)
-  }
+  })(super.listStatus(p))
+  override def getFileStatus(p: HPath): FileStatus =
+    outer(CountingFs.stats.incrementAndGet())(super.getFileStatus(p))
   // Hadoop 3.4 overrides exists() directly (no getFileStatus delegation)
-  override def exists(p: HPath): Boolean = {
-    CountingFs.stats.incrementAndGet()
-    super.exists(p)
-  }
+  override def exists(p: HPath): Boolean =
+    outer(CountingFs.stats.incrementAndGet())(super.exists(p))
+  override def open(p: HPath, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream =
+    outer(CountingFs.opens.incrementAndGet())(super.open(p, bufferSize))
 }
 
 object CountingFs {
   val lists = new AtomicLong(0)
   val rootLists = new AtomicLong(0)
   val stats = new AtomicLong(0)
+  val opens = new AtomicLong(0)
   @volatile var watchedRoot: String = ""
+  // count only CALLER-initiated filesystem calls: the local FS implements
+  // e.g. open() via internal getFileStatus probes that a real object-store
+  // client performs inside ONE RPC — nested self-calls don't model RPCs
+  private val inCall = ThreadLocal.withInitial[java.lang.Boolean](() => false)
+  def outer[T](count: => Unit)(body: => T): T =
+    if (inCall.get) body // re-entrant: the outer call already counted
+    else {
+      inCall.set(true)
+      try { count; body } finally inCall.set(false)
+    }
   def reset(root: String): Unit = {
     watchedRoot = root; lists.set(0); rootLists.set(0); stats.set(0)
+    opens.set(0)
   }
 }
 
@@ -208,6 +219,40 @@ class LcmDatastoreSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CountingFs.lists.get() == 0)
     assert(CountingFs.stats.get() == 1,
       s"idle trigger probed ${CountingFs.stats.get()} keys, want 1")
+  }
+
+  test("content read budget: one open per object, no per-object stat, one " +
+      "allocation sized by the listing") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcount.impl", classOf[CountingFs].getName)
+    val dir = tmp("graft-ds-open-budget")
+    RealXdrFixture.writeBatchTree(dir, 7100, 7115)
+    val root = s"graftcount:$dir"
+
+    // metadata-only scan: zero opens (column pruning skips the object)
+    CountingFs.reset(dir)
+    assert(spark.read.format("graft-lcm-datastore").load(root)
+      .where(col("start_sequence").between(7100, 7107))
+      .select("start_sequence").count() == 8)
+    assert(CountingFs.opens.get() == 0,
+      s"metadata-only scan opened ${CountingFs.opens.get()} objects")
+
+    // content scan: exactly one open per surviving object, and the length
+    // that sizes the reader's single allocation rode the planning listing —
+    // no per-object stat at read time (stats stay at the planning budget)
+    CountingFs.reset(dir)
+    val sizes = spark.read.format("graft-lcm-datastore").load(root)
+      .where(col("start_sequence").between(7100, 7107))
+      .select(col("path"), length(col("content")).as("len")).collect()
+    assert(sizes.length == 8 && sizes.forall(_.getInt(1) > 0))
+    assert(CountingFs.opens.get() == 8,
+      s"content scan opened ${CountingFs.opens.get()} objects, want 8")
+    assert(CountingFs.stats.get() <= 8,
+      s"content scan stat'd ${CountingFs.stats.get()} paths (planning only)")
+    // the bytes really are the whole object: decode parity on the range
+    val viaConnector = LcmBatchFiles.ledgerRowsViaConnector(
+      spark, root, 7100, 7107).collect().map(_.sequence).sorted
+    assert(viaConnector.toSeq == (7100L to 7107L))
   }
 
   test("multi-ledger batch objects (ledgersPerFile=2): key law, bounded " +
