@@ -58,6 +58,18 @@ object QueryCatalog {
     d.getAbsolutePath
   }
 
+  /** Classic-era REAL-XDR tree: liquidity-pool deposit/withdraw with full
+    * constant-product STATE/UPDATED pairs and claimable-balance
+    * create/claim with the ext-v1 clawback flag — the wire arms the
+    * published golden corpus never reaches. */
+  private lazy val classicXdrDir: String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-xdrclassic-${ProcessHandle.current().pid()}")
+    graft.sources.RealXdrFixture.writeClassicBatchTree(
+      d.getAbsolutePath, 3300, 3331)
+    d.getAbsolutePath
+  }
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -123,6 +135,12 @@ object QueryCatalog {
     * 33-byte v0 balance id (type byte 0x00 ‖ hash). */
   private def strkeyB(hashHexExpr: String): String =
     strkeySql(s"'00' || ($hashHexExpr)", 8)
+
+  /** Exact `%.7f` stroop rendering as integer string math (whole ‖ '.' ‖
+    * 7-digit frac) — replays the engine's fmt7 without float formatting. */
+  private def amt7(e: String): String =
+    s"(CAST(($e)//10000000 AS VARCHAR) || '.' || " +
+    s"lpad(CAST(($e)%10000000 AS VARCHAR), 7, '0'))"
 
   /** One-time fixture archive (checkpoint-layout gzip files) for the S7
     * history-archive source query. */
@@ -4866,6 +4884,114 @@ object QueryCatalog {
         graft.operators.StellarTradesEffects.historyEffects(
             graft.sources.LcmBatchFiles.ledgerRowsForRange(
               s, xdrBatchDir, 3000, 3127))
+          .drop("closed_at")
+          .withColumn("details", to_json(col("details")))
+          .orderBy("operation_id", "index")),
+
+    Q("stellar_lp_cb_real_xdr",
+      // the classic wire arms the published golden corpus never reaches,
+      // replayed off GENUINE bytes through the datastore connector: LP
+      // deposit/withdraw effects with the FULL nested pool details
+      // (reserves, shares, fee and the share-trustline count from the
+      // LiquidityPoolEntry STATE/UPDATED pair), and CB create/claim whose
+      // amount/asset/clawback-flag ride the ClaimableBalanceEntry ext-v1
+      // pre-image. Details are gated as exact JSON strings (VARIANT
+      // to_json renders keys sorted at every level).
+      Some(s"""WITH ls AS (SELECT unnest(generate_series(3300, 3331)) AS seq),
+             |c AS (SELECT seq,
+             |  (CAST(seq AS BIGINT) << 32) | (CAST(1 AS BIGINT) << 12) | 1
+             |    AS lp_opid,
+             |  (CAST(seq AS BIGINT) << 32) | (CAST(2 AS BIGINT) << 12) | 1
+             |    AS cb_opid,
+             |  seq % 2 = 0 AS even,
+             |  10000000 + 100*seq AS pre_a, 20000000 + 200*seq AS pre_b,
+             |  5000000 + 50*seq AS pre_s,
+             |  CAST(3 + seq % 5 AS VARCHAR) AS tl,
+             |  sha256('pool-' || (seq % 4)) AS pool,
+             |  '00000000' || sha256('cb-' || (seq - seq % 2)) AS bid,
+             |  3000000 + (seq - seq % 2) AS cb_amt,
+             |  (seq - seq % 2) % 4 = 0 AS cb_flag,
+             |  ${strkeyG("sha256('lpacct-' || seq)")} AS lp_src,
+             |  ${strkeyG("sha256('cbacct-' || seq)")} AS cb_src,
+             |  ${strkeyG("sha256('claimant-' || (seq - seq % 2))")} AS clm,
+             |  'USD:' || ${strkeyG("sha256('issuer-1')")} AS usd
+             |FROM ls),
+             |d AS (SELECT *,
+             |  CASE WHEN even THEN pre_a + 100000 + seq
+             |       ELSE pre_a - 50000 - seq END AS post_a,
+             |  CASE WHEN even THEN pre_b + 200000 + seq
+             |       ELSE pre_b - 70000 - seq END AS post_b,
+             |  CASE WHEN even THEN pre_s + 10000 + seq
+             |       ELSE pre_s - 5000 - seq END AS post_s,
+             |  CASE WHEN even THEN 100000 + seq ELSE 50000 + seq END AS da,
+             |  CASE WHEN even THEN 200000 + seq ELSE 70000 + seq END AS db,
+             |  CASE WHEN even THEN 10000 + seq ELSE 5000 + seq END AS ds
+             |FROM c),
+             |e AS (
+             |  SELECT seq, lp_opid AS opid, 0 AS idx,
+             |    CASE WHEN even THEN 90 ELSE 91 END AS typ,
+             |    CASE WHEN even THEN 'liquidity_pool_deposited'
+             |         ELSE 'liquidity_pool_withdrew' END AS ts,
+             |    lp_src AS addr,
+             |    '{"liquidity_pool":{"fee_bp":30,"id":"' || pool ||
+             |      '","reserves":[{"amount":"' || ${amt7("post_a")} ||
+             |      '","asset":"native"},{"amount":"' || ${amt7("post_b")} ||
+             |      '","asset":"' || usd || '"}],"total_shares":"' ||
+             |      ${amt7("post_s")} || '","total_trustlines":"' || tl ||
+             |      '","type":"constant_product"},' ||
+             |    CASE WHEN even THEN '"reserves_deposited":'
+             |         ELSE '"reserves_received":' END ||
+             |      '[{"amount":"' || ${amt7("da")} ||
+             |      '","asset":"native"},{"amount":"' || ${amt7("db")} ||
+             |      '","asset":"' || usd || '"}],' ||
+             |    CASE WHEN even THEN '"shares_received":"'
+             |         ELSE '"shares_redeemed":"' END || ${amt7("ds")} || '"}'
+             |      AS det
+             |  FROM d
+             |  UNION ALL
+             |  SELECT seq, cb_opid, 0, 50, 'claimable_balance_created',
+             |    cb_src,
+             |    '{"amount":"' || ${amt7("cb_amt")} ||
+             |    '","asset":"native","balance_id":"' || bid || '"' ||
+             |    CASE WHEN cb_flag
+             |         THEN ',"claimable_balance_clawback_enabled_flag":true'
+             |         ELSE '' END || '}'
+             |  FROM d WHERE even
+             |  UNION ALL
+             |  SELECT seq, cb_opid, 1, 51,
+             |    'claimable_balance_claimant_created', clm,
+             |    '{"amount":"' || ${amt7("cb_amt")} ||
+             |    '","asset":"native","balance_id":"' || bid ||
+             |    '","predicate":{"unconditional":true}}'
+             |  FROM d WHERE even
+             |  UNION ALL
+             |  SELECT seq, cb_opid, 2, 3, 'account_debited', cb_src,
+             |    '{"amount":"' || ${amt7("cb_amt")} ||
+             |    '","asset_type":"native"}'
+             |  FROM d WHERE even
+             |  UNION ALL
+             |  SELECT seq, cb_opid, 0, 52, 'claimable_balance_claimed',
+             |    cb_src,
+             |    '{"amount":"' || ${amt7("cb_amt")} ||
+             |    '","asset":"native","balance_id":"' || bid || '"' ||
+             |    CASE WHEN cb_flag
+             |         THEN ',"claimable_balance_clawback_enabled_flag":true'
+             |         ELSE '' END || '}'
+             |  FROM d WHERE NOT even
+             |  UNION ALL
+             |  SELECT seq, cb_opid, 1, 2, 'account_credited', cb_src,
+             |    '{"amount":"' || ${amt7("cb_amt")} ||
+             |    '","asset_type":"native"}'
+             |  FROM d WHERE NOT even)
+             |SELECT addr AS address, CAST(NULL AS VARCHAR) AS address_muxed,
+             |  opid AS operation_id, det AS details, CAST(typ AS INT) AS type,
+             |  ts AS type_string, seq AS ledger_sequence,
+             |  CAST(idx AS BIGINT) AS index, opid || '-' || idx AS id
+             |FROM e ORDER BY operation_id, index""".stripMargin),
+      (s, dir) =>
+        graft.operators.StellarTradesEffects.historyEffects(
+            graft.sources.LcmBatchFiles.ledgerRowsViaConnector(
+              s, classicXdrDir, 3300, 3331))
           .drop("closed_at")
           .withColumn("details", to_json(col("details")))
           .orderBy("operation_id", "index"))

@@ -1209,7 +1209,23 @@ object StellarXdr {
         op1.copy(soroban_contract_id = footprintCid)
       else op1
       meta.flatMap(_.opChanges.lift(i)) match {
-        case Some(ch) => op.copy(changes = opChangesToModel(ch))
+        case Some(ch) =>
+          val op2 = op.copy(changes = opChangesToModel(ch))
+          // claim/clawback-CB details amount+asset ride the removed CB
+          // entry's pre-image, not the op body
+          // (`addClaimClaimableBalanceEffects` effects.go:906-963,
+          // `addClawbackClaimableBalanceEffects` :1056-1086)
+          if ((op2.op_type == 15 || op2.op_type == 20) &&
+              op2.cb_amount_stroops.isEmpty)
+            ch.collectFirst {
+              case (3, e) if e.family == "claimable_balance" &&
+                  e.cbAsset != null &&
+                  op2.balance_id.forall(
+                    java.util.Arrays.equals(_, e.cbId)) =>
+                op2.copy(cb_asset = Some(e.cbAsset),
+                  cb_amount_stroops = Some(e.cbAmount))
+            }.getOrElse(op2)
+          else op2
         case None => op
       }
     }
@@ -1288,8 +1304,11 @@ object StellarXdr {
       // signer list) — the sponsorship-effect substrate
       sponsorKey: Array[Byte] = null,
       signerSponsors: Seq[SignerSponsor] = Nil,
-      // ClaimableBalanceEntry ext-v1 clawback flag (bit 0)
+      // ClaimableBalanceEntry payload: ext-v1 clawback flag (bit 0) plus
+      // the entry's asset/amount — claim/clawback op details read them
+      // from the removed entry's pre-image
       cbClawbackEnabled: Boolean = false,
+      cbAsset: AssetRef = null, cbAmount: Long = 0L,
       // LiquidityPoolEntry constant-product body — the substrate of the
       // LP effect families (deposit/withdraw/created/removed details)
       lpAssetA: AssetRef = null, lpAssetB: AssetRef = null,
@@ -1436,7 +1455,8 @@ object StellarXdr {
     r.arr { val d = r.i32()
       if (d != 0) throw new XdrError(s"unsupported Claimant type $d")
       accountId(r); walkPredicate(r) }
-    asset(r); r.i64() // asset, amount
+    val a = asset(r)
+    val amount = r.i64()
     // ext v1 carries the entry flags (bit 0 = CLAWBACK_ENABLED), which CB
     // created/claimed effects surface as
     // claimable_balance_clawback_enabled_flag
@@ -1446,15 +1466,16 @@ object StellarXdr {
       case d => throw new XdrError(s"unsupported CB entry ext $d")
     }
     EntryX("claimable_balance", cbId = id,
-      cbClawbackEnabled = (flags & 1L) != 0L)
+      cbClawbackEnabled = (flags & 1L) != 0L, cbAsset = a, cbAmount = amount)
   }
 
   private def lpEntry(r: Reader): EntryX = {
     val poolId = r.bytes(32)
+    // one discriminant only: body.type — the constant-product params are a
+    // PLAIN struct here (unlike change_trust's LiquidityPoolParameters
+    // union, which carries its own type tag)
     val body = r.i32()
     if (body != 0) throw new XdrError(s"unsupported LP body $body")
-    val pt = r.i32()
-    if (pt != 0) throw new XdrError(s"unsupported LP params $pt")
     val assetA = asset(r)
     val assetB = asset(r)
     val fee = r.i32()

@@ -84,6 +84,28 @@ object XdrEncode {
   def claimClaimableBalanceOp(balanceId: Array[Byte]): OpBody =
     OpBody(15, new W().i32(0).raw(balanceId).bytes)
 
+  /** Create-claimable-balance: asset ‖ amount ‖ claimants (v0, predicate
+    * unconditional). */
+  def createClaimableBalanceOp(a: AssetRef, amount: Long,
+      claimantKeys: Seq[Array[Byte]]): OpBody = {
+    val w = new W().raw(asset(a)).i64(amount)
+    w.arr(claimantKeys) { k =>
+      w.i32(0) // CLAIMANT_TYPE_V0
+      w.raw(accountId(k))
+      w.i32(0) // CLAIM_PREDICATE_UNCONDITIONAL
+    }
+    OpBody(14, w.bytes)
+  }
+
+  def lpDepositOp(poolId: Array[Byte], maxA: Long, maxB: Long,
+      minPn: Int, minPd: Int, maxPn: Int, maxPd: Int): OpBody =
+    OpBody(22, new W().raw(poolId).i64(maxA).i64(maxB)
+      .i32(minPn).i32(minPd).i32(maxPn).i32(maxPd).bytes)
+
+  def lpWithdrawOp(poolId: Array[Byte], amount: Long,
+      minA: Long, minB: Long): OpBody =
+    OpBody(23, new W().raw(poolId).i64(amount).i64(minA).i64(minB).bytes)
+
   def beginSponsoringOp(sponsoredId: Array[Byte]): OpBody =
     OpBody(16, accountId(sponsoredId))
 
@@ -273,6 +295,11 @@ object XdrEncode {
   def invokeSuccess(hash: Array[Byte]): OpResultSpec =
     OpResultSpec(24, 0, _.raw(hash))
 
+  /** CreateClaimableBalanceResult success carries the created balance id
+    * (v0 arm) — the wire source of the op's details balance_id. */
+  def createCbSuccess(balanceId: Array[Byte]): OpResultSpec =
+    OpResultSpec(14, 0, w => { w.i32(0); w.raw(balanceId) })
+
   // ---- ledger entries (account / soroban) ------------------------------------
 
   def accountEntry(key: Array[Byte], balance: Long,
@@ -290,6 +317,36 @@ object XdrEncode {
 
   def ttlEntry(keyHash: Array[Byte], liveUntil: Long): Array[Byte] =
     new W().i32(9).raw(keyHash).u32(liveUntil).bytes
+
+  /** LiquidityPoolEntry (constant product): ONE discriminant (body.type);
+    * the params are a plain struct on this wire, unlike change_trust's
+    * LiquidityPoolParameters union. */
+  def liquidityPoolEntry(poolId: Array[Byte], assetA: AssetRef,
+      assetB: AssetRef, fee: Int, reserveA: Long, reserveB: Long,
+      shares: Long, tlCount: Long): Array[Byte] =
+    new W().i32(5) // LIQUIDITY_POOL
+      .raw(poolId)
+      .i32(0) // LIQUIDITY_POOL_CONSTANT_PRODUCT
+      .raw(asset(assetA)).raw(asset(assetB)).i32(fee)
+      .i64(reserveA).i64(reserveB).i64(shares).i64(tlCount)
+      .bytes
+
+  /** ClaimableBalanceEntry: v0 id ‖ claimants (unconditional) ‖ asset ‖
+    * amount ‖ ext (v1 carries the clawback flag). */
+  def claimableBalanceEntry(balanceId: Array[Byte],
+      claimantKeys: Seq[Array[Byte]], a: AssetRef, amount: Long,
+      clawbackEnabled: Boolean): Array[Byte] = {
+    val w = new W().i32(4) // CLAIMABLE_BALANCE
+      .i32(0).raw(balanceId) // ClaimableBalanceID v0
+    w.arr(claimantKeys) { k =>
+      w.i32(0); w.raw(accountId(k)); w.i32(0)
+    }
+    w.raw(asset(a)).i64(amount)
+    if (clawbackEnabled)
+      w.i32(1).i32(0).u32(1L) // ext v1: ext-of-ext 0 ‖ CLAWBACK_ENABLED
+    else w.i32(0)
+    w.bytes
+  }
 
   def dataEntry(acct: Array[Byte], name: String,
       value: Array[Byte]): Array[Byte] =

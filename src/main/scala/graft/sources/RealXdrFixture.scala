@@ -145,4 +145,105 @@ object RealXdrFixture {
   /** Write the batch-file tree once (idempotent per path). */
   def writeBatchTree(dir: String, start: Long, end: Long): Unit =
     LcmBatchFiles.writeTree(dir, (start to end).map(ledger))
+
+  // ---- classic-era LP / claimable-balance corpus ----------------------------
+  //
+  // Exercises the wire arms the public golden corpus never reaches: full
+  // LiquidityPoolEntry STATE/UPDATED pairs (reserves, shares, fee AND the
+  // share-trustline count) behind deposit/withdraw ops, and
+  // ClaimableBalanceEntry create/claim pairs with the ext-v1 clawback flag.
+  //
+  // Laws (all DuckDB-expressible; two txs per ledger):
+  //   t=0 LP tx: source sha256("lpacct-seq"), pool sha256("pool-"+seq%4),
+  //     assetA native, assetB USD:sha256("issuer-1");
+  //     pre  reserves (10_000_000+100·seq, 20_000_000+200·seq),
+  //          shares 5_000_000+50·seq, trustlines 3+seq%5, fee 30;
+  //     even seq → deposit  delta (+100_000+seq, +200_000+seq, +10_000+seq)
+  //     odd  seq → withdraw delta (−50_000−seq, −70_000−seq, −5_000−seq)
+  //   t=1 CB tx: source sha256("cbacct-seq"); balance id sha256("cb-sEven")
+  //     where sEven = seq − seq%2; amount 3_000_000+sEven; asset native;
+  //     clawback flag set iff sEven%4 == 0; claimant sha256("claimant-sEven");
+  //     even seq → create (result carries the balance id, entry CREATED)
+  //     odd  seq → claim  (STATE pre-image ‖ REMOVED key — details amount/
+  //                        asset/flag come from the pre-image)
+  //   fees: max 200+seq+t, charged 100+seq%97+t, seqNum 10·seq+t
+
+  private val usd = graft.model.LedgerModel.AssetRef("credit_alphanum4",
+    "USD", graft.codec.Strkey.encodeAccountId(key("issuer-1")))
+  private val native = graft.model.LedgerModel.AssetRef("native", "", "")
+
+  def classicTx(seq: Long, t: Long): XdrEncode.LcmTx = {
+    val (srcKey, opBody, opResult, opChanges) =
+      if (t == 0L) {
+        val src = key(s"lpacct-$seq")
+        val poolId = key(s"pool-${seq % 4}")
+        val preA = 10000000L + 100 * seq
+        val preB = 20000000L + 200 * seq
+        val preS = 5000000L + 50 * seq
+        val tl = 3 + seq % 5
+        def lp(rA: Long, rB: Long, sh: Long) = XdrEncode.ledgerEntry(seq,
+          XdrEncode.liquidityPoolEntry(poolId, native, usd, 30,
+            rA, rB, sh, tl))
+        if (seq % 2 == 0) {
+          val (dA, dB, dS) = (100000L + seq, 200000L + seq, 10000L + seq)
+          (src,
+            XdrEncode.lpDepositOp(poolId, dA, dB, 1, 2, 3, 4),
+            XdrEncode.OpResultSpec(22, 0),
+            Seq(XdrEncode.change(3, lp(preA, preB, preS)),
+              XdrEncode.change(1, lp(preA + dA, preB + dB, preS + dS))))
+        } else {
+          val (wA, wB, wS) = (50000L + seq, 70000L + seq, 5000L + seq)
+          (src,
+            XdrEncode.lpWithdrawOp(poolId, wS, 1L, 2L),
+            XdrEncode.OpResultSpec(23, 0),
+            Seq(XdrEncode.change(3, lp(preA, preB, preS)),
+              XdrEncode.change(1, lp(preA - wA, preB - wB, preS - wS))))
+        }
+      } else {
+        val src = key(s"cbacct-$seq")
+        val sEven = seq - seq % 2
+        val balanceId = key(s"cb-$sEven")
+        val amount = 3000000L + sEven
+        val clawback = sEven % 4 == 0
+        val claimant = key(s"claimant-$sEven")
+        val entry = XdrEncode.ledgerEntry(seq,
+          XdrEncode.claimableBalanceEntry(balanceId, Seq(claimant),
+            native, amount, clawback))
+        if (seq % 2 == 0)
+          (src,
+            XdrEncode.createClaimableBalanceOp(native, amount, Seq(claimant)),
+            XdrEncode.createCbSuccess(balanceId),
+            Seq(XdrEncode.change(0, entry)))
+        else
+          (src,
+            XdrEncode.claimClaimableBalanceOp(balanceId),
+            XdrEncode.OpResultSpec(15, 0),
+            Seq(XdrEncode.change(3, entry),
+              XdrEncode.change(2,
+                XdrEncode.claimableBalanceLedgerKey(balanceId))))
+      }
+    val env = XdrEncode.txEnvelopeV1(XdrEncode.TxSpec(
+      sourceKey = srcKey,
+      fee = 200L + seq + t,
+      seqNum = 10 * seq + t,
+      ops = Seq(opBody),
+      signatureSeed = ((seq + t) % 120).toByte))
+    val charged = 100L + seq % 97 + t
+    val result = XdrEncode.txResult(charged, 0, Seq(opResult))
+    val meta = XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(
+      opChanges = Seq(opChanges)))
+    val feeMeta = XdrEncode.feeMetaPair(srcKey,
+      1000000000L, 1000000000L - charged)
+    XdrEncode.LcmTx(env, result, meta, feeMeta)
+  }
+
+  def classicLedger(seq: Long): (Array[Byte], Seq[XdrEncode.LcmTx]) = {
+    val header = XdrEncode.ledgerHeader(XdrEncode.HeaderSpec(
+      seq = seq, closeTime = 1700000000L + 5 * seq))
+    (header, Seq(classicTx(seq, 0L), classicTx(seq, 1L)))
+  }
+
+  /** Write the classic LP/CB batch-file tree once (idempotent per path). */
+  def writeClassicBatchTree(dir: String, start: Long, end: Long): Unit =
+    LcmBatchFiles.writeTree(dir, (start to end).map(classicLedger))
 }

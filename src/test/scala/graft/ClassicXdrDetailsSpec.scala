@@ -214,4 +214,76 @@ class ClassicXdrDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d2.get("sponsor").asText() == Strkey.encodeAccountId(sigSponsor))
     assert(d2.get("signer_key").asText() == Strkey.encodeAccountId(sig))
   }
+
+  test("LiquidityPoolEntry wire pair: one body discriminant, full " +
+      "pre/post OpChange, loud truncation") {
+    val pool = key("lp-pool")
+    val usd = AssetRef("credit_alphanum4", "USD",
+      Strkey.encodeAccountId(key("lp-issuer")))
+    def lp(rA: Long, rB: Long, sh: Long, tl: Long) = XdrEncode.ledgerEntry(7L,
+      XdrEncode.liquidityPoolEntry(pool, AssetRef("native", "", ""), usd,
+        30, rA, rB, sh, tl))
+    val meta = XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(opChanges = Seq(Seq(
+      XdrEncode.change(3, lp(1000L, 2000L, 500L, 4L)),
+      XdrEncode.change(1, lp(1100L, 2300L, 560L, 5L))))))
+    val row = ledgerRowOf(
+      XdrEncode.lpDepositOp(pool, 100L, 300L, 1, 2, 3, 4),
+      XdrEncode.OpResultSpec(22, 0),
+      metaB64 = java.util.Base64.getEncoder.encodeToString(meta))
+    val ch = row.transactions.head.operations.head.changes
+      .filter(_.entry_type == "liquidity_pool")
+    assert(ch.size == 1)
+    val c = ch.head
+    assert(c.pre_reserve_a.contains(1000L) && c.post_reserve_a.contains(1100L))
+    assert(c.pre_reserve_b.contains(2000L) && c.post_reserve_b.contains(2300L))
+    assert(c.pre_total_shares.contains(500L) &&
+      c.post_total_shares.contains(560L))
+    assert(c.post_trustline_count.contains(5L))
+    assert(c.pre_pool_fee.contains(30L))
+    assert(c.pool_asset_a.exists(_.asset_type == "native"))
+    assert(c.pool_asset_b.exists(_.asset_code == "USD"))
+
+    // every truncation of the meta fails loudly — no silent partial entry
+    for (n <- 0 until meta.length by 3) {
+      intercept[Exception](StellarXdr.decodeTxMeta(
+        java.util.Arrays.copyOf(meta, n)))
+    }
+  }
+
+  test("ClaimableBalanceEntry ext-v1 wire pair: clawback flag + pre-image " +
+      "amount/asset feed claim details, loud truncation") {
+    val bid = key("cb-id")
+    val claimant = key("cb-claimant")
+    val entry = XdrEncode.ledgerEntry(7L, XdrEncode.claimableBalanceEntry(
+      bid, Seq(claimant), AssetRef("native", "", ""), 12345678L,
+      clawbackEnabled = true))
+    val meta = XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(opChanges = Seq(Seq(
+      XdrEncode.change(3, entry),
+      XdrEncode.change(2, XdrEncode.claimableBalanceLedgerKey(bid))))))
+    val row = ledgerRowOf(
+      XdrEncode.claimClaimableBalanceOp(bid),
+      XdrEncode.OpResultSpec(15, 0),
+      metaB64 = java.util.Base64.getEncoder.encodeToString(meta))
+    val op = row.transactions.head.operations.head
+    // claim amount/asset come from the removed entry's pre-image
+    assert(op.cb_amount_stroops.contains(12345678L))
+    assert(op.cb_asset.exists(_.asset_type == "native"))
+    val cbCh = op.changes.filter(_.entry_type == "claimable_balance")
+    assert(cbCh.exists(c => c.change_kind.contains(2) &&
+      c.cb_clawback_enabled.contains(true)))
+    // the rendered claim effect carries flag + exact amount
+    val s2 = spark; import s2.implicits._
+    val eff = graft.operators.StellarTradesEffects
+      .historyEffects(Seq(row).toDS())
+      .selectExpr("type", "to_json(details) AS d").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(eff(52).contains("\"claimable_balance_clawback_enabled_flag\":true"))
+    assert(eff(52).contains("\"amount\":\"1.2345678\""))
+    assert(eff(2).contains("\"asset_type\":\"native\""))
+
+    for (n <- 0 until meta.length by 3) {
+      intercept[Exception](StellarXdr.decodeTxMeta(
+        java.util.Arrays.copyOf(meta, n)))
+    }
+  }
 }
