@@ -198,6 +198,11 @@ object ExplainAudit {
       // (key-law pruning) and the object grain stays metadata-only
       ("src_datastore_range_scan",
         Seq("BatchScan graft-lcm-datastore", "PushedFilters"),
+        Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin")),
+      // classic LP/CB effects off the datastore connector: connector scan →
+      // executor decode → one typed flatMap, map-only like every wire plan
+      ("stellar_lp_cb_real_xdr",
+        Seq("BatchScan graft-lcm-datastore", "SerializeFromObject"),
         Seq("Exchange hashpartitioning", "BroadcastNestedLoopJoin"))
     )
     val byName = (QueryCatalog.all ++ QueryCatalog.entryOps).map(q => q.name -> q).toMap
