@@ -180,6 +180,70 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.size == 3)
   }
 
+  test("streaming near-dup: MinHash band state flags later near-copies, " +
+      "distinct docs pass, batch-law parity") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-neardup-landing").toString
+    val ckpt = Files.createTempDirectory("graft-neardup-ckpt").toString
+    val resolved = Files.createTempDirectory("graft-neardup-out").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight"
+    val nearCopy = base + " extra"                  // tiny edit: near-dup
+    val distinct = "completely different content about liquidity pools " +
+      "and claimable balances on a distributed ledger system"
+
+    // batch 1: the original + a distinct doc; batch 2: a near-copy of the
+    // original (must be flagged against doc 1) + another distinct doc
+    Seq((1L, base, ts(0)), (2L, distinct, ts(1)))
+      .toDF("doc_id", "text", "event_ts").write.mode("append").parquet(landing)
+    Seq((3L, nearCopy, ts(2)),
+        (4L, "unrelated corpus line with entirely fresh vocabulary inside",
+          ts(3)))
+      .toDF("doc_id", "text", "event_ts").write.mode("append").parquet(landing)
+
+    val schemaSource = spark.read.parquet(landing)
+    val stream = spark.readStream.schema(schemaSource.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val cands = graft.streaming.DedupStream.nearDupCandidates(
+      stream, "text", "doc_id", "event_ts", horizon = "10 minutes")
+    assert(cands.isStreaming)
+
+    // per-micro-batch resolution (the foreachBatch idiom): append each
+    // batch's per-doc verdicts
+    val q = cands.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.DedupStream.resolveNearDups(df, threshold = 0.5)
+          .write.mode("append").parquet(resolved)
+      }
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(resolved)
+      .select("doc_id", "is_dup", "dup_of").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // the original and the distinct docs pass; the near-copy is flagged
+    // against the original
+    assert(out(1L) == (false, None), s"out=$out")
+    assert(out(2L) == (false, None))
+    assert(out(4L) == (false, None))
+    assert(out(3L)._1 && out(3L)._2.contains(1L), s"out=$out")
+
+    // batch-law parity: the batch MinHash-LSH pass finds exactly the same
+    // near-dup pair on the same corpus
+    val batchPairs = graft.operators.Dedup.minHashLsh(
+        Seq((1L, base), (2L, distinct), (3L, nearCopy),
+          (4L, "unrelated corpus line with entirely fresh vocabulary inside"))
+          .toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs == Set((1L, 3L)), s"batch=$batchPairs")
+  }
+
   test("streaming sessionize -> pack pipeline: incremental cohorts match the batch path") {
     import spark.implicits._
     val landing = Files.createTempDirectory("graft-train-landing").toString
