@@ -31,6 +31,22 @@ object OpsLatencyProbe {
     }
     println(s"PROBE decodeOnly1=${runDecodeOnly()}ms decodeOnly2=${runDecodeOnly()}ms")
     println(s"PROBE full1=${run()}ms full2=${run()}ms full3=${run()}ms")
+    // split: analysis+optimization+physical planning vs execution
+    def split(): Unit = {
+      val t0 = System.nanoTime()
+      val df = graft.operators.StellarTransforms.historyOperations(
+        graft.sources.LcmBatchFiles.ledgerRowsForRange(spark, dir, 3000, 3127))
+        .where(col("type") === 24)
+        .select(col("id"), to_json(col("details")).as("dj"))
+        .orderBy("id")
+      val plan = df.queryExecution.executedPlan // forces analyze+optimize+plan
+      val t1 = System.nanoTime()
+      df.collect()
+      val t2 = System.nanoTime()
+      println(s"PROBE plan=${(t1 - t0) / 1000000}ms exec=${(t2 - t1) / 1000000}ms " +
+        s"planNodes=${plan.toString.length}")
+    }
+    split(); split()
     spark.stop()
   }
 }
