@@ -206,6 +206,58 @@ object BenchScale {
       n
     }
 
+    // ---- multimodal codec throughput (REAL javax.imageio work) ----------
+    // corpus: formula-pattern PNGs ENCODED executor-side (itself real codec
+    // work), then the two production passes — metadata decode (header
+    // parse only) and the full pixel pipeline (decode → exact-NN resize →
+    // PNG re-encode → grid-luminance features). Invariants: every image
+    // decodes (the planted corpus has no poison), and imgs/s at N× stays
+    // within 2× of 1× (per-image codec cost is constant; collapse would
+    // mean the pipeline stopped being embarrassingly parallel).
+    locally {
+      import spark.implicits._
+      import graft.operators.{Multimodal, MultimodalFixtures}
+      val nBase = 2000L
+      def media(k: Int) = spark.range(nBase * k)
+        .repartition(cpus.toInt)
+        .map(i => Multimodal.MediaRow(i, "image/png",
+          MultimodalFixtures.patternPng(i % 64)))
+        .persist()
+      def imgsPerSec(label: String, k: Int): (Double, Double) = {
+        val m = media(k)
+        val n = m.count() // materialize encoded corpus
+        def phase(name: String, count: => Long): Double = {
+          val t0 = System.nanoTime()
+          val c = count
+          val sec = (System.nanoTime() - t0) / 1e9
+          require(c == n, s"$name dropped images: $c of $n")
+          println(f"[scale] media_$name @${k}x: $c imgs in $sec%.2f s " +
+            f"(${c / sec}%.0f imgs/s)")
+          c / sec
+        }
+        val meta = phase("decode_meta",
+          Multimodal.decode(m).where(col("decode_ok")).count())
+        val full = phase("pixel_pipeline",
+          Multimodal.extractFeatures(
+            Multimodal.resize(m, 64, 64).toDF()
+              .where(col("resize_ok"))
+              .select(col("media_id"), col("mime"),
+                col("resized_bytes").as("bytes"))
+              .as[Multimodal.MediaRow], dim = 16)
+            .where(col("feature_ok")).count())
+        m.unpersist()
+        (meta, full)
+      }
+      val (meta1, full1) = imgsPerSec("media", 1)
+      val (metaN, fullN) = imgsPerSec("media", factor)
+      require(metaN >= 0.5 * meta1,
+        f"media metadata decode collapsed at $factor×: $metaN%.0f vs $meta1%.0f imgs/s")
+      require(fullN >= 0.5 * full1,
+        f"media pixel pipeline collapsed at $factor×: $fullN%.0f vs $full1%.0f imgs/s")
+      rows += (("media_decode_meta (imgs/s)", meta1, metaN))
+      rows += (("media_pixel_pipeline (imgs/s)", full1, fullN))
+    }
+
     println("\n| operator | 1x sec | " + factor + "x sec | ratio |")
     println("|---|---|---|---|")
     rows.foreach { case (l, a, b) =>
