@@ -1346,7 +1346,13 @@ object StellarTransforms {
     * claimants array (the reference nests raw JSON); `ledger_key_hash` /
     * `contract_code_hash` need envelope internals the decoded model does not
     * carry. */
-  def historyOperations(ledgers: Dataset[LedgerRow]): DataFrame = {
+  /** `withDetailsJson = false` plans WITHOUT the `details_json` VARIANT
+    * twin — the struct and the json are two near-equal giant expression
+    * trees, and Catalyst analysis cost is linear in tree size, so callers
+    * that only read the typed struct (e.g. the real-XDR invoke-details
+    * gate) halve their fixed per-job planning latency by opting out. */
+  def historyOperations(ledgers: Dataset[LedgerRow],
+      withDetailsJson: Boolean = true): DataFrame = {
     val ty = col("op.op_type")
     val successful = col("tx.successful")
     val sourceKey = coalesce(col("op.source_key"), col("tx.source_key"))
@@ -1640,27 +1646,34 @@ object StellarTransforms {
       .select(col("sequence"), col("closed_at"), col("tx_pos"), col("tx"),
         posexplode(col("tx.operations")).as(Seq("op_pos", "op")))
       .select(
-        strkeyAccount(coalesce(col("op.source_key"), col("tx.source_key")))
-          .as("source_account"),
-        when(col("op.source_key").isNull && col("tx.source_muxed_id").isNotNull,
-          strkeyMuxed(col("tx.source_key"), col("tx.source_muxed_id")))
-          .as("source_account_muxed"),
-        col("op.op_type").as("type"),
-        element_at(opTypeNameCol, col("op.op_type")).as("type_string"),
-        // `details` is the typed wide struct — the reference's sparse
-        // per-type map (`schema.go:137`): null fields drop out of NDJSON
-        // via the writer's ignoreNullFields, so the rendered object carries
-        // only the keys the op type populates. `details_json` is the SAME
-        // map (`operation.go:97` assigns outputDetails to both), emitted as
-        // a VARIANT so it renders as a raw JSON object, not a quoted string.
-        detailsStruct.as("details"),
-        OperationDetails.json(detailInputs).as("details_json"),
-        transactionToid(col("sequence"), col("tx_pos") + 1).as("transaction_id"),
-        operationToid(col("sequence"), col("tx_pos") + 1, col("op_pos")).as("id"),
-        col("closed_at"),
-        col("op.result_code").as("operation_result_code"),
-        col("op.trace_code").as("operation_trace_code"),
-        col("sequence").as("ledger_sequence"))
+        (Seq(
+          strkeyAccount(coalesce(col("op.source_key"), col("tx.source_key")))
+            .as("source_account"),
+          when(col("op.source_key").isNull &&
+              col("tx.source_muxed_id").isNotNull,
+            strkeyMuxed(col("tx.source_key"), col("tx.source_muxed_id")))
+            .as("source_account_muxed"),
+          col("op.op_type").as("type"),
+          element_at(opTypeNameCol, col("op.op_type")).as("type_string"),
+          // `details` is the typed wide struct — the reference's sparse
+          // per-type map (`schema.go:137`): null fields drop out of NDJSON
+          // via the writer's ignoreNullFields, so the rendered object
+          // carries only the keys the op type populates. `details_json` is
+          // the SAME map (`operation.go:97` assigns outputDetails to both),
+          // emitted as a VARIANT so it renders as a raw JSON object, not a
+          // quoted string.
+          detailsStruct.as("details")) ++
+          (if (withDetailsJson)
+            Seq(OperationDetails.json(detailInputs).as("details_json"))
+          else Nil) ++ Seq(
+          transactionToid(col("sequence"), col("tx_pos") + 1)
+            .as("transaction_id"),
+          operationToid(col("sequence"), col("tx_pos") + 1, col("op_pos"))
+            .as("id"),
+          col("closed_at"),
+          col("op.result_code").as("operation_result_code"),
+          col("op.trace_code").as("operation_trace_code"),
+          col("sequence").as("ledger_sequence"))): _*)
   }
 
   /** P6/A2 model path — `history_assets`: payment + manage-sell-offer issued

@@ -32,10 +32,11 @@ object OpsLatencyProbe {
     println(s"PROBE decodeOnly1=${runDecodeOnly()}ms decodeOnly2=${runDecodeOnly()}ms")
     println(s"PROBE full1=${run()}ms full2=${run()}ms full3=${run()}ms")
     // split: analysis+optimization+physical planning vs execution
-    def split(): Unit = {
+    def split(withJson: Boolean = true): Unit = {
       val t0 = System.nanoTime()
       val df = graft.operators.StellarTransforms.historyOperations(
-        graft.sources.LcmBatchFiles.ledgerRowsForRange(spark, dir, 3000, 3127))
+        graft.sources.LcmBatchFiles.ledgerRowsForRange(spark, dir, 3000, 3127),
+        withDetailsJson = withJson)
         .where(col("type") === 24)
         .select(col("id"), to_json(col("details")).as("dj"))
         .orderBy("id")
@@ -43,10 +44,10 @@ object OpsLatencyProbe {
       val t1 = System.nanoTime()
       df.collect()
       val t2 = System.nanoTime()
-      println(s"PROBE plan=${(t1 - t0) / 1000000}ms exec=${(t2 - t1) / 1000000}ms " +
-        s"planNodes=${plan.toString.length}")
+      println(s"PROBE withJson=$withJson plan=${(t1 - t0) / 1000000}ms " +
+        s"exec=${(t2 - t1) / 1000000}ms planNodes=${plan.toString.length}")
     }
-    split(); split()
+    split(); split(); split(withJson = false); split(withJson = false)
     spark.stop()
   }
 }
