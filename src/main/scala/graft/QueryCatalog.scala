@@ -1145,6 +1145,51 @@ object QueryCatalog {
             maxDfFraction = Some(0.1))
           .orderBy("id_a", "id_b")),
 
+    Q("x_dedup_substring",
+      // exact substring-duplication spans (Lee et al. ExactSubstr at word
+      // 5-gram grain): a position is duplicated when its 5-word window also
+      // occurs in another doc; overlapping windows merge into maximal
+      // [start,end) token spans. The oracle replays positional windows,
+      // the min≠max cross-doc window test, and the gaps-and-islands merge.
+      Some("""WITH w AS (SELECT doc_id,
+             |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             |           ' ') AS ws
+             |       FROM documents),
+             |p0 AS (SELECT doc_id, len(ws) AS n_tokens,
+             |         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+             |              ELSE list_transform(range(1, CAST(len(ws)-3 AS INTEGER)),
+             |                i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+             |         END AS grams
+             |       FROM w),
+             |p AS (SELECT doc_id, n_tokens,
+             |        unnest(range(0, CAST(len(grams) AS INTEGER))) AS pos,
+             |        unnest(grams) AS gram
+             |      FROM p0),
+             |d AS (SELECT doc_id, n_tokens, pos,
+             |        min(doc_id) OVER (PARTITION BY gram)
+             |          <> max(doc_id) OVER (PARTITION BY gram) AS dup
+             |      FROM p),
+             |h AS (SELECT doc_id, n_tokens, pos FROM d WHERE dup),
+             |i AS (SELECT *, CASE WHEN pos - lag(pos) OVER
+             |          (PARTITION BY doc_id ORDER BY pos) > 5
+             |        THEN 1 ELSE 0 END AS brk FROM h),
+             |j AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS UNBOUNDED PRECEDING) AS island FROM i),
+             |sp AS (SELECT doc_id, island, max(n_tokens) AS n_tokens,
+             |         min(pos) AS s, least(max(pos) + 5, max(n_tokens)) AS e
+             |       FROM j GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_spans,
+             |  CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+             |  CAST(max(n_tokens) AS BIGINT) AS total_tokens,
+             |  string_agg(CAST(s AS BIGINT) || '-' || CAST(e AS BIGINT), ','
+             |    ORDER BY s) AS spans,
+             |  CAST(sum(e - s) AS DOUBLE) / greatest(max(n_tokens), 1) AS dup_ratio
+             |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Dedup.substringSpans(T(s, dir, "documents"), "text", "doc_id", k = 5)
+          .orderBy("doc_id")),
+
     Q("x_minhash_lsh",
       // full hash oracle: DuckDB re-derives shingles, the 16 salted-sha
       // minhash signature slots, band collisions (joining on the band VALUE

@@ -54,4 +54,35 @@ object Shingles {
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
     new GenericArrayData(arr)
   }
+
+  /** POSITIONAL word n-gram windows: element `i` (0-based) is the n-gram
+    * starting at word offset `i` — NO dedup, so `posexplode` over the
+    * result yields true word offsets. Same normalization and same
+    * shorter-than-n fallback (one whole-doc window at offset 0) as
+    * [[ngrams]]; used by the substring-duplication span finder, where the
+    * offset of every window matters. */
+  def ngramWindows(text: UTF8String, n: Int): ArrayData = {
+    val norm = ws.matcher(text.toLowerCase.toString).replaceAll(" ").trim
+    val words = norm.split(" ", -1)
+    if (words.length < n) {
+      new GenericArrayData(Array[AnyRef](UTF8String.fromString(norm)))
+    } else {
+      val m = words.length - n + 1
+      val arr = new Array[AnyRef](m)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(words(i + k))
+          k += 1
+        }
+        arr(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(arr)
+    }
+  }
 }

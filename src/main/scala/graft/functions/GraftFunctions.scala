@@ -137,6 +137,8 @@ object GraftFunctions {
     nativeCol(graft.plans.LongNorm2Expression(exprOf(c)))
   def ngramShingles(c: Column, n: Int): Column =
     nativeCol(graft.plans.NgramShinglesExpression(exprOf(c), n))
+  def ngramWindows(c: Column, n: Int): Column =
+    nativeCol(graft.plans.NgramWindowsExpression(exprOf(c), n))
   def strkeyContract(c: Column): Column =
     nativeCol(graft.plans.StrkeyEncodeExpression(exprOf(c), Strkey.Version.Contract))
   /** G-address → raw 32-byte key; null when the string is not a strkey. */

@@ -251,6 +251,69 @@ object Dedup {
           greatest(col("n_grams"), lit(1L)))
   }
 
+  /** Exact substring-duplication spans (the ExactSubstr idea of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, re-expressed relationally at word-k-gram grain).
+    *
+    * A word offset is duplicated when its k-word window also occurs in at
+    * least one OTHER document; per document, overlapping/adjacent duplicated
+    * windows merge into maximal spans (gaps-and-islands). Returns one row
+    * per document that contains at least one duplicated span:
+    * `(doc_id, n_spans, dup_tokens, total_tokens, spans, dup_ratio)` where
+    * `spans` renders the merged `[start,end)` token intervals as
+    * `"s-e,s-e,…"` ordered by start.
+    *
+    * Scale shape — NO joins: one window over the gram key (`min(doc) ≠
+    * max(doc)` detects cross-document occurrence with a map-side-combinable
+    * aggregate law), then one window + two aggregates over `doc_id`, which
+    * only ever see the (small) duplicated subset. The suffix array the paper
+    * builds is a single-machine structure; the k-gram window relation is the
+    * shuffle-native equivalent and exact for spans of length ≥ k. At 100 TB
+    * the gram partition key would be swapped for a 128-bit gram hash to cut
+    * shuffle width (collision-free in practice); kept as the raw gram here
+    * so the result is exactly replayable by the SQL oracle. */
+  def substringSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(split(normalized(col(textCol)), " ", -1)).cast("long").as("n_tokens"),
+      posexplode(graft.functions.GraftFunctions.ngramWindows(col(textCol), k))
+        .as(Seq("pos", "gram")))
+    val byGram = Window.partitionBy("gram")
+    val dupPos = pos
+      .withColumn("dup",
+        min("doc_id").over(byGram) =!= max("doc_id").over(byGram))
+      .where(col("dup"))
+      .select("doc_id", "n_tokens", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = dupPos
+      // a new island starts when this window no longer touches the previous
+      // one; windows all have length k, so the running span end is
+      // monotone and the break test reduces to a gap > k between starts
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = islands.groupBy("doc_id", "island")
+      .agg(
+        max("n_tokens").as("n_tokens"),
+        min("pos").cast("long").as("s"),
+        // the final window may overhang a shorter-than-k doc (the
+        // whole-doc fallback gram) — clamp to the token count
+        least(max(col("pos")) + k, max("n_tokens")).cast("long").as("e"))
+    spans.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("dup_tokens"),
+        max("n_tokens").as("total_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("s"), col("e")))),
+            x => concat(x("s"), lit("-"), x("e"))), ",").as("spans"))
+      .withColumn("dup_ratio", col("dup_tokens").cast("double") /
+        greatest(col("total_tokens"), lit(1L)).cast("double"))
+  }
+
   /** n-gram (word) Jaccard similarity between all pairs sharing a token —
     * fully relational formulation: explode distinct tokens, equi-join on
     * token, count common, derive |A∪B|. Suits medium corpora / oracle checks;

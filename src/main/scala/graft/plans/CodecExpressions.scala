@@ -305,6 +305,25 @@ case class NgramShinglesExpression(child: Expression, n: Int)
   override def prettyName: String = "ngram_shingles"
 }
 
+/** POSITIONAL word n-gram windows (no dedup): element i is the n-gram at
+  * word offset i, so `posexplode` yields true offsets. Drives the
+  * substring-duplication span finder ([[graft.operators.Dedup.substringSpans]]). */
+case class NgramWindowsExpression(child: Expression, n: Int)
+    extends CodecUnaryExpression {
+  require(n >= 1, "window size must be >= 1")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.Shingles.ngramWindows(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.Shingles$$.MODULE$$.ngramWindows($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): NgramWindowsExpression =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_windows"
+}
+
 /** ClaimPredicate XDR → JSON (`claimable_balance.go:11-21`, recursive tree). */
 case class ClaimPredicateJsonExpression(child: Expression) extends CodecUnaryExpression {
   override def dataType: DataType = StringType

@@ -75,6 +75,12 @@ object ExplainAudit {
       ("x_bm25_topk",
         Seq("partial_count", "TakeOrderedAndProject", "BroadcastExchange"),
         Seq("SortMergeJoin", "ShuffledHashJoin")),
+      // substring-duplication spans: pure window relation — the cross-doc
+      // test is min≠max over the gram partition and the island merge is a
+      // doc-partition running sum; NO join of any kind may appear (a
+      // positions⋈dup-grams join would re-shuffle the full corpus)
+      ("x_dedup_substring", Seq("ngram_windows", "Window [sum(brk"),
+        Seq("Join", "CartesianProduct")),
       // decontamination: the benchmark grams ride in as ONE broadcast row
       // (the corpus pass is map-only) — a corpus-side shuffle join is the
       // shape this operator exists to avoid

@@ -130,6 +130,57 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rel.isEmpty)
   }
 
+  test("substring spans: shared phrase yields one merged span per doc, cross-doc only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "u1 u2 p1 p2 p3 p4 p5 p6 p7 u3"),           // phrase at word 2..8
+      (2L, "p1 p2 p3 p4 p5 p6 p7 z1 z2"),              // same phrase at 0..6
+      (3L, "completely different words here entirely unrelated content"),
+      (30L, "r1 r2 r3 r4 r5 x r1 r2 r3 r4 r5")         // WITHIN-doc repeat only
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs, "text", "doc_id", k = 5)
+      .orderBy("doc_id").collect()
+    // doc 30's repeated 5-gram never crosses a document boundary — the law
+    // is cross-document duplication, so it must not surface
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"),
+        r.getAs[Long]("total_tokens"), r.getAs[String]("spans"))).toMap
+    // three overlapping duplicated windows merge into one 7-token span
+    assert(byId(1L) == ((1L, 7L, 10L, "2-9")))
+    assert(byId(2L) == ((1L, 7L, 9L, "0-7")))
+    assert(out.head.getAs[Double]("dup_ratio") == 0.7)
+  }
+
+  test("substring spans: distant shared phrases stay separate spans; short docs clamp") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "s1 s2 s3 s4 s5 m1 m2 m3 m4 m5 m6 t1 t2 t3 t4 t5"),
+      (11L, "s1 s2 s3 s4 s5 q1 q2 q3 q4 q5 q6 t1 t2 t3 t4 t5"),
+      (20L, "tiny shared doc"),                         // < k words: whole-doc window
+      (21L, "tiny shared doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs, "text", "doc_id", k = 5)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"),
+        r.getAs[String]("spans"), r.getAs[Double]("dup_ratio"))).toMap
+    // head and tail phrases are 11 words apart (> k) — two islands
+    assert(byId(10L) == ((2L, 10L, "0-5,11-16", 10.0 / 16.0)))
+    assert(byId(11L) == ((2L, 10L, "0-5,11-16", 10.0 / 16.0)))
+    // whole-doc fallback window: span end clamps to the 3-token doc length
+    assert(byId(20L) == ((1L, 3L, "0-3", 1.0)))
+    assert(byId(21L) == ((1L, 3L, "0-3", 1.0)))
+  }
+
+  test("positional ngram windows keep duplicates and true offsets") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a")).toDF("id", "text")
+      .select(GraftFunctions.ngramWindows(col("text"), 2).as("w"))
+    // windows: [a b, b a, a b, b a] — duplicates preserved, offset = index
+    assert(df.head.getSeq[String](0) == Seq("a b", "b a", "a b", "b a"))
+  }
+
   // ---- similarity ----------------------------------------------------------
 
   test("brute-force cosine top-k ranks an identical vector first") {
