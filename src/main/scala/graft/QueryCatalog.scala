@@ -1619,6 +1619,41 @@ object QueryCatalog {
           .orderBy("doc_id")
       }),
 
+    Q("x_decontaminate_bloom",
+      // 100 TB decontamination: the benchmark gram universe folds into one
+      // compact bloom filter (treeAggregate), the corpus pass stays map-only
+      // behind the codegen'd bloom_might_contain gate, and a semi-join on
+      // the tiny candidate set prunes bloom false positives — so the result
+      // is EXACT and the oracle is the plain exact-overlap SQL
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             |           ' ') AS ws
+             |  FROM documents),
+             |sh AS (SELECT doc_id,
+             |         CASE WHEN len(ws) < 4 THEN [array_to_string(ws, ' ')]
+             |              ELSE list_distinct(list_transform(
+             |                generate_series(1, len(ws) - 3),
+             |                i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3])) END AS grams
+             |       FROM w),
+             |g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+             |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+             |o AS (SELECT g.doc_id, count(*) AS overlap FROM g JOIN b USING (gram)
+             |      WHERE g.doc_id % 17 <> 0 GROUP BY 1)
+             |SELECT sh.doc_id, CAST(len(sh.grams) AS BIGINT) AS n_grams,
+             |       CAST(coalesce(o.overlap, 0) AS BIGINT) AS overlap_grams,
+             |       CAST(coalesce(o.overlap, 0) AS DOUBLE) /
+             |         greatest(len(sh.grams), 1) AS contamination_ratio
+             |FROM sh LEFT JOIN o ON sh.doc_id = o.doc_id
+             |WHERE sh.doc_id % 17 <> 0 ORDER BY sh.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        Dedup.decontaminateBloom(
+            docs.where(col("doc_id") % 17 =!= 0), "text", "doc_id",
+            docs.where(col("doc_id") % 17 === 0), "text", n = 4)
+          .orderBy("doc_id")
+      }),
+
     Q("x_skew_salted_join",
       // skewed equi-join, salted: half the events hash to one hot key; the
       // salted form spreads them over 8 shards and must produce exactly

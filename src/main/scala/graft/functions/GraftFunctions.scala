@@ -139,6 +139,8 @@ object GraftFunctions {
     nativeCol(graft.plans.NgramShinglesExpression(exprOf(c), n))
   def ngramWindows(c: Column, n: Int): Column =
     nativeCol(graft.plans.NgramWindowsExpression(exprOf(c), n))
+  def bloomMightContain(c: Column, bloomBytes: Array[Byte]): Column =
+    nativeCol(graft.plans.BloomMightContainExpression(exprOf(c), bloomBytes))
   def strkeyContract(c: Column): Column =
     nativeCol(graft.plans.StrkeyEncodeExpression(exprOf(c), Strkey.Version.Contract))
   /** G-address → raw 32-byte key; null when the string is not a strkey. */

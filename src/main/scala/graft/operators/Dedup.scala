@@ -251,6 +251,57 @@ object Dedup {
           greatest(col("n_grams"), lit(1L)))
   }
 
+  /** Bloom-pruned decontamination — the 100 TB variant of [[decontaminate]]
+    * for when the held-out/benchmark gram universe is itself too large to
+    * broadcast as an exact set (e.g. decontaminating a crawl against an
+    * entire earlier training corpus).
+    *
+    * Three stages: (1) fold the benchmark grams into ONE compact
+    * [[org.apache.spark.util.sketch.BloomFilter]] via `treeAggregate`
+    * (~1.2 bytes/gram at 1% fpp — 20-30× smaller than the strings it
+    * summarizes); (2) gate the corpus grams intra-row with the codegen'd
+    * `bloom_might_contain` probe — the corpus pass stays map-only and the
+    * surviving candidate set is a tiny superset of the true overlap;
+    * (3) verify the candidates EXACTLY with a semi-join against the real
+    * benchmark grams, so bloom false positives are pruned and the output is
+    * bit-identical to [[decontaminate]]. The only shuffles touch the
+    * candidate grams and the per-doc count rows — never the corpus text. */
+  def decontaminateBloom(corpus: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val benchGrams = benchmark
+      .select(explode(shingles(col(benchTextCol), n)).as("gram"))
+      .distinct()
+    val expected = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.select("gram").rdd
+      .treeAggregate(BloomFilter.create(expected, fpp))(
+        (bf, row) => { bf.putString(row.getString(0)); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val base = corpus.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), n).as("grams"))
+    val candidates = base
+      .select(col("doc_id"), explode(filter(col("grams"), g =>
+        graft.functions.GraftFunctions.bloomMightContain(g, bytes))).as("gram"))
+    val overlap = candidates
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("overlap_grams"))
+    base.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("overlap_grams"), lit(0L)).as("overlap_grams"),
+        (coalesce(col("overlap_grams"), lit(0L)).cast("double") /
+          greatest(col("n_grams"), lit(1L))).as("contamination_ratio"))
+  }
+
   /** Exact substring-duplication spans (the ExactSubstr idea of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499, re-expressed relationally at word-k-gram grain).

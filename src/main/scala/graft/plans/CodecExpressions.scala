@@ -324,6 +324,32 @@ case class NgramWindowsExpression(child: Expression, n: Int)
   override def prettyName: String = "ngram_windows"
 }
 
+/** Membership probe against a serialized [[org.apache.spark.util.sketch.BloomFilter]]
+  * — the candidate gate of the bloom-pruned decontamination path
+  * ([[graft.operators.Dedup.decontaminateBloom]]). The filter deserializes
+  * once per executor (transient lazy + codegen reference object) and the
+  * probe stays inside whole-stage codegen; false positives are allowed
+  * (pruning only — an exact verify join follows), false negatives are not
+  * (put and probe both hash the UTF-8 bytes). */
+case class BloomMightContainExpression(child: Expression, bloomBytes: Array[Byte])
+    extends CodecUnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override protected def expectedInputType: DataType = StringType
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpression =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_might_contain"
+}
+
 /** ClaimPredicate XDR → JSON (`claimable_balance.go:11-21`, recursive tree). */
 case class ClaimPredicateJsonExpression(child: Expression) extends CodecUnaryExpression {
   override def dataType: DataType = StringType

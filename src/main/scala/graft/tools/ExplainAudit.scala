@@ -86,6 +86,12 @@ object ExplainAudit {
       // shape this operator exists to avoid
       ("x_decontaminate", Seq("BroadcastExchange"),
         Seq("SortMergeJoin", "ShuffledHashJoin")),
+      // bloom-pruned decontamination: the corpus gram pass is gated by the
+      // codegen'd bloom probe BEFORE any join — only candidates reach the
+      // exact verify semi-join, so no shape that shuffles corpus text may
+      // appear (the semi-join and count-back join ride broadcasts/AQE)
+      ("x_decontaminate_bloom", Seq("bloom_might_contain"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       // range join: interval bucketization makes it an equi-join — the
       // BNLJ Spark plans for raw inequality joins must never appear
       ("x_range_join", Seq(),

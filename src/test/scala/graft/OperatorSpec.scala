@@ -173,6 +173,40 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(21L) == ((1L, 3L, "0-3", 1.0)))
   }
 
+  test("bloom decontamination: planted overlap counted, output bit-identical to exact path") {
+    import spark.implicits._
+    val bench = Seq((100L, "held out eval question one"), (101L, "secret test answer two here"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words held out eval question one suffix"), // contains a bench 4-gram
+      (2L, "completely clean document with no overlap at all"),
+      (3L, "secret test answer two here verbatim leak")
+    ).toDF("doc_id", "text")
+    val viaBloom = Dedup.decontaminateBloom(corpus, "text", "doc_id",
+        bench, "text", n = 4).orderBy("doc_id").collect()
+    val exact = Dedup.decontaminate(corpus, "text", "doc_id",
+        bench, "text", n = 4).orderBy("doc_id").collect()
+    // bloom false positives must be pruned by the verify join: same rows,
+    // same counts, same ratios as the exact broadcast-set path
+    assert(viaBloom.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
+    val byId = viaBloom.map(r => r.getLong(0) -> r.getAs[Long]("overlap_grams")).toMap
+    assert(byId(1L) > 0 && byId(3L) > 0 && byId(2L) == 0L)
+  }
+
+  test("bloom decontamination survives a 1-in-2 fpp filter (verify join prunes)") {
+    import spark.implicits._
+    // an absurdly lossy bloom (fpp 0.5) floods the candidate set with false
+    // positives; the exact verify join must still produce the exact answer
+    val bench = Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = (1L to 40L).map(i => (i, s"filler w$i x$i y$i z$i q$i end"))
+      .toDF("doc_id", "text")
+      .union(Seq((50L, "alpha beta gamma delta trailing")).toDF("doc_id", "text"))
+    val out = Dedup.decontaminateBloom(corpus, "text", "doc_id",
+        bench, "text", n = 4, fpp = 0.5)
+      .where(col("overlap_grams") > 0).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(50L))
+  }
+
   test("positional ngram windows keep duplicates and true offsets") {
     import spark.implicits._
     val df = Seq((1L, "a b a b a")).toDF("id", "text")
