@@ -1405,6 +1405,47 @@ object QueryCatalog {
           .orderBy("query_id", "rank")
       }),
 
+    Q("x_sim_pq_topk",
+      // product-quantization ADC search: DuckDB re-derives the per-subspace
+      // codebooks (subvectors of the 16 lowest-id quantized vectors), the
+      // strict-< earliest-wins encode argmin (row_number over (d, j)), and
+      // the ADC sum as a join of the code table against the query's
+      // sub-distance table — a wrong code, LUT cell or rank hash-mismatches
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding,
+             |            x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+             |           FROM embeddings),
+             |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+             |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+             |sd AS (SELECT ev.vec_id, cw.j, t.s,
+             |         CAST(list_sum(list_transform(range(1, 9),
+             |           i -> (ev.v[CAST(t.s*8+i AS INTEGER)] - cw.v[CAST(t.s*8+i AS INTEGER)])
+             |              * (ev.v[CAST(t.s*8+i AS INTEGER)] - cw.v[CAST(t.s*8+i AS INTEGER)])))
+             |           AS BIGINT) AS d
+             |       FROM e ev, cb cw, range(0, 8) t(s)),
+             |codes AS (SELECT vec_id, s, j AS code FROM (
+             |            SELECT vec_id, s, j, row_number() OVER
+             |              (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM sd)
+             |          WHERE rn = 1),
+             |adc AS (SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |          CAST(sum(qd.d) AS BIGINT) AS adc_dist
+             |        FROM codes c JOIN sd qd ON qd.s = c.s AND qd.j = c.code
+             |        WHERE qd.vec_id < 8 AND qd.vec_id <> c.vec_id
+             |        GROUP BY 1, 2),
+             |r AS (SELECT query_id, neighbor_id, adc_dist,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY adc_dist, neighbor_id) AS rank FROM adc)
+             |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.pqTopKExact(
+            emb, "vec_id", "embedding",
+            emb.where(col("vec_id") < 8).select(col("vec_id").as("qid"),
+              col("embedding").as("qvec")),
+            "qid", "qvec", k = 5, m = 8, codewords = 16)
+          .orderBy("query_id", "rank")
+      }),
+
     Q("x_sim_lsh_topk",
       // promoted from rows-only: buckets re-derived from the sha-parity ±1
       // planes (single table t=0), candidates joined on the bucket value,

@@ -239,6 +239,91 @@ object Similarity {
       buildIvfIndexExact(corpus, corpusId, corpusVec, nCells),
       queries, queryId, queryVec, k, nprobe)
 
+  /** Exact-integer product-quantization index (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    * splits into `m` subspaces, each subvector coarse-coded against a
+    * per-subspace codebook, so a d-dim float vector compresses to `m` small
+    * codes (64 floats → 8 nibbles here, a 32× memory cut) and search scans
+    * codes instead of vectors. `codebooks(s)(j)` is codeword j of subspace
+    * s; `codes` is the compressed corpus `(neighbor_id, codes array<int>)`. */
+  case class PqIndexExact(m: Int, dsub: Int,
+      codebooks: Seq[Seq[Seq[Long]]], codes: DataFrame)
+
+  private def pqSubDist(v: Column, s: Int, dsub: Int, cw: Seq[Long]): Column =
+    aggregate(
+      zip_with(slice(v, s * dsub + 1, dsub), array(cw.map(lit): _*),
+        (x, c) => (x - c) * (x - c)),
+      lit(0L), (a, x) => a + x)
+
+  /** Build the PQ index. Codebook law mirrors the IVF one: per subspace,
+    * the codewords are the subvectors of the `codewords` lowest-id
+    * quantized corpus vectors (documented deterministic seed — at 100 TB
+    * you would Lloyd-refine per subspace; the assignment/search relations
+    * below are unchanged by better codebooks). Encoding is intra-row: per
+    * subspace a strict-< earliest-wins integer-L2 argmin fold over the
+    * broadcast codeword literals — map-only, no shuffle, codegen'd. */
+  def buildPqIndexExact(corpus: DataFrame, corpusId: String,
+      corpusVec: String, m: Int = 8, codewords: Int = 16): PqIndexExact = {
+    val e = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+      quantLong(col(corpusVec)).as("v"))
+    // bounded driver table: `codewords` rows (the codebook seed), like the
+    // IVF centroid table
+    val cbRows: Seq[Seq[Long]] = e.orderBy("neighbor_id").limit(codewords)
+      .select("v").collect().toSeq.map(_.getSeq[Long](0).toSeq)
+    val dim = cbRows.head.length
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val codebooks = (0 until m).map(s => cbRows.map(_.slice(s * dsub, (s + 1) * dsub)))
+    def codeOf(v: Column, s: Int): Column = {
+      val scored = codebooks(s).zipWithIndex.map { case (cw, j) =>
+        struct(pqSubDist(v, s, dsub, cw).as("d"), lit(j).as("j")) }
+      aggregate(array(scored.tail: _*), scored.head,
+        (best, c) => when(c("d") < best("d"), c).otherwise(best))("j")
+    }
+    PqIndexExact(m, dsub, codebooks,
+      e.select(col("neighbor_id"),
+        array((0 until m).map(s => codeOf(col("v"), s)): _*).as("codes")))
+  }
+
+  /** Asymmetric-distance (ADC) search over a PQ index: each query builds
+    * its m×codewords lookup table of exact integer sub-distances intra-row,
+    * the (broadcast) query LUTs sweep the compressed code table once, and
+    * the per-neighbor distance is m table lookups + adds — the classic PQ
+    * trade: O(N·m) byte-width work instead of O(N·d) float work. Top-k by
+    * (adc_dist asc, neighbor_id asc); WindowGroupLimit keeps ≤ k rows per
+    * query on both sides of the single small shuffle. At 100 TB compose
+    * with the IVF router ([[buildIvfIndexExact]]) so the sweep touches only
+    * probed cells. */
+  def searchPqIndexExact(index: PqIndexExact, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = quantLong(col(queryVec))
+    val lut = array((0 until index.m).map(s =>
+      array(index.codebooks(s).map(cw =>
+        pqSubDist(qv, s, index.dsub, cw)): _*)): _*)
+    val q = broadcast(queries.select(
+      col(queryId).cast("long").as("query_id"), lut.as("lut")))
+    val scored = index.codes.crossJoin(q)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist",
+        aggregate(
+          zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+          lit(0L), (a, x) => a + x))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc_dist")
+  }
+
+  def pqTopKExact(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, m: Int = 8, codewords: Int = 16): DataFrame =
+    searchPqIndexExact(
+      buildPqIndexExact(corpus, corpusId, corpusVec, m, codewords),
+      queries, queryId, queryVec, k)
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * a fixed hash mapped to [-1, 1]. Same formula is reproducible anywhere. */
   private def planeComponent(p: Column, d: Column): Column =

@@ -31,6 +31,12 @@ object ExplainAudit {
       ("p1_history_ledgers", Seq("*(1)"), Seq()),
       ("x_dedup_exact", Seq("partial_min_by"), Seq()),
       ("x_sim_dot_topk", Seq("BroadcastNestedLoopJoin", "WindowGroupLimit"), Seq()),
+      // PQ ADC sweep: the bounded query-LUT side must ride a broadcast
+      // (the code-table scan is the linear pass PQ exists to cheapen) and
+      // the top-k must plan as WindowGroupLimit; the corpus/code side must
+      // never be shuffled or sorted before the rank filter
+      ("x_sim_pq_topk", Seq("BroadcastNestedLoopJoin", "WindowGroupLimit"),
+        Seq("SortMergeJoin", "ShuffledHashJoin")),
       ("p4_effects_flatmap", Seq("Generate posexplode"), Seq()),
       // df-cut: hot grams via partial agg + broadcast, pruning intra-row —
       // no per-gram window sort anywhere in the plan

@@ -231,6 +231,81 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
 
+  test("PQ ADC: codeword twin ranks first at distance zero; codes bounded") {
+    import spark.implicits._
+    // 16-dim vectors, m=4 subspaces of 4 dims. Corpus ids 0..15 seed the
+    // codebooks; id 100 is a byte-exact twin of codeword vector 3, so its
+    // encode hits d=0 in every subspace and the ADC distance of query 3
+    // (itself a codeword) to the twin is exactly 0.
+    val mk = (seed: Long) => Array.tabulate(16)(d => ((seed * 31 + d * 7) % 13 - 6) / 10.0f)
+    val corpus = ((0L to 15L).map(i => (i, mk(i))) :+ (100L, mk(3L)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((3L, mk(3L))).toDF("qid", "qvec")
+    val out = Similarity.pqTopKExact(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3, m = 4, codewords = 16)
+      .orderBy("rank").collect()
+    assert(out.head.getAs[Long]("neighbor_id") == 100L)
+    assert(out.head.getAs[Long]("adc_dist") == 0L)
+    // every code must address a real codeword
+    val idx = Similarity.buildPqIndexExact(corpus, "vec_id", "embedding",
+      m = 4, codewords = 16)
+    val codes = idx.codes.collect().map(_.getSeq[Int](1))
+    assert(codes.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 16)))
+  }
+
+  test("PQ ADC distance equals the driver-recomputed LUT sum; ties pick lowest code") {
+    import spark.implicits._
+    val mk = (seed: Long) => Array.tabulate(16)(d => ((seed * 17 + d * 5) % 11 - 5) / 10.0f)
+    val corpus = (0L to 25L).map(i => (i, mk(i))).toDF("vec_id", "embedding")
+    val queries = (0L to 2L).map(i => (i, mk(i))).toDF("qid", "qvec")
+    val idx = Similarity.buildPqIndexExact(corpus, "vec_id", "embedding",
+      m = 4, codewords = 16)
+    val codeOf = idx.codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def quant(v: Array[Float]): Array[Long] = v.map(x => math.round(x.toDouble * 10000))
+    def subDist(a: Array[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // driver-side reference: encode + LUT sum recomputed from first principles
+    val out = Similarity.searchPqIndexExact(idx, queries, "qid", "qvec", k = 25)
+      .collect()
+    out.foreach { r =>
+      val q = quant(mk(r.getAs[Long]("query_id")))
+      val n = codeOf(r.getAs[Long]("neighbor_id"))
+      val expect = (0 until 4).map { s =>
+        subDist(q.slice(s * 4, s * 4 + 4), idx.codebooks(s)(n(s)).map(_ + 0L))
+      }.sum
+      assert(r.getAs[Long]("adc_dist") == expect,
+        s"adc mismatch for ${r.getAs[Long]("query_id")}→${r.getAs[Long]("neighbor_id")}")
+    }
+    // tie law: a corpus where two codewords are identical — the encoder
+    // must deterministically keep the EARLIER codeword index
+    val dup = Seq((0L, mk(7L)), (1L, mk(7L)), (2L, mk(9L)), (50L, mk(7L)))
+      .toDF("vec_id", "embedding")
+    val didx = Similarity.buildPqIndexExact(dup, "vec_id", "embedding",
+      m = 4, codewords = 3)
+    val c50 = didx.codes.where(col("neighbor_id") === 50L)
+      .head.getSeq[Int](1)
+    assert(c50.forall(_ == 0), s"tie must pick codeword 0, got $c50")
+  }
+
+  test("PQ recall: full-probe ADC finds the exact L2 top-1 in its top-5 on real embeddings") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pq = Similarity.pqTopKExact(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // 16-codeword codebooks are coarse; require top-1 recall@5 of at least
+    // 2/5 — a broken LUT or encode law collapses this to ~0
+    val hits = exact.count { case (q, n) => pq.getOrElse(q, Set.empty).contains(n) }
+    assert(hits >= 2, s"recall@5 too low: $hits/5")
+  }
+
   test("IVF top-k: probing more cells recovers the brute-force top-1") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
