@@ -1446,6 +1446,65 @@ object QueryCatalog {
           .orderBy("query_id", "rank")
       }),
 
+    Q("x_sim_ivf_pq_topk",
+      // IVF×PQ composition: DuckDB re-derives the centroids + strict-<
+      // cell argmin and the nprobe probe set (the x_sim_ivf_topk laws),
+      // the per-subspace codebooks + code argmin and the ADC LUT sum (the
+      // x_sim_pq_topk laws), and prunes the ADC sweep to probed cells via
+      // the cell equi-join — a wrong cell, probe set, code, LUT entry or
+      // rank all hash-mismatch
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding,
+             |            x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+             |           FROM embeddings),
+             |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+             |         FROM e ORDER BY vec_id LIMIT 16),
+             |a AS (SELECT e.vec_id, arg_min(c.cid,
+             |        CAST(list_sum(list_transform(range(1, len(e.v)+1),
+             |           i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))) AS BIGINT) * 16
+             |          + c.cid) AS cell
+             |      FROM e, cent c GROUP BY e.vec_id),
+             |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+             |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+             |sd AS (SELECT ev.vec_id, cw.j, t.s,
+             |         CAST(list_sum(list_transform(range(1, 9),
+             |           i -> (ev.v[CAST(t.s*8+i AS INTEGER)] - cw.v[CAST(t.s*8+i AS INTEGER)])
+             |              * (ev.v[CAST(t.s*8+i AS INTEGER)] - cw.v[CAST(t.s*8+i AS INTEGER)])))
+             |           AS BIGINT) AS d
+             |       FROM e ev, cb cw, range(0, 8) t(s)),
+             |codes AS (SELECT vec_id, s, j AS code FROM (
+             |            SELECT vec_id, s, j, row_number() OVER
+             |              (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM sd)
+             |          WHERE rn = 1),
+             |qp AS (SELECT q.vec_id AS query_id, c.cid AS cell,
+             |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |           CAST(list_sum(list_transform(range(1, len(q.v)+1),
+             |             i -> (q.v[i]-c.v[i])*(q.v[i]-c.v[i]))) AS BIGINT),
+             |           c.cid) AS pr
+             |       FROM e q, cent c WHERE q.vec_id < 5),
+             |adc AS (SELECT qp.query_id, av.vec_id AS neighbor_id,
+             |          CAST(sum(qd.d) AS BIGINT) AS adc_dist
+             |        FROM qp JOIN a av ON qp.cell = av.cell AND qp.pr <= 4
+             |        JOIN codes c ON c.vec_id = av.vec_id
+             |        JOIN sd qd ON qd.vec_id = qp.query_id
+             |          AND qd.s = c.s AND qd.j = c.code
+             |        WHERE qp.query_id <> av.vec_id
+             |        GROUP BY 1, 2),
+             |r AS (SELECT query_id, neighbor_id, adc_dist,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY adc_dist, neighbor_id) AS rank FROM adc)
+             |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.ivfPqTopKExact(
+            emb, "vec_id", "embedding",
+            emb.where(col("vec_id") < 5).select(col("vec_id").as("qid"),
+              col("embedding").as("qvec")),
+            "qid", "qvec", k = 5, nCells = 16, nprobe = 4,
+            m = 8, codewords = 16)
+          .orderBy("query_id", "rank")
+      }),
+
     Q("x_sim_lsh_topk",
       // promoted from rows-only: buckets re-derived from the sha-parity ±1
       // planes (single table t=0), candidates joined on the bucket value,

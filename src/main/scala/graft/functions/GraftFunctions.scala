@@ -135,6 +135,16 @@ object GraftFunctions {
     nativeCol(graft.plans.LongDotExpression(exprOf(a), exprOf(b)))
   def longNorm2(c: Column): Column =
     nativeCol(graft.plans.LongNorm2Expression(exprOf(c)))
+  def pqAdcDist(codes: Column, lut: Column): Column =
+    nativeCol(graft.plans.PqAdcDistExpression(exprOf(codes), exprOf(lut)))
+  def longL2Argmin(c: Column, centFlat: Array[Long], nCells: Int): Column =
+    nativeCol(graft.plans.LongL2ArgminExpression(exprOf(c), centFlat, nCells))
+  def pqEncode(c: Column, cbFlat: Array[Long], m: Int, codewords: Int): Column =
+    nativeCol(graft.plans.PqEncodeExpression(exprOf(c), cbFlat, m, codewords))
+  def pqLut(c: Column, cbFlat: Array[Long], m: Int, codewords: Int): Column =
+    nativeCol(graft.plans.PqLutExpression(exprOf(c), cbFlat, m, codewords))
+  def l2ProbeCells(c: Column, centFlat: Array[Long], nCells: Int, nprobe: Int): Column =
+    nativeCol(graft.plans.L2ProbeCellsExpression(exprOf(c), centFlat, nCells, nprobe))
   def ngramShingles(c: Column, n: Int): Column =
     nativeCol(graft.plans.NgramShinglesExpression(exprOf(c), n))
   def ngramWindows(c: Column, n: Int): Column =

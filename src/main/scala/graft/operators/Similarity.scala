@@ -142,21 +142,12 @@ object Similarity {
   private def quantLong(c: Column): Column =
     transform(c, x => round(x.cast("double") * 10000).cast("long"))
 
-  private def distToCent(v: Column, cvec: Seq[Long]): Column = {
-    val carr = array(cvec.map(lit): _*)
-    aggregate(zip_with(v, carr, (x, c) => (x - c) * (x - c)),
-      lit(0L), (a, x) => a + x)
-  }
-
-  private def cellStructs(cent: Seq[(Long, Seq[Long])], v: Column): Seq[Column] =
-    cent.map { case (cid, cvec) =>
-      struct(distToCent(v, cvec).as("dist"), lit(cid).as("cell"))
-    }
-
   /** Build the exact-integer IVF index: centroids are the nCells lowest-id
     * quantized corpus vectors (the documented deterministic seed); every
-    * corpus vector is assigned by a strict-< earliest-wins integer-L2
-    * argmin fold — intra-row over the broadcast centroid literals, no
+    * corpus vector is assigned by the strict-< earliest-wins integer-L2
+    * argmin — the native codegen'd [[graft.plans.LongL2ArgminExpression]]
+    * over the reference-object centroid table (the interpreted HOF fold it
+    * replaces ran nCells × dim lambdas per corpus row), map-only, no
     * shuffle. */
   def buildIvfIndexExact(corpus: DataFrame, corpusId: String,
       corpusVec: String, nCells: Int = 16): IvfIndexExact = {
@@ -167,12 +158,10 @@ object Similarity {
     val cent: Seq[(Long, Seq[Long])] = e.orderBy("neighbor_id").limit(nCells)
       .select("neighbor_id", "cv").collect()
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
-    def argminCell(v: Column): Column = {
-      val scored = cellStructs(cent, v)
-      aggregate(array(scored.tail: _*), scored.head,
-        (best, s) => when(s("dist") < best("dist"), s).otherwise(best))("cell")
-    }
-    IvfIndexExact(cent, e.withColumn("cell", argminCell(col("cv"))))
+    val centFlat = cent.flatMap(_._2).toArray
+    IvfIndexExact(cent, e.withColumn("cell",
+      graft.functions.GraftFunctions.longL2Argmin(
+        col("cv"), centFlat, cent.size)))
   }
 
   /** Persist a built index for reuse across jobs: the inverted file goes
@@ -208,13 +197,12 @@ object Similarity {
       queryId: String, queryVec: String, k: Int, nprobe: Int = 4,
       broadcastQueries: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def probeCells(v: Column): Column =
-      slice(array_sort(array(cellStructs(index.centroids, v): _*)), 1, nprobe)
+    val centFlat = index.centroids.flatMap(_._2).toArray
     val q0 = queries
       .select(col(queryId).cast("long").as("query_id"),
         quantLong(col(queryVec)).as("qv"))
-      .withColumn("cell", explode(transform(probeCells(col("qv")),
-        s => s("cell"))))
+      .withColumn("cell", explode(graft.functions.GraftFunctions.l2ProbeCells(
+        col("qv"), centFlat, index.centroids.size, nprobe)))
     val q = if (broadcastQueries) broadcast(q0) else q0
     val scored = index.assigned.join(q, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -249,12 +237,6 @@ object Similarity {
   case class PqIndexExact(m: Int, dsub: Int,
       codebooks: Seq[Seq[Seq[Long]]], codes: DataFrame)
 
-  private def pqSubDist(v: Column, s: Int, dsub: Int, cw: Seq[Long]): Column =
-    aggregate(
-      zip_with(slice(v, s * dsub + 1, dsub), array(cw.map(lit): _*),
-        (x, c) => (x - c) * (x - c)),
-      lit(0L), (a, x) => a + x)
-
   /** Build the PQ index. Codebook law mirrors the IVF one: per subspace,
     * the codewords are the subvectors of the `codewords` lowest-id
     * quantized corpus vectors (documented deterministic seed — at 100 TB
@@ -270,45 +252,46 @@ object Similarity {
     // IVF centroid table
     val cbRows: Seq[Seq[Long]] = e.orderBy("neighbor_id").limit(codewords)
       .select("v").collect().toSeq.map(_.getSeq[Long](0).toSeq)
+    require(cbRows.nonEmpty, "PQ index needs a non-empty corpus")
+    if (cbRows.size < codewords)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"PQ codebook seeded from only ${cbRows.size} vectors " +
+          s"(requested $codewords codewords)")
     val dim = cbRows.head.length
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val dsub = dim / m
     val codebooks = (0 until m).map(s => cbRows.map(_.slice(s * dsub, (s + 1) * dsub)))
-    def codeOf(v: Column, s: Int): Column = {
-      val scored = codebooks(s).zipWithIndex.map { case (cw, j) =>
-        struct(pqSubDist(v, s, dsub, cw).as("d"), lit(j).as("j")) }
-      aggregate(array(scored.tail: _*), scored.head,
-        (best, c) => when(c("d") < best("d"), c).otherwise(best))("j")
-    }
+    val cbFlat = codebooks.flatMap(_.flatten).toArray
     PqIndexExact(m, dsub, codebooks,
       e.select(col("neighbor_id"),
-        array((0 until m).map(s => codeOf(col("v"), s)): _*).as("codes")))
+        graft.functions.GraftFunctions.pqEncode(
+          col("v"), cbFlat, m, codebooks.head.size).as("codes")))
   }
 
   /** Asymmetric-distance (ADC) search over a PQ index: each query builds
     * its m×codewords lookup table of exact integer sub-distances intra-row,
     * the (broadcast) query LUTs sweep the compressed code table once, and
     * the per-neighbor distance is m table lookups + adds — the classic PQ
-    * trade: O(N·m) byte-width work instead of O(N·d) float work. Top-k by
+    * trade: O(N·m) byte-width work instead of O(N·d) float work. The
+    * per-pair sweep is the native codegen'd
+    * [[graft.plans.PqAdcDistExpression]] (the `zip_with → aggregate` HOF
+    * tree it replaces ran interpreted and dominated the sweep). Top-k by
     * (adc_dist asc, neighbor_id asc); WindowGroupLimit keeps ≤ k rows per
     * query on both sides of the single small shuffle. At 100 TB compose
-    * with the IVF router ([[buildIvfIndexExact]]) so the sweep touches only
+    * with the IVF router ([[ivfPqTopKExact]]) so the sweep touches only
     * probed cells. */
   def searchPqIndexExact(index: PqIndexExact, queries: DataFrame,
       queryId: String, queryVec: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qv = quantLong(col(queryVec))
-    val lut = array((0 until index.m).map(s =>
-      array(index.codebooks(s).map(cw =>
-        pqSubDist(qv, s, index.dsub, cw)): _*)): _*)
+    val cbFlat = index.codebooks.flatMap(_.flatten).toArray
+    val lut = graft.functions.GraftFunctions.pqLut(
+      quantLong(col(queryVec)), cbFlat, index.m, index.codebooks.head.size)
     val q = broadcast(queries.select(
       col(queryId).cast("long").as("query_id"), lut.as("lut")))
     val scored = index.codes.crossJoin(q)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist",
-        aggregate(
-          zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
-          lit(0L), (a, x) => a + x))
+        graft.functions.GraftFunctions.pqAdcDist(col("codes"), col("lut")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -323,6 +306,76 @@ object Similarity {
     searchPqIndexExact(
       buildPqIndexExact(corpus, corpusId, corpusVec, m, codewords),
       queries, queryId, queryVec, k)
+
+  /** IVF×PQ — the composed scale path the PQ scaladoc promises: the IVF
+    * router prunes the ADC sweep to each query's `nprobe` probed cells, and
+    * within a cell neighbors rank by the PQ ADC distance over the
+    * 32×-compressed codes. Laws are EXACTLY the two parts' laws composed
+    * ([[buildIvfIndexExact]]: lowest-id integer centroids, strict-<
+    * earliest-wins cell argmin, probe = nprobe nearest cells by exact
+    * integer L2; [[buildPqIndexExact]]: lowest-id subvector codebooks, ADC
+    * LUT sum via the native [[graft.plans.PqAdcDistExpression]]) — so the
+    * whole route→sweep→rank relation replays in SQL and a wrong cell,
+    * probe set, code or rank hash-mismatches.
+    *
+    * Scale shape: ONE map-only pass codes the corpus (cell argmin + m code
+    * argmins, intra-row over broadcast literals, no shuffle); the probe
+    * join is an equi-join on `cell` against the broadcast exploded query
+    * probes — never a cross join against the full code table — so the
+    * sweep touches nprobe/nCells of the codes, each costing m lookups.
+    * At 100 TB persist the coded corpus bucketed by `cell`
+    * ([[writeIvfIndex]]'s layout) and both build collects stay bounded
+    * (max(nCells, codewords) rows). */
+  def ivfPqTopKExact(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nCells: Int = 16, nprobe: Int = 4,
+      m: Int = 8, codewords: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+      quantLong(col(corpusVec)).as("v"))
+    // bounded driver table: the max(nCells, codewords) lowest-id quantized
+    // rows seed BOTH the centroids and the codebooks (the documented shared
+    // deterministic-seed law) in one collect
+    val seedRows: Seq[Seq[Long]] = e.orderBy("neighbor_id")
+      .limit(math.max(nCells, codewords))
+      .select("v").collect().toSeq.map(_.getSeq[Long](0).toSeq)
+    require(seedRows.nonEmpty, "IVF-PQ index needs a non-empty corpus")
+    val dim = seedRows.head.length
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val cent: Seq[(Long, Seq[Long])] =
+      seedRows.take(nCells).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val codebooks = (0 until m).map(s =>
+      seedRows.take(codewords).map(_.slice(s * dsub, (s + 1) * dsub)))
+    val centFlat = cent.flatMap(_._2).toArray
+    val cbFlat = codebooks.flatMap(_.flatten).toArray
+    // one map-only pass over the corpus: cell + codes via the two native
+    // codegen'd argmins, no shuffle
+    val coded = e.select(col("neighbor_id"),
+      graft.functions.GraftFunctions.longL2Argmin(
+        col("v"), centFlat, cent.size).as("cell"),
+      graft.functions.GraftFunctions.pqEncode(
+        col("v"), cbFlat, m, codebooks.head.size).as("codes"))
+    val qv = quantLong(col(queryVec))
+    val q = broadcast(queries
+      .select(col(queryId).cast("long").as("query_id"),
+        graft.functions.GraftFunctions.pqLut(
+          qv, cbFlat, m, codebooks.head.size).as("lut"),
+        graft.functions.GraftFunctions.l2ProbeCells(
+          qv, centFlat, cent.size, nprobe).as("probes"))
+      .withColumn("cell", explode(col("probes")))
+      .drop("probes"))
+    val scored = coded.join(q, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist",
+        graft.functions.GraftFunctions.pqAdcDist(col("codes"), col("lut")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc_dist")
+  }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * a fixed hash mapped to [-1, 1]. Same formula is reproducible anywhere. */

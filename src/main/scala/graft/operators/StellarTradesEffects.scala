@@ -372,12 +372,17 @@ object StellarTradesEffects {
       op: OpModel, opPos: Int): Seq[EffectRow] = {
     val sourceAddr = strkeyG(op.source_key.getOrElse(tx.source_key))
     val destAddr = op.destination_key.map(strkeyG).orNull
-    // the acting source's muxed identity (M-address, id) when the op rode a
-    // muxed tx source — the trade seller-details label their buyer
-    // counterparty "seller" and append seller_muxed / seller_muxed_id
+    // the acting source's muxed identity (M-address, id): the reference's
+    // operation.SourceAccount() is the OP-level muxed account when the op's
+    // own source is an M-address, else the tx-level one — the trade
+    // seller-details label their buyer counterparty "seller" and append
+    // seller_muxed / seller_muxed_id
     // (`addAccountAndMuxedAccountDetails`, operation.go:423-438)
     val sourceMuxed: Option[(String, Long)] =
-      if (op.source_key.isEmpty && tx.source_muxed_id.isDefined)
+      if (op.source_key.isDefined && op.source_muxed_id.isDefined)
+        Some((graft.codec.Strkey.encodeMuxed(op.source_key.get,
+          op.source_muxed_id.get), op.source_muxed_id.get))
+      else if (op.source_key.isEmpty && tx.source_muxed_id.isDefined)
         Some((graft.codec.Strkey.encodeMuxed(tx.source_key,
           tx.source_muxed_id.get), tx.source_muxed_id.get))
       else None
@@ -889,8 +894,9 @@ object StellarTradesEffects {
     val opId = graft.codec.Toid.operationId(l.sequence, txPos + 1L, opPos + 1L)
     // `addMuxed` (effects.go:173-194): when the acting participant was
     // addressed in muxed form, `address` is the unmuxed G-account and
-    // `address_muxed` the M-address. In the fixture model muxing can ride
-    // on the tx source (source_muxed_id) or the op destination
+    // `address_muxed` the M-address. Muxing can ride on the op's OWN source
+    // (source_muxed_id alongside an explicit source_key — the reference's
+    // operation.SourceAccount()), the tx source, or the op destination
     // (destination_muxed_id); every other addressee goes through
     // `addUnmuxed` ⇒ null.
     def muxedOf(addr: String): String =
@@ -898,6 +904,9 @@ object StellarTradesEffects {
           op.destination_muxed_id.isDefined)
         graft.codec.Strkey.encodeMuxed(op.destination_key.get,
           op.destination_muxed_id.get)
+      else if (addr != null && addr == sourceAddr && op.source_key.isDefined &&
+          op.source_muxed_id.isDefined)
+        graft.codec.Strkey.encodeMuxed(op.source_key.get, op.source_muxed_id.get)
       else if (addr != null && addr == sourceAddr && op.source_key.isEmpty &&
           tx.source_muxed_id.isDefined)
         graft.codec.Strkey.encodeMuxed(tx.source_key, tx.source_muxed_id.get)

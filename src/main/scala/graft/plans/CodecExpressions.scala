@@ -263,6 +263,159 @@ case class LongDotExpression(left: Expression, right: Expression)
   override def prettyName: String = "long_dot"
 }
 
+/** PQ asymmetric-distance sweep — Σ_s lut[s][codes[s]] over a neighbor's
+  * code array (array<int>) and a query's per-subspace distance LUT
+  * (array<array<bigint>>) ([[graft.codec.LongVec.adcDist]]). The
+  * `zip_with → element_at → aggregate` HOF tree it replaces ran interpreted
+  * per (neighbor, query) pair and dominated the ADC sweep wall-clock; the
+  * fused native loop is m lookups + adds inside whole-stage codegen. */
+case class PqAdcDistExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, _),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(LongType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<int>, array<array<bigint>>), got ($l, $r)")
+  }
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    graft.codec.LongVec.adcDist(
+      codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lut.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) =>
+      s"graft.codec.LongVec$$.MODULE$$.adcDist($c, $l)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDistExpression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc_dist"
+}
+
+/** IVF cell assignment — strict-< earliest-wins argmin of exact integer L2
+  * distance to `nCells` flattened centroids ([[graft.codec.LongVec.l2Argmin]]).
+  * Runs once per corpus row in the index build; the centroid table rides as
+  * a codegen reference object (bounded: nCells × dim longs). */
+case class LongL2ArgminExpression(child: Expression, centFlat: Array[Long],
+    nCells: Int) extends CodecUnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def expectedInputType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got " + other)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.LongVec.l2Argmin(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      centFlat, nCells)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centFlat", centFlat, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.LongVec$$.MODULE$$.l2Argmin($c, $ref, $nCells)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LongL2ArgminExpression =
+    copy(child = newChild)
+  override def prettyName: String = "long_l2_argmin"
+}
+
+/** PQ encode — the m per-subspace code argmins of a quantized vector in ONE
+  * compiled pass ([[graft.codec.LongVec.pqEncode]]). The m × codewords
+  * interpreted `aggregate(zip_with(slice(...)))` folds it replaces were the
+  * dominant cost of the PQ index build (they run over the WHOLE corpus);
+  * the flattened codebooks ride as a codegen reference object (bounded:
+  * m × codewords × dsub longs). */
+case class PqEncodeExpression(child: Expression, cbFlat: Array[Long],
+    m: Int, codewords: Int) extends CodecUnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override protected def expectedInputType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got " + other)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.LongVec.pqEncode(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cbFlat, m, codewords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cbFlat", cbFlat, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.LongVec$$.MODULE$$.pqEncode($c, $ref, $m, $codewords)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpression =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+/** A query's full PQ ADC lookup table (array<array<bigint>>) in one node
+  * ([[graft.codec.LongVec.pqLut]]). Replaces an m × codewords fan of
+  * interpreted HOF folds whose dominant cost was Catalyst plan latency. */
+case class PqLutExpression(child: Expression, cbFlat: Array[Long],
+    m: Int, codewords: Int) extends CodecUnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+      containsNull = false)
+  override protected def expectedInputType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got " + other)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.LongVec.pqLut(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cbFlat, m, codewords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cbFlat", cbFlat, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.LongVec$$.MODULE$$.pqLut($c, $ref, $m, $codewords)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpression =
+    copy(child = newChild)
+  override def prettyName: String = "pq_lut"
+}
+
+/** The nprobe nearest IVF cells of a query vector, ordered by (exact L2,
+  * cell id) ([[graft.codec.LongVec.l2ProbeCells]]) — one node instead of
+  * the nCells-wide sort_array(struct...) fan. */
+case class L2ProbeCellsExpression(child: Expression, centFlat: Array[Long],
+    nCells: Int, nprobe: Int) extends CodecUnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def expectedInputType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got " + other)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.LongVec.l2ProbeCells(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      centFlat, nCells, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centFlat", centFlat, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.LongVec$$.MODULE$$.l2ProbeCells($c, $ref, $nCells, $nprobe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): L2ProbeCellsExpression =
+    copy(child = newChild)
+  override def prettyName: String = "l2_probe_cells"
+}
+
 /** Σv² of a quantized vector ([[graft.codec.LongVec.norm2]]) — same
   * codegen rationale as [[LongDotExpression]]. */
 case class LongNorm2Expression(child: Expression) extends CodecUnaryExpression {

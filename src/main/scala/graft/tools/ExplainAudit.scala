@@ -37,6 +37,13 @@ object ExplainAudit {
       // never be shuffled or sorted before the rank filter
       ("x_sim_pq_topk", Seq("BroadcastNestedLoopJoin", "WindowGroupLimit"),
         Seq("SortMergeJoin", "ShuffledHashJoin")),
+      // IVF×PQ: the probe must be a broadcast EQUI-join on cell — a BNLJ
+      // or cartesian here means the router stopped pruning and the sweep
+      // reads the whole code table again; the native ADC sweep and the
+      // code/cell build must stay map-only on the corpus side
+      ("x_sim_ivf_pq_topk", Seq("BroadcastHashJoin [cell", "WindowGroupLimit",
+        "pq_adc_dist"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin")),
       ("p4_effects_flatmap", Seq("Generate posexplode"), Seq()),
       // df-cut: hot grams via partial agg + broadcast, pruning intra-row —
       // no per-gram window sort anywhere in the plan

@@ -181,6 +181,73 @@ class EffectsDetailsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unmuxed.nonEmpty && unmuxed.forall(!_.contains("seller_muxed")))
   }
 
+  test("op-level muxed source wins: seller_muxed(+id) and address_muxed " +
+      "come from the op's OWN M-address, not the tx source") {
+    import spark.implicits._
+    val atom = ClaimAtom(atom_type = "offer", seller_key = Some(k32(9)),
+      offer_id = Some(77L), pool_id = None,
+      amount_sold_stroops = 500L, amount_bought_stroops = 400L,
+      asset_sold = AssetRef("native", "", ""),
+      asset_bought = AssetRef("credit_alphanum4", "USD",
+        graft.codec.Strkey.encodeAccountId(k32(3))))
+    // the op carries an EXPLICIT source that is itself an M-address —
+    // the reference's operation.SourceAccount() is this op-level muxed
+    // account, and the tx-level pair (id 42) must NOT leak through
+    val op = mkOp(3).copy(claim_atoms = Seq(atom),
+      source_key = Some(k32(7)), source_muxed_id = Some(99L))
+    val opM = graft.codec.Strkey.encodeMuxed(k32(7), 99L)
+
+    val rows = {
+      val tx = TxModel(
+        hash_hex = "ab" * 32, source_key = k32(1),
+        source_muxed_id = Some(42L),
+        account_sequence = 1L, max_fee = 100L, fee_charged = 100L,
+        successful = true, result_code = "TransactionResultCodeTxSuccess",
+        memo_type = "none", memo_text = None, memo_id = None, memo_hash = None,
+        time_min = None, time_max = None, ledger_min = None, ledger_max = None,
+        envelope_b64 = "", result_b64 = "", meta_b64 = "", fee_meta_b64 = "",
+        signers = Nil, operations = Seq(op))
+      val l = LedgerRow(
+        sequence = 5000L, ledger_hash = k32(2), previous_ledger_hash = k32(3),
+        header_b64 = "",
+        closed_at = java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        total_coins = 0L, fee_pool = 0L, base_fee = 100L,
+        base_reserve = 5000000L, max_tx_set_size = 100L, protocol_version = 21L,
+        soroban_fee_write_1kb = 0L, node_id_key = k32(4), signature = k32(5),
+        bucket_list_size = 0L, transactions = Seq(tx))
+      StellarTradesEffects.historyEffects(Seq(l).toDS())
+        .selectExpr("type", "address", "address_muxed",
+          "to_json(details) AS details")
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          Option(r.getString(2)), r.getString(3)))
+    }
+    val trades = rows.filter(_._1 == 33)
+    // the row addressed to the ATOM's seller labels its counterparty (the
+    // op source) "seller" and must carry the op-level muxed pair
+    val sellerSide = trades.filter(_._4.contains("seller_muxed"))
+    assert(sellerSide.nonEmpty, trades.mkString("\n"))
+    sellerSide.foreach { case (_, addr, addrMuxed, d) =>
+      assert(d.contains("\"seller_muxed\":\"" + opM + "\""), d)
+      assert(d.contains("\"seller_muxed_id\":99"), d)
+      assert(addr == graft.codec.Strkey.encodeAccountId(k32(9)))
+      assert(addrMuxed.isEmpty, s"atom seller is unmuxed, got $addrMuxed")
+    }
+    // every effect addressed to the op source carries the op-level
+    // M-address as address_muxed (the addMuxed arm)
+    val srcAddressed = rows.filter(_._2 ==
+      graft.codec.Strkey.encodeAccountId(k32(7)))
+    assert(srcAddressed.nonEmpty, rows.mkString("\n"))
+    srcAddressed.foreach { case (_, _, addrMuxed, _) =>
+      assert(addrMuxed.contains(opM), s"address_muxed=$addrMuxed")
+    }
+    // nothing anywhere renders the tx-level pair
+    val txM = graft.codec.Strkey.encodeMuxed(k32(1), 42L)
+    assert(rows.forall { case (_, _, am, d) =>
+      !d.contains(txM) && !d.contains("\"seller_muxed_id\":42") &&
+        !am.contains(txM)
+    }, rows.mkString("\n"))
+  }
+
   test("liquidity_pool details carry total_trustlines when the change has " +
       "the pool entry's count") {
     val op = mkOp(22).copy(pool_id = Some(k32(7)), changes = Seq(

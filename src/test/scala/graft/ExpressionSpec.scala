@@ -96,6 +96,62 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PQ/IVF native family matches an independent scalar replay " +
+      "(pq_encode / pq_lut / pq_adc_dist / l2_argmin / l2_probe_cells)") {
+    import spark.implicits._
+    val m = 4; val codewords = 8; val dsub = 4; val dim = m * dsub
+    val nCells = 8; val nprobe = 3
+    // deterministic pseudo-random long vectors (hash-derived, sign-mixed)
+    def vec(i: Int): Seq[Long] =
+      (0 until dim).map(d => ((i * 31 + d * 17) % 97) - 48L)
+    val cb: Seq[Seq[Long]] = (0 until codewords).map(vec) // codebook seeds
+    val cent: Seq[Seq[Long]] = (100 until 100 + nCells).map(vec)
+    val cbFlat = (0 until m).flatMap(s =>
+      cb.map(_.slice(s * dsub, (s + 1) * dsub))).flatten.toArray
+    val centFlat = cent.flatten.toArray
+
+    // independent scalar laws (no ArrayData, no HOFs)
+    def subDist(v: Seq[Long], s: Int, j: Int): Long =
+      (0 until dsub).map { i =>
+        val d = v(s * dsub + i) - cb(j)(s * dsub + i); d * d
+      }.sum
+    def encode(v: Seq[Long]): Seq[Int] =
+      (0 until m).map(s => (0 until codewords).minBy(j => (subDist(v, s, j), j)))
+    def lutOf(v: Seq[Long]): Seq[Seq[Long]] =
+      (0 until m).map(s => (0 until codewords).map(j => subDist(v, s, j)))
+    def l2(v: Seq[Long], c: Seq[Long]): Long =
+      v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    def argmin(v: Seq[Long]): Long =
+      (0 until nCells).minBy(c => (l2(v, cent(c)), c)).toLong
+    def probes(v: Seq[Long]): Seq[Long] =
+      (0 until nCells).sortBy(c => (l2(v, cent(c)), c)).take(nprobe).map(_.toLong)
+
+    val rows = (0 until 500).map(i => (i.toLong, vec(i + 7)))
+    val df = rows.toDF("id", "v").select(col("id"),
+      col("v"),
+      GraftFunctions.pqEncode(col("v"), cbFlat, m, codewords).as("codes"),
+      GraftFunctions.pqLut(col("v"), cbFlat, m, codewords).as("lut"),
+      GraftFunctions.longL2Argmin(col("v"), centFlat, nCells).as("cell"),
+      GraftFunctions.l2ProbeCells(col("v"), centFlat, nCells, nprobe).as("pc"))
+      .withColumn("adc",
+        GraftFunctions.pqAdcDist(col("codes"), col("lut")))
+    df.collect().foreach { r =>
+      val v = r.getSeq[Long](1)
+      val codes = r.getSeq[Int](2)
+      val lut = r.getSeq[Seq[Long]](3)
+      assert(codes == encode(v), s"codes for $v")
+      assert(lut == lutOf(v), s"lut for $v")
+      assert(r.getLong(4) == argmin(v), s"cell for $v")
+      assert(r.getSeq[Long](5) == probes(v), s"probes for $v")
+      // adc of a row against its OWN lut = sum of its min sub-distances
+      val expAdc = (0 until m).map(s => subDist(v, s, codes(s))).sum
+      assert(r.getLong(6) == expAdc, s"adc for $v")
+    }
+    // the whole family stays inside whole-stage codegen
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+  }
+
   test("type mismatch is rejected at analysis time") {
     import spark.implicits._
     val df = Seq(1L).toDF("n")

@@ -306,6 +306,40 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits >= 2, s"recall@5 too low: $hits/5")
   }
 
+  test("IVF×PQ: full probe equals plain PQ ADC; pruned probes are a " +
+      "subset of the ADC relation with identical distances") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "adc_dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    // same codebook seed law (lowest-id rows) ⇒ probing ALL cells must
+    // reproduce the un-routed PQ ADC top-k EXACTLY, rank for rank
+    val pq = tuples(Similarity.pqTopKExact(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, m = 8, codewords = 16))
+    val full = tuples(Similarity.ivfPqTopKExact(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, nCells = 16, nprobe = 16,
+      m = 8, codewords = 16))
+    assert(full == pq, "full-probe IVF×PQ must equal plain PQ ADC")
+    // pruning: every returned pair must exist in the complete ADC relation
+    // with the SAME distance (the router prunes candidates, never rescores)
+    val complete = Similarity.pqTopKExact(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 100000, m = 8, codewords = 16)
+      .select("query_id", "neighbor_id", "adc_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pruned = Similarity.ivfPqTopKExact(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, nCells = 16, nprobe = 2,
+      m = 8, codewords = 16)
+    val prunedRows = pruned.select("query_id", "neighbor_id", "adc_dist")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(prunedRows.nonEmpty)
+    prunedRows.foreach { case (k2, adc) =>
+      assert(complete.get(k2).contains(adc), s"pair $k2 adc drifted")
+    }
+  }
+
   test("IVF top-k: probing more cells recovers the brute-force top-1") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -41,6 +41,11 @@ def embedding(i):
 
 
 def quant(emb):
+    # floor(v*10000+0.5) replays Spark's HALF_UP round ONLY for v >= 0
+    # (floor(-1.5+0.5) = -1, HALF_UP = -2); the grid-luminance and RMS
+    # feature laws are non-negative by construction — fail loudly if a
+    # future signed feature law lands here instead of diverging silently.
+    assert all(v >= 0 for v in emb), "quant() requires non-negative features"
     return [int(np.floor(np.float64(v) * 10000 + 0.5)) for v in emb]
 
 
