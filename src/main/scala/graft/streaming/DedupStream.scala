@@ -40,12 +40,18 @@ object DedupStream {
   case class BandRow(band_hash: Long, doc_id: Long,
       ts: java.sql.Timestamp, sig: Seq[Long])
 
-  /** Per-bucket state: the bucket's FIRST document (the canonical owner)
-    * and its full MinHash signature, so later arrivals verify against the
-    * owner WITHOUT a join — the signature-agreement fraction is the
-    * standard MinHash Jaccard estimate. */
-  case class BucketState(owner_id: Long, owner_ts: java.sql.Timestamp,
+  /** One held owner: a document this bucket saw within the horizon, with
+    * its full MinHash signature so arrivals verify against it WITHOUT a
+    * join. */
+  case class BucketOwner(owner_id: Long, owner_ts: java.sql.Timestamp,
       sig: Seq[Long])
+
+  /** Per-bucket state: the last `ownerCap` documents that entered the
+    * bucket, oldest first. A capped LIST (not the single first-owner) so a
+    * B/C near-dup pair is still visible in a bucket an unrelated A opened
+    * first — the single-owner variant missed every pair whose shared
+    * buckets were all owned by third documents. */
+  case class BucketState(owners: Seq[BucketOwner])
 
   /** One band-level candidate: `owner_id` is None when this doc opened the
     * bucket; `sig_agree` counts matching signature components out of
@@ -58,20 +64,34 @@ object DedupStream {
     * each arriving document is checked ONCE, on arrival, against keyed
     * per-bucket state instead of re-shuffling the corpus every run.
     *
-    * Scale shape: state keeps ONE (owner id, 16-long signature) entry per
-    * distinct band bucket seen within the watermark horizon, partitioned by
-    * the shuffle on `band_hash`; event-time timeout EVICTS buckets past the
-    * horizon, so state is bounded by rate × horizon × bands, not corpus
-    * size. Verification is signature-agreement (the MinHash estimate) read
-    * straight from state — no candidate join, no second pass over text.
-    * Emits `bands` rows per doc; resolve per-doc with [[resolveNearDups]]
-    * (e.g. in `foreachBatch`, the repo's sessionize→pack idiom). */
+    * Scale shape: state keeps at most `ownerCap` (owner id, 16-long
+    * signature) entries per distinct band bucket seen within the watermark
+    * horizon, partitioned by the shuffle on `band_hash`; event-time timeout
+    * plus per-batch aging EVICT owners past the horizon, so state is
+    * bounded by rate × horizon × bands × ownerCap, not corpus size.
+    * Verification is signature-agreement (the MinHash estimate) against
+    * EVERY held owner — no candidate join, no second pass over text.
+    *
+    * Recall bound vs the batch pass: [[Dedup.minHashLsh]] sees every
+    * co-bucketed pair; the stream sees a pair (A, B) iff A is still among
+    * the bucket's `ownerCap` newest entries when B arrives — a pair is
+    * missed only when ≥ ownerCap other documents entered EVERY bucket the
+    * pair shares between the two arrivals (oldest-first eviction), or when
+    * B arrives more than `horizon` after A (the documented dedup-visibility
+    * contract, same as exact dedup). Emits up to `bands × ownerCap` rows
+    * per doc; resolve per-doc with [[resolveNearDups]] (e.g. in
+    * `foreachBatch`, the repo's sessionize→pack idiom). */
   def nearDupCandidates(docs: DataFrame, textCol: String, idCol: String,
       tsCol: String, horizon: String = "10 minutes", shingleSize: Int = 3,
-      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 2, ownerCap: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val numHashes = bands * rowsPerBand
+    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .getDuration(
+        org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(horizon)),
+        java.util.concurrent.TimeUnit.MILLISECONDS)
     val banded = docs
       .withWatermark(tsCol, horizon)
       .select(col(idCol).cast("long").as("doc_id"),
@@ -89,30 +109,45 @@ object DedupStream {
       .flatMapGroupsWithState[BucketState, BandCandidate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (_, rows, state: GroupState[BucketState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
+          if (state.hasTimedOut) {
+            // fires once the watermark passes newest-owner ts + horizon ⇒
+            // every held owner has aged out
+            state.remove(); Iterator.empty
+          } else {
+            val watermark = state.getCurrentWatermarkMs()
             // deterministic within-batch order: event time, then id
             val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
             val out = Seq.newBuilder[BandCandidate]
-            var cur = state.getOption
+            // age out owners the batch-dedup contract no longer matches
+            // (arrivals > horizon after them are forwarded anyway)
+            var owners = state.getOption.map(_.owners).getOrElse(Seq.empty)
+              .filter(_.owner_ts.getTime + horizonMs > watermark)
             sorted.foreach { r =>
-              cur match {
-                case None =>
-                  cur = Some(BucketState(r.doc_id, r.ts, r.sig))
+              if (!owners.exists(_.owner_id == r.doc_id)) { // re-keyed self
+                if (owners.isEmpty)
                   out += BandCandidate(r.doc_id, r.ts, None, 0, r.sig.size)
-                case Some(st) if st.owner_id == r.doc_id => // same doc re-keyed
-                case Some(st) =>
-                  val agree = st.sig.iterator.zip(r.sig.iterator)
+                else owners.foreach { o =>
+                  val agree = o.sig.iterator.zip(r.sig.iterator)
                     .count { case (a, b) => a == b }
-                  out += BandCandidate(r.doc_id, r.ts, Some(st.owner_id),
+                  out += BandCandidate(r.doc_id, r.ts, Some(o.owner_id),
                     agree, r.sig.size)
+                }
+                // append as an owner; oldest-first eviction at the cap
+                owners = (owners :+ BucketOwner(r.doc_id, r.ts, r.sig))
+                  .takeRight(ownerCap)
               }
             }
-            cur.foreach { st =>
-              state.update(st)
-              // evict once the watermark passes owner ts + horizon
-              state.setTimeoutTimestamp(st.owner_ts.getTime + 1, horizon)
-            }
+            if (owners.nonEmpty) {
+              state.update(BucketState(owners))
+              // evict once the watermark passes the newest owner + horizon;
+              // clamp the base above the current watermark — re-arming from
+              // a stale owner ts below the watermark throws in Spark ≥3.x
+              // ("Timeout timestamp cannot be earlier than watermark") and
+              // would wedge the stream on restart replay
+              state.setTimeoutTimestamp(
+                math.max(owners.map(_.owner_ts.getTime).max + 1,
+                  watermark + 1), horizon)
+            } else if (state.exists) state.remove()
             out.result().iterator
           }
       }

@@ -258,6 +258,85 @@ object BenchScale {
       rows += (("media_pixel_pipeline (imgs/s)", full1, fullN))
     }
 
+    // ---- streaming near-dup: state bounded by rate × horizon × bands ----
+    // Feeds a MemoryStream at a fixed rate (perBatch docs every 5 event-
+    // minutes, horizon 10 min) with hot dup groups of 10 (> ownerCap, so
+    // the cap is exercised), and reads the state-store row count from the
+    // query progress after every trigger. Invariants:
+    //   - peak state rows ≤ bands × (docs inside horizon + 2 batches slack)
+    //     — state tracks the WINDOW, not the corpus;
+    //   - per-trigger output ≤ docs × bands × ownerCap (the documented
+    //     emission bound);
+    //   - after the watermark jumps far ahead, eviction collapses state to
+    //     the tail batches — the rate × horizon bound is real, not a
+    //     monotone leak.
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val bands = 8; val cap = 4
+      val perBatch = 300 * factor
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-scale-stream").toString
+      val cands = graft.streaming.DedupStream.nearDupCandidates(
+        ms.toDF().toDF("doc_id", "text", "event_ts"),
+        "text", "doc_id", "event_ts", horizon = "10 minutes",
+        bands = bands, rowsPerBand = 2, ownerCap = cap)
+      val outCount = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = cands.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          // ADD, don't set: processAllAvailable also runs a trailing
+          // no-data batch (timeout processing) whose frame is empty
+          outCount.addAndGet(df.count()); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      def batch(i: Int, n: Int, atMin: Int): (Long, Long, Double) = {
+        // groups of 10 near-identical docs (30 shared + 3 distinct tokens,
+        // Jaccard ≈ 0.87), vocabulary disjoint per batch
+        val docs = (0 until n).map { j =>
+          val core = (0 until 30).map(t => s"b${i}_g${j / 10}_w$t")
+          val tail = (0 until 3).map(t => s"b${i}_d${j}_t$t")
+          ((i.toLong << 32) + j, (core ++ tail).mkString(" "), ts(atMin))
+        }
+        ms.addData(docs)
+        outCount.set(0L)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val p = q.lastProgress
+        (p.stateOperators.apply(0).numRowsTotal, outCount.get(), sec)
+      }
+      var peak = 0L
+      for (i <- 0 until 6) {
+        val (stateRows, outRows, sec) = batch(i, perBatch, i * 5)
+        peak = math.max(peak, stateRows)
+        println(f"[scale] stream batch $i: state=$stateRows%,d rows, " +
+          f"out=$outRows%,d, $sec%.2f s")
+        require(outRows <= perBatch.toLong * bands * cap,
+          s"emission bound violated: $outRows > docs*bands*cap")
+      }
+      // horizon/step = 2 batches in-window; watermark lags one batch and
+      // timeouts fire the batch after — allow 2 batches of slack
+      val peakBound = bands.toLong * perBatch * 4
+      println(f"[scale] stream peak state $peak%,d rows (bound $peakBound%,d)")
+      require(peak <= peakBound,
+        s"state bound violated: peak $peak > bands*docsInWindow = $peakBound")
+      // jump the clock 3 h ahead: first batch advances the watermark, the
+      // second lets timeout processing evict everything aged out
+      val small = 50
+      batch(98, small, 180)
+      val (finalState, _, _) = batch(99, small, 181)
+      println(f"[scale] stream state after far-future jump: $finalState%,d " +
+        f"rows (tail bound ${bands.toLong * small * 2 * 2}%,d)")
+      require(finalState <= bands.toLong * small * 2 * 2,
+        s"eviction failed: $finalState rows remain after the horizon passed")
+      q.stop()
+      rows += (("stream_neardup_state (peak rows)", peak.toDouble,
+        finalState.toDouble))
+    }
+
     println("\n| operator | 1x sec | " + factor + "x sec | ratio |")
     println("|---|---|---|---|")
     rows.foreach { case (l, a, b) =>

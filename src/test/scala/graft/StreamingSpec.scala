@@ -244,6 +244,117 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchPairs == Set((1L, 3L)), s"batch=$batchPairs")
   }
 
+  test("streaming near-dup multi-owner state: a B/C pair in a bucket " +
+      "opened by A is still found (A-then-B-then-C)") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-abc-landing").toString
+    val ckpt = Files.createTempDirectory("graft-abc-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-abc-out").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+    // three MUTUAL near-dups arriving in order: A opens every shared
+    // bucket, so a single-owner state would only ever report B and C
+    // against A — the pair (B, C) the batch pass finds would be invisible
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight"
+    val a = base + " alpha"
+    val b = base + " beta"
+    val c = base + " gamma"
+    Seq((1L, a, ts(0))).toDF("doc_id", "text", "event_ts")
+      .write.mode("append").parquet(landing)
+    Thread.sleep(60)
+    Seq((2L, b, ts(1))).toDF("doc_id", "text", "event_ts")
+      .write.mode("append").parquet(landing)
+    Thread.sleep(60)
+    Seq((3L, c, ts(2))).toDF("doc_id", "text", "event_ts")
+      .write.mode("append").parquet(landing)
+
+    // precondition: the BATCH pass finds (2,3) as a pair on this corpus
+    val batchPairs = graft.operators.Dedup.minHashLsh(
+        Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"),
+        "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.contains((2L, 3L)), s"planted corpus drifted: $batchPairs")
+
+    val schemaSource = spark.read.parquet(landing)
+    val stream = spark.readStream.schema(schemaSource.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val cands = graft.streaming.DedupStream.nearDupCandidates(
+      stream, "text", "doc_id", "event_ts", horizon = "10 minutes")
+    cands.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir)
+      }
+      .start().awaitTermination(120000)
+
+    val got = spark.read.parquet(outDir)
+      .where(col("owner_id").isNotNull)
+      .select(col("doc_id"), col("owner_id"),
+        col("sig_agree").cast("double") / col("sig_len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // C must have been verified against owner B (not only against A) with
+    // a near-dup-grade agreement — the multi-owner fix
+    assert(got.exists { case (d, o, est) => d == 3L && o == 2L && est >= 0.5 },
+      s"missing (3 vs owner 2): ${got.mkString(", ")}")
+    // and the single-owner behavior is still there too: B and C vs A
+    assert(got.exists { case (d, o, est) => d == 2L && o == 1L && est >= 0.5 })
+    assert(got.exists { case (d, o, est) => d == 3L && o == 1L && est >= 0.5 })
+  }
+
+  test("streaming near-dup survives the watermark passing an owner's " +
+      "horizon in a batch that also delivers bucket data (timeout clamp)") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-clamp-landing").toString
+    val ckpt = Files.createTempDirectory("graft-clamp-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-clamp-out").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+    val base = "some repeated corpus text that lands in stable minhash " +
+      "buckets across identical copies of itself tonight"
+    // batch 1: A opens its buckets at t=0 (timeout armed ~ t=10m)
+    Seq((1L, base, ts(0))).toDF("doc_id", "text", "event_ts")
+      .write.mode("append").parquet(landing)
+    Thread.sleep(60)
+    // batch 2: unrelated F at t=40m → watermark after the batch = 30m,
+    // far past A's owner_ts + horizon, WITHOUT touching A's buckets
+    Seq((2L, "entirely unrelated filler vocabulary advancing the clock",
+        ts(40))).toDF("doc_id", "text", "event_ts")
+      .write.mode("append").parquet(landing)
+    Thread.sleep(60)
+    // batch 3: R is a byte-identical twin of A (same buckets) at t=41m —
+    // A's bucket group gets DATA while its stored owner ts is below the
+    // watermark; the un-clamped re-arm threw
+    // "Timeout timestamp cannot be earlier than the current watermark"
+    // and wedged the stream
+    Seq((3L, base, ts(41))).toDF("doc_id", "text", "event_ts")
+      .write.mode("append").parquet(landing)
+
+    val schemaSource = spark.read.parquet(landing)
+    val stream = spark.readStream.schema(schemaSource.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val cands = graft.streaming.DedupStream.nearDupCandidates(
+      stream, "text", "doc_id", "event_ts", horizon = "10 minutes")
+    val q = cands.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+
+    // A aged past the horizon before R arrived ⇒ R re-opens the buckets
+    // fresh (the documented dedup-visibility contract): no owner pairing
+    val rRows = spark.read.parquet(outDir).where(col("doc_id") === 3L)
+    assert(rRows.count() > 0)
+    assert(rRows.where(col("owner_id").isNotNull).count() == 0,
+      "R must not pair against an owner older than the horizon")
+  }
+
   test("streaming sessionize -> pack pipeline: incremental cohorts match the batch path") {
     import spark.implicits._
     val landing = Files.createTempDirectory("graft-train-landing").toString
