@@ -238,14 +238,18 @@ object Similarity {
       codebooks: Seq[Seq[Seq[Long]]], codes: DataFrame)
 
   /** Build the PQ index. Codebook law mirrors the IVF one: per subspace,
-    * the codewords are the subvectors of the `codewords` lowest-id
-    * quantized corpus vectors (documented deterministic seed — at 100 TB
-    * you would Lloyd-refine per subspace; the assignment/search relations
-    * below are unchanged by better codebooks). Encoding is intra-row: per
-    * subspace a strict-< earliest-wins integer-L2 argmin fold over the
-    * broadcast codeword literals — map-only, no shuffle, codegen'd. */
+    * the codewords SEED from the subvectors of the `codewords` lowest-id
+    * quantized corpus vectors (documented deterministic), optionally
+    * Lloyd-refined per subspace (`lloydIters` > 0 —
+    * [[refinePqCodebooksExact]]; the assignment/search relations are
+    * unchanged by better codebooks, only the codeword constants move).
+    * Encoding is intra-row: per subspace a strict-< earliest-wins
+    * integer-L2 argmin over the reference-object codebooks
+    * ([[graft.plans.PqEncodeExpression]]) — map-only, no shuffle,
+    * codegen'd. */
   def buildPqIndexExact(corpus: DataFrame, corpusId: String,
-      corpusVec: String, m: Int = 8, codewords: Int = 16): PqIndexExact = {
+      corpusVec: String, m: Int = 8, codewords: Int = 16,
+      lloydIters: Int = 0): PqIndexExact = {
     val e = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
       quantLong(col(corpusVec)).as("v"))
     // bounded driver table: `codewords` rows (the codebook seed), like the
@@ -260,12 +264,57 @@ object Similarity {
     val dim = cbRows.head.length
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val codebooks = (0 until m).map(s => cbRows.map(_.slice(s * dsub, (s + 1) * dsub)))
+    val seed = (0 until m).map(s => cbRows.map(_.slice(s * dsub, (s + 1) * dsub)))
+    val codebooks =
+      if (lloydIters <= 0) seed
+      else refinePqCodebooksExact(e, seed, m, dsub, lloydIters)
     val cbFlat = codebooks.flatMap(_.flatten).toArray
     PqIndexExact(m, dsub, codebooks,
       e.select(col("neighbor_id"),
         graft.functions.GraftFunctions.pqEncode(
           col("v"), cbFlat, m, codebooks.head.size).as("codes")))
+  }
+
+  /** Lloyd-refine PQ codebooks, DataFrame-only (the per-subspace analog of
+    * [[kMeansCentroids]]): each iteration encodes the corpus with the
+    * current books (the native [[graft.plans.PqEncodeExpression]] — one
+    * map-only pass), posexplodes the assigned subvectors and reduces to
+    * per-(subspace, codeword, dim) exact Long sums + counts — ONE shuffle
+    * per iteration whose output is at most m × codewords × dsub rows, so
+    * the per-iter driver collect is bounded by the codebook, never the
+    * corpus. New codeword component = `Math.round(sum/count)` (floor(x+½)
+    * over an exact-integer ratio — deterministic across runs);
+    * codewords that attracted no vectors keep their previous value, like
+    * the IVF k-means' empty cells. */
+  def refinePqCodebooksExact(e: DataFrame, seed: Seq[Seq[Seq[Long]]],
+      m: Int, dsub: Int, iters: Int): Seq[Seq[Seq[Long]]] = {
+    var cbs = seed
+    for (_ <- 1 to iters) {
+      val cbFlat = cbs.flatMap(_.flatten).toArray
+      val stats = e
+        .select(col("v"),
+          posexplode(graft.functions.GraftFunctions.pqEncode(
+            col("v"), cbFlat, m, cbs.head.size)).as(Seq("s", "j")))
+        .select(col("s"), col("j"),
+          posexplode(slice(col("v"), col("s") * dsub + 1, lit(dsub)))
+            .as(Seq("d", "x")))
+        .groupBy("s", "j", "d")
+        .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+          (r.getLong(3), r.getLong(4))).toMap
+      cbs = cbs.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.map { case (cw, j) =>
+          (0 until dsub).map { d =>
+            stats.get((s, j, d)) match {
+              case Some((sx, c)) => Math.round(sx.toDouble / c)
+              case None => cw(d) // empty codeword keeps its value
+            }
+          }
+        }
+      }
+    }
+    cbs
   }
 
   /** Asymmetric-distance (ADC) search over a PQ index: each query builds
@@ -302,9 +351,10 @@ object Similarity {
   def pqTopKExact(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, m: Int = 8, codewords: Int = 16): DataFrame =
+      k: Int, m: Int = 8, codewords: Int = 16,
+      lloydIters: Int = 0): DataFrame =
     searchPqIndexExact(
-      buildPqIndexExact(corpus, corpusId, corpusVec, m, codewords),
+      buildPqIndexExact(corpus, corpusId, corpusVec, m, codewords, lloydIters),
       queries, queryId, queryVec, k)
 
   /** IVF×PQ — the composed scale path the PQ scaladoc promises: the IVF
