@@ -5,15 +5,17 @@ package graft
   * The pipeline runs REAL JDK codecs over planted media
   * (`operators/MultimodalFixtures.scala`): `javax.imageio` PNG encode →
   * decode → exact nearest-neighbor resample → pixel-read grid-luminance
-  * embedding → exact-integer `bruteForceTopKExact` ANN. Because every
-  * planted pixel is a pure formula of `media_id` and the PNG path is
+  * embedding for images, `javax.sound.sampled` PCM decode → time-windowed
+  * energy embedding for WAVs, then the exact-integer `bruteForceTopKExact`
+  * ANN over the union. Because every planted pixel AND every planted PCM
+  * sample is a pure formula of `media_id` and both container paths are
   * lossless, the expected output is a computable constant derived
-  * INDEPENDENTLY of the engine (and of any image library) by
-  * `tools/golden_multimodal.py` — a numpy replay of the pixel, resample,
-  * feature and ANN laws. A hash match therefore proves the JDK codec path
-  * reproduced the planted media exactly, end to end. Regenerate with
-  * `python3 tools/golden_multimodal.py` if a fixture or codec law changes.
-  */
+  * INDEPENDENTLY of the engine (and of any image/audio library) by
+  * `tools/golden_multimodal.py` — a numpy replay of the pixel, sample,
+  * resample, feature and ANN laws. A hash match therefore proves the JDK
+  * codec paths reproduced the planted media exactly, end to end.
+  * Regenerate with `python3 tools/golden_multimodal.py` if a fixture or
+  * codec law changes. */
 object MultimodalGolden {
   val pipelineOracleSql: String =
     """SELECT * FROM (VALUES
@@ -26,6 +28,9 @@ object MultimodalGolden {
       |  (2::BIGINT, 6::BIGINT, 1::INT, 98962977::BIGINT, 99995929::BIGINT),
       |  (2::BIGINT, 36::BIGINT, 2::INT, 98770556::BIGINT, 99998425::BIGINT),
       |  (2::BIGINT, 26::BIGINT, 3::INT, 98561013::BIGINT, 99990904::BIGINT),
+      |  (3::BIGINT, 20::BIGINT, 1::INT, 79116470::BIGINT, 99999770::BIGINT),
+      |  (3::BIGINT, 7::BIGINT, 2::INT, 78354198::BIGINT, 99995197::BIGINT),
+      |  (3::BIGINT, 8::BIGINT, 3::INT, 78222926::BIGINT, 100001990::BIGINT),
       |  (5::BIGINT, 27::BIGINT, 1::INT, 98103803::BIGINT, 99994892::BIGINT),
       |  (5::BIGINT, 16::BIGINT, 2::INT, 97495018::BIGINT, 100009231::BIGINT),
       |  (5::BIGINT, 31::BIGINT, 3::INT, 97119167::BIGINT, 99998342::BIGINT),

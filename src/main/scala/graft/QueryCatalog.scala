@@ -2178,15 +2178,17 @@ object QueryCatalog {
       }),
 
     Q("x_multimodal_pipeline",
-      // the full media path — REAL javax.imageio decode gate, exact
-      // nearest-neighbor resize with lossless PNG re-encode, grid-luminance
-      // features off real pixels, exact-integer ANN — over planted
-      // formula-patterned media (MultimodalFixtures.pipelineRow: WAVs drop
-      // at the resize gate, unrecognized bytes at the decode gate). The
+      // the full media path — REAL javax.imageio / javax.sound decode
+      // gates, exact nearest-neighbor resize with lossless PNG re-encode
+      // for images, grid-luminance features off real pixels, time-windowed
+      // PCM energy features off real WAV samples, exact-integer ANN over
+      // the union — over planted formula media (MultimodalFixtures
+      // .pipelineRow: images ride decode→resize→features, WAVs ride
+      // decode→features, unrecognized bytes drop at the decode gate). The
       // oracle is the golden output of an independent numpy replay of the
-      // planted-pixel / resample / feature / ANN laws
+      // planted-pixel / planted-sample / resample / feature / ANN laws
       // (tools/golden_multimodal.py); every column is an exact integer, so
-      // the row set is hash-stable and a match proves the JDK codec path
+      // the row set is hash-stable and a match proves the JDK codec paths
       // reproduced the planted media end to end.
       Some(MultimodalGolden.pipelineOracleSql),
       (s, dir) => {
@@ -2195,18 +2197,28 @@ object QueryCatalog {
         // decode gate: only rows a real codec accepts continue
         val okIds = Multimodal.decode(media).toDF()
           .where(col("decode_ok")).select("media_id")
-        val gated = media.toDF().join(broadcast(okIds), "media_id")
+        val gated = Multimodal.binaryMetadata(
+          media.toDF().join(broadcast(okIds), "media_id"), "bytes")
+        def rows(df: org.apache.spark.sql.DataFrame) = df
           .select(col("media_id"), col("mime"), col("bytes"))
           .as[Multimodal.MediaRow]
-        // resize to a fixed thumbnail (real pixel resample + PNG re-encode),
-        // then embed the RESIZED payload's real pixels
-        val resized = Multimodal.resize(gated, 64, 64).toDF()
+        // images: real pixel resample + PNG re-encode, then embed the
+        // RESIZED payload's real pixels
+        val resized = Multimodal.resize(
+            rows(gated.where(col("sniffed_mime") =!= "audio/wav")),
+            64, 64).toDF()
           .where(col("resize_ok"))
           .select(col("media_id"), col("mime"),
             col("resized_bytes").as("bytes"))
           .as[Multimodal.MediaRow]
-        val feats = Multimodal.extractFeatures(resized, dim = 16).toDF()
+        val imgFeats = Multimodal.extractFeatures(resized, dim = 16).toDF()
           .where(col("feature_ok"))
+        // audio: time-windowed PCM energy off the real decoded samples
+        val wavFeats = Multimodal.extractFeatures(
+            rows(gated.where(col("sniffed_mime") === "audio/wav")),
+            dim = 16).toDF()
+          .where(col("feature_ok"))
+        val feats = imgFeats.unionByName(wavFeats)
         val queries = feats.where(col("media_id") < 7)
           .select(col("media_id").as("qid"), col("embedding").as("qvec"))
         Similarity.bruteForceTopKExact(

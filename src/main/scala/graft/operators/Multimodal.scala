@@ -25,11 +25,12 @@ import org.apache.spark.sql.functions._
   *     nearest-neighbor law (`src_x = dst_x * src_w / dst_w`, integer floor)
   *     before lossless PNG re-encode, so downstream results are
   *     bit-reproducible across JVMs and replayable by an independent oracle.
-  *   - [[extractFeatures]] reads real pixels and emits an L2-normalized
-  *     grid-luminance embedding whose pre-normalization cell values are
-  *     exact Long sums of `r+g+b` — integer-exact up to the single float
-  *     boundary the ANN quantizer ([[Similarity.bruteForceTopKExact]])
-  *     already absorbs.
+  *   - [[extractFeatures]] reads real decoded samples and emits an
+  *     L2-normalized embedding per modality under ONE exact law — images: a
+  *     grid-luminance profile (Long sums of `r+g+b` per grid cell); 16-bit
+  *     PCM WAV: a time-windowed energy profile (Long sums of `sample²` per
+  *     window) — integer-exact up to the single float boundary the ANN
+  *     quantizer ([[Similarity.bruteForceTopKExact]]) already absorbs.
   *
   * Containers the JDK cannot decode (video, unknown formats) and corrupt
   * payloads land on the error channel (`*_ok = false` + message), never a
@@ -234,14 +235,66 @@ object Multimodal {
     sums
   }
 
+  /** Per-window PCM energy sums of a 16-bit WAV — the audio analog of
+    * [[gridLuminance]]: frame f lands in window `f·dim/frames` (the same
+    * integer-floor partition law as the pixel grid) and contributes
+    * `sample²` per channel as an exact Long. Only PCM_SIGNED 16-bit payloads
+    * qualify (the RIFF/WAVE norm); anything else → None (error channel). */
+  private[graft] def audioEnergy(bytes: Array[Byte], dim: Int): Option[Array[Long]] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val channels = fmt.getChannels
+          val frameSize = fmt.getFrameSize // channels × 2 bytes
+          val data = in.readAllBytes()
+          val frames = data.length / frameSize
+          if (frames == 0) None
+          else {
+            val bb = java.nio.ByteBuffer.wrap(data).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val sums = new Array[Long](dim)
+            var f = 0
+            while (f < frames) {
+              val w = f * dim / frames
+              var c = 0
+              while (c < channels) {
+                val s = bb.getShort(f * frameSize + c * 2).toLong
+                sums(w) += s * s
+                c += 1
+              }
+              f += 1
+            }
+            Some(sums)
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   case class MediaFeatures(media_id: Long, mime: String,
       embedding: Array[Float], feature_ok: Boolean, error: String)
 
-  /** Feature-extraction over REAL pixels: decode, partition into a √dim ×
-    * √dim grid, sum `r+g+b` per cell (exact Longs), L2-normalize. The
-    * embedding composes with the ANN operators ([[Similarity]]) and dedup
+  private def normalized(sums: Array[Long]): Array[Float] = {
+    val norm = math.sqrt(sums.map(s => s.toDouble * s.toDouble).sum)
+    if (norm == 0) sums.map(_.toFloat) else sums.map(s => (s / norm).toFloat)
+  }
+
+  /** Feature-extraction over REAL decoded samples, one embedding space per
+    * modality under the same exact law (non-negative Long sums over an
+    * integer-floor partition → L2-normalize):
+    *   - images: √dim × √dim grid-luminance cells, Σ(r+g+b) per cell
+    *     ([[gridLuminance]]; `dim` must be a square);
+    *   - 16-bit PCM WAV: `dim` time windows, Σ sample² per window over all
+    *     channels ([[audioEnergy]] — the energy/RMS profile).
+    * Embeddings compose with the ANN operators ([[Similarity]]) and dedup
     * ([[Dedup.cosineDupPairs]]); the only float boundary is the final
-    * normalize, which the ANN quantizer absorbs. `dim` must be a square. */
+    * normalize, which the ANN quantizer absorbs. Non-decodable payloads
+    * ride the error channel. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     val grid = math.sqrt(dim.toDouble).toInt
     require(grid * grid == dim, s"dim must be a perfect square, got $dim")
@@ -252,18 +305,23 @@ object Multimodal {
         if (r.bytes.isEmpty)
           MediaFeatures(r.media_id, r.mime, Array.empty[Float],
             feature_ok = false, error = "empty payload")
+        else if (sniff(r.bytes) == "wav") audioEnergy(r.bytes, dim) match {
+          case Some(sums) =>
+            MediaFeatures(r.media_id, r.mime, normalized(sums),
+              feature_ok = true, error = null)
+          case None =>
+            MediaFeatures(r.media_id, r.mime, Array.empty[Float],
+              feature_ok = false, error = "not a decodable 16-bit PCM wav")
+        }
         else readPixels(r.bytes) match {
           case None =>
             MediaFeatures(r.media_id, r.mime, Array.empty[Float],
               feature_ok = false,
               error = s"not a decodable image (sniffed ${sniff(r.bytes)})")
           case Some(img) =>
-            val sums = gridLuminance(img, grid)
-            val norm = math.sqrt(sums.map(s => s.toDouble * s.toDouble).sum)
-            val emb =
-              if (norm == 0) sums.map(_.toFloat)
-              else sums.map(s => (s / norm).toFloat)
-            MediaFeatures(r.media_id, r.mime, emb, feature_ok = true, error = null)
+            MediaFeatures(r.media_id, r.mime,
+              normalized(gridLuminance(img, grid)),
+              feature_ok = true, error = null)
         }
       }
     }

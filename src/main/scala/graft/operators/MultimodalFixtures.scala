@@ -93,8 +93,16 @@ object MultimodalFixtures {
   def wavChannels(i: Long): Int = 1 + (i % 2).toInt
   val WavSampleRate = 8000
 
-  /** Minimal valid RIFF/WAVE: 16-bit PCM header + silence, assembled per the
-    * public RIFF layout (44-byte canonical header). */
+  /** The planted PCM sample law: sample(media i, frame f, channel c) is a
+    * pure integer formula in 16-bit range — the audio analog of the pattern
+    * pixel law, so an independent oracle re-derives every sample without an
+    * audio library. */
+  def wavSample(i: Long, f: Int, c: Int): Short =
+    (((i * 31 + f * 7 + c * 13) % 2001) - 1000).toShort
+
+  /** Minimal valid RIFF/WAVE: 16-bit PCM header + the [[wavSample]] formula
+    * tone, assembled per the public RIFF layout (44-byte canonical
+    * header). */
   def wavBytes(i: Long): Array[Byte] = {
     val channels = wavChannels(i)
     val frames = wavFrames(i)
@@ -112,6 +120,12 @@ object MultimodalFixtures {
     buf.putShort(bytesPerFrame.toShort)       // block align
     buf.putShort(16.toShort)                  // bits per sample
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) { buf.putShort(wavSample(i, f, c)); c += 1 }
+      f += 1
+    }
     buf.array()
   }
 

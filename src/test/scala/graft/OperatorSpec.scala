@@ -987,7 +987,25 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val feats = Multimodal.extractFeatures(media, dim = 16).collect()
       .map(f => f.media_id -> f).toMap
     assert(feats(1L).feature_ok && feats(1L).embedding.length == 16)
-    assert(!feats(3L).feature_ok && !feats(4L).feature_ok)
+    assert(!feats(3L).feature_ok) // empty payload: error channel
+    // WAV rides the AUDIO feature arm: 16 time windows of Σ sample² over
+    // the planted PCM formula, L2-normalized — verified against a scalar
+    // replay of the law (frames=1040, 1 channel for id 4)
+    assert(feats(4L).feature_ok && feats(4L).embedding.length == 16)
+    locally {
+      val frames = MultimodalFixtures.wavFrames(4)
+      val channels = MultimodalFixtures.wavChannels(4)
+      val sums = new Array[Long](16)
+      for (f <- 0 until frames; c <- 0 until channels) {
+        val s = MultimodalFixtures.wavSample(4L, f, c).toLong
+        sums(f * 16 / frames) += s * s
+      }
+      val norm = math.sqrt(sums.map(s => s.toDouble * s).sum)
+      val expected = sums.map(s => (s / norm).toFloat)
+      assert(feats(4L).embedding.sameElements(expected),
+        s"audio embedding drifted: ${feats(4L).embedding.toSeq} vs " +
+          s"${expected.toSeq}")
+    }
     // unit norm (grid-luminance embedding lands on the sphere)
     val n1 = math.sqrt(feats(1L).embedding.map(x => x.toDouble * x).sum)
     assert(math.abs(n1 - 1.0) < 1e-5)
@@ -1001,13 +1019,14 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val sums = Multimodal.gridLuminance(src, 4)
     assert(sums(0) == cell0)
-    // composes with the ANN operator: distinct patterns, k=1 self-excluded
+    // composes with the ANN operator: two images + one WAV embed into the
+    // same space, k=1 self-excluded
     val fdf = Multimodal.extractFeatures(media, dim = 16).toDF()
       .where(col("feature_ok"))
     val topk = Similarity.bruteForceTopK(fdf, "media_id", "embedding",
       fdf.select(col("media_id").as("qid"), col("embedding").as("qvec")),
       "qid", "qvec", k = 1)
-    assert(topk.where(col("rank") === 1).count() == 2)
+    assert(topk.where(col("rank") === 1).count() == 3)
   }
 
   test("multimodal checked-in fixtures decode pixel-exact via the real JDK codecs") {
@@ -1041,6 +1060,21 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L).decode_ok && out(3L).n_frames == 1030 &&
       out(3L).sample_rate == 8000 && out(3L).channels == 2)
     assert(!out(5L).decode_ok && out(5L).error == "corrupt png: IIOException")
+
+    // the committed WAV's SAMPLES obey the planted tone formula: the audio
+    // feature arm (real javax.sound PCM decode) reproduces the scalar
+    // energy-law replay exactly
+    val wavFeat = Multimodal.extractFeatures(
+        Seq(Multimodal.MediaRow(3L, "audio/wav", fixture("tone_3.wav"))).toDS(),
+        dim = 16).collect().head
+    assert(wavFeat.feature_ok)
+    val sums = new Array[Long](16)
+    for (f <- 0 until 1030; c <- 0 until 2) {
+      val s = MultimodalFixtures.wavSample(3L, f, c).toLong
+      sums(f * 16 / 1030) += s * s
+    }
+    val norm = math.sqrt(sums.map(s => s.toDouble * s).sum)
+    assert(wavFeat.embedding.sameElements(sums.map(s => (s / norm).toFloat)))
   }
 
   test("inverse mixture: smallest stratum kept whole, others flattened, deterministic") {
