@@ -1020,6 +1020,49 @@ object QueryCatalog {
           .orderBy("vec_id")
       }),
 
+    Q("x_dedup_semantic",
+      // SemDeDup (Abbas et al. 2023): cells bound the quadratic pair work
+      // — DuckDB re-derives the lowest-id centroids, the strict-< integer
+      // cell argmin (the IVF routing laws), the WITHIN-cell pair set, the
+      // exact integer cosine threshold (HUGEINT), and the greedy
+      // keep-lowest verdict, so a wrong cell, missed pair or wrong
+      // representative hash-mismatches
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding,
+             |            x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+             |           FROM embeddings WHERE vec_id < 300),
+             |n AS (SELECT vec_id, v,
+             |        CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+             |      FROM e),
+             |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+             |         FROM e ORDER BY vec_id LIMIT 8),
+             |a AS (SELECT e.vec_id, arg_min(c.cid,
+             |        CAST(list_sum(list_transform(range(1, len(e.v)+1),
+             |           i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))) AS BIGINT) * 8
+             |          + c.cid) AS cell
+             |      FROM e, cent c GROUP BY e.vec_id),
+             |p AS (SELECT y.vec_id AS ib, x.vec_id AS ia,
+             |        CAST(list_sum(list_transform(range(1, len(nx.v)+1),
+             |          i -> nx.v[i]*ny.v[i])) AS BIGINT) AS dot,
+             |        nx.n2 AS na, ny.n2 AS nb
+             |      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+             |      JOIN n nx ON nx.vec_id = x.vec_id
+             |      JOIN n ny ON ny.vec_id = y.vec_id),
+             |d AS (SELECT ib, MIN(ia) AS dup_of FROM p
+             |      WHERE dot > 0 AND CAST(dot AS HUGEINT)*dot*25 >=
+             |            CAST(na AS HUGEINT)*nb*4
+             |      GROUP BY ib)
+             |SELECT a.vec_id, a.cell, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+             |FROM a LEFT JOIN d ON d.ib = a.vec_id
+             |ORDER BY a.vec_id""".stripMargin),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings").where(col("vec_id") < 300)
+        Dedup.semanticDedup(emb, "vec_id", "embedding",
+            nCells = 8, cosNum = 4, cosDen = 25)
+          .select(col("id").as("vec_id"), col("cell"),
+            col("is_dup"), col("dup_of"))
+          .orderBy("vec_id")
+      }),
+
     Q("x_dedup_embedding_lsh",
       // the SCALE path: the same integer cosine test restricted to
       // hyperplane-LSH bucket collisions. DuckDB re-derives the ±1

@@ -423,6 +423,64 @@ object Dedup {
       .select("id_a", "id_b", "dot")
   }
 
+  /** Semantic deduplication (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023) as a
+    * pure relational composition of laws this engine already oracles:
+    * cluster the embedding space into `nCells` cells (the exact-integer
+    * IVF routing relations — lowest-id quantized centroid seed, optional
+    * [[Similarity.refineIvfCentroidsExact]] Lloyd refinement, native
+    * strict-< L2 argmin assignment), generate candidate pairs only WITHIN
+    * a cell, score them with [[cosineDupPairs]]' exact integer cosine test
+    * (dot²·cosDen ≥ n2a·n2b·cosNum, decimal-exact), and drop the higher id
+    * of every qualifying pair.
+    *
+    * Verdict law (greedy-by-id, fully relational): `is_dup(i)` ⇔ some
+    * co-cell j < i clears the threshold; `dup_of` = the LOWEST such j.
+    * Chains are resolved greedily (b may drop against a while c drops
+    * against b) — the standard SemDeDup per-cluster keep-one
+    * approximation, deterministic and SQL-replayable.
+    *
+    * Scale shape: the cells bound the quadratic pair work — one shuffle on
+    * `cell`, Σ |cell|² candidate pairs instead of N² (pick nCells ∝
+    * N / target cell size at 100 TB; a pathological hot cell takes the
+    * same sub-salting treatment as the LSH buckets). The verdict join
+    * shuffles one narrow (id, min dup) frame. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, cosNum: Int = 4, cosDen: Int = 25,
+      lloydIters: Int = 0): DataFrame = {
+    val quant = transform(col(vecCol),
+      x => round(x.cast("double") * 10000).cast("long"))
+    val base = emb.select(col(idCol).cast("long").as("id"), quant.as("v"))
+      .withColumn("n2", graft.functions.GraftFunctions.longNorm2(col("v")))
+    val seed: Seq[(Long, Seq[Long])] = base.orderBy("id").limit(nCells)
+      .select("v").collect().toSeq
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0).toSeq) }
+    require(seed.nonEmpty, "semantic dedup needs a non-empty corpus")
+    val cent =
+      if (lloydIters <= 0) seed
+      else Similarity.refineIvfCentroidsExact(base, "v", seed, lloydIters)
+    val centFlat = cent.flatMap(_._2).toArray
+    val cells = base.withColumn("cell",
+      graft.functions.GraftFunctions.longL2Argmin(
+        col("v"), centFlat, cent.size))
+    val a = cells.select(col("cell"), col("id").as("id_a"),
+      col("v").as("va"), col("n2").as("na"))
+    val b = cells.select(col("cell"), col("id").as("id_b"),
+      col("v").as("vb"), col("n2").as("nb"))
+    val dupOf = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+      .withColumn("dot",
+        graft.functions.GraftFunctions.longDot(col("va"), col("vb")))
+      // decimal(38,0) keeps dot² (≈10²⁰ at dim 64) exact
+      .where(col("dot") > 0 &&
+        col("dot").cast("decimal(38,0)") * col("dot") * cosDen >=
+        col("na").cast("decimal(38,0)") * col("nb") * cosNum)
+      .groupBy("id_b").agg(min("id_a").as("dup_of"))
+    cells.select(col("id"), col("cell"))
+      .join(dupOf, col("id") === col("id_b"), "left")
+      .select(col("id"), col("cell"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
   /** Deterministic Rademacher hyperplane component for (table t, plane p,
     * dim d): ±1 from the parity of the first hex char of sha256("t:p:d").
     * sha-256 is bit-identical everywhere (JVM, DuckDB, any engine), so the

@@ -150,18 +150,59 @@ object Similarity {
     * replaces ran nCells × dim lambdas per corpus row), map-only, no
     * shuffle. */
   def buildIvfIndexExact(corpus: DataFrame, corpusId: String,
-      corpusVec: String, nCells: Int = 16): IvfIndexExact = {
+      corpusVec: String, nCells: Int = 16,
+      lloydIters: Int = 0): IvfIndexExact = {
     val e = corpus
       .select(col(corpusId).cast("long").as("neighbor_id"),
         quantLong(col(corpusVec)).as("cv"))
       .withColumn("n2", graft.functions.GraftFunctions.longNorm2(col("cv")))
-    val cent: Seq[(Long, Seq[Long])] = e.orderBy("neighbor_id").limit(nCells)
+    val seed: Seq[(Long, Seq[Long])] = e.orderBy("neighbor_id").limit(nCells)
       .select("neighbor_id", "cv").collect()
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
+    val cent =
+      if (lloydIters <= 0) seed
+      else refineIvfCentroidsExact(e, "cv", seed, lloydIters)
     val centFlat = cent.flatMap(_._2).toArray
     IvfIndexExact(cent, e.withColumn("cell",
       graft.functions.GraftFunctions.longL2Argmin(
         col("cv"), centFlat, cent.size)))
+  }
+
+  /** Lloyd-refine the exact-integer IVF centroids (the integer analog of
+    * [[kMeansCentroids]], same shape as [[refinePqCodebooksExact]]): each
+    * iteration assigns the corpus with the current centroids (the native
+    * [[graft.plans.LongL2ArgminExpression]] — one map-only pass),
+    * posexplodes dimensions and reduces to per-(cell, dim) exact Long sums
+    * + counts — ONE shuffle per iteration, output ≤ nCells × dim rows, so
+    * the per-iter driver collect is bounded by the centroid table, never
+    * the corpus. New component = `Math.round(sum/count)`; empty cells keep
+    * their previous centroid. The search relations are unchanged — only
+    * the centroid constants move, so the exact oracle laws stay
+    * replayable. */
+  def refineIvfCentroidsExact(e: DataFrame, vecCol: String,
+      seed: Seq[(Long, Seq[Long])], iters: Int): Seq[(Long, Seq[Long])] = {
+    var cent = seed
+    for (_ <- 1 to iters) {
+      val centFlat = cent.flatMap(_._2).toArray
+      val stats = e
+        .select(graft.functions.GraftFunctions.longL2Argmin(
+            col(vecCol), centFlat, cent.size).as("cell"),
+          posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      cent = cent.map { case (cid, old) =>
+        (cid, old.indices.map { d =>
+          stats.get((cid, d)) match {
+            case Some((sx, c)) => Math.round(sx.toDouble / c)
+            case None => old(d) // empty cell keeps its centroid
+          }
+        })
+      }
+    }
+    cent
   }
 
   /** Persist a built index for reuse across jobs: the inverted file goes
@@ -374,14 +415,22 @@ object Similarity {
     * probes — never a cross join against the full code table — so the
     * sweep touches nprobe/nCells of the codes, each costing m lookups.
     * At 100 TB persist the coded corpus bucketed by `cell`
-    * ([[writeIvfIndex]]'s layout) and both build collects stay bounded
+    * ([[writeIvfPqIndex]] / [[readIvfPqIndex]] — index once, query many,
+    * index-side exchange-free) and both build collects stay bounded
     * (max(nCells, codewords) rows). */
-  def ivfPqTopKExact(
-      corpus: DataFrame, corpusId: String, corpusVec: String,
-      queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nCells: Int = 16, nprobe: Int = 4,
-      m: Int = 8, codewords: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Persistable IVF×PQ index: the bounded routing/codebook constants plus
+    * `coded` (cell, neighbor_id, codes) — the 32×-compressed inverted file.
+    * A deployment writes it once ([[writeIvfPqIndex]], bucketed by `cell`)
+    * and every search skips both the assignment and the encode pass. */
+  final case class IvfPqIndexExact(
+      centroids: Seq[(Long, Seq[Long])],
+      m: Int, dsub: Int,
+      codebooks: Seq[Seq[Seq[Long]]],
+      coded: DataFrame)
+
+  def buildIvfPqIndexExact(corpus: DataFrame, corpusId: String,
+      corpusVec: String, nCells: Int = 16, m: Int = 8,
+      codewords: Int = 16, lloydIters: Int = 0): IvfPqIndexExact = {
     val e = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
       quantLong(col(corpusVec)).as("v"))
     // bounded driver table: the max(nCells, codewords) lowest-id quantized
@@ -394,29 +443,54 @@ object Similarity {
     val dim = seedRows.head.length
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val cent: Seq[(Long, Seq[Long])] =
+    val centSeed: Seq[(Long, Seq[Long])] =
       seedRows.take(nCells).zipWithIndex.map { case (v, i) => (i.toLong, v) }
-    val codebooks = (0 until m).map(s =>
+    val bookSeed = (0 until m).map(s =>
       seedRows.take(codewords).map(_.slice(s * dsub, (s + 1) * dsub)))
+    // optional Lloyd refinement of BOTH constants (bounded driver tables;
+    // the route/encode/sweep relations themselves never change)
+    val cent =
+      if (lloydIters <= 0) centSeed
+      else refineIvfCentroidsExact(e, "v", centSeed, lloydIters)
+    val codebooks =
+      if (lloydIters <= 0) bookSeed
+      else refinePqCodebooksExact(e, bookSeed, m, dsub, lloydIters)
     val centFlat = cent.flatMap(_._2).toArray
     val cbFlat = codebooks.flatMap(_.flatten).toArray
     // one map-only pass over the corpus: cell + codes via the two native
     // codegen'd argmins, no shuffle
-    val coded = e.select(col("neighbor_id"),
-      graft.functions.GraftFunctions.longL2Argmin(
-        col("v"), centFlat, cent.size).as("cell"),
-      graft.functions.GraftFunctions.pqEncode(
-        col("v"), cbFlat, m, codebooks.head.size).as("codes"))
+    IvfPqIndexExact(cent, m, dsub, codebooks,
+      e.select(col("neighbor_id"),
+        graft.functions.GraftFunctions.longL2Argmin(
+          col("v"), centFlat, cent.size).as("cell"),
+        graft.functions.GraftFunctions.pqEncode(
+          col("v"), cbFlat, m, codebooks.head.size).as("codes")))
+  }
+
+  /** Search a built IVF×PQ index: each query probes its nprobe nearest
+    * cells ([[graft.plans.L2ProbeCellsExpression]]) and sweeps only those
+    * cells' codes with its ADC LUT. `broadcastQueries = false` is the
+    * large-batch mode: the probe join plans as a sort-merge join whose
+    * index side is exchange-free when the coded file was persisted
+    * bucketed by cell ([[writeIvfPqIndex]]) — only the (smaller) query
+    * batch shuffles, and the moved bytes are codes, not vectors. */
+  def searchIvfPqIndexExact(index: IvfPqIndexExact, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int, nprobe: Int = 4,
+      broadcastQueries: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centFlat = index.centroids.flatMap(_._2).toArray
+    val cbFlat = index.codebooks.flatMap(_.flatten).toArray
     val qv = quantLong(col(queryVec))
-    val q = broadcast(queries
+    val q0 = queries
       .select(col(queryId).cast("long").as("query_id"),
         graft.functions.GraftFunctions.pqLut(
-          qv, cbFlat, m, codebooks.head.size).as("lut"),
+          qv, cbFlat, index.m, index.codebooks.head.size).as("lut"),
         graft.functions.GraftFunctions.l2ProbeCells(
-          qv, centFlat, cent.size, nprobe).as("probes"))
+          qv, centFlat, index.centroids.size, nprobe).as("probes"))
       .withColumn("cell", explode(col("probes")))
-      .drop("probes"))
-    val scored = coded.join(q, Seq("cell"))
+      .drop("probes")
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val scored = index.coded.join(q, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist",
         graft.functions.GraftFunctions.pqAdcDist(col("codes"), col("lut")))
@@ -426,6 +500,49 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "adc_dist")
   }
+
+  /** Persist an IVF×PQ index for reuse across jobs: the coded inverted file
+    * goes down BUCKETED by `cell` (repeated probe joins read co-located
+    * buckets with zero index-side exchange — and at 32× compression the
+    * write itself is cheap); the bounded constants persist alongside as
+    * `<table>_centroids` and `<table>_codebooks`. */
+  def writeIvfPqIndex(index: IvfPqIndexExact, table: String,
+      buckets: Int = 16): Unit = {
+    Bucketing.writeBucketed(index.coded, table, buckets, Seq("cell"))
+    val spark = index.coded.sparkSession
+    import spark.implicits._
+    index.centroids.toDF("cell", "cvec").write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${table}_centroids")
+    index.codebooks.zipWithIndex
+      .flatMap { case (book, s) => book.zipWithIndex.map { case (cw, j) =>
+        (s, j, cw) } }
+      .toDF("s", "j", "cw").write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${table}_codebooks")
+  }
+
+  /** Reload a persisted IVF×PQ index: the coded file stays a (bucketed)
+    * table scan; only the bounded centroid/codebook tables collect. */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): IvfPqIndexExact = {
+    val cent = spark.table(s"${table}_centroids").orderBy("cell")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val cbRows = spark.table(s"${table}_codebooks").orderBy("s", "j")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+    val m = cbRows.map(_._1).max + 1
+    val codebooks = (0 until m).map(s =>
+      cbRows.filter(_._1 == s).sortBy(_._2).map(_._3.toSeq).toSeq)
+    IvfPqIndexExact(cent, m, codebooks.head.head.size, codebooks,
+      spark.table(table))
+  }
+
+  def ivfPqTopKExact(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nCells: Int = 16, nprobe: Int = 4,
+      m: Int = 8, codewords: Int = 16): DataFrame =
+    searchIvfPqIndexExact(
+      buildIvfPqIndexExact(corpus, corpusId, corpusVec, nCells, m, codewords),
+      queries, queryId, queryVec, k, nprobe)
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * a fixed hash mapped to [-1, 1]. Same formula is reproducible anywhere. */

@@ -44,6 +44,12 @@ object ExplainAudit {
       ("x_sim_ivf_pq_topk", Seq("BroadcastHashJoin [cell", "WindowGroupLimit",
         "pq_adc_dist"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin")),
+      // SemDeDup: the pair generator must be an EQUI-join on cell (the
+      // whole point is Σ|cell|² work, never N²) and the cell assignment a
+      // map-only native argmin — a BNLJ/cartesian here is the all-pairs
+      // blowup the cells exist to prevent
+      ("x_dedup_semantic", Seq("long_l2_argmin"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
       ("p4_effects_flatmap", Seq("Generate posexplode"), Seq()),
       // df-cut: hot grams via partial agg + broadcast, pruning intra-row —
       // no per-gram window sort anywhere in the plan

