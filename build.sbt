@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Catalyst/Janino and closure serialization recurse proportionally to
+  // plan depth; the JVM default stack intermittently overflows when the
+  // iterative CC suites run after other suites in the same fork
+  "-Xss16m",
 )

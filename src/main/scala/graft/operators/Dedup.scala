@@ -641,10 +641,16 @@ object Dedup {
       // (join + union), so composing plans grows the tree 4× per round —
       // after ~10 rounds the driver chokes on the plan string regardless
       // of data size. Rebasing on the persisted RDD keeps the per-round
-      // plan constant-size; recompute after block loss walks the linear
-      // RDD chain instead. Coalescing to the adaptive width keeps every
-      // subsequent stage's task count proportional to the subgraph.
-      val rdd = plan.rdd.coalesce(width).persist(disk)
+      // plan constant-size, and localCheckpoint CUTS THE RDD LINEAGE too:
+      // without it each round's scan still references the previous round's
+      // RDD object, so task serialization recurses a graph that grows per
+      // round (intermittent StackOverflowError — the failure GraphX solves
+      // the same way). Local checkpoint trades executor-loss recovery for
+      // that bound; a cluster deployment that needs block-loss recovery
+      // sets a reliable checkpoint dir and swaps `checkpoint()` in here.
+      // Coalescing to the adaptive width keeps every subsequent stage's
+      // task count proportional to the subgraph.
+      val rdd = plan.rdd.coalesce(width).persist(disk).localCheckpoint()
       val next = spark.createDataFrame(rdd, plan.schema)
       changed = next.where(col("label") < col("prev")).count()
       if (prevRdd != null) prevRdd.unpersist(false)
@@ -666,7 +672,7 @@ object Dedup {
     // blocks — repeated calls in one session no longer accumulate
     // per-round caches; only one label table per live result stays cached
     val labelPlan = labels
-    val labelRdd = labelPlan.rdd.coalesce(width).persist(disk)
+    val labelRdd = labelPlan.rdd.coalesce(width).persist(disk).localCheckpoint()
     labelRdd.count()
     if (prevRdd != null) prevRdd.unpersist(false)
     labels = spark.createDataFrame(labelRdd, labelPlan.schema)
@@ -753,9 +759,11 @@ object Dedup {
     while (!converged && rounds < maxIter) {
       if (edgeCount < 0) edgeCount = edges.count()
       val plan = smallStar(largeStar(edges))
-      // same per-round plan cut as dupClusters: rebase on the persisted
-      // RDD so the logical tree stays constant-size across rounds
+      // same per-round plan + LINEAGE cut as dupClusters: rebase on the
+      // persisted RDD so the logical tree stays constant-size, and
+      // localCheckpoint so the RDD graph does too (see dupClusters)
       val rdd = plan.rdd.coalesce(widthFor(edgeCount)).persist(disk)
+        .localCheckpoint()
       val next = spark.createDataFrame(rdd, plan.schema)
       // exact two-tier fixpoint test: a changed edge COUNT (one cheap job
       // over the persisted RDD) proves non-convergence without the
@@ -780,6 +788,7 @@ object Dedup {
     val labelPlan = edges.select(col("u").as("v"), col("v").as("cluster_id"))
     val labelRdd = labelPlan.rdd
       .coalesce(widthFor(math.max(edgeCount, 1L))).persist(disk)
+      .localCheckpoint()
     labelRdd.count()
     if (prevRdd != null) prevRdd.unpersist(false)
     val labels = spark.createDataFrame(labelRdd, labelPlan.schema)

@@ -10,8 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `strkey_account(...)`, `strkey_account_key(...)`,
   * `stellar_tx_hash(envelope_b64)`, `stellar_ledger_hash(header_b64)`,
   * `scval_json(...)`, `claim_predicate_json(...)`,
-  * `ngram_shingles(text, n)`, `hyperplane_buckets(vec, bits, tables)`,
-  * `long_dot(a, b)`, `long_norm2(v)`. */
+  * `ngram_shingles(text, n)`, `ngram_windows(text, n)`,
+  * `rolling_hash64(text)`, `hyperplane_buckets(vec, bits, tables)`,
+  * `long_dot(a, b)`, `long_norm2(v)`, `pq_adc_dist(codes, lut)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
@@ -75,7 +76,18 @@ object GraftExtensions {
       (es: Seq[Expression]) => LongDotExpression(es.head, es(1))),
     ("long_norm2",
       new ExpressionInfo(classOf[LongNorm2Expression].getName, "long_norm2"),
-      (es: Seq[Expression]) => LongNorm2Expression(es.head)))
+      (es: Seq[Expression]) => LongNorm2Expression(es.head)),
+    ("pq_adc_dist",
+      new ExpressionInfo(classOf[PqAdcDistExpression].getName, "pq_adc_dist"),
+      (es: Seq[Expression]) => PqAdcDistExpression(es.head, es(1))),
+    ("ngram_windows",
+      new ExpressionInfo(classOf[NgramWindowsExpression].getName, "ngram_windows"),
+      (es: Seq[Expression]) =>
+        NgramWindowsExpression(es.head, intArg(es(1), "window size n"))),
+    ("rolling_hash64",
+      new ExpressionInfo(classOf[RollingHash64Expression].getName,
+        "rolling_hash64"),
+      (es: Seq[Expression]) => RollingHash64Expression(es.head)))
 
   /** Imperative registration for an existing session (same effect as the
     * extensions path, usable after session creation). */

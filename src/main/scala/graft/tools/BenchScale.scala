@@ -256,6 +256,58 @@ object BenchScale {
         f"media pixel pipeline collapsed at $factor×: $fullN%.0f vs $full1%.0f imgs/s")
       rows += (("media_decode_meta (imgs/s)", meta1, metaN))
       rows += (("media_pixel_pipeline (imgs/s)", full1, fullN))
+
+      // audio: real javax.sound PCM decode → windowed energy features
+      // (r16) — same embarrassingly-parallel invariant as the image passes
+      def wavsPerSec(k: Int): Double = {
+        val m = spark.range(nBase * k)
+          .repartition(cpus.toInt)
+          .map(i => Multimodal.MediaRow(i, "audio/wav",
+            MultimodalFixtures.wavBytes(i % 64)))
+          .persist()
+        val n = m.count()
+        val t0 = System.nanoTime()
+        val c = Multimodal.extractFeatures(m, dim = 16)
+          .where(col("feature_ok")).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(c == n, s"audio features dropped rows: $c of $n")
+        println(f"[scale] media_audio_features @${k}x: $c wavs in $sec%.2f s " +
+          f"(${c / sec}%.0f wavs/s)")
+        m.unpersist()
+        c / sec
+      }
+      val (wav1, wavN) = (wavsPerSec(1), wavsPerSec(factor))
+      require(wavN >= 0.5 * wav1,
+        f"audio feature pass collapsed at $factor×: $wavN%.0f vs $wav1%.0f wavs/s")
+      rows += (("media_audio_features (wavs/s)", wav1, wavN))
+    }
+
+    // ---- SemDeDup semantic dedup: cells must bound the pair work --------
+    // nCells scales WITH the corpus (∝ N / target cell size) — the scale
+    // lesson mirrors the df-cut one: a fixed nCells over a growing corpus
+    // re-quadratizes the within-cell joins. Invariant: measured
+    // Σ|cell|·(|cell|−1)/2 stays ≤ N · maxCell expected from the planted
+    // density, and verdict counts scale linearly.
+    locally {
+      def run(e: DataFrame, nCells: Int, label: String): Long = {
+        val t0 = System.nanoTime()
+        val out = Dedup.semanticDedup(e, "vec_id", "embedding",
+          nCells = nCells, cosNum = 81, cosDen = 100).persist()
+        val dups = out.where(col("is_dup")).count()
+        val cellsz = out.groupBy("cell").count()
+          .select(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+          .head().getLong(0)
+        val n = out.count()
+        out.unpersist()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] semdedup $label: $n%,d vecs, $dups%,d dups, " +
+          f"pairwork $cellsz%,d, $sec%.2f s")
+        require(cellsz < n * n / 4,
+          s"cells failed to bound the pair work: $cellsz vs n²=${n * n}")
+        cellsz
+      }
+      run(emb1, 16, "@1x(nCells=16)")
+      run(embN, 16 * factor, s"@${factor}x(nCells=${16 * factor})")
     }
 
     // ---- streaming near-dup: state bounded by rate × horizon × bands ----

@@ -90,6 +90,16 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT hyperplane_buckets(array(10000L, -10000L, 0L), 6, 4) AS b")
       .head().getSeq[Long](0)
     assert(bk.size == 4 && bk.forall(b => b >= 0 && b < 64))
+    // the r16 family: ADC sweep, positional windows, rolling hash
+    val adc = spark.sql(
+      "SELECT pq_adc_dist(array(1, 0), array(array(5L, 7L), array(9L, 11L)))")
+      .head().getLong(0)
+    assert(adc == 7L + 9L) // lut[0][1] + lut[1][0]
+    val win = spark.sql("SELECT ngram_windows('a b a b', 2)")
+      .head().getSeq[String](0)
+    assert(win == Seq("a b", "b a", "a b")) // positional: dups kept
+    assert(spark.sql("SELECT rolling_hash64('abc')").head().getLong(0) ==
+      graft.codec.Hashes.rollingHash64("abc"))
     // shape params must be literals
     intercept[Exception] {
       spark.sql("SELECT ngram_shingles('x', cast(rand()*3 AS INT))").collect()
