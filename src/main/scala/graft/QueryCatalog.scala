@@ -2134,6 +2134,41 @@ object QueryCatalog {
           .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
           .orderBy("doc_id")),
 
+    Q("x_text_lm_surprisal",
+      // corpus-bigram LM surprisal (the perplexity-filter family,
+      // integerized): DuckDB re-trains the same bigram/prefix count model
+      // and replays flog2 = length(bin(c))-1 — a wrong count, join or log
+      // law hash-mismatches; docs with <2 tokens score 0 over 0 bigrams
+      Some("""WITH d AS (SELECT doc_id,
+             |         list_transform(list_filter(
+             |           string_split_regex(text, '\s+'), x -> x <> ''),
+             |           w -> lower(w)) AS toks
+             |       FROM documents),
+             |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+             |       FROM d, unnest(range(1, len(toks))) t(i)),
+             |bc AS (SELECT bigram, count(*) AS c_bg,
+             |              string_split(bigram, ' ')[1] AS prefix
+             |       FROM bg GROUP BY bigram),
+             |pc AS (SELECT prefix, CAST(sum(c_bg) AS BIGINT) AS c_pref
+             |       FROM bc GROUP BY prefix),
+             |s AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+             |        CAST(sum((length(bin(pc.c_pref)) - 1)
+             |                 - (length(bin(bc.c_bg)) - 1)) AS BIGINT)
+             |          AS surprisal_bits
+             |      FROM bg JOIN bc USING (bigram) JOIN pc USING (prefix)
+             |      GROUP BY bg.doc_id)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |       coalesce(s.surprisal_bits, 0) AS surprisal_bits,
+             |       CASE WHEN coalesce(s.n_bigrams, 0) > 0
+             |            THEN s.surprisal_bits * 1000 // s.n_bigrams
+             |            ELSE 0 END AS mean_millibits
+             |FROM d LEFT JOIN s ON s.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.bigramSurprisal(T(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
     Q("x_token_count",
       Some("""SELECT doc_id,
              |       len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))

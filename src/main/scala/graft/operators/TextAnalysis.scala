@@ -57,6 +57,58 @@ object TextAnalysis {
           - col("digit_ratio") * 0.5
           + col("stopword_ratio") * 0.2)))
 
+  /** Corpus-LM quality signal — the CCNet/Gopher perplexity-filter family,
+    * INTEGERIZED so the whole law replays in a SQL oracle: train a bigram
+    * count model on the corpus itself (two map-side-combinable count
+    * aggregations), then score each document by the total floor-log2
+    * surprisal of its word bigrams:
+    *
+    *   surprisal(w1 w2) = flog2(c(w1·)) − flog2(c(w1 w2))      (≥ 0)
+    *
+    * where c(w1·) counts w1 as a bigram PREFIX and flog2(x) =
+    * length(bin(x)) − 1 — the exact integer floor of log2, bit-identical
+    * in any engine, replacing the float log that would make the score
+    * hash-fragile. High mean surprisal = the document's word transitions
+    * are rare for the corpus — the tail a perplexity filter prunes; near-
+    * zero = boilerplate the corpus repeats.
+    *
+    * Output per doc: `n_bigrams`, `surprisal_bits` (Σ, exact Long) and
+    * `mean_millibits` (⌊1000·Σ/n⌋ — integer division, 0 for docs with no
+    * bigram).
+    *
+    * Scale shape: bigram explode → two count aggs → ONE equi-join of the
+    * per-doc bigram rows against the bigram table (Catalyst/AQE picks the
+    * join; the prefix counts derive from the same table) → per-doc sum.
+    * At 100 TB train the model on a sample or a fixed reference corpus,
+    * prune rare entries, and broadcast it. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val toks = transform(tokens(col(textCol)), w => lower(w))
+    val base = df.select(col(idCol).as("doc_id"), toks.as("toks"))
+    val n1 = greatest(size(col("toks")) - 1, lit(0))
+    val bg = base.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), n1), slice(col("toks"), lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val bgCounts = bg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+      .withColumn("prefix", substring_index(col("bigram"), " ", 1))
+    val prefCounts = bgCounts.groupBy("prefix").agg(sum("c_bg").as("c_pref"))
+    val scored = bg
+      .join(bgCounts.select("bigram", "c_bg", "prefix"), "bigram")
+      .join(prefCounts, "prefix")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(flog2(col("c_pref")) - flog2(col("c_bg"))).as("surprisal_bits"))
+    base.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"))
+      .withColumn("mean_millibits",
+        when(col("n_bigrams") > 0,
+          expr("surprisal_bits * 1000 div n_bigrams")).otherwise(0L)
+          .cast("long"))
+  }
+
   /** Stopword-lexicon language ID: score = share of tokens in each language's
     * stopword list; argmax with deterministic tie-break by language code.
     * N-gram-free heuristic that is pure column algebra (no UDF, no shuffle). */

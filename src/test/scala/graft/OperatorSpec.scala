@@ -1412,6 +1412,39 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.select(TextAnalysis.tokenCount(col("text"))).head.getInt(0) == 5)
   }
 
+  test("bigram LM surprisal: exact floor-log2 law on a hand corpus; rare " +
+      "transitions score high, boilerplate scores zero") {
+    import spark.implicits._
+    // model: c("x y")=3, c("y z")=1, c("y w")=1; prefixes c(x·)=3, c(y·)=2
+    // flog2: 3→1, 2→1, 1→0
+    val docs = Seq(
+      (1L, "x y z"),  // (1−1) + (1−0) = 1 over 2 bigrams → mean 500
+      (2L, "x y w"),  // same law → 1 over 2
+      (3L, "x y"),    // the corpus's boilerplate transition → 0
+      (4L, "q")       // no bigram → all zeros
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (2L, 1L, 500L), got.toString)
+    assert(got(2L) == (2L, 1L, 500L))
+    assert(got(3L) == (1L, 0L, 0L))
+    assert(got(4L) == (0L, 0L, 0L))
+
+    // conditional-LM behavior: a COMMON prefix taking a RARE continuation
+    // is what scores (c("the ·")=21, c("the zebra")=1 → flog2 21 − flog2 1
+    // = 4 bits); deterministic transitions — boilerplate ("the quick"
+    // 20/21) and singleton-prefix chains ("zebra runs") — score 0, exactly
+    // like −log₂P(w₂|w₁)
+    val corpus = ((1L to 20L).map(i => (i, "the quick brown fox jumps")) :+
+      (99L, "the zebra runs away")).toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramSurprisal(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(scores(99L) == (4L, 1333L), scores.toString)
+    assert((1L to 20L).forall(i => scores(i) == (0L, 0L)), scores.toString)
+  }
+
   // ---- history ops over an in-memory nested fixture ------------------------
 
   test("historyLedgers counts from nested arrays without shuffle") {
