@@ -2234,6 +2234,41 @@ object QueryCatalog {
           .orderBy("media_id")
       }),
 
+    Q("x_multimodal_video_meta",
+      // MP4/ISO-BMFF video metadata by pure box-tree walk (no JDK codec
+      // needed — the container layout is public): planted mvhd
+      // timescale/duration and tkhd 16.16 dims must round-trip exactly;
+      // truncated trees ride the error channel; WAVs in the same frame
+      // prove cross-modality dispatch — every field a media_id formula
+      Some("""SELECT i AS media_id,
+             |       CASE i % 3 WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END
+             |         AS mime,
+             |       CAST(CASE WHEN i % 3 = 0 THEN 320 + 16 * (i % 4) ELSE 0 END
+             |         AS INT) AS width,
+             |       CAST(CASE WHEN i % 3 = 0 THEN 240 + 8 * (i % 5) ELSE 0 END
+             |         AS INT) AS height,
+             |       CAST(CASE WHEN i % 3 = 0 THEN 9000 + 10 * i
+             |            WHEN i % 3 = 2 THEN 1000 + i * 10 ELSE 0 END AS INT)
+             |         AS n_frames,
+             |       CAST(CASE WHEN i % 3 = 0 THEN 600 + i
+             |            WHEN i % 3 = 2 THEN 8000 ELSE 0 END AS INT)
+             |         AS sample_rate,
+             |       CAST(CASE WHEN i % 3 = 2 THEN 1 + i % 2 ELSE 0 END AS INT)
+             |         AS channels,
+             |       i % 3 <> 1 AS decode_ok,
+             |       CASE WHEN i % 3 = 1
+             |            THEN 'corrupt mp4: IllegalArgumentException' END AS error
+             |FROM generate_series(0, 29) t(i) ORDER BY media_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val media = s.createDataset((0L until 30L).map(MultimodalFixtures.videoMetaRow))
+        Multimodal.decode(media).toDF()
+          .select(col("media_id"), col("mime"), col("width"), col("height"),
+            col("n_frames"), col("sample_rate"), col("channels"),
+            col("decode_ok"), col("error"))
+          .orderBy("media_id")
+      }),
+
     Q("x_multimodal_frames",
       // the frame/sample-index sampling plan over the REAL decoded metadata:
       // stills explode to one frame, animated GIFs to their planted frame

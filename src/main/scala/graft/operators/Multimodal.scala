@@ -59,7 +59,8 @@ object Multimodal {
     }
 
   /** Container kind by magic bytes — never trust the declared mime on a
-    * petabyte of crawled media. */
+    * petabyte of crawled media. MP4/ISO-BMFF is identified by the `ftyp`
+    * box fourcc at offset 4 (the first box is virtually always ftyp). */
   private[operators] def sniff(bytes: Array[Byte]): String =
     if (startsWith(bytes, PngMagic)) "png"
     else if (startsWith(bytes, JpegMagic)) "jpeg"
@@ -68,6 +69,9 @@ object Multimodal {
     else if (startsWith(bytes, RiffMagic) && bytes.length >= 12 &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
       "wav"
+    else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+      bytes(6) == 'y' && bytes(7) == 'p')
+      "mp4"
     else "unknown"
 
   private def fail(r: MediaRow, msg: String): DecodedMedia =
@@ -114,6 +118,68 @@ object Multimodal {
       case e: Exception => fail(r, s"corrupt wav: ${e.getClass.getSimpleName}")
     }
 
+  /** MP4 / ISO-BMFF (ISO 14496-12) VIDEO METADATA by pure box-tree walk —
+    * the JDK ships no MP4 codec, but the container's box structure
+    * ([size:u32][fourcc:4][payload]) is public and trivially parseable, so
+    * the metadata pass supports video at header cost with zero pixel work:
+    * `moov/mvhd` yields the movie timescale + duration (surfaced as
+    * `sample_rate` = timescale, `n_frames` = duration in timescale units —
+    * the container's own time grid), `moov/trak/tkhd` the presentation
+    * width/height (16.16 fixed-point → integer part). Both mvhd/tkhd
+    * versions (v0 32-bit, v1 64-bit times) decode. Truncated or
+    * moov-less payloads ride the error channel. */
+  private def decodeMp4Header(r: MediaRow): DecodedMedia = {
+    val bb = java.nio.ByteBuffer.wrap(r.bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def fourcc(off: Int): String =
+      new String(r.bytes, off + 4, 4, "US-ASCII")
+    // walk the sibling boxes of [from, until); return the payload span of
+    // the first box named `name`, or null
+    def findBox(from: Int, until: Int, name: String): (Int, Int) = {
+      var off = from
+      while (off + 8 <= until) {
+        val size = bb.getInt(off)
+        if (size < 8 || off + size > until)
+          throw new IllegalArgumentException(s"bad box size $size")
+        if (fourcc(off) == name) return (off + 8, off + size)
+        off += size
+      }
+      null
+    }
+    try {
+      val moov = findBox(0, r.bytes.length, "moov")
+      if (moov == null) fail(r, "corrupt mp4: no moov box")
+      else {
+        val mvhd = findBox(moov._1, moov._2, "mvhd")
+        if (mvhd == null) fail(r, "corrupt mp4: no mvhd box")
+        else {
+          val v = bb.get(mvhd._1) & 0xFF
+          val (timescale, duration) =
+            if (v == 1) (bb.getInt(mvhd._1 + 20), bb.getLong(mvhd._1 + 24))
+            else (bb.getInt(mvhd._1 + 12), bb.getInt(mvhd._1 + 16).toLong)
+          var (w, h) = (0, 0)
+          val trak = findBox(moov._1, moov._2, "trak")
+          if (trak != null) {
+            val tkhd = findBox(trak._1, trak._2, "tkhd")
+            if (tkhd != null) {
+              val tv = bb.get(tkhd._1) & 0xFF
+              val dims = tkhd._1 + (if (tv == 1) 88 else 76)
+              w = bb.getInt(dims) >>> 16     // 16.16 fixed point
+              h = bb.getInt(dims + 4) >>> 16
+            }
+          }
+          DecodedMedia(r.media_id, r.mime, r.bytes.length.toLong,
+            width = w, height = h, n_frames = duration.toInt,
+            sample_rate = timescale, channels = 0,
+            decode_ok = true, error = null)
+        }
+      }
+    } catch {
+      case e: Exception =>
+        fail(r, s"corrupt mp4: ${e.getClass.getSimpleName}")
+    }
+  }
+
   /** Decode a media Dataset per-partition (batch loop, codec state reused
     * across the partition). Metadata-grade: headers only. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
@@ -126,6 +192,7 @@ object Multimodal {
         if (r.bytes.isEmpty) fail(r, "empty payload")
         else sniff(r.bytes) match {
           case "wav" => decodeWavHeader(r)
+          case "mp4" => decodeMp4Header(r)
           case "unknown" => fail(r, "unrecognized container (magic bytes)")
           case kind => decodeImageHeader(r, kind)
         }

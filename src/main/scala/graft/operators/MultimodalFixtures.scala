@@ -132,6 +132,75 @@ object MultimodalFixtures {
   /** Valid magic bytes, body cut off mid-header — the corrupt-image arm. */
   def truncatedPng(i: Long): Array[Byte] = patternPng(i).take(16)
 
+  // ---- MP4 / ISO-BMFF (video metadata) --------------------------------------
+
+  def mp4Timescale(i: Long): Int = 600 + i.toInt
+  def mp4Duration(i: Long): Int = 9000 + 10 * i.toInt
+  def mp4Width(i: Long): Int = 320 + 16 * (i % 4).toInt
+  def mp4Height(i: Long): Int = 240 + 8 * (i % 5).toInt
+
+  /** Minimal valid ISO-BMFF tree assembled per the public box layout
+    * (ISO 14496-12): `ftyp` ‖ `moov(mvhd, trak(tkhd))` — v0 boxes, movie
+    * timescale/duration in mvhd, presentation dims (16.16 fixed) in tkhd.
+    * No media data: the metadata pass never needs an mdat. */
+  def mp4Bytes(i: Long): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+        "isom".getBytes("US-ASCII"))
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(0)                       // version 0 + flags
+      b.putInt(0).putInt(0)             // ctime, mtime
+      b.putInt(mp4Timescale(i))
+      b.putInt(mp4Duration(i))
+      b.putInt(0x00010000)              // rate 1.0
+      b.putShort(0x0100.toShort)        // volume 1.0
+      b.position(b.position() + 10)     // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)              // identity matrix
+      b.position(b.position() + 24)     // pre_defined
+      b.putInt(2)                       // next_track_ID
+      box("mvhd", b.array())
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(7)                       // version 0 + flags (enabled|in movie)
+      b.putInt(0).putInt(0)             // ctime, mtime
+      b.putInt(1)                       // track_ID
+      b.putInt(0)                       // reserved
+      b.putInt(mp4Duration(i))
+      b.position(b.position() + 8)      // reserved
+      b.putShort(0).putShort(0)         // layer, alternate_group
+      b.putShort(0).putShort(0)         // volume (video: 0), reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)              // identity matrix
+      b.putInt(mp4Width(i) << 16)       // 16.16 fixed
+      b.putInt(mp4Height(i) << 16)
+      box("tkhd", b.array())
+    }
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  /** Valid ftyp magic, tree cut mid-moov — the corrupt-video arm. */
+  def truncatedMp4(i: Long): Array[Byte] = mp4Bytes(i).take(40)
+
+  /** The video-metadata fixture law: media_id mod 3 selects the arm.
+    * 0 → valid MP4, 1 → truncated MP4 (corrupt), 2 → WAV (cross-modality
+    * contrast in the same frame). */
+  def videoMetaRow(i: Long): Multimodal.MediaRow = (i % 3) match {
+    case 0 => Multimodal.MediaRow(i, "video/mp4", mp4Bytes(i))
+    case 1 => Multimodal.MediaRow(i, "video/mp4", truncatedMp4(i))
+    case _ => Multimodal.MediaRow(i, "audio/wav", wavBytes(i))
+  }
+
   /** The decode-catalog fixture law: media_id mod 6 selects the container.
     * 0 → pattern PNG, 1 → solid JPEG, 2 → animated GIF, 3 → WAV,
     * 4 → unrecognized bytes, 5 → truncated PNG. */

@@ -1526,6 +1526,61 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("mp4 video metadata: planted box tree round-trips, v1 boxes decode, " +
+      "truncation rides the error channel") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(0L, "video/mp4", MultimodalFixtures.mp4Bytes(0)),
+      Multimodal.MediaRow(7L, "video/mp4", MultimodalFixtures.mp4Bytes(7)),
+      Multimodal.MediaRow(1L, "video/mp4", MultimodalFixtures.truncatedMp4(1)),
+      Multimodal.MediaRow(2L, "video/mp4", "fakeftypnot-a-real-tree".getBytes)
+    ).toDS()
+    val out = Multimodal.decode(media).collect().map(d => d.media_id -> d).toMap
+    for (i <- Seq(0L, 7L)) {
+      assert(out(i).decode_ok, out(i).toString)
+      assert(out(i).width == MultimodalFixtures.mp4Width(i))
+      assert(out(i).height == MultimodalFixtures.mp4Height(i))
+      assert(out(i).n_frames == MultimodalFixtures.mp4Duration(i))
+      assert(out(i).sample_rate == MultimodalFixtures.mp4Timescale(i))
+    }
+    assert(!out(1L).decode_ok && out(1L).error.startsWith("corrupt mp4"))
+    // sniffs as mp4 ("ftyp" at offset 4) but the tree is garbage
+    assert(!out(2L).decode_ok && out(2L).error.startsWith("corrupt mp4"))
+
+    // v1 (64-bit times) mvhd/tkhd: hand-build the variant the v0 fixture
+    // never emits — timescale at +20, duration u64 at +24; tkhd dims at +88
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val mvhd1 = {
+      val b = java.nio.ByteBuffer.allocate(112)
+      b.putInt(0x01000000)            // version 1
+      b.putLong(0L).putLong(0L)       // 64-bit ctime, mtime
+      b.putInt(48000)                 // timescale
+      b.putLong(123456L)              // 64-bit duration
+      box("mvhd", b.array())
+    }
+    val tkhd1 = {
+      val b = java.nio.ByteBuffer.allocate(96)
+      b.putInt(0x01000007)
+      b.putLong(0L).putLong(0L)       // 64-bit ctime, mtime
+      b.putInt(1).putInt(0)           // track id, reserved
+      b.putLong(123456L)              // 64-bit duration
+      b.position(88)
+      b.putInt(1920 << 16).putInt(1080 << 16)
+      box("tkhd", b.array())
+    }
+    val ftyp = box("ftyp", "isomxxxxisom".getBytes("US-ASCII"))
+    val v1 = ftyp ++ box("moov", mvhd1 ++ box("trak", tkhd1))
+    val d1 = Multimodal.decode(
+      Seq(Multimodal.MediaRow(9L, "video/mp4", v1)).toDS()).collect().head
+    assert(d1.decode_ok, d1.toString)
+    assert(d1.sample_rate == 48000 && d1.n_frames == 123456)
+    assert(d1.width == 1920 && d1.height == 1080)
+  }
+
   test("binary metadata sniffs magic bytes") {
     import spark.implicits._
     val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0x00)
