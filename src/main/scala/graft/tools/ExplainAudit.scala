@@ -50,6 +50,10 @@ object ExplainAudit {
       // blowup the cells exist to prevent
       ("x_dedup_semantic", Seq("long_l2_argmin"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      // bigram-LM surprisal: the model aggregations must partial-combine
+      // map-side and the doc-vs-model joins stay equi — never a cartesian
+      ("x_text_lm_surprisal", Seq("partial_count"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
       ("p4_effects_flatmap", Seq("Generate posexplode"), Seq()),
       // df-cut: hot grams via partial agg + broadcast, pruning intra-row —
       // no per-gram window sort anywhere in the plan
