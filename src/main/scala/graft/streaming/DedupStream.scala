@@ -154,6 +154,105 @@ object DedupStream {
       .toDF()
   }
 
+  // ---- streaming SEMANTIC dedup (embedding cells over keyed state) ---------
+
+  /** One quantized document entering a cell's state group. */
+  case class CellDoc(cell: Long, doc_id: Long, ts: java.sql.Timestamp,
+      qv: Seq[Long], n2: Long)
+
+  /** One held cell owner: id, event time, quantized vector + Σv². */
+  case class CellOwner(owner_id: Long, owner_ts: java.sql.Timestamp,
+      qv: Seq[Long], n2: Long)
+
+  case class CellState(owners: Seq[CellOwner])
+
+  /** Per-document verdict: `dup_of` = the lowest in-horizon co-cell owner
+    * whose exact integer cosine clears the threshold, None otherwise. */
+  case class SemCandidate(doc_id: Long, ts: java.sql.Timestamp,
+      dup_of: Option[Long])
+
+  /** Streaming face of [[Dedup.semanticDedup]] (SemDeDup): each arriving
+    * embedding routes to its centroid cell (the same exact integer-L2
+    * argmin law, against OFFLINE-TRAINED centroid constants — a stream
+    * cannot derive its own "lowest-id" seed, so the deployment trains the
+    * cells on a bootstrap corpus via
+    * [[graft.operators.Similarity.buildIvfIndexExact]] /
+    * [[graft.operators.Similarity.refineIvfCentroidsExact]] and ships them
+    * here) and is verified ONCE, on arrival, against the cell's held
+    * owners with the batch operator's exact integer cosine law
+    * (dot²·cosDen ≥ n2a·n2b·cosNum, BigInt-exact). One output row per doc.
+    *
+    * State/recall contract mirrors [[nearDupCandidates]]: at most
+    * `ownerCap` owners per cell (oldest-first eviction), per-batch owner
+    * aging plus a watermark-clamped event-time timeout bound state by
+    * rate × horizon × cells × ownerCap; a dup pair is missed only when
+    * ≥ ownerCap docs entered the cell between the pair's arrivals, when
+    * the pair straddles a cell boundary (the batch operator's own
+    * cluster-split miss), or past the horizon. */
+  def semanticDupCandidates(docs: DataFrame, vecCol: String, idCol: String,
+      tsCol: String, centroids: Seq[(Long, Seq[Long])],
+      cosNum: Int = 4, cosDen: Int = 25, horizon: String = "10 minutes",
+      ownerCap: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(centroids.nonEmpty, "semantic dedup stream needs centroids")
+    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .getDuration(
+        org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(horizon)),
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    val centFlat = centroids.flatMap(_._2).toArray
+    val quant = transform(col(vecCol),
+      x => round(x.cast("double") * 10000).cast("long"))
+    val routed = docs
+      .withWatermark(tsCol, horizon)
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+        quant.as("qv"))
+      .withColumn("n2", graft.functions.GraftFunctions.longNorm2(col("qv")))
+      .withColumn("cell", graft.functions.GraftFunctions.longL2Argmin(
+        col("qv"), centFlat, centroids.size))
+      .as[CellDoc]
+
+    def qualifies(o: CellOwner, n2: Long, dot: Long): Boolean =
+      dot > 0 && BigInt(dot) * dot * cosDen >= BigInt(o.n2) * n2 * cosNum
+
+    routed
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[CellState, SemCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[CellState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val watermark = state.getCurrentWatermarkMs()
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            val out = Seq.newBuilder[SemCandidate]
+            var owners = state.getOption.map(_.owners).getOrElse(Seq.empty)
+              .filter(_.owner_ts.getTime + horizonMs > watermark)
+            sorted.foreach { r =>
+              if (!owners.exists(_.owner_id == r.doc_id)) {
+                val dupOf = owners.iterator.filter { o =>
+                  val dot = o.qv.iterator.zip(r.qv.iterator)
+                    .map { case (a, b) => a * b }.sum
+                  qualifies(o, r.n2, dot)
+                }.map(_.owner_id).reduceOption(_ min _)
+                out += SemCandidate(r.doc_id, r.ts, dupOf)
+                owners = (owners :+ CellOwner(r.doc_id, r.ts, r.qv, r.n2))
+                  .takeRight(ownerCap)
+              }
+            }
+            if (owners.nonEmpty) {
+              state.update(CellState(owners))
+              state.setTimeoutTimestamp(
+                math.max(owners.map(_.owner_ts.getTime).max + 1,
+                  watermark + 1), horizon)
+            } else if (state.exists) state.remove()
+            out.result().iterator
+          }
+      }
+      .toDF()
+      .withColumn("is_dup", col("dup_of").isNotNull)
+  }
+
   /** Per-document resolution of [[nearDupCandidates]] output (run per
     * micro-batch): a doc is a near-duplicate when its BEST band owner's
     * signature-agreement estimate reaches `threshold`; `dup_of` is that

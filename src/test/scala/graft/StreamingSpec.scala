@@ -304,6 +304,73 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists { case (d, o, est) => d == 3L && o == 1L && est >= 0.5 })
   }
 
+  test("streaming semantic dedup: cell owners flag arriving embedding " +
+      "near-dups against offline centroids; batch semanticDedup parity") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-sem-landing").toString
+    val ckpt = Files.createTempDirectory("graft-sem-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-sem-out").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def center(c: Int): Array[Float] =
+      Array.tabulate(16)(d => if (d == c * 2) 1.0f else 0.0f)
+    def jitter(v: Array[Float], j: Int): Array[Float] =
+      v.zipWithIndex.map { case (x, d) => x + ((j * 7 + d * 3) % 5) * 0.002f }
+
+    // ids 1..4 are four distinct cluster reps (they become the offline
+    // centroid constants); 11 and 12 are later near-copies of rep 1
+    val reps = Seq(
+      (1L, jitter(center(0), 0)), (2L, jitter(center(3), 0)),
+      (3L, jitter(center(5), 0)), (4L, jitter(center(7), 0)))
+    val copies = Seq((11L, jitter(center(0), 1)), (12L, jitter(center(0), 2)))
+    val full = (reps ++ copies).toDF("vec_id", "embedding")
+    // offline model constants: the batch operator's own centroid law
+    val centroids = graft.operators.Similarity
+      .buildIvfIndexExact(full, "vec_id", "embedding", nCells = 4).centroids
+
+    reps.map { case (i, v) => (i, v, ts(0)) }
+      .toDF("vec_id", "embedding", "event_ts")
+      .write.mode("append").parquet(landing)
+    Thread.sleep(60)
+    Seq((11L, copies(0)._2, ts(1))).toDF("vec_id", "embedding", "event_ts")
+      .write.mode("append").parquet(landing)
+    Thread.sleep(60)
+    Seq((12L, copies(1)._2, ts(2))).toDF("vec_id", "embedding", "event_ts")
+      .write.mode("append").parquet(landing)
+
+    val schemaSource = spark.read.parquet(landing)
+    val stream = spark.readStream.schema(schemaSource.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    graft.streaming.DedupStream.semanticDupCandidates(
+        stream, "embedding", "vec_id", "event_ts", centroids,
+        cosNum = 81, cosDen = 100, horizon = "10 minutes")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir)
+      }
+      .start().awaitTermination(120000)
+
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "dup_of", "is_dup").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 11L, 12L), got.toString)
+    Seq(1L, 2L, 3L, 4L).foreach(i => assert(got(i).isEmpty, s"$i: $got"))
+    assert(got(11L).contains(1L), got.toString)
+    // 12 verifies against owners {1, 11} — the LOWEST qualifying wins,
+    // the batch operator's greedy-by-id law
+    assert(got(12L).contains(1L), got.toString)
+
+    // batch parity: semanticDedup over the same corpus with the same
+    // centroid law produces the identical verdict map
+    val batch = graft.operators.Dedup.semanticDedup(full,
+        "vec_id", "embedding", nCells = 4, cosNum = 81, cosDen = 100)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(batch == got, s"batch=$batch stream=$got")
+  }
+
   test("streaming near-dup survives the watermark passing an owner's " +
       "horizon in a batch that also delivers bucket data (timeout clamp)") {
     import spark.implicits._
