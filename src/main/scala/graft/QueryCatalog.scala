@@ -1023,10 +1023,11 @@ object QueryCatalog {
     Q("x_dedup_semantic",
       // SemDeDup (Abbas et al. 2023): cells bound the quadratic pair work
       // — DuckDB re-derives the lowest-id centroids, the strict-< integer
-      // cell argmin (the IVF routing laws), the WITHIN-cell pair set, the
-      // exact integer cosine threshold (HUGEINT), and the greedy
-      // keep-lowest verdict, so a wrong cell, missed pair or wrong
-      // representative hash-mismatches
+      // cell argmin (the IVF routing laws), the hot-cell id-modulus shard
+      // law (cap 64), the WITHIN-(cell, shard) pair set, the exact integer
+      // cosine threshold (HUGEINT), and the greedy keep-lowest verdict, so
+      // a wrong cell, shard, missed pair or wrong representative
+      // hash-mismatches
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding,
              |            x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
              |           FROM embeddings WHERE vec_id < 300),
@@ -1040,11 +1041,17 @@ object QueryCatalog {
              |           i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))) AS BIGINT) * 8
              |          + c.cid) AS cell
              |      FROM e, cent c GROUP BY e.vec_id),
+             |cs AS (SELECT cell, count(*) AS csz FROM a GROUP BY cell),
+             |sa AS (SELECT a.vec_id, a.cell,
+             |         a.vec_id % GREATEST(1, CAST(ceil(csz / 64.0) AS BIGINT))
+             |           AS shard
+             |       FROM a JOIN cs USING (cell)),
              |p AS (SELECT y.vec_id AS ib, x.vec_id AS ia,
              |        CAST(list_sum(list_transform(range(1, len(nx.v)+1),
              |          i -> nx.v[i]*ny.v[i])) AS BIGINT) AS dot,
              |        nx.n2 AS na, ny.n2 AS nb
-             |      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+             |      FROM sa x JOIN sa y ON x.cell = y.cell
+             |        AND x.shard = y.shard AND x.vec_id < y.vec_id
              |      JOIN n nx ON nx.vec_id = x.vec_id
              |      JOIN n ny ON ny.vec_id = y.vec_id),
              |d AS (SELECT ib, MIN(ia) AS dup_of FROM p

@@ -442,12 +442,19 @@ object Dedup {
     *
     * Scale shape: the cells bound the quadratic pair work — one shuffle on
     * `cell`, Σ |cell|² candidate pairs instead of N² (pick nCells ∝
-    * N / target cell size at 100 TB; a pathological hot cell takes the
-    * same sub-salting treatment as the LSH buckets). The verdict join
-    * shuffles one narrow (id, min dup) frame. */
+    * N / target cell size at 100 TB). A pathological HOT cell (a corpus
+    * that is mostly one semantic neighborhood) takes the same sub-salting
+    * treatment as the LSH buckets ([[cosineDupPairsLsh]]'s bucketCap):
+    * cells larger than `cellCap` shard by `id mod ceil(size/cellCap)` and
+    * pairs generate within a (cell, shard) only, so the join work is
+    * bounded by ~cellCap per doc REGARDLESS of the corpus shape. The cap's
+    * documented trade: a sharded cell keeps up to `nsh` representatives
+    * (one per shard) instead of one — bounded work for bounded
+    * over-retention, never a quadratic blowup. The verdict join shuffles
+    * one narrow (id, min dup) frame. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, cosNum: Int = 4, cosDen: Int = 25,
-      lloydIters: Int = 0): DataFrame = {
+      lloydIters: Int = 0, cellCap: Int = 64): DataFrame = {
     val quant = transform(col(vecCol),
       x => round(x.cast("double") * 10000).cast("long"))
     val base = emb.select(col(idCol).cast("long").as("id"), quant.as("v"))
@@ -463,11 +470,19 @@ object Dedup {
     val cells = base.withColumn("cell",
       graft.functions.GraftFunctions.longL2Argmin(
         col("v"), centFlat, cent.size))
-    val a = cells.select(col("cell"), col("id").as("id_a"),
+    // hot-cell bound: per-cell occupancy is a tiny aggregate (≤ nCells
+    // rows) broadcast back; oversize cells shard by id-modulus and the
+    // pair join adds `shard` to its key
+    val cellSizes = cells.groupBy("cell").agg(count(lit(1)).as("csz"))
+    val salted = cells.join(broadcast(cellSizes), Seq("cell"))
+      .withColumn("shard", pmod(col("id"), greatest(lit(1L),
+        ceil(col("csz") / lit(cellCap.toDouble)).cast("long"))))
+    val a = salted.select(col("cell"), col("shard"), col("id").as("id_a"),
       col("v").as("va"), col("n2").as("na"))
-    val b = cells.select(col("cell"), col("id").as("id_b"),
+    val b = salted.select(col("cell"), col("shard"), col("id").as("id_b"),
       col("v").as("vb"), col("n2").as("nb"))
-    val dupOf = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+    val dupOf = a.join(b, Seq("cell", "shard"))
+      .where(col("id_a") < col("id_b"))
       .withColumn("dot",
         graft.functions.GraftFunctions.longDot(col("va"), col("vb")))
       // decimal(38,0) keeps dot² (≈10²⁰ at dim 64) exact

@@ -431,6 +431,27 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cells did not bound the pair work: $workCells vs all-pairs " +
         s"${n * (n - 1) / 2}")
 
+    // hot-cell cap: a degenerate corpus that is ONE semantic neighborhood
+    // must not re-quadratize — with cellCap=16 a 200-doc cell shards into
+    // ceil(200/16)=13 id-modulus groups, the join work is bounded by
+    // Σ|shard|², and each shard keeps exactly one representative (its
+    // lowest id) — bounded work for bounded over-retention
+    locally {
+      val degenerate = (0L until 200L).map(i => (i, jitter(center(0), 0)))
+        .toDF("vec_id", "embedding")
+      val capped = Dedup.semanticDedup(degenerate, "vec_id", "embedding",
+        nCells = 4, cosNum = 81, cosDen = 100, cellCap = 16)
+      val survivors = capped.where(!col("is_dup"))
+        .collect().map(_.getLong(0)).toSet
+      val nsh = math.ceil(200.0 / 16).toInt
+      assert(survivors == (0L until nsh.toLong).toSet,
+        s"each shard keeps its lowest id: $survivors")
+      // every dropped doc's representative is its own-shard minimum
+      capped.where(col("is_dup")).collect().foreach { r =>
+        assert(r.getLong(3) == r.getLong(0) % nsh, r.toString)
+      }
+    }
+
     // nCells = 1 degenerates to the unrestricted all-pairs law: verdicts
     // must equal cosineDupPairs' greedy keep-lowest resolution
     val one = Dedup.semanticDedup(emb, "vec_id", "embedding",
