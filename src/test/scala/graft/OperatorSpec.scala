@@ -1602,6 +1602,45 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d1.width == 1920 && d1.height == 1080)
   }
 
+  test("multimodal truncation fuzz: every prefix of every planted container " +
+      "lands on a verdict through decode AND features — never a throw") {
+    import spark.implicits._
+    val payloads: Seq[(String, Array[Byte])] = Seq(
+      "png" -> MultimodalFixtures.patternPng(3),
+      "jpeg" -> MultimodalFixtures.solidJpeg(3),
+      "gif" -> MultimodalFixtures.animatedGif(3),
+      "wav" -> MultimodalFixtures.wavBytes(3),
+      "mp4" -> MultimodalFixtures.mp4Bytes(3))
+    // all short prefixes (where header parsing is most fragile) plus a
+    // stride through the body and the full payload — one Spark pass each
+    val rows = payloads.zipWithIndex.flatMap { case ((kind, bytes), pi) =>
+      val cuts = (0 to math.min(bytes.length, 64)) ++
+        (64 until bytes.length by 13) :+ bytes.length
+      cuts.distinct.map(k =>
+        Multimodal.MediaRow(pi * 100000L + k, s"fuzz/$kind", bytes.take(k)))
+    }
+    val ds = rows.toDS()
+    val decoded = Multimodal.decode(ds).collect()
+    assert(decoded.length == rows.size)
+    decoded.foreach { d =>
+      assert(d.decode_ok || (d.error != null && d.error.nonEmpty),
+        s"no verdict for ${d.media_id} (${d.mime})")
+    }
+    val feats = Multimodal.extractFeatures(ds, dim = 16).collect()
+    assert(feats.length == rows.size)
+    feats.foreach { f =>
+      assert(f.feature_ok || (f.error != null && f.error.nonEmpty),
+        s"no feature verdict for ${f.media_id} (${f.mime})")
+      if (f.feature_ok) assert(f.embedding.length == 16)
+    }
+    // the FULL payloads must decode ok (the fuzz must not hide a broken
+    // happy path)
+    val fullIds = payloads.zipWithIndex
+      .map { case ((_, b), pi) => pi * 100000L + b.length }.toSet
+    assert(decoded.filter(d => fullIds.contains(d.media_id))
+      .forall(_.decode_ok))
+  }
+
   test("binary metadata sniffs magic bytes") {
     import spark.implicits._
     val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0x00)
