@@ -389,6 +389,58 @@ object BenchScale {
         finalState.toDouble))
     }
 
+    // ---- streaming SEMANTIC dedup: state rows bounded by CELLS ----------
+    // The semantic stream keeps ONE state row per touched centroid cell
+    // (each holding ≤ ownerCap quantized 64-long vectors — the heavy
+    // per-owner variant), so state rows are bounded by nCells REGARDLESS
+    // of rate; eviction still collapses aged cells. Invariants `require`d.
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val nCells = 64
+      val centroids = Similarity.buildIvfIndexExact(
+        emb1, "vec_id", "embedding", nCells = nCells).centroids
+      val vecs = emb1.select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-scale-semstream").toString
+      val outCount = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = graft.streaming.DedupStream.semanticDupCandidates(
+          ms.toDF().toDF("vec_id", "embedding", "event_ts"),
+          "embedding", "vec_id", "event_ts", centroids,
+          cosNum = 81, cosDen = 100, horizon = "10 minutes")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          outCount.addAndGet(df.count()); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      val perBatch = 500 * factor
+      def batch(i: Int, n: Int, atMin: Int): (Long, Long) = {
+        ms.addData((0 until n).map(j =>
+          ((i.toLong << 32) + j, vecs((i * 31 + j) % vecs.length), ts(atMin))))
+        outCount.set(0L)
+        q.processAllAvailable()
+        val p = q.lastProgress
+        (p.stateOperators.apply(0).numRowsTotal, outCount.get())
+      }
+      for (i <- 0 until 5) {
+        val (st, out) = batch(i, perBatch, i * 5)
+        println(f"[scale] semstream batch $i: state=$st%,d rows " +
+          f"(cell bound $nCells), out=$out%,d")
+        require(st <= nCells,
+          s"semantic stream state exceeded the cell bound: $st > $nCells")
+        require(out == perBatch, s"one verdict per doc: $out != $perBatch")
+      }
+      batch(98, 50, 180)
+      val (finalState, _) = batch(99, 50, 181)
+      println(f"[scale] semstream state after far-future jump: $finalState%,d rows")
+      require(finalState <= nCells)
+      q.stop()
+    }
+
     println("\n| operator | 1x sec | " + factor + "x sec | ratio |")
     println("|---|---|---|---|")
     rows.foreach { case (l, a, b) =>
