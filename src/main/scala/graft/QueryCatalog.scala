@@ -2141,6 +2141,48 @@ object QueryCatalog {
           .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
           .orderBy("doc_id")),
 
+    Q("x_sketch_kmv_vocab",
+      // KMV distinct sketch (native TypedImperativeAggregate, bounded k-min
+      // buffer, map-side combinable): per-lang distinct-TOKEN estimate.
+      // Unlike HLL the minima are a pure function of the input SET, so
+      // DuckDB re-derives the exact k smallest sha63 hashes per lang AND
+      // the (k−1)·2⁶³ // h_k integral-division estimator — a dropped hash,
+      // broken merge or wrong estimator law all hash-mismatch
+      Some("""WITH t AS (SELECT lang,
+             |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |                x -> x <> '')) AS tok
+             |       FROM documents),
+             |h AS (SELECT DISTINCT lang,
+             |        (CAST(concat('0x', substr(sha256(tok || ':0'), 1, 8))
+             |           AS BIGINT) & 2147483647) * 4294967296
+             |        + CAST(concat('0x', substr(sha256(tok || ':0'), 9, 8))
+             |           AS BIGINT) AS hv
+             |      FROM t),
+             |r AS (SELECT lang, hv,
+             |        row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+             |      FROM h),
+             |m AS (SELECT lang, list(hv ORDER BY hv) AS kmv_minima,
+             |        count(*) AS n
+             |      FROM r WHERE rn <= 64 GROUP BY lang)
+             |SELECT lang, kmv_minima,
+             |  CASE WHEN n < 64 THEN n
+             |       ELSE CAST(63::HUGEINT * 9223372036854775808::HUGEINT
+             |                 // kmv_minima[64] AS BIGINT) END AS distinct_est
+             |FROM m ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val k = 64
+        val hashes = T(s, dir, "documents")
+          .select(col("lang"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+          .select(col("lang"), Dedup.sha63(col("tok"), lit(0)).as("h"))
+        hashes.groupBy("lang")
+          .agg(graft.functions.GraftFunctions.kmvMinHashes(col("h"), k)
+            .as("kmv_minima"))
+          .withColumn("distinct_est",
+            graft.operators.Stats.kmvEstimate(col("kmv_minima"), k))
+          .orderBy("lang")
+      }),
+
     Q("x_text_lm_surprisal",
       // corpus-bigram LM surprisal (the perplexity-filter family,
       // integerized): DuckDB re-trains the same bigram/prefix count model

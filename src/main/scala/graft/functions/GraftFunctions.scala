@@ -137,6 +137,9 @@ object GraftFunctions {
     nativeCol(graft.plans.LongNorm2Expression(exprOf(c)))
   def pqAdcDist(codes: Column, lut: Column): Column =
     nativeCol(graft.plans.PqAdcDistExpression(exprOf(codes), exprOf(lut)))
+  def kmvMinHashes(c: Column, k: Int): Column =
+    nativeCol(graft.plans.KmvMinHashesAggregate(exprOf(c), k)
+      .toAggregateExpression(isDistinct = false))
   def longL2Argmin(c: Column, centFlat: Array[Long], nCells: Int): Column =
     nativeCol(graft.plans.LongL2ArgminExpression(exprOf(c), centFlat, nCells))
   def pqEncode(c: Column, cbFlat: Array[Long], m: Int, codewords: Int): Column =

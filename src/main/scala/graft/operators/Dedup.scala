@@ -66,7 +66,7 @@ object Dedup {
     * ordering can't diverge between engines. Like [[sha64]] this is
     * replayable in DuckDB SQL, which makes the MinHash signatures (and the
     * LSH candidate set they induce) hash-oracle-checkable. */
-  private[operators] def sha63(x: Column, seed: Column): Column = {
+  private[graft] def sha63(x: Column, seed: Column): Column = {
     val hx = sha2(concat(x, lit(":"), seed.cast("string")), 256)
     val hi = conv(substring(hx, 1, 8), 16, 10).cast("long")
       .bitwiseAND(lit(0x7fffffffL))

@@ -54,4 +54,19 @@ object Stats {
     spark.listenerManager.register(listener)
     () => spark.listenerManager.unregister(listener)
   }
+
+  /** The KMV estimator law over [[graft.plans.KmvMinHashesAggregate]]'s
+    * minima array, exact-integer end to end: fewer than k minima means the
+    * sketch saw EVERY distinct hash (the count is exact); otherwise the
+    * k-th minimum h_k of hashes uniform on [0, 2⁶³) yields the standard
+    * (k−1)·2⁶³ div h_k estimate — integral division (`div`), so DuckDB's
+    * `//` over HUGEINT replays it bit-for-bit. */
+  def kmvEstimate(mins: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(size(mins) < k, size(mins).cast("long"))
+      .otherwise(call_function("div",
+        lit(k - 1).cast("decimal(38,0)") *
+          lit(new java.math.BigDecimal("9223372036854775808")),
+        element_at(mins, k).cast("decimal(38,0)")))
+  }
 }

@@ -54,6 +54,15 @@ object ExplainAudit {
       // map-side and the doc-vs-model joins stay equi — never a cartesian
       ("x_text_lm_surprisal", Seq("partial_count"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      // KMV sketch: a REAL partial aggregate — the shuffle moves k-long
+      // buffers (partial_kmv under ObjectHashAggregate), never the token
+      // set (a collect_set/sort of the values here is the blowup the
+      // sketch exists to avoid)
+      // (the terminal ORDER BY lang sorts 5 result rows — only the value
+      // set must never be collected or sorted)
+      ("x_sketch_kmv_vocab", Seq("ObjectHashAggregate",
+        "partial_kmv_min_hashes"),
+        Seq("collect_set")),
       ("p4_effects_flatmap", Seq("Generate posexplode"), Seq()),
       // df-cut: hot grams via partial agg + broadcast, pruning intra-row —
       // no per-gram window sort anywhere in the plan

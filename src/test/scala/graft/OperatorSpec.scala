@@ -1433,6 +1433,45 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.select(TextAnalysis.tokenCount(col("text"))).head.getInt(0) == 5)
   }
 
+  test("KMV distinct sketch: exact below k, partition-invariant merge, " +
+      "sane estimate at 25x k, partial-aggregate plan") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    def sketch(df: org.apache.spark.sql.DataFrame, k: Int) = df
+      .select(col("g"), Dedup.sha63(col("t"), lit(0)).as("h"))
+      .groupBy("g")
+      .agg(GraftFunctions.kmvMinHashes(col("h"), k).as("m"))
+      .withColumn("est", graft.operators.Stats.kmvEstimate(col("m"), k))
+
+    // below k the sketch holds EVERY distinct hash: minima are the full
+    // sorted distinct hash set and the estimate is the exact count —
+    // duplicates (5 copies each) must collapse in the buffer
+    val small = (1 to 200).map(i => ("g", s"tok${i % 40}")).toDF("g", "t")
+    val r = sketch(small, 64).head()
+    val minima = r.getSeq[Long](1)
+    assert(minima.size == 40 && minima == minima.sorted &&
+      minima.distinct.size == 40)
+    assert(r.getLong(2) == 40L)
+
+    // merge law: the minima are a pure function of the input SET — any
+    // partitioning (different partial buffers to merge) yields identical
+    // output
+    val big = (1 to 25000).map(i => ("g", s"item-${i % 5000}")).toDF("g", "t")
+    val one = sketch(big.coalesce(1), 256).head()
+    val many = sketch(big.repartition(17), 256).head()
+    assert(one.getSeq[Long](1) == many.getSeq[Long](1))
+    assert(one.getLong(2) == many.getLong(2))
+    // estimator sanity at 5000 distinct with k=256: within ±30%
+    val est = one.getLong(2)
+    assert(est > 3500 && est < 6500, s"estimate off: $est for 5000")
+
+    // the plan is a real partial aggregate (ObjectHashAggregate partial →
+    // merge): the shuffle moves k-long buffers, never the value set
+    val plan = sketch(big, 256).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(600))
+    assert(plan.contains("partial_kmv_min_hashes"), plan.take(600))
+  }
+
   test("bigram LM surprisal: exact floor-log2 law on a hand corpus; rare " +
       "transitions score high, boilerplate scores zero") {
     import spark.implicits._
