@@ -2027,6 +2027,120 @@ object QueryCatalog {
           .orderBy("doc_id")
       }),
 
+    Q("x_curation_pipeline_v2",
+      // the r16 curation path COMPOSED end-to-end: corpus-trained bigram-LM
+      // surprisal gate (keep docs at or below the corpus's integer-MEAN
+      // surprisal — self-calibrating, so the law survives any corpus scale
+      // where a fixed cut empties or passes everything; one exact scalar
+      // aggregate, broadcast — never a global sort)
+      // -> SemDeDup semantic dedup over the survivors' embeddings (exact
+      // IVF cells + hot-cell shard law + HUGEINT cosine threshold, keep
+      // non-dups) -> sequence packing of the kept docs. Every stage's law
+      // is exact, so DuckDB replays the whole pipeline as one CTE chain —
+      // model training, gate, routing, dedup verdicts AND pack ids all
+      // hash-gated together
+      Some("""WITH d0 AS (SELECT doc_id, text FROM documents),
+             |dt AS (SELECT doc_id,
+             |         list_transform(list_filter(
+             |           string_split_regex(text, '\s+'), x -> x <> ''),
+             |           w -> lower(w)) AS toks
+             |       FROM d0),
+             |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+             |       FROM dt, unnest(range(1, len(toks))) t(i)),
+             |bc AS (SELECT bigram, count(*) AS c_bg,
+             |              string_split(bigram, ' ')[1] AS prefix
+             |       FROM bg GROUP BY bigram),
+             |pc AS (SELECT prefix, CAST(sum(c_bg) AS BIGINT) AS c_pref
+             |       FROM bc GROUP BY prefix),
+             |sm AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+             |        CAST(sum((length(bin(pc.c_pref)) - 1)
+             |                 - (length(bin(bc.c_bg)) - 1)) AS BIGINT) AS sb
+             |      FROM bg JOIN bc USING (bigram) JOIN pc USING (prefix)
+             |      GROUP BY bg.doc_id),
+             |g0 AS (SELECT doc_id, sb * 1000 // n_bigrams AS mean_millibits
+             |       FROM sm WHERE n_bigrams > 0),
+             |thr AS (SELECT sum(mean_millibits) // count(*) AS t FROM g0),
+             |g AS (SELECT doc_id, mean_millibits FROM g0, thr
+             |      WHERE mean_millibits <= t),
+             |e AS (SELECT g.doc_id AS vec_id, g.mean_millibits,
+             |        list_transform(em.embedding,
+             |          x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+             |      FROM g JOIN embeddings em ON em.vec_id = g.doc_id),
+             |n AS (SELECT vec_id, v,
+             |        CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+             |      FROM e),
+             |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+             |         FROM e ORDER BY vec_id LIMIT 8),
+             |a AS (SELECT e.vec_id, arg_min(c.cid,
+             |        CAST(list_sum(list_transform(range(1, len(e.v)+1),
+             |           i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))) AS BIGINT) * 8
+             |          + c.cid) AS cell
+             |      FROM e, cent c GROUP BY e.vec_id),
+             |cs AS (SELECT cell, count(*) AS csz FROM a GROUP BY cell),
+             |sa AS (SELECT a.vec_id, a.cell,
+             |         a.vec_id % GREATEST(1, CAST(ceil(csz / 64.0) AS BIGINT))
+             |           AS shard
+             |       FROM a JOIN cs USING (cell)),
+             |p AS (SELECT y.vec_id AS ib,
+             |        CAST(list_sum(list_transform(range(1, len(nx.v)+1),
+             |          i -> nx.v[i]*ny.v[i])) AS BIGINT) AS dot,
+             |        nx.n2 AS na, ny.n2 AS nb
+             |      FROM sa x JOIN sa y ON x.cell = y.cell
+             |        AND x.shard = y.shard AND x.vec_id < y.vec_id
+             |      JOIN n nx ON nx.vec_id = x.vec_id
+             |      JOIN n ny ON ny.vec_id = y.vec_id),
+             |dd AS (SELECT DISTINCT ib FROM p
+             |       WHERE dot > 0 AND CAST(dot AS HUGEINT)*dot*25 >=
+             |             CAST(na AS HUGEINT)*nb*4),
+             |k AS (SELECT a.vec_id AS doc_id, a.cell FROM a
+             |      WHERE a.vec_id NOT IN (SELECT ib FROM dd)),
+             |tok AS (SELECT k.doc_id, k.cell, g.mean_millibits,
+             |          len(list_filter(string_split_regex(d0.text, '\s+'),
+             |            x -> x <> '')) AS n_tokens
+             |        FROM k JOIN d0 USING (doc_id) JOIN g USING (doc_id)),
+             |c AS (SELECT doc_id, cell, mean_millibits,
+             |        doc_id % 4 AS shard, n_tokens,
+             |        sum(n_tokens) OVER (PARTITION BY doc_id % 4
+             |          ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8),
+             |                   doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM tok)
+             |SELECT doc_id, mean_millibits, cell, shard,
+             |       CAST(n_tokens AS BIGINT) AS n_tokens,
+             |       CAST(shard * 1000000 + (cum - n_tokens) // 512 AS BIGINT)
+             |         AS pack_id
+             |FROM c ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val scored = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+          .where(col("n_bigrams") > 0)
+        val thr = scored.agg(
+          expr("sum(mean_millibits) div count(*)").as("thr"))
+        val gate = scored.join(broadcast(thr))
+          .where(col("mean_millibits") <= col("thr"))
+          .select("doc_id", "mean_millibits")
+        val joined = gate.join(T(s, dir, "embeddings"),
+            gate("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("mean_millibits"), col("embedding"))
+        val sem = Dedup.semanticDedup(joined, "doc_id", "embedding",
+          nCells = 8, cosNum = 4, cosDen = 25)
+        val kept = sem.where(!col("is_dup"))
+          .select(col("id").as("doc_id"), col("cell"))
+        val withTok = kept
+          .join(docs.select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+            "doc_id")
+        TextAnalysis.packSequences(
+            withTok.select(col("doc_id"), col("n_tok")),
+            "doc_id", "n_tok", budget = 512L, shards = 4)
+          .join(kept, "doc_id")
+          .join(gate, "doc_id")
+          .select(col("doc_id"), col("mean_millibits"), col("cell"),
+            col("shard"), col("n_tokens").cast("long").as("n_tokens"),
+            col("pack_id"))
+          .orderBy("doc_id")
+      }),
+
     Q("x_curation_retrieval",
       // the round-11 curation ops COMPOSED: per-source document cap
       // (WindowGroupLimit) -> exact dedup survivors -> integer-exact BM25
