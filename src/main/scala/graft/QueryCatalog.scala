@@ -2116,9 +2116,13 @@ object QueryCatalog {
           .where(col("n_bigrams") > 0)
         val thr = scored.agg(
           expr("sum(mean_millibits) div count(*)").as("thr"))
+        // cache the narrow gate frame: it feeds BOTH the dedup input and
+        // the final provenance join, and each uncached consumer would
+        // re-train the whole bigram model (measured 4.9s -> ~2s)
         val gate = scored.join(broadcast(thr))
           .where(col("mean_millibits") <= col("thr"))
           .select("doc_id", "mean_millibits")
+          .cache()
         val joined = gate.join(T(s, dir, "embeddings"),
             gate("doc_id") === col("vec_id"))
           .select(col("doc_id"), col("mean_millibits"), col("embedding"))
@@ -2126,6 +2130,7 @@ object QueryCatalog {
           nCells = 8, cosNum = 4, cosDen = 25)
         val kept = sem.where(!col("is_dup"))
           .select(col("id").as("doc_id"), col("cell"))
+          .cache() // reused by the pack input and the cell provenance join
         val withTok = kept
           .join(docs.select(col("doc_id"),
             TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
