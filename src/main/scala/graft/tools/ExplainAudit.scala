@@ -63,6 +63,13 @@ object ExplainAudit {
       ("x_sketch_kmv_vocab", Seq("ObjectHashAggregate",
         "partial_kmv_min_hashes"),
         Seq("collect_set")),
+      // curation v2: the scalar gate threshold rides a broadcast (its
+      // cross join against the scored frame is ONE row), the reused gate
+      // frame is a cached InMemory scan, and the cell pair generator must
+      // never be a BNLJ over the corpus
+      ("x_curation_pipeline_v2",
+        Seq("InMemoryTableScan", "partial_count"),
+        Seq("CartesianProduct")),
       ("p4_effects_flatmap", Seq("Generate posexplode"), Seq()),
       // df-cut: hot grams via partial agg + broadcast, pruning intra-row —
       // no per-gram window sort anywhere in the plan
