@@ -2266,7 +2266,9 @@ object QueryCatalog {
       // Unlike HLL the minima are a pure function of the input SET, so
       // DuckDB re-derives the exact k smallest sha63 hashes per lang AND
       // the (k−1)·2⁶³ // h_k integral-division estimator — a dropped hash,
-      // broken merge or wrong estimator law all hash-mismatch
+      // broken merge or wrong estimator law all hash-mismatch. The minima
+      // are rendered as one comma-joined string (the harness comparator
+      // cannot sort array cells); h_k is clamped ≥ 1 on both sides
       Some("""WITH t AS (SELECT lang,
              |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
              |                x -> x <> '')) AS tok
@@ -2283,10 +2285,12 @@ object QueryCatalog {
              |m AS (SELECT lang, list(hv ORDER BY hv) AS kmv_minima,
              |        count(*) AS n
              |      FROM r WHERE rn <= 64 GROUP BY lang)
-             |SELECT lang, kmv_minima,
+             |SELECT lang,
+             |  array_to_string(kmv_minima, ',') AS kmv_minima,
              |  CASE WHEN n < 64 THEN n
              |       ELSE CAST(63::HUGEINT * 9223372036854775808::HUGEINT
-             |                 // kmv_minima[64] AS BIGINT) END AS distinct_est
+             |                 // greatest(kmv_minima[64], 1) AS BIGINT)
+             |       END AS distinct_est
              |FROM m ORDER BY lang""".stripMargin),
       (s, dir) => {
         val k = 64
@@ -2296,9 +2300,11 @@ object QueryCatalog {
           .select(col("lang"), Dedup.sha63(col("tok"), lit(0)).as("h"))
         hashes.groupBy("lang")
           .agg(graft.functions.GraftFunctions.kmvMinHashes(col("h"), k)
-            .as("kmv_minima"))
-          .withColumn("distinct_est",
-            graft.operators.Stats.kmvEstimate(col("kmv_minima"), k))
+            .as("mins"))
+          .select(col("lang"),
+            concat_ws(",", col("mins").cast("array<string>")).as("kmv_minima"),
+            graft.operators.Stats.kmvEstimate(col("mins"), k)
+              .as("distinct_est"))
           .orderBy("lang")
       }),
 

@@ -60,13 +60,16 @@ object Stats {
     * sketch saw EVERY distinct hash (the count is exact); otherwise the
     * k-th minimum h_k of hashes uniform on [0, 2⁶³) yields the standard
     * (k−1)·2⁶³ div h_k estimate — integral division (`div`), so DuckDB's
-    * `//` over HUGEINT replays it bit-for-bit. */
+    * `//` over HUGEINT replays it bit-for-bit. Hash value 0 is legal in
+    * [0, 2⁶³), so h_k is clamped to ≥ 1 (h_k = 0 means k distinct inputs
+    * all hashed below 1 — the estimator saturates rather than dividing by
+    * zero; the oracle replays the same greatest(h_k, 1) clamp). */
   def kmvEstimate(mins: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     when(size(mins) < k, size(mins).cast("long"))
       .otherwise(call_function("div",
         lit(k - 1).cast("decimal(38,0)") *
           lit(new java.math.BigDecimal("9223372036854775808")),
-        element_at(mins, k).cast("decimal(38,0)")))
+        greatest(element_at(mins, k), lit(1L)).cast("decimal(38,0)")))
   }
 }
