@@ -62,7 +62,17 @@ object Export {
       startTime: String = "", endTime: String = "",
       strict: Boolean = false,
       bucket: String = "", path: String = "",
-      cloudProvider: String = "")
+      cloudProvider: String = "",
+      testnet: Boolean = false, futurenet: Boolean = false) {
+
+    /** The reference's `GetEnvironmentDetails` precedence
+      * (`internal/utils/main.go:866-895`): testnet wins over futurenet,
+      * default mainnet. */
+    def network: String =
+      if (testnet) "testnet" else if (futurenet) "futurenet" else "pubnet"
+    def networkId: Array[Byte] = graft.codec.Network.id(network)
+    def passphrase: String = graft.codec.Network.passphrase(network)
+  }
 
   def parse(argv: Array[String]): Args = {
     def loop(a: Args, rest: List[String]): Args = rest match {
@@ -87,6 +97,10 @@ object Export {
       case "--path" :: v :: t => loop(a.copy(path = v), t)
       case "--cloud-provider" :: v :: t => loop(a.copy(cloudProvider = v), t)
       case "--strict-export" :: t => loop(a.copy(strict = true), t)
+      // network selection (`AddCommonFlags`, `internal/utils/main.go:234-235`):
+      // the passphrase domain-separates tx hashes and SAC contract ids
+      case "--testnet" :: t => loop(a.copy(testnet = true), t)
+      case "--futurenet" :: t => loop(a.copy(futurenet = true), t)
       case "--extra-fields" :: v :: t =>
         loop(a.copy(extraFields = v.split(',').filter(_.contains("="))
           .map { kv => val Array(k, x) = kv.split("=", 2); k -> x }.toMap), t)
@@ -190,7 +204,7 @@ object Export {
       // poison OBJECTS become reported error rows: counted by the same
       // observe() metric, dumped beside the output, good ledgers flow on
       val res = graft.sources.LcmBatchFiles
-        .objectsPermissive(spark, a.batchInput.get).persist()
+        .objectsPermissive(spark, a.batchInput.get, a.networkId).persist()
       val errs = res.filter(r => r.error.isDefined)
       val nBad = errs.count()
       if (nBad > 0) {
@@ -205,7 +219,7 @@ object Export {
         .filter(r => r.sequence >= a.start && r.sequence <= a.end)
     } else if (a.batchInput.isDefined)
       graft.sources.LcmBatchFiles.ledgerRowsForRange(
-        spark, a.batchInput.get, a.start, a.end)
+        spark, a.batchInput.get, a.start, a.end, a.networkId)
     else (a.xdrInput, a.input) match {
       // --xdr-input <file/dir of frame NDJSON>: REAL network XDR — one row
       // per ledger with base64 `ledger_header` + `transactions` array of
@@ -217,7 +231,7 @@ object Export {
       // output, surfaced in the stats line — never silently dropped
       case (Some(path), _) if a.permissive =>
         val res = graft.operators.RealXdrSource
-          .ledgerRowsPermissive(spark.read.json(path)).persist()
+          .ledgerRowsPermissive(spark.read.json(path), a.networkId).persist()
         val errs = res.filter(r => r.error.isDefined)
         val nBad = errs.count()
         if (nBad > 0) {
@@ -230,7 +244,8 @@ object Export {
           .as[graft.operators.RealXdrSource.DecodeResult]
           .flatMap(_.row)
       case (Some(path), _) =>
-        graft.operators.RealXdrSource.ledgerRows(spark.read.json(path))
+        graft.operators.RealXdrSource.ledgerRows(spark.read.json(path),
+          a.networkId)
       case (None, Some(path)) =>
         spark.read.parquet(path).as[graft.model.LedgerModel.LedgerRow]
       case (None, None) => StellarFixture.ledgers(spark, a.start, a.end)
@@ -458,7 +473,9 @@ object Export {
           "export_effects export_trades export_assets export_token_transfers " +
           "export_ledger_transaction export_contract_events " +
           "export_ledger_entry_changes get_ledger_range_from_times version " +
-          "(--output accepts any Hadoop FS URI — the upload_to_gcs analog)")
+          "(--output accepts any Hadoop FS URI — the upload_to_gcs analog; " +
+          "--testnet/--futurenet select the network passphrase that " +
+          "domain-separates tx hashes and SAC contract ids)")
 
       case other => sys.error(s"unknown command: $other")
     }
@@ -520,7 +537,7 @@ object Export {
     // rows — without this each resource re-reads and re-decodes the tree
     // (4× read amplification on a real backfill)
     lazy val realLedgers = graft.sources.LcmBatchFiles.ledgerRowsForRange(
-        spark, a.batchInput.getOrElse(""), a.start, a.end)
+        spark, a.batchInput.getOrElse(""), a.start, a.end, a.networkId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     lazy val changes = StellarFixture.changes(spark, a.start, a.end,
@@ -533,7 +550,8 @@ object Export {
 
     def frameFor(t: String): DataFrame = t match {
       case "contract_data" if a.batchInput.isDefined =>
-        graft.operators.SorobanStateTables.contractDataFromLedgers(realLedgers)
+        graft.operators.SorobanStateTables
+          .contractDataFromLedgers(realLedgers, a.passphrase)
       case "contract_code" if a.batchInput.isDefined =>
         graft.operators.SorobanStateTables.contractCodeFromLedgers(realLedgers)
       case "config_setting" if a.batchInput.isDefined =>

@@ -581,7 +581,8 @@ object XdrEncode {
 
   def ledgerCloseMetaV1(header: Array[Byte], txs: Seq[LcmTx],
       scpInfo: Seq[Array[Byte]] = Nil,
-      sorobanFeeWrite1kb: Long = 0L): Array[Byte] = {
+      sorobanFeeWrite1kb: Long = 0L,
+      networkId: Array[Byte] = StellarXdr.PublicNetworkId): Array[Byte] = {
     val headerHash = Hashes.sha256(header)
     val w = new W().i32(1) // LedgerCloseMeta v1
     if (sorobanFeeWrite1kb == 0L) w.i32(0) // LedgerCloseMetaExt v0
@@ -595,9 +596,10 @@ object XdrEncode {
       .i32(0) // TXSET_COMP_TXS_MAYBE_DISCOUNTED_FEE
       .i32(0) // baseFee*: absent
     w.arr(txs)(t => w.raw(t.envelope))
-    // txProcessing (apply order)
+    // txProcessing (apply order); the embedded result-pair hash is
+    // network-domain-separated exactly as core writes it
     w.arr(txs) { t =>
-      val env = StellarXdr.decodeTxEnvelope(t.envelope)
+      val env = StellarXdr.decodeTxEnvelope(t.envelope, networkId)
       w.raw(env.hash) // TransactionResultPair.transactionHash
       w.raw(t.result)
       w.raw(t.feeMeta) // feeProcessing: LedgerEntryChanges
@@ -623,7 +625,8 @@ object XdrEncode {
       sorobanFeeWrite1kb: Long = 0L,
       liveSorobanStateSize: Long = 888L,
       postFees: Seq[Array[Byte]] = Nil,
-      evictedKeys: Seq[Array[Byte]] = Nil): Array[Byte] = {
+      evictedKeys: Seq[Array[Byte]] = Nil,
+      networkId: Array[Byte] = StellarXdr.PublicNetworkId): Array[Byte] = {
     val headerHash = Hashes.sha256(header)
     val w = new W().i32(2) // LedgerCloseMeta v2
     if (sorobanFeeWrite1kb == 0L) w.i32(0) // LedgerCloseMetaExt v0
@@ -640,7 +643,7 @@ object XdrEncode {
     val emptyChanges = changes(Nil)
     // txProcessing (apply order): TransactionResultMetaV1
     w.arr(txs.zipWithIndex) { case (t, i) =>
-      val env = StellarXdr.decodeTxEnvelope(t.envelope)
+      val env = StellarXdr.decodeTxEnvelope(t.envelope, networkId)
       w.i32(0) // ExtensionPoint
       w.raw(env.hash) // TransactionResultPair.transactionHash
       w.raw(t.result)
@@ -657,14 +660,15 @@ object XdrEncode {
 
   /** LedgerCloseMeta v0 (pre-protocol-20 archives): plain TransactionSet,
     * no ext/bucket-size/evicted trailers. */
-  def ledgerCloseMetaV0(header: Array[Byte], txs: Seq[LcmTx]): Array[Byte] = {
+  def ledgerCloseMetaV0(header: Array[Byte], txs: Seq[LcmTx],
+      networkId: Array[Byte] = StellarXdr.PublicNetworkId): Array[Byte] = {
     val headerHash = Hashes.sha256(header)
     val w = new W().i32(0) // LedgerCloseMeta v0
       .raw(headerHash).raw(header).i32(0) // LedgerHeaderHistoryEntry + ext
       .raw(new Array[Byte](32)) // TransactionSet.previousLedgerHash
     w.arr(txs)(t => w.raw(t.envelope))
     w.arr(txs) { t =>
-      val env = StellarXdr.decodeTxEnvelope(t.envelope)
+      val env = StellarXdr.decodeTxEnvelope(t.envelope, networkId)
       w.raw(env.hash).raw(t.result).raw(t.feeMeta).raw(t.meta)
     }
     w.i32(0) // upgradesProcessing<>

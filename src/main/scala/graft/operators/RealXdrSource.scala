@@ -60,11 +60,11 @@ object RealXdrSource {
       .as[Frame]
   }
 
-  private def decodeFrame(f: Frame): LedgerRow =
+  private def decodeFrame(f: Frame, networkId: Array[Byte]): LedgerRow =
     StellarXdr.decodeLedgerRow(f.ledger_header, f.transactions.map(t =>
       StellarXdr.TxInput(t.tx_envelope, t.tx_result,
         Option(t.tx_meta).getOrElse(""),
-        Option(t.tx_fee_meta).getOrElse(""))))
+        Option(t.tx_fee_meta).getOrElse(""))), networkId)
 
   /** Decode a frame DataFrame (fail-fast: a malformed frame throws).
     * Expected columns (extras ignored):
@@ -73,11 +73,15 @@ object RealXdrSource {
     *  - `transactions`: array of struct with base64 `tx_envelope`,
     *    `tx_result` and optional `tx_meta` / `tx_fee_meta`, in application
     *    order (element 0 = transaction index 1)
-    */
-  def ledgerRows(frames: DataFrame): Dataset[LedgerRow] = {
+    *
+    * `networkId` selects the network whose passphrase domain-separates the
+    * tx hashes (the reference's `--testnet`/`--futurenet` flags resolved by
+    * `internal/utils/main.go:866-895`); defaults to mainnet. */
+  def ledgerRows(frames: DataFrame,
+      networkId: Array[Byte] = StellarXdr.PublicNetworkId): Dataset[LedgerRow] = {
     val spark = frames.sparkSession
     import spark.implicits._
-    normalized(frames).map(decodeFrame)
+    normalized(frames).map(decodeFrame(_, networkId))
   }
 
   /** PERMISSIVE decode for long backfills: a malformed frame becomes an
@@ -85,11 +89,12 @@ object RealXdrSource {
     * the job — the caller MUST split on `error` and account for both
     * sides; dropping the error partition silently is exactly the failure
     * mode [[ledgerRows]]'s fail-fast default exists to prevent. */
-  def ledgerRowsPermissive(frames: DataFrame): Dataset[DecodeResult] = {
+  def ledgerRowsPermissive(frames: DataFrame,
+      networkId: Array[Byte] = StellarXdr.PublicNetworkId): Dataset[DecodeResult] = {
     val spark = frames.sparkSession
     import spark.implicits._
     normalized(frames).map { f =>
-      try DecodeResult(Some(decodeFrame(f)), None, f.ledger_header)
+      try DecodeResult(Some(decodeFrame(f, networkId)), None, f.ledger_header)
       catch {
         case e: Exception => DecodeResult(None,
           Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"),

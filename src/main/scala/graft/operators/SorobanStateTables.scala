@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.codec.{Amounts, Hashes, SacStorage, ScVal, StellarXdr, Strkey}
+import graft.codec.{Amounts, Hashes, SacContractId, SacStorage, ScVal, StellarXdr, Strkey}
 import graft.functions.GraftFunctions
 import graft.model.LedgerModel.LedgerRow
 
@@ -89,8 +89,11 @@ object SorobanStateTables {
       ledger_key_hash_base_64: String)
 
   /** One decoded change → Some(row), or None for the nonce keys the
-    * reference discards (`contract_data.go:63-66`). */
-  def contractDataRow(c: EntryChange): Option[ContractDataRow] = {
+    * reference discards (`contract_data.go:63-66`). `passphrase` selects
+    * the network whose SAC-id preimage the asset self-check derives
+    * (`--testnet`/`--futurenet`, `utils/main.go:866-895`). */
+  def contractDataRow(c: EntryChange,
+      passphrase: String = SacContractId.PublicPassphrase): Option[ContractDataRow] = {
     val e = StellarXdr.ledgerEntry(new StellarXdr.Reader(c.entry_xdr))
     require(e.family == "contract_data", s"not a contract_data entry: ${e.family}")
     val s = e.soroban
@@ -99,7 +102,8 @@ object SorobanStateTables {
       throw new StellarXdr.XdrError(
         s"contract_data entry with non-contract address arm ${s.contractAddrType}")
     val ledgerKeyXdr = StellarXdr.encodeSorobanLedgerKey(e)
-    val sacAsset = SacStorage.assetFromContractData(s.keyXdr, s.valXdr, s.contractId)
+    val sacAsset = SacStorage.assetFromContractData(s.keyXdr, s.valXdr,
+      s.contractId, passphrase)
     val sacBalance = SacStorage.contractBalanceFromContractData(s.keyXdr, s.valXdr)
     Some(ContractDataRow(
       contract_id = Strkey.encodeContract(s.contractId),
@@ -128,9 +132,10 @@ object SorobanStateTables {
       ledger_key_hash_base_64 = b64(ledgerKeyXdr)))
   }
 
-  def contractData(changes: Dataset[EntryChange]): DataFrame = {
+  def contractData(changes: Dataset[EntryChange],
+      passphrase: String = SacContractId.PublicPassphrase): DataFrame = {
     val spark = changes.sparkSession; import spark.implicits._
-    changes.flatMap(contractDataRow _).toDF()
+    changes.flatMap(contractDataRow(_, passphrase)).toDF()
   }
 
   // ---- contract_code --------------------------------------------------------
@@ -362,8 +367,9 @@ object SorobanStateTables {
     entryChangesFromLedgers(ledgers).filter(_._1 == family).map(_._2)
   }
 
-  def contractDataFromLedgers(ledgers: Dataset[LedgerRow]): DataFrame =
-    contractData(familySlice(ledgers, 6))
+  def contractDataFromLedgers(ledgers: Dataset[LedgerRow],
+      passphrase: String = SacContractId.PublicPassphrase): DataFrame =
+    contractData(familySlice(ledgers, 6), passphrase)
   def contractCodeFromLedgers(ledgers: Dataset[LedgerRow]): DataFrame =
     contractCode(familySlice(ledgers, 7))
   def configSettingsFromLedgers(ledgers: Dataset[LedgerRow]): DataFrame =

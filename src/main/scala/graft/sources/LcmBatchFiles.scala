@@ -66,14 +66,20 @@ object LcmBatchFiles {
     * the test/ingest-staging writer (1 ledger per file, like the
     * reference's exporter). */
   def writeTree(rootDir: String,
-      ledgers: Seq[(Array[Byte], Seq[XdrEncode.LcmTx])]): Unit = {
+      ledgers: Seq[(Array[Byte], Seq[XdrEncode.LcmTx])],
+      networkId: Array[Byte]): Unit = {
     val root = Paths.get(rootDir)
     ledgers.foreach { case (header, txs) =>
       val row = StellarXdr.decodeLedgerHeader(header)
-      val lcm = XdrEncode.ledgerCloseMetaV1(header, txs)
+      val lcm = XdrEncode.ledgerCloseMetaV1(header, txs,
+        networkId = networkId)
       writeObject(root, row.ledgerSeq, row.ledgerSeq, Seq(lcm))
     }
   }
+
+  def writeTree(rootDir: String,
+      ledgers: Seq[(Array[Byte], Seq[XdrEncode.LcmTx])]): Unit =
+    writeTree(rootDir, ledgers, StellarXdr.PublicNetworkId)
 
   /** Multi-ledger-batch tree writer: ledgers grouped into fixed
     * `ledgersPerFile` spans, one object per span (the datastore schema's
@@ -98,13 +104,17 @@ object LcmBatchFiles {
     try in.readAllBytes() finally in.close()
   }
 
-  /** Decode one object's bytes (executor-side). */
-  def decodeObject(bytes: Array[Byte]): Seq[LedgerRow] =
-    StellarXdr.decodeLedgerCloseMetaBatch(decompress(bytes))
+  /** Decode one object's bytes (executor-side). `networkId` selects the
+    * passphrase domain-separating the tx hashes (the reference's
+    * `--testnet`/`--futurenet` flags, `internal/utils/main.go:866-895`). */
+  def decodeObject(bytes: Array[Byte],
+      networkId: Array[Byte] = StellarXdr.PublicNetworkId): Seq[LedgerRow] =
+    StellarXdr.decodeLedgerCloseMetaBatch(decompress(bytes), networkId)
 
   /** The backfill read path: binaryFile scan → executor decode. Column
     * pruning drops `content` siblings; only `.xdr.zstd` objects match. */
-  def ledgerRows(spark: SparkSession, rootDir: String): Dataset[LedgerRow] = {
+  def ledgerRows(spark: SparkSession, rootDir: String,
+      networkId: Array[Byte] = StellarXdr.PublicNetworkId): Dataset[LedgerRow] = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xdr.zstd")
@@ -112,7 +122,7 @@ object LcmBatchFiles {
       .load(rootDir)
       .select(col("content"))
       .as[Array[Byte]]
-      .flatMap(decodeObject _)
+      .flatMap(decodeObject(_, networkId))
   }
 
   /** Permissive-mode result: one row per OBJECT file — either its decoded
@@ -122,8 +132,8 @@ object LcmBatchFiles {
   final case class ObjectDecodeResult(path: String, rows: Seq[LedgerRow],
       error: Option[String])
 
-  def objectsPermissive(spark: SparkSession,
-      rootDir: String): Dataset[ObjectDecodeResult] = {
+  def objectsPermissive(spark: SparkSession, rootDir: String,
+      networkId: Array[Byte] = StellarXdr.PublicNetworkId): Dataset[ObjectDecodeResult] = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xdr.zstd")
@@ -132,7 +142,7 @@ object LcmBatchFiles {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (path, bytes) =>
-        try ObjectDecodeResult(path, decodeObject(bytes), None)
+        try ObjectDecodeResult(path, decodeObject(bytes, networkId), None)
         catch {
           case e: Exception => ObjectDecodeResult(path, Nil,
             Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -149,7 +159,8 @@ object LcmBatchFiles {
     * chunk its range into per-job slices anyway, exactly as the
     * reference's batch loop does. */
   def ledgerRowsForRange(spark: SparkSession, rootDir: String,
-      startSeq: Long, endSeq: Long): Dataset[LedgerRow] = {
+      startSeq: Long, endSeq: Long,
+      networkId: Array[Byte] = StellarXdr.PublicNetworkId): Dataset[LedgerRow] = {
     import spark.implicits._
     val paths = (startSeq to endSeq by LedgersPerFile)
       .map(seq => s"$rootDir/${objectKey(seq)}")
@@ -159,15 +170,17 @@ object LcmBatchFiles {
       .load(paths: _*)
       .select(col("content"))
       .as[Array[Byte]]
-      .flatMap(decodeObject _)
+      .flatMap(decodeObject(_, networkId))
       .filter(r => r.sequence >= startSeq && r.sequence <= endSeq)
   }
 
   /** Object→ledger decode over the DSv2 connector's object grain — shared
     * by batch reads and micro-batch `foreachBatch` bodies. */
-  def ledgerRowsFromObjects(objects: DataFrame): Dataset[LedgerRow] = {
+  def ledgerRowsFromObjects(objects: DataFrame,
+      networkId: Array[Byte] = StellarXdr.PublicNetworkId): Dataset[LedgerRow] = {
     val spark = objects.sparkSession; import spark.implicits._
-    objects.select(col("content")).as[Array[Byte]].flatMap(decodeObject _)
+    objects.select(col("content")).as[Array[Byte]]
+      .flatMap(decodeObject(_, networkId))
   }
 
   /** The connector form of the backfill read: pushed sequence bounds prune

@@ -348,4 +348,106 @@ class CliExportSpec extends AnyFunSuite with BeforeAndAfterAll {
       bounded.collect().map(_.toSeq).toSet)
     assert(streamed.count() == bounded.count())
   }
+
+  test("--testnet re-domains the tx hash and the SAC contract-data " +
+      "self-check (GetEnvironmentDetails passphrase law)") {
+    import graft.codec.{Hashes, Network, SacContractId, ScVal, StellarXdr,
+      Strkey, XdrEncode}
+    val srcKey = Hashes.sha256("net-src".getBytes("UTF-8"))
+    val destKey = Hashes.sha256("net-dst".getBytes("UTF-8"))
+    val issuer = Hashes.sha256("net-iss".getBytes("UTF-8"))
+
+    val env = XdrEncode.txEnvelopeV1(XdrEncode.TxSpec(
+      sourceKey = srcKey, fee = 100L, seqNum = 7L,
+      ops = Seq(XdrEncode.createAccountOp(destKey, 5000000L))))
+    val result = XdrEncode.txResult(100L, 0, Seq(XdrEncode.OpResultSpec(0, 0)))
+    val header = XdrEncode.ledgerHeader(XdrEncode.HeaderSpec(77001L, 1719600000L))
+    def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+
+    // --- tx hash over raw archive frames: same bytes, different domain ---
+    val in = tmpDir("net-frames")
+    Files.writeString(Paths.get(in, "frames.json"),
+      s"""{"ledger_header":"${b64(header)}","transactions":[""" +
+        s"""{"tx_envelope":"${b64(env)}","tx_result":"${b64(result)}"}]}\n""")
+    def exportedHash(flags: String*): String = {
+      val out = tmpDir("net-txs") + "/txs"
+      Export.run(spark, Export.parse(Array(
+        "export_transactions", "--start", "77001", "--end", "77001",
+        "--xdr-input", s"$in/frames.json", "--output", out,
+        "--format", "ndjson") ++ flags))
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rows = Files.list(Paths.get(out)).iterator().asScala
+        .filter(_.toString.endsWith(".json")).flatMap(ndjsonLines(_)).toSeq
+      assert(rows.size == 1)
+      om.readTree(rows.head).get("transaction_hash").asText()
+    }
+    val mainnetHash = exportedHash()
+    val testnetHash = exportedHash("--testnet")
+    assert(mainnetHash != testnetHash)
+    // the testnet hash IS sha256(testnetNetworkId ‖ ENVELOPE_TYPE_TX ‖ tx)
+    assert(testnetHash == Hashes.hex(
+      StellarXdr.decodeTxEnvelope(env, Network.id("testnet")).hash))
+    assert(mainnetHash == Hashes.hex(StellarXdr.decodeTxEnvelope(env).hash))
+    // futurenet is a THIRD domain; testnet wins when both flags are set
+    // (the reference's GetEnvironmentDetails checks IsTest first)
+    assert(exportedHash("--futurenet") != testnetHash)
+    assert(exportedHash("--futurenet") != mainnetHash)
+    assert(exportedHash("--testnet", "--futurenet") == testnetHash)
+
+    // --- SAC asset walk over a TESTNET-written datastore tree ---
+    // instance entry whose contract id derives from the TESTNET
+    // passphrase: the walk recovers the asset only when the export runs
+    // with the matching network
+    val cdKey = ScVal.encode(ScVal.LedgerKeyContractInstance)
+    val cdVal = ScVal.encode(ScVal.ContractInstance(None, Seq(
+      ScVal.Vec(Seq(ScVal.Sym("AssetInfo"))) ->
+        ScVal.Vec(Seq(ScVal.Sym("AlphaNum4"), ScVal.M(Seq(
+          ScVal.Sym("asset_code") -> ScVal.Str("TSTX"),
+          ScVal.Sym("issuer") -> ScVal.Bytes(issuer))))))))
+    val testnetSacId = SacContractId.contractId(
+      "credit_alphanum4", "TSTX", issuer, Network.TestnetPassphrase)
+    val meta = XdrEncode.txMetaV3(XdrEncode.TxMetaV3Spec(
+      opChanges = Seq(Seq(XdrEncode.change(0, XdrEncode.ledgerEntry(77001L,
+        XdrEncode.contractDataEntry(testnetSacId, cdKey, 1, cdVal)))))))
+    val feeMeta = XdrEncode.feeMetaPair(srcKey, 1000000L, 999900L)
+    val lcmTx = XdrEncode.LcmTx(env, result, meta, feeMeta)
+    def tree(networkId: Array[Byte]): String = {
+      val dir = tmpDir("net-tree")
+      graft.sources.LcmBatchFiles.writeTree(dir,
+        Seq((header, Seq(lcmTx))), networkId)
+      dir
+    }
+    def exportedContractData(tree: String, flags: String*): String = {
+      val out = tmpDir("net-cd")
+      Export.run(spark, Export.parse(Array(
+        "export_ledger_entry_changes", "--start", "77001", "--end", "77001",
+        "--batch-input", tree, "--export-type", "contract_data",
+        "--batch-size", "64", "--output", out,
+        "--format", "ndjson") ++ flags))
+      val rows = ndjsonLines(Paths.get(out, "77001-77001-contract_data.txt"))
+      assert(rows.size == 1)
+      rows.head
+    }
+    val testnetTree = tree(Network.id("testnet"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tn = om.readTree(exportedContractData(testnetTree, "--testnet"))
+    assert(tn.get("contract_id").asText() ==
+      Strkey.encodeContract(testnetSacId))
+    assert(tn.get("asset_code").asText() == "TSTX")
+    assert(tn.get("asset_type").asText() == "credit_alphanum4")
+    assert(tn.get("asset_issuer").asText() == Strkey.encodeAccountId(issuer))
+    // the same entry on a MAINNET tree under the mainnet default: the
+    // self-check derives the mainnet SAC id, which cannot match the
+    // testnet-derived contract id — impostor rejected, fields empty
+    val mn = om.readTree(
+      exportedContractData(tree(StellarXdr.PublicNetworkId)))
+    assert(mn.get("asset_code").asText() == "" &&
+      mn.get("asset_type").asText() == "")
+    // cross-network decode fails LOUDLY: a testnet tree read as mainnet
+    // trips the embedded result-pair hash consistency check
+    val err = intercept[org.apache.spark.SparkException] {
+      exportedContractData(testnetTree)
+    }
+    assert(err.getMessage.contains("not in tx set"))
+  }
 }
