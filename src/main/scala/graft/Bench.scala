@@ -119,11 +119,13 @@ object Bench {
     // Queries that are ALWAYS re-measured in the quiet post-suite JVM, on
     // top of the 2×-outlier rule: the iterative CC cluster queries wobble
     // ±2 s with same-JVM contention (their per-round driver loop amplifies
-    // GC pauses), and the soroban real-XDR replay's decode is sensitive to
-    // accumulated code-cache pressure — their suite numbers repeatedly
-    // read as phantom regressions (r15 verdict watch items).
+    // GC pauses), the soroban real-XDR replay's decode is sensitive to
+    // accumulated code-cache pressure, and the embedding-LSH + orderbook
+    // star queries showed 1.2-1.7× in-suite drift with no isolated rerun
+    // in r16 — their suite numbers repeatedly read as phantom regressions.
     val alwaysIsolate = Set(
-      "x_dedup_clusters", "x_dedup_clusters_logn", "stellar_soroban_real_xdr")
+      "x_dedup_clusters", "x_dedup_clusters_logn", "stellar_soroban_real_xdr",
+      "x_dedup_embedding_lsh", "p20_orderbook_star")
     val outliers = results.filter { case (name, mn, _) =>
       mn > 0 && (alwaysIsolate.contains(name) ||
         prev.get(name).exists(p => p > 0 && mn > 2 * p)) }
@@ -140,13 +142,16 @@ object Bench {
     val iso = isolated.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // the {suite, isolated} PAIR per query: `queries` carries the raw
-    // suite mins, `steady` the isolation-preferred minima — the best
-    // known steady state per query, the statistic the baseline protocol
-    // gates on (a contended suite number never pollutes the baseline
-    // because its isolation re-measure replaces it here)
+    // suite mins, `steady` the isolation-preferred value — when a quiet-JVM
+    // re-measure exists it REPLACES the suite number outright (not
+    // min-merged: min-of-two gives isolated queries a sampling advantage
+    // the rest of the suite doesn't get, a downward bias in the gated
+    // total), so a contended suite number never pollutes the baseline and
+    // the steady entry equals what a quiet-machine SPARK_GRAFT_ONLY probe
+    // reproduces
     def steadyOf(k: String, mn: Double): Double =
       if (mn < 0) mn
-      else isolated.get(k).filter(_ > 0).map(math.min(_, mn)).getOrElse(mn)
+      else isolated.get(k).filter(_ > 0).getOrElse(mn)
     val steady = results.map { case (k, mn, _) =>
       "\"" + k + "\":" + steadyOf(k, mn) }.mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only — a -1.0 failure sentinel must not

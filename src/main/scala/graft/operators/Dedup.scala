@@ -615,7 +615,17 @@ object Dedup {
     val spark = docs.sparkSession
     val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist(disk)
+      .distinct()
+    // REBASE the edge set on its materialized RDD before looping: `edges`
+    // appears twice per hop (join + union), so a loop over the raw frame
+    // makes Catalyst re-analyze and re-optimize the ENTIRE upstream
+    // pair-generator tree (LSH explode + broadcast salt + two
+    // verification joins) four times per round — measured as ~3 s of pure
+    // driver plan-compile latency on the sf0.1 embedding-LSH query (the
+    // executors were done in ~1.5 s). The RDD leaf keeps every round's
+    // plan constant-size; localCheckpoint cuts the lineage like the label
+    // rounds below.
+    val edges0Rdd = edges0.rdd.persist(disk).localCheckpoint()
     // ADAPTIVE ITERATION WIDTH: the per-round frames are sized by the
     // duplicate SUBGRAPH, not the corpus, and at realistic dup densities
     // that is thousands of rows — where the dominant per-round cost is
@@ -625,8 +635,9 @@ object Dedup {
     // parallelism so a 100 TB edge set keeps every core.
     val width = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
-      edges0.count() / 100000L + 1)).toInt
-    val edges = edges0.coalesce(width)
+      edges0Rdd.count() / 100000L + 1)).toInt
+    val edges = spark.createDataFrame(
+      edges0Rdd.coalesce(width), edges0.schema)
     // both endpoints of every pair appear as `src` (edges are symmetrized
     // above), so src alone enumerates the touched vertex set
     var labels = edges
@@ -673,7 +684,7 @@ object Dedup {
       labels = next.select("v", "label")
       i += 1
     }
-    edges0.unpersist()
+    edges0Rdd.unpersist(false)
     // exiting on the iteration cap with propagation still in flight would
     // return silently WRONG (split) components — make it loud instead; the
     // caller can raise maxIter (rounds needed ≈ component diameter)
@@ -762,17 +773,22 @@ object Dedup {
         .select(col("w").as("u"), col("m").as("v")).distinct()
     }
 
-    var edges = init
-    var edgeCount = -1L // lazily counted on the first round
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    var converged = edges.isEmpty
-    var rounds = 0
     // adaptive iteration width (see dupClusters): task overhead, not
     // compute, dominates small edge frames; huge ones keep full width
     def widthFor(n: Long): Int = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, n / 100000L + 1)).toInt
+    // rebase the initial edge set on its materialized RDD (see
+    // dupClusters): the star rounds reference `edges` several times each,
+    // so looping over the raw frame would re-optimize the whole upstream
+    // pair-generator tree every round — driver plan latency, not compute
+    val initRdd = init.rdd.persist(disk).localCheckpoint()
+    var edgeCount = initRdd.count()
+    var edges = spark.createDataFrame(
+      initRdd.coalesce(widthFor(edgeCount)), init.schema)
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = initRdd
+    var converged = edgeCount == 0
+    var rounds = 0
     while (!converged && rounds < maxIter) {
-      if (edgeCount < 0) edgeCount = edges.count()
       val plan = smallStar(largeStar(edges))
       // same per-round plan + LINEAGE cut as dupClusters: rebase on the
       // persisted RDD so the logical tree stays constant-size, and

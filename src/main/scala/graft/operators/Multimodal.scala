@@ -139,6 +139,11 @@ object Multimodal {
       var off = from
       while (off + 8 <= until) {
         val size = bb.getInt(off)
+        // size==1 is the 64-bit largesize arm (boxes over 4 GiB); a
+        // header-grade walk deliberately does not parse it — reject
+        // loudly so the row rides the error channel, never a bad offset
+        if (size == 1)
+          throw new IllegalArgumentException("largesize (64-bit) box unsupported")
         if (size < 8 || off + size > until)
           throw new IllegalArgumentException(s"bad box size $size")
         if (fourcc(off) == name) return (off + 8, off + size)
@@ -156,7 +161,14 @@ object Multimodal {
           val v = bb.get(mvhd._1) & 0xFF
           val (timescale, duration) =
             if (v == 1) (bb.getInt(mvhd._1 + 20), bb.getLong(mvhd._1 + 24))
-            else (bb.getInt(mvhd._1 + 12), bb.getInt(mvhd._1 + 16).toLong)
+            else (bb.getInt(mvhd._1 + 12),
+              // v0 duration is an UNSIGNED 32-bit word
+              bb.getInt(mvhd._1 + 16).toLong & 0xFFFFFFFFL)
+          // n_frames is a 32-bit column: a v1 64-bit (or v0 unsigned
+          // > Int.MaxValue) duration must error-channel, not silently
+          // wrap to a wrong/negative count
+          if (duration > Int.MaxValue)
+            return fail(r, s"mp4 duration $duration exceeds 32-bit range")
           var (w, h) = (0, 0)
           val trak = findBox(moov._1, moov._2, "trak")
           if (trak != null) {
@@ -328,7 +340,10 @@ object Multimodal {
             val sums = new Array[Long](dim)
             var f = 0
             while (f < frames) {
-              val w = f * dim / frames
+              // Long multiply: f*dim overflows Int past ~2^31/dim frames
+              // (a valid mono WAV over ~268 MB), yielding a negative
+              // window index misreported as a decode failure
+              val w = (f.toLong * dim / frames).toInt
               var c = 0
               while (c < channels) {
                 val s = bb.getShort(f * frameSize + c * 2).toLong

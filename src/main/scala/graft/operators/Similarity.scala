@@ -539,9 +539,10 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nCells: Int = 16, nprobe: Int = 4,
-      m: Int = 8, codewords: Int = 16): DataFrame =
+      m: Int = 8, codewords: Int = 16, lloydIters: Int = 0): DataFrame =
     searchIvfPqIndexExact(
-      buildIvfPqIndexExact(corpus, corpusId, corpusVec, nCells, m, codewords),
+      buildIvfPqIndexExact(corpus, corpusId, corpusVec, nCells, m,
+        codewords, lloydIters),
       queries, queryId, queryVec, k, nprobe)
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
