@@ -2308,6 +2308,91 @@ object QueryCatalog {
           .orderBy("lang")
       }),
 
+    Q("x_sketch_kmv_mixture",
+      // the KMV sketch COMPOSED into the sampling machinery: a
+      // distinct-BIGRAM-equalized mixture — per-lang KMV estimates (same
+      // TypedImperativeAggregate + estimator law as x_sketch_kmv_vocab,
+      // over the surprisal query's bigram vocabulary so every stratum
+      // holds well over k distinct units and the estimates genuinely
+      // differentiate) set exact-integer keep thresholds
+      // (min_est << 32) div est, so lexically diverse strata survive
+      // whole and low-diversity strata downsample, replacing
+      // x_sample_mixture's raw row counts with the sketch. Fully
+      // relational: the per-lang estimate frame is a tiny broadcast, the
+      // sample a map-only filter — no driver collect. DuckDB re-derives
+      // the k smallest sha63 hashes, the (k−1)·2⁶³ // h_k estimator (h_k
+      // clamped ≥ 1), and the threshold law, so a dropped hash, broken
+      // merge, or threshold drift all hash-mismatch
+      Some("""WITH d AS (SELECT lang,
+             |         list_transform(list_filter(
+             |           string_split_regex(text, '\s+'), x -> x <> ''),
+             |           w -> lower(w)) AS toks
+             |       FROM documents),
+             |t AS (SELECT lang, toks[i] || ' ' || toks[i+1] AS tok
+             |      FROM d, unnest(range(1, len(toks))) r(i)),
+             |h AS (SELECT DISTINCT lang,
+             |        (CAST(concat('0x', substr(sha256(tok || ':0'), 1, 8))
+             |           AS BIGINT) & 2147483647) * 4294967296
+             |        + CAST(concat('0x', substr(sha256(tok || ':0'), 9, 8))
+             |           AS BIGINT) AS hv
+             |      FROM t),
+             |r AS (SELECT lang, hv,
+             |        row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+             |      FROM h),
+             |m AS (SELECT lang, count(*) AS n,
+             |        max(CASE WHEN rn = 64 THEN hv END) AS h64
+             |      FROM r WHERE rn <= 64 GROUP BY lang),
+             |e AS (SELECT lang,
+             |        CASE WHEN n < 64 THEN n
+             |             ELSE CAST(63::HUGEINT * 9223372036854775808::HUGEINT
+             |                       // greatest(h64, 1) AS BIGINT)
+             |        END AS est FROM m),
+             |mn AS (SELECT min(est) AS me FROM e),
+             |thr AS (SELECT e.lang, e.est,
+             |          CASE WHEN e.est = mn.me THEN 'g'
+             |               ELSE printf('%08x', CAST(mn.me::HUGEINT * 4294967296
+             |                 // greatest(e.est, 1) AS BIGINT)) END AS thr
+             |        FROM e, mn)
+             |SELECT d.doc_id, d.lang, thr.est AS distinct_est
+             |FROM documents d JOIN thr ON d.lang = thr.lang
+             |WHERE substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val k = 64
+        val docs = T(s, dir, "documents")
+        val toks = transform(TextAnalysis.tokens(col("text")),
+          w => lower(w))
+        val n1 = greatest(size(toks) - 1, lit(0))
+        val est = docs
+          .select(col("lang"),
+            explode(zip_with(
+              slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+              (a, b) => concat(a, lit(" "), b))).as("tok"))
+          .select(col("lang"), Dedup.sha63(col("tok"), lit(0)).as("h"))
+          .groupBy("lang")
+          .agg(graft.functions.GraftFunctions.kmvMinHashes(col("h"), k)
+            .as("mins"))
+          .select(col("lang"),
+            graft.operators.Stats.kmvEstimate(col("mins"), k).as("est"))
+        // the min estimate is ONE row riding a broadcast (the curation-v2
+        // scalar-gate shape); thresholds replay x_sample_mixture's
+        // exact-integer law with the sketch estimate as the mass
+        val me = est.agg(min("est").as("me"))
+        val thr = est.crossJoin(broadcast(me))
+          .select(col("lang"), col("est"),
+            when(col("est") === col("me"), lit("g"))
+              .otherwise(lpad(lower(hex(call_function("div",
+                col("me").cast("decimal(38,0)") * lit(4294967296L),
+                greatest(col("est"), lit(1L)).cast("decimal(38,0)"))
+                .cast("long"))), 8, "0")).as("thr"))
+        docs.select("doc_id", "lang")
+          .join(broadcast(thr), "lang")
+          .where(substring(sha2(col("doc_id").cast("string"), 256), 1, 8)
+            < col("thr"))
+          .select(col("doc_id"), col("lang"), col("est").as("distinct_est"))
+          .orderBy("doc_id")
+      }),
+
     Q("x_text_lm_surprisal",
       // corpus-bigram LM surprisal (the perplexity-filter family,
       // integerized): DuckDB re-trains the same bigram/prefix count model

@@ -63,6 +63,14 @@ object ExplainAudit {
       ("x_sketch_kmv_vocab", Seq("ObjectHashAggregate",
         "partial_kmv_min_hashes"),
         Seq("collect_set")),
+      // KMV composed into the mixture sampler: the sketch must still plan
+      // as a REAL partial aggregate (shuffle moves k-long buffers, never
+      // the bigram set), the tiny per-lang threshold frame must ride a
+      // broadcast onto the corpus (the sample is a map-only filter), and
+      // nothing may collect or sort the bigram values
+      ("x_sketch_kmv_mixture", Seq("ObjectHashAggregate",
+        "partial_kmv_min_hashes", "BroadcastHashJoin"),
+        Seq("collect_set", "SortMergeJoin")),
       // curation v2: the scalar gate threshold rides a broadcast (its
       // cross join against the scored frame is ONE row), the reused gate
       // frame is a cached InMemory scan, and the cell pair generator must
