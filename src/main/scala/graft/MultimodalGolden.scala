@@ -39,4 +39,32 @@ object MultimodalGolden {
       |  (6::BIGINT, 2::BIGINT, 3::INT, 98962977::BIGINT, 100002519::BIGINT)
       |) AS t(query_id, neighbor_id, rank, dot, n2)
       |ORDER BY query_id, rank""".stripMargin
+
+  /** Golden for `x_multimodal_pipeline_v2` — the three-modality union
+    * (image resize-grid, GIF-as-video frame-sampled grid, WAV energy)
+    * under the same exact laws, replayed independently by
+    * `tools/golden_multimodal_v2.py`. Regenerate with
+    * `python3 tools/golden_multimodal_v2.py` if a fixture law changes. */
+  val pipelineV2OracleSql: String =
+    """SELECT * FROM (VALUES
+      |(0::BIGINT, 30::BIGINT, 1::INT, 95944690::BIGINT, 99995559::BIGINT),
+      |(0::BIGINT, 2::BIGINT, 2::INT, 94881811::BIGINT, 100003381::BIGINT),
+      |(0::BIGINT, 26::BIGINT, 3::INT, 94855699::BIGINT, 99995750::BIGINT),
+      |(1::BIGINT, 8::BIGINT, 1::INT, 97492544::BIGINT, 99998198::BIGINT),
+      |(1::BIGINT, 26::BIGINT, 2::INT, 97484727::BIGINT, 99995750::BIGINT),
+      |(1::BIGINT, 38::BIGINT, 3::INT, 97483870::BIGINT, 100009143::BIGINT),
+      |(2::BIGINT, 14::BIGINT, 1::INT, 99999496::BIGINT, 100001533::BIGINT),
+      |(2::BIGINT, 26::BIGINT, 2::INT, 99996190::BIGINT, 99995750::BIGINT),
+      |(2::BIGINT, 38::BIGINT, 3::INT, 99998669::BIGINT, 100009143::BIGINT),
+      |(3::BIGINT, 7::BIGINT, 1::INT, 78354198::BIGINT, 99995197::BIGINT),
+      |(3::BIGINT, 6::BIGINT, 2::INT, 78015215::BIGINT, 99995929::BIGINT),
+      |(3::BIGINT, 36::BIGINT, 3::INT, 77577096::BIGINT, 99998425::BIGINT),
+      |(6::BIGINT, 14::BIGINT, 1::INT, 99255802::BIGINT, 100001533::BIGINT),
+      |(6::BIGINT, 38::BIGINT, 2::INT, 99247692::BIGINT, 100009143::BIGINT),
+      |(6::BIGINT, 26::BIGINT, 3::INT, 99238050::BIGINT, 99995750::BIGINT),
+      |(7::BIGINT, 8::BIGINT, 1::INT, 97856079::BIGINT, 99998198::BIGINT),
+      |(7::BIGINT, 2::BIGINT, 2::INT, 97824270::BIGINT, 100003381::BIGINT),
+      |(7::BIGINT, 26::BIGINT, 3::INT, 97795924::BIGINT, 99995750::BIGINT)
+      |) AS t(query_id, neighbor_id, rank, dot, n2)
+      |ORDER BY query_id, rank""".stripMargin
 }

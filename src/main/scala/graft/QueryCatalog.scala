@@ -2598,6 +2598,56 @@ object QueryCatalog {
           .orderBy("query_id", "rank")
       }),
 
+    Q("x_multimodal_pipeline_v2",
+      // the THREE-modality media path: images ride decode→resize→grid
+      // features, GIF-as-video rides decode→frame-sampled (stride 2)
+      // grid features summed across sampled frames (the REAL multi-frame
+      // ImageReader path over planted INDEXED-color frames, which GIF
+      // round-trips losslessly), WAVs ride decode→windowed PCM energy —
+      // then one exact-integer ANN over the union, so video rows flow
+      // decode→features→ANN exactly like the other two modalities.
+      // Unrecognized bytes and truncated PNGs drop at the decode gate.
+      // The oracle is the golden output of an independent numpy replay
+      // (tools/golden_multimodal_v2.py) of the palette/index/pixel/
+      // sample laws, the resample + grid laws, and the ANN law
+      Some(MultimodalGolden.pipelineV2OracleSql),
+      (s, dir) => {
+        import s.implicits._
+        val media = s.createDataset(
+          (0L until 42L).map(MultimodalFixtures.pipelineV2Row))
+        val okIds = Multimodal.decode(media).toDF()
+          .where(col("decode_ok")).select("media_id")
+        val gated = Multimodal.binaryMetadata(
+          media.toDF().join(broadcast(okIds), "media_id"), "bytes")
+        def rows(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("media_id"), col("mime"), col("bytes"))
+          .as[Multimodal.MediaRow]
+        val resized = Multimodal.resize(
+            rows(gated.where(col("sniffed_mime") === "image/png")),
+            64, 64).toDF()
+          .where(col("resize_ok"))
+          .select(col("media_id"), col("mime"),
+            col("resized_bytes").as("bytes"))
+          .as[Multimodal.MediaRow]
+        val imgFeats = Multimodal.extractFeatures(resized, dim = 16).toDF()
+          .where(col("feature_ok"))
+        // video leg: frame-grain decode at stride 2, media-grain embedding
+        val vidFeats = Multimodal.videoFeatures(
+            rows(gated.where(col("sniffed_mime") === "image/gif")),
+            dim = 16, stride = 2).toDF()
+          .where(col("feature_ok"))
+        val wavFeats = Multimodal.extractFeatures(
+            rows(gated.where(col("sniffed_mime") === "audio/wav")),
+            dim = 16).toDF()
+          .where(col("feature_ok"))
+        val feats = imgFeats.unionByName(vidFeats).unionByName(wavFeats)
+        val queries = feats.where(col("media_id") < 8)
+          .select(col("media_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.bruteForceTopKExact(
+            feats, "media_id", "embedding", queries, "qid", "qvec", k = 3)
+          .orderBy("query_id", "rank")
+      }),
+
     // ===== opaque codecs (rows-only: no SQL twin by design) ==================
 
     Q("src_lcm_range_scan",

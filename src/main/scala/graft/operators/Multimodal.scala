@@ -221,6 +221,7 @@ object Multimodal {
       .withColumn("sniffed_mime",
         when(hex(substring(col(bytesCol), 1, 3)) === "FFD8FF", "image/jpeg")
           .when(hex(substring(col(bytesCol), 1, 4)) === "89504E47", "image/png")
+          .when(hex(substring(col(bytesCol), 1, 4)) === "47494638", "image/gif")
           .when(hex(substring(col(bytesCol), 1, 4)) === "52494646", "audio/wav")
           .otherwise("application/octet-stream"))
 
@@ -360,6 +361,102 @@ object Multimodal {
 
   case class MediaFeatures(media_id: Long, mime: String,
       embedding: Array[Float], feature_ok: Boolean, error: String)
+
+  /** One sampled video frame's exact grid-luminance sums — the FRAME grain
+    * of the video feature path (one row per (video, sampled frame), so
+    * per-frame work distributes and frames can feed ANN/dedup directly). */
+  case class VideoFrameFeatures(media_id: Long, mime: String, frame_idx: Int,
+      n_frames: Int, cell_sums: Array[Long], feature_ok: Boolean,
+      error: String)
+
+  /** Decode every `stride`-th frame of a multi-frame image container
+    * (animated GIF — the JDK's only multi-frame decoder) and apply `f`
+    * to it. The reader is opened ONCE per payload; header cost is not
+    * re-paid per frame. Frames must be full-size (no offsets/disposal —
+    * the planted-fixture contract); a container the JDK cannot read
+    * yields Left(error). */
+  private def mapSampledFrames[A](bytes: Array[Byte], stride: Int)(
+      f: (Int, Int, BufferedImage) => A): Either[String, Seq[A]] = {
+    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) Left(s"no JDK reader (sniffed ${sniff(bytes)})")
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(in, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
+          val n = reader.getNumImages(true)
+          Right((0 until n by stride).map(i => f(i, n, reader.read(i))))
+        } catch {
+          case e: Exception => Left(s"corrupt container: ${e.getClass.getSimpleName}")
+        } finally reader.dispose()
+      }
+    } finally in.close()
+  }
+
+  /** Frame-grain video features: every `stride`-th frame of each video
+    * yields one row of EXACT `√dim×√dim` grid-luminance Long sums
+    * ([[gridLuminance]] — the same integer-floor law as the stills).
+    * Map-only per-partition batch loop; the per-video fan-out is
+    * `ceil(n_frames/stride)` rows, so a long video distributes its frame
+    * work across downstream stages instead of hiding it in one task's
+    * loop. Undecodable payloads ride the error channel as one row. */
+  def videoFrameFeatures(media: Dataset[MediaRow], dim: Int = 16,
+      stride: Int = 2): Dataset[VideoFrameFeatures] = {
+    val grid = math.sqrt(dim.toDouble).toInt
+    require(grid * grid == dim, s"dim must be a perfect square, got $dim")
+    require(stride > 0, "stride must be positive")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (r.bytes.isEmpty)
+        Seq(VideoFrameFeatures(r.media_id, r.mime, -1, 0,
+          Array.empty[Long], feature_ok = false, error = "empty payload"))
+      else mapSampledFrames(r.bytes, stride) { (idx, n, img) =>
+        VideoFrameFeatures(r.media_id, r.mime, idx, n,
+          gridLuminance(img, grid), feature_ok = true, error = null)
+      } match {
+        case Right(rows) => rows
+        case Left(err) =>
+          Seq(VideoFrameFeatures(r.media_id, r.mime, -1, 0,
+            Array.empty[Long], feature_ok = false, error = err))
+      }
+    }
+  }
+
+  /** Media-grain video embedding: the exact Long cell sums of every
+    * `stride`-th frame SUM across the sampled frames (still the one
+    * non-negative-Long-sums-then-normalize law every modality shares), so
+    * video rows compose with the ANN/dedup operators exactly like image
+    * and audio rows. */
+  def videoFeatures(media: Dataset[MediaRow], dim: Int = 16,
+      stride: Int = 2): Dataset[MediaFeatures] = {
+    val grid = math.sqrt(dim.toDouble).toInt
+    require(grid * grid == dim, s"dim must be a perfect square, got $dim")
+    require(stride > 0, "stride must be positive")
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.bytes.isEmpty)
+        MediaFeatures(r.media_id, r.mime, Array.empty[Float],
+          feature_ok = false, error = "empty payload")
+      else mapSampledFrames(r.bytes, stride)(
+        (_, _, img) => gridLuminance(img, grid)) match {
+        case Right(frameSums) if frameSums.nonEmpty =>
+          val total = new Array[Long](dim)
+          frameSums.foreach { sums =>
+            var j = 0
+            while (j < dim) { total(j) += sums(j); j += 1 }
+          }
+          MediaFeatures(r.media_id, r.mime, normalized(total),
+            feature_ok = true, error = null)
+        case Right(_) =>
+          MediaFeatures(r.media_id, r.mime, Array.empty[Float],
+            feature_ok = false, error = "no frames")
+        case Left(err) =>
+          MediaFeatures(r.media_id, r.mime, Array.empty[Float],
+            feature_ok = false, error = err)
+      }
+    }
+  }
 
   private def normalized(sums: Array[Long]): Array[Float] = {
     val norm = math.sqrt(sums.map(s => s.toDouble * s.toDouble).sum)

@@ -223,4 +223,84 @@ object MultimodalFixtures {
       s"not-a-media-payload-$i".getBytes("UTF-8"))
     case _ => Multimodal.MediaRow(i, "image/png", patternPng(i))
   }
+
+  // ---- GIF-as-video (frame-grain features) ----------------------------------
+
+  def videoWidth(i: Long): Int = 16 + (i % 4).toInt * 8
+  def videoHeight(i: Long): Int = 16 + (i % 3).toInt * 8
+  def videoFrameCount(i: Long): Int = 3 + (i % 3).toInt // 3..5 frames
+
+  /** Planted 256-entry palette of video i (same modulus family as the
+    * pattern stills, keyed by PALETTE INDEX rather than pixel). */
+  def videoPaletteR(i: Long, p: Int): Int = ((p * 7 + i * 31) % 256).toInt
+  def videoPaletteG(i: Long, p: Int): Int = ((p * 11 + i * 17) % 256).toInt
+  def videoPaletteB(i: Long, p: Int): Int = ((p * 5 + i * 41) % 256).toInt
+
+  /** Planted pixel-INDEX law of frame f — the frame number shifts the
+    * pattern so every frame is distinct and the frame-sampling stride is
+    * oracle-visible. */
+  def videoPixelIndex(i: Long, f: Int, x: Int, y: Int): Int =
+    ((x * 3 + y * 5 + f * 29 + i * 13) % 256).toInt
+
+  /** One INDEXED-COLOR frame. GIF is palette-based: a truecolor pattern
+    * still would be quantized by the writer (lossy, not oracle-replayable),
+    * but an image that already carries an 8-bit IndexColorModel round-trips
+    * its palette and indices verbatim — every decoded pixel stays a pure
+    * formula of (i, f, x, y). */
+  def videoFrameImage(i: Long, f: Int): BufferedImage = {
+    val w = videoWidth(i)
+    val h = videoHeight(i)
+    val rs = Array.tabulate(256)(p => videoPaletteR(i, p).toByte)
+    val gs = Array.tabulate(256)(p => videoPaletteG(i, p).toByte)
+    val bs = Array.tabulate(256)(p => videoPaletteB(i, p).toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, rs, gs, bs)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, videoPixelIndex(i, f, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** GIF-as-video: an animated GIF of [[videoFrameCount]] full-size
+    * indexed frames (no offsets, no disposal tricks) — the JDK-decodable
+    * stand-in for a video container, exercising the real multi-frame
+    * `ImageReader` path at the frame grain. */
+  def videoGif(i: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < videoFrameCount(i)) {
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(videoFrameImage(i, f), null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** The pipeline-v2 fixture law (all three feature modalities + both drop
+    * gates): media_id mod 6 → 0,1 pattern PNG (resize→features), 2
+    * GIF-as-video (frame-sampled video features), 3 WAV (audio features),
+    * 4 unrecognized bytes (dropped at the decode gate), 5 truncated PNG
+    * (dropped at the decode gate). */
+  def pipelineV2Row(i: Long): Multimodal.MediaRow = (i % 6) match {
+    case 2 => Multimodal.MediaRow(i, "video/gif", videoGif(i))
+    case 3 => Multimodal.MediaRow(i, "audio/wav", wavBytes(i))
+    case 4 => Multimodal.MediaRow(i, "application/octet-stream",
+      s"not-a-media-payload-$i".getBytes("UTF-8"))
+    case 5 => Multimodal.MediaRow(i, "image/png", truncatedPng(i))
+    case _ => Multimodal.MediaRow(i, "image/png", patternPng(i))
+  }
 }

@@ -78,6 +78,12 @@ object ExplainAudit {
       ("x_curation_pipeline_v2",
         Seq("InMemoryTableScan", "partial_count"),
         Seq("CartesianProduct")),
+      // three-modality pipeline: the ANN tail is the documented bounded
+      // brute-force baseline (≤8 query rows ride the broadcast side) with
+      // the top-k as WindowGroupLimit heaps — never a raw cartesian
+      ("x_multimodal_pipeline_v2",
+        Seq("BroadcastNestedLoopJoin", "WindowGroupLimit"),
+        Seq("CartesianProduct")),
       ("p4_effects_flatmap", Seq("Generate posexplode"), Seq()),
       // df-cut: hot grams via partial agg + broadcast, pruning intra-row —
       // no per-gram window sort anywhere in the plan

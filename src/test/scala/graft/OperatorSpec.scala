@@ -1181,6 +1181,56 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(topk.where(col("rank") === 1).count() == 3)
   }
 
+  test("video frame features: lossless indexed-GIF roundtrip, planted " +
+      "frame-law sums at the frame grain, stride sampling, error channel") {
+    import spark.implicits._
+    val i = 8L // w=16, h=32, frames=5 under the video fixture laws
+    val w = MultimodalFixtures.videoWidth(i)
+    val h = MultimodalFixtures.videoHeight(i)
+    val nf = MultimodalFixtures.videoFrameCount(i)
+    assert((w, h, nf) == (16, 32, 5))
+    // planted ground truth: per-frame 4x4 grid-luminance sums straight off
+    // the palette + index laws, no codec involved
+    def expectedSums(f: Int): Array[Long] = {
+      val sums = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = MultimodalFixtures.videoPixelIndex(i, f, x, y)
+        val lum = MultimodalFixtures.videoPaletteR(i, p) +
+          MultimodalFixtures.videoPaletteG(i, p) +
+          MultimodalFixtures.videoPaletteB(i, p)
+        sums((y * 4 / h) * 4 + (x * 4 / w)) += lum
+      }
+      sums
+    }
+    val media = Seq(
+      Multimodal.MediaRow(i, "video/gif", MultimodalFixtures.videoGif(i)),
+      Multimodal.MediaRow(99L, "application/octet-stream",
+        "junk-bytes".getBytes("UTF-8"))).toDS()
+    // frame grain: stride 2 samples frames 0, 2, 4 of the 5
+    val rows = Multimodal.videoFrameFeatures(media, dim = 16, stride = 2)
+      .collect().groupBy(_.media_id)
+    val ok = rows(i).sortBy(_.frame_idx)
+    assert(ok.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(ok.forall(r => r.feature_ok && r.n_frames == nf))
+    // the GIF roundtrip is LOSSLESS for indexed frames: decoded sums equal
+    // the planted law exactly
+    ok.foreach(r =>
+      assert(r.cell_sums.toSeq == expectedSums(r.frame_idx).toSeq,
+        s"frame ${r.frame_idx}"))
+    val bad = rows(99L)
+    assert(bad.length == 1 && !bad.head.feature_ok &&
+      bad.head.error.contains("no JDK reader"))
+    // media grain: the embedding is normalize(sum of the SAMPLED frames)
+    val feats = Multimodal.videoFeatures(media, dim = 16, stride = 2)
+      .collect().map(r => r.media_id -> r).toMap
+    val total = Seq(0, 2, 4).map(expectedSums)
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    val norm = math.sqrt(total.map(s => s.toDouble * s.toDouble).sum)
+    assert(feats(i).feature_ok &&
+      feats(i).embedding.toSeq == total.map(s => (s / norm).toFloat).toSeq)
+    assert(!feats(99L).feature_ok)
+  }
+
   test("multimodal checked-in fixtures decode pixel-exact via the real JDK codecs") {
     import spark.implicits._
     def fixture(name: String): Array[Byte] = {
