@@ -310,6 +310,80 @@ object BenchScale {
       run(embN, 16 * factor, s"@${factor}x(nCells=${16 * factor})")
     }
 
+    // ---- IVF×PQ composed ANN at scale (round 17) -------------------------
+    // nCells scales WITH the corpus (same lesson as SemDeDup/df-cut: fixed
+    // cells re-quadratize). Invariants: (a) every query returns exactly k
+    // ranked neighbors off the composed index, (b) the router PRUNES — the
+    // measured sweep work Σ|probed cell| over all queries stays at least
+    // 4× below the full-scan queries·N a flat ADC sweep would pay.
+    locally {
+      def quant(c: org.apache.spark.sql.Column) =
+        transform(c, x => round(x.cast("double") * 10000).cast("long"))
+      def run(e: DataFrame, nCells: Int, label: String): Unit = {
+        val (k, nprobe) = (5, 4)
+        val t0 = System.nanoTime()
+        val idx = Similarity.buildIvfPqIndexExact(
+          e, "vec_id", "embedding", nCells = nCells)
+        val queries = e.where(col("vec_id") % embOff < 8)
+        val res = Similarity.searchIvfPqIndexExact(
+          idx, queries, "vec_id", "embedding", k, nprobe)
+        val n = res.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val bad = res.groupBy("query_id").agg(count(lit(1)).as("c"))
+          .where(col("c") =!= k).count()
+        require(bad == 0,
+          s"IVF×PQ invariant violated: $bad queries without $k neighbors")
+        // sweep work: each query's probed cells joined to cell occupancy
+        val nq = queries.count()
+        val nAll = e.count()
+        val centFlat = idx.centroids.flatMap(_._2).toArray
+        val cellSz = idx.coded.groupBy("cell").agg(count(lit(1)).as("csz"))
+        val swept = queries
+          .select(explode(graft.functions.GraftFunctions.l2ProbeCells(
+            quant(col("embedding")), centFlat, idx.centroids.size, nprobe))
+            .as("cell"))
+          .join(cellSz, "cell")
+          .agg(coalesce(sum("csz"), lit(0L))).head().getLong(0)
+        println(f"[scale] ivf_pq $label: $n%,d result rows, sweep work " +
+          f"$swept%,d code rows vs full-scan ${nq * nAll}%,d " +
+          f"(${nq * nAll / math.max(swept, 1)}%d× pruned), $sec%.2f s")
+        require(swept * 4 <= nq * nAll,
+          s"IVF×PQ router stopped pruning: swept $swept of ${nq * nAll}")
+      }
+      run(emb1, 16, "@1x(nCells=16)")
+      run(embN, 16 * factor, s"@${factor}x(nCells=${16 * factor})")
+    }
+
+    // ---- curation pipeline v2 at scale (round 17) -------------------------
+    // The composed surprisal-gate → SemDeDup → packing catalog query run
+    // verbatim against the N× corpus directory. The N× corpus copies have
+    // disjoint vocabularies but near-identical embeddings (dim-k nudge), so
+    // the gate's verdicts replicate per copy while the semantic dedup
+    // collapses cross-copy near-dups. Invariants: (a) the self-calibrating
+    // gate neither empties nor passes everything at N× (the fixed-cut
+    // failure modes), (b) kept rows stay within [0.5·n₁, factor·n₁] — the
+    // dedup can only shrink the per-copy survivors, never lose the
+    // distinct content or multiply it.
+    locally {
+      val fn = graft.QueryCatalog.all
+        .find(_.name == "x_curation_pipeline_v2").get.fn
+      def run(dir: String, label: String): Long = {
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] curation_v2 $label: $n%,d packed rows, $sec%.2f s")
+        n
+      }
+      val n1 = run(sfDir, "@1x")
+      val nN = run(tmp, s"@${factor}x")
+      require(nN > 0 && nN < nDocsN,
+        s"curation gate degenerated at ${factor}x: $nN of $nDocsN")
+      require(nN >= n1 / 2 && nN <= factor * n1,
+        s"curation kept-rows invariant violated: $nN not in " +
+          s"[${n1 / 2}, ${factor * n1}] (1x kept $n1)")
+      rows += (("curation_v2", n1.toDouble, nN.toDouble))
+    }
+
     // ---- streaming near-dup: state bounded by rate × horizon × bands ----
     // Feeds a MemoryStream at a fixed rate (perBatch docs every 5 event-
     // minutes, horizon 10 min) with hot dup groups of 10 (> ownerCap, so
