@@ -1324,6 +1324,58 @@ object QueryCatalog {
           .withColumn("hamming_to_zero", Dedup.hamming64(col("simhash"), lit(0L)))
           .orderBy("doc_id")),
 
+    Q("x_simhash_pairs",
+      // SimHash near-dup pair join (Manku et al. 2007): fingerprints within
+      // hamming ≤ 3 must share one of 4 disjoint 16-bit bands (pigeonhole
+      // — deterministic recall, unlike the probabilistic LSH bands), so
+      // candidates are a (band, key) equi-join + exact popcount verify.
+      // DuckDB re-derives the fingerprints from scratch (the x_simhash
+      // law), the band keys off the unsigned HUGEINT image, the SAME
+      // hot-band sub-salt (cap 64, per-band id-modulus shards), and the
+      // xor/bit_count verify — band drift, a shard-law mismatch or a
+      // popcount bug all hash-fail
+      Some("""WITH d AS (SELECT doc_id,
+             |            trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+             |           FROM documents),
+             |toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM d),
+             |h AS (SELECT doc_id, substr(sha256(t), 1, 16) AS hx FROM toks),
+             |bits AS (
+             |  SELECT doc_id, r.i AS i,
+             |    sum(CASE WHEN (CAST(concat('0x',
+             |          substr(h.hx, CAST(16 - r.i // 4 AS INTEGER), 1))
+             |          AS INTEGER) >> CAST(r.i % 4 AS INTEGER)) & 1 = 1
+             |        THEN 1 ELSE -1 END) AS s
+             |  FROM h CROSS JOIN range(64) r(i)
+             |  GROUP BY doc_id, r.i),
+             |fp0 AS (
+             |  SELECT doc_id,
+             |    sum(CASE WHEN s > 0
+             |        THEN 1::HUGEINT << CAST(i AS INTEGER)
+             |        ELSE 0::HUGEINT END) AS u
+             |  FROM bits GROUP BY doc_id),
+             |f AS (SELECT doc_id, u,
+             |        CAST(CASE WHEN u >= 1::HUGEINT << 63
+             |             THEN u - (1::HUGEINT << 64) ELSE u END AS BIGINT) AS fp
+             |      FROM fp0),
+             |bk AS (SELECT doc_id, fp, b.b AS band,
+             |         CAST((u >> CAST(b.b * 16 AS INTEGER)) & 65535 AS BIGINT) AS key
+             |       FROM f CROSS JOIN range(4) b(b)),
+             |sz AS (SELECT band, key, count(*) AS bsz FROM bk GROUP BY 1, 2),
+             |sh AS (SELECT bk.doc_id, bk.fp, bk.band, bk.key,
+             |         (bk.doc_id // (bk.band + 1)) %
+             |           greatest(1, CAST(ceil(bsz / 64.0) AS BIGINT)) AS shard
+             |       FROM bk JOIN sz USING (band, key)),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |           bit_count(xor(a.fp, b.fp)) AS hamming
+             |         FROM sh a JOIN sh b ON a.band = b.band AND a.key = b.key
+             |           AND a.shard = b.shard AND a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) =>
+        Dedup.simHashDupPairs(T(s, dir, "documents"), "text", "doc_id",
+            maxHam = 3, bucketCap = 64)
+          .orderBy("id_a", "id_b")),
+
     // ===== extensions: similarity search =====================================
 
     Q("x_sim_dot_topk",

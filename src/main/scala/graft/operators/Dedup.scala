@@ -170,6 +170,63 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints (popcount via bit_count). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs (Manku, Jain & Das Sarma, "Detecting
+    * Near-Duplicates for Web Crawling", WWW 2007): two 64-bit fingerprints
+    * within hamming distance ≤ `maxHam` must agree on at least one of
+    * `maxHam + 1` disjoint bit bands (pigeonhole), so the candidate
+    * generator is an EQUI-join on (band, band-key) — never all-pairs —
+    * and the exact `bit_count(xor)` verify trims the collisions. Unlike
+    * the probabilistic MinHash/hyperplane bands, the pigeonhole bound is
+    * DETERMINISTIC: modulo the hot-band cap below, recall at ≤ maxHam is
+    * exact, not expected.
+    *
+    * Scale shape: one narrow (id, fp, band, key) explode (maxHam+1 rows
+    * per doc), band-key equi-join, exact verify — the same three-stage
+    * silhouette as the LSH pair generator. Hot bands (an exact-dup flood
+    * shares EVERY band; a band whose bits happen to be constant across
+    * the corpus collects everything) take the same occupancy-broadcast
+    * sub-salt as the LSH buckets: keys over `bucketCap` shard by a
+    * per-band id partition, pairs generate within a (band, key, shard).
+    * Documented trade: a sharded band can split a pair, and recall falls
+    * back on the other maxHam bands (exact pigeonhole only survives if
+    * some UNSHARDED shared band remains); the verify never re-admits a
+    * false positive. `maxHam + 1` must divide 64 (3 → the paper's 4×16
+    * config). */
+  def simHashDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHam: Int = 3, bucketCap: Int = 64): DataFrame = {
+    val bands = maxHam + 1
+    require(64 % bands == 0, s"maxHam+1 = $bands must divide 64")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    // fingerprint ONCE: the (id, fp) frame is referenced by the occupancy
+    // aggregate and BOTH sides of the self-join, and the simhash
+    // expression (64 per-bit vote folds over the token array) is by far
+    // the most expensive node in the plan — uncached it is recomputed in
+    // all four branches (measured 12.6 s → 0.7 s at sf0.001)
+    val base = df.select(col(idCol).cast("long").as("id"),
+      simHash64(col(textCol)).as("fp"))
+      .cache()
+    val banded = base.select(col("id"), col("fp"),
+      posexplode(array((0 until bands).map(b =>
+        call_function("shiftrightunsigned", col("fp"), lit(b * bits))
+          .bitwiseAND(lit(mask))): _*)).as(Seq("band", "key")))
+    // hot-band bound: per-(band, key) occupancy is a tiny aggregate
+    // (≤ bands · distinct keys rows after partial combine) broadcast back;
+    // oversize keys sub-salt into ceil(size/bucketCap) id-modulus shards
+    val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
+    val salted = banded.join(broadcast(sizes), Seq("band", "key"))
+      .withColumn("nsh", greatest(lit(1L),
+        ceil(col("bsz") / lit(bucketCap.toDouble)).cast("long")))
+      .select(col("id"), col("fp"), col("band"), col("key"),
+        pmod(expr("id div (band + 1)"), col("nsh")).as("shard"))
+    salted.as("a").join(salted.as("b"), Seq("band", "key", "shard"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHam)
+  }
+
   /** [[ngramJaccardPairs]] with a document-frequency cut — the 100 TB
     * variant: grams appearing in more than `maxDf` documents are dropped
     * before the self-join, removing the quadratic blowup on stopword-grade

@@ -54,6 +54,11 @@ object ExplainAudit {
       // map-side and the doc-vs-model joins stay equi — never a cartesian
       ("x_text_lm_surprisal", Seq("partial_count"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      // SimHash pair join: the candidate generator must be the pigeonhole
+      // (band, key, shard) EQUI-join — a BNLJ/cartesian here is the
+      // all-pairs hamming scan the bands exist to avoid
+      ("x_simhash_pairs", Seq("partial_count"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
       // KMV sketch: a REAL partial aggregate — the shuffle moves k-long
       // buffers (partial_kmv under ObjectHashAggregate), never the token
       // set (a collect_set/sort of the values here is the blowup the

@@ -1106,6 +1106,60 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("CartesianProduct"), plan.take(600))
   }
 
+  test("simhash pair join: pigeonhole recall equals brute force at ham<=3, " +
+      "exact verify, hot-band shards bounded") {
+    import spark.implicits._
+    // a dup-rich planted corpus: identical pairs, near pairs (few swapped
+    // tokens), and unrelated docs
+    val docs = ((1 to 40).map { i =>
+      val base = (0 until 30).map(t => s"g${i / 4}_w$t")
+      // variant 1 clones variant 0 (an identical pair per group); variants
+      // 2 and 3 swap a few tokens (near pairs); groups are unrelated
+      val v = if (i % 4 == 1) 0 else i % 4
+      val tweak = (0 until v).map(t => s"d${i}_x$t")
+      (i.toLong, (base.drop(v) ++ tweak).mkString(" "))
+    }).toDF("doc_id", "text")
+    val got = Dedup.simHashDupPairs(docs, "text", "doc_id", maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force ground truth off the same fingerprints
+    val fps = docs.select(col("doc_id"),
+        Dedup.simHash64(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    // pigeonhole: with every (band, key) group under the cap the recall is
+    // EXACT, and the popcount verify admits no false positives
+    assert(got == truth, s"got ${got.size} truth ${truth.size}")
+    assert(truth.nonEmpty && truth.exists(_._3 == 0) && truth.exists(_._3 > 0))
+    // a flood of identical docs exercises the hot-band shard law: work
+    // stays bounded and the verify still reports hamming 0 pairs
+    val flood = (1 to 300).map(i => (i.toLong, "same same same text"))
+      .toDF("doc_id", "text")
+    val floodPairs = Dedup.simHashDupPairs(flood, "text", "doc_id",
+      maxHam = 3, bucketCap = 16)
+    assert(floodPairs.where(col("hamming") === 0).count() > 0)
+    // shard law caps the per-key join width: no (band, key, shard) group
+    // may exceed ~3x the cap (id-modulus shards of a striped id space)
+    val fp0 = Dedup.simHash64(lit("same same same text"))
+    val maxShard = flood.select(col("doc_id").as("id"), fp0.as("fp"))
+      .select(col("id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          call_function("shiftrightunsigned", col("fp"), lit(b * 16))
+            .bitwiseAND(lit(65535L)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"),
+        pmod(expr("id div (band + 1)"),
+          greatest(lit(1L), ceil(lit(300) / 16.0).cast("long"))).as("shard"))
+      .groupBy("band", "key", "shard").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxShard <= 48, s"hot-band shard of $maxShard exceeds 3x cap")
+    // the pigeonhole precondition is enforced
+    intercept[IllegalArgumentException] {
+      Dedup.simHashDupPairs(docs, "text", "doc_id", maxHam = 4)
+    }
+  }
+
   test("multimodal resize + feature extraction: real pixels, error channel, ANN-composable") {
     import spark.implicits._
     val media = Seq(
@@ -1699,7 +1753,8 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "jpeg" -> MultimodalFixtures.solidJpeg(3),
       "gif" -> MultimodalFixtures.animatedGif(3),
       "wav" -> MultimodalFixtures.wavBytes(3),
-      "mp4" -> MultimodalFixtures.mp4Bytes(3))
+      "mp4" -> MultimodalFixtures.mp4Bytes(3),
+      "videogif" -> MultimodalFixtures.videoGif(3))
     // all short prefixes (where header parsing is most fragile) plus a
     // stride through the body and the full payload — one Spark pass each
     val rows = payloads.zipWithIndex.flatMap { case ((kind, bytes), pi) =>
@@ -1722,6 +1777,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"no feature verdict for ${f.media_id} (${f.mime})")
       if (f.feature_ok) assert(f.embedding.length == 16)
     }
+    // the video paths land verdicts on every prefix too — frame grain and
+    // media grain both
+    val vfeats = Multimodal.videoFeatures(ds, dim = 16, stride = 2).collect()
+    assert(vfeats.length == rows.size)
+    vfeats.foreach(f => assert(f.feature_ok ||
+      (f.error != null && f.error.nonEmpty),
+      s"no video verdict for ${f.media_id} (${f.mime})"))
+    val vframes = Multimodal.videoFrameFeatures(ds, dim = 16, stride = 2)
+      .collect()
+    vframes.foreach(f => assert(f.feature_ok ||
+      (f.error != null && f.error.nonEmpty),
+      s"no frame verdict for ${f.media_id} (${f.mime})"))
     // the FULL payloads must decode ok (the fuzz must not hide a broken
     // happy path)
     val fullIds = payloads.zipWithIndex
