@@ -618,6 +618,71 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seqs.toSeq == (3210L to 3220L))
   }
 
+  test("streaming KMV distinct sketch: windowed estimates are bit-identical " +
+      "to the batch law across micro-batch state round-trips, closed " +
+      "windows emit, open windows hold") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-kmv-landing").toString
+    val ckpt = Files.createTempDirectory("graft-kmv-ckpt").toString
+    val out = Files.createTempDirectory("graft-kmv-out").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def words(tag: String, a: Int, b: Int) =
+      (a until b).map(i => s"${tag}_w${i % 37}").mkString(" ")
+
+    // window A [0,10): two strata, split ACROSS two file drops so the
+    // k-min buffers must survive a state-store round-trip and merge;
+    // window B [20,30): arrives last, stays open (watermark = 25-10 = 15)
+    val batch1 = Seq(
+      (1L, "en", words("en", 0, 60), ts(1)),
+      (2L, "de", words("de", 0, 25), ts(2)))
+    val batch2 = Seq(
+      (3L, "en", words("en", 20, 90), ts(6)),   // extends window A's vocab
+      (4L, "de", words("de", 10, 30), ts(7)),
+      (5L, "en", words("late", 0, 40), ts(25))) // window B, advances watermark
+    batch1.toDF("doc_id", "lang", "text", "event_ts")
+      .write.mode("append").parquet(landing)
+    batch2.toDF("doc_id", "lang", "text", "event_ts")
+      .write.mode("append").parquet(landing)
+
+    val schemaSource = spark.read.parquet(landing)
+    val stream = spark.readStream.schema(schemaSource.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    // k = 8 < per-(window, stratum) distinct counts, so the ESTIMATOR arm
+    // (not the exact below-k arm) is what must survive the state store
+    val est = graft.streaming.StatsStream.windowedDistinctEstimate(
+      stream, "event_ts", "lang", "text",
+      windowLen = "10 minutes", horizon = "10 minutes", k = 8)
+    assert(est.isStreaming)
+    val q = est.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(out)
+      .select("window_start", "stratum", "distinct_est").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    // parity twin: the SAME law over the same rows in batch — the sketch's
+    // minima are a pure set function, so micro-batch boundaries and the
+    // state round-trip must not move the estimate by even one unit
+    val batchTwin = graft.streaming.StatsStream.batchDistinctEstimate(
+        (batch1 ++ batch2).toDF("doc_id", "lang", "text", "event_ts"),
+        "event_ts", "lang", "text", windowLen = "10 minutes", k = 8)
+      .select("window_start", "stratum", "distinct_est").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    // only window A (the earliest grid window, both strata) emitted;
+    // window B is still open
+    val windowA = batchTwin.keys.map(_._1).minBy(_.getTime)
+    assert(got.keySet == Set((windowA, "en"), (windowA, "de")), s"got=$got")
+    got.foreach { case (key, v) =>
+      assert(batchTwin(key) == v, s"window $key: stream $v vs batch ${batchTwin(key)}")
+    }
+    // the estimator arm really fired (estimates, not exact small counts)
+    assert(got.values.forall(_ > 8), s"got=$got")
+  }
+
   test("windowed counts produce an event-time tumbling aggregation (batch mode)") {
     import spark.implicits._
     val df = Seq(
