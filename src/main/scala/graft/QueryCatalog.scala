@@ -2367,9 +2367,10 @@ object QueryCatalog {
       // over the surprisal query's bigram vocabulary so every stratum
       // holds well over k distinct units and the estimates genuinely
       // differentiate) set exact-integer keep thresholds
-      // (min_est << 32) div est, so lexically diverse strata survive
-      // whole and low-diversity strata downsample, replacing
-      // x_sample_mixture's raw row counts with the sketch. Fully
+      // (min_est << 32) div est — the INVERSE-diversity analog of
+      // x_sample_mixture's inverse-frequency law with the sketch estimate
+      // as the mass: the lowest-vocabulary stratum survives whole and
+      // vocabulary-dominant strata downsample toward it. Fully
       // relational: the per-lang estimate frame is a tiny broadcast, the
       // sample a map-only filter — no driver collect. DuckDB re-derives
       // the k smallest sha63 hashes, the (k−1)·2⁶³ // h_k estimator (h_k

@@ -408,7 +408,8 @@ object Export {
 
       case "export_token_transfers" =>
         sink(TokenTransfers.fromLedgers(
-          ledgerSource(spark, a).where(col("sequence").between(a.start, a.end))), a)
+          ledgerSource(spark, a).where(col("sequence").between(a.start, a.end)),
+          a.passphrase), a)
 
       case "export_assets" =>
         sink(StellarTransforms.historyAssets(

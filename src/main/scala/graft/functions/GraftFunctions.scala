@@ -251,8 +251,12 @@ object GraftFunctions {
       ScVal.Sym("amount") -> ScVal.I128(0L, lo),
       ScVal.Sym("authorized") -> ScVal.B(auth),
       ScVal.Sym("clawback") -> ScVal.B(claw)))))
-  val sacContractIdBytes = udf((t: String, code: String, issuer: Array[Byte]) =>
-    SacContractId.contractId(t, code, issuer))
+  /** [[sacContractIdBytes]] for a specific network passphrase — the SAC id
+    * preimage is network-domain-separated (`--testnet`/`--futurenet`). */
+  def sacContractIdBytesFor(passphrase: String) =
+    udf((t: String, code: String, issuer: Array[Byte]) =>
+      SacContractId.contractId(t, code, issuer, passphrase))
+  val sacContractIdBytes = sacContractIdBytesFor(SacContractId.PublicPassphrase)
 
   /** Parsed SAC event row (nullable per-field: mint has no from, burn no to). */
   case class SacEventOut(event_type: String, from: String, to: String,

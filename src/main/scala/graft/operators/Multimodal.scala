@@ -166,8 +166,9 @@ object Multimodal {
               bb.getInt(mvhd._1 + 16).toLong & 0xFFFFFFFFL)
           // n_frames is a 32-bit column: a v1 64-bit (or v0 unsigned
           // > Int.MaxValue) duration must error-channel, not silently
-          // wrap to a wrong/negative count
-          if (duration > Int.MaxValue)
+          // wrap to a wrong/negative count — and a corrupt v1 duration
+          // with the sign bit set is negative, not merely large
+          if (duration > Int.MaxValue || duration < 0)
             return fail(r, s"mp4 duration $duration exceeds 32-bit range")
           var (w, h) = (0, 0)
           val trak = findBox(moov._1, moov._2, "trak")
@@ -415,7 +416,13 @@ object Multimodal {
         VideoFrameFeatures(r.media_id, r.mime, idx, n,
           gridLuminance(img, grid), feature_ok = true, error = null)
       } match {
-        case Right(rows) => rows
+        case Right(rows) if rows.nonEmpty => rows
+        // a container the reader accepts but that yields no frames still
+        // lands ONE verdict row — a payload must never vanish from
+        // downstream counts
+        case Right(_) =>
+          Seq(VideoFrameFeatures(r.media_id, r.mime, -1, 0,
+            Array.empty[Long], feature_ok = false, error = "no frames"))
         case Left(err) =>
           Seq(VideoFrameFeatures(r.media_id, r.mime, -1, 0,
             Array.empty[Long], feature_ok = false, error = err))

@@ -36,7 +36,8 @@ object TokenTransfers {
   private val evType = "struct<event_topic:string,from:string,to:string," +
     "asset:string,amount_str:string,to_muxed:string,to_muxed_id:string>"
 
-  def fromLedgers(ledgers: Dataset[LedgerRow]): DataFrame = {
+  def fromLedgers(ledgers: Dataset[LedgerRow],
+      passphrase: String = graft.codec.SacContractId.PublicPassphrase): DataFrame = {
     val txGrain = ledgers.select(
       col("sequence"), col("closed_at"),
       posexplode(col("transactions")).as(Seq("tx_pos", "tx")))
@@ -57,7 +58,7 @@ object TokenTransfers {
       stroopsToXlm(col("tx.fee_charged")).as("amount"),
       col("tx.fee_charged").cast("string").as("amount_raw"),
       sacContractOf(lit("native"), lit(null).cast("string"),
-        lit(null).cast("string")).as("contract_id"),
+        lit(null).cast("string"), passphrase).as("contract_id"),
       col("sequence").as("ledger_sequence"),
       col("closed_at"),
       lit(null).cast("string").as("to_muxed"),
@@ -230,7 +231,7 @@ object TokenTransfers {
           when(col("e.asset") =!= "native",
             split_part(col("e.asset"), lit(":"), lit(2))),
           when(col("e.asset") =!= "native",
-            split_part(col("e.asset"), lit(":"), lit(3))))
+            split_part(col("e.asset"), lit(":"), lit(3))), passphrase)
           .as("contract_id"),
         col("sequence").as("ledger_sequence"),
         col("closed_at"),
@@ -245,8 +246,8 @@ object TokenTransfers {
     * (`SacContractId.contractId`) over the asset triple; the fixture's
     * short issuer names stand in for issuer keys via sha-256. */
   private def sacContractOf(assetType: Column, code: Column,
-      issuer: Column): Column =
-    strkeyContract(sacContractIdBytes(
+      issuer: Column, passphrase: String): Column =
+    strkeyContract(sacContractIdBytesFor(passphrase)(
       coalesce(assetType, lit("native")),
       coalesce(code, lit("")),
       when(coalesce(assetType, lit("native")) =!= "native",

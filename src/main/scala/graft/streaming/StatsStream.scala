@@ -24,30 +24,13 @@ import graft.operators.{Dedup, Stats, TextAnalysis}
   * bounded by strata × windows-in-horizon × k longs. */
 object StatsStream {
 
-  /** Per-(window, stratum) distinct-TOKEN estimate over a document stream.
-    * Emits (window_start, window_end, stratum, distinct_est) in append
-    * mode once the watermark passes the window end. */
-  def windowedDistinctEstimate(docs: DataFrame, tsCol: String,
+  /** The one law both faces share — explode to token hashes, window-group
+    * the sketch, render the estimate. The stream ≡ batch parity contract
+    * holds BECAUSE this body is shared: the two entry points differ only
+    * in the watermark on the input. */
+  private def estimateLaw(docs: DataFrame, tsCol: String,
       stratumCol: String, textCol: String, windowLen: String,
-      horizon: String, k: Int = 64): DataFrame =
-    docs.withWatermark(tsCol, horizon)
-      .select(col(tsCol).as("ts"), col(stratumCol).as("stratum"),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
-      .select(col("ts"), col("stratum"),
-        Dedup.sha63(col("tok"), lit(0)).as("h"))
-      .groupBy(window(col("ts"), windowLen), col("stratum"))
-      .agg(graft.functions.GraftFunctions.kmvMinHashes(col("h"), k)
-        .as("mins"))
-      .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"),
-        col("stratum"),
-        Stats.kmvEstimate(col("mins"), k).as("distinct_est"))
-
-  /** The batch twin of [[windowedDistinctEstimate]] — the SAME law over a
-    * static frame, for parity assertions and backfill. */
-  def batchDistinctEstimate(docs: DataFrame, tsCol: String,
-      stratumCol: String, textCol: String, windowLen: String,
-      k: Int = 64): DataFrame =
+      k: Int): DataFrame =
     docs
       .select(col(tsCol).as("ts"), col(stratumCol).as("stratum"),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
@@ -60,4 +43,20 @@ object StatsStream {
         col("window.end").as("window_end"),
         col("stratum"),
         Stats.kmvEstimate(col("mins"), k).as("distinct_est"))
+
+  /** Per-(window, stratum) distinct-TOKEN estimate over a document stream.
+    * Emits (window_start, window_end, stratum, distinct_est) in append
+    * mode once the watermark passes the window end. */
+  def windowedDistinctEstimate(docs: DataFrame, tsCol: String,
+      stratumCol: String, textCol: String, windowLen: String,
+      horizon: String, k: Int = 64): DataFrame =
+    estimateLaw(docs.withWatermark(tsCol, horizon), tsCol, stratumCol,
+      textCol, windowLen, k)
+
+  /** The batch twin of [[windowedDistinctEstimate]] — the SAME law over a
+    * static frame, for parity assertions and backfill. */
+  def batchDistinctEstimate(docs: DataFrame, tsCol: String,
+      stratumCol: String, textCol: String, windowLen: String,
+      k: Int = 64): DataFrame =
+    estimateLaw(docs, tsCol, stratumCol, textCol, windowLen, k)
 }

@@ -449,5 +449,26 @@ class CliExportSpec extends AnyFunSuite with BeforeAndAfterAll {
       exportedContractData(testnetTree)
     }
     assert(err.getMessage.contains("not in tx set"))
+
+    // token transfers derive network-correct SAC contract ids: the native
+    // asset's C-address differs by network (create_account emits a
+    // transfer event whose contract_id is the native SAC)
+    def transferContractIds(flags: String*): Set[String] = {
+      val out = tmpDir("net-tt") + "/tt"
+      Export.run(spark, Export.parse(Array(
+        "export_token_transfers", "--start", "77001", "--end", "77001",
+        "--xdr-input", s"$in/frames.json", "--output", out,
+        "--format", "ndjson") ++ flags))
+      Files.list(Paths.get(out)).iterator().asScala
+        .filter(_.toString.endsWith(".json")).flatMap(ndjsonLines(_))
+        .map(l => om.readTree(l).get("contract_id").asText()).toSet
+    }
+    val nativeTestnet = SacContractId.contractAddress("native", "",
+      Array.emptyByteArray, Network.TestnetPassphrase)
+    val nativeMainnet = SacContractId.contractAddress("native", "",
+      Array.emptyByteArray)
+    assert(nativeTestnet != nativeMainnet)
+    assert(transferContractIds("--testnet") == Set(nativeTestnet))
+    assert(transferContractIds() == Set(nativeMainnet))
   }
 }

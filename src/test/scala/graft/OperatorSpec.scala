@@ -1743,6 +1743,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d1.decode_ok, d1.toString)
     assert(d1.sample_rate == 48000 && d1.n_frames == 123456)
     assert(d1.width == 1920 && d1.height == 1080)
+
+    // durations beyond the 32-bit n_frames column error-channel instead of
+    // silently wrapping — both the too-large and the sign-bit-set (negative
+    // Long) v1 arms
+    def mvhd1WithDuration(d: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(112)
+      b.putInt(0x01000000)
+      b.putLong(0L).putLong(0L)
+      b.putInt(48000)
+      b.putLong(d)
+      box("mvhd", b.array())
+    }
+    for (bad <- Seq(Int.MaxValue.toLong + 1, -1L, Long.MinValue)) {
+      val payload = ftyp ++ box("moov", mvhd1WithDuration(bad))
+      val d = Multimodal.decode(
+        Seq(Multimodal.MediaRow(10L, "video/mp4", payload)).toDS())
+        .collect().head
+      assert(!d.decode_ok && d.error.contains("exceeds 32-bit range"),
+        s"duration $bad: $d")
+    }
+    // a 64-bit largesize box is rejected loudly, never walked as offset 1
+    val large = ftyp ++ java.nio.ByteBuffer.allocate(16).putInt(1)
+      .put("moov".getBytes("US-ASCII")).putLong(16L).array()
+    val dl = Multimodal.decode(
+      Seq(Multimodal.MediaRow(11L, "video/mp4", large)).toDS()).collect().head
+    assert(!dl.decode_ok && dl.error.startsWith("corrupt mp4"))
   }
 
   test("multimodal truncation fuzz: every prefix of every planted container " +
@@ -1789,6 +1815,9 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     vframes.foreach(f => assert(f.feature_ok ||
       (f.error != null && f.error.nonEmpty),
       s"no frame verdict for ${f.media_id} (${f.mime})"))
+    // NO payload may vanish from the frame grain: every input id lands at
+    // least one row (feature rows or the single error/no-frames row)
+    assert(vframes.map(_.media_id).toSet == rows.map(_.media_id).toSet)
     // the FULL payloads must decode ok (the fuzz must not hide a broken
     // happy path)
     val fullIds = payloads.zipWithIndex
