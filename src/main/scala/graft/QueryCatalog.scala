@@ -2302,6 +2302,50 @@ object QueryCatalog {
         TextAnalysis.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
           Seq("join", "hash", "scan", "vector"), k = 25)),
 
+    Q("x_winnow_pairs",
+      // Winnowing (Schleimer et al. 2003, the MOSS law): positional
+      // 3-gram sha63 hashes, 4-hash sliding windows, keep each window's
+      // minimum — any shared 6-token run GUARANTEES a shared fingerprint.
+      // Pairs are an equi-join on fp with the df-cut hot-fp blacklist.
+      // DuckDB re-derives the normalization, the positional grams, the
+      // window minima, the distinct fingerprint sets, the df cut and the
+      // shared counts — a window-off-by-one, dedup drift or hash mismatch
+      // all hash-fail
+      Some("""WITH d AS (SELECT doc_id,
+             |         string_split(trim(regexp_replace(lower(text),
+             |           '\s+', ' ', 'g')), ' ') AS t
+             |       FROM documents),
+             |g AS (SELECT doc_id,
+             |        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             |             ELSE list_transform(range(1, len(t) - 1),
+             |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |        END AS grams FROM d),
+             |h AS (SELECT doc_id, list_transform(grams, x ->
+             |        (CAST(concat('0x', substr(sha256(x || ':0'), 1, 8))
+             |           AS BIGINT) & 2147483647) * 4294967296
+             |        + CAST(concat('0x', substr(sha256(x || ':0'), 9, 8))
+             |           AS BIGINT)) AS hs FROM g),
+             |wn AS (SELECT doc_id,
+             |         CASE WHEN len(hs) >= 4
+             |           THEN list_distinct(list_transform(range(0, len(hs) - 3),
+             |                  j -> list_min(hs[j+1:j+4])))
+             |           ELSE [list_min(hs)] END AS fps FROM h),
+             |f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wn),
+             |c AS (SELECT fp, count(*) AS dfc FROM f GROUP BY fp),
+             |cold AS (SELECT f.doc_id, f.fp FROM f JOIN c USING (fp)
+             |         WHERE c.dfc <= 100),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |        count(*) AS shared_fps
+             |      FROM cold a JOIN cold b
+             |        ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT id_a, id_b, shared_fps FROM p WHERE shared_fps >= 2
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.winnowPairs(T(s, dir, "documents"), "text", "doc_id",
+            n = 3, w = 4, minShared = 2, maxDf = 100)
+          .orderBy("id_a", "id_b")),
+
     Q("x_text_fingerprint",
       Some("""SELECT doc_id,
              |       substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),

@@ -54,6 +54,12 @@ object ExplainAudit {
       // map-side and the doc-vs-model joins stay equi — never a cartesian
       ("x_text_lm_surprisal", Seq("partial_count"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      // Winnowing: fingerprint selection is intra-row (positional-window
+      // expression + slice/array_min), the pair generator an fp equi-join
+      // behind the hot-fp broadcast blacklist — never a cartesian, and no
+      // per-fp window sort anywhere
+      ("x_winnow_pairs", Seq("partial_count", "BroadcastExchange"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window ")),
       // SimHash pair join: the candidate generator must be the pigeonhole
       // (band, key, shard) EQUI-join — a BNLJ/cartesian here is the
       // all-pairs hamming scan the bands exist to avoid

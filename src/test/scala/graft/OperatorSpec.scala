@@ -1106,6 +1106,63 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("CartesianProduct"), plan.take(600))
   }
 
+  test("winnowing fingerprints: shared-run guarantee, window-min law vs " +
+      "independent recomputation, hot-fp cut") {
+    import spark.implicits._
+    val run = (0 until 8).map(i => s"shared_r$i").mkString(" ") // 8 >= w+n-1=6
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"zeta eta $run theta iota kappa lambda"),
+      (3L, "completely unrelated vocabulary with no overlap at all here"))
+      .toDF("doc_id", "text")
+
+    // independent recomputation of the fingerprint law: normalize, 3-gram
+    // windows, sha63, 4-window minima, distinct — no engine involved
+    def sha63(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest((s + ":0").getBytes("UTF-8"))
+      def hex(off: Int) = (0 until 4).map(i =>
+        f"${d(off + i) & 0xff}%02x").mkString
+      ((java.lang.Long.parseLong(hex(0), 16) & 0x7fffffffL) << 32) |
+        java.lang.Long.parseLong(hex(4), 16)
+    }
+    def fpsOf(text: String): Set[Long] = {
+      val words = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+      val grams =
+        if (words.length < 3) Seq(words.mkString(" "))
+        else words.sliding(3).map(_.mkString(" ")).toSeq
+      val hs = grams.map(sha63)
+      (if (hs.length < 4) Seq(hs.min)
+       else hs.sliding(4).map(_.min).toSeq).toSet
+    }
+    val got = TextAnalysis.winnowFingerprints(docs, "text", "doc_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    Seq(1L, 2L, 3L).foreach { i =>
+      val text = docs.where(col("doc_id") === i)
+        .head().getString(1)
+      assert(got(i) == fpsOf(text), s"doc $i")
+    }
+    // the paper's guarantee: an 8-token shared run (>= w+n-1) forces at
+    // least one SHARED fingerprint between 1 and 2; doc 3 shares none
+    assert(got(1L).intersect(got(2L)).nonEmpty)
+    assert(got(1L).intersect(got(3L)).isEmpty)
+    val pairs = TextAnalysis.winnowPairs(docs, "text", "doc_id",
+        minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"pairs=$pairs")
+    // hot-fp cut: a fingerprint present in EVERY doc of a flood is a
+    // stopword-run minimum — with maxDf below the flood size the pair
+    // generator emits nothing (bounded fan-out), with a high cut it
+    // quadratically pairs; the cut is the documented trade
+    val flood = (1 to 30).map(i => (i.toLong, "same same same same same x"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.winnowPairs(flood, "text", "doc_id",
+      minShared = 1, maxDf = 10).count() == 0)
+    assert(TextAnalysis.winnowPairs(flood, "text", "doc_id",
+      minShared = 1, maxDf = 100).count() == 30L * 29 / 2)
+  }
+
   test("simhash pair join: pigeonhole recall equals brute force at ham<=3, " +
       "exact verify, hot-band shards bounded") {
     import spark.implicits._
