@@ -150,6 +150,10 @@ object GraftFunctions {
     nativeCol(graft.plans.L2ProbeCellsExpression(exprOf(c), centFlat, nCells, nprobe))
   def ngramShingles(c: Column, n: Int): Column =
     nativeCol(graft.plans.NgramShinglesExpression(exprOf(c), n))
+  def simHash64Native(c: Column): Column =
+    nativeCol(graft.plans.SimHash64Expression(exprOf(c)))
+  def winnowFingerprintsNative(c: Column, n: Int, w: Int): Column =
+    nativeCol(graft.plans.WinnowFingerprintsExpression(exprOf(c), n, w))
   def ngramWindows(c: Column, n: Int): Column =
     nativeCol(graft.plans.NgramWindowsExpression(exprOf(c), n))
   def bloomMightContain(c: Column, bloomBytes: Array[Byte]): Column =

@@ -153,19 +153,8 @@ object Dedup {
   /** SimHash-64: per token, hash to 64 bits; per bit, +w if set else -w;
     * sign of each bit-sum forms the fingerprint. Intra-row via higher-order
     * aggregate over tokens — shuffle-free. */
-  def simHash64(text: Column): Column = {
-    val tokens = split(normalized(text), " ")
-    val hashes = transform(tokens, t => sha64(t))
-    // bit i of fingerprint = 1 iff sum over tokens of (bit i set ? 1 : -1) > 0
-    val bitIdx = sequence(lit(0), lit(63))
-    val bitSums = transform(bitIdx, i =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(bitIdx, bitSums, (i, s) =>
-        when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simHash64(text: Column): Column =
+    graft.functions.GraftFunctions.simHash64Native(text)
 
   /** Hamming distance between two 64-bit fingerprints (popcount via bit_count). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

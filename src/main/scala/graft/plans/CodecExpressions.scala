@@ -23,6 +23,42 @@ abstract class CodecUnaryExpression extends UnaryExpression {
       s"$prettyName expects $expectedInputType, got " + child.dataType)
 }
 
+/** Fused SimHash-64 fingerprint ([[graft.codec.SimHashCodec]]) — one
+  * compiled normalize→hash→vote→fold pass per document, replacing the
+  * O(64·T)-interpreted-lambda HOF formulation. */
+case class SimHash64Expression(child: Expression) extends CodecUnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.SimHashCodec.fingerprint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.SimHashCodec$$.MODULE$$.fingerprint($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** Fused winnowing fingerprint selection ([[graft.codec.SimHashCodec
+  * .winnowFingerprints]]) — the MOSS window-minima law in one compiled
+  * pass, returning the distinct minima as array<long>. */
+case class WinnowFingerprintsExpression(child: Expression, n: Int, w: Int)
+    extends CodecUnaryExpression {
+  require(n >= 1 && w >= 1, "n and w must be positive")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.SimHashCodec.winnowFingerprints(
+      input.asInstanceOf[UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.SimHashCodec$$.MODULE$$.winnowFingerprints($c, $n, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintsExpression =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 /** FarmHash Fingerprint64 over UTF-8 bytes (`asset.go:72-77`). */
 case class FarmHash64Expression(child: Expression) extends CodecUnaryExpression {
   override def dataType: DataType = LongType

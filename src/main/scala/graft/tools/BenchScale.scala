@@ -354,6 +354,74 @@ object BenchScale {
       run(embN, 16 * factor, s"@${factor}x(nCells=${16 * factor})")
     }
 
+    // ---- winnowing pair generator at scale (round 17) ---------------------
+    // Same invariant family as the df-cut: the hot-fp blacklist bounds the
+    // equi-join fan-out — post-cut candidate work Σ df·(df−1)/2 over the
+    // SURVIVING fingerprints stays ≤ totalFpRows · maxDf / 2, while the
+    // uncut work is quadratic in the hottest stopword-run minimum.
+    locally {
+      import graft.operators.TextAnalysis
+      val maxDf = math.max(1, (nDocs1 * 0.1).toInt)
+      at("winnow_pairs") { (d, _) =>
+        TextAnalysis.winnowPairs(d, "text", "doc_id",
+          minShared = 1, maxDf = maxDf).count()
+      }
+      val dfs = TextAnalysis.winnowFingerprints(docsN, "text", "doc_id")
+        .groupBy("fp").agg(count(lit(1)).as("df"))
+        .select(col("df").cast("double").as("df")).cache()
+      val Array(totalRows, workAll) = dfs
+        .agg(sum("df"), sum(col("df") * (col("df") - 1) / 2))
+        .head().toSeq.map(_.asInstanceOf[Double].toLong).toArray
+      val workCut = dfs.where(col("df") <= maxDf)
+        .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0.0)))
+        .head().getDouble(0).toLong
+      println(s"[scale] winnow: candidate work $workAll uncut -> $workCut " +
+        s"cut (bound ${totalRows * maxDf / 2}); " +
+        f"${100.0 * (workAll - workCut) / math.max(workAll, 1)}%.1f%% pruned")
+      require(workCut <= totalRows * maxDf / 2,
+        s"winnow hot-fp invariant violated: $workCut > rows*cut/2")
+      dfs.unpersist()
+    }
+
+    // ---- simhash pigeonhole pair generator at scale (round 17) ------------
+    // The hot-band sub-salt must bound the per-key join width exactly like
+    // the LSH buckets: max (band, key, shard) occupancy ≤ 3× cap, total
+    // candidate work O(n · cap) — an exact-dup flood (every copy shares
+    // every band) is the adversarial shape the N× corpus plants.
+    locally {
+      val (cap, bands) = (64, 4)
+      at("simhash_pairs") { (d, _) =>
+        Dedup.simHashDupPairs(d, "text", "doc_id",
+          maxHam = 3, bucketCap = cap).count()
+      }
+      val base = docsN.select(col("doc_id").cast("long").as("id"),
+        Dedup.simHash64(col("text")).as("fp")).cache()
+      val banded = base.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          call_function("shiftrightunsigned", col("fp"), lit(b * 16))
+            .bitwiseAND(lit(65535L))): _*)).as(Seq("band", "key")))
+      val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
+      val shardSizes = banded.join(broadcast(sizes), Seq("band", "key"))
+        .withColumn("nsh", greatest(lit(1L),
+          ceil(col("bsz") / lit(cap.toDouble)).cast("long")))
+        .select(col("band"), col("key"),
+          pmod(expr("id div (band + 1)"), col("nsh")).as("shard"))
+        .groupBy("band", "key", "shard").agg(count(lit(1)).as("s"))
+      val stats = shardSizes.agg(max("s").as("max_s"),
+        sum((col("s") * (col("s") - 1) / 2).cast("double")).as("cand"))
+        .head()
+      val maxShard = stats.getLong(0)
+      val cand = stats.getDouble(1).toLong
+      println(s"[scale] simhash candidates: $cand pairs " +
+        s"(bound ${bands.toLong * nDocsN * 3 * cap}), max shard $maxShard " +
+        s"(cap $cap)")
+      require(maxShard <= 3L * cap,
+        s"simhash hot-band invariant violated: shard of $maxShard > 3x cap")
+      require(cand <= bands.toLong * nDocsN * 3 * cap,
+        s"simhash candidate invariant violated: $cand pairs exceed O(n*cap)")
+      base.unpersist()
+    }
+
     // ---- curation pipeline v2 at scale (round 17) -------------------------
     // The composed surprisal-gate → SemDeDup → packing catalog query run
     // verbatim against the N× corpus directory. The N× corpus copies have
