@@ -2346,6 +2346,123 @@ object QueryCatalog {
             n = 3, w = 4, minShared = 2, maxDf = 100)
           .orderBy("id_a", "id_b")),
 
+    Q("x_curation_pipeline_v3",
+      // the r17 ops COMPOSED: Winnowing near-dup gate (drop the higher id
+      // of every >= minShared shared-fingerprint pair — greedy
+      // keep-lowest, the SemDeDup verdict law over MOSS fingerprints)
+      // -> KMV distinct-bigram-equalized mixture over the SURVIVORS (the
+      // x_sketch_kmv_mixture law, estimates re-trained on the kept set).
+      // One CTE chain replays fingerprint selection, the df cut, the dup
+      // verdicts, the sketch minima, the clamped estimator AND the
+      // sampling thresholds together — any single law drifting hash-fails
+      // the whole pipeline
+      Some("""WITH d0 AS (SELECT doc_id, lang, text FROM documents),
+             |d AS (SELECT doc_id,
+             |         string_split(trim(regexp_replace(lower(text),
+             |           '\s+', ' ', 'g')), ' ') AS t
+             |       FROM d0),
+             |g AS (SELECT doc_id,
+             |        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             |             ELSE list_transform(range(1, len(t) - 1),
+             |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |        END AS grams FROM d),
+             |hh AS (SELECT doc_id, list_transform(grams, x ->
+             |        (CAST(concat('0x', substr(sha256(x || ':0'), 1, 8))
+             |           AS BIGINT) & 2147483647) * 4294967296
+             |        + CAST(concat('0x', substr(sha256(x || ':0'), 9, 8))
+             |           AS BIGINT)) AS hs FROM g),
+             |wn AS (SELECT doc_id,
+             |         CASE WHEN len(hs) >= 4
+             |           THEN list_distinct(list_transform(range(0, len(hs) - 3),
+             |                  j -> list_min(hs[j+1:j+4])))
+             |           ELSE [list_min(hs)] END AS fps FROM hh),
+             |f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wn),
+             |c AS (SELECT fp, count(*) AS dfc FROM f GROUP BY fp),
+             |cold AS (SELECT f.doc_id, f.fp FROM f JOIN c USING (fp)
+             |         WHERE c.dfc <= 100),
+             |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |       FROM cold a JOIN cold b
+             |         ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |kept AS (SELECT doc_id, lang, text FROM d0
+             |         WHERE doc_id NOT IN (SELECT id_b FROM pr)),
+             |kt AS (SELECT lang,
+             |         list_transform(list_filter(
+             |           string_split_regex(text, '\s+'), x -> x <> ''),
+             |           w -> lower(w)) AS toks
+             |       FROM kept),
+             |bt AS (SELECT lang, toks[i] || ' ' || toks[i+1] AS tok
+             |       FROM kt, unnest(range(1, len(toks))) r(i)),
+             |bh AS (SELECT DISTINCT lang,
+             |        (CAST(concat('0x', substr(sha256(tok || ':0'), 1, 8))
+             |           AS BIGINT) & 2147483647) * 4294967296
+             |        + CAST(concat('0x', substr(sha256(tok || ':0'), 9, 8))
+             |           AS BIGINT) AS hv
+             |      FROM bt),
+             |br AS (SELECT lang, hv,
+             |        row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+             |      FROM bh),
+             |bm AS (SELECT lang, count(*) AS n,
+             |        max(CASE WHEN rn = 64 THEN hv END) AS h64
+             |      FROM br WHERE rn <= 64 GROUP BY lang),
+             |e AS (SELECT lang,
+             |        CASE WHEN n < 64 THEN n
+             |             ELSE CAST(63::HUGEINT * 9223372036854775808::HUGEINT
+             |                       // greatest(h64, 1) AS BIGINT)
+             |        END AS est FROM bm),
+             |mn AS (SELECT min(est) AS me FROM e),
+             |thr AS (SELECT e.lang, e.est,
+             |          CASE WHEN e.est = mn.me THEN 'g'
+             |               ELSE printf('%08x', CAST(mn.me::HUGEINT * 4294967296
+             |                 // greatest(e.est, 1) AS BIGINT)) END AS thr
+             |        FROM e, mn)
+             |SELECT k.doc_id, k.lang, thr.est AS distinct_est
+             |FROM kept k JOIN thr ON k.lang = thr.lang
+             |WHERE substr(sha256(CAST(k.doc_id AS VARCHAR)), 1, 8) < thr.thr
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val k = 64
+        val docs = T(s, dir, "documents")
+        // stage 1: winnow near-dup gate, greedy keep-lowest (a doc drops
+        // iff some LOWER id shares >= minShared fingerprints with it)
+        val dupIds = TextAnalysis.winnowPairs(docs, "text", "doc_id",
+            n = 3, w = 4, minShared = 2, maxDf = 100)
+          .select(col("id_b").as("doc_id")).distinct()
+        val kept = docs.join(dupIds, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "text")
+          .cache() // the sketch agg AND the sample filter both scan it
+        // stage 2: the KMV bigram-diversity mixture, re-trained on the
+        // kept set (the x_sketch_kmv_mixture law verbatim)
+        val toks = transform(TextAnalysis.tokens(col("text")),
+          w => lower(w))
+        val n1 = greatest(size(toks) - 1, lit(0))
+        val est = kept
+          .select(col("lang"),
+            explode(zip_with(
+              slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+              (a, b) => concat(a, lit(" "), b))).as("tok"))
+          .select(col("lang"), Dedup.sha63(col("tok"), lit(0)).as("h"))
+          .groupBy("lang")
+          .agg(graft.functions.GraftFunctions.kmvMinHashes(col("h"), k)
+            .as("mins"))
+          .select(col("lang"),
+            graft.operators.Stats.kmvEstimate(col("mins"), k).as("est"))
+        val me = est.agg(min("est").as("me"))
+        val thr = est.crossJoin(broadcast(me))
+          .select(col("lang"), col("est"),
+            when(col("est") === col("me"), lit("g"))
+              .otherwise(lpad(lower(hex(call_function("div",
+                col("me").cast("decimal(38,0)") * lit(4294967296L),
+                greatest(col("est"), lit(1L)).cast("decimal(38,0)"))
+                .cast("long"))), 8, "0")).as("thr"))
+        kept.select("doc_id", "lang")
+          .join(broadcast(thr), "lang")
+          .where(substring(sha2(col("doc_id").cast("string"), 256), 1, 8)
+            < col("thr"))
+          .select(col("doc_id"), col("lang"), col("est").as("distinct_est"))
+          .orderBy("doc_id")
+      }),
+
     Q("x_text_fingerprint",
       Some("""SELECT doc_id,
              |       substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),

@@ -89,6 +89,13 @@ object ExplainAudit {
       ("x_curation_pipeline_v2",
         Seq("InMemoryTableScan", "partial_count"),
         Seq("CartesianProduct")),
+      // curation v3: the kept-set cache feeds both the sketch agg and the
+      // sample filter (InMemory scan), the KMV sketch stays a REAL partial
+      // aggregate, and the winnow dedup gate is an anti-join — no
+      // cartesian anywhere in the three-stage chain
+      ("x_curation_pipeline_v3",
+        Seq("InMemoryTableScan", "partial_kmv_min_hashes"),
+        Seq("CartesianProduct", "collect_set")),
       // three-modality pipeline: the ANN tail is the documented bounded
       // brute-force baseline (≤8 query rows ride the broadcast side) with
       // the top-k as WindowGroupLimit heaps — never a raw cartesian
