@@ -103,6 +103,8 @@ object Dedup {
     // keeps multi-use non-trivial exprs in their own stage), then 16 cheap
     // array passes derive the signature. cache() so the band join and the
     // two verification joins don't recompute shingling three times.
+    // CACHE LIVENESS: see simHashDupPairs — clearCache() between corpora
+    // in long-lived sessions.
     val sigs = df
       .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleSize).as("sh"))
       .select(col("doc_id"), col("sh"),
@@ -176,11 +178,18 @@ object Dedup {
     * the corpus collects everything) take the same occupancy-broadcast
     * sub-salt as the LSH buckets: keys over `bucketCap` shard by a
     * per-band id partition, pairs generate within a (band, key, shard).
-    * Documented trade: a sharded band can split a pair, and recall falls
-    * back on the other maxHam bands (exact pigeonhole only survives if
-    * some UNSHARDED shared band remains); the verify never re-admits a
-    * false positive. `maxHam + 1` must divide 64 (3 → the paper's 4×16
-    * config). */
+    * Documented trade: a sharded band can split a pair, and PAIR-level
+    * recall is exact only while some UNSHARDED shared band remains — in an
+    * exact-dup flood EVERY band of the group is hot, so all maxHam+1 bands
+    * shard and a specific pair whose ids separate in every band's id
+    * partition can drop from the pair list. CLUSTER-level recall survives:
+    * each doc still pairs with its same-shard co-members in every band
+    * (shards hold ~bucketCap ≥ 2 docs), so the transitive closure
+    * ([[dupClusters]]) re-merges the flood into one component — asserted
+    * by OperatorSpec's flood case. Use pair COUNTS only where per-pair
+    * exactness holds (no hot bands); use the closure for dedup verdicts.
+    * The verify never re-admits a false positive. `maxHam + 1` must divide
+    * 64 (3 → the paper's 4×16 config). */
   def simHashDupPairs(df: DataFrame, textCol: String, idCol: String,
       maxHam: Int = 3, bucketCap: Int = 64): DataFrame = {
     val bands = maxHam + 1
@@ -191,7 +200,11 @@ object Dedup {
     // aggregate and BOTH sides of the self-join, and the simhash
     // expression (64 per-bit vote folds over the token array) is by far
     // the most expensive node in the plan — uncached it is recomputed in
-    // all four branches (measured 12.6 s → 0.7 s at sf0.001)
+    // all four branches (measured 12.6 s → 0.7 s at sf0.001).
+    // CACHE LIVENESS: the entry lives in the session's CacheManager until
+    // the caller unpersists — identical plans across calls REUSE it (warm
+    // steady state), but a long-lived session mixing many corpora should
+    // spark.catalog.clearCache() between them.
     val base = df.select(col(idCol).cast("long").as("id"),
       simHash64(col(textCol)).as("fp"))
       .cache()
@@ -591,7 +604,10 @@ object Dedup {
       x => round(x.cast("double") * 10000).cast("long"))
     val base = emb.select(col(idCol).cast("long").as("id"), quant.as("v"))
       .withColumn("n2", graft.functions.GraftFunctions.longNorm2(col("v")))
-      .cache() // quantize once: bucket explode + two verification joins reuse it
+      // quantize once: bucket explode + two verification joins reuse it.
+      // CACHE LIVENESS: see simHashDupPairs — clearCache() between corpora
+      // in long-lived sessions.
+      .cache()
     // narrow (id, table, bucket) rows — the only frame the LSH shuffle moves
     val banded = base.select(col("id"),
       posexplode(graft.functions.GraftFunctions.hyperplaneBuckets(
@@ -733,12 +749,16 @@ object Dedup {
     edges0Rdd.unpersist(false)
     // exiting on the iteration cap with propagation still in flight would
     // return silently WRONG (split) components — make it loud instead; the
-    // caller can raise maxIter (rounds needed ≈ component diameter)
-    if (changed > 0)
+    // caller can raise maxIter (rounds needed ≈ component diameter). The
+    // last round's working blocks are dropped BEFORE the throw so a caught
+    // failure doesn't strand persisted RDDs in the session.
+    if (changed > 0) {
+      if (prevRdd != null) prevRdd.unpersist(false)
       throw new IllegalStateException(
         s"dupClusters did not converge after $maxIter rounds (2 hops each; " +
           s"$changed labels still moving): component diameter exceeds " +
           "2×maxIter — raise maxIter (rounds ≈ diameter/2)")
+    }
     // materialize the final label table into its own (small: touched
     // vertices only) persisted RDD, then drop the last round's working
     // blocks — repeated calls in one session no longer accumulate
@@ -854,10 +874,14 @@ object Dedup {
       edges = next
       rounds += 1
     }
-    if (!converged)
+    if (!converged) {
+      // drop the last round's persisted blocks before the throw — a caught
+      // non-convergence must not strand working RDDs in the session
+      if (prevRdd != null) prevRdd.unpersist(false)
       throw new IllegalStateException(
         s"dupClustersAlternating did not converge after $maxIter rounds - " +
           "this exceeds the O(log n) bound; raise maxIter")
+    }
     // fixpoint: stars rooted at component minima — edges ARE the labels.
     // Materialize them into their own (small) persisted RDD and drop the
     // last round's working blocks, so repeated calls in one session don't

@@ -373,9 +373,12 @@ object Multimodal {
   /** Decode every `stride`-th frame of a multi-frame image container
     * (animated GIF — the JDK's only multi-frame decoder) and apply `f`
     * to it. The reader is opened ONCE per payload; header cost is not
-    * re-paid per frame. Frames must be full-size (no offsets/disposal —
-    * the planted-fixture contract); a container the JDK cannot read
-    * yields Left(error). */
+    * re-paid per frame. Frames must be full-canvas: an animated GIF using
+    * frame offsets/disposal stores SUB-canvas delta frames whose grid
+    * sums would silently describe the delta region, not the image — so
+    * any sampled frame whose dimensions differ from frame 0's routes the
+    * whole payload to the error channel (checked from reader metadata,
+    * before decode). A container the JDK cannot read yields Left(error). */
   private def mapSampledFrames[A](bytes: Array[Byte], stride: Int)(
       f: (Int, Int, BufferedImage) => A): Either[String, Seq[A]] = {
     val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
@@ -387,7 +390,17 @@ object Multimodal {
         try {
           reader.setInput(in, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
           val n = reader.getNumImages(true)
-          Right((0 until n by stride).map(i => f(i, n, reader.read(i))))
+          val idxs = 0 until n by stride
+          val sub = idxs.find(i => n > 0 &&
+            (reader.getWidth(i) != reader.getWidth(0) ||
+              reader.getHeight(i) != reader.getHeight(0)))
+          sub match {
+            case Some(i) => Left(s"sub-canvas frame $i " +
+              s"(${reader.getWidth(i)}x${reader.getHeight(i)} vs canvas " +
+              s"${reader.getWidth(0)}x${reader.getHeight(0)}): offset/" +
+              "disposal animation needs canvas compositing")
+            case None => Right(idxs.map(i => f(i, n, reader.read(i))))
+          }
         } catch {
           case e: Exception => Left(s"corrupt container: ${e.getClass.getSimpleName}")
         } finally reader.dispose()

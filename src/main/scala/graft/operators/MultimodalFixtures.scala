@@ -89,6 +89,28 @@ object MultimodalFixtures {
 
   def gifFrames(i: Long): Int = 2 + (i % 4).toInt
 
+  /** Animated GIF whose SECOND frame is a smaller sub-canvas delta frame —
+    * the real-world offset/disposal animation shape. The feature law only
+    * holds for full-canvas frames, so this payload must ride the error
+    * channel (a grid sum over the sub-frame would be a silently wrong
+    * embedding, not a smaller one). */
+  def subCanvasGif(i: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(patternImage(i), null, null), null)
+      val small = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(small, null, null), null)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   def wavFrames(i: Long): Int = 1000 + i.toInt * 10
   def wavChannels(i: Long): Int = 1 + (i % 2).toInt
   val WavSampleRate = 8000

@@ -318,7 +318,10 @@ object TextAnalysis {
     // fingerprint ONCE: the narrow (doc_id, fp) frame feeds the hot-fp
     // aggregate and BOTH self-join sides — uncached, the O(len·w)
     // window-min expression tree is recomputed in every branch (the same
-    // measured trap as the simhash pair join: ~4× the query's real cost)
+    // measured trap as the simhash pair join: ~4× the query's real cost).
+    // CACHE LIVENESS: the entry persists in the session CacheManager so
+    // identical calls stay warm; long-lived sessions mixing corpora should
+    // spark.catalog.clearCache() between them (see Dedup.simHashDupPairs).
     val fps = winnowFingerprints(df, textCol, idCol, n, w).cache()
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("dfc"))
       .where(col("dfc") > maxDf)

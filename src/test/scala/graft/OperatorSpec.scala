@@ -1197,6 +1197,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val floodPairs = Dedup.simHashDupPairs(flood, "text", "doc_id",
       maxHam = 3, bucketCap = 16)
     assert(floodPairs.where(col("hamming") === 0).count() > 0)
+    // CLUSTER-level recall under the flood (the documented trade): with
+    // every band hot and sharded, a specific pair may split in all four
+    // id partitions — but each doc still pairs with its same-shard
+    // co-members, so every doc appears in the pair set and the transitive
+    // closure re-merges the flood into ONE component
+    val touched = floodPairs.select(col("id_a").as("id"))
+      .unionAll(floodPairs.select(col("id_b").as("id")))
+      .distinct().count()
+    assert(touched == 300, s"only $touched of 300 flood docs paired")
+    val floodClusters = Dedup.dupClusters(flood, "doc_id",
+      floodPairs, "id_a", "id_b")
+    assert(floodClusters.select("cluster_id").distinct().count() == 1)
     // shard law caps the per-key join width: no (band, key, shard) group
     // may exceed ~3x the cap (id-modulus shards of a striped id space)
     val fp0 = Dedup.simHash64(lit("same same same text"))
@@ -1331,6 +1343,19 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = rows(99L)
     assert(bad.length == 1 && !bad.head.feature_ok &&
       bad.head.error.contains("no JDK reader"))
+    // an offset/disposal animation stores SUB-canvas delta frames: grid
+    // sums over the delta region would be silently wrong embeddings, so
+    // the payload must ride the error channel, never feature_ok
+    val subMedia = Seq(Multimodal.MediaRow(7L, "video/gif",
+      MultimodalFixtures.subCanvasGif(7))).toDS()
+    val subRows = Multimodal.videoFrameFeatures(subMedia, dim = 16, stride = 1)
+      .collect()
+    assert(subRows.length == 1 && !subRows.head.feature_ok &&
+      subRows.head.error.contains("sub-canvas"), subRows.head.error)
+    val subFeats = Multimodal.videoFeatures(subMedia, dim = 16, stride = 1)
+      .collect()
+    assert(subFeats.length == 1 && !subFeats.head.feature_ok &&
+      subFeats.head.error.contains("sub-canvas"))
     // media grain: the embedding is normalize(sum of the SAMPLED frames)
     val feats = Multimodal.videoFeatures(media, dim = 16, stride = 2)
       .collect().map(r => r.media_id -> r).toMap
