@@ -177,6 +177,188 @@ object QueryCatalog {
     graft.operators.TokenTransfers.clearCache()
   }
 
+  // ---- planted web fixtures (HTML / URL), shared Spark + oracle laws -------
+
+  /** Deterministic HTML wrapper around each document — both engines build
+    * the IDENTICAL markup, so the extraction law is fully hash-checkable.
+    * Arms: script/style/comment blocks (stripped), a nav list and a
+    * link-footer (dropped by the density law), a short line (dropped by
+    * min-length), an entity line (unescape law), a kept line WITH a link
+    * (density below threshold), and two malformed tails (id%17: unclosed
+    * script, id%23: unclosed comment) for the error channel. */
+  private def plantedHtml: Column = {
+    val t = col("text")
+    concat(
+      lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+      lit("<style type=\"text/css\">p { margin: 0; }</style>"),
+      lit("<script type=\"text/javascript\">var n = 1 < 2;</script>"),
+      lit("</head><body><!-- boilerplate comment -->"),
+      lit("<ul><li><a href=\"/\">Home</a></li>" +
+        "<li><a href=\"/about\">About the site</a></li></ul>"),
+      lit("<h1>Story "), col("doc_id"), lit(" begins here</h1>"),
+      lit("<p>"), substring(t, 1, 80), lit("</p>"),
+      lit("<p>Fish &amp; chips &lt;tag&gt; &quot;q&quot; &#39;s&nbsp;" +
+        "end of entity line</p>"),
+      lit("<div>Read <a href=\"/ref\">the full reference notes</a> " +
+        "while reviewing "), substring(t, 81, 40), lit("</div>"),
+      lit("<p>tiny</p>"),
+      lit("<p><a href=\"/a\">one link</a> <a href=\"/b\">two link</a></p>"),
+      when(col("doc_id") % 17 === 0,
+        lit("<script src=\"x.js\">trailing unterminated"))
+        .when(col("doc_id") % 23 === 0, lit("<!-- unterminated trail"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+  }
+
+  /** DuckDB twin of [[plantedHtml]] (same concatenation, `||` syntax). */
+  private val plantedHtmlSql: String =
+    """'<html><head><title>Doc ' || doc_id || '</title>'
+      ||| '<style type="text/css">p { margin: 0; }</style>'
+      ||| '<script type="text/javascript">var n = 1 < 2;</script>'
+      ||| '</head><body><!-- boilerplate comment -->'
+      ||| '<ul><li><a href="/">Home</a></li><li><a href="/about">About the site</a></li></ul>'
+      ||| '<h1>Story ' || doc_id || ' begins here</h1>'
+      ||| '<p>' || substr(text, 1, 80) || '</p>'
+      ||| '<p>Fish &amp; chips &lt;tag&gt; &quot;q&quot; &#39;s&nbsp;end of entity line</p>'
+      ||| '<div>Read <a href="/ref">the full reference notes</a> while reviewing ' || substr(text, 81, 40) || '</div>'
+      ||| '<p>tiny</p>'
+      ||| '<p><a href="/a">one link</a> <a href="/b">two link</a></p>'
+      ||| CASE WHEN doc_id % 17 = 0 THEN '<script src="x.js">trailing unterminated'
+      |        WHEN doc_id % 23 = 0 THEN '<!-- unterminated trail' ELSE '' END
+      ||| '</body></html>'""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
+
+  /** DuckDB replay of [[graft.operators.Web.unescapeEntities]] — the same
+    * fixed order with `&amp;` last. */
+  private def duckUnescape(e: String): String =
+    s"""replace(replace(replace(replace(replace(replace($e, """ +
+      """'&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), """ +
+      """'&nbsp;', ' '), '&amp;', '&')"""
+
+  /** DuckDB: strip tags → unescape → collapse whitespace (the per-line
+    * text law of [[graft.operators.Web.htmlExtract]]). */
+  private def duckLineText(e: String): String =
+    s"""trim(regexp_replace(${duckUnescape(
+      s"regexp_replace($e, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g'))"""
+
+  /** Shared CTE prefix replaying [[graft.operators.Web.htmlExtract]] over
+    * [[plantedHtmlSql]]: yields `k(doc_id, bad, ls, kept)` where `ls` is
+    * the per-line (t, nl) struct list and `kept` the density-filtered
+    * subset. */
+  private val htmlExtractCtes: String = {
+    val lineTxt = duckLineText("l")
+    // coalesce: DuckDB's array_to_string of an EMPTY list is NULL, and a
+    // NULL link length would null the density predicate and drop the line
+    val linkTxt = duckLineText(
+      """coalesce(array_to_string(regexp_extract_all(l, '(?is)<a(\s[^>]*)?>(.*?)</a>', 2), ' '), '')""")
+    s"""h0 AS (SELECT doc_id, $plantedHtmlSql AS html FROM documents),
+       |s3 AS (SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(html,
+       |    '(?is)<script(\\s[^>]*)?>.*?</script>', ' ', 'g'),
+       |    '(?is)<style(\\s[^>]*)?>.*?</style>', ' ', 'g'),
+       |    '(?s)<!--.*?-->', ' ', 'g') AS x FROM h0),
+       |m AS (SELECT doc_id, x,
+       |  regexp_matches(lower(x), '<script[\\s>]|<style[\\s>]|<!--') AS bad
+       |  FROM s3),
+       |li AS (SELECT doc_id, bad,
+       |  list_transform(string_split(regexp_replace(x,
+       |    '(?i)<(br|/(p|div|li|h[1-6]|tr|td|th|title|blockquote|ul|ol|table|article|section|header|footer|nav))(\\s[^>]*)?/?>',
+       |    chr(10), 'g'), chr(10)),
+       |    l -> struct_pack(t := $lineTxt, nl := length($linkTxt))) AS ls
+       |  FROM m),
+       |k AS (SELECT doc_id, bad, ls,
+       |  list_filter(ls, s -> length(struct_extract(s, 't')) >= 10
+       |    AND struct_extract(s, 'nl') * 5
+       |        < length(struct_extract(s, 't')) * 2) AS kept
+       |  FROM li)""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
+  }
+
+  /** Deterministic URL per document — pair structure: docs 2k and 2k+1
+    * differ ONLY in case, userinfo, tracking params and fragment, so their
+    * canonical URLs COLLIDE (the dedup arm); every other arm (suffix,
+    * port, subdomain, scheme) derives from k = doc_id div 2 so the pair
+    * stays intact. id%19 plants a scheme-less invalid URL. */
+  private def plantedUrl: Column = {
+    val doc = col("doc_id")
+    val k = expr("doc_id div 2")
+    val proto = when(pmod(k, lit(2)) === 0,
+      when(doc % 2 === 0, lit("HTTPS")).otherwise(lit("https")))
+      .otherwise(when(doc % 2 === 0, lit("HTTP")).otherwise(lit("http")))
+    val sub = when(pmod(k, lit(3)) === 0, lit("WWW.")).otherwise(lit(""))
+    val suff = when(pmod(k, lit(4)) === 0, lit(".com"))
+      .when(pmod(k, lit(4)) === 1, lit(".co.uk"))
+      .when(pmod(k, lit(4)) === 2, lit(".org"))
+      .otherwise(lit(".io"))
+    val host = concat(sub, lit("Site"), pmod(k, lit(7)), suff)
+    val port = when(pmod(k, lit(5)) === 0,
+      when(pmod(k, lit(2)) === 0, lit(":443")).otherwise(lit(":80")))
+      .otherwise(when(pmod(k, lit(11)) === 0, lit(":8080")).otherwise(lit("")))
+    val userinfo = when(doc % 13 === 0, concat(lit("u"), doc, lit("@")))
+      .otherwise(lit(""))
+    val path = concat(lit("/p/"), k)
+    val query = concat(lit("?id="), pmod(k, lit(50)),
+      lit("&utm_campaign=c"), doc,
+      when(doc % 6 === 0, lit("&ref=rss")).otherwise(lit("")))
+    val frag = when(doc % 4 === 0, concat(lit("#s"), doc)).otherwise(lit(""))
+    when(doc % 19 === 0, concat(lit("site"), doc, lit(".com/nope")))
+      .otherwise(concat(proto, lit("://"), userinfo, host, port, path,
+        query, frag))
+  }
+
+  /** DuckDB twin of [[plantedUrl]]. */
+  private val plantedUrlSql: String =
+    """CASE WHEN doc_id % 19 = 0 THEN 'site' || doc_id || '.com/nope'
+      |ELSE
+      |  (CASE WHEN (doc_id // 2) % 2 = 0
+      |        THEN (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+      |        ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) END)
+      |  || '://'
+      |  || (CASE WHEN doc_id % 13 = 0 THEN 'u' || doc_id || '@' ELSE '' END)
+      |  || (CASE WHEN (doc_id // 2) % 3 = 0 THEN 'WWW.' ELSE '' END)
+      |  || 'Site' || ((doc_id // 2) % 7)
+      |  || (CASE (doc_id // 2) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+      |           WHEN 2 THEN '.org' ELSE '.io' END)
+      |  || (CASE WHEN (doc_id // 2) % 5 = 0
+      |           THEN (CASE WHEN (doc_id // 2) % 2 = 0 THEN ':443' ELSE ':80' END)
+      |           ELSE (CASE WHEN (doc_id // 2) % 11 = 0 THEN ':8080' ELSE '' END) END)
+      |  || '/p/' || (doc_id // 2)
+      |  || '?id=' || ((doc_id // 2) % 50) || '&utm_campaign=c' || doc_id
+      |  || (CASE WHEN doc_id % 6 = 0 THEN '&ref=rss' ELSE '' END)
+      |  || (CASE WHEN doc_id % 4 = 0 THEN '#s' || doc_id ELSE '' END)
+      |END""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
+
+  /** DuckDB replay of [[graft.operators.Web.registrableDomain]] — the CASE
+    * chain is GENERATED from the same ordered suffix list, so the two
+    * engines cannot drift. */
+  private def duckRegistrable(hostExpr: String): String =
+    graft.operators.Web.suffixesOrdered.foldRight(hostExpr) { (s, els) =>
+      val esc = s.replace(".", "\\.")
+      s"CASE WHEN ends_with($hostExpr, '.$s') " +
+        s"THEN regexp_extract($hostExpr, '([^.]+\\.$esc)$$', 1) ELSE $els END"
+    }
+
+  /** Session memo for the persisted MinHash fingerprint index (one
+    * bucketed-table write per sf dir — the probe query re-reads it). */
+  private val incIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def incIndexTable(s: SparkSession, dir: String): String =
+    incIndexMemo.computeIfAbsent(dir, d => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val tbl = s"graft_inc_minhash_$tag"
+      // a PREVIOUS JVM may have left the managed location behind without
+      // catalog metadata — saveAsTable(Overwrite) refuses to claim such a
+      // directory, so drop both the entry and the location first
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, tbl)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      graft.operators.Dedup.writeMinHashIndex(
+        T(s, d, "documents")
+          .where(col("doc_id") < 500 && col("doc_id") % 10 =!= 0),
+        "text", "doc_id", tbl, buckets = 8)
+      tbl
+    })
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2460,6 +2642,276 @@ object QueryCatalog {
           .where(substring(sha2(col("doc_id").cast("string"), 256), 1, 8)
             < col("thr"))
           .select(col("doc_id"), col("lang"), col("est").as("distinct_est"))
+          .orderBy("doc_id")
+      }),
+
+    Q("x_text_quality_lm", {
+      val w = graft.operators.TextAnalysis.DefaultQualityWeights
+      val score = s"${w("w_bias")} + ${w("w_stop")}*stop_mill + " +
+        s"${w("w_punct")}*punct_mill + ${w("w_digit")}*digit_mill + " +
+        s"${w("w_len")}*len_bits"
+      // trained-classifier-shaped quality gate: exact-integer linear model
+      // over millifraction features; DuckDB re-derives every feature, the
+      // integer dot product AND the keep verdict from the same weight
+      // constants the engine broadcasts
+      Some(s"""WITH f AS (SELECT doc_id,
+             |    length(text) AS n_chars,
+             |    len(list_filter(string_split_regex(text, '\\s+'),
+             |        x -> x <> '')) AS n_tokens,
+             |    len(list_filter(string_split_regex(text, '\\s+'),
+             |        x -> list_contains(${sqlList(Stopwords.en)}, lower(x))))
+             |      AS n_stop,
+             |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+             |      AS n_punct,
+             |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+             |      AS n_digit
+             |  FROM documents),
+             |g AS (SELECT doc_id, n_chars, n_tokens,
+             |    n_stop * 1000 // greatest(n_tokens, 1) AS stop_mill,
+             |    n_punct * 1000 // greatest(n_chars, 1) AS punct_mill,
+             |    n_digit * 1000 // greatest(n_chars, 1) AS digit_mill,
+             |    length(bin(greatest(n_chars, 1))) - 1 AS len_bits
+             |  FROM f)
+             |SELECT doc_id, n_chars, n_tokens, stop_mill, punct_mill,
+             |  digit_mill, CAST(len_bits AS BIGINT) AS len_bits,
+             |  CAST($score AS BIGINT) AS score_scaled,
+             |  ($score) >= ${w("threshold")} AS keep
+             |FROM g ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) =>
+        TextAnalysis.qualityScoreLinear(
+            T(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    Q("x_text_html_extract",
+      // HTML -> text with the line-grain boilerplate law: both engines
+      // build IDENTICAL planted markup (script/style/comment blocks, nav
+      // and footer link lines, a short line, entities, two malformed
+      // tails), then replay strip -> error check -> line split -> per-line
+      // text/link densities -> keep set. A drifted regex, entity order,
+      // density boundary or error-channel arm all hash-fail
+      Some(s"""WITH $htmlExtractCtes
+             |SELECT doc_id,
+             |  NOT bad AS extract_ok,
+             |  CASE WHEN bad THEN 'unterminated script/style/comment block'
+             |       END AS error,
+             |  CASE WHEN bad THEN NULL ELSE array_to_string(
+             |    list_transform(kept, s -> struct_extract(s, 't')), chr(10))
+             |    END AS text,
+             |  CASE WHEN bad THEN NULL ELSE len(list_filter(ls,
+             |    s -> length(struct_extract(s, 't')) > 0)) END AS n_lines,
+             |  CASE WHEN bad THEN NULL ELSE len(kept) END AS n_lines_kept,
+             |  CASE WHEN bad THEN NULL ELSE length(array_to_string(
+             |    list_transform(kept, s -> struct_extract(s, 't')), chr(10)))
+             |    END AS n_chars
+             |FROM k ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.Web.htmlExtract(
+            T(s, dir, "documents").select(col("doc_id"),
+              plantedHtml.as("html")),
+            "doc_id", "html")
+          .orderBy("doc_id")),
+
+    Q("x_curation_pipeline_v4", {
+      val w = graft.operators.TextAnalysis.DefaultQualityWeights
+      val score = s"${w("w_bias")} + ${w("w_stop")}*stop_mill + " +
+        s"${w("w_punct")}*punct_mill + ${w("w_digit")}*digit_mill + " +
+        s"${w("w_len")}*len_bits"
+      // the WEB FRONT DOOR composed end-to-end: raw planted HTML ->
+      // deterministic extraction + boilerplate removal (error rows drop) ->
+      // linear-classifier quality gate over the EXTRACTED text ->
+      // per-source document cap. One CTE chain replays markup stripping,
+      // the density law, every integer feature, the gate verdict and the
+      // cap's rank law together
+      Some(s"""WITH $htmlExtractCtes,
+             |ex AS (SELECT doc_id, array_to_string(
+             |    list_transform(kept, s -> struct_extract(s, 't')), chr(10))
+             |    AS text FROM k WHERE NOT bad),
+             |f AS (SELECT doc_id,
+             |    length(text) AS n_chars,
+             |    len(list_filter(string_split_regex(text, '\\s+'),
+             |        x -> x <> '')) AS n_tokens,
+             |    len(list_filter(string_split_regex(text, '\\s+'),
+             |        x -> list_contains(${sqlList(Stopwords.en)}, lower(x))))
+             |      AS n_stop,
+             |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+             |      AS n_punct,
+             |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+             |      AS n_digit
+             |  FROM ex),
+             |g AS (SELECT doc_id, n_chars,
+             |    n_stop * 1000 // greatest(n_tokens, 1) AS stop_mill,
+             |    n_punct * 1000 // greatest(n_chars, 1) AS punct_mill,
+             |    n_digit * 1000 // greatest(n_chars, 1) AS digit_mill,
+             |    length(bin(greatest(n_chars, 1))) - 1 AS len_bits
+             |  FROM f),
+             |q AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             |    CAST($score AS BIGINT) AS score_scaled
+             |  FROM g WHERE ($score) >= ${w("threshold")}),
+             |j AS (SELECT q.doc_id, d.source, q.score_scaled, q.n_chars
+             |  FROM q JOIN documents d USING (doc_id)),
+             |c AS (SELECT *, row_number() OVER (PARTITION BY source
+             |    ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8),
+             |    doc_id) AS rn FROM j)
+             |SELECT doc_id, source, score_scaled, n_chars
+             |FROM c WHERE rn <= 15 ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        // cache the extracted-text frame: the five feature expressions each
+        // reference `text`, and uncached each reference INLINES the whole
+        // extraction tree (44 copies of the script-strip regex in the
+        // plan, measured 2.85 s -> ~0.9 s at sf0.1) — the same
+        // composition-point trap as v2's gate frame
+        val ex = graft.operators.Web.htmlExtract(
+            docs.select(col("doc_id"), plantedHtml.as("html")),
+            "doc_id", "html")
+          .where(col("extract_ok"))
+          .select("doc_id", "text")
+          .cache()
+        val scored = TextAnalysis.qualityScoreLinear(ex, "doc_id", "text")
+          .where(col("keep"))
+          .select("doc_id", "score_scaled", "n_chars")
+        val withSrc = scored.join(docs.select("doc_id", "source"), "doc_id")
+        Sampling.capPerKey(withSrc, "doc_id", "source", 15)
+          .select("doc_id", "source", "score_scaled", "n_chars")
+          .orderBy("doc_id")
+      }),
+
+    Q("x_url_curation",
+      // URL canonicalization + domain curation, one CTE chain: planted
+      // URLs (case/userinfo/tracking/fragment noise collapses onto pair
+      // structure; id%19 plants invalid scheme-less URLs) -> canonical law
+      // -> exact dedup on canonical (lowest id) -> registrable-domain
+      // blocklist anti-join -> per-domain cap. The registrable CASE chain
+      // is GENERATED from the engine's own suffix table
+      Some(s"""WITH u0 AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),
+             |u1 AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf
+             |  FROM u0),
+             |u2 AS (SELECT doc_id, nf,
+             |    regexp_matches(nf, '^[A-Za-z][A-Za-z0-9+.-]*://') AS valid,
+             |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+             |      AS scheme,
+             |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS afterp
+             |  FROM u1),
+             |u3 AS (SELECT *, regexp_extract(afterp, '^([^/?]*)', 1) AS auth,
+             |    substr(afterp,
+             |      length(regexp_extract(afterp, '^([^/?]*)', 1)) + 1) AS tail
+             |  FROM u2),
+             |u4 AS (SELECT *,
+             |    lower(regexp_replace(auth, '^[^@]*@', '')) AS hostport
+             |  FROM u3),
+             |u5 AS (SELECT *,
+             |    regexp_replace(hostport, ':[0-9]*$$', '') AS host,
+             |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM u4),
+             |u6 AS (SELECT *,
+             |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+             |              OR (scheme = 'https' AND port = '443') THEN ''
+             |         ELSE ':' || port END AS psfx,
+             |    CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+             |         ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
+             |    CASE WHEN contains(tail, '?')
+             |         THEN regexp_extract(tail, '\\?(.*)$$', 1)
+             |         ELSE '' END AS query FROM u5),
+             |u7 AS (SELECT doc_id, valid, scheme, host, psfx, path,
+             |    list_filter(string_split(query, '&'), p -> p <> ''
+             |      AND NOT list_contains(
+             |        ${sqlList(graft.operators.Web.TrackingParams)},
+             |        lower(regexp_extract(p, '^([^=]*)', 1)))) AS keptp
+             |  FROM u6),
+             |u8 AS (SELECT doc_id, host,
+             |    scheme || '://' || host || psfx || path ||
+             |      CASE WHEN len(keptp) > 0
+             |           THEN '?' || array_to_string(keptp, '&')
+             |           ELSE '' END AS canonical_url
+             |  FROM u7 WHERE valid),
+             |u9 AS (SELECT doc_id, canonical_url,
+             |    ${duckRegistrable("host")} AS registrable_domain FROM u8),
+             |dd AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
+             |    ORDER BY doc_id) AS rn FROM u9),
+             |db AS (SELECT doc_id, canonical_url, registrable_domain
+             |  FROM dd WHERE rn = 1 AND registrable_domain NOT IN
+             |    ('site0.com', 'site3.co.uk', 'site5.org')),
+             |c AS (SELECT *, row_number() OVER (
+             |    PARTITION BY registrable_domain
+             |    ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8),
+             |    doc_id) AS rn2 FROM db)
+             |SELECT doc_id, canonical_url, registrable_domain
+             |FROM c WHERE rn2 <= 10 ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.Web.urlCuration(
+            T(s, dir, "documents").select(col("doc_id"),
+              plantedUrl.as("url")),
+            "doc_id", "url",
+            blockedDomains = Seq("site0.com", "site3.co.uk", "site5.org"),
+            perDomainCap = 10)
+          .select("doc_id", "canonical_url", "registrable_domain")
+          .orderBy("doc_id")),
+
+    Q("x_dedup_incremental", {
+      val sha63 = (e: String) =>
+        s"""(CAST(concat('0x', substr(sha256($e || ':0'), 1, 8))
+           |   AS BIGINT) & 2147483647) * 4294967296
+           |+ CAST(concat('0x', substr(sha256($e || ':0'), 9, 8))
+           |   AS BIGINT)""".stripMargin
+      // incremental batch dedup against the persisted MinHash index:
+      // corpus = doc_id%10!=0 (indexed once, bucketed by band key), batch
+      // = doc_id%10==0 (fingerprinted fresh, probes the index). DuckDB
+      // re-derives the signatures, the sha63 band keys, the candidate law
+      // (corpus always wins; batch-internal lower id wins), the exact
+      // Jaccard verify and the verdicts — so index staleness, key drift
+      // or a broken probe join all hash-fail
+      Some(s"""WITH d AS (SELECT doc_id,
+             |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+             |    FROM documents WHERE doc_id < 500),
+             |w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM d),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words) < 3
+             |    THEN [array_to_string(words, ' ')]
+             |    ELSE list_transform(range(1, CAST(len(words)-1 AS INTEGER)),
+             |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+             |    END) AS sh FROM w),
+             |sig AS (SELECT doc_id,
+             |    list_transform(range(0, 16), s ->
+             |      list_min(list_transform(sh, x ->
+             |        (CAST(concat('0x', substr(sha256(x || ':' || s), 1, 8))
+             |           AS BIGINT) & 2147483647) * 4294967296
+             |        + CAST(concat('0x', substr(sha256(x || ':' || s), 9, 8))
+             |           AS BIGINT)))) AS sig
+             |  FROM sh),
+             |bandk AS (SELECT doc_id,
+             |    ${sha63("CAST(r.b AS VARCHAR) || ':' || sig[CAST(r.b*2+1 AS INTEGER)] || ',' || sig[CAST(r.b*2+2 AS INTEGER)]")}
+             |      AS bk
+             |  FROM sig CROSS JOIN range(0, 8) r(b)),
+             |cand AS (SELECT b2.doc_id AS id_b, b1.doc_id AS id_ref
+             |  FROM bandk b1 JOIN bandk b2 USING (bk)
+             |  WHERE b2.doc_id % 10 = 0
+             |    AND (b1.doc_id % 10 <> 0 OR b1.doc_id < b2.doc_id)
+             |  GROUP BY 1, 2),
+             |nc AS (SELECT id_b, count(*) AS n_cands FROM cand GROUP BY id_b),
+             |v AS (SELECT id_b, id_ref,
+             |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+             |    len(sa.sh) AS la, len(sb.sh) AS lb
+             |  FROM cand
+             |  JOIN sh sa ON sa.doc_id = id_ref
+             |  JOIN sh sb ON sb.doc_id = id_b),
+             |dup AS (SELECT id_b, min(id_ref) AS dup_of FROM v
+             |  WHERE CASE WHEN la + lb - inter = 0 THEN 1.0
+             |        ELSE inter / (la + lb - inter) END >= 0.5
+             |  GROUP BY id_b)
+             |SELECT d.doc_id, coalesce(nc.n_cands, 0) AS n_cands,
+             |  dup.dup_of IS NOT NULL AS is_dup, dup.dup_of
+             |FROM d
+             |LEFT JOIN nc ON nc.id_b = d.doc_id
+             |LEFT JOIN dup ON dup.id_b = d.doc_id
+             |WHERE d.doc_id % 10 = 0 ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val docs = T(s, dir, "documents").where(col("doc_id") < 500)
+        Dedup.incrementalDedupMinHash(
+            incIndexTable(s, dir),
+            docs.where(col("doc_id") % 10 =!= 0),
+            docs.where(col("doc_id") % 10 === 0),
+            "text", "doc_id", threshold = 0.5)
           .orderBy("doc_id")
       }),
 

@@ -139,6 +139,111 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Narrow MinHash band-key rows — the PERSISTABLE fingerprint grain of
+    * the LSH law: one (bk, doc_id) row per band, where
+    * `bk = sha63(bandIdx ":" slice-csv)` over the signature slice. Unlike
+    * [[minHashLsh]]'s in-flight xxhash64 band keys (JVM-only seeding, fine
+    * inside one job), the sha63 key is engine-replayable, so a SQL oracle
+    * re-derives the exact key set — the property a PERSISTED index needs
+    * (its reader may not be a JVM). Map-only; the caller owns the shuffle
+    * (usually the bucketed write below). */
+  private[graft] def minHashBandRows(df: DataFrame, textCol: String,
+      idCol: String, shingleSize: Int, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          s => array_min(transform(col("sh"), x => sha63(x, s)))).as("sig"))
+    sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        sha63(concat(b.cast("string"), lit(":"), concat_ws(",",
+          transform(slice(col("sig"), b * lit(rowsPerBand) + 1,
+            lit(rowsPerBand)), h => h.cast("string")))), lit(0))))
+        .as("bk"))
+  }
+
+  /** Persist the MinHash fingerprint index of a corpus, BUCKETED by band
+    * key — the write-once artifact that makes batch-refresh dedup cost
+    * ∝ batch instead of ∝ corpus: every later
+    * [[incrementalDedupMinHash]] probe equi-joins the bucketed table with
+    * ZERO exchange on the index side (hashpartitioning(bk) satisfies the
+    * join's distribution), so the corpus is never re-fingerprinted and
+    * never re-shuffled. The index is narrow — two longs per (doc, band) —
+    * ~64 bytes/doc at the default 8 bands; at 100 TB it lives alongside
+    * the corpus and appends new batches' rows after each refresh. */
+  def writeMinHashIndex(corpus: DataFrame, textCol: String, idCol: String,
+      table: String, buckets: Int = 16, shingleSize: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2): Unit =
+    Bucketing.writeBucketed(
+      minHashBandRows(corpus, textCol, idCol, shingleSize, bands, rowsPerBand),
+      table, buckets, Seq("bk"))
+
+  /** Incremental batch dedup against a persisted [[writeMinHashIndex]]
+    * index — the realistic 100 TB refresh: fingerprint ONLY the new batch,
+    * probe the bucketed index for band collisions, and verify candidates
+    * with the exact shingle Jaccard. The corpus is never re-fingerprinted;
+    * corpus text is touched only for the candidate docs (a narrow
+    * candidate-id join prunes the scan before shingling).
+    *
+    * VERDICT LAW (the refresh semantics, replayed verbatim by the oracle):
+    * a batch doc is a duplicate iff it clears `threshold` against ANY
+    * indexed corpus doc (the corpus is already kept — it always wins,
+    * regardless of id order) OR against an EARLIER (lower-id) batch doc;
+    * `dup_of` is the smallest such id. Batch-internal candidates come from
+    * the batch's own band self-join — same law, no index round-trip.
+    *
+    * Scale shape: the probe is an equi-join on `bk` where the index side
+    * is a bucketed scan (no exchange — the one shuffle is the batch's own
+    * band rows, ∝ batch); the verify joins are candidate-bounded. Returns
+    * one row per batch doc: (doc_id, n_cands, is_dup, dup_of). */
+  def incrementalDedupMinHash(indexTable: String, corpusDocs: DataFrame,
+      batch: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val idx = spark.table(indexTable)
+    val bb = minHashBandRows(batch, textCol, idCol, shingleSize, bands,
+      rowsPerBand)
+    val candCorpus = bb.as("b").join(idx.as("i"), "bk")
+      .select(col("b.doc_id").as("id_b"), col("i.doc_id").as("id_ref"))
+    val candBatch = bb.as("x").join(bb.as("y"), "bk")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("y.doc_id").as("id_b"), col("x.doc_id").as("id_ref"))
+    val cands = candCorpus.unionAll(candBatch).distinct()
+    // exact-Jaccard verify on candidate-touched docs ONLY: the candidate
+    // ids prune both text scans before any shingling happens
+    val allDocs = corpusDocs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .unionAll(batch.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__t")))
+    val refSh = allDocs
+      .join(cands.select(col("id_ref").as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as("id_ref"),
+        shingles(col("__t"), shingleSize).as("sh_r"))
+    val batchSh = batch
+      .select(col(idCol).cast("long").as("doc_id"),
+        shingles(col(textCol), shingleSize).as("sh_b"))
+    val verified = cands
+      .join(refSh, "id_ref")
+      .join(batchSh.withColumnRenamed("doc_id", "id_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_r"))))
+      .withColumn("uni", size(col("sh_b")) + size(col("sh_r")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") === 0, lit(1.0)).otherwise(col("inter") / col("uni")))
+    val nCands = cands.groupBy("id_b").agg(count(lit(1)).as("n_cands"))
+    val dupOf = verified.where(col("jaccard") >= threshold)
+      .groupBy("id_b").agg(min("id_ref").as("dup_of"))
+    batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(nCands, col("doc_id") === nCands("id_b"), "left").drop("id_b")
+      .join(dupOf, col("doc_id") === dupOf("id_b"), "left").drop("id_b")
+      .select(col("doc_id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
   /** 64-bit token hash = first 8 bytes of sha-256, assembled from two
     * 32-bit halves in exact long arithmetic (`conv` of all 16 hex chars
     * would parse past the signed-long range). sha-256 is bit-identical in

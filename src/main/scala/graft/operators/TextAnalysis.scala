@@ -57,6 +57,80 @@ object TextAnalysis {
           - col("digit_ratio") * 0.5
           + col("stopword_ratio") * 0.2)))
 
+  /** Fixed public weights for [[qualityScoreLinear]] — the
+    * fastText/CCNet-family linear-classifier shape without a model
+    * dependency: a scaled-integer weight per feature plus a bias and a
+    * decision threshold, shipped as DATA (one broadcast row), not code, so
+    * a production deployment swaps trained weights in without a plan
+    * change. Tuned on the planted good/bad docs in the spec. */
+  val DefaultQualityWeights: Map[String, Long] = Map(
+    "w_bias" -> 200L,      // prior
+    "w_stop" -> 3L,        // per stopword millifraction (English prose signal)
+    "w_punct" -> -2L,      // per punctuation millifraction (markup/junk)
+    "w_digit" -> -2L,      // per digit millifraction (tables/serial junk)
+    "w_len" -> 25L,        // per floor-log2(chars) (length prior, saturating)
+    "threshold" -> 400L)   // keep iff score_scaled >= threshold
+
+  /** Trained-classifier-shaped quality score: an EXACT-INTEGER linear model
+    * over the heuristic features — the shape of the fastText/CCNet quality
+    * classifiers (featurize → linear → threshold) with every boundary
+    * integer so any engine replays keep/drop bit-identically:
+    *
+    *   stop_mill  = 1000·n_stopword_tokens div max(n_tokens, 1)
+    *   punct_mill = 1000·n_punct_chars     div max(n_chars, 1)
+    *   digit_mill = 1000·n_digit_chars     div max(n_chars, 1)
+    *   len_bits   = ⌊log2(max(n_chars, 1))⌋   (length(bin(x)) − 1)
+    *   score_scaled = w_bias + w_stop·stop_mill + w_punct·punct_mill
+    *                + w_digit·digit_mill + w_len·len_bits
+    *   keep = score_scaled ≥ threshold
+    *
+    * Unlike [[qualityScore]]'s hand-rules (which hard-code how features
+    * combine), the combination here is LEARNED-SHAPED: weights arrive as a
+    * one-row broadcast frame, so the same plan serves any trained
+    * parameter set. The two disagree by design on stopword-free gibberish
+    * (heuristic: no penalty fires, passes; linear: the stopword feature's
+    * weight is decisive, rejects) — spec'd on planted docs.
+    *
+    * Scale shape: map-only featurization + a broadcast 1-row weights
+    * cross-join; composes before any shuffle. */
+  def qualityScoreLinear(df: DataFrame, idCol: String, textCol: String,
+      weights: Map[String, Long] = DefaultQualityWeights): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val need = DefaultQualityWeights.keySet
+    require(weights.keySet == need, s"weights must define exactly $need")
+    val w = Seq((weights("w_bias"), weights("w_stop"), weights("w_punct"),
+      weights("w_digit"), weights("w_len"), weights("threshold")))
+      .toDF("w_bias", "w_stop", "w_punct", "w_digit", "w_len", "threshold")
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t).cast("long")
+    val nTokens = size(toks).cast("long")
+    val nStop = size(filter(toks,
+      x => lower(x).isin(Stopwords.en.map(lit(_)): _*))).cast("long")
+    val nPunct = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
+      .cast("long")
+    val nDigit = (length(t) - length(regexp_replace(t, "[0-9]", "")))
+      .cast("long")
+    df.select(col(idCol), nChars.as("n_chars"), nTokens.as("n_tokens"),
+        nStop.as("__stop"), nPunct.as("__punct"), nDigit.as("__digit"))
+      .crossJoin(broadcast(w))
+      .withColumn("stop_mill", expr("__stop * 1000 div greatest(n_tokens, 1)"))
+      .withColumn("punct_mill", expr("__punct * 1000 div greatest(n_chars, 1)"))
+      .withColumn("digit_mill", expr("__digit * 1000 div greatest(n_chars, 1)"))
+      .withColumn("len_bits",
+        (length(bin(greatest(col("n_chars"), lit(1L)))) - 1).cast("long"))
+      .withColumn("score_scaled",
+        col("w_bias") + col("w_stop") * col("stop_mill")
+          + col("w_punct") * col("punct_mill")
+          + col("w_digit") * col("digit_mill")
+          + col("w_len") * col("len_bits"))
+      .withColumn("keep", col("score_scaled") >= col("threshold"))
+      .select(col(idCol), col("n_chars"), col("n_tokens"), col("stop_mill"),
+        col("punct_mill"), col("digit_mill"), col("len_bits"),
+        col("score_scaled"), col("keep"))
+  }
+
   /** Corpus-LM quality signal — the CCNet/Gopher perplexity-filter family,
     * INTEGERIZED so the whole law replays in a SQL oracle: train a bigram
     * count model on the corpus itself (two map-side-combinable count

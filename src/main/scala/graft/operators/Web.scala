@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The web front door of a training-data pipeline: deterministic HTML→text
+  * extraction with a line-grain boilerplate law, and URL canonicalization +
+  * registrable-domain derivation for domain-level curation.
+  *
+  * Everything here is an EXACT string/integer law over codegen'd column
+  * expressions (regexp_replace / regexp_extract_all / HOFs — no UDF, no
+  * shuffle), so a SQL oracle replays each step verbatim and the operators
+  * are map-only at any corpus size: the extraction cost is per-row, the
+  * plan is a projection, and the first shuffle belongs to whatever the
+  * caller composes downstream (dedup, caps, sampling).
+  *
+  * The reference engine ingests pre-cleaned records (its text fields come
+  * out of XDR, not markup — e.g. the memo/asset-name NUL strip at
+  * `/root/reference/internal/transform/transaction.go`), so this file is
+  * extension surface: the operators every web-scale corpus needs BEFORE
+  * the reference-shaped analytics apply. */
+object Web {
+
+  // ---- HTML → text ---------------------------------------------------------
+
+  /** Block-level boundaries that become line breaks: closing block tags and
+    * `<br>`. One regex, case-insensitive, attribute-tolerant. */
+  private[graft] val BlockBreakRe =
+    "(?i)<(br|/(p|div|li|h[1-6]|tr|td|th|title|blockquote|ul|ol|table|article|section|header|footer|nav))(\\s[^>]*)?/?>"
+
+  /** Entity unescape — one FIXED law: the five named entities plus the
+    * numeric apostrophe, applied in this exact order with `&amp;` LAST (the
+    * standard single-pass rule: "&amp;lt;" decodes to the literal "&lt;",
+    * never double-decodes). Plain string replaces, no regex. */
+  private[graft] val EntitySteps: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  def unescapeEntities(c: Column): Column =
+    EntitySteps.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+
+  private def norm(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  /** Deterministic HTML→text extraction with line-grain boilerplate
+    * removal — the Kohlschütter-style density rule with every boundary
+    * integer-exact so any engine replays the kept set bit-identically:
+    *
+    *  1. drop `<script>`/`<style>` BLOCKS and `<!-- -->` comments
+    *     (non-greedy, case-insensitive, attribute-tolerant);
+    *  2. ERROR CHANNEL: any surviving `<script`/`<style`/`<!--` opener is
+    *     an unterminated block — truncated/malformed markup whose tail
+    *     would otherwise leak script source into the "text", so the whole
+    *     document routes to `extract_ok = false` instead;
+    *  3. closing block tags and `<br>` become line breaks ([[BlockBreakRe]]);
+    *  4. per line: strip remaining tags, unescape entities
+    *     ([[EntitySteps]]), collapse whitespace; `n_text` = kept chars,
+    *     `n_link` = chars inside `<a …>…</a>` anchors (same strip law);
+    *  5. keep a line iff `n_text ≥ minTextLen` AND
+    *     `n_link · linkDen < n_text · linkNum` (link density below
+    *     num/den — navigation/footer lines are short and link-dense);
+    *  6. `text` = kept lines joined with '\n'.
+    *
+    * Scale shape: map-only (one projection, codegen'd regex + HOF line
+    * loop) — filters/limits compose before it so the regex work prunes
+    * with the scan; nothing shuffles. Cold cost is regex-bound (~0.4 s
+    * per 5 000 docs single-pass at sf0.01 scale; see BENCH_scale.md).
+    *
+    * Returns (id, extract_ok, error, text, n_lines, n_lines_kept,
+    * n_chars); error rows carry null text/counts. */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String,
+      minTextLen: Int = 10, linkNum: Int = 2, linkDen: Int = 5): DataFrame = {
+    require(minTextLen >= 1 && linkNum >= 1 && linkDen >= 1,
+      "htmlExtract thresholds must be positive")
+    val html = col(htmlCol)
+    val noScript =
+      regexp_replace(html, "(?is)<script(\\s[^>]*)?>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style(\\s[^>]*)?>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val malformed = lower(noComment).rlike("<script[\\s>]|<style[\\s>]|<!--")
+    val lines = split(regexp_replace(noComment, BlockBreakRe, "\n"), "\n")
+    val lineInfo = transform(lines, l => {
+      val txt = norm(unescapeEntities(regexp_replace(l, "<[^>]*>", " ")))
+      // group 2 of the anchor regex is the anchor BODY (group 1 is the
+      // attribute blob); bodies may nest inline tags, so the same strip +
+      // unescape + collapse law applies before counting link chars
+      val linkRaw = array_join(regexp_extract_all(l,
+        lit("(?is)<a(\\s[^>]*)?>(.*?)</a>"), lit(2)), " ")
+      val linkTxt = norm(unescapeEntities(regexp_replace(linkRaw, "<[^>]*>", " ")))
+      struct(txt.as("t"), length(txt).as("nt"), length(linkTxt).as("nl"))
+    })
+    val kept = filter(lineInfo, s =>
+      s("nt") >= minTextLen && s("nl") * linkDen < s("nt") * linkNum)
+    val text = array_join(transform(kept, s => s("t")), "\n")
+    val nLines = size(filter(lineInfo, s => s("nt") > 0))
+    df.select(
+      col(idCol),
+      (!malformed).as("extract_ok"),
+      when(malformed, lit("unterminated script/style/comment block"))
+        .otherwise(lit(null).cast("string")).as("error"),
+      when(malformed, lit(null).cast("string")).otherwise(text).as("text"),
+      when(malformed, lit(null).cast("long"))
+        .otherwise(nLines.cast("long")).as("n_lines"),
+      when(malformed, lit(null).cast("long"))
+        .otherwise(size(kept).cast("long")).as("n_lines_kept"),
+      when(malformed, lit(null).cast("long"))
+        .otherwise(length(text).cast("long")).as("n_chars"))
+  }
+
+  // ---- URL canonicalization + registrable domain ---------------------------
+
+  /** Tracking parameters stripped by [[urlCanonicalize]] — the fixed public
+    * list (exact, lowercase key match). */
+  val TrackingParams: Seq[String] = Seq(
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "ref")
+
+  /** Bounded public-suffix-style table for [[registrableDomain]] — enough
+    * of the PSL shape (multi-label country suffixes beat their single-label
+    * prefixes) to exercise the longest-match law. At 100 TB with the full
+    * ~9k-entry PSL this becomes a broadcast join on the host's last-2/-3
+    * label tails instead of a generated match chain; the LAW (longest
+    * matching suffix + one label) is identical. */
+  val PublicSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "com.br", "co.in", "co.kr", "com.mx",
+    "com", "org", "net", "io", "dev", "app", "edu", "gov", "mil", "info",
+    "biz", "uk", "de", "fr", "jp", "au", "br", "in", "kr", "mx", "us",
+    "ca", "it", "nl", "es", "se", "ch")
+
+  /** Suffixes in match order: more labels first (so `co.uk` beats `uk`),
+    * then longer first — the PSL longest-match rule. */
+  private[graft] def suffixesOrdered: Seq[String] =
+    PublicSuffixes.sortBy(s => (-s.count(_ == '.'), -s.length, s))
+
+  /** Registrable domain (eTLD+1): the LONGEST suffix in the table that the
+    * host equals or ends with (as a label boundary) plus one more label;
+    * hosts matching no suffix — intranet names, IPs — return themselves
+    * (already maximal curation grain). A host that IS a bare suffix
+    * (`"com"`) also returns itself. */
+  def registrableDomain(host: Column): Column =
+    suffixesOrdered.foldRight(host) { (s, els) =>
+      val esc = java.util.regex.Pattern.quote(s)
+      when(host.endsWith("." + s),
+        regexp_extract(host, "([^.]+\\." + esc + ")$", 1))
+        .otherwise(els)
+    }
+
+  /** URL canonicalization — one exact string law, all regex/HOF (RE2-safe,
+    * so any engine replays it):
+    *
+    *  1. drop the fragment (first '#' to end);
+    *  2. a URL without `scheme://` is INVALID (url_valid = false, null
+    *     canonical — route to the error channel, don't guess);
+    *  3. lowercase the scheme and host; strip userinfo (`user@`);
+    *  4. strip the DEFAULT port (`:80` for http, `:443` for https; other
+    *     ports survive);
+    *  5. empty path becomes "/" (the path is otherwise kept verbatim — no
+    *     dot-segment resolution, documented);
+    *  6. drop query parameters whose lowercase key is in
+    *     [[TrackingParams]]; survivors keep their original order; an
+    *     emptied query drops its '?'.
+    *
+    * Adds url_valid, canonical_url, host, registrable_domain. Map-only. */
+  def urlCanonicalize(df: DataFrame, urlCol: String): DataFrame = {
+    val noFrag = regexp_replace(col(urlCol), "#.*$", "")
+    val valid = noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val after = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val auth = regexp_extract(after, "^([^/?]*)", 1)
+    val tail = substring(after, length(auth) + 1, lit(1 << 24))
+    val hostPort = lower(regexp_replace(auth, "^[^@]*@", ""))
+    val host = regexp_replace(hostPort, ":[0-9]*$", "")
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val portSfx = when(
+      port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val rawPath = regexp_extract(tail, "^([^?]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = when(tail.contains("?"),
+      regexp_extract(tail, "\\?(.*)$", 1)).otherwise(lit(""))
+    val keptParams = filter(split(query, "&"), p =>
+      p =!= "" &&
+        !lower(regexp_extract(p, "^([^=]*)", 1))
+          .isin(TrackingParams.map(lit(_)): _*))
+    val canon = concat(scheme, lit("://"), host, portSfx, path,
+      when(size(keptParams) > 0,
+        concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit("")))
+    df.withColumn("url_valid", valid)
+      .withColumn("canonical_url",
+        when(valid, canon).otherwise(lit(null).cast("string")))
+      .withColumn("host", when(valid, host).otherwise(lit(null).cast("string")))
+      .withColumn("registrable_domain",
+        when(valid, registrableDomain(host)).otherwise(lit(null).cast("string")))
+  }
+
+  /** Domain-level curation — the standard web-corpus chain composed from
+    * laws this file and [[Sampling]] already define:
+    *
+    *   canonicalize → drop invalid URLs (error channel) → EXACT-dedup on
+    *   the canonical URL (lowest id wins — mirrors/trackers collapse) →
+    *   anti-join the registrable domain against a blocklist (a bounded
+    *   list: ONE broadcast, never a corpus-side shuffle) → cap documents
+    *   per domain ([[Sampling.capPerKey]] — WindowGroupLimit, so a
+    *   mega-domain moves ≈ cap·partitions rows, not its volume).
+    *
+    * Scale shape: one shuffle for the URL dedup, one for the domain cap;
+    * the blocklist rides a broadcast. Returns the kept rows with
+    * (canonical_url, registrable_domain) provenance. */
+  def urlCuration(df: DataFrame, idCol: String, urlCol: String,
+      blockedDomains: Seq[String], perDomainCap: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val canon = urlCanonicalize(df, urlCol).where(col("url_valid"))
+    val dedup = canon
+      .groupBy(col("canonical_url"))
+      .agg(min_by(
+        struct(canon.columns.map(col): _*), col(idCol)).as("__keep"))
+      .select(col("__keep.*"))
+    val block = blockedDomains.toDF("registrable_domain")
+    val unblocked = dedup.join(broadcast(block),
+      Seq("registrable_domain"), "left_anti")
+    Sampling.capPerKey(unblocked, idCol, "registrable_domain", perDomainCap)
+  }
+}

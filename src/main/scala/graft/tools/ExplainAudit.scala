@@ -103,6 +103,36 @@ object ExplainAudit {
         Seq("BroadcastNestedLoopJoin", "WindowGroupLimit"),
         Seq("CartesianProduct")),
       ("p4_effects_flatmap", Seq("Generate posexplode"), Seq()),
+      // HTML extraction: map-only — one projection carries the whole
+      // strip/line/density law; no exchange (beyond the terminal order-by
+      // range partition), no join of any kind
+      ("x_text_html_extract", Seq(),
+        Seq("Exchange hashpartitioning", "Join")),
+      // linear quality gate: the 1-row weights frame rides a broadcast
+      // nested-loop (bounded build side BY CONSTRUCTION); featurization is
+      // map-only — no hash exchange, no cartesian
+      ("x_text_quality_lm", Seq("BroadcastNestedLoopJoin"),
+        Seq("Exchange hashpartitioning", "CartesianProduct")),
+      // curation v4 (web front door): the extracted-text frame is cached
+      // (InMemory scan — uncached, every feature reference re-inlines the
+      // whole extraction tree: 44 copies of the script-strip regex,
+      // measured 2.85 s -> 0.64 s at sf0.1) and the per-source cap plans
+      // as WindowGroupLimit
+      ("x_curation_pipeline_v4",
+        Seq("InMemoryTableScan", "WindowGroupLimit"),
+        Seq("CartesianProduct")),
+      // URL curation: canonical dedup is a partial-combinable min_by hash
+      // aggregate, the domain blocklist an anti-join on a broadcast
+      // (never a corpus-side shuffle), the per-domain cap WindowGroupLimit
+      ("x_url_curation",
+        Seq("partial_min_by", "WindowGroupLimit", "LeftAnti"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      // incremental dedup: verdict aggregation partial-combines; no
+      // cartesian anywhere (the STRONG exchange-free index-probe pin —
+      // zero index-side exchange under forced shuffle mode — lives in
+      // BucketingSpec, which controls the broadcast threshold)
+      ("x_dedup_incremental", Seq("partial_min"),
+        Seq("CartesianProduct")),
       // df-cut: hot grams via partial agg + broadcast, pruning intra-row —
       // no per-gram window sort anywhere in the plan
       ("x_jaccard_dfcut", Seq("partial_count", "BroadcastExchange", "array_except"),

@@ -151,4 +151,51 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("query_id", "rank").collect().toSeq
     assert(persisted.orderBy("query_id", "rank").collect().toSeq == oneShot)
   }
+
+  test("incremental MinHash dedup: correct refresh verdicts, index side " +
+      "probed exchange-free, batch never re-fingerprints the corpus") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def txt(i: Int): String = (0 until 30).map(t => s"c${i}_w$t").mkString(" ")
+    val corpus = (0 until 40).map(i => (i.toLong, txt(i)))
+      .toDF("doc_id", "text")
+    // batch: 100 = exact dup of corpus 7; 101 = near-dup of corpus 8
+    // (2 of 30 tokens swapped); 102 = unique; 103 = exact dup of corpus 7
+    // AND of batch 100 (corpus wins: dup_of = 7, not 100)
+    val near8 = (txt(8).split(" ").dropRight(2) ++ Seq("x1", "x2"))
+      .mkString(" ")
+    val batch = Seq((100L, txt(7)), (101L, near8), (102L, txt(999)),
+      (103L, txt(7))).toDF("doc_id", "text")
+    Dedup.writeMinHashIndex(corpus, "text", "doc_id", "inc_idx_test",
+      buckets = 4)
+    val out = Dedup.incrementalDedupMinHash("inc_idx_test", corpus, batch,
+      "text", "doc_id")
+    val m = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(m(100L)._2 && m(100L)._3 == 7L, m.toString)
+    assert(m(101L)._2 && m(101L)._3 == 8L, m.toString)
+    assert(!m(102L)._2 && m(102L)._1 == 0L, m.toString)
+    assert(m(103L)._2 && m(103L)._3 == 7L, m.toString)
+    // the refresh property: the probe join reads the bucketed index with
+    // ZERO index-side exchange (hashpartitioning(bk) from the write-time
+    // layout satisfies the join's distribution) — the one bk exchange in
+    // the plan belongs to the batch's own band rows. Cost ∝ batch.
+    val idx = spark.table("inc_idx_test")
+      .withColumnRenamed("doc_id", "ref_id")
+    val probe = Dedup.minHashBandRows(batch, "text", "doc_id", 3, 8, 2)
+      .join(idx, "bk")
+    val pplan = probe.queryExecution.executedPlan.toString
+    assert(pplan.contains("Bucketed: true"), pplan.take(1200))
+    assert(pplan.contains("SelectedBucketsCount: 4 out of 4"), pplan.take(1200))
+    val bkExchanges = "Exchange hashpartitioning\\(bk".r
+      .findAllIn(pplan).length
+    assert(bkExchanges == 1, s"want 1 batch-side bk exchange, got " +
+      s"$bkExchanges:\n${pplan.take(1500)}")
+    // nothing in the verdict plan shingles the corpus table wholesale: the
+    // corpus text scan is gated by the candidate-id join, so the only
+    // full-corpus work is the (pruned, columnar) scan itself
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+  }
 }

@@ -1163,6 +1163,118 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       minShared = 1, maxDf = 100).count() == 30L * 29 / 2)
   }
 
+  test("html extract: block strip, entity order, density and min-length " +
+      "boundaries exact, malformed markup rides the error channel") {
+    import spark.implicits._
+    import graft.operators.Web
+    val docs = Seq(
+      // kept prose + script/style/comment stripped + entity law: the
+      // &amp;lt; arm must decode to the LITERAL "&lt;" (amp is replaced
+      // last), &#39;/&nbsp; decode in place
+      (1L, "<html><head><style>p{color:red}</style>" +
+        "<script>var x = 1 < 2;</script></head><body>" +
+        "<!-- header --><p>plain prose line with enough characters</p>" +
+        "<p>Fish &amp; chips &amp;lt; &lt;b&gt; &#39;s&nbsp;done here</p>" +
+        "</body></html>"),
+      // density boundary EXACT: nt=20 nl=8 -> 8*5 = 20*2 -> dropped;
+      // nt=20 nl=7 -> 35 < 40 -> kept
+      (2L, "<p>aaaa <a href=\"/x\">abcdefgh</a> bbbbbb</p>" +
+        "<p>aaaa <a href=\"/y\">abcdefg</a> bbbbbbb</p>"),
+      // min-length boundary: 9 chars dropped, 10 kept
+      (3L, "<p>12345678x</p><p>123456789x</p>"),
+      // unterminated script -> error channel
+      (4L, "<p>fine text line here</p><script>var broken = "),
+      // unterminated comment -> error channel
+      (5L, "<p>fine text line here</p><!-- trailing")
+    ).toDF("doc_id", "html")
+    val out = Web.htmlExtract(docs, "doc_id", "html").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1))
+    assert(out(1L).getString(3) ==
+      "plain prose line with enough characters\n" +
+        "Fish & chips &lt; <b> 's done here",
+      out(1L).getString(3))
+    assert(out(2L).getBoolean(1) &&
+      out(2L).getString(3) == "aaaa abcdefg bbbbbbb")
+    assert(out(3L).getBoolean(1) && out(3L).getString(3) == "123456789x" &&
+      out(3L).getLong(4) == 2 && out(3L).getLong(5) == 1)
+    Seq(4L, 5L).foreach { id =>
+      assert(!out(id).getBoolean(1) &&
+        out(id).getString(2).contains("unterminated") && out(id).isNullAt(3))
+    }
+    // map-only: no exchange, no join anywhere in the extraction plan
+    val plan = Web.htmlExtract(docs, "doc_id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(600))
+  }
+
+  test("url canonicalization: case/port/userinfo/fragment/tracking laws, " +
+      "registrable domain longest-suffix match, invalid arm") {
+    import spark.implicits._
+    import graft.operators.Web
+    val urls = Seq(
+      (1L, "HTTPS://User:pw@WWW.Example.CO.UK:443/Path/Item?utm_source=x&id=7&REF=z#frag"),
+      (2L, "http://a.b.example.com:8080"),
+      (3L, "example.com/no-scheme"),
+      (4L, "http://Example.com:80/?utm_campaign=only"),
+      (5L, "https://intranet-host/x?a=1&a=2")).toDF("doc_id", "url")
+    val out = Web.urlCanonicalize(urls, "url").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def canon(id: Long) = out(id).getString(out(id).fieldIndex("canonical_url"))
+    def dom(id: Long) = out(id).getString(out(id).fieldIndex("registrable_domain"))
+    def valid(id: Long) = out(id).getBoolean(out(id).fieldIndex("url_valid"))
+    // scheme+host lowercase, userinfo gone, default 443 stripped, path
+    // case preserved, utm_/ref params gone (key match is lowercase),
+    // fragment gone
+    assert(valid(1L) && canon(1L) == "https://www.example.co.uk/Path/Item?id=7")
+    assert(dom(1L) == "example.co.uk") // longest suffix: co.uk beats uk
+    // empty path becomes "/", non-default port survives
+    assert(canon(2L) == "http://a.b.example.com:8080/")
+    assert(dom(2L) == "example.com")
+    assert(!valid(3L) && out(3L).isNullAt(out(3L).fieldIndex("canonical_url")))
+    // default http port stripped; fully-tracked query drops its '?'
+    assert(canon(4L) == "http://example.com/")
+    // no matching suffix: host is its own registrable domain; repeated
+    // non-tracking params keep order
+    assert(canon(5L) == "https://intranet-host/x?a=1&a=2")
+    assert(dom(5L) == "intranet-host")
+  }
+
+  test("linear quality classifier separates from the heuristic score on " +
+      "planted docs; weights arrive as data") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was a good day for all of them to rest"),
+      // stopword-free gibberish: the HEURISTIC passes it (no punct/digit
+      // penalty fires), the linear model rejects it (the stopword feature
+      // is decisive) — the separation a trained-shape classifier adds
+      (2L, "zxqv wvut kjhg poiu mnbv qwer asdf zxcv tyui ghjk bnml eeee rrrr tttt"),
+      (3L, "$$$ 111 222 333 444 %%% ### 555 666 777 888 999 000 @@@"))
+      .toDF("doc_id", "text")
+    val lin = TextAnalysis.qualityScoreLinear(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def keep(id: Long) = lin(id).getBoolean(lin(id).fieldIndex("keep"))
+    val heur = TextAnalysis.qualityScore(docs, "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getDouble(r.fieldIndex("quality_score"))).toMap
+    assert(keep(1L) && heur(1L) >= 0.5)
+    assert(!keep(2L) && heur(2L) >= 0.5,
+      s"separation case: lin=${lin(2L)} heur=${heur(2L)}")
+    assert(!keep(3L))
+    // scaled-integer features are exact
+    assert(lin(2L).getLong(lin(2L).fieldIndex("stop_mill")) == 0L)
+    // custom weights are honored (flip the threshold: everything keeps)
+    val loose = TextAnalysis.qualityScoreLinear(docs, "doc_id", "text",
+      TextAnalysis.DefaultQualityWeights.updated("threshold", -100000L))
+      .collect()
+    assert(loose.forall(_.getBoolean(loose.head.fieldIndex("keep"))))
+    // malformed weight maps fail loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.qualityScoreLinear(docs, "doc_id", "text",
+        Map("w_bias" -> 1L))
+    }
+  }
+
   test("simhash pair join: pigeonhole recall equals brute force at ham<=3, " +
       "exact verify, hot-band shards bounded") {
     import spark.implicits._
