@@ -2350,13 +2350,19 @@ object QueryCatalog {
           .where(col("n_bigrams") > 0)
         val thr = scored.agg(
           expr("sum(mean_millibits) div count(*)").as("thr"))
-        // cache the narrow gate frame: it feeds BOTH the dedup input and
-        // the final provenance join, and each uncached consumer would
-        // re-train the whole bigram model (measured 4.9s -> ~2s)
+        // CHECKPOINT (not cache) the narrow gate frame: it feeds BOTH the
+        // dedup input and the final provenance join, and each uncached
+        // consumer would re-train the whole bigram model (r16: 4.9s ->
+        // ~2s from caching). r18: localCheckpoint beats cache by another
+        // 36% isolated (4.09 -> 2.61 s at sf0.1) — the cached plan still
+        // re-ANALYZES the full model tree per consumer, the checkpoint
+        // truncates it; eagerly checkpointing `scored` as well was SLOWER
+        // (3.16 s: the extra materialization costs more than the one
+        // duplicated threshold aggregate it saves)
         val gate = scored.join(broadcast(thr))
           .where(col("mean_millibits") <= col("thr"))
           .select("doc_id", "mean_millibits")
-          .cache()
+          .localCheckpoint(true)
         val joined = gate.join(T(s, dir, "embeddings"),
             gate("doc_id") === col("vec_id"))
           .select(col("doc_id"), col("mean_millibits"), col("embedding"))
@@ -2364,7 +2370,7 @@ object QueryCatalog {
           nCells = 8, cosNum = 4, cosDen = 25)
         val kept = sem.where(!col("is_dup"))
           .select(col("id").as("doc_id"), col("cell"))
-          .cache() // reused by the pack input and the cell provenance join
+          .localCheckpoint(true) // reused by the pack input and the cell provenance join
         val withTok = kept
           .join(docs.select(col("doc_id"),
             TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
@@ -2612,7 +2618,11 @@ object QueryCatalog {
           .select(col("id_b").as("doc_id")).distinct()
         val kept = docs.join(dupIds, Seq("doc_id"), "left_anti")
           .select("doc_id", "lang", "text")
-          .cache() // the sketch agg AND the sample filter both scan it
+          // cache, NOT localCheckpoint: measured 0.83 s cached vs 1.39 s
+          // checkpointed at sf0.1 — this frame carries full TEXT, so the
+          // eager materialization write outweighs the plan-latency saving
+          // that wins on v2's narrow gate frame (2-long-column rows)
+          .cache()
         // stage 2: the KMV bigram-diversity mixture, re-trained on the
         // kept set (the x_sketch_kmv_mixture law verbatim)
         val toks = transform(TextAnalysis.tokens(col("text")),

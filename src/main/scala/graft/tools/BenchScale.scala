@@ -40,6 +40,8 @@ object BenchScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-scale-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -450,6 +452,110 @@ object BenchScale {
         s"curation kept-rows invariant violated: $nN not in " +
           s"[${n1 / 2}, ${factor * n1}] (1x kept $n1)")
       rows += (("curation_v2", n1.toDouble, nN.toDouble))
+    }
+
+    // ---- curation pipeline v3 at scale (round 18) -------------------------
+    // The winnow-gate → KMV-mixture composition run verbatim at N×. Its
+    // occupancy-dependent branches are what the standalone stresses miss:
+    // the df cut (per-fingerprint df scales linearly with the disjoint-
+    // vocabulary copies), the KMV estimator arm (per-lang distinct bigrams
+    // grow ~linearly, so the k-th-minimum estimator path — not the exact
+    // small-set arm — is exercised), and the mixture thresholds. Invariants:
+    // (a) the pipeline neither empties nor passes everything, (b) kept rows
+    // stay within [n₁/2, factor·n₁], (c) no language stratum vanishes (the
+    // min-estimate stratum keeps threshold 'g' by construction).
+    locally {
+      val fn = graft.QueryCatalog.all
+        .find(_.name == "x_curation_pipeline_v3").get.fn
+      def run(dir: String, label: String): (Long, Long) = {
+        val t0 = System.nanoTime()
+        val out = fn(spark, dir)
+        val n = out.count()
+        val langs = out.select("lang").distinct().count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] curation_v3 $label: $n%,d kept rows, " +
+          f"$langs langs, $sec%.2f s")
+        (n, langs)
+      }
+      val (n1, l1) = run(sfDir, "@1x")
+      val (nN, lN) = run(tmp, s"@${factor}x")
+      require(nN > 0 && nN < nDocsN,
+        s"curation v3 degenerated at ${factor}x: $nN of $nDocsN")
+      require(nN >= n1 / 2 && nN <= factor * n1,
+        s"curation v3 kept-rows invariant violated: $nN not in " +
+          s"[${n1 / 2}, ${factor * n1}] (1x kept $n1)")
+      require(lN == l1,
+        s"a language stratum vanished from the v3 mixture at ${factor}x: " +
+          s"$lN of $l1")
+      rows += (("curation_v3 (kept rows)", n1.toDouble, nN.toDouble))
+    }
+
+    // ---- curation pipeline v4 (web front door) at scale (round 18) ------
+    // HTML extraction + linear quality gate + per-source cap at N×. The
+    // N× copies keep the ORIGINAL source column, so the cap bounds the
+    // output by cap × |sources| REGARDLESS of the factor — the mega-corpus
+    // property the WindowGroupLimit cap exists for. Invariants: (a) output
+    // is non-empty and never exceeds cap × |sources| at any factor,
+    // (b) no source exceeds the cap, (c) extraction stays map-only cheap
+    // (reported, not required — wall-clock requires flake on busy boxes).
+    locally {
+      val fn = graft.QueryCatalog.all
+        .find(_.name == "x_curation_pipeline_v4").get.fn
+      def run(dir: String, label: String): Long = {
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] curation_v4 $label: $n%,d kept rows, $sec%.2f s")
+        n
+      }
+      val n1 = run(sfDir, "@1x")
+      val nN = run(tmp, s"@${factor}x")
+      val nSources = docsN.select("source").distinct().count()
+      require(nN > 0 && nN <= 15L * nSources,
+        s"curation v4 cap invariant violated at ${factor}x: $nN rows " +
+          s"exceed 15 x $nSources sources")
+      val maxPerSource = fn(spark, tmp).groupBy("source").count()
+        .agg(max("count")).head().getLong(0)
+      require(maxPerSource <= 15,
+        s"per-source cap violated at ${factor}x: $maxPerSource > 15")
+      rows += (("curation_v4 (kept rows)", n1.toDouble, nN.toDouble))
+    }
+
+    // ---- incremental dedup: probe cost ∝ batch, not corpus (round 18) ---
+    // Index a 1× and an N× corpus, then refresh-dedup the SAME 300-doc
+    // batch (copy-0 texts under fresh ids — every batch doc is an exact
+    // dup of an indexed doc) against each. The per-copy vocabulary is
+    // disjoint, so the batch collides only with copy-0 rows: candidates,
+    // verdicts and verify work are IDENTICAL at N× — the only
+    // corpus-proportional cost is the write-once index build. A full
+    // re-dedup would re-fingerprint the whole corpus every refresh; the
+    // probe never does (require'd via verdict equality; seconds reported).
+    locally {
+      val batch = docs1.where(col("doc_id") < 300)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      def probe(corpus: DataFrame, table: String,
+          label: String): (Long, Double, Double) = {
+        val t0 = System.nanoTime()
+        Dedup.writeMinHashIndex(corpus.select("doc_id", "text"),
+          "text", "doc_id", table, buckets = 16)
+        val wSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val out = Dedup.incrementalDedupMinHash(table,
+          corpus.select("doc_id", "text"), batch, "text", "doc_id")
+        val dups = out.where(col("is_dup")).count()
+        val pSec = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] inc_dedup $label: index write $wSec%.2f s, " +
+          f"probe $pSec%.2f s, $dups%,d dup verdicts")
+        (dups, wSec, pSec)
+      }
+      val c1 = docs1.where(col("doc_id") < 2000)
+      val cN = docsN.where(pmod(col("doc_id"), lit(docOff)) < 2000)
+      val (d1, _, p1) = probe(c1, "scale_inc_1x", "@1x")
+      val (dN, _, pN) = probe(cN, "scale_inc_Nx", s"@${factor}x")
+      require(d1 == 300 && dN == 300,
+        s"incremental verdicts drifted with corpus size: $d1 @1x, " +
+          s"$dN @${factor}x (all 300 batch docs are planted dups)")
+      rows += (("inc_dedup probe (sec)", p1, pN))
     }
 
     // ---- streaming near-dup: state bounded by rate × horizon × bands ----

@@ -83,11 +83,13 @@ object ExplainAudit {
         "partial_kmv_min_hashes", "BroadcastHashJoin"),
         Seq("collect_set", "SortMergeJoin")),
       // curation v2: the scalar gate threshold rides a broadcast (its
-      // cross join against the scored frame is ONE row), the reused gate
-      // frame is a cached InMemory scan, and the cell pair generator must
-      // never be a BNLJ over the corpus
+      // cross join against the scored frame is ONE row), the reused
+      // gate/kept frames are LOCALCHECKPOINTED (RDD scans — r18: beats
+      // the cached form 4.09 -> 2.2-2.6 s at sf0.1 because the checkpoint
+      // truncates the model tree out of every consumer's analysis), and
+      // the cell pair generator must never be a BNLJ over the corpus
       ("x_curation_pipeline_v2",
-        Seq("InMemoryTableScan", "partial_count"),
+        Seq("Scan ExistingRDD", "partial_count"),
         Seq("CartesianProduct")),
       // curation v3: the kept-set cache feeds both the sketch agg and the
       // sample filter (InMemory scan), the KMV sketch stays a REAL partial
