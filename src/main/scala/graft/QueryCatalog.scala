@@ -336,28 +336,33 @@ object QueryCatalog {
         s"THEN regexp_extract($hostExpr, '([^.]+\\.$esc)$$', 1) ELSE $els END"
     }
 
-  /** Session memo for the persisted MinHash fingerprint index (one
-    * bucketed-table write per sf dir — the probe query re-reads it). */
-  private val incIndexMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def incIndexTable(s: SparkSession, dir: String): String =
-    incIndexMemo.computeIfAbsent(dir, d => {
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val tbl = s"graft_inc_minhash_$tag"
-      // a PREVIOUS JVM may have left the managed location behind without
-      // catalog metadata — saveAsTable(Overwrite) refuses to claim such a
-      // directory, so drop both the entry and the location first
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.sessionState.conf.warehousePath, tbl)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-      graft.operators.Dedup.writeMinHashIndex(
-        T(s, d, "documents")
-          .where(col("doc_id") < 500 && col("doc_id") % 10 =!= 0),
-        "text", "doc_id", tbl, buckets = 8)
-      tbl
-    })
+  /** Persisted MinHash fingerprint index for the probe query: one
+    * bucketed-table write per (session catalog, sf dir). The existence
+    * probe is the SESSION's catalog — a JVM-global memo would hand a
+    * second SparkSession (own in-memory catalog, own warehouse) a table
+    * name it cannot resolve. */
+  private val incIndexLock = new Object
+  private def incIndexTable(s: SparkSession, dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val tbl = s"graft_inc_minhash_$tag"
+    incIndexLock.synchronized {
+      if (!s.catalog.tableExists(tbl)) {
+        // a PREVIOUS JVM may have left the managed location behind without
+        // catalog metadata — saveAsTable(Overwrite) refuses to claim such
+        // a directory, so clear the location first
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath, tbl)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+        graft.operators.Dedup.writeMinHashIndex(
+          T(s, dir, "documents")
+            .where(col("doc_id") < 500 && col("doc_id") % 10 =!= 0),
+          "text", "doc_id", tbl, buckets = 8)
+      }
+    }
+    tbl
+  }
 
   // ---------------------------------------------------------------------------
 
@@ -2705,15 +2710,15 @@ object QueryCatalog {
              |  NOT bad AS extract_ok,
              |  CASE WHEN bad THEN 'unterminated script/style/comment block'
              |       END AS error,
-             |  CASE WHEN bad THEN NULL ELSE array_to_string(
-             |    list_transform(kept, s -> struct_extract(s, 't')), chr(10))
-             |    END AS text,
+             |  CASE WHEN bad THEN NULL ELSE coalesce(array_to_string(
+             |    list_transform(kept, s -> struct_extract(s, 't')), chr(10)),
+             |    '') END AS text,
              |  CASE WHEN bad THEN NULL ELSE len(list_filter(ls,
              |    s -> length(struct_extract(s, 't')) > 0)) END AS n_lines,
              |  CASE WHEN bad THEN NULL ELSE len(kept) END AS n_lines_kept,
-             |  CASE WHEN bad THEN NULL ELSE length(array_to_string(
-             |    list_transform(kept, s -> struct_extract(s, 't')), chr(10)))
-             |    END AS n_chars
+             |  CASE WHEN bad THEN NULL ELSE length(coalesce(array_to_string(
+             |    list_transform(kept, s -> struct_extract(s, 't')), chr(10)),
+             |    '')) END AS n_chars
              |FROM k ORDER BY doc_id""".stripMargin),
       (s, dir) =>
         graft.operators.Web.htmlExtract(
@@ -2734,9 +2739,9 @@ object QueryCatalog {
       // the density law, every integer feature, the gate verdict and the
       // cap's rank law together
       Some(s"""WITH $htmlExtractCtes,
-             |ex AS (SELECT doc_id, array_to_string(
-             |    list_transform(kept, s -> struct_extract(s, 't')), chr(10))
-             |    AS text FROM k WHERE NOT bad),
+             |ex AS (SELECT doc_id, coalesce(array_to_string(
+             |    list_transform(kept, s -> struct_extract(s, 't')), chr(10)),
+             |    '') AS text FROM k WHERE NOT bad),
              |f AS (SELECT doc_id,
              |    length(text) AS n_chars,
              |    len(list_filter(string_split_regex(text, '\\s+'),

@@ -194,46 +194,69 @@ object Dedup {
     * regardless of id order) OR against an EARLIER (lower-id) batch doc;
     * `dup_of` is the smallest such id. Batch-internal candidates come from
     * the batch's own band self-join — same law, no index round-trip.
+    * ID IDENTITY: a batch doc whose id already exists in the index is a
+    * RE-CRAWL of that document, not its duplicate — self-pairs are
+    * excluded, and every candidate verifies against the text of its OWN
+    * side (corpus candidates against corpus text, batch candidates against
+    * batch text), so a revised document is never dropped for matching its
+    * indexed former self.
     *
     * Scale shape: the probe is an equi-join on `bk` where the index side
     * is a bucketed scan (no exchange — the one shuffle is the batch's own
-    * band rows, ∝ batch); the verify joins are candidate-bounded. Returns
-    * one row per batch doc: (doc_id, n_cands, is_dup, dup_of). */
+    * band rows, ∝ batch); the batch band rows are localCheckpointed (three
+    * join branches read them — uncached, the 16-seed sha-256 signature
+    * would be recomputed per branch, the measured minHashLsh trap); the
+    * verify joins are candidate-bounded. Returns one row per batch doc:
+    * (doc_id, n_cands, is_dup, dup_of). */
   def incrementalDedupMinHash(indexTable: String, corpusDocs: DataFrame,
       batch: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val spark = batch.sparkSession
     val idx = spark.table(indexTable)
+    // band rows ONCE: three join branches read this narrow frame, and the
+    // 16-seed sha-256 signature behind it is the dominant probe cost —
+    // checkpointed (narrow rows: the v2-lesson criterion for checkpoint
+    // over cache), so no branch recomputes the fingerprints
     val bb = minHashBandRows(batch, textCol, idCol, shingleSize, bands,
-      rowsPerBand)
+      rowsPerBand).localCheckpoint(true)
+    // self-pairs excluded: same id = same logical document (a re-crawl)
     val candCorpus = bb.as("b").join(idx.as("i"), "bk")
+      .where(col("b.doc_id") =!= col("i.doc_id"))
       .select(col("b.doc_id").as("id_b"), col("i.doc_id").as("id_ref"))
+      .distinct()
     val candBatch = bb.as("x").join(bb.as("y"), "bk")
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("y.doc_id").as("id_b"), col("x.doc_id").as("id_ref"))
-    val cands = candCorpus.unionAll(candBatch).distinct()
-    // exact-Jaccard verify on candidate-touched docs ONLY: the candidate
-    // ids prune both text scans before any shingling happens
-    val allDocs = corpusDocs
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
-      .unionAll(batch.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("__t")))
-    val refSh = allDocs
-      .join(cands.select(col("id_ref").as("doc_id")).distinct(), "doc_id")
-      .select(col("doc_id").as("id_ref"),
-        shingles(col("__t"), shingleSize).as("sh_r"))
+      .distinct()
+    // exact-Jaccard verify on candidate-touched docs ONLY (the candidate
+    // ids prune the text scans before any shingling), each candidate
+    // against the text of its OWN side — an id present in both corpus and
+    // batch (a re-crawl) verifies corpus candidates against the INDEXED
+    // text, batch candidates against the new text
     val batchSh = batch
       .select(col(idCol).cast("long").as("doc_id"),
         shingles(col(textCol), shingleSize).as("sh_b"))
-    val verified = cands
-      .join(refSh, "id_ref")
-      .join(batchSh.withColumnRenamed("doc_id", "id_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_r"))))
-      .withColumn("uni", size(col("sh_b")) + size(col("sh_r")) - col("inter"))
-      .withColumn("jaccard",
-        when(col("uni") === 0, lit(1.0)).otherwise(col("inter") / col("uni")))
-    val nCands = cands.groupBy("id_b").agg(count(lit(1)).as("n_cands"))
+    def verify(cands: DataFrame, refDocs: DataFrame): DataFrame = {
+      val refSh = refDocs
+        .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+        .join(cands.select(col("id_ref").as("doc_id")).distinct(), "doc_id")
+        .select(col("doc_id").as("id_ref"),
+          shingles(col("__t"), shingleSize).as("sh_r"))
+      cands.join(refSh, "id_ref")
+        .join(batchSh.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_r"))))
+        .withColumn("uni",
+          size(col("sh_b")) + size(col("sh_r")) - col("inter"))
+        .withColumn("jaccard",
+          when(col("uni") === 0, lit(1.0))
+            .otherwise(col("inter") / col("uni")))
+        .select("id_b", "id_ref", "jaccard")
+    }
+    val verified = verify(candCorpus, corpusDocs)
+      .unionAll(verify(candBatch, batch))
+    val nCands = candCorpus.unionAll(candBatch).distinct()
+      .groupBy("id_b").agg(count(lit(1)).as("n_cands"))
     val dupOf = verified.where(col("jaccard") >= threshold)
       .groupBy("id_b").agg(min("id_ref").as("dup_of"))
     batch.select(col(idCol).cast("long").as("doc_id"))

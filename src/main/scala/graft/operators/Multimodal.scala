@@ -391,9 +391,13 @@ object Multimodal {
           reader.setInput(in, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
           val n = reader.getNumImages(true)
           val idxs = 0 until n by stride
-          val sub = idxs.find(i => n > 0 &&
-            (reader.getWidth(i) != reader.getWidth(0) ||
-              reader.getHeight(i) != reader.getHeight(0)))
+          // the guard inspects EVERY frame, not just the sampled ones: a
+          // delta frame falling between strides still proves the animation
+          // needs compositing, which makes the frames we DO sample wrong
+          // too — and the check is metadata-only (no decode)
+          val sub = (0 until n).find(i =>
+            reader.getWidth(i) != reader.getWidth(0) ||
+              reader.getHeight(i) != reader.getHeight(0))
           sub match {
             case Some(i) => Left(s"sub-canvas frame $i " +
               s"(${reader.getWidth(i)}x${reader.getHeight(i)} vs canvas " +

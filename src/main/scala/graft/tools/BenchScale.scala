@@ -501,20 +501,22 @@ object BenchScale {
     locally {
       val fn = graft.QueryCatalog.all
         .find(_.name == "x_curation_pipeline_v4").get.fn
-      def run(dir: String, label: String): Long = {
+      def run(dir: String, label: String): DataFrame = {
         val t0 = System.nanoTime()
-        val n = fn(spark, dir).count()
+        val out = fn(spark, dir)
+        val n = out.count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[scale] curation_v4 $label: $n%,d kept rows, $sec%.2f s")
-        n
+        out
       }
-      val n1 = run(sfDir, "@1x")
-      val nN = run(tmp, s"@${factor}x")
+      val n1 = run(sfDir, "@1x").count()
+      val outN = run(tmp, s"@${factor}x")
+      val nN = outN.count()
       val nSources = docsN.select("source").distinct().count()
       require(nN > 0 && nN <= 15L * nSources,
         s"curation v4 cap invariant violated at ${factor}x: $nN rows " +
           s"exceed 15 x $nSources sources")
-      val maxPerSource = fn(spark, tmp).groupBy("source").count()
+      val maxPerSource = outN.groupBy("source").count()
         .agg(max("count")).head().getLong(0)
       require(maxPerSource <= 15,
         s"per-source cap violated at ${factor}x: $maxPerSource > 15")

@@ -88,8 +88,11 @@ object ExplainAudit {
       // the cached form 4.09 -> 2.2-2.6 s at sf0.1 because the checkpoint
       // truncates the model tree out of every consumer's analysis), and
       // the cell pair generator must never be a BNLJ over the corpus
+      // (the model-training partial aggregates now run INSIDE the eager
+      // checkpoint materialization, so the returned plan is the packing
+      // window + joins over the RDD leaves)
       ("x_curation_pipeline_v2",
-        Seq("Scan ExistingRDD", "partial_count"),
+        Seq("Scan ExistingRDD", "Window "),
         Seq("CartesianProduct")),
       // curation v3: the kept-set cache feeds both the sketch agg and the
       // sample filter (InMemory scan), the KMV sketch stays a REAL partial

@@ -197,5 +197,20 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // full-corpus work is the (pruned, columnar) scan itself
     assert(!out.queryExecution.executedPlan.toString
       .contains("CartesianProduct"))
+    // ID IDENTITY: a batch doc REUSING an indexed id is a re-crawl, not a
+    // duplicate — even when its new text diverges (below threshold) it
+    // must not be dropped for matching its indexed former self; and its
+    // corpus candidates verify against the INDEXED text, so a re-crawl
+    // whose new text genuinely near-dups ANOTHER corpus doc still drops
+    val recrawl = Seq(
+      (5L, txt(999)),            // same id as corpus 5, unrelated new text
+      (6L, txt(9))               // same id as corpus 6, now a dup of corpus 9
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalDedupMinHash("inc_idx_test", corpus, recrawl,
+        "text", "doc_id").collect()
+      .map(x => x.getLong(0) -> ((x.getBoolean(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3)))).toMap
+    assert(r(5L) == ((false, -1L)), r.toString)
+    assert(r(6L) == ((true, 9L)), r.toString)
   }
 }

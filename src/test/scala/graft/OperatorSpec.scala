@@ -1468,6 +1468,14 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(subFeats.length == 1 && !subFeats.head.feature_ok &&
       subFeats.head.error.contains("sub-canvas"))
+    // the guard inspects EVERY frame, not just sampled ones: with
+    // stride 2 the 2-frame fixture samples only frame 0, but the delta
+    // frame between strides still proves compositing is needed — the
+    // sampled frames are wrong too, so the payload must still error
+    val subStride2 = Multimodal.videoFeatures(subMedia, dim = 16, stride = 2)
+      .collect()
+    assert(subStride2.length == 1 && !subStride2.head.feature_ok &&
+      subStride2.head.error.contains("sub-canvas"))
     // media grain: the embedding is normalize(sum of the SAMPLED frames)
     val feats = Multimodal.videoFeatures(media, dim = 16, stride = 2)
       .collect().map(r => r.media_id -> r).toMap
