@@ -2930,6 +2930,50 @@ object QueryCatalog {
           .orderBy("doc_id")
       }),
 
+    Q("x_text_nfc",
+      // Unicode NFC normalization: both engines BUILD identical non-ASCII
+      // inputs from hex (decomposed é, precomposed é, Hangul jamo, the
+      // NFC-stable ﬁ ligature, A+combining ring), then the engine's native
+      // codegen'd normalizer must agree byte-for-byte with DuckDB's
+      // utf8proc NFC — the standard-defined law is what makes this
+      // cross-engine checkable
+      Some("""WITH p AS (SELECT doc_id,
+             |  (CASE doc_id % 5
+             |    WHEN 0 THEN 'e' || decode(unhex('CC81'))
+             |    WHEN 1 THEN decode(unhex('C3A9'))
+             |    WHEN 2 THEN decode(unhex('E18480E185A1'))
+             |    WHEN 3 THEN decode(unhex('EFAC81'))
+             |    ELSE 'A' || decode(unhex('CC8A')) END)
+             |    || ' ' || substr(text, 1, 20) AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(octet_length(encode(raw)) AS BIGINT) AS n_bytes_in,
+             |  nfc_normalize(raw) AS normalized,
+             |  nfc_normalize(raw) <> raw AS changed,
+             |  CAST(octet_length(encode(nfc_normalize(raw))) AS BIGINT)
+             |    AS n_bytes_out
+             |FROM p ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        def u(hex: String) = decode(unhex(lit(hex)), "UTF-8")
+        val arm = pmod(col("doc_id"), lit(5))
+        val raw = concat(
+          when(arm === 0, concat(lit("e"), u("CC81")))
+            .when(arm === 1, u("C3A9"))
+            .when(arm === 2, u("E18480E185A1"))
+            .when(arm === 3, u("EFAC81"))
+            .otherwise(concat(lit("A"), u("CC8A"))),
+          lit(" "), substring(col("text"), 1, 20))
+        val norm = TextAnalysis.nfcNormalize(col("raw"))
+        T(s, dir, "documents")
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            octet_length(col("raw")).cast("long").as("n_bytes_in"),
+            norm.as("normalized"),
+            (norm =!= col("raw")).as("changed"),
+            octet_length(norm).cast("long").as("n_bytes_out"))
+          .orderBy("doc_id")
+      }),
+
     Q("x_text_fingerprint",
       Some("""SELECT doc_id,
              |       substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),

@@ -152,6 +152,8 @@ object GraftFunctions {
     nativeCol(graft.plans.NgramShinglesExpression(exprOf(c), n))
   def simHash64Native(c: Column): Column =
     nativeCol(graft.plans.SimHash64Expression(exprOf(c)))
+  def nfcNormalize(c: Column): Column =
+    nativeCol(graft.plans.NfcNormalizeExpression(exprOf(c)))
   def winnowFingerprintsNative(c: Column, n: Int, w: Int): Column =
     nativeCol(graft.plans.WinnowFingerprintsExpression(exprOf(c), n, w))
   def ngramWindows(c: Column, n: Int): Column =

@@ -181,6 +181,23 @@ object Dedup {
       minHashBandRows(corpus, textCol, idCol, shingleSize, bands, rowsPerBand),
       table, buckets, Seq("bk"))
 
+  /** Append a new batch's band rows to an existing [[writeMinHashIndex]]
+    * table — the refresh lifecycle's second half: after
+    * [[incrementalDedupMinHash]] verdicts, the batch's KEPT docs join the
+    * index so the NEXT refresh dedups against them too. The append
+    * pre-shuffles on the same bucket law and declares the identical
+    * bucket spec, so the new files land bucket-aligned (several files per
+    * bucket — scans stay bucket-aware and probes stay exchange-free);
+    * Spark rejects a mismatched spec loudly. Cost ∝ batch, like the probe. */
+  def appendMinHashIndex(batch: DataFrame, textCol: String, idCol: String,
+      table: String, buckets: Int = 16, shingleSize: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2): Unit =
+    minHashBandRows(batch, textCol, idCol, shingleSize, bands, rowsPerBand)
+      .repartition(buckets, col("bk"))
+      .write.mode("append")
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .format("parquet").saveAsTable(table)
+
   /** Incremental batch dedup against a persisted [[writeMinHashIndex]]
     * index — the realistic 100 TB refresh: fingerprint ONLY the new batch,
     * probe the bucketed index for band collisions, and verify candidates

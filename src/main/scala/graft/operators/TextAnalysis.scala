@@ -207,6 +207,17 @@ object TextAnalysis {
       .drop("lang_scores")
   }
 
+  /** Unicode NFC normalization — canonical composition so BYTE-level laws
+    * are honest on real-world text: 'é' arrives both precomposed (U+00E9)
+    * and decomposed ('e'+U+0301) in web corpora, and content hashes,
+    * shingles and sort keys treat the two as different documents unless
+    * the corpus normalizes first (W3C recommends NFC for exactly this).
+    * Native codegen'd expression with an isNormalized fast-path — the
+    * ASCII bulk of a corpus pays one linear scan, no allocation. Map-only;
+    * compose it FIRST, upstream of every dedup/hash law. */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.GraftFunctions.nfcNormalize(text)
+
   /** Content fingerprint: first 16 hex chars of md5 over the normalized text
     * (stable, partition-friendly surrogate key). */
   def fingerprint(text: Column): Column =

@@ -59,6 +59,23 @@ case class WinnowFingerprintsExpression(child: Expression, n: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Unicode NFC normalization ([[graft.codec.UnicodeNorm]]) — canonical
+  * composition with an isNormalized fast-path, inside whole-stage codegen
+  * (a UDF here would fence the scan→normalize→hash pipeline every
+  * text-cleaning pass runs). */
+case class NfcNormalizeExpression(child: Expression) extends CodecUnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.UnicodeNorm.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.UnicodeNorm$$.MODULE$$.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpression =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** FarmHash Fingerprint64 over UTF-8 bytes (`asset.go:72-77`). */
 case class FarmHash64Expression(child: Expression) extends CodecUnaryExpression {
   override def dataType: DataType = LongType

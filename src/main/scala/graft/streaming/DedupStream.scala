@@ -270,4 +270,62 @@ object DedupStream {
           .as("est_jaccard"))
       .withColumn("is_dup", col("est_jaccard") >= threshold)
       .withColumn("dup_of", when(col("is_dup"), col("dup_of")))
+
+  // ---- streaming near-dup against the PERSISTED corpus index --------------
+
+  /** Ingestion-time near-dup detection against the historical corpus — a
+    * STREAM-STATIC composition over [[graft.operators.Dedup.writeMinHashIndex]]:
+    * each arriving doc's band keys (the same engine-replayable sha63 law
+    * the index was written with) equi-join the bucketed index table, and
+    * collisions verify with the exact shingle Jaccard against the static
+    * corpus text (pruned to candidate ids by the join itself).
+    *
+    * Scale shape — ZERO STATE: unlike [[nearDupCandidates]] (keyed state
+    * holding the in-horizon owners), a stream-static join is stateless, so
+    * this gate has no watermark, no eviction, no state-store growth — the
+    * historical corpus lives in the bucketed index (no index-side
+    * exchange), and each micro-batch pays cost ∝ its own size. The two
+    * faces compose: this gate catches dups against EVERYTHING indexed;
+    * the keyed-state face catches dups WITHIN the live horizon; and
+    * [[graft.operators.Dedup.appendMinHashIndex]] graduates kept docs into
+    * the index between the two.
+    *
+    * Emits one row per (doc, indexed ref, shared band) that clears
+    * `threshold` — append-mode friendly; consumers dedupe pair repeats at
+    * the sink (a per-batch `dropDuplicates` in foreachBatch), since a
+    * stateless stream cannot distinct. Self-pairs (a re-crawled id) are
+    * excluded, matching the batch law. */
+  def nearDupAgainstIndex(docs: DataFrame, textCol: String, idCol: String,
+      indexTable: String, corpusDocs: DataFrame,
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val numHashes = bands * rowsPerBand
+    val sh = Dedup.shingles(col(textCol), shingleSize)
+    // the stream side carries its shingle array through the join (micro-
+    // batches are small; the static sides never shuffle)
+    val banded = docs
+      .select(col(idCol).cast("long").as("doc_id"), sh.as("sh_b"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          s => array_min(transform(sh, x => Dedup.sha63(x, s)))).as("sig"))
+      .select(col("doc_id"), col("sh_b"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          Dedup.sha63(concat(b.cast("string"), lit(":"), concat_ws(",",
+            transform(slice(col("sig"), b * lit(rowsPerBand) + 1,
+              lit(rowsPerBand)), h => h.cast("string")))), lit(0))))
+          .as("bk"))
+    val idx = spark.table(indexTable).withColumnRenamed("doc_id", "dup_of")
+    val refSh = corpusDocs
+      .select(col(idCol).cast("long").as("dup_of"),
+        Dedup.shingles(col(textCol), shingleSize).as("sh_r"))
+    banded.join(idx, "bk")
+      .where(col("doc_id") =!= col("dup_of"))
+      .join(refSh, "dup_of")
+      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_r"))))
+      .withColumn("uni", size(col("sh_b")) + size(col("sh_r")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") === 0, lit(1.0)).otherwise(col("inter") / col("uni")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_id", "dup_of", "jaccard")
+  }
 }

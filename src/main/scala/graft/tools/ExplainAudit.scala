@@ -108,6 +108,11 @@ object ExplainAudit {
         Seq("BroadcastNestedLoopJoin", "WindowGroupLimit"),
         Seq("CartesianProduct")),
       ("p4_effects_flatmap", Seq("Generate posexplode"), Seq()),
+      // NFC normalization: the native expression stays inside whole-stage
+      // codegen (a UDF would fence the scan→normalize→hash pipeline) and
+      // the pass is map-only
+      ("x_text_nfc", Seq("*(1)"),
+        Seq("Exchange hashpartitioning", "Join", "BatchEvalPython")),
       // HTML extraction: map-only — one projection carries the whole
       // strip/line/density law; no exchange (beyond the terminal order-by
       // range partition), no join of any kind

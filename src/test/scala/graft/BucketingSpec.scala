@@ -212,5 +212,25 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (x.isNullAt(3)) -1L else x.getLong(3)))).toMap
     assert(r(5L) == ((false, -1L)), r.toString)
     assert(r(6L) == ((true, 9L)), r.toString)
+    // REFRESH LIFECYCLE: the kept batch doc (102, unique) graduates into
+    // the index via the bucket-aligned append; the NEXT batch's dup of it
+    // now resolves against 102, and the grown index still probes
+    // bucket-aware (the append declares the identical bucket spec)
+    val kept102 = batch.where(col("doc_id") === 102L)
+    Dedup.appendMinHashIndex(kept102, "text", "doc_id", "inc_idx_test",
+      buckets = 4)
+    val batch2 = Seq((200L, txt(999))).toDF("doc_id", "text")
+    val r2 = Dedup.incrementalDedupMinHash("inc_idx_test",
+        corpus.unionAll(kept102), batch2, "text", "doc_id").collect()
+      .map(x => x.getLong(0) -> ((x.getBoolean(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3)))).toMap
+    assert(r2(200L) == ((true, 102L)), r2.toString)
+    val grown = Dedup.minHashBandRows(batch2, "text", "doc_id", 3, 8, 2)
+      .join(spark.table("inc_idx_test").withColumnRenamed("doc_id", "ref_id"),
+        "bk")
+    val gplan = grown.queryExecution.executedPlan.toString
+    assert(gplan.contains("Bucketed: true"), gplan.take(1200))
+    assert("Exchange hashpartitioning\\(bk".r.findAllIn(gplan).length == 1,
+      gplan.take(1500))
   }
 }

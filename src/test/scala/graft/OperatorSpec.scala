@@ -1208,6 +1208,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(600))
   }
 
+  test("nfc normalization: canonical composition laws, idempotence, and " +
+      "composition-equal docs dedup identically after it") {
+    import spark.implicits._
+    val decomposed = "caf" + "é"     // e + combining acute
+    val precomposed = "café"          // é
+    val docs = Seq((1L, decomposed), (2L, precomposed),
+      (3L, "가"), (4L, "ﬁ"), (5L, "plain ascii"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.nfcNormalize(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == precomposed && out(2L) == precomposed)
+    assert(out(3L) == "가")            // jamo compose to 가
+    assert(out(4L) == "ﬁ")            // ligature is NFC-stable
+    assert(out(5L) == "plain ascii")
+    // idempotence
+    val twice = docs.select(TextAnalysis.nfcNormalize(
+      TextAnalysis.nfcNormalize(col("text"))).as("n")).collect().map(_.getString(0))
+    assert(twice.toSet == out.values.toSet)
+    // the PURPOSE: byte-grain dedup is blind to composition differences
+    // until the corpus normalizes — the same two texts are two "distinct"
+    // docs raw, one doc after NFC
+    assert(Dedup.exact(docs.where(col("doc_id") <= 2), "text", "doc_id")
+      .count() == 2)
+    val normed = docs.where(col("doc_id") <= 2)
+      .select(col("doc_id"), TextAnalysis.nfcNormalize(col("text")).as("text"))
+    val dd = Dedup.exact(normed, "text", "doc_id").collect()
+    assert(dd.length == 1 &&
+      dd.head.getLong(dd.head.fieldIndex("duplicate_count")) == 2)
+  }
+
   test("url canonicalization: case/port/userinfo/fragment/tracking laws, " +
       "registrable domain longest-suffix match, invalid arm") {
     import spark.implicits._

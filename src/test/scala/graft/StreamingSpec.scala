@@ -17,6 +17,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("graft-streaming-test")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-streaming-wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -693,5 +695,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = ChangeStream.windowedCounts(df, "closed_at").collect()
     assert(out.length == 2)
     assert(out.map(_.getAs[Long]("n_changes")).sum == 3)
+  }
+
+  test("stateless near-dup gate against the persisted corpus index: " +
+      "stream-static probe, zero state operators, re-crawl ids excluded") {
+    import spark.implicits._
+    def txt(i: Int): String = (0 until 30).map(t => s"ix${i}_w$t").mkString(" ")
+    val corpus = (0 until 20).map(i => (i.toLong, txt(i)))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeMinHashIndex(corpus, "text", "doc_id",
+      "stream_probe_idx", buckets = 4)
+    val landing = Files.createTempDirectory("graft-probe-landing").toString
+    val ckpt = Files.createTempDirectory("graft-probe-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-probe-out").toString
+    // arriving docs: 100 = exact dup of corpus 7; 101 = fresh content;
+    // 7 = RE-CRAWL of corpus 7 (same id — identity, not duplication)
+    Seq((100L, txt(7)), (101L, txt(999)), (7L, txt(7)))
+      .toDF("doc_id", "text").write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(landing).schema).parquet(landing)
+    val hits = graft.streaming.DedupStream.nearDupAgainstIndex(
+      stream, "text", "doc_id", "stream_probe_idx", corpus)
+    assert(hits.isStreaming)
+    val q = hits.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // pair repeats from multiple shared bands dedupe at the sink —
+        // the documented stateless-stream contract
+        df.dropDuplicates("doc_id", "dup_of")
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((100L, 7L, 1.0)), out.toString)
+    // ZERO STATE: a stream-static join keeps no state store at all — the
+    // historical corpus lives in the bucketed index, not in state
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty))
   }
 }
