@@ -336,6 +336,34 @@ object QueryCatalog {
         s"THEN regexp_extract($hostExpr, '([^.]+\\.$esc)$$', 1) ELSE $els END"
     }
 
+  /** DuckDB replay of [[graft.operators.Bpe.train]], K rounds UNROLLED
+    * (generated, so the law cannot drift between engines): w0 is the
+    * alphabet-gated word-frequency table with per-char symbols; each round
+    * derives pair counts, the deterministic arg-max, and the greedy
+    * render/replace/split-back merge. */
+  private def bpeCtes(k: Int): String = {
+    val base =
+      """w0 AS (SELECT word, freq,
+        |    list_transform(range(1, length(word)+1), i -> word[i]) AS syms
+        |  FROM (SELECT word, count(*) AS freq FROM
+        |    (SELECT unnest(list_filter(string_split_regex(lower(text),
+        |       '\s+'), x -> x <> '')) AS word FROM documents)
+        |    WHERE regexp_matches(word, '^[a-z0-9]+$')
+        |    GROUP BY word))""".stripMargin
+    val rounds = (0 until k).map { i =>
+      s"""p$i AS (SELECT syms[j] || ' ' || syms[j+1] AS pair,
+         |    sum(freq) AS c
+         |  FROM w$i, unnest(range(1, len(syms))) t(j) GROUP BY 1),
+         |b$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         |w${i + 1} AS (SELECT word, freq, string_split(trim(replace(
+         |    '<' || array_to_string(syms, '><') || '>',
+         |    '<' || replace(b$i.pair, ' ', '><') || '>',
+         |    '<' || replace(b$i.pair, ' ', '') || '>'), '<>'), '><') AS syms
+         |  FROM w$i, b$i)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n").replaceAll("\\s*\\n\\s*", " ")
+  }
+
   /** Persisted MinHash fingerprint index for the probe query: one
     * bucketed-table write per (session catalog, sf dir). The existence
     * probe is the SESSION's catalog — a JVM-global memo would hand a
@@ -2929,6 +2957,44 @@ object QueryCatalog {
             "text", "doc_id", threshold = 0.5)
           .orderBy("doc_id")
       }),
+
+    Q("x_bpe_train", {
+      // K unrolled rounds of the exact BPE law: pair counts off the word
+      // vocabulary, arg-max (count desc, pair asc), the render/replace/
+      // split-back greedy merge — a drifted tie-break, wrong overlap rule
+      // or miscounted pair all hash-fail
+      val k = 8
+      val rules = (0 until k).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS merge_idx, pair, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM b$i")
+        .mkString("\nUNION ALL\n")
+      Some(s"""WITH ${bpeCtes(k)}
+             |$rules
+             |ORDER BY merge_idx""".stripMargin)
+    },
+      (s, dir) => {
+        import s.implicits._
+        Bpe.train(T(s, dir, "documents"), "text", merges = 8)
+          .rules.toDF().orderBy("merge_idx")
+      }),
+
+    Q("x_bpe_vocab", {
+      // the segmented vocabulary AFTER the K learned merges: the w_K state
+      // is itself the applied tokenization of every vocab word, so the
+      // top-frequency slice hash-checks segmentation boundaries, subword
+      // counts AND the cumulative effect of all K rules at once
+      val k = 8
+      Some(s"""WITH ${bpeCtes(k)}
+             |SELECT word, freq, array_to_string(syms, ' ') AS segmented,
+             |  CAST(len(syms) AS BIGINT) AS n_subwords
+             |FROM w$k ORDER BY freq DESC, word LIMIT 30""".stripMargin)
+    },
+      (s, dir) =>
+        Bpe.train(T(s, dir, "documents"), "text", merges = 8).vocab
+          .select(col("word"), col("freq"),
+            array_join(col("syms"), " ").as("segmented"),
+            size(col("syms")).cast("long").as("n_subwords"))
+          .orderBy(col("freq").desc, col("word")).limit(30)),
 
     Q("x_text_nfc",
       // Unicode NFC normalization: both engines BUILD identical non-ASCII

@@ -108,6 +108,12 @@ object ExplainAudit {
         Seq("BroadcastNestedLoopJoin", "WindowGroupLimit"),
         Seq("CartesianProduct")),
       ("p4_effects_flatmap", Seq("Generate posexplode"), Seq()),
+      // BPE segmented vocabulary: the returned frame reads the final
+      // round's checkpointed RDD (constant-size plan after K merge rounds
+      // — the CC-loop machinery) and the top-30 slice is per-partition
+      // heaps, never a full sort
+      ("x_bpe_vocab", Seq("Scan ExistingRDD", "TakeOrderedAndProject"),
+        Seq("Exchange hashpartitioning", "Sort ")),
       // NFC normalization: the native expression stays inside whole-stage
       // codegen (a UDF would fence the scan→normalize→hash pipeline) and
       // the pass is map-only

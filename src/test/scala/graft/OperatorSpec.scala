@@ -1208,6 +1208,49 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(600))
   }
 
+  test("bpe training: hand-derived merges on the classic corpus, greedy " +
+      "overlap law, apply face segments new text") {
+    import spark.implicits._
+    // the canonical Sennrich-style corpus: low x5, lower x2, newest x6,
+    // widest x3. Hand-derived first four merges:
+    //   r1: (e,s) c=9  (ties (s,t) at 9, pair-asc tie-break)
+    //   r2: (es,t) c=9
+    //   r3: (l,o) c=7  (ties (o,w) at 7)
+    //   r4: (lo,w) c=7
+    val corpus = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val t = Bpe.train(corpus, "text", merges = 4)
+    assert(t.rules == Seq(
+      Bpe.MergeRule(0, "e s", 9L), Bpe.MergeRule(1, "es t", 9L),
+      Bpe.MergeRule(2, "l o", 7L), Bpe.MergeRule(3, "lo w", 7L)), t.rules)
+    val seg = t.vocab.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toSeq).toMap
+    assert(seg("low") == Seq("low"))
+    assert(seg("lower") == Seq("low", "e", "r"))
+    assert(seg("newest") == Seq("n", "e", "w", "est"))
+    assert(seg("widest") == Seq("w", "i", "d", "est"))
+    // apply face: a word NEVER SEEN in training segments with the learned
+    // rules in rank order — "lowest" = low + est
+    val applied = Bpe.segment(Seq((1L, "lowest")).toDF("doc_id", "text"),
+        "text", t.rules).select("syms").head().getSeq[String](0).toSeq
+    assert(applied == Seq("low", "est"), applied)
+    // greedy left-to-right overlap law: merging (a,a) in "aaa" gives
+    // [aa, a], never the overlapping [a, aa] or [aa, aa]
+    val tiny = Seq((1L, "aa aa aaa")).toDF("doc_id", "text")
+    val t2 = Bpe.train(tiny, "text", merges = 1)
+    assert(t2.rules.head.pair == "a a" && t2.rules.head.pair_count == 4L)
+    val seg2 = t2.vocab.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toSeq).toMap
+    assert(seg2("aaa") == Seq("aa", "a"))
+    // vocabulary exhaustion fails loudly, never silently under-trains
+    intercept[IllegalArgumentException] {
+      Bpe.train(Seq((1L, "a b c")).toDF("doc_id", "text"), "text", 1)
+    }
+  }
+
   test("nfc normalization: canonical composition laws, idempotence, and " +
       "composition-equal docs dedup identically after it") {
     import spark.implicits._
