@@ -364,6 +364,18 @@ object QueryCatalog {
     (base +: rounds).mkString(",\n").replaceAll("\\s*\\n\\s*", " ")
   }
 
+  /** Session-scoped memo for the trained BPE artifact: three catalog
+    * queries (rules, vocab, corpus tokenization) share one training run —
+    * the real pipeline architecture (a tokenizer is trained once and
+    * reused everywhere). Keyed by (dir, session): the vocab frame is
+    * bound to its session's checkpointed RDDs, so a second session must
+    * retrain, never inherit a dead frame. */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, SparkSession), graft.operators.Bpe.Trained]()
+  private def bpeTrained(s: SparkSession, dir: String): graft.operators.Bpe.Trained =
+    bpeMemo.computeIfAbsent((dir, s), _ =>
+      Bpe.train(T(s, dir, "documents"), "text", merges = 8))
+
   /** Persisted MinHash fingerprint index for the probe query: one
     * bucketed-table write per (session catalog, sf dir). The existence
     * probe is the SESSION's catalog — a JVM-global memo would hand a
@@ -2974,8 +2986,7 @@ object QueryCatalog {
     },
       (s, dir) => {
         import s.implicits._
-        Bpe.train(T(s, dir, "documents"), "text", merges = 8)
-          .rules.toDF().orderBy("merge_idx")
+        bpeTrained(s, dir).rules.toDF().orderBy("merge_idx")
       }),
 
     Q("x_bpe_vocab", {
@@ -2990,11 +3001,43 @@ object QueryCatalog {
              |FROM w$k ORDER BY freq DESC, word LIMIT 30""".stripMargin)
     },
       (s, dir) =>
-        Bpe.train(T(s, dir, "documents"), "text", merges = 8).vocab
+        bpeTrained(s, dir).vocab
           .select(col("word"), col("freq"),
             array_join(col("syms"), " ").as("segmented"),
             size(col("syms")).cast("long").as("n_subwords"))
           .orderBy(col("freq").desc, col("word")).limit(30)),
+
+    Q("x_bpe_token_count", {
+      // train -> apply at CORPUS grain: per-document subword counts under
+      // the learned vocabulary. The scalable apply is a broadcast LOOKUP
+      // against the trained segmentation (the vocab already carries every
+      // seen word's subword split — no per-occurrence re-merging), so
+      // tokenizing the corpus is explode + broadcast join + one count agg
+      val k = 8
+      Some(s"""WITH ${bpeCtes(k)},
+             |dw AS (SELECT doc_id, word FROM (
+             |    SELECT doc_id, unnest(list_filter(string_split_regex(
+             |      lower(text), '\\s+'), x -> x <> '')) AS word
+             |    FROM documents)
+             |  WHERE regexp_matches(word, '^[a-z0-9]+$$'))
+             |SELECT dw.doc_id,
+             |  count(*) AS n_words,
+             |  CAST(sum(len(w$k.syms)) AS BIGINT) AS n_subwords
+             |FROM dw JOIN w$k ON dw.word = w$k.word
+             |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val seg = bpeTrained(s, dir).vocab
+          .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+          .where(col("word").rlike("^[a-z0-9]+$"))
+          .join(broadcast(seg), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+          .orderBy("doc_id")
+      }),
 
     Q("x_text_nfc",
       // Unicode NFC normalization: both engines BUILD identical non-ASCII

@@ -114,6 +114,11 @@ object ExplainAudit {
       // heaps, never a full sort
       ("x_bpe_vocab", Seq("Scan ExistingRDD", "TakeOrderedAndProject"),
         Seq("Exchange hashpartitioning", "Sort ")),
+      // BPE corpus tokenization: apply = broadcast LOOKUP against the
+      // trained segmentation + one partial-combinable count agg — never a
+      // corpus-side shuffle join or per-occurrence re-merging
+      ("x_bpe_token_count", Seq("BroadcastHashJoin", "partial_count"),
+        Seq("SortMergeJoin", "CartesianProduct")),
       // NFC normalization: the native expression stays inside whole-stage
       // codegen (a UDF would fence the scan→normalize→hash pipeline) and
       // the pass is map-only
