@@ -370,11 +370,18 @@ object QueryCatalog {
     * reused everywhere). Keyed by (dir, session): the vocab frame is
     * bound to its session's checkpointed RDDs, so a second session must
     * retrain, never inherit a dead frame. */
+  private val BpeMerges = 8 // ONE constant: training rounds AND the
+                            // oracle's unroll count must stay in lockstep
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, SparkSession), graft.operators.Bpe.Trained]()
-  private def bpeTrained(s: SparkSession, dir: String): graft.operators.Bpe.Trained =
+  private def bpeTrained(s: SparkSession, dir: String): graft.operators.Bpe.Trained = {
+    // evict artifacts of STOPPED sessions: their checkpointed vocab RDDs
+    // are unreachable and the entry would otherwise pin the dead session
+    // graph for the JVM's lifetime under session churn
+    bpeMemo.keySet.removeIf(k => k._2.sparkContext.isStopped)
     bpeMemo.computeIfAbsent((dir, s), _ =>
-      Bpe.train(T(s, dir, "documents"), "text", merges = 8))
+      Bpe.train(T(s, dir, "documents"), "text", merges = BpeMerges))
+  }
 
   /** Persisted MinHash fingerprint index for the probe query: one
     * bucketed-table write per (session catalog, sf dir). The existence
@@ -2975,7 +2982,7 @@ object QueryCatalog {
       // vocabulary, arg-max (count desc, pair asc), the render/replace/
       // split-back greedy merge — a drifted tie-break, wrong overlap rule
       // or miscounted pair all hash-fail
-      val k = 8
+      val k = BpeMerges
       val rules = (0 until k).map(i =>
         s"SELECT CAST($i AS INTEGER) AS merge_idx, pair, " +
           s"CAST(c AS BIGINT) AS pair_count FROM b$i")
@@ -2994,7 +3001,7 @@ object QueryCatalog {
       // is itself the applied tokenization of every vocab word, so the
       // top-frequency slice hash-checks segmentation boundaries, subword
       // counts AND the cumulative effect of all K rules at once
-      val k = 8
+      val k = BpeMerges
       Some(s"""WITH ${bpeCtes(k)}
              |SELECT word, freq, array_to_string(syms, ' ') AS segmented,
              |  CAST(len(syms) AS BIGINT) AS n_subwords
@@ -3013,7 +3020,7 @@ object QueryCatalog {
       // against the trained segmentation (the vocab already carries every
       // seen word's subword split — no per-occurrence re-merging), so
       // tokenizing the corpus is explode + broadcast join + one count agg
-      val k = 8
+      val k = BpeMerges
       Some(s"""WITH ${bpeCtes(k)},
              |dw AS (SELECT doc_id, word FROM (
              |    SELECT doc_id, unnest(list_filter(string_split_regex(

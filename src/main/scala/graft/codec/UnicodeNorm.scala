@@ -19,6 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * cross-engine hash-checkable. */
 object UnicodeNorm {
   def nfc(s: UTF8String): UTF8String = {
+    // byte-level ASCII pre-check: all bytes < 0x80 means the string is
+    // trivially NFC — return the input without ever decoding it, so the
+    // ASCII bulk of a corpus really is one scan, zero allocation (calling
+    // toString first would allocate a String per row just to ask
+    // isNormalized)
+    val n = s.numBytes
+    var i = 0
+    while (i < n && (s.getByte(i) & 0x80) == 0) i += 1
+    if (i == n) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))

@@ -147,23 +147,33 @@ object Dedup {
     * re-derives the exact key set — the property a PERSISTED index needs
     * (its reader may not be a JVM). Map-only; the caller owns the shuffle
     * (usually the bucketed write below). */
+  /** MinHash signature column over a shingle array (numHashes sha63-seeded
+    * minima) — the ONE implementation of the signature law; the batch
+    * index writer and the streaming index probe both build on it, so the
+    * two sides cannot drift (drifted band keys would silently stop
+    * colliding rather than erroring). */
+  private[graft] def minHashSigCol(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(sh, x => sha63(x, s))))
+
+  /** Engine-replayable band keys off a signature:
+    * `bk_b = sha63(b ":" slice-csv)` for each of the `bands` slices. */
+  private[graft] def bandKeysCol(sig: Column, bands: Int,
+      rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      sha63(concat(b.cast("string"), lit(":"), concat_ws(",",
+        transform(slice(sig, b * lit(rowsPerBand) + 1,
+          lit(rowsPerBand)), h => h.cast("string")))), lit(0)))
+
   private[graft] def minHashBandRows(df: DataFrame, textCol: String,
       idCol: String, shingleSize: Int, bands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = df
-      .select(col(idCol).cast("long").as("doc_id"),
+      rowsPerBand: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
         shingles(col(textCol), shingleSize).as("sh"))
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          s => array_min(transform(col("sh"), x => sha63(x, s)))).as("sig"))
-    sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        sha63(concat(b.cast("string"), lit(":"), concat_ws(",",
-          transform(slice(col("sig"), b * lit(rowsPerBand) + 1,
-            lit(rowsPerBand)), h => h.cast("string")))), lit(0))))
-        .as("bk"))
-  }
+        minHashSigCol(col("sh"), bands * rowsPerBand).as("sig"))
+      .select(col("doc_id"),
+        explode(bandKeysCol(col("sig"), bands, rowsPerBand)).as("bk"))
 
   /** Persist the MinHash fingerprint index of a corpus, BUCKETED by band
     * key — the write-once artifact that makes batch-refresh dedup cost

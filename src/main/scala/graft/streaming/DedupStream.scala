@@ -300,27 +300,28 @@ object DedupStream {
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
-    val numHashes = bands * rowsPerBand
     val sh = Dedup.shingles(col(textCol), shingleSize)
     // the stream side carries its shingle array through the join (micro-
-    // batches are small; the static sides never shuffle)
+    // batches are small; the static sides never shuffle). The signature
+    // and band-key laws are Dedup's SHARED columns — the index writer and
+    // this probe cannot drift apart (drifted keys would silently stop
+    // colliding instead of erroring).
     val banded = docs
       .select(col(idCol).cast("long").as("doc_id"), sh.as("sh_b"),
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          s => array_min(transform(sh, x => Dedup.sha63(x, s)))).as("sig"))
+        Dedup.minHashSigCol(sh, bands * rowsPerBand).as("sig"))
       .select(col("doc_id"), col("sh_b"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          Dedup.sha63(concat(b.cast("string"), lit(":"), concat_ws(",",
-            transform(slice(col("sig"), b * lit(rowsPerBand) + 1,
-              lit(rowsPerBand)), h => h.cast("string")))), lit(0))))
-          .as("bk"))
+        explode(Dedup.bandKeysCol(col("sig"), bands, rowsPerBand)).as("bk"))
     val idx = spark.table(indexTable).withColumnRenamed("doc_id", "dup_of")
-    val refSh = corpusDocs
-      .select(col(idCol).cast("long").as("dup_of"),
-        Dedup.shingles(col(textCol), shingleSize).as("sh_r"))
+    // join corpus RAW text first, shingle AFTER the join: candidates prune
+    // the shingling, so the per-batch verify cost is ∝ collisions, never
+    // an O(corpus) shingle pass per micro-batch (the corpus scan itself
+    // stays columnar and text-pruned)
+    val refText = corpusDocs
+      .select(col(idCol).cast("long").as("dup_of"), col(textCol).as("__rt"))
     banded.join(idx, "bk")
       .where(col("doc_id") =!= col("dup_of"))
-      .join(refSh, "dup_of")
+      .join(refText, "dup_of")
+      .withColumn("sh_r", Dedup.shingles(col("__rt"), shingleSize))
       .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_r"))))
       .withColumn("uni", size(col("sh_b")) + size(col("sh_r")) - col("inter"))
       .withColumn("jaccard",

@@ -501,17 +501,16 @@ object BenchScale {
     locally {
       val fn = graft.QueryCatalog.all
         .find(_.name == "x_curation_pipeline_v4").get.fn
-      def run(dir: String, label: String): DataFrame = {
+      def run(dir: String, label: String): (Long, DataFrame) = {
         val t0 = System.nanoTime()
         val out = fn(spark, dir)
         val n = out.count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[scale] curation_v4 $label: $n%,d kept rows, $sec%.2f s")
-        out
+        (n, out)
       }
-      val n1 = run(sfDir, "@1x").count()
-      val outN = run(tmp, s"@${factor}x")
-      val nN = outN.count()
+      val (n1, _) = run(sfDir, "@1x")
+      val (nN, outN) = run(tmp, s"@${factor}x")
       val nSources = docsN.select("source").distinct().count()
       require(nN > 0 && nN <= 15L * nSources,
         s"curation v4 cap invariant violated at ${factor}x: $nN rows " +
