@@ -3046,6 +3046,53 @@ object QueryCatalog {
           .orderBy("doc_id")
       }),
 
+    Q("x_dedup_lines",
+      // the C4 line-dedup law COMPOSED with HTML extraction: lines the
+      // whole corpus repeats (the planted entity/footer boilerplate that
+      // survives the within-page density law because it is long enough)
+      // are kept once — in the lowest-id document — and every document
+      // rebuilds from its surviving lines in order. One CTE chain replays
+      // extraction, the owner law (lowest doc, then lowest position) and
+      // the rebuild
+      Some(s"""WITH $htmlExtractCtes,
+             |ex AS (SELECT doc_id,
+             |    list_transform(kept, s -> struct_extract(s, 't')) AS ls
+             |  FROM k WHERE NOT bad),
+             |ln AS (SELECT doc_id, ls[j] AS line, j AS pos
+             |  FROM ex, unnest(range(1, len(ls)+1)) t(j)
+             |  WHERE ls[j] <> ''),
+             |own AS (SELECT line, min(doc_id) AS o_doc FROM ln GROUP BY line),
+             |own2 AS (SELECT ln.line, ln.doc_id AS o_doc, min(ln.pos) AS o_pos
+             |  FROM ln JOIN own ON ln.line = own.line
+             |    AND ln.doc_id = own.o_doc
+             |  GROUP BY 1, 2),
+             |keep AS (SELECT ln.doc_id, ln.pos, ln.line
+             |  FROM ln JOIN own2 ON ln.line = own2.line
+             |    AND ln.doc_id = own2.o_doc AND ln.pos = own2.o_pos),
+             |rb AS (SELECT doc_id,
+             |    array_to_string(list(line ORDER BY pos), chr(10)) AS text,
+             |    count(*) AS n_lines
+             |  FROM keep GROUP BY doc_id),
+             |eb AS (SELECT doc_id, len(ls) AS n0 FROM ex)
+             |SELECT eb.doc_id, coalesce(rb.text, '') AS text,
+             |  coalesce(rb.n_lines, 0) AS n_lines,
+             |  CAST(eb.n0 - coalesce(rb.n_lines, 0) AS BIGINT)
+             |    AS n_lines_dropped
+             |FROM eb LEFT JOIN rb USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        // composition-point cache (the v4 lesson): dedupLines reads the
+        // extracted text twice (line explode + the baseline count)
+        val ex = graft.operators.Web.htmlExtract(
+            T(s, dir, "documents")
+              .select(col("doc_id"), plantedHtml.as("html")),
+            "doc_id", "html")
+          .where(col("extract_ok"))
+          .select("doc_id", "text")
+          .cache()
+        Dedup.dedupLines(ex, "doc_id", "text").orderBy("doc_id")
+      }),
+
     Q("x_text_nfc",
       // Unicode NFC normalization: both engines BUILD identical non-ASCII
       // inputs from hex (decomposed é, precomposed é, Hangul jamo, the

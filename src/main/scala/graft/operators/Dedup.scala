@@ -191,6 +191,50 @@ object Dedup {
       minHashBandRows(corpus, textCol, idCol, shingleSize, bands, rowsPerBand),
       table, buckets, Seq("bk"))
 
+  /** Corpus-wide LINE deduplication — the C4 law (Raffel et al., "Exploring
+    * the Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", JMLR 2020, §2.2: repeated lines across the corpus are
+    * boilerplate and are kept once): every distinct line survives ONLY in
+    * the lowest-id document containing it; all other occurrences drop, and
+    * each document rebuilds from its surviving lines in original order.
+    * Within one document a repeated line keeps its FIRST position (the
+    * deterministic tie). Complements [[graft.operators.Web.htmlExtract]]'s
+    * within-document density law: that drops link-dense lines per page,
+    * this drops the footer/disclaimer lines whole SITES repeat.
+    *
+    * Scale shape: one map-side-combinable hash aggregate to (line →
+    * owner doc, position), one equi-join of the narrow line rows back
+    * (never the documents), one rebuild aggregate per doc. A stopword-
+    * grade hot line costs O(partitions) exchange rows in the agg — the
+    * same property as every df law here. Returns (id, text, n_lines,
+    * n_lines_dropped). */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .where(col("line") =!= "")
+    val owner = lines.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+      .select(col("line"), col("o.doc_id").as("o_doc"), col("o.pos").as("o_pos"))
+    val kept = lines.join(owner, "line")
+      .where(col("doc_id") === col("o_doc") && col("pos") === col("o_pos"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line")), "\n").as("text"),
+        count(lit(1)).as("n_lines"))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        size(filter(split(col(textCol), "\n"), l => l =!= ""))
+          .cast("long").as("__n0"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (col("__n0") - coalesce(col("n_lines"), lit(0L)))
+          .as("n_lines_dropped"))
+  }
+
   /** Append a new batch's band rows to an existing [[writeMinHashIndex]]
     * table — the refresh lifecycle's second half: after
     * [[incrementalDedupMinHash]] verdicts, the batch's KEPT docs join the

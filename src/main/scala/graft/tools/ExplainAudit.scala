@@ -114,6 +114,11 @@ object ExplainAudit {
       // heaps, never a full sort
       ("x_bpe_vocab", Seq("Scan ExistingRDD", "TakeOrderedAndProject"),
         Seq("Exchange hashpartitioning", "Sort ")),
+      // C4 line dedup: owner election is a partial-combinable min-struct
+      // hash aggregate over the narrow line rows (never the documents),
+      // the rebuild one grouped aggregate — no cartesian, no window sort
+      ("x_dedup_lines", Seq("partial_min", "partial_count"),
+        Seq("CartesianProduct", "Window ")),
       // BPE corpus tokenization: apply = broadcast LOOKUP against the
       // trained segmentation + one partial-combinable count agg — never a
       // corpus-side shuffle join or per-occurrence re-merging

@@ -1208,6 +1208,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(600))
   }
 
+  test("c4 line dedup: lowest-doc ownership, in-doc first-position tie, " +
+      "order-preserving rebuild, all-dup docs survive empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\nshared\nb"),
+      (2L, "shared\nc\nshared"),   // both occurrences lose to doc 1
+      (3L, "unique only"),
+      (4L, "x\nx"),                 // in-doc repeat: first position wins
+      (5L, "shared")                // ALL lines dup -> rebuilds empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a\nshared\nb", 3L, 0L)), out(1L))
+    assert(out(2L) == (("c", 1L, 2L)), out(2L))
+    assert(out(3L) == (("unique only", 1L, 0L)))
+    assert(out(4L) == (("x", 1L, 1L)))
+    assert(out(5L) == (("", 0L, 1L)))
+  }
+
   test("bpe training: hand-derived merges on the classic corpus, greedy " +
       "overlap law, apply face segments new text") {
     import spark.implicits._
