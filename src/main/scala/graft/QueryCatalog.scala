@@ -3093,6 +3093,108 @@ object QueryCatalog {
         Dedup.dedupLines(ex, "doc_id", "text").orderBy("doc_id")
       }),
 
+    Q("x_curation_pipeline_v5", {
+      val w = graft.operators.TextAnalysis.DefaultQualityWeights
+      val score = s"${w("w_bias")} + ${w("w_stop")}*stop_mill + " +
+        s"${w("w_punct")}*punct_mill + ${w("w_digit")}*digit_mill + " +
+        s"${w("w_len")}*len_bits"
+      // the FULL web-to-training-batch chain, every stage a law this
+      // catalog already hash-verifies standalone: raw planted HTML ->
+      // extraction + boilerplate density (error rows drop) -> C4 corpus
+      // line dedup (cross-site boilerplate) -> linear-classifier quality
+      // gate on the DEDUPED text -> BPE tokenization of survivors under
+      // the corpus-trained vocabulary (closed-vocab law: OOV words drop
+      // identically in both engines) -> sequence packing by subword
+      // budget. One CTE chain replays all six stages; any single law
+      // drifting hash-fails the pipeline
+      Some(s"""WITH $htmlExtractCtes,
+             |ex AS (SELECT doc_id,
+             |    list_transform(kept, s -> struct_extract(s, 't')) AS ls
+             |  FROM k WHERE NOT bad),
+             |ln AS (SELECT doc_id, ls[j] AS line, j AS pos
+             |  FROM ex, unnest(range(1, len(ls)+1)) t(j)
+             |  WHERE ls[j] <> ''),
+             |own AS (SELECT line, min(doc_id) AS o_doc FROM ln GROUP BY line),
+             |own2 AS (SELECT ln.line, ln.doc_id AS o_doc, min(ln.pos) AS o_pos
+             |  FROM ln JOIN own ON ln.line = own.line
+             |    AND ln.doc_id = own.o_doc
+             |  GROUP BY 1, 2),
+             |kp AS (SELECT ln.doc_id, ln.pos, ln.line
+             |  FROM ln JOIN own2 ON ln.line = own2.line
+             |    AND ln.doc_id = own2.o_doc AND ln.pos = own2.o_pos),
+             |dd AS (SELECT doc_id,
+             |    array_to_string(list(line ORDER BY pos), chr(10)) AS text
+             |  FROM kp GROUP BY doc_id),
+             |f AS (SELECT doc_id,
+             |    length(text) AS n_chars,
+             |    len(list_filter(string_split_regex(text, '\\s+'),
+             |        x -> x <> '')) AS n_tokens,
+             |    len(list_filter(string_split_regex(text, '\\s+'),
+             |        x -> list_contains(${sqlList(Stopwords.en)}, lower(x))))
+             |      AS n_stop,
+             |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+             |      AS n_punct,
+             |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+             |      AS n_digit,
+             |    text
+             |  FROM dd),
+             |g AS (SELECT doc_id, text FROM (
+             |  SELECT doc_id, text,
+             |    n_stop * 1000 // greatest(n_tokens, 1) AS stop_mill,
+             |    n_punct * 1000 // greatest(n_chars, 1) AS punct_mill,
+             |    n_digit * 1000 // greatest(n_chars, 1) AS digit_mill,
+             |    length(bin(greatest(n_chars, 1))) - 1 AS len_bits
+             |  FROM f) WHERE ($score) >= ${w("threshold")}),
+             |${bpeCtes(BpeMerges)},
+             |dw AS (SELECT doc_id, word FROM (
+             |    SELECT doc_id, unnest(list_filter(string_split_regex(
+             |      lower(text), '\\s+'), x -> x <> '')) AS word FROM g)
+             |  WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+             |tc AS (SELECT dw.doc_id,
+             |    CAST(sum(len(w$BpeMerges.syms)) AS BIGINT) AS n_subwords
+             |  FROM dw JOIN w$BpeMerges ON dw.word = w$BpeMerges.word
+             |  GROUP BY dw.doc_id),
+             |pk AS (SELECT doc_id, doc_id % 4 AS shard, n_subwords,
+             |    sum(n_subwords) OVER (PARTITION BY doc_id % 4
+             |      ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8),
+             |               doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM tc)
+             |SELECT doc_id, n_subwords,
+             |  CAST(shard * 1000000 + (cum - n_subwords) // 256 AS BIGINT)
+             |    AS pack_id
+             |FROM pk ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        // composition-point caches (the v4 lesson): the extraction feeds
+        // the line explode + baseline count; the deduped text feeds five
+        // feature expressions
+        val ex = graft.operators.Web.htmlExtract(
+            docs.select(col("doc_id"), plantedHtml.as("html")),
+            "doc_id", "html")
+          .where(col("extract_ok")).select("doc_id", "text")
+          .cache()
+        val dd = Dedup.dedupLines(ex, "doc_id", "text")
+          .where(col("n_lines") > 0).select("doc_id", "text")
+          .cache()
+        val gated = TextAnalysis.qualityScoreLinear(dd, "doc_id", "text")
+          .where(col("keep")).select("doc_id")
+        val seg = bpeTrained(s, dir).vocab
+          .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+        val toks = dd.join(gated, "doc_id")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+          .where(col("word").rlike("^[a-z0-9]+$"))
+          .join(broadcast(seg), "word")
+          .groupBy("doc_id").agg(sum("n_sub").as("n_sub"))
+        TextAnalysis.packSequences(toks, "doc_id", "n_sub",
+            budget = 256L, shards = 4)
+          .select(col("doc_id"), col("n_tokens").as("n_subwords"),
+            col("pack_id"))
+          .orderBy("doc_id")
+      }),
+
     Q("x_text_nfc",
       // Unicode NFC normalization: both engines BUILD identical non-ASCII
       // inputs from hex (decomposed é, precomposed é, Hangul jamo, the

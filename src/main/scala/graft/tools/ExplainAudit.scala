@@ -114,6 +114,13 @@ object ExplainAudit {
       // heaps, never a full sort
       ("x_bpe_vocab", Seq("Scan ExistingRDD", "TakeOrderedAndProject"),
         Seq("Exchange hashpartitioning", "Sort ")),
+      // curation v5 (web -> training batch): extraction and deduped-text
+      // frames cached at their composition points (InMemory scans), the
+      // BPE segmentation rides a broadcast lookup, packing is the one
+      // window — never a cartesian anywhere in the six-stage chain
+      ("x_curation_pipeline_v5",
+        Seq("InMemoryTableScan", "BroadcastHashJoin", "Window "),
+        Seq("CartesianProduct")),
       // C4 line dedup: owner election is a partial-combinable min-struct
       // hash aggregate over the narrow line rows (never the documents),
       // the rebuild one grouped aggregate — no cartesian, no window sort
