@@ -184,8 +184,10 @@ object QueryCatalog {
     * Arms: script/style/comment blocks (stripped), a nav list and a
     * link-footer (dropped by the density law), a short line (dropped by
     * min-length), an entity line (unescape law), a kept line WITH a link
-    * (density below threshold), and two malformed tails (id%17: unclosed
-    * script, id%23: unclosed comment) for the error channel. */
+    * (density below threshold), and three malformed tails (id%17: unclosed
+    * script, id%23: unclosed comment, id%29: closer inside a JS string —
+    * the non-greedy strip desynchronizes and the real closer survives)
+    * for the error channel. */
   private def plantedHtml: Column = {
     val t = col("text")
     concat(
@@ -206,6 +208,8 @@ object QueryCatalog {
       when(col("doc_id") % 17 === 0,
         lit("<script src=\"x.js\">trailing unterminated"))
         .when(col("doc_id") % 23 === 0, lit("<!-- unterminated trail"))
+        .when(col("doc_id") % 29 === 0,
+          lit("<script>var s = \"</script>\";</script>"))
         .otherwise(lit("")),
       lit("</body></html>"))
   }
@@ -224,7 +228,8 @@ object QueryCatalog {
       ||| '<p>tiny</p>'
       ||| '<p><a href="/a">one link</a> <a href="/b">two link</a></p>'
       ||| CASE WHEN doc_id % 17 = 0 THEN '<script src="x.js">trailing unterminated'
-      |        WHEN doc_id % 23 = 0 THEN '<!-- unterminated trail' ELSE '' END
+      |        WHEN doc_id % 23 = 0 THEN '<!-- unterminated trail'
+      |        WHEN doc_id % 29 = 0 THEN '<script>var s = "</script>";</script>' ELSE '' END
       ||| '</body></html>'""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
 
   /** DuckDB replay of [[graft.operators.Web.unescapeEntities]] — the same
@@ -257,7 +262,8 @@ object QueryCatalog {
        |    '(?is)<style(\\s[^>]*)?>.*?</style>', ' ', 'g'),
        |    '(?s)<!--.*?-->', ' ', 'g') AS x FROM h0),
        |m AS (SELECT doc_id, x,
-       |  regexp_matches(lower(x), '<script[\\s>]|<style[\\s>]|<!--') AS bad
+       |  regexp_matches(lower(x),
+       |    '<script[\\s>]|<style[\\s>]|<!--|</script|</style') AS bad
        |  FROM s3),
        |li AS (SELECT doc_id, bad,
        |  list_transform(string_split(regexp_replace(x,
@@ -2755,7 +2761,7 @@ object QueryCatalog {
       Some(s"""WITH $htmlExtractCtes
              |SELECT doc_id,
              |  NOT bad AS extract_ok,
-             |  CASE WHEN bad THEN 'unterminated script/style/comment block'
+             |  CASE WHEN bad THEN 'unterminated or desynchronized script/style/comment block'
              |       END AS error,
              |  CASE WHEN bad THEN NULL ELSE coalesce(array_to_string(
              |    list_transform(kept, s -> struct_extract(s, 't')), chr(10)),

@@ -202,37 +202,39 @@ object Dedup {
     * within-document density law: that drops link-dense lines per page,
     * this drops the footer/disclaimer lines whole SITES repeat.
     *
-    * Scale shape: one map-side-combinable hash aggregate to (line →
-    * owner doc, position), one equi-join of the narrow line rows back
-    * (never the documents), one rebuild aggregate per doc. A stopword-
-    * grade hot line costs O(partitions) exchange rows in the agg — the
-    * same property as every df law here. Returns (id, text, n_lines,
+    * Scale shape: line TEXT never crosses a line-keyed exchange. The
+    * owner election aggregates narrow (sha63(line), doc, pos) rows (map-
+    * side-combinable min-struct — a corpus-hot boilerplate line collapses
+    * to O(partitions) 8-byte-keyed rows, never a full-text funnel), the
+    * surviving (doc, pos) keys regroup per doc, and each document rebuilds
+    * INTRA-ROW by indexing its own split-line array with the kept
+    * positions — so the only exchange that carries text is the final
+    * doc-keyed join of the one-row-per-doc frame. Residual of hashing the
+    * key: two distinct lines colliding in the 63-bit space dedup as one —
+    * ~n²/2⁶⁴ expected collisions corpus-wide, the same accepted residual
+    * as every sha63 band key here. Returns (id, text, n_lines,
     * n_lines_dropped). */
   def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = df
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .where(col("line") =!= "")
-    val owner = lines.groupBy("line")
+      .select(col("doc_id"), col("pos"), sha63(col("line"), lit(0)).as("lh"))
+    val keptPos = lines.groupBy("lh")
       .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
-      .select(col("line"), col("o.doc_id").as("o_doc"), col("o.pos").as("o_pos"))
-    val kept = lines.join(owner, "line")
-      .where(col("doc_id") === col("o_doc") && col("pos") === col("o_pos"))
-    val rebuilt = kept.groupBy("doc_id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
-          s => s("line")), "\n").as("text"),
-        count(lit(1)).as("n_lines"))
+      .groupBy(col("o.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("o.pos"))).as("kp"))
     df.select(col(idCol).cast("long").as("doc_id"),
-        size(filter(split(col(textCol), "\n"), l => l =!= ""))
-          .cast("long").as("__n0"))
-      .join(rebuilt, Seq("doc_id"), "left")
+        split(col(textCol), "\n").as("__ls"))
+      .join(keptPos, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("text"), lit("")).as("text"),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
-        (col("__n0") - coalesce(col("n_lines"), lit(0L)))
-          .as("n_lines_dropped"))
+        when(col("kp").isNull, lit(""))
+          .otherwise(array_join(
+            transform(col("kp"), p => element_at(col("__ls"), p + 1)), "\n"))
+          .as("text"),
+        coalesce(size(col("kp")), lit(0)).cast("long").as("n_lines"),
+        (size(filter(col("__ls"), l => l =!= "")).cast("long")
+          - coalesce(size(col("kp")), lit(0))).as("n_lines_dropped"))
   }
 
   /** Append a new batch's band rows to an existing [[writeMinHashIndex]]

@@ -51,8 +51,12 @@ object Web {
     *     (non-greedy, case-insensitive, attribute-tolerant);
     *  2. ERROR CHANNEL: any surviving `<script`/`<style`/`<!--` opener is
     *     an unterminated block — truncated/malformed markup whose tail
-    *     would otherwise leak script source into the "text", so the whole
-    *     document routes to `extract_ok = false` instead;
+    *     would otherwise leak script source into the "text" — and any
+    *     surviving `</script`/`</style` CLOSER is the mirror case: the
+    *     non-greedy strip terminated at a closer embedded in a JS string
+    *     literal (`var s = "</script>"`), so the script tail between the
+    *     false closer and the real one survived the strip. Both route the
+    *     whole document to `extract_ok = false` instead of leaking;
     *  3. closing block tags and `<br>` become line breaks ([[BlockBreakRe]]);
     *  4. per line: strip remaining tags, unescape entities
     *     ([[EntitySteps]]), collapse whitespace; `n_text` = kept chars,
@@ -79,7 +83,8 @@ object Web {
     val noStyle =
       regexp_replace(noScript, "(?is)<style(\\s[^>]*)?>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val malformed = lower(noComment).rlike("<script[\\s>]|<style[\\s>]|<!--")
+    val malformed = lower(noComment)
+      .rlike("<script[\\s>]|<style[\\s>]|<!--|</script|</style")
     val lines = split(regexp_replace(noComment, BlockBreakRe, "\n"), "\n")
     val lineInfo = transform(lines, l => {
       val txt = norm(unescapeEntities(regexp_replace(l, "<[^>]*>", " ")))
@@ -98,7 +103,7 @@ object Web {
     df.select(
       col(idCol),
       (!malformed).as("extract_ok"),
-      when(malformed, lit("unterminated script/style/comment block"))
+      when(malformed, lit("unterminated or desynchronized script/style/comment block"))
         .otherwise(lit(null).cast("string")).as("error"),
       when(malformed, lit(null).cast("string")).otherwise(text).as("text"),
       when(malformed, lit(null).cast("long"))

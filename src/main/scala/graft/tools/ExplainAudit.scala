@@ -122,9 +122,11 @@ object ExplainAudit {
         Seq("InMemoryTableScan", "BroadcastHashJoin", "Window "),
         Seq("CartesianProduct")),
       // C4 line dedup: owner election is a partial-combinable min-struct
-      // hash aggregate over the narrow line rows (never the documents),
-      // the rebuild one grouped aggregate — no cartesian, no window sort
-      ("x_dedup_lines", Seq("partial_min", "partial_count"),
+      // hash aggregate over NARROW (sha63, doc, pos) rows — line text
+      // never rides a line-keyed exchange; the kept positions regroup per
+      // doc (partial collect_list) and the rebuild is intra-row array
+      // indexing — no cartesian, no window sort
+      ("x_dedup_lines", Seq("partial_min", "partial_collect_list"),
         Seq("CartesianProduct", "Window ")),
       // BPE corpus tokenization: apply = broadcast LOOKUP against the
       // trained segmentation + one partial-combinable count agg — never a

@@ -1185,7 +1185,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       // unterminated script -> error channel
       (4L, "<p>fine text line here</p><script>var broken = "),
       // unterminated comment -> error channel
-      (5L, "<p>fine text line here</p><!-- trailing")
+      (5L, "<p>fine text line here</p><!-- trailing"),
+      // closer inside a JS string literal: the non-greedy strip ends at
+      // the false closer, the tail '";</script>' survives -> the stray-
+      // closer mirror of the opener check routes it to the error channel
+      (6L, "<p>fine text line here</p>" +
+        "<script>var s = \"</script>\";</script>")
     ).toDF("doc_id", "html")
     val out = Web.htmlExtract(docs, "doc_id", "html").collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -1198,7 +1203,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       out(2L).getString(3) == "aaaa abcdefg bbbbbbb")
     assert(out(3L).getBoolean(1) && out(3L).getString(3) == "123456789x" &&
       out(3L).getLong(4) == 2 && out(3L).getLong(5) == 1)
-    Seq(4L, 5L).foreach { id =>
+    Seq(4L, 5L, 6L).foreach { id =>
       assert(!out(id).getBoolean(1) &&
         out(id).getString(2).contains("unterminated") && out(id).isNullAt(3))
     }
