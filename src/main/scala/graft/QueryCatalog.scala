@@ -342,29 +342,46 @@ object QueryCatalog {
         s"THEN regexp_extract($hostExpr, '([^.]+\\.$esc)$$', 1) ELSE $els END"
     }
 
+  /** DuckDB escape/unescape twins of [[graft.operators.Bpe.escSym]] —
+    * `~`→`~0`, `<`→`~1`, `>`→`~2`, inverse restores `~1`/`~2` BEFORE
+    * `~0` (the same order law as the Scala side). */
+  private def duckEsc(e: String): String =
+    s"replace(replace(replace($e, '~', '~0'), '<', '~1'), '>', '~2')"
+  private def duckUnesc(e: String): String =
+    s"replace(replace(replace($e, '~2', '>'), '~1', '<'), '~0', '~')"
+
   /** DuckDB replay of [[graft.operators.Bpe.train]], K rounds UNROLLED
-    * (generated, so the law cannot drift between engines): w0 is the
-    * alphabet-gated word-frequency table with per-char symbols; each round
-    * derives pair counts, the deterministic arg-max, and the greedy
-    * render/replace/split-back merge. */
-  private def bpeCtes(k: Int): String = {
+    * (generated, so the law cannot drift between engines): `w0` derives
+    * the word-frequency table with per-CHARACTER symbols over the FULL
+    * alphabet (no gate — punctuation/unicode/CJK all train; DuckDB's
+    * `word[i]` indexes codepoints, the twin of the engine's
+    * regexp-per-codepoint law) from a caller-supplied token source
+    * `toksrc(word)`; each round derives pair counts, the deterministic
+    * arg-max, and the greedy ESCAPED render/replace/split-back/unescape
+    * merge (escaping distributes over the space-joined pair, so the
+    * pattern is one replace of ' ' in the escaped pair). */
+  private def bpeCtes(k: Int, toksrc: String =
+      """SELECT unnest(list_filter(string_split_regex(lower(text),
+        | '\s+'), x -> x <> '')) AS word FROM documents""".stripMargin
+        .replaceAll("\\s*\\n\\s*", " ")): String = {
     val base =
-      """w0 AS (SELECT word, freq,
-        |    list_transform(range(1, length(word)+1), i -> word[i]) AS syms
-        |  FROM (SELECT word, count(*) AS freq FROM
-        |    (SELECT unnest(list_filter(string_split_regex(lower(text),
-        |       '\s+'), x -> x <> '')) AS word FROM documents)
-        |    WHERE regexp_matches(word, '^[a-z0-9]+$')
-        |    GROUP BY word))""".stripMargin
+      s"""w0 AS (SELECT word, freq,
+         |    list_transform(range(1, length(word)+1), i -> word[i]) AS syms
+         |  FROM (SELECT word, count(*) AS freq FROM
+         |    ($toksrc)
+         |    GROUP BY word))""".stripMargin
     val rounds = (0 until k).map { i =>
       s"""p$i AS (SELECT syms[j] || ' ' || syms[j+1] AS pair,
          |    sum(freq) AS c
          |  FROM w$i, unnest(range(1, len(syms))) t(j) GROUP BY 1),
          |b$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
-         |w${i + 1} AS (SELECT word, freq, string_split(trim(replace(
-         |    '<' || array_to_string(syms, '><') || '>',
-         |    '<' || replace(b$i.pair, ' ', '><') || '>',
-         |    '<' || replace(b$i.pair, ' ', '') || '>'), '<>'), '><') AS syms
+         |w${i + 1} AS (SELECT word, freq, list_transform(
+         |    string_split(trim(replace(
+         |    '<' || array_to_string(list_transform(syms,
+         |      s -> ${duckEsc("s")}), '><') || '>',
+         |    '<' || replace(${duckEsc(s"b$i.pair")}, ' ', '><') || '>',
+         |    '<' || replace(${duckEsc(s"b$i.pair")}, ' ', '') || '>'),
+         |    '<>'), '><'), s -> ${duckUnesc("s")}) AS syms
          |  FROM w$i, b$i)""".stripMargin
     }
     (base +: rounds).mkString(",\n").replaceAll("\\s*\\n\\s*", " ")
@@ -376,6 +393,8 @@ object QueryCatalog {
     * reused everywhere). Keyed by (dir, session): the vocab frame is
     * bound to its session's checkpointed RDDs, so a second session must
     * retrain, never inherit a dead frame. */
+  private val BpeBytesMerges = 10 // x_bpe_train_bytes rounds (oracle unroll
+                                  // count stays in lockstep)
   private val BpeMerges = 8 // ONE constant: training rounds AND the
                             // oracle's unroll count must stay in lockstep
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -385,8 +404,13 @@ object QueryCatalog {
     // are unreachable and the entry would otherwise pin the dead session
     // graph for the JVM's lifetime under session churn
     bpeMemo.keySet.removeIf(k => k._2.sparkContext.isStopped)
+    // case folding is the CALLER's composition under the alphabet-complete
+    // law — these queries train the folded vocabulary (lower BEFORE
+    // tokenizing, the oracle's lower(text) twin)
     bpeMemo.computeIfAbsent((dir, s), _ =>
-      Bpe.train(T(s, dir, "documents"), "text", merges = BpeMerges))
+      Bpe.train(T(s, dir, "documents")
+          .select(col("doc_id"), lower(col("text")).as("text")),
+        "text", merges = BpeMerges))
   }
 
   /** Persisted MinHash fingerprint index for the probe query: one
@@ -3028,11 +3052,9 @@ object QueryCatalog {
       // tokenizing the corpus is explode + broadcast join + one count agg
       val k = BpeMerges
       Some(s"""WITH ${bpeCtes(k)},
-             |dw AS (SELECT doc_id, word FROM (
-             |    SELECT doc_id, unnest(list_filter(string_split_regex(
+             |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(
              |      lower(text), '\\s+'), x -> x <> '')) AS word
              |    FROM documents)
-             |  WHERE regexp_matches(word, '^[a-z0-9]+$$'))
              |SELECT dw.doc_id,
              |  count(*) AS n_words,
              |  CAST(sum(len(w$k.syms)) AS BIGINT) AS n_subwords
@@ -3042,14 +3064,59 @@ object QueryCatalog {
       (s, dir) => {
         val seg = bpeTrained(s, dir).vocab
           .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+        // alphabet-complete closed-vocab law: the vocabulary is trained on
+        // THIS corpus, so every token joins — no gate drops words anymore
         T(s, dir, "documents")
           .select(col("doc_id"),
             explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
-          .where(col("word").rlike("^[a-z0-9]+$"))
           .join(broadcast(seg), "word")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
           .orderBy("doc_id")
+      }),
+
+    Q("x_bpe_train_bytes", {
+      // the ALPHABET-COMPLETE face of the trainer on a planted corpus that
+      // the old [a-z0-9] gate would have dropped almost entirely: mixed
+      // case, ASCII + curly punctuation, precomposed AND decomposed
+      // accents (composed downstream of NFC normalization, so both train
+      // as ONE precomposed symbol), CJK + fullwidth punctuation. Both
+      // engines build identical bytes from hex, NFC-normalize, then replay
+      // K unrolled rounds of the escaped render/replace/split-back law
+      val k = BpeBytesMerges
+      val toksrc = "SELECT unnest(list_filter(string_split_regex(t, " +
+        "'\\s+'), x -> x <> '')) AS word FROM pb"
+      val rules = (0 until k).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS merge_idx, pair, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM b$i")
+        .mkString("\nUNION ALL\n")
+      Some(s"""WITH pb AS (SELECT doc_id, nfc_normalize(
+             |  (CASE doc_id % 4
+             |    WHEN 0 THEN 'Cafe' || decode(unhex('CC81')) || '!'
+             |    WHEN 1 THEN decode(unhex('C3A9')) || 'tude,'
+             |    WHEN 2 THEN decode(unhex('E4BDA0E5A5BDE4B896E7958CEFBC81'))
+             |    ELSE 'Don' || decode(unhex('E28099')) || 't' END)
+             |  || ' don' || chr(39) || 't don' || chr(39) || 't stop.') AS t
+             |  FROM documents),
+             |${bpeCtes(k, toksrc)}
+             |$rules
+             |ORDER BY merge_idx""".stripMargin)
+    },
+      (s, dir) => {
+        import s.implicits._
+        def u(hex: String) = decode(unhex(lit(hex)), "UTF-8")
+        val arm = pmod(col("doc_id"), lit(4))
+        val raw = concat(
+          when(arm === 0, concat(lit("Cafe"), u("CC81"), lit("!")))
+            .when(arm === 1, concat(u("C3A9"), lit("tude,")))
+            .when(arm === 2, u("E4BDA0E5A5BDE4B896E7958CEFBC81"))
+            .otherwise(concat(lit("Don"), u("E28099"), lit("t"))),
+          lit(" don't don't stop."))
+        val corpus = T(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.nfcNormalize(raw).as("text"))
+        Bpe.train(corpus, "text", merges = BpeBytesMerges).rules.toDF()
+          .orderBy("merge_idx")
       }),
 
     Q("x_dedup_lines",
@@ -3152,10 +3219,8 @@ object QueryCatalog {
              |    length(bin(greatest(n_chars, 1))) - 1 AS len_bits
              |  FROM f) WHERE ($score) >= ${w("threshold")}),
              |${bpeCtes(BpeMerges)},
-             |dw AS (SELECT doc_id, word FROM (
-             |    SELECT doc_id, unnest(list_filter(string_split_regex(
-             |      lower(text), '\\s+'), x -> x <> '')) AS word FROM g)
-             |  WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+             |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(
+             |      lower(text), '\\s+'), x -> x <> '')) AS word FROM g),
              |tc AS (SELECT dw.doc_id,
              |    CAST(sum(len(w$BpeMerges.syms)) AS BIGINT) AS n_subwords
              |  FROM dw JOIN w$BpeMerges ON dw.word = w$BpeMerges.word
@@ -3191,7 +3256,6 @@ object QueryCatalog {
         val toks = dd.join(gated, "doc_id")
           .select(col("doc_id"),
             explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
-          .where(col("word").rlike("^[a-z0-9]+$"))
           .join(broadcast(seg), "word")
           .groupBy("doc_id").agg(sum("n_sub").as("n_sub"))
         TextAnalysis.packSequences(toks, "doc_id", "n_sub",

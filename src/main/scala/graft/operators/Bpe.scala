@@ -18,12 +18,22 @@ import org.apache.spark.sql.functions._
   *      can replay) as a ONE-row driver fetch, and a map-only merge
   *      applied to every word's symbol sequence.
   *
+  * The law is ALPHABET-COMPLETE: symbols are the word's codepoints — any
+  * script, punctuation, digits, emoji — with NO character gate (real
+  * corpora are mostly outside `[a-z0-9]`; compose [[wordVocab]] downstream
+  * of [[graft.codec.UnicodeNorm]]'s NFC pass so `é` trains as one
+  * precomposed symbol regardless of source encoding). Case folding is the
+  * CALLER's composition choice: pre-project `lower(text)` for a folded
+  * vocabulary, pass raw text for the case-preserving one.
+  *
   * The MERGE LAW is exact and engine-replayable: a symbol sequence renders
-  * as "<s1><s2>…<sn>" (symbols are gated to `^[a-z0-9]+$`, so the angle
-  * brackets cannot collide), the chosen pair replaces
-  * "<a><b>" → "<ab>" with plain left-to-right non-overlapping string
-  * replace — exactly greedy BPE, including the self-overlap case
-  * ("aaa" merging (a,a) → [aa, a]) — and splits back on "><". A SQL
+  * as "<s1><s2>…<sn>" where each symbol is ESCAPED (`~`→`~0`, `<`→`~1`,
+  * `>`→`~2`) so the angle-bracket separators can never collide with symbol
+  * content; the chosen pair replaces "<a><b>" → "<ab>" (escaped forms)
+  * with plain left-to-right non-overlapping string replace — exactly
+  * greedy BPE, including the self-overlap case ("aaa" merging (a,a) →
+  * [aa, a]) — splits back on "><" and unescapes. Escaping is per-char, so
+  * esc(a)·esc(b) = esc(ab) and the law composes over merged symbols. A SQL
   * oracle replays K unrolled rounds of the identical law, so a drifted
   * tie-break, a wrong overlap rule or a miscounted pair all hash-fail.
   *
@@ -40,28 +50,56 @@ object Bpe {
 
   final case class Trained(rules: Seq[MergeRule], vocab: DataFrame)
 
-  /** Word-frequency base table with per-char symbol sequences. The
-    * alphabet gate (`^[a-z0-9]+$`) is part of the law: it guarantees the
-    * render separators can never appear inside a symbol. */
+  /** Escape a symbol for the render law: `~`→`~0`, `<`→`~1`, `>`→`~2`.
+    * Injective and per-char, so separators never collide and escaping
+    * distributes over concatenation. */
+  private[graft] def escSym(c: Column): Column =
+    replace(replace(replace(c, lit("~"), lit("~0")),
+      lit("<"), lit("~1")), lit(">"), lit("~2"))
+
+  /** Inverse of [[escSym]] — `~1`/`~2` first (restoring `~0`→`~` first
+    * would fabricate `~1` sequences from escaped-tilde + digit runs). */
+  private[graft] def unescSym(c: Column): Column =
+    replace(replace(replace(c, lit("~2"), lit(">")),
+      lit("~1"), lit("<")), lit("~0"), lit("~"))
+
+  private[graft] def escStr(s: String): String =
+    s.replace("~", "~0").replace("<", "~1").replace(">", "~2")
+
+  /** Per-CODEPOINT symbol array — `regexp_extract_all(word, '.')`, which
+    * keeps surrogate pairs whole (Java regex matches codepoints) and so
+    * agrees element-for-element with a SQL engine's character indexing;
+    * `split(word, "")` would shear emoji into unpaired surrogates and its
+    * trailing-empty behavior is version-dependent (SPARK-40194). */
+  private[graft] def codepoints(word: Column): Column =
+    regexp_extract_all(word, lit("(?s)."), lit(0))
+
+  /** Word-frequency base table with per-codepoint symbol sequences over
+    * the FULL alphabet (no character gate — see object doc). */
   def wordVocab(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
-      .where(col("word").rlike("^[a-z0-9]+$"))
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
+      .select(col("word"), col("freq"), codepoints(col("word")).as("syms"))
 
   /** One greedy merge of adjacent pair (a, b) in a symbol array — the
-    * render → replace → split-back law (see object doc). */
-  def mergeSyms(syms: Column, a: String, b: String): Column =
-    split(
-      trim(
-        replace(
-          concat(lit("<"), array_join(syms, "><"), lit(">")),
-          lit(s"<$a><$b>"), lit(s"<$a$b>")),
-        "<>"),
-      "><")
+    * escaped render → replace → split-back → unescape law (object doc). */
+  def mergeSyms(syms: Column, a: String, b: String): Column = {
+    val (ea, eb) = (escStr(a), escStr(b))
+    transform(
+      split(
+        trim(
+          replace(
+            concat(lit("<"),
+              array_join(transform(syms, s => escSym(s)), "><"), lit(">")),
+            lit(s"<$ea><$eb>"), lit(s"<$ea$eb>")),
+          "<>"),
+        "><"),
+      s => unescSym(s))
+  }
 
   /** Adjacent-pair candidates of a symbol array as "s1 s2" strings
-    * (symbols never contain spaces, so the separator is unambiguous). */
+    * (symbols come from whitespace-split tokens, so they never contain
+    * whitespace and the separator is unambiguous). */
   private def pairCol(syms: Column): Column = {
     val n1 = greatest(size(syms) - 1, lit(0))
     zip_with(slice(syms, lit(1), n1), slice(syms, lit(2), n1),
@@ -118,9 +156,8 @@ object Bpe {
   def segment(df: DataFrame, textCol: String,
       rules: Seq[MergeRule]): DataFrame = {
     val base = df.withColumn("__w",
-      explode(TextAnalysis.tokens(lower(col(textCol)))))
-      .where(col("__w").rlike("^[a-z0-9]+$"))
-      .withColumn("syms", split(col("__w"), ""))
+      explode(TextAnalysis.tokens(col(textCol))))
+      .withColumn("syms", codepoints(col("__w")))
     rules.sortBy(_.merge_idx).foldLeft(base) { (acc, r) =>
       val Array(a, b) = r.pair.split(" ", 2)
       acc.withColumn("syms", mergeSyms(col("syms"), a, b))

@@ -1276,6 +1276,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bpe alphabet-complete law: unicode/punctuation symbols train, the " +
+      "escaped render survives its own special chars, case is preserved") {
+    import spark.implicits._
+    // words the old [a-z0-9] gate silently dropped: CJK merges FIRST
+    // (highest count), then the apostrophe pair wins the c=2 tie by
+    // pair-asc binary order ("' t" < "d o" < "n '" < "o n")
+    val corpus = Seq((1L, "你好 你好 你好 don't don't"))
+      .toDF("doc_id", "text")
+    val t = Bpe.train(corpus, "text", merges = 2)
+    assert(t.rules == Seq(
+      Bpe.MergeRule(0, "你 好", 3L), Bpe.MergeRule(1, "' t", 2L)), t.rules)
+    // the render law's OWN special chars as symbol content: merging
+    // across '<', '>' and the escape char '~' must neither collide with
+    // the separators nor corrupt neighbours
+    def seg(word: String, rules: Seq[Bpe.MergeRule]): Seq[String] =
+      Bpe.segment(Seq((1L, word)).toDF("doc_id", "text"), "text", rules)
+        .select("syms").head().getSeq[String](0).toSeq
+    assert(seg("a<b", Seq(Bpe.MergeRule(0, "a <", 1L))) == Seq("a<", "b"))
+    assert(seg("~x~", Seq(Bpe.MergeRule(0, "~ x", 1L),
+      Bpe.MergeRule(1, "~x ~", 1L))) == Seq("~x~"))
+    assert(seg(">>", Seq(Bpe.MergeRule(0, "> >", 1L))) == Seq(">>"))
+    // case preserved: "Low" and "low" are distinct vocabulary entries
+    val cased = Bpe.train(Seq((1L, "Low low Low")).toDF("doc_id", "text"),
+      "text", merges = 1)
+    val words = cased.vocab.select("word").collect().map(_.getString(0)).toSet
+    assert(words == Set("Low", "low"), words)
+    // emoji (astral plane) is ONE symbol, not two surrogate halves
+    assert(seg("😀ab", Seq(Bpe.MergeRule(0, "a b", 1L))) ==
+      Seq("😀", "ab"))
+  }
+
   test("nfc normalization: canonical composition laws, idempotence, and " +
       "composition-equal docs dedup identically after it") {
     import spark.implicits._
