@@ -158,6 +158,9 @@ object GraftFunctions {
     nativeCol(graft.plans.WinnowFingerprintsExpression(exprOf(c), n, w))
   def ngramWindows(c: Column, n: Int): Column =
     nativeCol(graft.plans.NgramWindowsExpression(exprOf(c), n))
+  /** Fused BPE apply: `rules` is the flattened rank-ordered pair list. */
+  def bpeSegment(c: Column, rules: Array[String]): Column =
+    nativeCol(graft.plans.BpeSegmentExpression(exprOf(c), rules))
   def bloomMightContain(c: Column, bloomBytes: Array[Byte]): Column =
     nativeCol(graft.plans.BloomMightContainExpression(exprOf(c), bloomBytes))
   def strkeyContract(c: Column): Column =

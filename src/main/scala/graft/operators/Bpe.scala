@@ -150,10 +150,27 @@ object Bpe {
     Trained(rules.toSeq, words)
   }
 
-  /** Segment NEW text with already-learned rules — the apply face: each
-    * rule is one map-only merge pass in rank order, so tokenizing a
-    * corpus is `merges` chained projections with no shuffle at all. */
+  /** Segment NEW text with already-learned rules — the apply face: the
+    * FULL ordered rule list applies in ONE fused native expression per
+    * word (map-only, no shuffle), so a realistic 32k-merge vocabulary is
+    * one plan node instead of a 32k-deep projection chain (the measured
+    * Catalyst plan-latency blowup class — see [[segmentChained]], kept as
+    * the law's reference formulation for differential tests). */
   def segment(df: DataFrame, textCol: String,
+      rules: Seq[MergeRule]): DataFrame = {
+    val packed = rules.sortBy(_.merge_idx)
+      .flatMap(r => r.pair.split(" ", 2)).toArray
+    df.withColumn("__w", explode(TextAnalysis.tokens(col(textCol))))
+      .withColumn("syms",
+        graft.functions.GraftFunctions.bpeSegment(col("__w"), packed))
+      .drop("__w")
+  }
+
+  /** The chained-projection formulation of [[segment]] — one
+    * [[mergeSyms]] pass per rule. Bit-identical to the fused expression
+    * by the law-equivalence argument in [[graft.codec.BpeCodec]]; K-deep
+    * plans make it a differential-test reference, not a production path. */
+  private[graft] def segmentChained(df: DataFrame, textCol: String,
       rules: Seq[MergeRule]): DataFrame = {
     val base = df.withColumn("__w",
       explode(TextAnalysis.tokens(col(textCol))))

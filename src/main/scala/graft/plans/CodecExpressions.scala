@@ -511,6 +511,30 @@ case class NgramShinglesExpression(child: Expression, n: Int)
   override def prettyName: String = "ngram_shingles"
 }
 
+/** Fused BPE apply ([[graft.codec.BpeCodec.segmentWord]]): the FULL
+  * ordered merge list in one compiled pass per word. The DataFrame
+  * formulation chains one projection per rule — a K-deep plan Catalyst
+  * re-analyzes per consumer, the measured plan-latency blowup class at
+  * K=1000+; here K=32k rides one reference object and the plan is one
+  * node. `rules` is the flattened rank-ordered pair list [a0,b0,a1,b1,…]. */
+case class BpeSegmentExpression(child: Expression, rules: Array[String])
+    extends CodecUnaryExpression {
+  require(rules.length % 2 == 0, "rules must be (a, b) pairs flattened")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.BpeCodec.segmentWord(input.asInstanceOf[UTF8String], rules)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRules", rules, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.BpeCodec$$.MODULE$$.segmentWord($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeSegmentExpression =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_segment"
+}
+
 /** POSITIONAL word n-gram windows (no dedup): element i is the n-gram at
   * word offset i, so `posexplode` yields true offsets. Drives the
   * substring-duplication span finder ([[graft.operators.Dedup.substringSpans]]). */

@@ -1307,6 +1307,48 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("😀", "ab"))
   }
 
+  test("bpe fused apply: bit-identical to the chained-projection law, " +
+      "and K=1000 rules stay one plan node with bounded compile time") {
+    import spark.implicits._
+    // differential: the fused native expression vs the render/replace law
+    // it replaces, over text exercising overlap, punctuation, the escape
+    // chars and unicode
+    val corpus = Seq((1L, "low lower lowest aaa don't a<b ~x~ 你好 😀ab"),
+      (2L, "newest widest wide east aaa aa a"))
+      .toDF("doc_id", "text")
+    val trained = Bpe.train(
+      Seq((1L, "low low low low low lower lower newest newest " +
+        "newest newest newest newest widest widest widest aaa aaa don't"))
+        .toDF("doc_id", "text"), "text", merges = 8)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[String])] =
+      df.select(col("doc_id"), col("syms")).collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq
+    val fused = rows(Bpe.segment(corpus, "text", trained.rules))
+    val chained = rows(Bpe.segmentChained(corpus, "text", trained.rules))
+    assert(fused == chained, s"fused=$fused\nchained=$chained")
+    // K=1000 stress (the r16 PQ-lesson methodology): a chained plan at
+    // this depth is the Catalyst analysis blowup; the fused expression is
+    // ONE node — plan + execute must complete in interactive time and the
+    // rule cascade must apply fully (rule i merges the growing prefix
+    // with the next 'x', so the word collapses to ONE symbol only if all
+    // 1000 rules fired in rank order)
+    val k = 1000
+    val stressRules = (0 until k).map { i =>
+      Bpe.MergeRule(i, ("a" + "x" * i) + " x", 1L)
+    }
+    val word = "a" + "x" * k
+    val t0 = System.nanoTime()
+    val out = Bpe.segment(Seq((1L, word)).toDF("doc_id", "text"),
+      "text", stressRules)
+    val segd = out.select("syms").head().getSeq[String](0).toSeq
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(segd == Seq(word), s"got ${segd.size} symbols")
+    assert(elapsed < 30.0, s"K=$k fused apply took ${elapsed}s")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && plan.length < 20000,
+      s"plan size ${plan.length}")
+  }
+
   test("nfc normalization: canonical composition laws, idempotence, and " +
       "composition-equal docs dedup identically after it") {
     import spark.implicits._
