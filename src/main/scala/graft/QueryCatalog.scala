@@ -2775,6 +2775,85 @@ object QueryCatalog {
             T(s, dir, "documents"), "doc_id", "text")
           .orderBy("doc_id")),
 
+    Q("x_text_gopher_rules", {
+      val stops = sqlList(graft.operators.TextAnalysis.GopherStopwords)
+      // the Gopher line/word-grain rule family over planted per-rule
+      // violators (id%11 bullet-only, %13 ellipsis line ends, %17 symbol
+      // ratio, %19 no alphabetic words, %23 mean word length 1) — every
+      // boundary an exact-integer millifraction, so DuckDB re-derives each
+      // rule column AND the composite verdict
+      Some(s"""WITH p AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 11 = 0
+             |    THEN '• buy' || chr(10) || '• sell' || chr(10) || '• hold'
+             |  WHEN doc_id % 13 = 0
+             |    THEN 'to be continued...' || chr(10) || 'more soon…'
+             |      || chr(10) || 'the end'
+             |  WHEN doc_id % 17 = 0 THEN '# # # tag ## of ### markers # be'
+             |  WHEN doc_id % 19 = 0 THEN '12 34 56 78 90 11 22 33'
+             |  WHEN doc_id % 23 = 0 THEN 'a b c d e f g h i j'
+             |  ELSE text END AS t FROM documents),
+             |f AS (SELECT doc_id, t,
+             |  list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS toks,
+             |  list_filter(string_split(t, chr(10)), l -> l <> '') AS ls
+             |  FROM p),
+             |g AS (SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_words,
+             |  CAST(len(ls) AS BIGINT) AS n_lines,
+             |  CAST(coalesce(list_sum(list_transform(toks,
+             |    w -> length(w))), 0) AS BIGINT) AS wc,
+             |  CAST((length(t) - length(replace(t, '#', '')))
+             |    + (length(t) - length(replace(t, '…', '')))
+             |    + ((length(t) - length(replace(t, '...', ''))) // 3)
+             |    AS BIGINT) AS sym,
+             |  CAST(len(list_filter(ls, l -> l[1] IN ('•', '-', '*')))
+             |    AS BIGINT) AS bl,
+             |  CAST(len(list_filter(ls, l -> ends_with(l, '…')
+             |    OR ends_with(l, '...'))) AS BIGINT) AS el,
+             |  CAST(len(list_filter(toks, w -> regexp_matches(w, '\\p{L}')))
+             |    AS BIGINT) AS aw,
+             |  CAST(len(list_filter($stops, sw -> list_contains(
+             |    list_transform(toks, w -> lower(w)), sw))) AS BIGINT)
+             |    AS n_stop_hits
+             |  FROM f),
+             |h AS (SELECT doc_id, n_words, n_lines, n_stop_hits,
+             |  wc * 1000 // greatest(n_words, 1) AS mean_len_mill,
+             |  sym * 1000 // greatest(n_words, 1) AS symbol_mill,
+             |  bl * 1000 // greatest(n_lines, 1) AS bullet_mill,
+             |  el * 1000 // greatest(n_lines, 1) AS ellipsis_mill,
+             |  aw * 1000 // greatest(n_words, 1) AS alpha_mill
+             |  FROM g)
+             |SELECT doc_id, n_words, n_lines, n_stop_hits, mean_len_mill,
+             |  symbol_mill, bullet_mill, ellipsis_mill, alpha_mill,
+             |  n_words BETWEEN 50 AND 100000 AS r_words,
+             |  mean_len_mill BETWEEN 3000 AND 10000 AS r_mean_len,
+             |  symbol_mill <= 100 AS r_symbol,
+             |  bullet_mill <= 900 AS r_bullet,
+             |  ellipsis_mill <= 300 AS r_ellipsis,
+             |  alpha_mill >= 800 AS r_alpha,
+             |  n_stop_hits >= 2 AS r_stop,
+             |  (n_words BETWEEN 50 AND 100000)
+             |    AND (mean_len_mill BETWEEN 3000 AND 10000)
+             |    AND symbol_mill <= 100 AND bullet_mill <= 900
+             |    AND ellipsis_mill <= 300 AND alpha_mill >= 800
+             |    AND n_stop_hits >= 2 AS gopher_keep
+             |FROM h ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val planted = when(col("doc_id") % 11 === 0,
+            lit("• buy\n• sell\n• hold"))
+          .when(col("doc_id") % 13 === 0,
+            lit("to be continued...\nmore soon…\nthe end"))
+          .when(col("doc_id") % 17 === 0,
+            lit("# # # tag ## of ### markers # be"))
+          .when(col("doc_id") % 19 === 0, lit("12 34 56 78 90 11 22 33"))
+          .when(col("doc_id") % 23 === 0, lit("a b c d e f g h i j"))
+          .otherwise(col("text"))
+        TextAnalysis.gopherRules(
+            T(s, dir, "documents").select(col("doc_id"), planted.as("t")),
+            "doc_id", "t")
+          .orderBy("doc_id")
+      }),
+
     Q("x_text_html_extract",
       // HTML -> text with the line-grain boilerplate law: both engines
       // build IDENTICAL planted markup (script/style/comment blocks, nav

@@ -131,6 +131,77 @@ object TextAnalysis {
         col("score_scaled"), col("keep"))
   }
 
+  /** The 8 required stopwords of the Gopher stopword rule (Rae et al.,
+    * "Scaling Language Models: … Gopher", 2021, §A1.1): a document must
+    * contain at least 2 of them. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule quality filter (Rae et al. 2021 §A1.1, the Dolma/RefinedWeb
+    * reimplementation family) — the line-grain and word-grain rules the
+    * linear classifier shape doesn't cover, every boundary an EXACT-INTEGER
+    * millifraction so any engine replays keep/drop bit-identically:
+    *
+    *   r_words    : minWords ≤ n_words ≤ maxWords
+    *   r_mean_len : 3000 ≤ 1000·Σ|word| div n_words ≤ 10000   (mean ∈ [3,10])
+    *   r_symbol   : 1000·(#'#' + #'…' + #'...') div n_words ≤ 100
+    *                ('…' per codepoint; '...' as non-overlapping ASCII
+    *                triples — disjoint char sets, so the counts compose)
+    *   r_bullet   : 1000·lines starting '•'/'-'/'*' div n_lines ≤ 900
+    *   r_ellipsis : 1000·lines ending '…' or '...' div n_lines ≤ 300
+    *   r_alpha    : 1000·words containing a \\p{L} letter div n_words ≥ 800
+    *   r_stop     : ≥ 2 distinct [[GopherStopwords]] present (lowercased)
+    *   gopher_keep = all of the above
+    *
+    * Empty-denominator corners: a wordless doc fails r_words/r_alpha/r_stop
+    * (ratios divide by max(n,1)); a lineless doc passes the line rules
+    * vacuously (0 ≤ threshold). Scale shape: map-only column algebra —
+    * composes with the scan at any corpus size, no shuffle, no UDF. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val lines = filter(split(t, "\n"), l => l =!= "")
+    val nWords = size(toks).cast("long")
+    val nLines = size(lines).cast("long")
+    val wordChars = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    val nHash = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+    val nEllip = (length(t) - length(replace(t, lit("…"), lit("")))).cast("long")
+    val nDots = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
+      .cast("long")
+    val bulletLines = size(filter(lines,
+      l => substring(l, 1, 1).isin("•", "-", "*"))).cast("long")
+    val ellipsisLines = size(filter(lines,
+      l => l.endsWith("…") || l.endsWith("..."))).cast("long")
+    val alphaWords = size(filter(toks, w => w.rlike("\\p{L}"))).cast("long")
+    val stopHits = size(filter(
+      array(GopherStopwords.map(lit(_)): _*),
+      sw => array_contains(transform(toks, w => lower(w)), sw))).cast("long")
+    df.select(col(idCol), nWords.as("n_words"), nLines.as("n_lines"),
+        wordChars.as("__wc"), (nHash + nEllip + nDots).as("__sym"),
+        bulletLines.as("__bl"), ellipsisLines.as("__el"),
+        alphaWords.as("__aw"), stopHits.as("n_stop_hits"))
+      .withColumn("mean_len_mill", expr("__wc * 1000 div greatest(n_words, 1)"))
+      .withColumn("symbol_mill", expr("__sym * 1000 div greatest(n_words, 1)"))
+      .withColumn("bullet_mill", expr("__bl * 1000 div greatest(n_lines, 1)"))
+      .withColumn("ellipsis_mill", expr("__el * 1000 div greatest(n_lines, 1)"))
+      .withColumn("alpha_mill", expr("__aw * 1000 div greatest(n_words, 1)"))
+      .withColumn("r_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean_len",
+        col("mean_len_mill") >= 3000L && col("mean_len_mill") <= 10000L)
+      .withColumn("r_symbol", col("symbol_mill") <= 100L)
+      .withColumn("r_bullet", col("bullet_mill") <= 900L)
+      .withColumn("r_ellipsis", col("ellipsis_mill") <= 300L)
+      .withColumn("r_alpha", col("alpha_mill") >= 800L)
+      .withColumn("r_stop", col("n_stop_hits") >= 2L)
+      .withColumn("gopher_keep",
+        col("r_words") && col("r_mean_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stop"))
+      .drop("__wc", "__sym", "__bl", "__el", "__aw")
+  }
+
   /** Corpus-LM quality signal — the CCNet/Gopher perplexity-filter family,
     * INTEGERIZED so the whole law replays in a SQL oracle: train a bigram
     * count model on the corpus itself (two map-side-combinable count

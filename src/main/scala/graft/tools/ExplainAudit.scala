@@ -143,6 +143,11 @@ object ExplainAudit {
       // range partition), no join of any kind
       ("x_text_html_extract", Seq(),
         Seq("Exchange hashpartitioning", "Join")),
+      // Gopher rule family: pure column algebra over the scan — all seven
+      // millifraction rules in one map-only projection, no exchange, no
+      // join, no UDF fence
+      ("x_text_gopher_rules", Seq(),
+        Seq("Exchange hashpartitioning", "Join", "BatchEvalPython")),
       // linear quality gate: the 1-row weights frame rides a broadcast
       // nested-loop (bounded build side BY CONSTRUCTION); featurization is
       // map-only — no hash exchange, no cartesian

@@ -1349,6 +1349,52 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"plan size ${plan.length}")
   }
 
+  test("gopher rules: each rule catches exactly its planted violator, " +
+      "clean prose passes all seven") {
+    import spark.implicits._
+    val good = Array.fill(6)(
+      "the quick brown fox jumps to be of and that have with")
+      .mkString(" ") // 72 words, mean 3500 milli, 8 stopword hits
+    val docs = Seq(
+      (0L, good, "keep"),
+      (1L, "short doc with the be", "r_words"),           // 5 words < 50
+      (2L, (Array.fill(30)("a b c").mkString(" ") + " the be"),
+        "r_mean_len"),                                    // mean 978 < 3000
+      (3L, good + " # # # # # # # # #", "r_symbol"),      // 9/81 = 111 > 100
+      (4L, Array.fill(10)(
+        "• the quick brown fox jumps to be of and that have with")
+        .mkString("\n"), "r_bullet"),                     // 1000 > 900
+      (5L, Array.fill(10)(
+        "the quick brown fox jumps to be of and that have with...")
+        .mkString("\n"), "r_ellipsis"),                   // 1000 > 300
+      (6L, (Array.fill(40)("123").mkString(" ") + " " + good.split(" ")
+        .take(12).mkString(" ")), "r_alpha"),             // 230 < 800
+      (7L, Array.fill(7)("quick brown fox jumps over lazy dog again")
+        .mkString(" "), "r_stop")                         // 0 hits < 2
+    ).toDF("doc_id", "text", "expect")
+    val rules = Seq("r_words", "r_mean_len", "r_symbol", "r_bullet",
+      "r_ellipsis", "r_alpha", "r_stop")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "expect"), "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("gopher_keep"),
+      out(0L).toString)
+    (1L to 7L).foreach { id =>
+      val r = out(id)
+      val expect = r.getAs[String]("expect")
+      assert(!r.getAs[Boolean]("gopher_keep"), s"doc $id kept")
+      rules.foreach { rule =>
+        val v = r.getAs[Boolean](rule)
+        assert(v == (rule != expect),
+          s"doc $id: $rule=$v (violator is $expect): $r")
+      }
+    }
+    // map-only: the whole family is column algebra over the scan
+    val plan = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(400))
+  }
+
   test("nfc normalization: canonical composition laws, idempotence, and " +
       "composition-equal docs dedup identically after it") {
     import spark.implicits._
