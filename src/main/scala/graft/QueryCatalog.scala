@@ -3567,6 +3567,60 @@ object QueryCatalog {
         TextAnalysis.bigramSurprisal(T(s, dir, "documents"), "doc_id", "text")
           .orderBy("doc_id")),
 
+    Q("x_text_lm_surprisal3",
+      // trigram LM with integerized Katz-style back-off: a trigram seen
+      // >= 2x scores flog2(c_prefix2) - flog2(c_tg); a singleton backs
+      // off to the bigram law on (w2 w3) plus a 1-bit discount. DuckDB
+      // re-trains all four count tables and replays both arms — a wrong
+      // back-off boundary, prefix law or discount all hash-fail
+      Some("""WITH d AS (SELECT doc_id,
+             |         list_transform(list_filter(
+             |           string_split_regex(text, '\s+'), x -> x <> ''),
+             |           w -> lower(w)) AS toks
+             |       FROM documents),
+             |tg AS (SELECT doc_id,
+             |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS trigram
+             |       FROM d, unnest(range(1, len(toks) - 1)) t(i)),
+             |tc AS (SELECT trigram, count(*) AS c_tg,
+             |         array_to_string(string_split(trigram, ' ')[1:2], ' ')
+             |           AS prefix2,
+             |         array_to_string(string_split(trigram, ' ')[2:3], ' ')
+             |           AS bigram23
+             |       FROM tg GROUP BY trigram),
+             |p2 AS (SELECT prefix2, CAST(sum(c_tg) AS BIGINT) AS c_p2
+             |       FROM tc GROUP BY prefix2),
+             |bg AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram23
+             |       FROM d, unnest(range(1, len(toks))) t(i)),
+             |bc AS (SELECT bigram23, count(*) AS c_bg,
+             |         string_split(bigram23, ' ')[1] AS prefix1
+             |       FROM bg GROUP BY bigram23),
+             |p1 AS (SELECT prefix1, CAST(sum(c_bg) AS BIGINT) AS c_p1
+             |       FROM bc GROUP BY prefix1),
+             |s AS (SELECT tg.doc_id, count(*) AS n_trigrams,
+             |        CAST(sum(CASE WHEN tc.c_tg < 2 THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS n_backoff,
+             |        CAST(sum(CASE WHEN tc.c_tg >= 2
+             |          THEN (length(bin(p2.c_p2)) - 1)
+             |             - (length(bin(tc.c_tg)) - 1)
+             |          ELSE (length(bin(p1.c_p1)) - 1)
+             |             - (length(bin(bc.c_bg)) - 1) + 1 END) AS BIGINT)
+             |          AS surprisal3_bits
+             |      FROM tg JOIN tc USING (trigram) JOIN p2 USING (prefix2)
+             |        JOIN bc USING (bigram23) JOIN p1 USING (prefix1)
+             |      GROUP BY tg.doc_id)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+             |       coalesce(s.n_backoff, 0) AS n_backoff,
+             |       coalesce(s.surprisal3_bits, 0) AS surprisal3_bits,
+             |       CASE WHEN coalesce(s.n_trigrams, 0) > 0
+             |            THEN s.surprisal3_bits * 1000 // s.n_trigrams
+             |            ELSE 0 END AS mean_millibits
+             |FROM d LEFT JOIN s ON s.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.trigramSurprisal(T(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
     Q("x_token_count",
       Some("""SELECT doc_id,
              |       len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))

@@ -254,6 +254,73 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** Trigram LM surprisal with integerized back-off — the CCNet-grade
+    * upgrade of [[bigramSurprisal]]: a reliable trigram scores against the
+    * trigram model, a singleton trigram BACKS OFF to the bigram law plus a
+    * fixed integer discount (the Katz back-off shape with every quantity
+    * exact so any engine replays it):
+    *
+    *   c_tg ≥ minCount : bits = flog2(c(w1 w2 ·)) − flog2(c(w1 w2 w3))
+    *   c_tg < minCount : bits = flog2(c(w2 ·)) − flog2(c(w2 w3)) + backoffBits
+    *
+    * where flog2(x) = length(bin(x)) − 1. The back-off arm is what lets
+    * the law score NOVEL trigram structure built from common bigrams —
+    * the document class the bigram law cannot separate (its bigrams are
+    * all corpus-frequent, so bigram surprisal is low; its trigrams are
+    * unseen, so this law charges the bigram cost PLUS the discount).
+    * Output per doc: n_trigrams, n_backoff, surprisal3_bits (Σ, exact
+    * Long), mean_millibits (⌊1000·Σ/n⌋; 0 for docs with <3 tokens).
+    *
+    * Scale shape: trigram/bigram explodes → four map-side-combinable
+    * count aggregates (prefix tables derive from the count tables) → the
+    * per-doc trigram rows equi-join the four narrow count tables → one
+    * per-doc sum. Same 100 TB note as the bigram law: train on a sample
+    * or fixed reference corpus, prune rare entries, broadcast. */
+  def trigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2L, backoffBits: Long = 1L): DataFrame = {
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val toks = transform(tokens(col(textCol)), w => lower(w))
+    val base = df.select(col(idCol).as("doc_id"), toks.as("toks"))
+    def grams(n: Int): Column = {
+      val sz = greatest(size(col("toks")) - (n - 1), lit(0))
+      (2 to n).foldLeft(slice(col("toks"), lit(1), sz)) { (acc, i) =>
+        zip_with(acc, slice(col("toks"), lit(i), sz),
+          (p, w) => concat(p, lit(" "), w))
+      }
+    }
+    val tg = base.select(col("doc_id"), explode(grams(3)).as("trigram"))
+    val tgCounts = tg.groupBy("trigram").agg(count(lit(1)).as("c_tg"))
+      .withColumn("prefix2", substring_index(col("trigram"), " ", 2))
+      .withColumn("bigram23", substring_index(col("trigram"), " ", -2))
+    val p2Counts = tgCounts.groupBy("prefix2").agg(sum("c_tg").as("c_p2"))
+    val bgCounts = base.select(explode(grams(2)).as("bigram23"))
+      .groupBy("bigram23").agg(count(lit(1)).as("c_bg"))
+      .withColumn("prefix1", substring_index(col("bigram23"), " ", 1))
+    val p1Counts = bgCounts.groupBy("prefix1").agg(sum("c_bg").as("c_p1"))
+    val scored = tg
+      .join(tgCounts, "trigram")
+      .join(p2Counts, "prefix2")
+      .join(bgCounts, "bigram23")
+      .join(p1Counts, "prefix1")
+      .withColumn("bits",
+        when(col("c_tg") >= minCount, flog2(col("c_p2")) - flog2(col("c_tg")))
+          .otherwise(flog2(col("c_p1")) - flog2(col("c_bg"))
+            + lit(backoffBits)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("c_tg") < minCount, 1L).otherwise(0L)).as("n_backoff"),
+        sum(col("bits")).as("surprisal3_bits"))
+    base.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("surprisal3_bits"), lit(0L)).as("surprisal3_bits"))
+      .withColumn("mean_millibits",
+        when(col("n_trigrams") > 0,
+          expr("surprisal3_bits * 1000 div n_trigrams")).otherwise(0L)
+          .cast("long"))
+  }
+
   /** Stopword-lexicon language ID: score = share of tokens in each language's
     * stopword list; argmax with deterministic tie-break by language code.
     * N-gram-free heuristic that is pure column algebra (no UDF, no shuffle). */

@@ -54,6 +54,11 @@ object ExplainAudit {
       // map-side and the doc-vs-model joins stay equi — never a cartesian
       ("x_text_lm_surprisal", Seq("partial_count"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      // trigram back-off LM: four map-side-combinable count aggregates +
+      // narrow equi-joins of the per-doc trigram rows against the count
+      // tables — both score arms are column algebra, never a cartesian
+      ("x_text_lm_surprisal3", Seq("partial_count"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
       // Winnowing: fingerprint selection is intra-row (positional-window
       // expression + slice/array_min), the pair generator an fp equi-join
       // behind the hot-fp broadcast blacklist — never a cartesian, and no

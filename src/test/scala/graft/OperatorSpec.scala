@@ -1349,6 +1349,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"plan size ${plan.length}")
   }
 
+  test("trigram back-off surprisal separates novel trigram structure the " +
+      "bigram law scores identically") {
+    import spark.implicits._
+    // corpus engineered so EVERY bigram lands in the same flog2 bucket:
+    // ab=ba=aa=bb=37, prefixes a.=b.=74 — so the bigram law charges every
+    // doc exactly 1 bit/bigram and cannot tell R from D. R's trigrams are
+    // corpus-common (aba/bab); D recombines the SAME common bigrams into
+    // trigrams the corpus never repeats — only the trigram law sees it
+    val bg = (1L to 8L).map(i => (i, "a b a b a b a b a")) ++
+      (9L to 15L).map(i => (i, "a a a a a a")) ++
+      (16L to 22L).map(i => (i, "b b b b b b"))
+    val docs = (bg ++ Seq((100L, "a b a b a b a"),
+      (101L, "a a b b a a b b a"))).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("mean_millibits")).toMap
+    val t3 = TextAnalysis.trigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("mean_millibits"), r.getAs[Long]("n_backoff")))).toMap
+    // bigram law: blind — identical means
+    assert(m2(100L) == 1000L && m2(101L) == 1000L, (m2(100L), m2(101L)))
+    // trigram law: R is pure boilerplate (0 bits), D pays 3+ bits/trigram
+    // with exactly one singleton riding the back-off arm
+    assert(t3(100L) == ((0L, 0L)), t3(100L))
+    assert(t3(101L) == ((3142L, 1L)), t3(101L))
+  }
+
   test("gopher rules: each rule catches exactly its planted violator, " +
       "clean prose passes all seven") {
     import spark.implicits._
