@@ -245,17 +245,17 @@ object QueryCatalog {
     s"""trim(regexp_replace(${duckUnescape(
       s"regexp_replace($e, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g'))"""
 
-  /** Shared CTE prefix replaying [[graft.operators.Web.htmlExtract]] over
-    * [[plantedHtmlSql]]: yields `k(doc_id, bad, ls, kept)` where `ls` is
-    * the per-line (t, nl) struct list and `kept` the density-filtered
-    * subset. */
-  private val htmlExtractCtes: String = {
+  /** CTE prefix replaying [[graft.operators.Web.htmlExtract]] over a
+    * caller-supplied `h0(doc_id, html)` body: yields `k(doc_id, bad, ls,
+    * kept)` where `ls` is the per-line (t, nl) struct list and `kept` the
+    * density-filtered subset. */
+  private def htmlExtractCtesFrom(h0Sql: String): String = {
     val lineTxt = duckLineText("l")
     // coalesce: DuckDB's array_to_string of an EMPTY list is NULL, and a
     // NULL link length would null the density predicate and drop the line
     val linkTxt = duckLineText(
       """coalesce(array_to_string(regexp_extract_all(l, '(?is)<a(\s[^>]*)?>(.*?)</a>', 2), ' '), '')""")
-    s"""h0 AS (SELECT doc_id, $plantedHtmlSql AS html FROM documents),
+    s"""h0 AS ($h0Sql),
        |s3 AS (SELECT doc_id,
        |  regexp_replace(regexp_replace(regexp_replace(html,
        |    '(?is)<script(\\s[^>]*)?>.*?</script>', ' ', 'g'),
@@ -277,6 +277,60 @@ object QueryCatalog {
        |        < length(struct_extract(s, 't')) * 2) AS kept
        |  FROM li)""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
   }
+
+  /** The documents-table instance of [[htmlExtractCtesFrom]] (the planted
+    * markup shared by the x_text_html/dedup/curation queries). */
+  private lazy val htmlExtractCtes: String =
+    htmlExtractCtesFrom(s"SELECT doc_id, $plantedHtmlSql AS html FROM documents")
+
+  /** CTE chain replaying [[graft.operators.Web.urlCanonicalize]] + the
+    * registrable-domain law over a caller-supplied `u0(doc_id, url)`:
+    * yields `u9(doc_id, canonical_url, registrable_domain)` with invalid
+    * (scheme-less) URLs dropped — the error-channel twin of
+    * `WHERE url_valid`. */
+  private lazy val urlCanonCtes: String =
+    s"""u1 AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf
+       |  FROM u0),
+       |u2 AS (SELECT doc_id, nf,
+       |    regexp_matches(nf, '^[A-Za-z][A-Za-z0-9+.-]*://') AS valid,
+       |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |      AS scheme,
+       |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS afterp
+       |  FROM u1),
+       |u3 AS (SELECT *, regexp_extract(afterp, '^([^/?]*)', 1) AS auth,
+       |    substr(afterp,
+       |      length(regexp_extract(afterp, '^([^/?]*)', 1)) + 1) AS tail
+       |  FROM u2),
+       |u4 AS (SELECT *,
+       |    lower(regexp_replace(auth, '^[^@]*@', '')) AS hostport
+       |  FROM u3),
+       |u5 AS (SELECT *,
+       |    regexp_replace(hostport, ':[0-9]*$$', '') AS host,
+       |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM u4),
+       |u6 AS (SELECT *,
+       |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |              OR (scheme = 'https' AND port = '443') THEN ''
+       |         ELSE ':' || port END AS psfx,
+       |    CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+       |         ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
+       |    CASE WHEN contains(tail, '?')
+       |         THEN regexp_extract(tail, '\\?(.*)$$', 1)
+       |         ELSE '' END AS query FROM u5),
+       |u7 AS (SELECT doc_id, valid, scheme, host, psfx, path,
+       |    list_filter(string_split(query, '&'), p -> p <> ''
+       |      AND NOT list_contains(
+       |        ${sqlList(graft.operators.Web.TrackingParams)},
+       |        lower(regexp_extract(p, '^([^=]*)', 1)))) AS keptp
+       |  FROM u6),
+       |u8 AS (SELECT doc_id, host,
+       |    scheme || '://' || host || psfx || path ||
+       |      CASE WHEN len(keptp) > 0
+       |           THEN '?' || array_to_string(keptp, '&')
+       |           ELSE '' END AS canonical_url
+       |  FROM u7 WHERE valid),
+       |u9 AS (SELECT doc_id, canonical_url,
+       |    ${duckRegistrable("host")} AS registrable_domain FROM u8)"""
+      .stripMargin.replaceAll("\\s*\\n\\s*", " ")
 
   /** Deterministic URL per document — pair structure: docs 2k and 2k+1
     * differ ONLY in case, userinfo, tracking params and fragment, so their
@@ -331,6 +385,144 @@ object QueryCatalog {
       |  || (CASE WHEN doc_id % 6 = 0 THEN '&ref=rss' ELSE '' END)
       |  || (CASE WHEN doc_id % 4 = 0 THEN '#s' || doc_id ELSE '' END)
       |END""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
+
+  /** Planted WARC crawl file per document — a warcinfo record, a response
+    * record carrying [[plantedUrl]] as WARC-Target-URI and an HTTP/200
+    * envelope around [[plantedHtml]] as payload (Content-Length computed
+    * from the html, so the offset walk is exercised by variable-length
+    * records), and two malformed trailers for the error channel (%31: a
+    * 100-char claim over a 5-char payload → truncated; %37: a record with
+    * no Content-Length header). */
+  private def plantedWarc: Column = {
+    val crlf = "\r\n"
+    val httpHdr = "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
+      crlf + crlf // 44 chars
+    concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf +
+        "Content-Length: 23" + crlf + crlf +
+        "software: graft-crawler" + crlf + crlf +
+        "WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+        "WARC-Target-URI: "),
+      plantedUrl,
+      lit(crlf + "Content-Length: "),
+      (length(plantedHtml) + 44).cast("string"),
+      lit(crlf + crlf + httpHdr),
+      plantedHtml,
+      lit(crlf + crlf),
+      when(col("doc_id") % 31 === 0,
+        lit("WARC/1.0" + crlf + "Content-Length: 100" + crlf + crlf + "short"))
+        .when(col("doc_id") % 37 === 0,
+          lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf + crlf +
+            "oops" + crlf + crlf))
+        .otherwise(lit("")))
+  }
+
+  private val crlfSql = "chr(13) || chr(10)"
+  private val sepSql = "chr(13) || chr(10) || chr(13) || chr(10)"
+
+  /** DuckDB twin of [[plantedWarc]]: `wsrc` builds the html/url columns,
+    * `w(doc_id, content)` the crawl file. */
+  private lazy val warcSourceCtes: String =
+    s"""wsrc AS (SELECT doc_id, $plantedHtmlSql AS html,
+       |    $plantedUrlSql AS url FROM documents),
+       |w AS (SELECT doc_id,
+       |  'WARC/1.0' || $crlfSql || 'WARC-Type: warcinfo' || $crlfSql
+       |  || 'Content-Length: 23' || $sepSql
+       |  || 'software: graft-crawler' || $sepSql
+       |  || 'WARC/1.0' || $crlfSql || 'WARC-Type: response' || $crlfSql
+       |  || 'WARC-Target-URI: ' || url || $crlfSql
+       |  || 'Content-Length: ' || (44 + length(html)) || $sepSql
+       |  || 'HTTP/1.1 200 OK' || $crlfSql || 'Content-Type: text/html'
+       |  || $sepSql || html || $sepSql
+       |  || CASE WHEN doc_id % 31 = 0
+       |       THEN 'WARC/1.0' || $crlfSql || 'Content-Length: 100'
+       |         || $sepSql || 'short'
+       |     WHEN doc_id % 37 = 0
+       |       THEN 'WARC/1.0' || $crlfSql || 'WARC-Type: metadata'
+       |         || $sepSql || 'oops' || $sepSql
+       |     ELSE '' END AS content FROM wsrc)"""
+      .stripMargin.replaceAll("\\s*\\n\\s*", " ")
+
+  /** DuckDB replay of [[graft.codec.WarcCodec.parse]] as a RECURSIVE CTE
+    * over `w(doc_id, content)` (the caller's WITH must say RECURSIVE):
+    * each iteration checks the magic, finds the header terminator, pulls
+    * the first-match header fields, validates Content-Length, slices the
+    * payload and verifies the record terminator — the same five error
+    * arms in the same priority order, stopping the walk at the first bad
+    * record. Yields `wr(doc_id, rec_idx, warc_type, target_uri,
+    * content_length, payload, rec_ok, error)`. */
+  private def warcCtes(maxRecords: Int): String = {
+    def hdrField(key: String): String =
+      s"nullif(trim(regexp_extract(hdrs, '(?mi)^$key:[ \\t]*([^' || " +
+        s"chr(13) || chr(10) || ']*)', 1), ' ' || chr(9)), '')"
+    s"""r AS (
+       |  SELECT doc_id, content, CAST(1 AS BIGINT) AS off, 0 AS idx,
+       |    CAST(NULL AS VARCHAR) AS warc_type,
+       |    CAST(NULL AS VARCHAR) AS target_uri,
+       |    CAST(NULL AS BIGINT) AS content_length,
+       |    CAST(NULL AS VARCHAR) AS payload,
+       |    true AS rec_ok, CAST(NULL AS VARCHAR) AS error, false AS done
+       |  FROM w
+       |  UNION ALL
+       |  SELECT doc_id, content,
+       |    CASE WHEN err IS NULL THEN habs + 4 + cl + 4 ELSE off END,
+       |    idx + 1,
+       |    CASE WHEN err IS NULL THEN wt END,
+       |    CASE WHEN err IS NULL THEN uri END,
+       |    CASE WHEN err IS NULL THEN cl END,
+       |    CASE WHEN err IS NULL THEN substr(content,
+       |      CAST(habs + 4 AS INTEGER), CAST(cl AS INTEGER)) END,
+       |    err IS NULL, err,
+       |    err IS NOT NULL OR habs + 4 + cl + 4 > length(content)
+       |  FROM (
+       |    SELECT doc_id, content, off, idx, habs, cl, wt, uri,
+       |      CASE WHEN idx >= $maxRecords THEN 'record cap exceeded'
+       |           WHEN substr(content, CAST(off AS INTEGER), 10)
+       |             <> 'WARC/1.0' || $crlfSql THEN 'missing WARC/1.0 header'
+       |           WHEN hrel = 0 THEN 'missing header terminator'
+       |           WHEN NOT regexp_matches(clv, '^[0-9]{1,18}$$')
+       |             THEN 'missing content-length'
+       |           WHEN length(content) < habs + 3 + cl + 4
+       |             THEN 'truncated record'
+       |           WHEN substr(content, CAST(habs + 4 + cl AS INTEGER), 4)
+       |             <> $sepSql THEN 'truncated record'
+       |      END AS err
+       |    FROM (
+       |      SELECT doc_id, content, off, idx, habs, hrel, clv,
+       |        CASE WHEN regexp_matches(clv, '^[0-9]{1,18}$$')
+       |          THEN CAST(clv AS BIGINT) ELSE 0 END AS cl,
+       |        ${hdrField("warc-type")} AS wt,
+       |        ${hdrField("warc-target-uri")} AS uri
+       |      FROM (
+       |        SELECT doc_id, content, off, idx, habs, hrel, hdrs,
+       |          coalesce(trim(regexp_extract(hdrs,
+       |            '(?mi)^content-length:[ \\t]*([^' || chr(13) || chr(10)
+       |            || ']*)', 1), ' ' || chr(9)), '') AS clv
+       |        FROM (
+       |          SELECT doc_id, content, off, idx,
+       |            off + hrel - 1 AS habs, hrel,
+       |            substr(content, CAST(off AS INTEGER),
+       |              CAST(greatest(hrel - 1, 0) AS INTEGER)) AS hdrs
+       |          FROM (
+       |            SELECT doc_id, content, off, idx,
+       |              instr(substr(content, CAST(off AS INTEGER)), $sepSql)
+       |                AS hrel
+       |            FROM r WHERE NOT done AND off <= length(content))))))),
+       |wr AS (SELECT doc_id, idx - 1 AS rec_idx, warc_type, target_uri,
+       |  content_length, payload, rec_ok, error FROM r WHERE idx > 0)"""
+      .stripMargin.replaceAll("\\s*\\n\\s*", " ")
+  }
+
+  /** DuckDB twin of [[graft.operators.Web.warcExtract]]'s http_status /
+    * body column laws over `wr` payloads. */
+  private val warcHttpSql: (String, String) = {
+    val isHttp = s"payload IS NOT NULL AND starts_with(payload, 'HTTP/') " +
+      s"AND instr(payload, $sepSql) > 0"
+    (s"CASE WHEN $isHttp THEN CAST(nullif(regexp_extract(payload, " +
+      s"'^HTTP/[0-9.]+ ([0-9]{3})', 1), '') AS BIGINT) END",
+      s"CASE WHEN $isHttp THEN substr(payload, " +
+        s"CAST(instr(payload, $sepSql) + 4 AS INTEGER)) ELSE payload END")
+  }
 
   /** DuckDB replay of [[graft.operators.Web.registrableDomain]] — the CASE
     * chain is GENERATED from the same ordered suffix list, so the two
@@ -2957,47 +3149,7 @@ object QueryCatalog {
       // blocklist anti-join -> per-domain cap. The registrable CASE chain
       // is GENERATED from the engine's own suffix table
       Some(s"""WITH u0 AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),
-             |u1 AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf
-             |  FROM u0),
-             |u2 AS (SELECT doc_id, nf,
-             |    regexp_matches(nf, '^[A-Za-z][A-Za-z0-9+.-]*://') AS valid,
-             |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-             |      AS scheme,
-             |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS afterp
-             |  FROM u1),
-             |u3 AS (SELECT *, regexp_extract(afterp, '^([^/?]*)', 1) AS auth,
-             |    substr(afterp,
-             |      length(regexp_extract(afterp, '^([^/?]*)', 1)) + 1) AS tail
-             |  FROM u2),
-             |u4 AS (SELECT *,
-             |    lower(regexp_replace(auth, '^[^@]*@', '')) AS hostport
-             |  FROM u3),
-             |u5 AS (SELECT *,
-             |    regexp_replace(hostport, ':[0-9]*$$', '') AS host,
-             |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM u4),
-             |u6 AS (SELECT *,
-             |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-             |              OR (scheme = 'https' AND port = '443') THEN ''
-             |         ELSE ':' || port END AS psfx,
-             |    CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
-             |         ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
-             |    CASE WHEN contains(tail, '?')
-             |         THEN regexp_extract(tail, '\\?(.*)$$', 1)
-             |         ELSE '' END AS query FROM u5),
-             |u7 AS (SELECT doc_id, valid, scheme, host, psfx, path,
-             |    list_filter(string_split(query, '&'), p -> p <> ''
-             |      AND NOT list_contains(
-             |        ${sqlList(graft.operators.Web.TrackingParams)},
-             |        lower(regexp_extract(p, '^([^=]*)', 1)))) AS keptp
-             |  FROM u6),
-             |u8 AS (SELECT doc_id, host,
-             |    scheme || '://' || host || psfx || path ||
-             |      CASE WHEN len(keptp) > 0
-             |           THEN '?' || array_to_string(keptp, '&')
-             |           ELSE '' END AS canonical_url
-             |  FROM u7 WHERE valid),
-             |u9 AS (SELECT doc_id, canonical_url,
-             |    ${duckRegistrable("host")} AS registrable_domain FROM u8),
+             |$urlCanonCtes,
              |dd AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
              |    ORDER BY doc_id) AS rn FROM u9),
              |db AS (SELECT doc_id, canonical_url, registrable_domain
@@ -3018,6 +3170,148 @@ object QueryCatalog {
             perDomainCap = 10)
           .select("doc_id", "canonical_url", "registrable_domain")
           .orderBy("doc_id")),
+
+    Q("x_warc_extract", {
+      val (statusSql, bodySql) = warcHttpSql
+      // the crawl front door: both engines BUILD identical planted WARC
+      // files (warcinfo + variable-length HTTP response + %31 truncated /
+      // %37 missing-CL trailers), then replay the Content-Length offset
+      // walk, the first-match header field law, the HTTP strip and every
+      // error arm — DuckDB's replay is a recursive CTE, the engine's a
+      // fused native expression; a drifted offset, field or arm hash-fails
+      Some(s"""WITH RECURSIVE $warcSourceCtes,
+             |${warcCtes(64)}
+             |SELECT doc_id, rec_idx, warc_type, target_uri, content_length,
+             |  rec_ok, error,
+             |  $statusSql AS http_status,
+             |  $bodySql AS body
+             |FROM wr ORDER BY doc_id, rec_idx""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Web.warcExtract(
+            T(s, dir, "documents")
+              .select(col("doc_id"), plantedWarc.as("warc")),
+            "doc_id", "warc")
+          .select("doc_id", "rec_idx", "warc_type", "target_uri",
+            "content_length", "rec_ok", "error", "http_status", "body")
+          .orderBy("doc_id", "rec_idx")),
+
+    Q("x_curation_pipeline_v6", {
+      val w = graft.operators.TextAnalysis.DefaultQualityWeights
+      val score = s"${w("w_bias")} + ${w("w_stop")}*stop_mill + " +
+        s"${w("w_punct")}*punct_mill + ${w("w_digit")}*digit_mill + " +
+        s"${w("w_len")}*len_bits"
+      val (_, bodySql) = warcHttpSql
+      // curation v6 = v5 with the CRAWL CONTAINER in front: WARC record
+      // walk -> response records -> URL canonicalization (invalid URLs
+      // drop, canonical duplicates collapse to the lowest doc) -> HTML
+      // extraction -> C4 line dedup -> linear quality gate -> BPE
+      // tokenization -> packing. EIGHT laws, one CTE chain — any stage
+      // drifting hash-fails the pipeline
+      Some(s"""WITH RECURSIVE $warcSourceCtes,
+             |${warcCtes(64)},
+             |resp AS (SELECT doc_id, target_uri AS url, $bodySql AS body
+             |  FROM wr WHERE rec_ok AND warc_type = 'response'),
+             |u0 AS (SELECT doc_id, url FROM resp),
+             |$urlCanonCtes,
+             |du AS (SELECT u9.doc_id, resp.body AS html,
+             |    row_number() OVER (PARTITION BY u9.canonical_url
+             |      ORDER BY u9.doc_id) AS rn
+             |  FROM u9 JOIN resp ON u9.doc_id = resp.doc_id),
+             |${htmlExtractCtesFrom("SELECT doc_id, html FROM du WHERE rn = 1")},
+             |ex AS (SELECT doc_id,
+             |    list_transform(kept, s -> struct_extract(s, 't')) AS ls
+             |  FROM k WHERE NOT bad),
+             |ln AS (SELECT doc_id, ls[j] AS line, j AS pos
+             |  FROM ex, unnest(range(1, len(ls)+1)) t(j)
+             |  WHERE ls[j] <> ''),
+             |own AS (SELECT line, min(doc_id) AS o_doc FROM ln GROUP BY line),
+             |own2 AS (SELECT ln.line, ln.doc_id AS o_doc, min(ln.pos) AS o_pos
+             |  FROM ln JOIN own ON ln.line = own.line
+             |    AND ln.doc_id = own.o_doc
+             |  GROUP BY 1, 2),
+             |kp AS (SELECT ln.doc_id, ln.pos, ln.line
+             |  FROM ln JOIN own2 ON ln.line = own2.line
+             |    AND ln.doc_id = own2.o_doc AND ln.pos = own2.o_pos),
+             |dd AS (SELECT doc_id,
+             |    array_to_string(list(line ORDER BY pos), chr(10)) AS text
+             |  FROM kp GROUP BY doc_id),
+             |f AS (SELECT doc_id,
+             |    length(text) AS n_chars,
+             |    len(list_filter(string_split_regex(text, '\\s+'),
+             |        x -> x <> '')) AS n_tokens,
+             |    len(list_filter(string_split_regex(text, '\\s+'),
+             |        x -> list_contains(${sqlList(Stopwords.en)}, lower(x))))
+             |      AS n_stop,
+             |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+             |      AS n_punct,
+             |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+             |      AS n_digit,
+             |    text
+             |  FROM dd),
+             |g AS (SELECT doc_id, text FROM (
+             |  SELECT doc_id, text,
+             |    n_stop * 1000 // greatest(n_tokens, 1) AS stop_mill,
+             |    n_punct * 1000 // greatest(n_chars, 1) AS punct_mill,
+             |    n_digit * 1000 // greatest(n_chars, 1) AS digit_mill,
+             |    length(bin(greatest(n_chars, 1))) - 1 AS len_bits
+             |  FROM f) WHERE ($score) >= ${w("threshold")}),
+             |${bpeCtes(BpeMerges)},
+             |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(
+             |      lower(text), '\\s+'), x -> x <> '')) AS word FROM g),
+             |tc AS (SELECT dw.doc_id,
+             |    CAST(sum(len(w$BpeMerges.syms)) AS BIGINT) AS n_subwords
+             |  FROM dw JOIN w$BpeMerges ON dw.word = w$BpeMerges.word
+             |  GROUP BY dw.doc_id),
+             |pk AS (SELECT doc_id, doc_id % 4 AS shard, n_subwords,
+             |    sum(n_subwords) OVER (PARTITION BY doc_id % 4
+             |      ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8),
+             |               doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM tc)
+             |SELECT doc_id, n_subwords,
+             |  CAST(shard * 1000000 + (cum - n_subwords) // 256 AS BIGINT)
+             |    AS pack_id
+             |FROM pk ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val recs = graft.operators.Web.warcExtract(
+            docs.select(col("doc_id"), plantedWarc.as("warc")),
+            "doc_id", "warc")
+          .where(col("rec_ok") && col("warc_type") === "response")
+          .select(col("doc_id"), col("target_uri").as("url"), col("body"))
+        val dedupUrl = graft.operators.Web
+          .urlCanonicalize(recs, "url")
+          .where(col("url_valid"))
+          .groupBy("canonical_url")
+          .agg(min_by(struct(col("doc_id"), col("body")), col("doc_id"))
+            .as("k"))
+          .select(col("k.doc_id").as("doc_id"), col("k.body").as("html"))
+        // composition-point caches (the v4/v5 lesson): extraction feeds
+        // the line explode + baseline count; deduped text feeds five
+        // feature expressions and the tokenizer
+        val ex = graft.operators.Web.htmlExtract(dedupUrl, "doc_id", "html")
+          .where(col("extract_ok")).select("doc_id", "text")
+          .cache()
+        val dd = Dedup.dedupLines(ex, "doc_id", "text")
+          .where(col("n_lines") > 0).select("doc_id", "text")
+          .cache()
+        val gated = TextAnalysis.qualityScoreLinear(dd, "doc_id", "text")
+          .where(col("keep")).select("doc_id")
+        val seg = bpeTrained(s, dir).vocab
+          .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+        val toks = dd.join(gated, "doc_id")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+          .join(broadcast(seg), "word")
+          .groupBy("doc_id").agg(sum("n_sub").as("n_sub"))
+        TextAnalysis.packSequences(toks, "doc_id", "n_sub",
+            budget = 256L, shards = 4)
+          .select(col("doc_id"), col("n_tokens").as("n_subwords"),
+            col("pack_id"))
+          .orderBy("doc_id")
+      }),
 
     Q("x_dedup_incremental", {
       val sha63 = (e: String) =>

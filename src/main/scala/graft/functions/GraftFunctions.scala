@@ -161,6 +161,9 @@ object GraftFunctions {
   /** Fused BPE apply: `rules` is the flattened rank-ordered pair list. */
   def bpeSegment(c: Column, rules: Array[String]): Column =
     nativeCol(graft.plans.BpeSegmentExpression(exprOf(c), rules))
+  /** WARC/1.0 record split: array<struct> of records + error arms. */
+  def warcRecords(c: Column, maxRecords: Int): Column =
+    nativeCol(graft.plans.WarcRecordsExpression(exprOf(c), maxRecords))
   def bloomMightContain(c: Column, bloomBytes: Array[Byte]): Column =
     nativeCol(graft.plans.BloomMightContainExpression(exprOf(c), bloomBytes))
   def strkeyContract(c: Column): Column =

@@ -114,6 +114,45 @@ object Web {
         .otherwise(length(text).cast("long")).as("n_chars"))
   }
 
+  // ---- WARC record parsing --------------------------------------------------
+
+  /** Split WARC/1.0 crawl files into records — the front door UPSTREAM of
+    * [[htmlExtract]]: real corpora arrive as crawl containers, not HTML
+    * strings. The record walk (`WARC/1.0\r\n` + headers + blank line +
+    * Content-Length payload + `\r\n\r\n`, exact laws and error arms in
+    * [[graft.codec.WarcCodec]]) runs as ONE fused native expression per
+    * file; on top of it two map-only column laws:
+    *
+    *   - `http_status`: for payloads starting `HTTP/` with a header
+    *     terminator, the 3-digit status of the first line;
+    *   - `body`: the same payloads with the HTTP header block stripped
+    *     (everything after the first `\r\n\r\n`); other payloads pass
+    *     through verbatim.
+    *
+    * Scale shape: map-only (one generator projection per file — a crawl
+    * shard explodes to its records with no shuffle; whatever the caller
+    * composes downstream owns the first exchange). Returns one row per
+    * record: (id, rec_idx, warc_type, target_uri, content_length,
+    * payload, body, http_status, rec_ok, error); parse stops at the
+    * first malformed record, which rides the error channel as its own
+    * row. */
+  def warcExtract(df: DataFrame, idCol: String, warcCol: String,
+      maxRecords: Int = 64): DataFrame = {
+    val recs = df
+      .select(col(idCol), explode(graft.functions.GraftFunctions
+        .warcRecords(col(warcCol), maxRecords)).as("rec"))
+      .select(col(idCol), col("rec.*"))
+    val p = col("payload")
+    val sep = "\r\n\r\n"
+    val isHttp = p.isNotNull && p.startsWith("HTTP/") && locate(sep, p) > 0
+    recs
+      .withColumn("http_status",
+        when(isHttp, regexp_extract(p, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+          .cast("long")).otherwise(lit(null).cast("long")))
+      .withColumn("body",
+        when(isHttp, p.substr(locate(sep, p) + 4, length(p))).otherwise(p))
+  }
+
   // ---- URL canonicalization + registrable domain ---------------------------
 
   /** Tracking parameters stripped by [[urlCanonicalize]] — the fixed public

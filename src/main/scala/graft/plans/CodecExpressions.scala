@@ -511,6 +511,37 @@ case class NgramShinglesExpression(child: Expression, n: Int)
   override def prettyName: String = "ngram_shingles"
 }
 
+/** WARC/1.0 record splitting ([[graft.codec.WarcCodec.parse]]): one
+  * compiled offset-walk per crawl file returning array<struct> — the
+  * Content-Length-driven sequential scan is inherently stateful, so a
+  * HOF formulation would be an interpreted accumulate over a struct
+  * state; the fused expression keeps it inside whole-stage codegen. */
+case class WarcRecordsExpression(child: Expression, maxRecords: Int)
+    extends CodecUnaryExpression {
+  require(maxRecords >= 1, "maxRecords must be positive")
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rec_idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("warc_type", StringType),
+      org.apache.spark.sql.types.StructField("target_uri", StringType),
+      org.apache.spark.sql.types.StructField("content_length", LongType),
+      org.apache.spark.sql.types.StructField("payload", StringType),
+      org.apache.spark.sql.types.StructField("rec_ok",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("error", StringType))),
+    containsNull = false)
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.WarcCodec.parse(input.asInstanceOf[UTF8String], maxRecords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.WarcCodec$$.MODULE$$.parse($c, $maxRecords)")
+  override protected def withNewChildInternal(newChild: Expression): WarcRecordsExpression =
+    copy(child = newChild)
+  override def prettyName: String = "warc_records"
+}
+
 /** Fused BPE apply ([[graft.codec.BpeCodec.segmentWord]]): the FULL
   * ordered merge list in one compiled pass per word. The DataFrame
   * formulation chains one projection per rule — a K-deep plan Catalyst

@@ -126,6 +126,18 @@ object ExplainAudit {
       ("x_curation_pipeline_v5",
         Seq("InMemoryTableScan", "BroadcastHashJoin", "Window "),
         Seq("CartesianProduct")),
+      // WARC record split: ONE fused generator projection per crawl file
+      // (the offset walk is a native expression, the http strip column
+      // algebra) — map-only, no exchange, no join
+      ("x_warc_extract", Seq(),
+        Seq("Exchange hashpartitioning", "Join", "BatchEvalPython")),
+      // curation v6 (crawl container -> training batch): same shape laws
+      // as v5 plus the WARC walk and the URL-dedup min_by aggregate in
+      // front — composition points cached, BPE rides the broadcast
+      // lookup, packing the one window, never a cartesian
+      ("x_curation_pipeline_v6",
+        Seq("InMemoryTableScan", "BroadcastHashJoin", "Window "),
+        Seq("CartesianProduct")),
       // C4 line dedup: owner election is a partial-combinable min-struct
       // hash aggregate over NARROW (sha63, doc, pos) rows — line text
       // never rides a line-keyed exchange; the kept positions regroup per

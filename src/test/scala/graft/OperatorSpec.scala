@@ -1349,6 +1349,61 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"plan size ${plan.length}")
   }
 
+  test("warc extract: record walk, case-insensitive field law, http strip, " +
+      "and every error arm stops the parse with earlier records intact") {
+    import spark.implicits._
+    import graft.operators.Web
+    val CRLF = "\r\n"
+    def rec(hdrs: Seq[String], payload: String): String =
+      "WARC/1.0" + CRLF + hdrs.map(_ + CRLF).mkString + CRLF +
+        payload + CRLF + CRLF
+    val http = "HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html" +
+      CRLF + CRLF + "<p>hello</p>"
+    val good =
+      rec(Seq("WARC-Type: warcinfo", "Content-Length: 4"), "info") +
+        rec(Seq("WARC-Type: response",
+          "WARC-Target-URI:   https://x.io/a  ",   // padded value trims
+          "content-LENGTH: " + http.length),       // case-insensitive key
+          http)
+    val docs = Seq(
+      (1L, good),
+      (2L, "not a warc"),
+      (3L, "WARC/1.0" + CRLF + "WARC-Type: x" + CRLF + "never ends"),
+      (4L, rec(Seq("WARC-Type: metadata"), "x")),             // no CL
+      (5L, rec(Seq("Content-Length: 12x"), "y")),             // bad CL
+      (6L, "WARC/1.0" + CRLF + "Content-Length: 100" + CRLF + CRLF + "short"),
+      (7L, good + "WARC/1.0" + CRLF + "Content-Length: 999" + CRLF + CRLF)
+    ).toDF("doc_id", "warc")
+    val out = Web.warcExtract(docs, "doc_id", "warc")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    val r10 = out((1L, 0))
+    assert(r10.getAs[Boolean]("rec_ok") &&
+      r10.getAs[String]("warc_type") == "warcinfo" &&
+      r10.getAs[Long]("content_length") == 4L &&
+      r10.getAs[String]("body") == "info")           // non-http passthrough
+    val r11 = out((1L, 1))
+    assert(r11.getAs[String]("target_uri") == "https://x.io/a" &&
+      r11.getAs[Long]("http_status") == 200L &&
+      r11.getAs[String]("body") == "<p>hello</p>", r11.toString)
+    assert(out((2L, 0)).getAs[String]("error") == "missing WARC/1.0 header")
+    assert(out((3L, 0)).getAs[String]("error") == "missing header terminator")
+    assert(out((4L, 0)).getAs[String]("error") == "missing content-length")
+    assert(out((5L, 0)).getAs[String]("error") == "missing content-length")
+    assert(out((6L, 0)).getAs[String]("error") == "truncated record")
+    // good records survive in front of a bad tail
+    assert(out((7L, 1)).getAs[Boolean]("rec_ok") &&
+      out((7L, 2)).getAs[String]("error") == "truncated record")
+    // record cap: bounded loop, labeled — never a silent drop
+    val capped = Web.warcExtract(docs.where(col("doc_id") === 1),
+      "doc_id", "warc", maxRecords = 1).collect()
+    assert(capped.length == 2 &&
+      capped(1).getAs[String]("error") == "record cap exceeded")
+    // map-only: one generator projection, no exchange, no join
+    val plan = Web.warcExtract(docs, "doc_id", "warc")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(400))
+  }
+
   test("trigram back-off surprisal separates novel trigram structure the " +
       "bigram law scores identically") {
     import spark.implicits._
