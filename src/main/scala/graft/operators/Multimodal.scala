@@ -370,15 +370,47 @@ object Multimodal {
       n_frames: Int, cell_sums: Array[Long], feature_ok: Boolean,
       error: String)
 
+  private def domChild(e: org.w3c.dom.Node,
+      name: String): Option[org.w3c.dom.Element] = {
+    var c = e.getFirstChild
+    while (c != null) {
+      if (c.getNodeName == name) return Some(c.asInstanceOf[org.w3c.dom.Element])
+      c = c.getNextSibling
+    }
+    None
+  }
+
+  private def attrInt(e: org.w3c.dom.Element, name: String): Int = {
+    val v = e.getAttribute(name)
+    if (v == null || v.isEmpty) 0 else v.toInt
+  }
+
   /** Decode every `stride`-th frame of a multi-frame image container
     * (animated GIF — the JDK's only multi-frame decoder) and apply `f`
     * to it. The reader is opened ONCE per payload; header cost is not
-    * re-paid per frame. Frames must be full-canvas: an animated GIF using
-    * frame offsets/disposal stores SUB-canvas delta frames whose grid
-    * sums would silently describe the delta region, not the image — so
-    * any sampled frame whose dimensions differ from frame 0's routes the
-    * whole payload to the error channel (checked from reader metadata,
-    * before decode). A container the JDK cannot read yields Left(error). */
+    * re-paid per frame. Frames must be FULL, OPAQUE canvas repaints — the
+    * feature law sums what one frame shows, so any animation that needs
+    * compositing with earlier frames routes the whole payload to the
+    * error channel. Three metadata-only checks (no decode), each catching
+    * a real encoder shape:
+    *
+    *   1. frame 0 vs the LOGICAL SCREEN descriptor — a first frame
+    *      smaller than the declared canvas already composites against
+    *      background;
+    *   2. every frame's dimensions vs frame 0's — sub-canvas delta frames
+    *      (and a nonzero ImageDescriptor offset, which can pair with
+    *      full-size dims);
+    *   3. every frame AFTER 0 with a GIF GraphicControlExtension
+    *      transparent-color flag — the common encoder shape the dimension
+    *      check misses: FULL-canvas delta frames whose unchanged pixels
+    *      are transparent holes over the previous frame (usually with
+    *      'doNotDispose'), which would decode as black and silently
+    *      corrupt the grid sums.
+    *
+    * Every frame is inspected, not just the sampled ones: a delta frame
+    * falling between strides still proves the animation composites, which
+    * makes the frames we DO sample wrong too. A container the JDK cannot
+    * read yields Left(error). */
   private def mapSampledFrames[A](bytes: Array[Byte], stride: Int)(
       f: (Int, Int, BufferedImage) => A): Either[String, Seq[A]] = {
     val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
@@ -388,21 +420,57 @@ object Multimodal {
       else {
         val reader = readers.next()
         try {
-          reader.setInput(in, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
+          reader.setInput(in, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ false)
           val n = reader.getNumImages(true)
           val idxs = 0 until n by stride
-          // the guard inspects EVERY frame, not just the sampled ones: a
-          // delta frame falling between strides still proves the animation
-          // needs compositing, which makes the frames we DO sample wrong
-          // too — and the check is metadata-only (no decode)
-          val sub = (0 until n).find(i =>
-            reader.getWidth(i) != reader.getWidth(0) ||
-              reader.getHeight(i) != reader.getHeight(0))
-          sub match {
-            case Some(i) => Left(s"sub-canvas frame $i " +
-              s"(${reader.getWidth(i)}x${reader.getHeight(i)} vs canvas " +
-              s"${reader.getWidth(0)}x${reader.getHeight(0)}): offset/" +
-              "disposal animation needs canvas compositing")
+          def screenIssue: Option[String] = {
+            val sm = reader.getStreamMetadata
+            if (sm == null || !sm.getMetadataFormatNames
+                .contains("javax_imageio_gif_stream_1.0")) None
+            else domChild(sm.getAsTree("javax_imageio_gif_stream_1.0"),
+              "LogicalScreenDescriptor").flatMap { l =>
+              val (w, h) = (attrInt(l, "logicalScreenWidth"),
+                attrInt(l, "logicalScreenHeight"))
+              if (w > 0 && h > 0 &&
+                  (w != reader.getWidth(0) || h != reader.getHeight(0)))
+                Some(s"frame 0 ${reader.getWidth(0)}x${reader.getHeight(0)}" +
+                  s" differs from logical screen ${w}x$h: canvas " +
+                  "compositing needed")
+              else None
+            }
+          }
+          def subIssue: Option[String] = (0 until n).collectFirst {
+            case i if reader.getWidth(i) != reader.getWidth(0) ||
+                reader.getHeight(i) != reader.getHeight(0) =>
+              s"sub-canvas frame $i " +
+                s"(${reader.getWidth(i)}x${reader.getHeight(i)} vs canvas " +
+                s"${reader.getWidth(0)}x${reader.getHeight(0)}): offset/" +
+                "disposal animation needs canvas compositing"
+          }
+          def gifFrameIssue: Option[String] = (0 until n).iterator.map { i =>
+            val md = reader.getImageMetadata(i)
+            if (md == null || !md.getMetadataFormatNames
+                .contains("javax_imageio_gif_image_1.0")) None
+            else {
+              val root = md.getAsTree("javax_imageio_gif_image_1.0")
+              val off = domChild(root, "ImageDescriptor").map(d =>
+                (attrInt(d, "imageLeftPosition"),
+                  attrInt(d, "imageTopPosition"))).getOrElse((0, 0))
+              val gce = domChild(root, "GraphicControlExtension")
+              if (off != ((0, 0)))
+                Some(s"frame $i at offset $off: offset/disposal " +
+                  "animation needs canvas compositing")
+              else if (i > 0 && gce.exists(_.getAttribute(
+                  "transparentColorFlag").equalsIgnoreCase("true")))
+                Some(s"frame $i is a transparent full-canvas delta " +
+                  s"(${gce.map(_.getAttribute("disposalMethod"))
+                    .getOrElse("?")} disposal): unchanged pixels are " +
+                  "holes over the previous frame")
+              else None
+            }
+          }.collectFirst { case Some(msg) => msg }
+          screenIssue.orElse(subIssue).orElse(gifFrameIssue) match {
+            case Some(msg) => Left(msg)
             case None => Right(idxs.map(i => f(i, n, reader.read(i))))
           }
         } catch {

@@ -111,6 +111,56 @@ object MultimodalFixtures {
     out.toByteArray
   }
 
+  /** Animated GIF whose SECOND frame is FULL-CANVAS but carries a GIF
+    * GraphicControlExtension with the transparent-color flag and
+    * doNotDispose disposal — the common encoder delta shape that PASSES a
+    * dimensions-only guard: unchanged pixels are transparent holes over
+    * the previous frame, so a per-frame grid sum silently reads them as
+    * black. The metadata guard must route it to the error channel. */
+  def transparentDeltaGif(i: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(patternImage(i), null, null), null)
+      // second frame: same canvas size, but write per-frame metadata
+      // declaring a transparent color + doNotDispose (the delta law)
+      val frame2 = new BufferedImage(patternImage(i).getWidth,
+        patternImage(i).getHeight, BufferedImage.TYPE_BYTE_INDEXED)
+      val spec = javax.imageio.ImageTypeSpecifier
+        .createFromRenderedImage(frame2)
+      val md = writer.getDefaultImageMetadata(spec, null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = md.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = {
+        var c = root.getFirstChild
+        while (c != null && c.getNodeName != "GraphicControlExtension")
+          c = c.getNextSibling
+        if (c != null) c.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        else {
+          val n = new javax.imageio.metadata
+            .IIOMetadataNode("GraphicControlExtension")
+          root.appendChild(n)
+          n
+        }
+      }
+      gce.setAttribute("disposalMethod", "doNotDispose")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "TRUE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", "0")
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(frame2, null, md), null)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   def wavFrames(i: Long): Int = 1000 + i.toInt * 10
   def wavChannels(i: Long): Int = 1 + (i % 2).toInt
   val WavSampleRate = 8000

@@ -1775,6 +1775,16 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(subStride2.length == 1 && !subStride2.head.feature_ok &&
       subStride2.head.error.contains("sub-canvas"))
+    // the dimension check is NOT enough: encoders commonly emit delta
+    // frames that are FULL-canvas with transparent holes + doNotDispose —
+    // the metadata guard (GraphicControlExtension transparent flag on a
+    // frame after 0) must route the payload to the error channel
+    val transMedia = Seq(Multimodal.MediaRow(8L, "video/gif",
+      MultimodalFixtures.transparentDeltaGif(8))).toDS()
+    val transRows = Multimodal.videoFrameFeatures(transMedia,
+      dim = 16, stride = 1).collect()
+    assert(transRows.length == 1 && !transRows.head.feature_ok &&
+      transRows.head.error.contains("transparent"), transRows.head.error)
     // media grain: the embedding is normalize(sum of the SAMPLED frames)
     val feats = Multimodal.videoFeatures(media, dim = 16, stride = 2)
       .collect().map(r => r.media_id -> r).toMap
