@@ -3915,6 +3915,103 @@ object QueryCatalog {
         TextAnalysis.trigramSurprisal(T(s, dir, "documents"), "doc_id", "text")
           .orderBy("doc_id")),
 
+    Q("x_classifier_train",
+      // in-engine BATCH-perceptron training over hashed tf features
+      // (Classifier.scala law): labels = the trusted-stratum recipe
+      // (lang='en' → +1 else −1), dims=64 sha buckets, R=3 rounds.
+      // DuckDB re-trains all three rounds as unrolled CTEs — a wrong
+      // margin test, update mass or hash family hash-fails the weights
+      Some("""WITH d AS (SELECT doc_id,
+             |         CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END
+             |           AS BIGINT) AS y,
+             |         list_transform(list_filter(
+             |           string_split_regex(text, '\s+'), x -> x <> ''),
+             |           w -> lower(w)) AS toks
+             |       FROM documents),
+             |f0 AS (SELECT doc_id, y,
+             |         ('0x' || substr(sha256(t.w), 1, 8))::BIGINT % 64
+             |           AS bucket
+             |       FROM d, unnest(toks) t(w)),
+             |f AS (SELECT doc_id, y, bucket, CAST(count(*) AS BIGINT) AS tf
+             |      FROM f0 GROUP BY 1, 2, 3),
+             |w1 AS (SELECT bucket, CAST(sum(y * tf) AS BIGINT) AS w
+             |       FROM f GROUP BY 1),
+             |m1 AS (SELECT f.doc_id, f.y,
+             |         CAST(sum(f.tf * w1.w) AS BIGINT) AS margin
+             |       FROM f JOIN w1 USING (bucket) GROUP BY 1, 2),
+             |u2 AS (SELECT f.bucket, CAST(sum(f.y * f.tf) AS BIGINT) AS delta
+             |       FROM f JOIN m1 ON m1.doc_id = f.doc_id
+             |       WHERE m1.y * m1.margin <= 0 GROUP BY 1),
+             |w2 AS (SELECT w1.bucket, w1.w + coalesce(u2.delta, 0) AS w
+             |       FROM w1 LEFT JOIN u2 USING (bucket)),
+             |m2 AS (SELECT f.doc_id, f.y,
+             |         CAST(sum(f.tf * w2.w) AS BIGINT) AS margin
+             |       FROM f JOIN w2 USING (bucket) GROUP BY 1, 2),
+             |u3 AS (SELECT f.bucket, CAST(sum(f.y * f.tf) AS BIGINT) AS delta
+             |       FROM f JOIN m2 ON m2.doc_id = f.doc_id
+             |       WHERE m2.y * m2.margin <= 0 GROUP BY 1),
+             |w3 AS (SELECT w2.bucket, w2.w + coalesce(u3.delta, 0) AS w
+             |       FROM w2 LEFT JOIN u3 USING (bucket))
+             |SELECT bucket, w FROM w3 ORDER BY bucket""".stripMargin),
+      (s, dir) =>
+        Classifier.trainPerceptron(
+            T(s, dir, "documents").withColumn("__y",
+              when(col("lang") === "en", 1L).otherwise(-1L)),
+            "doc_id", "text",
+            labelCol = "__y", dims = 64, rounds = 3)._1
+          .orderBy("bucket")),
+
+    Q("x_classifier_scores",
+      // the trained weights APPLIED back to the corpus: per-doc margin,
+      // ±1 prediction (ties → −1, the margin-test convention) and
+      // label agreement — training AND inference hash-gated together
+      Some("""WITH d AS (SELECT doc_id,
+             |         CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END
+             |           AS BIGINT) AS y,
+             |         list_transform(list_filter(
+             |           string_split_regex(text, '\s+'), x -> x <> ''),
+             |           w -> lower(w)) AS toks
+             |       FROM documents),
+             |f0 AS (SELECT doc_id, y,
+             |         ('0x' || substr(sha256(t.w), 1, 8))::BIGINT % 64
+             |           AS bucket
+             |       FROM d, unnest(toks) t(w)),
+             |f AS (SELECT doc_id, y, bucket, CAST(count(*) AS BIGINT) AS tf
+             |      FROM f0 GROUP BY 1, 2, 3),
+             |w1 AS (SELECT bucket, CAST(sum(y * tf) AS BIGINT) AS w
+             |       FROM f GROUP BY 1),
+             |m1 AS (SELECT f.doc_id, f.y,
+             |         CAST(sum(f.tf * w1.w) AS BIGINT) AS margin
+             |       FROM f JOIN w1 USING (bucket) GROUP BY 1, 2),
+             |u2 AS (SELECT f.bucket, CAST(sum(f.y * f.tf) AS BIGINT) AS delta
+             |       FROM f JOIN m1 ON m1.doc_id = f.doc_id
+             |       WHERE m1.y * m1.margin <= 0 GROUP BY 1),
+             |w2 AS (SELECT w1.bucket, w1.w + coalesce(u2.delta, 0) AS w
+             |       FROM w1 LEFT JOIN u2 USING (bucket)),
+             |m2 AS (SELECT f.doc_id, f.y,
+             |         CAST(sum(f.tf * w2.w) AS BIGINT) AS margin
+             |       FROM f JOIN w2 USING (bucket) GROUP BY 1, 2),
+             |u3 AS (SELECT f.bucket, CAST(sum(f.y * f.tf) AS BIGINT) AS delta
+             |       FROM f JOIN m2 ON m2.doc_id = f.doc_id
+             |       WHERE m2.y * m2.margin <= 0 GROUP BY 1),
+             |w3 AS (SELECT w2.bucket, w2.w + coalesce(u3.delta, 0) AS w
+             |       FROM w2 LEFT JOIN u3 USING (bucket)),
+             |sc AS (SELECT f.doc_id, f.y,
+             |         CAST(sum(f.tf * w3.w) AS BIGINT) AS margin
+             |       FROM f JOIN w3 USING (bucket) GROUP BY 1, 2)
+             |SELECT doc_id, y, margin,
+             |       CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT)
+             |         AS predicted,
+             |       (CASE WHEN margin > 0 THEN 1 ELSE -1 END) = y AS correct
+             |FROM sc ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val labeled = T(s, dir, "documents").withColumn("__y",
+          when(col("lang") === "en", 1L).otherwise(-1L))
+        val (w, feats) = Classifier.trainPerceptron(labeled,
+          "doc_id", "text", labelCol = "__y", dims = 64, rounds = 3)
+        Classifier.scoreFeatures(feats, w).orderBy("doc_id")
+      }),
+
     Q("x_token_count",
       Some("""SELECT doc_id,
              |       len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))

@@ -1476,6 +1476,46 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(400))
   }
 
+  test("batch perceptron: converges to zero mistakes on a separable " +
+      "corpus, fixpoint is stable across extra rounds, ties predict -1") {
+    import spark.implicits._
+    // disjoint class vocabularies => linearly separable => w_1 = Σ y·x
+    // already classifies everything (each bucket carries one sign),
+    // provided no cross-class sha-bucket collision; dims=256 over 10
+    // distinct words — verified by the all-correct assertion itself
+    val pos = Seq("alpha bravo charlie delta echo",
+      "bravo charlie alpha alpha", "echo delta delta bravo")
+    val neg = Seq("omega zulu yankee xray whiskey",
+      "zulu zulu omega yankee", "whiskey xray omega omega zulu")
+    val docs = (pos.zipWithIndex.map { case (t, i) => (i.toLong, t, 1L) } ++
+      neg.zipWithIndex.map { case (t, i) => (100L + i, t, -1L) })
+      .toDF("doc_id", "text", "y")
+    val (w3, feats) = Classifier.trainPerceptron(docs, "doc_id", "text",
+      "y", dims = 256, rounds = 3)
+    val scored = Classifier.scoreFeatures(feats, w3)
+    assert(scored.where(!col("correct")).count() == 0)
+    // fixpoint: once mistakes hit zero the update mass is zero, so more
+    // rounds leave the weights bit-identical
+    val (w1, _) = Classifier.trainPerceptron(docs, "doc_id", "text",
+      "y", dims = 256, rounds = 1)
+    val diff = w3.withColumnRenamed("w", "w3")
+      .join(w1.withColumnRenamed("w", "w1"), Seq("bucket"), "full")
+      .where(col("w3") =!= col("w1") || col("w3").isNull || col("w1").isNull)
+    assert(diff.count() == 0, "weights moved after convergence")
+    // tie convention: margin 0 predicts -1 (the margin-test side)
+    val zeroFeats = Seq((7L, 1L, 3L, 2L), (7L, 1L, 5L, 1L))
+      .toDF("doc_id", "y", "bucket", "tf")
+    val zeroW = Seq((3L, 1L), (5L, -2L)).toDF("bucket", "w")
+    val tie = Classifier.scoreFeatures(zeroFeats, zeroW).collect().head
+    assert(tie.getAs[Long]("margin") == 0L &&
+      tie.getAs[Long]("predicted") == -1L && !tie.getAs[Boolean]("correct"))
+    // scale shape: the weight join is a broadcast, never a sort-merge
+    val plan = Classifier.scoreFeatures(feats, w3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"), plan.take(500))
+  }
+
   test("nfc normalization: canonical composition laws, idempotence, and " +
       "composition-equal docs dedup identically after it") {
     import spark.implicits._
