@@ -3915,6 +3915,217 @@ object QueryCatalog {
         TextAnalysis.trigramSurprisal(T(s, dir, "documents"), "doc_id", "text")
           .orderBy("doc_id")),
 
+    Q("x_text_ppl_buckets",
+      // CCNet head/middle/tail perplexity terciles WITHOUT CCNet's global
+      // sort: exact threshold cuts from a histogram over the bounded
+      // integer millibit domain (t_head = min{s: 3·cum ≥ n}, t_mid =
+      // min{s: 3·cum ≥ 2n}); boundary ties share a bucket by law. DuckDB
+      // re-trains the trigram LM and re-derives both cuts
+      Some("""WITH d AS (SELECT doc_id,
+             |         list_transform(list_filter(
+             |           string_split_regex(text, '\s+'), x -> x <> ''),
+             |           w -> lower(w)) AS toks
+             |       FROM documents),
+             |tg AS (SELECT doc_id,
+             |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS trigram
+             |       FROM d, unnest(range(1, len(toks) - 1)) t(i)),
+             |tc AS (SELECT trigram, count(*) AS c_tg,
+             |         array_to_string(string_split(trigram, ' ')[1:2], ' ')
+             |           AS prefix2,
+             |         array_to_string(string_split(trigram, ' ')[2:3], ' ')
+             |           AS bigram23
+             |       FROM tg GROUP BY trigram),
+             |p2 AS (SELECT prefix2, CAST(sum(c_tg) AS BIGINT) AS c_p2
+             |       FROM tc GROUP BY prefix2),
+             |bg AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram23
+             |       FROM d, unnest(range(1, len(toks))) t(i)),
+             |bc AS (SELECT bigram23, count(*) AS c_bg,
+             |         string_split(bigram23, ' ')[1] AS prefix1
+             |       FROM bg GROUP BY bigram23),
+             |p1 AS (SELECT prefix1, CAST(sum(c_bg) AS BIGINT) AS c_p1
+             |       FROM bc GROUP BY prefix1),
+             |s AS (SELECT tg.doc_id, count(*) AS n_trigrams,
+             |        CAST(sum(CASE WHEN tc.c_tg >= 2
+             |          THEN (length(bin(p2.c_p2)) - 1)
+             |             - (length(bin(tc.c_tg)) - 1)
+             |          ELSE (length(bin(p1.c_p1)) - 1)
+             |             - (length(bin(bc.c_bg)) - 1) + 1 END) AS BIGINT)
+             |          AS surprisal3_bits
+             |      FROM tg JOIN tc USING (trigram) JOIN p2 USING (prefix2)
+             |        JOIN bc USING (bigram23) JOIN p1 USING (prefix1)
+             |      GROUP BY tg.doc_id),
+             |sc AS (SELECT d.doc_id,
+             |         CAST(CASE WHEN coalesce(s.n_trigrams, 0) > 0
+             |              THEN s.surprisal3_bits * 1000 // s.n_trigrams
+             |              ELSE 0 END AS BIGINT) AS mean_millibits
+             |       FROM d LEFT JOIN s ON s.doc_id = d.doc_id),
+             |hist AS (SELECT mean_millibits AS hs, count(*) AS c
+             |         FROM sc GROUP BY 1),
+             |cumt AS (SELECT hs, sum(c) OVER (ORDER BY hs
+             |           ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+             |tot AS (SELECT max(cum) AS n FROM cumt),
+             |thr AS (SELECT min(CASE WHEN cum * 3 >= n THEN hs END)
+             |          AS t_head,
+             |          min(CASE WHEN cum * 3 >= 2 * n THEN hs END) AS t_mid
+             |        FROM cumt, tot)
+             |SELECT doc_id, mean_millibits,
+             |       CASE WHEN mean_millibits <= t_head THEN 'head'
+             |            WHEN mean_millibits <= t_mid THEN 'middle'
+             |            ELSE 'tail' END AS ppl_bucket
+             |FROM sc, thr ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.surprisalBuckets(
+            TextAnalysis.trigramSurprisal(T(s, dir, "documents"),
+              "doc_id", "text")
+              .select("doc_id", "mean_millibits"),
+            "doc_id", "mean_millibits")
+          .orderBy("doc_id")),
+
+    Q("x_curation_pipeline_v7",
+      // the CCNet recipe END-TO-END (Wenzek et al. 2020), every stage a
+      // hash-verified law: in-engine perceptron training on the trusted
+      // stratum (lang='en' vs rest) -> classifier gate at the corpus-MEAN
+      // margin (self-calibrating, the quantile-style cut practical
+      // fastText curation uses — an absolute margin>0 cut empties under
+      // class imbalance; the comparison is multiplication-only,
+      // margin·n >= Σmargin, so no floor-vs-truncate division skew on
+      // negative sums) -> trigram back-off LM RE-TRAINED over the
+      // survivors -> exact histogram-cut perplexity terciles ->
+      // bucket-stratified mixture (head 100% / middle 50% / tail 10%).
+      // DuckDB replays training, gating, LM fitting, both tercile cuts
+      // and the sha mixture in ONE CTE chain — classifier drift, LM
+      // drift or a moved cut all hash-fail the pipeline
+      Some(s"""WITH d AS (SELECT doc_id,
+             |         CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END
+             |           AS BIGINT) AS y,
+             |         list_transform(list_filter(
+             |           string_split_regex(text, '\\s+'), x -> x <> ''),
+             |           w -> lower(w)) AS toks
+             |       FROM documents),
+             |f0 AS (SELECT doc_id, y,
+             |         ('0x' || substr(sha256(t.w), 1, 8))::BIGINT % 64
+             |           AS bucket
+             |       FROM d, unnest(toks) t(w)),
+             |f AS (SELECT doc_id, y, bucket, CAST(count(*) AS BIGINT) AS tf
+             |      FROM f0 GROUP BY 1, 2, 3),
+             |w1 AS (SELECT bucket, CAST(sum(y * tf) AS BIGINT) AS w
+             |       FROM f GROUP BY 1),
+             |m1 AS (SELECT f.doc_id, f.y,
+             |         CAST(sum(f.tf * w1.w) AS BIGINT) AS margin
+             |       FROM f JOIN w1 USING (bucket) GROUP BY 1, 2),
+             |u2 AS (SELECT f.bucket, CAST(sum(f.y * f.tf) AS BIGINT) AS delta
+             |       FROM f JOIN m1 ON m1.doc_id = f.doc_id
+             |       WHERE m1.y * m1.margin <= 0 GROUP BY 1),
+             |w2 AS (SELECT w1.bucket, w1.w + coalesce(u2.delta, 0) AS w
+             |       FROM w1 LEFT JOIN u2 USING (bucket)),
+             |m2 AS (SELECT f.doc_id, f.y,
+             |         CAST(sum(f.tf * w2.w) AS BIGINT) AS margin
+             |       FROM f JOIN w2 USING (bucket) GROUP BY 1, 2),
+             |u3 AS (SELECT f.bucket, CAST(sum(f.y * f.tf) AS BIGINT) AS delta
+             |       FROM f JOIN m2 ON m2.doc_id = f.doc_id
+             |       WHERE m2.y * m2.margin <= 0 GROUP BY 1),
+             |w3 AS (SELECT w2.bucket, w2.w + coalesce(u3.delta, 0) AS w
+             |       FROM w2 LEFT JOIN u3 USING (bucket)),
+             |mg AS (SELECT f.doc_id,
+             |         CAST(sum(f.tf * w3.w) AS BIGINT) AS margin
+             |       FROM f JOIN w3 USING (bucket) GROUP BY 1),
+             |mt AS (SELECT CAST(sum(margin) AS BIGINT) AS sm,
+             |              CAST(count(*) AS BIGINT) AS cnt FROM mg),
+             |keep AS (SELECT doc_id, margin FROM mg, mt
+             |         WHERE margin * cnt >= sm),
+             |d2 AS (SELECT d.doc_id, d.toks FROM d JOIN keep USING (doc_id)),
+             |tg AS (SELECT doc_id,
+             |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS trigram
+             |       FROM d2, unnest(range(1, len(toks) - 1)) t(i)),
+             |tc AS (SELECT trigram, count(*) AS c_tg,
+             |         array_to_string(string_split(trigram, ' ')[1:2], ' ')
+             |           AS prefix2,
+             |         array_to_string(string_split(trigram, ' ')[2:3], ' ')
+             |           AS bigram23
+             |       FROM tg GROUP BY trigram),
+             |p2 AS (SELECT prefix2, CAST(sum(c_tg) AS BIGINT) AS c_p2
+             |       FROM tc GROUP BY prefix2),
+             |bg AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram23
+             |       FROM d2, unnest(range(1, len(toks))) t(i)),
+             |bc AS (SELECT bigram23, count(*) AS c_bg,
+             |         string_split(bigram23, ' ')[1] AS prefix1
+             |       FROM bg GROUP BY bigram23),
+             |p1 AS (SELECT prefix1, CAST(sum(c_bg) AS BIGINT) AS c_p1
+             |       FROM bc GROUP BY prefix1),
+             |s AS (SELECT tg.doc_id, count(*) AS n_trigrams,
+             |        CAST(sum(CASE WHEN tc.c_tg >= 2
+             |          THEN (length(bin(p2.c_p2)) - 1)
+             |             - (length(bin(tc.c_tg)) - 1)
+             |          ELSE (length(bin(p1.c_p1)) - 1)
+             |             - (length(bin(bc.c_bg)) - 1) + 1 END) AS BIGINT)
+             |          AS surprisal3_bits
+             |      FROM tg JOIN tc USING (trigram) JOIN p2 USING (prefix2)
+             |        JOIN bc USING (bigram23) JOIN p1 USING (prefix1)
+             |      GROUP BY tg.doc_id),
+             |sc2 AS (SELECT d2.doc_id,
+             |         CAST(CASE WHEN coalesce(s.n_trigrams, 0) > 0
+             |              THEN s.surprisal3_bits * 1000 // s.n_trigrams
+             |              ELSE 0 END AS BIGINT) AS mean_millibits
+             |       FROM d2 LEFT JOIN s ON s.doc_id = d2.doc_id),
+             |hist AS (SELECT mean_millibits AS hs, count(*) AS c
+             |         FROM sc2 GROUP BY 1),
+             |cumt AS (SELECT hs, sum(c) OVER (ORDER BY hs
+             |           ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+             |tot AS (SELECT max(cum) AS n FROM cumt),
+             |thr AS (SELECT min(CASE WHEN cum * 3 >= n THEN hs END)
+             |          AS t_head,
+             |          min(CASE WHEN cum * 3 >= 2 * n THEN hs END) AS t_mid
+             |        FROM cumt, tot),
+             |mix AS (SELECT sc2.doc_id, sc2.mean_millibits,
+             |          CASE WHEN mean_millibits <= t_head THEN 'head'
+             |               WHEN mean_millibits <= t_mid THEN 'middle'
+             |               ELSE 'tail' END AS ppl_bucket
+             |        FROM sc2, thr),
+             |kept AS (SELECT * FROM mix
+             |         WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) <
+             |           CASE ppl_bucket
+             |             WHEN 'head' THEN '${Sampling.thresholdHex(1.0)}'
+             |             WHEN 'middle' THEN '${Sampling.thresholdHex(0.5)}'
+             |             ELSE '${Sampling.thresholdHex(0.1)}' END)
+             |SELECT k.doc_id, keep.margin, k.mean_millibits, k.ppl_bucket
+             |FROM kept k JOIN keep USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val labeled = docs.withColumn("__y",
+          when(col("lang") === "en", 1L).otherwise(-1L))
+        val (w, feats) = Classifier.trainPerceptron(labeled,
+          "doc_id", "text", "__y", dims = 64, rounds = 3)
+        // checkpoint the gate verdicts: they feed BOTH the LM input and
+        // the final provenance join (the v2 lesson — an uncached gate
+        // re-scores the corpus per consumer). Gate = corpus-mean margin,
+        // compared multiplication-only (margin·n ≥ Σmargin): exact for
+        // negative sums where floor-div (DuckDB) and truncate-div (Spark)
+        // disagree. Overflow license: |margin|·n ≤ BIGINT until ~10^9
+        // docs × 10^9 margins — beyond that, widen to decimal.
+        val mg = Classifier.scoreFeatures(feats, w)
+          .select("doc_id", "margin")
+        val mthr = mg.agg(sum("margin").as("sm"), count(lit(1)).as("cnt"))
+        val keep = mg.join(broadcast(mthr))
+          .where(col("margin") * col("cnt") >= col("sm"))
+          .select("doc_id", "margin")
+          .localCheckpoint(true)
+        val scored = TextAnalysis.trigramSurprisal(
+            docs.join(keep.select("doc_id"), "doc_id"), "doc_id", "text")
+          .select("doc_id", "mean_millibits")
+        val buck = TextAnalysis.surprisalBuckets(scored,
+          "doc_id", "mean_millibits")
+        Sampling.stratifiedThresholds(buck, "doc_id", "ppl_bucket",
+            Map("head" -> Sampling.thresholdHex(1.0),
+              "middle" -> Sampling.thresholdHex(0.5),
+              "tail" -> Sampling.thresholdHex(0.1)),
+            Sampling.thresholdHex(1.0))
+          .join(keep, "doc_id")
+          .select(col("doc_id"), col("margin"), col("mean_millibits"),
+            col("ppl_bucket"))
+          .orderBy("doc_id")
+      }),
+
     Q("x_classifier_train",
       // in-engine BATCH-perceptron training over hashed tf features
       // (Classifier.scala law): labels = the trusted-stratum recipe

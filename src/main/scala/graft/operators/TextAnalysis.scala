@@ -321,6 +321,49 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): split the
+    * corpus into head / middle / tail terciles of the LM score, the standard
+    * quality-stratification step before mixture sampling (head = most
+    * fluent under the corpus LM).
+    *
+    * CCNet computes the cut points by globally SORTING all document
+    * perplexities — a full-corpus sort. This law exploits that the repo's
+    * LM scores are bounded INTEGERS (mean millibits, domain ≤ ~64k distinct
+    * values regardless of corpus size): the exact tercile thresholds fall
+    * out of a map-combinable histogram aggregate over the score domain plus
+    * a cumulative sum over the (bounded, broadcast-sized) histogram —
+    * t_head = min{s : 3·cum(s) ≥ n}, t_mid = min{s : 3·cum(s) ≥ 2n} —
+    * then one broadcast threshold join. No global sort, no per-doc window;
+    * ties at a boundary land in the SAME bucket by construction (the
+    * threshold is a score cut, not a row-rank cut), so the split is
+    * engine-replayable where ntile()'s tie-breaking is not.
+    *
+    * Input: a scored frame (idCol, scoreCol ascending-is-better, i.e. low
+    * surprisal = head). Output adds `ppl_bucket` ∈ head|middle|tail.
+    * The single-partition window runs over ≤ |score domain| rows — the
+    * same bounded-driver-data license as the IVF centroid collect. */
+  def surprisalBuckets(scored: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum("__c").over(Window.orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = cum.agg(max("__cum").as("__n"))
+    val thr = cum.join(broadcast(tot))
+      .agg(
+        min(when(col("__cum") * 3 >= col("__n"), col("__s"))).as("__t_head"),
+        min(when(col("__cum") * 3 >= col("__n") * 2, col("__s")))
+          .as("__t_mid"))
+    scored.join(broadcast(thr))
+      .withColumn("ppl_bucket",
+        when(col(scoreCol) <= col("__t_head"), "head")
+          .when(col(scoreCol) <= col("__t_mid"), "middle")
+          .otherwise("tail"))
+      .drop("__t_head", "__t_mid")
+  }
+
   /** Stopword-lexicon language ID: score = share of tokens in each language's
     * stopword list; argmax with deterministic tie-break by language code.
     * N-gram-free heuristic that is pure column algebra (no UDF, no shuffle). */

@@ -1476,6 +1476,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(400))
   }
 
+  test("surprisal buckets: exact tercile cuts on the score domain, " +
+      "boundary ties share a bucket, heavy mass collapses into head") {
+    import spark.implicits._
+    // even split: 3/3/3 distinct scores -> one score per bucket
+    val even = (1L to 9L).map(i => (i, (i - 1) / 3 + 1)).toDF("id", "s")
+    val be = TextAnalysis.surprisalBuckets(even, "id", "s")
+      .collect().map(r => r.getAs[Long]("s") -> r.getAs[String]("ppl_bucket"))
+    assert(be.toSet == Set(1L -> "head", 2L -> "middle", 3L -> "tail"), be.toSeq)
+    // all-equal scores: everything is head (3·cum ≥ n at the only score)
+    val flat = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("id", "s")
+    assert(TextAnalysis.surprisalBuckets(flat, "id", "s")
+      .where(col("ppl_bucket") =!= "head").count() == 0)
+    // mass at one score: the 5/7 block at s=7 crosses BOTH cuts, so 7 is
+    // head and middle is empty — a score cut, not a row-rank cut (ntile
+    // would have torn the tied block apart nondeterministically)
+    val skew = (Seq((0L, 1L), (6L, 9L)) ++ (1L to 5L).map(i => (i, 7L)))
+      .toDF("id", "s")
+    val bs = TextAnalysis.surprisalBuckets(skew, "id", "s")
+      .collect().map(r => r.getAs[Long]("s") -> r.getAs[String]("ppl_bucket"))
+      .toSet
+    assert(bs == Set(1L -> "head", 7L -> "head", 9L -> "tail"), bs)
+    // scale shape: the doc frame never sorts; the only Sort feeds the
+    // histogram window (bounded score domain), and the threshold reaches
+    // the docs via a broadcast join
+    val plan = TextAnalysis.surprisalBuckets(even, "id", "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(500))
+  }
+
   test("batch perceptron: converges to zero mistakes on a separable " +
       "corpus, fixpoint is stable across extra rounds, ties predict -1") {
     import spark.implicits._
