@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Classifier, Dedup, Similarity}
 
 /** Scale-stress harness for the iterative/heavy operators: synthesizes an
   * N× corpus (default 10× ≈ sf1) from the sf0.1 documents/embeddings
@@ -557,6 +557,68 @@ object BenchScale {
         s"incremental verdicts drifted with corpus size: $d1 @1x, " +
           s"$dN @${factor}x (all 300 batch docs are planted dups)")
       rows += (("inc_dedup probe (sec)", p1, pN))
+    }
+
+    // ---- perceptron training: driver data bounded by dims (round 19) ----
+    // Train the batch perceptron at 1× and N×. The structural claim: the
+    // ONLY driver-side data is the weight vector, whose row count is
+    // ≤ dims at ANY corpus size (each round's update aggregates to bucket
+    // grain before anything leaves the executors) — the corpus-
+    // proportional work is the checkpointed feature pass plus per-round
+    // narrow aggs. require'd: weight rows ≤ dims at both factors; wall
+    // clock reported (≈linear in corpus tokens).
+    locally {
+      val dims = 64
+      def run(d: DataFrame, label: String): (Long, Double) = {
+        val labeled = d.withColumn("__y",
+          when(col("lang") === "en", 1L).otherwise(-1L))
+        val t0 = System.nanoTime()
+        val (w, _) = Classifier.trainPerceptron(labeled, "doc_id", "text",
+          "__y", dims = dims, rounds = 3)
+        val nW = w.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] perceptron $label: $nW weight rows, $sec%.2f s")
+        (nW, sec)
+      }
+      val (w1, s1) = run(docs1, "@1x")
+      val (wN, sN) = run(docsN, s"@${factor}x")
+      require(w1 <= dims && wN <= dims,
+        s"weight vector exceeded dims=$dims: $w1 @1x, $wN @${factor}x — " +
+          "the driver-bounded-fetch license is broken")
+      rows += (("perceptron train (sec)", s1, sN))
+    }
+
+    // ---- curation pipeline v7 (CCNet chain) at scale (round 19) ---------
+    // Perceptron gate at the corpus-mean margin -> trigram LM over the
+    // survivors -> histogram perplexity terciles -> stratified mixture.
+    // Invariants: (a) the self-calibrating margin gate neither empties
+    // nor passes the whole corpus at N× (the failure modes an absolute
+    // margin>0 cut has under class imbalance), (b) all three perplexity
+    // buckets are populated at N× (the histogram cuts stay inside the
+    // score domain), (c) kept rows stay within [n₁/2, N·n₁].
+    locally {
+      val fn = graft.QueryCatalog.all
+        .find(_.name == "x_curation_pipeline_v7").get.fn
+      def run(dir: String, label: String): (Long, Long) = {
+        val t0 = System.nanoTime()
+        val out = fn(spark, dir)
+        val n = out.count()
+        val nBuckets = out.select("ppl_bucket").distinct().count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] curation_v7 $label: $n%,d kept rows, " +
+          f"$nBuckets buckets, $sec%.2f s")
+        (n, nBuckets)
+      }
+      val (n1, _) = run(sfDir, "@1x")
+      val (nN, bN) = run(tmp, s"@${factor}x")
+      require(nN > 0 && nN < nDocsN,
+        s"curation v7 degenerated at ${factor}x: $nN of $nDocsN")
+      require(bN == 3,
+        s"a perplexity bucket vanished from v7 at ${factor}x: $bN of 3")
+      require(nN >= n1 / 2 && nN <= factor * n1,
+        s"curation v7 kept-rows invariant violated: $nN not in " +
+          s"[${n1 / 2}, ${factor * n1}] (1x kept $n1)")
+      rows += (("curation_v7 (kept rows)", n1.toDouble, nN.toDouble))
     }
 
     // ---- streaming near-dup: state bounded by rate × horizon × bands ----

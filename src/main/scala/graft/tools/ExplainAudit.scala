@@ -190,6 +190,25 @@ object ExplainAudit {
       // BucketingSpec, which controls the broadcast threshold)
       ("x_dedup_incremental", Seq("partial_min"),
         Seq("CartesianProduct")),
+      // perceptron scoring: the weight vector (dims-bounded) must ride a
+      // BROADCAST hash join against the doc-grain features and the margin
+      // aggregate partial-combine — a sort-merge here would shuffle the
+      // corpus for a <= dims-row build side
+      ("x_classifier_scores", Seq("BroadcastHashJoin", "partial_sum"),
+        Seq("SortMergeJoin", "CartesianProduct")),
+      // perplexity terciles: the histogram aggregate partial-combines
+      // map-side (the ONLY corpus-wide pass); the cuts reach the docs via
+      // a bounded broadcast — the doc frame itself never sorts and never
+      // rides a sort-merge join (CCNet's global perplexity sort is the
+      // shape this law exists to avoid)
+      ("x_text_ppl_buckets", Seq("partial_count", "BroadcastExchange"),
+        Seq("SortMergeJoin", "CartesianProduct")),
+      // curation v7 (CCNet chain): trained weights + tercile cuts ride
+      // broadcasts, gate verdicts come off the checkpoint RDD — never a
+      // cartesian across the five composed stages
+      ("x_curation_pipeline_v7",
+        Seq("BroadcastHashJoin", "Scan ExistingRDD"),
+        Seq("CartesianProduct")),
       // df-cut: hot grams via partial agg + broadcast, pruning intra-row —
       // no per-gram window sort anywhere in the plan
       ("x_jaccard_dfcut", Seq("partial_count", "BroadcastExchange", "array_except"),
