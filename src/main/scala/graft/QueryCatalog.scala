@@ -4126,6 +4126,52 @@ object QueryCatalog {
           .orderBy("doc_id")
       }),
 
+    Q("x_dsir_importance",
+      // DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+      // importance ratio between the trusted stratum (lang='en') and the
+      // raw pool, integerized with the flog2 family; selection = the
+      // self-calibrating mean cut (multiplication-only compare). DuckDB
+      // refits both count tables and replays the signed truncating
+      // division (both engines' integer div truncates toward zero — a
+      // flooring engine would hash-fail every negative odd quotient)
+      Some("""WITH d AS (SELECT doc_id, lang = 'en' AS t,
+             |         list_transform(list_filter(
+             |           string_split_regex(text, '\s+'), x -> x <> ''),
+             |           w -> lower(w)) AS toks
+             |       FROM documents),
+             |g0 AS (SELECT doc_id, t, unnest(list_concat(toks,
+             |         list_transform(range(1, len(toks)),
+             |           i -> toks[i] || ' ' || toks[i+1]))) AS g
+             |       FROM d),
+             |f0 AS (SELECT doc_id, t,
+             |         ('0x' || substr(sha256(g), 1, 8))::BIGINT % 256
+             |           AS bucket
+             |       FROM g0),
+             |f AS (SELECT doc_id, t, bucket, CAST(count(*) AS BIGINT) AS tf
+             |      FROM f0 GROUP BY 1, 2, 3),
+             |w AS (SELECT bucket,
+             |        CAST((length(bin(CAST(sum(CASE WHEN t THEN tf ELSE 0
+             |            END) + 1 AS BIGINT))) - 1)
+             |          - (length(bin(CAST(sum(CASE WHEN t THEN 0 ELSE tf
+             |            END) + 1 AS BIGINT))) - 1) AS BIGINT) AS wbits
+             |      FROM f GROUP BY 1),
+             |sc AS (SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_feats,
+             |         CAST(sum(f.tf * w.wbits) AS BIGINT)
+             |           AS importance_bits
+             |       FROM f JOIN w USING (bucket) GROUP BY 1),
+             |s2 AS (SELECT doc_id, n_feats, importance_bits,
+             |         importance_bits * 1000 // n_feats AS mean_millibits
+             |       FROM sc),
+             |mt AS (SELECT CAST(sum(mean_millibits) AS BIGINT) AS sm,
+             |              CAST(count(*) AS BIGINT) AS cnt FROM s2)
+             |SELECT doc_id, n_feats, importance_bits, mean_millibits,
+             |       mean_millibits * cnt >= sm AS keep
+             |FROM s2, mt ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Classifier.dsirImportance(T(s, dir, "documents"), "doc_id", "text",
+            isTarget = col("lang") === "en", dims = 256)
+          .orderBy("doc_id")),
+
     Q("x_classifier_train",
       // in-engine BATCH-perceptron training over hashed tf features
       // (Classifier.scala law): labels = the trusted-stratum recipe

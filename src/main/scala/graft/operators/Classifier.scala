@@ -107,4 +107,79 @@ object Classifier {
       .withColumn("predicted",
         when(col("margin") > 0, 1L).otherwise(-1L))
       .withColumn("correct", col("predicted") === col("y"))
+
+  /** DSIR importance weighting (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every raw
+    * document by how much more likely its hashed-ngram profile is under
+    * the TARGET distribution (a trusted stratum) than under the RAW pool,
+    * then select high-importance docs — the principled replacement for a
+    * binary quality classifier when the goal is matching a target domain.
+    *
+    * Integerized law (the flog2 family every LM score in this repo uses):
+    * feature = unigrams ∪ bigrams hashed to `dims` sha buckets;
+    *   wbits[b]   = flog2(c_target[b] + 1) − flog2(c_raw[b] + 1)
+    *   bits(doc)  = Σ_b tf_b · wbits[b]            (exact integers)
+    *   mean_millibits = bits · 1000 div n_feats    (length-normalized)
+    * (the ±1 smoothing keeps untouched buckets defined; the normalizing
+    * constants log Σ_target, log Σ_raw shift every doc by n_feats·const
+    * and cancel in the mean-relative selection below, so the law drops
+    * them rather than approximating logs of non-integer ratios.)
+    *
+    * Selection is the repo's self-calibrating idiom instead of DSIR's
+    * Gumbel-noise resampling (engine-replayable determinism beats noisy
+    * sampling here): keep docs at or above the corpus-mean millibit
+    * importance, compared multiplication-only (m·n ≥ Σm) so negative
+    * sums divide identically in every engine.
+    *
+    * Scale shape: one explode+hash-agg per corpus for the two count
+    * tables (map-combinable, bucket-grain ≤ dims rows each), ONE
+    * broadcast join of the dims-row weight table against the doc-grain
+    * features, one margin agg, one broadcast threshold. Nothing wide
+    * shuffles; no driver data beyond the two dims-bounded count tables. */
+  def dsirImportance(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dims: Int): DataFrame = {
+    require(dims > 0 && dims <= (1 << 20), s"dims $dims out of range")
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val toks = transform(TextAnalysis.tokens(col(textCol)), w => lower(w))
+    val n1 = greatest(size(col("__toks")) - 1, lit(0))
+    val grams = concat(
+      col("__toks"),
+      zip_with(slice(col("__toks"), lit(1), n1),
+        slice(col("__toks"), lit(2), n1),
+        (x, y) => concat(x, lit(" "), y)))
+    val base = df.select(col(idCol).as("doc_id"), isTarget.as("__t"),
+        toks.as("__toks"))
+      .select(col("doc_id"), col("__t"), explode(grams).as("g"))
+      .select(col("doc_id"), col("__t"),
+        hashBucket(col("g"), dims).as("bucket"))
+    val feats = base.groupBy("doc_id", "__t", "bucket")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds both count tables and the scorer
+    val weights = feats
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("__t"), col("tf")).otherwise(0L)).as("c_t"),
+        sum(when(col("__t"), 0L).otherwise(col("tf"))).as("c_r"))
+      .select(col("bucket"),
+        (flog2(col("c_t") + 1) - flog2(col("c_r") + 1)).as("wbits"))
+    val scored = feats
+      .join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_feats"),
+        sum(col("tf") * col("wbits")).as("importance_bits"))
+      // importance is SIGNED (unlike every surprisal law, which is
+      // non-negative), so the division law matters: Spark's `div` and
+      // DuckDB's integer `//` BOTH truncate toward zero (verified:
+      // -7//2 = -3 in DuckDB, -34000 div 63 = -539 in Spark), so plain
+      // integral division replays exactly; only a flooring engine would
+      // need the pmod-subtract spelling
+      .withColumn("mean_millibits",
+        expr("importance_bits * 1000 div n_feats"))
+    val thr = scored.agg(sum("mean_millibits").as("__sm"),
+      count(lit(1)).as("__cnt"))
+    scored.join(broadcast(thr))
+      .withColumn("keep",
+        col("mean_millibits") * col("__cnt") >= col("__sm"))
+      .drop("__sm", "__cnt")
+  }
 }

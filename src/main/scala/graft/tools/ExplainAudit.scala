@@ -196,6 +196,12 @@ object ExplainAudit {
       // corpus for a <= dims-row build side
       ("x_classifier_scores", Seq("BroadcastHashJoin", "partial_sum"),
         Seq("SortMergeJoin", "CartesianProduct")),
+      // DSIR importance: the dims-bounded wbits table must ride a
+      // BROADCAST against the doc-grain features (sort-merge would
+      // shuffle the corpus for a <= dims build side); count-table and
+      // margin aggregates partial-combine
+      ("x_dsir_importance", Seq("BroadcastHashJoin", "partial_sum"),
+        Seq("SortMergeJoin", "CartesianProduct")),
       // perplexity terciles: the histogram aggregate partial-combines
       // map-side (the ONLY corpus-wide pass); the cuts reach the docs via
       // a bounded broadcast — the doc frame itself never sorts and never

@@ -1476,6 +1476,40 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(400))
   }
 
+  test("dsir importance: target-vocab raw docs outrank off-domain docs, " +
+      "mean cut keeps exactly the above-mean set, weights ride a broadcast") {
+    import spark.implicits._
+    // target stratum speaks {alpha..echo}; raw pool has one doc sharing
+    // that vocabulary and two off-domain docs — the importance ratio law
+    // must rank the in-domain raw doc strictly above both
+    val docs = Seq(
+      (0L, "alpha bravo charlie delta echo alpha bravo", true),
+      (1L, "bravo charlie delta echo alpha charlie", true),
+      (2L, "alpha bravo charlie delta echo", false),     // in-domain raw
+      (3L, "omega zulu yankee xray whiskey victor", false),
+      (4L, "quebec papa oscar november mike lima", false))
+      .toDF("doc_id", "text", "is_target")
+    val out = Classifier.dsirImportance(docs, "doc_id", "text",
+      col("is_target"), dims = 1024)
+    val byId = out.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("mean_millibits"), r.getAs[Boolean]("keep")))).toMap
+    assert(byId(2L)._1 > byId(3L)._1 && byId(2L)._1 > byId(4L)._1, byId)
+    // keep = mean cut, exactly: recompute the threshold by hand
+    val ms = byId.values.map(_._1).toSeq
+    val (sm, cnt) = (ms.sum, ms.size.toLong)
+    byId.foreach { case (id, (m, keep)) =>
+      assert(keep == (m * cnt >= sm), s"doc $id: m=$m keep=$keep")
+    }
+    // off-domain docs fall below the mean, in-domain raw doc above it
+    assert(byId(2L)._2 && !byId(3L)._2 && !byId(4L)._2, byId)
+    // scale shape: the dims-bounded weight table joins via broadcast
+    val plan = Classifier.dsirImportance(docs, "doc_id", "text",
+      col("is_target"), dims = 1024).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"), plan.take(500))
+  }
+
   test("surprisal buckets: exact tercile cuts on the score domain, " +
       "boundary ties share a bucket, heavy mass collapses into head") {
     import spark.implicits._
