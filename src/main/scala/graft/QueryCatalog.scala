@@ -364,6 +364,23 @@ object QueryCatalog {
         query, frag))
   }
 
+  /** PSL rule table for `x_psl_domain`: the engine's bounded suffix list
+    * plus the canonical wildcard/exception pair from the public PSL
+    * algorithm description (publicsuffix.org). */
+  private val pslRules: Seq[String] =
+    Web.PublicSuffixes ++ Seq("*.ck", "!www.ck")
+
+  /** DuckDB VALUES rows for [[pslRules]] (+ the implicit default rule),
+    * matching [[Web.registrableDomainPsl]]'s internal rule-table law. */
+  private val ruleValues: String = (pslRules.map { r =>
+    val exc = r.startsWith("!")
+    val key = if (exc) r.substring(1) else r
+    s"('$key', ${key.count(_ == '.') + 1}, $exc)"
+  } :+ "('*', 1, false)").mkString(", ")
+
+  private val maxJ: Int =
+    pslRules.map(_.stripPrefix("!").count(_ == '.') + 1).max
+
   /** DuckDB twin of [[plantedUrl]]. */
   private val plantedUrlSql: String =
     """CASE WHEN doc_id % 19 = 0 THEN 'site' || doc_id || '.com/nope'
@@ -4123,6 +4140,79 @@ object QueryCatalog {
           .join(keep, "doc_id")
           .select(col("doc_id"), col("margin"), col("mean_millibits"),
             col("ppl_bucket"))
+          .orderBy("doc_id")
+      }),
+
+    Q("x_psl_domain",
+      // full PSL semantics (wildcard *.ck, exception !www.ck, implicit
+      // default *, bare-suffix and IPv4 guards) as the broadcast probe
+      // join — DuckDB replays the identical probe fabrication, rule
+      // precedence (exception > most labels) and label-slice laws over
+      // planted hosts hitting every arm
+      Some(s"""WITH hosts AS (SELECT doc_id,
+             |  CASE doc_id % 8
+             |    WHEN 0 THEN 'a' || (doc_id % 5) || '.example.com'
+             |    WHEN 1 THEN 'blog.site' || (doc_id % 5) || '.co.uk'
+             |    WHEN 2 THEN 'x' || (doc_id % 5) || '.w.ck'
+             |    WHEN 3 THEN 'www.ck'
+             |    WHEN 4 THEN (CASE WHEN doc_id % 16 = 4
+             |                 THEN 'd.h' || (doc_id % 5) || '.unlisted'
+             |                 ELSE 'h' || (doc_id % 5) || '.unlisted' END)
+             |    WHEN 5 THEN '10.0.' || (doc_id % 9) || '.1'
+             |    WHEN 6 THEN 'co.uk'
+             |    ELSE 'deep.sub.c' || (doc_id % 5) || '.com'
+             |  END AS host FROM documents),
+             |rules(key, rl, exc) AS (VALUES $ruleValues),
+             |lab AS (SELECT doc_id, host, string_split(host, '.') AS l
+             |        FROM hosts),
+             |probes AS (
+             |  SELECT doc_id, host,
+             |    array_to_string(l[len(l)-j+1:len(l)], '.') AS key, j AS jl
+             |  FROM lab, unnest(range(1, $maxJ + 1)) t(j) WHERE len(l) >= j
+             |  UNION ALL
+             |  SELECT doc_id, host,
+             |    '*.' || array_to_string(l[len(l)-j+2:len(l)], '.'), j
+             |  FROM lab, unnest(range(2, $maxJ + 1)) t(j) WHERE len(l) >= j
+             |  UNION ALL
+             |  SELECT doc_id, host, '*', 1 FROM lab),
+             |r AS (SELECT p.doc_id, p.host, ru.exc, ru.rl, p.jl,
+             |        row_number() OVER (PARTITION BY p.doc_id, p.host
+             |          ORDER BY ru.exc DESC, ru.rl DESC, p.jl DESC) AS rn
+             |      FROM probes p JOIN rules ru USING (key)),
+             |m AS (SELECT doc_id, host,
+             |        CASE WHEN exc THEN jl - 1 ELSE jl END AS sl
+             |      FROM r WHERE rn = 1)
+             |SELECT m.doc_id, m.host,
+             |  CASE WHEN regexp_matches(m.host, '^[0-9.]+$$') THEN NULL
+             |       ELSE array_to_string(
+             |         l[len(l)-LEAST(sl, len(l))+1:len(l)], '.') END
+             |    AS psl_suffix,
+             |  CASE WHEN regexp_matches(m.host, '^[0-9.]+$$')
+             |         OR len(l) <= sl THEN m.host
+             |       ELSE array_to_string(l[len(l)-sl:len(l)], '.') END
+             |    AS registrable_domain
+             |FROM m JOIN lab ON lab.doc_id = m.doc_id
+             |ORDER BY m.doc_id""".stripMargin),
+      (s, dir) => {
+        val d5 = col("doc_id") % 5
+        val hosts = T(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 8 === 0,
+            concat(lit("a"), d5, lit(".example.com")))
+            .when(col("doc_id") % 8 === 1,
+              concat(lit("blog.site"), d5, lit(".co.uk")))
+            .when(col("doc_id") % 8 === 2,
+              concat(lit("x"), d5, lit(".w.ck")))
+            .when(col("doc_id") % 8 === 3, lit("www.ck"))
+            .when(col("doc_id") % 8 === 4,
+              when(col("doc_id") % 16 === 4,
+                concat(lit("d.h"), d5, lit(".unlisted")))
+                .otherwise(concat(lit("h"), d5, lit(".unlisted"))))
+            .when(col("doc_id") % 8 === 5,
+              concat(lit("10.0."), col("doc_id") % 9, lit(".1")))
+            .when(col("doc_id") % 8 === 6, lit("co.uk"))
+            .otherwise(concat(lit("deep.sub.c"), d5, lit(".com")))
+            .as("host"))
+        Web.registrableDomainPsl(hosts, "doc_id", "host", pslRules)
           .orderBy("doc_id")
       }),
 

@@ -270,4 +270,90 @@ object Web {
       Seq("registrable_domain"), "left_anti")
     Sampling.capPerKey(unblocked, idCol, "registrable_domain", perDomainCap)
   }
+
+  /** FULL Public Suffix List semantics (publicsuffix.org/list/ — the
+    * public algorithm), as the broadcast-join scale path the
+    * [[registrableDomain]] Scaladoc promises for the ~9k-entry list a
+    * generated match chain can't carry:
+    *
+    *   - a normal rule (`co.uk`) matches a host tail label-for-label;
+    *   - a wildcard rule (`*.ck`) matches any tail whose LAST labels are
+    *     the rule's non-* labels plus exactly one more label;
+    *   - an exception rule (`!www.ck`) matches its literal labels and,
+    *     when it matches, WINS outright; its public suffix is the rule
+    *     minus its leftmost label;
+    *   - among non-exception matches the rule with the MOST labels
+    *     prevails; a host matching nothing takes the implicit default
+    *     rule `*` (public suffix = its last label);
+    *   - registrable domain (eTLD+1) = public suffix + one more host
+    *     label; a host that IS a bare public suffix, or an IPv4 literal
+    *     (all-digit last label — the PSL is about DNS names), maps to
+    *     itself.
+    *
+    * Relational shape (scales to the full list): each host emits ≤
+    * 2·maxRuleLabels bounded probe keys INTRA-ROW — its j-label tails
+    * (exact/exception lookup) and `*.`+(j−1)-label tails (wildcard
+    * lookup, plain string equality against the rule text) — then ONE
+    * equi-join against the broadcast rule table and one map-combinable
+    * max(struct(is_exception, rule_labels)) argmax back to host grain.
+    * The rules never leave the broadcast; the corpus side moves narrow
+    * (id, host, probe) rows once.
+    *
+    * Returns (idCol, host, psl_suffix, registrable_domain). */
+  def registrableDomainPsl(df: DataFrame, idCol: String, hostCol: String,
+      rules: Seq[String]): DataFrame = {
+    require(rules.nonEmpty, "empty PSL rule table")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maxJ = rules.map(_.stripPrefix("!").count(_ == '.') + 1).max
+    // the implicit default rule `*` is materialized as a real row (every
+    // host emits a matching "*" probe), so every host matches ≥ 1 rule
+    // and host grain comes straight off the aggregate — no join-back
+    val ruleTbl = (rules.map { r =>
+      val exc = r.startsWith("!")
+      // exception rules are looked up WITHOUT the '!'; wildcards keep
+      // their '*.' spelling (the probe side fabricates the same string)
+      val key = if (exc) r.substring(1) else r
+      (key, key.count(_ == '.') + 1, exc)
+    } :+ (("*", 1, false))).toDF("__key", "__rl", "__exc")
+    val labels = split(col(hostCol), "\\.")
+    val n = size(labels)
+    // probe structs: (key, jl = labels of host tail consumed by a match)
+    val probes = (1 to maxJ).map { j =>
+      when(n >= j, struct(
+        array_join(slice(labels, -j, j), ".").as("__key"),
+        lit(j).as("__jl")))
+    } ++ (2 to maxJ).map { j =>
+      when(n >= j, struct(
+        concat(lit("*."), array_join(slice(labels, -(j - 1), j - 1), "."))
+          .as("__key"),
+        lit(j).as("__jl")))
+    } :+ struct(lit("*").as("__key"), lit(1).as("__jl"))
+    val probed = df.select(col(idCol), col(hostCol),
+        explode(array(probes: _*)).as("__p"))
+      .where(col("__p").isNotNull)
+      .select(col(idCol), col(hostCol), col("__p.__key").as("__key"),
+        col("__p.__jl").as("__jl"))
+    val withSl = probed.join(broadcast(ruleTbl), "__key")
+      // prevailing rule: exception first, then most rule labels; carry
+      // the matched tail length to cut the suffix out of the host
+      .groupBy(col(idCol), col(hostCol))
+      .agg(max(struct(col("__exc"), col("__rl"), col("__jl"))).as("__m"))
+      .select(col(idCol), col(hostCol),
+        // exception: suffix = rule minus leftmost label => jl - 1 labels;
+        // wildcard/exact: suffix = the full matched tail (jl labels)
+        when(col("__m.__exc"), col("__m.__jl") - 1).otherwise(col("__m.__jl"))
+          .as("__sl"))
+    val lbl = split(col(hostCol), "\\.")
+    val nn = size(lbl)
+    val ipV4 = col(hostCol).rlike("^[0-9.]+$")
+    withSl.select(col(idCol), col(hostCol),
+      when(ipV4, lit(null).cast("string"))
+        .otherwise(array_join(slice(lbl, -least(col("__sl"), nn),
+          least(col("__sl"), nn)), ".")).as("psl_suffix"),
+      when(ipV4 || nn <= col("__sl"), col(hostCol))
+        .otherwise(array_join(
+          slice(lbl, -(col("__sl") + 1), col("__sl") + 1), "."))
+        .as("registrable_domain"))
+  }
 }

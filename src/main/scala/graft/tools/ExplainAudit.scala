@@ -196,6 +196,11 @@ object ExplainAudit {
       // corpus for a <= dims-row build side
       ("x_classifier_scores", Seq("BroadcastHashJoin", "partial_sum"),
         Seq("SortMergeJoin", "CartesianProduct")),
+      // PSL domain: the rule table (9k rows at full scale) joins the
+      // bounded per-host probes via BROADCAST and the prevailing-rule
+      // argmax partial-combines — the corpus never shuffles for the list
+      ("x_psl_domain", Seq("BroadcastHashJoin", "partial_max"),
+        Seq("SortMergeJoin", "CartesianProduct")),
       // DSIR importance: the dims-bounded wbits table must ride a
       // BROADCAST against the doc-grain features (sort-merge would
       // shuffle the corpus for a <= dims build side); count-table and

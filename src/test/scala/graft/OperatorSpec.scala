@@ -1476,6 +1476,40 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(400))
   }
 
+  test("psl registrable domain: wildcard, exception, longest-match, " +
+      "default rule, bare suffix and IPv4 arms; rules ride a broadcast") {
+    import spark.implicits._
+    val rules = Seq("com", "co.uk", "uk", "ck", "*.ck", "!www.ck")
+    val hosts = Seq(
+      (0L, "a.example.com"),        // exact 'com' -> example.com
+      (1L, "b.x.example.co.uk"),    // 'co.uk' beats 'uk' (most labels)
+      (2L, "any.thing.ck"),         // '*.ck' beats 'ck' -> suffix thing.ck
+      (3L, "www.ck"),               // exception beats '*.ck' -> www.ck
+      (4L, "deep.host.unlisted"),   // implicit '*' -> host.unlisted
+      (5L, "192.168.0.1"),          // IPv4 literal -> itself, null suffix
+      (6L, "co.uk"),                // bare suffix -> itself
+      (7L, "singlelabel")           // 1 label, default rule -> itself
+    ).toDF("doc_id", "host")
+    val out = Web.registrableDomainPsl(hosts, "doc_id", "host", rules)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("psl_suffix"), r.getAs[String]("registrable_domain"))))
+      .toMap
+    assert(out(0L) == (("com", "example.com")))
+    assert(out(1L) == (("co.uk", "example.co.uk")))
+    assert(out(2L) == (("thing.ck", "any.thing.ck")))
+    assert(out(3L) == (("ck", "www.ck")))
+    assert(out(4L) == (("unlisted", "host.unlisted")))
+    assert(out(5L) == ((null, "192.168.0.1")))
+    assert(out(6L) == (("co.uk", "co.uk")))
+    assert(out(7L) == (("singlelabel", "singlelabel")))
+    // scale shape: the rule table joins via broadcast; the argmax back to
+    // host grain partial-combines — never a corpus-side sort-merge
+    val plan = Web.registrableDomainPsl(hosts, "doc_id", "host", rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("partial_max")
+      && !plan.contains("SortMergeJoin"), plan.take(600))
+  }
+
   test("dsir importance: target-vocab raw docs outrank off-domain docs, " +
       "mean cut keeps exactly the above-mean set, weights ride a broadcast") {
     import spark.implicits._
