@@ -381,6 +381,108 @@ object QueryCatalog {
   private val maxJ: Int =
     pslRules.map(_.stripPrefix("!").count(_ == '.') + 1).max
 
+  /** DuckDB CTE chain replaying [[graft.codec.Repetition]] relationally
+    * over a rebuilt multi-line doc (`doc2`): 8-word lines, 3-line
+    * paragraphs — so the line/paragraph dup arms see real structure in a
+    * single-line corpus. Per-k gram CTEs are generated (k = 2..10). */
+  private val repOracleSql: String = {
+    def gramCtes(k: Int): String =
+      s"""gk$k AS (SELECT doc_id, i AS p,
+         |    array_to_string(ws[i : i + ${k - 1}], ' ') AS g
+         |  FROM dd, unnest(range(1, len(ws) - $k + 2)) t(i)),
+         |gc$k AS (SELECT doc_id, g, count(*) AS c FROM gk$k GROUP BY 1, 2)"""
+        .stripMargin
+    def topCte(k: Int): String =
+      s"""top$k AS (SELECT doc_id,
+         |    CAST(c * (length(g) - ${k - 1}) AS BIGINT) AS mass FROM
+         |  (SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+         |     ORDER BY c DESC, g) AS rn FROM gc$k) WHERE rn = 1)"""
+        .stripMargin
+    def covCtes(k: Int): String =
+      s"""du$k AS (SELECT doc_id, g FROM gc$k WHERE c >= 2),
+         |cv$k AS (SELECT DISTINCT gk$k.doc_id, gk$k.p + o.o AS wp
+         |  FROM gk$k JOIN du$k USING (doc_id, g),
+         |    unnest(range(0, $k)) o(o)),
+         |cc$k AS (SELECT cv.doc_id,
+         |    CAST(sum(length(dd.ws[cv.wp])) AS BIGINT) AS covch
+         |  FROM cv$k cv JOIN dd ON dd.doc_id = cv.doc_id GROUP BY 1)"""
+        .stripMargin
+    def segAgg(tag: String, splitBy: String): String =
+      s"""${tag}0 AS (SELECT doc_id,
+         |    trim(x, ' ' || chr(9) || chr(10) || chr(13)) AS seg
+         |  FROM dd, unnest(string_split(doc2, $splitBy)) t(x)),
+         |${tag}1 AS (SELECT doc_id, seg, length(seg) AS ch FROM ${tag}0
+         |  WHERE seg <> ''),
+         |${tag}c AS (SELECT doc_id, seg, count(*) AS c, any_value(ch) AS ch
+         |  FROM ${tag}1 GROUP BY 1, 2),
+         |${tag}agg AS (SELECT doc_id,
+         |    CAST(sum(c) AS BIGINT) AS tot, CAST(sum(c*ch) AS BIGINT) AS totch,
+         |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+         |      AS dup,
+         |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN c*ch END), 0) AS BIGINT)
+         |      AS dupch
+         |  FROM ${tag}c GROUP BY 1)""".stripMargin
+    val valueCols = Seq(
+      "coalesce(la.dup, 0) * 1000 // GREATEST(coalesce(la.tot, 0), 1) AS dup_line_frac",
+      "coalesce(la.dupch, 0) * 1000 // GREATEST(coalesce(la.totch, 0), 1) AS dup_line_char_frac",
+      "coalesce(pa.dup, 0) * 1000 // GREATEST(coalesce(pa.tot, 0), 1) AS dup_para_frac",
+      "coalesce(pa.dupch, 0) * 1000 // GREATEST(coalesce(pa.totch, 0), 1) AS dup_para_char_frac") ++
+      Seq(2, 3, 4).map(k =>
+        s"coalesce(top$k.mass, 0) * 1000 // GREATEST(tw.twc, 1) AS top${k}_char_frac") ++
+      Seq(5, 6, 7, 8, 9, 10).map(k =>
+        s"coalesce(cc$k.covch, 0) * 1000 // GREATEST(tw.twc, 1) AS dup${k}_char_frac")
+    val ruleCols = graft.operators.TextAnalysis.GopherRepThresholds.map {
+      case (n, t) => s"$n <= $t AS r_$n"
+    }
+    val keepExpr = graft.operators.TextAnalysis.GopherRepThresholds
+      .map { case (n, t) => s"$n <= $t" }.mkString(" AND ")
+    s"""WITH wl AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+       |  FROM documents),
+       |ld AS (SELECT doc_id, ws,
+       |    list_transform(range(0, GREATEST((len(ws) - 1) // 8, 0) + 1),
+       |      i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS lines
+       |  FROM wl),
+       |dd0 AS (SELECT doc_id, ws, lines,
+       |    array_to_string(
+       |      list_transform(range(0, GREATEST((len(lines) - 1) // 3, 0) + 1),
+       |        j -> array_to_string(lines[j*3+1 : j*3+3], chr(10))),
+       |      chr(10) || chr(10)) AS doc2
+       |  FROM ld),
+       |dd1 AS (SELECT doc_id, doc2
+       |    || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || lines[1]
+       |        ELSE '' END)
+       |    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || chr(10)
+       |          || array_to_string(lines[1:3], chr(10))
+       |        ELSE '' END) AS doc2
+       |  FROM dd0),
+       |dd AS (SELECT doc_id, doc2,
+       |    list_filter(string_split_regex(doc2, '\\s+'), x -> x <> '') AS ws
+       |  FROM dd1),
+       |${segAgg("l", "chr(10)")},
+       |${segAgg("p", "chr(10) || chr(10)")},
+       |tw AS (SELECT doc_id,
+       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+       |      AS twc
+       |  FROM dd),
+       |${(2 to 10).map(gramCtes).mkString(",\n")},
+       |${Seq(2, 3, 4).map(topCte).mkString(",\n")},
+       |${Seq(5, 6, 7, 8, 9, 10).map(covCtes).mkString(",\n")},
+       |vals AS (SELECT dd.doc_id, ${valueCols.mkString(", ")}
+       |  FROM dd JOIN tw ON tw.doc_id = dd.doc_id
+       |  LEFT JOIN lagg la ON la.doc_id = dd.doc_id
+       |  LEFT JOIN pagg pa ON pa.doc_id = dd.doc_id
+       |  ${Seq(2, 3, 4).map(k =>
+            s"LEFT JOIN top$k ON top$k.doc_id = dd.doc_id").mkString(" ")}
+       |  ${Seq(5, 6, 7, 8, 9, 10).map(k =>
+            s"LEFT JOIN cc$k ON cc$k.doc_id = dd.doc_id").mkString(" ")})
+       |SELECT doc_id, ${graft.operators.TextAnalysis.GopherRepThresholds
+            .map(_._1).mkString(", ")},
+       |  ${ruleCols.mkString(", ")},
+       |  ($keepExpr) AS rep_keep
+       |FROM vals ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[plantedUrl]]. */
   private val plantedUrlSql: String =
     """CASE WHEN doc_id % 19 = 0 THEN 'site' || doc_id || '.com/nope'
@@ -4140,6 +4242,47 @@ object QueryCatalog {
           .join(keep, "doc_id")
           .select(col("doc_id"), col("margin"), col("mean_millibits"),
             col("ppl_bucket"))
+          .orderBy("doc_id")
+      }),
+
+    Q("x_text_gopher_repetition",
+      // the Gopher REPETITION rule family (Rae et al. 2021 Table A1):
+      // 13 millifractions from ONE fused native pass per doc — dup
+      // line/paragraph occurrence+char mass, top-{2,3,4}-gram char mass,
+      // dup-{5..10}-gram POSITION-UNION char coverage — over a doc
+      // rebuilt as 8-word lines / 3-line paragraphs (single-line corpus
+      // would leave the line arms constant). DuckDB replays every law
+      // relationally: the generated per-k CTE chain re-derives counts,
+      // the row_number top pick (count desc, utf8-min gram) and the
+      // DISTINCT position union
+      Some(repOracleSql),
+      (s, dir) => {
+        val base = T(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokens(col("text")).as("__ws"))
+          .withColumn("__lines", expr(
+            "transform(sequence(0, greatest((size(__ws) - 1) div 8, 0)), " +
+              "i -> array_join(slice(__ws, i*8 + 1, 8), ' '))"))
+          .withColumn("__doc2", expr(
+            "array_join(transform(" +
+              "sequence(0, greatest((size(__lines) - 1) div 3, 0)), " +
+              "j -> array_join(slice(__lines, j*3 + 1, 3), '\\n')), " +
+              "'\\n\\n')"))
+          // plant duplication so every rule arm varies on the corpus:
+          // doc_id%3 re-appends the first LINE (dup lines + dup 5..8-gram
+          // coverage), doc_id%7 the first PARAGRAPH (dup paragraphs +
+          // 9/10-gram coverage)
+          .withColumn("__doc3", concat(col("__doc2"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("\n"), element_at(col("__lines"), 1)))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit("\n\n"),
+                expr("array_join(slice(__lines, 1, 3), '\\n')")))
+              .otherwise(lit(""))))
+        TextAnalysis.gopherRepetition(
+            base.select(col("doc_id"), col("__doc3")),
+            "doc_id", "__doc3")
           .orderBy("doc_id")
       }),
 

@@ -156,6 +156,9 @@ object GraftFunctions {
     nativeCol(graft.plans.NfcNormalizeExpression(exprOf(c)))
   def winnowFingerprintsNative(c: Column, n: Int, w: Int): Column =
     nativeCol(graft.plans.WinnowFingerprintsExpression(exprOf(c), n, w))
+  /** 13-slot Gopher repetition millifraction profile (array<long>). */
+  def gopherRepetition(c: Column): Column =
+    nativeCol(graft.plans.GopherRepetitionExpression(exprOf(c)))
   def ngramWindows(c: Column, n: Int): Column =
     nativeCol(graft.plans.NgramWindowsExpression(exprOf(c), n))
   /** Fused BPE apply: `rules` is the flattened rank-ordered pair list. */

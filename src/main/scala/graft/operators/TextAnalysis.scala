@@ -202,6 +202,42 @@ object TextAnalysis {
       .drop("__wc", "__sym", "__bl", "__el", "__aw")
   }
 
+  /** Gopher Table-A1 repetition thresholds (Rae et al. 2021), as
+    * millifraction caps in slot order of [[graft.codec.Repetition]]. */
+  val GopherRepThresholds: Seq[(String, Long)] = Seq(
+    "dup_line_frac" -> 300L, "dup_line_char_frac" -> 200L,
+    "dup_para_frac" -> 300L, "dup_para_char_frac" -> 200L,
+    "top2_char_frac" -> 200L, "top3_char_frac" -> 180L,
+    "top4_char_frac" -> 160L,
+    "dup5_char_frac" -> 150L, "dup6_char_frac" -> 140L,
+    "dup7_char_frac" -> 130L, "dup8_char_frac" -> 120L,
+    "dup9_char_frac" -> 110L, "dup10_char_frac" -> 100L)
+
+  /** The Gopher REPETITION rule family (Rae et al. 2021 Table A1 — the
+    * duplicate-line/paragraph and n-gram half that [[gopherRules]]'s
+    * word/line-grain rules don't cover): 13 exact-integer millifractions
+    * from ONE fused native expression pass per document
+    * ([[graft.codec.Repetition]] holds the shared laws; the dup-n-gram
+    * slots are a POSITION UNION, so overlapping duplicated grams never
+    * double-count), each capped at the published threshold, plus the
+    * composite `rep_keep`. Map-only column algebra over the scan — no
+    * shuffle, no UDF fence, 13 rules for one text traversal. */
+  def gopherRepetition(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val prof = graft.functions.GraftFunctions.gopherRepetition(col(textCol))
+    val withSlots = GopherRepThresholds.zipWithIndex.foldLeft(
+      df.select(col(idCol), prof.as("__rep"))) {
+      case (d, ((name, _), i)) => d.withColumn(name, col("__rep").getItem(i))
+    }
+    GopherRepThresholds.foldLeft(withSlots) { case (d, (name, thr)) =>
+      d.withColumn(s"r_$name", col(name) <= thr)
+    }
+      .withColumn("rep_keep",
+        GopherRepThresholds.map { case (n, _) => col(s"r_$n") }
+          .reduce(_ && _))
+      .drop("__rep")
+  }
+
   /** Corpus-LM quality signal — the CCNet/Gopher perplexity-filter family,
     * INTEGERIZED so the whole law replays in a SQL oracle: train a bigram
     * count model on the corpus itself (two map-side-combinable count

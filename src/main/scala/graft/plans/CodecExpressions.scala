@@ -59,6 +59,25 @@ case class WinnowFingerprintsExpression(child: Expression, n: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Fused Gopher repetition profile ([[graft.codec.Repetition]]) — all 13
+  * duplicate-line/paragraph/n-gram millifractions in one compiled pass per
+  * document (13 HOF formulations would each re-split and re-count; the
+  * r16/r17 fused-native lesson applies 13-fold here). */
+case class GopherRepetitionExpression(child: Expression)
+    extends CodecUnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.Repetition.profile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.Repetition$$.MODULE$$.profile($c)")
+  override protected def withNewChildInternal(newChild: Expression): GopherRepetitionExpression =
+    copy(child = newChild)
+  override def prettyName: String = "gopher_repetition"
+}
+
 /** Unicode NFC normalization ([[graft.codec.UnicodeNorm]]) — canonical
   * composition with an isNormalized fast-path, inside whole-stage codegen
   * (a UDF here would fence the scan→normalize→hash pipeline every

@@ -196,6 +196,10 @@ object ExplainAudit {
       // corpus for a <= dims-row build side
       ("x_classifier_scores", Seq("BroadcastHashJoin", "partial_sum"),
         Seq("SortMergeJoin", "CartesianProduct")),
+      // Gopher repetition family: 13 rules from ONE fused native pass —
+      // map-only over the scan, no exchange, no join, no UDF fence
+      ("x_text_gopher_repetition", Seq("gopher_repetition"),
+        Seq("Exchange hashpartitioning", "Join", "BatchEvalPython")),
       // PSL domain: the rule table (9k rows at full scale) joins the
       // bounded per-host probes via BROADCAST and the prevailing-rule
       // argmax partial-combines — the corpus never shuffles for the list

@@ -1476,6 +1476,55 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(400))
   }
 
+  test("gopher repetition: planted dup lines/paragraphs/ngrams trip their " +
+      "rules, coverage is a position union, chars are codepoints") {
+    import spark.implicits._
+    val clean = (1 to 30).map(i => s"w$i").grouped(6)
+      .map(_.mkString(" ")).mkString("\n")
+    val dupLine = Seq("ax bx cx dx", "e1 f1 g1 h1", "ax bx cx dx",
+      "i2 j2 k2 l2", "ax bx cx dx", "m3 n3 o3 p3", "ax bx cx dx",
+      "q4 r4 s4 t4").mkString("\n") // 4/8 dup occurrences = 500 > 300
+    val dupPara = (Seq.fill(2)("pa qa ra sa\nta ua va wa") ++
+      Seq("xb yb zb ab\nbb cb db eb")).mkString("\n\n") // 2/3 = 666 > 300
+    val top2 = ((1 to 12).map(i => s"u$i") ++
+      Seq.fill(8)(Seq("foo", "bar")).flatten).mkString(" ")
+    val dup5 = ("s1 s2 s3 s4 s5 s6 " + (1 to 18).map(i => s"z$i")
+      .mkString(" ") + " s1 s2 s3 s4 s5 s6").split(" ").mkString(" ")
+    // 𝄞a is 2 CODEPOINTS (3 UTF-16 units); line chars include the inner
+    // space: dup lines carry 2·4 = 8 of 13 total cp -> 615; a
+    // UTF-16-unit law would read 10/15 -> 666
+    val uni = "𝄞a b\n𝄞a b\ncc dd"
+    val docs = Seq((0L, clean), (1L, dupLine), (2L, dupPara), (3L, top2),
+      (4L, dup5), (5L, uni), (6L, "one two three"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("rep_keep"), out(0L).toString)
+    assert(out(1L).getAs[Long]("dup_line_frac") == 500L &&
+      !out(1L).getAs[Boolean]("r_dup_line_frac"))
+    assert(out(2L).getAs[Long]("dup_para_frac") == 666L &&
+      !out(2L).getAs[Boolean]("r_dup_para_frac"))
+    assert(!out(3L).getAs[Boolean]("r_top2_char_frac"),
+      out(3L).getAs[Long]("top2_char_frac").toString)
+    // position union: the repeated 6-word phrase covers exactly its 12
+    // word slots (2 occurrences x 6 words, overlapping 5/6-grams counted
+    // once) = 24 chars of 24+45 = 347 mill
+    assert(out(4L).getAs[Long]("dup5_char_frac") == 347L &&
+      !out(4L).getAs[Boolean]("r_dup5_char_frac"))
+    // codepoint law: the surrogate-pair word counts 2 chars, not 3
+    assert(out(5L).getAs[Long]("dup_line_char_frac") == 615L,
+      out(5L).toString)
+    // fewer words than k: the k-gram slots stay 0 and pass
+    assert(out(6L).getAs[Long]("dup10_char_frac") == 0L &&
+      out(6L).getAs[Boolean]("rep_keep") ==
+        (out(6L).getAs[Long]("top2_char_frac") <= 200L))
+    // map-only: one fused projection, no exchange, no join
+    val plan = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      plan.take(400))
+  }
+
   test("psl registrable domain: wildcard, exception, longest-match, " +
       "default rule, bare suffix and IPv4 arms; rules ride a broadcast") {
     import spark.implicits._
