@@ -381,6 +381,37 @@ object QueryCatalog {
   private val maxJ: Int =
     pslRules.map(_.stripPrefix("!").count(_ == '.') + 1).max
 
+  /** Planted robots.txt pair for `x_robots_filter` — variant A exercises
+    * a named-agent group (prefix, allow-override, wildcard-`$`, empty
+    * allow) over a deny-all `*` group; variant B exercises multi-agent
+    * heads, an unknown field inside a group, and `*`-group wildcard vs
+    * longer allow. */
+  private val robotsA: String = Seq(
+    "# crawl policy",
+    "User-agent: graftbot",
+    "Disallow: /private",
+    "Allow: /private/ok",
+    "Disallow: /*.pdf$",
+    "Allow:",
+    "",
+    "User-agent: *",
+    "Disallow: /").mkString("\n")
+
+  private val robotsB: String = Seq(
+    "User-agent: otherbot",
+    "User-agent: another",
+    "Disallow: /",
+    "Sitemap: https://example.com/map.xml",
+    "",
+    "User-agent: *",
+    "Disallow: /tmp/*",
+    "Allow: /tmp/pub").mkString("\n")
+
+  /** Render a Scala string as a DuckDB expression (chr(10) for newlines,
+    * doubled quotes). */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
   /** DuckDB CTE chain replaying [[graft.codec.Repetition]] relationally
     * over a rebuilt multi-line doc (`doc2`): 8-word lines, 3-line
     * paragraphs — so the line/paragraph dup arms see real structure in a
@@ -4242,6 +4273,101 @@ object QueryCatalog {
           .join(keep, "doc_id")
           .select(col("doc_id"), col("margin"), col("mean_millibits"),
             col("ppl_bucket"))
+          .orderBy("doc_id")
+      }),
+
+    Q("x_robots_filter",
+      // robots.txt gate (RFC 9309): DuckDB re-parses the planted policy
+      // texts relationally — comment strip, field law, contiguous-head
+      // grouping via a window break sum, '*' fallback behind an
+      // anti-join, rule->regex rewrite ('*'->'.*', trailing-$ anchor,
+      // everything else escaped), longest-rule precedence with allow on
+      // ties — and must land on the byte-identical verdict strings
+      Some(s"""WITH src AS (SELECT doc_id,
+             |  CASE WHEN (doc_id // 8) % 2 = 0 THEN ${sqlLit(robotsA)}
+             |       ELSE ${sqlLit(robotsB)} END AS robots,
+             |  CASE doc_id % 8
+             |    WHEN 0 THEN '/index.html'  WHEN 1 THEN '/private'
+             |    WHEN 2 THEN '/private/ok/x' WHEN 3 THEN '/report.pdf'
+             |    WHEN 4 THEN '/tmp/cache/x'  WHEN 5 THEN '/tmp/pub/y'
+             |    WHEN 6 THEN '/private.html' ELSE '/a/b*c' END AS path
+             |  FROM documents),
+             |ls AS (SELECT doc_id, robots, path,
+             |    string_split(robots, chr(10)) AS lines FROM src),
+             |l0 AS (SELECT doc_id, path, i,
+             |    trim(CASE WHEN strpos(lines[i], '#') > 0
+             |         THEN substr(lines[i], 1, strpos(lines[i], '#') - 1)
+             |         ELSE lines[i] END,
+             |      ' ' || chr(9) || chr(13)) AS line
+             |  FROM ls, unnest(range(1, len(lines) + 1)) t(i)),
+             |rel AS (SELECT doc_id, path, i,
+             |    lower(trim(substr(line, 1, strpos(line, ':') - 1),
+             |      ' ' || chr(9) || chr(13))) AS field,
+             |    trim(substr(line, strpos(line, ':') + 1),
+             |      ' ' || chr(9) || chr(13)) AS value
+             |  FROM l0 WHERE strpos(line, ':') > 1),
+             |brk AS (SELECT *, field = 'user-agent' AS is_ua,
+             |    field IN ('allow', 'disallow') AS is_rule,
+             |    CASE WHEN field = 'user-agent' AND
+             |      coalesce(lag(field = 'user-agent') OVER
+             |        (PARTITION BY doc_id ORDER BY i), false) = false
+             |      THEN 1 ELSE 0 END AS b
+             |  FROM rel),
+             |grp AS (SELECT *, sum(b) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS UNBOUNDED PRECEDING) AS g FROM brk),
+             |agents AS (SELECT DISTINCT doc_id, g, lower(value) AS ag
+             |  FROM grp WHERE is_ua),
+             |rules AS (SELECT doc_id, path, g, field = 'allow' AS is_allow,
+             |    value, i FROM grp WHERE is_rule AND g >= 1),
+             |hasx AS (SELECT DISTINCT doc_id FROM agents
+             |  WHERE ag = 'graftbot'),
+             |sel AS (SELECT r.* FROM rules r
+             |    JOIN (SELECT DISTINCT doc_id, g FROM agents
+             |          WHERE ag = 'graftbot') x USING (doc_id, g)
+             |  UNION ALL
+             |  SELECT r.* FROM rules r
+             |    JOIN (SELECT DISTINCT doc_id, g FROM agents
+             |          WHERE ag = '*') x USING (doc_id, g)
+             |    ANTI JOIN hasx USING (doc_id)),
+             |mt AS (SELECT doc_id, is_allow, value, i FROM (
+             |    SELECT *,
+             |      value LIKE '%$$' AS anc,
+             |      CASE WHEN value LIKE '%$$'
+             |           THEN substr(value, 1, length(value) - 1)
+             |           ELSE value END AS core
+             |    FROM sel) s
+             |  WHERE value <> '' AND regexp_matches(path,
+             |    '^' || replace(regexp_replace(core,
+             |      '([.^$$+?(){}|\\[\\]\\\\])', '\\\\\\1', 'g'),
+             |      '*', '.*') || CASE WHEN anc THEN '$$' ELSE '' END)),
+             |win AS (SELECT doc_id, is_allow, value FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY length(value) DESC, is_allow DESC, i) AS wrn
+             |    FROM mt) WHERE wrn = 1)
+             |SELECT s.doc_id, s.path,
+             |  CASE WHEN w.doc_id IS NULL THEN 'A|'
+             |       WHEN w.is_allow THEN 'A|' || w.value
+             |       ELSE 'D|' || w.value END AS robots_verdict,
+             |  (w.doc_id IS NULL OR w.is_allow) AS robots_allowed,
+             |  CASE WHEN w.doc_id IS NULL THEN NULL ELSE w.value END
+             |    AS matched_rule
+             |FROM src s LEFT JOIN win w ON w.doc_id = s.doc_id
+             |ORDER BY s.doc_id""".stripMargin),
+      (s, dir) => {
+        val robots = when(expr("(doc_id div 8) % 2") === 0, lit(robotsA))
+          .otherwise(lit(robotsB))
+        val path = (col("doc_id") % 8).cast("int")
+        val planted = T(s, dir, "documents").select(col("doc_id"),
+          robots.as("__robots"),
+          when(path === 0, "/index.html").when(path === 1, "/private")
+            .when(path === 2, "/private/ok/x")
+            .when(path === 3, "/report.pdf")
+            .when(path === 4, "/tmp/cache/x").when(path === 5, "/tmp/pub/y")
+            .when(path === 6, "/private.html").otherwise("/a/b*c")
+            .as("path"))
+        Web.robotsFilter(planted, "__robots", "path", agent = "graftbot")
+          .select("doc_id", "path", "robots_verdict", "robots_allowed",
+            "matched_rule")
           .orderBy("doc_id")
       }),
 

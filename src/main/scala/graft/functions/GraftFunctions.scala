@@ -159,6 +159,10 @@ object GraftFunctions {
   /** 13-slot Gopher repetition millifraction profile (array<long>). */
   def gopherRepetition(c: Column): Column =
     nativeCol(graft.plans.GopherRepetitionExpression(exprOf(c)))
+  /** robots.txt verdict string: `A|<rule>` / `D|<rule>` / `A|`. */
+  def robotsDecision(robots: Column, agent: Column, path: Column): Column =
+    nativeCol(graft.plans.RobotsDecisionExpression(
+      exprOf(robots), exprOf(agent), exprOf(path)))
   def ngramWindows(c: Column, n: Int): Column =
     nativeCol(graft.plans.NgramWindowsExpression(exprOf(c), n))
   /** Fused BPE apply: `rules` is the flattened rank-ordered pair list. */

@@ -271,6 +271,28 @@ object Web {
     Sampling.capPerKey(unblocked, idCol, "registrable_domain", perDomainCap)
   }
 
+  /** robots.txt gate (RFC 9309 / the public Google robots.txt spec) — the
+    * crawl-politeness step between the WARC front door and URL curation.
+    * One fused native pass per row ([[graft.codec.Robots]] holds the
+    * parse/group/match laws: contiguous user-agent heads, same-agent
+    * group merge, `*` fallback, `*`/trailing-`$` rule patterns,
+    * longest-rule-wins with allow on ties) renders the verdict as
+    * `A|<rule>` / `D|<rule>` / `A|`, unpacked here into `robots_allowed`
+    * + `matched_rule` provenance. Map-only column algebra — the policy
+    * text rides the row (a crawl archive carries it per capture), so no
+    * join, no shuffle, no UDF fence. */
+  def robotsFilter(df: DataFrame, robotsCol: String, pathCol: String,
+      agent: String): DataFrame =
+    df.withColumn("robots_verdict",
+        graft.functions.GraftFunctions.robotsDecision(
+          col(robotsCol), lit(agent), col(pathCol)))
+      .withColumn("robots_allowed",
+        substring(col("robots_verdict"), 1, 1) === "A")
+      .withColumn("matched_rule",
+        when(length(col("robots_verdict")) > 2,
+          expr("substring(robots_verdict, 3)"))
+          .otherwise(lit(null).cast("string")))
+
   /** FULL Public Suffix List semantics (publicsuffix.org/list/ — the
     * public algorithm), as the broadcast-join scale path the
     * [[registrableDomain]] Scaladoc promises for the ~9k-entry list a

@@ -231,6 +231,34 @@ case class StrkeyEncodeExpression(child: Expression, version: Byte)
   override def prettyName: String = "strkey_encode"
 }
 
+/** robots.txt decision ([[graft.codec.Robots]]): group selection + rule
+  * matching in one compiled pass, rendered as `A|<rule>` / `D|<rule>` /
+  * `A|` so one string carries the verdict, the prevailing rule and the
+  * default arm for hashing and SQL replay. */
+case class RobotsDecisionExpression(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == StringType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, string, string), got " +
+        children.map(_.dataType).mkString(", "))
+  override protected def nullSafeEval(robots: Any, agent: Any,
+      path: Any): Any =
+    graft.codec.Robots.decision(robots.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, a, p) =>
+      s"graft.codec.Robots$$.MODULE$$.decision($r, $a, $p)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): RobotsDecisionExpression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "robots_decision"
+}
+
 /** Muxed-account M-address: ed25519 key ‖ big-endian uint64 id under the
   * med25519 version byte (`transaction.go:61-77` account_muxed). */
 case class StrkeyMuxedExpression(left: Expression, right: Expression)

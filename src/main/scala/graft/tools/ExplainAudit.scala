@@ -196,6 +196,10 @@ object ExplainAudit {
       // corpus for a <= dims-row build side
       ("x_classifier_scores", Seq("BroadcastHashJoin", "partial_sum"),
         Seq("SortMergeJoin", "CartesianProduct")),
+      // robots.txt gate: the whole parse/group/match law is one fused
+      // native projection riding the scan — no exchange, no join
+      ("x_robots_filter", Seq("robots_decision"),
+        Seq("Exchange hashpartitioning", "Join", "BatchEvalPython")),
       // Gopher repetition family: 13 rules from ONE fused native pass —
       // map-only over the scan, no exchange, no join, no UDF fence
       ("x_text_gopher_repetition", Seq("gopher_repetition"),

@@ -1525,6 +1525,54 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(400))
   }
 
+  test("robots filter: group selection, merge, wildcard/anchor rules, " +
+      "longest-match with allow tie-break, defaults") {
+    import spark.implicits._
+    val policy = Seq(
+      "User-agent: GraftBot   # case-insensitive, comment stripped",
+      "Disallow: /a",
+      "Allow: /a/b",
+      "",
+      "User-agent: other",
+      "Disallow: /",
+      "",
+      "User-agent: graftbot   # same agent again: groups MERGE",
+      "Disallow: /c$",
+      "Allow: /d*e").mkString("\n")
+    val starOnly = "User-agent: *\nDisallow: /x\nAllow: /x # tie: allow wins"
+    val noGroups = "# nothing here\nSitemap: https://e.com/s.xml"
+    val cases = Seq(
+      (0L, policy, "/a/q"),      // D|/a (first group)
+      (1L, policy, "/a/b/c"),    // A|/a/b (longer allow)
+      (2L, policy, "/c"),        // D|/c$ (merged group, anchored)
+      (3L, policy, "/c2"),       // A| ($ anchor does NOT prefix-match)
+      (4L, policy, "/dXXe/f"),   // A|/d*e (wildcard, prefix)
+      (5L, starOnly, "/x/y"),    // A|/x (equal length: allow wins)
+      (6L, starOnly, "/z"),      // A| (no rule matches)
+      (7L, noGroups, "/any"),    // A| (no groups at all)
+      (8L, policy, "/e"))        // A| (matched group, no matching rule)
+      .toDF("doc_id", "robots", "path")
+    val out = Web.robotsFilter(cases, "robots", "path", "graftbot")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("robots_verdict")).toMap
+    assert(out(0L) == "D|/a" && out(1L) == "A|/a/b", out)
+    assert(out(2L) == "D|/c$" && out(3L) == "A|", out)
+    assert(out(4L) == "A|/d*e", out)
+    assert(out(5L) == "A|/x" && out(6L) == "A|", out)
+    assert(out(7L) == "A|" && out(8L) == "A|", out)
+    // the exact group must SHADOW the * group, not merge with it
+    val shadow = "User-agent: graftbot\nAllow: /\nUser-agent: *\nDisallow: /"
+    val s2 = Web.robotsFilter(Seq((0L, shadow, "/p")).toDF(
+      "doc_id", "robots", "path"), "robots", "path", "graftbot")
+      .head().getAs[String]("robots_verdict")
+    assert(s2 == "A|/", s2)
+    // map-only: one fused projection, no exchange, no join
+    val plan = Web.robotsFilter(cases, "robots", "path", "graftbot")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      plan.take(400))
+  }
+
   test("psl registrable domain: wildcard, exception, longest-match, " +
       "default rule, bare suffix and IPv4 arms; rules ride a broadcast") {
     import spark.implicits._
