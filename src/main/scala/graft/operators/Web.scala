@@ -338,7 +338,10 @@ object Web {
       val key = if (exc) r.substring(1) else r
       (key, key.count(_ == '.') + 1, exc)
     } :+ (("*", 1, false))).toDF("__key", "__rl", "__exc")
-    val labels = split(col(hostCol), "\\.")
+    // PSL matching is case-insensitive (DNS names are); the suffix and
+    // registrable outputs are sliced from the LOWERED labels, the
+    // conventional PSL rendering
+    val labels = split(lower(col(hostCol)), "\\.")
     val n = size(labels)
     // probe structs: (key, jl = labels of host tail consumed by a match)
     val probes = (1 to maxJ).map { j =>
@@ -366,14 +369,15 @@ object Web {
         // wildcard/exact: suffix = the full matched tail (jl labels)
         when(col("__m.__exc"), col("__m.__jl") - 1).otherwise(col("__m.__jl"))
           .as("__sl"))
-    val lbl = split(col(hostCol), "\\.")
+    val lbl = split(lower(col(hostCol)), "\\.")
     val nn = size(lbl)
     val ipV4 = col(hostCol).rlike("^[0-9.]+$")
     withSl.select(col(idCol), col(hostCol),
       when(ipV4, lit(null).cast("string"))
         .otherwise(array_join(slice(lbl, -least(col("__sl"), nn),
           least(col("__sl"), nn)), ".")).as("psl_suffix"),
-      when(ipV4 || nn <= col("__sl"), col(hostCol))
+      when(ipV4, col(hostCol))
+        .when(nn <= col("__sl"), lower(col(hostCol)))
         .otherwise(array_join(
           slice(lbl, -(col("__sl") + 1), col("__sl") + 1), "."))
         .as("registrable_domain"))

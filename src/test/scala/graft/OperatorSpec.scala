@@ -1585,7 +1585,8 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "deep.host.unlisted"),   // implicit '*' -> host.unlisted
       (5L, "192.168.0.1"),          // IPv4 literal -> itself, null suffix
       (6L, "co.uk"),                // bare suffix -> itself
-      (7L, "singlelabel")           // 1 label, default rule -> itself
+      (7L, "singlelabel"),          // 1 label, default rule -> itself
+      (8L, "A.Example.COM")         // case-insensitive match, lc output
     ).toDF("doc_id", "host")
     val out = Web.registrableDomainPsl(hosts, "doc_id", "host", rules)
       .collect().map(r => r.getAs[Long]("doc_id") ->
@@ -1599,6 +1600,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(5L) == ((null, "192.168.0.1")))
     assert(out(6L) == (("co.uk", "co.uk")))
     assert(out(7L) == (("singlelabel", "singlelabel")))
+    assert(out(8L) == (("com", "example.com")))
     // scale shape: the rule table joins via broadcast; the argmax back to
     // host grain partial-combines — never a corpus-side sort-merge
     val plan = Web.registrableDomainPsl(hosts, "doc_id", "host", rules)
