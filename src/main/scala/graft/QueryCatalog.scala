@@ -4276,6 +4276,32 @@ object QueryCatalog {
           .orderBy("doc_id")
       }),
 
+    Q("x_text_chunk",
+      // overlapping-window chunking (window 8, stride 4 — the RAG shape):
+      // DuckDB replays the integer chunk-count law, every boundary slice
+      // and the stable chunk-id base
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+             |      AS toks
+             |  FROM documents),
+             |n AS (SELECT doc_id, toks,
+             |    CASE WHEN len(toks) <= 8 THEN 1
+             |         ELSE 1 + (len(toks) - 8 + 4 - 1) // 4 END AS nc
+             |  FROM d),
+             |c AS (SELECT doc_id, toks, CAST(i AS INT) AS chunk_idx
+             |  FROM n, unnest(range(0, nc)) t(i))
+             |SELECT doc_id, doc_id * 1000000 + chunk_idx AS chunk_id,
+             |  chunk_idx,
+             |  array_to_string(toks[chunk_idx*4+1 : chunk_idx*4+8], ' ')
+             |    AS chunk_text,
+             |  CAST(len(toks[chunk_idx*4+1 : chunk_idx*4+8]) AS BIGINT)
+             |    AS n_chunk_tokens
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.chunkDocuments(T(s, dir, "documents"),
+            "doc_id", "text", window = 8, stride = 4)
+          .orderBy("doc_id", "chunk_idx")),
+
     Q("x_robots_filter",
       // robots.txt gate (RFC 9309): DuckDB re-parses the planted policy
       // texts relationally — comment strip, field law, contiguous-head

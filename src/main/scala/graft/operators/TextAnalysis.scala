@@ -202,6 +202,49 @@ object TextAnalysis {
       .drop("__wc", "__sym", "__bl", "__el", "__aw")
   }
 
+  /** Overlapping-window document chunking — the RAG / long-context
+    * training primitive: split each document into windows of `window`
+    * tokens advancing by `stride` (stride < window ⇒ overlap, the usual
+    * retrieval shape). Exact laws so any engine replays chunk boundaries
+    * bit-identically:
+    *
+    *   - tokens = whitespace tokens (the corpus token law);
+    *   - chunk c (0-based) covers token positions [c·stride+1,
+    *     c·stride+window] (1-based, clamped at the doc end);
+    *   - n_chunks = 1 + max(0, ⌈(n_tokens − window) / stride⌉) — one
+    *     chunk always exists (empty docs produce one empty chunk), and
+    *     the last chunk starts at most at n_tokens − 1;
+    *   - chunk_id = doc_id·10⁶ + c (stable across runs; callers with
+    *     > 10⁶ chunks/doc pick a wider base).
+    *
+    * Intra-row transform + posexplode: the only cost is the explode fan
+    * (n_chunks rows per doc), no shuffle, no UDF. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val toks = tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      // pure integer arithmetic with an explicit short-doc arm: a
+      // double-cast ceil would hit the round-vs-truncate cast split
+      // between engines
+      .withColumn("__n_chunks",
+        when(size(col("__toks")) <= window, lit(1))
+          .otherwise(lit(1) + expr(
+            s"(size(__toks) - $window + $stride - 1) div $stride")))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, __n_chunks - 1), c -> " +
+            s"array_join(slice(__toks, c * $stride + 1, $window), ' '))"))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_id",
+        col("doc_id") * 1000000L + col("chunk_idx"))
+      .withColumn("n_chunk_tokens",
+        size(tokens(col("chunk_text"))).cast("long"))
+      .select("doc_id", "chunk_id", "chunk_idx", "chunk_text",
+        "n_chunk_tokens")
+  }
+
   /** Gopher Table-A1 repetition thresholds (Rae et al. 2021), as
     * millifraction caps in slot order of [[graft.codec.Repetition]]. */
   val GopherRepThresholds: Seq[(String, Long)] = Seq(

@@ -588,6 +588,32 @@ object BenchScale {
       rows += (("perceptron train (sec)", s1, sN))
     }
 
+    // ---- DSIR selection at scale (round 19) -----------------------------
+    // The hashed-ngram importance law at 1× and N×. Invariants: (a) the
+    // wbits weight table stays ≤ dims rows at both factors (bucket-grain
+    // aggregation before anything is broadcast), (b) the self-calibrating
+    // mean cut keeps a non-degenerate fraction at N× (neither empties nor
+    // passes everything — the fixed-threshold failure modes).
+    locally {
+      val dims = 256
+      def run(d: DataFrame, label: String): (Long, Long, Long) = {
+        val t0 = System.nanoTime()
+        val out = Classifier.dsirImportance(d, "doc_id", "text",
+          col("lang") === "en", dims)
+        val total = out.count()
+        val kept = out.where(col("keep")).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] dsir $label: $kept%,d of $total%,d kept, " +
+          f"$sec%.2f s")
+        (kept, total, sec.toLong)
+      }
+      val (k1, t1, _) = run(docs1, "@1x")
+      val (kN, tN, _) = run(docsN, s"@${factor}x")
+      require(k1 > 0 && k1 < t1 && kN > 0 && kN < tN,
+        s"DSIR mean cut degenerated: $k1/$t1 @1x, $kN/$tN @${factor}x")
+      rows += (("dsir kept rows", k1.toDouble, kN.toDouble))
+    }
+
     // ---- curation pipeline v7 (CCNet chain) at scale (round 19) ---------
     // Perceptron gate at the corpus-mean margin -> trigram LM over the
     // survivors -> histogram perplexity terciles -> stratified mixture.

@@ -196,6 +196,10 @@ object ExplainAudit {
       // corpus for a <= dims-row build side
       ("x_classifier_scores", Seq("BroadcastHashJoin", "partial_sum"),
         Seq("SortMergeJoin", "CartesianProduct")),
+      // chunking: intra-row transform + posexplode riding the scan — the
+      // only cost is the explode fan, no exchange, no join
+      ("x_text_chunk", Seq("Generate posexplode"),
+        Seq("Exchange hashpartitioning", "Join", "BatchEvalPython")),
       // robots.txt gate: the whole parse/group/match law is one fused
       // native projection riding the scan — no exchange, no join
       ("x_robots_filter", Seq("robots_decision"),

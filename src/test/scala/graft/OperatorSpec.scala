@@ -1525,6 +1525,35 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(400))
   }
 
+  test("chunk documents: window/stride boundaries, overlap, short and " +
+      "empty docs, stable ids") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks -> 2 chunks
+      (2L, (1 to 8).map(i => s"u$i").mkString(" ")),  // exactly window -> 1
+      (3L, "a b c"),                                   // short -> 1
+      (4L, "   ")).toDF("doc_id", "text")              // empty -> 1 empty
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+      window = 8, stride = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"))
+        -> ((r.getAs[String]("chunk_text"), r.getAs[Long]("chunk_id"),
+          r.getAs[Long]("n_chunk_tokens")))).toMap
+    assert(out.size == 5, out.keys)
+    assert(out((1L, 0))._1 == (1 to 8).map(i => s"t$i").mkString(" "))
+    // overlap: chunk 1 starts at stride+1 = token 5
+    assert(out((1L, 1))._1 == (5 to 10).map(i => s"t$i").mkString(" ") &&
+      out((1L, 1))._3 == 6L)
+    assert(out((1L, 1))._2 == 1000001L) // doc_id*1e6 + idx
+    assert(out((2L, 0))._3 == 8L && !out.contains((2L, 1)))
+    assert(out((3L, 0))._3 == 3L)
+    assert(out((4L, 0))._1 == "" && out((4L, 0))._3 == 0L)
+    // intra-row: explode only — no exchange, no join
+    val plan = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      plan.take(400))
+  }
+
   test("robots filter: group selection, merge, wildcard/anchor rules, " +
       "longest-match with allow tie-break, defaults") {
     import spark.implicits._
