@@ -735,4 +735,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // historical corpus lives in the bucketed index, not in state
     assert(q.recentProgress.forall(_.stateOperators.isEmpty))
   }
+
+  test("streaming classifier scoring: offline-trained weights score " +
+      "arrivals statelessly, margins bit-equal to the batch scorer") {
+    import spark.implicits._
+    val corpus = (Seq("alpha bravo charlie", "bravo alpha alpha",
+      "charlie bravo delta").zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, 1L) } ++
+      Seq("omega zulu yankee", "zulu omega omega",
+        "yankee zulu xray").zipWithIndex.map { case (t, i) =>
+        (100L + i, t, -1L) }).toDF("doc_id", "text", "y")
+    val (w, feats) = graft.operators.Classifier.trainPerceptron(
+      corpus, "doc_id", "text", "y", dims = 256, rounds = 2)
+    val batchMargins = graft.operators.Classifier.scoreFeatures(feats, w)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("margin")).toMap
+    val landing = Files.createTempDirectory("graft-qs-landing").toString
+    val ckpt = Files.createTempDirectory("graft-qs-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-qs-out").toString
+    corpus.select("doc_id", "text").write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(landing).schema).parquet(landing)
+    val scored = graft.streaming.QualityStream.scoreStream(
+      stream, "text", w, dims = 256)
+    assert(scored.isStreaming)
+    val q = scored.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("margin")).toMap
+    assert(streamed == batchMargins, s"$streamed vs $batchMargins")
+    // stateless: no aggregation, no state store — restart-safe for free
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty))
+  }
 }
