@@ -4124,10 +4124,14 @@ object QueryCatalog {
              |            ELSE 'tail' END AS ppl_bucket
              |FROM sc, thr ORDER BY doc_id""".stripMargin),
       (s, dir) =>
+        // CHECKPOINT the scored frame: surprisalBuckets consumes it twice
+        // (the histogram pass AND the threshold join), and each uncached
+        // consumer would re-train the whole trigram LM — the v2 lesson
         TextAnalysis.surprisalBuckets(
             TextAnalysis.trigramSurprisal(T(s, dir, "documents"),
               "doc_id", "text")
-              .select("doc_id", "mean_millibits"),
+              .select("doc_id", "mean_millibits")
+              .localCheckpoint(true),
             "doc_id", "mean_millibits")
           .orderBy("doc_id")),
 
@@ -4263,6 +4267,10 @@ object QueryCatalog {
         val scored = TextAnalysis.trigramSurprisal(
             docs.join(keep.select("doc_id"), "doc_id"), "doc_id", "text")
           .select("doc_id", "mean_millibits")
+          // checkpoint before bucketing: the tercile law reads this frame
+          // twice (histogram + threshold join) and each uncached consumer
+          // would re-train the trigram LM over the survivors
+          .localCheckpoint(true)
         val buck = TextAnalysis.surprisalBuckets(scored,
           "doc_id", "mean_millibits")
         Sampling.stratifiedThresholds(buck, "doc_id", "ppl_bucket",
