@@ -4466,7 +4466,7 @@ object QueryCatalog {
              |    ELSE 'deep.sub.c' || (doc_id % 5) || '.com'
              |  END AS host FROM documents),
              |rules(key, rl, exc) AS (VALUES $ruleValues),
-             |lab AS (SELECT doc_id, host, string_split(host, '.') AS l
+             |lab AS (SELECT doc_id, host, string_split(lower(host), '.') AS l
              |        FROM hosts),
              |probes AS (
              |  SELECT doc_id, host,
