@@ -4284,6 +4284,72 @@ object QueryCatalog {
           .orderBy("doc_id")
       }),
 
+    Q("x_dedup_paragraphs",
+      // RefinedWeb paragraph-grain corpus dedup — the C4 line law at
+      // '\n\n' grain: the corpus rebuilt as 3-line paragraphs with a
+      // GLOBAL boilerplate footer paragraph appended to every doc; the
+      // footer survives only in the lowest doc, every doc rebuilds from
+      // its surviving paragraphs in order
+      Some("""WITH wl AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+             |      AS ws
+             |  FROM documents),
+             |ld AS (SELECT doc_id,
+             |    list_transform(range(0, GREATEST((len(ws) - 1) // 8, 0) + 1),
+             |      i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS lines
+             |  FROM wl),
+             |dd AS (SELECT doc_id,
+             |    array_to_string(
+             |      list_transform(range(0, GREATEST((len(lines) - 1) // 3, 0) + 1),
+             |        j -> array_to_string(lines[j*3+1 : j*3+3], chr(10))),
+             |      chr(10) || chr(10))
+             |    || chr(10) || chr(10)
+             |    || 'corpus footer all rights reserved' AS doc
+             |  FROM ld),
+             |sp AS (SELECT doc_id, string_split(doc, chr(10) || chr(10))
+             |    AS ps FROM dd),
+             |pn AS (SELECT doc_id, ps[j] AS seg, j AS pos
+             |  FROM sp, unnest(range(1, len(ps) + 1)) t(j)
+             |  WHERE ps[j] <> ''),
+             |own AS (SELECT seg, min(doc_id) AS o_doc FROM pn GROUP BY seg),
+             |own2 AS (SELECT pn.seg, pn.doc_id AS o_doc, min(pn.pos) AS o_pos
+             |  FROM pn JOIN own ON pn.seg = own.seg
+             |    AND pn.doc_id = own.o_doc
+             |  GROUP BY 1, 2),
+             |keep AS (SELECT pn.doc_id, pn.pos, pn.seg
+             |  FROM pn JOIN own2 ON pn.seg = own2.seg
+             |    AND pn.doc_id = own2.o_doc AND pn.pos = own2.o_pos),
+             |rb AS (SELECT doc_id,
+             |    array_to_string(list(seg ORDER BY pos), chr(10) || chr(10))
+             |      AS text,
+             |    count(*) AS n_segments
+             |  FROM keep GROUP BY doc_id),
+             |eb AS (SELECT doc_id, len(list_filter(ps, x -> x <> '')) AS n0
+             |  FROM sp)
+             |SELECT eb.doc_id, coalesce(rb.text, '') AS text,
+             |  CAST(coalesce(rb.n_segments, 0) AS BIGINT) AS n_segments,
+             |  CAST(eb.n0 - coalesce(rb.n_segments, 0) AS BIGINT)
+             |    AS n_segments_dropped
+             |FROM eb LEFT JOIN rb USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val base = T(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokens(col("text")).as("__ws"))
+          .withColumn("__lines", expr(
+            "transform(sequence(0, greatest((size(__ws) - 1) div 8, 0)), " +
+              "i -> array_join(slice(__ws, i*8 + 1, 8), ' '))"))
+          .withColumn("__doc", concat(
+            expr("array_join(transform(" +
+              "sequence(0, greatest((size(__lines) - 1) div 3, 0)), " +
+              "j -> array_join(slice(__lines, j*3 + 1, 3), '\\n')), " +
+              "'\\n\\n')"),
+            lit("\n\ncorpus footer all rights reserved")))
+        Dedup.dedupSegments(base.select(col("doc_id"), col("__doc")),
+            "doc_id", "__doc", "\n\n")
+          .orderBy("doc_id")
+      }),
+
     Q("x_text_chunk",
       // overlapping-window chunking (window 8, stride 4 — the RAG shape):
       // DuckDB replays the integer chunk-count law, every boundary slice

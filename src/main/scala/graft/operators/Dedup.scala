@@ -214,27 +214,37 @@ object Dedup {
     * ~n²/2⁶⁴ expected collisions corpus-wide, the same accepted residual
     * as every sha63 band key here. Returns (id, text, n_lines,
     * n_lines_dropped). */
-  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lines = df
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    dedupSegments(df, idCol, textCol, "\n")
+      .withColumnRenamed("n_segments", "n_lines")
+      .withColumnRenamed("n_segments_dropped", "n_lines_dropped")
+
+  /** Separator-generic grain of [[dedupLines]] — `"\n\n"` gives the
+    * RefinedWeb paragraph-dedup variant of the same corpus-wide
+    * first-seen-owner law; the separator is quoted, not a regex. */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val segs = df
       .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .where(col("line") =!= "")
-      .select(col("doc_id"), col("pos"), sha63(col("line"), lit(0)).as("lh"))
-    val keptPos = lines.groupBy("lh")
+        posexplode(split(col(textCol), sepRe)).as(Seq("pos", "seg")))
+      .where(col("seg") =!= "")
+      .select(col("doc_id"), col("pos"), sha63(col("seg"), lit(0)).as("lh"))
+    val keptPos = segs.groupBy("lh")
       .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
       .groupBy(col("o.doc_id").as("doc_id"))
       .agg(sort_array(collect_list(col("o.pos"))).as("kp"))
     df.select(col(idCol).cast("long").as("doc_id"),
-        split(col(textCol), "\n").as("__ls"))
+        split(col(textCol), sepRe).as("__ls"))
       .join(keptPos, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("kp").isNull, lit(""))
           .otherwise(array_join(
-            transform(col("kp"), p => element_at(col("__ls"), p + 1)), "\n"))
+            transform(col("kp"), p => element_at(col("__ls"), p + 1)), sep))
           .as("text"),
-        coalesce(size(col("kp")), lit(0)).cast("long").as("n_lines"),
+        coalesce(size(col("kp")), lit(0)).cast("long").as("n_segments"),
         (size(filter(col("__ls"), l => l =!= "")).cast("long")
-          - coalesce(size(col("kp")), lit(0))).as("n_lines_dropped"))
+          - coalesce(size(col("kp")), lit(0))).as("n_segments_dropped"))
   }
 
   /** Append a new batch's band rows to an existing [[writeMinHashIndex]]

@@ -145,6 +145,9 @@ object ExplainAudit {
       // indexing — no cartesian, no window sort
       ("x_dedup_lines", Seq("partial_min", "partial_collect_list"),
         Seq("CartesianProduct", "Window ")),
+      // paragraph grain of the same law: identical shape pins
+      ("x_dedup_paragraphs", Seq("partial_min", "partial_collect_list"),
+        Seq("CartesianProduct", "Window ")),
       // BPE corpus tokenization: apply = broadcast LOOKUP against the
       // trained segmentation + one partial-combinable count agg — never a
       // corpus-side shuffle join or per-occurrence re-merging
@@ -226,11 +229,12 @@ object ExplainAudit {
       // shape this law exists to avoid)
       ("x_text_ppl_buckets", Seq("partial_count", "BroadcastExchange"),
         Seq("SortMergeJoin", "CartesianProduct")),
-      // curation v7 (CCNet chain): trained weights + tercile cuts ride
-      // broadcasts, gate verdicts come off the checkpoint RDD — never a
-      // cartesian across the five composed stages
+      // curation v7 (CCNet chain): gate verdicts AND survivor scores come
+      // off checkpoint RDDs (the broadcast weight join runs inside the
+      // first checkpoint's materialization — x_classifier_scores pins it
+      // in-plan); never a cartesian across the five composed stages
       ("x_curation_pipeline_v7",
-        Seq("BroadcastHashJoin", "Scan ExistingRDD"),
+        Seq("Scan ExistingRDD"),
         Seq("CartesianProduct")),
       // df-cut: hot grams via partial agg + broadcast, pruning intra-row —
       // no per-gram window sort anywhere in the plan

@@ -1525,6 +1525,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(400))
   }
 
+  test("paragraph dedup: corpus-wide first-seen owner at \\n\\n grain, " +
+      "order-preserving rebuild, line grain unaffected") {
+    import spark.implicits._
+    val footer = "all rights reserved"
+    val docs = Seq(
+      (2L, s"unique two\n\nshared para\n\n$footer"),
+      (1L, s"shared para\n\nunique one\n\n$footer"),
+      (3L, s"$footer\n\nunique three")).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs, "doc_id", "text", "\n\n")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_segments_dropped"))))
+      .toMap
+    // owners: 'shared para' and the footer both first-seen in doc 1
+    assert(out(1L) == ((s"shared para\n\nunique one\n\n$footer", 0L)), out)
+    assert(out(2L) == (("unique two", 2L)), out)
+    assert(out(3L) == (("unique three", 1L)), out)
+    // the same corpus at LINE grain dedups single lines instead
+    val lines = Dedup.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_lines_dropped")).toMap
+    assert(lines(1L) == 0L && lines(2L) == 2L && lines(3L) == 1L, lines)
+  }
+
   test("chunk documents: window/stride boundaries, overlap, short and " +
       "empty docs, stable ids") {
     import spark.implicits._
