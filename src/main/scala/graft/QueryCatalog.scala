@@ -167,7 +167,7 @@ object QueryCatalog {
       // analysis, so a persisted frame still re-analyzes the full
       // expression tree (huge for the effects fan-out) on EVERY action;
       // checkpointing truncates the lineage to the materialized blocks
-      build.localCheckpoint(true))
+      build.transform(Checkpoints.checkpointed))
 
   /** Long-lived-session hook (see [[graft.operators.TokenTransfers.clearCache]]
     * for the caveats): drop all memoized frames; ContextCleaner reclaims the
@@ -383,15 +383,20 @@ object QueryCatalog {
 
   /** Planted robots.txt pair for `x_robots_filter` — variant A exercises
     * a named-agent group (prefix, allow-override, wildcard-`$`, empty
-    * allow) over a deny-all `*` group; variant B exercises multi-agent
-    * heads, an unknown field inside a group, and `*`-group wildcard vs
-    * longer allow. */
+    * allow, and the OCTET-length precedence law on '/café/' vs '/caf*x')
+    * over a deny-all `*` group; variant B exercises multi-agent heads,
+    * the RFC 9309 §2.2.4 law that unknown fields (Crawl-delay, Sitemap)
+    * do NOT interfere with group parsing (graftbot and helper share ONE
+    * head across the Crawl-delay line), and `*`-group wildcard vs longer
+    * allow. */
   private val robotsA: String = Seq(
     "# crawl policy",
     "User-agent: graftbot",
     "Disallow: /private",
     "Allow: /private/ok",
     "Disallow: /*.pdf$",
+    "Disallow: /café/",
+    "Allow: /caf*x",
     "Allow:",
     "",
     "User-agent: *",
@@ -401,11 +406,17 @@ object QueryCatalog {
     "User-agent: otherbot",
     "User-agent: another",
     "Disallow: /",
+    "",
+    "User-agent: graftbot",
+    "Crawl-delay: 10",
+    "User-agent: helper",
+    "Disallow: /tmp/*",
+    "Allow: /tmp/pub",
+    "",
     "Sitemap: https://example.com/map.xml",
     "",
     "User-agent: *",
-    "Disallow: /tmp/*",
-    "Allow: /tmp/pub").mkString("\n")
+    "Disallow: /").mkString("\n")
 
   /** Render a Scala string as a DuckDB expression (chr(10) for newlines,
     * doubled quotes). */
@@ -2786,7 +2797,7 @@ object QueryCatalog {
         val gate = scored.join(broadcast(thr))
           .where(col("mean_millibits") <= col("thr"))
           .select("doc_id", "mean_millibits")
-          .localCheckpoint(true)
+          .transform(Checkpoints.checkpointed)
         val joined = gate.join(T(s, dir, "embeddings"),
             gate("doc_id") === col("vec_id"))
           .select(col("doc_id"), col("mean_millibits"), col("embedding"))
@@ -2794,7 +2805,7 @@ object QueryCatalog {
           nCells = 8, cosNum = 4, cosDen = 25)
         val kept = sem.where(!col("is_dup"))
           .select(col("id").as("doc_id"), col("cell"))
-          .localCheckpoint(true) // reused by the pack input and the cell provenance join
+          .transform(Checkpoints.checkpointed) // reused by the pack input and the cell provenance join
         val withTok = kept
           .join(docs.select(col("doc_id"),
             TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
@@ -4131,7 +4142,7 @@ object QueryCatalog {
             TextAnalysis.trigramSurprisal(T(s, dir, "documents"),
               "doc_id", "text")
               .select("doc_id", "mean_millibits")
-              .localCheckpoint(true),
+              .transform(Checkpoints.checkpointed),
             "doc_id", "mean_millibits")
           .orderBy("doc_id")),
 
@@ -4263,14 +4274,14 @@ object QueryCatalog {
         val keep = mg.join(broadcast(mthr))
           .where(col("margin") * col("cnt") >= col("sm"))
           .select("doc_id", "margin")
-          .localCheckpoint(true)
+          .transform(Checkpoints.checkpointed)
         val scored = TextAnalysis.trigramSurprisal(
             docs.join(keep.select("doc_id"), "doc_id"), "doc_id", "text")
           .select("doc_id", "mean_millibits")
           // checkpoint before bucketing: the tercile law reads this frame
           // twice (histogram + threshold join) and each uncached consumer
           // would re-train the trigram LM over the survivors
-          .localCheckpoint(true)
+          .transform(Checkpoints.checkpointed)
         val buck = TextAnalysis.surprisalBuckets(scored,
           "doc_id", "mean_millibits")
         Sampling.stratifiedThresholds(buck, "doc_id", "ppl_bucket",
@@ -4387,7 +4398,9 @@ object QueryCatalog {
              |  CASE WHEN (doc_id // 8) % 2 = 0 THEN ${sqlLit(robotsA)}
              |       ELSE ${sqlLit(robotsB)} END AS robots,
              |  CASE doc_id % 8
-             |    WHEN 0 THEN '/index.html'  WHEN 1 THEN '/private'
+             |    WHEN 0 THEN (CASE WHEN doc_id % 16 = 0 THEN '/café/x'
+             |                 ELSE '/index.html' END)
+             |    WHEN 1 THEN '/private'
              |    WHEN 2 THEN '/private/ok/x' WHEN 3 THEN '/report.pdf'
              |    WHEN 4 THEN '/tmp/cache/x'  WHEN 5 THEN '/tmp/pub/y'
              |    WHEN 6 THEN '/private.html' ELSE '/a/b*c' END AS path
@@ -4412,7 +4425,8 @@ object QueryCatalog {
              |      coalesce(lag(field = 'user-agent') OVER
              |        (PARTITION BY doc_id ORDER BY i), false) = false
              |      THEN 1 ELSE 0 END AS b
-             |  FROM rel),
+             |  FROM rel
+             |  WHERE field IN ('user-agent', 'allow', 'disallow')),
              |grp AS (SELECT *, sum(b) OVER (PARTITION BY doc_id ORDER BY i
              |    ROWS UNBOUNDED PRECEDING) AS g FROM brk),
              |agents AS (SELECT DISTINCT doc_id, g, lower(value) AS ag
@@ -4442,7 +4456,7 @@ object QueryCatalog {
              |      '*', '.*') || CASE WHEN anc THEN '$$' ELSE '' END)),
              |win AS (SELECT doc_id, is_allow, value FROM (
              |    SELECT *, row_number() OVER (PARTITION BY doc_id
-             |      ORDER BY length(value) DESC, is_allow DESC, i) AS wrn
+             |      ORDER BY octet_length(encode(value)) DESC, is_allow DESC, i) AS wrn
              |    FROM mt) WHERE wrn = 1)
              |SELECT s.doc_id, s.path,
              |  CASE WHEN w.doc_id IS NULL THEN 'A|'
@@ -4459,7 +4473,9 @@ object QueryCatalog {
         val path = (col("doc_id") % 8).cast("int")
         val planted = T(s, dir, "documents").select(col("doc_id"),
           robots.as("__robots"),
-          when(path === 0, "/index.html").when(path === 1, "/private")
+          when(path === 0,
+            when(col("doc_id") % 16 === 0, "/café/x").otherwise("/index.html"))
+            .when(path === 1, "/private")
             .when(path === 2, "/private/ok/x")
             .when(path === 3, "/report.pdf")
             .when(path === 4, "/tmp/cache/x").when(path === 5, "/tmp/pub/y")
@@ -4528,7 +4544,8 @@ object QueryCatalog {
              |                 THEN 'd.h' || (doc_id % 5) || '.unlisted'
              |                 ELSE 'h' || (doc_id % 5) || '.unlisted' END)
              |    WHEN 5 THEN '10.0.' || (doc_id % 9) || '.1'
-             |    WHEN 6 THEN 'co.uk'
+             |    WHEN 6 THEN (CASE WHEN doc_id % 16 = 6
+             |                 THEN 'Co.UK' ELSE 'co.uk' END)
              |    ELSE 'deep.sub.c' || (doc_id % 5) || '.com'
              |  END AS host FROM documents),
              |rules(key, rl, exc) AS (VALUES $ruleValues),
@@ -4557,7 +4574,7 @@ object QueryCatalog {
              |         l[len(l)-LEAST(sl, len(l))+1:len(l)], '.') END
              |    AS psl_suffix,
              |  CASE WHEN regexp_matches(m.host, '^[0-9.]+$$')
-             |         OR len(l) <= sl THEN m.host
+             |         OR len(l) <= sl THEN lower(m.host)
              |       ELSE array_to_string(l[len(l)-sl:len(l)], '.') END
              |    AS registrable_domain
              |FROM m JOIN lab ON lab.doc_id = m.doc_id
@@ -4578,7 +4595,9 @@ object QueryCatalog {
                 .otherwise(concat(lit("h"), d5, lit(".unlisted"))))
             .when(col("doc_id") % 8 === 5,
               concat(lit("10.0."), col("doc_id") % 9, lit(".1")))
-            .when(col("doc_id") % 8 === 6, lit("co.uk"))
+            .when(col("doc_id") % 8 === 6,
+              when(col("doc_id") % 16 === 6, lit("Co.UK"))
+                .otherwise(lit("co.uk")))
             .otherwise(concat(lit("deep.sub.c"), d5, lit(".com")))
             .as("host"))
         Web.registrableDomainPsl(hosts, "doc_id", "host", pslRules)
@@ -4726,6 +4745,95 @@ object QueryCatalog {
         val (w, feats) = Classifier.trainPerceptron(labeled,
           "doc_id", "text", labelCol = "__y", dims = 64, rounds = 3)
         Classifier.scoreFeatures(feats, w).orderBy("doc_id")
+      }),
+
+    Q("x_text_langid_trained", {
+      // TRAINED language ID (r19 directive #1): bootstrap labels from the
+      // stopword heuristic (the CCNet self-training recipe — no external
+      // labels), then one-vs-rest batch perceptrons over hashed char
+      // TRIGRAM features (fastText/CLD3 shape), argmax margins. DuckDB
+      // replays the whole chain: heuristic bootstrap, the K·R unrolled
+      // training rounds per class, the margin argmax with the
+      // (margin desc, lang asc) tie law
+      val classes = graft.operators.Stopwords.all.keys.toSeq.sorted
+      val dims = 256
+      val langScores = graft.operators.Stopwords.all.toSeq.sortBy(_._1)
+        .map { case (lang, words) =>
+          s"""SELECT doc_id, '$lang' AS lang,
+             |  len(list_filter(w, x -> list_contains(${sqlList(words)}, x)))
+             |    / greatest(len(w), 1) AS score
+             |FROM btoks""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      val perClass = classes.map { c =>
+        s"""w1_$c AS (SELECT bucket, CAST(sum(
+           |    (CASE WHEN label = '$c' THEN 1 ELSE -1 END) * tf) AS BIGINT)
+           |    AS w FROM fl GROUP BY 1),
+           |m1_$c AS (SELECT fl.doc_id,
+           |    CAST(any_value(CASE WHEN fl.label = '$c' THEN 1 ELSE -1 END)
+           |      AS BIGINT) AS y,
+           |    CAST(sum(fl.tf * w1_$c.w) AS BIGINT) AS margin
+           |  FROM fl JOIN w1_$c USING (bucket) GROUP BY 1),
+           |u2_$c AS (SELECT fl.bucket, CAST(sum(
+           |    (CASE WHEN fl.label = '$c' THEN 1 ELSE -1 END) * fl.tf)
+           |    AS BIGINT) AS delta
+           |  FROM fl JOIN m1_$c ON m1_$c.doc_id = fl.doc_id
+           |  WHERE m1_$c.y * m1_$c.margin <= 0 GROUP BY 1),
+           |w2_$c AS (SELECT w1_$c.bucket,
+           |    w1_$c.w + coalesce(u2_$c.delta, 0) AS w
+           |  FROM w1_$c LEFT JOIN u2_$c USING (bucket))""".stripMargin
+      }.mkString(",\n")
+      val weightUnion = classes.map { c =>
+        s"SELECT '$c' AS lang, bucket, w FROM w2_$c"
+      }.mkString("\nUNION ALL\n")
+      Some(s"""WITH btoks AS (
+             |  SELECT doc_id,
+             |         list_transform(list_filter(string_split_regex(text, '\\s+'),
+             |           x -> x <> ''), x -> lower(x)) AS w
+             |  FROM documents),
+             |bsc AS (
+             |$langScores),
+             |boot AS (SELECT doc_id, lang AS label FROM (
+             |  SELECT doc_id, lang,
+             |         row_number() OVER (PARTITION BY doc_id
+             |           ORDER BY score DESC, lang) AS rn
+             |  FROM bsc) WHERE rn = 1),
+             |lt AS (SELECT doc_id, lower(text) AS lt FROM documents),
+             |g0 AS (SELECT doc_id, substr(lt, CAST(i AS INT), 3) AS g
+             |  FROM lt, unnest(range(1, length(lt) - 1)) t(i)
+             |  WHERE length(lt) >= 3),
+             |f0 AS (SELECT doc_id,
+             |    ('0x' || substr(sha256(g), 1, 8))::BIGINT % $dims AS bucket
+             |  FROM g0),
+             |f AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+             |  FROM f0 GROUP BY 1, 2),
+             |fl AS (SELECT f.doc_id, f.bucket, f.tf, boot.label
+             |  FROM f JOIN boot USING (doc_id)),
+             |$perClass,
+             |wl AS (
+             |$weightUnion),
+             |ml AS (SELECT f.doc_id, wl.lang,
+             |    CAST(sum(f.tf * wl.w) AS BIGINT) AS margin
+             |  FROM f JOIN wl USING (bucket) GROUP BY 1, 2),
+             |best AS (SELECT doc_id, lang, margin FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY margin DESC, lang) AS rn FROM ml) WHERE rn = 1)
+             |SELECT d.doc_id,
+             |  coalesce(best.lang, '${classes.head}') AS predicted_lang,
+             |  CAST(coalesce(best.margin, 0) AS BIGINT) AS margin
+             |FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val classes = Stopwords.all.keys.toSeq.sorted
+        val docs = T(s, dir, "documents").select("doc_id", "text")
+        val boot = TextAnalysis.langId(docs, "text")
+          .select(col("doc_id"), col("predicted_lang").as("__label"))
+        val w = Classifier.trainLangId(docs.join(boot, "doc_id"),
+          "doc_id", "text", "__label", classes, n = 3, dims = 256,
+          rounds = 2)
+        Classifier.langIdTrained(docs, "doc_id", "text", w, classes,
+            n = 3, dims = 256)
+          .orderBy("doc_id")
       }),
 
     Q("x_token_count",

@@ -74,6 +74,19 @@ object Export {
     def passphrase: String = graft.codec.Network.passphrase(network)
   }
 
+  /** Every subcommand `run` dispatches. CliExportSpec audits this set
+    * against the reference's cobra `Use:` strings (the `cmd` package) so a
+    * renamed or newly-spelled reference command can't drift past us —
+    * `export_token_transfer` (singular, the reference's registered Use)
+    * normalizes to the plural in [[parse]]. */
+  val KnownCommands: Set[String] = Set(
+    "export_ledgers", "export_transactions", "export_operations",
+    "export_effects", "export_trades", "export_assets",
+    "export_token_transfers", "export_ledger_transaction",
+    "export_contract_events", "export_ledger_entry_changes",
+    "export_op_changes", "get_ledger_range_from_times", "version",
+    "upload_to_gcs")
+
   def parse(argv: Array[String]): Args = {
     def loop(a: Args, rest: List[String]): Args = rest match {
       case Nil => a
@@ -104,6 +117,11 @@ object Export {
       case "--extra-fields" :: v :: t =>
         loop(a.copy(extraFields = v.split(',').filter(_.contains("="))
           .map { kv => val Array(k, x) = kv.split("=", 2); k -> x }.toMap), t)
+      // the reference registers the SINGULAR spelling as the command name
+      // (`cmd/export_token_transfers.go:14` — `Use: "export_token_transfer"`);
+      // accept both so a pasted reference invocation runs unchanged
+      case "export_token_transfer" :: t if a.command.isEmpty =>
+        loop(a.copy(command = "export_token_transfers"), t)
       case cmd :: t if a.command.isEmpty => loop(a.copy(command = cmd), t)
       case other :: _ => sys.error(s"unknown flag: $other")
     }

@@ -100,7 +100,12 @@ object Robots {
           case "allow" | "disallow" if groupAgents.nonEmpty =>
             inHead = false
             groupRules.last += Rule(field == "allow", value)
-          case _ => inHead = false // unknown fields end a head (RFC 2.2.1)
+          // RFC 9309 §2.2.4 / google/robotstxt: records outside the
+          // grammar (sitemap, crawl-delay, anything unknown) MUST NOT
+          // interfere with group parsing — a `Sitemap:` between two
+          // consecutive `user-agent` lines leaves them in ONE head; only
+          // allow/disallow rule lines close a head
+          case _ => ()
         }
       }
       // blank / comment-only lines neither end a head nor start one
@@ -120,7 +125,11 @@ object Robots {
     var bestLen = -1
     rules.foreach { r =>
       if (ruleMatches(r.value, pathS)) {
-        val len = r.value.length
+        // RFC 9309 §2.2.2: the prevailing rule has the most OCTETS, not
+        // the most UTF-16 units — a multi-byte rule value ('/café/')
+        // outweighs a same-char-count ASCII one (oracle: octet_length())
+        val len = r.value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .length
         if (len > bestLen || (len == bestLen && r.allow && !best.allow)) {
           best = r; bestLen = len
         }

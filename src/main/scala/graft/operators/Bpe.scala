@@ -114,7 +114,7 @@ object Bpe {
   def train(df: DataFrame, textCol: String, merges: Int): Trained = {
     require(merges >= 1, "merges must be positive")
     val spark = df.sparkSession
-    var words = wordVocab(df, textCol).localCheckpoint(true)
+    var words = wordVocab(df, textCol).transform(Checkpoints.checkpointed)
     // ADAPTIVE ITERATION WIDTH (the CC-loop lesson): the per-round frames
     // are VOCABULARY-sized — usually thousands of rows — where per-round
     // cost is task-count overhead, not compute; width rides the measured
@@ -124,7 +124,7 @@ object Bpe {
       spark.sparkContext.defaultParallelism.toLong,
       words.count() / 100000L + 1)).toInt
     words = spark.createDataFrame(
-      words.rdd.coalesce(width), words.schema).localCheckpoint(true)
+      words.rdd.coalesce(width), words.schema).transform(Checkpoints.checkpointed)
     val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
     var i = 0
     while (i < merges) {
@@ -144,7 +144,7 @@ object Bpe {
       // CC-loop machinery); superseded checkpoint blocks are reclaimed by
       // the ContextCleaner once the previous frame is unreferenced
       words = words.select(col("word"), col("freq"),
-        mergeSyms(col("syms"), a, b).as("syms")).localCheckpoint(true)
+        mergeSyms(col("syms"), a, b).as("syms")).transform(Checkpoints.checkpointed)
       i += 1
     }
     Trained(rules.toSeq, words)

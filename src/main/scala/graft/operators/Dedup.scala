@@ -302,7 +302,7 @@ object Dedup {
     // checkpointed (narrow rows: the v2-lesson criterion for checkpoint
     // over cache), so no branch recomputes the fingerprints
     val bb = minHashBandRows(batch, textCol, idCol, shingleSize, bands,
-      rowsPerBand).localCheckpoint(true)
+      rowsPerBand).transform(Checkpoints.checkpointed)
     // self-pairs excluded: same id = same logical document (a re-crawl)
     val candCorpus = bb.as("b").join(idx.as("i"), "bk")
       .where(col("b.doc_id") =!= col("i.doc_id"))
@@ -898,7 +898,7 @@ object Dedup {
     // executors were done in ~1.5 s). The RDD leaf keeps every round's
     // plan constant-size; localCheckpoint cuts the lineage like the label
     // rounds below.
-    val edges0Rdd = edges0.rdd.persist(disk).localCheckpoint()
+    val edges0Rdd = Checkpoints.checkpointedRdd(spark, edges0.rdd, disk)
     // ADAPTIVE ITERATION WIDTH: the per-round frames are sized by the
     // duplicate SUBGRAPH, not the corpus, and at realistic dup densities
     // that is thousands of rows — where the dominant per-round cost is
@@ -944,12 +944,13 @@ object Dedup {
       // without it each round's scan still references the previous round's
       // RDD object, so task serialization recurses a graph that grows per
       // round (intermittent StackOverflowError — the failure GraphX solves
-      // the same way). Local checkpoint trades executor-loss recovery for
-      // that bound; a cluster deployment that needs block-loss recovery
-      // sets a reliable checkpoint dir and swaps `checkpoint()` in here.
+      // the same way). The checkpoint POLICY (Checkpoints.checkpointedRdd)
+      // picks RELIABLE checkpointing when a checkpoint dir is configured —
+      // the executor-loss-safe cluster mode — and executor-local otherwise.
       // Coalescing to the adaptive width keeps every subsequent stage's
       // task count proportional to the subgraph.
-      val rdd = plan.rdd.coalesce(width).persist(disk).localCheckpoint()
+      val rdd = Checkpoints.checkpointedRdd(spark,
+        plan.rdd.coalesce(width), disk)
       val next = spark.createDataFrame(rdd, plan.schema)
       changed = next.where(col("label") < col("prev")).count()
       if (prevRdd != null) prevRdd.unpersist(false)
@@ -975,7 +976,8 @@ object Dedup {
     // blocks — repeated calls in one session no longer accumulate
     // per-round caches; only one label table per live result stays cached
     val labelPlan = labels
-    val labelRdd = labelPlan.rdd.coalesce(width).persist(disk).localCheckpoint()
+    val labelRdd = Checkpoints.checkpointedRdd(spark,
+      labelPlan.rdd.coalesce(width), disk)
     labelRdd.count()
     if (prevRdd != null) prevRdd.unpersist(false)
     labels = spark.createDataFrame(labelRdd, labelPlan.schema)
@@ -1058,7 +1060,7 @@ object Dedup {
     // dupClusters): the star rounds reference `edges` several times each,
     // so looping over the raw frame would re-optimize the whole upstream
     // pair-generator tree every round — driver plan latency, not compute
-    val initRdd = init.rdd.persist(disk).localCheckpoint()
+    val initRdd = Checkpoints.checkpointedRdd(spark, init.rdd, disk)
     var edgeCount = initRdd.count()
     var edges = spark.createDataFrame(
       initRdd.coalesce(widthFor(edgeCount)), init.schema)
@@ -1070,8 +1072,8 @@ object Dedup {
       // same per-round plan + LINEAGE cut as dupClusters: rebase on the
       // persisted RDD so the logical tree stays constant-size, and
       // localCheckpoint so the RDD graph does too (see dupClusters)
-      val rdd = plan.rdd.coalesce(widthFor(edgeCount)).persist(disk)
-        .localCheckpoint()
+      val rdd = Checkpoints.checkpointedRdd(spark,
+        plan.rdd.coalesce(widthFor(edgeCount)), disk)
       val next = spark.createDataFrame(rdd, plan.schema)
       // exact two-tier fixpoint test: a changed edge COUNT (one cheap job
       // over the persisted RDD) proves non-convergence without the
@@ -1098,9 +1100,8 @@ object Dedup {
     // last round's working blocks, so repeated calls in one session don't
     // accumulate per-round caches (only one label table per live result)
     val labelPlan = edges.select(col("u").as("v"), col("v").as("cluster_id"))
-    val labelRdd = labelPlan.rdd
-      .coalesce(widthFor(math.max(edgeCount, 1L))).persist(disk)
-      .localCheckpoint()
+    val labelRdd = Checkpoints.checkpointedRdd(spark, labelPlan.rdd
+      .coalesce(widthFor(math.max(edgeCount, 1L))), disk)
     labelRdd.count()
     if (prevRdd != null) prevRdd.unpersist(false)
     val labels = spark.createDataFrame(labelRdd, labelPlan.schema)

@@ -214,8 +214,9 @@ object TextAnalysis {
     *   - n_chunks = 1 + max(0, ⌈(n_tokens − window) / stride⌉) — one
     *     chunk always exists (empty docs produce one empty chunk), and
     *     the last chunk starts at most at n_tokens − 1;
-    *   - chunk_id = doc_id·10⁶ + c (stable across runs; callers with
-    *     > 10⁶ chunks/doc pick a wider base).
+    *   - chunk_id = doc_id·10⁶ + c (stable across runs; a doc with ≥10⁶
+    *     chunks or |doc_id| > ~9.22·10¹² RAISES at runtime — callers at
+    *     that scale pick a wider base).
     *
     * Intra-row transform + posexplode: the only cost is the explode fan
     * (n_chunks rows per doc), no shuffle, no UDF. */
@@ -237,8 +238,19 @@ object TextAnalysis {
           s"transform(sequence(0, __n_chunks - 1), c -> " +
             s"array_join(slice(__toks, c * $stride + 1, $window), ' '))"))
           .as(Seq("chunk_idx", "chunk_text")))
+      // LOUD overflow arm (the repo's law-guard idiom, cf. inverseMixture's
+      // 2³¹ guard): a doc with ≥10⁶ chunks would silently collide into the
+      // next doc_id's id space, and |doc_id| > ~9.22·10¹² overflows the
+      // packed long — both now raise instead of corrupting ids
       .withColumn("chunk_id",
-        col("doc_id") * 1000000L + col("chunk_idx"))
+        when(col("chunk_idx") < 1000000L &&
+          col("doc_id").between(-9223372036853L, 9223372036853L),
+          col("doc_id") * 1000000L + col("chunk_idx"))
+          .otherwise(raise_error(concat(
+            lit("chunkDocuments: chunk_id = doc_id*1e6 + idx overflows "),
+            lit("(doc_id="), col("doc_id").cast("string"),
+            lit(", chunk_idx="), col("chunk_idx").cast("string"),
+            lit(") — use a wider id base")))))
       .withColumn("n_chunk_tokens",
         size(tokens(col("chunk_text"))).cast("long"))
       .select("doc_id", "chunk_id", "chunk_idx", "chunk_text",

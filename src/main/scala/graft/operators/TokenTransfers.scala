@@ -275,14 +275,16 @@ object TokenTransfers {
     // so later actions skip re-analyzing the giant projection tree (a
     // persisted frame re-analyzes on every action — cache matching runs
     // after analysis)
-    eventsCache.computeIfAbsent(ledgers, l => fromLedgers(l).localCheckpoint(true))
+    eventsCache.computeIfAbsent(ledgers, l => fromLedgers(l).transform(Checkpoints.checkpointed))
 
   /** Long-lived-session hook: drop every memoized event frame. The
     * checkpointed RDD blocks become unreachable and Spark's ContextCleaner
     * unpersists them asynchronously. Two caveats a long-lived session must
-    * own: (a) localCheckpoint data is NON-replicated, so losing an executor
+    * own: (a) under the default (no checkpoint dir) policy the checkpoint
+    * blocks are executor-local and NON-replicated, so losing an executor
     * invalidates a memoized frame — callers recovering from executor loss
-    * should clear and rebuild; (b) without clearing, entries live for the
+    * should clear and rebuild, or configure `spark.checkpoint.dir` so
+    * [[Checkpoints]] checkpoints reliably; (b) without clearing, entries live for the
     * session (bounded by the number of distinct fixture ranges, fine for
     * the catalog; not fine for an unbounded range stream). */
   def clearCache(): Unit = eventsCache.clear()

@@ -372,12 +372,15 @@ object Web {
     val lbl = split(lower(col(hostCol)), "\\.")
     val nn = size(lbl)
     val ipV4 = col(hostCol).rlike("^[0-9.]+$")
+    // ONE case law for registrable_domain: LOWER on every arm (normal
+    // hosts slice the lowered labels; the bare-suffix and IPv4 pass-
+    // through arms lower explicitly) — a mixed-case bare-suffix host
+    // ('Co.UK') must not leak original case out of one arm only
     withSl.select(col(idCol), col(hostCol),
       when(ipV4, lit(null).cast("string"))
         .otherwise(array_join(slice(lbl, -least(col("__sl"), nn),
           least(col("__sl"), nn)), ".")).as("psl_suffix"),
-      when(ipV4, col(hostCol))
-        .when(nn <= col("__sl"), lower(col(hostCol)))
+      when(ipV4 || nn <= col("__sl"), lower(col(hostCol)))
         .otherwise(array_join(
           slice(lbl, -(col("__sl") + 1), col("__sl") + 1), "."))
         .as("registrable_domain"))

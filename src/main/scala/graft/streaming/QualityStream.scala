@@ -18,7 +18,13 @@ import graft.operators.{Classifier, TextAnalysis}
   * pays one tokenize + hash + map-lookup fold inside the scan
   * projection. No shuffle, no stream-side aggregation, NO STATE STORE —
   * restart-safe for free, and the contract StreamingSpec pins
-  * (`stateOperators` empty, margins bit-equal to the batch scorer). */
+  * (`stateOperators` empty, margins bit-equal to the batch scorer).
+  *
+  * The batch parity partner is [[Classifier.scoreDocuments]] — the TOTAL
+  * scorer over a doc universe, where an empty/whitespace-only doc scores
+  * margin 0, predicted −1, exactly like this fold over zero tokens.
+  * ([[Classifier.scoreFeatures]] omits featureless docs entirely — it is
+  * the train-time accuracy face, not a parity partner.) */
 object QualityStream {
 
   def scoreStream(stream: DataFrame, textCol: String, weights: DataFrame,

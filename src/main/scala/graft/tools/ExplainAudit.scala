@@ -199,6 +199,16 @@ object ExplainAudit {
       // corpus for a <= dims-row build side
       ("x_classifier_scores", Seq("BroadcastHashJoin", "partial_sum"),
         Seq("SortMergeJoin", "CartesianProduct")),
+      // trained language ID: the K·dims one-vs-rest weight union rides a
+      // BROADCAST against the doc-grain trigram features (the training
+      // rounds run inside eager checkpoints, so the returned plan is the
+      // scoring face) and the margin/argmax aggregates partial-combine.
+      // The terminal universe-stitch join is doc-grain ⋈ doc-grain — a
+      // sort-merge THERE is the correct 100 TB shape (AQE broadcasts it
+      // when the argmax side is small), so only the never-correct shapes
+      // are forbidden
+      ("x_text_langid_trained", Seq("BroadcastHashJoin", "partial_sum"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
       // chunking: intra-row transform + posexplode riding the scan — the
       // only cost is the explode fan, no exchange, no join
       ("x_text_chunk", Seq("Generate posexplode"),

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Checkpoints, Dedup, TextAnalysis}
 
 /** Stage-split timing for `x_curation_pipeline_v2` (dev tool, r19
   * judge directive #8): times the composition at its two checkpoint
@@ -49,7 +49,7 @@ object ProfileV2 {
         scored.join(broadcast(thr))
           .where(col("mean_millibits") <= col("thr"))
           .select("doc_id", "mean_millibits")
-          .localCheckpoint(true)
+          .transform(Checkpoints.checkpointed)
       }
 
       // Stage 2: embedding join + SemDeDup, materialized at the second
@@ -62,7 +62,7 @@ object ProfileV2 {
           nCells = 8, cosNum = 4, cosDen = 25)
         sem.where(!col("is_dup"))
           .select(col("id").as("doc_id"), col("cell"))
-          .localCheckpoint(true)
+          .transform(Checkpoints.checkpointed)
       }
 
       // Stage 3: token counts + packing + provenance joins + sort.

@@ -101,6 +101,33 @@ class CliExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seqs.nonEmpty)
   }
 
+  test("the reference's singular export_token_transfer spelling runs " +
+    "end-to-end, and every reference Use: string dispatches") {
+    // `cmd/export_token_transfers.go:14` registers `Use:
+    // "export_token_transfer"` (singular) — a pasted reference invocation
+    // must run unchanged
+    assert(Export.parse(Array("export_token_transfer")).command ==
+      "export_token_transfers")
+    val out = tmpDir("singular") + "/tt"
+    Export.run(spark, Export.parse(Array(
+      "export_token_transfer", "--start", "1000", "--end", "1063",
+      "--output", out, "--format", "ndjson")))
+    assert(Files.list(Paths.get(out)).iterator().asScala
+      .exists(_.toString.endsWith(".json")), "singular spelling wrote no output")
+    // CLI-name audit: every command the reference registers (the cobra
+    // `Use:` strings across `cmd/*.go`; upload_to_gcs ships as a plain
+    // function there, kept here as a subcommand) must dispatch
+    val referenceUse = Seq("export_assets", "export_contract_events",
+      "export_effects", "export_ledger_entry_changes",
+      "export_ledger_transaction", "export_ledgers", "export_operations",
+      "export_token_transfer", "export_trades", "export_transactions",
+      "get_ledger_range_from_times", "version")
+    referenceUse.foreach { u =>
+      assert(Export.KnownCommands.contains(Export.parse(Array(u)).command),
+        s"reference command $u does not dispatch")
+    }
+  }
+
   test("get_ledger_range_from_times resolves the bracketing sequences") {
     // fixture cadence: closed_at = 1700000000s + 5s * sequence, so the
     // window [1700000000+200*5, 1700000000+300*5] must resolve to [200,300]

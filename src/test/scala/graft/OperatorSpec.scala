@@ -2320,6 +2320,44 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq("en", "de", "fr"))
   }
 
+  test("trained langId separates a same-script pair the stopword law " +
+      "confuses; featureless docs take the smallest class at margin 0") {
+    import spark.implicits._
+    // every doc's ONLY stopword hit is 'la' — present in BOTH the es and
+    // fr tables — so the heuristic scores es = fr on every doc and its
+    // lexicographic tie-break labels the whole corpus 'es': the French
+    // half is systematically misassigned (the premise is asserted)
+    val esDocs = (0 until 8).map(i => (i.toLong,
+      s"la casa bonita trabajo ciudad junto palabra$i", "es"))
+    val frDocs = (0 until 8).map(i => (100L + i,
+      s"la maison jolie bonjour aujourd hui voiture mot$i", "fr"))
+    val docs = (esDocs ++ frDocs).toDF("doc_id", "text", "lang")
+    val heur = TextAnalysis.langId(docs, "text")
+    assert(heur.where(col("predicted_lang") === "es").count() == 16,
+      "premise broken: the stopword heuristic no longer ties this pair")
+    // one-vs-rest char-trigram perceptrons see the class-specific
+    // trigram mass ('cas','bon','mai','jou', …) the stopword table
+    // cannot, and separate the pair exactly
+    val classes = Seq("es", "fr")
+    val w = Classifier.trainLangId(docs, "doc_id", "text", "lang",
+      classes, n = 3, dims = 2048, rounds = 3)
+    val pred = Classifier.langIdTrained(docs, "doc_id", "text", w,
+      classes, n = 3, dims = 2048)
+    assert(pred.join(docs.select("doc_id", "lang"), "doc_id")
+      .where(col("predicted_lang") =!= col("lang")).count() == 0,
+      "trained langId failed to separate es/fr")
+    // sub-n-gram doc: no features -> all-zero margins -> smallest class
+    val tiny = Classifier.langIdTrained(Seq((999L, "ab"))
+      .toDF("doc_id", "text"), "doc_id", "text", w, classes,
+      n = 3, dims = 2048).collect().head
+    assert(tiny.getAs[String]("predicted_lang") == "es" &&
+      tiny.getAs[Long]("margin") == 0L)
+    // scale shape: the K·dims weight table joins BROADCAST, never
+    // sort-merge; the corpus side moves narrow (doc_id, bucket, tf) rows
+    val plan = pred.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("quality score penalizes junk, rewards clean prose") {
     import spark.implicits._
     val docs = Seq(

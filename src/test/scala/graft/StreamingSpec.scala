@@ -739,21 +739,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("streaming classifier scoring: offline-trained weights score " +
       "arrivals statelessly, margins bit-equal to the batch scorer") {
     import spark.implicits._
-    val corpus = (Seq("alpha bravo charlie", "bravo alpha alpha",
+    val train = (Seq("alpha bravo charlie", "bravo alpha alpha",
       "charlie bravo delta").zipWithIndex.map { case (t, i) =>
         (i.toLong, t, 1L) } ++
       Seq("omega zulu yankee", "zulu omega omega",
         "yankee zulu xray").zipWithIndex.map { case (t, i) =>
         (100L + i, t, -1L) }).toDF("doc_id", "text", "y")
-    val (w, feats) = graft.operators.Classifier.trainPerceptron(
-      corpus, "doc_id", "text", "y", dims = 256, rounds = 2)
-    val batchMargins = graft.operators.Classifier.scoreFeatures(feats, w)
-      .collect().map(r => r.getAs[Long]("doc_id") ->
-        r.getAs[Long]("margin")).toMap
+    val (w, _) = graft.operators.Classifier.trainPerceptron(
+      train, "doc_id", "text", "y", dims = 256, rounds = 2)
+    // the DEPLOYMENT corpus includes empty and whitespace-only docs —
+    // the arrival class the batch/stream parity contract must cover
+    // (both sides: margin 0, predicted −1, no dropped rows)
+    val corpus = train.select("doc_id", "text").unionAll(
+      Seq((200L, ""), (201L, "  \t ")).toDF("doc_id", "text"))
+    val batchScored = graft.operators.Classifier.scoreDocuments(
+      corpus, "doc_id", "text", w, dims = 256).collect()
+    val batchMargins = batchScored.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("margin")).toMap
+    assert(batchMargins(200L) == 0L && batchMargins(201L) == 0L)
+    assert(batchScored.filter(r => r.getAs[Long]("doc_id") >= 200L)
+      .forall(_.getAs[Long]("predicted") == -1L))
     val landing = Files.createTempDirectory("graft-qs-landing").toString
     val ckpt = Files.createTempDirectory("graft-qs-ckpt").toString
     val outDir = Files.createTempDirectory("graft-qs-out").toString
-    corpus.select("doc_id", "text").write.mode("append").parquet(landing)
+    corpus.write.mode("append").parquet(landing)
     val stream = spark.readStream
       .schema(spark.read.parquet(landing).schema).parquet(landing)
     val scored = graft.streaming.QualityStream.scoreStream(
