@@ -188,7 +188,7 @@ object QueryCatalog {
     * script, id%23: unclosed comment, id%29: closer inside a JS string —
     * the non-greedy strip desynchronizes and the real closer survives)
     * for the error channel. */
-  private def plantedHtml: Column = {
+  private def plantedHtmlWith(extra: Column): Column = {
     val t = col("text")
     concat(
       lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
@@ -205,6 +205,7 @@ object QueryCatalog {
         "while reviewing "), substring(t, 81, 40), lit("</div>"),
       lit("<p>tiny</p>"),
       lit("<p><a href=\"/a\">one link</a> <a href=\"/b\">two link</a></p>"),
+      extra,
       when(col("doc_id") % 17 === 0,
         lit("<script src=\"x.js\">trailing unterminated"))
         .when(col("doc_id") % 23 === 0, lit("<!-- unterminated trail"))
@@ -214,9 +215,12 @@ object QueryCatalog {
       lit("</body></html>"))
   }
 
-  /** DuckDB twin of [[plantedHtml]] (same concatenation, `||` syntax). */
-  private val plantedHtmlSql: String =
-    """'<html><head><title>Doc ' || doc_id || '</title>'
+  private def plantedHtml: Column = plantedHtmlWith(lit(""))
+
+  /** DuckDB twin of [[plantedHtmlWith]] (same concatenation, `||`
+    * syntax; `extraSql` must be a complete VARCHAR expression). */
+  private def plantedHtmlSqlWith(extraSql: String): String =
+    ("""'<html><head><title>Doc ' || doc_id || '</title>'
       ||| '<style type="text/css">p { margin: 0; }</style>'
       ||| '<script type="text/javascript">var n = 1 < 2;</script>'
       ||| '</head><body><!-- boilerplate comment -->'
@@ -227,10 +231,13 @@ object QueryCatalog {
       ||| '<div>Read <a href="/ref">the full reference notes</a> while reviewing ' || substr(text, 81, 40) || '</div>'
       ||| '<p>tiny</p>'
       ||| '<p><a href="/a">one link</a> <a href="/b">two link</a></p>'
+      ||| """ + extraSql + """
       ||| CASE WHEN doc_id % 17 = 0 THEN '<script src="x.js">trailing unterminated'
       |        WHEN doc_id % 23 = 0 THEN '<!-- unterminated trail'
       |        WHEN doc_id % 29 = 0 THEN '<script>var s = "</script>";</script>' ELSE '' END
-      ||| '</body></html>'""".stripMargin.replaceAll("\\s*\\n\\s*", " ")
+      ||| '</body></html>'""").stripMargin.replaceAll("\\s*\\n\\s*", " ")
+
+  private lazy val plantedHtmlSql: String = plantedHtmlSqlWith("''")
 
   /** DuckDB replay of [[graft.operators.Web.unescapeEntities]] — the same
     * fixed order with `&amp;` last. */
@@ -418,16 +425,49 @@ object QueryCatalog {
     "User-agent: *",
     "Disallow: /").mkString("\n")
 
+  /** Crawl policy for the v8 pipeline's robots gate: plain prefix rules
+    * (no wildcards), so path matching is starts_with and precedence is
+    * the octet-length law — blocks /p/1* for graftbot with /p/13*
+    * re-allowed; other agents get deny-all. */
+  private val robotsV8: String = Seq(
+    "User-agent: graftbot",
+    "Disallow: /p/1",
+    "Allow: /p/13",
+    "",
+    "User-agent: *",
+    "Disallow: /").mkString("\n")
+
+  /** v8 body injections: %11 plants a '#'-marker line (fails the Gopher
+    * symbol + alpha rules), %13 plants a duplicated line (fails the
+    * repetition dup-line/para/5-gram caps) — so both quality gates bite
+    * on deterministic subsets of REAL extracted documents. */
+  private def v8HtmlExtra: Column = concat(
+    when(col("doc_id") % 11 === 0,
+      lit("<p># # ## ### # ## # # ### ##</p>")).otherwise(lit("")),
+    when(col("doc_id") % 13 === 0,
+      lit("<p>repeated boilerplate line echoes again</p>" +
+        "<p>repeated boilerplate line echoes again</p>"))
+      .otherwise(lit("")))
+
+  private val v8HtmlExtraSql: String =
+    "((CASE WHEN doc_id % 11 = 0 THEN " +
+      "'<p># # ## ### # ## # # ### ##</p>' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 13 = 0 THEN " +
+      "'<p>repeated boilerplate line echoes again</p>" +
+      "<p>repeated boilerplate line echoes again</p>' ELSE '' END))"
+
   /** Render a Scala string as a DuckDB expression (chr(10) for newlines,
     * doubled quotes). */
   private def sqlLit(s: String): String =
     "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
 
-  /** DuckDB CTE chain replaying [[graft.codec.Repetition]] relationally
-    * over a rebuilt multi-line doc (`doc2`): 8-word lines, 3-line
-    * paragraphs — so the line/paragraph dup arms see real structure in a
-    * single-line corpus. Per-k gram CTEs are generated (k = 2..10). */
-  private val repOracleSql: String = {
+  /** CTE fragment replaying [[graft.codec.Repetition]] relationally over
+    * a caller-supplied `dd(doc_id, doc2, ws)` source (doc2 = the text,
+    * ws = its whitespace tokens): generated per-k gram CTEs (k = 2..10),
+    * the line/paragraph segment aggregates, and a terminal
+    * `vals(doc_id, <13 fracs>)`. [[repKeepExpr]] is the matching
+    * composite keep predicate over `vals` columns. */
+  private def repetitionCtesFrom(ddSql: String): String = {
     def gramCtes(k: Int): String =
       s"""gk$k AS (SELECT doc_id, i AS p,
          |    array_to_string(ws[i : i + ${k - 1}], ' ') AS g
@@ -473,11 +513,40 @@ object QueryCatalog {
         s"coalesce(top$k.mass, 0) * 1000 // GREATEST(tw.twc, 1) AS top${k}_char_frac") ++
       Seq(5, 6, 7, 8, 9, 10).map(k =>
         s"coalesce(cc$k.covch, 0) * 1000 // GREATEST(tw.twc, 1) AS dup${k}_char_frac")
+    s"""dd AS ($ddSql),
+       |${segAgg("l", "chr(10)")},
+       |${segAgg("p", "chr(10) || chr(10)")},
+       |tw AS (SELECT doc_id,
+       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+       |      AS twc
+       |  FROM dd),
+       |${(2 to 10).map(gramCtes).mkString(",\n")},
+       |${Seq(2, 3, 4).map(topCte).mkString(",\n")},
+       |${Seq(5, 6, 7, 8, 9, 10).map(covCtes).mkString(",\n")},
+       |vals AS (SELECT dd.doc_id, ${valueCols.mkString(", ")}
+       |  FROM dd JOIN tw ON tw.doc_id = dd.doc_id
+       |  LEFT JOIN lagg la ON la.doc_id = dd.doc_id
+       |  LEFT JOIN pagg pa ON pa.doc_id = dd.doc_id
+       |  ${Seq(2, 3, 4).map(k =>
+            s"LEFT JOIN top$k ON top$k.doc_id = dd.doc_id").mkString(" ")}
+       |  ${Seq(5, 6, 7, 8, 9, 10).map(k =>
+            s"LEFT JOIN cc$k ON cc$k.doc_id = dd.doc_id").mkString(" ")})""".stripMargin
+  }
+
+  /** The composite Gopher-repetition keep predicate over `vals` columns
+    * (engine twin: [[graft.operators.TextAnalysis.gopherRepetition]]'s
+    * `rep_keep`). */
+  private val repKeepExpr: String = graft.operators.TextAnalysis
+    .GopherRepThresholds.map { case (n, t) => s"$n <= $t" }
+    .mkString(" AND ")
+
+  /** The x_text_gopher_repetition oracle: the planted 8-word-line /
+    * 3-line-paragraph reshaping (+ %3 dup line, %7 dup paragraph) feeding
+    * [[repetitionCtesFrom]]. */
+  private val repOracleSql: String = {
     val ruleCols = graft.operators.TextAnalysis.GopherRepThresholds.map {
       case (n, t) => s"$n <= $t AS r_$n"
     }
-    val keepExpr = graft.operators.TextAnalysis.GopherRepThresholds
-      .map { case (n, t) => s"$n <= $t" }.mkString(" AND ")
     s"""WITH wl AS (SELECT doc_id,
        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
        |  FROM documents),
@@ -498,30 +567,13 @@ object QueryCatalog {
        |          || array_to_string(lines[1:3], chr(10))
        |        ELSE '' END) AS doc2
        |  FROM dd0),
-       |dd AS (SELECT doc_id, doc2,
-       |    list_filter(string_split_regex(doc2, '\\s+'), x -> x <> '') AS ws
-       |  FROM dd1),
-       |${segAgg("l", "chr(10)")},
-       |${segAgg("p", "chr(10) || chr(10)")},
-       |tw AS (SELECT doc_id,
-       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
-       |      AS twc
-       |  FROM dd),
-       |${(2 to 10).map(gramCtes).mkString(",\n")},
-       |${Seq(2, 3, 4).map(topCte).mkString(",\n")},
-       |${Seq(5, 6, 7, 8, 9, 10).map(covCtes).mkString(",\n")},
-       |vals AS (SELECT dd.doc_id, ${valueCols.mkString(", ")}
-       |  FROM dd JOIN tw ON tw.doc_id = dd.doc_id
-       |  LEFT JOIN lagg la ON la.doc_id = dd.doc_id
-       |  LEFT JOIN pagg pa ON pa.doc_id = dd.doc_id
-       |  ${Seq(2, 3, 4).map(k =>
-            s"LEFT JOIN top$k ON top$k.doc_id = dd.doc_id").mkString(" ")}
-       |  ${Seq(5, 6, 7, 8, 9, 10).map(k =>
-            s"LEFT JOIN cc$k ON cc$k.doc_id = dd.doc_id").mkString(" ")})
+       |${repetitionCtesFrom(
+          "SELECT doc_id, doc2, list_filter(string_split_regex(doc2, " +
+            "'\\s+'), x -> x <> '') AS ws FROM dd1")}
        |SELECT doc_id, ${graft.operators.TextAnalysis.GopherRepThresholds
             .map(_._1).mkString(", ")},
        |  ${ruleCols.mkString(", ")},
-       |  ($keepExpr) AS rep_keep
+       |  ($repKeepExpr) AS rep_keep
        |FROM vals ORDER BY doc_id""".stripMargin
   }
 
@@ -554,7 +606,7 @@ object QueryCatalog {
     * records), and two malformed trailers for the error channel (%31: a
     * 100-char claim over a 5-char payload → truncated; %37: a record with
     * no Content-Length header). */
-  private def plantedWarc: Column = {
+  private def plantedWarcFrom(html: Column): Column = {
     val crlf = "\r\n"
     val httpHdr = "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
       crlf + crlf // 44 chars
@@ -566,9 +618,9 @@ object QueryCatalog {
         "WARC-Target-URI: "),
       plantedUrl,
       lit(crlf + "Content-Length: "),
-      (length(plantedHtml) + 44).cast("string"),
+      (length(html) + 44).cast("string"),
       lit(crlf + crlf + httpHdr),
-      plantedHtml,
+      html,
       lit(crlf + crlf),
       when(col("doc_id") % 31 === 0,
         lit("WARC/1.0" + crlf + "Content-Length: 100" + crlf + crlf + "short"))
@@ -578,13 +630,15 @@ object QueryCatalog {
         .otherwise(lit("")))
   }
 
+  private def plantedWarc: Column = plantedWarcFrom(plantedHtml)
+
   private val crlfSql = "chr(13) || chr(10)"
   private val sepSql = "chr(13) || chr(10) || chr(13) || chr(10)"
 
   /** DuckDB twin of [[plantedWarc]]: `wsrc` builds the html/url columns,
     * `w(doc_id, content)` the crawl file. */
-  private lazy val warcSourceCtes: String =
-    s"""wsrc AS (SELECT doc_id, $plantedHtmlSql AS html,
+  private def warcSourceCtesFrom(htmlSql: String): String =
+    s"""wsrc AS (SELECT doc_id, $htmlSql AS html,
        |    $plantedUrlSql AS url FROM documents),
        |w AS (SELECT doc_id,
        |  'WARC/1.0' || $crlfSql || 'WARC-Type: warcinfo' || $crlfSql
@@ -603,6 +657,8 @@ object QueryCatalog {
        |         || $sepSql || 'oops' || $sepSql
        |     ELSE '' END AS content FROM wsrc)"""
       .stripMargin.replaceAll("\\s*\\n\\s*", " ")
+
+  private lazy val warcSourceCtes: String = warcSourceCtesFrom(plantedHtmlSql)
 
   /** DuckDB replay of [[graft.codec.WarcCodec.parse]] as a RECURSIVE CTE
     * over `w(doc_id, content)` (the caller's WITH must say RECURSIVE):
@@ -4293,6 +4349,421 @@ object QueryCatalog {
           .select(col("doc_id"), col("margin"), col("mean_millibits"),
             col("ppl_bucket"))
           .orderBy("doc_id")
+      }),
+
+    Q("x_curation_pipeline_v8", {
+      // the FULL modern recipe in one chain (r19 judge directive #5):
+      // WARC walk -> URL canonicalize -> robots.txt gate (octet-precedence
+      // prefix rules on the parsed path) -> canonical dedup -> FULL-PSL
+      // registrable domain + per-domain cap -> HTML extraction ->
+      // paragraph-form rebuild -> Gopher rule gate (%11 plants symbol/alpha
+      // violators) + Gopher repetition gate (%13 plants dup-line violators)
+      // -> in-engine perceptron gate at the corpus-mean margin -> trigram
+      // back-off LM perplexity terciles -> corpus-wide paragraph dedup ->
+      // overlapping-window chunking -> sequence packing. DuckDB replays
+      // every stage in ONE CTE chain; any drifted law hash-fails the
+      // pipeline at chunk grain
+      val stops = sqlList(graft.operators.TextAnalysis.GopherStopwords)
+      val (_, bodySql) = warcHttpSql
+      Some(s"""WITH RECURSIVE ${warcSourceCtesFrom(
+                 plantedHtmlSqlWith(v8HtmlExtraSql))},
+             |${warcCtes(64)},
+             |resp AS MATERIALIZED (SELECT doc_id, target_uri AS url, $bodySql AS body
+             |  FROM wr WHERE rec_ok AND warc_type = 'response'),
+             |u0 AS (SELECT doc_id, url FROM resp),
+             |$urlCanonCtes,
+             |pth AS (SELECT u8.doc_id, u8.canonical_url, u8.host,
+             |    regexp_extract(u8.canonical_url, '://[^/]*(/[^?]*)', 1)
+             |      AS path
+             |  FROM u8),
+             |rrules(is_allow, v) AS (VALUES (false, '/p/1'), (true, '/p/13')),
+             |rmt AS (SELECT pth.doc_id, rr.is_allow, rr.v
+             |  FROM pth JOIN rrules rr ON starts_with(pth.path, rr.v)),
+             |rwin AS (SELECT doc_id, is_allow FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY octet_length(encode(v)) DESC, is_allow DESC) AS rn
+             |  FROM rmt) WHERE rn = 1),
+             |rok AS (SELECT pth.doc_id, pth.canonical_url, pth.host
+             |  FROM pth LEFT JOIN rwin USING (doc_id)
+             |  WHERE coalesce(rwin.is_allow, true)),
+             |ud AS (SELECT rok.doc_id, resp.body AS html, rok.host,
+             |    row_number() OVER (PARTITION BY rok.canonical_url
+             |      ORDER BY rok.doc_id) AS rn
+             |  FROM rok JOIN resp ON rok.doc_id = resp.doc_id),
+             |d1 AS MATERIALIZED (SELECT doc_id, html, host FROM ud WHERE rn = 1),
+             |prules(key, rl, exc) AS (VALUES $ruleValues),
+             |plab AS (SELECT doc_id, host, string_split(lower(host), '.') AS l
+             |  FROM d1),
+             |pprob AS (
+             |  SELECT doc_id, host,
+             |    array_to_string(l[len(l)-j+1:len(l)], '.') AS key, j AS jl
+             |  FROM plab, unnest(range(1, $maxJ + 1)) t(j) WHERE len(l) >= j
+             |  UNION ALL
+             |  SELECT doc_id, host,
+             |    '*.' || array_to_string(l[len(l)-j+2:len(l)], '.'), j
+             |  FROM plab, unnest(range(2, $maxJ + 1)) t(j) WHERE len(l) >= j
+             |  UNION ALL
+             |  SELECT doc_id, host, '*', 1 FROM plab),
+             |prr AS (SELECT p.doc_id, p.host, ru.exc, ru.rl, p.jl,
+             |    row_number() OVER (PARTITION BY p.doc_id
+             |      ORDER BY ru.exc DESC, ru.rl DESC, p.jl DESC) AS rn
+             |  FROM pprob p JOIN prules ru USING (key)),
+             |pm AS (SELECT doc_id, host,
+             |    CASE WHEN exc THEN jl - 1 ELSE jl END AS sl
+             |  FROM prr WHERE rn = 1),
+             |dom AS (SELECT pm.doc_id,
+             |    CASE WHEN regexp_matches(pm.host, '^[0-9.]+$$')
+             |           OR len(plab.l) <= pm.sl THEN lower(pm.host)
+             |         ELSE array_to_string(
+             |           plab.l[len(plab.l)-pm.sl:len(plab.l)], '.') END
+             |      AS registrable_domain
+             |  FROM pm JOIN plab ON plab.doc_id = pm.doc_id),
+             |capd AS MATERIALIZED (SELECT d1.doc_id, d1.html FROM (
+             |    SELECT dom.doc_id, row_number() OVER (
+             |      PARTITION BY registrable_domain
+             |      ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8),
+             |      doc_id) AS rn2 FROM dom) c
+             |  JOIN d1 ON d1.doc_id = c.doc_id WHERE c.rn2 <= 4),
+             |${htmlExtractCtesFrom("SELECT doc_id, html FROM capd")},
+             |para AS MATERIALIZED (SELECT doc_id,
+             |    array_to_string(list_filter(
+             |      list_transform(kept, s -> struct_extract(s, 't')),
+             |      x -> x <> ''), chr(10) || chr(10)) AS doc
+             |  FROM k WHERE NOT bad),
+             |gf AS (SELECT doc_id, doc AS t,
+             |  list_filter(string_split_regex(doc, '\\s+'), x -> x <> '') AS toks,
+             |  list_filter(string_split(doc, chr(10)), l -> l <> '') AS ls
+             |  FROM para),
+             |gg AS (SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_words,
+             |  CAST(len(ls) AS BIGINT) AS n_lines,
+             |  CAST(coalesce(list_sum(list_transform(toks,
+             |    w -> length(w))), 0) AS BIGINT) AS wc,
+             |  CAST((length(t) - length(replace(t, '#', '')))
+             |    + (length(t) - length(replace(t, '…', '')))
+             |    + ((length(t) - length(replace(t, '...', ''))) // 3)
+             |    AS BIGINT) AS sym,
+             |  CAST(len(list_filter(ls, l -> l[1] IN ('•', '-', '*')))
+             |    AS BIGINT) AS bl,
+             |  CAST(len(list_filter(ls, l -> ends_with(l, '…')
+             |    OR ends_with(l, '...'))) AS BIGINT) AS el,
+             |  CAST(len(list_filter(toks, w -> regexp_matches(w, '\\p{L}')))
+             |    AS BIGINT) AS aw,
+             |  CAST(len(list_filter($stops, sw -> list_contains(
+             |    list_transform(toks, w -> lower(w)), sw))) AS BIGINT)
+             |    AS n_stop_hits
+             |  FROM gf),
+             |gkeep AS (SELECT doc_id FROM gg
+             |  WHERE n_words BETWEEN 10 AND 100000
+             |    AND wc * 1000 // greatest(n_words, 1) BETWEEN 3000 AND 10000
+             |    AND sym * 1000 // greatest(n_words, 1) <= 100
+             |    AND bl * 1000 // greatest(n_lines, 1) <= 900
+             |    AND el * 1000 // greatest(n_lines, 1) <= 300
+             |    AND aw * 1000 // greatest(n_words, 1) >= 800
+             |    AND n_stop_hits >= 2),
+             |${repetitionCtesFrom("SELECT doc_id, doc AS doc2, " +
+                "list_filter(string_split_regex(doc, '\\s+'), x -> x <> '') " +
+                "AS ws FROM para")},
+             |repk AS (SELECT doc_id FROM vals WHERE $repKeepExpr),
+             |pg AS MATERIALIZED (SELECT para.doc_id, para.doc FROM para
+             |  JOIN gkeep USING (doc_id) JOIN repk USING (doc_id)),
+             |cd AS MATERIALIZED (SELECT pg.doc_id,
+             |    CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS BIGINT)
+             |      AS y,
+             |    list_transform(list_filter(
+             |      string_split_regex(pg.doc, '\\s+'), x -> x <> ''),
+             |      w -> lower(w)) AS toks
+             |  FROM pg JOIN documents d USING (doc_id)),
+             |cf0 AS (SELECT doc_id, y,
+             |    ('0x' || substr(sha256(t.w), 1, 8))::BIGINT % 64 AS bucket
+             |  FROM cd, unnest(toks) t(w)),
+             |cf AS MATERIALIZED (SELECT doc_id, y, bucket, CAST(count(*) AS BIGINT) AS tf
+             |  FROM cf0 GROUP BY 1, 2, 3),
+             |cw1 AS (SELECT bucket, CAST(sum(y * tf) AS BIGINT) AS w
+             |  FROM cf GROUP BY 1),
+             |cm1 AS (SELECT cf.doc_id, cf.y,
+             |    CAST(sum(cf.tf * cw1.w) AS BIGINT) AS margin
+             |  FROM cf JOIN cw1 USING (bucket) GROUP BY 1, 2),
+             |cu2 AS (SELECT cf.bucket, CAST(sum(cf.y * cf.tf) AS BIGINT)
+             |    AS delta
+             |  FROM cf JOIN cm1 ON cm1.doc_id = cf.doc_id
+             |  WHERE cm1.y * cm1.margin <= 0 GROUP BY 1),
+             |cw2 AS (SELECT cw1.bucket, cw1.w + coalesce(cu2.delta, 0) AS w
+             |  FROM cw1 LEFT JOIN cu2 USING (bucket)),
+             |cm2 AS (SELECT cf.doc_id, cf.y,
+             |    CAST(sum(cf.tf * cw2.w) AS BIGINT) AS margin
+             |  FROM cf JOIN cw2 USING (bucket) GROUP BY 1, 2),
+             |cu3 AS (SELECT cf.bucket, CAST(sum(cf.y * cf.tf) AS BIGINT)
+             |    AS delta
+             |  FROM cf JOIN cm2 ON cm2.doc_id = cf.doc_id
+             |  WHERE cm2.y * cm2.margin <= 0 GROUP BY 1),
+             |cw3 AS (SELECT cw2.bucket, cw2.w + coalesce(cu3.delta, 0) AS w
+             |  FROM cw2 LEFT JOIN cu3 USING (bucket)),
+             |cmg AS (SELECT cf.doc_id,
+             |    CAST(sum(cf.tf * cw3.w) AS BIGINT) AS margin
+             |  FROM cf JOIN cw3 USING (bucket) GROUP BY 1),
+             |cmt AS (SELECT CAST(sum(margin) AS BIGINT) AS sm,
+             |    CAST(count(*) AS BIGINT) AS cnt FROM cmg),
+             |ckeep AS (SELECT doc_id FROM cmg, cmt WHERE margin * cnt >= sm),
+             |d2 AS MATERIALIZED (SELECT cd.doc_id, cd.toks FROM cd JOIN ckeep USING (doc_id)),
+             |lmtg AS (SELECT doc_id,
+             |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS trigram
+             |  FROM d2, unnest(range(1, len(toks) - 1)) t(i)),
+             |lmtc AS (SELECT trigram, count(*) AS c_tg,
+             |    array_to_string(string_split(trigram, ' ')[1:2], ' ')
+             |      AS prefix2,
+             |    array_to_string(string_split(trigram, ' ')[2:3], ' ')
+             |      AS bigram23
+             |  FROM lmtg GROUP BY trigram),
+             |lmp2 AS (SELECT prefix2, CAST(sum(c_tg) AS BIGINT) AS c_p2
+             |  FROM lmtc GROUP BY prefix2),
+             |lmbg AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram23
+             |  FROM d2, unnest(range(1, len(toks))) t(i)),
+             |lmbc AS (SELECT bigram23, count(*) AS c_bg,
+             |    string_split(bigram23, ' ')[1] AS prefix1
+             |  FROM lmbg GROUP BY bigram23),
+             |lmp1 AS (SELECT prefix1, CAST(sum(c_bg) AS BIGINT) AS c_p1
+             |  FROM lmbc GROUP BY prefix1),
+             |lms AS (SELECT lmtg.doc_id, count(*) AS n_trigrams,
+             |    CAST(sum(CASE WHEN lmtc.c_tg >= 2
+             |      THEN (length(bin(lmp2.c_p2)) - 1)
+             |         - (length(bin(lmtc.c_tg)) - 1)
+             |      ELSE (length(bin(lmp1.c_p1)) - 1)
+             |         - (length(bin(lmbc.c_bg)) - 1) + 1 END) AS BIGINT)
+             |      AS surprisal3_bits
+             |  FROM lmtg JOIN lmtc USING (trigram) JOIN lmp2 USING (prefix2)
+             |    JOIN lmbc USING (bigram23) JOIN lmp1 USING (prefix1)
+             |  GROUP BY lmtg.doc_id),
+             |lmsc AS (SELECT d2.doc_id,
+             |    CAST(CASE WHEN coalesce(lms.n_trigrams, 0) > 0
+             |      THEN lms.surprisal3_bits * 1000 // lms.n_trigrams
+             |      ELSE 0 END AS BIGINT) AS mean_millibits
+             |  FROM d2 LEFT JOIN lms ON lms.doc_id = d2.doc_id),
+             |thist AS (SELECT mean_millibits AS hs, count(*) AS c
+             |  FROM lmsc GROUP BY 1),
+             |tcum AS (SELECT hs, sum(c) OVER (ORDER BY hs
+             |    ROWS UNBOUNDED PRECEDING) AS cum FROM thist),
+             |ttot AS (SELECT max(cum) AS n FROM tcum),
+             |tthr AS (SELECT min(CASE WHEN cum * 3 >= n THEN hs END) AS t_head,
+             |    min(CASE WHEN cum * 3 >= 2 * n THEN hs END) AS t_mid
+             |  FROM tcum, ttot),
+             |tmix AS (SELECT lmsc.doc_id,
+             |    CASE WHEN mean_millibits <= t_head THEN 'head'
+             |         WHEN mean_millibits <= t_mid THEN 'middle'
+             |         ELSE 'tail' END AS ppl_bucket
+             |  FROM lmsc, tthr),
+             |sp8 AS (SELECT pg.doc_id,
+             |    string_split(pg.doc, chr(10) || chr(10)) AS segs
+             |  FROM pg JOIN ckeep USING (doc_id)),
+             |sl8 AS (SELECT doc_id, segs[i] AS seg, i AS pos
+             |  FROM sp8, unnest(range(1, len(segs) + 1)) t(i)
+             |  WHERE segs[i] <> ''),
+             |pown AS (SELECT seg, min(doc_id) AS o_doc FROM sl8 GROUP BY seg),
+             |pown2 AS (SELECT sl8.seg, sl8.doc_id AS o_doc, min(sl8.pos) AS o_pos
+             |  FROM sl8 JOIN pown ON sl8.seg = pown.seg
+             |    AND sl8.doc_id = pown.o_doc
+             |  GROUP BY 1, 2),
+             |pkp AS (SELECT sl8.doc_id, sl8.pos, sl8.seg
+             |  FROM sl8 JOIN pown2 ON sl8.seg = pown2.seg
+             |    AND sl8.doc_id = pown2.o_doc AND sl8.pos = pown2.o_pos),
+             |prb AS MATERIALIZED (SELECT doc_id,
+             |    array_to_string(list(seg ORDER BY pos), chr(10) || chr(10))
+             |      AS text
+             |  FROM pkp GROUP BY doc_id),
+             |chd AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+             |      AS toks
+             |  FROM prb),
+             |chn AS (SELECT doc_id, toks,
+             |    CASE WHEN len(toks) <= 8 THEN 1
+             |         ELSE 1 + (len(toks) - 8 + 4 - 1) // 4 END AS nc
+             |  FROM chd),
+             |chc AS (SELECT doc_id, toks, CAST(i AS INT) AS chunk_idx
+             |  FROM chn, unnest(range(0, nc)) t(i)),
+             |chx AS (SELECT doc_id, doc_id * 1000000 + chunk_idx AS chunk_id,
+             |    chunk_idx,
+             |    CAST(len(toks[chunk_idx*4+1 : chunk_idx*4+8]) AS BIGINT)
+             |      AS n_chunk_tokens
+             |  FROM chc),
+             |pk8 AS (SELECT doc_id, chunk_id, chunk_idx, n_chunk_tokens,
+             |    chunk_id % 4 AS shard,
+             |    sum(n_chunk_tokens) OVER (PARTITION BY chunk_id % 4
+             |      ORDER BY substr(sha256(CAST(chunk_id AS VARCHAR)), 1, 8),
+             |        chunk_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM chx)
+             |SELECT p.doc_id, p.chunk_id, p.chunk_idx, p.n_chunk_tokens,
+             |  CAST(p.shard * 1000000 + (p.cum - p.n_chunk_tokens) // 64
+             |    AS BIGINT) AS pack_id,
+             |  tmix.ppl_bucket
+             |FROM pk8 p JOIN tmix ON tmix.doc_id = p.doc_id
+             |ORDER BY p.doc_id, p.chunk_idx""".stripMargin)
+    },
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val warc8 = plantedWarcFrom(plantedHtmlWith(v8HtmlExtra))
+        val recs = graft.operators.Web.warcExtract(
+            docs.select(col("doc_id"), warc8.as("warc")), "doc_id", "warc")
+          .where(col("rec_ok") && col("warc_type") === "response")
+          .select(col("doc_id"), col("target_uri").as("url"), col("body"))
+        val canon = graft.operators.Web.urlCanonicalize(recs, "url")
+          .where(col("url_valid"))
+          .withColumn("__path",
+            regexp_extract(col("canonical_url"), "://[^/]*(/[^?]*)", 1))
+          .withColumn("__robots", lit(robotsV8))
+        val allowed = graft.operators.Web.robotsFilter(canon,
+            "__robots", "__path", agent = "graftbot")
+          .where(col("robots_allowed"))
+        val dedupUrl = allowed.groupBy("canonical_url")
+          .agg(min_by(struct(col("doc_id"), col("body"), col("host")),
+            col("doc_id")).as("k"))
+          .select(col("k.doc_id").as("doc_id"), col("k.body").as("html"),
+            col("k.host").as("host"))
+        val dom = graft.operators.Web.registrableDomainPsl(
+            dedupUrl.select("doc_id", "host"), "doc_id", "host", pslRules)
+          .select("doc_id", "registrable_domain")
+        val capped = Sampling.capPerKey(dedupUrl.join(dom, "doc_id"),
+          "doc_id", "registrable_domain", 4)
+        // paragraph-form rebuild: one extracted line per paragraph — the
+        // grain the repetition/paragraph-dedup laws operate on. Cached:
+        // feeds both quality gates and the gated join
+        val para = graft.operators.Web.htmlExtract(
+            capped.select("doc_id", "html"), "doc_id", "html")
+          .where(col("extract_ok"))
+          .select(col("doc_id"),
+            array_join(filter(split(col("text"), "\n"), l => l =!= ""),
+              "\n\n").as("__doc"))
+          .cache()
+        val gkeep = TextAnalysis.gopherRules(para, "doc_id", "__doc",
+            minWords = 10)
+          .where(col("gopher_keep")).select("doc_id")
+        val repk = TextAnalysis.gopherRepetition(para, "doc_id", "__doc")
+          .where(col("rep_keep")).select("doc_id")
+        // checkpoint the gate survivors: they feed perceptron training,
+        // the survivor join, the LM and the paragraph dedup (the v2/v7
+        // composition-point lesson)
+        val gated = para.join(gkeep, "doc_id").join(repk, "doc_id")
+          .transform(Checkpoints.checkpointed)
+        val labeled = gated.join(docs.select("doc_id", "lang"), "doc_id")
+          .withColumn("__y", when(col("lang") === "en", 1L).otherwise(-1L))
+        val (w, feats) = Classifier.trainPerceptron(labeled,
+          "doc_id", "__doc", "__y", dims = 64, rounds = 3)
+        val mg = Classifier.scoreFeatures(feats, w).select("doc_id", "margin")
+        val mthr = mg.agg(sum("margin").as("sm"), count(lit(1)).as("cnt"))
+        val keep = mg.join(broadcast(mthr))
+          .where(col("margin") * col("cnt") >= col("sm"))
+          .select("doc_id")
+        val survivors = gated.join(keep, "doc_id")
+          .transform(Checkpoints.checkpointed)
+        val scored = TextAnalysis.trigramSurprisal(survivors,
+            "doc_id", "__doc")
+          .select("doc_id", "mean_millibits")
+          .transform(Checkpoints.checkpointed)
+        val buck = TextAnalysis.surprisalBuckets(scored,
+            "doc_id", "mean_millibits")
+          .select("doc_id", "ppl_bucket")
+        val dd = Dedup.dedupSegments(survivors, "doc_id", "__doc", "\n\n")
+          .where(col("n_segments") > 0).select("doc_id", "text")
+        val chunks = TextAnalysis.chunkDocuments(dd, "doc_id", "text",
+          window = 8, stride = 4)
+        val packed = TextAnalysis.packSequences(
+          chunks.select("chunk_id", "n_chunk_tokens"),
+          "chunk_id", "n_chunk_tokens", budget = 64L, shards = 4)
+        chunks.join(packed.select("chunk_id", "pack_id"), "chunk_id")
+          .join(buck, "doc_id")
+          .select("doc_id", "chunk_id", "chunk_idx", "n_chunk_tokens",
+            "pack_id", "ppl_bucket")
+          .orderBy("doc_id", "chunk_idx")
+      }),
+
+    Q("x_chunk_ann",
+      // the RAG composition (r19 judge directive #6): chunkDocuments ->
+      // hashed-token embedding features (16 sha buckets, tf counts) ->
+      // IVF x PQ ANN over the CHUNK corpus (8 cells, nprobe 2, m=4
+      // codebooks of 8, queries = each doc<5's first chunk). DuckDB
+      // replays the chunk law, the feature law, the 10000x quantization,
+      // the strict-< cell argmin, the per-subspace code argmin, the
+      // probe set and the ADC rank — chunk drift, a flipped code or a
+      // wrong probe all hash-fail
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+             |      AS toks
+             |  FROM documents),
+             |n AS (SELECT doc_id, toks,
+             |    CASE WHEN len(toks) <= 8 THEN 1
+             |         ELSE 1 + (len(toks) - 8 + 4 - 1) // 4 END AS nc
+             |  FROM d),
+             |c0 AS (SELECT doc_id, toks, CAST(i AS INT) AS chunk_idx
+             |  FROM n, unnest(range(0, nc)) t(i)),
+             |ch AS (SELECT doc_id * 1000000 + chunk_idx AS vec_id,
+             |    list_transform(toks[chunk_idx*4+1 : chunk_idx*4+8],
+             |      w -> lower(w)) AS ctoks
+             |  FROM c0),
+             |e AS MATERIALIZED (SELECT vec_id,
+             |    list_transform(range(0, 16), j ->
+             |      CAST(len(list_filter(ctoks, w ->
+             |        ('0x' || substr(sha256(w), 1, 8))::BIGINT % 16 = j))
+             |        * 10000 AS BIGINT)) AS v
+             |  FROM ch),
+             |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+             |  FROM e ORDER BY vec_id LIMIT 8),
+             |a AS (SELECT e.vec_id, arg_min(c.cid,
+             |    CAST(list_sum(list_transform(range(1, len(e.v)+1),
+             |      i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))) AS BIGINT) * 8
+             |      + c.cid) AS cell
+             |  FROM e, cent c GROUP BY e.vec_id),
+             |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+             |sd AS MATERIALIZED (SELECT ev.vec_id, cw.j, t.s,
+             |    CAST(list_sum(list_transform(range(1, 5),
+             |      i -> (ev.v[CAST(t.s*4+i AS INTEGER)]
+             |              - cw.v[CAST(t.s*4+i AS INTEGER)])
+             |         * (ev.v[CAST(t.s*4+i AS INTEGER)]
+             |              - cw.v[CAST(t.s*4+i AS INTEGER)])))
+             |      AS BIGINT) AS d
+             |  FROM e ev, cb cw, range(0, 4) t(s)),
+             |codes AS (SELECT vec_id, s, j AS code FROM (
+             |    SELECT vec_id, s, j, row_number() OVER
+             |      (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM sd)
+             |  WHERE rn = 1),
+             |qp AS (SELECT q.vec_id AS query_id, c.cid AS cell,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      CAST(list_sum(list_transform(range(1, len(q.v)+1),
+             |        i -> (q.v[i]-c.v[i])*(q.v[i]-c.v[i]))) AS BIGINT),
+             |      c.cid) AS pr
+             |  FROM e q, cent c
+             |  WHERE q.vec_id % 1000000 = 0 AND q.vec_id < 5000000),
+             |adc AS (SELECT qp.query_id, av.vec_id AS neighbor_id,
+             |    CAST(sum(qd.d) AS BIGINT) AS adc_dist
+             |  FROM qp JOIN a av ON qp.cell = av.cell AND qp.pr <= 2
+             |  JOIN codes c ON c.vec_id = av.vec_id
+             |  JOIN sd qd ON qd.vec_id = qp.query_id
+             |    AND qd.s = c.s AND qd.j = c.code
+             |  WHERE qp.query_id <> av.vec_id
+             |  GROUP BY 1, 2),
+             |r AS (SELECT query_id, neighbor_id, adc_dist,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY adc_dist, neighbor_id) AS rank FROM adc)
+             |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+             |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val chunks = TextAnalysis.chunkDocuments(T(s, dir, "documents"),
+          "doc_id", "text", window = 8, stride = 4)
+        val toks = transform(TextAnalysis.tokens(col("chunk_text")),
+          w => lower(w))
+        val vec = transform(sequence(lit(0), lit(15)), j =>
+          size(filter(toks, w =>
+            Classifier.hashBucket(w, 16) === j.cast("long"))).cast("float"))
+        val emb = chunks.select(col("chunk_id"), col("chunk_idx"),
+            col("doc_id"), vec.as("embedding"))
+          .cache() // feeds the index build (seed collect + coding) and queries
+        Similarity.ivfPqTopKExact(
+            emb, "chunk_id", "embedding",
+            emb.where(col("chunk_idx") === 0 && col("doc_id") < 5)
+              .select(col("chunk_id").as("qid"), col("embedding").as("qvec")),
+            "qid", "qvec", k = 3, nCells = 8, nprobe = 2,
+            m = 4, codewords = 8)
+          .orderBy("query_id", "rank")
       }),
 
     Q("x_dedup_paragraphs",

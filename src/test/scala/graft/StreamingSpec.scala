@@ -782,4 +782,129 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stateless: no aggregation, no state store — restart-safe for free
     assert(q.recentProgress.forall(_.stateOperators.isEmpty))
   }
+
+  test("streaming rule stack: robots + gopher + repetition gate arrivals " +
+      "statelessly, verdicts bit-equal to the batch operators") {
+    import spark.implicits._
+    val policy = Seq(
+      "User-agent: graftbot",
+      "Disallow: /private",
+      "",
+      "User-agent: *",
+      "Disallow: /").mkString("\n")
+    // long enough that the top-k-gram mass caps (tuned for ≥50-word docs)
+    // don't trip on inherent short-doc gram fractions; all words distinct
+    val good = "the data of and that pipeline runs with care to be " +
+      "sure every stage holds from start until finish here now " +
+      (1 to 50).map(i => s"item$i").mkString(" ")
+    val corpus = Seq(
+      (1L, good, "/index.html"),                     // passes everything
+      (2L, good, "/private/x"),                      // robots-blocked
+      (3L, "# # ## ### # ## # # ### ## " + good,     // gopher symbol rule
+        "/index.html"),
+      (4L, (("dup line here ok now then " * 1) + "\n") * 6 + good,
+        "/index.html"),                              // repetition dup-line
+      (5L, "", "/index.html")                        // empty: gopher fails
+    ).toDF("doc_id", "text", "path")
+      .withColumn("robots", lit(policy))
+    // batch verdicts from the REAL batch operators
+    val bRobots = graft.operators.Web.robotsFilter(corpus,
+        "robots", "path", "graftbot")
+      .select("doc_id", "robots_allowed").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bGopher = graft.operators.TextAnalysis.gopherRules(corpus,
+        "doc_id", "text", minWords = 5)
+      .select("doc_id", "gopher_keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bRep = graft.operators.TextAnalysis.gopherRepetition(corpus,
+        "doc_id", "text")
+      .select("doc_id", "rep_keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the planted corpus must exercise every arm
+    assert(!bRobots(2L) && bRobots(1L))
+    assert(!bGopher(3L) && !bGopher(5L) && bGopher(1L))
+    assert(!bRep(4L) && bRep(1L))
+    val landing = Files.createTempDirectory("graft-rs-landing").toString
+    val ckpt = Files.createTempDirectory("graft-rs-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-rs-out").toString
+    corpus.write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(landing).schema).parquet(landing)
+    val gated = graft.streaming.QualityStream.ruleStackStream(
+      stream, "text", "robots", "path", agent = "graftbot", minWords = 5)
+    assert(gated.isStreaming)
+    val q = gated.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "robots_allowed", "gopher_keep", "rep_keep", "keep")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(streamed.keySet == bRobots.keySet)
+    streamed.foreach { case (id, (ra, gk, rk, keep)) =>
+      assert(ra == bRobots(id) && gk == bGopher(id) && rk == bRep(id),
+        s"doc $id verdict drift: stream ($ra,$gk,$rk) vs batch " +
+          s"(${bRobots(id)},${bGopher(id)},${bRep(id)})")
+      assert(keep == (ra && gk && rk))
+    }
+    // all original columns survive the gate (the batch operators project)
+    assert(spark.read.parquet(outDir).columns.toSet
+      .contains("text"))
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty))
+  }
+
+  test("streaming DSIR scoring: offline count-ratio weights score " +
+      "arrivals statelessly, importance bit-equal to the batch selector") {
+    import spark.implicits._
+    val corpus = (Seq("alpha data pipeline scale spark", "data spark data",
+      "alpha pipeline alpha alpha").zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en") } ++
+      Seq("omega zulu foxtrot", "zulu omega zulu tango",
+        "foxtrot tango omega").zipWithIndex.map { case (t, i) =>
+        (100L + i, t, "zz") }).toDF("doc_id", "text", "lang")
+    val batch = graft.operators.Classifier.dsirImportance(corpus,
+        "doc_id", "text", isTarget = col("lang") === "en", dims = 128)
+      .select("doc_id", "n_feats", "importance_bits", "mean_millibits",
+        "keep")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    val (_, w) = graft.operators.Classifier.dsirFeatsAndWeights(corpus,
+      "doc_id", "text", isTarget = col("lang") === "en", dims = 128)
+    // the offline selection stats (sm, cnt) replayed into the stream gate
+    val scoredMeans = batch.values.map(_._3).toSeq
+    val sm = scoredMeans.sum
+    val cnt = scoredMeans.size.toLong
+    val landing = Files.createTempDirectory("graft-ds-landing").toString
+    val ckpt = Files.createTempDirectory("graft-ds-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-ds-out").toString
+    corpus.select("doc_id", "text").write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(landing).schema).parquet(landing)
+    val scored = graft.streaming.QualityStream.dsirScoreStream(
+      stream, "text", w, dims = 128, sm = sm, cnt = cnt)
+    assert(scored.isStreaming)
+    val q = scored.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_feats", "importance_bits", "mean_millibits",
+        "keep")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    assert(streamed == batch, s"$streamed vs $batch")
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty))
+  }
 }
