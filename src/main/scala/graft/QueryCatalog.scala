@@ -456,6 +456,86 @@ object QueryCatalog {
       "'<p>repeated boilerplate line echoes again</p>" +
       "<p>repeated boilerplate line echoes again</p>' ELSE '' END))"
 
+  /** CTE fragment replaying the stopword-heuristic language ID
+    * ([[graft.operators.TextAnalysis.langId]]) over `srcSql`(doc_id,
+    * text) → `${p}boot(doc_id, label)` (argmax score desc, lang asc). */
+  private def langIdBootstrapCtes(srcSql: String, p: String): String = {
+    val langScores = graft.operators.Stopwords.all.toSeq.sortBy(_._1)
+      .map { case (lang, words) =>
+        s"""SELECT doc_id, '$lang' AS lang,
+           |  len(list_filter(w, x -> list_contains(${sqlList(words)}, x)))
+           |    / greatest(len(w), 1) AS score
+           |FROM ${p}btoks""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""${p}btoks AS (SELECT doc_id,
+       |    list_transform(list_filter(string_split_regex(text, '\\s+'),
+       |      x -> x <> ''), x -> lower(x)) AS w
+       |  FROM ($srcSql)),
+       |${p}bsc AS (
+       |$langScores),
+       |${p}boot AS (SELECT doc_id, lang AS label FROM (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, lang) AS rn
+       |  FROM ${p}bsc) WHERE rn = 1)""".stripMargin
+  }
+
+  /** CTE fragment replaying [[graft.operators.Classifier.trainLangId]]
+    * (2 rounds) + [[graft.operators.Classifier.langIdTrained]] over
+    * `srcSql`(doc_id, text) with labels from `bootName`(doc_id, label) →
+    * `${p}pred(doc_id, predicted_lang, margin)` covering the src
+    * universe (featureless docs take the smallest class at margin 0). */
+  private def langIdTrainedCtes(srcSql: String, bootName: String,
+      classes: Seq[String], dims: Int, p: String): String = {
+    val perClass = classes.map { c =>
+      s"""${p}w1_$c AS (SELECT bucket, CAST(sum(
+         |    (CASE WHEN label = '$c' THEN 1 ELSE -1 END) * tf) AS BIGINT)
+         |    AS w FROM ${p}fl GROUP BY 1),
+         |${p}m1_$c AS (SELECT fl.doc_id,
+         |    CAST(any_value(CASE WHEN fl.label = '$c' THEN 1 ELSE -1 END)
+         |      AS BIGINT) AS y,
+         |    CAST(sum(fl.tf * w.w) AS BIGINT) AS margin
+         |  FROM ${p}fl fl JOIN ${p}w1_$c w USING (bucket) GROUP BY 1),
+         |${p}u2_$c AS (SELECT fl.bucket, CAST(sum(
+         |    (CASE WHEN fl.label = '$c' THEN 1 ELSE -1 END) * fl.tf)
+         |    AS BIGINT) AS delta
+         |  FROM ${p}fl fl JOIN ${p}m1_$c m ON m.doc_id = fl.doc_id
+         |  WHERE m.y * m.margin <= 0 GROUP BY 1),
+         |${p}w2_$c AS (SELECT w.bucket, w.w + coalesce(u.delta, 0) AS w
+         |  FROM ${p}w1_$c w LEFT JOIN ${p}u2_$c u USING (bucket))"""
+        .stripMargin
+    }.mkString(",\n")
+    val weightUnion = classes.map { c =>
+      s"SELECT '$c' AS lang, bucket, w FROM ${p}w2_$c"
+    }.mkString("\nUNION ALL\n")
+    s"""${p}lt AS (SELECT doc_id, lower(text) AS lt FROM ($srcSql)),
+       |${p}g0 AS (SELECT doc_id, substr(lt, CAST(i AS INT), 3) AS g
+       |  FROM ${p}lt, unnest(range(1, length(lt) - 1)) t(i)
+       |  WHERE length(lt) >= 3),
+       |${p}f0 AS (SELECT doc_id,
+       |    ('0x' || substr(sha256(g), 1, 8))::BIGINT % $dims AS bucket
+       |  FROM ${p}g0),
+       |${p}f AS MATERIALIZED (SELECT doc_id, bucket,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM ${p}f0 GROUP BY 1, 2),
+       |${p}fl AS MATERIALIZED (SELECT f.doc_id, f.bucket, f.tf, b.label
+       |  FROM ${p}f f JOIN $bootName b USING (doc_id)),
+       |$perClass,
+       |${p}wl AS (
+       |$weightUnion),
+       |${p}ml AS (SELECT f.doc_id, wl.lang,
+       |    CAST(sum(f.tf * wl.w) AS BIGINT) AS margin
+       |  FROM ${p}f f JOIN ${p}wl wl USING (bucket) GROUP BY 1, 2),
+       |${p}pred AS (SELECT s.doc_id,
+       |    coalesce(b.lang, '${classes.min}') AS predicted_lang,
+       |    CAST(coalesce(b.margin, 0) AS BIGINT) AS margin
+       |  FROM (SELECT doc_id FROM ${p}lt) s
+       |  LEFT JOIN (SELECT doc_id, lang, margin FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY margin DESC, lang) AS rn FROM ${p}ml) WHERE rn = 1) b
+       |  ON b.doc_id = s.doc_id)""".stripMargin
+  }
+
   /** Render a Scala string as a DuckDB expression (chr(10) for newlines,
     * doubled quotes). */
   private def sqlLit(s: String): String =
@@ -4467,13 +4547,17 @@ object QueryCatalog {
              |repk AS (SELECT doc_id FROM vals WHERE $repKeepExpr),
              |pg AS MATERIALIZED (SELECT para.doc_id, para.doc FROM para
              |  JOIN gkeep USING (doc_id) JOIN repk USING (doc_id)),
+             |${langIdBootstrapCtes("SELECT doc_id, text FROM documents",
+                "li")},
+             |${langIdTrainedCtes("SELECT doc_id, doc AS text FROM pg",
+                "liboot", Seq("de", "en"), 256, "li")},
              |cd AS MATERIALIZED (SELECT pg.doc_id,
-             |    CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS BIGINT)
-             |      AS y,
+             |    CAST(CASE WHEN lp.predicted_lang = 'en' THEN 1 ELSE -1 END
+             |      AS BIGINT) AS y,
              |    list_transform(list_filter(
              |      string_split_regex(pg.doc, '\\s+'), x -> x <> ''),
              |      w -> lower(w)) AS toks
-             |  FROM pg JOIN documents d USING (doc_id)),
+             |  FROM pg JOIN lipred lp USING (doc_id)),
              |cf0 AS (SELECT doc_id, y,
              |    ('0x' || substr(sha256(t.w), 1, 8))::BIGINT % 64 AS bucket
              |  FROM cd, unnest(toks) t(w)),
@@ -4644,8 +4728,25 @@ object QueryCatalog {
         // composition-point lesson)
         val gated = para.join(gkeep, "doc_id").join(repk, "doc_id")
           .transform(Checkpoints.checkpointed)
-        val labeled = gated.join(docs.select("doc_id", "lang"), "doc_id")
-          .withColumn("__y", when(col("lang") === "en", 1L).otherwise(-1L))
+        // the TRAINED language ID (r19 directive #1) supplies the trusted
+        // stratum: bootstrap labels from the stopword heuristic over the
+        // RAW page text (the extracted boilerplate lines would vote 'en'
+        // for everything), char-trigram one-vs-rest perceptrons trained
+        // on the survivors' text, argmax predictions gate the classifier
+        val liClasses = Seq("de", "en")
+        val bootRaw = TextAnalysis.langId(docs.select("doc_id", "text"),
+            "text")
+          .select(col("doc_id"), col("predicted_lang").as("__label"))
+        val lw = Classifier.trainLangId(
+          gated.join(bootRaw, "doc_id"),
+          "doc_id", "__doc", "__label", liClasses, n = 3, dims = 256,
+          rounds = 2)
+        val pred = Classifier.langIdTrained(gated.select("doc_id", "__doc"),
+          "doc_id", "__doc", lw, liClasses, n = 3, dims = 256)
+        val labeled = gated.join(pred.select(col("doc_id"),
+            col("predicted_lang")), "doc_id")
+          .withColumn("__y",
+            when(col("predicted_lang") === "en", 1L).otherwise(-1L))
         val (w, feats) = Classifier.trainPerceptron(labeled,
           "doc_id", "__doc", "__y", dims = 64, rounds = 3)
         val mg = Classifier.scoreFeatures(feats, w).select("doc_id", "margin")
@@ -5227,72 +5328,11 @@ object QueryCatalog {
       // training rounds per class, the margin argmax with the
       // (margin desc, lang asc) tie law
       val classes = graft.operators.Stopwords.all.keys.toSeq.sorted
-      val dims = 256
-      val langScores = graft.operators.Stopwords.all.toSeq.sortBy(_._1)
-        .map { case (lang, words) =>
-          s"""SELECT doc_id, '$lang' AS lang,
-             |  len(list_filter(w, x -> list_contains(${sqlList(words)}, x)))
-             |    / greatest(len(w), 1) AS score
-             |FROM btoks""".stripMargin
-        }.mkString("\nUNION ALL\n")
-      val perClass = classes.map { c =>
-        s"""w1_$c AS (SELECT bucket, CAST(sum(
-           |    (CASE WHEN label = '$c' THEN 1 ELSE -1 END) * tf) AS BIGINT)
-           |    AS w FROM fl GROUP BY 1),
-           |m1_$c AS (SELECT fl.doc_id,
-           |    CAST(any_value(CASE WHEN fl.label = '$c' THEN 1 ELSE -1 END)
-           |      AS BIGINT) AS y,
-           |    CAST(sum(fl.tf * w1_$c.w) AS BIGINT) AS margin
-           |  FROM fl JOIN w1_$c USING (bucket) GROUP BY 1),
-           |u2_$c AS (SELECT fl.bucket, CAST(sum(
-           |    (CASE WHEN fl.label = '$c' THEN 1 ELSE -1 END) * fl.tf)
-           |    AS BIGINT) AS delta
-           |  FROM fl JOIN m1_$c ON m1_$c.doc_id = fl.doc_id
-           |  WHERE m1_$c.y * m1_$c.margin <= 0 GROUP BY 1),
-           |w2_$c AS (SELECT w1_$c.bucket,
-           |    w1_$c.w + coalesce(u2_$c.delta, 0) AS w
-           |  FROM w1_$c LEFT JOIN u2_$c USING (bucket))""".stripMargin
-      }.mkString(",\n")
-      val weightUnion = classes.map { c =>
-        s"SELECT '$c' AS lang, bucket, w FROM w2_$c"
-      }.mkString("\nUNION ALL\n")
-      Some(s"""WITH btoks AS (
-             |  SELECT doc_id,
-             |         list_transform(list_filter(string_split_regex(text, '\\s+'),
-             |           x -> x <> ''), x -> lower(x)) AS w
-             |  FROM documents),
-             |bsc AS (
-             |$langScores),
-             |boot AS (SELECT doc_id, lang AS label FROM (
-             |  SELECT doc_id, lang,
-             |         row_number() OVER (PARTITION BY doc_id
-             |           ORDER BY score DESC, lang) AS rn
-             |  FROM bsc) WHERE rn = 1),
-             |lt AS (SELECT doc_id, lower(text) AS lt FROM documents),
-             |g0 AS (SELECT doc_id, substr(lt, CAST(i AS INT), 3) AS g
-             |  FROM lt, unnest(range(1, length(lt) - 1)) t(i)
-             |  WHERE length(lt) >= 3),
-             |f0 AS (SELECT doc_id,
-             |    ('0x' || substr(sha256(g), 1, 8))::BIGINT % $dims AS bucket
-             |  FROM g0),
-             |f AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
-             |  FROM f0 GROUP BY 1, 2),
-             |fl AS (SELECT f.doc_id, f.bucket, f.tf, boot.label
-             |  FROM f JOIN boot USING (doc_id)),
-             |$perClass,
-             |wl AS (
-             |$weightUnion),
-             |ml AS (SELECT f.doc_id, wl.lang,
-             |    CAST(sum(f.tf * wl.w) AS BIGINT) AS margin
-             |  FROM f JOIN wl USING (bucket) GROUP BY 1, 2),
-             |best AS (SELECT doc_id, lang, margin FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY doc_id
-             |    ORDER BY margin DESC, lang) AS rn FROM ml) WHERE rn = 1)
-             |SELECT d.doc_id,
-             |  coalesce(best.lang, '${classes.head}') AS predicted_lang,
-             |  CAST(coalesce(best.margin, 0) AS BIGINT) AS margin
-             |FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin)
+      val src = "SELECT doc_id, text FROM documents"
+      Some(s"""WITH ${langIdBootstrapCtes(src, "")},
+             |${langIdTrainedCtes(src, "boot", classes, 256, "")}
+             |SELECT doc_id, predicted_lang, margin FROM pred
+             |ORDER BY doc_id""".stripMargin)
     },
       (s, dir) => {
         val classes = Stopwords.all.keys.toSeq.sorted

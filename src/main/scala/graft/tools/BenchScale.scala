@@ -647,6 +647,47 @@ object BenchScale {
       rows += (("curation_v7 (kept rows)", n1.toDouble, nN.toDouble))
     }
 
+    // ---- curation pipeline v8 (full modern recipe) at scale (round 20) --
+    // WARC walk -> robots gate -> canonical dedup -> PSL domain cap ->
+    // HTML extraction -> gopher + repetition gates -> trained-langid
+    // perceptron gate -> LM terciles -> paragraph dedup -> chunk -> pack,
+    // run verbatim at N×. Invariants: (a) the chain neither empties nor
+    // degenerates at N×, (b) chunk rows stay within [n₁/2, N·n₁] (copy-0
+    // survivors are identical at both scales; later copies can only add
+    // rows or be gated), (c) the PACKING BUDGET LAW holds at N×: no
+    // pack's token sum exceeds budget + its largest chunk (the
+    // straddling-doc bound of the start-offset binning), (d) the head
+    // perplexity tercile is populated (the histogram cut stays inside
+    // the score domain).
+    locally {
+      val fn = graft.QueryCatalog.all
+        .find(_.name == "x_curation_pipeline_v8").get.fn
+      def run(dir: String, label: String): (Long, DataFrame) = {
+        val t0 = System.nanoTime()
+        val out = fn(spark, dir).cache()
+        val n = out.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] curation_v8 $label: $n%,d chunk rows, $sec%.2f s")
+        (n, out)
+      }
+      val (n1, out1) = run(sfDir, "@1x")
+      val (nN, outN) = run(tmp, s"@${factor}x")
+      require(nN > 0, s"curation v8 emptied at ${factor}x")
+      require(nN >= n1 / 2 && nN <= factor * n1,
+        s"curation v8 chunk-rows invariant violated: $nN not in " +
+          s"[${n1 / 2}, ${factor * n1}] (1x kept $n1)")
+      val overBudget = outN.groupBy("pack_id")
+        .agg(sum("n_chunk_tokens").as("s"), max("n_chunk_tokens").as("m"))
+        .where(col("s") > lit(64L) + col("m")).count()
+      require(overBudget == 0,
+        s"pack budget law violated at ${factor}x: $overBudget packs " +
+          "exceed budget + straddler")
+      require(outN.where(col("ppl_bucket") === "head").count() > 0,
+        s"head perplexity tercile vanished from v8 at ${factor}x")
+      out1.unpersist(); outN.unpersist()
+      rows += (("curation_v8 (chunk rows)", n1.toDouble, nN.toDouble))
+    }
+
     // ---- streaming near-dup: state bounded by rate × horizon × bands ----
     // Feeds a MemoryStream at a fixed rate (perBatch docs every 5 event-
     // minutes, horizon 10 min) with hot dup groups of 10 (> ownerCap, so
