@@ -4709,24 +4709,23 @@ object QueryCatalog {
         val capped = Sampling.capPerKey(dedupUrl.join(dom, "doc_id"),
           "doc_id", "registrable_domain", 4)
         // paragraph-form rebuild: one extracted line per paragraph — the
-        // grain the repetition/paragraph-dedup laws operate on. Cached:
-        // feeds both quality gates and the gated join
+        // grain the repetition/paragraph-dedup laws operate on
         val para = graft.operators.Web.htmlExtract(
             capped.select("doc_id", "html"), "doc_id", "html")
           .where(col("extract_ok"))
           .select(col("doc_id"),
             array_join(filter(split(col("text"), "\n"), l => l =!= ""),
               "\n\n").as("__doc"))
-          .cache()
-        val gkeep = TextAnalysis.gopherRules(para, "doc_id", "__doc",
-            minWords = 10)
-          .where(col("gopher_keep")).select("doc_id")
-        val repk = TextAnalysis.gopherRepetition(para, "doc_id", "__doc")
-          .where(col("rep_keep")).select("doc_id")
-        // checkpoint the gate survivors: they feed perceptron training,
-        // the survivor join, the LM and the paragraph dedup (the v2/v7
+        // both quality gates as ONE map-only pass: the Column verdict
+        // faces (gopherKeepCol/repKeepCol — bit-parity with the batch
+        // operators pinned by StreamingSpec) replace two operator joins
+        // and the cache the joins would have needed. Checkpoint the
+        // survivors: they feed langid training, perceptron training, the
+        // survivor join, the LM and the paragraph dedup (the v2/v7
         // composition-point lesson)
-        val gated = para.join(gkeep, "doc_id").join(repk, "doc_id")
+        val gated = para
+          .where(TextAnalysis.gopherKeepCol(col("__doc"), minWords = 10) &&
+            TextAnalysis.repKeepCol(col("__doc")))
           .transform(Checkpoints.checkpointed)
         // the TRAINED language ID (r19 directive #1) supplies the trusted
         // stratum: bootstrap labels from the stopword heuristic over the
@@ -4737,12 +4736,12 @@ object QueryCatalog {
         val bootRaw = TextAnalysis.langId(docs.select("doc_id", "text"),
             "text")
           .select(col("doc_id"), col("predicted_lang").as("__label"))
-        val lw = Classifier.trainLangId(
+        val (lw, lfeats) = Classifier.trainLangIdWithFeats(
           gated.join(bootRaw, "doc_id"),
           "doc_id", "__doc", "__label", liClasses, n = 3, dims = 256,
           rounds = 2)
-        val pred = Classifier.langIdTrained(gated.select("doc_id", "__doc"),
-          "doc_id", "__doc", lw, liClasses, n = 3, dims = 256)
+        val pred = Classifier.langIdTrainedOnFeats(
+          gated.select("doc_id"), lfeats, lw, liClasses)
         val labeled = gated.join(pred.select(col("doc_id"),
             col("predicted_lang")), "doc_id")
           .withColumn("__y",
@@ -5339,11 +5338,11 @@ object QueryCatalog {
         val docs = T(s, dir, "documents").select("doc_id", "text")
         val boot = TextAnalysis.langId(docs, "text")
           .select(col("doc_id"), col("predicted_lang").as("__label"))
-        val w = Classifier.trainLangId(docs.join(boot, "doc_id"),
-          "doc_id", "text", "__label", classes, n = 3, dims = 256,
-          rounds = 2)
-        Classifier.langIdTrained(docs, "doc_id", "text", w, classes,
-            n = 3, dims = 256)
+        val (w, feats) = Classifier.trainLangIdWithFeats(
+          docs.join(boot, "doc_id"), "doc_id", "text", "__label",
+          classes, n = 3, dims = 256, rounds = 2)
+        Classifier.langIdTrainedOnFeats(docs.select("doc_id"), feats, w,
+            classes)
           .orderBy("doc_id")
       }),
 

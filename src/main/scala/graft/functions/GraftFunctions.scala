@@ -156,6 +156,10 @@ object GraftFunctions {
     nativeCol(graft.plans.NfcNormalizeExpression(exprOf(c)))
   def winnowFingerprintsNative(c: Column, n: Int, w: Int): Column =
     nativeCol(graft.plans.WinnowFingerprintsExpression(exprOf(c), n, w))
+  /** Hashed char-n-gram feature buckets (array<long>) — the fused
+    * language-ID feature law (lower → codepoint grams → sha256 → mod). */
+  def charGramBuckets(c: Column, n: Int, dims: Int): Column =
+    nativeCol(graft.plans.CharGramBucketsExpression(exprOf(c), n, dims))
   /** 13-slot Gopher repetition millifraction profile (array<long>). */
   def gopherRepetition(c: Column): Column =
     nativeCol(graft.plans.GopherRepetitionExpression(exprOf(c)))

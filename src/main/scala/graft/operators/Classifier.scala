@@ -121,6 +121,7 @@ object Classifier {
       .otherwise(array().cast("array<string>"))
   }
 
+
   /** TRAINED language ID, training face (r19 judge directive #1 — the
     * replacement for the stopword-fraction heuristic
     * [[TextAnalysis.langId]]): one-vs-rest batch perceptrons over hashed
@@ -144,24 +145,79 @@ object Classifier {
     * ≤ K·dims rows — broadcastable by construction. */
   def trainLangId(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, classes: Seq[String], n: Int = 3,
-      dims: Int = 1 << 12, rounds: Int = 2): DataFrame = {
+      dims: Int = 1 << 12, rounds: Int = 2): DataFrame =
+    trainLangIdWithFeats(df, idCol, textCol, labelCol, classes, n, dims,
+      rounds)._1
+
+  /** [[trainLangId]] also returning the checkpointed (doc_id, label,
+    * bucket, tf) feature frame, so a caller scoring the SAME corpus
+    * ([[langIdTrainedOnFeats]]) skips a second gram pass. */
+  def trainLangIdWithFeats(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, classes: Seq[String], n: Int = 3,
+      dims: Int = 1 << 12, rounds: Int = 2): (DataFrame, DataFrame) = {
     require(dims > 0 && dims <= (1 << 20), s"dims $dims out of range")
+    require(rounds >= 1 && rounds <= 64, s"rounds $rounds out of range")
     require(classes.nonEmpty && classes.distinct == classes,
       "classes must be non-empty and distinct")
     val feats = df.select(col(idCol).as("doc_id"),
         col(labelCol).as("label"),
-        explode(charNgrams(col(textCol), n)).as("g"))
-      .select(col("doc_id"), col("label"),
-        hashBucket(col("g"), dims).as("bucket"))
+        // fused native lower→gram→sha→bucket pass (byte-identical to
+        // hashBucket ∘ charNgrams — ExpressionSpec pins the equality)
+        explode(graft.functions.GraftFunctions.charGramBuckets(
+          col(textCol), n, dims)).as("bucket"))
       .groupBy("doc_id", "label", "bucket").agg(count(lit(1)).as("tf"))
       .transform(Checkpoints.checkpointed) // ONE pass, shared by all classes
-    classes.map { c =>
-      val fy = feats.select(col("doc_id"),
-        when(col("label") === c, 1L).otherwise(-1L).as("y"),
-        col("bucket"), col("tf"))
-      perceptronRounds(fy, rounds)
-        .select(lit(c).as("lang"), col("bucket"), col("w"))
-    }.reduce(_.unionAll(_))
+    // ALL K one-vs-rest problems ride ONE round loop with the classes in
+    // COLUMNS, not rows: a per-class row fan-out would shuffle K× the
+    // feature volume every round (measured: the fanned form was no
+    // faster than K separate loops), while the wide form keeps every
+    // round at single-class exchange volume — one margins aggregate with
+    // K sum columns, one delta aggregate with K sum columns. The
+    // per-class math is untouched (y_c = ±1 from the label, the same
+    // margin test and update mass), so the unrolled-per-class SQL oracle
+    // replays the identical weights; classes never interact.
+    def yTf(c: String): Column =
+      when(col("label") === c, col("tf")).otherwise(-col("tf"))
+    val ki = classes.zipWithIndex
+    // Round 1 closed-form per class (w_0 = 0 ⇒ every doc misclassified)
+    var w = feats.groupBy("bucket")
+      .agg(ki.head match { case (c, i) => sum(yTf(c)).as(s"w_$i") },
+        ki.tail.map { case (c, i) => sum(yTf(c)).as(s"w_$i") }: _*)
+      .transform(Checkpoints.checkpointed) // ≤ dims rows, K weight cols
+    for (_ <- 2 to rounds) {
+      val margins = feats
+        .join(broadcast(w), Seq("bucket"), "left")
+        .groupBy("doc_id", "label")
+        .agg(ki.head match { case (_, i) =>
+          sum(col("tf") * coalesce(col(s"w_$i"), lit(0L))).as(s"m_$i") },
+          ki.tail.map { case (_, i) =>
+            sum(col("tf") * coalesce(col(s"w_$i"), lit(0L))).as(s"m_$i")
+          }: _*)
+      // per-class margin test: y_c · m_c ≤ 0 (y_c = ±1 from the label)
+      val mis = margins.select(col("doc_id") +: ki.map { case (c, i) =>
+        (when(col("label") === c, lit(1L)).otherwise(lit(-1L))
+          * col(s"m_$i") <= 0).as(s"mis_$i")
+      }: _*)
+      val delta = feats.join(mis, "doc_id")
+        .groupBy("bucket")
+        .agg(ki.head match { case (c, i) =>
+          sum(when(col(s"mis_$i"), yTf(c)).otherwise(0L)).as(s"d_$i") },
+          ki.tail.map { case (c, i) =>
+            sum(when(col(s"mis_$i"), yTf(c)).otherwise(0L)).as(s"d_$i")
+          }: _*)
+      w = w.join(delta, Seq("bucket"), "left")
+        .select(col("bucket") +: ki.map { case (_, i) =>
+          (col(s"w_$i") + coalesce(col(s"d_$i"), lit(0L))).as(s"w_$i")
+        }: _*)
+        .transform(Checkpoints.checkpointed)
+    }
+    // long form for the broadcast scorer: (lang, bucket, w)
+    val long = w.select(col("bucket"),
+        explode(array(ki.map { case (c, i) =>
+          struct(lit(c).as("lang"), col(s"w_$i").as("w"))
+        }: _*)).as("s"))
+      .select(col("s.lang").as("lang"), col("bucket"), col("s.w").as("w"))
+    (long, feats)
   }
 
   /** Trained language ID, scoring face: per-class margins from the
@@ -177,13 +233,24 @@ object Classifier {
     * to the id universe. No shuffle carries text. */
   def langIdTrained(df: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, classes: Seq[String], n: Int = 3,
-      dims: Int = 1 << 12): DataFrame = {
+      dims: Int = 1 << 12): DataFrame =
+    langIdTrainedOnFeats(
+      df.select(col(idCol).as("doc_id")),
+      df.select(col(idCol).as("doc_id"),
+          explode(graft.functions.GraftFunctions.charGramBuckets(
+            col(textCol), n, dims)).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf")),
+      weights, classes)
+
+  /** [[langIdTrained]] over a PREBUILT (doc_id, bucket, tf) feature frame
+    * plus the id universe — the train-and-score-same-corpus face, which
+    * reuses [[trainLangIdWithFeats]]'s checkpointed features instead of
+    * paying a second gram pass over the corpus text. */
+  def langIdTrainedOnFeats(universe: DataFrame, feats0: DataFrame,
+      weights: DataFrame, classes: Seq[String]): DataFrame = {
     val sorted = classes.sorted
     val classArr = array(sorted.map(lit(_)): _*)
-    val feats = df.select(col(idCol).as("doc_id"),
-        explode(charNgrams(col(textCol), n)).as("g"))
-      .select(col("doc_id"), hashBucket(col("g"), dims).as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+    val feats = feats0.select("doc_id", "bucket", "tf")
     // every class's weight table covers the SAME bucket set (round 1
     // emits a row for every bucket any training doc touches, including
     // zero-sum ones), so the inner bucket join yields all K langs for
@@ -199,7 +266,7 @@ object Classifier {
         element_at(classArr, (-col("__b.ni")).cast("int"))
           .as("predicted_lang"),
         col("__b.margin").as("margin"))
-    df.select(col(idCol).as("doc_id"))
+    universe.select("doc_id")
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("predicted_lang"), lit(sorted.head))

@@ -59,6 +59,28 @@ case class WinnowFingerprintsExpression(child: Expression, n: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Fused hashed char-n-gram feature buckets ([[graft.codec.CharGrams]])
+  * — the language-ID feature extractor as one compiled
+  * lower→gram→sha256→bucket pass per document, replacing a HOF chain
+  * that allocated a hex string + substring + conv per gram (and, naively
+  * composed, re-lowered the document once per gram). */
+case class CharGramBucketsExpression(child: Expression, n: Int, dims: Int)
+    extends CodecUnaryExpression {
+  require(n >= 1 && n <= 8, s"char n-gram order $n out of range")
+  require(dims > 0, s"dims $dims must be positive")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def expectedInputType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.codec.CharGrams.buckets(input.asInstanceOf[UTF8String], n, dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.codec.CharGrams$$.MODULE$$.buckets($c, $n, $dims)")
+  override protected def withNewChildInternal(newChild: Expression): CharGramBucketsExpression =
+    copy(child = newChild)
+  override def prettyName: String = "char_gram_buckets"
+}
+
 /** Fused Gopher repetition profile ([[graft.codec.Repetition]]) — all 13
   * duplicate-line/paragraph/n-gram millifractions in one compiled pass per
   * document (13 HOF formulations would each re-split and re-count; the

@@ -162,6 +162,26 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("char_gram_buckets equals the hashBucket-over-charNgrams HOF law " +
+      "(codepoints, case law, short/empty arms)") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    // astral chars (surrogate pairs — codepoint vs UTF-16 counting),
+    // uppercase (the lower() law), multi-byte, exactly-n, short, empty
+    val docs = Seq("The Quick Fox", "CAFÉ déjà vu", "a😀b😀c d",
+      "ab", "abc", "", "   ", "ΣΙΓΜΑ τέλος").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for (n <- Seq(2, 3); dims <- Seq(16, 256)) {
+      val fused = docs.select(col("id"),
+        GraftFunctions.charGramBuckets(col("t"), n, dims).as("b"))
+      val hof = docs.select(col("id"),
+        transform(Classifier.charNgrams(col("t"), n),
+          g => Classifier.hashBucket(g, dims)).as("b"))
+      val diff = fused.except(hof).count() + hof.except(fused).count()
+      assert(diff == 0, s"fused vs HOF drift at n=$n dims=$dims")
+    }
+  }
+
   test("type mismatch is rejected at analysis time") {
     import spark.implicits._
     val df = Seq(1L).toDF("n")
