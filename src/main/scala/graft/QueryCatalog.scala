@@ -2675,6 +2675,33 @@ object QueryCatalog {
             "doc_id", "lang")
           .orderBy("doc_id")),
 
+    Q("x_sample_temperature",
+      // temperature-flattened mixing at α = 1/2 (Gopher / mT5): kept
+      // stratum mass ∝ √(natural mass) — between natural sampling and the
+      // uniform inverse mixture. Thresholds are exact integers off ⌊√c⌋
+      // (floor(sqrt) is exact below 2³¹ in any IEEE engine), so DuckDB
+      // re-derives the identical kept-row set
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY lang),
+             |km AS (SELECT CAST(floor(sqrt(CAST(min(n) AS DOUBLE)))
+             |  AS BIGINT) AS kmin FROM c),
+             |r AS (SELECT c.lang,
+             |    CASE WHEN CAST(floor(sqrt(CAST(c.n AS DOUBLE))) AS BIGINT)
+             |           <= km.kmin THEN 'g'
+             |         ELSE printf('%08x', (km.kmin * 4294967296) //
+             |           CAST(floor(sqrt(CAST(c.n AS DOUBLE))) AS BIGINT))
+             |    END AS thr
+             |  FROM c, km)
+             |SELECT d.doc_id, d.lang FROM documents d
+             |JOIN r ON d.lang = r.lang
+             |WHERE substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        Sampling.temperatureMixture(
+            T(s, dir, "documents").select("doc_id", "lang"),
+            "doc_id", "lang")
+          .orderBy("doc_id")),
+
     Q("x_sample_mixture_sharded",
       // the inverse-mixture scale path: the law applies per shard (a
       // sha-256 slice of the id, mod 4 — independent of both raw-id

@@ -111,6 +111,45 @@ object Sampling {
     stratifiedThresholds(df, idCol, stratumCol, thresholds, thresholdHex(0.0))
   }
 
+  /** Temperature-flattened dataset mixing at α = 1/2 — the Gopher /
+    * multilingual-T5 recipe between natural sampling (α = 1) and
+    * [[inverseMixture]]'s uniform flattening (α = 0): the sampled mass of
+    * stratum s is ∝ √(its natural mass), so dominant strata are damped
+    * but still dominant. Exact-integer law (engine-replayable):
+    *
+    *   k_s         = ⌊√c_s⌋
+    *   threshold_s = (k_min · 2³²) div k_s      (8-hex compare key;
+    *                 k_s = k_min ⇒ keep-all)
+    *   keep iff sha-key(id) < threshold_s
+    *
+    * so realized kept mass ≈ c_s · k_min/k_s ∝ √c_s · k_min. ⌊√x⌋ via
+    * floor(sqrt(double)) is EXACT for x < 2³¹ in any IEEE engine: sqrt
+    * is correctly rounded, and below 2²⁶ the nearest double to a
+    * non-square's root sits ≥ 1/(2k) − ulp(k) below the next integer —
+    * the same replay license as the rest of the integer family (counts
+    * above the bound go through the sharded idiom first, like
+    * [[inverseMixtureSharded]]).
+    *
+    * Scale shape: one bounded per-stratum count collect (strata rows, a
+    * mixture table), then a map-only literal-map filter — no shuffle, no
+    * join, pushes to the scan. */
+  def temperatureMixture(df: DataFrame, idCol: String, stratumCol: String,
+      maxCount: Long = MaxExactCount): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty input")
+    require(counts.values.max < maxCount,
+      s"per-stratum count ${counts.values.max} exceeds the exact-integer " +
+        s"law's $maxCount bound - shard first (see inverseMixtureSharded)")
+    def isqrt(n: Long): Long = math.floor(math.sqrt(n.toDouble)).toLong
+    val kmin = isqrt(counts.values.min)
+    val thresholds = counts.map { case (k, n) =>
+      val ks = isqrt(n)
+      k -> (if (ks <= kmin) "g" else f"${(kmin << 32) / ks}%08x")
+    }
+    stratifiedThresholds(df, idCol, stratumCol, thresholds, thresholdHex(0.0))
+  }
+
   /** Shard assignment for [[inverseMixtureSharded]]: a DIFFERENT slice of
     * the same sha-256 the keep-key uses (hex chars 9-16, where the keep
     * key is chars 1-8), parsed as a 32-bit integer mod `shards`. Hashing

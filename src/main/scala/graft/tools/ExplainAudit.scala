@@ -292,6 +292,11 @@ object ExplainAudit {
       // global sort of the full term table
       ("x_vocab_topk", Seq("partial_count", "TakeOrderedAndProject"),
         Seq("Sort ", "Window ")),
+      // temperature mixing: a literal-map threshold filter riding the
+      // scan — map-only like every hash-threshold sampler, no join, no
+      // hash exchange (the terminal order-by range partition aside)
+      ("x_sample_temperature", Seq(),
+        Seq("Exchange hashpartitioning", "Join", "BatchEvalPython")),
       // per-key cap: the rank filter must plan as WindowGroupLimit (rank
       // pushdown keeps <= k rows per group on BOTH sides of the single
       // key exchange — the property that bounds a mega-domain's traffic)

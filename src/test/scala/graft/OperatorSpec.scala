@@ -2151,6 +2151,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Sampling.inverseMixture(df, "doc_id", "lang").collect().toSet)
   }
 
+  test("temperature mixture (α = 1/2): kept mass ∝ √(natural mass) — " +
+      "between natural and uniform; smallest stratum whole; deterministic") {
+    import spark.implicits._
+    // counts 100 / 400 / 2500 → k = 10 / 20 / 50 → rates 1 / 0.5 / 0.2 →
+    // expected kept 100 / 200 / 500 (∝ √c × k_min, the α = 1/2 law)
+    val df = ((0 until 100).map(i => (i.toLong, "small")) ++
+      (1000 until 1400).map(i => (i.toLong, "mid")) ++
+      (10000 until 12500).map(i => (i.toLong, "big")))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.temperatureMixture(df, "doc_id", "lang")
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("small") == 100L, byLang.toString)
+    assert(math.abs(byLang("mid") - 200L) < 50, byLang.toString)
+    assert(math.abs(byLang("big") - 500L) < 80, byLang.toString)
+    // strictly BETWEEN the two neighboring laws: big keeps more than the
+    // uniform inverse mixture (~100) and less than natural (2500)
+    val inv = Sampling.inverseMixture(df, "doc_id", "lang")
+      .where(col("lang") === "big").count()
+    assert(inv < byLang("big") && byLang("big") < 2500L,
+      s"flattening order broken: inverse $inv, temperature ${byLang("big")}")
+    // deterministic: same rows on a rerun
+    assert(kept.collect().toSet ==
+      Sampling.temperatureMixture(df, "doc_id", "lang").collect().toSet)
+    // over-bound stratum fails loudly (the exact-isqrt license)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "doc_id", "lang", maxCount = 1000L)
+        .collect()
+    }
+  }
+
   test("inverse mixture: over-bound stratum fails loudly; sharded variant scales the law") {
     import spark.implicits._
     val df = ((0 until 3200).map(i => (i.toLong, "big")) ++
