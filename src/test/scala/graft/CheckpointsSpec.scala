@@ -90,4 +90,26 @@ class CheckpointsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // round checkpointed) produces IDENTICAL results under either policy
     assert(trainedWeights() == localWeights)
   }
+
+  test("the RDD-loop operators run end-to-end under the reliable policy " +
+      "(connected components, both variants)") {
+    import spark.implicits._
+    // dir is configured by the previous test (no unset API) — this is
+    // the executor-loss-safe mode the 100 TB claim rests on: every
+    // per-round lineage cut goes through RDD.checkpoint() to the
+    // filesystem, and the loops' count/except actions materialize it
+    assume(spark.sparkContext.getCheckpointDir.isDefined)
+    val docs = (0L to 9L).toDF("doc_id")
+    // two components: a 0-1-2-3 chain and a 7-8 pair; 4,5,6,9 singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    def clusters(out: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L)
+    assert(clusters(graft.operators.Dedup.dupClusters(
+      docs, "doc_id", pairs, "id_a", "id_b")) == expected)
+    assert(clusters(graft.operators.Dedup.dupClustersAlternating(
+      docs, "doc_id", pairs, "id_a", "id_b")) == expected)
+  }
 }
