@@ -117,6 +117,41 @@ object CodecProps extends Properties("codec") {
       whole == cont
     }
 
+  // ---- robots.txt rule matching vs an independent regex rewrite --------
+  // The engine's two-pointer greedy-with-backtrack matcher must accept
+  // EXACTLY the language of the oracle's regex rewrite ('*' -> '.*',
+  // trailing-$ anchor, everything else literal, prefix semantics) — the
+  // equivalence the x_robots_filter hash gate rests on. Driven through
+  // the full decision() parse so the field/group laws are exercised too.
+  private val robotsChar = Gen.oneOf('/', 'a', 'b', '*', '$', '.', 'é')
+  private val ruleGen: Gen[String] =
+    Gen.chooseNum(0, 8).flatMap(k => Gen.listOfN(k, robotsChar)).map(_.mkString)
+  private val pathGen: Gen[String] =
+    Gen.chooseNum(0, 10).flatMap(k => Gen.listOfN(k, robotsChar)).map(_.mkString)
+
+  property("robots.rule-match-equals-regex-rewrite") =
+    forAll(ruleGen, pathGen) { (rule, path) =>
+      import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+      val verdict = Robots.decision(
+        u8("User-agent: gbot" + "\n" + "Disallow: " + rule),
+        u8("gbot"), u8(path))
+        .toString
+      val engineMatches = verdict.startsWith("D|")
+      val refMatches = if (rule.isEmpty) false else {
+        val anchored = rule.last == '$'
+        val core = if (anchored) rule.dropRight(1) else rule
+        val re = core.split("\\*", -1)
+          .map(p => if (p.isEmpty) "" else java.util.regex.Pattern.quote(p))
+          .mkString(".*")
+        val m = java.util.regex.Pattern.compile(re).matcher(path)
+        if (anchored) m.matches() else m.lookingAt()
+      }
+      // a rule whose value the field parser TRIMS differently (leading/
+      // trailing spaces can't appear — the alphabet has none) always
+      // parses back verbatim, so the comparison is pure matcher-law
+      engineMatches == refMatches
+    }
+
   property("crc16.linear-in-zero-extension") = forAll(Gen.alphaNumStr) { s =>
     // appending the big-endian CRC then re-checksumming yields 0 (XModem law)
     val data = s.getBytes("ASCII")
