@@ -2,7 +2,8 @@ package graft.codec
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Hashed char-n-gram feature buckets — the fused form of
@@ -27,7 +28,7 @@ object CharGrams {
   def buckets(text: UTF8String, n: Int, dims: Int): ArrayData = {
     val lt = text.toLowerCase
     val len = lt.numChars()
-    if (len < n) return new GenericArrayData(Array.empty[Long])
+    if (len < n) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
     val md = MessageDigest.getInstance("SHA-256")
     val out = new Array[Long](len - n + 1)
     var i = 0
@@ -40,6 +41,7 @@ object CharGrams {
       out(i) = v % dims
       i += 1
     }
-    new GenericArrayData(out)
+    // primitive-array form: no per-gram Long boxing on the hot path
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }

@@ -70,6 +70,9 @@ object Classifier {
   def trainPerceptron(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, dims: Int, rounds: Int): (DataFrame, DataFrame) = {
     require(dims > 0 && dims <= (1 << 20), s"dims $dims out of range")
+    // validate rounds BEFORE the eager feature checkpoint: a bad value
+    // must fail instantly, not after a full corpus pass
+    require(rounds >= 1 && rounds <= 64, s"rounds $rounds out of range")
     val feats = docFeatures(df, idCol, textCol, labelCol, dims)
       .transform(Checkpoints.checkpointed) // reused every round + by the scorer
     (perceptronRounds(feats, rounds), feats)

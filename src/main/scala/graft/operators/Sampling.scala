@@ -96,14 +96,24 @@ object Sampling {
     * pathway is testable without 2^31 planted rows. */
   val MaxExactCount: Long = 1L << 31
 
-  private[graft] def inverseMixture(df: DataFrame, idCol: String,
-      stratumCol: String, maxCount: Long): DataFrame = {
+  /** Bounded per-stratum count collect + the exact-integer-law guard —
+    * the shared front half of every whole-corpus mixing law (a mixture
+    * table, not the corpus; strata over the bound go through the sharded
+    * idiom). */
+  private def stratumCounts(df: DataFrame, stratumCol: String,
+      maxCount: Long): Map[String, Long] = {
     val counts = df.groupBy(col(stratumCol)).count().collect()
       .map(r => r.get(0).toString -> r.getLong(1)).toMap
     require(counts.nonEmpty, "empty input")
     require(counts.values.max < maxCount,
       s"per-stratum count ${counts.values.max} exceeds the exact-integer " +
         s"law's $maxCount bound - use inverseMixtureSharded for larger corpora")
+    counts
+  }
+
+  private[graft] def inverseMixture(df: DataFrame, idCol: String,
+      stratumCol: String, maxCount: Long): DataFrame = {
+    val counts = stratumCounts(df, stratumCol, maxCount)
     val mn = counts.values.min
     val thresholds = counts.map { case (k, n) =>
       k -> (if (n == mn) "g" else f"${(mn << 32) / n}%08x")
@@ -135,12 +145,7 @@ object Sampling {
     * join, pushes to the scan. */
   def temperatureMixture(df: DataFrame, idCol: String, stratumCol: String,
       maxCount: Long = MaxExactCount): DataFrame = {
-    val counts = df.groupBy(col(stratumCol)).count().collect()
-      .map(r => r.get(0).toString -> r.getLong(1)).toMap
-    require(counts.nonEmpty, "empty input")
-    require(counts.values.max < maxCount,
-      s"per-stratum count ${counts.values.max} exceeds the exact-integer " +
-        s"law's $maxCount bound - shard first (see inverseMixtureSharded)")
+    val counts = stratumCounts(df, stratumCol, maxCount)
     def isqrt(n: Long): Long = math.floor(math.sqrt(n.toDouble)).toLong
     val kmin = isqrt(counts.values.min)
     val thresholds = counts.map { case (k, n) =>

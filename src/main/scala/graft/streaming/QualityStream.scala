@@ -34,7 +34,12 @@ object QualityStream {
     require(wMap.size <= dims,
       s"weight table ${wMap.size} exceeds dims=$dims")
     val m = typedLit(wMap)
-    val toks = transform(TextAnalysis.tokens(col(textCol)), w => lower(w))
+    // NULL text scores like empty text (margin 0, predicted -1) — the
+    // batch scorer's tokens-of-null produce no feature rows and its
+    // universe left join coalesces to 0, so the parity contract holds on
+    // any corpus, nulls included
+    val toks = transform(
+      TextAnalysis.tokens(coalesce(col(textCol), lit(""))), w => lower(w))
     stream
       .withColumn("margin",
         aggregate(toks, lit(0L), (acc, w) =>
@@ -56,12 +61,10 @@ object QualityStream {
   def ruleStackStream(stream: DataFrame, textCol: String,
       robotsCol: String, pathCol: String, agent: String,
       minWords: Long = 50L, maxWords: Long = 100000L): DataFrame =
-    stream
-      .withColumn("robots_verdict",
-        graft.functions.GraftFunctions.robotsDecision(
-          col(robotsCol), lit(agent), col(pathCol)))
-      .withColumn("robots_allowed",
-        substring(col("robots_verdict"), 1, 1) === "A")
+    // the robots columns come from the REAL batch operator (it is already
+    // map-only and column-preserving, so it streams as-is) — a re-spelled
+    // verdict here could drift from the batch law silently
+    graft.operators.Web.robotsFilter(stream, robotsCol, pathCol, agent)
       .withColumn("gopher_keep",
         TextAnalysis.gopherKeepCol(col(textCol), minWords, maxWords))
       .withColumn("rep_keep", TextAnalysis.repKeepCol(col(textCol)))
@@ -86,7 +89,8 @@ object QualityStream {
     require(wMap.size <= dims,
       s"weight table ${wMap.size} exceeds dims=$dims")
     val m = typedLit(wMap)
-    val grams = Classifier.dsirGramsCol(col(textCol))
+    // NULL text = no grams = importance 0 (see scoreStream's null law)
+    val grams = Classifier.dsirGramsCol(coalesce(col(textCol), lit("")))
     stream
       .withColumn("n_feats", size(grams).cast("long"))
       .withColumn("importance_bits",

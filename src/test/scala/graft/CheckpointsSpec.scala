@@ -23,6 +23,14 @@ class CheckpointsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("graft-checkpoints-test")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    // best-effort mitigation for the shared-context caveat below: when
+    // THIS suite creates the context, GC'd reliably-checkpointed RDDs
+    // have their files removed by the ContextCleaner, so suites that run
+    // after the dir is set don't accumulate checkpoint files for the
+    // rest of the JVM (if an earlier suite created the context, the conf
+    // is inert — the temp dir then lives until the JVM exits, which the
+    // test harness reaps)
+    .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

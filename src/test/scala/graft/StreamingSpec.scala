@@ -747,16 +747,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         (100L + i, t, -1L) }).toDF("doc_id", "text", "y")
     val (w, _) = graft.operators.Classifier.trainPerceptron(
       train, "doc_id", "text", "y", dims = 256, rounds = 2)
-    // the DEPLOYMENT corpus includes empty and whitespace-only docs —
-    // the arrival class the batch/stream parity contract must cover
-    // (both sides: margin 0, predicted −1, no dropped rows)
+    // the DEPLOYMENT corpus includes empty, whitespace-only and NULL
+    // docs — the arrival classes the batch/stream parity contract must
+    // cover (both sides: margin 0, predicted −1, no dropped rows)
     val corpus = train.select("doc_id", "text").unionAll(
-      Seq((200L, ""), (201L, "  \t ")).toDF("doc_id", "text"))
+      Seq((200L, Some("")), (201L, Some("  \t ")),
+        (202L, Option.empty[String])).toDF("doc_id", "text"))
     val batchScored = graft.operators.Classifier.scoreDocuments(
       corpus, "doc_id", "text", w, dims = 256).collect()
     val batchMargins = batchScored.map(r => r.getAs[Long]("doc_id") ->
       r.getAs[Long]("margin")).toMap
-    assert(batchMargins(200L) == 0L && batchMargins(201L) == 0L)
+    assert(batchMargins(200L) == 0L && batchMargins(201L) == 0L &&
+      batchMargins(202L) == 0L)
     assert(batchScored.filter(r => r.getAs[Long]("doc_id") >= 200L)
       .forall(_.getAs[Long]("predicted") == -1L))
     val landing = Files.createTempDirectory("graft-qs-landing").toString
